@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline, all built from
+  * codegen'd built-ins (split / regexp / higher-order functions) so they
+  * run inside whole-stage codegen at scan time — no UDF boundary, no
+  * serialization, scales linearly with input bytes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed, lowercased text; empty text -> []. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single non-alphanumeric marks each count as one token — a cheap,
+    * deterministic proxy for a trained tokenizer's token count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word k-shingles from an ALREADY-MATERIALIZED token-array column
+    * (duplicates preserved); documents shorter than k words yield one
+    * shingle = the whole token sequence.
+    *
+    * PERFORMANCE CONTRACT (applies to every higher-order fn here): `w`
+    * must be a materialized column (AttributeReference), not a nested
+    * expression — HOF lambdas re-evaluate their free subexpressions per
+    * element and HOFs never enter whole-stage codegen, so passing e.g.
+    * `tokens(text)` directly would re-run the regex split once per
+    * shingle per row. Stage arrays with `.withColumn` between steps;
+    * Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    * projections from being re-inlined.
+    */
+  def wordShinglesFromTokens(w: Column, k: Int): Column =
+    when(size(w) <= k, array(concat_ws(" ", w)))
+      .otherwise(
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+
+  /** Distinct shingle set (the unit of Jaccard / MinHash dedup). */
+  def shingleSetFromTokens(w: Column, k: Int): Column =
+    array_distinct(wordShinglesFromTokens(w, k))
+
+  /** MinHash signature: `n` 64-bit min-hashes of the shingle set. Hash j of
+    * shingle s is xxhash64(j, s) — n independent-enough hash families with
+    * zero stored state, computable at scan time. `shingles` must be a
+    * materialized column (see [[wordShinglesFromTokens]] contract).
+    */
+  def minhashSignature(shingles: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      j => array_min(transform(shingles, s => xxhash64(j, s))))
+
+  /** LSH band keys from a minhash signature: `bands` hashes, band i hashing
+    * rows [i*r, (i+1)*r). Two docs collide on a band iff that slice of
+    * their signatures is identical.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** SimHash-64 of the token multiset: per bit, sum +-1 over token hashes,
+    * bit set iff the sum is positive.
+    *
+    * Implemented as a SINGLE left fold carrying a 64-long vote vector —
+    * the token array (and each token's hash) is evaluated exactly once
+    * per row; a naive per-bit formulation would re-walk the tokens 64
+    * times in interpreted HOF eval.
+    */
+  def simhash64(text: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63)) // int indices for variable shifts
+    val votes = aggregate(
+      transform(tokens(text), t => xxhash64(t)), // fold target: evaluated once
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, bitIdx, (a, b) =>
+          a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling hash-chain fingerprint of the token sequence:
+    * acc = xxhash64(acc, token). Order-sensitive (unlike a set hash) —
+    * catches reordered near-dups as DIFFERENT, which is what a content
+    * fingerprint should do. Chained hashing rather than polynomial
+    * multiply-add so ANSI mode (Spark 4 default) can't overflow.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "por", "con"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+
+  /** Per-language stopword hit ratio: |tokens ∩ stopwords(lang)| / |tokens|. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val tk = tokens(text)
+    when(size(tk) === 0, 0.0)
+      .otherwise(size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
+  }
+
+  /** Heuristic language ID: the language with the highest stopword ratio;
+    * ties and all-zero scores fall back to "en" then lexicographic order.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordRatio(text, l).as("score"), lit(if (l == "en") 1 else 0).as("pref"), lit(l).as("lang"))
+    }
+    // array_max on struct compares lexicographically: score, then en-pref,
+    // then reversed lang for deterministic ties.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents, low
+    * punctuation density, presence of stopwords, and sane mean word length.
+    * Deterministic arithmetic only — portable to any SQL oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.!,;:?]", "")).cast("double")
+    val lenScore = least(nChars / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))
+    val swScore = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
+    val meanWord = nChars / greatest(nTok, lit(1.0))
+    val wordScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.3 + punctScore * 0.3 + swScore * 0.2 + wordScore * 0.2, 6)
+  }
+}

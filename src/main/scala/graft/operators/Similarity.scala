@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design:
+  *  - [[bruteForceTopK]] broadcasts the (small) query set against the
+  *    corpus — one corpus scan, no shuffle of the corpus, cost
+  *    O(|corpus| * |queries| * dim). This is the exact baseline.
+  *  - [[lshTopK]] prunes with sign-LSH buckets: corpus and queries are
+  *    both signed with the same deterministic hyperplanes and only
+  *    bucket-colliding rows are scored. Multi-probe (hamming-1 neighbors
+  *    of the query signature) trades recall for cost.
+  *  - [[ivfTopK]] is an IVF-style coarse quantizer: corpus is bucketed by
+  *    a provided partition column (e.g. a cluster id); only the query's
+  *    nProbe nearest buckets by centroid cosine are scanned.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. Ties break on corpus id
+    * ascending (deterministic). Queries are broadcast.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k: score only corpus rows whose sign-LSH signature is
+    * within hamming distance `probeHamming` of the query's signature.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"),
+      V.signLshSignature(col(vecCol), bits).as("csig"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"),
+      V.signLshSignature(col(vecCol), bits).as("qsig")))
+    val scored = c.join(q,
+        col("query_id") =!= col("neighbor_id") &&
+          bit_count(col("csig").bitwiseXOR(col("qsig"))) <= probeHamming)
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-style search against a pre-bucketed corpus: centroids = mean
+    * vector per bucket; each query scans its nProbe closest buckets.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, bucketCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(
+      col(bucketCol).as("bucket"), col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+    // centroid per bucket: elementwise mean via posexplode + re-assemble
+    val centroids = c
+      .select(col("bucket"), posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy(col("bucket"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))), s => s.getField("m")).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", V.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("bucket").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** The LLM-training-data-pipeline operator surface (BASELINE.json north
+  * star): deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding-cosine), similarity search (brute-force + LSH + IVF),
+  * text analysis, and multimodal binary-column plumbing.
+  *
+  * Queries whose semantics depend on engine-specific hash functions
+  * (xxhash64) have no SQL oracle — the driver records a rows-only check and
+  * ScalaTest pins them against exact counterparts (e.g. LSH pairs vs the
+  * exact Jaccard pairs it must recover).
+  */
+object ExtensionQueries {
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------------ dedup: exact
+    "q30_dedup_exact" -> Q(
+      (s, dir) =>
+        Dedup.exact(Tables.table(s, dir, "documents"), "text", "doc_id")
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+      "exact dedup: hash aggregate on the content key"),
+
+    // --------------------------------------------------- dedup: n-gram Jaccard
+    "q31_dedup_jaccard" -> Q(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"), "text", "doc_id",
+            shingleK = 5, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+             |FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
+      "exact word-5-gram Jaccard >= 0.8 pairs via inverted-index join"),
+
+    // ------------------------------------------------------ dedup: MinHash-LSH
+    "q32_dedup_minhash" -> Q(
+      (s, dir) =>
+        Dedup.minhashNearDups(Tables.table(s, dir, "documents"), "text", "doc_id",
+            shingleK = 5, threshold = 0.8, bands = 16, rowsPerBand = 4)
+          .orderBy(col("id_a"), col("id_b")),
+      None, // xxhash64 signatures are engine-specific; pinned to q31 by test
+      "MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified"),
+
+    // --------------------------------------------------------- dedup: SimHash
+    "q33_dedup_simhash" -> Q(
+      (s, dir) =>
+        Dedup.simhashNearDups(Tables.table(s, dir, "documents"), "text", "doc_id",
+            maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      None,
+      "SimHash-64 near-dups, 4x16-bit pigeonhole banding"),
+
+    // ------------------------------------------------- dedup: embedding cosine
+    "q34_dedup_embedding" -> Q(
+      (s, dir) =>
+        Dedup.embeddingNearDups(Tables.table(s, dir, "embeddings"), "embedding", "vec_id",
+            threshold = 0.25, bucketed = false)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+             |ORDER BY id_a, id_b""".stripMargin),
+      "embedding near-dup pairs by exact cosine threshold"),
+
+    // ------------------------------------------------- similarity: brute force
+    "q35_sim_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT query_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(qv, v) /
+             |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+             |ranked AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      "exact top-k cosine neighbors (broadcast queries, one corpus scan)"),
+
+    // --------------------------------------------------------- similarity: LSH
+    "q36_sim_lsh_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.lshTopK(
+            emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
+            k = 10, bits = 12, probeHamming = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None, // recall vs q35 pinned by ScalaTest
+      "sign-LSH pruned ANN top-k (scale path)"),
+
+    // ----------------------------------------------------------- text analysis
+    "q40_text_stats" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            T.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+            T.bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "token counting: whitespace + BPE-ish regex"),
+
+    "q41_text_quality" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH feats AS (
+              |  SELECT doc_id,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_tok,
+              |    CAST(length(regexp_replace(text, '[^.!,;:?]', '', 'g')) AS DOUBLE) AS punct,
+              |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              |      t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) AS sw
+              |  FROM documents)
+              |SELECT doc_id, round(
+              |  least(n_chars / 200.0, 1.0) * 0.3 +
+              |  (1.0 - least(punct / greatest(n_tok, 1.0), 1.0)) * 0.3 +
+              |  least(CASE WHEN n_tok = 0 THEN 0.0 ELSE sw / n_tok END * 5.0, 1.0) * 0.2 +
+              |  (CASE WHEN n_chars / greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+              |  6) AS quality
+              |FROM feats ORDER BY doc_id""".stripMargin),
+      "document quality scoring (length/punct/stopword/word-shape)"),
+
+    "q42_text_langid" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("lang"), T.langId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted")),
+      None, // heuristic matrix pinned by ScalaTest
+      "stopword-ratio language ID vs the labeled lang column"),
+
+    "q43_text_wordfreq" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(explode(T.tokens(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS word
+             |  FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+      "token explode + frequency top-k"),
+
+    "q44_text_fingerprint" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            T.rollingFingerprint(col("text")).as("fingerprint"),
+            T.simhash64(col("text")).as("simhash"))
+          .orderBy(col("doc_id")),
+      None, // xxhash64-based; pinned by ScalaTest (stability + dup detection)
+      "order-sensitive rolling fingerprint + SimHash per document"),
+
+    // ------------------------------------------------------------- multimodal
+    "q45_mm_meta" -> Q(
+      (s, dir) =>
+        Multimodal.withBinary(Tables.table(s, dir, "documents"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).cast("bigint").as("n_bytes"),
+            ascii(substring(col("text"), 1, 1)).cast("bigint").as("first_byte"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "binary-column plumbing: opaque payload + typed metadata"),
+
+    "q46_mm_frames" -> Q(
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.withBinary(Tables.table(s, dir, "documents")), frameBytes = 64)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).as("last_idx"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+             |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1 AS last_idx
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "frame sampling: chunked explode of an opaque binary payload"))
+}

@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+
+/** Confluent Schema-Registry wire format codec.
+  *
+  * The reference produces/consumes Confluent-framed Avro: a 1-byte magic
+  * 0x00, a 4-byte big-endian schema id, then the raw Avro binary body
+  * (reference: services/kstream-agg-rs/src/producer.rs:42-56 encode path,
+  * consumer.rs:76-101 decode path, TopicNameStrategy registration at
+  * registry_handler.rs:50-58). Spark's distribution here ships no
+  * spark-avro / Confluent framing, so this module implements framing +
+  * body codec on avro-core directly.
+  *
+  * Scale notes:
+  *  - the codec is a per-row narrow map — no shuffle, no state;
+  *  - the Avro `Schema` and datum reader/writer are built once per
+  *    executor (transient lazy in the serialized closure), never per row;
+  *  - binary en/decoders are reused via DecoderFactory buffer reuse.
+  *
+  * Coverage: flat record schemas of the primitive types the reference
+  * uses — string/long/int/double/float/boolean/bytes plus nullable unions
+  * ["null", T] — exactly the shape of `TradesDataAvro` and `EWMA`
+  * (models.rs:31-44, indicators.rs:6-11). Nested records are outside the
+  * reference's surface and rejected at schema-build time.
+  */
+object ConfluentAvro {
+
+  val MagicByte: Byte = 0x00
+
+  /** Avro schema JSON for a flat StructType (nullable -> union with null). */
+  def avroSchemaJson(st: StructType, name: String, namespace: String = "graft"): String = {
+    def prim(dt: DataType): String = dt match {
+      case StringType => "\"string\""
+      case LongType => "\"long\""
+      case IntegerType => "\"int\""
+      case DoubleType => "\"double\""
+      case FloatType => "\"float\""
+      case BooleanType => "\"boolean\""
+      case BinaryType => "\"bytes\""
+      case other => throw new IllegalArgumentException(
+        s"ConfluentAvro covers flat primitive schemas only, got $other")
+    }
+    val fields = st.fields.map { f =>
+      val t = if (f.nullable) s"""["null", ${prim(f.dataType)}]""" else prim(f.dataType)
+      s"""{"name": "${f.name}", "type": $t${if (f.nullable) ", \"default\": null" else ""}}"""
+    }.mkString(",")
+    s"""{"type": "record", "name": "$name", "namespace": "$namespace", "fields": [$fields]}"""
+  }
+
+  /** Frame a raw Avro body with the Confluent 5-byte header (magic + BE id). */
+  def frame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + body.length)
+    bb.put(MagicByte).putInt(schemaId).put(body)
+    bb.array()
+  }
+
+  /** Split a Confluent-framed payload into (schemaId, body). */
+  def unframe(payload: Array[Byte]): (Int, Array[Byte]) = {
+    require(payload.length >= 5 && payload(0) == MagicByte,
+      s"not Confluent-framed: len=${payload.length}")
+    val bb = ByteBuffer.wrap(payload, 1, 4)
+    (bb.getInt, java.util.Arrays.copyOfRange(payload, 5, payload.length))
+  }
+
+  /** Serializable encoder closure: Spark Row -> framed bytes. */
+  private final class Encoder(json: String, schemaId: Int)
+      extends UDF1[Row, Array[Byte]] with Serializable {
+    @transient private lazy val schema = new Schema.Parser().parse(json)
+    @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+    override def call(row: Row): Array[Byte] = {
+      if (row == null) return null
+      val rec = new GenericData.Record(schema)
+      val it = schema.getFields.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val i = row.fieldIndex(f.name)
+        val v: AnyRef =
+          if (row.isNullAt(i)) null
+          else row.get(i) match {
+            case s: String => new org.apache.avro.util.Utf8(s)
+            case b: Array[Byte] => ByteBuffer.wrap(b)
+            case other => other.asInstanceOf[AnyRef]
+          }
+        rec.put(f.name, v)
+      }
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      frame(schemaId, out.toByteArray)
+    }
+  }
+
+  /** Serializable decoder closure: framed bytes -> Spark Row. */
+  private final class Decoder(json: String, st: StructType)
+      extends UDF1[Array[Byte], Row] with Serializable {
+    @transient private lazy val schema = new Schema.Parser().parse(json)
+    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    override def call(payload: Array[Byte]): Row = {
+      if (payload == null) return null
+      val (_, body) = unframe(payload)
+      val dec = DecoderFactory.get().binaryDecoder(body, null)
+      val rec = reader.read(null, dec)
+      Row.fromSeq(st.fields.map { f =>
+        rec.get(f.name) match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case bb: ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case other => other
+        }
+      }.toSeq)
+    }
+  }
+
+  /** UDF: struct column -> Confluent-framed Avro binary. */
+  def toConfluentAvro(st: StructType, schemaId: Int, recordName: String): UserDefinedFunction =
+    udf(new Encoder(avroSchemaJson(st, recordName), schemaId), BinaryType)
+
+  /** UDF: Confluent-framed Avro binary -> struct column. */
+  def fromConfluentAvro(st: StructType, recordName: String): UserDefinedFunction =
+    udf(new Decoder(avroSchemaJson(st, recordName), st), st)
+
+  /** Encode convenience: `encodeCol(struct(cols...), schema, id, name)`. */
+  def encodeCol(structCol: Column, st: StructType, schemaId: Int, recordName: String): Column =
+    toConfluentAvro(st, schemaId, recordName)(structCol)
+
+  def decodeCol(payload: Column, st: StructType, recordName: String): Column =
+    fromConfluentAvro(st, recordName)(payload)
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.EwmaFunctions
+
+/** The reference's aggregation service (entry point B, SURVEY.md §3.2)
+  * rebuilt on Structured Streaming:
+  *
+  *   source -> event-time tumbling window -> zero-seeded ordered EWMA fold
+  *          -> filter(current > 0) -> sink
+  *
+  * Two time modes (SURVEY.md §1.5):
+  *  - event-time (default): `window($"event_time", period)` + watermark —
+  *    deterministic, replayable, late-data aware; this is the mode the
+  *    correctness tests pin, replaying `events.parquet` via the file
+  *    source so CI never depends on wall clock.
+  *  - processing-time (faithful to the reference): same plan driven by
+  *    `Trigger.ProcessingTime`, grouping on the micro-batch window only —
+  *    kept for fidelity, not used in tests (not reproducible by design).
+  *
+  * Scale notes: the windowed aggregation shuffles once on (key, window);
+  * state per group is the collected (ts, seq, price) buffer — bounded by
+  * window length x per-key rate, the same bound the reference's in-memory
+  * `Vec<f64>` has (main.rs:79), but partitioned across executors instead
+  * of confined to one process.
+  */
+object EwmaPipeline {
+
+  /** File-source replay of a parquet events directory as a stream. */
+  def fileSource(
+      spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Event-time windowed EWMA over any (key, event_time, ts, seq, value)
+    * frame. `periodSeconds` drives both the window length and alpha —
+    * faithfully reproducing the reference's seconds-vs-ms quirk is the
+    * CALLER's job: pass periodSeconds = configMinutes * 60 to get
+    * alpha = 2/(60m+1) with an m-minute window (main.rs:83,111).
+    */
+  def windowedEwma(
+      events: DataFrame,
+      keyCol: String, eventTimeCol: String,
+      tsCol: String, seqCol: String, valueCol: String,
+      periodSeconds: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val alpha = EwmaFunctions.alpha(periodSeconds)
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(
+        window(col(eventTimeCol), s"$periodSeconds seconds").as("win"),
+        col(keyCol))
+      .agg(
+        EwmaFunctions.ewmaOrdered(col(tsCol), col(seqCol), col(valueCol), alpha).as("current"),
+        count(lit(1)).as("n_events"))
+      .filter(col("current") > 0) // reference main.rs:118 suppression
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col(keyCol),
+        lit(periodSeconds).as("period"),
+        lit(alpha).as("alpha"),
+        col("current"),
+        col("n_events"))
+  }
+
+  /** Batch form of [[windowedEwma]] — identical plan minus the watermark;
+    * the streaming replay is pinned to equal this on the same data.
+    */
+  def windowedEwmaBatch(
+      events: DataFrame,
+      keyCol: String, eventTimeCol: String,
+      tsCol: String, seqCol: String, valueCol: String,
+      periodSeconds: Long): DataFrame = {
+    val alpha = EwmaFunctions.alpha(periodSeconds)
+    events
+      .groupBy(
+        window(col(eventTimeCol), s"$periodSeconds seconds").as("win"),
+        col(keyCol))
+      .agg(
+        EwmaFunctions.ewmaOrdered(col(tsCol), col(seqCol), col(valueCol), alpha).as("current"),
+        count(lit(1)).as("n_events"))
+      .filter(col("current") > 0)
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col(keyCol),
+        lit(periodSeconds).as("period"),
+        lit(alpha).as("alpha"),
+        col("current"),
+        col("n_events"))
+  }
+
+  /** JDBC persistence of a stream (entry point C, SURVEY.md §3.3):
+    * `foreachBatch` + dedup on the primary key before insert, mirroring
+    * the Connect sink's pk semantics (raw-pg.json:11) with at-least-once
+    * delivery made idempotent.
+    */
+  def jdbcSink(
+      df: DataFrame, url: String, table: String,
+      props: java.util.Properties, pkCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates(pkCol).write.mode("append").jdbc(url, table, props)
+      }
+
+  /** Kafka sink wiring (entry point B's output). Compiles against any
+    * Spark; requires the spark-sql-kafka connector on the cluster
+    * classpath at run time (not present in this test container, so it is
+    * exercised only on a real cluster).
+    */
+  def kafkaSink(
+      df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+
+  /** Kafka source wiring (entry point B's input), Confluent-framed Avro
+    * payloads decoded via [[graft.sources.ConfluentAvro]].
+    */
+  def kafkaSource(
+      spark: SparkSession, bootstrap: String, topic: String,
+      valueSchema: StructType, recordName: String,
+      startingOffsets: String = "latest"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    raw.select(
+      col("key").cast("string").as("key"),
+      graft.sources.ConfluentAvro.decodeCol(col("value"), valueSchema, recordName).as("t"))
+      .select(col("key"), col("t.*"))
+  }
+
+  /** Processing-time trigger mirroring the reference's wall-clock tick
+    * (main.rs:83-85): period minutes -> ms trigger interval.
+    */
+  def processingTimeTrigger(periodMinutes: Int): Trigger =
+    Trigger.ProcessingTime(periodMinutes.toLong * 60 * 1000)
+}

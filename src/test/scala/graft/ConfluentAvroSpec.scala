@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{Ewma, Trade}
+import graft.sources.ConfluentAvro
+
+/** Round-trip and wire-format pinning for the Confluent Avro codec
+  * (SURVEY.md §7.4 hard part 3: magic byte, schema-id endianness).
+  */
+class ConfluentAvroSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    Trade(1.5, "buy", 100.0, "BTC-PERP", Some(0.6), Some("M"), 99.5, 1L, 1700000000000L, "t-1", 1L),
+    Trade(2.0, "sell", 101.0, "BTC-PERP", None, None, 100.5, -1L, 1700000000100L, "t-2", 2L))
+
+  test("frame layout: magic 0x00 + 4-byte big-endian schema id") {
+    val framed = ConfluentAvro.frame(0x01020304, Array[Byte](9, 9))
+    assert(framed(0) === 0x00.toByte)
+    assert(framed.slice(1, 5).toSeq === Seq[Byte](1, 2, 3, 4)) // big-endian
+    assert(framed.length === 7)
+    val (id, body) = ConfluentAvro.unframe(framed)
+    assert(id === 0x01020304)
+    assert(body.toSeq === Seq[Byte](9, 9))
+  }
+
+  test("avro schema json covers nullable unions like the reference models") {
+    val json = ConfluentAvro.avroSchemaJson(Trade.schema, "TradesDataAvro")
+    assert(json.contains(""""name": "iv", "type": ["null", "double"]"""))
+    assert(json.contains(""""name": "price", "type": "double""""))
+    // parseable by avro-core
+    new org.apache.avro.Schema.Parser().parse(json)
+  }
+
+  test("Trade round-trips through Confluent-framed Avro, nulls preserved") {
+    val df = spark.createDataset(trades).toDF()
+    val encoded = df.select(
+      ConfluentAvro.encodeCol(struct(df.columns.map(col): _*), Trade.schema, 7, "TradesDataAvro").as("value"))
+    val decoded = encoded.select(
+      ConfluentAvro.decodeCol(col("value"), Trade.schema, "TradesDataAvro").as("t"))
+      .select("t.*").as[Trade].collect()
+    assert(decoded.toSeq === trades)
+  }
+
+  test("Ewma record round-trips (the aggregate output schema)") {
+    val recs = Seq(Ewma(300L, 2.0 / 301.0, 42.5))
+    val df = spark.createDataset(recs).toDF()
+    val rt = df.select(
+        ConfluentAvro.encodeCol(struct(df.columns.map(col): _*), Ewma.schema, 8, "EWMA").as("v"))
+      .select(ConfluentAvro.decodeCol(col("v"), Ewma.schema, "EWMA").as("e"))
+      .select("e.*").as[Ewma].collect()
+    assert(rt.toSeq === recs)
+  }
+
+  test("unframe rejects payloads without the magic byte") {
+    intercept[Exception] {
+      ConfluentAvro.unframe(Array[Byte](1, 0, 0, 0, 1, 2))
+    }
+  }
+}

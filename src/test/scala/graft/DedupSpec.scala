@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Pins the hash-dependent dedup paths (MinHash-LSH, SimHash, bucketed
+  * embedding) to their exact counterparts — the properties the driver's
+  * rows-only check can't see.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents").cache()
+
+  test("exact dedup keeps one representative per text and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val nDocs = docs.count()
+    assert(out.agg(sum(col("n_copies"))).head().getLong(0) === nDocs)
+    // keep_id must be a real doc_id of a row with that text
+    val bad = out.join(docs, out("keep_id") === docs("doc_id"), "left_anti").count()
+    assert(bad === 0L)
+  }
+
+  test("MinHash-LSH near-dups are a subset of exact Jaccard pairs with high recall") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 5, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleK = 5, threshold = 0.8, bands = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification stage guarantees precision = 1 (every LSH pair passes exact Jaccard)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // 16 bands x 4 rows at t=0.8: collision prob >= 1-(1-0.8^4)^16 ~ 0.9996
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("SimHash near-dups: banding finds all pairs with hamming <= 3 (vs brute force)") {
+    import graft.functions.{TextFunctions => T}
+    val sigs = docs.select(col("doc_id"), T.simhash64(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
+  test("bucketed embedding near-dups have no false positives vs exact cosine") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.25, bucketed = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.25, bucketed = true, lshBits = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
+  }
+}

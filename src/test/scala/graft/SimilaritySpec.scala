@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.table(spark, sfDir, "embeddings").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val want = (0L until 5L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(5).map(_._1)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("LSH top-k achieves >= 60% recall@10 vs brute force on sf0.001") {
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "embedding", "vec_id",
+        k = 10, bits = 12, probeHamming = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("IVF top-k returns k well-formed rows per query with valid ranks") {
+    val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(8)))
+    val out = Similarity.ivfTopK(queries, bucketed, "embedding", "vec_id", "bucket",
+      k = 5, nProbe = 3).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+    }
+  }
+}
