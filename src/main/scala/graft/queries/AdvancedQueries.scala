@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Second tranche of the §2.2 checklist: statistical aggregates,
+  * argmin/argmax, session & sliding time windows (batch analogs of the
+  * streaming forms), approximate distinct (HLL), correlated EXISTS, and
+  * the IVF ANN path.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+  private def r4(c: Column): Column = round(c, 4)
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------- statistical aggregates
+    "q47_stats_agg" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            r4(stddev(col("l_extendedprice"))).as("sd_price"),
+            r4(var_samp(col("l_quantity"))).as("var_qty"),
+            r4(corr(col("l_quantity"), col("l_extendedprice"))).as("qty_price_corr"),
+            r4(covar_samp(col("l_quantity"), col("l_discount"))).as("qty_disc_cov"),
+            r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+            r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             |  round(var_samp(l_quantity), 4) AS var_qty,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+             |  round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "statistical aggregate family (stddev/var/corr/covar/exact percentile)"),
+
+    // ----------------------------------------------------------- argmin/argmax
+    "q48_argminmax" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            // ties on price resolve to the SMALLEST orderkey on both sides
+            max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey") * -1)).as("priciest_order"),
+            min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+            r4(max(col("o_totalprice"))).as("max_price"))
+          .orderBy(col("o_orderstatus")),
+      Some("""WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rd,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice ASC, o_orderkey) AS ra
+             |  FROM orders)
+             |SELECT o_orderstatus,
+             |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS priciest_order,
+             |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS cheapest_order,
+             |  round(max(o_totalprice), 4) AS max_price
+             |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      "max_by/min_by with deterministic price-then-key tiebreak"),
+
+    // --------------------------------------------------------- session windows
+    // Spark session_window: window.start = first event, end = last + gap.
+    // The DuckDB oracle derives the same sessions with lag + cumulative sum.
+    "q49_session_window" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") < 20)
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("sum_value"))
+          .select(
+            col("user_id"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |           > INTERVAL 30 MINUTE OR
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM events WHERE user_id < 20),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      "session windows (30 min gap) — batch analog of streaming session_window"),
+
+    // --------------------------------------------------------- sliding windows
+    "q50_sliding_window" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts") < lit("2024-01-02"))
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("n"), col("avg_value"))
+          .orderBy(col("win_start")),
+      Some("""WITH slid AS (
+             |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS ws,
+             |    value
+             |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+             |  WHERE ts < TIMESTAMP '2024-01-02'
+             |    AND ts >= time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+             |    AND ts < time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+             |          + INTERVAL 10 MINUTE)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  count(*) AS n, round(avg(value), 4) AS avg_value
+             |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin),
+      "sliding (hopping) windows: each event lands in length/slide windows"),
+
+    // ------------------------------------------------- approx distinct (HLL)
+    "q51_approx_distinct" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy(col("l_returnflag")),
+      None, // HLL sketch values are engine-specific; error bound pinned by ScalaTest
+      "approx_count_distinct (HyperLogLog++) next to the exact count"),
+
+    // ------------------------------------------------------ correlated EXISTS
+    "q52_correlated_exists" -> Q(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey, p_brand
+                |FROM part
+                |WHERE p_partkey <= 200 AND EXISTS (
+                |  SELECT 1 FROM lineitem
+                |  WHERE l_partkey = p_partkey AND l_quantity > 45)
+                |ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_brand
+             |FROM part
+             |WHERE p_partkey <= 200 AND EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_partkey = p_partkey AND l_quantity > 45)
+             |ORDER BY p_partkey""".stripMargin),
+      "correlated EXISTS subquery (decorrelated by Catalyst into a semi join)"),
+
+    // ----------------------------------------------------------- IVF ANN path
+    "q37_sim_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") < 5), emb.withColumn("bucket", col("label")),
+            "embedding", "vec_id", "bucket", k = 10, nProbe = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None, // recall vs q35 pinned by ScalaTest
+      "IVF-style ANN: label column as coarse quantizer, nProbe bucket scan"),
+
+    // --------------------------------------------------- array/map/json surface
+    "q53_array_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            size(col("w")).cast("bigint").as("n"),
+            coalesce(array_min(col("w")), lit("")).as("first_alpha"),
+            coalesce(array_max(col("w")), lit("")).as("last_alpha"),
+            size(array_distinct(col("w"))).cast("bigint").as("n_distinct"),
+            coalesce(element_at(col("w"), 1), lit("")).as("head"),
+            r4(aggregate(col("w"), lit(0.0), (acc, x) => acc + length(x)).cast("double") /
+              greatest(size(col("w")), lit(1))).as("mean_wordlen"))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+             |  coalesce(list_min(w), '') AS first_alpha,
+             |  coalesce(list_max(w), '') AS last_alpha,
+             |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             |  coalesce(w[1], '') AS head,
+             |  round(list_sum(list_transform(w, x -> len(x))) * 1.0 /
+             |        greatest(len(w), 1), 4) AS mean_wordlen
+             |FROM toks ORDER BY doc_id""".stripMargin),
+      "array higher-order surface: min/max/distinct/element_at/aggregate"))
+}

@@ -15,7 +15,8 @@ final case class Q(
 object Registry {
   /** Insertion-ordered full inventory. */
   lazy val all: Seq[(String, Q)] =
-    Relational.queries ++ EwmaQueries.queries ++ ExtensionQueries.queries
+    Relational.queries ++ EwmaQueries.queries ++ ExtensionQueries.queries ++
+      AdvancedQueries.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.build }.toMap
