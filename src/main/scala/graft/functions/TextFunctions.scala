@@ -56,6 +56,17 @@ object TextFunctions {
     transform(sequence(lit(0), lit(n - 1)),
       j => array_min(transform(shingles, s => xxhash64(j, s))))
 
+  /** MinHash signature from PRE-HASHED shingles (`array<long>`) — the
+    * codegen'd scale path ([[org.apache.spark.sql.graftvec.TextExprs]]):
+    * one compiled loop instead of n x |shingles| interpreted lambdas.
+    * Materialize `hashAll(sh)` and pass that column.
+    */
+  def minhashSignatureFromHashes(hashedShingles: Column, n: Int): Column =
+    org.apache.spark.sql.graftvec.TextExprs.minhashCol(hashedShingles, n)
+
+  /** xxhash64 of every element of a string array (the one-time hash). */
+  def hashAll(arr: Column): Column = transform(arr, s => xxhash64(s))
+
   /** LSH band keys from a minhash signature: `bands` hashes, band i hashing
     * rows [i*r, (i+1)*r). Two docs collide on a band iff that slice of
     * their signatures is identical.
@@ -65,28 +76,12 @@ object TextFunctions {
       b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** SimHash-64 of the token multiset: per bit, sum +-1 over token hashes,
-    * bit set iff the sum is positive.
-    *
-    * Implemented as a SINGLE left fold carrying a 64-long vote vector —
-    * the token array (and each token's hash) is evaluated exactly once
-    * per row; a naive per-bit formulation would re-walk the tokens 64
-    * times in interpreted HOF eval.
+    * bit set iff the sum is positive. The per-(token x bit) vote loop is a
+    * codegen'd expression ([[org.apache.spark.sql.graftvec.TextExprs]]);
+    * the token array and each token's hash are evaluated exactly once.
     */
-  def simhash64(text: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(63)) // int indices for variable shifts
-    val votes = aggregate(
-      transform(tokens(text), t => xxhash64(t)), // fold target: evaluated once
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, bitIdx, (a, b) =>
-          a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)))
-    aggregate(
-      zip_with(votes, bitIdx, (v, b) =>
-        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftvec.TextExprs.simhashCol(hashAll(tokens(text)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -26,16 +26,19 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingleSet) projection, staged so each array is computed exactly
-    * once per row: tokens -> shingles -> distinct, all materialized columns
-    * (see the performance contract on TextFunctions.wordShinglesFromTokens:
-    * HOF lambdas re-evaluate nested free subexpressions per element).
+  /** (id, distinct HASHED shingle set) projection, staged so each array is
+    * computed exactly once per row: tokens -> per-token xxhash64 -> codegen
+    * rolling k-window chain hash -> distinct. Shingle STRINGS are never
+    * materialized — Jaccard/MinHash only need set identity, which 64-bit
+    * hashes preserve up to negligible collision odds, and the downstream
+    * explode/join shuffles 8-byte longs instead of ~30-byte strings.
     */
   private[graft] def shingleSets(
       docs: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame =
     docs
-      .withColumn("__tok", T.tokens(col(textCol)))
-      .withColumn("__sh", T.shingleSetFromTokens(col("__tok"), shingleK))
+      .withColumn("__tok", T.hashAll(T.tokens(col(textCol))))
+      .withColumn("__sh", array_distinct(
+        org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK)))
       .select(col(idCol).as("doc"), col("__sh").as("sh"))
 
   /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
@@ -45,7 +48,7 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val banded = shingleSets(docs, textCol, idCol, shingleK)
-      .withColumn("sig", T.minhashSignature(col("sh"), bands * rowsPerBand))
+      .withColumn("sig", T.minhashSignatureFromHashes(col("sh"), bands * rowsPerBand))
       .select(col("doc"), posexplode(T.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -134,7 +137,10 @@ object Dedup {
   def embeddingNearDups(
       emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bucketed: Boolean = false, lshBits: Int = 16): DataFrame = {
+    // cast + norm ONCE per row before the pairwise join; the per-pair work
+    // is then a single codegen'd dot product
     val base = emb.select(col(idCol).as("vid"), V.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
     val withB =
       if (bucketed) base.withColumn("bucket", V.signLshSignature(col("v"), lshBits))
       else base.withColumn("bucket", lit(0L))
@@ -146,7 +152,7 @@ object Dedup {
       else a.join(b, col("a.vid") < col("b.vid"))
     joined
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        V.cosine(col("a.v"), col("b.v")).as("cos"))
+        (V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }

@@ -29,10 +29,12 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv")))
+      queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", V.norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", V.norm(col("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -48,16 +50,17 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       bits: Int = 12, probeHamming: Int = 2): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"),
-      V.signLshSignature(col(vecCol), bits).as("csig"))
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"),
-      V.signLshSignature(col(vecCol), bits).as("qsig")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", V.norm(col("cv")))
+      .withColumn("csig", V.signLshSignature(col("cv"), bits))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", V.norm(col("qv")))
+        .withColumn("qsig", V.signLshSignature(col("qv"), bits)))
     val scored = c.join(q,
         col("query_id") =!= col("neighbor_id") &&
           bit_count(col("csig").bitwiseXOR(col("qsig"))) <= probeHamming)
-      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -74,7 +77,8 @@ object Similarity {
       vecCol: String, idCol: String, bucketCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
     val c = corpus.select(
-      col(bucketCol).as("bucket"), col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+        col(bucketCol).as("bucket"), col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", V.norm(col("cv")))
     // centroid per bucket: elementwise mean via posexplode + re-assemble
     val centroids = c
       .select(col("bucket"), posexplode(col("cv")).as(Seq("d", "x")))
@@ -82,15 +86,16 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))), s => s.getField("m")).as("centroid"))
     val q = queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", V.norm(col("qv")))
     val probes = q.join(broadcast(centroids), lit(true))
       .withColumn("ccos", V.cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("bucket").asc)))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("bucket"))
+      .select(col("query_id"), col("qv"), col("qn"), col("bucket"))
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored

@@ -415,18 +415,27 @@ object Relational {
     // -------------------------------------------------------------- asof join
     "q20_asof_join" -> Q(
       (s, dir) => {
+        // As-of via ONE windowed pass, not join-then-aggregate: a theta
+        // join purchases x earlier-clicks explodes quadratically per user
+        // at scale; instead union both event kinds, shuffle once by user,
+        // and carry the latest click timestamp forward with a running
+        // `max over (rows unbounded preceding)`. Clicks sort before a
+        // simultaneous purchase (is_click desc) to honor c_ts <= p_ts.
         val ev = graft.Tables.events(s, dir)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        purchases
-          .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
-          .groupBy(col("p_id"), col("p_user"), col("p_ts"))
-          .agg(max(col("c_ts")).as("last_click_ts"))
+          .filter(col("event_type").isin("purchase", "click"))
           .select(
-            col("p_id"), col("p_user"),
-            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            col("event_id"), col("user_id"), col("ts"),
+            (col("event_type") === "click").as("is_click"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("last_click_ts",
+            max(when(col("is_click"), col("ts"))).over(w))
+          .filter(!col("is_click"))
+          .select(
+            col("event_id").as("p_id"), col("user_id").as("p_user"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
             coalesce(date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("none")).as("last_click"))
           .orderBy(col("p_id"))
       },

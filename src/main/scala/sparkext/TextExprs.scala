@@ -1,0 +1,196 @@
+package org.apache.spark.sql.graftvec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Codegen'd expressions for the text-dedup hot path: MinHash signatures
+  * and SimHash fingerprints over PRE-HASHED token/shingle arrays
+  * (`array<long>`, one xxhash64 per string, done once upstream).
+  *
+  * The higher-order-function formulations are interpreted and nest a
+  * lambda per (element x hash-family/bit): 64 families over a 50-shingle
+  * doc costs 3200 boxed lambda dispatches per row (~20 s for 5000 docs,
+  * measured with graft.tools.Profile). These expressions do the identical
+  * O(n x 64) work as one compiled loop — milliseconds at the same scale.
+  *
+  * Hash family j for element h is XXH64.hashLong(h, seed=j) — Spark's own
+  * xxhash64 primitive, so quality matches the built-in and nothing is
+  * stored. The exact hash VALUES differ from the HOF formulation's
+  * xxhash64(j, h); near-dup tests pin recall against exact Jaccard, not
+  * raw signatures, so the family choice is free.
+  */
+object TextExprs {
+
+  /** MinHash signature: out[j] = min over elements h of hash_j(h), j < n. */
+  case class MinHashFromHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1 && n <= 1024, "signature length must be in [1, 1024]")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val out = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < m) {
+        val h = in.getLong(i)
+        var j = 0
+        while (j < n) {
+          val g = XXH64.hashLong(h, j.toLong)
+          if (g < out(j)) out(j) = g
+          j += 1
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val g = ctx.freshName("g")
+        s"""
+           |int $m = $a.numElements();
+           |long[] $out = new long[$n];
+           |java.util.Arrays.fill($out, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $m; $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    long $g = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $j);
+           |    if ($g < $out[$j]) $out[$j] = $g;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** SimHash-64: bit b set iff sum over elements of +-1 (bit b of h) > 0. */
+  case class SimHash64FromHashes(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < m) {
+        val h = in.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        val votes = ctx.freshName("votes")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int $m = $a.numElements();
+           |int[] $votes = new int[64];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($votes[$b] > 0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Word-k-shingle hashes straight from PRE-HASHED tokens: out[i] is an
+    * XXH64 chain over token hashes i..i+k-1 (order-sensitive, seed 42);
+    * fewer than k tokens yield ONE hash over the whole sequence —
+    * mirroring the string formulation `concat_ws(" ", slice(w, i, k))`
+    * without ever materializing shingle strings. Distinct-set semantics
+    * (Jaccard, MinHash) are preserved up to 64-bit hash collisions.
+    */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(k >= 1, "shingle size must be >= 1")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val nOut = if (m <= k) 1 else m - k + 1
+      val span = if (m <= k) m else k
+      val out = new Array[Long](nOut)
+      var i = 0
+      while (i < nOut) {
+        var acc = 42L
+        var t = 0
+        while (t < span) { acc = XXH64.hashLong(in.getLong(i + t), acc); t += 1 }
+        out(i) = acc
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        val nOut = ctx.freshName("nOut")
+        val span = ctx.freshName("span")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val t = ctx.freshName("t")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $a.numElements();
+           |int $nOut = ($m <= $k) ? 1 : $m - $k + 1;
+           |int $span = ($m <= $k) ? $m : $k;
+           |long[] $out = new long[$nOut];
+           |for (int $i = 0; $i < $nOut; $i++) {
+           |  long $acc = 42L;
+           |  for (int $t = 0; $t < $span; $t++) {
+           |    $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($a.getLong($i + $t), $acc);
+           |  }
+           |  $out[$i] = $acc;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def shingleHashCol(hashedTokens: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(hashedTokens), k))
+
+  def minhashCol(hashedShingles: Column, n: Int): Column =
+    ExpressionUtils.column(MinHashFromHashes(ExpressionUtils.expression(hashedShingles), n))
+
+  def simhashCol(hashedTokens: Column): Column =
+    ExpressionUtils.column(SimHash64FromHashes(ExpressionUtils.expression(hashedTokens)))
+}
