@@ -18,9 +18,40 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // streaming EWMA replay over events.parquet (BASELINE.md: <= 60 s at
+    // sf0.1): full file-source micro-batch replay through the windowed
+    // event-time EWMA into a memory sink
+    val streamSecs = {
+      val t0 = System.nanoTime()
+      try {
+        import org.apache.spark.sql.functions._
+        val batchSchema = graft.Tables.events(spark, sfDir).schema
+        val raw = spark.readStream.schema(
+            spark.read.parquet(s"$sfDir/events.parquet").schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "events.parquet") // table files are flat in sfDir
+          .parquet(sfDir)
+        val ev = (if (raw.schema("ts").dataType.typeName == "long")
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
+          .withColumn("tsl", col("ts").cast("long"))
+        val agg = graft.streaming.EwmaPipeline.windowedEwma(
+          ev, "event_type", "ts", "tsl", "event_id", "value",
+          periodSeconds = 300, watermark = "10 minutes")
+        val q = agg.writeStream.format("memory").queryName("bench_ewma_replay")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        require(batchSchema != null)
+        System.err.println(
+          s"[bench] ewma_stream_replay rows=${spark.table("bench_ewma_replay").count()}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ewma_stream_replay failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = results ++ Map("ewma_stream_replay" -> streamSecs)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

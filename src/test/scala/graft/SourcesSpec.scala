@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Multi-format source coverage (SURVEY.md §2.2 scans row): the same
+  * relation read back identically from parquet, json and csv, plus the
+  * rate source for synthetic streams.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("json and csv round-trip the events relation identically to parquet") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_us"))
+    val base = Files.createTempDirectory("graft-src-").toString
+    ev.coalesce(2).write.json(s"$base/json")
+    ev.coalesce(2).write.option("header", "true").csv(s"$base/csv")
+
+    val fromJson = spark.read.schema(ev.schema).json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true").schema(ev.schema).csv(s"$base/csv")
+
+    val want = ev.collect().map(_.toSeq).toSet
+    assert(fromJson.collect().map(_.toSeq).toSet === want)
+    assert(fromCsv.collect().map(_.toSeq).toSet === want)
+  }
+
+  test("rate source produces a monotonically timestamped stream") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50")
+      .load()
+      .writeStream.format("memory").queryName("rate_src").outputMode("append")
+      .start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val rows = spark.table("rate_src").collect()
+      assert(rows.nonEmpty)
+      val vals = rows.map(_.getLong(1))
+      assert(vals.distinct.length === vals.length) // value is unique
+    } finally q.stop()
+  }
+}
