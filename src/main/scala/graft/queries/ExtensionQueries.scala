@@ -197,6 +197,30 @@ object ExtensionQueries {
       None, // xxhash64-based; pinned by ScalaTest (stability + dup detection)
       "order-sensitive rolling fingerprint + SimHash per document"),
 
+    "q38_text_ngrams" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .withColumn("w", T.tokens(col("text")))
+          .select(explode(T.wordShinglesFromTokens(col("w"), 3)).as("trigram"))
+          .groupBy(col("trigram"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 10)
+          .orderBy(col("n").desc, col("trigram"))
+          .limit(25),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |    ELSE list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+             |    END AS grams
+             |  FROM toks)
+             |SELECT trigram, count(*) AS n
+             |FROM (SELECT unnest(grams) AS trigram FROM sh)
+             |GROUP BY trigram HAVING count(*) >= 10
+             |ORDER BY n DESC, trigram LIMIT 25""".stripMargin),
+      "word trigram extraction + corpus frequency (UDTF-shaped explode)"),
+
     // ------------------------------------------------------------- multimodal
     "q45_mm_meta" -> Q(
       (s, dir) =>
@@ -223,5 +247,29 @@ object ExtensionQueries {
              |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
              |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1 AS last_idx
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "frame sampling: chunked explode of an opaque binary payload"))
+      "frame sampling: chunked explode of an opaque binary payload"),
+
+    "q54_mm_decode" -> Q(
+      (s, dir) =>
+        Multimodal.fakeDecode(Multimodal.withBinary(Tables.table(s, dir, "documents")))
+          .select(
+            col("doc_id"),
+            col("decoded.width").cast("bigint").as("width"),
+            col("decoded.height").cast("bigint").as("height"),
+            col("decoded.channels").cast("bigint").as("channels"))
+          .orderBy(col("doc_id")),
+      None, // decode is a deterministic STUB (no codec libs here); pinned by test
+      "decode plumbing: payload -> typed (width,height,channels) struct"),
+
+    "q55_mm_features" -> Q(
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          Multimodal.withBinary(Tables.table(s, dir, "documents")), frameBytes = 256)
+        Multimodal.fakeFrameFeatures(frames)
+          .select(col("doc_id"), col("frame_idx"),
+            round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feat_sum"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      None, // feature extractor is a deterministic STUB; pinned by test
+      "per-frame feature extraction batch shape (doc, frame, feature vector)"))
 }
