@@ -161,6 +161,43 @@ object AdvancedQueries {
       None, // recall vs q35 pinned by ScalaTest
       "IVF-style ANN: label column as coarse quantizer, nProbe bucket scan"),
 
+    // ------------------------------------------------------ outer & cross joins
+    "q56_full_outer" -> Q(
+      (s, dir) => {
+        val bigCusts = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+        bigCusts.join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), lit(-1)).as("cust"),
+            coalesce(col("o_custkey"), lit(-1)).as("ocust"),
+            r4(coalesce(col("c_acctbal"), lit(0.0))).as("bal"),
+            coalesce(col("n_big_orders"), lit(0)).as("n_big"))
+          .orderBy(col("cust"), col("ocust"))
+      },
+      Some("""WITH bc AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+             |bo AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+             |       WHERE o_totalprice > 350000 GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, -1) AS cust, coalesce(o_custkey, -1) AS ocust,
+             |  round(coalesce(c_acctbal, 0), 4) AS bal,
+             |  coalesce(n_big_orders, 0) AS n_big
+             |FROM bc FULL OUTER JOIN bo ON c_custkey = o_custkey
+             |ORDER BY cust, ocust""".stripMargin),
+      "full outer join preserving unmatched rows from both sides"),
+
+    "q57_cross_join" -> Q(
+      (s, dir) => {
+        val r = t(s, dir, "region").select(col("r_name"))
+        val statuses = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+        r.crossJoin(statuses)
+          .orderBy(col("r_name"), col("o_orderstatus"))
+      },
+      Some("""SELECT r_name, o_orderstatus
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+             |ORDER BY r_name, o_orderstatus""".stripMargin),
+      "cartesian product of two tiny relations"),
+
     // --------------------------------------------------- array/map/json surface
     "q53_array_funcs" -> Q(
       (s, dir) =>

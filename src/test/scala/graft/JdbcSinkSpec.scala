@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EwmaPipeline
+
+/** Entry point C (SURVEY.md §3.3): stream -> JDBC table with pk-dedup
+  * before insert, exercised end-to-end against embedded Derby (the only
+  * JDBC engine in this container — it ships with Spark for the Hive
+  * metastore).
+  */
+class JdbcSinkSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  test("streaming foreachBatch JDBC sink persists rows, deduped on the pk") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .limit(500)
+    // duplicate every row to prove pk-dedup (the reference JDBC sink
+    // upserts on pk.fields=timestamp; we dedup-before-insert per batch)
+    val withDups = ev.union(ev)
+    val dir = Files.createTempDirectory("graft-jdbc-").toString
+    withDups.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val checkpoint = Files.createTempDirectory("graft-jdbc-ckpt-").toString
+    val q = EwmaPipeline.jdbcSink(stream, url, "raw_events", props, "event_id", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val back = spark.read.jdbc(url, "raw_events", props)
+    assert(back.count() === 500) // dups on the pk removed per batch
+    assert(back.select("event_id").distinct().count() === 500)
+    // values survived the round trip
+    val sumWant = ev.agg(sum("value")).head().getDouble(0)
+    val sumGot = back.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(sumWant - sumGot) < 1e-6)
+  }
+}
