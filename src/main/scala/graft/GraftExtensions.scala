@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftvec.{TextExprs, VectorExprs}
+
+/** SparkSessionExtensions entry point registering the engine's custom
+  * codegen expressions as SQL functions, so `spark.sql(...)` users get the
+  * same scale path as the Column API:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT vec_dot(a, b), vec_norm(a), minhash_sig(hashes, 64),
+  *          simhash64(hashes), shingle_hashes(hashes, 5)
+  *
+  * No custom Rule/SparkStrategy is registered — the reference surface
+  * needs none (SURVEY.md §4.2); expression-level extension is the whole
+  * crossing.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<double>, array<double>) - dot product"),
+      (args: Seq[Expression]) => VectorExprs.DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(array<double>) - L2 norm"),
+      (args: Seq[Expression]) => VectorExprs.L2Norm(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<long>, n) - n-hash MinHash signature"),
+      (args: Seq[Expression]) =>
+        TextExprs.MinHashFromHashes(args(0), intLit(args(1), "signature length"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<long>) - 64-bit SimHash of hashed tokens"),
+      (args: Seq[Expression]) => TextExprs.SimHash64FromHashes(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(array<long>, k) - rolling k-window chain hashes"),
+      (args: Seq[Expression]) =>
+        TextExprs.ShingleHashes(args(0), intLit(args(1), "shingle size"))))
+  }
+}

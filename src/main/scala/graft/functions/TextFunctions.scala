@@ -103,39 +103,53 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "por", "con"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
 
-  /** Per-language stopword hit ratio: |tokens ∩ stopwords(lang)| / |tokens|. */
-  def stopwordRatio(text: Column, lang: String): Column = {
+  /** Per-language stopword hit ratio from a MATERIALIZED token column:
+    * |tokens ∩ stopwords(lang)| / |tokens|.
+    */
+  def stopwordRatioFromTokens(tk: Column, lang: String): Column = {
     val sw = array(stopwords(lang).map(lit): _*)
-    val tk = tokens(text)
     when(size(tk) === 0, 0.0)
       .otherwise(size(filter(tk, t => array_contains(sw, t))).cast("double") / size(tk))
   }
 
-  /** Heuristic language ID: the language with the highest stopword ratio;
-    * ties and all-zero scores fall back to "en" then lexicographic order.
+  /** Per-language stopword hit ratio (single-use convenience; for repeated
+    * ratios over one document materialize `tokens(text)` first).
     */
-  def langId(text: Column): Column = {
+  def stopwordRatio(text: Column, lang: String): Column =
+    stopwordRatioFromTokens(tokens(text), lang)
+
+  /** Heuristic language ID from a MATERIALIZED token column: the language
+    * with the highest stopword ratio; ties and all-zero scores fall back
+    * to "en" then lexicographic order. Evaluates the token array 5x as a
+    * cheap attribute — pass `tokens(text)` staged via withColumn, not
+    * inline (the inline form would re-split per language).
+    */
+  def langIdFromTokens(tk: Column): Column = {
     val scored = stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordRatio(text, l).as("score"), lit(if (l == "en") 1 else 0).as("pref"), lit(l).as("lang"))
+      struct(stopwordRatioFromTokens(tk, l).as("score"), lit(if (l == "en") 1 else 0).as("pref"), lit(l).as("lang"))
     }
     // array_max on struct compares lexicographically: score, then en-pref,
     // then reversed lang for deterministic ties.
     array_max(array(scored: _*)).getField("lang")
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   /** Composite quality score in [0,1]: rewards mid-length documents, low
     * punctuation density, presence of stopwords, and sane mean word length.
     * Deterministic arithmetic only — portable to any SQL oracle.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreFromTokens(text: Column, tk: Column): Column = {
     val nChars = length(text).cast("double")
-    val nTok = tokenCount(text).cast("double")
+    val nTok = size(tk).cast("double")
     val punct = length(regexp_replace(text, "[^.!,;:?]", "")).cast("double")
     val lenScore = least(nChars / 200.0, lit(1.0))
     val punctScore = lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))
-    val swScore = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
+    val swScore = least(stopwordRatioFromTokens(tk, "en") * 5.0, lit(1.0))
     val meanWord = nChars / greatest(nTok, lit(1.0))
     val wordScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
     round(lenScore * 0.3 + punctScore * 0.3 + swScore * 0.2 + wordScore * 0.2, 6)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
 }

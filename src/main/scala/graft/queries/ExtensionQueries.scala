@@ -143,7 +143,8 @@ object ExtensionQueries {
     "q41_text_quality" -> Q(
       (s, dir) =>
         Tables.table(s, dir, "documents")
-          .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+          .withColumn("w", T.tokens(col("text"))) // split once for all features
+          .select(col("doc_id"), T.qualityScoreFromTokens(col("text"), col("w")).as("quality"))
           .orderBy(col("doc_id")),
       Some(s"""WITH feats AS (
               |  SELECT doc_id,
@@ -165,7 +166,8 @@ object ExtensionQueries {
     "q42_text_langid" -> Q(
       (s, dir) =>
         Tables.table(s, dir, "documents")
-          .select(col("lang"), T.langId(col("text")).as("predicted"))
+          .withColumn("w", T.tokens(col("text"))) // split once, score 5 langs
+          .select(col("lang"), T.langIdFromTokens(col("w")).as("predicted"))
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted")),

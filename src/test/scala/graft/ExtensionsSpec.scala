@@ -1,0 +1,37 @@
+package graft
+
+/** The SparkSessionExtensions registration path: the suite session is
+  * built with spark.sql.extensions=graft.GraftExtensions (a STATIC conf,
+  * bound at SparkContext creation), so the custom codegen expressions are
+  * callable from SQL text.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are SQL-callable via spark.sql.extensions") {
+    val dot = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val nrm = spark.sql("SELECT vec_norm(array(3.0D, 4.0D))").head().getDouble(0)
+    assert(nrm === 5.0)
+    val sig = spark.sql("SELECT minhash_sig(array(1L, 2L, 3L), 8)")
+      .head().getSeq[Long](0)
+    assert(sig.length === 8)
+    val sh = spark.sql("SELECT shingle_hashes(array(1L, 2L, 3L, 4L), 2)")
+      .head().getSeq[Long](0)
+    assert(sh.length === 3)
+    val sim = spark.sql("SELECT simhash64(array(1L, 2L, 3L))").head().getLong(0)
+    val sim2 = spark.sql("SELECT simhash64(array(1L, 2L, 3L))").head().getLong(0)
+    assert(sim === sim2)
+  }
+
+  test("SQL minhash matches the Column-API expression") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Seq(10L, 20L, 30L)).toDF("hs")
+    val viaSql = df.selectExpr("minhash_sig(hs, 16) AS s").head().getSeq[Long](0)
+    val viaCol = df.select(
+      org.apache.spark.sql.graftvec.TextExprs.minhashCol(col("hs"), 16).as("s"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol)
+  }
+}
