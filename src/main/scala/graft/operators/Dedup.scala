@@ -129,6 +129,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list (id_a, id_b):
+    * min-label propagation to a fixpoint. Each iteration joins the
+    * current labels across the edge list and keeps the minimum — O(log
+    * diameter) DataFrame iterations, each a pair of shuffles; dedup
+    * clusters have tiny diameters (usually 1-2), so 2-3 iterations
+    * converge. This completes the near-dup pipeline: pairs -> clusters ->
+    * one kept representative.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor's label via the edge list, keep the min of (own, neighbors)
+      val viaEdges = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("mincomp"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnsRenamed(Map("comp" -> "oldcomp")), Seq("id"))
+        .filter(col("comp") =!= col("oldcomp")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative (min id) per near-dup cluster: every doc not
+    * in any pair keeps itself; clustered docs keep the cluster minimum.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.join(comps.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. `bucketed=true` prunes
     * the pair space by sign-LSH signature equality (scale path — only
     * near-identical directions collide on all sign bits); `false` is the

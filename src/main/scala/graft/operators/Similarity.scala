@@ -69,6 +69,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** IVF with a LEARNED coarse quantizer: KMeans (MLlib) clusters the
+    * corpus embeddings; each query scans its nProbe nearest clusters.
+    * Training is one pass over a sample-able corpus (k-means|| init);
+    * at serving time the cluster id is a persisted column, so queries
+    * touch ~nProbe/nClusters of the corpus.
+    */
+  def ivfKmeansTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nClusters: Int = 8, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(
+      col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10).fit(train)
+    val assigned = model.transform(train)
+      .select(col("prediction").as("bucket"),
+        col("neighbor_id").as(idCol), col("cv").as(vecCol))
+    ivfTopK(queries, assigned, vecCol, idCol, "bucket", k, nProbe)
+  }
+
   /** IVF-style search against a pre-bucketed corpus: centroids = mean
     * vector per bucket; each query scans its nProbe closest buckets.
     */

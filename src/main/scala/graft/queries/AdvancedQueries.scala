@@ -150,6 +150,17 @@ object AdvancedQueries {
       "correlated EXISTS subquery (decorrelated by Catalyst into a semi join)"),
 
     // ----------------------------------------------------------- IVF ANN path
+    "q58_sim_ivf_kmeans" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfKmeansTopK(
+            emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
+            k = 10, nClusters = 8, nProbe = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None, // recall vs q35 pinned by ScalaTest
+      "IVF ANN with a KMeans-learned coarse quantizer (nProbe cluster scan)"),
+
     "q37_sim_ivf_topk" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

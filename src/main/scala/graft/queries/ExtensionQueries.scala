@@ -91,6 +91,18 @@ object ExtensionQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       "embedding near-dup pairs by exact cosine threshold"),
 
+    // ----------------------------------------- dedup: clusters -> keep-one
+    "q39_dedup_components" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 5, threshold = 0.8)
+        Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .select(col("doc_id"), col("component"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      None, // pinned by DedupSpec (one keeper per component, drop count)
+      "near-dup pairs -> connected components -> one representative kept"),
+
     // ------------------------------------------------- similarity: brute force
     "q35_sim_topk" -> Q(
       (s, dir) => {

@@ -49,6 +49,29 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("connected components: min-label propagation finds dedup clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(7L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("keepRepresentatives keeps exactly one doc per near-dup cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 5, threshold = 0.8)
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", pairs)
+    val total = docs.count()
+    assert(kept.count() === total) // annotation, not a filter
+    val perComponent = kept.filter(col("keep"))
+      .groupBy("component").count().filter(col("count") =!= 1).count()
+    assert(perComponent === 0L, "exactly one keeper per component")
+    // the pair graph's nodes minus clusters = docs dropped
+    val clustered = kept.filter(col("component") =!= col("doc_id")).count()
+    val dropped = kept.filter(!col("keep")).count()
+    assert(dropped === clustered)
+  }
+
   test("bucketed embedding near-dups have no false positives vs exact cosine") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingNearDups(emb, "embedding", "vec_id", threshold = 0.25, bucketed = false)

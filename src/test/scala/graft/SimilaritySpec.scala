@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("KMeans-IVF top-k reaches >= 40% recall@10 probing 3 of 8 clusters") {
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKmeansTopK(queries, emb, "embedding", "vec_id",
+        k = 10, nClusters = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("IVF top-k returns k well-formed rows per query with valid ranks") {
     val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(8)))
     val out = Similarity.ivfTopK(queries, bucketed, "embedding", "vec_id", "bucket",
