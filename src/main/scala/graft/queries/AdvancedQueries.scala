@@ -209,6 +209,88 @@ object AdvancedQueries {
              |ORDER BY r_name, o_orderstatus""".stripMargin),
       "cartesian product of two tiny relations"),
 
+    // ---------------------------------------------------------- map functions
+    "q59_map_funcs" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("event_id")).as("last_id")) // unique keys before map build
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(array_sort(collect_list(
+            struct(col("event_type"), col("last_id"))))).as("last_by_type"))
+          .filter(col("user_id") < 10)
+          .select(
+            col("user_id"),
+            size(col("last_by_type")).cast("bigint").as("n_types"),
+            array_join(array_sort(map_keys(col("last_by_type"))), ",").as("types"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+             |FROM events WHERE user_id < 10
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "map construction + keys/size (map_from_entries keeps LAST dup entry)"),
+
+    // ------------------------------------------------------------ lateral join
+    "q60_lateral" -> Q(
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name, o_orderkey, top_price
+                |FROM nation,
+                |LATERAL (
+                |  SELECT o.o_orderkey, round(o.o_totalprice, 4) AS top_price
+                |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                |  WHERE c.c_nationkey = n_nationkey
+                |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2)
+                |ORDER BY n_name, top_price DESC, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT n_name, o_orderkey, top_price
+             |FROM nation,
+             |LATERAL (
+             |  SELECT o.o_orderkey, round(o.o_totalprice, 4) AS top_price
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_nationkey = n_nationkey
+             |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2)
+             |ORDER BY n_name, top_price DESC, o_orderkey""".stripMargin),
+      "LATERAL correlated subquery: per-nation top-2 orders"),
+
+    // ------------------------------------------------------ stratified sample
+    "q61_stratified_sample" -> Q(
+      (s, dir) => {
+        val fractions = Map("purchase" -> 0.5, "click" -> 0.1, "view" -> 0.05)
+        graft.Tables.events(s, dir)
+          .stat.sampleBy("event_type", fractions, seed = 42L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("event_type"))
+      },
+      None, // sampling RNG is engine-specific; rate bounds pinned by ScalaTest
+      "seeded stratified sampling per class (corpus downsampling)"),
+
+    // -------------------------------------------------------- column profiling
+    "q62_profile" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("qty_nonnull"),
+            countDistinct(col("l_partkey")).as("partkey_distinct"),
+            r4(min(col("l_extendedprice"))).as("price_min"),
+            r4(max(col("l_extendedprice"))).as("price_max"),
+            r4(avg(col("l_extendedprice"))).as("price_mean"),
+            min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ship_min"),
+            max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ship_max")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(l_quantity) AS qty_nonnull,
+             |  count(DISTINCT l_partkey) AS partkey_distinct,
+             |  round(min(l_extendedprice), 4) AS price_min,
+             |  round(max(l_extendedprice), 4) AS price_max,
+             |  round(avg(l_extendedprice), 4) AS price_mean,
+             |  strftime(min(l_shipdate), '%Y-%m-%d') AS ship_min,
+             |  strftime(max(l_shipdate), '%Y-%m-%d') AS ship_max
+             |FROM lineitem""".stripMargin),
+      "single-pass column profiling (the data-quality summary a pipeline logs)"),
+
     // --------------------------------------------------- array/map/json surface
     "q53_array_funcs" -> Q(
       (s, dir) =>
