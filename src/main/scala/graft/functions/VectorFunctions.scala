@@ -35,22 +35,10 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane (sign) LSH signature of an embedding: `bits` sign
-    * bits packed into a Long. Plane j's component for dimension d is a
-    * deterministic pseudo-random +-1 derived from xxhash64(j, d) — no
-    * stored plane matrix, so the signature is a pure expression computable
-    * at scan time on every executor. Pass a MATERIALIZED double-array
-    * column (HOF lambdas re-evaluate free subexpressions per element).
+    * bits packed into a Long, from a deterministic hash-derived +-1 plane
+    * family (no stored matrix — identical on every executor). Codegen'd
+    * bits x dim loop ([[org.apache.spark.sql.graftvec.VectorExprs.SignLsh]]).
     */
-  def signLshSignature(v: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
-    val planes = (0 until bits).map { j =>
-      // dot(v, r_j) with r_j[d] = +1 if xxhash64(j, d) even else -1
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
-          when(pmod(xxhash64(lit(j), d), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    planes.reduce(_.bitwiseOR(_))
-  }
+  def signLshSignature(v: Column, bits: Int): Column =
+    VectorExprs.signLshCol(v, bits)
 }

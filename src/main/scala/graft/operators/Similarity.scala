@@ -45,6 +45,11 @@ object Similarity {
 
   /** Approximate top-k: score only corpus rows whose sign-LSH signature is
     * within hamming distance `probeHamming` of the query's signature.
+    * The signature test is a cheap codegen'd bit_count per (query, row)
+    * pair — it prunes the EXPENSIVE cosine, not the pair enumeration, so
+    * this is the right tool for a small broadcast query set against a huge
+    * corpus (one corpus scan, no shuffle). For massive query sets use
+    * [[ivfKmeansTopK]], whose bucket equi-join prunes pair enumeration too.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,

@@ -131,7 +131,7 @@ object ExtensionQueries {
         val emb = Tables.table(s, dir, "embeddings")
         Similarity.lshTopK(
             emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
-            k = 10, bits = 12, probeHamming = 4)
+            k = 10, bits = 16, probeHamming = 6)
           .orderBy(col("query_id"), col("rank"))
       },
       None, // recall vs q35 pinned by ScalaTest

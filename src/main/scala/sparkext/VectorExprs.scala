@@ -90,6 +90,64 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Random-hyperplane (sign) LSH signature: bit j of the result is the
+    * sign of dot(v, r_j), where r_j[d] = +1 if XXH64(d, seed=j) is even
+    * else -1 — a deterministic pseudo-random plane family with no stored
+    * matrix, identical on every executor. One compiled bits x dim loop
+    * per row (the HOF formulation pays a lambda per (plane, dimension)).
+    */
+  case class SignLsh(child: Expression, bits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var proj = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = v.getDouble(d)
+          proj += (if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(d.toLong, j.toLong) & 1L) == 0L) x else -x)
+          d += 1
+        }
+        if (proj >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val dim = ctx.freshName("dim")
+        val sig = ctx.freshName("sig")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val proj = ctx.freshName("proj")
+        val x = ctx.freshName("x")
+        s"""
+           |int $dim = $a.numElements();
+           |long $sig = 0L;
+           |for (int $j = 0; $j < $bits; $j++) {
+           |  double $proj = 0.0;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    double $x = $a.getDouble($d);
+           |    $proj += ((org.apache.spark.sql.catalyst.expressions.XXH64.hashLong((long) $d, (long) $j) & 1L) == 0L) ? $x : -$x;
+           |  }
+           |  if ($proj >= 0) $sig |= (1L << $j);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def signLshCol(v: Column, bits: Int): Column =
+    ExpressionUtils.column(SignLsh(ExpressionUtils.expression(v), bits))
+
   def dotCol(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 

@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(queries, emb, "embedding", "vec_id",
-        k = 10, bits = 12, probeHamming = 4)
+        k = 10, bits = 16, probeHamming = 6)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
