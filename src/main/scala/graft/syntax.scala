@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EwmaFunctions, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew}
+
+/** Fluent user API: `import graft.syntax._` and chain the engine's
+  * operators off any DataFrame. Thin forwarding only — every method
+  * delegates to the tested operator objects, so plans and semantics are
+  * identical to the explicit calls.
+  *
+  * {{{
+  *   import graft.syntax._
+  *   docs.nearDupPairsMinhash("text", "doc_id")        // LSH + verify
+  *   docs.keepOnePerCluster("doc_id", pairs)           // CC dedup
+  *   emb.cosineTopK(queries, "embedding", "vec_id", 10)
+  *   events.windowedEwma("event_type", "ts", "tsl", "event_id", "value", 300)
+  *   df.withTextStats("text")
+  * }}}
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ------------------------------------------------------------- dedup
+    def dedupExact(keyCol: String, idCol: String): DataFrame =
+      Dedup.exact(df, keyCol, idCol)
+
+    def nearDupPairsJaccard(
+        textCol: String, idCol: String,
+        shingleK: Int = 5, threshold: Double = 0.8): DataFrame =
+      Dedup.ngramJaccardPairs(df, textCol, idCol, shingleK, threshold)
+
+    def nearDupPairsMinhash(
+        textCol: String, idCol: String,
+        shingleK: Int = 5, threshold: Double = 0.8,
+        bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+      Dedup.minhashNearDups(df, textCol, idCol, shingleK, threshold, bands, rowsPerBand)
+
+    def nearDupPairsSimhash(
+        textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+      Dedup.simhashNearDups(df, textCol, idCol, maxHamming)
+
+    def nearDupPairsEmbedding(
+        vecCol: String, idCol: String,
+        threshold: Double = 0.95, bucketed: Boolean = false): DataFrame =
+      Dedup.embeddingNearDups(df, vecCol, idCol, threshold, bucketed)
+
+    /** Annotate with (component, keep): one representative per near-dup
+      * cluster; filter on `keep` to materialize the deduped corpus.
+      */
+    def keepOnePerCluster(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.keepRepresentatives(df, idCol, pairs)
+
+    // -------------------------------------------------------- similarity
+    def cosineTopK(queries: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+      Similarity.bruteForceTopK(queries, df, vecCol, idCol, k)
+
+    def cosineTopKLsh(
+        queries: DataFrame, vecCol: String, idCol: String, k: Int,
+        bits: Int = 16, probeHamming: Int = 6): DataFrame =
+      Similarity.lshTopK(queries, df, vecCol, idCol, k, bits, probeHamming)
+
+    def cosineTopKIvf(
+        queries: DataFrame, vecCol: String, idCol: String, k: Int,
+        nClusters: Int = 8, nProbe: Int = 2): DataFrame =
+      Similarity.ivfKmeansTopK(queries, df, vecCol, idCol, k, nClusters, nProbe)
+
+    // --------------------------------------------------------------- text
+    /** Token/char counts, BPE-ish subword count, quality score, language. */
+    def withTextStats(textCol: String): DataFrame =
+      df.withColumn("__tok", T.tokens(col(textCol)))
+        .withColumn("n_tokens", size(col("__tok")).cast("bigint"))
+        .withColumn("n_chars", length(col(textCol)).cast("bigint"))
+        .withColumn("n_bpeish", T.bpeishTokenCount(col(textCol)).cast("bigint"))
+        .withColumn("quality", T.qualityScoreFromTokens(col(textCol), col("__tok")))
+        .withColumn("lang_pred", T.langIdFromTokens(col("__tok")))
+        .drop("__tok")
+
+    def withFingerprints(textCol: String): DataFrame =
+      df.withColumn("fingerprint", T.rollingFingerprint(col(textCol)))
+        .withColumn("simhash", T.simhash64(col(textCol)))
+
+    // --------------------------------------------------------- multimodal
+    def withBinaryPayload(textCol: String = "text"): DataFrame =
+      Multimodal.withBinary(df, textCol)
+
+    def sampleFrames(frameBytes: Int): DataFrame =
+      Multimodal.sampleFrames(df, frameBytes)
+
+    // ------------------------------------------------------------- joins
+    def saltedJoinOn(
+        small: DataFrame, key: String, discriminator: Column,
+        salts: Int, joinType: String = "inner"): DataFrame =
+      Skew.saltedJoin(df, small, key, discriminator, salts, joinType)
+
+    // ------------------------------------------------------------- ewma
+    /** Per-key zero-seeded EWMA in (ts, seq) order (reference semantics). */
+    def ewmaByKey(
+        keyCol: String, tsCol: String, seqCol: String, valueCol: String,
+        periodSeconds: Long): DataFrame = {
+      val alpha = EwmaFunctions.alpha(periodSeconds)
+      df.groupBy(col(keyCol))
+        .agg(EwmaFunctions.ewmaOrdered(
+          col(tsCol), col(seqCol), col(valueCol), alpha).as("ewma"))
+        .filter(col("ewma") > 0)
+    }
+
+    /** Event-time windowed EWMA (batch form; streaming form in
+      * [[graft.streaming.EwmaPipeline]]).
+      */
+    def windowedEwma(
+        keyCol: String, eventTimeCol: String, tsCol: String,
+        seqCol: String, valueCol: String, periodSeconds: Long): DataFrame =
+      graft.streaming.EwmaPipeline.windowedEwmaBatch(
+        df, keyCol, eventTimeCol, tsCol, seqCol, valueCol, periodSeconds)
+
+    // ------------------------------------------------------------ vectors
+    def withCosineTo(other: Column, vecCol: String): DataFrame =
+      df.withColumn("cosine", V.cosine(V.asDouble(col(vecCol)), other))
+  }
+}
