@@ -128,9 +128,25 @@ object ConfluentAvro {
   def toConfluentAvro(st: StructType, schemaId: Int, recordName: String): UserDefinedFunction =
     udf(new Encoder(avroSchemaJson(st, recordName), schemaId), BinaryType)
 
+  /** Serializable permissive decoder: null row on any malformed payload
+    * (frame or body), like from_json's PERMISSIVE mode — one poisoned
+    * Kafka message must not kill a whole job at scale.
+    */
+  private final class SafeDecoder(json: String, st: StructType)
+      extends UDF1[Array[Byte], Row] with Serializable {
+    private val strict = new Decoder(json, st)
+    override def call(payload: Array[Byte]): Row =
+      try strict.call(payload)
+      catch { case _: Exception => null }
+  }
+
   /** UDF: Confluent-framed Avro binary -> struct column. */
   def fromConfluentAvro(st: StructType, recordName: String): UserDefinedFunction =
     udf(new Decoder(avroSchemaJson(st, recordName), st), st)
+
+  /** UDF: permissive decode — null instead of failing on bad payloads. */
+  def fromConfluentAvroSafe(st: StructType, recordName: String): UserDefinedFunction =
+    udf(new SafeDecoder(avroSchemaJson(st, recordName), st), st)
 
   /** Encode convenience: `encodeCol(struct(cols...), schema, id, name)`. */
   def encodeCol(structCol: Column, st: StructType, schemaId: Int, recordName: String): Column =
@@ -138,4 +154,7 @@ object ConfluentAvro {
 
   def decodeCol(payload: Column, st: StructType, recordName: String): Column =
     fromConfluentAvro(st, recordName)(payload)
+
+  def decodeColSafe(payload: Column, st: StructType, recordName: String): Column =
+    fromConfluentAvroSafe(st, recordName)(payload)
 }

@@ -58,4 +58,21 @@ class ConfluentAvroSpec extends SparkSpec {
       ConfluentAvro.unframe(Array[Byte](1, 0, 0, 0, 1, 2))
     }
   }
+
+  test("permissive decode nulls bad payloads instead of failing the job") {
+    val good = spark.createDataset(trades).toDF()
+      .select(ConfluentAvro.encodeCol(
+        struct(Trade.schema.fieldNames.map(col): _*), Trade.schema, 7, "TradesDataAvro").as("value"))
+    import spark.implicits._
+    val bad = Seq(
+      Array[Byte](1, 2, 3),                 // no magic byte
+      Array[Byte](0, 0, 0, 0, 7, 99, 99))  // framed but garbage body
+      .toDF("value")
+    val mixed = good.unionAll(bad)
+    val decoded = mixed.select(
+      ConfluentAvro.decodeColSafe(col("value"), Trade.schema, "TradesDataAvro").as("t"))
+    assert(decoded.filter(col("t").isNull).count() === 2)
+    val ok = decoded.filter(col("t").isNotNull).select("t.*").as[Trade].collect()
+    assert(ok.toSet === trades.toSet)
+  }
 }
