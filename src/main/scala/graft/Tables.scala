@@ -33,10 +33,14 @@ object Tables {
     }
   }
 
-  /** Registers every table of `dir` as a temp view (events normalized). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
+  /** Registers the given tables of `dir` as temp views (events normalized). */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach { n =>
       val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** Registers every table of `dir` as a temp view (events normalized). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    register(spark, dir, names: _*)
 }

@@ -41,13 +41,10 @@ object Dedup {
         org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK)))
       .select(col(idCol).as("doc"), col("__sh").as("sh"))
 
-  /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
-    * deduplicated across bands. `sigLen = bands * rowsPerBand` hashes.
-    */
-  def minhashLshCandidates(
-      docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val banded = shingleSets(docs, textCol, idCol, shingleK)
+  /** LSH banding candidates from an (doc, sh) shingle-set frame. */
+  private def lshCandidatesFromSets(
+      sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sets
       .withColumn("sig", T.minhashSignatureFromHashes(col("sh"), bands * rowsPerBand))
       .select(col("doc"), posexplode(T.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
     val a = banded.as("a")
@@ -59,29 +56,52 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-k-shingle Jaccard for given pairs (verification stage). */
-  def jaccardVerify(
-      candidates: DataFrame, docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, shingleK)
-      .select(col("doc").as("jid"), col("sh"))
+  /** Exact Jaccard verification of candidate pairs from an (doc, sh) frame. */
+  private def jaccardVerifyFromSets(
+      candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val s = sets.select(col("doc").as("jid"), col("sh"))
     candidates
-      .join(sets.withColumnsRenamed(Map("jid" -> "jid_a", "sh" -> "sh_a")), col("id_a") === col("jid_a"))
-      .join(sets.withColumnsRenamed(Map("jid" -> "jid_b", "sh" -> "sh_b")), col("id_b") === col("jid_b"))
+      .join(s.withColumnsRenamed(Map("jid" -> "jid_a", "sh" -> "sh_a")), col("id_a") === col("jid_a"))
+      .join(s.withColumnsRenamed(Map("jid" -> "jid_b", "sh" -> "sh_b")), col("id_b") === col("jid_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pairs with exact Jaccard verification. */
+  /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
+    * deduplicated across bands. `sigLen = bands * rowsPerBand` hashes.
+    */
+  def minhashLshCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    lshCandidatesFromSets(shingleSets(docs, textCol, idCol, shingleK), bands, rowsPerBand)
+
+  /** Exact word-k-shingle Jaccard for given pairs (verification stage). */
+  def jaccardVerify(
+      candidates: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, threshold: Double): DataFrame =
+    jaccardVerifyFromSets(
+      candidates, shingleSets(docs, textCol, idCol, shingleK), threshold)
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
+    *
+    * The shingle index is built ONCE and persisted for the run: lazy
+    * evaluation would otherwise re-scan the tokenize->hash->distinct
+    * pipeline for the banding stage and for EACH side of the verify join
+    * (3x the dominant corpus scan). At production scale the index would
+    * be materialized to storage instead; MEMORY_AND_DISK is the local
+    * equivalent (it spills rather than OOMs).
+    */
   def minhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, threshold: Double = 0.8,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    jaccardVerify(
-      minhashLshCandidates(docs, textCol, idCol, shingleK, bands, rowsPerBand),
-      docs, textCol, idCol, shingleK, threshold)
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerifyFromSets(
+      lshCandidatesFromSets(sets, bands, rowsPerBand), sets, threshold)
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via an INVERTED-INDEX join: docs
     * explode to (shingle, doc) and only docs sharing a shingle ever meet —
@@ -131,13 +151,15 @@ object Dedup {
 
   /** Connected components over a near-dup pair list (id_a, id_b):
     * min-label propagation to a fixpoint. Each iteration joins the
-    * current labels across the edge list and keeps the minimum — O(log
-    * diameter) DataFrame iterations, each a pair of shuffles; dedup
-    * clusters have tiny diameters (usually 1-2), so 2-3 iterations
-    * converge. This completes the near-dup pipeline: pairs -> clusters ->
-    * one kept representative.
+    * current labels across the edge list and keeps the minimum —
+    * O(component diameter) DataFrame iterations, each a pair of
+    * shuffles. Near-dup clusters have tiny diameters (usually 1-2), so
+    * 2-3 iterations converge; a pathological chain longer than `maxIter`
+    * THROWS rather than silently returning split labels (for graphs with
+    * genuinely long chains, switch to a pointer-doubling/large-star
+    * formulation before raising maxIter).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -164,6 +186,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(component diameter exceeds maxIter); see scaladoc")
     labels
   }
 

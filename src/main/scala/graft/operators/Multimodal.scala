@@ -22,7 +22,7 @@ object Multimodal {
       .withColumn("payload", encode(col(textCol), "UTF-8"))
       .withColumn("media_meta", struct(
         lit("application/octet-stream").as("mime"),
-        octet_length(encode(col(textCol), "UTF-8")).cast("bigint").as("n_bytes")))
+        octet_length(col("payload")).cast("bigint").as("n_bytes")))
 
   /** STUB decode — deterministic fake in place of a real image decoder.
     * Emits (width, height, channels) derived from a hash of the payload so
@@ -43,7 +43,12 @@ object Multimodal {
   def sampleFrames(df: DataFrame, frameBytes: Int, payloadCol: String = "payload"): DataFrame = {
     val nFrames = ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble)).cast("int")
     df
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      // empty payload -> ZERO frames: guard the sequence, because
+      // sequence(0, -1) yields a DESCENDING [0, -1] in Spark, which would
+      // explode into two phantom frames
+      .withColumn("frame_idx", explode(
+        when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame", expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame"))
   }

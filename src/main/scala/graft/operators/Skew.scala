@@ -36,6 +36,11 @@ object Skew {
       bigDiscriminator: Column, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    // replication of the small side is only correct when unmatched
+    // small-side rows never surface: right/full joins would emit each
+    // unmatched small row once PER SALT
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("__salt", saltCol(bigDiscriminator, salts))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -133,7 +133,7 @@ object AdvancedQueries {
     // ------------------------------------------------------ correlated EXISTS
     "q52_correlated_exists" -> Q(
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir, "part", "lineitem")
         s.sql("""SELECT p_partkey, p_brand
                 |FROM part
                 |WHERE p_partkey <= 200 AND EXISTS (
@@ -234,7 +234,7 @@ object AdvancedQueries {
     // ------------------------------------------------------------ lateral join
     "q60_lateral" -> Q(
       (s, dir) => {
-        graft.Tables.registerAll(s, dir)
+        graft.Tables.register(s, dir, "nation", "orders", "customer")
         s.sql("""SELECT n_name, o_orderkey, top_price
                 |FROM nation,
                 |LATERAL (

@@ -260,8 +260,9 @@ object ExtensionQueries {
       Some("""SELECT doc_id,
              |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
              |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1 AS last_idx
-             |FROM documents ORDER BY doc_id""".stripMargin),
-      "frame sampling: chunked explode of an opaque binary payload"),
+             |FROM documents WHERE octet_length(encode(text)) > 0
+             |ORDER BY doc_id""".stripMargin),
+      "frame sampling: chunked explode of an opaque binary payload (empty payload -> no frames)"),
 
     "q54_mm_decode" -> Q(
       (s, dir) =>

@@ -237,7 +237,7 @@ object Relational {
 
     "q11_grouping_sets" -> Q(
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir, "lineitem")
         s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 |  coalesce(l_linestatus, 'ALL') AS linestatus,
                 |  round(sum(l_extendedprice), 4) AS sum_price

@@ -27,17 +27,21 @@ object ContinuousEwma {
   /** Per-batch output: the EWMA after folding this batch's rows. */
   final case class EwmaUpdate(key: String, current: Double, n: Long, lastTs: Long)
 
-  def update(alpha: Double)(
-      key: String,
-      rows: Iterator[Sample],
-      state: GroupState[EwmaState]): Iterator[EwmaUpdate] = {
-    val prev = state.getOption.getOrElse(EwmaState(0.0, Long.MinValue, Long.MinValue, 0L))
+  /** The one shared batch fold (used by both the flatMapGroupsWithState
+    * and transformWithState wrappers so their semantics cannot drift):
+    * sorts the batch (ts, seq), folds rows newer than the state's
+    * high-water mark, and returns the new state iff anything folded —
+    * a batch of only out-of-order stragglers emits nothing (emitting
+    * would duplicate the previous (key, n) progress point).
+    */
+  def foldBatch(prev: EwmaState, rows: Iterator[Sample], alpha: Double): Option[EwmaState] = {
     // deterministic fold order within the batch (SURVEY.md §2.3 pitfall 4)
     val sorted = rows.toArray.sortBy(s => (s.ts, s.seq))
     var cur = prev.current
     var n = prev.n
     var lastTs = prev.lastTs
     var lastSeq = prev.lastSeq
+    var folded = false
     sorted.foreach { s =>
       // ignore out-of-order stragglers older than what we already folded —
       // a continuous EMA cannot retract (documented semantic)
@@ -46,12 +50,24 @@ object ContinuousEwma {
         n += 1
         lastTs = s.ts
         lastSeq = s.seq
+        folded = true
       }
     }
-    if (sorted.nonEmpty) {
-      state.update(EwmaState(cur, lastTs, lastSeq, n))
-      Iterator.single(EwmaUpdate(key, cur, n, lastTs))
-    } else Iterator.empty
+    if (folded) Some(EwmaState(cur, lastTs, lastSeq, n)) else None
+  }
+
+  val zeroState: EwmaState = EwmaState(0.0, Long.MinValue, Long.MinValue, 0L)
+
+  def update(alpha: Double)(
+      key: String,
+      rows: Iterator[Sample],
+      state: GroupState[EwmaState]): Iterator[EwmaUpdate] = {
+    foldBatch(state.getOption.getOrElse(zeroState), rows, alpha) match {
+      case Some(next) =>
+        state.update(next)
+        Iterator.single(EwmaUpdate(key, next.current, next.n, next.lastTs))
+      case None => Iterator.empty
+    }
   }
 
   /** Wire the stateful op over a streaming Dataset[Sample]. */

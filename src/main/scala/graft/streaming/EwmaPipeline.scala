@@ -99,9 +99,17 @@ object EwmaPipeline {
   }
 
   /** JDBC persistence of a stream (entry point C, SURVEY.md §3.3):
-    * `foreachBatch` + dedup on the primary key before insert, mirroring
-    * the Connect sink's pk semantics (raw-pg.json:11) with at-least-once
-    * delivery made idempotent.
+    * `foreachBatch` with the pk dedup done in TWO layers so at-least-once
+    * delivery is actually idempotent, mirroring the Connect sink's pk
+    * semantics (raw-pg.json:11):
+    *  - within the batch: `dropDuplicates(pk)`;
+    *  - against the TABLE: anti-join on the existing pk values — a batch
+    *    replayed after a crash (JDBC append committed, checkpoint offset
+    *    not) re-runs but inserts nothing, instead of duplicating rows or
+    *    crash-looping on a real pk constraint.
+    * The anti-join reads one pruned column of the target table per batch;
+    * at scale, partition the probe on pk ranges or swap in a MERGE when
+    * the dialect supports it.
     */
   def jdbcSink(
       df: DataFrame, url: String, table: String,
@@ -111,7 +119,14 @@ object EwmaPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.dropDuplicates(pkCol).write.mode("append").jdbc(url, table, props)
+        val fresh = batch.dropDuplicates(pkCol)
+        val toInsert =
+          try {
+            val existing = batch.sparkSession.read.jdbc(url, table, props)
+              .select(pkCol)
+            fresh.join(existing, Seq(pkCol), "left_anti")
+          } catch { case _: Exception => fresh } // table absent: first batch
+        toInsert.write.mode("append").jdbc(url, table, props)
       }
 
   /** Kafka sink wiring (entry point B's output). Compiles against any

@@ -27,25 +27,13 @@ object TwsEwma {
     override def handleInputRows(
         key: String, rows: Iterator[Sample],
         timerValues: TimerValues): Iterator[EwmaUpdate] = {
-      val prev = if (state.exists()) state.get()
-        else EwmaState(0.0, Long.MinValue, Long.MinValue, 0L)
-      val sorted = rows.toArray.sortBy(s => (s.ts, s.seq))
-      var cur = prev.current
-      var n = prev.n
-      var lastTs = prev.lastTs
-      var lastSeq = prev.lastSeq
-      sorted.foreach { s =>
-        if (s.ts > lastTs || (s.ts == lastTs && s.seq > lastSeq)) {
-          cur = alpha * s.price + (1.0 - alpha) * cur
-          n += 1
-          lastTs = s.ts
-          lastSeq = s.seq
-        }
+      val prev = if (state.exists()) state.get() else ContinuousEwma.zeroState
+      ContinuousEwma.foldBatch(prev, rows, alpha) match {
+        case Some(next) =>
+          state.update(next)
+          Iterator.single(EwmaUpdate(key, next.current, next.n, next.lastTs))
+        case None => Iterator.empty
       }
-      if (sorted.nonEmpty) {
-        state.update(EwmaState(cur, lastTs, lastSeq, n))
-        Iterator.single(EwmaUpdate(key, cur, n, lastTs))
-      } else Iterator.empty
     }
   }
 

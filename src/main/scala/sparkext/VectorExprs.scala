@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 object VectorExprs {
 
-  /** dot(a, b) over array<double>; null if either side is null. */
+  /** dot(a, b) over array<double>; null if either side is null.
+    * Mismatched lengths THROW (like DuckDB's list_dot_product) — a corrupt
+    * embedding must surface, not fold into a plausible-but-wrong cosine.
+    */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
@@ -32,7 +35,9 @@ object VectorExprs {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ($n vs ${y.numElements()})")
       var acc = 0.0
       var i = 0
       while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -44,7 +49,11 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $acc += $a.getDouble($i) * $b.getDouble($i);

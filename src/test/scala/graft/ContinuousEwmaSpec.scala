@@ -13,6 +13,16 @@ import graft.streaming.ContinuousEwma.Sample
   */
 class ContinuousEwmaSpec extends SparkSpec {
 
+  test("a batch of only out-of-order stragglers emits nothing and leaves state unchanged") {
+    import graft.streaming.ContinuousEwma._
+    val s0 = foldBatch(zeroState, Iterator(Sample("k", 10L, 1L, 5.0)), 0.5).get
+    // all rows at-or-before the high-water mark -> None (no duplicate emit)
+    assert(foldBatch(s0, Iterator(Sample("k", 9L, 1L, 7.0), Sample("k", 10L, 1L, 7.0)), 0.5).isEmpty)
+    // a mixed batch folds only the newer rows
+    val s1 = foldBatch(s0, Iterator(Sample("k", 9L, 9L, 100.0), Sample("k", 11L, 1L, 3.0)), 0.5).get
+    assert(s1.n === 2 && s1.current === 0.5 * 3.0 + 0.5 * s0.current)
+  }
+
   test("stateful streaming EWMA == one global fold per key, across micro-batches") {
     import spark.implicits._
     val alpha = 0.1

@@ -45,5 +45,17 @@ class JdbcSinkSpec extends SparkSpec {
     val sumWant = ev.agg(sum("value")).head().getDouble(0)
     val sumGot = back.agg(sum("value")).head().getDouble(0)
     assert(math.abs(sumWant - sumGot) < 1e-6)
+
+    // crash-replay: a FRESH checkpoint re-delivers every batch (the
+    // worst-case at-least-once retry); the table-level anti-join must
+    // keep the table unchanged instead of duplicating or crash-looping
+    val ckpt2 = Files.createTempDirectory("graft-jdbc-ckpt2-").toString
+    val q2 = EwmaPipeline.jdbcSink(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      url, "raw_events", props, "event_id", ckpt2).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.jdbc(url, "raw_events", props)
+    assert(after.count() === 500, "replayed batches must not re-insert pk rows")
   }
 }
