@@ -82,7 +82,10 @@ object EwmaFunctions {
       b1 ++= b2; b1
     }
     override def finish(b: ArrayBuffer[PricePoint]): Double = {
-      val sorted = b.sortBy(p => (p.ts, p.seq))
+      // full-tuple order including price: ties on (ts, seq) must fold
+      // deterministically regardless of partition merge order, matching
+      // array_sort's lexicographic struct order in the built-in path
+      val sorted = b.sortBy(p => (p.ts, p.seq, p.price))
       var cur = 0.0
       var i = 0
       while (i < sorted.length) {

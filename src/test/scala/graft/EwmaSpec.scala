@@ -51,6 +51,20 @@ class EwmaSpec extends SparkSpec {
     assert(viaUdaf === oracle)
   }
 
+  test("tied (ts, seq) keys fold deterministically and identically in both paths") {
+    import spark.implicits._
+    // duplicate sort keys with different prices, shuffled across partitions
+    val pts = Seq(
+      PricePoint(1L, 1L, 30.0), PricePoint(1L, 1L, 10.0), PricePoint(1L, 1L, 20.0),
+      PricePoint(2L, 1L, 5.0), PricePoint(2L, 1L, 1.0))
+    val df = spark.createDataset(pts).repartition(4).toDF()
+    val a = df.agg(EwmaFunctions.ewmaOrdered(col("ts"), col("seq"), col("price"), 0.5)).head().getDouble(0)
+    val b = df.agg(EwmaFunctions.ewmaUdaf(0.5)(col("ts"), col("seq"), col("price"))).head().getDouble(0)
+    val want = EwmaFunctions.foldOracle(Seq(10.0, 20.0, 30.0, 1.0, 5.0), 0.5) // price tiebreak
+    assert(a === want)
+    assert(b === want)
+  }
+
   test("property: ewma bounded by max for non-negative inputs (seeded random)") {
     val rnd = new scala.util.Random(42)
     (0 until 200).foreach { _ =>
