@@ -95,6 +95,21 @@ object TextFunctions {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** PII redaction: emails, simple phone numbers and IPv4 addresses are
+    * replaced with typed placeholders. Patterns stay in the regex subset
+    * shared by Java regex and RE2 so the same expressions run in the
+    * DuckDB oracle; a production deployment would widen the pattern set,
+    * not the mechanism.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b", "<PHONE>")
+    regexp_replace(phone,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+  }
+
   /** Stopword sets for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),

@@ -235,6 +235,51 @@ object ExtensionQueries {
              |ORDER BY n DESC, trigram LIMIT 25""".stripMargin),
       "word trigram extraction + corpus frequency (UDTF-shaped explode)"),
 
+    "q63_text_redact" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            T.redactPii(concat(col("text"),
+              lit(" contact a@b.com or 555-123-4567 at 10.0.0.1"))).as("redacted"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(text || ' contact a@b.com or 555-123-4567 at 10.0.0.1',
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      "PII redaction: email/phone/IPv4 -> typed placeholders"),
+
+    "q64_text_repetition" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.repetitionScores(
+            Tables.table(s, dir, "documents"), "text", "doc_id")
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT doc, tok, count(*) AS c FROM toks GROUP BY doc, tok)
+             |SELECT doc, sum(c) AS n_tokens,
+             |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition
+             |FROM cnt GROUP BY doc ORDER BY doc""".stripMargin),
+      "Gopher-style repetition ratio (top token frequency / tokens)"),
+
+    "q65_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        graft.operators.TextPipeline.contaminated(
+            docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+            "text", "doc_id", shingleK = 5, minShared = 1)
+          .orderBy(col("doc"))
+      },
+      None, // hashed-shingle overlap; subset/equality pinned by ScalaTest
+      "benchmark decontamination: docs sharing 5-grams with a probe set"),
+
     // ------------------------------------------------------------- multimodal
     "q45_mm_meta" -> Q(
       (s, dir) =>

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.TextPipeline
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones and IPs with placeholders") {
+    val out = Seq("mail me at john.doe+x@corp.example.org or 555-123-4567, server 192.168.0.1 ok")
+      .toDF("text").select(T.redactPii(col("text"))).head().getString(0)
+    assert(out === "mail me at <EMAIL> or <PHONE>, server <IP> ok")
+    // non-PII text untouched
+    val clean = Seq("just words 12 and 3.14 here").toDF("text")
+      .select(T.redactPii(col("text"))).head().getString(0)
+    assert(clean === "just words 12 and 3.14 here")
+  }
+
+  test("repetitionScores: repeated-token doc scores high, diverse doc low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam ham"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val scores = TextPipeline.repetitionScores(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(scores(1L) - 5.0 / 6.0) < 1e-6) // column is round(..., 6)
+    assert(math.abs(scores(2L) - 1.0 / 6.0) < 1e-6)
+  }
+
+  test("contaminated finds exactly the docs sharing shingles with probes") {
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words then the quick brown fox jumps over everything"), // shares 5-grams
+      (2L, "completely different content with no overlap at all whatsoever"),
+      (3L, "the quick brown fox jumps over the lazy dog verbatim copy")
+    ).toDF("doc_id", "text")
+    val hits = TextPipeline.contaminated(docs, probes, "text", "doc_id",
+        shingleK = 5, minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 3L))
+  }
+
+  test("q65 result is consistent with a driver-side exact shingle overlap") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val got = TextPipeline.contaminated(rest, probes, "text", "doc_id", 5, 1)
+      .collect().map(_.getLong(0)).toSet
+    // exact recomputation with string shingles on the driver
+    def shingles(text: String): Set[String] = {
+      val w = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (w.length <= 5) Seq(w.mkString(" "))
+       else w.sliding(5).map(_.mkString(" ")).toSeq).toSet
+    }
+    val probeSh = probes.select("text").collect().flatMap(r => shingles(r.getString(0))).toSet
+    val want = rest.select("doc_id", "text").collect()
+      .filter(r => shingles(r.getString(1)).exists(probeSh.contains))
+      .map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+}
