@@ -100,10 +100,17 @@ object AdvancedQueries {
         Tables.events(s, dir)
           .filter(col("ts") < lit("2024-01-02"))
           .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-          .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+          // ORDER-INDEPENDENT mean: per-row fixed-point rounding to micro
+          // units, exact integer sum, one double division — a plain
+          // avg(double) accumulates in engine-specific order and flips the
+          // 4th decimal on ~1% of sf0.1 windows vs the oracle
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 1000000).cast("long")).as("s6"))
           .select(
             date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-            col("n"), col("avg_value"))
+            col("n"),
+            round(col("s6").cast("double") / (col("n") * 1000000.0), 4).as("avg_value"))
           .orderBy(col("win_start")),
       Some("""WITH slid AS (
              |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS ws,
@@ -114,7 +121,9 @@ object AdvancedQueries {
              |    AND ts < time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
              |          + INTERVAL 10 MINUTE)
              |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
-             |  count(*) AS n, round(avg(value), 4) AS avg_value
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             |        / (count(*) * 1000000.0), 4) AS avg_value
              |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin),
       "sliding (hopping) windows: each event lands in length/slide windows"),
 

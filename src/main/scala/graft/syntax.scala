@@ -83,6 +83,20 @@ object syntax {
       df.withColumn("fingerprint", T.rollingFingerprint(col(textCol)))
         .withColumn("simhash", T.simhash64(col(textCol)))
 
+    def redactPii(textCol: String): DataFrame =
+      df.withColumn(textCol, T.redactPii(col(textCol)))
+
+    def repetitionScores(textCol: String, idCol: String): DataFrame =
+      graft.operators.TextPipeline.repetitionScores(df, textCol, idCol)
+
+    /** Rows of this corpus contaminated by (sharing k-shingles with) the
+      * probe set — run before training, drop what it returns.
+      */
+    def contaminatedBy(
+        probes: DataFrame, textCol: String, idCol: String,
+        shingleK: Int = 5, minShared: Int = 1): DataFrame =
+      graft.operators.TextPipeline.contaminated(df, probes, textCol, idCol, shingleK, minShared)
+
     // --------------------------------------------------------- multimodal
     def withBinaryPayload(textCol: String = "text"): DataFrame =
       Multimodal.withBinary(df, textCol)
