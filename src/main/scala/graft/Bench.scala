@@ -35,9 +35,11 @@ object Bench {
           .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "events.parquet") // table files are flat in sfDir
           .parquet(sfDir)
+        // tsl must be full-microsecond so events within the same second fold
+        // in the same (ts, event_id) order as the batch queries (q27/q28)
         val ev = (if (raw.schema("ts").dataType.typeName == "long")
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
-          .withColumn("tsl", col("ts").cast("long"))
+          .withColumn("tsl", unix_micros(col("ts")))
         val agg = graft.streaming.EwmaPipeline.windowedEwma(
           ev, "event_type", "ts", "tsl", "event_id", "value",
           periodSeconds = 300, watermark = "10 minutes")
@@ -53,10 +55,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val all = results ++ Map("ewma_stream_replay" -> streamSecs)
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3dp per query keeps the whole line ~1.5 KB: the driver captures only a
+    // bounded tail of the sbt log, and a full-precision line (round 1) was
+    // long enough that its start fell outside the window -> parse failure.
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

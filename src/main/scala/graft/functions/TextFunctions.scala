@@ -140,11 +140,18 @@ object TextFunctions {
     * inline (the inline form would re-split per language).
     */
   def langIdFromTokens(tk: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordRatioFromTokens(tk, l).as("score"), lit(if (l == "en") 1 else 0).as("pref"), lit(l).as("lang"))
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(
+        stopwordRatioFromTokens(tk, l).as("score"),
+        lit(if (l == "en") 1 else 0).as("pref"),
+        // descending rank: under array_max a HIGHER rank wins, so equal
+        // non-en scores resolve to the lexicographically SMALLEST language
+        // (the documented ascending-lexicographic fallback)
+        lit(langs.size - i).as("rank"),
+        lit(l).as("lang"))
     }
-    // array_max on struct compares lexicographically: score, then en-pref,
-    // then reversed lang for deterministic ties.
+    // struct comparison is field-by-field: score, then en-pref, then rank.
     array_max(array(scored: _*)).getField("lang")
   }
 

@@ -40,7 +40,8 @@ object Multimodal {
     * Pure expressions (sequence + transform + posexplode), so it scales as
     * a narrow map with no shuffle.
     */
-  def sampleFrames(df: DataFrame, frameBytes: Int, payloadCol: String = "payload"): DataFrame = {
+  def sampleFrames(df: DataFrame, frameBytes: Int, payloadCol: String = "payload",
+      idCol: String = "doc_id"): DataFrame = {
     val nFrames = ceil(octet_length(col(payloadCol)) / lit(frameBytes.toDouble)).cast("int")
     df
       // empty payload -> ZERO frames: guard the sequence, because
@@ -50,7 +51,7 @@ object Multimodal {
         when(nFrames > 0, sequence(lit(0), nFrames - 1))
           .otherwise(array().cast("array<int>"))))
       .withColumn("frame", expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
-      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"), col("frame"))
+      .select(col(idCol), col("frame_idx").cast("bigint").as("frame_idx"), col("frame"))
   }
 
   /** STUB feature extraction over decoded frames: a deterministic 8-dim

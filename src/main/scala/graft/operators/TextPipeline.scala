@@ -14,8 +14,12 @@ import graft.functions.{TextFunctions => T}
 object TextPipeline {
 
   /** Gopher-style repetition signal per document: frequency of the most
-    * common token over total tokens (near 1.0 = the document repeats one
-    * token). explode -> count -> max, one shuffle by (doc, token).
+    * common token over total tokens (near 1e6 ppm = the document repeats
+    * one token). explode -> count -> max, one shuffle by (doc, token).
+    * The ratio is emitted as exact integer parts-per-million
+    * (floor(1e6*top/total)) rather than a rounded double: `round(x, 6)`
+    * on a double differs in the last ulp between engines, while i64
+    * arithmetic is bit-identical everywhere.
     */
   def repetitionScores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs
@@ -27,7 +31,7 @@ object TextPipeline {
       .select(
         col("doc"),
         col("n_tokens"),
-        round(col("top_count").cast("double") / col("n_tokens"), 6).as("repetition"))
+        expr("(top_count * 1000000L) DIV n_tokens").as("repetition_ppm"))
   }
 
   /** Benchmark decontamination: documents sharing at least `minShared`

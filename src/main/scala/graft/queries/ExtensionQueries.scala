@@ -265,9 +265,9 @@ object ExtensionQueries {
              |  FROM documents),
              |cnt AS (SELECT doc, tok, count(*) AS c FROM toks GROUP BY doc, tok)
              |SELECT doc, sum(c) AS n_tokens,
-             |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition
+             |  (max(c) * 1000000) // sum(c) AS repetition_ppm
              |FROM cnt GROUP BY doc ORDER BY doc""".stripMargin),
-      "Gopher-style repetition ratio (top token frequency / tokens)"),
+      "Gopher-style repetition ratio in exact integer ppm (top token / tokens)"),
 
     "q65_decontaminate" -> Q(
       (s, dir) => {

@@ -102,14 +102,31 @@ object ConfluentAvro {
     }
   }
 
-  /** Serializable decoder closure: framed bytes -> Spark Row. */
-  private final class Decoder(json: String, st: StructType)
+  /** Serializable decoder closure: framed bytes -> Spark Row.
+    *
+    * The frame's schema id is CHECKED, not ignored: decoding a payload
+    * written under an evolved writer schema with a stale reader schema
+    * silently misdecodes field-by-field (the corruption mode the Confluent
+    * frame exists to prevent). With `expectedSchemaId = Some(id)` any other
+    * id is rejected (strict: throws; safe: nulls). With `None` the id is
+    * accepted as-is — callers outside a registry deployment opt into
+    * trusting their single schema. True reader/writer schema resolution
+    * requires a registry client (network) and is out of scope here;
+    * document: schema evolution needs a registry-aware decoder.
+    */
+  private final class Decoder(json: String, st: StructType,
+      expectedSchemaId: Option[Int])
       extends UDF1[Array[Byte], Row] with Serializable {
     @transient private lazy val schema = new Schema.Parser().parse(json)
     @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
     override def call(payload: Array[Byte]): Row = {
       if (payload == null) return null
-      val (_, body) = unframe(payload)
+      val (id, body) = unframe(payload)
+      expectedSchemaId.foreach { want =>
+        if (id != want) throw new IllegalArgumentException(
+          s"Confluent schema id mismatch: payload written with id=$id, " +
+            s"decoder expects id=$want (schema evolution requires a registry-aware decoder)")
+      }
       val dec = DecoderFactory.get().binaryDecoder(body, null)
       val rec = reader.read(null, dec)
       Row.fromSeq(st.fields.map { f =>
@@ -132,29 +149,39 @@ object ConfluentAvro {
     * (frame or body), like from_json's PERMISSIVE mode — one poisoned
     * Kafka message must not kill a whole job at scale.
     */
-  private final class SafeDecoder(json: String, st: StructType)
+  private final class SafeDecoder(json: String, st: StructType,
+      expectedSchemaId: Option[Int])
       extends UDF1[Array[Byte], Row] with Serializable {
-    private val strict = new Decoder(json, st)
+    private val strict = new Decoder(json, st, expectedSchemaId)
     override def call(payload: Array[Byte]): Row =
       try strict.call(payload)
       catch { case _: Exception => null }
   }
 
-  /** UDF: Confluent-framed Avro binary -> struct column. */
-  def fromConfluentAvro(st: StructType, recordName: String): UserDefinedFunction =
-    udf(new Decoder(avroSchemaJson(st, recordName), st), st)
+  /** UDF: Confluent-framed Avro binary -> struct column. Pass
+    * `expectedSchemaId` to reject payloads framed under any other schema
+    * id (see [[Decoder]]).
+    */
+  def fromConfluentAvro(st: StructType, recordName: String,
+      expectedSchemaId: Option[Int] = None): UserDefinedFunction =
+    udf(new Decoder(avroSchemaJson(st, recordName), st, expectedSchemaId), st)
 
-  /** UDF: permissive decode — null instead of failing on bad payloads. */
-  def fromConfluentAvroSafe(st: StructType, recordName: String): UserDefinedFunction =
-    udf(new SafeDecoder(avroSchemaJson(st, recordName), st), st)
+  /** UDF: permissive decode — null instead of failing on bad payloads
+    * (including schema-id mismatches when `expectedSchemaId` is set).
+    */
+  def fromConfluentAvroSafe(st: StructType, recordName: String,
+      expectedSchemaId: Option[Int] = None): UserDefinedFunction =
+    udf(new SafeDecoder(avroSchemaJson(st, recordName), st, expectedSchemaId), st)
 
   /** Encode convenience: `encodeCol(struct(cols...), schema, id, name)`. */
   def encodeCol(structCol: Column, st: StructType, schemaId: Int, recordName: String): Column =
     toConfluentAvro(st, schemaId, recordName)(structCol)
 
-  def decodeCol(payload: Column, st: StructType, recordName: String): Column =
-    fromConfluentAvro(st, recordName)(payload)
+  def decodeCol(payload: Column, st: StructType, recordName: String,
+      expectedSchemaId: Option[Int] = None): Column =
+    fromConfluentAvro(st, recordName, expectedSchemaId)(payload)
 
-  def decodeColSafe(payload: Column, st: StructType, recordName: String): Column =
-    fromConfluentAvroSafe(st, recordName)(payload)
+  def decodeColSafe(payload: Column, st: StructType, recordName: String,
+      expectedSchemaId: Option[Int] = None): Column =
+    fromConfluentAvroSafe(st, recordName, expectedSchemaId)(payload)
 }

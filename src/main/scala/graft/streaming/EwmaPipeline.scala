@@ -110,6 +110,12 @@ object EwmaPipeline {
     * The anti-join reads one pruned column of the target table per batch;
     * at scale, partition the probe on pk ranges or swap in a MERGE when
     * the dialect supports it.
+    *
+    * Table absence (the first-batch case) is detected explicitly through
+    * `DatabaseMetaData.getTables`, NOT by catching the probe's exception:
+    * a transient JDBC failure during the anti-join probe — exactly the
+    * crash-replay window this dedup exists for — must fail the batch so
+    * the trigger retries, never silently degrade to a blind append.
     */
   def jdbcSink(
       df: DataFrame, url: String, table: String,
@@ -121,13 +127,33 @@ object EwmaPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = batch.dropDuplicates(pkCol)
         val toInsert =
-          try {
+          if (jdbcTableExists(url, table, props)) {
             val existing = batch.sparkSession.read.jdbc(url, table, props)
               .select(pkCol)
             fresh.join(existing, Seq(pkCol), "left_anti")
-          } catch { case _: Exception => fresh } // table absent: first batch
+          } else fresh // genuinely absent: first batch auto-creates it
         toInsert.write.mode("append").jdbc(url, table, props)
       }
+
+  /** True iff `table` exists per JDBC catalog metadata. Matches the bare
+    * table name case-insensitively (Derby/Postgres fold unquoted
+    * identifiers in opposite directions); any connection failure
+    * propagates — only a definite "no such table" answers false.
+    */
+  private[graft] def jdbcTableExists(
+      url: String, table: String, props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val bare = table.split('.').last.replaceAll("[\"`]", "")
+      val rs = conn.getMetaData.getTables(null, null, "%", null)
+      try {
+        Iterator.continually(rs)
+          .takeWhile(_.next())
+          .exists(r => Option(r.getString("TABLE_NAME"))
+            .exists(_.equalsIgnoreCase(bare)))
+      } finally rs.close()
+    } finally conn.close()
+  }
 
   /** Kafka sink wiring (entry point B's output). Compiles against any
     * Spark; requires the spark-sql-kafka connector on the cluster

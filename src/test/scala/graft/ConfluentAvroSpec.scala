@@ -59,6 +59,30 @@ class ConfluentAvroSpec extends SparkSpec {
     }
   }
 
+  test("schema-id check: mismatched writer id is rejected, not misdecoded") {
+    val df = spark.createDataset(trades).toDF()
+    val encoded = df.select(
+      ConfluentAvro.encodeCol(struct(df.columns.map(col): _*), Trade.schema, 7, "TradesDataAvro").as("value"))
+    // strict decoder expecting the right id: fine
+    val ok = encoded.select(
+        ConfluentAvro.decodeCol(col("value"), Trade.schema, "TradesDataAvro",
+          expectedSchemaId = Some(7)).as("t"))
+      .select("t.*").as[Trade].collect()
+    assert(ok.toSeq === trades)
+    // strict decoder expecting a different id: the job fails loudly
+    intercept[Exception] {
+      encoded.select(
+          ConfluentAvro.decodeCol(col("value"), Trade.schema, "TradesDataAvro",
+            expectedSchemaId = Some(8)).as("t"))
+        .collect()
+    }
+    // safe decoder nulls the mismatched rows instead
+    val safe = encoded.select(
+      ConfluentAvro.decodeColSafe(col("value"), Trade.schema, "TradesDataAvro",
+        expectedSchemaId = Some(8)).as("t"))
+    assert(safe.filter(col("t").isNull).count() === trades.size)
+  }
+
   test("permissive decode nulls bad payloads instead of failing the job") {
     val good = spark.createDataset(trades).toDF()
       .select(ConfluentAvro.encodeCol(

@@ -58,4 +58,18 @@ class JdbcSinkSpec extends SparkSpec {
     val after = spark.read.jdbc(url, "raw_events", props)
     assert(after.count() === 500, "replayed batches must not re-insert pk rows")
   }
+
+  test("table-absence probe: metadata check, not exception swallowing") {
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    // present after the sink test created it; absent name answers false
+    assert(EwmaPipeline.jdbcTableExists(url, "raw_events", props))
+    assert(!EwmaPipeline.jdbcTableExists(url, "no_such_table_here", props))
+    // a broken connection PROPAGATES (would previously degrade to a blind
+    // append exactly when the dedup probe mattered most)
+    intercept[Exception] {
+      EwmaPipeline.jdbcTableExists(
+        "jdbc:derby:memory:absentdb", "raw_events", props) // no ;create=true
+    }
+  }
 }

@@ -23,9 +23,9 @@ class TextPipelineSpec extends SparkSpec {
       (1L, "spam spam spam spam spam ham"),
       (2L, "one two three four five six")).toDF("doc_id", "text")
     val scores = TextPipeline.repetitionScores(docs, "text", "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(math.abs(scores(1L) - 5.0 / 6.0) < 1e-6) // column is round(..., 6)
-    assert(math.abs(scores(2L) - 1.0 / 6.0) < 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) === 1000000L * 5 / 6) // exact integer ppm
+    assert(scores(2L) === 1000000L / 6)
   }
 
   test("contaminated finds exactly the docs sharing shingles with probes") {
