@@ -133,11 +133,22 @@ object AdvancedQueries {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
             countDistinct(col("l_partkey")).as("exact_parts"))
+          // the HLL sketch VALUE is engine-specific, so the oracled output
+          // carries the exact count plus the sketch's error bound as a
+          // boolean the oracle asserts true — a real cross-engine check of
+          // both the exact distinct and the sketch's accuracy contract
+          .select(
+            col("l_returnflag"),
+            col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= 0.05).as("approx_ok"))
           .orderBy(col("l_returnflag")),
-      None, // HLL sketch values are engine-specific; error bound pinned by ScalaTest
-      "approx_count_distinct (HyperLogLog++) next to the exact count"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |  true AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "approx_count_distinct (HyperLogLog++) pinned within 5% of exact"),
 
     // ------------------------------------------------------ correlated EXISTS
     "q52_correlated_exists" -> Q(
@@ -267,13 +278,32 @@ object AdvancedQueries {
     "q61_stratified_sample" -> Q(
       (s, dir) => {
         val fractions = Map("purchase" -> 0.5, "click" -> 0.1, "view" -> 0.05)
-        graft.Tables.events(s, dir)
+        val ev = graft.Tables.events(s, dir)
+        val sampled = ev
           .stat.sampleBy("event_type", fractions, seed = 42L)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_sampled"))
+        val totals = ev
+          .filter(col("event_type").isin(fractions.keys.toSeq.map(lit): _*))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"))
+        // the sample RNG is engine-specific, so the oracled output carries
+        // the exact stratum totals plus an in-bounds boolean (sampled count
+        // within ±50% of fraction x total, floor 10) the oracle asserts
+        // true — exact rates remain pinned by SamplingSpec
+        val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("event_type") === k, v).otherwise(acc) }
+        totals.join(sampled, Seq("event_type"), "left")
+          .select(
+            col("event_type"),
+            col("n_total"),
+            (abs(coalesce(col("n_sampled"), lit(0L)) - f * col("n_total")) <=
+              greatest(lit(10.0), f * col("n_total") * 0.5)).as("in_bounds"))
           .orderBy(col("event_type"))
       },
-      None, // sampling RNG is engine-specific; rate bounds pinned by ScalaTest
+      Some("""SELECT event_type, count(*) AS n_total, true AS in_bounds
+             |FROM events WHERE event_type IN ('purchase', 'click', 'view')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "seeded stratified sampling per class (corpus downsampling)"),
 
     // -------------------------------------------------------- column profiling

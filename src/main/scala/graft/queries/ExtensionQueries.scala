@@ -100,7 +100,35 @@ object ExtensionQueries {
           .select(col("doc_id"), col("component"), col("keep"))
           .orderBy(col("doc_id"))
       },
-      None, // pinned by DedupSpec (one keeper per component, drop count)
+      // components oracled via DuckDB's recursive CTE: min-label over the
+      // transitive closure of the same jaccard>=0.8 edge set as q31
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (SELECT id_a, id_b FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, walk.lbl FROM walk JOIN edges e ON e.src = walk.id),
+             |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+             |SELECT d.doc_id, c.component, (d.doc_id = c.component) AS keep
+             |FROM documents d JOIN cc c ON c.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
       "near-dup pairs -> connected components -> one representative kept"),
 
     // ------------------------------------------------- similarity: brute force
@@ -183,7 +211,29 @@ object ExtensionQueries {
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted")),
-      None, // heuristic matrix pinned by ScalaTest
+      // the argmax is replicated exactly in SQL: per-language stopword hit
+      // ratio (int/int -> correctly-rounded f64 division in both engines),
+      // ties resolved en-first then ascending lexicographic — the CASE
+      // order below encodes exactly that
+      Some("""WITH toks AS (
+             |  SELECT lang, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sc AS (
+             |  SELECT lang,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['der','die','das','und','ein','ist','zu','den','mit','von'], t))) AS DOUBLE) / len(w) END AS s_de,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / len(w) END AS s_en,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','un','una','es','que','por','con'], t))) AS DOUBLE) / len(w) END AS s_es,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','un','une','est','que','pour','dans'], t))) AS DOUBLE) / len(w) END AS s_fr,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['de','shi','le','zai','he','you','wo','ta','men','zhe'], t))) AS DOUBLE) / len(w) END AS s_zh
+             |  FROM toks)
+             |SELECT lang,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             |       WHEN s_fr >= s_zh THEN 'fr'
+             |       ELSE 'zh' END AS predicted,
+             |  count(*) AS n
+             |FROM sc GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin),
       "stopword-ratio language ID vs the labeled lang column"),
 
     "q43_text_wordfreq" -> Q(
@@ -277,7 +327,24 @@ object ExtensionQueries {
             "text", "doc_id", shingleK = 5, minShared = 1)
           .orderBy(col("doc"))
       },
-      None, // hashed-shingle overlap; subset/equality pinned by ScalaTest
+      // string-shingle oracle: equal to the hashed-shingle engine path up
+      // to 64-bit collisions (none at this scale; exact driver-side
+      // cross-check also pinned by TextPipelineSpec)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sets AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END) AS sh
+             |  FROM toks),
+             |docp AS (SELECT doc_id AS doc, unnest(sh) AS s FROM sets WHERE doc_id >= 10),
+             |probep AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE doc_id < 10)
+             |SELECT doc, count(*) AS n_shared
+             |FROM docp JOIN probep USING (s)
+             |GROUP BY doc HAVING count(*) >= 1
+             |ORDER BY doc""".stripMargin),
       "benchmark decontamination: docs sharing 5-grams with a probe set"),
 
     // ------------------------------------------------------------- multimodal

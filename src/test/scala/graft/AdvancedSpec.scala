@@ -10,11 +10,13 @@ class AdvancedSpec extends SparkSpec {
   private def run(name: String) = Registry.queries(name)(spark, sfDir)
 
   test("q51: HLL approx distinct within 5% of exact (rsd=0.02)") {
-    run("q51_approx_distinct").collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+    // the bound is computed inside the query as `approx_ok` so the DuckDB
+    // oracle can assert it; here we pin that it actually holds
+    val rows = run("q51_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("approx_ok")),
+        s"${r.getString(0)}: exact=${r.getLong(r.fieldIndex("exact_parts"))}")
     }
   }
 

@@ -11,8 +11,12 @@ class SamplingSpec extends SparkSpec {
       .groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val fractions = Map("purchase" -> 0.5, "click" -> 0.1, "view" -> 0.05)
-    val sampled = Registry.queries("q61_stratified_sample")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate + drop-class assertions on the raw sampleBy output (the query's
+    // oracled form reduces this to an in_bounds boolean)
+    val sampled = Tables.events(spark, sfDir)
+      .stat.sampleBy("event_type", fractions, seed = 42L)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     sampled.foreach { case (k, n) =>
       fractions.get(k).foreach { f =>
         val expect = totals(k) * f
@@ -23,9 +27,16 @@ class SamplingSpec extends SparkSpec {
     }
     // non-requested classes are dropped entirely by sampleBy
     assert(sampled.keySet.subsetOf(fractions.keySet))
-    // seed-stable
-    val again = Registry.queries("q61_stratified_sample")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(again === sampled)
+    // the query form: every stratum in bounds, totals exact, seed-stable
+    val q = Registry.queries("q61_stratified_sample")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(q.keySet === fractions.keySet)
+    q.foreach { case (k, (nTotal, inBounds)) =>
+      assert(nTotal === totals(k))
+      assert(inBounds, s"$k sampled count out of bounds")
+    }
+    val again = Registry.queries("q61_stratified_sample")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again === q)
   }
 }
