@@ -58,10 +58,13 @@ object Bench {
     // 3dp per query keeps the whole line ~1.5 KB: the driver captures only a
     // bounded tail of the sbt log, and a full-precision line (round 1) was
     // long enough that its start fell outside the window -> parse failure.
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def dec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + dec3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,9 +164,14 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id"))
+    // cache the seed labels too: each iteration references `labels` three
+    // times (neighbor join, update join, convergence check) and an uncached
+    // seed would re-run the edge-distinct shuffle for each reference
+    var cached = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
+      .cache()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -175,13 +180,16 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "ncomp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
+      // carry the previous label alongside the new one so convergence is a
+      // filter over THIS cached frame — no third join, no extra shuffle
       val next = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("oldcomp"),
+          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
         .cache()
-      val changed = next.join(labels.withColumnsRenamed(Map("comp" -> "oldcomp")), Seq("id"))
-        .filter(col("comp") =!= col("oldcomp")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("oldcomp")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
     }

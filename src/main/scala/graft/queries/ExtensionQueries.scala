@@ -314,8 +314,8 @@ object ExtensionQueries {
              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS tok
              |  FROM documents),
              |cnt AS (SELECT doc, tok, count(*) AS c FROM toks GROUP BY doc, tok)
-             |SELECT doc, sum(c) AS n_tokens,
-             |  (max(c) * 1000000) // sum(c) AS repetition_ppm
+             |SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS repetition_ppm
              |FROM cnt GROUP BY doc ORDER BY doc""".stripMargin),
       "Gopher-style repetition ratio in exact integer ppm (top token / tokens)"),
 

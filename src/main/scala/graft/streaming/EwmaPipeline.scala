@@ -135,23 +135,42 @@ object EwmaPipeline {
         toInsert.write.mode("append").jdbc(url, table, props)
       }
 
-  /** True iff `table` exists per JDBC catalog metadata. Matches the bare
-    * table name case-insensitively (Derby/Postgres fold unquoted
-    * identifiers in opposite directions); any connection failure
-    * propagates — only a definite "no such table" answers false.
+  /** True iff `table` exists per JDBC catalog metadata. Matches the table
+    * name case-insensitively (Derby/Postgres fold unquoted identifiers in
+    * opposite directions), scoped to the schema when `table` is qualified
+    * (`schema.name`) so a same-named table elsewhere does not count. The
+    * lookup passes name patterns to `getTables` (per-case-fold, so the
+    * driver can use its catalog index) instead of streaming the whole
+    * catalog every micro-batch. Any connection failure propagates — only a
+    * definite "no such table" answers false.
     */
   private[graft] def jdbcTableExists(
       url: String, table: String, props: java.util.Properties): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val bare = table.split('.').last.replaceAll("[\"`]", "")
-      val rs = conn.getMetaData.getTables(null, null, "%", null)
-      try {
-        Iterator.continually(rs)
-          .takeWhile(_.next())
-          .exists(r => Option(r.getString("TABLE_NAME"))
-            .exists(_.equalsIgnoreCase(bare)))
-      } finally rs.close()
+      val parts = table.split('.').map(_.replaceAll("[\"`]", ""))
+      val bare = parts.last
+      val schema = if (parts.length > 1) Some(parts(parts.length - 2)) else None
+      val md = conn.getMetaData
+      // `_` is a single-char wildcard in getTables patterns, so a pattern
+      // probe can over-match (e.g. `raw_trades` ~ `rawXtrades`); rows are
+      // re-checked exactly below. Probe each case fold the server may use.
+      def escaped(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      escaped(bare).exists { namePat =>
+        val schemaPats = schema.map(escaped).getOrElse(Seq(null))
+        schemaPats.exists { schemaPat =>
+          val rs = md.getTables(null, schemaPat, namePat, null)
+          try {
+            Iterator.continually(rs)
+              .takeWhile(_.next())
+              .exists { r =>
+                Option(r.getString("TABLE_NAME")).exists(_.equalsIgnoreCase(bare)) &&
+                schema.forall(s => Option(r.getString("TABLE_SCHEM"))
+                  .exists(_.equalsIgnoreCase(s)))
+              }
+          } finally rs.close()
+        }
+      }
     } finally conn.close()
   }
 

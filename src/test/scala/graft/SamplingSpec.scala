@@ -27,6 +27,13 @@ class SamplingSpec extends SparkSpec {
     }
     // non-requested classes are dropped entirely by sampleBy
     assert(sampled.keySet.subsetOf(fractions.keySet))
+    // strong seed-stability pin: the raw sampler reproduces EXACT
+    // per-stratum counts on a second run with the same seed
+    val rerun = Tables.events(spark, sfDir)
+      .stat.sampleBy("event_type", fractions, seed = 42L)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rerun === sampled, "sampleBy(seed=42) not reproducible run-to-run")
     // the query form: every stratum in bounds, totals exact, seed-stable
     val q = Registry.queries("q61_stratified_sample")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
