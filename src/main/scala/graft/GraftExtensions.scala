@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
@@ -52,5 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(array<long>, k) - rolling k-window chain hashes"),
       (args: Seq[Expression]) =>
         TextExprs.ShingleHashes(args(0), intLit(args(1), "shingle size"))))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_hits"),
+      info("stopword_hits",
+        "stopword_hits(array<string>, 'w1,w2|w3,w4') - per-set token hit counts, sets '|'-separated"),
+      (args: Seq[Expression]) =>
+        TextExprs.StopwordHits(args(0), stringLit(args(1), "stopword sets")
+          .split('|').toSeq.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))))
   }
 }

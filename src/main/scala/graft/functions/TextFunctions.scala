@@ -135,15 +135,21 @@ object TextFunctions {
 
   /** Heuristic language ID from a MATERIALIZED token column: the language
     * with the highest stopword ratio; ties and all-zero scores fall back
-    * to "en" then lexicographic order. Evaluates the token array 5x as a
-    * cheap attribute — pass `tokens(text)` staged via withColumn, not
-    * inline (the inline form would re-split per language).
+    * to "en" then lexicographic order. The per-language hit counts come
+    * from ONE codegen'd pass over the token array
+    * ([[org.apache.spark.sql.graftvec.TextExprs.StopwordHits]]) — the HOF
+    * formulation walked the array once per language, interpreted. Pass
+    * `tokens(text)` staged via withColumn, not inline.
     */
   def langIdFromTokens(tk: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
+    val hits = org.apache.spark.sql.graftvec.TextExprs
+      .stopwordHitsCol(tk, langs.map(stopwords(_)))
     val scored = langs.zipWithIndex.map { case (l, i) =>
       struct(
-        stopwordRatioFromTokens(tk, l).as("score"),
+        when(size(tk) === 0, 0.0)
+          .otherwise(element_at(hits, i + 1).cast("double") / size(tk))
+          .as("score"),
         lit(if (l == "en") 1 else 0).as("pref"),
         // descending rank: under array_max a HIGHER rank wins, so equal
         // non-en scores resolve to the lexicographically SMALLEST language

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd expressions for the text-dedup hot path: MinHash signatures
   * and SimHash fingerprints over PRE-HASHED token/shingle arrays
@@ -185,6 +186,70 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Per-set stopword occurrence counts in ONE pass over the token array:
+    * out[j] = |{ i : tokens[i] ∈ sets(j) }| (occurrences, not distinct —
+    * identical to `size(filter(tk, t => array_contains(set_j, t)))` with
+    * null tokens contributing to no set). The HOF formulation is
+    * interpreted and re-walks the array once per set; this is one compiled
+    * loop over tokens with N small hash-set probes per token.
+    */
+  case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(sets.nonEmpty, "need at least one stopword set")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val hashSets: Array[java.util.HashSet[UTF8String]] =
+      sets.map { ws =>
+        val s = new java.util.HashSet[UTF8String]()
+        ws.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val n = hashSets.length
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < m) {
+        if (!in.isNullAt(i)) {
+          val s = in.getUTF8String(i)
+          var j = 0
+          while (j < n) {
+            if (hashSets(j).contains(s)) out(j) += 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val setsRef = ctx.addReferenceObj("swSets", hashSets, "java.util.HashSet[]")
+        val n = hashSets.length
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        s"""
+           |int $m = $a.numElements();
+           |int[] $out = new int[$n];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      if ($setsRef[$j].contains($s)) $out[$j]++;
+           |    }
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def shingleHashCol(hashedTokens: Column, k: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(hashedTokens), k))
 
@@ -193,4 +258,7 @@ object TextExprs {
 
   def simhashCol(hashedTokens: Column): Column =
     ExpressionUtils.column(SimHash64FromHashes(ExpressionUtils.expression(hashedTokens)))
+
+  def stopwordHitsCol(tokens: Column, sets: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(StopwordHits(ExpressionUtils.expression(tokens), sets))
 }

@@ -22,6 +22,10 @@ class ExtensionsSpec extends SparkSpec {
     val sim = spark.sql("SELECT simhash64(array(1L, 2L, 3L))").head().getLong(0)
     val sim2 = spark.sql("SELECT simhash64(array(1L, 2L, 3L))").head().getLong(0)
     assert(sim === sim2)
+    val hits = spark.sql(
+      "SELECT stopword_hits(array('the', 'le', 'cat', 'the'), 'the,a|le,la')")
+      .head().getSeq[Int](0)
+    assert(hits === Seq(2, 1))
   }
 
   test("SQL minhash matches the Column-API expression") {

@@ -65,6 +65,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("der hund ist in das haus und mit von", T.langId(col("text"))) === "de")
   }
 
+  test("StopwordHits (codegen) == interpreted HOF formulation over the corpus") {
+    val langs = T.stopwords.keys.toSeq.sorted
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("w", T.tokens(col("text")))
+    val fused = docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graftvec.TextExprs
+        .stopwordHitsCol(col("w"), langs.map(T.stopwords(_))).as("hits"))
+    val viaHof = docs.select(
+      col("doc_id") +:
+        langs.map(l => size(filter(col("w"),
+          t => array_contains(array(T.stopwords(l).map(lit): _*), t))).as(l)): _*)
+    val mismatches = fused
+      .select(col("doc_id") +:
+        (0 until langs.size).map(i => element_at(col("hits"), i + 1).as(langs(i))): _*)
+      .exceptAll(viaHof).count()
+    assert(mismatches === 0)
+    // langId over the corpus agrees with the pre-fusion scoring rule on
+    // every row (same ratios, same tie rules)
+    val viaRatio = docs.select(col("doc_id"), array_max(array(
+      langs.zipWithIndex.map { case (l, i) =>
+        struct(
+          T.stopwordRatioFromTokens(col("w"), l).as("score"),
+          lit(if (l == "en") 1 else 0).as("pref"),
+          lit(langs.size - i).as("rank"),
+          lit(l).as("lang"))
+      }: _*)).getField("lang").as("predicted"))
+    val direct = docs.select(col("doc_id"), T.langIdFromTokens(col("w")).as("predicted"))
+    assert(direct.exceptAll(viaRatio).count() === 0)
+  }
+
   test("quality score is in [0,1] over the corpus") {
     val q = Tables.table(spark, sfDir, "documents")
       .select(T.qualityScore(col("text")).as("q"))
