@@ -41,4 +41,22 @@ object VectorFunctions {
     */
   def signLshSignature(v: Column, bits: Int): Column =
     VectorExprs.signLshCol(v, bits)
+
+  /** max |v_i| — the symmetric-quantization range. */
+  def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  /** int8 symmetric quantization scale for a double vector: 127/max|v|
+    * (0 for all-zero vectors, making [[quantizeInt8]] emit zeros).
+    * MATERIALIZE this as a column before quantizing — `scale` is a free
+    * subexpression of the quantize lambda and would otherwise be
+    * recomputed per element (see TextFunctions HOF contract).
+    */
+  def int8Scale(v: Column): Column =
+    when(maxAbs(v) === 0.0, 0.0).otherwise(lit(127.0) / maxAbs(v))
+
+  /** Elementwise int8 symmetric quantization: round(v_i * scale) as int,
+    * with `scale` a MATERIALIZED [[int8Scale]] column.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x * scale).cast("int"))
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Training-set preparation stages: deterministic splits, context-window
+  * chunking, sequence packing, and TF-IDF term scoring. Everything is
+  * stateless per row or a single keyed shuffle — no driver-side loops, no
+  * collected side state — so each operator scales horizontally with the
+  * corpus.
+  */
+object DataPrep {
+
+  /** Deterministic train/test assignment by content-independent id hash:
+    * bucket = first 4 hex chars of md5(id), split = train iff bucket is
+    * below `trainBps`/10000 of the 16^4 bucket space. Properties that
+    * matter at 100 TB: (a) stateless and shuffle-free — a map-only
+    * projection; (b) stable under reruns, repartitioning, and corpus
+    * growth (a doc's split never depends on other rows); (c) portable —
+    * fixed-width lowercase hex compares lexicographically == numerically
+    * in any engine, so downstream systems can reproduce the split with
+    * one SQL expression.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainBps: Int = 8000): DataFrame = {
+    require(trainBps >= 0 && trainBps <= 10000, "trainBps is basis points in [0, 10000]")
+    val cut = f"${trainBps.toLong * 65536 / 10000}%04x"
+    df.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 4))
+      .withColumn("split", when(col("bucket") < lit(cut), "train").otherwise("test"))
+  }
+
+  /** Sliding context-window chunking: token windows of `chunkSize` every
+    * `stride` tokens (overlap = chunkSize - stride), the standard prep for
+    * fixed-context-model training. A doc with n tokens yields
+    * ceil((n - chunkSize) / stride) + 1 chunks (one chunk when
+    * n <= chunkSize); empty docs yield none. One explode, no shuffle —
+    * chunking happens where the doc is.
+    */
+  def chunkTokens(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    docs
+      .select(col(idCol).as("doc"), T.tokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .withColumn("k",
+        greatest(lit(0), ceil((col("n") - chunkSize).cast("double") / stride).cast("int")))
+      .select(col("doc"), col("w"), col("n"),
+        explode(sequence(lit(0), col("k"))).as("i"))
+      .select(
+        col("doc"),
+        col("i").as("chunk_idx"),
+        (col("i") * stride).as("start"),
+        least(lit(chunkSize), col("n") - col("i") * stride).as("chunk_len"),
+        concat_ws(" ", slice(col("w"), col("i") * stride + 1, lit(chunkSize))).as("chunk_text"))
+  }
+
+  /** Fixed-token-budget sequence packing: docs are laid out in (group,
+    * id) order and assigned to consecutive packs of ~`budget` tokens —
+    * pack boundaries fall where the RUNNING total crosses a multiple of
+    * the budget (cumulative-offset packing: deterministic, one window
+    * pass, no sequential bin state). Docs longer than the budget get a
+    * pack of their own plus spillover, which downstream chunking
+    * (see [[chunkTokens]]) splits anyway. One shuffle on the group key;
+    * packs never cross groups, so skewed groups parallelize per group.
+    */
+  def packSequences(
+      docs: DataFrame, textCol: String, idCol: String, groupCol: String,
+      budget: Int = 512): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol).as("doc"), col(groupCol).as("grp"),
+        T.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc"), col("grp"), col("n_tok"),
+        expr(s"(cum - n_tok) DIV $budget").as("pack_id"))
+  }
+
+  /** Top-k TF-IDF terms per document: tf = in-doc occurrences, idf =
+    * ln((N+1)/(df+1)) with df = docs containing the term. Two keyed
+    * aggregations plus a broadcast of the (tiny) corpus size — the
+    * document-frequency table shuffles on the term, the ranking windows
+    * on the doc, and nothing is collected to the driver. Ranking ties
+    * break on the ROUNDED score then term text, so ordering is stable
+    * across engines computing ln() a ulp apart.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df")) // tf rows are distinct (doc, tok)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val rankW = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+}

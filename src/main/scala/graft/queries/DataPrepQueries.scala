@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import graft.operators.DataPrep
+
+/** Training-set preparation queries (q66-q70): deterministic splits,
+  * chunking, packing, TF-IDF, and embedding quantization — the stages
+  * between "deduplicated corpus" and "training batches". All oracled:
+  * every formulation sticks to engine-portable primitives (md5 hex,
+  * integer window arithmetic, round-6 doubles, CSV-rendered arrays).
+  */
+object DataPrepQueries {
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q66_train_test_split" -> Q(
+      (s, dir) =>
+        DataPrep.hashSplit(Tables.table(s, dir, "documents"), "doc_id", trainBps = 8000)
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy(col("doc_id")),
+      // 8000 bps of the 16^4 bucket space = hex cut 'cccc'; fixed-width
+      // lowercase hex compares lexicographically == numerically
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+             |       THEN 'train' ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "deterministic md5-bucket train/test split (stateless, rerun-stable)"),
+
+    "q67_doc_chunks" -> Q(
+      (s, dir) =>
+        DataPrep.chunkTokens(Tables.table(s, dir, "documents"), "text", "doc_id",
+            chunkSize = 64, stride = 48)
+          .orderBy(col("doc"), col("chunk_idx")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |nn AS (SELECT doc, w, len(w) AS n FROM toks WHERE len(w) > 0),
+             |ix AS (
+             |  SELECT doc, w, n,
+             |    unnest(generate_series(0, GREATEST(0, CAST(ceil((n - 64) / 48.0) AS INT)))) AS i
+             |  FROM nn)
+             |SELECT doc, CAST(i AS INT) AS chunk_idx, CAST(i * 48 AS INT) AS start,
+             |  CAST(LEAST(64, n - i * 48) AS INT) AS chunk_len,
+             |  array_to_string(w[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+             |FROM ix ORDER BY doc, chunk_idx""".stripMargin),
+      "sliding context-window chunking (size 64, stride 48, overlap 16)"),
+
+    "q68_token_packing" -> Q(
+      (s, dir) =>
+        DataPrep.packSequences(Tables.table(s, dir, "documents"), "text", "doc_id",
+            "source", budget = 512)
+          .orderBy(col("grp"), col("doc")),
+      Some("""WITH t AS (
+             |  SELECT doc_id AS doc, source AS grp,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |                         x -> len(x) > 0)) AS INT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc, grp, n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc, grp, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+             |FROM c ORDER BY grp, doc""".stripMargin),
+      "cumulative-offset sequence packing into 512-token budgets per source"),
+
+    "q69_tfidf" -> Q(
+      (s, dir) =>
+        DataPrep.tfidfTopTerms(Tables.table(s, dir, "documents"), "text", "doc_id", k = 5)
+          .orderBy(col("doc"), col("rank")),
+      // ranking uses the ROUNDED score in both engines so a 1-ulp ln()
+      // difference cannot flip ranks
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc, tok),
+             |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc, tf.tok, tf.tf, dfq.df,
+             |    round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 6) AS score
+             |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, tok ASC) AS rk
+             |      FROM scored)
+             |SELECT doc, CAST(rk AS INT) AS rank, tok, tf, df, score
+             |FROM r WHERE rk <= 5 ORDER BY doc, rank""".stripMargin),
+      "top-5 TF-IDF terms per document (idf = ln((N+1)/(df+1)))"),
+
+    "q70_vec_quantize" -> Q(
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+          .withColumn("scale", V.int8Scale(col("v")))
+        e.select(
+            col("vec_id"),
+            round(col("scale"), 6).as("scale6"),
+            concat_ws(",", transform(V.quantizeInt8(col("v"), col("scale")),
+              q => q.cast("string"))).as("q_csv"))
+          .orderBy(col("vec_id"))
+      },
+      // the int8 vector is rendered as CSV: identical integer strings in
+      // both engines, and the comparator cannot sort raw array columns
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 0.0
+             |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+             |  FROM e)
+             |SELECT vec_id, round(scale, 6) AS scale6,
+             |  array_to_string(list_transform(v, x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)), ',') AS q_csv
+             |FROM s ORDER BY vec_id""".stripMargin),
+      "int8 symmetric embedding quantization (scale = 127/max|v|)")
+  )
+}

@@ -97,6 +97,27 @@ object syntax {
         shingleK: Int = 5, minShared: Int = 1): DataFrame =
       graft.operators.TextPipeline.contaminated(df, probes, textCol, idCol, shingleK, minShared)
 
+    // ---------------------------------------------------------- data prep
+    /** Deterministic md5-bucket train/test split (adds bucket + split). */
+    def hashSplit(idCol: String, trainBps: Int = 8000): DataFrame =
+      graft.operators.DataPrep.hashSplit(df, idCol, trainBps)
+
+    /** Sliding context-window chunks of `chunkSize` tokens every `stride`. */
+    def chunkTokens(
+        textCol: String, idCol: String,
+        chunkSize: Int = 64, stride: Int = 48): DataFrame =
+      graft.operators.DataPrep.chunkTokens(df, textCol, idCol, chunkSize, stride)
+
+    /** Cumulative-offset packing into ~`budget`-token packs per group. */
+    def packSequences(
+        textCol: String, idCol: String, groupCol: String,
+        budget: Int = 512): DataFrame =
+      graft.operators.DataPrep.packSequences(df, textCol, idCol, groupCol, budget)
+
+    /** Top-k TF-IDF terms per document. */
+    def tfidfTopTerms(textCol: String, idCol: String, k: Int = 5): DataFrame =
+      graft.operators.DataPrep.tfidfTopTerms(df, textCol, idCol, k)
+
     // --------------------------------------------------------- multimodal
     def withBinaryPayload(textCol: String = "text"): DataFrame =
       Multimodal.withBinary(df, textCol)
