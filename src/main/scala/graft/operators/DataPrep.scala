@@ -26,9 +26,18 @@ object DataPrep {
     */
   def hashSplit(df: DataFrame, idCol: String, trainBps: Int = 8000): DataFrame = {
     require(trainBps >= 0 && trainBps <= 10000, "trainBps is basis points in [0, 10000]")
-    val cut = f"${trainBps.toLong * 65536 / 10000}%04x"
+    // trainBps == 10000 must mean "everything trains": the general cut would
+    // be 65536 = "10000"(5 hex chars), and a 5-char cut compared against
+    // 4-char buckets breaks the lexicographic==numeric equivalence the
+    // fixed-width encoding relies on.
+    val split =
+      if (trainBps == 10000) lit("train")
+      else {
+        val cut = f"${trainBps.toLong * 65536 / 10000}%04x"
+        when(col("bucket") < lit(cut), "train").otherwise("test")
+      }
     df.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 4))
-      .withColumn("split", when(col("bucket") < lit(cut), "train").otherwise("test"))
+      .withColumn("split", split)
   }
 
   /** Sliding context-window chunking: token windows of `chunkSize` every

@@ -103,27 +103,40 @@ object Dedup {
       lshCandidatesFromSets(sets, bands, rowsPerBand), sets, threshold)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an INVERTED-INDEX join: docs
+  /** n-gram Jaccard near-dup pairs via an INVERTED-INDEX join: docs
     * explode to (shingle, doc) and only docs sharing a shingle ever meet —
-    * cost is sum over shingles of |postings|^2, not |corpus|^2. This is the
-    * exact (non-probabilistic) dedup reference; MinHash-LSH approximates it
-    * with a bounded signature instead of the full shingle set.
+    * cost is sum over shingles of |postings|^2, not |corpus|^2.
+    *
+    * Skew guard (the 100 TB killer): a "stop shingle" shared by f docs
+    * would create one f^2 hot bucket in the self-join, so postings with
+    * document frequency above `maxDf` are DROPPED before candidate
+    * generation (standard near-dup practice; the MinHash banding path is
+    * immune by construction because its signature is bounded). Candidate
+    * pairs are then verified against the FULL shingle sets, so every
+    * reported Jaccard value stays exact — the cap can only cost recall,
+    * and only for pairs whose every shared shingle occurs in more than
+    * `maxDf` documents. At threshold 0.8 such a pair is overwhelmingly
+    * boilerplate made of ubiquitous shingles — exactly the pairs a
+    * near-dup pass should not be spending f^2 work on.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, threshold: Double = 0.8): DataFrame = {
+      shingleK: Int = 5, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
     val sets = shingleSets(docs, textCol, idCol, shingleK)
-    val posting = sets.select(col("doc"), col("sh"), explode(col("sh")).as("s"))
-      .select(col("doc"), size(col("sh")).as("sz"), col("s"))
-    val a = posting.as("a")
-    val b = posting.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sets.select(col("doc"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    val capped = posting.join(rare, Seq("s"), "left_semi")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val candidates = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    jaccardVerifyFromSets(candidates, sets, threshold)
   }
 
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxHamming.
@@ -149,55 +162,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Connected components over a near-dup pair list (id_a, id_b):
-    * min-label propagation to a fixpoint. Each iteration joins the
-    * current labels across the edge list and keeps the minimum —
-    * O(component diameter) DataFrame iterations, each a pair of
-    * shuffles. Near-dup clusters have tiny diameters (usually 1-2), so
-    * 2-3 iterations converge; a pathological chain longer than `maxIter`
-    * THROWS rather than silently returning split labels (for graphs with
-    * genuinely long chains, switch to a pointer-doubling/large-star
-    * formulation before raising maxIter).
+  /** Connected components over a near-dup pair list (id_a, id_b) via
+    * alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round:
+    *
+    *  - LARGE-STAR: every node connects its strictly-larger neighbors to
+    *    the minimum of its closed neighborhood — long chains collapse
+    *    geometrically, so rounds are O(log n) in the worst case (vs the
+    *    O(component-diameter) rounds of naive min-label propagation).
+    *  - SMALL-STAR: with all edges oriented large→small, every node and
+    *    its smaller neighbors re-attach to the smallest of them.
+    *
+    * The fixpoint is a forest of stars rooted at each component's minimum
+    * id. Every round is two keyed aggregations + two joins (no driver-side
+    * graph state), the edge frame is `localCheckpoint`ed per round so
+    * lineage and planning cost stay O(1), and convergence is ONE cheap
+    * aggregate over the already-materialized frame — (count, xor-of-edge-
+    * hashes) equality with the previous round — instead of a changed-row
+    * count over an uncached join chain. A graph that somehow fails to
+    * converge within `maxIter` rounds THROWS rather than silently
+    * returning split labels; at O(log n) rounds the default 20 covers
+    * graphs far beyond any realistic corpus (2^20 ≈ 10^6 chain hops).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // nodes whose only edges are self-loops still deserve a label
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("comp")).distinct()
+    var edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
-      .cache()
-    // cache the seed labels too: each iteration references `labels` three
-    // times (neighbor join, update join, convergence check) and an uncached
-    // seed would re-run the edge-distinct shuffle for each reference
-    var cached = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .cache()
-    var labels = cached
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
+    var prevSig: (Long, Long) = null
     while (!converged && iter < maxIter) {
-      // neighbor's label via the edge list, keep the min of (own, neighbors)
-      val viaEdges = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "dst", "comp" -> "ncomp")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncomp")).as("mincomp"))
-      // carry the previous label alongside the new one so convergence is a
-      // filter over THIS cached frame — no third join, no extra shuffle
-      val next = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), col("comp").as("oldcomp"),
-          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        .cache()
-      val changed = next.filter(col("comp") =!= col("oldcomp")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "comp")
-      converged = changed == 0
+      // large-star: m(u) = min over u's closed neighborhood; each edge
+      // {u, v} with v > u is replaced by (v, m(u)). Result invariant:
+      // src > dst on every emitted edge, no self-loops.
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val largeMins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = sym.join(largeMins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: edges are large→small, so min(dst) is the minimum of
+      // the strictly-smaller neighborhood; re-attach src and every smaller
+      // neighbor to it. Orientation src > dst is preserved.
+      val smallMins = large.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val next = large.join(smallMins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(smallMins.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      val sigRow = next
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(component diameter exceeds maxIter); see scaladoc")
-    labels
+    if (!converged && prevSig != null && prevSig._1 > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds; see scaladoc")
+    // star fixpoint: every non-root node has exactly one edge (node → root)
+    edges.select(col("src").as("id"), col("dst").as("comp"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("comp")))
+      .union(selfOnly)
+      .distinct()
   }
 
   /** Keep one representative (min id) per near-dup cluster: every doc not

@@ -49,13 +49,42 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
-  test("connected components: min-label propagation finds dedup clusters") {
+  test("connected components: large-star/small-star finds dedup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(7L) === 1L)
     assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("connected components: 50-node chain converges within the default round budget") {
+    import spark.implicits._
+    // diameter 49 — min-label propagation needed ~49 rounds and could not
+    // converge inside maxIter=20; large-star/small-star is O(log n) rounds
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 50)
+    assert(comps.values.forall(_ == 1L), "every chain node labels to the minimum")
+  }
+
+  test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {
+    import spark.implicits._
+    // 1,000 docs all sharing one stop shingle ("a b c d e") plus one unique
+    // shingle each; without the cap the self-join would build a 10^6-pair
+    // bucket. With maxDf=100 the stop shingle's postings are dropped, no
+    // candidates survive, and the query finishes in bounded time.
+    val docs = (1L to 1000L).map(i => (i, s"a b c d e u$i")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleK = 5, threshold = 0.8, maxDf = 100)
+    assert(pairs.count() === 0L, "all shared shingles above the cap -> documented recall cost")
+    // and the cap leaves genuinely rare shingles alone: two real dups still found
+    val withDup = docs.union(Seq((2001L, "x y z w v q r"), (2002L, "x y z w v q r")).toDF("doc_id", "text"))
+    val found = Dedup.ngramJaccardPairs(withDup, "text", "doc_id",
+        shingleK = 5, threshold = 0.8, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((2001L, 2002L)))
   }
 
   test("keepRepresentatives keeps exactly one doc per near-dup cluster") {
