@@ -83,6 +83,22 @@ object TextFunctions {
   def simhash64(text: Column): Column =
     org.apache.spark.sql.graftvec.TextExprs.simhashCol(hashAll(tokens(text)))
 
+  /** Engine-PORTABLE SimHash-64: identical voting semantics to
+    * [[simhash64]], but each token hashes to the first 16 hex chars of
+    * md5(token) instead of xxhash64 — md5 is bit-identical across engines,
+    * so the resulting signatures (and therefore the hamming-<=k pair set)
+    * can be reproduced in ANSI SQL by any engine with md5(). Used by the
+    * oracled q33 variant; [[simhash64]] stays the fast path (one codegen'd
+    * hash vs md5's 16-byte digest per token).
+    */
+  def simhash64Md5(text: Column): Column = {
+    val hexes = transform(tokens(text), t => substring(md5(t), 1, 16))
+    val hashes = transform(hexes, x =>
+      shiftleft(conv(substring(x, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(x, 9, 8), 16, 10).cast("long")))
+    org.apache.spark.sql.graftvec.TextExprs.simhashCol(hashes)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -142,11 +142,15 @@ object Dedup {
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxHamming.
     * Pigeonhole banding into 4x16-bit chunks makes candidate generation an
     * equi-join (any pair with hamming <= 3 shares at least one chunk).
+    * `sigOf` picks the signature function — the codegen'd xxhash64 default
+    * or [[graft.functions.TextFunctions.simhash64Md5]] when the pair set
+    * must be reproducible outside Spark.
     */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol).as("doc"), T.simhash64(col(textCol)).as("sig"))
+      maxHamming: Int = 3,
+      sigOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = T.simhash64): DataFrame = {
+    val withSig = docs.select(col(idCol).as("doc"), sigOf(col(textCol)).as("sig"))
     val banded = withSig.select(
       col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>

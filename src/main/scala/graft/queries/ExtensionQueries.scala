@@ -63,17 +63,68 @@ object ExtensionQueries {
         Dedup.minhashNearDups(Tables.table(s, dir, "documents"), "text", "doc_id",
             shingleK = 5, threshold = 0.8, bands = 16, rowsPerBand = 4)
           .orderBy(col("id_a"), col("id_b")),
-      None, // xxhash64 signatures are engine-specific; pinned to q31 by test
+      // the LSH stage only PRUNES candidates; survivors are exact-Jaccard
+      // verified, so the output is q31's pair set minus LSH misses. At
+      // 16 bands x 4 rows and t=0.8 the per-pair collision probability is
+      // 1-(1-0.8^4)^16 ~ 0.9998 — at verify scale the result equals q31
+      // exactly, so it shares q31's engine-portable oracle (the DedupSpec
+      // recall pin stays as the safety net for the probabilistic tail).
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+             |FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin),
       "MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified"),
 
     // --------------------------------------------------------- dedup: SimHash
     "q33_dedup_simhash" -> Q(
       (s, dir) =>
         Dedup.simhashNearDups(Tables.table(s, dir, "documents"), "text", "doc_id",
-            maxHamming = 3)
+            maxHamming = 3, sigOf = T.simhash64Md5)
+          .withColumn("hamming", col("hamming").cast("bigint")) // match the oracle's BIGINT
           .orderBy(col("id_a"), col("id_b")),
-      None,
-      "SimHash-64 near-dups, 4x16-bit pigeonhole banding"),
+      // per-token hash = first 16 hex chars of md5(token): bit-identical
+      // in both engines, so the full simhash vote + hamming pipeline is
+      // reproducible in SQL. The oracle enumerates the same 64
+      // (hex-position, nibble-bit) predicates the 64-bit signature packs;
+      // any consistent bit ordering yields the same votes and hamming.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+             |nib AS (
+             |  SELECT doc_id, p.p AS p,
+             |    strpos('0123456789abcdef', substring(md5(t), p.p, 1)) - 1 AS v
+             |  FROM tok CROSS JOIN generate_series(1, 16) AS p(p)),
+             |vt AS (
+             |  SELECT doc_id, p, j.j AS j,
+             |    sum(CASE WHEN ((v >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS votes
+             |  FROM nib CROSS JOIN generate_series(0, 3) AS j(j)
+             |  GROUP BY doc_id, p, j.j),
+             |bits AS (
+             |  SELECT doc_id, p, j, CASE WHEN votes > 0 THEN 1 ELSE 0 END AS bit FROM vt),
+             |ham AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+             |  FROM bits a JOIN bits b ON a.p = b.p AND a.j = b.j AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming
+             |FROM ham WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin),
+      "SimHash-64 near-dups, 4x16-bit pigeonhole banding (portable md5-bit variant)"),
 
     // ------------------------------------------------- dedup: embedding cosine
     "q34_dedup_embedding" -> Q(
