@@ -30,9 +30,13 @@ object Bench {
       try {
         import org.apache.spark.sql.functions._
         val batchSchema = graft.Tables.events(spark, sfDir).schema
+        // Trigger.AvailableNow + a byte budget per micro-batch: batch count
+        // tracks data VOLUME, not file count — one-batch-per-file replay
+        // would serialize ingest behind driver-side scheduling at scale.
+        // (Specs that pin multi-batch semantics keep maxFilesPerTrigger=1.)
         val raw = spark.readStream.schema(
             spark.read.parquet(s"$sfDir/events.parquet").schema)
-          .option("maxFilesPerTrigger", 1)
+          .option("maxBytesPerTrigger", (512L * 1024 * 1024).toString)
           .option("pathGlobFilter", "events.parquet") // table files are flat in sfDir
           .parquet(sfDir)
         // tsl must be full-microsecond so events within the same second fold
@@ -44,8 +48,10 @@ object Bench {
           ev, "event_type", "ts", "tsl", "event_id", "value",
           periodSeconds = 300, watermark = "10 minutes")
         val q = agg.writeStream.format("memory").queryName("bench_ewma_replay")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
         require(batchSchema != null)
         System.err.println(
           s"[bench] ewma_stream_replay rows=${spark.table("bench_ewma_replay").count()}")

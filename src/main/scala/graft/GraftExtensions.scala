@@ -63,8 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("stopword_hits"),
       info("stopword_hits",
         "stopword_hits(array<string>, 'w1,w2|w3,w4') - per-set token hit counts, sets '|'-separated"),
-      (args: Seq[Expression]) =>
-        TextExprs.StopwordHits(args(0), stringLit(args(1), "stopword sets")
-          .split('|').toSeq.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))))
+      (args: Seq[Expression]) => {
+        // split with -1 limit: a trailing '|' means a trailing EMPTY set
+        // (0 hits), which the default limit would silently drop, shifting
+        // every set after it
+        val sets = stringLit(args(1), "stopword sets")
+          .split("\\|", -1).toSeq.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        require(sets.exists(_.nonEmpty),
+          "stopword_hits: spec must contain at least one non-empty set, " +
+            "got only empty sets (format: 'w1,w2|w3,w4')")
+        TextExprs.StopwordHits(args(0), sets)
+      }))
   }
 }

@@ -149,6 +149,16 @@ object TextFunctions {
   def stopwordRatio(text: Column, lang: String): Column =
     stopwordRatioFromTokens(tokens(text), lang)
 
+  /** All-language stopword hit counts for a MATERIALIZED token column:
+    * one codegen'd pass over the array, languages in sorted-key order
+    * (the order [[langIdFromHits]] expects). Stage this via `.withColumn`
+    * when scoring, so the pass runs once regardless of evaluation mode.
+    */
+  def stopwordHitsAll(tk: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    org.apache.spark.sql.graftvec.TextExprs.stopwordHitsCol(tk, langs.map(stopwords(_)))
+  }
+
   /** Heuristic language ID from a MATERIALIZED token column: the language
     * with the highest stopword ratio; ties and all-zero scores fall back
     * to "en" then lexicographic order. The per-language hit counts come
@@ -156,11 +166,24 @@ object TextFunctions {
     * ([[org.apache.spark.sql.graftvec.TextExprs.StopwordHits]]) — the HOF
     * formulation walked the array once per language, interpreted. Pass
     * `tokens(text)` staged via withColumn, not inline.
+    *
+    * EVALUATION-MODE CAVEAT: the scoring expression references the hits
+    * array once per language, so the "one pass" relies on whole-stage
+    * codegen's common-subexpression elimination collapsing the copies
+    * (StopwordHits is deterministic and codegen-capable, so inside a
+    * codegen stage it does). Under INTERPRETED fallback each reference
+    * re-runs the pass — callers on that path should materialize
+    * [[stopwordHitsAll]] as a named column and use [[langIdFromHits]].
     */
-  def langIdFromTokens(tk: Column): Column = {
+  def langIdFromTokens(tk: Column): Column =
+    langIdFromHits(tk, stopwordHitsAll(tk))
+
+  /** Two-step language ID: score a PRE-MATERIALIZED hits column (from
+    * [[stopwordHitsAll]]) against the token column — the multi-set pass
+    * runs exactly once in every evaluation mode.
+    */
+  def langIdFromHits(tk: Column, hits: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val hits = org.apache.spark.sql.graftvec.TextExprs
-      .stopwordHitsCol(tk, langs.map(stopwords(_)))
     val scored = langs.zipWithIndex.map { case (l, i) =>
       struct(
         when(size(tk) === 0, 0.0)

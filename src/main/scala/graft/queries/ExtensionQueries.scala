@@ -258,7 +258,8 @@ object ExtensionQueries {
       (s, dir) =>
         Tables.table(s, dir, "documents")
           .withColumn("w", T.tokens(col("text"))) // split once, score 5 langs
-          .select(col("lang"), T.langIdFromTokens(col("w")).as("predicted"))
+          .withColumn("hits", T.stopwordHitsAll(col("w"))) // ONE multi-set pass in any eval mode
+          .select(col("lang"), T.langIdFromHits(col("w"), col("hits")).as("predicted"))
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted")),

@@ -102,6 +102,18 @@ object ConfluentAvro {
     }
   }
 
+  /** Avro GenericRecord -> Spark Row, by reader-schema field name. */
+  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.map { f =>
+      rec.get(f.name) match {
+        case null => null
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case bb: ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case other => other
+      }
+    }.toSeq)
+
   /** Serializable decoder closure: framed bytes -> Spark Row.
     *
     * The frame's schema id is CHECKED, not ignored: decoding a payload
@@ -110,9 +122,10 @@ object ConfluentAvro {
     * frame exists to prevent). With `expectedSchemaId = Some(id)` any other
     * id is rejected (strict: throws; safe: nulls). With `None` the id is
     * accepted as-is — callers outside a registry deployment opt into
-    * trusting their single schema. True reader/writer schema resolution
-    * requires a registry client (network) and is out of scope here;
-    * document: schema evolution needs a registry-aware decoder.
+    * trusting their single schema. For real schema EVOLUTION — payloads
+    * written under several registered schema versions — use
+    * [[fromConfluentAvroRegistry]], which resolves each id against an
+    * injected registry snapshot with zero network.
     */
   private final class Decoder(json: String, st: StructType,
       expectedSchemaId: Option[Int])
@@ -125,19 +138,47 @@ object ConfluentAvro {
       expectedSchemaId.foreach { want =>
         if (id != want) throw new IllegalArgumentException(
           s"Confluent schema id mismatch: payload written with id=$id, " +
-            s"decoder expects id=$want (schema evolution requires a registry-aware decoder)")
+            s"decoder expects id=$want (use fromConfluentAvroRegistry for evolved schemas)")
       }
       val dec = DecoderFactory.get().binaryDecoder(body, null)
       val rec = reader.read(null, dec)
-      Row.fromSeq(st.fields.map { f =>
-        rec.get(f.name) match {
-          case null => null
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case bb: ByteBuffer =>
-            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-          case other => other
-        }
-      }.toSeq)
+      recordToRow(rec, st)
+    }
+  }
+
+  /** Registry-aware decoder: resolves each payload's writer schema by the
+    * frame's id from an injected id -> schema-JSON snapshot and reads it
+    * through Avro reader/writer RESOLUTION (GenericDatumReader with
+    * distinct writer and reader schemas — ResolvingDecoder underneath).
+    * This is the reference consumer's semantics (the registry client
+    * resolves the writer schema per message id before decoding) minus the
+    * network: renamed-with-alias, added-with-default and dropped fields
+    * all decode correctly under the reader schema, and an id absent from
+    * the snapshot is REJECTED rather than misdecoded.
+    *
+    * One resolving reader is built per distinct id per executor (lazy
+    * transient map), never per row.
+    */
+  private final class RegistryDecoder(readerJson: String, st: StructType,
+      writerSchemasById: Map[Int, String])
+      extends UDF1[Array[Byte], Row] with Serializable {
+    @transient private lazy val readers: Map[Int, GenericDatumReader[GenericRecord]] = {
+      // one Parser per parse: versions share the record fullname, which a
+      // single Parser would reject as a redefinition
+      val readerSchema = new Schema.Parser().parse(readerJson)
+      writerSchemasById.map { case (id, wj) =>
+        id -> new GenericDatumReader[GenericRecord](
+          new Schema.Parser().parse(wj), readerSchema)
+      }
+    }
+    override def call(payload: Array[Byte]): Row = {
+      if (payload == null) return null
+      val (id, body) = unframe(payload)
+      val reader = readers.getOrElse(id, throw new IllegalArgumentException(
+        s"unknown Confluent schema id=$id: not in the injected registry " +
+          s"snapshot (known ids: ${readers.keys.toSeq.sorted.mkString(", ")})"))
+      val dec = DecoderFactory.get().binaryDecoder(body, null)
+      recordToRow(reader.read(null, dec), st)
     }
   }
 
@@ -173,6 +214,19 @@ object ConfluentAvro {
       expectedSchemaId: Option[Int] = None): UserDefinedFunction =
     udf(new SafeDecoder(avroSchemaJson(st, recordName), st, expectedSchemaId), st)
 
+  /** UDF: registry-aware decode with per-id writer-schema resolution.
+    * `writerSchemasById` is the registry snapshot (id -> Avro schema JSON);
+    * the reader schema is derived from `st` as usual. Payloads written
+    * under any snapshot id decode through Avro schema resolution (added
+    * fields with defaults, dropped fields, alias renames); unknown ids
+    * throw.
+    */
+  def fromConfluentAvroRegistry(st: StructType, recordName: String,
+      writerSchemasById: Map[Int, String]): UserDefinedFunction = {
+    require(writerSchemasById.nonEmpty, "registry snapshot must contain at least one schema id")
+    udf(new RegistryDecoder(avroSchemaJson(st, recordName), st, writerSchemasById), st)
+  }
+
   /** Encode convenience: `encodeCol(struct(cols...), schema, id, name)`. */
   def encodeCol(structCol: Column, st: StructType, schemaId: Int, recordName: String): Column =
     toConfluentAvro(st, schemaId, recordName)(structCol)
@@ -184,4 +238,8 @@ object ConfluentAvro {
   def decodeColSafe(payload: Column, st: StructType, recordName: String,
       expectedSchemaId: Option[Int] = None): Column =
     fromConfluentAvroSafe(st, recordName, expectedSchemaId)(payload)
+
+  def decodeColRegistry(payload: Column, st: StructType, recordName: String,
+      writerSchemasById: Map[Int, String]): Column =
+    fromConfluentAvroRegistry(st, recordName, writerSchemasById)(payload)
 }

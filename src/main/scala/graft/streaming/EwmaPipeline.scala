@@ -107,9 +107,11 @@ object EwmaPipeline {
     *    replayed after a crash (JDBC append committed, checkpoint offset
     *    not) re-runs but inserts nothing, instead of duplicating rows or
     *    crash-looping on a real pk constraint.
-    * The anti-join reads one pruned column of the target table per batch;
-    * at scale, partition the probe on pk ranges or swap in a MERGE when
-    * the dialect supports it.
+    * The probe is BOUNDED by the batch's pk [min, max]: the range filter
+    * pushes down into the database's WHERE clause, so probe cost tracks
+    * the batch's key span, not the table's full history — the unbounded
+    * whole-column read would grow linearly with table age at scale. A
+    * dialect MERGE would subsume both layers where available.
     *
     * Table absence (the first-batch case) is detected explicitly through
     * `DatabaseMetaData.getTables`, NOT by catching the probe's exception:
@@ -126,23 +128,42 @@ object EwmaPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = batch.dropDuplicates(pkCol)
-        val toInsert =
-          if (jdbcTableExists(url, table, props)) {
-            val existing = batch.sparkSession.read.jdbc(url, table, props)
-              .select(pkCol)
-            fresh.join(existing, Seq(pkCol), "left_anti")
-          } else fresh // genuinely absent: first batch auto-creates it
-        toInsert.write.mode("append").jdbc(url, table, props)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bounds = fresh.agg(min(col(pkCol)), max(col(pkCol))).head()
+          val toInsert =
+            if (bounds.isNullAt(0)) fresh // empty batch: nothing to probe
+            else if (jdbcTableExists(url, table, props)) {
+              val existing = boundedPkProbe(
+                batch.sparkSession, url, table, props, pkCol, bounds.get(0), bounds.get(1))
+              fresh.join(existing, Seq(pkCol), "left_anti")
+            } else fresh // genuinely absent: first batch auto-creates it
+          toInsert.write.mode("append").jdbc(url, table, props)
+        } finally fresh.unpersist()
       }
+
+  /** The existing-pk read behind [[jdbcSink]]'s anti-join, bounded to the
+    * replaying batch's pk range. Both comparisons are JDBC-pushdown-able
+    * filters (`PushedFilters: [GreaterThanOrEqual, LessThanOrEqual]` on
+    * the scan — asserted by JdbcSinkSpec), so the database answers from
+    * its pk index instead of shipping the whole column.
+    */
+  private[graft] def boundedPkProbe(
+      spark: SparkSession, url: String, table: String,
+      props: java.util.Properties, pkCol: String, lo: Any, hi: Any): DataFrame =
+    spark.read.jdbc(url, table, props)
+      .select(col(pkCol))
+      .filter(col(pkCol) >= lit(lo) && col(pkCol) <= lit(hi))
 
   /** True iff `table` exists per JDBC catalog metadata. Matches the table
     * name case-insensitively (Derby/Postgres fold unquoted identifiers in
     * opposite directions), scoped to the schema when `table` is qualified
     * (`schema.name`) so a same-named table elsewhere does not count. The
     * lookup passes name patterns to `getTables` (per-case-fold, so the
-    * driver can use its catalog index) instead of streaming the whole
-    * catalog every micro-batch. Any connection failure propagates — only a
-    * definite "no such table" answers false.
+    * driver can use its catalog index); only when every fold misses does it
+    * fall back to one full-catalog scan, which still finds tables created
+    * with quoted mixed-case identifiers. Any connection failure propagates
+    * — only a definite "no such table" answers false.
     */
   private[graft] def jdbcTableExists(
       url: String, table: String, props: java.util.Properties): Boolean = {
@@ -152,25 +173,25 @@ object EwmaPipeline {
       val bare = parts.last
       val schema = if (parts.length > 1) Some(parts(parts.length - 2)) else None
       val md = conn.getMetaData
+      def rowMatches(r: java.sql.ResultSet): Boolean =
+        Option(r.getString("TABLE_NAME")).exists(_.equalsIgnoreCase(bare)) &&
+          schema.forall(s => Option(r.getString("TABLE_SCHEM"))
+            .exists(_.equalsIgnoreCase(s)))
+      def scan(rs: java.sql.ResultSet): Boolean =
+        try Iterator.continually(rs).takeWhile(_.next()).exists(rowMatches)
+        finally rs.close()
       // `_` is a single-char wildcard in getTables patterns, so a pattern
       // probe can over-match (e.g. `raw_trades` ~ `rawXtrades`); rows are
       // re-checked exactly below. Probe each case fold the server may use.
       def escaped(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
-      escaped(bare).exists { namePat =>
+      val indexed = escaped(bare).exists { namePat =>
         val schemaPats = schema.map(escaped).getOrElse(Seq(null))
-        schemaPats.exists { schemaPat =>
-          val rs = md.getTables(null, schemaPat, namePat, null)
-          try {
-            Iterator.continually(rs)
-              .takeWhile(_.next())
-              .exists { r =>
-                Option(r.getString("TABLE_NAME")).exists(_.equalsIgnoreCase(bare)) &&
-                schema.forall(s => Option(r.getString("TABLE_SCHEM"))
-                  .exists(_.equalsIgnoreCase(s)))
-              }
-          } finally rs.close()
-        }
+        schemaPats.exists { schemaPat => scan(md.getTables(null, schemaPat, namePat, null)) }
       }
+      // a table created with a QUOTED mixed-case identifier ("Raw_Trades")
+      // matches none of the three case folds; fall back to one full-catalog
+      // scan (scoped to the schema pattern when given) before answering no
+      indexed || scan(md.getTables(null, null, "%", null))
     } finally conn.close()
   }
 

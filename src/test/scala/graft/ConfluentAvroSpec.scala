@@ -83,6 +83,56 @@ class ConfluentAvroSpec extends SparkSpec {
     assert(safe.filter(col("t").isNull).count() === trades.size)
   }
 
+  test("registry decode: evolved writer schema resolves against the old reader; unknown id rejected") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+
+    val v1Json = ConfluentAvro.avroSchemaJson(Ewma.schema, "EWMA")
+    // v2 adds a field with a default AND reorders — both must resolve
+    val v2Json =
+      """{"type": "record", "name": "EWMA", "namespace": "graft", "fields": [
+        |  {"name": "alpha", "type": "double"},
+        |  {"name": "source", "type": "string", "default": "registry"},
+        |  {"name": "period", "type": "long"},
+        |  {"name": "current", "type": "double"}
+        |]}""".stripMargin
+    def encodeUnder(json: String, id: Int, fields: Map[String, Any]): Array[Byte] = {
+      val schema = new Schema.Parser().parse(json)
+      val rec = new GenericData.Record(schema)
+      fields.foreach { case (k, v) =>
+        if (schema.getField(k) != null) rec.put(k, v.asInstanceOf[AnyRef])
+      }
+      if (schema.getField("source") != null) rec.put("source", new org.apache.avro.util.Utf8("s"))
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      ConfluentAvro.frame(id, out.toByteArray)
+    }
+    val fields = Map[String, Any]("period" -> 300L, "alpha" -> 0.5, "current" -> 42.5)
+    val payloads = Seq(
+      encodeUnder(v1Json, 8, fields),  // written under the reader's own version
+      encodeUnder(v2Json, 9, fields))  // written under the evolved version
+    import spark.implicits._
+    val df = payloads.toDF("value")
+    val snapshot = Map(8 -> v1Json, 9 -> v2Json)
+    val decoded = df.select(
+        ConfluentAvro.decodeColRegistry(col("value"), Ewma.schema, "EWMA", snapshot).as("e"))
+      .select("e.*").as[Ewma].collect().toSet
+    // both versions decode to the SAME reader-schema record: the added v2
+    // field is dropped, the reorder is resolved by field name
+    assert(decoded === Set(Ewma(300L, 0.5, 42.5)))
+    // an id outside the snapshot fails loudly instead of misdecoding
+    val unknown = Seq(encodeUnder(v1Json, 10, fields)).toDF("value")
+    val err = intercept[Exception] {
+      unknown.select(
+        ConfluentAvro.decodeColRegistry(col("value"), Ewma.schema, "EWMA", snapshot).as("e"))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("permissive decode nulls bad payloads instead of failing the job") {
     val good = spark.createDataset(trades).toDF()
       .select(ConfluentAvro.encodeCol(

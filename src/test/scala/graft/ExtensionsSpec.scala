@@ -26,6 +26,16 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT stopword_hits(array('the', 'le', 'cat', 'the'), 'the,a|le,la')")
       .head().getSeq[Int](0)
     assert(hits === Seq(2, 1))
+    // trailing empty set is preserved (split limit -1), not dropped
+    val trailing = spark.sql(
+      "SELECT stopword_hits(array('the', 'cat'), 'the,a|')")
+      .head().getSeq[Int](0)
+    assert(trailing === Seq(1, 0))
+    // an all-empty spec fails with a clear message, not a shape surprise
+    val err = intercept[Exception] {
+      spark.sql("SELECT stopword_hits(array('x'), '|')").collect()
+    }
+    assert(err.getMessage.contains("non-empty set"))
   }
 
   test("SQL minhash matches the Column-API expression") {

@@ -72,4 +72,40 @@ class JdbcSinkSpec extends SparkSpec {
         "jdbc:derby:memory:absentdb", "raw_events", props) // no ;create=true
     }
   }
+
+  test("table probe finds quoted mixed-case identifiers via the catalog fallback") {
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE "Raw_Trades" (id BIGINT PRIMARY KEY)""")
+      // none of the exact/UPPER/lower case-fold probes hit a quoted
+      // mixed-case name — only the full-catalog fallback does
+      assert(EwmaPipeline.jdbcTableExists(url, "Raw_Trades", props))
+      assert(EwmaPipeline.jdbcTableExists(url, "raw_trades", props))
+    } finally {
+      try conn.createStatement().execute("""DROP TABLE "Raw_Trades"""")
+      finally conn.close()
+    }
+  }
+
+  test("idempotency probe pushes the batch pk range down to the database") {
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val probe = EwmaPipeline.boundedPkProbe(
+      spark, url, "raw_events", props, "event_id", 100L, 200L)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(EVENT_ID,100)") ||
+      scan.contains("GreaterThanOrEqual(event_id,100)"),
+      s"pk lower bound not pushed to JDBC:\n$scan")
+    assert(scan.contains("LessThanOrEqual(EVENT_ID,200)") ||
+      scan.contains("LessThanOrEqual(event_id,200)"),
+      s"pk upper bound not pushed to JDBC:\n$scan")
+    // and the bounded read is still correct
+    val n = probe.count()
+    val want = spark.read.jdbc(url, "raw_events", props)
+      .filter(col("event_id").between(100L, 200L)).count()
+    assert(n === want)
+  }
 }
