@@ -111,6 +111,17 @@ object TextFunctions {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Engine-PORTABLE rolling fingerprint: the chain state is the first 16
+    * hex chars of md5(acc || token), seeded with "". Same order-sensitive
+    * contract as [[rollingFingerprint]] but reproducible in any engine
+    * with md5() and a fold (DuckDB: `list_reduce(list_prepend('', w), ...)`)
+    * — used by the oracled q44 variant; the xxhash64 chain stays the fast
+    * path (one 64-bit hash per step vs a 16-byte digest + hex slicing).
+    */
+  def rollingFingerprintMd5(text: Column): Column =
+    aggregate(tokens(text), lit(""),
+      (acc, t) => substring(md5(concat(acc, t)), 1, 16))
+
   /** PII redaction: emails, simple phone numbers and IPv4 addresses are
     * replaced with typed placeholders. Patterns stay in the regex subset
     * shared by Java regex and RE2 so the same expressions run in the

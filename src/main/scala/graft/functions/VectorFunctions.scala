@@ -42,6 +42,35 @@ object VectorFunctions {
   def signLshSignature(v: Column, bits: Int): Column =
     VectorExprs.signLshCol(v, bits)
 
+  /** Engine-PORTABLE +-1 hyperplane family: sign(d, j) = +1 iff the first
+    * hex nibble of md5("d_j") is even — one md5 per MATRIX CELL on the
+    * driver (bits x dim, computed once per plan, never per row), and the
+    * identical matrix is derivable in any engine with md5() (DuckDB:
+    * `strpos('0123456789abcdef', substring(md5(d || '_' || j), 1, 1)) - 1`).
+    */
+  def md5Planes(dim: Int, bits: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { j =>
+      (0 until dim).map { d =>
+        val firstByte = digest.digest(s"${d}_${j}".getBytes("UTF-8"))(0)
+        if ((((firstByte >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-LSH signature against EXPLICIT literal planes (e.g.
+    * [[md5Planes]]): bit j set iff dot(v, plane_j) >= 0. Each projection
+    * is the codegen'd [[dot]] against an array literal, accumulated in
+    * index order — bit-identical to any engine whose dot product folds
+    * left-to-right, which is what makes the q36 oracle possible.
+    */
+  def signLshWithPlanes(v: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63, "need 1..63 planes")
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedlit(p)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** max |v_i| — the symmetric-quantization range. */
   def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
 

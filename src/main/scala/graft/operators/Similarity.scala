@@ -54,14 +54,23 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+      bits: Int = 12, probeHamming: Int = 2,
+      planes: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    planes.foreach(ps => require(ps.size == bits, s"need $bits planes, got ${ps.size}"))
+    // explicit literal planes (e.g. V.md5Planes) make the signature — and
+    // therefore the whole approximate result — reproducible outside Spark
+    val sigOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      planes match {
+        case Some(ps) => v => V.signLshWithPlanes(v, ps)
+        case None => v => V.signLshSignature(v, bits)
+      }
     val c = corpus.select(col(idCol).as("neighbor_id"), V.asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", V.norm(col("cv")))
-      .withColumn("csig", V.signLshSignature(col("cv"), bits))
+      .withColumn("csig", sigOf(col("cv")))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
         .withColumn("qn", V.norm(col("qv")))
-        .withColumn("qsig", V.signLshSignature(col("qv"), bits)))
+        .withColumn("qsig", sigOf(col("qv"))))
     val scored = c.join(q,
         col("query_id") =!= col("neighbor_id") &&
           bit_count(col("csig").bitwiseXOR(col("qsig"))) <= probeHamming)

@@ -189,7 +189,39 @@ object AdvancedQueries {
             "embedding", "vec_id", "bucket", k = 10, nProbe = 3)
           .orderBy(col("query_id"), col("rank"))
       },
-      None, // recall vs q35 pinned by ScalaTest
+      // the coarse quantizer is the deterministic label column and the
+      // centroid is a per-dimension mean, so the whole probe-then-scan
+      // pipeline is expressible in SQL. (Centroid means may differ by ulps
+      // across engines — bucket selection margins dwarf that; the output
+      // cosines come from exact left-to-right dots, not the means.)
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (
+             |  -- dim is fixed at 64 in the synthetic embeddings (all SFs);
+             |  -- DuckDB table functions reject subquery arguments
+             |  SELECT label AS bucket, d.d AS d, avg(v[d.d]) AS m
+             |  FROM e CROSS JOIN generate_series(1, 64) AS d(d)
+             |  GROUP BY label, d.d),
+             |centl AS (SELECT bucket, list(m ORDER BY d) AS centroid FROM cent GROUP BY bucket),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |probes AS (
+             |  SELECT query_id, bucket, row_number() OVER (PARTITION BY query_id ORDER BY
+             |      list_dot_product(qv, centroid) /
+             |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) DESC,
+             |      bucket ASC) AS crank
+             |  FROM q CROSS JOIN centl),
+             |sel AS (SELECT query_id, bucket FROM probes WHERE crank <= 3),
+             |scored AS (
+             |  SELECT s.query_id, c.vec_id AS neighbor_id,
+             |    list_dot_product(qe.v, c.v) /
+             |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+             |  FROM sel s
+             |  JOIN e qe ON qe.vec_id = s.query_id
+             |  JOIN e c ON c.label = s.bucket AND c.vec_id <> s.query_id),
+             |ranked AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
       "IVF-style ANN: label column as coarse quantizer, nProbe bucket scan"),
 
     // ------------------------------------------------------ outer & cross joins

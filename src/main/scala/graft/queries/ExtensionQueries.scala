@@ -208,13 +208,44 @@ object ExtensionQueries {
     "q36_sim_lsh_topk" -> Q(
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
         Similarity.lshTopK(
             emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
-            k = 10, bits = 16, probeHamming = 6)
+            k = 10, bits = 16, probeHamming = 6,
+            planes = Some(graft.functions.VectorFunctions.md5Planes(dim, 16)))
           .orderBy(col("query_id"), col("rank"))
       },
-      None, // recall vs q35 pinned by ScalaTest
-      "sign-LSH pruned ANN top-k (scale path)"),
+      // md5-derived +-1 planes (see VectorFunctions.md5Planes) and strictly
+      // left-to-right dot accumulation in both engines make each signature
+      // bit — and so the pruned candidate set and ranking — bit-identical
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 15) AS j(j)),
+             |sigs AS (
+             |  SELECT e.vec_id,
+             |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+             |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+             |scored AS (
+             |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             |    list_dot_product(eq.v, ec.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+             |  FROM sigs qs
+             |  JOIN e eq ON eq.vec_id = qs.vec_id
+             |  JOIN sigs cs ON cs.vec_id <> qs.vec_id
+             |  JOIN e ec ON ec.vec_id = cs.vec_id
+             |  WHERE qs.vec_id < 5 AND bit_count(xor(qs.sig, cs.sig)) <= 6),
+             |ranked AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      "sign-LSH pruned ANN top-k (scale path; portable md5-plane variant)"),
 
     // ----------------------------------------------------------- text analysis
     "q40_text_stats" -> Q(
@@ -307,11 +338,44 @@ object ExtensionQueries {
         Tables.table(s, dir, "documents")
           .select(
             col("doc_id"),
-            T.rollingFingerprint(col("text")).as("fingerprint"),
-            T.simhash64(col("text")).as("simhash"))
+            T.rollingFingerprintMd5(col("text")).as("fingerprint"),
+            T.simhash64Md5(col("text")).as("simhash"))
           .orderBy(col("doc_id")),
-      None, // xxhash64-based; pinned by ScalaTest (stability + dup detection)
-      "order-sensitive rolling fingerprint + SimHash per document"),
+      // both columns derive every bit from md5 hex chars, so the oracle
+      // reproduces them exactly: the fingerprint is a left fold of
+      // substring(md5(acc || tok), 1, 16), and the simhash packs the
+      // (hex-position p, nibble-bit j) vote at bit 4*(16-p)+j — the same
+      // position that nibble occupies in the (hi<<32)|lo long the engine
+      // builds. HUGEINT carries the unsigned sum; the final CASE maps
+      // values >= 2^63 to their two's-complement BIGINT.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |fp AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend('', w), (acc, t) -> substring(md5(acc || t), 1, 16)) AS fingerprint
+             |  FROM toks),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+             |nib AS (
+             |  SELECT doc_id, p.p AS p,
+             |    strpos('0123456789abcdef', substring(md5(t), p.p, 1)) - 1 AS v
+             |  FROM tok CROSS JOIN generate_series(1, 16) AS p(p)),
+             |vt AS (
+             |  SELECT doc_id, p, j.j AS j,
+             |    sum(CASE WHEN ((v >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS votes
+             |  FROM nib CROSS JOIN generate_series(0, 3) AS j(j)
+             |  GROUP BY doc_id, p, j.j),
+             |sig AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN votes > 0 THEN (1::HUGEINT << (4 * (16 - p) + j)) ELSE 0::HUGEINT END) AS s
+             |  FROM vt GROUP BY doc_id)
+             |SELECT f.doc_id, f.fingerprint,
+             |  COALESCE((CASE WHEN s.s >= 9223372036854775808::HUGEINT
+             |                 THEN s.s - 18446744073709551616::HUGEINT
+             |                 ELSE s.s END)::BIGINT, 0) AS simhash
+             |FROM fp f LEFT JOIN sig s ON s.doc_id = f.doc_id
+             |ORDER BY f.doc_id""".stripMargin),
+      "order-sensitive rolling fingerprint + SimHash per document (portable md5-bit variant)"),
 
     "q38_text_ngrams" -> Q(
       (s, dir) =>

@@ -38,7 +38,7 @@ class AdvancedSpec extends SparkSpec {
 
   test("q44: fingerprints are stable and exact dups share them") {
     val fp = run("q44_text_fingerprint").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap // md5-chain hex + simhash long
     // doc pairs with identical text (from q30 groups with n_copies > 1)
     val groups = Tables.table(spark, sfDir, "documents")
       .groupBy("text").count().filter("count > 1").count()
