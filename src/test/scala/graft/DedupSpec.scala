@@ -69,6 +69,31 @@ class DedupSpec extends SparkSpec {
     assert(comps.values.forall(_ == 1L), "every chain node labels to the minimum")
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find, then relabel every root to the
+      // component MINIMUM (the contract connectedComponents promises)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val want = parent.keys.map(x => x -> x).toMap.keys
+        .groupBy(find).flatMap { case (_, members) =>
+          val m = members.min; members.map(_ -> m)
+        }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial with ${edges.size} edges")
+    }
+  }
+
   test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {
     import spark.implicits._
     // 1,000 docs all sharing one stop shingle ("a b c d e") plus one unique
