@@ -91,13 +91,9 @@ object TextFunctions {
     * oracled q33 variant; [[simhash64]] stays the fast path (one codegen'd
     * hash vs md5's 16-byte digest per token).
     */
-  def simhash64Md5(text: Column): Column = {
-    val hexes = transform(tokens(text), t => substring(md5(t), 1, 16))
-    val hashes = transform(hexes, x =>
-      shiftleft(conv(substring(x, 1, 8), 16, 10).cast("long"), 32)
-        .bitwiseOR(conv(substring(x, 9, 8), 16, 10).cast("long")))
-    org.apache.spark.sql.graftvec.TextExprs.simhashCol(hashes)
-  }
+  def simhash64Md5(text: Column): Column =
+    org.apache.spark.sql.graftvec.TextExprs.simhashCol(
+      org.apache.spark.sql.graftvec.TextExprs.md5LongHashesCol(tokens(text)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

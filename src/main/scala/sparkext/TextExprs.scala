@@ -26,6 +26,61 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
 
+  /** MD5-derived 64-bit hash of a UTF-8 string: the first 8 digest bytes
+    * read big-endian — identical to parsing the first 16 hex chars as
+    * (hi32 << 32) | lo32, which is what any engine with md5() can rebuild.
+    * Static + thread-confined digest so codegen can call it per element.
+    */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Long(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong()
+  }
+
+  /** Elementwise [[md5Long]] over array<string> — the portable counterpart
+    * of `transform(arr, s => xxhash64(s))`, as one compiled loop instead of
+    * an interpreted lambda with md5 -> hex -> conv -> shift per element
+    * (the chain that made the oracled SimHash variant ~2.5x slower than
+    * the xxhash path at sf0.1 before this expression existed).
+    */
+  case class Md5LongHashes(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        out(i) = md5Long(in.getUTF8String(i))
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        s"""
+           |int $m = $a.numElements();
+           |long[] $out = new long[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  $out[$i] = org.apache.spark.sql.graftvec.TextExprs.md5Long($a.getUTF8String($i));
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** MinHash signature: out[j] = min over elements h of hash_j(h), j < n. */
   case class MinHashFromHashes(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -261,4 +316,7 @@ object TextExprs {
 
   def stopwordHitsCol(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExpressionUtils.column(StopwordHits(ExpressionUtils.expression(tokens), sets))
+
+  def md5LongHashesCol(strings: Column): Column =
+    ExpressionUtils.column(Md5LongHashes(ExpressionUtils.expression(strings)))
 }

@@ -53,6 +53,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(dNear < dFar, s"near=$dNear far=$dFar")
   }
 
+  test("Md5LongHashes (codegen) == md5-hex conv formulation over the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("w", T.tokens(col("text")))
+    val viaExpr = docs.select(
+      org.apache.spark.sql.graftvec.TextExprs.md5LongHashesCol(col("w")).as("h"))
+    val viaConv = docs.select(transform(col("w"), t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))).as("h"))
+    assert(viaExpr.exceptAll(viaConv).count() === 0L)
+    assert(viaConv.exceptAll(viaExpr).count() === 0L)
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val hs = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
       .select(T.rollingFingerprint(col("text")).as("h")).collect().map(_.getLong(0))
