@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         TextExprs.ShingleHashes(args(0), intLit(args(1), "shingle size"))))
     ext.injectFunction((
+      FunctionIdentifier("md5_hashes"),
+      info("md5_hashes",
+        "md5_hashes(array<string>) - engine-portable 64-bit hashes (first 8 md5 digest bytes, big-endian)"),
+      (args: Seq[Expression]) => TextExprs.Md5LongHashes(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("stopword_hits"),
       info("stopword_hits",
         "stopword_hits(array<string>, 'w1,w2|w3,w4') - per-set token hit counts, sets '|'-separated"),

@@ -26,6 +26,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT stopword_hits(array('the', 'le', 'cat', 'the'), 'the,a|le,la')")
       .head().getSeq[Int](0)
     assert(hits === Seq(2, 1))
+    val mh = spark.sql("SELECT md5_hashes(array('a', 'b'))").head().getSeq[Long](0)
+    // first 8 md5 digest bytes big-endian: md5('a') = 0cc175b9c0f1b6a8...
+    assert(mh.head === java.lang.Long.parseUnsignedLong("0cc175b9c0f1b6a8", 16))
     // trailing empty set is preserved (split limit -1), not dropped
     val trailing = spark.sql(
       "SELECT stopword_hits(array('the', 'cat'), 'the,a|')")
