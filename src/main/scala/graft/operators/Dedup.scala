@@ -185,10 +185,12 @@ object Dedup {
     * hashes) equality with the previous round — instead of a changed-row
     * count over an uncached join chain. A graph that somehow fails to
     * converge within `maxIter` rounds THROWS rather than silently
-    * returning split labels; at O(log n) rounds the default 20 covers
-    * graphs far beyond any realistic corpus (2^20 ≈ 10^6 chain hops).
+    * returning split labels; at O(log n) rounds the default 50 covers
+    * graphs far beyond any conceivable corpus (a path graph needs about
+    * log2(diameter) rounds — measured in graft.tools.Profile: a 100k-node
+    * chain converges in well under 30).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // nodes whose only edges are self-loops still deserve a label
     val selfOnly = pairs.filter(col("id_a") === col("id_b"))
       .select(col("id_a").as("id"), col("id_a").as("comp")).distinct()

@@ -59,6 +59,21 @@ object Profile {
     time("full minhashNearDups")(
       Dedup.minhashNearDups(docs, "text", "doc_id", 5, 0.8, 16, 4).count())
 
+    // connected components at adversarial scale: path graphs maximize
+    // diameter (the old min-label propagation was O(diameter) rounds and
+    // could not finish these); large-star/small-star is O(log n) rounds
+    for (n <- Seq(10000L, 100000L, 1000000L)) {
+      val chain = spark.range(1L, n)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      time(f"cc path graph n=$n%,d")(Dedup.connectedComponents(chain).count())
+    }
+    // and a bushy random graph: 2M edges over 1M nodes
+    val randomEdges = spark.range(0L, 2000000L).select(
+      (org.apache.spark.sql.functions.rand(7) * 1000000).cast("long").as("id_a"),
+      (org.apache.spark.sql.functions.rand(8) * 1000000).cast("long").as("id_b"))
+    time("cc random 2M edges / 1M nodes")(
+      Dedup.connectedComponents(randomEdges).count())
+
     spark.stop()
   }
 }
