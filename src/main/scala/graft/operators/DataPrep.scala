@@ -53,9 +53,13 @@ object DataPrep {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       "need 1 <= stride <= chunkSize")
     docs
+      // n > 0 <=> trim(text) != "": filtering BEFORE tokenizing keeps the
+      // predicate cheap and pushdown-able — `filter(size(w) > 0)` after the
+      // projection gets pushed below it by Catalyst with the whole tokenize
+      // pipeline re-inlined, running the regex split twice per row
+      .filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc"), T.tokens(col(textCol)).as("w"))
       .withColumn("n", size(col("w")))
-      .filter(col("n") > 0)
       .withColumn("k",
         greatest(lit(0), ceil((col("n") - chunkSize).cast("double") / stride).cast("int")))
       .select(col("doc"), col("w"), col("n"),
