@@ -209,10 +209,12 @@ object Dedup {
       val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val largeMins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: duplicate (v, m) edges are harmless inside the
+      // round (smallMins aggregates them away, the round's final distinct
+      // cleans the rest) and dropping it saves one full shuffle per round
       val large = sym.join(largeMins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
       // small-star: edges are large→small, so min(dst) is the minimum of
       // the strictly-smaller neighborhood; re-attach src and every smaller
       // neighbor to it. Orientation src > dst is preserved.
