@@ -236,10 +236,13 @@ object Dedup {
     if (!converged && prevSig != null && prevSig._1 > 0) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds; see scaladoc")
     // star fixpoint: every non-root node has exactly one edge (node → root)
-    edges.select(col("src").as("id"), col("dst").as("comp"))
+    val stars = edges.select(col("src").as("id"), col("dst").as("comp"))
       .union(edges.select(col("dst").as("id"), col("dst").as("comp")))
-      .union(selfOnly)
       .distinct()
+    // self-loop-only nodes label themselves; a node with BOTH a self-loop
+    // and real edges must keep only its star label (anti-join, not union —
+    // a blind union would hand it two different label rows)
+    stars.union(selfOnly.join(stars.select(col("id")), Seq("id"), "left_anti"))
   }
 
   /** Keep one representative (min id) per near-dup cluster: every doc not

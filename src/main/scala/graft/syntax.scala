@@ -30,8 +30,8 @@ object syntax {
 
     def nearDupPairsJaccard(
         textCol: String, idCol: String,
-        shingleK: Int = 5, threshold: Double = 0.8): DataFrame =
-      Dedup.ngramJaccardPairs(df, textCol, idCol, shingleK, threshold)
+        shingleK: Int = 5, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+      Dedup.ngramJaccardPairs(df, textCol, idCol, shingleK, threshold, maxDf)
 
     def nearDupPairsMinhash(
         textCol: String, idCol: String,

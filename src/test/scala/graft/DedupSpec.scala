@@ -69,6 +69,15 @@ class DedupSpec extends SparkSpec {
     assert(comps.values.forall(_ == 1L), "every chain node labels to the minimum")
   }
 
+  test("connected components: self-loops label once, even mixed with real edges") {
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L), (9L, 9L)).toDF("id_a", "id_b")
+    val rows = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // node 2 has a self-loop AND a real edge: exactly ONE label row, the star's
+    assert(rows.sorted === Seq(1L -> 1L, 2L -> 1L, 5L -> 5L, 9L -> 9L))
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
