@@ -211,21 +211,30 @@ object EwmaPipeline {
       .outputMode(OutputMode.Append)
 
   /** Kafka source wiring (entry point B's input), Confluent-framed Avro
-    * payloads decoded via [[graft.sources.ConfluentAvro]].
+    * payloads decoded via [[graft.sources.ConfluentAvro]]. Pass
+    * `writerSchemas` (a registry snapshot: schema id -> Avro schema JSON)
+    * to decode messages written under ANY of those versions through real
+    * reader/writer resolution — the reference consumer's per-message
+    * registry lookup, minus the network hop. With the default empty map
+    * the single-schema decoder is used as before.
     */
   def kafkaSource(
       spark: SparkSession, bootstrap: String, topic: String,
       valueSchema: StructType, recordName: String,
-      startingOffsets: String = "latest"): DataFrame = {
+      startingOffsets: String = "latest",
+      writerSchemas: Map[Int, String] = Map.empty): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
-    raw.select(
-      col("key").cast("string").as("key"),
-      graft.sources.ConfluentAvro.decodeCol(col("value"), valueSchema, recordName).as("t"))
+    val decoded =
+      if (writerSchemas.nonEmpty)
+        graft.sources.ConfluentAvro.decodeColRegistry(
+          col("value"), valueSchema, recordName, writerSchemas)
+      else graft.sources.ConfluentAvro.decodeCol(col("value"), valueSchema, recordName)
+    raw.select(col("key").cast("string").as("key"), decoded.as("t"))
       .select(col("key"), col("t.*"))
   }
 
