@@ -54,6 +54,16 @@ object syntax {
     def keepOnePerCluster(idCol: String, pairs: DataFrame): DataFrame =
       Dedup.keepRepresentatives(df, idCol, pairs)
 
+    /** STREAMING near-dup candidates: on a streaming frame, emits
+      * (id_a, id_b) LSH collisions against every previously-seen doc
+      * (per-bucket state; see [[graft.streaming.StreamingLshDedup]]).
+      */
+    def nearDupCandidatesStream(
+        textCol: String, idCol: String,
+        shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+      graft.streaming.StreamingLshDedup
+        .candidates(df, textCol, idCol, shingleK, bands, rowsPerBand).toDF()
+
     // -------------------------------------------------------- similarity
     def cosineTopK(queries: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(queries, df, vecCol, idCol, k)
