@@ -60,7 +60,31 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val all = results ++ Map("ewma_stream_replay" -> streamSecs)
+    // streaming LSH near-dup replay over documents.parquet: the stateful
+    // per-bucket candidate stream (StreamingLshDedup) end-to-end
+    val slshSecs = {
+      val t0 = System.nanoTime()
+      try {
+        val docs = spark.readStream.schema(
+            spark.read.parquet(s"$sfDir/documents.parquet").schema)
+          .option("maxBytesPerTrigger", (512L * 1024 * 1024).toString)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+        val q = graft.streaming.StreamingLshDedup.candidates(docs, "text", "doc_id")
+          .writeStream.format("memory").queryName("bench_slsh_replay")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        System.err.println(
+          s"[bench] slsh_stream_replay rows=${spark.table("bench_slsh_replay").count()}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] slsh_stream_replay failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = results ++ Map(
+      "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs)
     // 3dp per query keeps the whole line ~1.5 KB: the driver captures only a
     // bounded tail of the sbt log, and a full-precision line (round 1) was
     // long enough that its start fell outside the window -> parse failure.
