@@ -44,6 +44,46 @@ class StreamingLshDedupSpec extends SparkSpec {
     require(n > 0)
   }
 
+  test("bucket state survives a checkpointed restart (cross-restart pairs found)") {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val want = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = Files.createTempDirectory("graft-slsh-ckpt-src-").toString
+    val ckpt = Files.createTempDirectory("graft-slsh-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-slsh-ckpt-out-").toString
+
+    // file sink: the memory sink refuses checkpoint recovery by design
+    def start() = StreamingLshDedup
+      .candidates(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(dir),
+        "text", "doc_id")
+      .toDF()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: first half only, then STOP (simulated restart)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val firstHalf = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // run 2: second half arrives after the restart; pairs spanning the
+    // restart exist only if the bucket state was recovered from the
+    // checkpoint
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(all === want, s"missing=${want -- all} extra=${all -- want}")
+    // at least one pair must straddle the restart for this test to mean anything
+    val crossRestart = (all -- firstHalf).exists { case (a, b) => a % 2 == 0 || b % 2 == 0 }
+    assert(crossRestart, "no cross-restart pair in the corpus — strengthen the fixture")
+  }
+
   test("re-sent documents are absorbed idempotently (at-least-once upstream)") {
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text").limit(50)
     val dir = Files.createTempDirectory("graft-slsh-dup-").toString
