@@ -25,15 +25,21 @@ object Multimodal {
         octet_length(col("payload")).cast("bigint").as("n_bytes")))
 
   /** STUB decode — deterministic fake in place of a real image decoder.
-    * Emits (width, height, channels) derived from a hash of the payload so
-    * downstream feature-extraction plumbing has realistic typed input.
-    * A real implementation would decode `payload` via an image library.
+    * Emits (width, height, channels) derived from md5 of the payload so
+    * downstream feature-extraction plumbing has realistic typed input —
+    * md5 rather than xxhash so the stub's outputs are reproducible in any
+    * engine (7 hex chars < 2^28: the conv result is exactly representable
+    * and non-negative, so % agrees across engines). A real implementation
+    * would decode `payload` via an image library; only this one column
+    * expression changes.
     */
-  def fakeDecode(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+  def fakeDecode(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val hx = md5(col(payloadCol))
     df.withColumn("decoded", struct(
-      (pmod(xxhash64(col(payloadCol)), lit(1280)) + 32).cast("int").as("width"),
-      (pmod(xxhash64(col(payloadCol), lit(1)), lit(720)) + 32).cast("int").as("height"),
+      (conv(substring(hx, 1, 7), 16, 10).cast("long") % 1280 + 32).cast("int").as("width"),
+      (conv(substring(hx, 8, 7), 16, 10).cast("long") % 720 + 32).cast("int").as("height"),
       lit(3).as("channels")))
+  }
 
   /** Frame sampling: explode the payload into fixed-size chunks — the
     * batch shape a video pipeline uses (doc, frame_idx, frame_bytes).
@@ -55,11 +61,17 @@ object Multimodal {
   }
 
   /** STUB feature extraction over decoded frames: a deterministic 8-dim
-    * "embedding" per frame from hashed payload bytes — the real version
-    * would run a vision encoder; the Spark batch shape is identical.
+    * "embedding" per frame, dimension i = (3 md5 hex chars of the frame,
+    * offset 3i) mod 1000 / 1000 — md5-derived so any engine reproduces the
+    * vector exactly. The frame's digest is STAGED as a column (HOF lambdas
+    * re-evaluate free subexpressions per element); the real version would
+    * run a vision encoder with the identical Spark batch shape.
     */
   def fakeFrameFeatures(frames: DataFrame): DataFrame =
-    frames.withColumn("features",
-      transform(sequence(lit(0), lit(7)),
-        i => (pmod(xxhash64(col("frame"), i), lit(1000)) / 1000.0)))
+    frames
+      .withColumn("__fh", md5(col("frame")))
+      .withColumn("features",
+        transform(sequence(lit(0), lit(7)),
+          i => (conv(substr(col("__fh"), i * 3 + 1, lit(3)), 16, 10).cast("long") % 1000) / 1000.0))
+      .drop("__fh")
 }

@@ -501,8 +501,24 @@ object ExtensionQueries {
             col("decoded.height").cast("bigint").as("height"),
             col("decoded.channels").cast("bigint").as("channels"))
           .orderBy(col("doc_id")),
-      None, // decode is a deterministic STUB (no codec libs here); pinned by test
-      "decode plumbing: payload -> typed (width,height,channels) struct"),
+      // the stub derives (width, height) from md5 hex of the payload —
+      // payload IS the UTF-8 bytes of text, and DuckDB's md5(VARCHAR)
+      // hashes the same bytes, so the whole struct is reproducible.
+      // list_reduce(acc*16 + nibble) re-parses the same 7-hex-char values
+      // Spark's conv() produces (both < 2^28: exact, non-negative).
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+             |v AS (SELECT doc_id,
+             |  list_reduce(list_transform(generate_series(1, 7),
+             |    i -> strpos('0123456789abcdef', substring(hx, i, 1)) - 1),
+             |    (acc, x) -> acc * 16 + x) AS v1,
+             |  list_reduce(list_transform(generate_series(8, 14),
+             |    i -> strpos('0123456789abcdef', substring(hx, i, 1)) - 1),
+             |    (acc, x) -> acc * 16 + x) AS v2
+             |  FROM h)
+             |SELECT doc_id, CAST(v1 % 1280 + 32 AS BIGINT) AS width,
+             |  CAST(v2 % 720 + 32 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels
+             |FROM v ORDER BY doc_id""".stripMargin),
+      "decode plumbing: payload -> typed (width,height,channels) struct (portable md5 stub)"),
 
     "q55_mm_features" -> Q(
       (s, dir) => {
@@ -513,6 +529,27 @@ object ExtensionQueries {
             round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feat_sum"))
           .orderBy(col("doc_id"), col("frame_idx"))
       },
-      None, // feature extractor is a deterministic STUB; pinned by test
-      "per-frame feature extraction batch shape (doc, frame, feature vector)"))
+      // frames are 256-BYTE slices of the payload; the corpus is pure
+      // ASCII (verified at every SF), so DuckDB's character substring over
+      // text slices the same bytes and md5 hashes them identically. The
+      // feat_sum fold is left-to-right from 0.0 in both engines
+      // (list_reduce over a 0.0-prepended list == Spark's aggregate), so
+      // the f64 bits match before rounding.
+      Some("""WITH fr AS (
+             |  SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+             |    md5(substring(text, (i.i * 256)::INT + 1, 256)) AS fh
+             |  FROM documents
+             |  CROSS JOIN generate_series(0, 1023) AS i(i)
+             |  WHERE i.i * 256 < octet_length(encode(text))),
+             |feats AS (
+             |  SELECT doc_id, frame_idx,
+             |    list_transform(generate_series(0, 7), d ->
+             |      (list_reduce(list_transform(generate_series(1, 3),
+             |         k -> strpos('0123456789abcdef', substring(fh, (d * 3 + k)::INT, 1)) - 1),
+             |         (acc, x) -> acc * 16 + x) % 1000) / 1000.0) AS f
+             |  FROM fr)
+             |SELECT doc_id, frame_idx,
+             |  round(list_reduce(list_prepend(0.0, f), (acc, x) -> acc + x), 6) AS feat_sum
+             |FROM feats ORDER BY doc_id, frame_idx""".stripMargin),
+      "per-frame feature extraction batch shape (doc, frame, feature vector; portable md5 stub)"))
 }
