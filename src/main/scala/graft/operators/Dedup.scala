@@ -18,6 +18,13 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   *    equi-join, not a cross join;
   *  - embedding near-dup buckets by sign-LSH signature before the exact
   *    cosine check.
+  *
+  * Pipeline ordering contract at scale: run [[exact]] BEFORE any near-dup
+  * pass. A corpus with f byte-identical copies of one document puts all f
+  * in the same LSH bucket (they share every band — that f^2 is inherent,
+  * not a banding defect); exact dedup collapses them to one
+  * representative first, so the near-dup stages only ever compare
+  * distinct texts.
   */
 object Dedup {
 
