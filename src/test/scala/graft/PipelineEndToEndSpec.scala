@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+
+/** The whole training-data pipeline composed through the public fluent
+  * API, corpus in -> packed training chunks out: proves the operator
+  * surface actually chains (column contracts line up stage to stage),
+  * which is the "a user of the reference could switch" claim in
+  * executable form.
+  */
+class PipelineEndToEndSpec extends SparkSpec {
+
+  test("corpus -> dedup -> decontaminate -> quality filter -> split -> chunk -> pack") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val total = docs.count()
+
+    // 1. exact dedup, then near-dup pairs over the collapsed corpus
+    val exactReps = docs.dedupExact("text", "doc_id")
+    val collapsed = docs.join(
+      exactReps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(collapsed.count() === exactReps.count())
+
+    // 2. near-dup clusters -> keep one per cluster
+    val pairs = collapsed.nearDupPairsJaccard("text", "doc_id")
+    val kept = collapsed.keepOnePerCluster("doc_id", pairs)
+      .filter(col("keep")).drop("component", "keep")
+    assert(kept.count() <= collapsed.count())
+    assert(kept.count() > 0)
+
+    // 3. decontaminate against a held-out probe set
+    val probes = docs.filter(col("doc_id") < 5)
+    val contaminated = kept.contaminatedBy(probes, "text", "doc_id")
+    val clean = kept.join(
+      contaminated.select(col("doc").as("doc_id")), Seq("doc_id"), "left_anti")
+    assert(clean.count() === kept.count() - contaminated.join(
+      kept.select("doc_id"), contaminated("doc") === kept("doc_id"), "left_semi").count())
+
+    // 4. quality-score and keep the usable tail
+    val scored = clean.withTextStats("text")
+    val usable = scored.filter(col("quality") >= 0.3 && col("n_tokens") >= 5)
+    assert(usable.count() > 0, "quality gate must keep a non-trivial corpus")
+
+    // 5. deterministic split, then chunk and pack ONLY the train side
+    val split = usable.hashSplit("doc_id", trainBps = 9000)
+    val train = split.filter(col("split") === "train")
+    val chunks = train.chunkTokens("text", "doc_id", chunkSize = 64, stride = 48)
+    val packs = train.packSequences("text", "doc_id", "lang", budget = 256)
+
+    // every chunk and pack row traces back to a kept, clean, train doc
+    assert(chunks.join(train.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
+      .count() === 0L)
+    assert(packs.join(train.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
+      .count() === 0L)
+    assert(chunks.count() > 0 && packs.count() > 0)
+
+    // the funnel only ever narrows
+    val counts = Seq(total, collapsed.count(), kept.count(), clean.count(), usable.count())
+    assert(counts === counts.sorted.reverse, s"pipeline funnel must narrow: $counts")
+  }
+}
