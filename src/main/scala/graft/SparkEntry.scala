@@ -32,8 +32,11 @@ object SparkEntry {
     }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops whose semantics depend on
-    * engine-specific hash functions (those are pinned by ScalaTest).
+    * the same parquet tables. Hash-dependent operators derive their bits
+    * from md5 in the registry variants precisely so they stay
+    * oracle-able; the single omission is the KMeans-trained IVF
+    * (iterative float training is engine-specific), which ScalaTest pins
+    * by recall instead.
     */
   def oracleSql: Map[String, String] = Registry.oracleSql
 }
