@@ -26,6 +26,31 @@ class SourcesSpec extends SparkSpec {
     assert(fromCsv.collect().map(_.toSeq).toSet === want)
   }
 
+  test("orc round-trips the events relation with predicate pushdown") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_us"))
+    val dir = Files.createTempDirectory("graft-orc-").toString
+    ev.coalesce(2).write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(_.toSeq).toSet === ev.collect().map(_.toSeq).toSet)
+    // ORC scans take pushed filters like parquet ones do
+    val plan = back.filter(col("event_id") > 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(event_id,100)"),
+      s"ORC filter not pushed:\n$plan")
+  }
+
+  test("text source reads raw lines; documents written one per line read back") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+    val dir = Files.createTempDirectory("graft-text-").toString
+    docs.coalesce(1).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum(length(col("value")))).head().getLong(0) ===
+      docs.agg(sum(length(col("value")))).head().getLong(0))
+  }
+
   test("rate source produces a monotonically timestamped stream") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50")
