@@ -20,7 +20,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // dedup queries persist their shingle index for the duration of the
+      // query; free it so caches never accumulate across the suite
+      graft.operators.Dedup.releaseCaches()
+      name -> secs
     }
     // streaming EWMA replay over events.parquet (BASELINE.md: <= 60 s at
     // sf0.1): full file-source micro-batch replay through the windowed

@@ -28,6 +28,31 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Shingle-index frames persisted by [[minhashNearDups]] /
+    * [[ngramJaccardPairs]]. The returned pair frames are LAZY, so the
+    * functions themselves cannot unpersist (the cache must outlive the
+    * caller's action on the result); in a long-lived session each call
+    * would otherwise pin its index for the application lifetime. Every
+    * persist is registered here and [[releaseCaches]] frees them all —
+    * call it once the pair frames have been consumed (Bench does so
+    * after every query).
+    */
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches += df
+    df
+  }
+
+  /** Unpersist every shingle index cached by earlier dedup calls. Safe to
+    * call at any time: results computed afterwards just rebuild the index.
+    */
+  def releaseCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(df => df.unpersist(blocking = false))
+    trackedCaches.clear()
+  }
+
   /** Exact dedup: one representative (min id) per identical `key` value. */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(col(keyCol))
@@ -98,14 +123,14 @@ object Dedup {
     * pipeline for the banding stage and for EACH side of the verify join
     * (3x the dominant corpus scan). At production scale the index would
     * be materialized to storage instead; MEMORY_AND_DISK is the local
-    * equivalent (it spills rather than OOMs).
+    * equivalent (it spills rather than OOMs). The cache is registered for
+    * [[releaseCaches]] — call it once the result has been consumed.
     */
   def minhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistTracked(shingleSets(docs, textCol, idCol, shingleK))
     jaccardVerifyFromSets(
       lshCandidatesFromSets(sets, bands, rowsPerBand), sets, threshold)
   }
@@ -125,13 +150,15 @@ object Dedup {
     * `maxDf` documents. At threshold 0.8 such a pair is overwhelmingly
     * boilerplate made of ubiquitous shingles — exactly the pairs a
     * near-dup pass should not be spending f^2 work on.
+    *
+    * The shingle index is persisted like [[minhashNearDups]]'s and
+    * registered for [[releaseCaches]].
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
-    val sets = shingleSets(docs, textCol, idCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistTracked(shingleSets(docs, textCol, idCol, shingleK))
     val posting = sets.select(col("doc"), explode(col("sh")).as("s"))
     val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -197,6 +224,16 @@ object Dedup {
     * log2(diameter) rounds — measured in graft.tools.Profile: a 100k-node
     * chain converges in well under 30).
     */
+  /** Star-forest invariant of the large-star/small-star fixpoint: every
+    * edge points node→root, so no node may appear on both sides — the
+    * src and dst node sets must be disjoint. One semi-join + isEmpty over
+    * the already-checkpointed edge frame.
+    */
+  private[graft] def isStarForest(edges: DataFrame): Boolean =
+    edges.select(col("dst").as("n"))
+      .join(edges.select(col("src").as("n")), Seq("n"), "left_semi")
+      .isEmpty
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // nodes whose only edges are self-loops still deserve a label
     val selfOnly = pairs.filter(col("id_a") === col("id_b"))
@@ -235,7 +272,14 @@ object Dedup {
       val sigRow = next
         .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
-      converged = sig == prevSig
+      // The (count, xor-of-hashes) signature alone could collide — or xor
+      // could cancel across a symmetric difference of edge sets — and
+      // declare convergence on a non-star graph, silently emitting
+      // duplicate labels per node. Guard: only trust a signature match
+      // after verifying the star invariant itself (runs at most once per
+      // true convergence, so the extra job is off the per-round path);
+      // a collision just keeps iterating until the real fixpoint.
+      converged = sig == prevSig && isStarForest(next)
       prevSig = sig
       edges = next
       iter += 1

@@ -67,8 +67,12 @@ object ExtensionQueries {
       // verified, so the output is q31's pair set minus LSH misses. At
       // 16 bands x 4 rows and t=0.8 the per-pair collision probability is
       // 1-(1-0.8^4)^16 ~ 0.9998 — at verify scale the result equals q31
-      // exactly, so it shares q31's engine-portable oracle (the DedupSpec
-      // recall pin stays as the safety net for the probabilistic tail).
+      // exactly, so it shares q31's engine-portable oracle. NOTE: this
+      // equality is CORPUS-VALIDATED PER SF (verified at sf0.001/0.01/0.1),
+      // not guaranteed: a new corpus could land a qualifying pair in the
+      // ~2e-4 LSH-miss tail and fail the gate with no code bug — the
+      // DedupSpec recall pin is the safety net that distinguishes that
+      // from a real regression.
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
              |  FROM documents),
@@ -535,12 +539,19 @@ object ExtensionQueries {
       // feat_sum fold is left-to-right from 0.0 in both engines
       // (list_reduce over a 0.0-prepended list == Spark's aggregate), so
       // the f64 bits match before rounding.
-      Some("""WITH fr AS (
-             |  SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
-             |    md5(substring(text, (i.i * 256)::INT + 1, 256)) AS fh
-             |  FROM documents
-             |  CROSS JOIN generate_series(0, 1023) AS i(i)
-             |  WHERE i.i * 256 < octet_length(encode(text))),
+      // the frame-index series bound is derived PER DOCUMENT from the
+      // payload length (not hardcoded), so documents of ANY size at ANY
+      // SF enumerate exactly as many frames as sampleFrames emits —
+      // including zero for an empty payload (generate_series(0,-1) = [])
+      Some("""WITH fr0 AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0,
+             |      CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1)) AS i
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             |    md5(substring(text, (i * 256)::INT + 1, 256)) AS fh
+             |  FROM fr0),
              |feats AS (
              |  SELECT doc_id, frame_idx,
              |    list_transform(generate_series(0, 7), d ->

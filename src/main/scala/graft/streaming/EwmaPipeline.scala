@@ -107,11 +107,19 @@ object EwmaPipeline {
     *    replayed after a crash (JDBC append committed, checkpoint offset
     *    not) re-runs but inserts nothing, instead of duplicating rows or
     *    crash-looping on a real pk constraint.
-    * The probe is BOUNDED by the batch's pk [min, max]: the range filter
-    * pushes down into the database's WHERE clause, so probe cost tracks
-    * the batch's key span, not the table's full history — the unbounded
-    * whole-column read would grow linearly with table age at scale. A
-    * dialect MERGE would subsume both layers where available.
+    * For NUMERIC and TEMPORAL pks the probe is BOUNDED by the batch's pk
+    * [min, max]: the range filter pushes down into the database's WHERE
+    * clause, so probe cost tracks the batch's key span, not the table's
+    * full history — the unbounded whole-column read would grow linearly
+    * with table age at scale. STRING pks deliberately fall back to the
+    * unbounded probe: the database evaluates the pushed range under ITS
+    * collation, and a linguistic or case-insensitive collation (e.g.
+    * Postgres 'en_US' where 'a' < 'B') orders differently from Spark's
+    * binary UTF8 comparison — an existing pk equal to a batch pk could
+    * fall outside the DB-evaluated range, the anti-join would miss it,
+    * and a crash replay would re-insert the row. Numeric/temporal
+    * comparisons have no collation, so the pushdown is always exact for
+    * them. A dialect MERGE would subsume both layers where available.
     *
     * Table absence (the first-batch case) is detected explicitly through
     * `DatabaseMetaData.getTables`, NOT by catching the probe's exception:
@@ -134,8 +142,12 @@ object EwmaPipeline {
           val toInsert =
             if (bounds.isNullAt(0)) fresh // empty batch: nothing to probe
             else if (jdbcTableExists(url, table, props)) {
-              val existing = boundedPkProbe(
-                batch.sparkSession, url, table, props, pkCol, bounds.get(0), bounds.get(1))
+              val existing =
+                if (collationFreePkType(fresh.schema(pkCol).dataType))
+                  boundedPkProbe(
+                    batch.sparkSession, url, table, props, pkCol, bounds.get(0), bounds.get(1))
+                else // string pk: DB collation may disagree with Spark's
+                  batch.sparkSession.read.jdbc(url, table, props).select(col(pkCol))
               fresh.join(existing, Seq(pkCol), "left_anti")
             } else fresh // genuinely absent: first batch auto-creates it
           toInsert.write.mode("append").jdbc(url, table, props)
@@ -148,6 +160,18 @@ object EwmaPipeline {
     * the scan — asserted by JdbcSinkSpec), so the database answers from
     * its pk index instead of shipping the whole column.
     */
+  /** True iff range comparisons on this pk type mean the same thing in
+    * Spark and in any JDBC database: numeric and temporal orderings are
+    * collation-free, string ordering is NOT (see [[jdbcSink]] scaladoc).
+    */
+  private[graft] def collationFreePkType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
   private[graft] def boundedPkProbe(
       spark: SparkSession, url: String, table: String,
       props: java.util.Properties, pkCol: String, lo: Any, hi: Any): DataFrame =

@@ -103,6 +103,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star invariant check rejects non-star edge sets the signature could miss") {
+    import spark.implicits._
+    // a star forest: roots 0 and 10, leaves point straight at them
+    val star = Seq((1L, 0L), (2L, 0L), (11L, 10L)).toDF("src", "dst")
+    assert(Dedup.isStarForest(star))
+    // a chain: 2 -> 1 -> 0; node 1 is on both sides, so a signature
+    // collision declaring convergence here would emit split labels
+    val chain = Seq((2L, 1L), (1L, 0L)).toDF("src", "dst")
+    assert(!Dedup.isStarForest(chain))
+  }
+
+  test("releaseCaches frees the persisted shingle indexes") {
+    Dedup.releaseCaches() // clear anything earlier tests left behind
+    val base = spark.sparkContext.getPersistentRDDs.size
+    // consume a dedup query so its tracked shingle index materializes
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 5, threshold = 0.8).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "shingle index should be cached while the result is consumed")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size === base,
+      "releaseCaches must unpersist every tracked index")
+  }
+
   test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {
     import spark.implicits._
     // 1,000 docs all sharing one stop shingle ("a b c d e") plus one unique

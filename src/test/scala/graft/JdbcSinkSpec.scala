@@ -90,6 +90,41 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("bounded probe is used only for collation-free pk types") {
+    import org.apache.spark.sql.types._
+    // numeric/temporal orderings mean the same thing in Spark and any DB
+    for (dt <- Seq(LongType, IntegerType, DoubleType, DecimalType(10, 2),
+        DateType, TimestampType, TimestampNTZType))
+      assert(EwmaPipeline.collationFreePkType(dt), s"$dt should allow the bounded probe")
+    // string ordering is collation-dependent (e.g. Postgres 'a' < 'B'):
+    // a pushed [lo,hi] range evaluated under the DB's collation can
+    // exclude an existing pk Spark considers in-range -> replay dup
+    for (dt <- Seq(StringType, BinaryType, BooleanType))
+      assert(!EwmaPipeline.collationFreePkType(dt), s"$dt must use the unbounded probe")
+  }
+
+  test("string-pk sink stays replay-idempotent via the unbounded probe") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(concat(lit("doc-"), col("doc_id")).as("pk"), col("n_chars"))
+      .limit(200)
+    val dir = Files.createTempDirectory("graft-jdbc-str-").toString
+    docs.union(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    def run(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-jdbc-str-ckpt-").toString
+      val q = EwmaPipeline.jdbcSink(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        url, "raw_docs", props, "pk", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.jdbc(url, "raw_docs", props).count() === 200)
+    run() // fresh checkpoint = full redelivery; table must be unchanged
+    assert(spark.read.jdbc(url, "raw_docs", props).count() === 200,
+      "string-pk replay must not re-insert rows")
+  }
+
   test("idempotency probe pushes the batch pk range down to the database") {
     val props = new Properties()
     props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
