@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-curation stages for large-scale training-data pipelines:
+  * rule-based quality filtering, deterministic shard assignment ("the
+  * global shuffle"), cross-document duplicated-span detection, importance
+  * weighting against a target distribution, count-min-sketch heavy
+  * hitters, and per-group hash sampling.
+  *
+  * Every operator is either a map-only projection or a bounded number of
+  * keyed aggregations — no driver-side loops, no collected state — and
+  * every emitted number is integer (ppm / bps / micro units) or
+  * fixed-rounded, so results are bit-identical across engines and across
+  * rerun/repartition (the portability contract the DuckDB oracle checks).
+  */
+object Curation {
+
+  /** First 8 md5 hex chars as a non-negative long in [0, 2^32). */
+  private def md5Head8(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  // The eight "required word" stopwords of the Gopher rules (Rae et al.
+  // 2021, table A1): a document should contain at least two of these.
+  private val RequiredStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule evaluation: per document, the raw signals
+    * and one boolean per rule plus the conjunctive `keep`. Signals are
+    * integer bps/centi units (10000 bps = 100%, 100 centi = 1 char) so
+    * thresholds compare exactly in any engine.
+    *
+    * Rules (defaults follow the published heuristics, scaled to the test
+    * corpus via `minWords`):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] chars
+    *   - >= 80% of words contain an alphabetic character
+    *   - < 90% of lines start with a bullet
+    *   - < 30% of lines end with an ellipsis
+    *   - >= 2 distinct required stopwords present
+    *
+    * Map-only: one projection per document, no shuffle — at 100 TB this
+    * runs at scan speed and the `keep` predicate pushes into downstream
+    * plans as an ordinary column filter.
+    */
+  def gopherRules(
+      docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    docs
+      .select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .withColumn("w", T.tokens(col("txt")))
+      .withColumn("lines", split(col("txt"), "\n", -1))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("n_lines", size(col("lines")).cast("bigint"))
+      .withColumn("mean_word_len_centi",
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("aggregate(w, 0L, (a, t) -> a + length(t)) * 100 DIV n_words")))
+      .withColumn("n_alpha_words",
+        size(filter(col("w"), t => t.rlike("[a-z]"))).cast("bigint"))
+      .withColumn("n_bullet_lines",
+        size(filter(col("lines"), l => l.rlike("^\\s*[-*•]"))).cast("bigint"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("lines"), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("bigint"))
+      .withColumn("alpha_word_bps",
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("n_alpha_words * 10000 DIV n_words")))
+      .withColumn("bullet_line_bps", expr("n_bullet_lines * 10000 DIV n_lines"))
+      .withColumn("ellipsis_line_bps", expr("n_ellipsis_lines * 10000 DIV n_lines"))
+      .withColumn("req_stopword_hits",
+        size(array_intersect(array_distinct(col("w")),
+          array(RequiredStopwords.map(lit): _*))).cast("bigint"))
+      .withColumn("f_words", col("n_words").between(minWords, maxWords))
+      .withColumn("f_mean_len", col("mean_word_len_centi").between(300L, 1000L))
+      .withColumn("f_alpha", col("alpha_word_bps") >= 8000L)
+      .withColumn("f_bullet", col("bullet_line_bps") < 9000L)
+      .withColumn("f_ellipsis", col("ellipsis_line_bps") < 3000L)
+      .withColumn("f_stopwords", col("req_stopword_hits") >= 2L)
+      .withColumn("keep",
+        col("f_words") && col("f_mean_len") && col("f_alpha") &&
+          col("f_bullet") && col("f_ellipsis") && col("f_stopwords"))
+      .drop("txt", "w", "lines", "n_alpha_words", "n_bullet_lines", "n_ellipsis_lines")
+  }
+
+  /** Deterministic corpus sharding — the "global training shuffle" without
+    * a global sort: shard = md5(id) mod `nShards`, position within the
+    * shard = rank by the full md5 value. Because the order key is a hash
+    * of the id, within-shard order is pseudo-random yet rerun-stable, and
+    * adding documents never reorders existing ones relative to each other.
+    *
+    * Scale: one hash-partitioned shuffle on `shard` and a per-shard sort —
+    * each shard sorts independently (no single global ordering barrier),
+    * which is exactly how a 1000-executor job writes N shuffled output
+    * shards. Writer side would be `.repartition(col("shard"))
+    * .sortWithinPartitions("pos")`.
+    */
+  def corpusShards(df: DataFrame, idCol: String, nShards: Int = 64): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc"))
+    df.select(col(idCol).as("doc"), md5(col(idCol).cast("string")).as("h"))
+      .withColumn("shard", md5Head8(col("doc")) % nShards)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc"), col("shard"), col("pos"))
+  }
+
+  /** Cross-document duplicated-span detection (the exact-substring-dedup
+    * signal): character L-grams sampled every `stride` characters, keyed
+    * by md5; a gram is "duplicated" when it occurs in >= 2 distinct
+    * documents. Per document: sampled gram count, duplicated gram count,
+    * and duplicated fraction in bps.
+    *
+    * Scale design: `stride` bounds the blowup to len/stride rows per doc
+    * (stride 1 = full suffix coverage, the classic exact-substring dedup;
+    * stride L = disjoint blocks). Grouping keys are fixed-width md5
+    * digests, never the raw grams, so shuffle rows stay small. The
+    * per-gram document-frequency aggregation is skew-safe: partial
+    * aggregation combines the boilerplate gram's count map-side before
+    * the shuffle, and the join back to positions is a plain equi-join.
+    */
+  def dupSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      gramLen: Int = 32, stride: Int = 8): DataFrame = {
+    require(gramLen >= 1 && stride >= 1, "need gramLen >= 1 and stride >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc"), col(textCol).as("txt"), length(col(textCol)).as("n"))
+      .filter(col("n") >= gramLen)
+      .select(col("doc"), col("txt"),
+        explode(sequence(lit(1), col("n") - (gramLen - 1), lit(stride))).as("i"))
+      .select(col("doc"), md5(col("txt").substr(col("i"), lit(gramLen))).as("g"))
+    val df = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc")).as("gdocs"))
+    grams
+      .join(df, Seq("g"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_bps", expr("dup_grams * 10000 DIV n_grams"))
+  }
+
+  /** DSIR-style importance weights: score each document by the summed
+    * log-likelihood ratio of its tokens under a target unigram model vs
+    * the full-corpus model (add-1 smoothing over the corpus vocabulary).
+    * Documents whose vocabulary looks like the target (e.g. lang = 'en')
+    * score high; importance resampling keeps documents proportionally.
+    *
+    * Portability: the per-token ratio is fixed-pointed to micro units
+    * once (`round(llr * 1e6)` as i64), and the per-document score is an
+    * exact integer SUM of tf * llr_micro — associative, so any shuffle
+    * or partitioning order yields bit-identical totals (the
+    * round(avg(double)) trap documented in q50 cannot occur).
+    *
+    * Scale: two token-keyed aggregations (corpus model, target model),
+    * three broadcast scalars, one join of the per-doc tf table against
+    * the (vocabulary-sized) model table, one final doc-keyed sum.
+    */
+  def importanceWeights(
+      docs: DataFrame, textCol: String, idCol: String,
+      targetPred: Column): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), targetPred.as("is_target"),
+        explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc"), col("is_target"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("tok"))
+      .agg(
+        sum(col("tf")).as("cs"),
+        sum(when(col("is_target"), col("tf")).otherwise(0L)).as("ct"))
+    val totals = model.agg(
+      sum(col("cs")).as("ns"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val llr = model.crossJoin(broadcast(totals))
+      .withColumn("llr_micro",
+        round((log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+          log((col("cs") + 1.0) / (col("ns") + col("v")))) * 1e6).cast("bigint"))
+      .select(col("tok"), col("llr_micro"))
+    tf.join(llr, Seq("tok"))
+      .groupBy(col("doc"))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("llr_micro")).as("weight_micro"))
+  }
+
+  /** Count-min-sketch heavy hitters: build a depth x width integer sketch
+    * of token frequencies, then report every token whose EXACT count is
+    * >= `minCount` together with its sketch estimate (always >= exact;
+    * the gap measures collision error at this width).
+    *
+    * Scale story: the sketch is a fixed depth*width cell table regardless
+    * of corpus size — cells are built from the per-token count table
+    * (distinct tokens, not token occurrences) and are mergeable across
+    * partitions/days by cell-wise addition, which is why CMS is the
+    * standard streaming/dataset-cardinality sketch at 100 TB. Hash j of a
+    * token is an md5 of "j:token", so the whole sketch is engine-portable.
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame, textCol: String, idCol: String,
+      depth: Int = 4, width: Int = 1024, minCount: Long = 100L): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    val exact = docs
+      .select(explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val bucket = (j: Int) =>
+      md5Head8(concat(lit(s"$j:"), col("tok"))) % width
+    val cells = exact
+      .select(col("exact"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(sum(col("exact")).as("cell"))
+    val candidates = exact.filter(col("exact") >= minCount)
+      .select(col("tok"), col("exact"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("jb"))
+      .select(col("tok"), col("exact"), col("jb.j").as("j"), col("jb.b").as("b"))
+    candidates
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("cell")).as("cms_est"))
+  }
+
+  /** Deterministic per-group sample: the `k` documents with the smallest
+    * md5(id) per group — statistically a uniform k-sample (the hash is
+    * content-independent), operationally superior to reservoir sampling
+    * at scale because it is stateless, rerun-stable, and parallelizes as
+    * an ordinary per-group top-k (rank + filter; Spark pushes the limit
+    * into the sort). Growing the corpus perturbs the sample minimally:
+    * a new doc displaces at most one existing member per group.
+    */
+  def groupHashSample(
+      df: DataFrame, idCol: String, groupCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("doc"))
+    df.select(col(idCol).as("doc"), col(groupCol).as("grp"),
+        md5(col(idCol).cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("doc"), col("grp"), col("rk"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Curation
+
+/** Corpus-curation queries (q71-q76): rule-based quality filtering,
+  * deterministic sharding, duplicated-span detection, importance
+  * weighting, count-min-sketch heavy hitters, and per-group hash
+  * sampling. All oracled: signals are integer bps/ppm/micro units or md5
+  * digests, so both engines compute bit-identical values (see
+  * [[graft.operators.Curation]] portability contract).
+  */
+object CurationQueries {
+
+  // DuckDB fold: first 8 md5 hex chars -> BIGINT (mirrors Spark's
+  // conv(substring(md5(x), 1, 8), 16, 10); both < 2^32, exact)
+  private def hex8 (e: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 8),
+       |      i -> strpos('0123456789abcdef', substring($e, i, 1)) - 1),
+       |      (a, x) -> a * 16 + x)""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q71_gopher_filter" -> Q(
+      (s, dir) =>
+        Curation.gopherRules(Tables.table(s, dir, "documents"), "text", "doc_id",
+            minWords = 20, maxWords = 100000)
+          .select(
+            col("doc"), col("n_words"), col("n_lines"),
+            col("mean_word_len_centi"), col("alpha_word_bps"),
+            col("bullet_line_bps"), col("ellipsis_line_bps"),
+            col("req_stopword_hits"),
+            col("f_words").cast("bigint").as("f_words"),
+            col("f_mean_len").cast("bigint").as("f_mean_len"),
+            col("f_alpha").cast("bigint").as("f_alpha"),
+            col("f_bullet").cast("bigint").as("f_bullet"),
+            col("f_ellipsis").cast("bigint").as("f_ellipsis"),
+            col("f_stopwords").cast("bigint").as("f_stopwords"),
+            col("keep").cast("bigint").as("keep"))
+          .orderBy(col("doc")),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS doc, text,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CASE WHEN len(w) = 0 THEN 0
+             |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
+             |    END AS mean_word_len_centi,
+             |    CASE WHEN len(w) = 0 THEN 0
+             |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
+             |    END AS alpha_word_bps,
+             |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) * 10000 // len(lines) AS bullet_line_bps,
+             |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) * 10000 // len(lines) AS ellipsis_line_bps,
+             |    CAST(len(list_intersect(list_distinct(w),
+             |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS req_stopword_hits
+             |  FROM d),
+             |f AS (
+             |  SELECT *,
+             |    (n_words BETWEEN 20 AND 100000) AS bf_words,
+             |    (mean_word_len_centi BETWEEN 300 AND 1000) AS bf_mean_len,
+             |    (alpha_word_bps >= 8000) AS bf_alpha,
+             |    (bullet_line_bps < 9000) AS bf_bullet,
+             |    (ellipsis_line_bps < 3000) AS bf_ellipsis,
+             |    (req_stopword_hits >= 2) AS bf_stopwords
+             |  FROM m)
+             |SELECT doc, n_words, n_lines, mean_word_len_centi, alpha_word_bps,
+             |  bullet_line_bps, ellipsis_line_bps, req_stopword_hits,
+             |  CAST(bf_words AS BIGINT) AS f_words,
+             |  CAST(bf_mean_len AS BIGINT) AS f_mean_len,
+             |  CAST(bf_alpha AS BIGINT) AS f_alpha,
+             |  CAST(bf_bullet AS BIGINT) AS f_bullet,
+             |  CAST(bf_ellipsis AS BIGINT) AS f_ellipsis,
+             |  CAST(bf_stopwords AS BIGINT) AS f_stopwords,
+             |  CAST(bf_words AND bf_mean_len AND bf_alpha AND bf_bullet
+             |       AND bf_ellipsis AND bf_stopwords AS BIGINT) AS keep
+             |FROM f ORDER BY doc""".stripMargin),
+      "Gopher-style quality rules: integer bps signals + per-rule flags + conjunctive keep"),
+
+    "q72_corpus_shards" -> Q(
+      (s, dir) =>
+        Curation.corpusShards(Tables.table(s, dir, "documents"), "doc_id", nShards = 16)
+          .orderBy(col("doc")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id AS doc, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+              |s AS (SELECT doc, h, ${hex8("h")} % 16 AS shard FROM d)
+              |SELECT doc, CAST(shard AS BIGINT) AS shard,
+              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc) AS BIGINT) AS pos
+              |FROM s ORDER BY doc""".stripMargin),
+      "deterministic corpus sharding: md5-mod shard + hash-ordered within-shard position"),
+
+    "q73_dup_spans" -> Q(
+      (s, dir) =>
+        Curation.dupSpans(Tables.table(s, dir, "documents"), "text", "doc_id",
+            gramLen = 32, stride = 8)
+          .orderBy(col("doc")),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS doc, text, length(text) AS n
+             |  FROM documents WHERE length(text) >= 32),
+             |p AS (
+             |  SELECT doc, text, unnest(generate_series(1, n - 31, 8)) AS i FROM d),
+             |g AS (SELECT doc, md5(substr(text, CAST(i AS INT), 32)) AS g FROM p),
+             |df AS (SELECT g, count(DISTINCT doc) AS gdocs FROM g GROUP BY g),
+             |j AS (SELECT g.doc, df.gdocs FROM g JOIN df USING (g))
+             |SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN gdocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+             |  CAST(CAST(sum(CASE WHEN gdocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             |       // count(*) AS BIGINT) AS dup_bps
+             |FROM j GROUP BY doc ORDER BY doc""".stripMargin),
+      "cross-document duplicated-span detection: sampled char 32-grams, df >= 2 coverage in bps"),
+
+    "q74_dsir_weights" -> Q(
+      (s, dir) =>
+        Curation.importanceWeights(Tables.table(s, dir, "documents"), "text", "doc_id",
+            targetPred = col("lang") === "en")
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc, (lang = 'en') AS is_target,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc, is_target, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY doc, is_target, tok),
+             |model AS (
+             |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cs,
+             |    CAST(sum(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS ct
+             |  FROM tf GROUP BY tok),
+             |tot AS (
+             |  SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt,
+             |    CAST(count(*) AS BIGINT) AS v
+             |  FROM model),
+             |llr AS (
+             |  SELECT tok, CAST(round((ln((ct + 1.0) / (nt + v)) - ln((cs + 1.0) / (ns + v))) * 1e6) AS BIGINT) AS llr_micro
+             |  FROM model CROSS JOIN tot)
+             |SELECT tf.doc, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+             |  CAST(sum(tf.tf * llr.llr_micro) AS BIGINT) AS weight_micro
+             |FROM tf JOIN llr USING (tok)
+             |GROUP BY tf.doc ORDER BY tf.doc""".stripMargin),
+      "DSIR-style importance weights: unigram log-likelihood ratio vs lang='en' target, micro-unit integers"),
+
+    "q75_cms_hitters" -> Q(
+      (s, dir) =>
+        Curation.cmsHeavyHitters(Tables.table(s, dir, "documents"), "text", "doc_id",
+            depth = 4, width = 1024, minCount = 50L)
+          .orderBy(col("tok")),
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS tok
+              |  FROM documents),
+              |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok),
+              |jb AS (
+              |  SELECT tok, exact, j,
+              |    ${hex8("md5(CAST(j AS VARCHAR) || ':' || tok)")} % 1024 AS b
+              |  FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |cells AS (SELECT j, b, CAST(sum(exact) AS BIGINT) AS cell FROM jb GROUP BY j, b),
+              |cand AS (SELECT tok, exact, j, b FROM jb WHERE exact >= 50)
+              |SELECT cand.tok, cand.exact, CAST(min(cells.cell) AS BIGINT) AS cms_est
+              |FROM cand JOIN cells USING (j, b)
+              |GROUP BY cand.tok, cand.exact ORDER BY cand.tok""".stripMargin),
+      "count-min sketch (4x1024, md5 hash family): heavy hitters with exact vs sketch estimate"),
+
+    "q76_group_sample" -> Q(
+      (s, dir) =>
+        Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)
+          .orderBy(col("grp"), col("rk")),
+      Some("""WITH s AS (
+             |  SELECT doc_id AS doc, source AS grp, md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc, grp,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY h, doc) AS BIGINT) AS rk
+             |  FROM s)
+             |SELECT doc, grp, rk FROM r WHERE rk <= 5 ORDER BY grp, rk""".stripMargin),
+      "deterministic per-group k-sample: smallest md5(id) per group (stateless reservoir equivalent)")
+  )
+}

@@ -128,6 +128,31 @@ object syntax {
     def tfidfTopTerms(textCol: String, idCol: String, k: Int = 5): DataFrame =
       graft.operators.DataPrep.tfidfTopTerms(df, textCol, idCol, k)
 
+    // ---------------------------------------------------------- curation
+    def gopherFilter(
+        textCol: String, idCol: String,
+        minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+      graft.operators.Curation.gopherRules(df, textCol, idCol, minWords, maxWords)
+
+    def corpusShards(idCol: String, nShards: Int = 64): DataFrame =
+      graft.operators.Curation.corpusShards(df, idCol, nShards)
+
+    def dupSpans(
+        textCol: String, idCol: String,
+        gramLen: Int = 32, stride: Int = 8): DataFrame =
+      graft.operators.Curation.dupSpans(df, textCol, idCol, gramLen, stride)
+
+    def importanceWeights(textCol: String, idCol: String, targetPred: Column): DataFrame =
+      graft.operators.Curation.importanceWeights(df, textCol, idCol, targetPred)
+
+    def heavyHitters(
+        textCol: String, idCol: String,
+        depth: Int = 4, width: Int = 1024, minCount: Long = 100L): DataFrame =
+      graft.operators.Curation.cmsHeavyHitters(df, textCol, idCol, depth, width, minCount)
+
+    def groupHashSample(idCol: String, groupCol: String, k: Int = 10): DataFrame =
+      graft.operators.Curation.groupHashSample(df, idCol, groupCol, k)
+
     // --------------------------------------------------------- multimodal
     def withBinaryPayload(textCol: String = "text"): DataFrame =
       Multimodal.withBinary(df, textCol)

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Pins the curation-stage semantics beyond the single parameter point the
+  * oracle queries check: rule edge cases, shard/ sample determinism, the
+  * CMS overestimate invariant, and the duplicated-span ground truth on a
+  * constructed corpus.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, sfDir, "documents").cache()
+
+  test("gopherRules: empty and bullet-heavy docs are filtered, normal prose keeps") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and that dog came to be with us have fun of it all right then"),
+      (2L, ""),
+      (3L, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten"),
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRules(d, "text", "doc_id", minWords = 5, maxWords = 100)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    assert(r(1L).getAs[Boolean]("keep"), "normal prose should keep")
+    assert(!r(2L).getAs[Boolean]("keep") && r(2L).getAs[Long]("n_words") === 0L)
+    assert(!r(3L).getAs[Boolean]("f_bullet"), "10/10 bullet lines breaches < 90%")
+    assert(!r(4L).getAs[Boolean]("f_mean_len"), "83-char word breaches mean <= 10")
+  }
+
+  test("gopherRules signals are integers computed on the real corpus") {
+    val r = Curation.gopherRules(docs, "text", "doc_id", minWords = 20)
+    assert(r.filter(col("alpha_word_bps") > 10000 || col("alpha_word_bps") < 0).count() === 0)
+    assert(r.count() === docs.count())
+  }
+
+  test("corpusShards: every doc gets a shard in range and contiguous positions per shard") {
+    val s = Curation.corpusShards(docs, "doc_id", nShards = 8).cache()
+    assert(s.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // positions are 1..count(shard) with no gaps: max == count per shard
+    val bad = s.groupBy("shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c")).count()
+    assert(bad === 0L)
+    // rerun-stable under repartitioning
+    val again = Curation.corpusShards(docs.repartition(7), "doc_id", nShards = 8)
+    assert(s.except(again).count() === 0L)
+    s.unpersist()
+  }
+
+  test("dupSpans finds a shared 64-char block and nothing in unique text") {
+    val shared = "x" * 10 + "this exact block of characters repeats across both documents!" + "y" * 10
+    val d = Seq(
+      (1L, s"prefix one $shared suffix one padded to be long enough for grams"),
+      (2L, s"another beginning $shared and a different ending entirely here"),
+      (3L, "totally unique content with no overlap whatsoever in this document at all")
+    ).toDF("doc_id", "text")
+    val r = Curation.dupSpans(d, "text", "doc_id", gramLen = 32, stride = 1)
+      .collect().map(row => row.getAs[Long]("doc") -> row.getAs[Long]("dup_grams")).toMap
+    assert(r(1L) > 0 && r(2L) > 0, "shared block must register duplicated grams")
+    assert(r(3L) === 0L, "unique doc has no cross-doc grams")
+  }
+
+  test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma delta", true),
+      (3L, "omega psi chi omega psi", false),
+      (4L, "omega psi chi phi", false)
+    ).toDF("doc_id", "text", "tgt")
+    val w = Curation.importanceWeights(d, "text", "doc_id", targetPred = col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("weight_micro")).toMap
+    assert(w(1L) > w(3L), "target-vocab doc must outweigh off-target doc")
+    assert(w(2L) > w(4L))
+  }
+
+  test("cmsHeavyHitters: estimate is always >= exact (CMS one-sided error)") {
+    val r = Curation.cmsHeavyHitters(docs, "text", "doc_id",
+      depth = 4, width = 256, minCount = 10L)
+    assert(r.count() > 0, "expect some heavy hitters at minCount=10")
+    assert(r.filter(col("cms_est") < col("exact")).count() === 0L)
+    // width large enough that at least the top hitter is exact (no collision)
+    val wide = Curation.cmsHeavyHitters(docs, "text", "doc_id",
+      depth = 4, width = 65536, minCount = 10L)
+    assert(wide.filter(col("cms_est") === col("exact")).count() > 0)
+  }
+
+  test("groupHashSample: exactly k per group (when group has >= k), stable across runs") {
+    val s = Curation.groupHashSample(docs, "doc_id", "source", k = 3).cache()
+    val sizes = s.groupBy("grp").agg(count(lit(1)).as("c"))
+    assert(sizes.filter(col("c") > 3).count() === 0)
+    val again = Curation.groupHashSample(docs.repartition(5), "doc_id", "source", k = 3)
+    assert(s.except(again).count() === 0L)
+    s.unpersist()
+  }
+}

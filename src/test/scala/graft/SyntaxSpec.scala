@@ -33,6 +33,16 @@ class SyntaxSpec extends SparkSpec {
     assert(stats.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
   }
 
+  test("curation methods delegate to the Curation operators unchanged") {
+    val viaSyntax = docs.gopherFilter("text", "doc_id", minWords = 20)
+    val direct = graft.operators.Curation.gopherRules(docs, "text", "doc_id", minWords = 20)
+    assert(viaSyntax.except(direct).count() === 0L)
+    assert(viaSyntax.count() === direct.count())
+
+    val sample = docs.groupHashSample("doc_id", "source", k = 2)
+    assert(sample.groupBy("grp").count().filter(col("count") > 2).count() === 0L)
+  }
+
   test("ewmaByKey matches the registry query result") {
     import graft.functions.EwmaFunctions
     val ev = Tables.events(spark, sfDir).withColumn("tsl", col("ts").cast("long"))
