@@ -115,10 +115,12 @@ object Curation {
     * Scale design: `stride` bounds the blowup to len/stride rows per doc
     * (stride 1 = full suffix coverage, the classic exact-substring dedup;
     * stride L = disjoint blocks). Grouping keys are fixed-width md5
-    * digests, never the raw grams, so shuffle rows stay small. The
-    * per-gram document-frequency aggregation is skew-safe: partial
-    * aggregation combines the boilerplate gram's count map-side before
-    * the shuffle, and the join back to positions is a plain equi-join.
+    * digests, never the raw grams, so shuffle rows stay small. The plan
+    * reads the corpus ONCE: positions collapse to (gram, doc) counts
+    * (partial aggregation absorbs within-doc repetition map-side), the
+    * per-gram document frequency is a window count over the already
+    * doc-distinct rows — no self-join, no second scan — and the final
+    * per-doc rollup is one more keyed aggregation.
     */
   def dupSpans(
       docs: DataFrame, textCol: String, idCol: String,
@@ -130,14 +132,16 @@ object Curation {
       .select(col("doc"), col("txt"),
         explode(sequence(lit(1), col("n") - (gramLen - 1), lit(stride))).as("i"))
       .select(col("doc"), md5(col("txt").substr(col("i"), lit(gramLen))).as("g"))
-    val df = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc")).as("gdocs"))
-    grams
-      .join(df, Seq("g"))
+    // one row per (gram, doc) -> count(*) over the gram partition IS the
+    // distinct-document frequency of that gram
+    val perDocGram = grams.groupBy(col("g"), col("doc")).agg(count(lit(1)).as("c"))
+    val byGram = Window.partitionBy(col("g"))
+    perDocGram
+      .withColumn("gdocs", count(lit(1)).over(byGram))
       .groupBy(col("doc"))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        sum(col("c")).as("n_grams"),
+        sum(when(col("gdocs") >= 2, col("c")).otherwise(0L)).as("dup_grams"))
       .withColumn("dup_bps", expr("dup_grams * 10000 DIV n_grams"))
   }
 
@@ -155,16 +159,19 @@ object Curation {
     *
     * Scale: two token-keyed aggregations (corpus model, target model),
     * three broadcast scalars, one join of the per-doc tf table against
-    * the (vocabulary-sized) model table, one final doc-keyed sum.
+    * the (vocabulary-sized) model table, one final doc-keyed sum. The tf
+    * table feeds both the model and the final join, so it is persisted
+    * (tracked — [[Dedup.releaseCaches]] frees it) rather than re-scanning
+    * and re-tokenizing the corpus for each branch.
     */
   def importanceWeights(
       docs: DataFrame, textCol: String, idCol: String,
       targetPred: Column): DataFrame = {
-    val tf = docs
+    val tf = Dedup.persistTracked(docs
       .select(col(idCol).as("doc"), targetPred.as("is_target"),
         explode(T.tokens(col(textCol))).as("tok"))
       .groupBy(col("doc"), col("is_target"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val model = tf.groupBy(col("tok"))
       .agg(
         sum(col("tf")).as("cs"),
@@ -200,9 +207,12 @@ object Curation {
       docs: DataFrame, textCol: String, idCol: String,
       depth: Int = 4, width: Int = 1024, minCount: Long = 100L): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
-    val exact = docs
+    // feeds both the sketch cells and the candidate set: persist the
+    // vocabulary-sized count table instead of scanning the corpus twice
+    // (tracked — [[Dedup.releaseCaches]] frees it)
+    val exact = Dedup.persistTracked(docs
       .select(explode(T.tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact")))
     val bucket = (j: Int) =>
       md5Head8(concat(lit(s"$j:"), col("tok"))) % width
     val cells = exact

@@ -39,7 +39,7 @@ object Dedup {
     */
   private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
+  private[operators] def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedCaches += df
     df
