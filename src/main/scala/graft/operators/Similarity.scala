@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,97 @@ object Similarity {
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("bucket"))
     val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF ANN with an ENGINE-PORTABLE KMeans coarse quantizer: Lloyd's
+    * algorithm over micro-unit fixed-point vectors with exact integer
+    * arithmetic end-to-end, so the learned centroids — and therefore the
+    * whole probe-then-scan result — are bit-identical in any engine
+    * (unlike float KMeans, where partition-order f64 accumulation makes
+    * training engine-specific; that variant is [[ivfKmeansTopK]]).
+    *
+    *  - vectors quantize once: vq[d] = round(v[d] * 1e6) as i64
+    *  - init: the `nClusters` vectors with the smallest md5(id) (a
+    *    content-independent deterministic sample, cid = sample rank)
+    *  - each Lloyd round: argmin over exact integer squared distances
+    *    (ties -> lowest cid), then centroid[d] = floorDiv(sum, count) —
+    *    exact integer sums are associative, so any partitioning or
+    *    parallelism yields the same centroids; empty clusters keep their
+    *    previous centroid
+    *  - probes: the query's `nProbe` integer-nearest centroids; final
+    *    scoring is the exact left-to-right f64 cosine on the original
+    *    vectors (the portable fold the brute-force baseline uses)
+    *
+    * Driver state is bounded by nClusters * dim longs per round (the
+    * centroid table — same driver footprint as any distributed KMeans);
+    * per round the corpus does one codegen'd scan of the persisted
+    * quantized frame plus one (cid, dim)-keyed aggregation.
+    */
+  def kmeansIntTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nClusters: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    require(nClusters >= 1 && nClusters <= 256 && nProbe >= 1 && iters >= 0,
+      "need 1 <= nClusters <= 256, nProbe >= 1, iters >= 0")
+    val micro = (v: Column) => transform(v, x => round(x * 1e6).cast("long"))
+    val e = Dedup.persistTracked(
+      corpus.select(col(idCol).as("vid"), V.asDouble(col(vecCol)).as("v"))
+        .withColumn("vq", micro(col("v"))))
+
+    def sqDist(vcol: Column, c: Array[Long]): Column =
+      aggregate(
+        zip_with(vcol, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t)
+    // (dist, cid) packed into one long — dist*256+cid preserves the
+    // (dist asc, cid asc) order and keeps argmin/sort on plain integers
+    // (unit-vector micro distances are <= ~2^47, so the pack cannot
+    // overflow); the SQL oracle ranks by the unpacked pair directly
+    def packedDist(vcol: Column, c: Array[Long], cid: Int): Column =
+      sqDist(vcol, c) * 256 + cid
+    def nearestCid(vcol: Column, cs: Array[Array[Long]]): Column =
+      (array_min(array(cs.zipWithIndex.map { case (c, i) =>
+        packedDist(vcol, c, i) }: _*)) % 256).cast("int")
+
+    var centroids: Array[Array[Long]] = e
+      .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(nClusters)
+      .collect().map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 to iters) {
+      val sums = e.select(nearestCid(col("vq"), centroids).as("cid"),
+          posexplode(col("vq")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+      }
+      centroids = next
+    }
+
+    val assigned = e.select(
+        col("vid").as("neighbor_id"), col("v").as("cv"),
+        nearestCid(col("vq"), centroids).as("bucket"))
+      .withColumn("cn", V.norm(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qvq", micro(col("qv")))
+      .withColumn("qn", V.norm(col("qv")))
+    val probes = q
+      .withColumn("pr", array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        packedDist(col("qvq"), c, i) }: _*)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(slice(col("pr"), 1, nProbe)).as("pb"))
+      .select(col("query_id"), col("qv"), col("qn"), (col("pb") % 256).cast("int").as("bucket"))
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))

@@ -170,16 +170,58 @@ object AdvancedQueries {
       "correlated EXISTS subquery (decorrelated by Catalyst into a semi join)"),
 
     // ----------------------------------------------------------- IVF ANN path
+    // Lloyd training reproduced in SQL: iteration i assigns by exact
+    // integer squared distance to c{i-1} and floor-divides per-dim sums
+    // into c{i} (empty clusters keep the previous centroid).
     "q58_sim_ivf_kmeans" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfKmeansTopK(
+        Similarity.kmeansIntTopK(
             emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
-            k = 10, nClusters = 8, nProbe = 3)
+            k = 10, nClusters = 8, nProbe = 3, iters = 3)
           .orderBy(col("query_id"), col("rank"))
       },
-      None, // recall vs q35 pinned by ScalaTest
-      "IVF ANN with a KMeans-learned coarse quantizer (nProbe cluster scan)"),
+      Some {
+        def iter(i: Int): String =
+          s"""asg$i AS (SELECT vec_id, vq, cid FROM (
+             |  SELECT e.vec_id, e.vq, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+             |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+             |s$i AS (SELECT cid, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM asg$i CROSS JOIN generate_series(1, 64) AS dd(d) GROUP BY cid, dd.d),
+             |m$i AS (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM s$i GROUP BY cid),
+             |c$i AS (SELECT p.cid, COALESCE(m$i.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i USING (cid))""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+           |  FROM embeddings),
+           |ini AS (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
+           |c0 AS (SELECT rk - 1 AS cid, vq AS c FROM ini WHERE rk <= 8),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |af AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+           |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 5),
+           |pr AS (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
+           |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
+           |  FROM q CROSS JOIN c3 c),
+           |sel AS (SELECT query_id, bucket FROM pr WHERE crank <= 3),
+           |scored AS (SELECT s.query_id, a.vec_id AS neighbor_id,
+           |    list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           |  FROM sel s
+           |  JOIN af a ON a.cid = s.bucket AND a.vec_id <> s.query_id
+           |  JOIN e qe ON qe.vec_id = s.query_id
+           |  JOIN e ce ON ce.vec_id = a.vec_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      "IVF ANN with a KMeans-learned coarse quantizer — integer Lloyd's, fully engine-portable " +
+        "(float-KMeans variant Similarity.ivfKmeansTopK stays spec-pinned)"),
 
     "q37_sim_ivf_topk" -> Q(
       (s, dir) => {

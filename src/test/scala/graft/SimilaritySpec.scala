@@ -54,6 +54,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("integer-Lloyd KMeans-IVF: decent recall, rerun-stable, bounded buckets") {
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.kmeansIntTopK(queries, emb, "embedding", "vec_id",
+      k = 10, nClusters = 8, nProbe = 3, iters = 3)
+    val pairs = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    // training is exact integer arithmetic: a repartitioned rerun is
+    // bit-identical (the float-KMeans variant cannot promise this)
+    val again = Similarity.kmeansIntTopK(queries, emb.repartition(7), "embedding",
+        "vec_id", k = 10, nClusters = 8, nProbe = 3, iters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === again)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("IVF top-k returns k well-formed rows per query with valid ranks") {
     val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(8)))
     val out = Similarity.ivfTopK(queries, bucketed, "embedding", "vec_id", "bucket",
