@@ -147,7 +147,8 @@ object Similarity {
     * (unlike float KMeans, where partition-order f64 accumulation makes
     * training engine-specific; that variant is [[ivfKmeansTopK]]).
     *
-    *  - vectors quantize once: vq[d] = round(v[d] * 1e6) as i64
+    *  - vectors quantize once: vq[d] = round(v[d] * 1e6), an integer
+    *    carried exactly in f64 (all derived values stay below 2^53)
     *  - init: the `nClusters` vectors with the smallest md5(id) (a
     *    content-independent deterministic sample, cid = sample rank)
     *  - each Lloyd round: argmin over exact integer squared distances
@@ -170,53 +171,62 @@ object Similarity {
       k: Int, nClusters: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
     require(nClusters >= 1 && nClusters <= 256 && nProbe >= 1 && iters >= 0,
       "need 1 <= nClusters <= 256, nProbe >= 1, iters >= 0")
-    val micro = (v: Column) => transform(v, x => round(x * 1e6).cast("long"))
+    // micro-unit quantized coords, kept as EXACT-INTEGER-VALUED doubles:
+    // every product (<= ~1.2e12), running dot sum (<= ~7.2e13) and the
+    // expansion |v-c|^2 = v.v - 2 v.c + c.c (<= ~3e14) is an integer
+    // below 2^53, so f64 arithmetic is exact and engine-portable AND the
+    // distance goes through the codegen'd dot-product expression — the
+    // naive per-centroid zip_with/aggregate HOF formulation built a
+    // ~6000-node expression tree whose per-round planning alone cost
+    // seconds (and evaluated interpreted)
+    val micro = (v: Column) => transform(v, x => round(x * 1e6))
     val e = Dedup.persistTracked(
       corpus.select(col(idCol).as("vid"), V.asDouble(col(vecCol)).as("v"))
-        .withColumn("vq", micro(col("v"))))
+        .withColumn("vq", micro(col("v")))
+        .withColumn("vv", V.dot(col("vq"), col("vq"))))
 
-    def sqDist(vcol: Column, c: Array[Long]): Column =
-      aggregate(
-        zip_with(vcol, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t)
     // (dist, cid) packed into one long — dist*256+cid preserves the
     // (dist asc, cid asc) order and keeps argmin/sort on plain integers
-    // (unit-vector micro distances are <= ~2^47, so the pack cannot
-    // overflow); the SQL oracle ranks by the unpacked pair directly
-    def packedDist(vcol: Column, c: Array[Long], cid: Int): Column =
-      sqDist(vcol, c) * 256 + cid
-    def nearestCid(vcol: Column, cs: Array[Array[Long]]): Column =
+    // (micro distances are <= ~2^48, so the pack cannot overflow); the
+    // SQL oracle ranks by the unpacked pair directly
+    def packedDist(vcol: Column, vvcol: Column, c: Array[Double], cid: Int): Column = {
+      val cc = c.map(x => x * x).sum // exact: 64 integer-valued squares
+      ((vvcol - lit(2.0) * V.dot(vcol, lit(c)) + lit(cc)).cast("long") * 256 + cid)
+    }
+    def nearestCid(vcol: Column, vvcol: Column, cs: Array[Array[Double]]): Column =
       (array_min(array(cs.zipWithIndex.map { case (c, i) =>
-        packedDist(vcol, c, i) }: _*)) % 256).cast("int")
+        packedDist(vcol, vvcol, c, i) }: _*)) % 256).cast("int")
 
-    var centroids: Array[Array[Long]] = e
+    var centroids: Array[Array[Double]] = e
       .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
       .orderBy(col("h"), col("vid")).limit(nClusters)
-      .collect().map(_.getSeq[Long](1).toArray)
+      .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
-      val sums = e.select(nearestCid(col("vq"), centroids).as("cid"),
+      val sums = e.select(nearestCid(col("vq"), col("vv"), centroids).as("cid"),
           posexplode(col("vq")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        next(r.getInt(0))(r.getInt(1)) =
+          Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
       }
       centroids = next
     }
 
     val assigned = e.select(
         col("vid").as("neighbor_id"), col("v").as("cv"),
-        nearestCid(col("vq"), centroids).as("bucket"))
+        nearestCid(col("vq"), col("vv"), centroids).as("bucket"))
       .withColumn("cn", V.norm(col("cv")))
     val q = queries
       .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
       .withColumn("qvq", micro(col("qv")))
+      .withColumn("qvv", V.dot(col("qvq"), col("qvq")))
       .withColumn("qn", V.norm(col("qv")))
     val probes = q
       .withColumn("pr", array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-        packedDist(col("qvq"), c, i) }: _*)))
+        packedDist(col("qvq"), col("qvv"), c, i) }: _*)))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(slice(col("pr"), 1, nProbe)).as("pb"))
       .select(col("query_id"), col("qv"), col("qn"), (col("pb") % 256).cast("int").as("bucket"))
