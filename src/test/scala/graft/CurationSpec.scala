@@ -50,6 +50,25 @@ class CurationSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("corpusShards writer path: repartition by shard yields shard-pure sorted files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-").toString + "/out"
+    Curation.corpusShards(docs, "doc_id", nShards = 4)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.partitionBy("shard").parquet(dir)
+    // shard=N directory layout, each file pos-sorted, positions covering
+    // 1..count with no gaps — the layout a 1000-executor training-shuffle
+    // writer needs (readers stream any shard independently, in order)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.toString)
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      val pos = spark.read.parquet(d).select(col("pos")).collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted), s"shard dir $d not pos-sorted")
+      assert(pos.head === 1L && pos.last === pos.length.toLong, s"shard dir $d has gaps")
+    }
+  }
+
   test("dupSpans finds a shared 64-char block and nothing in unique text") {
     val shared = "x" * 10 + "this exact block of characters repeats across both documents!" + "y" * 10
     val d = Seq(
