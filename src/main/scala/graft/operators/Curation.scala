@@ -121,6 +121,12 @@ object Curation {
     * per-gram document frequency is a window count over the already
     * doc-distinct rows — no self-join, no second scan — and the final
     * per-doc rollup is one more keyed aggregation.
+    *
+    * Position enumeration materializes a per-row `sequence` of
+    * len/stride ints before exploding — fine for web-scale documents
+    * (1 MB text at stride 8 is a 125k-element array), but callers
+    * feeding multi-hundred-MB blobs should pre-split them (e.g. with
+    * [[DataPrep.chunkTokens]]) so no single row carries a giant array.
     */
   def dupSpans(
       docs: DataFrame, textCol: String, idCol: String,
@@ -213,8 +219,7 @@ object Curation {
     val exact = Dedup.persistTracked(docs
       .select(explode(T.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("exact")))
-    val bucket = (j: Int) =>
-      md5Head8(concat(lit(s"$j:"), col("tok"))) % width
+    val bucket = (j: Int) => cmsBucket(col("tok"), j, width)
     val cells = exact
       .select(col("exact"),
         explode(array((0 until depth).map(j =>
@@ -231,6 +236,15 @@ object Curation {
       .groupBy(col("tok"), col("exact"))
       .agg(min(col("cell")).as("cms_est"))
   }
+
+  /** CMS bucket of `tok` for hash row `j` (md5 of "j:token" mod width).
+    * Public so streaming jobs can build the same sketch incrementally:
+    * cells are plain sums, so a streaming groupBy((j, bucket)).count IS a
+    * running CMS whose state never exceeds depth*width rows, and
+    * per-batch/per-day sketches merge by cell-wise addition.
+    */
+  def cmsBucket(tok: Column, j: Int, width: Int): Column =
+    md5Head8(concat(lit(s"$j:"), tok)) % width
 
   /** Deterministic per-group sample: the `k` documents with the smallest
     * md5(id) per group — statistically a uniform k-sample (the hash is

@@ -45,4 +45,38 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
     } finally q.stop()
   }
+
+  test("streaming count-min sketch: incremental cells equal the batch sketch") {
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.Curation
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-scms-").toString
+    docs.coalesce(3).write.parquet(s"$dir/in")
+
+    def cells(toks: org.apache.spark.sql.DataFrame) = toks
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), Curation.cmsBucket(col("tok"), j, 256).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+
+    // sketch state is bounded by depth*width rows no matter how much
+    // stream passes through — the always-on profile of an ingest firehose
+    val stream = cells(spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .select(explode(T.tokens(col("text"))).as("tok")))
+    val q = stream.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Int]("j"), r.getAs[Long]("b")) -> r.getAs[Long]("cell")
+      val streamed = spark.table("scms").collect().map(key).toMap
+      val batch = cells(docs.select(explode(T.tokens(col("text"))).as("tok")))
+        .collect().map(key).toMap
+      assert(streamed === batch, "incremental sketch must equal the batch sketch")
+      assert(streamed.size <= 4 * 256)
+    } finally q.stop()
+  }
 }
