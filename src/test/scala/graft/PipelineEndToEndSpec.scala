@@ -59,4 +59,37 @@ class PipelineEndToEndSpec extends SparkSpec {
     val counts = Seq(total, collapsed.count(), kept.count(), clean.count(), usable.count())
     assert(counts === counts.sorted.reverse, s"pipeline funnel must narrow: $counts")
   }
+
+  test("curation stages compose: rules -> weights -> spans -> shards -> sample") {
+    val docs = Tables.table(spark, sfDir, "documents")
+
+    // rule gate (the corpus fails the stopword rule wholesale, so gate on
+    // the rules that discriminate here) joined back by id
+    val rules = docs.gopherFilter("text", "doc_id", minWords = 20)
+    val gated = docs.join(
+      rules.filter(col("f_words") && col("f_mean_len") && col("f_alpha"))
+        .select(col("doc").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(gated.count() > 0 && gated.count() < docs.count())
+
+    // annotate with importance weights and duplicated-span coverage
+    val weights = gated.importanceWeights("text", "doc_id", col("lang") === "en")
+    val spans = gated.dupSpans("text", "doc_id", gramLen = 32, stride = 8)
+    val annotated = gated
+      .join(weights.withColumnRenamed("doc", "doc_id"), Seq("doc_id"))
+      .join(spans.withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+    assert(annotated.count() === gated.count(),
+      "every gated doc must carry a weight; span stats may be null for short docs")
+
+    // shard the survivors and draw a per-source QA sample
+    val shards = annotated.corpusShards("doc_id", nShards = 8)
+    assert(shards.count() === annotated.count())
+    assert(shards.select("shard").distinct().count() === 8)
+    val sample = annotated.groupHashSample("doc_id", "source", k = 2)
+    assert(sample.groupBy("grp").count().filter(col("count") > 2).count() === 0)
+    // sampled ids are survivors
+    assert(sample.join(annotated.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
+      .count() === 0L)
+    graft.operators.Dedup.releaseCaches()
+  }
 }
