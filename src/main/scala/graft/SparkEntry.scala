@@ -32,11 +32,10 @@ object SparkEntry {
     }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Hash-dependent operators derive their bits
-    * from md5 in the registry variants precisely so they stay
-    * oracle-able; the single omission is the KMeans-trained IVF
-    * (iterative float training is engine-specific), which ScalaTest pins
-    * by recall instead.
+    * the same parquet tables. EVERY registry query has an oracle:
+    * hash-dependent operators derive their bits from md5 in the registry
+    * variants, and the KMeans-trained IVF (q58) trains with exact integer
+    * Lloyd rounds the oracle replays in SQL — nothing is rows-only.
     */
   def oracleSql: Map[String, String] = Registry.oracleSql
 }

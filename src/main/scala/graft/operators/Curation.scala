@@ -71,7 +71,8 @@ object Curation {
       .withColumn("bullet_line_bps", expr("n_bullet_lines * 10000 DIV n_lines"))
       .withColumn("ellipsis_line_bps", expr("n_ellipsis_lines * 10000 DIV n_lines"))
       .withColumn("req_stopword_hits",
-        size(array_intersect(array_distinct(col("w")),
+        // array_intersect already returns the distinct intersection
+        size(array_intersect(col("w"),
           array(RequiredStopwords.map(lit): _*))).cast("bigint"))
       .withColumn("f_words", col("n_words").between(minWords, maxWords))
       .withColumn("f_mean_len", col("mean_word_len_centi").between(300L, 1000L))
@@ -161,7 +162,12 @@ object Curation {
     * once (`round(llr * 1e6)` as i64), and the per-document score is an
     * exact integer SUM of tf * llr_micro — associative, so any shuffle
     * or partitioning order yields bit-identical totals (the
-    * round(avg(double)) trap documented in q50 cannot occur).
+    * round(avg(double)) trap documented in q50 cannot occur). One
+    * residual cross-engine caveat: the single ln() evaluation per vocab
+    * term could differ by 1 ulp between libm implementations, flipping
+    * llr_micro by 1 when the product lands within an ulp of a .5
+    * boundary — same acknowledged risk class as q69's rounded-ln scores;
+    * corpus-validated per SF by the oracle gate.
     *
     * Scale: two token-keyed aggregations (corpus model, target model),
     * three broadcast scalars, one join of the per-doc tf table against
@@ -219,18 +225,17 @@ object Curation {
     val exact = Dedup.persistTracked(docs
       .select(explode(T.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("exact")))
-    val bucket = (j: Int) => cmsBucket(col("tok"), j, width)
-    val cells = exact
-      .select(col("exact"),
-        explode(array((0 until depth).map(j =>
-          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("jb"))
-      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
-      .agg(sum(col("exact")).as("cell"))
-    val candidates = exact.filter(col("exact") >= minCount)
+    // one bucketed projection feeds both the sketch and the candidate
+    // probe (the shape the q75 oracle's single jb CTE models)
+    val jb = exact
       .select(col("tok"), col("exact"),
         explode(array((0 until depth).map(j =>
-          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("jb"))
+          struct(lit(j).as("j"), cmsBucket(col("tok"), j, width).as("b"))): _*)).as("jb"))
       .select(col("tok"), col("exact"), col("jb.j").as("j"), col("jb.b").as("b"))
+    val cells = jb
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("exact")).as("cell"))
+    val candidates = jb.filter(col("exact") >= minCount)
     candidates
       .join(broadcast(cells), Seq("j", "b"))
       .groupBy(col("tok"), col("exact"))

@@ -93,6 +93,7 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("weight_micro")).toMap
     assert(w(1L) > w(3L), "target-vocab doc must outweigh off-target doc")
     assert(w(2L) > w(4L))
+    graft.operators.Dedup.releaseCaches()
   }
 
   test("cmsHeavyHitters: estimate is always >= exact (CMS one-sided error)") {
@@ -104,6 +105,7 @@ class CurationSpec extends SparkSpec {
     val wide = Curation.cmsHeavyHitters(docs, "text", "doc_id",
       depth = 4, width = 65536, minCount = 10L)
     assert(wide.filter(col("cms_est") === col("exact")).count() > 0)
+    graft.operators.Dedup.releaseCaches()
   }
 
   test("groupHashSample: exactly k per group (when group has >= k), stable across runs") {
