@@ -255,9 +255,11 @@ object Curation {
     * md5(id) per group — statistically a uniform k-sample (the hash is
     * content-independent), operationally superior to reservoir sampling
     * at scale because it is stateless, rerun-stable, and parallelizes as
-    * an ordinary per-group top-k (rank + filter; Spark pushes the limit
-    * into the sort). Growing the corpus perturbs the sample minimally:
-    * a new doc displaces at most one existing member per group.
+    * an ordinary per-group top-k (rank + filter; Spark plans it with a
+    * PARTIAL WindowGroupLimit before the shuffle, so each partition ships
+    * at most k rows per group — shuffle volume is bounded by k * groups
+    * no matter the corpus size). Growing the corpus perturbs the sample
+    * minimally: a new doc displaces at most one existing member per group.
     */
   def groupHashSample(
       df: DataFrame, idCol: String, groupCol: String, k: Int = 10): DataFrame = {
