@@ -152,6 +152,78 @@ object Curation {
       .withColumn("dup_bps", expr("dup_grams * 10000 DIV n_grams"))
   }
 
+  /** EXACT-SUBSTRING DEDUPLICATION (the remove transform): delete every
+    * character span that duplicates text in another document, keeping ONE
+    * copy corpus-wide (the span survives in the minimum doc id that
+    * contains its gram — the distributed analogue of suffix-array
+    * exact-substring dedup from the "Deduplicating Training Data" line of
+    * work). [[dupSpans]] measures; this rewrites.
+    *
+    * Pipeline (all relational, no per-character explosion):
+    *  1. stride-1 char L-grams keyed by md5 — the L-fold row blowup is
+    *     the honest cost of complete coverage (suffix arrays pay the
+    *     same factor in index space); run it AFTER cheaper dedup stages
+    *  2. per gram: document frequency + keeper (min doc id)
+    *  3. removable positions (df >= 2, doc != keeper) merge into maximal
+    *     spans via gaps-and-islands: a running max of span ends splits
+    *     islands, one window pass per doc
+    *  4. reconstruction stitches the BETWEEN-island segments with a
+    *     zip_with over (starts, ends) cut points — islands per doc is
+    *     small, so this is array work on materialized columns, never a
+    *     char-level join
+    *
+    * Returns (doc, n_spans, chars_removed, clean_text); docs shorter
+    * than `gramLen` (or with nothing duplicated) pass through unchanged.
+    */
+  def removeDupSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      gramLen: Int = 32): DataFrame = {
+    require(gramLen >= 1, "gramLen must be >= 1")
+    val base = docs.select(col(idCol).as("doc"), col(textCol).as("txt"),
+      length(col(textCol)).as("n"))
+    // the gram index feeds both the keeper aggregation and the join-back;
+    // persist it (tracked — [[Dedup.releaseCaches]]) so the L-fold
+    // explode+hash runs once, like the other dedup indexes
+    val grams = Dedup.persistTracked(base
+      .filter(col("n") >= gramLen)
+      .select(col("doc"), col("txt"),
+        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("i"))
+      .select(col("doc"), col("i"), md5(col("txt").substr(col("i"), lit(gramLen))).as("g")))
+    val keepers = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc")).as("gdocs"), min(col("doc")).as("keeper"))
+    val removable = grams.join(keepers, Seq("g"))
+      .filter(col("gdocs") >= 2 && col("doc") =!= col("keeper"))
+      .select(col("doc"), col("i"))
+    // gaps-and-islands: a position starts a new island iff it lies beyond
+    // every previous span's end (exclusive), so overlapping AND adjacent
+    // spans merge into one maximal island
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("i"))
+    val prevEnd = max(col("i") + gramLen).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = removable
+      .withColumn("newi", when(col("i") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("newi")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc"), col("isl"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + gramLen).as("e"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    base
+      .join(islands, Seq("doc"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("spans"), p => p.getField("e"))))
+      .withColumn("ends",
+        concat(transform(col("spans"), p => p.getField("s")), array(col("n") + 1)))
+      .withColumn("segs",
+        zip_with(col("starts"), col("ends"), (st, en) => col("txt").substr(st, en - st)))
+      .select(
+        col("doc"),
+        size(col("spans")).cast("bigint").as("n_spans"),
+        coalesce(aggregate(col("spans"), lit(0L), (acc, p) =>
+          acc + (p.getField("e") - p.getField("s"))), lit(0L)).as("chars_removed"),
+        array_join(col("segs"), "").as("clean_text"))
+  }
+
   /** DSIR-style importance weights: score each document by the summed
     * log-likelihood ratio of its tokens under a target unigram model vs
     * the full-corpus model (add-1 smoothing over the corpus vocabulary).

@@ -163,6 +163,48 @@ object CurationQueries {
               |GROUP BY cand.tok, cand.exact ORDER BY cand.tok""".stripMargin),
       "count-min sketch (4x1024, md5 hash family): heavy hitters with exact vs sketch estimate"),
 
+    "q77_dedup_substr_rm" -> Q(
+      (s, dir) =>
+        Curation.removeDupSpans(Tables.table(s, dir, "documents"), "text", "doc_id",
+            gramLen = 32)
+          .orderBy(col("doc")),
+      Some("""WITH base AS (SELECT doc_id AS doc, text AS txt, length(text) AS n FROM documents),
+             |g AS (
+             |  SELECT doc, i, md5(substr(txt, CAST(i AS INT), 32)) AS g
+             |  FROM (SELECT doc, txt, unnest(generate_series(1, n - 31)) AS i
+             |        FROM base WHERE n >= 32)),
+             |k AS (SELECT g, count(DISTINCT doc) AS gdocs, min(doc) AS keeper FROM g GROUP BY g),
+             |r AS (SELECT g.doc, g.i FROM g JOIN k USING (g)
+             |      WHERE k.gdocs >= 2 AND g.doc <> k.keeper),
+             |fl AS (
+             |  SELECT doc, i,
+             |    CASE WHEN max(i + 32) OVER (PARTITION BY doc ORDER BY i
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |         OR i > max(i + 32) OVER (PARTITION BY doc ORDER BY i
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 1 ELSE 0 END AS newi
+             |  FROM r),
+             |il AS (SELECT doc, i, sum(newi) OVER (PARTITION BY doc ORDER BY i
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fl),
+             |sp AS (SELECT doc, isl, min(i) AS s, max(i) + 32 AS e FROM il GROUP BY doc, isl),
+             |spl AS (SELECT doc, list(struct_pack(s := s, e := e) ORDER BY s) AS spans
+             |        FROM sp GROUP BY doc),
+             |j AS (SELECT b.doc, b.txt, b.n, spl.spans FROM base b LEFT JOIN spl USING (doc)),
+             |seg AS (
+             |  SELECT doc, txt, spans,
+             |    CASE WHEN spans IS NULL THEN [CAST(1 AS BIGINT)]
+             |         ELSE list_prepend(CAST(1 AS BIGINT), list_transform(spans, p -> CAST(p.e AS BIGINT))) END AS starts,
+             |    CASE WHEN spans IS NULL THEN [CAST(n + 1 AS BIGINT)]
+             |         ELSE list_append(list_transform(spans, p -> CAST(p.s AS BIGINT)), CAST(n + 1 AS BIGINT)) END AS ends
+             |  FROM j)
+             |SELECT doc,
+             |  CAST(COALESCE(len(spans), 0) AS BIGINT) AS n_spans,
+             |  CAST(COALESCE(list_sum(list_transform(spans, p -> p.e - p.s)), 0) AS BIGINT) AS chars_removed,
+             |  array_to_string(list_transform(generate_series(1, len(starts)),
+             |    x -> substr(txt, CAST(starts[x] AS INT), CAST(ends[x] - starts[x] AS INT))), '') AS clean_text
+             |FROM seg ORDER BY doc""".stripMargin),
+      "exact-substring dedup transform: remove cross-doc duplicated spans, keep one copy corpus-wide"),
+
     "q76_group_sample" -> Q(
       (s, dir) =>
         Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)

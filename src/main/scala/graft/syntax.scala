@@ -142,6 +142,9 @@ object syntax {
         gramLen: Int = 32, stride: Int = 8): DataFrame =
       graft.operators.Curation.dupSpans(df, textCol, idCol, gramLen, stride)
 
+    def removeDupSpans(textCol: String, idCol: String, gramLen: Int = 32): DataFrame =
+      graft.operators.Curation.removeDupSpans(df, textCol, idCol, gramLen)
+
     def importanceWeights(textCol: String, idCol: String, targetPred: Column): DataFrame =
       graft.operators.Curation.importanceWeights(df, textCol, idCol, targetPred)
 

@@ -82,6 +82,40 @@ class CurationSpec extends SparkSpec {
     assert(r(3L) === 0L, "unique doc has no cross-doc grams")
   }
 
+  test("removeDupSpans deletes the shared block everywhere but the keeper doc") {
+    val shared = "0123456789" * 5 // 50 chars -> every 32-gram inside is shared
+    val d = Seq(
+      (1L, s"AAAA ${shared} BBBB"),
+      (2L, s"CCCC ${shared} DDDD"),
+      (3L, "this text is entirely unique and long enough to produce many grams")
+    ).toDF("doc_id", "text")
+    val r = Curation.removeDupSpans(d, "text", "doc_id", gramLen = 32)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    // doc 1 is the keeper (min id): untouched
+    assert(r(1L).getAs[Long]("chars_removed") === 0L)
+    assert(r(1L).getAs[String]("clean_text") === s"AAAA ${shared} BBBB")
+    // doc 2 loses exactly the shared window span (one maximal island)
+    assert(r(2L).getAs[Long]("n_spans") === 1L)
+    assert(r(2L).getAs[Long]("chars_removed") > 0L)
+    assert(!r(2L).getAs[String]("clean_text").contains(shared))
+    assert(r(2L).getAs[String]("clean_text").startsWith("CCCC"))
+    assert(r(2L).getAs[String]("clean_text").endsWith("DDDD"))
+    // unique doc untouched
+    assert(r(3L).getAs[Long]("chars_removed") === 0L)
+    assert(r(3L).getAs[String]("clean_text") ===
+      "this text is entirely unique and long enough to produce many grams")
+  }
+
+  test("removeDupSpans: an exact duplicate doc is fully erased except the keeper") {
+    val txt = "exactly the same forty-eight character document!"
+    val d = Seq((10L, txt), (20L, txt)).toDF("doc_id", "text")
+    val r = Curation.removeDupSpans(d, "text", "doc_id", gramLen = 32)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    assert(r(10L).getAs[String]("clean_text") === txt)
+    assert(r(20L).getAs[String]("clean_text") === "")
+    assert(r(20L).getAs[Long]("chars_removed") === txt.length.toLong)
+  }
+
   test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", true),
