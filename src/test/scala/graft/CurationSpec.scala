@@ -116,6 +116,42 @@ class CurationSpec extends SparkSpec {
     assert(r(20L).getAs[Long]("chars_removed") === txt.length.toLong)
   }
 
+  test("removeDupSpans matches a brute-force reference on seeded random corpora") {
+    // reference: a position's span [i, i+L) is removable iff its gram
+    // occurs in >= 2 docs and this doc is not the min doc containing it;
+    // clean text = chars outside the union of removable spans
+    def reference(corpus: Seq[(Long, String)], L: Int): Map[Long, (String, Long)] = {
+      val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      for ((id, txt) <- corpus; i <- 0 to txt.length - L)
+        gramDocs.getOrElseUpdate(txt.substring(i, i + L), scala.collection.mutable.Set()) += id
+      corpus.map { case (id, txt) =>
+        val removed = Array.fill(txt.length)(false)
+        for (i <- 0 to txt.length - L) {
+          val ds = gramDocs(txt.substring(i, i + L))
+          if (ds.size >= 2 && ds.min != id)
+            (i until i + L).foreach(removed(_) = true)
+        }
+        val clean = txt.zipWithIndex.collect { case (c, i) if !removed(i) => c }.mkString
+        id -> ((clean, removed.count(identity).toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val words = Vector("scan", "sort", "join", "agg", "key", "row", "col", "hash")
+    val blocks = Vector.fill(3)(Vector.fill(10)(words(rnd.nextInt(words.size))).mkString(" "))
+    val corpus = (0L until 20L).map { id =>
+      val body = Vector.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+      // plant a shared block in ~half the docs
+      val planted = if (rnd.nextBoolean()) s"$body ${blocks(rnd.nextInt(3))} $body" else body
+      id -> planted
+    }
+    val expect = reference(corpus, 32)
+    val got = Curation.removeDupSpans(corpus.toDF("doc_id", "text"), "text", "doc_id", gramLen = 32)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("chars_removed")))).toMap
+    assert(got === expect)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", true),
