@@ -152,6 +152,25 @@ class CurationSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("removeDupSpans counts codepoints, not UTF-16 units, on multibyte text") {
+    // 40 non-BMP emoji: Java String.length = 80 code units, but Spark
+    // strings are codepoint-addressed — chars_removed must say 40
+    val emoji = "🎉" * 40
+    val cjk = "漢字テスト" * 8 // 40 BMP codepoints
+    val d = Seq(
+      (1L, emoji), (2L, emoji),
+      (3L, cjk), (4L, cjk)
+    ).toDF("doc_id", "text")
+    val r = Curation.removeDupSpans(d, "text", "doc_id", gramLen = 32)
+      .collect().map(row => row.getAs[Long]("doc") ->
+        ((row.getAs[String]("clean_text"), row.getAs[Long]("chars_removed")))).toMap
+    assert(r(1L) === ((emoji, 0L)), "keeper emoji doc untouched")
+    assert(r(2L) === (("", 40L)), "dup emoji doc erased, counted in codepoints")
+    assert(r(3L) === ((cjk, 0L)))
+    assert(r(4L) === (("", 40L)))
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", true),
