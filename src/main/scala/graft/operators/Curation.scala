@@ -323,6 +323,57 @@ object Curation {
   def cmsBucket(tok: Column, j: Int, width: Int): Column =
     md5Head8(concat(lit(s"$j:"), tok)) % width
 
+  /** Temperature-based corpus mixing: sample each source at a rate
+    * proportional to n_source^alpha with alpha = 1/2 (the multilingual /
+    * multi-corpus "temperature sampling" rule — small sources are
+    * upsampled relative to their share, large sources downsampled), scaled
+    * so the expected kept total is `targetFrac` of the corpus, capped at
+    * rate 1. Acceptance is a deterministic md5 coin per document, so the
+    * sample is rerun-stable and adding documents never flips existing
+    * decisions.
+    *
+    * Portability: alpha is fixed at 1/2 because IEEE-754 sqrt is exactly
+    * rounded (a general pow() is not) — every weight, the left-to-right
+    * source-ordered weight total, and each rate divide is then the same
+    * f64 in any engine, and the acceptance compare (md5 head / 2^32 <
+    * rate) is exact. Returns every document with its (src, rate_ppm,
+    * keep) so downstream stages filter on `keep`.
+    *
+    * Scale: one tiny per-source count aggregate, a broadcast of the
+    * (sources x rates) table, then a map-only coin flip per document —
+    * no shuffle of the corpus at any width.
+    */
+  def temperatureMix(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      targetFrac: Double = 0.5): DataFrame = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0, "need 0 < targetFrac <= 1")
+    val counts = docs.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", sqrt(col("n_src").cast("double")))
+    // weight total folded left-to-right in src order: f64 addition is not
+    // associative, so the fold order is part of the cross-engine contract
+    val totals = counts.agg(
+      sum(col("n_src")).as("n_total"),
+      aggregate(
+        array_sort(collect_list(struct(col("src"), col("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        least(lit(1.0),
+          ((lit(targetFrac) * col("n_total")) * col("w")) /
+            (col("w_total") * col("n_src"))))
+      .select(col("src"), col("rate"),
+        floor(col("rate") * 1e6).cast("bigint").as("rate_ppm"))
+    docs.select(col(idCol).as("doc"), col(sourceCol).as("src"))
+      .join(broadcast(rates), Seq("src"))
+      // salted coin so the decision is independent of the other md5(id)
+      // derivations (shards, group samples) over the same corpus
+      .withColumn("u",
+        md5Head8(concat(lit("mix:"), col("doc").cast("string"))) / lit(4294967296.0))
+      .select(col("doc"), col("src"), col("rate_ppm"),
+        (col("u") < col("rate")).cast("bigint").as("keep"))
+  }
+
   /** Deterministic per-group sample: the `k` documents with the smallest
     * md5(id) per group — statistically a uniform k-sample (the hash is
     * content-independent), operationally superior to reservoir sampling

@@ -205,6 +205,73 @@ object CurationQueries {
              |FROM seg ORDER BY doc""".stripMargin),
       "exact-substring dedup transform: remove cross-doc duplicated spans, keep one copy corpus-wide"),
 
+    "q78_bloom_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        graft.operators.TextPipeline.bloomContaminated(
+            docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+            "text", "doc_id", shingleK = 5, minShared = 1,
+            mBits = 1 << 16, kHashes = 4)
+          .orderBy(col("doc"))
+      },
+      // the oracle REBUILDS the bloom filter bit-for-bit (md5 positions),
+      // so hits — including any deterministic false positives — match
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |  FROM documents),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(
+              |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+              |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+              |    END) AS sh
+              |  FROM toks),
+              |psh AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE doc_id < 10),
+              |ppos AS (
+              |  SELECT ${hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} % 65536 AS p
+              |  FROM psh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |words AS (
+              |  SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM ppos GROUP BY wd),
+              |dsh AS (SELECT doc_id AS doc, unnest(sh) AS s FROM sets WHERE doc_id >= 10),
+              |dpos AS (
+              |  SELECT doc, s, ${hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} % 65536 AS p
+              |  FROM dsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |hits AS (
+              |  SELECT doc, s
+              |  FROM dpos JOIN words ON words.wd = dpos.p // 32
+              |  WHERE (words.bits & (CAST(1 AS BIGINT) << CAST(dpos.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4)
+              |SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+              |FROM hits GROUP BY doc HAVING count(*) >= 1
+              |ORDER BY doc""".stripMargin),
+      "bloom-filter decontamination: md5-position filter rebuilt bit-for-bit by the oracle"),
+
+    "q79_temperature_mix" -> Q(
+      (s, dir) =>
+        Curation.temperatureMix(Tables.table(s, dir, "documents"), "doc_id", "source",
+            targetFrac = 0.5)
+          .orderBy(col("doc")),
+      Some(s"""WITH c AS (
+              |  SELECT source AS src, CAST(count(*) AS BIGINT) AS n_src,
+              |    sqrt(CAST(count(*) AS DOUBLE)) AS w
+              |  FROM documents GROUP BY source),
+              |t AS (
+              |  SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY src)),
+              |      (a, x) -> a + x) AS w_total
+              |  FROM c),
+              |r AS (
+              |  SELECT src, least(1.0, ((0.5 * n_total) * w) / (w_total * n_src)) AS rate
+              |  FROM c CROSS JOIN t)
+              |SELECT doc_id AS doc, source AS src,
+              |  CAST(floor(rate * 1e6) AS BIGINT) AS rate_ppm,
+              |  CAST(${hex8("md5('mix:' || CAST(doc_id AS VARCHAR))")} / 4294967296.0 < rate
+              |       AS BIGINT) AS keep
+              |FROM documents JOIN r ON source = r.src
+              |ORDER BY doc""".stripMargin),
+      "temperature mixing: per-source rate ~ sqrt(count), deterministic md5 acceptance coin"),
+
     "q76_group_sample" -> Q(
       (s, dir) =>
         Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)

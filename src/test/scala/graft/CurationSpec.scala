@@ -197,6 +197,45 @@ class CurationSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("temperatureMix: single source keeps at targetFrac rate; rates favor small sources") {
+    // one source -> rate = targetFrac exactly (w cancels)
+    val one = Curation.temperatureMix(
+      docs.withColumn("only", lit("all")), "doc_id", "only", targetFrac = 1.0)
+    assert(one.filter(col("keep") === 0).count() === 0L, "targetFrac=1 keeps everything")
+    val mixed = Curation.temperatureMix(docs, "doc_id", "source", targetFrac = 0.5)
+      .cache()
+    // every source's rate in (0, 1]; expected kept total ~ targetFrac * N
+    val rates = mixed.select(col("src"), col("rate_ppm")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.values.forall(p => p > 0 && p <= 1000000L))
+    val expectedKept = mixed.groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), first(col("rate_ppm")).as("p"))
+      .select(sum(col("n") * col("p") / 1e6)).collect()(0).getDouble(0)
+    val n = docs.count()
+    assert(math.abs(expectedKept - 0.5 * n) < 0.01 * n,
+      s"sum of n_src*rate should be ~ half the corpus, got $expectedKept of $n")
+    mixed.unpersist()
+  }
+
+  test("temperatureMix: alpha=1/2 upsamples small sources relative to share") {
+    // corpus with a 1000-doc source and a 10-doc source: under sqrt
+    // weighting the small source's rate must exceed the large source's
+    val skewed = spark.range(1010).select(
+      col("id").as("doc_id"),
+      when(col("id") < 1000, "big").otherwise("small").as("source"))
+    val r = Curation.temperatureMix(skewed, "doc_id", "source", targetFrac = 0.3)
+      .select("src", "rate_ppm").distinct().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("small") > r("big"),
+      s"sqrt temperature must upsample the small source: $r")
+    assert(r("small") <= 1000000L)
+    // decisions are per-doc md5 coins: rerun under different partitioning
+    // is bit-identical
+    val a = Curation.temperatureMix(skewed, "doc_id", "source", 0.3)
+    val b = Curation.temperatureMix(skewed.repartition(13), "doc_id", "source", 0.3)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
   test("groupHashSample: exactly k per group (when group has >= k), stable across runs") {
     val s = Curation.groupHashSample(docs, "doc_id", "source", k = 3).cache()
     val sizes = s.groupBy("grp").agg(count(lit(1)).as("c"))

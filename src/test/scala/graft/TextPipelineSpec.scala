@@ -41,6 +41,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(hits === Set(1L, 3L))
   }
 
+  test("bloomContaminated: superset of the exact semi-join, exact at generous width") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val exact = TextPipeline.contaminated(rest, probes, "text", "doc_id", 5, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextPipeline.bloomContaminated(rest, probes, "text", "doc_id", 5, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided error: every exact hit bloom-hits with at least as many shingles
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc) && bloom(doc) >= n,
+        s"doc $doc: exact n_shared=$n but bloom says ${bloom.get(doc)}")
+    }
+    // at 2^20 bits for a tiny probe set, FP probability ~ 0 -> exact equality
+    val wide = TextPipeline.bloomContaminated(rest, probes, "text", "doc_id", 5, 1,
+        mBits = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === exact, "generous-width bloom must equal the exact semi-join")
+  }
+
+  test("bloomContaminated decisions are deterministic across partitioning") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val a = TextPipeline.bloomContaminated(rest, probes, "text", "doc_id")
+    val b = TextPipeline.bloomContaminated(rest.repartition(9), probes, "text", "doc_id")
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
   test("q65 result is consistent with a driver-side exact shingle overlap") {
     val docs = Tables.table(spark, sfDir, "documents")
     val probes = docs.filter(col("doc_id") < 10)
