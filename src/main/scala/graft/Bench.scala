@@ -87,15 +87,87 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // composed-pipeline entries: regressions in COMPOSITION (shared index
+    // reuse, stage chaining) are invisible to per-operator timings
+    import org.apache.spark.sql.functions.col
+    val sharedSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // q31+q32+q39 the way a production pipeline runs them: ONE corpus
+        // scan builds the shingle index, all three passes consume it
+        val docs = graft.Tables.table(spark, sfDir, "documents")
+        val index = graft.operators.Dedup.buildShingleIndex(docs, "text", "doc_id", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          index.count()
+          val nJac = graft.operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count()
+          val nMh = graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8).count()
+          val nKeep = graft.operators.Dedup.keepRepresentatives(
+            docs, "doc_id", graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8))
+            .filter(col("keep")).count()
+          System.err.println(s"[bench] pipeline_dedup_shared jac=$nJac mh=$nMh keep=$nKeep")
+        } finally index.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_dedup_shared failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val fullSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the end-to-end curation funnel (PipelineEndToEndSpec, benched):
+        // gopher gate -> exact dedup -> near-dup keep-one -> bloom
+        // decontaminate -> shard compose
+        val docs = graft.Tables.table(spark, sfDir, "documents")
+        val rules = graft.operators.Curation.gopherRules(docs, "text", "doc_id",
+          minWords = 20, maxWords = 100000)
+        val gated = docs.join(
+          rules.filter(col("f_words") && col("f_mean_len") && col("f_alpha"))
+            .select(col("doc").as("doc_id")), Seq("doc_id"), "left_semi")
+        val exactReps = graft.operators.Dedup.exact(gated, "text", "doc_id")
+        val collapsed = gated.join(
+          exactReps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val index = graft.operators.Dedup.buildShingleIndex(collapsed, "text", "doc_id", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pairs = graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8)
+          val kept = graft.operators.Dedup.keepRepresentatives(collapsed, "doc_id", pairs)
+            .filter(col("keep")).drop("component", "keep")
+          val probes = docs.filter(col("doc_id") < 10)
+          val words = graft.operators.TextPipeline.bloomWords(probes, "text", "doc_id")
+          val clean = kept.join(
+            graft.operators.TextPipeline.bloomProbe(kept, words, "text", "doc_id")
+              .select(col("doc").as("doc_id")), Seq("doc_id"), "left_anti")
+          val n = graft.operators.Curation.corpusShards(clean, "doc_id", nShards = 16).count()
+          System.err.println(s"[bench] pipeline_full sharded=$n")
+        } finally index.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_full failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
-      "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs)
-    // 3dp per query keeps the whole line ~1.5 KB: the driver captures only a
-    // bounded tail of the sbt log, and a full-precision line (round 1) was
-    // long enough that its start fell outside the window -> parse failure.
+      "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
+      "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + dec3(v) }
+    // full-name per-query lines go to stderr for human reading; they may
+    // scroll out of the driver's bounded tail capture, which is fine
+    all.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      System.err.println(s"[bench] $k ${dec3(v)}s")
+    }
+    // THE parsed line: the driver keeps only the last ~2 KB of the log, so
+    // the summary must be (a) the LAST line printed and (b) short enough to
+    // fit the window whole — r5's 80-entry full-name line (~2.4 KB) lost
+    // its head and failed to parse. Query keys are therefore shortened to
+    // their qNN prefix (unambiguous — registry names are qNN_description);
+    // non-qNN entries (replays, pipelines) keep full names.
+    def shortKey(name: String): String = {
+      val m = "^(q\\d+)_.*$".r
+      name match { case m(p) => p; case _ => name }
+    }
+    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + dec3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

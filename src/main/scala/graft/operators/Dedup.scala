@@ -36,6 +36,19 @@ object Dedup {
     * persist is registered here and [[releaseCaches]] frees them all —
     * call it once the pair frames have been consumed (Bench does so
     * after every query).
+    *
+    * SCOPE CAVEAT: the registry is GLOBAL to the JVM, so concurrent
+    * pipelines in one session share it — a [[releaseCaches]] from one
+    * caller unpersists the other's still-live index (correctness is
+    * unaffected; the index silently rebuilds on next use). And because
+    * Spark cache identity is LOGICAL-PLAN-based, releaseCaches can also
+    * drop a caller's own persisted frame if it has the same plan as a
+    * registry entry (DedupSpec pins this). Callers that need scoped
+    * lifetimes should [[buildShingleIndex]] once, persist/WRITE it
+    * themselves (a written table has a new scan plan, immune to this),
+    * and use the `*FromIndex` variants, which never touch this
+    * registry — also the cheaper shape for running several dedup passes
+    * over one corpus (one scan, not one per operator).
     */
   private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -101,6 +114,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Materialize-once shingle index for the whole dedup family: the
+    * (doc, sh) hashed-shingle frame that [[ngramJaccardPairsFromIndex]],
+    * [[minhashNearDupsFromIndex]] and (via their pair lists)
+    * [[keepRepresentatives]] all consume. The CALLER owns its lifecycle:
+    * persist it (or write it to storage — the production shape at
+    * 100 TB, where the index is a table built once per corpus snapshot)
+    * and run every dedup pass against it, so the dominant
+    * tokenize→hash→distinct corpus scan happens ONCE instead of once per
+    * operator. Nothing is registered with [[releaseCaches]].
+    */
+  def buildShingleIndex(
+      docs: DataFrame, textCol: String, idCol: String, shingleK: Int = 5): DataFrame =
+    shingleSets(docs, textCol, idCol, shingleK)
+
+  /** [[minhashNearDups]] against a prebuilt [[buildShingleIndex]] frame
+    * (persist it first — both the banding and the verify join read it).
+    */
+  def minhashNearDupsFromIndex(
+      index: DataFrame, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    jaccardVerifyFromSets(
+      lshCandidatesFromSets(index, bands, rowsPerBand), index, threshold)
+
+  /** [[ngramJaccardPairs]] against a prebuilt [[buildShingleIndex]] frame
+    * (persist it first). Same df-cap skew guard; see that scaladoc.
+    */
+  def ngramJaccardPairsFromIndex(
+      index: DataFrame, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val posting = index.select(col("doc"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    val capped = posting.join(rare, Seq("s"), "left_semi")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val candidates = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    jaccardVerifyFromSets(candidates, index, threshold)
+  }
+
   /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
     * deduplicated across bands. `sigLen = bands * rowsPerBand` hashes.
     */
@@ -129,11 +185,10 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, threshold: Double = 0.8,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sets = persistTracked(shingleSets(docs, textCol, idCol, shingleK))
-    jaccardVerifyFromSets(
-      lshCandidatesFromSets(sets, bands, rowsPerBand), sets, threshold)
-  }
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashNearDupsFromIndex(
+      persistTracked(shingleSets(docs, textCol, idCol, shingleK)),
+      threshold, bands, rowsPerBand)
 
   /** n-gram Jaccard near-dup pairs via an INVERTED-INDEX join: docs
     * explode to (shingle, doc) and only docs sharing a shingle ever meet —
@@ -156,22 +211,10 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    require(maxDf >= 1, "maxDf must be >= 1")
-    val sets = persistTracked(shingleSets(docs, textCol, idCol, shingleK))
-    val posting = sets.select(col("doc"), explode(col("sh")).as("s"))
-    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("s"))
-    val capped = posting.join(rare, Seq("s"), "left_semi")
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val candidates = a
-      .join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    jaccardVerifyFromSets(candidates, sets, threshold)
-  }
+      shingleK: Int = 5, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    ngramJaccardPairsFromIndex(
+      persistTracked(shingleSets(docs, textCol, idCol, shingleK)),
+      threshold, maxDf)
 
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxHamming.
     * Pigeonhole banding into 4x16-bit chunks makes candidate generation an

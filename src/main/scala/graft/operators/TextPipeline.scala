@@ -55,69 +55,131 @@ object TextPipeline {
       .filter(col("n_shared") >= minShared)
   }
 
+  // STRING word-k-shingles (not the xxhash64'd fast-path sets): the md5
+  // positions must be derivable from corpus bytes alone in any engine
+  private def stringShingles(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame = df
+    .withColumn("__w", T.tokens(col(textCol)))
+    .withColumn("__sh", array_distinct(T.wordShinglesFromTokens(col("__w"), shingleK)))
+    .select(col(idCol).as("doc"), col("__sh").as("sh"))
+
+  /** Build the portable decontamination bloom filter from a probe set:
+    * mBits bits packed as mBits/32 32-bit words (each held in a long).
+    * Position j of shingle s = conv(substring(md5(s), 1+8j, 8), 16, 10)
+    * % mBits — ONE digest per shingle sliced into up to 4 positions, so
+    * any engine with md5() rebuilds the identical filter bit-for-bit.
+    *
+    * Driver state: mBits/32 longs (a few KB — the same bounded-collect
+    * pattern as the KMeans centroids); on a real cluster the array rides
+    * the closure/broadcast to every executor. The build cost is bounded
+    * by the (tiny) probe set.
+    */
+  def bloomWords(
+      probes: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, mBits: Int = 1 << 16, kHashes: Int = 4): Array[Long] = {
+    require(mBits >= 32 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
+    require(kHashes >= 1 && kHashes <= 4,
+      "kHashes must be in [1, 4]: each hash consumes 8 of md5's 32 hex chars")
+    // 2^bit as an exact integer-valued double (pow with integer exponent
+    // <= 31 is exact): shiftleft() takes only a literal shift count
+    def mask(p: Column): Column = pow(lit(2.0), (p % 32).cast("int")).cast("long")
+    // localCheckpoint before exploding: composing Generate directly over
+    // the (large) string-shingle HOF expression tree costs the OPTIMIZER
+    // ~3.5 s per build regardless of data size (measured — the generator
+    // tree is duplicated into inferred filters and re-canonicalized);
+    // materializing the tiny bounded probe frame first makes the whole
+    // build ~0.2 s and costs one probe-set-sized write.
+    val setBits = stringShingles(probes, textCol, idCol, shingleK)
+      .localCheckpoint(true)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+      .withColumn("d", md5(col("s")))
+      .select(explode(array((0 until kHashes).map(j =>
+        conv(substring(col("d"), 1 + 8 * j, 8), 16, 10).cast("long") % mBits): _*)).as("p"))
+      .select((col("p") / 32).cast("int").as("wd"), mask(col("p")).as("mask"))
+      .groupBy(col("wd")).agg(bit_or(col("mask")).as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(mBits / 32)(i => setBits.getOrElse(i, 0L))
+  }
+
+  /** MAP-ONLY probe of a corpus against a built filter: (doc, n_hits) for
+    * documents with >= `minShared` DISTINCT shingles whose kHashes bits
+    * are all set. The per-document work — shingle windows, distinct, md5,
+    * bit probes — is ONE compiled loop over the token array
+    * ([[org.apache.spark.sql.graftvec.FilterExprs.BloomShingleHitCountMd5]]);
+    * shingle strings are never materialized. No shuffle, no join; works
+    * unchanged on a STREAMING frame (stateless).
+    */
+  def bloomProbe(
+      docs: DataFrame, words: Array[Long],
+      textCol: String, idCol: String,
+      shingleK: Int = 5, minShared: Int = 1, kHashes: Int = 4): DataFrame =
+    docs
+      .withColumn("__w", T.tokens(col(textCol)))
+      .select(col(idCol).as("doc"),
+        org.apache.spark.sql.graftvec.FilterExprs
+          .bloomShingleHitsMd5Col(col("__w"), words, words.length * 32, kHashes, shingleK)
+          .as("n_hits"))
+      .filter(col("n_hits") >= minShared)
+
   /** BLOOM-FILTER decontamination — the constant-memory scale path of
-    * [[contaminated]]: the probe set's shingles are folded into an
-    * `mBits`-bit bloom filter (`kHashes` md5-derived positions per
-    * shingle), and each corpus document is then checked MAP-ONLY against
-    * the filter. One-sided error: every truly-shared shingle hits
-    * (superset of [[contaminated]]'s matches); a hit can be a false
-    * positive with the usual (1-e^(-kn/m))^k probability.
+    * [[contaminated]]: [[bloomWords]] folds the probe set's shingles into
+    * an `mBits`-bit filter, and [[bloomProbe]] checks each corpus
+    * document MAP-ONLY against it. One-sided error: every truly-shared
+    * shingle hits (superset of [[contaminated]]'s matches); a hit can be
+    * a false positive with the usual (1-e^(-kn/m))^k probability.
     *
     * Why this exists alongside the semi-join: the posting-list join ships
     * probe shingles to every corpus partition per query run, while the
     * bloom filter is a few KB of longs broadcast ONCE — at 100 TB the
     * corpus-side cost is a pure scan (no shuffle, no join), which is how
-    * production pipelines screen against a benchmark suite. The filter
-    * build cost is bounded by the (tiny) probe set.
+    * production pipelines screen against a benchmark suite.
     *
-    * Portability: positions are md5-derived (hash j of shingle s =
-    * md5("j:" + s) head mod mBits), so the filter bits — and therefore
-    * every hit/miss decision including false positives — are bit-identical
-    * in any engine; the DuckDB oracle rebuilds the same filter in SQL.
-    *
-    * Returns (doc, n_hits) for documents with >= `minShared` shingles
-    * hitting the filter. Driver state: mBits/32 ints (the collected
-    * filter words — same bounded-collect pattern as the KMeans centroids);
-    * on a real cluster this array rides the closure/broadcast to every
-    * executor.
+    * Portability: positions are md5-derived, so the filter bits — and
+    * therefore every hit/miss decision including false positives — are
+    * bit-identical in any engine; the DuckDB oracle rebuilds the same
+    * filter in SQL. For a same-engine production run where external
+    * reproducibility does not matter, [[bloomContaminatedFast]] is the
+    * cheaper path (Spark's own BloomFilterAggregate over xxhash64).
     */
   def bloomContaminated(
       docs: DataFrame, probes: DataFrame,
       textCol: String, idCol: String,
       shingleK: Int = 5, minShared: Int = 1,
-      mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame = {
-    require(mBits >= 32 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
-    require(kHashes >= 1, "kHashes must be >= 1")
-    def md5Head8(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    def position(s: Column, j: Int): Column =
-      md5Head8(concat(lit(s"$j:"), s)) % mBits
-    // STRING shingles (not the xxhash64'd fast-path sets): the md5
-    // positions must be derivable from corpus bytes alone in any engine
-    def stringShingles(df: DataFrame): DataFrame = df
-      .withColumn("__w", T.tokens(col(textCol)))
-      .withColumn("__sh", array_distinct(T.wordShinglesFromTokens(col("__w"), shingleK)))
-      .select(col(idCol).as("doc"), col("__sh").as("sh"))
-    val nWords = mBits / 32
-    // 2^bit as an exact integer-valued double (pow with integer exponent
-    // <= 31 is exact): shiftleft() takes only a literal shift count
-    def mask(p: Column): Column = pow(lit(2.0), (p % 32).cast("int")).cast("long")
-    val setBits = stringShingles(probes)
-      .select(explode(col("sh")).as("s"))
-      .distinct()
-      .select(explode(array((0 until kHashes).map(j => position(col("s"), j)): _*)).as("p"))
-      .select((col("p") / 32).cast("int").as("wd"), mask(col("p")).as("mask"))
-      .groupBy(col("wd")).agg(bit_or(col("mask")).as("bits"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val words = lit(Array.tabulate(nWords)(i => setBits.getOrElse(i, 0L)))
-    // map-only probe: a shingle hits iff ALL k of its bits are set
-    def hit(s: Column): Column =
-      (0 until kHashes).map { j =>
-        val p = position(s, j)
-        (element_at(words, (p / 32).cast("int") + 1).bitwiseAND(mask(p)) =!= 0L)
-      }.reduce(_ && _)
-    stringShingles(docs)
-      .select(col("doc"), size(filter(col("sh"), s => hit(s))).cast("bigint").as("n_hits"))
+      mBits: Int = 1 << 16, kHashes: Int = 4): DataFrame =
+    bloomProbe(
+      docs, bloomWords(probes, textCol, idCol, shingleK, mBits, kHashes),
+      textCol, idCol, shingleK, minShared, kHashes)
+
+  /** PRODUCTION-FAST bloom decontamination: same shape as
+    * [[bloomContaminated]] (filter built from the probe set, map-only
+    * corpus scan) but on Spark's own machinery — `BloomFilterAggregate`
+    * over the xxhash64'd shingle hashes ([[Dedup.shingleSets]]'s arrays),
+    * probed with `BloomFilterMightContain`. One 64-bit hash per shingle
+    * instead of a 16-byte md5 digest, and the filter sizing handles
+    * k/bits selection internally. NOT oracle-portable (xxhash64 chain
+    * hashes are Spark-specific) — use [[bloomContaminated]] when the
+    * decision set must be reproducible outside Spark. Same one-sided
+    * error: hits are a superset of [[contaminated]]'s docs.
+    *
+    * The built filter is a few-KB binary collected once (`head()`) and
+    * shipped as a literal — the bounded-broadcast pattern again; the
+    * corpus side stays shuffle-free.
+    */
+  def bloomContaminatedFast(
+      docs: DataFrame, probes: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 5, minShared: Int = 1,
+      expectedItems: Long = 1L << 16, numBits: Long = 1L << 19): DataFrame = {
+    import org.apache.spark.sql.graftvec.FilterExprs
+    val bloomBytes = Dedup.shingleSets(probes, textCol, idCol, shingleK)
+      .select(explode(col("sh")).as("h")).distinct()
+      .agg(FilterExprs.bloomFilterAgg(col("h"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    Dedup.shingleSets(docs, textCol, idCol, shingleK)
+      .select(col("doc"),
+        size(filter(col("sh"), h => FilterExprs.mightContain(lit(bloomBytes), h)))
+          .cast("bigint").as("n_hits"))
       .filter(col("n_hits") >= minShared)
   }
 }

@@ -208,14 +208,23 @@ object CurationQueries {
     "q78_bloom_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+        // repartition: the LOCAL testdata file is a single parquet row
+        // group, so the otherwise map-only probe would run as ONE task;
+        // spreading the (tiny here) corpus restores scan parallelism. On
+        // a real corpus the scan has thousands of splits and this line
+        // would be wrong — the operator itself stays shuffle-free.
         graft.operators.TextPipeline.bloomContaminated(
-            docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+            docs.filter(col("doc_id") >= 10).repartition(),
+            docs.filter(col("doc_id") < 10),
             "text", "doc_id", shingleK = 5, minShared = 1,
             mBits = 1 << 16, kHashes = 4)
           .orderBy(col("doc"))
       },
-      // the oracle REBUILDS the bloom filter bit-for-bit (md5 positions),
-      // so hits — including any deterministic false positives — match
+      // the oracle REBUILDS the bloom filter bit-for-bit: position j of
+      // shingle s = hex chars [8j+1 .. 8j+8] of md5(s) mod 2^16 — ONE
+      // digest per shingle sliced 4 ways (mirrors FilterExprs
+      // .md5BloomPosition / TextPipeline.bloomWords), so hits — including
+      // any deterministic false positives — match
       Some(s"""WITH toks AS (
               |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
               |  FROM documents),
@@ -227,7 +236,7 @@ object CurationQueries {
               |  FROM toks),
               |psh AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE doc_id < 10),
               |ppos AS (
-              |  SELECT ${hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} % 65536 AS p
+              |  SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
               |  FROM psh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
               |words AS (
               |  SELECT p // 32 AS wd,
@@ -235,7 +244,7 @@ object CurationQueries {
               |  FROM ppos GROUP BY wd),
               |dsh AS (SELECT doc_id AS doc, unnest(sh) AS s FROM sets WHERE doc_id >= 10),
               |dpos AS (
-              |  SELECT doc, s, ${hex8("md5(CAST(j AS VARCHAR) || ':' || s)")} % 65536 AS p
+              |  SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
               |  FROM dsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
               |hits AS (
               |  SELECT doc, s

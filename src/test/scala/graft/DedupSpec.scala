@@ -166,4 +166,48 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed.subsetOf(exact))
   }
+
+  test("shared shingle index: FromIndex variants equal the self-building paths") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Dedup.buildShingleIndex(docs, "text", "doc_id", shingleK = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val jacBefore = pairSet(Dedup.ngramJaccardPairsFromIndex(index, threshold = 0.8))
+      val mhBefore = pairSet(Dedup.minhashNearDupsFromIndex(index, threshold = 0.8))
+      assert(jacBefore === pairSet(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)))
+      assert(mhBefore === pairSet(Dedup.minhashNearDups(docs, "text", "doc_id", 5, 0.8)))
+      // Spark cache identity is LOGICAL-PLAN-based: releaseCaches() on the
+      // self-building paths' registry entries also drops this identical-plan
+      // caller index (the documented cross-pipeline interaction). Pin what
+      // the contract actually guarantees: results stay CORRECT — the index
+      // silently rebuilds on next use.
+      Dedup.releaseCaches()
+      assert(pairSet(Dedup.ngramJaccardPairsFromIndex(index, threshold = 0.8)) === jacBefore)
+      assert(pairSet(Dedup.minhashNearDupsFromIndex(index, threshold = 0.8)) === mhBefore)
+    } finally index.unpersist(blocking = false)
+  }
+
+  test("composed dedup pipeline over one index: jaccard + minhash + components") {
+    // the q31+q32+q39 composition the way a production pipeline runs it:
+    // ONE corpus scan builds the index; all three passes consume it
+    val index = Dedup.buildShingleIndex(docs, "text", "doc_id", shingleK = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      index.count() // materialize once
+      val jac = Dedup.ngramJaccardPairsFromIndex(index, threshold = 0.8)
+      val mh = Dedup.minhashNearDupsFromIndex(index, threshold = 0.8)
+      val reps = Dedup.keepRepresentatives(docs, "doc_id", mh)
+      // independent reference: the self-building operators
+      val jacRef = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 5, 0.8)
+      val mhRef = Dedup.minhashNearDups(docs, "text", "doc_id", 5, 0.8)
+      val repsRef = Dedup.keepRepresentatives(docs, "doc_id", mhRef)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet(jac) === pairSet(jacRef))
+      assert(pairSet(mh) === pairSet(mhRef))
+      assert(reps.filter(col("keep")).count() === repsRef.filter(col("keep")).count())
+      Dedup.releaseCaches()
+    } finally index.unpersist(blocking = false)
+  }
 }

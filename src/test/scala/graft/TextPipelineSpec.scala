@@ -70,6 +70,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
   }
 
+  test("bloomContaminatedFast: superset of the exact semi-join (xxhash64 production path)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val exact = TextPipeline.contaminated(rest, probes, "text", "doc_id", 5, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = TextPipeline.bloomContaminatedFast(rest, probes, "text", "doc_id", 5, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every truly-contaminated doc hits with at least
+    // as many shingles (bloom can only ADD false-positive hits)
+    exact.foreach { case (doc, n) =>
+      assert(fast.contains(doc) && fast(doc) >= n,
+        s"doc $doc: exact n_shared=$n but fast bloom says ${fast.get(doc)}")
+    }
+    // at 2^19 bits for a tiny probe set the FP rate is ~0: both bloom
+    // variants should agree with the exact doc set at this scale
+    assert(fast.keySet === exact.keySet,
+      "generous-width xxhash bloom should equal the exact semi-join doc set here")
+  }
+
+  test("bloomWords/bloomProbe split equals the composed bloomContaminated") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val words = TextPipeline.bloomWords(probes, "text", "doc_id")
+    assert(words.length === (1 << 16) / 32)
+    val split = TextPipeline.bloomProbe(rest, words, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val composed = TextPipeline.bloomContaminated(rest, probes, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(split === composed)
+  }
+
   test("q65 result is consistent with a driver-side exact shingle overlap") {
     val docs = Tables.table(spark, sfDir, "documents")
     val probes = docs.filter(col("doc_id") < 10)
