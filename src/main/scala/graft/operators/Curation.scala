@@ -133,12 +133,16 @@ object Curation {
       docs: DataFrame, textCol: String, idCol: String,
       gramLen: Int = 32, stride: Int = 8): DataFrame = {
     require(gramLen >= 1 && stride >= 1, "need gramLen >= 1 and stride >= 1")
+    // one codegen'd linear pass per document: per-position
+    // `md5(substr(txt, i, L))` pays an O(position) codepoint seek per
+    // gram (quadratic on a multi-MB doc); CharGramMd5 walks the byte
+    // offsets once and digests each window's byte range directly
     val grams = docs
       .select(col(idCol).as("doc"), col(textCol).as("txt"), length(col(textCol)).as("n"))
       .filter(col("n") >= gramLen)
-      .select(col("doc"), col("txt"),
-        explode(sequence(lit(1), col("n") - (gramLen - 1), lit(stride))).as("i"))
-      .select(col("doc"), md5(col("txt").substr(col("i"), lit(gramLen))).as("g"))
+      .select(col("doc"), explode(
+        org.apache.spark.sql.graftvec.TextExprs.charGramMd5Col(
+          col("txt"), gramLen, stride)).as("g"))
     // one row per (gram, doc) -> count(*) over the gram partition IS the
     // distinct-document frequency of that gram
     val perDocGram = grams.groupBy(col("g"), col("doc")).agg(count(lit(1)).as("c"))
@@ -153,16 +157,30 @@ object Curation {
   }
 
   /** EXACT-SUBSTRING DEDUPLICATION (the remove transform): delete every
-    * character span that duplicates text in another document, keeping ONE
-    * copy corpus-wide (the span survives in the minimum doc id that
-    * contains its gram — the distributed analogue of suffix-array
-    * exact-substring dedup from the "Deduplicating Training Data" line of
-    * work). [[dupSpans]] measures; this rewrites.
+    * character span that duplicates text in another document — the
+    * distributed analogue of suffix-array exact-substring dedup from the
+    * "Deduplicating Training Data" line of work. [[dupSpans]] measures;
+    * this rewrites.
+    *
+    * Keeper semantics (pinned by the brute-force reference test): each
+    * GRAM survives in its minimum doc id. That preserves one copy of a
+    * duplicated span corpus-wide only when no OVERLAPPING span keyed to
+    * a different (smaller-id) keeper covers it inside the keeper doc —
+    * when two duplicated regions with different keepers overlap, the
+    * overlap is removed in both and zero full copies of the combined
+    * region may survive. This matches the reference span-union
+    * semantics; a guaranteed-one-copy variant would need gram-level
+    * tie-breaking across keepers (quadratic in overlap structure).
     *
     * Pipeline (all relational, no per-character explosion):
     *  1. stride-1 char L-grams keyed by md5 — the L-fold row blowup is
     *     the honest cost of complete coverage (suffix arrays pay the
-    *     same factor in index space); run it AFTER cheaper dedup stages
+    *     same factor in index space); run it AFTER cheaper dedup stages.
+    *     Cost is LINEAR in document bytes (one CharGramMd5 pass): an
+    *     N-char doc yields ~N gram rows — a single 2 MB document among
+    *     small ones completes in ~11 s at local[4] with no single-task
+    *     blowup (CurationSpec pins this; the (g, doc) partial
+    *     aggregation absorbs the per-doc key skew map-side)
     *  2. per gram: document frequency + keeper (min doc id)
     *  3. removable positions (df >= 2, doc != keeper) merge into maximal
     *     spans via gaps-and-islands: a running max of span ends splits
@@ -184,11 +202,17 @@ object Curation {
     // the gram index feeds both the keeper aggregation and the join-back;
     // persist it (tracked — [[Dedup.releaseCaches]]) so the L-fold
     // explode+hash runs once, like the other dedup indexes
+    // posexplode of the one-pass CharGramMd5 array (stride 1): window w
+    // covers codepoints [w, w+L), i.e. 1-based position i = w + 1. The
+    // per-position substr formulation re-seeks codepoint i from the
+    // string head for every gram — O(len^2) bytes on a large document
+    // (a 2 MB doc = ~2 TB scanned); the expression is O(len * L).
     val grams = Dedup.persistTracked(base
       .filter(col("n") >= gramLen)
-      .select(col("doc"), col("txt"),
-        explode(sequence(lit(1), col("n") - (gramLen - 1))).as("i"))
-      .select(col("doc"), col("i"), md5(col("txt").substr(col("i"), lit(gramLen))).as("g")))
+      .select(col("doc"), posexplode(
+        org.apache.spark.sql.graftvec.TextExprs.charGramMd5Col(
+          col("txt"), gramLen, 1)).as(Seq("w", "g")))
+      .select(col("doc"), (col("w") + 1).as("i"), col("g")))
     val keepers = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc")).as("gdocs"), min(col("doc")).as("keeper"))
     val removable = grams.join(keepers, Seq("g"))

@@ -180,10 +180,24 @@ object Similarity {
     // ~6000-node expression tree whose per-round planning alone cost
     // seconds (and evaluated interpreted)
     val micro = (v: Column) => transform(v, x => round(x * 1e6))
+    // RUNTIME GUARD for the exactness window: every cross dot is bounded
+    // by sqrt(vv * cc) (Cauchy-Schwarz, term-wise on |.|) and centroids
+    // are per-dimension means of member vq's, so cc <= max vv; requiring
+    // vv <= 2^50 therefore keeps every product, running sum, and the
+    // |v-c|^2 expansion (<= 4 * 2^50 = 2^52) strictly inside f64's exact
+    // integer range. Unnormalized inputs that overflow the window now
+    // fail loudly at first scan instead of silently returning wrong
+    // neighbors. Zero extra jobs: the check rides the quantization scan.
+    val vvMax = 1.125899906842624e15 // 2^50, exactly representable
+    def guardedVv(vvCol: Column, idc: Column): Column =
+      when(vvCol <= lit(vvMax), vvCol).otherwise(raise_error(concat(
+        lit("kmeansIntTopK: micro-quantized |v|^2 > 2^50 — coordinate "
+          + "magnitudes exceed the exact-integer f64 window; rescale or "
+          + "normalize the embeddings (id="), idc.cast("string"), lit(")"))))
     val e = Dedup.persistTracked(
       corpus.select(col(idCol).as("vid"), V.asDouble(col(vecCol)).as("v"))
         .withColumn("vq", micro(col("v")))
-        .withColumn("vv", V.dot(col("vq"), col("vq"))))
+        .withColumn("vv", guardedVv(V.dot(col("vq"), col("vq")), col("vid"))))
 
     // (dist, cid) packed into one long — dist*256+cid preserves the
     // (dist asc, cid asc) order and keeps argmin/sort on plain integers
@@ -222,7 +236,7 @@ object Similarity {
     val q = queries
       .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
       .withColumn("qvq", micro(col("qv")))
-      .withColumn("qvv", V.dot(col("qvq"), col("qvq")))
+      .withColumn("qvv", guardedVv(V.dot(col("qvq"), col("qvq")), col("query_id")))
       .withColumn("qn", V.norm(col("qv")))
     val probes = q
       .withColumn("pr", array_sort(array(centroids.zipWithIndex.map { case (c, i) =>

@@ -61,19 +61,16 @@ object StreamingLshDedup {
     out.result().iterator
   }
 
-  /** Wire the stateful candidate stream over a streaming (id, text) frame.
-    * Emits (id_a, id_b) with id_a < id_b, possibly repeated across bands.
+  /** (doc, band, bkey) hits via the SAME codegen signature/banding
+    * expressions for batch and stream inputs — the agreement that makes
+    * [[initialBuckets]] seeding and half-batch/half-stream equivalence
+    * (StreamingLshDedupSpec) hold.
     */
-  def candidates(
+  private def bandHits(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      maxBucket: Int = 1000): Dataset[CandidatePair] = {
-    require(maxBucket >= 1, "maxBucket must be >= 1")
+      shingleK: Int, bands: Int, rowsPerBand: Int): Dataset[BandHit] = {
     implicit val hitEnc = Encoders.product[BandHit]
-    implicit val stateEnc = Encoders.product[BucketState]
-    implicit val outEnc = Encoders.product[CandidatePair]
-    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
-    val banded = docs
+    docs
       .withColumn("__tok", T.hashAll(T.tokens(col(textCol))))
       .withColumn("__sh", array_distinct(
         org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK)))
@@ -81,9 +78,64 @@ object StreamingLshDedup {
       .select(col(idCol).cast("long").as("doc"),
         posexplode(T.lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
       .as[BandHit]
-    banded
+  }
+
+  /** Wire the stateful candidate stream over a streaming (id, text) frame.
+    * Emits (id_a, id_b) with id_a < id_b, possibly repeated across bands.
+    *
+    * `initialCorpus`: an already-accepted BATCH corpus whose documents
+    * seed the per-bucket state BEFORE the first micro-batch — deploy the
+    * dedup stream against an existing corpus store without replaying it
+    * through the stream. Seeded docs emit no pairs among themselves
+    * (they are history, exactly as if they had streamed through earlier);
+    * arrivals pair against them normally, so batch(half1) ∪ stream(half2)
+    * candidates equal the full-batch candidate set.
+    */
+  def candidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000,
+      initialCorpus: Option[DataFrame] = None): Dataset[CandidatePair] = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[CandidatePair]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val grouped = bandHits(docs, textCol, idCol, shingleK, bands, rowsPerBand)
       .groupByKey(h => (h.band, h.bkey))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        update(maxBucket))
+    initialCorpus match {
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(maxBucket))
+      case Some(corpus) =>
+        val seed = initialBuckets(
+          corpus, textCol, idCol, shingleK, bands, rowsPerBand, maxBucket)
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), seed)(update(maxBucket))
+    }
+  }
+
+  /** Batch-side bucket seed for [[candidates]]: each (band, bkey) bucket
+    * holds the corpus doc ids banded by the shared expressions, id-sorted
+    * (so the `maxBucket` trim keeps the largest ids, matching the
+    * newest-wins stream policy under monotone ingest ids).
+    */
+  def initialBuckets(
+      corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): org.apache.spark.sql.KeyValueGroupedDataset[(Int, Long), BucketState] = {
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaInt, Encoders.scalaLong, Encoders.product[BucketState])
+    bandHits(corpus, textCol, idCol, shingleK, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col("doc"))).as("ids"))
+      .withColumn("ids", when(size(col("ids")) <= maxBucket, col("ids"))
+        .otherwise(slice(col("ids"),
+          size(col("ids")) - (maxBucket - 1), lit(maxBucket))))
+      .select(col("band"), col("bkey"), struct(col("ids")).as("state"))
+      .as[(Int, Long, BucketState)]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
   }
 }

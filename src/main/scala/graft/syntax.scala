@@ -107,6 +107,17 @@ object syntax {
         shingleK: Int = 5, minShared: Int = 1): DataFrame =
       graft.operators.TextPipeline.contaminated(df, probes, textCol, idCol, shingleK, minShared)
 
+    /** [[contaminatedBy]] via a bloom filter built from the probe set —
+      * MAP-ONLY on this corpus (no shuffle/join; one-sided error), the
+      * 100 TB screening shape. Works on streaming frames via
+      * `TextPipeline.bloomWords` + `bloomProbe` directly.
+      */
+    def bloomContaminatedBy(
+        probes: DataFrame, textCol: String, idCol: String,
+        shingleK: Int = 5, minShared: Int = 1): DataFrame =
+      graft.operators.TextPipeline.bloomContaminated(
+        df, probes, textCol, idCol, shingleK, minShared)
+
     // ---------------------------------------------------------- data prep
     /** Deterministic md5-bucket train/test split (adds bucket + split). */
     def hashSplit(idCol: String, trainBps: Int = 8000): DataFrame =

@@ -152,6 +152,40 @@ class CurationSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("removeDupSpans: one multi-MB document among small ones — no task blowup") {
+    // the stride-1 gram explosion is len(doc) rows for the giant doc; the
+    // (g, doc) partial aggregation absorbs the per-doc key skew map-side,
+    // so a single pathological document must not stall the job or skew a
+    // single task. 2 MB doc -> ~2M gram rows through the full pipeline.
+    val rnd = new scala.util.Random(7)
+    val giant = {
+      val sb = new StringBuilder(2 * 1000 * 1000)
+      while (sb.length < 2 * 1000 * 1000) sb.append((' ' + rnd.nextInt(90)).toChar)
+      sb.toString
+    }
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars, dup'd
+    val d = Seq(
+      (1L, giant),
+      (2L, s"left pad ${shared} right pad making this long enough"),
+      (3L, s"other pad ${shared} trailing text that is also unique here")
+    ).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = Curation.removeDupSpans(d, "text", "doc_id", gramLen = 32)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.operators.Dedup.releaseCaches()
+    // giant doc: random bytes share no 32-gram with anything -> untouched
+    assert(r(1L).getAs[Long]("chars_removed") === 0L)
+    assert(r(1L).getAs[String]("clean_text").length === giant.length)
+    // the small pair still dedups correctly in the giant's presence
+    assert(r(2L).getAs[Long]("chars_removed") === 0L) // keeper
+    assert(r(3L).getAs[Long]("chars_removed") > 0L)
+    assert(!r(3L).getAs[String]("clean_text").contains(shared))
+    // generous wall-clock bound: catches accidental quadratic regressions
+    assert(secs < 120.0, s"2 MB doc took ${secs}s — single-task blowup?")
+    info(f"2 MB giant document processed in $secs%.1f s")
+  }
+
   test("removeDupSpans counts codepoints, not UTF-16 units, on multibyte text") {
     // 40 non-BMP emoji: Java String.length = 80 code units, but Spark
     // strings are codepoint-addressed — chars_removed must say 40

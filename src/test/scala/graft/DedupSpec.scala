@@ -116,14 +116,19 @@ class DedupSpec extends SparkSpec {
 
   test("releaseCaches frees the persisted shingle indexes") {
     Dedup.releaseCaches() // clear anything earlier tests left behind
-    val base = spark.sparkContext.getPersistentRDDs.size
+    docs.count() // materialize the suite-level docs cache so base includes it
+    val base = spark.sparkContext.getPersistentRDDs.keySet
     // consume a dedup query so its tracked shingle index materializes
     Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 5, threshold = 0.8).count()
-    assert(spark.sparkContext.getPersistentRDDs.size > base,
+    assert(spark.sparkContext.getPersistentRDDs.size > base.size,
       "shingle index should be cached while the result is consumed")
     Dedup.releaseCaches()
-    assert(spark.sparkContext.getPersistentRDDs.size === base,
-      "releaseCaches must unpersist every tracked index")
+    // set difference, not a count: unrelated persistent RDDs (e.g. cc's
+    // localCheckpoints) may be GC-released concurrently — the contract is
+    // that NOTHING NEW outlives releaseCaches
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(leftover.isEmpty,
+      s"releaseCaches must unpersist every tracked index; leaked RDDs: $leftover")
   }
 
   test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {

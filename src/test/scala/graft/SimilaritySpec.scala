@@ -74,6 +74,29 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("kmeansIntTopK rejects vectors outside the exact-integer window") {
+    import spark.implicits._
+    // |v| ~ 1e5 -> micro coords ~ 1e11 -> vv far beyond 2^50: must THROW
+    // at first scan, never silently return wrong neighbors
+    val big = Seq((1L, Array.fill(8)(1.0e5f)), (2L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.kmeansIntTopK(q, big, "embedding", "vec_id",
+        k = 1, nClusters = 1, nProbe = 1, iters = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exact-integer f64 window")), msgs(ex).mkString("; "))
+    graft.operators.Dedup.releaseCaches()
+    // in-window vectors still work
+    val ok = Similarity.kmeansIntTopK(q,
+      Seq((1L, Array.fill(8)(0.9f)), (2L, Array.fill(8)(-0.9f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", k = 1, nClusters = 1, nProbe = 1, iters = 1)
+    assert(ok.count() === 1L)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("IVF top-k returns k well-formed rows per query with valid ranks") {
     val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(8)))
     val out = Similarity.ivfTopK(queries, bucketed, "embedding", "vec_id", "bucket",

@@ -46,6 +46,42 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination: stream hits equal batch hits, idempotent under redelivery") {
+    import graft.operators.TextPipeline
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val probes = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    // the filter is built ONCE batch-side from the probe set; the stream
+    // side is a pure map (no state, no shuffle) — the ingest-screening
+    // deployment shape
+    val words = TextPipeline.bloomWords(probes, "text", "doc_id")
+    val dir = Files.createTempDirectory("graft-sbloom-").toString
+    corpus.coalesce(3).write.parquet(s"$dir/in")
+
+    val stream = TextPipeline.bloomProbe(
+      spark.readStream.schema(spark.read.parquet(s"$dir/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      words, "text", "doc_id")
+    val q = stream.writeStream.format("memory").queryName("sbloom")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def hits() = spark.table("sbloom").collect()
+        .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("n_hits")).toSet
+      val streamed = hits()
+      val batch = TextPipeline.bloomProbe(corpus, words, "text", "doc_id")
+        .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("n_hits")).toSet
+      assert(streamed === batch, "stream and batch decontamination must agree")
+      // redelivery: the same corpus arrives again as new files — a
+      // stateless map emits duplicate ROWS, but every decision is
+      // identical, so the decision SET is unchanged (idempotent)
+      corpus.coalesce(2).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      assert(hits() === streamed, "redelivered batches must not change any decision")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch: incremental cells equal the batch sketch") {
     import graft.functions.{TextFunctions => T}
     import graft.operators.Curation

@@ -44,6 +44,39 @@ class StreamingLshDedupSpec extends SparkSpec {
     require(n > 0)
   }
 
+  test("half-batch half-stream equals full-batch: seeded state + stream pairs") {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    val fullBatch = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullBatch.nonEmpty)
+
+    // half1 is the already-accepted corpus (processed BATCH, seeds the
+    // stream's bucket state); half2 arrives through the stream
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val batchPairs = Dedup.minhashLshCandidates(half1, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val dir = Files.createTempDirectory("graft-slsh-seed-").toString
+    half2.coalesce(2).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = StreamingLshDedup.candidates(stream, "text", "doc_id",
+        initialCorpus = Some(half1))
+      .writeStream.format("memory").queryName("slsh_seeded")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamPairs = spark.table("slsh_seeded")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // stream emits exactly the pairs involving >= 1 stream doc; union
+    // with the batch half's own pairs reconstructs the full-batch set
+    assert(streamPairs.forall { case (a, b) => a % 2 === 1 || b % 2 === 1 })
+    val combined = batchPairs ++ streamPairs
+    assert(combined === fullBatch,
+      s"missing=${fullBatch -- combined} extra=${combined -- fullBatch}")
+  }
+
   test("bucket state survives a checkpointed restart (cross-restart pairs found)") {
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
     val want = Dedup.minhashLshCandidates(docs, "text", "doc_id")
