@@ -177,10 +177,12 @@ object Curation {
     *     the honest cost of complete coverage (suffix arrays pay the
     *     same factor in index space); run it AFTER cheaper dedup stages.
     *     Cost is LINEAR in document bytes (one CharGramMd5 pass): an
-    *     N-char doc yields ~N gram rows — a single 2 MB document among
-    *     small ones completes in ~11 s at local[4] with no single-task
-    *     blowup (CurationSpec pins this; the (g, doc) partial
-    *     aggregation absorbs the per-doc key skew map-side)
+    *     N-char doc yields ~N gram rows — a 4 MB document among 200
+    *     small ones runs in ~0.5 s at local[32] (graft.tools.Profile)
+    *     and a 2 MB one in ~11 s even at local[4] test settings
+    *     (CurationSpec pins the no-single-task-blowup bound; the
+    *     (g, doc) partial aggregation absorbs the per-doc key skew
+    *     map-side)
     *  2. per gram: document frequency + keeper (min doc id)
     *  3. removable positions (df >= 2, doc != keeper) merge into maximal
     *     spans via gaps-and-islands: a running max of span ends splits
@@ -246,6 +248,47 @@ object Curation {
         coalesce(aggregate(col("spans"), lit(0L), (acc, p) =>
           acc + (p.getField("e") - p.getField("s"))), lit(0L)).as("chars_removed"),
         array_join(col("segs"), "").as("clean_text"))
+  }
+
+  /** LINE-LEVEL exact deduplication (boilerplate removal at sub-document
+    * granularity, the RefinedWeb/C4 preprocessing shape): a line whose
+    * content is at least `minLen` chars survives only at its corpus-wide
+    * FIRST occurrence — smallest doc id, then smallest line index within
+    * that doc; shorter lines (headings, separators, blanks) always pass,
+    * so document structure survives. Returns
+    * (doc, n_lines, n_removed, clean_text).
+    *
+    * Scale design: one explode to (doc, idx, line); the first-occurrence
+    * key per line content is `min(doc * 2^31 + idx)` — an AGGREGATION,
+    * not a window, so a boilerplate line occurring millions of times
+    * partial-aggregates map-side instead of landing in one hot window
+    * partition; one content-keyed join back; one doc-keyed rebuild.
+    * Requires doc ids < 2^32 and < 2^31 lines/doc (the exact integer
+    * first-key encoding; ANSI mode throws loudly on overflow rather than
+    * mis-keying).
+    */
+  def dedupLines(
+      docs: DataFrame, textCol: String, idCol: String, minLen: Int = 20): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    val lines = docs.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+    def key(d: Column, i: Column): Column = d * lit(1L << 31) + i
+    val firsts = lines
+      .filter(length(col("line")) >= minLen)
+      .groupBy(col("line"))
+      .agg(min(key(col("doc"), col("idx"))).as("first_key"))
+    lines
+      .join(firsts, Seq("line"), "left")
+      .withColumn("keep",
+        col("first_key").isNull || key(col("doc"), col("idx")) === col("first_key"))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
   }
 
   /** DSIR-style importance weights: score each document by the summed

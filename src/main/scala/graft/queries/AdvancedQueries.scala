@@ -41,6 +41,40 @@ object AdvancedQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "statistical aggregate family (stddev/var/corr/covar/exact percentile)"),
 
+    // ------------------------------------------------------ discrete quantiles
+    "q81_percentile_disc" -> Q(
+      (s, dir) => {
+        // DISCRETE quantiles (rank-based, standard ceil(p*n)-th smallest):
+        // the result is an actual corpus value, so equality is exact with
+        // no interpolation-arithmetic rounding (contrast q47's
+        // percentile/quantile_cont, which must round to 4dp)
+        t(s, dir, "lineitem").createOrReplaceTempView("__q81_lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+            percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+            count(*) AS n
+          FROM __q81_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      // the oracle states the rank definition explicitly (min value with
+      // row_number >= ceil(p*n)) rather than relying on quantile_disc,
+      // whose index convention differs across engines
+      Some("""WITH r AS (
+             |  SELECT l_returnflag, l_extendedprice AS v,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  min(CASE WHEN rn >= ceil(0.25 * n) THEN v END) AS p25,
+             |  min(CASE WHEN rn >= ceil(0.5 * n)  THEN v END) AS p50,
+             |  min(CASE WHEN rn >= ceil(0.75 * n) THEN v END) AS p75,
+             |  min(CASE WHEN rn >= ceil(0.95 * n) THEN v END) AS p95,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "discrete (rank-based) quantiles via percentile_disc; exact value equality, no rounding"),
+
     // ----------------------------------------------------------- argmin/argmax
     "q48_argminmax" -> Q(
       (s, dir) =>

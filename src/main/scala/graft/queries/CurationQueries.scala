@@ -281,6 +281,41 @@ object CurationQueries {
               |ORDER BY doc""".stripMargin),
       "temperature mixing: per-source rate ~ sqrt(count), deterministic md5 acceptance coin"),
 
+    "q80_line_dedup" -> Q(
+      (s, dir) => {
+        // the synthetic docs are single-line and all-distinct, so the
+        // query PLANTS duplication: every doc is unioned with a copy
+        // (id + 100000) that repeats the original line and appends a
+        // short unique tail — the copy must lose exactly the repeated
+        // line and keep the (sub-minLen) tail, originals pass untouched
+        val base = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = base.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit("\n"),
+            concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+        Curation.dedupLines(base.unionByName(copies), "text", "doc_id", minLen = 20)
+          .orderBy(col("doc"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS doc, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+             |  FROM documents),
+             |d AS (SELECT doc, string_split(text, chr(10)) AS lines FROM corpus),
+             |p AS (SELECT doc, lines, unnest(generate_series(1, len(lines))) AS i FROM d),
+             |l AS (SELECT doc, i - 1 AS idx, lines[i] AS ln FROM p),
+             |f AS (SELECT ln, min(doc * 2147483648 + idx) AS fk
+             |      FROM l WHERE len(ln) >= 20 GROUP BY ln),
+             |m AS (SELECT l.doc, l.idx, l.ln,
+             |        (f.fk IS NULL OR l.doc * 2147483648 + l.idx = f.fk) AS keep
+             |      FROM l LEFT JOIN f USING (ln))
+             |SELECT doc,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list(ln ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS clean_text
+             |FROM m GROUP BY doc ORDER BY doc""".stripMargin),
+      "line-level exact dedup: first corpus-wide occurrence survives, sub-minLen lines always pass"),
+
     "q76_group_sample" -> Q(
       (s, dir) =>
         Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)

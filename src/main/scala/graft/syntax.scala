@@ -156,6 +156,12 @@ object syntax {
     def removeDupSpans(textCol: String, idCol: String, gramLen: Int = 32): DataFrame =
       graft.operators.Curation.removeDupSpans(df, textCol, idCol, gramLen)
 
+    /** Line-level exact dedup: a >= minLen-char line survives only at its
+      * corpus-wide first occurrence (smallest doc, then line index).
+      */
+    def dedupLines(textCol: String, idCol: String, minLen: Int = 20): DataFrame =
+      graft.operators.Curation.dedupLines(df, textCol, idCol, minLen)
+
     def importanceWeights(textCol: String, idCol: String, targetPred: Column): DataFrame =
       graft.operators.Curation.importanceWeights(df, textCol, idCol, targetPred)
 

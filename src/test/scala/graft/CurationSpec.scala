@@ -205,6 +205,37 @@ class CurationSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("dedupLines: first occurrence survives, short lines always pass, text round-trips") {
+    val boiler = "subscribe to our newsletter for updates today" // 45 chars
+    val d = Seq(
+      (1L, s"alpha unique content line number one here\n$boiler\n--"),
+      (2L, s"$boiler\nbeta unique content line number two here\n--"),
+      (3L, "gamma entirely unique document with no duplicate lines at all")
+    ).toDF("doc_id", "text")
+    val r = Curation.dedupLines(d, "text", "doc_id", minLen = 20)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    // doc 1 holds the first occurrence: full round-trip
+    assert(r(1L).getAs[Long]("n_removed") === 0L)
+    assert(r(1L).getAs[String]("clean_text")
+      === s"alpha unique content line number one here\n$boiler\n--")
+    // doc 2 loses only the boilerplate line; the short "--" separator stays
+    assert(r(2L).getAs[Long]("n_removed") === 1L)
+    assert(r(2L).getAs[String]("clean_text")
+      === "beta unique content line number two here\n--")
+    // untouched doc round-trips bit-for-bit
+    assert(r(3L).getAs[Long]("n_removed") === 0L)
+    assert(r(3L).getAs[String]("clean_text")
+      === "gamma entirely unique document with no duplicate lines at all")
+    assert(r(3L).getAs[Long]("n_lines") === 1L)
+    // within one doc, a repeated long line also dedups to its first index
+    val selfDup = Seq((7L, s"$boiler\nmiddle unique line of doc seven\n$boiler"))
+      .toDF("doc_id", "text")
+    val r7 = Curation.dedupLines(selfDup, "text", "doc_id", minLen = 20).head()
+    assert(r7.getAs[Long]("n_removed") === 1L)
+    assert(r7.getAs[String]("clean_text")
+      === s"$boiler\nmiddle unique line of doc seven")
+  }
+
   test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", true),
