@@ -193,6 +193,26 @@ class DedupSpec extends SparkSpec {
     } finally index.unpersist(blocking = false)
   }
 
+  test("shingle index written to storage serves FromIndex and survives releaseCaches") {
+    // the documented production shape: materialize the index as a TABLE
+    // (new scan plan — immune to the plan-based cache identity that lets
+    // releaseCaches drop a same-plan persisted frame)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx-").toString
+    Dedup.buildShingleIndex(docs, "text", "doc_id", shingleK = 5)
+      .write.parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pairSet(Dedup.minhashNearDups(docs, "text", "doc_id", 5, 0.8))
+      Dedup.releaseCaches()
+      assert(pairSet(Dedup.minhashNearDupsFromIndex(index, threshold = 0.8)) === want)
+      // the written-table cache really does survive the global release
+      assert(index.storageLevel.useMemory || index.storageLevel.useDisk)
+    } finally index.unpersist(blocking = false)
+  }
+
   test("composed dedup pipeline over one index: jaccard + minhash + components") {
     // the q31+q32+q39 composition the way a production pipeline runs it:
     // ONE corpus scan builds the index; all three passes consume it

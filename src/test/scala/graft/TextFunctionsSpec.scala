@@ -115,4 +115,26 @@ class TextFunctionsSpec extends SparkSpec {
       .agg(min("q"), max("q")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
+
+  test("CharGramMd5 (codegen) == md5(substr) formulation, incl. multibyte text") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.TextExprs
+    // corpus rows + constructed multibyte/emoji/short/empty edge cases
+    val edge = Seq("🎉漢字テスト🎉 mixed ascii und ümlaut ß text here",
+      "ab", "", "exactly-eight", "🎉" * 12).toDF("text")
+    val docs = Tables.table(spark, sfDir, "documents").select(col("text"))
+      .unionByName(edge)
+    for ((len, stride) <- Seq((8, 1), (8, 3), (32, 8))) {
+      val mismatches = docs
+        .withColumn("fast", TextExprs.charGramMd5Col(col("text"), len, stride))
+        .withColumn("ref",
+          when(length(col("text")) < len, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1), length(col("text")) - (len - 1), lit(stride)),
+              i => md5(col("text").substr(i, lit(len))))))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(mismatches === 0L, s"len=$len stride=$stride")
+    }
+  }
 }
