@@ -250,6 +250,59 @@ object Curation {
         array_join(col("segs"), "").as("clean_text"))
   }
 
+  /** BIGRAM-LM quality scoring (the CCNet shape: score each document's
+    * fluency under a language model trained on a trusted target slice;
+    * low average negative-log-likelihood ≈ target-like text, high ≈
+    * gibberish/boilerplate). The model is add-1-smoothed bigram
+    * conditionals over the `targetPred` documents:
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), V = distinct second-token
+    * vocabulary; unseen bigrams/starts fall through the same formula via
+    * coalesce(0). Scores are per-bigram micro-unit integers
+    * (round(-ln P * 1e6)) summed exactly, so per-doc totals are
+    * order/partition independent; the one ln() per distinct (doc,
+    * bigram) carries the same 1-ulp libm caveat as [[importanceWeights]]
+    * (corpus-validated per SF by the oracle gate).
+    *
+    * Scale: one bigram explode, one (doc, bigram) aggregation (the tf
+    * frame is persisted — tracked by [[Dedup.releaseCaches]] — because
+    * it feeds both the model build and the scoring join), two
+    * bigram-keyed model aggregations, one scoring join, one doc rollup.
+    * Documents shorter than 2 tokens have no bigrams and are omitted.
+    * Returns (doc, n_bigrams, nll_micro_total, avg_nll_micro).
+    */
+  def bigramNll(
+      docs: DataFrame, textCol: String, idCol: String,
+      targetPred: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc"), targetPred.as("is_target"),
+        T.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("w1s", slice(col("w"), lit(1), size(col("w")) - 1))
+      .withColumn("w2s", slice(col("w"), lit(2), size(col("w")) - 1))
+      .select(col("doc"), col("is_target"),
+        explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
+      .select(col("doc"), col("is_target"),
+        col("z.w1s").as("w1"), col("z.w2s").as("w2"))
+    val tf = Dedup.persistTracked(
+      base.groupBy(col("doc"), col("is_target"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf")))
+    val cb = tf.filter(col("is_target"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val cs = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cs"))
+    val v = cb.agg(count_distinct(col("w2")).as("v"))
+    tf
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cs, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll_micro", expr(
+        "CAST(round(-ln((coalesce(cb, 0L) + 1.0) / (coalesce(cs, 0L) + v)) * 1e6) AS BIGINT)"))
+      .groupBy(col("doc"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("nll_micro")).as("nll_micro_total"))
+      .withColumn("avg_nll_micro", expr("nll_micro_total DIV n_bigrams"))
+  }
+
   /** LINE-LEVEL exact deduplication (boilerplate removal at sub-document
     * granularity, the RefinedWeb/C4 preprocessing shape): a line whose
     * content is at least `minLen` chars survives only at its corpus-wide
@@ -258,11 +311,14 @@ object Curation {
     * so document structure survives. Returns
     * (doc, n_lines, n_removed, clean_text).
     *
-    * Scale design: one explode to (doc, idx, line); the first-occurrence
+    * Scale design: explode to (doc, idx, line); the first-occurrence
     * key per line content is `min(doc * 2^31 + idx)` — an AGGREGATION,
     * not a window, so a boilerplate line occurring millions of times
     * partial-aggregates map-side instead of landing in one hot window
-    * partition; one content-keyed join back; one doc-keyed rebuild.
+    * partition; one content-keyed join back (the line frame is computed
+    * on both join sides — re-scanning the corpus beats caching
+    * line-grain data at scale, and AQE broadcasts the aggregated firsts
+    * side when it is small); one doc-keyed rebuild.
     * Requires doc ids < 2^32 and < 2^31 lines/doc (the exact integer
     * first-key encoding; ANSI mode throws loudly on overflow rather than
     * mis-keying).

@@ -208,7 +208,7 @@ object Similarity {
       ((vvcol - lit(2.0) * V.dot(vcol, lit(c)) + lit(cc)).cast("long") * 256 + cid)
     }
     def nearestCid(vcol: Column, vvcol: Column, cs: Array[Array[Double]]): Column =
-      (array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      (array_min(array(cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         packedDist(vcol, vvcol, c, i) }: _*)) % 256).cast("int")
 
     var centroids: Array[Array[Double]] = e
@@ -239,7 +239,7 @@ object Similarity {
       .withColumn("qvv", guardedVv(V.dot(col("qvq"), col("qvq")), col("query_id")))
       .withColumn("qn", V.norm(col("qv")))
     val probes = q
-      .withColumn("pr", array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      .withColumn("pr", array_sort(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         packedDist(col("qvq"), col("qvv"), c, i) }: _*)))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(slice(col("pr"), 1, nProbe)).as("pb"))

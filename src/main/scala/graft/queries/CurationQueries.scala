@@ -316,6 +316,34 @@ object CurationQueries {
              |FROM m GROUP BY doc ORDER BY doc""".stripMargin),
       "line-level exact dedup: first corpus-wide occurrence survives, sub-minLen lines always pass"),
 
+    "q82_lm_score" -> Q(
+      (s, dir) =>
+        Curation.bigramNll(Tables.table(s, dir, "documents"), "text", "doc_id",
+            targetPred = col("lang") === "en")
+          .orderBy(col("doc")),
+      Some("""WITH t AS (
+             |  SELECT doc_id AS doc, (lang = 'en') AS is_target,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |b AS (SELECT doc, is_target, unnest(generate_series(1, len(w) - 1)) AS i, w
+             |      FROM t WHERE len(w) >= 2),
+             |bg AS (SELECT doc, is_target, w[i] AS w1, w[i+1] AS w2 FROM b),
+             |tf AS (SELECT doc, is_target, w1, w2, CAST(count(*) AS BIGINT) AS tf
+             |       FROM bg GROUP BY doc, is_target, w1, w2),
+             |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tf WHERE is_target GROUP BY w1, w2),
+             |cs AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cs FROM cb GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM cb),
+             |sc AS (
+             |  SELECT tf.doc, tf.tf,
+             |    CAST(round(-ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cs.cs, 0) + v.v)) * 1e6) AS BIGINT) AS nll
+             |  FROM tf LEFT JOIN cb USING (w1, w2) LEFT JOIN cs USING (w1) CROSS JOIN v)
+             |SELECT doc,
+             |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(tf * nll) AS BIGINT) AS nll_micro_total,
+             |  CAST(sum(tf * nll) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_nll_micro
+             |FROM sc GROUP BY doc ORDER BY doc""".stripMargin),
+      "CCNet-style bigram-LM scoring: add-1 smoothed NLL vs lang='en' model, micro-unit integers"),
+
     "q76_group_sample" -> Q(
       (s, dir) =>
         Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)

@@ -165,6 +165,12 @@ object syntax {
     def importanceWeights(textCol: String, idCol: String, targetPred: Column): DataFrame =
       graft.operators.Curation.importanceWeights(df, textCol, idCol, targetPred)
 
+    /** CCNet-style bigram-LM quality score: average NLL (micro units)
+      * under an add-1 bigram model trained on the targetPred slice.
+      */
+    def lmQualityScores(textCol: String, idCol: String, targetPred: Column): DataFrame =
+      graft.operators.Curation.bigramNll(df, textCol, idCol, targetPred)
+
     def heavyHitters(
         textCol: String, idCol: String,
         depth: Int = 4, width: Int = 1024, minCount: Long = 100L): DataFrame =

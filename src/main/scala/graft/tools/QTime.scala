@@ -9,7 +9,6 @@ import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -27,7 +26,6 @@ object QTime {
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (args.length <= 1) graft.SparkEntry.queries.toSeq
       else args.drop(1).toSeq.map(n => n -> graft.SparkEntry.queries(n))
-    require(names != null)
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

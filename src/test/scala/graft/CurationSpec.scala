@@ -236,6 +236,26 @@ class CurationSpec extends SparkSpec {
       === s"$boiler\nmiddle unique line of doc seven")
   }
 
+  test("bigramNll: target-like text scores lower NLL than shuffled gibberish") {
+    // model trained on the is_target docs; a fluent doc reusing target
+    // bigrams must average lower NLL than one with the same tokens in
+    // an order whose bigrams the model never saw
+    val target = (1L to 6L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again", true))
+    val fluent = (100L, "the quick brown fox jumps over the dog", false)
+    val gibberish = (101L, "dog the over quick jumps fox brown the", false)
+    val d = (target :+ fluent :+ gibberish).toDF("doc_id", "text", "is_en")
+    val r = Curation.bigramNll(d, "text", "doc_id", targetPred = col("is_en"))
+      .collect().map(row => row.getAs[Long]("doc") -> row.getAs[Long]("avg_nll_micro")).toMap
+    assert(r(100L) < r(101L),
+      s"fluent=${r(100L)} must beat gibberish=${r(101L)}")
+    // scores are deterministic under repartition (exact integer sums)
+    val again = Curation.bigramNll(d.repartition(7), "text", "doc_id", col("is_en"))
+      .collect().map(row => row.getAs[Long]("doc") -> row.getAs[Long]("avg_nll_micro")).toMap
+    assert(again === r)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("importanceWeights ranks a target-vocabulary doc above an off-target doc") {
     val d = Seq(
       (1L, "alpha beta gamma alpha beta", true),
