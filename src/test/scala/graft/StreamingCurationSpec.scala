@@ -82,6 +82,47 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line dedup: cross-batch decisions reconstruct the batch operator's output") {
+    import graft.operators.Curation
+    import graft.streaming.StreamingLineDedup
+    // planted duplication: originals (ascending ids, batch 1) + copies
+    // with a unique tail line (batch 2) — the duplicate pair straddles
+    // the micro-batch boundary, so keep/drop decisions REQUIRE state
+    val base = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit("\n"), concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+    val dir = Files.createTempDirectory("graft-sline-").toString
+    base.coalesce(1).write.parquet(s"$dir/in")       // arrives first
+    copies.coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = StreamingLineDedup.decisions(
+      spark.readStream.schema(spark.read.parquet(s"$dir/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      "text", "doc_id", minLen = 20)
+    val q = stream.toDF().writeStream.format("memory").queryName("sline")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // reassemble clean text per doc from the kept decisions
+      val rebuilt = spark.table("sline")
+        .groupBy(col("doc"))
+        .agg(
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+          concat_ws("\n", transform(
+            array_sort(collect_list(when(col("keep"), struct(col("idx"), col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+        .collect().map(r => r.getAs[Long]("doc") ->
+          ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+      val batch = Curation.dedupLines(base.unionByName(copies), "text", "doc_id", minLen = 20)
+        .collect().map(r => r.getAs[Long]("doc") ->
+          ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+      assert(rebuilt === batch,
+        "ordered-arrival stream decisions must reconstruct the batch dedup exactly")
+      assert(rebuilt.exists(_._2._1 > 0L), "copies must actually lose their duplicated line")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch: incremental cells equal the batch sketch") {
     import graft.functions.{TextFunctions => T}
     import graft.operators.Curation
