@@ -517,4 +517,52 @@ object Curation {
       .filter(col("rk") <= k)
       .select(col("doc"), col("grp"), col("rk"))
   }
+
+  /** TOKEN-BUDGET CORPUS SELECTION: keep documents in quality order
+    * (score ascending = best first, id breaking ties) until the running
+    * token total would exceed `budget` — "take the best N tokens", the
+    * final cut every training-data pipeline makes. A document is kept
+    * iff its INCLUSIVE running total is <= budget (documents after the
+    * first overflow are all dropped, even small ones — the cut is a
+    * prefix of the quality ordering, not a knapsack).
+    *
+    * Scale design — NO GLOBAL SORT: a naive cumulative-sum window over
+    * the total order runs in ONE task. Instead the score is quantized
+    * into buckets (`bucketScale`: bucket = floor(score * bucketScale),
+    * monotone in score, so bucket order refines score order):
+    *   1. per-bucket token totals (one hash aggregation, tiny result),
+    *   2. running totals ACROSS buckets via a window over the bucket
+    *      frame — rows = distinct buckets, not documents,
+    *   3. per-document running totals WITHIN each bucket (window
+    *      partitioned by bucket — parallel across buckets) + the
+    *      bucket's prefix offset.
+    * Single-task work is bounded by the largest bucket, which
+    * `bucketScale` controls — the classic two-level prefix-sum. The
+    * result is IDENTICAL to the naive global cumulative sum (the oracle
+    * states it that way).
+    *
+    * Returns (doc, n_tokens, score, keep) — one row per input document.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, scoreCol: String, tokensCol: String,
+      budget: Long, bucketScale: Double = 1.0): DataFrame = {
+    require(budget >= 0 && bucketScale > 0, "need budget >= 0, bucketScale > 0")
+    val d = df.select(
+      col(idCol).as("doc"), col(tokensCol).cast("bigint").as("n_tokens"),
+      col(scoreCol).as("score"),
+      floor(col(scoreCol) * lit(bucketScale)).cast("bigint").as("b"))
+    // tokens BEFORE bucket b: window over the per-bucket aggregate (rows
+    // = distinct buckets; its single-partition sort is over that tiny
+    // frame, never the corpus)
+    val wb = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = d.groupBy(col("b")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("before", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .select(col("b"), col("before"))
+    val wd = Window.partitionBy(col("b")).orderBy(col("score"), col("doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.join(broadcast(prefixes), Seq("b"))
+      .withColumn("running", col("before") + sum(col("n_tokens")).over(wd))
+      .select(col("doc"), col("n_tokens"), col("score"),
+        (col("running") <= budget).as("keep"))
+  }
 }

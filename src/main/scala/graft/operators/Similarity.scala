@@ -165,52 +165,65 @@ object Similarity {
     * per round the corpus does one codegen'd scan of the persisted
     * quantized frame plus one (cid, dim)-keyed aggregation.
     */
-  def kmeansIntTopK(
-      queries: DataFrame, corpus: DataFrame,
-      vecCol: String, idCol: String,
-      k: Int, nClusters: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
-    require(nClusters >= 1 && nClusters <= 256 && nProbe >= 1 && iters >= 0,
-      "need 1 <= nClusters <= 256, nProbe >= 1, iters >= 0")
-    // micro-unit quantized coords, kept as EXACT-INTEGER-VALUED doubles:
-    // every product (<= ~1.2e12), running dot sum (<= ~7.2e13) and the
-    // expansion |v-c|^2 = v.v - 2 v.c + c.c (<= ~3e14) is an integer
-    // below 2^53, so f64 arithmetic is exact and engine-portable AND the
-    // distance goes through the codegen'd dot-product expression — the
-    // naive per-centroid zip_with/aggregate HOF formulation built a
-    // ~6000-node expression tree whose per-round planning alone cost
-    // seconds (and evaluated interpreted)
-    val micro = (v: Column) => transform(v, x => round(x * 1e6))
-    // RUNTIME GUARD for the exactness window: every cross dot is bounded
-    // by sqrt(vv * cc) (Cauchy-Schwarz, term-wise on |.|) and centroids
-    // are per-dimension means of member vq's, so cc <= max vv; requiring
-    // vv <= 2^50 therefore keeps every product, running sum, and the
-    // |v-c|^2 expansion (<= 4 * 2^50 = 2^52) strictly inside f64's exact
-    // integer range. Unnormalized inputs that overflow the window now
-    // fail loudly at first scan instead of silently returning wrong
-    // neighbors. Zero extra jobs: the check rides the quantization scan.
-    val vvMax = 1.125899906842624e15 // 2^50, exactly representable
-    def guardedVv(vvCol: Column, idc: Column): Column =
-      when(vvCol <= lit(vvMax), vvCol).otherwise(raise_error(concat(
-        lit("kmeansIntTopK: micro-quantized |v|^2 > 2^50 — coordinate "
-          + "magnitudes exceed the exact-integer f64 window; rescale or "
-          + "normalize the embeddings (id="), idc.cast("string"), lit(")"))))
-    val e = Dedup.persistTracked(
+  // --- shared integer-Lloyd machinery (kmeansIntTopK + EmbeddingCuration) ---
+
+  // micro-unit quantized coords, kept as EXACT-INTEGER-VALUED doubles:
+  // every product (<= ~1.2e12), running dot sum (<= ~7.2e13) and the
+  // expansion |v-c|^2 = v.v - 2 v.c + c.c (<= ~3e14) is an integer
+  // below 2^53, so f64 arithmetic is exact and engine-portable AND the
+  // distance goes through the codegen'd dot-product expression — the
+  // naive per-centroid zip_with/aggregate HOF formulation built a
+  // ~6000-node expression tree whose per-round planning alone cost
+  // seconds (and evaluated interpreted)
+  private val micro = (v: Column) => transform(v, x => round(x * 1e6))
+
+  // RUNTIME GUARD for the exactness window: every cross dot is bounded
+  // by sqrt(vv * cc) (Cauchy-Schwarz, term-wise on |.|) and centroids
+  // are per-dimension means of member vq's, so cc <= max vv; requiring
+  // vv <= 2^50 therefore keeps every product, running sum, and the
+  // |v-c|^2 expansion (<= 4 * 2^50 = 2^52) strictly inside f64's exact
+  // integer range. Unnormalized inputs that overflow the window now
+  // fail loudly at first scan instead of silently returning wrong
+  // neighbors. Zero extra jobs: the check rides the quantization scan.
+  private val vvMax = 1.125899906842624e15 // 2^50, exactly representable
+  private def guardedVv(vvCol: Column, idc: Column): Column =
+    when(vvCol <= lit(vvMax), vvCol).otherwise(raise_error(concat(
+      lit("kmeansIntTopK: micro-quantized |v|^2 > 2^50 — coordinate "
+        + "magnitudes exceed the exact-integer f64 window; rescale or "
+        + "normalize the embeddings (id="), idc.cast("string"), lit(")"))))
+
+  /** (vid, v, vq, vv) quantized frame, persisted via the shared tracked
+    * cache (one corpus scan feeds every Lloyd round + the final assign).
+    */
+  private[operators] def quantized(
+      corpus: DataFrame, vecCol: String, idCol: String): DataFrame =
+    Dedup.persistTracked(
       corpus.select(col(idCol).as("vid"), V.asDouble(col(vecCol)).as("v"))
         .withColumn("vq", micro(col("v")))
         .withColumn("vv", guardedVv(V.dot(col("vq"), col("vq")), col("vid"))))
 
-    // (dist, cid) packed into one long — dist*256+cid preserves the
-    // (dist asc, cid asc) order and keeps argmin/sort on plain integers
-    // (micro distances are <= ~2^48, so the pack cannot overflow); the
-    // SQL oracle ranks by the unpacked pair directly
-    def packedDist(vcol: Column, vvcol: Column, c: Array[Double], cid: Int): Column = {
-      val cc = c.map(x => x * x).sum // exact: 64 integer-valued squares
-      ((vvcol - lit(2.0) * V.dot(vcol, lit(c)) + lit(cc)).cast("long") * 256 + cid)
-    }
-    def nearestCid(vcol: Column, vvcol: Column, cs: Array[Array[Double]]): Column =
-      (array_min(array(cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        packedDist(vcol, vvcol, c, i) }: _*)) % 256).cast("int")
+  // (dist, cid) packed into one long — dist*256+cid preserves the
+  // (dist asc, cid asc) order and keeps argmin/sort on plain integers
+  // (micro distances are <= ~2^48, so the pack cannot overflow); the
+  // SQL oracle ranks by the unpacked pair directly
+  private[operators] def packedDist(
+      vcol: Column, vvcol: Column, c: Array[Double], cid: Int): Column = {
+    val cc = c.map(x => x * x).sum // exact: 64 integer-valued squares
+    ((vvcol - lit(2.0) * V.dot(vcol, lit(c)) + lit(cc)).cast("long") * 256 + cid)
+  }
+  private[operators] def nearestCid(
+      vcol: Column, vvcol: Column, cs: Array[Array[Double]]): Column =
+    (array_min(array(cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      packedDist(vcol, vvcol, c, i) }: _*)) % 256).cast("int")
 
+  /** Integer-Lloyd training over a [[quantized]] frame: init = the
+    * `nClusters` vectors with the smallest md5(id), then `iters` rounds of
+    * exact-integer assignment + floorDiv centroid means (empty clusters
+    * keep their previous centroid). Centroids are bounded driver state
+    * (nClusters * dim longs) — the broadcast-table pattern.
+    */
+  private[operators] def trainIntCentroids(
+      e: DataFrame, nClusters: Int, iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = e
       .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
       .orderBy(col("h"), col("vid")).limit(nClusters)
@@ -228,6 +241,17 @@ object Similarity {
       }
       centroids = next
     }
+    centroids
+  }
+
+  def kmeansIntTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nClusters: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    require(nClusters >= 1 && nClusters <= 256 && nProbe >= 1 && iters >= 0,
+      "need 1 <= nClusters <= 256, nProbe >= 1, iters >= 0")
+    val e = quantized(corpus, vecCol, idCol)
+    val centroids = trainIntCentroids(e, nClusters, iters)
 
     val assigned = e.select(
         col("vid").as("neighbor_id"), col("v").as("cv"),

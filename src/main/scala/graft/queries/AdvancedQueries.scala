@@ -16,6 +16,38 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
   private def r4(c: Column): Column = round(c, 4)
 
+  /** DuckDB replay of `Similarity.trainIntCentroids` over `embeddings`
+    * (8 clusters, 3 Lloyd rounds, dim fixed at 64 in the synthetic
+    * corpus): iteration i assigns by exact integer squared distance to
+    * c{i-1} and floor-divides per-dim sums into c{i} (empty clusters
+    * keep the previous centroid); `af` is the final assignment against
+    * c3. Shared WITH-prefix of the q58/q83/q84 oracles.
+    */
+  private def lloydIter(i: Int): String =
+    s"""asg$i AS (SELECT vec_id, vq, cid FROM (
+       |  SELECT e.vec_id, e.vq, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+       |s$i AS (SELECT cid, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+       |  FROM asg$i CROSS JOIN generate_series(1, 64) AS dd(d) GROUP BY cid, dd.d),
+       |m$i AS (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM s$i GROUP BY cid),
+       |c$i AS (SELECT p.cid, COALESCE(m$i.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i USING (cid))""".stripMargin
+
+  private val lloydWith: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |ini AS (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
+       |c0 AS (SELECT rk - 1 AS cid, vq AS c FROM ini WHERE rk <= 8),
+       |${lloydIter(1)},
+       |${lloydIter(2)},
+       |${lloydIter(3)},
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM e CROSS JOIN c3 c) WHERE rn = 1)""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------- statistical aggregates
@@ -216,28 +248,7 @@ object AdvancedQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some {
-        def iter(i: Int): String =
-          s"""asg$i AS (SELECT vec_id, vq, cid FROM (
-             |  SELECT e.vec_id, e.vq, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
-             |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
-             |s$i AS (SELECT cid, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
-             |  FROM asg$i CROSS JOIN generate_series(1, 64) AS dd(d) GROUP BY cid, dd.d),
-             |m$i AS (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM s$i GROUP BY cid),
-             |c$i AS (SELECT p.cid, COALESCE(m$i.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i USING (cid))""".stripMargin
-        s"""WITH e AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
-           |  FROM embeddings),
-           |ini AS (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
-           |c0 AS (SELECT rk - 1 AS cid, vq AS c FROM ini WHERE rk <= 8),
-           |${iter(1)},
-           |${iter(2)},
-           |${iter(3)},
-           |af AS (SELECT vec_id, cid FROM (
-           |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
-           |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        s"""$lloydWith,
            |q AS (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 5),
            |pr AS (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
            |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
@@ -256,6 +267,45 @@ object AdvancedQueries {
       },
       "IVF ANN with a KMeans-learned coarse quantizer — integer Lloyd's, fully engine-portable " +
         "(float-KMeans variant Similarity.ivfKmeansTopK stays spec-pinned)"),
+
+    // ----------------------------------------------- embedding-space curation
+    "q83_semdedup" -> Q(
+      (s, dir) =>
+        graft.operators.EmbeddingCuration.semDedup(
+            t(s, dir, "embeddings"), "embedding", "vec_id",
+            eps = 0.92, nClusters = 8, iters = 3)
+          .orderBy(col("vec_id")),
+      Some(
+        s"""$lloydWith,
+           |n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nn, af.cid
+           |  FROM e JOIN af USING (vec_id)),
+           |dup AS (SELECT DISTINCT x.vec_id
+           |  FROM n x JOIN n y ON y.cid = x.cid AND y.vec_id < x.vec_id
+           |  WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn) > 0.92)
+           |SELECT n.vec_id, n.cid AS bucket, (d.vec_id IS NULL) AS keep
+           |FROM n LEFT JOIN dup d ON d.vec_id = n.vec_id
+           |ORDER BY n.vec_id""".stripMargin),
+      "SemDeDup: integer-Lloyd clusters, within-cluster cosine > eps to a smaller id -> drop " +
+        "(pairwise work bounded by cluster size, never all-pairs)"),
+
+    "q84_proto_rank" -> Q(
+      (s, dir) =>
+        graft.operators.EmbeddingCuration.prototypicality(
+            t(s, dir, "embeddings"), "embedding", "vec_id",
+            nClusters = 8, iters = 3)
+          .orderBy(col("vec_id")),
+      Some(
+        s"""$lloydWith,
+           |cl AS (SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS cd FROM c3),
+           |scored AS (SELECT e.vec_id, af.cid AS bucket,
+           |    list_dot_product(e.v, cl.cd) /
+           |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cl.cd, cl.cd))) AS cos
+           |  FROM e JOIN af USING (vec_id) JOIN cl ON cl.cid = af.cid)
+           |SELECT vec_id, bucket, round(cos, 6) AS proto_cos,
+           |  row_number() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_id) AS rank
+           |FROM scored ORDER BY vec_id""".stripMargin),
+      "prototypicality rank (SSL-prototypes / D4 stage 2): cosine to the integer-Lloyd " +
+        "centroid, ranked within each cluster"),
 
     "q37_sim_ivf_topk" -> Q(
       (s, dir) => {

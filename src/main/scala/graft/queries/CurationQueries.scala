@@ -344,6 +344,37 @@ object CurationQueries {
              |FROM sc GROUP BY doc ORDER BY doc""".stripMargin),
       "CCNet-style bigram-LM scoring: add-1 smoothed NLL vs lang='en' model, micro-unit integers"),
 
+    "q85_token_budget" -> Q(
+      (s, dir) => {
+        val rep = graft.operators.TextPipeline.repetitionScores(
+          Tables.table(s, dir, "documents"), "text", "doc_id")
+        // least-repetitive docs first until 16k tokens are spent; ppm
+        // buckets of 10k bound the per-bucket window partitions
+        Curation.tokenBudgetSelect(rep, "doc", "repetition_ppm", "n_tokens",
+            budget = 16000L, bucketScale = 1e-4)
+          .orderBy(col("doc"))
+      },
+      // the oracle states the SEMANTICS (one global cumulative sum over
+      // the quality order); the engine computes the identical result with
+      // a two-level bucketed prefix sum that never sorts the corpus in
+      // one task
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT doc, tok, count(*) AS c FROM toks GROUP BY doc, tok),
+             |rep AS (SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS score
+             |  FROM cnt GROUP BY doc),
+             |run AS (SELECT doc, n_tokens, score,
+             |    sum(n_tokens) OVER (ORDER BY score, doc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+             |  FROM rep)
+             |SELECT doc, n_tokens, score, (running <= 16000) AS keep
+             |FROM run ORDER BY doc""".stripMargin),
+      "token-budget corpus selection: best-quality-first prefix cut at 16k tokens, computed " +
+        "as a bucketed two-level prefix sum (no global single-task sort)"),
+
     "q76_group_sample" -> Q(
       (s, dir) =>
         Curation.groupHashSample(Tables.table(s, dir, "documents"), "doc_id", "source", k = 5)

@@ -78,6 +78,19 @@ object syntax {
         nClusters: Int = 8, nProbe: Int = 2): DataFrame =
       Similarity.ivfKmeansTopK(queries, df, vecCol, idCol, k, nClusters, nProbe)
 
+    // ------------------------------------------- embedding-space curation
+    def semDedup(vecCol: String, idCol: String, eps: Double = 0.97,
+        nClusters: Int = 8, iters: Int = 3): DataFrame =
+      graft.operators.EmbeddingCuration.semDedup(df, vecCol, idCol, eps, nClusters, iters)
+
+    def prototypicality(
+        vecCol: String, idCol: String, nClusters: Int = 8, iters: Int = 3): DataFrame =
+      graft.operators.EmbeddingCuration.prototypicality(df, vecCol, idCol, nClusters, iters)
+
+    def tokenBudgetSelect(idCol: String, scoreCol: String, tokensCol: String,
+        budget: Long, bucketScale: Double = 1.0): DataFrame =
+      graft.operators.Curation.tokenBudgetSelect(df, idCol, scoreCol, tokensCol, budget, bucketScale)
+
     // --------------------------------------------------------------- text
     /** Token/char counts, BPE-ish subword count, quality score, language. */
     def withTextStats(textCol: String): DataFrame =

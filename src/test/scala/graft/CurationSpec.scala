@@ -329,4 +329,32 @@ class CurationSpec extends SparkSpec {
     assert(s.except(again).count() === 0L)
     s.unpersist()
   }
+
+  test("tokenBudgetSelect: bucketed prefix sum equals the naive global cumulative sum") {
+    val d = docs.select(col("doc_id").as("doc"),
+      (length(col("text")) % 97 + 1).cast("bigint").as("toks"),
+      (col("n_chars") % 41).cast("double").as("sc"))
+    val rows = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // naive reference: keep iff inclusive running total over (score, id)
+    // order stays within budget
+    val budget = rows.map(_._2).sum / 2
+    var running = 0L
+    val expected = rows.sortBy(t => (t._3, t._1)).map { t =>
+      running += t._2; t._1 -> (running <= budget)
+    }.toMap
+    for (scale <- Seq(1.0, 0.1, 1000.0)) {
+      val got = Curation.tokenBudgetSelect(d, "doc", "sc", "toks", budget, scale)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(got === expected, s"bucketScale=$scale must not change the cut")
+    }
+  }
+
+  test("tokenBudgetSelect: budget edges — zero drops all, huge keeps all") {
+    val d = docs.select(col("doc_id").as("doc"), lit(1L).as("toks"),
+      col("n_chars").cast("double").as("sc"))
+    assert(Curation.tokenBudgetSelect(d, "doc", "sc", "toks", 0L)
+      .filter(col("keep")).count() === 0L)
+    assert(Curation.tokenBudgetSelect(d, "doc", "sc", "toks", Long.MaxValue / 4)
+      .filter(!col("keep")).count() === 0L)
+  }
 }
