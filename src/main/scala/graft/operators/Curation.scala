@@ -347,6 +347,49 @@ object Curation {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** BOILERPLATE line removal by within-group document frequency (the
+    * RefinedWeb/CCNet "repeated lines across a domain are chrome"
+    * heuristic): a line whose content is at least `minLen` chars and
+    * occurs in at least `maxDocs` DISTINCT documents of the same group
+    * (site / source / domain) is removed from EVERY document — unlike
+    * [[dedupLines]], which keeps the first occurrence, boilerplate has no
+    * keeper: navigation bars and cookie banners carry no training signal
+    * anywhere. Sub-`minLen` lines (headings, separators, blanks) always
+    * pass. Returns (doc, n_lines, n_removed, clean_text).
+    *
+    * Scale design: explode to (doc, grp, idx, line); the line-df table is
+    * one (grp, line)-keyed count-distinct aggregation (planned as two
+    * hash aggregations — a banner occurring millions of times
+    * partial-aggregates map-side, no hot partition); one content-keyed
+    * join back (AQE broadcasts the df side when the boilerplate set is
+    * small, which it is — df >= maxDocs lines are by definition few
+    * distinct strings); one doc-keyed rebuild. No windows anywhere.
+    */
+  def removeBoilerplate(
+      docs: DataFrame, textCol: String, idCol: String, groupCol: String,
+      minLen: Int = 20, maxDocs: Long = 2): DataFrame = {
+    require(minLen >= 1 && maxDocs >= 2, "need minLen >= 1 and maxDocs >= 2")
+    val lines = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("idx", "line")))
+    val boiler = lines
+      .filter(length(col("line")) >= minLen)
+      .groupBy(col("grp"), col("line"))
+      .agg(count_distinct(col("doc")).as("ldf"))
+      .filter(col("ldf") >= maxDocs)
+      .select(col("grp"), col("line"), lit(true).as("bp"))
+    lines
+      .join(boiler, Seq("grp", "line"), "left")
+      .withColumn("keep", col("bp").isNull)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** DSIR-style importance weights: score each document by the summed
     * log-likelihood ratio of its tokens under a target unigram model vs
     * the full-corpus model (add-1 smoothing over the corpus vocabulary).

@@ -316,6 +316,46 @@ object CurationQueries {
              |FROM m GROUP BY doc ORDER BY doc""".stripMargin),
       "line-level exact dedup: first corpus-wide occurrence survives, sub-minLen lines always pass"),
 
+    "q86_boilerplate_rm" -> Q(
+      (s, dir) => {
+        // the synthetic docs are single-line and all-distinct, so the
+        // query PLANTS boilerplate: every doc gains a per-source footer
+        // line (shared by all docs of that source -> removed everywhere),
+        // and every 10th doc also gains a unique >= minLen line (df = 1
+        // -> kept): both sides of the df threshold are exercised
+        val planted = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit("\n"),
+              lit("FOOTER all rights reserved "), col("source"),
+              when(col("doc_id") % 10 === 0,
+                concat(lit("\nRARE LINE UNIQUE TO DOCUMENT "),
+                  col("doc_id").cast("string"))).otherwise(lit(""))).as("text"))
+        Curation.removeBoilerplate(planted, "text", "doc_id", "source",
+            minLen = 20, maxDocs = 5)
+          .orderBy(col("doc"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS doc, source AS grp,
+             |    text || chr(10) || 'FOOTER all rights reserved ' || source ||
+             |    CASE WHEN doc_id % 10 = 0
+             |         THEN chr(10) || 'RARE LINE UNIQUE TO DOCUMENT ' || CAST(doc_id AS VARCHAR)
+             |         ELSE '' END AS text
+             |  FROM documents),
+             |d AS (SELECT doc, grp, string_split(text, chr(10)) AS lines FROM corpus),
+             |p AS (SELECT doc, grp, lines, unnest(generate_series(1, len(lines))) AS i FROM d),
+             |l AS (SELECT doc, grp, i - 1 AS idx, lines[i] AS ln FROM p),
+             |b AS (SELECT grp, ln FROM l WHERE len(ln) >= 20
+             |      GROUP BY grp, ln HAVING count(DISTINCT doc) >= 5),
+             |m AS (SELECT l.doc, l.idx, l.ln, (b.ln IS NULL) AS keep
+             |      FROM l LEFT JOIN b ON l.grp = b.grp AND l.ln = b.ln)
+             |SELECT doc,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list(ln ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS clean_text
+             |FROM m GROUP BY doc ORDER BY doc""".stripMargin),
+      "boilerplate removal: lines repeated across >= maxDocs distinct docs of one source are " +
+        "removed from every doc (no keeper), sub-minLen structural lines always pass"),
+
     "q82_lm_score" -> Q(
       (s, dir) =>
         Curation.bigramNll(Tables.table(s, dir, "documents"), "text", "doc_id",

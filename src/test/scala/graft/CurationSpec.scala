@@ -236,6 +236,39 @@ class CurationSpec extends SparkSpec {
       === s"$boiler\nmiddle unique line of doc seven")
   }
 
+  test("removeBoilerplate: group-scoped df threshold, no keeper, short lines pass") {
+    val banner = "all rights reserved example dot com cookie banner" // >= 20 chars
+    val d = Seq(
+      // group A: banner in 2 docs = maxDocs -> removed from BOTH (no keeper)
+      (1L, "a", s"alpha body line with real content here\n$banner\n--"),
+      (2L, "a", s"$banner\nbeta body line with real content here"),
+      // group B: the SAME banner in only 1 doc -> below threshold, kept
+      (3L, "b", s"gamma body line with real content here\n$banner"),
+      // group A: a repeated SHORT line never counts as boilerplate
+      (4L, "a", "--\ndelta body line with real content here\n--")
+    ).toDF("doc_id", "grp", "text")
+    val r = Curation.removeBoilerplate(d, "text", "doc_id", "grp",
+        minLen = 20, maxDocs = 2)
+      .collect().map(row => row.getAs[Long]("doc") -> row).toMap
+    assert(r(1L).getAs[Long]("n_removed") === 1L)
+    assert(r(1L).getAs[String]("clean_text")
+      === "alpha body line with real content here\n--")
+    assert(r(2L).getAs[Long]("n_removed") === 1L, "no first-occurrence keeper")
+    assert(r(2L).getAs[String]("clean_text")
+      === "beta body line with real content here")
+    assert(r(3L).getAs[Long]("n_removed") === 0L, "df threshold is per group")
+    assert(r(3L).getAs[String]("clean_text")
+      === s"gamma body line with real content here\n$banner")
+    assert(r(4L).getAs[Long]("n_removed") === 0L)
+    assert(r(4L).getAs[String]("clean_text")
+      === "--\ndelta body line with real content here\n--")
+    // rerun-stable under repartitioning (aggregation-keyed, no window)
+    val again = Curation.removeBoilerplate(d.repartition(5), "text", "doc_id", "grp",
+      minLen = 20, maxDocs = 2)
+    assert(Curation.removeBoilerplate(d, "text", "doc_id", "grp", minLen = 20, maxDocs = 2)
+      .except(again).count() === 0L)
+  }
+
   test("bigramNll: target-like text scores lower NLL than shuffled gibberish") {
     // model trained on the is_target docs; a fluent doc reusing target
     // bigrams must average lower NLL than one with the same tokens in
