@@ -540,6 +540,49 @@ object Curation {
         (col("u") < col("rate")).cast("bigint").as("keep"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+    * the `k` documents with the largest u^(1/w) — equivalently the
+    * largest ln(u)/w, which is what is computed — where u is a
+    * deterministic per-document uniform in (0, 1] (salted md5 head, so
+    * the draw is content-independent, rerun-stable, and independent of
+    * the other md5(id) derivations over the same corpus) and w > 0 is
+    * the document's weight (quality score, token count, source boost).
+    * This IS the weighted-sample-without-replacement distribution: doc i
+    * enters the sample with the probability it would under sequential
+    * weighted draws. Rows with w <= 0 or null are never sampled.
+    *
+    * Portability: the key is fixed-pointed to nano units
+    * (round(ln(u)/w * 1e9) as i64) so the ORDER — not just the values —
+    * is integer-comparable in any engine; ties (same nano key) break by
+    * doc id. The one ln() per document carries the usual 1-ulp libm
+    * caveat (same acknowledged class as q69/q74/q82), corpus-validated
+    * per SF by the oracle gate.
+    *
+    * Scale: a map-only key computation followed by a global top-k —
+    * Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * heaps, k rows shipped per partition, no global sort). Returns
+    * (doc, w, key_nano, rk) for the k winners.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (md5Head8(concat(lit("wsample:"), col("doc").cast("string"))) + 1L) /
+      lit(4294967296.0)
+    // filter BEFORE the key projection: with w = 0 the key would be
+    // -Infinity and ANSI mode throws on its bigint cast
+    val keyed = df
+      .select(col(idCol).as("doc"), col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .withColumn("key_nano", round((log(u) / col("w")) * 1e9).cast("bigint"))
+      .orderBy(col("key_nano").desc, col("doc"))
+      .limit(k)
+    // rank assignment runs over k rows only — the single-partition window
+    // is bounded by k, never by the corpus
+    keyed.withColumn("rk",
+      row_number().over(Window.orderBy(col("key_nano").desc, col("doc")))
+        .cast("bigint"))
+  }
+
   /** Deterministic per-group sample: the `k` documents with the smallest
     * md5(id) per group — statistically a uniform k-sample (the hash is
     * content-independent), operationally superior to reservoir sampling

@@ -281,6 +281,24 @@ object CurationQueries {
               |ORDER BY doc""".stripMargin),
       "temperature mixing: per-source rate ~ sqrt(count), deterministic md5 acceptance coin"),
 
+    "q87_weighted_sample" -> Q(
+      (s, dir) =>
+        Curation.weightedSample(Tables.table(s, dir, "documents"),
+            "doc_id", "n_chars", k = 50)
+          .orderBy(col("rk")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id AS doc, CAST(n_chars AS DOUBLE) AS w,
+              |    CAST(round(ln((${hex8("md5('wsample:' || CAST(doc_id AS VARCHAR))")} + 1)
+              |      / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+              |  FROM documents WHERE n_chars > 0),
+              |r AS (
+              |  SELECT doc, w, key_nano,
+              |    CAST(row_number() OVER (ORDER BY key_nano DESC, doc) AS BIGINT) AS rk
+              |  FROM d)
+              |SELECT doc, w, key_nano, rk FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin),
+      "Efraimidis-Spirakis weighted sample without replacement: top-k by ln(u)/w with a " +
+        "deterministic md5 uniform, planned as TakeOrderedAndProject (no global sort)"),
+
     "q80_line_dedup" -> Q(
       (s, dir) => {
         // the synthetic docs are single-line and all-distinct, so the

@@ -269,6 +269,35 @@ class CurationSpec extends SparkSpec {
       .except(again).count() === 0L)
   }
 
+  test("weightedSample: exactly k rows, weight-monotone inclusion, rerun-stable") {
+    // two deterministic corpora sharing ids: heavy docs (w=1000) vs light
+    // (w=1); with k = half, heavy docs must dominate the sample
+    val d = (1L to 200L).map(i => (i, if (i <= 100) 1000L else 1L)).toDF("doc_id", "wt")
+    val s = Curation.weightedSample(d, "doc_id", "wt", k = 100).cache()
+    assert(s.count() === 100L)
+    val heavy = s.filter(col("doc") <= 100).count()
+    assert(heavy >= 90L, s"heavy-weight docs should dominate, got $heavy/100")
+    // ranks are 1..k and ordered by the key
+    val rows = s.orderBy(col("rk")).collect()
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to 100L))
+    assert(rows.map(_.getAs[Long]("key_nano")).toSeq.reverse.sorted.reverse
+      === rows.map(_.getAs[Long]("key_nano")).toSeq, "descending key order")
+    // rerun-stable under repartitioning (hash-derived, no RNG state)
+    val again = Curation.weightedSample(d.repartition(7), "doc_id", "wt", k = 100)
+    assert(s.except(again).count() === 0L)
+    // zero/negative weights are never sampled
+    val z = Curation.weightedSample(
+      Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "wt"), "doc_id", "wt", k = 3)
+    assert(z.select("doc").as[Long].collect().toSeq === Seq(3L))
+    s.unpersist()
+  }
+
+  test("weightedSample plans the top-k as TakeOrderedAndProject, not a global sort") {
+    val plan = Curation.weightedSample(docs, "doc_id", "n_chars", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+  }
+
   test("bigramNll: target-like text scores lower NLL than shuffled gibberish") {
     // model trained on the is_target docs; a fluent doc reusing target
     // bigrams must average lower NLL than one with the same tokens in
