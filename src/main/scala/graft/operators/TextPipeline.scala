@@ -63,6 +63,58 @@ object TextPipeline {
     .withColumn("__sh", array_distinct(T.wordShinglesFromTokens(col("__w"), shingleK)))
     .select(col(idCol).as("doc"), col("__sh").as("sh"))
 
+  /** PMI collocation mining: the top-k adjacent-token bigrams by
+    * pointwise mutual information, pmi = ln( (cxy/B) / ((cx/N)(cy/N)) )
+    * with cxy the bigram count, cx/cy the unigram occurrence counts, B
+    * total bigrams, N total tokens. High-PMI pairs are multiword
+    * expressions ("new york", "machine learning") — the standard corpus
+    * signal for tokenizer/vocab curation. `minCount` suppresses the
+    * unstable low-frequency tail.
+    *
+    * Portability: all counts are exact integers; the ratio is assembled
+    * in f64 with a FIXED association order ((cxy*N*N) / (B*cx*cy), both
+    * products left-to-right) so every engine computes the identical f64
+    * before the single ln(), which carries the usual 1-ulp libm caveat
+    * (same acknowledged class as q69/q74/q82/q87), corpus-validated per
+    * SF. Exactness of the double products needs the operands' product
+    * below 2^53 — counts at web scale exceed that, where PMI's own
+    * statistical noise dwarfs the rounding; the contract is documented,
+    * not guarded.
+    *
+    * Scale: two corpus scans (unigram and bigram extraction — each
+    * tokenize+explode+partial-agg map-side; at 100 TB re-scanning beats
+    * caching corpus-grain token arrays), two vocab-sized equi-joins that
+    * AQE broadcasts when the surviving bigram table is small, and a
+    * top-k planned as TakeOrderedAndProject. No corpus-sized shuffle
+    * beyond the two aggregations.
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val toks = docs.select(T.tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .withColumn("w1s", slice(col("w"), lit(1), size(col("w")) - 1))
+      .withColumn("w2s", slice(col("w"), lit(2), size(col("w")) - 1))
+      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("z"))
+      .select(col("z.w1s").as("w1"), col("z.w2s").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val nBi = bi.agg(sum(col("cxy")).as("bt"))
+    bi.filter(col("cxy") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .withColumn("pmi_micro",
+        round(log((col("cxy").cast("double") * col("n") * col("n")) /
+          (col("bt").cast("double") * col("cx") * col("cy"))) * 1e6).cast("bigint"))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Build the portable decontamination bloom filter from a probe set:
     * mBits bits packed as mBits/32 32-bit words (each held in a long).
     * Position j of shingle s = conv(substring(md5(s), 1+8j, 8), 16, 10)

@@ -439,6 +439,31 @@ object ExtensionQueries {
              |FROM cnt GROUP BY doc ORDER BY doc""".stripMargin),
       "Gopher-style repetition ratio in exact integer ppm (top token / tokens)"),
 
+    "q88_pmi_collocations" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.pmiCollocations(
+          Tables.table(s, dir, "documents"), "text", minCount = 5, k = 50),
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS w
+             |  FROM documents),
+             |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+             |        FROM (SELECT unnest(w) AS t FROM t) GROUP BY t),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+             |b AS (SELECT unnest(generate_series(1, len(w) - 1)) AS i, w FROM t WHERE len(w) >= 2),
+             |cb AS (SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS cxy
+             |       FROM b GROUP BY w1, w2),
+             |btot AS (SELECT CAST(sum(cxy) AS BIGINT) AS bt FROM cb),
+             |p AS (
+             |  SELECT w1, w2, cxy, u1.c AS cx, u2.c AS cy,
+             |    CAST(round(ln((CAST(cxy AS DOUBLE) * n * n) / (CAST(bt AS DOUBLE) * u1.c * u2.c)) * 1e6) AS BIGINT) AS pmi_micro
+             |  FROM cb JOIN uni u1 ON cb.w1 = u1.t JOIN uni u2 ON cb.w2 = u2.t
+             |  CROSS JOIN tot CROSS JOIN btot
+             |  WHERE cxy >= 5)
+             |SELECT w1, w2, cxy, cx, cy, pmi_micro
+             |FROM p ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin),
+      "PMI collocation mining: top-k bigrams by pointwise mutual information, " +
+        "exact integer counts + fixed-association f64 ratio"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

@@ -18,6 +18,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(clean === "just words 12 and 3.14 here")
   }
 
+  test("pmiCollocations: an always-together pair outranks frequent independent tokens") {
+    // "san francisco" always co-occurs (8x); "the" is everywhere but its
+    // bigrams pair with many different neighbors -> low PMI
+    val docs = (1L to 8L).map(i =>
+      (i, s"the city of san francisco is the place number$i in the list")).toDF("doc_id", "text")
+    val top = TextPipeline.pmiCollocations(docs, "text", minCount = 5, k = 8)
+      .collect()
+    val pairs = top.map(r => (r.getString(0), r.getString(1)))
+    val pmiByPair = top.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("pmi_micro")).toMap
+    // every exclusive pair (cxy = cx = cy = 8) shares the maximal PMI;
+    // ties break lexicographically on (w1, w2)
+    val maxPmi = pmiByPair.values.max
+    assert(pmiByPair(("san", "francisco")) === maxPmi,
+      s"exclusive pair should carry max PMI, got ${pairs.toSeq}")
+    assert(pairs.head === (("city", "of")), "lexicographic tie-break among equal-PMI pairs")
+    // counts are exact: 8 docs x 1 occurrence
+    assert(top.find(r => r.getString(0) == "san").get.getAs[Long]("cxy") === 8L)
+    // any "the"-led bigram that survives minCount scores below the exclusive pair
+    pmiByPair.collect { case ((w1, _), p) if w1 == "the" =>
+      assert(p < pmiByPair(("san", "francisco"))) }
+    // deterministic under repartitioning
+    val again = TextPipeline.pmiCollocations(docs.repartition(5), "text", minCount = 5, k = 8)
+    assert(again.collect().map(r => (r.getString(0), r.getString(1))).toSeq === pairs.toSeq)
+  }
+
   test("repetitionScores: repeated-token doc scores high, diverse doc low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam ham"),
