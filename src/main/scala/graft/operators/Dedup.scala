@@ -378,4 +378,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** FUZZY equi-join at edit distance <= 1 via deletion neighborhoods
+    * (the SymSpell construction): two words are within one
+    * insert/delete/substitute iff their deletion neighborhoods — the word
+    * itself plus every single-character-deleted variant — intersect
+    * (substitution: delete the differing position from both; ins/del: the
+    * shorter word IS a deletion of the longer; equality: the word
+    * itself). Candidates are therefore an ordinary EQUI-join on deletion
+    * keys; a final `levenshtein` check kills the false positives the
+    * intersection admits (e.g. "ab"/"ba" share deletions {a, b} at
+    * distance 2). Returns distinct (w1, w2, dist in {0, 1}).
+    *
+    * Scale: each side is distinct-ified to its vocabulary, then exploded
+    * to len(w)+1 keys — neighborhood size is word length, independent of
+    * corpus size, and the join is hash-partitioned by key with bucket
+    * sizes bounded by how many vocabulary words share a deletion (the
+    * SymSpell bucket bound), never |vocab|^2. The all-pairs alternative
+    * the DuckDB oracle runs is quadratic and only viable at test scale.
+    */
+  def fuzzyJoinEd1(
+      left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    def keyed(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = col(out)
+      // deletion variant i (0-based): chars [1..i] ++ chars [i+2..n]
+      val dels = transform(sequence(lit(0), length(w) - 1),
+        i => concat(w.substr(lit(1), i), w.substr(i + lit(2), length(w) - i - 1)))
+      df.select(col(c).as(out)).filter(length(w) >= 1).distinct()
+        .select(w, explode(array_distinct(
+          concat(array(w), dels))).as("k"))
+    }
+    keyed(left, leftCol, "w1")
+      .join(keyed(right, rightCol, "w2"), Seq("k"))
+      .select(col("w1"), col("w2")).distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("bigint"))
+      .filter(col("dist") <= 1)
+  }
 }

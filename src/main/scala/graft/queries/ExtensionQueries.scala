@@ -464,6 +464,40 @@ object ExtensionQueries {
       "PMI collocation mining: top-k bigrams by pointwise mutual information, " +
         "exact integer counts + fixed-association f64 ratio"),
 
+    "q89_fuzzy_join" -> Q(
+      (s, dir) => {
+        // cross-language vocabulary matching: the 500 most frequent
+        // >= 4-char tokens of the en and de sub-corpora, fuzzy-joined at
+        // edit distance <= 1 (ties at the frequency cut break by word)
+        val docs = Tables.table(s, dir, "documents")
+        def vocab(lang: String) = docs.filter(col("lang") === lang)
+          .select(explode(T.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 4)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(500)
+        Dedup.fuzzyJoinEd1(vocab("en"), vocab("de"), "w", "w")
+          .orderBy(col("w1"), col("w2"))
+      },
+      // the oracle is the quadratic reference: cross join + levenshtein
+      // (viable only at test scale; the engine's deletion-key equi-join
+      // computes the identical pair set)
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |va AS (SELECT w FROM (
+             |  SELECT w, count(*) AS c FROM t WHERE lang = 'en' AND len(w) >= 4
+             |  GROUP BY w ORDER BY c DESC, w LIMIT 500)),
+             |vb AS (SELECT w FROM (
+             |  SELECT w, count(*) AS c FROM t WHERE lang = 'de' AND len(w) >= 4
+             |  GROUP BY w ORDER BY c DESC, w LIMIT 500))
+             |SELECT va.w AS w1, vb.w AS w2, CAST(levenshtein(va.w, vb.w) AS BIGINT) AS dist
+             |FROM va CROSS JOIN vb
+             |WHERE levenshtein(va.w, vb.w) <= 1
+             |ORDER BY w1, w2""".stripMargin),
+      "fuzzy join at edit distance <= 1: SymSpell deletion-neighborhood equi-join + " +
+        "levenshtein verify (oracle runs the quadratic cross-join reference)"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

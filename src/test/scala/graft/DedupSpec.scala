@@ -235,4 +235,21 @@ class DedupSpec extends SparkSpec {
       Dedup.releaseCaches()
     } finally index.unpersist(blocking = false)
   }
+
+  test("fuzzyJoinEd1 matches the brute-force levenshtein<=1 cross join") {
+    import spark.implicits._
+    val a = Seq("cat", "cart", "dog", "house", "mouse", "ab", "a", "hello").toDF("w")
+    val b = Seq("cot", "cat", "carts", "dig", "mouse", "ba", "b", "jello", "zzz").toDF("w")
+    val fast = Dedup.fuzzyJoinEd1(a, b, "w", "w")
+      .select("w1", "w2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = a.crossJoin(b.withColumnRenamed("w", "w2"))
+      .filter(levenshtein(col("w"), col("w2")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast === brute, s"fast=${fast}, brute=${brute}")
+    // the known distance-2 false-positive shape is rejected by the verify
+    assert(!fast.contains(("ab", "ba")))
+    // substitutions, insert/delete, and exact matches are all present
+    assert(fast.contains(("cat", "cot")) && fast.contains(("cart", "carts"))
+      && fast.contains(("mouse", "mouse")) && fast.contains(("a", "b")))
+  }
 }
