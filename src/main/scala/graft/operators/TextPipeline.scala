@@ -115,6 +115,73 @@ object TextPipeline {
       .limit(k)
   }
 
+  /** BPE (byte-pair-encoding) VOCABULARY TRAINING: the `nMerges`
+    * highest-count symbol merges over the corpus, the core of
+    * GPT-2/SentencePiece-style tokenizer construction. Each round counts
+    * adjacent symbol pairs weighted by word frequency, picks the most
+    * frequent pair (ties break lexicographically on (lhs, rhs)), and
+    * merges every non-overlapping left-to-right occurrence. Returns
+    * (merge_rank, lhs, rhs, pair_count) — the ordered merge table a
+    * tokenizer replays at encode time.
+    *
+    * Scale design — the corpus is scanned ONCE: training iterates over
+    * the (word, freq) VOCABULARY table, whose size is corpus-independent
+    * (the classic trick that makes BPE training tractable — merging
+    * inside "the" once with weight 10^9 instead of 10^9 times). Each
+    * round is one vocab-sized pair aggregation + a 1-row argmax collect
+    * (the same bounded-driver pattern as the KMeans centroids) + a
+    * map-only merge apply; `localCheckpoint` bounds the per-round plan
+    * growth exactly as in [[Dedup.connectedComponents]].
+    *
+    * Portability: counts are exact integers and the argmax tie-break is
+    * lexicographic, so the whole training run is bit-deterministic in
+    * any engine — the DuckDB oracle replays every round in SQL. Word
+    * symbols are tracked in a delimiter-wrapped string (U+0001 sym
+    * U+0002 per symbol): the wrapping makes the merge a plain string
+    * `replace` that cannot match across symbol boundaries, and
+    * left-to-right non-overlapping replace IS the BPE merge rule (both
+    * engines verified on the 'a a a a' -> 'aa aa' case). Precondition:
+    * corpus tokens must not contain U+0001/U+0002 (true of
+    * whitespace-tokenized text; the reserved chars are control codes).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
+    val (o, c) = ("\u0001", "\u0002")
+    var words = docs
+      .select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(concat_ws("", transform(split(col("w"), ""),
+        ch => concat(lit(o), ch, lit(c)))).as("ws"), col("f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val syms = words.select(col("f"),
+        split(expr("substring(ws, 2, length(ws) - 2)"), c + o).as("s"))
+      val best = syms.filter(size(col("s")) >= 2)
+        .withColumn("ls", slice(col("s"), lit(1), size(col("s")) - 1))
+        .withColumn("rs", slice(col("s"), lit(2), size(col("s")) - 1))
+        .select(col("f"), explode(arrays_zip(col("ls"), col("rs"))).as("z"))
+        .groupBy(col("z.ls").as("l"), col("z.rs").as("r"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, cnt))
+        words = words
+          .select(call_function("replace", col("ws"),
+            lit(o + l + c + o + rr + c), lit(o + l + rr + c)).as("ws"), col("f"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Build the portable decontamination bloom filter from a probe set:
     * mBits bits packed as mBits/32 32-bit words (each held in a long).
     * Position j of shingle s = conv(substring(md5(s), 1+8j, 8), 16, 10)

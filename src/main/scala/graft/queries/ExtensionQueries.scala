@@ -18,6 +18,37 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object ExtensionQueries {
 
+  /** The q90 oracle: an UNROLLED k-round BPE training loop in SQL. Every
+    * round is three CTEs — pair counts from the current symbol strings,
+    * a 1-row lexicographic argmax, and the boundary-safe wrapped-symbol
+    * replace — exactly mirroring
+    * [[graft.operators.TextPipeline.bpeTrain]]'s per-round pipeline
+    * (chr(1)/chr(2) are the U+0001/U+0002 symbol delimiters).
+    */
+  private def bpeOracle(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""s$i AS (SELECT f, string_split(substring(ws, 2, len(ws) - 2), chr(2) || chr(1)) AS s FROM w${i - 1}),
+         |p$i AS (SELECT s[j] AS l, s[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+         |        FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1)) AS j FROM s$i WHERE len(s) >= 2)
+         |        GROUP BY l, r),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT replace(ws, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+         |                       chr(1) || l || r || chr(2)) AS ws, f
+         |        FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+       |w0 AS (SELECT array_to_string(list_transform(regexp_split_to_array(w, ''),
+       |         ch -> chr(1) || ch || chr(2)), '') AS ws, f FROM wf),
+       |$stages
+       |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------ dedup: exact
@@ -497,6 +528,15 @@ object ExtensionQueries {
              |ORDER BY w1, w2""".stripMargin),
       "fuzzy join at edit distance <= 1: SymSpell deletion-neighborhood equi-join + " +
         "levenshtein verify (oracle runs the quadratic cross-join reference)"),
+
+    "q90_bpe_merges" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.bpeTrain(
+            Tables.table(s, dir, "documents"), "text", nMerges = 6)
+          .orderBy(col("merge_rank")),
+      Some(bpeOracle(6)),
+      "BPE vocabulary training: 6 merge rounds over the word-frequency table, exact " +
+        "integer pair counts, lexicographic tie-break — oracle replays every round in SQL"),
 
     "q65_decontaminate" -> Q(
       (s, dir) => {

@@ -43,6 +43,60 @@ class TextPipelineSpec extends SparkSpec {
     assert(again.collect().map(r => (r.getString(0), r.getString(1))).toSeq === pairs.toSeq)
   }
 
+  test("bpeTrain matches an in-memory reference BPE, including greedy merge overlap") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest widest",
+      "widest newest lower low",
+      "aaaa aaaa baaaab") // odd runs exercise left-to-right non-overlap
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // reference: textbook BPE over the (word -> freq) table with greedy
+    // left-to-right merge application and lexicographic tie-break
+    def refBpe(words: Map[String, Long], n: Int): Seq[(Long, String, String, Long)] = {
+      var syms: Map[Vector[String], Long] =
+        words.map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var r = 1
+      while (r <= n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        if (counts.isEmpty) r = n + 1
+        else {
+          val ((l, rr), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r.toLong, l, rr, cnt))
+          syms = syms.toSeq.map { case (s, f) =>
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == rr) { b += (l + rr); i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            (b.result(), f)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordFreq = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = refBpe(wordFreq, 8)
+    val got = TextPipeline.bpeTrain(docs, "text", 8)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab a b")).toDF("doc_id", "text")
+    val got = TextPipeline.bpeTrain(docs, "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // one merge (a,b) with count 2 from the two "ab" occurrences; the
+    // single-symbol words a/b/ab-merged leave nothing else to merge
+    assert(got.toSeq === Seq((1L, "a", "b", 2L)))
+  }
+
   test("repetitionScores: repeated-token doc scores high, diverse doc low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam ham"),
