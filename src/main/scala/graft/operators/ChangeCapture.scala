@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture primitives: compacting a change log to its latest
+  * row per key and applying a change set onto a snapshot (batch MERGE /
+  * upsert). This is the batch mirror of the streaming pk-idempotent JDBC
+  * sink (reference semantics: services/kstream-agg-rs/src/sink.rs upsert
+  * path) — the same "latest write per key wins" contract expressed as a
+  * declarative plan instead of per-batch probes.
+  *
+  * Scale: [[latestByKey]] is one keyed window (single shuffle on the key;
+  * rows of one key meet in one partition, never the whole log);
+  * [[applyChanges]] is one full-outer join on the key, which AQE
+  * broadcasts when the compacted change set is small — the common case,
+  * since compaction collapses the log to at most one row per touched key.
+  */
+object ChangeCapture {
+
+  /** Compact a change log to the LATEST row per key: the row with the
+    * greatest (`tsCol`, `tieCol`) pair. `tieCol` must be unique within a
+    * key (a sequence/offset column) so the winner — and therefore every
+    * downstream merge — is deterministic under any partitioning.
+    */
+  def latestByKey(log: DataFrame, keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(tieCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Apply a (compacted) change set onto a snapshot — batch MERGE:
+    * columns present in BOTH frames take the change's value where a
+    * change row exists; snapshot-only columns pass through (null on
+    * inserted rows); change-only columns pass through (null on untouched
+    * rows). Adds `op`: 'I' (key only in changes), 'U' (both), 'K' (key
+    * only in snapshot — kept untouched).
+    *
+    * Existence is tested on constant marker columns added to each side
+    * before the join, never on data columns — a legitimately-null data
+    * value in an existing row must not read as "row absent", and a null
+    * change value must NOT clobber the snapshot's (coalesce keeps the
+    * snapshot value, the standard MERGE column rule).
+    *
+    * Precondition: `changes` has at most one row per key (run
+    * [[latestByKey]] first) — duplicate change keys would fan out the
+    * join. Deletes are modeled upstream as a change row carrying a
+    * tombstone column the caller filters on after the merge; the merge
+    * itself never drops a key.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val snapCols = snapshot.columns.toSeq
+    val chgCols = changes.columns.toSeq
+    require(snapCols.contains(keyCol) && chgCols.contains(keyCol),
+      s"both frames need key column '$keyCol'")
+    val s = snapshot.select(snapCols.map(c =>
+        if (c == keyCol) col(c) else col(c).as(s"__s_$c")): _*)
+      .withColumn("__s_mark", lit(1))
+    val c = changes.select(chgCols.map(cc =>
+        if (cc == keyCol) col(cc) else col(cc).as(s"__c_$cc")): _*)
+      .withColumn("__c_mark", lit(1))
+    val shared = snapCols.toSet.intersect(chgCols.toSet) - keyCol
+    val outCols =
+      Seq(col(keyCol)) ++
+        snapCols.filterNot(_ == keyCol).map { cc =>
+          if (shared(cc)) coalesce(col(s"__c_$cc"), col(s"__s_$cc")).as(cc)
+          else col(s"__s_$cc").as(cc)
+        } ++
+        chgCols.filterNot(cc => cc == keyCol || shared(cc)).map(cc => col(s"__c_$cc").as(cc))
+    s.join(c, Seq(keyCol), "full_outer")
+      .select(outCols :+
+        when(col("__s_mark").isNull, lit("I"))
+          .when(col("__c_mark").isNull, lit("K"))
+          .otherwise(lit("U")).as("op"): _*)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, type, timestamp, value) event
+  * table: ordered funnel conversion and exact-arithmetic outlier
+  * flagging. Both are single-shuffle keyed plans — nothing materializes a
+  * per-user event list on the driver or in one task beyond that user's
+  * own rows.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the earliest chain of `steps` events
+    * in sequence — step i must occur at or after the user's step i-1
+    * time, and every step must land within `windowMicros` of the user's
+    * FIRST step-0 event (the standard product-analytics definition:
+    * "viewed, then clicked, then purchased, all within an hour").
+    *
+    * Returns one row per user that reached step 0:
+    * `(user, t0_us..t{k-1}_us, n_steps, converted, dwell_us)` where
+    * `t{i}_us` is the step-i completion time (epoch micros, null once the
+    * chain breaks), `n_steps` counts completed steps, and `dwell_us` is
+    * total time-to-convert (null unless every step completed).
+    *
+    * Plan shape: the step times are chained conditional `min`s over the
+    * SAME unordered per-user window partition — one hash shuffle on user,
+    * k window passes with no sort (unbounded frame, no ORDER BY), then a
+    * per-user aggregate that Catalyst runs on the already-hash-partitioned
+    * output without a second exchange. Skew = a user's own event count,
+    * the natural lower bound for per-user semantics.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, typeCol: String, tsMicrosCol: String,
+      steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val w = Window.partitionBy(col("user"))
+    var cur = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user"), col(typeCol).as("et"),
+        col(tsMicrosCol).as("tsu"))
+      .withColumn("t0", min(when(col("et") === steps.head, col("tsu"))).over(w))
+    for (i <- 1 until steps.size)
+      cur = cur.withColumn(s"t$i",
+        min(when(col("et") === steps(i) &&
+          col("tsu") >= col(s"t${i - 1}") &&
+          col("tsu") <= col("t0") + windowMicros, col("tsu"))).over(w))
+    val tAliases = steps.indices.map(i => max(col(s"t$i")).as(s"t${i}_us"))
+    val g = cur
+      .filter(col("t0").isNotNull) // users who never reached step 0 have no funnel row
+      .groupBy(col("user"))
+      .agg(tAliases.head, tAliases.tail: _*)
+    val last = s"t${steps.size - 1}_us"
+    // n_steps: the chain guarantees monotone nulls (t_i null => t_{i+1}
+    // null), so folding ASCENDING puts the deepest step's test outermost:
+    // when(t_k-1 set, k).otherwise(... when(t_0 set, 1).otherwise(0))
+    val nSteps = steps.indices.foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"t${i}_us").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    g.withColumn("n_steps", nSteps)
+      .withColumn("converted", col(last).isNotNull.cast("bigint"))
+      .withColumn("dwell_us",
+        when(col(last).isNotNull, col(last) - col("t0_us")))
+  }
+
+  /** Per-group z-score outlier flags with EXACT integer arithmetic. The
+    * usual `abs(x - mean) > z * stddev` is order-dependent in f64 (both
+    * mean and stddev are float sums); quantizing values to integer micro
+    * units and clearing denominators makes the test a pure integer
+    * comparison, bit-identical at any parallelism and in any engine:
+    *
+    *   |x - mean| > z * stddev_pop
+    *   <=>  (n*x - S)^2 > z^2 * (n*SS - S^2)        [multiplied by n^2]
+    *
+    * with S = sum(x_micro), SS = sum(x_micro^2), both exact integers
+    * (SS and the squares in 38-digit decimals).
+    *
+    * Numeric window: with |value| <= V and group size <= n, the largest
+    * intermediate is (n * V * 1e6)^2, which must stay below 10^38 —
+    * i.e. n * V <= 10^13 (a billion rows of |v| <= 10^4 per group). For
+    * larger groups, pre-center on an approximate per-group mean first;
+    * the operator `require`s nothing at build time (the bound depends on
+    * data), but Spark's ANSI decimal overflow turns a breach into a hard
+    * error rather than a silent wrap.
+    *
+    * Plan: one partial-aggregated groupBy on the group key (tiny result:
+    * one row per group), broadcast back onto the events — map-only flag
+    * evaluation, no second shuffle.
+    */
+  def zscoreOutliers(
+      events: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      z: Int = 3): DataFrame = {
+    require(z >= 1, "z must be a positive integer")
+    val micro = round(col(valueCol) * lit(1e6)).cast("bigint")
+    val microDec = micro.cast("decimal(38,0)")
+    val stats = events
+      .select(col(groupCol).as("grp"), micro.as("xm"), (microDec * microDec).as("xm2"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"), sum(col("xm2")).as("ss"))
+    val nD = col("n").cast("decimal(38,0)")
+    val sD = col("s").cast("decimal(38,0)")
+    val xD = col("xm").cast("decimal(38,0)")
+    val dev = nD * xD - sD
+    val rhs = lit(z.toLong * z).cast("decimal(38,0)") * (nD * col("ss") - sD * sD)
+    events
+      .select(col(idCol).as("id"), col(groupCol).as("grp"), micro.as("xm"))
+      .join(broadcast(stats), Seq("grp"))
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        (dev * dev > rhs).cast("bigint").as("is_outlier"))
+  }
+}

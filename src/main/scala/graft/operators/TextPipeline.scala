@@ -270,6 +270,82 @@ object TextPipeline {
       docs, bloomWords(probes, textCol, idCol, shingleK, mBits, kHashes),
       textCol, idCol, shingleK, minShared, kHashes)
 
+  /** Character-level Shannon entropy per document, in integer micro-nats:
+    * entropy = -sum_ch p(ch) ln p(ch) over the document's codepoint
+    * distribution. Low entropy flags degenerate text (repeated
+    * characters, padding, binary-ish noise) — a cheap quality gate that
+    * needs no language model.
+    *
+    * Portability: each distinct character's term is rounded to an integer
+    * micro-nat FIRST, then summed — integer sums are order-independent,
+    * so the result is identical at any parallelism; the one ln() per
+    * distinct character carries the usual 1-ulp libm caveat
+    * (corpus-validated per SF, same acknowledged class as q69/q74/q82).
+    *
+    * Plan: explode to (doc, char) -> counted -> per-doc window for the
+    * total -> per-doc sum. Two keyed shuffles ((doc, char) then doc); the
+    * heavy explode collapses in the partial aggregate map-side. Documents
+    * with no characters produce no row (0/0 entropy is undefined).
+    */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), "")).as("ch"))
+      // Java's split("") can emit boundary empties; they are not characters
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc"), col("ch")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+    counts
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("term_micro",
+        round(-log(col("p")) * col("p") * 1e6).cast("bigint"))
+      .groupBy(col("doc"))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term_micro")).as("entropy_micro"))
+  }
+
+  /** BPE ENCODE: apply an ordered merge table (as learned by [[bpeTrain]]
+    * or any external tokenizer recipe) to the corpus and report the
+    * per-document compression — `(doc, n_tokens, n_units)` where n_units
+    * is the symbol count after all merges. The encode loop is the exact
+    * mirror of training: merges apply in rank order, each as a
+    * left-to-right non-overlapping replace inside the delimiter-wrapped
+    * symbol string (see [[bpeTrain]]'s portability contract).
+    *
+    * Scale: the corpus is scanned once to count (doc, word) pairs; the
+    * merge chain runs over the DISTINCT-WORD vocabulary only (the same
+    * corpus-independent trick as training — "the" is encoded once, not
+    * 10^9 times), then a vocab-sized equi-join (AQE-broadcast when small)
+    * prices each document. The merge chain itself is a map-only nested
+    * `replace` expression — no per-merge pass over the data, one codegen'd
+    * projection regardless of merge count.
+    */
+  def bpeEncode(
+      docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (o, c) = ("\u0001", "\u0002")
+    val wordCounts = docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("cnt"))
+    val wrapped = concat_ws("", transform(split(col("w"), ""),
+      ch => concat(lit(o), ch, lit(c))))
+    val encoded = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(o + l + c + o + r + c), lit(o + l + r + c))
+    }
+    val vocab = wordCounts.select(col("w")).distinct()
+      .withColumn("ws", encoded)
+      // units = number of U+0001 symbol openers left after all merges
+      .withColumn("units",
+        (length(col("ws")) - length(call_function("replace", col("ws"), lit(o), lit(""))))
+          .cast("bigint"))
+      .select(col("w"), col("units"))
+    wordCounts.join(vocab, Seq("w"))
+      .groupBy(col("doc"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("units")).as("n_units"))
+  }
+
   /** PRODUCTION-FAST bloom decontamination: same shape as
     * [[bloomContaminated]] (filter built from the probe set, map-only
     * corpus scan) but on Spark's own machinery — `BloomFilterAggregate`

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ChangeCapture, EventAnalytics, Graph, TextPipeline}
+
+/** Round-6 analytics queries (q91-q97): batch CDC merge, funnel
+  * conversion, exact-integer outlier flags, character entropy, BPE
+  * encoding, curriculum bucketing, and fixed-point PageRank. Every signal
+  * is an integer (micros/milli/micro-nats) or a raw-column passthrough,
+  * so both engines hash-match bit-for-bit; the ln()-based entropy terms
+  * carry the usual documented 1-ulp libm caveat, corpus-validated per SF.
+  */
+object AnalyticsQueries {
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // ---------------------------------------------------------- cdc merge
+    "q91_cdc_merge" -> Q(
+      (s, dir) => {
+        val snapshot = Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        // change log: every order re-prices its customer's balance; compact
+        // to the latest (o_orderdate, o_orderkey) per key, then plant
+        // INSERT rows (shifted keys) so all three op classes are exercised
+        val latest = ChangeCapture.latestByKey(
+            Tables.table(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+          .select(col("o_custkey").as("c_custkey"), col("o_totalprice").as("c_acctbal"))
+        val changes = latest.unionByName(
+          latest.filter(col("c_custkey") % 50 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal")))
+        ChangeCapture.applyChanges(snapshot, changes, "c_custkey")
+          .select(col("c_custkey").as("cust"), col("c_acctbal").as("acctbal"),
+            col("c_mktsegment").as("mktsegment"), col("op"))
+          .orderBy(col("cust"))
+      },
+      Some("""WITH latest AS (
+             |  SELECT o_custkey AS k, o_totalprice AS bal,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders),
+             |chg0 AS (SELECT k, bal FROM latest WHERE rn = 1),
+             |chg AS (SELECT k, bal FROM chg0
+             |        UNION ALL
+             |        SELECT k + 1000000, bal FROM chg0 WHERE k % 50 = 0)
+             |SELECT COALESCE(c.c_custkey, chg.k) AS cust,
+             |  COALESCE(chg.bal, c.c_acctbal) AS acctbal,
+             |  c.c_mktsegment AS mktsegment,
+             |  CASE WHEN c.c_custkey IS NULL THEN 'I'
+             |       WHEN chg.k IS NULL THEN 'K' ELSE 'U' END AS op
+             |FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.k
+             |ORDER BY cust""".stripMargin),
+      "batch CDC MERGE: change log compacted to latest-per-key, full-outer upsert onto the " +
+        "snapshot with I/U/K op classification (batch mirror of the pk-idempotent JDBC sink)"),
+
+    // ------------------------------------------------------------- funnel
+    "q92_funnel" -> Q(
+      (s, dir) =>
+        EventAnalytics.funnel(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "event_type", "tsu",
+            Seq("view", "click", "purchase"), windowMicros = 86400L * 1000000L)
+          .orderBy(col("user")),
+      Some("""WITH e AS (
+             |  SELECT user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+             |  FROM events),
+             |s0 AS (SELECT u, min(tsu) AS t0 FROM e WHERE et = 'view' GROUP BY u),
+             |s1 AS (SELECT e.u, min(tsu) AS t1 FROM e JOIN s0 USING (u)
+             |       WHERE et = 'click' AND tsu >= t0 AND tsu <= t0 + 86400000000
+             |       GROUP BY e.u),
+             |s2 AS (SELECT e.u, min(tsu) AS t2 FROM e JOIN s0 USING (u) JOIN s1 USING (u)
+             |       WHERE et = 'purchase' AND tsu >= t1 AND tsu <= t0 + 86400000000
+             |       GROUP BY e.u)
+             |SELECT s0.u AS "user", t0 AS t0_us, t1 AS t1_us, t2 AS t2_us,
+             |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+             |            WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps,
+             |  CAST(t2 IS NOT NULL AS BIGINT) AS converted,
+             |  CASE WHEN t2 IS NOT NULL THEN t2 - t0 END AS dwell_us
+             |FROM s0 LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u)
+             |ORDER BY "user"""".stripMargin),
+      "ordered funnel (view -> click -> purchase within 24h): chained conditional window " +
+        "mins, one shuffle on user"),
+
+    // --------------------------------------------------- outlier detection
+    "q93_event_outliers" -> Q(
+      (s, dir) =>
+        EventAnalytics.zscoreOutliers(
+            Tables.events(s, dir), "event_type", "value", "event_id", z = 3)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm
+             |  FROM events),
+             |st AS (
+             |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(xm) AS HUGEINT) AS s,
+             |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS ss
+             |  FROM e GROUP BY grp)
+             |SELECT id, grp, xm AS value_micro,
+             |  CAST((n * xm - s) * (n * xm - s) > 9 * (n * ss - s * s) AS BIGINT) AS is_outlier
+             |FROM e JOIN st USING (grp) ORDER BY id""".stripMargin),
+      "per-type 3-sigma outlier flags with EXACT integer arithmetic: " +
+        "(n*x-S)^2 > 9(n*SS-S^2) on micro-quantized values — order-independent, engine-portable"),
+
+    // ------------------------------------------------------- char entropy
+    "q94_char_entropy" -> Q(
+      (s, dir) =>
+        TextPipeline.charEntropy(Tables.table(s, dir, "documents"), "text", "doc_id")
+          .orderBy(col("doc")),
+      Some("""WITH d AS (SELECT doc_id AS doc, text, length(text) AS n
+             |          FROM documents WHERE length(text) >= 1),
+             |p AS (SELECT doc, text, unnest(generate_series(1, n)) AS i FROM d),
+             |c AS (SELECT doc, substr(text, CAST(i AS INT), 1) AS ch FROM p),
+             |cnt AS (SELECT doc, ch, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY doc, ch),
+             |tot AS (SELECT doc, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc),
+             |t AS (
+             |  SELECT cnt.doc, n,
+             |    CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS term
+             |  FROM cnt JOIN tot USING (doc))
+             |SELECT doc, max(n) AS n_chars, CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(term) AS BIGINT) AS entropy_micro
+             |FROM t GROUP BY doc ORDER BY doc""".stripMargin),
+      "character-level Shannon entropy per doc in micro-nats: per-char terms rounded to " +
+        "integers before the (order-independent) sum"),
+
+    // --------------------------------------------------------- bpe encode
+    "q95_bpe_encode" -> Q(
+      (s, dir) =>
+        TextPipeline.bpeEncode(Tables.table(s, dir, "documents"), "text", "doc_id",
+            merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n", "e" -> "r"))
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS w
+             |  FROM documents),
+             |wc AS (SELECT doc, w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY doc, w),
+             |v AS (SELECT DISTINCT w FROM wc),
+             |w0 AS (SELECT w, array_to_string(list_transform(regexp_split_to_array(w, ''),
+             |         ch -> chr(1) || ch || chr(2)), '') AS ws FROM v),
+             |w1 AS (SELECT w, replace(ws, chr(1)||'t'||chr(2)||chr(1)||'h'||chr(2), chr(1)||'th'||chr(2)) AS ws FROM w0),
+             |w2 AS (SELECT w, replace(ws, chr(1)||'th'||chr(2)||chr(1)||'e'||chr(2), chr(1)||'the'||chr(2)) AS ws FROM w1),
+             |w3 AS (SELECT w, replace(ws, chr(1)||'a'||chr(2)||chr(1)||'n'||chr(2), chr(1)||'an'||chr(2)) AS ws FROM w2),
+             |w4 AS (SELECT w, replace(ws, chr(1)||'i'||chr(2)||chr(1)||'n'||chr(2), chr(1)||'in'||chr(2)) AS ws FROM w3),
+             |w5 AS (SELECT w, replace(ws, chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2), chr(1)||'er'||chr(2)) AS ws FROM w4),
+             |u AS (SELECT w, CAST(len(ws) - len(replace(ws, chr(1), '')) AS BIGINT) AS units FROM w5)
+             |SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(sum(cnt * units) AS BIGINT) AS n_units
+             |FROM wc JOIN u USING (w) GROUP BY doc ORDER BY doc""".stripMargin),
+      "BPE encode with a fixed 5-rule merge table: vocab-level merge chain (each distinct " +
+        "word encoded once), per-doc token and unit counts"),
+
+    // ------------------------------------------------- curriculum buckets
+    "q96_curriculum" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val wp = Window.partitionBy(col("source"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("doc"), col("source").as("src"),
+            col("source"), col("n_chars"), col("doc_id"))
+          .withColumn("bucket", ntile(4).over(w).cast("bigint"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(wp).cast("bigint"))
+          .select(col("doc"), col("src"), col("n_chars"), col("bucket"),
+            expr("CASE WHEN n > 1 THEN ((rn - 1) * 1000) DIV (n - 1) ELSE 0L END").as("pr_milli"),
+            expr("(rn * 1000) DIV n").as("cd_milli"))
+          .orderBy(col("doc"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id AS doc, source AS src, n_chars,
+             |    CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS bucket,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT doc, src, n_chars, bucket,
+             |  CASE WHEN n > 1 THEN ((rn - 1) * 1000) // (n - 1) ELSE 0 END AS pr_milli,
+             |  (rn * 1000) // n AS cd_milli
+             |FROM r ORDER BY doc""".stripMargin),
+      "curriculum difficulty buckets per source: ntile(4) + integer-milli percent_rank / " +
+        "cume_dist over a unique (n_chars, doc) order"),
+
+    // ----------------------------------------------------------- pagerank
+    "q97_pagerank" -> Q(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.pageRank(edges, "src", "dst", "w", iterations = 3, dampPpm = 850000L)
+          .orderBy(col("node"))
+      },
+      Some("""WITH edges AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS src,
+             |    CAST(s_nationkey AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1, 2),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges
+             |          UNION SELECT DISTINCT dst FROM edges),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+             |p0 AS (SELECT node, 1000000 // n AS pr FROM nodes CROSS JOIN nn),
+             |i1 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p0 ON p0.node = edges.src
+             |       GROUP BY dst),
+             |p1 AS (SELECT node, 150000 // n + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = node),
+             |i2 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p1 ON p1.node = edges.src
+             |       GROUP BY dst),
+             |p2 AS (SELECT node, 150000 // n + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = node),
+             |i3 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p2 ON p2.node = edges.src
+             |       GROUP BY dst),
+             |p3 AS (SELECT node, 150000 // n + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.dst = node)
+             |SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM p3 ORDER BY node""".stripMargin),
+      "fixed-point weighted PageRank (3 rounds, damping 0.85) over the customer-nation -> " +
+        "supplier-nation trade graph; oracle unrolls the integer recurrence")
+  )
+}

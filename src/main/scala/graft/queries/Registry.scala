@@ -16,7 +16,8 @@ object Registry {
   /** Insertion-ordered full inventory. */
   lazy val all: Seq[(String, Q)] =
     Relational.queries ++ EwmaQueries.queries ++ ExtensionQueries.queries ++
-      AdvancedQueries.queries ++ DataPrepQueries.queries ++ CurationQueries.queries
+      AdvancedQueries.queries ++ DataPrepQueries.queries ++ CurationQueries.queries ++
+      AnalyticsQueries.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.build }.toMap

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Ground-truth pins for funnel ordering/window semantics and the exact
+  * integer z-score test (hand-computed cases; determinism under
+  * repartitioning).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("u", "et", "tsu")
+
+  test("funnel: completed chain in order within the window") {
+    val got = EventAnalytics.funnel(
+      ev((1L, "a", 100L), (1L, "b", 200L), (1L, "c", 300L)),
+      "u", "et", "tsu", Seq("a", "b", "c"), windowMicros = 1000L).collect().head
+    assert(got.getAs[Long]("n_steps") === 3L)
+    assert(got.getAs[Long]("converted") === 1L)
+    assert(got.getAs[Long]("dwell_us") === 200L)
+  }
+
+  test("funnel: out-of-order steps do not count (b before a breaks the chain)") {
+    val got = EventAnalytics.funnel(
+      ev((1L, "b", 50L), (1L, "a", 100L), (1L, "c", 300L)),
+      "u", "et", "tsu", Seq("a", "b", "c"), windowMicros = 1000L).collect().head
+    // the only 'b' precedes 'a': chain stops at step 1
+    assert(got.getAs[Long]("n_steps") === 1L)
+    assert(got.getAs[Long]("converted") === 0L)
+    assert(got.isNullAt(got.fieldIndex("dwell_us")))
+  }
+
+  test("funnel: a later in-order occurrence rescues the chain") {
+    val got = EventAnalytics.funnel(
+      ev((1L, "b", 50L), (1L, "a", 100L), (1L, "b", 150L), (1L, "c", 300L)),
+      "u", "et", "tsu", Seq("a", "b", "c"), windowMicros = 1000L).collect().head
+    assert(got.getAs[Long]("n_steps") === 3L)
+    assert(got.getAs[Long]("t1_us") === 150L)
+  }
+
+  test("funnel: window cutoff is measured from the FIRST step, inclusive") {
+    val in = EventAnalytics.funnel(
+      ev((1L, "a", 100L), (1L, "b", 1100L)),
+      "u", "et", "tsu", Seq("a", "b"), windowMicros = 1000L).collect().head
+    assert(in.getAs[Long]("n_steps") === 2L, "t0 + window is inclusive")
+    val out = EventAnalytics.funnel(
+      ev((1L, "a", 100L), (1L, "b", 1101L)),
+      "u", "et", "tsu", Seq("a", "b"), windowMicros = 1000L).collect().head
+    assert(out.getAs[Long]("n_steps") === 1L)
+  }
+
+  test("funnel: users that never reach step 0 emit no row") {
+    val got = EventAnalytics.funnel(
+      ev((1L, "b", 50L), (2L, "a", 10L)),
+      "u", "et", "tsu", Seq("a", "b"), windowMicros = 1000L)
+    assert(got.select("user").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("zscoreOutliers flags exactly the hand-computed outlier") {
+    // group g: values 1,1,1,1,16 -> mean 4, var (9+9+9+9+144)/5 = 36, sd 6
+    // z(16) = 2 -> NOT an outlier at z=3; at z=1 it is, the 1s are not
+    val d = Seq((1L, "g", 1.0), (2L, "g", 1.0), (3L, "g", 1.0), (4L, "g", 1.0), (5L, "g", 16.0))
+      .toDF("id", "grp", "v")
+    val z3 = EventAnalytics.zscoreOutliers(d, "grp", "v", "id", z = 3)
+      .filter(col("is_outlier") === 1).count()
+    assert(z3 === 0L)
+    val z1 = EventAnalytics.zscoreOutliers(d, "grp", "v", "id", z = 1)
+      .filter(col("is_outlier") === 1)
+      .select("id").as[Long].collect().toSet
+    assert(z1 === Set(5L), "only the 16 is beyond 1 sd (|1-4|=3 < 6)")
+  }
+
+  test("zscoreOutliers: strict inequality at the exact boundary") {
+    // values 0,0,8,8: mean 4, var 16, sd 4 -> |x-mean| = 4 = 1*sd exactly:
+    // strict > means nothing flags at z=1
+    val d = Seq((1L, "g", 0.0), (2L, "g", 0.0), (3L, "g", 8.0), (4L, "g", 8.0))
+      .toDF("id", "grp", "v")
+    val n = EventAnalytics.zscoreOutliers(d, "grp", "v", "id", z = 1)
+      .filter(col("is_outlier") === 1).count()
+    assert(n === 0L)
+  }
+
+  test("zscoreOutliers is exact under repartitioning (no float accumulation order)") {
+    val d = Tables.events(spark, sfDir)
+    val a = EventAnalytics.zscoreOutliers(d, "event_type", "value", "event_id")
+    val b = EventAnalytics.zscoreOutliers(d.repartition(13), "event_type", "value", "event_id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+}

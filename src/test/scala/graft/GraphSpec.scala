@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Pins the fixed-point PageRank recurrence: closed-form values on
+  * symmetric graphs, dangling-node semantics, and equality with an
+  * in-memory reference implementation of the same integer recurrence on a
+  * deterministic pseudo-random graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRank: 2-cycle is the exact fixed point (500000 each)") {
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(e, "src", "dst", "w", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    // base 150000/2 = 75000; inflow 850000*500000/1e6 = 425000 -> stable
+    assert(pr === Map(1L -> 500000L, 2L -> 500000L))
+  }
+
+  test("pageRank: 3-cycle stays uniform (floor-stable)") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(e, "src", "dst", "w", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.values.toSet === Set(333333L))
+  }
+
+  test("pageRank: dangling node keeps the teleport base, its mass leaks") {
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRank(e, "src", "dst", "w", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // pr0 = 500000 each; node 1 gets only base (no in-edges); node 2 gets
+    // base + damped full outflow of node 1
+    assert(pr === Map(1L -> 75000L, 2L -> (75000L + 850000L * 500000L / 1000000L)))
+  }
+
+  test("pageRank matches an in-memory reference of the same integer recurrence") {
+    // deterministic pseudo-random graph: 20 nodes, edge (i, j) with weight
+    // (i*7 + j*13) % 5 + 1 for (i*31 + j*17) % 4 == 0
+    val edges = for {
+      i <- 0L until 20L; j <- 0L until 20L
+      if i != j && (i * 31 + j * 17) % 4 == 0
+    } yield (i, j, (i * 7 + j * 13) % 5 + 1)
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = 4, dampPpm = 850000L)
+      .as[(Long, Long)].collect().toMap
+
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 4) {
+      val inflow = edges
+        .groupBy(_._2).view
+        .mapValues(_.map { case (s, _, w) => pr(s) * w / outw(s) }.sum).toMap
+      pr = nodes.map(nd =>
+        nd -> ((1000000L - 850000L) / n + 850000L * inflow.getOrElse(nd, 0L) / 1000000L)).toMap
+    }
+    assert(got === pr)
+  }
+
+  test("pageRank is deterministic under repartitioning") {
+    val e = (0L until 50L).flatMap(i => Seq((i, (i * 3) % 50, i % 4 + 1), (i, (i + 7) % 50, 2L)))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(e, "src", "dst", "w", iterations = 3)
+    val b = Graph.pageRank(e.repartition(11), "src", "dst", "w", iterations = 3)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+}

@@ -182,6 +182,51 @@ class TextPipelineSpec extends SparkSpec {
     assert(split === composed)
   }
 
+  test("charEntropy: constant string scores 0, uniform pair scores 2x round(ln2/2 micro)") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val got = TextPipeline.charEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 1L, 0L)), "single-char text has zero entropy")
+    // per-char term: round(-ln(0.5) * 0.5 * 1e6) = round(346573.59) = 346574
+    assert(got(2L) === ((2L, 2L, 693148L)))
+    assert(!got.contains(3L), "empty doc emits no row (0/0 undefined)")
+  }
+
+  test("charEntropy is exact under repartitioning") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val a = TextPipeline.charEntropy(docs, "text", "doc_id")
+    val b = TextPipeline.charEntropy(docs.repartition(9), "text", "doc_id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("bpeEncode: hand case, merge order matters, empty merges = char count") {
+    import spark.implicits._
+    val d = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val got = TextPipeline.bpeEncode(d, "text", "doc_id",
+      Seq("t" -> "h", "th" -> "e")).collect().head
+    // "the" -> [th, e] -> [the] = 1 unit (x2), "cat" stays 3 units
+    assert((got.getLong(1), got.getLong(2)) === ((3L, 5L)))
+    val none = TextPipeline.bpeEncode(d, "text", "doc_id", Seq.empty).collect().head
+    assert(none.getLong(2) === 9L, "no merges: unit count = character count")
+    // ("th","e") before ("t","h") can never fire: [t,h,e] has no 'th' symbol yet
+    val wrong = TextPipeline.bpeEncode(d, "text", "doc_id",
+      Seq("th" -> "e", "t" -> "h")).collect().head
+    assert(wrong.getLong(2) === 7L, "reversed rank order merges only t+h")
+  }
+
+  test("bpeEncode replays bpeTrain's merges: greedy overlap rule shared") {
+    import spark.implicits._
+    val d = Seq((1L, "aa aa aa a"), (2L, "aa aa")).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(d, "text", nMerges = 1)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSeq
+    assert(merges === Seq("a" -> "a"))
+    val enc = TextPipeline.bpeEncode(d, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // "aa" -> 1 unit, "a" -> 1 unit: doc1 = 3*1 + 1 = 4, doc2 = 2
+    assert(enc === Map(1L -> 4L, 2L -> 2L))
+  }
+
   test("q65 result is consistent with a driver-side exact shingle overlap") {
     val docs = Tables.table(spark, sfDir, "documents")
     val probes = docs.filter(col("doc_id") < 10)
