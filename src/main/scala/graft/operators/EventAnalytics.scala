@@ -66,6 +66,66 @@ object EventAnalytics {
         when(col(last).isNotNull, col(last) - col("t0_us")))
   }
 
+  /** Per-event rolling features over a trailing time range: for every
+    * event, the count and micro-quantized sum of the SAME user's events in
+    * the preceding `lookbackMicros` (exclusive of the event itself) — the
+    * standard "activity in the last hour" feature a fraud/abuse model
+    * consumes. RANGE frames bound by event time, not row count, so burst
+    * density is measured correctly.
+    *
+    * Plan: one shuffle on user + one sort per partition (the range frame
+    * needs event-time order); Spark evaluates the sliding frame with a
+    * moving two-pointer over the sorted run, O(partition) total. Sums are
+    * integer micros — order-independent and engine-exact.
+    *
+    * `tsMicrosCol` must be unique per user (true of (ts, event_id)-keyed
+    * logs at micro resolution) for a deterministic output; equal
+    * timestamps would make RANGE frames see each other symmetrically in
+    * both engines anyway (same standard semantics).
+    */
+  def rollingCounts(
+      events: DataFrame, userCol: String, tsMicrosCol: String, valueCol: String,
+      idCol: String, lookbackMicros: Long): DataFrame = {
+    require(lookbackMicros > 0, "lookbackMicros must be positive")
+    val w = Window.partitionBy(col("user")).orderBy(col("tsu"))
+      .rangeBetween(-lookbackMicros, -1)
+    events
+      .select(col(idCol).as("id"), col(userCol).as("user"),
+        col(tsMicrosCol).as("tsu"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("vm"))
+      .withColumn("prev_n", count(lit(1)).over(w))
+      .withColumn("prev_sum_micro", coalesce(sum(col("vm")).over(w), lit(0L)))
+      .select(col("id"), col("user"), col("tsu"), col("vm").as("value_micro"),
+        col("prev_n"), col("prev_sum_micro"))
+  }
+
+  /** Gap-based sessionization: assign each event a per-user session index
+    * (1-based, in time order) that increments whenever the gap to the
+    * user's previous event exceeds `gapMicros` — the window-function
+    * mirror of the streaming `session_window` aggregate (q49), emitting
+    * per-EVENT session ids instead of per-session rollups so downstream
+    * joins can tag raw events.
+    *
+    * Classic gaps-and-islands: lag to detect session starts, running sum
+    * to number them. One shuffle on user, one per-partition sort shared
+    * by both window passes.
+    */
+  def sessionize(
+      events: DataFrame, userCol: String, tsMicrosCol: String, idCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val w = Window.partitionBy(col("user")).orderBy(col("tsu"), col("id"))
+    events
+      .select(col(idCol).as("id"), col(userCol).as("user"),
+        col(tsMicrosCol).as("tsu"))
+      .withColumn("new_session",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapMicros, 1L)
+          .otherwise(when(lag(col("tsu"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("new_session")
+  }
+
   /** Per-group z-score outlier flags with EXACT integer arithmetic. The
     * usual `abs(x - mean) > z * stddev` is order-dependent in f64 (both
     * mean and stddev are float sums); quantizing values to integer micro

@@ -183,6 +183,51 @@ object AnalyticsQueries {
       "curriculum difficulty buckets per source: ntile(4) + integer-milli percent_rank / " +
         "cume_dist over a unique (n_chars, doc) order"),
 
+    // ----------------------------------------------- rolling time features
+    "q98_rolling_features" -> Q(
+      (s, dir) =>
+        EventAnalytics.rollingCounts(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "tsu", "value", "event_id", lookbackMicros = 6L * 3600L * 1000000L)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, user_id AS "user",
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             |    CAST(round(value * 1e6) AS BIGINT) AS value_micro
+             |  FROM events)
+             |SELECT id, "user", tsu, value_micro,
+             |  CAST(count(*) OVER w AS BIGINT) AS prev_n,
+             |  CAST(COALESCE(sum(value_micro) OVER w, 0) AS BIGINT) AS prev_sum_micro
+             |FROM e
+             |WINDOW w AS (PARTITION BY "user" ORDER BY tsu
+             |  RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING)
+             |ORDER BY id""".stripMargin),
+      "per-event trailing-6h activity features (count + micro-sum of the user's prior " +
+        "events): RANGE frame bound by event time, one shuffle + sort per user"),
+
+    // ------------------------------------------------------ sessionization
+    "q99_sessionize" -> Q(
+      (s, dir) =>
+        EventAnalytics.sessionize(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, user_id AS "user",
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+             |  FROM events),
+             |l AS (
+             |  SELECT id, "user", tsu,
+             |    CASE WHEN lag(tsu) OVER w IS NULL THEN 1
+             |         WHEN tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY "user" ORDER BY tsu, id))
+             |SELECT id, "user", tsu,
+             |  CAST(sum(ns) OVER (PARTITION BY "user" ORDER BY tsu, id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |FROM l ORDER BY id""".stripMargin),
+      "gap-based sessionization (6h inactivity): per-event 1-based session index via " +
+        "lag + running sum (gaps-and-islands), the window-function mirror of session_window"),
+
     // ----------------------------------------------------------- pagerank
     "q97_pagerank" -> Q(
       (s, dir) => {

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ordered-funnel tracking: the ingest-time form of
+  * [[graft.operators.EventAnalytics.funnel]]. Per user, maintains the
+  * earliest in-order step-completion chain (step i at or after step i-1,
+  * all steps within `windowMicros` of the first step-0 event) and emits
+  * the user's updated progress row every micro-batch that touches them —
+  * the live funnel dashboard feed; downstream keeps the latest row per
+  * user.
+  *
+  * Semantics vs the batch operator: events are sorted by (tsu, id) WITHIN
+  * each micro-batch group, and processing a user's events in ascending
+  * event time makes the greedy update ("first event that satisfies the
+  * chain condition") identical to the batch chained-min. Therefore
+  * stream == batch whenever each user's events arrive in non-decreasing
+  * event-time order ACROSS batches (the watermark-ordered replay
+  * contract, same class as [[StreamingLineDedup]]'s ascending-doc
+  * contract; StreamingFunnelSpec pins it with users split across
+  * batches). A cross-batch LATE event can only miss chain slots it might
+  * have filled — already-reported progress never regresses — and
+  * redelivered events are absorbed idempotently (a chain slot, once set,
+  * never changes).
+  *
+  * State: k+1 longs per user (the chain times; -1 = unset) — bounded by
+  * the user population, independent of event volume, the same
+  * state-size class as the reference's per-key EWMA accumulator.
+  */
+object StreamingFunnel {
+
+  final case class StepEvent(user: Long, step: Int, tsu: Long, id: Long)
+  final case class FunnelState(times: Array[Long])
+  final case class FunnelProgress(
+      user: Long, times: Seq[Long], nSteps: Int, converted: Boolean)
+
+  /** Greedy in-order chain update; exact (= batch chained-min) when
+    * events are processed in ascending event time. `nSteps`/`converted`
+    * derive from the slot array: -1 marks an unreached step.
+    */
+  def update(nStepsTotal: Int, windowMicros: Long)(
+      user: Long,
+      rows: Iterator[StepEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+    val t = state.getOption.map(_.times.clone())
+      .getOrElse(Array.fill(nStepsTotal)(-1L))
+    rows.toSeq.sortBy(r => (r.tsu, r.id)).foreach { r =>
+      val i = r.step
+      if (i == 0) {
+        if (t(0) == -1L) t(0) = r.tsu
+      } else if (t(i) == -1L && t(i - 1) != -1L &&
+        r.tsu >= t(i - 1) && r.tsu <= t(0) + windowMicros) {
+        t(i) = r.tsu
+      }
+    }
+    state.update(FunnelState(t))
+    if (t(0) == -1L) Iterator.empty
+    else {
+      val n = t.takeWhile(_ != -1L).length
+      Iterator.single(FunnelProgress(user, t.toSeq, n, t(nStepsTotal - 1) != -1L))
+    }
+  }
+
+  /** Wire the progress stream over a streaming event frame. The step
+    * mapping and filter are stateless projections; only the per-user
+    * chain lives in state.
+    */
+  def progress(
+      events: DataFrame, userCol: String, typeCol: String, tsMicrosCol: String,
+      idCol: String, steps: Seq[String], windowMicros: Long): Dataset[FunnelProgress] = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "need >= 2 distinct steps")
+    require(windowMicros > 0, "windowMicros must be positive")
+    implicit val evEnc = Encoders.product[StepEvent]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepOf = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("et") === s, lit(i)).otherwise(acc)
+      }
+    events
+      .select(col(userCol).cast("long").as("user"), col(typeCol).as("et"),
+        col(tsMicrosCol).cast("long").as("tsu"), col(idCol).cast("long").as("id"))
+      .withColumn("step", stepOf)
+      .filter(col("step") >= 0)
+      .select(col("user"), col("step"), col("tsu"), col("id"))
+      .as[StepEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        update(steps.size, windowMicros))
+  }
+}

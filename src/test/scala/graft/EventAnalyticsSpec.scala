@@ -60,6 +60,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.select("user").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("rollingCounts: trailing range excludes self, honors the time bound") {
+    val d = Seq((1L, 1L, 100L, 1.0), (2L, 1L, 200L, 2.0), (3L, 1L, 1100L, 3.0),
+        (4L, 2L, 150L, 9.0))
+      .toDF("id", "u", "tsu", "v")
+    val got = EventAnalytics.rollingCounts(d, "u", "tsu", "v", "id", lookbackMicros = 1000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("prev_n"), r.getAs[Long]("prev_sum_micro")))).toMap
+    assert(got(1L) === ((0L, 0L)), "first event has no history")
+    assert(got(2L) === ((1L, 1000000L)), "sees only the event 100us earlier")
+    assert(got(3L) === ((2L, 3000000L)), "frame [100, 1099] spans both priors")
+    assert(got(4L) === ((0L, 0L)), "other users' events are invisible")
+  }
+
+  test("sessionize: strict gap threshold, per-user numbering") {
+    val d = Seq((1L, 1L, 100L), (2L, 1L, 1100L), (3L, 1L, 2101L), (4L, 1L, 9000L),
+        (5L, 2L, 50L))
+      .toDF("id", "u", "tsu")
+    val got = EventAnalytics.sessionize(d, "u", "tsu", "id", gapMicros = 1000L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("session_idx")).toMap
+    assert(got(1L) === 1L)
+    assert(got(2L) === 1L, "gap == gapMicros exactly stays in-session (strict >)")
+    assert(got(3L) === 2L, "gap of 1001 > 1000 starts session 2")
+    assert(got(4L) === 3L)
+    assert(got(5L) === 1L, "each user numbers from 1")
+  }
+
+  test("rollingCounts and sessionize are deterministic under repartitioning") {
+    val d = Tables.events(spark, sfDir).withColumn("tsu", unix_micros(col("ts")))
+    val r1 = EventAnalytics.rollingCounts(d, "user_id", "tsu", "value", "event_id", 3600000000L)
+    val r2 = EventAnalytics.rollingCounts(d.repartition(13), "user_id", "tsu", "value", "event_id", 3600000000L)
+    assert(r1.except(r2).count() === 0 && r2.except(r1).count() === 0)
+    val s1 = EventAnalytics.sessionize(d, "user_id", "tsu", "event_id", 3600000000L)
+    val s2 = EventAnalytics.sessionize(d.repartition(13), "user_id", "tsu", "event_id", 3600000000L)
+    assert(s1.except(s2).count() === 0 && s2.except(s1).count() === 0)
+  }
+
   test("zscoreOutliers flags exactly the hand-computed outlier") {
     // group g: values 1,1,1,1,16 -> mean 4, var (9+9+9+9+144)/5 = 36, sd 6
     // z(16) = 2 -> NOT an outlier at z=3; at z=1 it is, the 1s are not
