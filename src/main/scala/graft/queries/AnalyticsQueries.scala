@@ -228,6 +228,46 @@ object AnalyticsQueries {
       "gap-based sessionization (6h inactivity): per-event 1-based session index via " +
         "lag + running sum (gaps-and-islands), the window-function mirror of session_window"),
 
+    // -------------------------------------------- approx quantiles, gated
+    "q100_approx_quantile" -> Q(
+      (s, dir) => {
+        // the GK sketch VALUE is engine-specific (like q51's HLL), so the
+        // oracled output carries the EXACT rank-based quantiles plus the
+        // sketch's accuracy contract as booleans the oracle asserts true:
+        // at accuracy 10000 the rank error is <= n/10000 ranks, far inside
+        // a 5%-of-value (floor 1.0) tolerance on this data
+        Tables.events(s, dir)
+          .select(col("event_type"), round(col("value") * 1e6).cast("bigint").as("xm"))
+          .createOrReplaceTempView("__q100_events")
+        s.sql("""
+          SELECT event_type, count(*) AS n,
+            CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY xm) AS BIGINT) AS p50_micro,
+            CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT) AS p95_micro,
+            abs(approx_percentile(xm, 0.5, 10000) -
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY xm) AS BIGINT)) <=
+              greatest(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY xm) AS BIGINT) DIV 20, 1000000L)
+              AS approx_p50_ok,
+            abs(approx_percentile(xm, 0.95, 10000) -
+                CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT)) <=
+              greatest(CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT) DIV 20, 1000000L)
+              AS approx_p95_ok
+          FROM __q100_events GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS xm FROM events),
+             |r AS (
+             |  SELECT event_type, xm,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY xm) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM e)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  min(CASE WHEN rn >= ceil(0.5 * n) THEN xm END) AS p50_micro,
+             |  min(CASE WHEN rn >= ceil(0.95 * n) THEN xm END) AS p95_micro,
+             |  true AS approx_p50_ok, true AS approx_p95_ok
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "approx_percentile (Greenwald-Khanna) pinned within 5%-of-value of the exact " +
+        "rank-based quantiles; exact p50/p95 in integer micros"),
+
     // ----------------------------------------------------------- pagerank
     "q97_pagerank" -> Q(
       (s, dir) => {
