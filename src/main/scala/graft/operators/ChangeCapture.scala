@@ -31,6 +31,71 @@ object ChangeCapture {
       .drop("__rn")
   }
 
+  /** SCD TYPE-2 history merge: fold a (compacted) change batch into a
+    * versioned dimension table. `history` rows carry `valid_from_us` /
+    * `valid_to_us` (micros; `valid_to_us` null = current); `changes`
+    * rows carry `tsMicrosCol`, the effective time of the new version.
+    * For every changed key the current row CLOSES (`valid_to_us` = change
+    * time) and a new current row appends; unchanged keys pass through;
+    * new keys open their first version. Value equality is NOT tested —
+    * a change row always cuts a version (idempotent re-application is the
+    * caller's concern via [[latestByKey]] compaction and effective-time
+    * dedup), keeping the operator deterministic under null-valued columns.
+    *
+    * Precondition: at most one change row per key (run [[latestByKey]]
+    * first) with change time at or after the key's current
+    * `valid_from_us`; a change older than the open version would produce
+    * an inverted interval — flagged by the output (`valid_to_us <
+    * valid_from_us`), never silently reordered.
+    *
+    * Plan: history splits into closed rows (pass through untouched) and
+    * current rows (one full-outer join against the change batch — AQE
+    * broadcasts the typically-small compacted changes). No window, no
+    * global sort; at 100 TB the closed majority of the dimension is
+    * never shuffled (the current-row slice is at most one row per live
+    * key).
+    */
+  def scd2Merge(
+      history: DataFrame, changes: DataFrame, keyCol: String,
+      tsMicrosCol: String): DataFrame = {
+    val histCols = history.columns.toSeq
+    require(histCols.contains("valid_from_us") && histCols.contains("valid_to_us"),
+      "history needs valid_from_us / valid_to_us (micros; null valid_to_us = current)")
+    val valueCols = changes.columns.toSeq.filterNot(c => c == keyCol || c == tsMicrosCol)
+    require(valueCols.nonEmpty, "changes need at least one value column")
+    require(valueCols.forall(histCols.contains),
+      s"history is missing change value columns: ${valueCols.filterNot(histCols.contains)}")
+    val closed = history.filter(col("valid_to_us").isNotNull)
+    val current = history.filter(col("valid_to_us").isNull)
+    val chg = changes.select(
+      (col(keyCol) +: col(tsMicrosCol).as("__chg_ts") +:
+        valueCols.map(c => col(c).as(s"__c_$c"))): _*)
+      .withColumn("__c_mark", lit(1))
+    val joined = current.withColumn("__s_mark", lit(1))
+      .join(chg, Seq(keyCol), "full_outer")
+    // current rows of changed keys: close at the change's effective time
+    val closedNow = joined
+      .filter(col("__s_mark").isNotNull && col("__c_mark").isNotNull)
+      .select(histCols.map {
+        case "valid_to_us" => col("__chg_ts").as("valid_to_us")
+        case c => col(c)
+      }: _*)
+    // new current rows: changed keys (new version) + brand-new keys (first)
+    val opened = joined
+      .filter(col("__c_mark").isNotNull)
+      .select(histCols.map {
+        case "valid_from_us" => col("__chg_ts").as("valid_from_us")
+        case "valid_to_us" => lit(null).cast("long").as("valid_to_us")
+        case c if valueCols.contains(c) => col(s"__c_$c").as(c)
+        case c if c == keyCol => col(c)
+        case c => col(c) // history-only attribute: carried from the closed version (null on brand-new keys)
+      }: _*)
+    val untouched = joined
+      .filter(col("__s_mark").isNotNull && col("__c_mark").isNull)
+      .select(histCols.map(col): _*)
+    closed.unionByName(closedNow).unionByName(opened).unionByName(untouched)
+  }
+
   /** Apply a (compacted) change set onto a snapshot — batch MERGE:
     * columns present in BOTH frames take the change's value where a
     * change row exists; snapshot-only columns pass through (null on

@@ -228,6 +228,42 @@ object AnalyticsQueries {
       "gap-based sessionization (6h inactivity): per-event 1-based session index via " +
         "lag + running sum (gaps-and-islands), the window-function mirror of session_window"),
 
+    // ----------------------------------------------------- scd2 dimension
+    "q101_scd2_history" -> Q(
+      (s, dir) => {
+        // dimension snapshot opens at epoch 0; each customer's latest order
+        // cuts a new balance version at its order date
+        val history = Tables.table(s, dir, "customer")
+          .select(col("c_custkey").as("cust"), col("c_acctbal").as("bal"),
+            lit(0L).as("valid_from_us"), lit(null).cast("long").as("valid_to_us"))
+        val changes = ChangeCapture.latestByKey(
+            Tables.table(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+          .select(col("o_custkey").as("cust"), col("o_totalprice").as("bal"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+        ChangeCapture.scd2Merge(history, changes, "cust", "ts_us")
+          .orderBy(col("cust"), col("valid_from_us"))
+      },
+      Some("""WITH latest AS (
+             |  SELECT o_custkey AS cust, o_totalprice AS bal,
+             |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders),
+             |chg AS (SELECT cust, bal, ts FROM latest WHERE rn = 1),
+             |cur AS (SELECT c_custkey AS cust, c_acctbal AS bal FROM customer)
+             |SELECT cust, bal, valid_from_us, valid_to_us FROM (
+             |  SELECT cur.cust, cur.bal, CAST(0 AS BIGINT) AS valid_from_us,
+             |    chg.ts AS valid_to_us
+             |  FROM cur JOIN chg USING (cust)
+             |  UNION ALL
+             |  SELECT cust, bal, ts, CAST(NULL AS BIGINT) FROM chg
+             |  UNION ALL
+             |  SELECT cur.cust, cur.bal, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+             |  FROM cur ANTI JOIN chg USING (cust))
+             |ORDER BY cust, valid_from_us""".stripMargin),
+      "SCD type-2 dimension merge: current versions close at the change's effective time, " +
+        "new versions open, closed history passes through unshuffled"),
+
     // -------------------------------------------- approx quantiles, gated
     "q100_approx_quantile" -> Q(
       (s, dir) => {

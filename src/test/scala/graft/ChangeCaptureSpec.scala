@@ -62,6 +62,48 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("op")).toSeq === Seq("K", "I"))
   }
 
+  test("scd2Merge: closes the current version, opens the new one, passes closed history through") {
+    val history = Seq(
+      (1L, 100.0, 0L, Some(500L)),   // closed old version of key 1
+      (1L, 110.0, 500L, None),       // current version of key 1
+      (2L, 200.0, 0L, None)          // current version of key 2, untouched
+    ).toDF("k", "bal", "valid_from_us", "valid_to_us")
+    val changes = Seq((1L, 120.0, 900L), (9L, 900.0, 950L))
+      .toDF("k", "bal", "ts_us")
+    val got = ChangeCapture.scd2Merge(history, changes, "k", "ts_us")
+      .orderBy(col("k"), col("valid_from_us"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"),
+        r.getAs[Long]("valid_from_us"),
+        if (r.isNullAt(r.fieldIndex("valid_to_us"))) -1L else r.getAs[Long]("valid_to_us")))
+    assert(got.toSeq === Seq(
+      (1L, 100.0, 0L, 500L),  // untouched closed history
+      (1L, 110.0, 500L, 900L), // was current, now closed at the change time
+      (1L, 120.0, 900L, -1L),  // the new current version
+      (2L, 200.0, 0L, -1L),    // untouched current
+      (9L, 900.0, 950L, -1L))) // brand-new key opens its first version
+  }
+
+  test("scd2Merge: exactly one current version per key after the merge") {
+    val history = Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        lit(0L).as("valid_from_us"), lit(null).cast("long").as("valid_to_us"))
+    val changes = ChangeCapture.latestByKey(
+        Tables.table(spark, sfDir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("bal"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+    val merged = ChangeCapture.scd2Merge(history, changes, "k", "ts_us").cache()
+    val dup = merged.filter(col("valid_to_us").isNull)
+      .groupBy("k").count().filter(col("count") =!= 1).count()
+    assert(dup === 0L, "every key must have exactly one open version")
+    // interval chain: each key's versions tile without overlap
+    val bad = merged.withColumn("vt", coalesce(col("valid_to_us"), lit(Long.MaxValue)))
+      .groupBy("k")
+      .agg(sum(when(col("vt") < col("valid_from_us"), 1).otherwise(0)).as("inverted"))
+      .filter(col("inverted") > 0).count()
+    assert(bad === 0L)
+    merged.unpersist()
+  }
+
   test("merge is idempotent: applying the same compacted change set twice is a no-op") {
     val snap = Seq((1L, 100.0), (2L, 200.0)).toDF("k", "bal")
     val chg = Seq((2L, 250.0), (3L, 300.0)).toDF("k", "bal")
