@@ -79,5 +79,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "got only empty sets (format: 'w1,w2|w3,w4')")
         TextExprs.StopwordHits(args(0), sets)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("text_normalize"),
+      info("text_normalize",
+        "text_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD', strip_accents) - unicode canonicalization"),
+      (args: Seq[Expression]) =>
+        TextExprs.NormalizeText(args(0), stringLit(args(1), "normalization form"),
+          args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+            case other => throw new IllegalArgumentException(
+              s"strip_accents must be a boolean literal, got $other")
+          })))
   }
 }

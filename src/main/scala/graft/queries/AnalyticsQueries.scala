@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{ChangeCapture, EventAnalytics, Graph, TextPipeline}
 
-/** Round-6 analytics queries (q91-q97): batch CDC merge, funnel
-  * conversion, exact-integer outlier flags, character entropy, BPE
-  * encoding, curriculum bucketing, and fixed-point PageRank. Every signal
+/** Round-6 analytics queries (q91-q101): batch CDC merge + SCD2 history,
+  * funnel conversion, exact-integer outlier flags, character entropy, BPE
+  * encoding, curriculum bucketing, rolling time-range features,
+  * sessionization, gated approximate quantiles, and fixed-point PageRank.
+  * Every signal
   * is an integer (micros/milli/micro-nats) or a raw-column passthrough,
   * so both engines hash-match bit-for-bit; the ln()-based entropy terms
   * carry the usual documented 1-ulp libm caveat, corpus-validated per SF.
@@ -303,6 +305,33 @@ object AnalyticsQueries {
              |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
       "approx_percentile (Greenwald-Khanna) pinned within 5%-of-value of the exact " +
         "rank-based quantiles; exact p50/p95 in integer micros"),
+
+    // ------------------------------------------------ text canonicalization
+    "q102_text_normalize" -> Q(
+      (s, dir) => {
+        // NFKC + accent fold is identity on ASCII; the `ascii_only` gate
+        // column PROVES the precondition inside the compared output (the
+        // q51/q100 pattern) — on a corpus where it ever goes 0, n_norm/fp
+        // would legitimately diverge and the compare would flag it
+        import org.apache.spark.sql.graftvec.TextExprs
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("doc"), col("text"))
+          .withColumn("norm", TextExprs.normalizeTextCol(col("text"), "NFKC", stripAccents = true))
+          .select(col("doc"),
+            length(col("text")).cast("bigint").as("n_raw"),
+            length(col("norm")).cast("bigint").as("n_norm"),
+            md5(col("norm")).as("fp"),
+            col("text").rlike("^[\\x00-\\x7F]*$").cast("bigint").as("ascii_only"))
+          .orderBy(col("doc"))
+      },
+      Some("""SELECT doc_id AS doc,
+             |  CAST(length(text) AS BIGINT) AS n_raw,
+             |  CAST(length(text) AS BIGINT) AS n_norm,
+             |  md5(text) AS fp,
+             |  CAST(regexp_matches(text, '^[\x00-\x7F]*$') AS BIGINT) AS ascii_only
+             |FROM documents ORDER BY doc""".stripMargin),
+      "unicode canonicalization (NFKC + accent fold, codegen expression) for dedup keys; " +
+        "ascii_only gate makes the identity oracle self-verifying"),
 
     // ----------------------------------------------------------- pagerank
     "q97_pagerank" -> Q(

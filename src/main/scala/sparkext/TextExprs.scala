@@ -370,6 +370,69 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Unicode canonicalization core: normalize to `form` (NFC/NFD/NFKC/
+    * NFKD), optionally folding accents (NFD-decompose, drop non-spacing
+    * marks, recompose in `form`). Pure JDK `java.text.Normalizer` —
+    * deterministic for a given Unicode version, no ICU dependency.
+    * Static so codegen calls it directly.
+    */
+  def normalizeString(s: String, form: String, stripAccents: Boolean): String = {
+    import java.text.Normalizer
+    val f = Normalizer.Form.valueOf(form)
+    val base = if (Normalizer.isNormalized(s, f)) s else Normalizer.normalize(s, f)
+    if (!stripAccents) base
+    else {
+      val nfd = Normalizer.normalize(base, Normalizer.Form.NFD)
+      var hasMark = false
+      var i = 0
+      while (i < nfd.length && !hasMark) {
+        if (Character.getType(nfd.codePointAt(i)) == Character.NON_SPACING_MARK)
+          hasMark = true
+        i += Character.charCount(nfd.codePointAt(i))
+      }
+      if (!hasMark) base
+      else {
+        val sb = new java.lang.StringBuilder(nfd.length)
+        i = 0
+        while (i < nfd.length) {
+          val cp = nfd.codePointAt(i)
+          if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+        Normalizer.normalize(sb.toString, f)
+      }
+    }
+  }
+
+  /** Unicode text canonicalization as a codegen expression: the standard
+    * pre-dedup/pre-fingerprint cleanup (NFC for byte-identity, NFKC +
+    * accent fold for aggressive matching — full-width forms, ligatures,
+    * diacritics all collapse). ASCII input short-circuits through
+    * `isNormalized` (a table lookup, no allocation), so the common case
+    * costs one scan.
+    */
+  case class NormalizeText(child: Expression, form: String, stripAccents: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"form must be NFC/NFD/NFKC/NFKD, got $form")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(a: Any): Any =
+      UTF8String.fromString(
+        normalizeString(a.asInstanceOf[UTF8String].toString, form, stripAccents))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  org.apache.spark.sql.graftvec.TextExprs.normalizeString(
+           |    $a.toString(), "$form", $stripAccents));""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def normalizeTextCol(text: Column, form: String = "NFKC", stripAccents: Boolean = false): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text), form, stripAccents))
+
   def charGramMd5Col(text: Column, gramLen: Int, stride: Int): Column =
     ExpressionUtils.column(CharGramMd5(ExpressionUtils.expression(text), gramLen, stride))
 

@@ -51,4 +51,50 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(viaSql === viaCol)
   }
+
+  test("text_normalize: NFC composes, NFKC folds width/ligatures, accent strip folds diacritics") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftvec.TextExprs
+    import spark.implicits._
+    val d = Seq(
+      (1L, "café"),      // decomposed e + combining acute
+      (2L, "ＡＢＣ"), // full-width ABC
+      (3L, "ﬁn"),         // fi ligature
+      (4L, "plain ascii")
+    ).toDF("id", "s")
+    def got(form: String, strip: Boolean): Map[Long, String] =
+      d.select(col("id"), TextExprs.normalizeTextCol(col("s"), form, strip).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nfc = got("NFC", strip = false)
+    assert(nfc(1L) === "café" && nfc(1L).length === 4, "NFC composes to precomposed é")
+    assert(nfc(2L) === "ＡＢＣ", "NFC keeps compatibility forms")
+    val nfkc = got("NFKC", strip = false)
+    assert(nfkc(2L) === "ABC" && nfkc(3L) === "fin", "NFKC folds width and ligatures")
+    assert(nfkc(1L) === "café")
+    val folded = got("NFKC", strip = true)
+    assert(folded(1L) === "cafe", "accent strip drops the combining mark")
+    assert(folded(4L) === "plain ascii", "ASCII is untouched")
+  }
+
+  test("text_normalize is SQL-callable and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("café Ａ").toDF("s")
+    val viaSql = df.selectExpr("text_normalize(s, 'NFKC', true) AS n").head().getString(0)
+    val viaCol = df.select(
+      org.apache.spark.sql.graftvec.TextExprs.normalizeTextCol(col("s"), "NFKC", true).as("n"))
+      .head().getString(0)
+    assert(viaSql === viaCol && viaSql === "cafe A")
+  }
+
+  test("text_normalize canonicalization makes visually-identical variants dedup-equal") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftvec.TextExprs
+    import spark.implicits._
+    // the same word in composed, decomposed, and full-width spellings
+    val d = Seq((1L, "résumé"), (2L, "résumé")).toDF("doc_id", "text")
+    val keys = d.select(TextExprs.normalizeTextCol(col("text"), "NFC", false).as("k"))
+      .distinct().count()
+    assert(keys === 1L, "NFC collapses composed/decomposed variants to one dedup key")
+  }
 }
