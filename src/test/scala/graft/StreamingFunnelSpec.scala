@@ -68,6 +68,41 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-sfunnel-ckpt-in-").toString
+    val out = Files.createTempDirectory("graft-sfunnel-ckpt-out-").toString
+    val ckpt = Files.createTempDirectory("graft-sfunnel-ckpt-").toString
+
+    def start() = StreamingFunnel.progress(
+      spark.readStream.schema(
+          Seq((0L, 0L, "", 0L)).toDF("event_id", "user_id", "event_type", "tsu").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/c_*"),
+      "user_id", "event_type", "tsu", "event_id", steps, windowMicros = 1000L)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: the view arrives, then the query "crashes"
+    Seq((1L, 7L, "view", 100L)).toDF("event_id", "user_id", "event_type", "tsu")
+      .coalesce(1).write.parquet(s"$in/c_0")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: click+purchase arrive while down; restart from checkpoint —
+    // the chain completes ONLY if t0 was recovered from state
+    Seq((2L, 7L, "click", 200L), (3L, 7L, "purchase", 300L))
+      .toDF("event_id", "user_id", "event_type", "tsu")
+      .coalesce(1).write.parquet(s"$in/c_1")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Int]("nSteps"), r.getAs[Boolean]("converted")))
+    assert(rows.toSet === Set((1, false), (3, true)),
+      "batch-1 progress (1 step) and post-restart completion (3 steps) both recorded")
+  }
+
   test("a chain straddling the batch boundary requires and uses state") {
     import spark.implicits._
     val b1 = Seq((1L, 10L, "view", 100L)) // view in batch 1
