@@ -42,9 +42,13 @@ object ChangeCapture {
     * caller's concern via [[latestByKey]] compaction and effective-time
     * dedup), keeping the operator deterministic under null-valued columns.
     *
-    * Precondition: at most one change row per key (run [[latestByKey]]
-    * first) with change time at or after the key's current
-    * `valid_from_us`; a change older than the open version would produce
+    * Preconditions: at most one change row per key (run [[latestByKey]]
+    * first) AND a well-formed history — at most one open
+    * (`valid_to_us` null) row per key; a second open row would fan out
+    * the join, emitting duplicate closed and current versions (the
+    * one-open-version invariant is cheap to assert downstream and is
+    * pinned in ChangeCaptureSpec). Change time must be at or after the
+    * key's current `valid_from_us`; a change older than the open version would produce
     * an inverted interval — flagged by the output (`valid_to_us <
     * valid_from_us`), never silently reordered.
     *
@@ -88,7 +92,7 @@ object ChangeCapture {
         case "valid_to_us" => lit(null).cast("long").as("valid_to_us")
         case c if valueCols.contains(c) => col(s"__c_$c").as(c)
         case c if c == keyCol => col(c)
-        case c => col(c) // history-only attribute: carried from the closed version (null on brand-new keys)
+        case c => col(c) // history-only attribute: carried from the key's current (open) row; null on brand-new keys
       }: _*)
     val untouched = joined
       .filter(col("__s_mark").isNotNull && col("__c_mark").isNull)

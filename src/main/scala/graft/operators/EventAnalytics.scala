@@ -78,10 +78,11 @@ object EventAnalytics {
     * moving two-pointer over the sorted run, O(partition) total. Sums are
     * integer micros — order-independent and engine-exact.
     *
-    * `tsMicrosCol` must be unique per user (true of (ts, event_id)-keyed
-    * logs at micro resolution) for a deterministic output; equal
-    * timestamps would make RANGE frames see each other symmetrically in
-    * both engines anyway (same standard semantics).
+    * `tsMicrosCol` need not be unique per user: equal-timestamp peers
+    * EXCLUDE each other (the frame's upper bound is tsu - 1, and RANGE
+    * frames are value-based, so every same-instant event gets the
+    * identical history), the same standard semantics in both engines —
+    * output is deterministic either way.
     */
   def rollingCounts(
       events: DataFrame, userCol: String, tsMicrosCol: String, valueCol: String,

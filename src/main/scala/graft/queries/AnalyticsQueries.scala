@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{ChangeCapture, EventAnalytics, Graph, TextPipeline}
 
-/** Round-6 analytics queries (q91-q101): batch CDC merge + SCD2 history,
+/** Round-6 analytics queries (q91-q102): batch CDC merge + SCD2 history,
   * funnel conversion, exact-integer outlier flags, character entropy, BPE
   * encoding, curriculum bucketing, rolling time-range features,
-  * sessionization, gated approximate quantiles, and fixed-point PageRank.
+  * sessionization, gated approximate quantiles, unicode canonicalization,
+  * and fixed-point PageRank.
   * Every signal
   * is an integer (micros/milli/micro-nats) or a raw-column passthrough,
   * so both engines hash-match bit-for-bit; the ln()-based entropy terms
@@ -283,11 +284,11 @@ object AnalyticsQueries {
             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT) AS p95_micro,
             abs(approx_percentile(xm, 0.5, 10000) -
                 CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY xm) AS BIGINT)) <=
-              greatest(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY xm) AS BIGINT) DIV 20, 1000000L)
+              greatest(abs(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY xm) AS BIGINT)) DIV 20, 1000000L)
               AS approx_p50_ok,
             abs(approx_percentile(xm, 0.95, 10000) -
                 CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT)) <=
-              greatest(CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT) DIV 20, 1000000L)
+              greatest(abs(CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY xm) AS BIGINT)) DIV 20, 1000000L)
               AS approx_p95_ok
           FROM __q100_events GROUP BY event_type ORDER BY event_type""")
       },

@@ -12,18 +12,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the live funnel dashboard feed; downstream keeps the latest row per
   * user.
   *
-  * Semantics vs the batch operator: events are sorted by (tsu, id) WITHIN
-  * each micro-batch group, and processing a user's events in ascending
-  * event time makes the greedy update ("first event that satisfies the
-  * chain condition") identical to the batch chained-min. Therefore
-  * stream == batch whenever each user's events arrive in non-decreasing
-  * event-time order ACROSS batches (the watermark-ordered replay
-  * contract, same class as [[StreamingLineDedup]]'s ascending-doc
-  * contract; StreamingFunnelSpec pins it with users split across
-  * batches). A cross-batch LATE event can only miss chain slots it might
-  * have filled — already-reported progress never regresses — and
-  * redelivered events are absorbed idempotently (a chain slot, once set,
-  * never changes).
+  * Semantics vs the batch operator: within a micro-batch, chain slots
+  * fill one at a time (lower steps first), each taking the (tsu, id)-min
+  * qualifying event — exactly the batch operator's chained conditional
+  * mins, for ANY intra-batch arrival order including equal timestamps.
+  * Therefore stream == batch whenever each user's events arrive in
+  * non-decreasing event-time order ACROSS batches, with equal-timestamp
+  * events delivered in one batch (the watermark-ordered replay contract,
+  * same class as [[StreamingLineDedup]]'s ascending-doc contract;
+  * StreamingFunnelSpec pins it with users split across batches). A
+  * cross-batch LATE event can only miss chain slots it might have
+  * filled — already-reported progress never regresses — and redelivered
+  * events are absorbed idempotently (a chain slot, once set, never
+  * changes).
   *
   * State: k+1 longs per user (the chain times; -1 = unset) — bounded by
   * the user population, independent of event volume, the same
@@ -36,8 +37,16 @@ object StreamingFunnel {
   final case class FunnelProgress(
       user: Long, times: Seq[Long], nSteps: Int, converted: Boolean)
 
-  /** Greedy in-order chain update; exact (= batch chained-min) when
-    * events are processed in ascending event time. `nSteps`/`converted`
+  /** Chain update, exact (= batch chained-min) over the batch's events:
+    * slot i fills with the FIRST (tsu, id)-ordered step-i event
+    * satisfying the chain condition, one slot per pass, lower slots
+    * first. A single interleaved greedy pass would get ties wrong twice
+    * over — a step-i event tied with the step-(i-1) event that enables
+    * it but sorting before it would be dropped (ties are legal:
+    * `tsu >= t(i-1)` is inclusive), and a LATER step-i event could claim
+    * the slot before the tied earlier one ever qualifies. Filling slot
+    * by slot reproduces the batch operator's chained conditional mins
+    * exactly for any intra-batch arrival order. `nSteps`/`converted`
     * derive from the slot array: -1 marks an unreached step.
     */
   def update(nStepsTotal: Int, windowMicros: Long)(
@@ -46,13 +55,13 @@ object StreamingFunnel {
       state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
     val t = state.getOption.map(_.times.clone())
       .getOrElse(Array.fill(nStepsTotal)(-1L))
-    rows.toSeq.sortBy(r => (r.tsu, r.id)).foreach { r =>
-      val i = r.step
-      if (i == 0) {
-        if (t(0) == -1L) t(0) = r.tsu
-      } else if (t(i) == -1L && t(i - 1) != -1L &&
-        r.tsu >= t(i - 1) && r.tsu <= t(0) + windowMicros) {
-        t(i) = r.tsu
+    val sorted = rows.toSeq.sortBy(r => (r.tsu, r.id))
+    for (i <- 0 until nStepsTotal) {
+      if (t(i) == -1L && (i == 0 || t(i - 1) != -1L)) {
+        sorted.find { r =>
+          r.step == i &&
+            (i == 0 || (r.tsu >= t(i - 1) && r.tsu <= t(0) + windowMicros))
+        }.foreach(r => t(i) = r.tsu)
       }
     }
     state.update(FunnelState(t))

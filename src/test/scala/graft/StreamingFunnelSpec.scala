@@ -103,6 +103,35 @@ class StreamingFunnelSpec extends SparkSpec {
       "batch-1 progress (1 step) and post-restart completion (3 steps) both recorded")
   }
 
+  test("equal-timestamp events in one batch resolve like the batch operator, any arrival order") {
+    import spark.implicits._
+    // click(id=1) sorts BEFORE the view(id=2) it depends on, at the same
+    // tsu; a later click(id=4) must NOT win the slot over the tied one
+    val rows = Seq(
+      (1L, 5L, "click", 100L), (2L, 5L, "view", 100L),
+      (4L, 5L, "click", 150L), (3L, 5L, "purchase", 150L))
+    val dir = Files.createTempDirectory("graft-sfunnel3-").toString
+    rows.toDF("event_id", "user_id", "event_type", "tsu")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val stream = StreamingFunnel.progress(
+      spark.readStream.schema(spark.read.parquet(s"$dir/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      "user_id", "event_type", "tsu", "event_id", steps, windowMicros = 1000L)
+    val q = stream.toDF().writeStream.format("memory").queryName("sfunnel3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val fin = finalRows("sfunnel3")(5L)
+      // batch semantics: t0 = 100 (view), t1 = min click >= 100 = 100
+      // (the tied click counts), t2 = 150
+      assert(fin === ((Seq(100L, 100L, 150L), 3, true)))
+      val batch = EventAnalytics.funnel(
+        rows.toDF("event_id", "user_id", "event_type", "tsu"),
+        "user_id", "event_type", "tsu", steps, 1000L).collect().head
+      assert(batch.getAs[Long]("t1_us") === 100L, "stream matches the batch chained-min")
+    } finally q.stop()
+  }
+
   test("a chain straddling the batch boundary requires and uses state") {
     import spark.implicits._
     val b1 = Seq((1L, 10L, "view", 100L)) // view in batch 1
