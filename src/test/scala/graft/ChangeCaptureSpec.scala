@@ -104,6 +104,20 @@ class ChangeCaptureSpec extends SparkSpec {
     merged.unpersist()
   }
 
+  test("scd2Merge folds: three sequential change batches build a tiling version chain") {
+    var dim = Seq((1L, 100.0, 0L, Option.empty[Long]))
+      .toDF("k", "bal", "valid_from_us", "valid_to_us")
+    for ((ts, bal) <- Seq((100L, 110.0), (200L, 120.0), (300L, 130.0)))
+      dim = ChangeCapture.scd2Merge(
+        dim, Seq((1L, bal, ts)).toDF("k", "bal", "ts_us"), "k", "ts_us")
+    val got = dim.orderBy(col("valid_from_us")).collect().map(r =>
+      (r.getAs[Double]("bal"), r.getAs[Long]("valid_from_us"),
+        if (r.isNullAt(r.fieldIndex("valid_to_us"))) -1L else r.getAs[Long]("valid_to_us")))
+    assert(got.toSeq === Seq(
+      (100.0, 0L, 100L), (110.0, 100L, 200L), (120.0, 200L, 300L), (130.0, 300L, -1L)),
+      "each merge closes exactly the open version; intervals tile with no gaps")
+  }
+
   test("merge is idempotent: applying the same compacted change set twice is a no-op") {
     val snap = Seq((1L, 100.0), (2L, 200.0)).toDF("k", "bal")
     val chg = Seq((2L, 250.0), (3L, 300.0)).toDF("k", "bal")
