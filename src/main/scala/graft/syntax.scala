@@ -229,5 +229,61 @@ object syntax {
     // ------------------------------------------------------------ vectors
     def withCosineTo(other: Column, vecCol: String): DataFrame =
       df.withColumn("cosine", V.cosine(V.asDouble(col(vecCol)), other))
+
+    // -------------------------------------------------- curation (round 6)
+    def removeBoilerplate(textCol: String, idCol: String, groupCol: String,
+        minLen: Int = 20, maxDocs: Int = 5): DataFrame =
+      graft.operators.Curation.removeBoilerplate(df, textCol, idCol, groupCol, minLen, maxDocs)
+
+    def weightedSample(idCol: String, weightCol: String, k: Int): DataFrame =
+      graft.operators.Curation.weightedSample(df, idCol, weightCol, k)
+
+    def temperatureMix(idCol: String, groupCol: String, targetFrac: Double = 0.5): DataFrame =
+      graft.operators.Curation.temperatureMix(df, idCol, groupCol, targetFrac)
+
+    def charEntropy(textCol: String, idCol: String): DataFrame =
+      graft.operators.TextPipeline.charEntropy(df, textCol, idCol)
+
+    def pmiCollocations(textCol: String, minCount: Long = 5, k: Int = 50): DataFrame =
+      graft.operators.TextPipeline.pmiCollocations(df, textCol, minCount, k)
+
+    def bpeTrain(textCol: String, nMerges: Int): DataFrame =
+      graft.operators.TextPipeline.bpeTrain(df, textCol, nMerges)
+
+    def bpeEncode(textCol: String, idCol: String, merges: Seq[(String, String)]): DataFrame =
+      graft.operators.TextPipeline.bpeEncode(df, textCol, idCol, merges)
+
+    // --------------------------------------------------- event analytics
+    def funnel(userCol: String, typeCol: String, tsMicrosCol: String,
+        steps: Seq[String], windowMicros: Long): DataFrame =
+      graft.operators.EventAnalytics.funnel(df, userCol, typeCol, tsMicrosCol, steps, windowMicros)
+
+    def sessionize(userCol: String, tsMicrosCol: String, idCol: String,
+        gapMicros: Long): DataFrame =
+      graft.operators.EventAnalytics.sessionize(df, userCol, tsMicrosCol, idCol, gapMicros)
+
+    def rollingFeatures(userCol: String, tsMicrosCol: String, valueCol: String,
+        idCol: String, lookbackMicros: Long): DataFrame =
+      graft.operators.EventAnalytics.rollingCounts(
+        df, userCol, tsMicrosCol, valueCol, idCol, lookbackMicros)
+
+    def zscoreOutliers(groupCol: String, valueCol: String, idCol: String,
+        z: Int = 3): DataFrame =
+      graft.operators.EventAnalytics.zscoreOutliers(df, groupCol, valueCol, idCol, z)
+
+    // --------------------------------------------------------- cdc / scd2
+    def latestByKey(keyCol: String, tsCol: String, tieCol: String): DataFrame =
+      graft.operators.ChangeCapture.latestByKey(df, keyCol, tsCol, tieCol)
+
+    def applyChanges(changes: DataFrame, keyCol: String): DataFrame =
+      graft.operators.ChangeCapture.applyChanges(df, changes, keyCol)
+
+    def scd2Merge(changes: DataFrame, keyCol: String, tsMicrosCol: String): DataFrame =
+      graft.operators.ChangeCapture.scd2Merge(df, changes, keyCol, tsMicrosCol)
+
+    // -------------------------------------------------------------- graph
+    def pageRank(srcCol: String, dstCol: String, weightCol: String,
+        iterations: Int = 3, dampPpm: Long = 850000L): DataFrame =
+      graft.operators.Graph.pageRank(df, srcCol, dstCol, weightCol, iterations, dampPpm)
   }
 }

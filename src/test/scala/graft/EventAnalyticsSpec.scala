@@ -53,6 +53,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_steps") === 1L)
   }
 
+  test("funnel generalizes past 3 steps: 4-step chain with a mid-chain break") {
+    val got = EventAnalytics.funnel(
+      ev((1L, "a", 100L), (1L, "b", 200L), (1L, "d", 300L), // no 'c' -> stops at 2
+        (2L, "a", 10L), (2L, "b", 20L), (2L, "c", 30L), (2L, "d", 40L)),
+      "u", "et", "tsu", Seq("a", "b", "c", "d"), windowMicros = 1000L)
+      .collect().map(r => r.getAs[Long]("user") ->
+        ((r.getAs[Long]("n_steps"), r.getAs[Long]("converted")))).toMap
+    assert(got(1L) === ((2L, 0L)), "missing step 3 stops the chain even though step 4 occurred")
+    assert(got(2L) === ((4L, 1L)))
+  }
+
   test("funnel: users that never reach step 0 emit no row") {
     val got = EventAnalytics.funnel(
       ev((1L, "b", 50L), (2L, "a", 10L)),

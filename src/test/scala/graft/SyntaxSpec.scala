@@ -43,6 +43,33 @@ class SyntaxSpec extends SparkSpec {
     assert(sample.groupBy("grp").count().filter(col("count") > 2).count() === 0L)
   }
 
+  test("round-6 methods delegate to their operators unchanged") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sfDir).withColumn("tsu", unix_micros(col("ts")))
+    val f1 = ev.funnel("user_id", "event_type", "tsu", Seq("view", "click"), 3600000000L)
+    val f2 = graft.operators.EventAnalytics.funnel(
+      ev, "user_id", "event_type", "tsu", Seq("view", "click"), 3600000000L)
+    assert(f1.except(f2).count() === 0 && f2.except(f1).count() === 0)
+
+    val s1 = ev.sessionize("user_id", "tsu", "event_id", 3600000000L)
+    val s2 = graft.operators.EventAnalytics.sessionize(ev, "user_id", "tsu", "event_id", 3600000000L)
+    assert(s1.except(s2).count() === 0)
+
+    val o1 = ev.zscoreOutliers("event_type", "value", "event_id")
+    val o2 = graft.operators.EventAnalytics.zscoreOutliers(ev, "event_type", "value", "event_id")
+    assert(o1.except(o2).count() === 0)
+
+    val e1 = docs.charEntropy("text", "doc_id")
+    val e2 = graft.operators.TextPipeline.charEntropy(docs, "text", "doc_id")
+    assert(e1.except(e2).count() === 0)
+
+    val l1 = Tables.table(spark, sfDir, "orders")
+      .latestByKey("o_custkey", "o_orderdate", "o_orderkey")
+    val l2 = graft.operators.ChangeCapture.latestByKey(
+      Tables.table(spark, sfDir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+    assert(l1.except(l2).count() === 0)
+  }
+
   test("ewmaByKey matches the registry query result") {
     import graft.functions.EwmaFunctions
     val ev = Tables.events(spark, sfDir).withColumn("tsl", col("ts").cast("long"))
