@@ -131,6 +131,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(n === 0L)
   }
 
+  test("zscoreOutliers: values outside the micro-quantization window fail HARD, never wrap") {
+    // |v| * 1e6 beyond Long range: ANSI cast overflow is a hard error —
+    // the scaladoc's "breach is a hard error, not a silent wrap" contract
+    val d = Seq((1L, "g", 1e15), (2L, "g", 2e15), (3L, "g", 3e15))
+      .toDF("id", "grp", "v")
+    val e = intercept[Exception] {
+      EventAnalytics.zscoreOutliers(d, "grp", "v", "id").collect()
+    }
+    assert(e.getMessage.contains("OVERFLOW") || e.getMessage.contains("overflow"))
+  }
+
   test("zscoreOutliers is exact under repartitioning (no float accumulation order)") {
     val d = Tables.events(spark, sfDir)
     val a = EventAnalytics.zscoreOutliers(d, "event_type", "value", "event_id")
