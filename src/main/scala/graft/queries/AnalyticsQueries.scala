@@ -307,6 +307,50 @@ object AnalyticsQueries {
       "approx_percentile (Greenwald-Khanna) pinned within 5%-of-value of the exact " +
         "rank-based quantiles; exact p50/p95 in integer micros"),
 
+    // ------------------------------------- record linkage / token canon
+    "q103_token_canon" -> Q(
+      (s, dir) => {
+        // entity-resolution shape over the corpus vocabulary: block via
+        // deletion-neighborhood keys (fuzzyJoinEd1), link at edit
+        // distance <= 1, close transitively (connected components on
+        // STRING node ids), canonicalize to the lexicographic minimum
+        import graft.functions.{TextFunctions => T}
+        import graft.operators.Dedup
+        val vocab = Tables.table(s, dir, "documents")
+          .select(explode(T.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 4)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(300)
+          .select(col("w"))
+        val pairs = Dedup.fuzzyJoinEd1(vocab, vocab, "w", "w")
+          .filter(col("w1") < col("w2"))
+          .select(col("w1").as("id_a"), col("w2").as("id_b"))
+        Dedup.keepRepresentatives(vocab, "w", pairs)
+          .select(col("w"), col("component").as("canon"),
+            col("keep").cast("bigint").as("is_canon"))
+          .orderBy(col("w"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |v AS (SELECT w FROM (
+             |  SELECT w, count(*) AS c FROM t WHERE len(w) >= 4
+             |  GROUP BY w ORDER BY c DESC, w LIMIT 300)),
+             |p AS (SELECT a.w AS w1, b.w AS w2 FROM v a CROSS JOIN v b
+             |      WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1),
+             |edges AS (SELECT w1 AS src, w2 AS dst FROM p
+             |          UNION ALL SELECT w2, w1 FROM p),
+             |walk(id, lbl) AS (
+             |  SELECT w, w FROM v
+             |  UNION
+             |  SELECT e.dst, walk.lbl FROM walk JOIN edges e ON e.src = walk.id),
+             |cc AS (SELECT id, min(lbl) AS canon FROM walk GROUP BY id)
+             |SELECT v.w, cc.canon, CAST(v.w = cc.canon AS BIGINT) AS is_canon
+             |FROM v JOIN cc ON cc.id = v.w
+             |ORDER BY v.w""".stripMargin),
+      "record linkage over the vocabulary: deletion-key blocking -> edit-distance-1 links " +
+        "-> transitive closure on string ids -> lexicographic-min canonical form"),
+
     // ------------------------------------------------ text canonicalization
     "q102_text_normalize" -> Q(
       (s, dir) => {
