@@ -51,6 +51,33 @@ class SourcesSpec extends SparkSpec {
       docs.agg(sum(length(col("value")))).head().getLong(0))
   }
 
+  test("binaryFile source reads raw media files as binary columns with metadata") {
+    // the multimodal INGESTION path: raw image/audio/video files land as
+    // (path, modificationTime, length, content) rows; downstream decode /
+    // frame-sampling (Multimodal.*) then operates on the binary column.
+    // pathGlobFilter prunes at the LISTING, before any bytes are read.
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsrc-").toString
+    val payloads = Seq("fake-jpeg-bytes-1", "fake-jpeg-bytes-two", "not-an-image")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.jpg"),
+      payloads(0).getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.jpg"),
+      payloads(1).getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.txt"),
+      payloads(2).getBytes("UTF-8"))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir)
+    assert(df.columns.toSet === Set("path", "modificationTime", "length", "content"))
+    val rows = df.orderBy(col("path")).collect()
+    assert(rows.length === 2, "glob filter excludes the .txt at listing time")
+    assert(new String(rows(0).getAs[Array[Byte]]("content"), "UTF-8") === payloads(0))
+    assert(rows.map(_.getAs[Long]("length")).toSeq ===
+      Seq(payloads(0).length.toLong, payloads(1).length.toLong))
+    // binary payloads flow straight into the multimodal operators
+    val frames = graft.operators.Multimodal.sampleFrames(
+      df.select(col("path").as("doc_id"), col("content").as("payload")), frameBytes = 8)
+    assert(frames.count() === payloads.take(2).map(p => (p.length + 7) / 8).sum)
+  }
+
   test("rate source produces a monotonically timestamped stream") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50")
