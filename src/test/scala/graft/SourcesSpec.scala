@@ -78,6 +78,29 @@ class SourcesSpec extends SparkSpec {
     assert(frames.count() === payloads.take(2).map(p => (p.length + 7) / 8).sum)
   }
 
+  test("binaryFile STREAMS: raw media files arriving over time feed the multimodal pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binstream-").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.bin"),
+      ("a" * 20).getBytes("UTF-8"))
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+    val frames = graft.operators.Multimodal.sampleFrames(
+      stream.select(col("path").as("doc_id"), col("content").as("payload")), frameBytes = 8)
+    val q = frames.writeStream.format("memory").queryName("binstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("binstream").count() === 3) // ceil(20/8)
+      // a new file lands; only ITS frames are appended
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/y.bin"),
+        ("b" * 9).getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.table("binstream").count() === 5) // + ceil(9/8)
+    } finally q.stop()
+  }
+
   test("rate source produces a monotonically timestamped stream") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50")
