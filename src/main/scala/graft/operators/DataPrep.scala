@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,5 +121,51 @@ object DataPrep {
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("doc"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Morton / Z-ORDER interleave of two non-negative integer columns:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1, giving a
+    * single key whose lexicographic order preserves MULTI-dimensional
+    * locality — the layout trick behind "OPTIMIZE ZORDER BY": sorting/
+    * range-partitioning 100 TB of parquet by z lets min/max row-group
+    * statistics prune scans on EITHER (or both) dimension(s), where a
+    * single-column sort only ever prunes one.
+    *
+    * The interleave is a static tree of 2*bits shift/and/or terms — pure
+    * integer bit math inside whole-stage codegen, exact and identical in
+    * any engine (the q104 oracle rebuilds it with the same shifts).
+    * Key property (pinned in spec): a 2^k-aligned 2^k x 2^k box maps to
+    * exactly one CONTIGUOUS z-range, so aligned box queries touch the
+    * minimum possible partition count.
+    *
+    * Inputs must already be quantized to `bits` bits (mask or bucket
+    * upstream); values outside [0, 2^bits) would alias silently, so the
+    * caller masks — the operator composes with any monotone quantizer.
+    */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31] (z fits a signed long)")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order layout assignment: adds the interleaved key `z` and a
+    * `bucket` in [0, nBuckets) by taking z's TOP log2(nBuckets) bits —
+    * equal-width z-ranges, so bucket boundaries are data-independent
+    * (stable under corpus growth, no sampling pass). Writing one file
+    * per bucket (or `repartitionByRange(z)`) yields the clustered
+    * layout; nBuckets must be a power of two dividing the z-space.
+    */
+  def zorderLayout(
+      df: DataFrame, xCol: String, yCol: String,
+      bits: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two")
+    val logB = 31 - Integer.numberOfLeadingZeros(nBuckets)
+    require(2 * bits >= logB, "nBuckets exceeds the z-space")
+    df.withColumn("z",
+        zorderValue(col(xCol).cast("long"), col(yCol).cast("long"), bits))
+      .withColumn("bucket", shiftright(col("z"), 2 * bits - logB))
   }
 }

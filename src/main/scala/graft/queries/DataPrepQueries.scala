@@ -116,6 +116,35 @@ object DataPrepQueries {
              |SELECT vec_id, round(scale, 6) AS scale6,
              |  array_to_string(list_transform(v, x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)), ',') AS q_csv
              |FROM s ORDER BY vec_id""".stripMargin),
-      "int8 symmetric embedding quantization (scale = 127/max|v|)")
+      "int8 symmetric embedding quantization (scale = 127/max|v|)"),
+
+    "q104_zorder_layout" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.zorderLayout(
+            Tables.table(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_orderkey").bitwiseAND(lit(65535L)).as("xq"),
+                col("l_partkey").bitwiseAND(lit(65535L)).as("yq")),
+            "xq", "yq", bits = 16, nBuckets = 256)
+          .select(col("l_orderkey"), col("l_linenumber"), col("z"), col("bucket"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_orderkey & 65535 AS BIGINT) AS x,
+             |    CAST(l_partkey & 65535 AS BIGINT) AS y
+             |  FROM lineitem),
+             |zv AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    list_reduce(list_transform(generate_series(0, 15),
+             |      i -> (((x >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+             |         + (((y >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT))),
+             |      (a, b) -> a + b) AS z
+             |  FROM base)
+             |SELECT l_orderkey, l_linenumber, CAST(z AS BIGINT) AS z,
+             |  CAST(z >> 24 AS BIGINT) AS bucket
+             |FROM zv ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Z-order (Morton) layout key: bit-interleaved (orderkey, partkey) + top-8-bit " +
+        "bucket — multidimensional clustering so row-group min/max stats prune on " +
+        "either dimension; pure codegen'd bit math, oracle rebuilds the interleave")
   )
 }

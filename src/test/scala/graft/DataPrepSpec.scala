@@ -56,6 +56,41 @@ class DataPrepSpec extends SparkSpec {
     }
   }
 
+  test("zorderValue: known interleaves, and aligned boxes map to contiguous z-ranges") {
+    import spark.implicits._
+    // hand cases: x bits land at even positions, y bits at odd
+    val hand = Seq((3L, 0L), (0L, 3L), (1L, 1L), (5L, 2L))
+      .toDF("x", "y")
+      .select(DataPrep.zorderValue(col("x"), col("y"), 4).as("z"))
+      .as[Long].collect().toSeq
+    // x=0b11 -> z=0b0101=5; y=0b11 -> z=0b1010=10; (1,1) -> 0b11=3;
+    // x=0b101,y=0b010 -> even bits 1,0,1 odd bits 0,1,0 -> 0b010011=19? compute:
+    // bit0=x0=1, bit1=y0=0, bit2=x1=0, bit3=y1=1, bit4=x2=1, bit5=y2=0 -> 1+8+16=25
+    assert(hand === Seq(5L, 10L, 3L, 25L))
+
+    // the Morton contiguity property: a 2^k-ALIGNED 2^k x 2^k box is one
+    // contiguous z-range (here: every 16x16 aligned tile of a 64x64 grid)
+    val grid = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y))).toDF("x", "y")
+      .withColumn("z", DataPrep.zorderValue(col("x"), col("y"), 6))
+    val tiles = grid
+      .withColumn("tile", concat_ws(":", col("x") / 16 cast "int", col("y") / 16 cast "int"))
+      .groupBy("tile")
+      .agg(min("z").as("mn"), max("z").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") - col("mn") =!= col("c") - 1)
+    assert(tiles.count() === 0L, "every aligned 16x16 tile must be one contiguous z-range")
+  }
+
+  test("zorderLayout: data-independent equal-width buckets, stable under repartition") {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(65535L)).as("xq"),
+        col("l_partkey").bitwiseAND(lit(65535L)).as("yq"))
+    val a = DataPrep.zorderLayout(li, "xq", "yq", bits = 16, nBuckets = 256)
+    assert(a.filter(col("bucket") < 0 || col("bucket") >= 256).count() === 0L)
+    val b = DataPrep.zorderLayout(li.repartition(7), "xq", "yq", bits = 16, nBuckets = 256)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
   test("chunkTokens covers every token exactly once at stride == chunkSize") {
     val chunks = DataPrep.chunkTokens(docs, "text", "doc_id", chunkSize = 32, stride = 32)
     val covered = chunks.agg(sum(col("chunk_len"))).head().getLong(0)
