@@ -307,6 +307,46 @@ object AnalyticsQueries {
       "approx_percentile (Greenwald-Khanna) pinned within 5%-of-value of the exact " +
         "rank-based quantiles; exact p50/p95 in integer micros"),
 
+    // -------------------------------------------- two-nation trade flows
+    "q105_trade_flows" -> Q(
+      (s, dir) => {
+        // the classic "volume between nation pairs by year" shape: one
+        // dimension table joined TWICE under different roles (customer
+        // nation vs supplier nation) over a 4-table fact join — revenue
+        // in exact cents so the aggregate is an integer sum
+        val nation = Tables.table(s, dir, "nation")
+        val cn = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val sn = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+          .filter(col("cust_nation") < col("supp_nation")) // one row per unordered pair
+          .groupBy(col("cust_nation"), col("supp_nation"),
+            year(col("o_orderdate")).cast("bigint").as("yr"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("bigint")).as("revenue_cents"))
+          .orderBy(col("cust_nation"), col("supp_nation"), col("yr"))
+      },
+      Some("""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE cn.n_name < sn.n_name
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      "two-nation trade flows by year: one dimension joined twice under different roles " +
+        "(both broadcast) over a 4-table fact join, revenue as exact integer cents"),
+
     // ------------------------------------- record linkage / token canon
     "q103_token_canon" -> Q(
       (s, dir) => {
