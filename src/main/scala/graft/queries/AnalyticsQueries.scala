@@ -323,7 +323,8 @@ object AnalyticsQueries {
           .join(Tables.table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
           .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
-          .filter(col("cust_nation") < col("supp_nation")) // one row per unordered pair
+          // DIRECTED flows: (customer nation -> supplier nation); both
+          // directions of a pair are distinct rows, every lineitem counted
           .groupBy(col("cust_nation"), col("supp_nation"),
             year(col("o_orderdate")).cast("bigint").as("yr"))
           .agg(count(lit(1)).as("n_items"),
@@ -342,10 +343,9 @@ object AnalyticsQueries {
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation cn ON c_nationkey = cn.n_nationkey
              |JOIN nation sn ON s_nationkey = sn.n_nationkey
-             |WHERE cn.n_name < sn.n_name
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
-      "two-nation trade flows by year: one dimension joined twice under different roles " +
-        "(both broadcast) over a 4-table fact join, revenue as exact integer cents"),
+      "directed nation-to-nation trade flows by year: one dimension joined twice under " +
+        "different roles (both broadcast) over a 4-table fact join, exact integer cents"),
 
     // ------------------------------------- record linkage / token canon
     "q103_token_canon" -> Q(
@@ -356,12 +356,16 @@ object AnalyticsQueries {
         // STRING node ids), canonicalize to the lexicographic minimum
         import graft.functions.{TextFunctions => T}
         import graft.operators.Dedup
+        // localCheckpoint: the vocab subplan (full-corpus tokenize + top-k)
+        // is consumed THREE times (both fuzzy-join sides + the final join);
+        // materializing the tiny result once keeps it a single corpus scan
         val vocab = Tables.table(s, dir, "documents")
           .select(explode(T.tokens(col("text"))).as("w"))
           .filter(length(col("w")) >= 4)
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("w")).limit(300)
           .select(col("w"))
+          .localCheckpoint(true)
         val pairs = Dedup.fuzzyJoinEd1(vocab, vocab, "w", "w")
           .filter(col("w1") < col("w2"))
           .select(col("w1").as("id_a"), col("w2").as("id_b"))

@@ -40,29 +40,44 @@ object StreamingVelocity {
       user: Long,
       rows: Iterator[VEvent],
       state: GroupState[VelState]): Iterator[VelocityRow] = {
-    var times = state.getOption.map(_.times).getOrElse(Array.empty[Long])
-    var vms = state.getOption.map(_.vms).getOrElse(Array.empty[Long])
-    val out = rows.toSeq.sortBy(r => (r.tsu, r.id)).map { r =>
-      // trailing window [tsu - lookback, tsu - 1] over retained history
-      var n = 0L
-      var s = 0L
-      var i = 0
-      while (i < times.length) {
-        if (times(i) >= r.tsu - lookbackMicros && times(i) <= r.tsu - 1) {
-          n += 1; s += vms(i)
-        }
-        i += 1
+    val histT = state.getOption.map(_.times).getOrElse(Array.empty[Long])
+    val histV = state.getOption.map(_.vms).getOrElse(Array.empty[Long])
+    val evs = rows.toArray.sortBy(r => (r.tsu, r.id))
+    // merged time-ordered point list (retained history is sorted and, under
+    // the ordered-replay contract, precedes the batch; a late event merges
+    // correctly anyway). Window bounds are STRICT in time, so the relative
+    // order of equal-time points never affects a result.
+    val m = histT.length + evs.length
+    val t = new Array[Long](m)
+    val v = new Array[Long](m)
+    var i = 0
+    var j = 0
+    while (i + j < m) {
+      if (j >= evs.length || (i < histT.length && histT(i) <= evs(j).tsu)) {
+        t(i + j) = histT(i); v(i + j) = histV(i); i += 1
+      } else {
+        t(i + j) = evs(j).tsu; v(i + j) = evs(j).vm; j += 1
       }
-      times = times :+ r.tsu
-      vms = vms :+ r.vm
-      VelocityRow(user, r.tsu, r.id, r.vm, n, s)
     }
-    // prune: anything older than the latest event's lookback can never be
-    // seen again under ordered arrival
-    if (times.nonEmpty) {
-      val cut = times.max - lookbackMicros
-      val keep = times.indices.filter(i => times(i) >= cut)
-      state.update(VelState(keep.map(times).toArray, keep.map(vms).toArray))
+    // two monotone pointers over the merged points: hi = #points with
+    // time <= e.tsu - 1, lo = #points with time < e.tsu - lookback;
+    // running sums make each event O(1) after the O(m) sweep
+    var lo = 0
+    var hi = 0
+    var sumLo = 0L
+    var sumHi = 0L
+    val out = evs.map { e =>
+      while (hi < m && t(hi) <= e.tsu - 1) { sumHi += v(hi); hi += 1 }
+      while (lo < m && t(lo) < e.tsu - lookbackMicros) { sumLo += v(lo); lo += 1 }
+      VelocityRow(user, e.tsu, e.id, e.vm, (hi - lo).toLong, sumHi - sumLo)
+    }
+    // prune: points older than the latest time's lookback can never enter
+    // a future trailing window under ordered arrival
+    if (m > 0) {
+      val cut = t(m - 1) - lookbackMicros
+      var k = 0
+      while (k < m && t(k) < cut) k += 1
+      state.update(VelState(t.slice(k, m), v.slice(k, m)))
     }
     out.iterator
   }

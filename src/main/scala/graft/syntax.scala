@@ -232,7 +232,7 @@ object syntax {
 
     // -------------------------------------------------- curation (round 6)
     def removeBoilerplate(textCol: String, idCol: String, groupCol: String,
-        minLen: Int = 20, maxDocs: Int = 5): DataFrame =
+        minLen: Int = 20, maxDocs: Long = 2): DataFrame =
       graft.operators.Curation.removeBoilerplate(df, textCol, idCol, groupCol, minLen, maxDocs)
 
     def weightedSample(idCol: String, weightCol: String, k: Int): DataFrame =
