@@ -170,7 +170,30 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + dec3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
-    println(s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The summary must survive three capture modes the driver has used:
+    //  (a) a file — always complete, never depends on log capture;
+    //  (b) the tail of the captured log, which is STDERR-dominated: r5/r6
+    //      put the line stdout-last, but stdout/stderr interleave in the
+    //      combined capture and buffered stderr [bench] lines landed after
+    //      it, pushing the JSON head outside the ~2 KB window;
+    //  (c) stdout, for any consumer that greps the full log.
+    // So: write the file first, stop Spark (log level WARN ⇒ shutdown is
+    // silent on stderr), then print the line LAST on both streams with
+    // explicit flushes — stderr very last, since that is what the bounded
+    // tail demonstrably preserves.
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File("BENCH_SUMMARY.json"), "UTF-8")
+      try w.println(summary) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    println(summary)
+    System.out.flush()
+    System.err.println(summary)
+    System.err.flush()
   }
 }

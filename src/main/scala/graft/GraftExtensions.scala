@@ -83,12 +83,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_normalize"),
       info("text_normalize",
         "text_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD', strip_accents) - unicode canonicalization"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        if (args.length != 3) throw new IllegalArgumentException(
+          s"text_normalize requires exactly 3 arguments " +
+            s"(str, 'NFC'|'NFD'|'NFKC'|'NFKD', strip_accents), got ${args.length}")
         TextExprs.NormalizeText(args(0), stringLit(args(1), "normalization form"),
           args(2) match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
             case other => throw new IllegalArgumentException(
               s"strip_accents must be a boolean literal, got $other")
-          })))
+          })
+      }))
   }
 }

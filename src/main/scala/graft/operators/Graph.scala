@@ -39,8 +39,21 @@ object Graph {
     * once); each round joins current ranks onto edges by source
     * (broadcast when the node table is small), aggregates inflow by
     * destination, and left-joins back onto the node set for the teleport
-    * base. `localCheckpoint` every few rounds would bound lineage for
-    * large iteration counts; at <= 10 rounds the plan stays compilable.
+    * base. The routing table and node set are loop-invariant, so both are
+    * eagerly `localCheckpoint`ed BEFORE the loop — without that, each
+    * round's `inflow` plan re-derives them from lineage, and when the
+    * edge table is itself an expensive join (q97 builds it from a 4-table
+    * lineitem⋈orders⋈customer⋈supplier join) every iteration re-runs the
+    * fact join. With the checkpoint the fact join runs exactly once and
+    * each round reads the materialized (src, dst, w, outw) blocks — the
+    * [[Dedup.connectedComponents]] pattern. `pr` itself is checkpointed
+    * every 10 rounds so deep iteration counts keep a bounded plan.
+    *
+    * Weights must be strictly positive: w = 0 would divide by a zero
+    * out-weight for a node with only zero-weight edges, and w < 0 breaks
+    * both the mass accounting and the 2^43 overflow window. Validated in
+    * one pass over the checkpointed routing table (in-memory, so the
+    * check costs a fraction of a single iteration).
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
@@ -53,15 +66,21 @@ object Graph {
       col(weightCol).cast("bigint").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    // (src, dst, w, outw): the per-edge routing table, one corpus-sized
-    // join, reused by every round
-    val routed = e.join(outw, Seq("src"))
+    // (src, dst, w, outw): the per-edge routing table. Eagerly
+    // materialized so the (possibly very expensive) edge derivation and
+    // the out-weight aggregation run ONCE, not once per iteration.
+    val routed = e.join(outw, Seq("src")).localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
+    // n > 0 implies e (and hence routed) is non-empty, so min(w) is non-null
+    val minW = routed.agg(min(col("w"))).head.getLong(0)
+    require(minW > 0,
+      s"pageRank requires strictly positive edge weights; found min(w)=$minW")
     val base = (1000000L - dampPpm) / n
     var pr = nodes.select(col("node"), lit(1000000L / n).as("pr_micro"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inflow = routed
         .join(pr.select(col("node").as("src"), col("pr_micro")), Seq("src"))
         .select(col("dst"), expr("(pr_micro * w) DIV outw").as("c"))
@@ -70,6 +89,7 @@ object Graph {
         .join(inflow.select(col("dst").as("node"), col("inflow")), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampPpm * coalesce(inflow, 0L)) DIV 1000000")).as("pr_micro"))
+      if (i % 10 == 0 && i < iterations) pr = pr.localCheckpoint(true)
     }
     pr
   }

