@@ -28,7 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State: k+1 longs per user (the chain times; -1 = unset) — bounded by
   * the user population, independent of event volume, the same
-  * state-size class as the reference's per-key EWMA accumulator.
+  * state-size class as the reference's per-key EWMA accumulator. With
+  * `idleTimeoutMs > 0` a processing-time `GroupStateTimeout` evicts
+  * users idle longer than the timeout, bounding state by the ACTIVE
+  * population: an evicted user's partial chain is forgotten, so a later
+  * event starts a fresh funnel attempt (the idle-user-reset contract —
+  * choose a timeout well beyond `windowMicros`' wall-clock equivalent so
+  * only chains that could no longer convert are dropped).
   */
 object StreamingFunnel {
 
@@ -49,10 +55,14 @@ object StreamingFunnel {
     * exactly for any intra-batch arrival order. `nSteps`/`converted`
     * derive from the slot array: -1 marks an unreached step.
     */
-  def update(nStepsTotal: Int, windowMicros: Long)(
+  def update(nStepsTotal: Int, windowMicros: Long, idleTimeoutMs: Long)(
       user: Long,
       rows: Iterator[StepEvent],
       state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val t = state.getOption.map(_.times.clone())
       .getOrElse(Array.fill(nStepsTotal)(-1L))
     val sorted = rows.toSeq.sortBy(r => (r.tsu, r.id))
@@ -65,6 +75,7 @@ object StreamingFunnel {
       }
     }
     state.update(FunnelState(t))
+    if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
     if (t(0) == -1L) Iterator.empty
     else {
       val n = t.takeWhile(_ != -1L).length
@@ -75,13 +86,19 @@ object StreamingFunnel {
   /** Wire the progress stream over a streaming event frame. The step
     * mapping and filter are stateless projections; only the per-user
     * chain lives in state.
+    *
+    * @param idleTimeoutMs 0 disables eviction; > 0 evicts users idle that
+    *   long in PROCESSING time (idle-user-reset: the partial chain is
+    *   forgotten, a later event starts a fresh attempt).
     */
   def progress(
       events: DataFrame, userCol: String, typeCol: String, tsMicrosCol: String,
-      idCol: String, steps: Seq[String], windowMicros: Long): Dataset[FunnelProgress] = {
+      idCol: String, steps: Seq[String], windowMicros: Long,
+      idleTimeoutMs: Long = 0L): Dataset[FunnelProgress] = {
     require(steps.size >= 2 && steps.distinct.size == steps.size,
       "need >= 2 distinct steps")
     require(windowMicros > 0, "windowMicros must be positive")
+    require(idleTimeoutMs >= 0, "idleTimeoutMs must be >= 0 (0 = no eviction)")
     implicit val evEnc = Encoders.product[StepEvent]
     implicit val stEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[FunnelProgress]
@@ -98,7 +115,9 @@ object StreamingFunnel {
       .select(col("user"), col("step"), col("tsu"), col("id"))
       .as[StepEvent]
       .groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        update(steps.size, windowMicros))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeoutMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        update(steps.size, windowMicros, idleTimeoutMs))
   }
 }

@@ -24,9 +24,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State: per user, only the events still inside the lookback window of
   * the LATEST seen event (older ones can never enter a future trailing
   * window under ordered arrival and are pruned every batch) — bounded by
-  * the user's event rate x lookback, not by stream length. A
-  * production deployment adds a processing-time `GroupStateTimeout` to
-  * drop users idle longer than the lookback entirely.
+  * the user's event rate x lookback, not by stream length. With
+  * `idleTimeoutMs > 0` a processing-time `GroupStateTimeout` drops users
+  * idle longer than the timeout ENTIRELY, bounding state by the active
+  * user population. When the timeout's event-time equivalent is >= the
+  * lookback (processing time tracking event time), eviction is
+  * semantically invisible: every dropped point was already outside any
+  * future event's trailing window.
   */
 object StreamingVelocity {
 
@@ -36,10 +40,14 @@ object StreamingVelocity {
       user: Long, tsu: Long, id: Long, value_micro: Long,
       prev_n: Long, prev_sum_micro: Long)
 
-  def update(lookbackMicros: Long)(
+  def update(lookbackMicros: Long, idleTimeoutMs: Long)(
       user: Long,
       rows: Iterator[VEvent],
       state: GroupState[VelState]): Iterator[VelocityRow] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val histT = state.getOption.map(_.times).getOrElse(Array.empty[Long])
     val histV = state.getOption.map(_.vms).getOrElse(Array.empty[Long])
     val evs = rows.toArray.sortBy(r => (r.tsu, r.id))
@@ -78,14 +86,21 @@ object StreamingVelocity {
       var k = 0
       while (k < m && t(k) < cut) k += 1
       state.update(VelState(t.slice(k, m), v.slice(k, m)))
+      if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
     }
     out.iterator
   }
 
+  /** @param idleTimeoutMs 0 disables eviction; > 0 evicts users idle that
+    *   long in PROCESSING time — choose a value whose event-time
+    *   equivalent is >= `lookbackMicros` so eviction cannot drop a point
+    *   a future trailing window could still see.
+    */
   def features(
       events: DataFrame, userCol: String, tsMicrosCol: String, valueCol: String,
-      idCol: String, lookbackMicros: Long): Dataset[VelocityRow] = {
+      idCol: String, lookbackMicros: Long, idleTimeoutMs: Long = 0L): Dataset[VelocityRow] = {
     require(lookbackMicros > 0, "lookbackMicros must be positive")
+    require(idleTimeoutMs >= 0, "idleTimeoutMs must be >= 0 (0 = no eviction)")
     implicit val evEnc = Encoders.product[VEvent]
     implicit val stEnc = Encoders.product[VelState]
     implicit val outEnc = Encoders.product[VelocityRow]
@@ -97,7 +112,9 @@ object StreamingVelocity {
         round(col(valueCol) * lit(1e6)).cast("bigint").as("vm"))
       .as[VEvent]
       .groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        update(lookbackMicros))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeoutMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        update(lookbackMicros, idleTimeoutMs))
   }
 }
