@@ -41,6 +41,13 @@ object ChangeCapture {
     * a change row always cuts a version (idempotent re-application is the
     * caller's concern via [[latestByKey]] compaction and effective-time
     * dedup), keeping the operator deterministic under null-valued columns.
+    * With `skipReapplied = true` the effective-time guard runs inline: a
+    * change whose time is at or before its key's open-version
+    * `valid_from_us` is treated as already applied and skipped, so
+    * re-merging the same (compacted) batch is a NO-OP — evaluated on the
+    * row the merge join already produced, zero extra shuffles. The guard
+    * also absorbs stale changes older than the open version (the inverted
+    * interval the unguarded merge would flag).
     *
     * Preconditions: at most one change row per key (run [[latestByKey]]
     * first) AND a well-formed history — at most one open
@@ -61,10 +68,13 @@ object ChangeCapture {
     */
   def scd2Merge(
       history: DataFrame, changes: DataFrame, keyCol: String,
-      tsMicrosCol: String): DataFrame = {
+      tsMicrosCol: String, skipReapplied: Boolean = false): DataFrame = {
     val histCols = history.columns.toSeq
     require(histCols.contains("valid_from_us") && histCols.contains("valid_to_us"),
       "history needs valid_from_us / valid_to_us (micros; null valid_to_us = current)")
+    requireNoReservedColumns("scd2Merge", "history",
+      histCols.filterNot(c => c == "valid_from_us" || c == "valid_to_us"))
+    requireNoReservedColumns("scd2Merge", "changes", changes.columns.toSeq)
     val valueCols = changes.columns.toSeq.filterNot(c => c == keyCol || c == tsMicrosCol)
     require(valueCols.nonEmpty, "changes need at least one value column")
     require(valueCols.forall(histCols.contains),
@@ -77,16 +87,23 @@ object ChangeCapture {
       .withColumn("__c_mark", lit(1))
     val joined = current.withColumn("__s_mark", lit(1))
       .join(chg, Seq(keyCol), "full_outer")
+    // a change "applies" unless the guard recognizes it as already folded
+    // in: its key has an open version starting at or after the change time
+    val applies =
+      if (skipReapplied)
+        col("__c_mark").isNotNull &&
+          !(col("__s_mark").isNotNull && col("__chg_ts") <= col("valid_from_us"))
+      else col("__c_mark").isNotNull
     // current rows of changed keys: close at the change's effective time
     val closedNow = joined
-      .filter(col("__s_mark").isNotNull && col("__c_mark").isNotNull)
+      .filter(col("__s_mark").isNotNull && applies)
       .select(histCols.map {
         case "valid_to_us" => col("__chg_ts").as("valid_to_us")
         case c => col(c)
       }: _*)
     // new current rows: changed keys (new version) + brand-new keys (first)
     val opened = joined
-      .filter(col("__c_mark").isNotNull)
+      .filter(applies)
       .select(histCols.map {
         case "valid_from_us" => col("__chg_ts").as("valid_from_us")
         case "valid_to_us" => lit(null).cast("long").as("valid_to_us")
@@ -95,9 +112,23 @@ object ChangeCapture {
         case c => col(c) // history-only attribute: carried from the key's current (open) row; null on brand-new keys
       }: _*)
     val untouched = joined
-      .filter(col("__s_mark").isNotNull && col("__c_mark").isNull)
+      .filter(col("__s_mark").isNotNull && !applies)
       .select(histCols.map(col): _*)
     closed.unionByName(closedNow).unionByName(opened).unionByName(untouched)
+  }
+
+  /** Both merge operators manufacture `__s_*`/`__c_*`/`__chg_ts` marker
+    * columns and (applyChanges) an `op` output column; an input already
+    * carrying one would silently collide — e.g. re-merging applyChanges
+    * output without dropping `op`. Rejected up front with a clear error.
+    */
+  private def requireNoReservedColumns(
+      opName: String, side: String, cols: Seq[String]): Unit = {
+    val bad = cols.filter(c => c.startsWith("__") || c == "op")
+    require(bad.isEmpty,
+      s"$opName: $side carries reserved column name(s) ${bad.mkString(", ")} " +
+        "('op' and '__'-prefixed names are manufactured by the merge; " +
+        "drop or rename them first)")
   }
 
   /** Apply a (compacted) change set onto a snapshot — batch MERGE:
@@ -124,6 +155,8 @@ object ChangeCapture {
     val chgCols = changes.columns.toSeq
     require(snapCols.contains(keyCol) && chgCols.contains(keyCol),
       s"both frames need key column '$keyCol'")
+    requireNoReservedColumns("applyChanges", "snapshot", snapCols)
+    requireNoReservedColumns("applyChanges", "changes", chgCols)
     val s = snapshot.select(snapCols.map(c =>
         if (c == keyCol) col(c) else col(c).as(s"__s_$c")): _*)
       .withColumn("__s_mark", lit(1))

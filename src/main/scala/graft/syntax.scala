@@ -278,8 +278,9 @@ object syntax {
     def applyChanges(changes: DataFrame, keyCol: String): DataFrame =
       graft.operators.ChangeCapture.applyChanges(df, changes, keyCol)
 
-    def scd2Merge(changes: DataFrame, keyCol: String, tsMicrosCol: String): DataFrame =
-      graft.operators.ChangeCapture.scd2Merge(df, changes, keyCol, tsMicrosCol)
+    def scd2Merge(changes: DataFrame, keyCol: String, tsMicrosCol: String,
+        skipReapplied: Boolean = false): DataFrame =
+      graft.operators.ChangeCapture.scd2Merge(df, changes, keyCol, tsMicrosCol, skipReapplied)
 
     // -------------------------------------------------------------- graph
     def pageRank(srcCol: String, dstCol: String, weightCol: String,

@@ -125,4 +125,58 @@ class ChangeCaptureSpec extends SparkSpec {
     val twice = ChangeCapture.applyChanges(once, chg, "k").drop("op")
     assert(once.except(twice).count() === 0 && twice.except(once).count() === 0)
   }
+
+  test("scd2Merge skipReapplied: double-applying the same change batch is a no-op") {
+    val history = Seq((1L, 100.0, 0L, Option.empty[Long]))
+      .toDF("k", "bal", "valid_from_us", "valid_to_us")
+    val batch = Seq((1L, 110.0, 100L), (2L, 200.0, 100L)).toDF("k", "bal", "ts_us")
+    val once = ChangeCapture.scd2Merge(history, batch, "k", "ts_us",
+      skipReapplied = true).cache()
+    val twice = ChangeCapture.scd2Merge(once, batch, "k", "ts_us",
+      skipReapplied = true)
+    assert(once.count() === 3L, "closed v1 of key 1, open v2 of key 1, open v1 of key 2")
+    assert(once.except(twice).count() === 0 && twice.except(once).count() === 0,
+      "re-merging the identical batch must not cut zero-length versions")
+    // the unguarded merge, by contrast, cuts again on re-application
+    val unguarded = ChangeCapture.scd2Merge(once, batch, "k", "ts_us")
+    assert(unguarded.count() === 5L,
+      "without the guard each change closes the open version a second time")
+    once.unpersist()
+  }
+
+  test("scd2Merge skipReapplied also absorbs a stale change older than the open version") {
+    val history = Seq((1L, 110.0, 100L, Option.empty[Long]))
+      .toDF("k", "bal", "valid_from_us", "valid_to_us")
+    val stale = Seq((1L, 105.0, 50L)).toDF("k", "bal", "ts_us")
+    val got = ChangeCapture.scd2Merge(history, stale, "k", "ts_us",
+      skipReapplied = true)
+    assert(got.collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"))).toSeq
+      === Seq((1L, 110.0)),
+      "a change at ts 50 against an open version from ts 100 is superseded, not applied")
+  }
+
+  test("reserved column names are rejected up front") {
+    val snap = Seq((1L, 1.0)).toDF("k", "op")
+    val chg = Seq((1L, 2.0)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      ChangeCapture.applyChanges(snap, chg, "k")
+    }
+    assert(e1.getMessage.contains("reserved column name"))
+    intercept[IllegalArgumentException] {
+      ChangeCapture.applyChanges(chg, Seq((1L, 2.0)).toDF("k", "__c_v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      ChangeCapture.scd2Merge(
+        Seq((1L, 1.0, 0L, Option.empty[Long], 9L))
+          .toDF("k", "bal", "valid_from_us", "valid_to_us", "__s_mark"),
+        Seq((1L, 2.0, 10L)).toDF("k", "bal", "ts_us"), "k", "ts_us")
+    }
+    // re-merging applyChanges output without dropping `op` — the exact
+    // silent-collision case — now fails loudly
+    val merged = ChangeCapture.applyChanges(
+      Seq((1L, 1.0)).toDF("k", "v"), chg, "k")
+    intercept[IllegalArgumentException] {
+      ChangeCapture.applyChanges(merged, chg, "k")
+    }
+  }
 }
