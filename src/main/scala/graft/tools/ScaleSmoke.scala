@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-class scale smoke for the dedup/ANN family (SCALE.md).
+  *
+  * The per-round bench runs at sf0.1 (5k documents); the 100 TB contract
+  * claims the dedup plans are bucketed/banded equi-joins with near-linear
+  * cost. This main keeps that claim honest one decade further: it
+  * synthesizes a ~10x documents corpus from sf0.1 and times the four
+  * headline dedup queries (q31 jaccard pairs, q32 minhash-LSH, q39
+  * connected components, q78 bloom decontamination) on both corpora.
+  *
+  * Corpus construction — scaling must not distort the dup GRAPH: replica
+  * r > 0 suffixes every whitespace token with `_r<r>`. Token-consistent
+  * renaming is a bijection on 5-gram shingles, so the within-replica
+  * Jaccard structure (and therefore the near-dup pair set and component
+  * structure) is EXACTLY the original's, while cross-replica pairs share
+  * no shingle at all. Result: pairs, components, and contaminated docs
+  * all scale exactly 10x — the honest linear-scale corpus. A naive 10x
+  * copy WITHOUT salting would instead multiply every dup cluster size by
+  * 10 and the pair count by ~100 (quadratic in-cluster blowup), which
+  * would test a corpus shape the source data doesn't have.
+  *
+  * doc_id offset is 10M per replica so replica 0 keeps the original ids
+  * (q78's doc_id < 10 benchmark set stays replica-0-only: the
+  * contamination probe side stays a few KB while the probed corpus grows
+  * 10x, exactly the production shape).
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [outDir] [replicas]
+  * Prints one JSON line per (query, corpus) with secs + result rows.
+  */
+object ScaleSmoke {
+  private val QueryNames =
+    Seq("q31_dedup_jaccard", "q32_dedup_minhash", "q39_dedup_components",
+      "q78_bloom_decontaminate")
+
+  def scaledDocuments(src: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1, "replicas >= 1")
+    val parts = (0 until replicas).map { r =>
+      val salted =
+        if (r == 0) src.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        else src.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          // suffix every token: regexp keeps the transform codegen'd and
+          // whitespace-shape-preserving (the tokenizers split on \s+)
+          regexp_replace(col("text"), "(\\S+)", s"$$1_r$r").as("text"),
+          col("lang"), col("source"))
+      salted
+    }
+    parts.reduce(_.unionByName(_))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledPath = s"$outDir/documents.parquet"
+    if (!new java.io.File(scaledPath).exists()) {
+      // 32 output files so the scaled scan parallelizes like a real
+      // multi-split table instead of the single-row-group testdata file
+      scaledDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(scaledPath)
+    }
+    val nSrc = spark.read.parquet(s"$srcDir/documents.parquet").count()
+    val nScaled = spark.read.parquet(scaledPath).count()
+    System.err.println(s"[scale] src=$nSrc docs, scaled=$nScaled docs")
+
+    def timeQueries(dir: String, tag: String): Seq[(String, Double, Long)] =
+      QueryNames.map { name =>
+        val t0 = System.nanoTime()
+        val rows = graft.queries.Registry.queries(name)(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releaseCaches()
+        System.err.println(f"[scale] $tag $name%-24s $secs%8.2f s  rows=$rows")
+        (name, secs, rows)
+      }
+
+    // warmup on the small corpus (JVM/codegen startup), then measure
+    timeQueries(srcDir, "warmup")
+    val base = timeQueries(srcDir, "sf0.1 ")
+    val big = timeQueries(outDir, s"x$replicas   ")
+    val pairs = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
+      f"""{"query":"$n","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
+    }
+    println(s"""{"replicas":$replicas,"results":[${pairs.mkString(",")}]}""")
+    spark.stop()
+  }
+}
