@@ -172,4 +172,141 @@ object EventAnalytics {
       .select(col("id"), col("grp"), col("xm").as("value_micro"),
         (dev * dev > rhs).cast("bigint").as("is_outlier"))
   }
+
+  /** Cohort retention: users are cohorted by their FIRST active day, and
+    * each later active day counts toward (cohort_day, offset_days). The
+    * standard product-retention matrix: "of the users who first appeared
+    * on day D, how many came back k days later?"
+    *
+    * Days are floor(epoch_micros / 86_400_000_000) — pure integer, no
+    * timezone/calendar arithmetic, so any engine reproduces the matrix
+    * bit-for-bit. `retention_bps` = 10000 * n_users div cohort size
+    * (integer basis points; offset 0 is 10000 by construction).
+    *
+    * Plan: dedup to (user, day) first — event volume collapses to
+    * user-days BEFORE any window work, so a user with a million events on
+    * one day costs one row past the first aggregation. Then one window
+    * min per user (reuses the dedup's hash partitioning on user via the
+    * (user, day)-keyed exchange), and a final small aggregation on
+    * (cohort, offset) — the output is bounded by active-days², not data
+    * volume. The cohort-size join is on the tiny aggregated matrix.
+    */
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsMicrosCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val active = events
+      .select(col(userCol).as("user"), col(tsMicrosCol).cast("bigint").as("tsu"))
+      // DIV, not "/": long / long is DOUBLE division in Spark, and a
+      // near-integer quotient can round UP across the day boundary
+      .select(col("user"), expr(s"tsu DIV ${dayUs}L").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user"))
+    val matrix = active
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = matrix.filter(col("offset_days") === 0)
+      .select(col("cohort_day"), col("n_users").as("n_cohort"))
+    matrix.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("n_users"), col("n_cohort"),
+        expr("(10000 * n_users) DIV n_cohort").as("retention_bps"))
+  }
+
+  /** Multi-touch conversion attribution: each `convType` event's value is
+    * credited to the `touchTypes` events of the SAME user in the
+    * `windowMicros` before it (inclusive of the conversion instant) under
+    * the three standard models at once — first-touch, last-touch, and
+    * linear. A conversion with no preceding touch credits the synthetic
+    * `direct` channel in all three models.
+    *
+    * All credit is integer micros: linear splits value DIV n per touch
+    * and gives the remainder to the FIRST touch (ordered by (ts, id)), so
+    * per-channel sums are exact and order-independent — the three models
+    * each conserve total conversion value to the micro.
+    *
+    * Plan: one shuffle join on user (conversions ⋈ touches, the range
+    * predicate applied post-join), then per-conversion window ranks on
+    * the already-user-partitioned rows, then a tiny per-channel
+    * aggregation. Skew = one user's touches × their conversions — the
+    * same per-user bound as every keyed operator here; `windowMicros`
+    * caps the lookback so an eternal user doesn't pair all history.
+    */
+  def attributeConversions(
+      events: DataFrame, userCol: String, typeCol: String, tsMicrosCol: String,
+      idCol: String, valueCol: String, touchTypes: Seq[String], convType: String,
+      windowMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType), "convType cannot also be a touch type")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val base = events.select(col(userCol).as("user"), col(typeCol).as("et"),
+      col(tsMicrosCol).cast("bigint").as("tsu"), col(idCol).cast("bigint").as("id"),
+      round(col(valueCol) * lit(1e6)).cast("bigint").as("vm"))
+    val conv = base.filter(col("et") === convType)
+      .select(col("user"), col("tsu").as("ctsu"), col("id").as("cid"), col("vm"))
+    val touch = base.filter(col("et").isin(touchTypes: _*))
+      .select(col("user"), col("et").as("channel"), col("tsu").as("ttsu"),
+        col("id").as("tid"))
+    val paired = conv.join(touch,
+      conv("user") === touch("user") &&
+        col("ttsu") <= col("ctsu") && col("ttsu") >= col("ctsu") - windowMicros,
+      "left").drop(touch("user"))
+    val wOrd = Window.partitionBy(col("cid")).orderBy(col("ttsu"), col("tid"))
+    val wAll = Window.partitionBy(col("cid"))
+    val credited = paired
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(col("tid")).over(wAll))
+      .withColumn("ch", coalesce(col("channel"), lit("direct")))
+      .withColumn("first_c", when(col("rn") === 1, col("vm")).otherwise(lit(0L)))
+      .withColumn("last_c", when(col("rn") === col("n") || col("n") === 0, col("vm"))
+        .otherwise(lit(0L)))
+      .withColumn("linear_c",
+        when(col("n") === 0, col("vm")).otherwise(
+          expr("vm DIV n") + when(col("rn") === 1, expr("vm % n")).otherwise(lit(0L))))
+    credited.groupBy(col("ch").as("channel"))
+      .agg(count(col("tid")).as("touches"),
+        count_distinct(col("cid")).as("conversions"),
+        sum(col("first_c")).as("first_micro"),
+        sum(col("last_c")).as("last_micro"),
+        sum(col("linear_c")).as("linear_micro"))
+  }
+
+  /** Robust (median/MAD) outlier flags with EXACT integer arithmetic —
+    * the heavy-tail-safe alternative to [[zscoreOutliers]]: a single
+    * extreme value shifts a mean/stddev gate but not a median/MAD gate.
+    *
+    * Both medians use the explicit rank definition (smallest value whose
+    * row_number ≥ ceil(n/2), the same convention as q81) so every engine
+    * picks the identical corpus value — no interpolation. The flag is
+    *   10000 * |x - med| > k * 14826 * MAD
+    * i.e. |x - med| > k·1.4826·MAD with the normal-consistency constant
+    * as an exact rational — all BIGINT, order-independent, portable.
+    * MAD = 0 (over half the group identical) flags any deviation, the
+    * standard degenerate-case behavior.
+    *
+    * Plan: one shuffle on grp; the two rank passes are window functions
+    * over the SAME partition (Catalyst reuses the exchange and re-sorts
+    * in place), so unlike the textbook two-aggregation formulation there
+    * is no second shuffle and no join.
+    */
+  def madOutliers(
+      events: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be a positive integer")
+    val wg = Window.partitionBy(col("grp"))
+    val wv = wg.orderBy(col("xm"), col("id"))
+    val wa = wg.orderBy(col("adm"), col("id"))
+    events
+      .select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("med", min(when(lit(2) * col("rn") >= col("n"), col("xm"))).over(wg))
+      .withColumn("adm", abs(col("xm") - col("med")))
+      .withColumn("rn2", row_number().over(wa))
+      .withColumn("mad", min(when(lit(2) * col("rn2") >= col("n"), col("adm"))).over(wg))
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        col("med").as("med_micro"), col("mad").as("mad_micro"),
+        (lit(10000L) * col("adm") > lit(k.toLong * 14826L) * col("mad"))
+          .cast("bigint").as("is_outlier"))
+  }
 }

@@ -93,4 +93,67 @@ object Graph {
     }
     pr
   }
+
+  /** Per-node triangle counts on an undirected simple graph. Input edges
+    * may arrive in either direction and with duplicates; they are
+    * canonicalized to (a < b) and de-duplicated first. Self-loops are
+    * dropped. Output: one row per node that participates in ≥ 1
+    * triangle, `(node, triangles)`.
+    *
+    * Algorithm: degree-ordered wedge closure — the standard distributed
+    * triangle enumeration (Suri & Vassilvitskii's MR algorithm; also how
+    * Trino/Spark GraphFrames count triangles). Every node gets a total
+    * order π = (degree, id); edges are oriented π-ascending, so each
+    * triangle has exactly ONE node with two outgoing oriented edges and
+    * is enumerated exactly once as a wedge (u→v, u→w), π(v) < π(w),
+    * closed by the oriented edge (v→w).
+    *
+    * Why orientation matters at 100 TB: wedge fan-out is Σ_u C(outdeg(u), 2),
+    * and π-orientation bounds every out-degree by O(√m) (a node keeps
+    * only edges toward HIGHER-degree peers), so the wedge set is O(m^1.5)
+    * worst-case instead of Σ C(deg, 2) — a celebrity node with 10^8
+    * followers contributes NO wedges from its own adjacency (all its
+    * edges point in). Plan: two self-equi-joins on the oriented edge set
+    * (wedge build on u, closure probe on (v, w)) — shuffled hash joins on
+    * keys Catalyst picks, no all-pairs anywhere.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("bigint").as("x"),
+        col(dstCol).cast("bigint").as("y"))
+      .filter(col("x") =!= col("y"))
+    val undirected = raw.select(
+        least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      // canonical edge set is read 3x (degrees, wedges, closure) — cut
+      // the dedup's lineage once instead of re-running it per consumer
+      .localCheckpoint(true)
+    val deg = undirected.select(col("a").as("node")).unionAll(
+        undirected.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient by π = (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    val withDeg = undirected
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), Seq("b"))
+    // each oriented edge carries its head's π key (dv, v) so wedge legs
+    // can be ordered by π — which makes the closing edge's direction
+    // KNOWN (π-smaller leg → π-larger leg) and the closure a pure
+    // equi-join. An OR-of-directions closure would be a nested-loop join.
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("u"), col("e1.v").as("p"), col("e2.v").as("q"))
+    val tri = wedges.join(
+        oriented.select(col("u").as("p"), col("v").as("q")), Seq("p", "q"))
+      .select(col("u"), col("p"), col("q"))
+    tri.select(explode(array(col("u"), col("p"), col("q"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -278,4 +278,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Supervised nearest-centroid (Rocchio) classification over an
+    * embedding column: per-label centroids are trained on an
+    * md5-hash-gated train split ([[DataPrep.hashSplit]]'s convention —
+    * stateless, rerun-stable, portable) and every row is then assigned
+    * the label of its nearest centroid by EXACT integer squared distance
+    * (micro-quantized coords, ties to the smaller label). The classic
+    * embedding-quality baseline for a curation pipeline: cheap to train,
+    * fully deterministic, and the per-row `correct` flag aggregates to
+    * held-out accuracy for free.
+    *
+    * Returns `(vec_id, label, in_train, predicted, sq_dist_micro2,
+    * correct)`.
+    *
+    * Scale shape: training is ONE scan + one (label, dim)-keyed
+    * aggregation collected as bounded driver state (nLabels × dim longs,
+    * the [[trainIntCentroids]] pattern) and broadcast back as literal
+    * expressions; classification is a map-only codegen'd scan — no
+    * shuffle at all on the predict side, so the operator is two corpus
+    * scans total regardless of data volume.
+    */
+  def nearestCentroidClassify(
+      embeddings: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      trainBps: Int = 8000): DataFrame = {
+    require(trainBps >= 1 && trainBps <= 10000, "trainBps in [1, 10000]")
+    // 10000 bps = train-on-everything: the general cut would be the
+    // 5-char "10000", which a 4-char bucket compares lexicographically
+    // BELOW — the same fixed-width pitfall hashSplit documents
+    val inTrain =
+      if (trainBps == 10000) lit(1L)
+      else (substring(md5(col("vid").cast("string")), 1, 4) <
+        lit(f"${trainBps.toLong * 65536 / 10000}%04x")).cast("bigint")
+    val base = embeddings.select(col(idCol).cast("bigint").as("vid"),
+        col(labelCol).cast("int").as("label"), V.asDouble(col(vecCol)).as("v"))
+      .withColumn("vq", micro(col("v")))
+      .withColumn("vv", guardedVv(V.dot(col("vq"), col("vq")), col("vid")))
+      .withColumn("in_train", inTrain)
+    val p = Dedup.persistTracked(base)
+    val sums = p.filter(col("in_train") === 1)
+      .select(col("label"), posexplode(col("vq")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    require(sums.nonEmpty, "nearestCentroidClassify: train split is empty")
+    val labels = sums.map(_.getInt(0)).distinct.sorted
+    require(labels.length <= 256,
+      "nearestCentroidClassify: at most 256 labels (packed-distance id space)")
+    val dim = sums.map(_.getInt(1)).max + 1
+    val idx = labels.zipWithIndex.toMap
+    val cents = labels.map(_ => Array.fill(dim)(0.0))
+    sums.foreach { r =>
+      cents(idx(r.getInt(0)))(r.getInt(1)) =
+        Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
+    }
+    // labels sorted ascending, so packedDist's smaller-cid tie-break IS
+    // the smaller-label tie-break
+    val packed = array_min(array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      packedDist(col("vq"), col("vv"), c, i) }: _*))
+    val labArr = array(labels.toIndexedSeq.map(l => lit(l)): _*)
+    p.withColumn("pk", packed)
+      .select(col("vid").as("vec_id"), col("label"), col("in_train"),
+        element_at(labArr, (col("pk") % 256).cast("int") + 1).as("predicted"),
+        expr("pk DIV 256").as("sq_dist_micro2"),
+        (element_at(labArr, (col("pk") % 256).cast("int") + 1) === col("label"))
+          .cast("bigint").as("correct"))
+  }
 }

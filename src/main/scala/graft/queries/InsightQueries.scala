@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{EventAnalytics, Graph, Similarity}
+
+/** Round-7 analytics queries (q106-q110): cohort retention, multi-touch
+  * conversion attribution, degree-ordered triangle counting, robust
+  * median/MAD outliers, and supervised nearest-centroid embedding
+  * classification. Every emitted signal is an integer (days, basis
+  * points, micros, exact ranks/counts) so both engines hash-match
+  * bit-for-bit.
+  */
+object InsightQueries {
+
+  private val dayUs = 86400000000L
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------ cohort retention
+    "q106_retention" -> Q(
+      (s, dir) =>
+        EventAnalytics.retentionCohorts(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "tsu")
+          .orderBy(col("cohort_day"), col("offset_days")),
+      Some(s"""WITH a AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // $dayUs AS day
+             |  FROM events),
+             |c AS (SELECT u, min(day) AS cohort_day FROM a GROUP BY u),
+             |m AS (SELECT cohort_day, day - cohort_day AS offset_days,
+             |    CAST(count(*) AS BIGINT) AS n_users
+             |  FROM a JOIN c USING (u) GROUP BY 1, 2),
+             |sz AS (SELECT cohort_day, n_users AS n_cohort FROM m WHERE offset_days = 0)
+             |SELECT m.cohort_day, m.offset_days, m.n_users, sz.n_cohort,
+             |  (10000 * m.n_users) // sz.n_cohort AS retention_bps
+             |FROM m JOIN sz USING (cohort_day)
+             |ORDER BY cohort_day, offset_days""".stripMargin),
+      "cohort retention matrix: users cohorted by first active day (integer epoch-day), " +
+        "per-(cohort, offset) distinct-user counts + basis-point retention"),
+
+    // ------------------------------------------------ conversion attribution
+    "q107_attribution" -> Q(
+      (s, dir) =>
+        EventAnalytics.attributeConversions(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "event_type", "tsu", "event_id", "value",
+            touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+            windowMicros = dayUs)
+          .orderBy(col("channel")),
+      Some(s"""WITH b AS (
+             |  SELECT user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id AS id,
+             |    CAST(round(value * 1e6) AS BIGINT) AS vm
+             |  FROM events),
+             |c AS (SELECT u, tsu AS ctsu, id AS cid, vm FROM b WHERE et = 'purchase'),
+             |t AS (SELECT u, et AS channel, tsu AS ttsu, id AS tid FROM b
+             |      WHERE et IN ('view', 'click', 'signup')),
+             |p AS (SELECT c.cid, c.vm, t.channel, t.ttsu, t.tid
+             |  FROM c LEFT JOIN t ON t.u = c.u
+             |    AND t.ttsu <= c.ctsu AND t.ttsu >= c.ctsu - $dayUs),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY cid ORDER BY ttsu, tid) AS rn,
+             |    count(tid) OVER (PARTITION BY cid) AS n
+             |  FROM p),
+             |cr AS (SELECT COALESCE(channel, 'direct') AS channel, tid, cid,
+             |    CASE WHEN rn = 1 THEN vm ELSE 0 END AS first_c,
+             |    CASE WHEN rn = n OR n = 0 THEN vm ELSE 0 END AS last_c,
+             |    CASE WHEN n = 0 THEN vm
+             |         ELSE vm // n + CASE WHEN rn = 1 THEN vm % n ELSE 0 END
+             |    END AS linear_c
+             |  FROM r)
+             |SELECT channel, CAST(count(tid) AS BIGINT) AS touches,
+             |  CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
+             |  CAST(sum(first_c) AS BIGINT) AS first_micro,
+             |  CAST(sum(last_c) AS BIGINT) AS last_micro,
+             |  CAST(sum(linear_c) AS BIGINT) AS linear_micro
+             |FROM cr GROUP BY channel ORDER BY channel""".stripMargin),
+      "multi-touch attribution (first/last/linear at once, 24h lookback, remainder-exact " +
+        "integer linear split, touchless conversions -> 'direct'): every model conserves " +
+        "total conversion value to the micro"),
+
+    // ------------------------------------------------------ triangle counting
+    "q108_triangles" -> Q(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        // co-purchase graph: parts sharing >= 2 distinct orders (the
+        // support threshold keeps edge density at the association level,
+        // not the random-co-occurrence level)
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
+          .agg(count_distinct(col("x.ok")).as("supp"))
+          .filter(col("supp") >= 2)
+        Graph.triangleCounts(edges, "pa", "pb").orderBy(col("node"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT x.pk AS a, y.pk AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(DISTINCT x.ok) >= 2),
+             |tri AS (SELECT e1.a AS u, e1.b AS p, e2.b AS q
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |nodes AS (SELECT u AS node FROM tri
+             |          UNION ALL SELECT p FROM tri
+             |          UNION ALL SELECT q FROM tri)
+             |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             |FROM nodes GROUP BY node ORDER BY node""".stripMargin),
+      "per-node triangle counts on the co-purchase graph via degree-ordered wedge closure " +
+        "(oracle enumerates a<b<c directly; the triangle set is orientation-invariant)"),
+
+    // -------------------------------------------------- robust MAD outliers
+    "q109_mad_outliers" -> Q(
+      (s, dir) =>
+        EventAnalytics.madOutliers(
+            Tables.events(s, dir), "event_type", "value", "event_id", k = 3)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm
+             |  FROM events),
+             |w1 AS (SELECT *, count(*) OVER (PARTITION BY grp) AS n,
+             |    row_number() OVER (PARTITION BY grp ORDER BY xm, id) AS rn FROM e),
+             |w2 AS (SELECT *, min(CASE WHEN 2 * rn >= n THEN xm END)
+             |    OVER (PARTITION BY grp) AS med FROM w1),
+             |w3 AS (SELECT *, abs(xm - med) AS adm FROM w2),
+             |w4 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY grp ORDER BY adm, id) AS rn2 FROM w3),
+             |w5 AS (SELECT *, min(CASE WHEN 2 * rn2 >= n THEN adm END)
+             |    OVER (PARTITION BY grp) AS mad FROM w4)
+             |SELECT id, grp, xm AS value_micro, med AS med_micro, mad AS mad_micro,
+             |  CAST(10000 * adm > 44478 * mad AS BIGINT) AS is_outlier
+             |FROM w5 ORDER BY id""".stripMargin),
+      "median/MAD robust outlier flags: rank-based medians (q81 convention) and the " +
+        "1.4826 consistency constant as the exact rational 14826/10000 — all BIGINT"),
+
+    // --------------------------------------- nearest-centroid classification
+    "q110_centroid_classify" -> Q(
+      (s, dir) =>
+        Similarity.nearestCentroidClassify(
+            Tables.table(s, dir, "embeddings"), "embedding", "vec_id", "label",
+            trainBps = 8000)
+          .orderBy(col("vec_id")),
+      // 8000 bps -> md5-prefix cut 0xcccc (52428 = 8000 * 65536 / 10000)
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |sp AS (SELECT vec_id, label, vq,
+             |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'
+             |         THEN 1 ELSE 0 END AS tr
+             |  FROM e),
+             |s AS (SELECT label, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM sp CROSS JOIN generate_series(1, 64) AS dd(d)
+             |  WHERE tr = 1 GROUP BY label, dd.d),
+             |c AS (SELECT label AS clab,
+             |    list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c
+             |  FROM s GROUP BY label),
+             |scored AS (SELECT sp.vec_id, sp.label, sp.tr, c.clab,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      d -> (sp.vq[d] - c.c[d]) * (sp.vq[d] - c.c[d]))) AS dist,
+             |    row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        d -> (sp.vq[d] - c.c[d]) * (sp.vq[d] - c.c[d]))), c.clab) AS rn
+             |  FROM sp CROSS JOIN c)
+             |SELECT vec_id, label, CAST(tr AS BIGINT) AS in_train, clab AS predicted,
+             |  CAST(dist AS BIGINT) AS sq_dist_micro2,
+             |  CAST(clab = label AS BIGINT) AS correct
+             |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      "supervised nearest-centroid (Rocchio) classifier: md5-gated 80/20 split, integer " +
+        "floorDiv centroids (bounded driver state, broadcast as literals), exact integer " +
+        "argmin assignment — predict side is a shuffle-free map-only scan")
+  )
+}

@@ -148,4 +148,104 @@ class EventAnalyticsSpec extends SparkSpec {
     val b = EventAnalytics.zscoreOutliers(d.repartition(13), "event_type", "value", "event_id")
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  // ------------------------------------------------------ retentionCohorts
+
+  private val day = 86400000000L
+
+  test("retentionCohorts: hand-computed matrix, bps, and same-day collapse") {
+    // u1 cohort day0, back on days 1 and 3 (day-1 twice: must collapse);
+    // u2 cohort day0 only; u3 cohort day1, back on day2
+    val e = Seq(
+      (1L, 0L), (1L, day + 5L), (1L, day + 9L), (1L, 3 * day),
+      (2L, 100L),
+      (3L, day), (3L, 2 * day + 1L)).toDF("u", "tsu")
+    val got = EventAnalytics.retentionCohorts(e, "u", "tsu")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 2L, 10000L)),
+      (0L, 1L) -> ((1L, 2L, 5000L)),
+      (0L, 3L) -> ((1L, 2L, 5000L)),
+      (1L, 0L) -> ((1L, 1L, 10000L)),
+      (1L, 1L) -> ((1L, 1L, 10000L))))
+  }
+
+  // -------------------------------------------------- attributeConversions
+
+  private def att(rows: (Long, String, Long, Long, Double)*) =
+    rows.toSeq.toDF("u", "et", "tsu", "id", "v")
+
+  test("attribution: linear split is remainder-exact, first/last to the right touches") {
+    // touches A(t=10) B(t=20) A(t=30), conversion v=10.0 at t=40:
+    // vm=10_000_000, n=3 -> 3_333_333 each + remainder 1 to the first
+    val got = EventAnalytics.attributeConversions(
+        att((1L, "A", 10L, 1L, 0.0), (1L, "B", 20L, 2L, 0.0),
+          (1L, "A", 30L, 3L, 0.0), (1L, "buy", 40L, 4L, 10.0)),
+        "u", "et", "tsu", "id", "v", Seq("A", "B"), "buy", windowMicros = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      // A: first touch (credit 10M) AND last touch (10M); linear 3_333_334 + 3_333_333
+      "A" -> ((2L, 1L, 10000000L, 10000000L, 6666667L)),
+      "B" -> ((1L, 1L, 0L, 0L, 3333333L))))
+    assert(got.values.map(_._5).sum === 10000000L, "linear conserves value exactly")
+  }
+
+  test("attribution: touchless conversion credits 'direct' fully in all models") {
+    val got = EventAnalytics.attributeConversions(
+        att((1L, "buy", 40L, 4L, 2.5)),
+        "u", "et", "tsu", "id", "v", Seq("A"), "buy", windowMicros = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map("direct" -> ((0L, 2500000L, 2500000L, 2500000L))))
+  }
+
+  test("attribution: window excludes stale touches, includes the conversion instant") {
+    val got = EventAnalytics.attributeConversions(
+        att((1L, "A", 5L, 1L, 0.0),   // too old: 40 - 5 > 30
+          (1L, "B", 40L, 2L, 0.0),    // at the conversion instant: counts
+          (1L, "buy", 40L, 3L, 4.0)),
+        "u", "et", "tsu", "id", "v", Seq("A", "B"), "buy", windowMicros = 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(got === Map("B" -> 4000000L))
+  }
+
+  test("attribution: touches never cross users") {
+    val got = EventAnalytics.attributeConversions(
+        att((1L, "A", 10L, 1L, 0.0), (2L, "buy", 20L, 2L, 1.0)),
+        "u", "et", "tsu", "id", "v", Seq("A"), "buy", windowMicros = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("direct" -> 1000000L))
+  }
+
+  // ------------------------------------------------------------ madOutliers
+
+  test("madOutliers: hand-computed median/MAD; robust where the mean is dragged") {
+    // 1..9 plus 1000: med = 5 (10 values, rank-5), adm sorted has MAD = 2;
+    // gate 10000*adm > 3*14826*2 = 88956 -> only the 1000 row flags
+    val d = ((1L to 9L).map(i => (i, "g", i.toDouble)) :+ ((10L, "g", 1000.0)))
+      .toDF("id", "grp", "v")
+    val got = EventAnalytics.madOutliers(d, "grp", "v", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((5000000L, 2000000L, 0L)))
+    assert(got(10L) === ((5000000L, 2000000L, 1L)))
+    assert(got.count(_._2._3 == 1L) === 1)
+  }
+
+  test("madOutliers: MAD = 0 flags any deviation (degenerate majority)") {
+    val d = Seq((1L, "g", 5.0), (2L, "g", 5.0), (3L, "g", 5.0), (4L, "g", 7.0))
+      .toDF("id", "grp", "v")
+    val got = EventAnalytics.madOutliers(d, "grp", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("madOutliers is exact under repartitioning") {
+    val d = Tables.events(spark, sfDir)
+    val a = EventAnalytics.madOutliers(d, "event_type", "value", "event_id")
+    val b = EventAnalytics.madOutliers(d.repartition(13), "event_type", "value", "event_id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
 }

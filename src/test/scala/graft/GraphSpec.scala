@@ -103,4 +103,43 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(e.repartition(11), "src", "dst", "w", iterations = 3)
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  // ---------------------------------------------------------- triangleCounts
+
+  private def tri(edges: (Long, Long)*) =
+    Graph.triangleCounts(edges.toSeq.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCounts: K4 — every node sits in 3 of the 4 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4: _*) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: a path has no triangles (empty output)") {
+    assert(tri((1L, 2L), (2L, 3L), (3L, 4L)) === Map.empty)
+  }
+
+  test("triangleCounts: reversed duplicates and self-loops canonicalize away") {
+    // K3 delivered as both directions + a duplicate + a self-loop
+    val got = tri((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (1L, 3L), (1L, 1L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: bowtie — shared node counts both triangles") {
+    val got = tri((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("triangleCounts matches a brute-force reference on a pseudo-random graph") {
+    val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
+      .filter(e => e._1 != e._2)
+    val brute = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val eset = brute.toSet
+    val expect = (for {
+      Seq(a, b, c) <- (0L until 23L).combinations(3).toSeq
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+      n <- Seq(a, b, c)
+    } yield n).groupBy(x => x).map { case (n, xs) => n -> xs.size.toLong }
+    assert(tri(edges: _*) === expect)
+  }
 }

@@ -6,6 +6,8 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
 
+  import spark.implicits._
+
   private lazy val emb = Tables.table(spark, sfDir, "embeddings").cache()
   private lazy val queries = emb.filter(col("vec_id") < 5)
 
@@ -106,5 +108,64 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.length === 5)
       assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5))
     }
+  }
+
+  // ------------------------------------------------- nearestCentroidClassify
+
+  test("nearestCentroidClassify: separable clusters classify perfectly, dist 0 at centroid") {
+    // label 0 sits at [1, 0, ...], label 1 at [0, 1, ...] exactly — the
+    // per-label centroid IS the common vector, so every sq_dist is 0 and
+    // every prediction is right regardless of the train split
+    val v0 = Array(1f, 0f, 0f, 0f); val v1 = Array(0f, 1f, 0f, 0f)
+    val e = ((0L until 8L).map(i => (i, v0, 0)) ++ (8L until 16L).map(i => (i, v1, 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .nearestCentroidClassify(e, "embedding", "vec_id", "label", trainBps = 10000)
+      .collect()
+    assert(got.length === 16)
+    assert(got.forall(_.getAs[Long]("correct") == 1L))
+    assert(got.forall(_.getAs[Long]("sq_dist_micro2") == 0L))
+    assert(got.forall(_.getAs[Long]("in_train") == 1L))
+  }
+
+  test("nearestCentroidClassify: equidistant vector ties to the SMALLER label") {
+    // both labels train to the IDENTICAL centroid (1, 1): every row is an
+    // exact tie, so every prediction must be the smaller label (3)
+    val e = Seq(
+      (1L, Array(2f, 0f), 5), (2L, Array(0f, 2f), 5),
+      (3L, Array(2f, 0f), 3), (4L, Array(0f, 2f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .nearestCentroidClassify(e, "embedding", "vec_id", "label", trainBps = 10000)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("predicted")).toMap
+    assert(got === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3),
+      "exact centroid ties must all break to the smaller label")
+  }
+
+  test("nearestCentroidClassify: md5 split marks rows and centroids carry class signal") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val got = graft.operators.Similarity
+      .nearestCentroidClassify(emb, "embedding", "vec_id", "label", trainBps = 8000)
+      .cache()
+    val byTrain = got.groupBy("in_train").count().as[(Long, Long)].collect().toMap
+    // md5 gate: both splits populated, ~80/20
+    assert(byTrain.keySet === Set(0L, 1L))
+    assert(byTrain(1L) > byTrain(0L))
+    // the synthetic labels carry weak but real structure: in-sample
+    // accuracy must clear 2x chance (10 labels -> 0.1); HELD-OUT accuracy
+    // on this corpus is ~chance at every SF (verified out-of-band), so
+    // only the train side is a stable signal pin
+    val train = got.filter(col("in_train") === 1)
+    val acc = train.filter(col("correct") === 1).count().toDouble / train.count()
+    assert(acc > 0.2, s"train accuracy $acc — centroids look like noise")
+  }
+
+  test("nearestCentroidClassify is deterministic under repartitioning") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val a = graft.operators.Similarity
+      .nearestCentroidClassify(emb, "embedding", "vec_id", "label")
+    val b = graft.operators.Similarity
+      .nearestCentroidClassify(emb.repartition(13), "embedding", "vec_id", "label")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 }
