@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining over a (basket, item) relation —
+  * the pairwise (2-itemset) core of Apriori: which items co-occur more
+  * than chance, and how predictive is one of the other. The curation
+  * use-case is the same shape as PMI collocations but at the
+  * basket/document level (co-cited domains, co-occurring tags).
+  */
+object Associations {
+
+  /** Directed pair rules a → b for item pairs sharing at least
+    * `minPairSupport` baskets. Per rule: `n_ab` (co-occurrence baskets),
+    * `n_a`/`n_b` (item baskets), `n_baskets` (total), plus the two
+    * classic measures as exact integer ppm (floor):
+    *
+    *   confidence = 1e6 · n_ab DIV n_a
+    *   lift       = 1e6 · n_baskets · n_ab DIV (n_a · n_b)
+    *
+    * Both rule directions are emitted (confidence is asymmetric; lift is
+    * symmetric and simply repeats).
+    *
+    * Plan shape for 100 TB: baskets dedup to distinct (basket, item)
+    * first (one hash shuffle — basket size bounds nothing downstream);
+    * pair counts come from a self-equi-join ON BASKET with a < b, so
+    * fan-out is Σ C(|basket|, 2) — bounded by basket size, never by item
+    * popularity, and a huge basket is the data's own quadratic, not the
+    * algorithm's. The `minPairSupport` filter lands in the pair
+    * aggregation (partial aggs map-side). Item counts are a separate
+    * small aggregate broadcast back onto the (filtered, much smaller)
+    * rule set. Integer overflow window: n_baskets · n_ab must stay under
+    * 2^63 — at 1e9 baskets that allows n_ab up to ~9e9, i.e. every pair;
+    * ANSI mode makes a breach a hard error.
+    */
+  def pairRules(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairSupport: Long = 2L): DataFrame = {
+    require(minPairSupport >= 1, "minPairSupport must be >= 1")
+    // the distinct basket-item set feeds FOUR consumers (basket count,
+    // item counts, both self-join sides) and the supported pair set two
+    // (each rule direction) — materialize each once instead of re-running
+    // the dedup shuffle per consumer (the connectedComponents/pageRank
+    // loop-invariant pattern)
+    val bi = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).cast("bigint").as("it"))
+      .distinct()
+      .localCheckpoint(true)
+    val nBaskets = bi.select(col("bk")).distinct().count()
+    val itemCounts = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairCounts = bi.as("x").join(bi.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
+      .localCheckpoint(true)
+    val directed = pairCounts.select(col("ia").as("ante"), col("ib").as("cons"), col("n_ab"))
+      .unionByName(
+        pairCounts.select(col("ib").as("ante"), col("ia").as("cons"), col("n_ab")))
+    directed
+      .join(broadcast(itemCounts.withColumnRenamed("it", "ante")
+        .withColumnRenamed("n_item", "n_a")), Seq("ante"))
+      .join(broadcast(itemCounts.withColumnRenamed("it", "cons")
+        .withColumnRenamed("n_item", "n_b")), Seq("cons"))
+      .withColumn("n_baskets", lit(nBaskets))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        expr("(1000000 * n_ab) DIV n_a").as("confidence_ppm"),
+        expr("(1000000 * n_baskets * n_ab) DIV (n_a * n_b)").as("lift_ppm"))
+  }
+}

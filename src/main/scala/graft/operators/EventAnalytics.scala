@@ -290,23 +290,67 @@ object EventAnalytics {
     */
   def madOutliers(
       events: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      k: Int = 3): DataFrame =
+    madOutliersBy(
+      events.select(col(idCol).as("__mo_id"), col(groupCol).as("grp"), col(valueCol).as("__mo_v")),
+      Seq("grp"), "__mo_v", "__mo_id", k)
+
+  /** Multi-key generalization of [[madOutliers]]: the group is the tuple
+    * of `groupCols` (e.g. (event_type, hour-of-day) for a seasonal
+    * baseline), passed through to the output under their own names.
+    * Same single-shuffle plan — both rank passes re-sort the one
+    * grp-keyed exchange in place.
+    */
+  def madOutliersBy(
+      events: DataFrame, groupCols: Seq[String], valueCol: String, idCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, "k must be a positive integer")
-    val wg = Window.partitionBy(col("grp"))
+    require(groupCols.nonEmpty, "need at least one group column")
+    val gs = groupCols.map(col)
+    val wg = Window.partitionBy(gs: _*)
     val wv = wg.orderBy(col("xm"), col("id"))
     val wa = wg.orderBy(col("adm"), col("id"))
     events
-      .select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
-        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+      .select((Seq(col(idCol).cast("bigint").as("id"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm")) ++ gs): _*)
       .withColumn("n", count(lit(1)).over(wg))
       .withColumn("rn", row_number().over(wv))
       .withColumn("med", min(when(lit(2) * col("rn") >= col("n"), col("xm"))).over(wg))
       .withColumn("adm", abs(col("xm") - col("med")))
       .withColumn("rn2", row_number().over(wa))
       .withColumn("mad", min(when(lit(2) * col("rn2") >= col("n"), col("adm"))).over(wg))
-      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+      .select((Seq(col("id")) ++ gs ++ Seq(col("xm").as("value_micro"),
         col("med").as("med_micro"), col("mad").as("mad_micro"),
         (lit(10000L) * col("adm") > lit(k.toLong * 14826L) * col("mad"))
-          .cast("bigint").as("is_outlier"))
+          .cast("bigint").as("is_outlier"))): _*)
+  }
+
+  /** Per-user next-event transition matrix (first-order Markov chain over
+    * event types): each user's events ordered by (ts, id) yield
+    * (from → to) transitions; output per ordered pair the transition
+    * count and the row-stochastic probability in integer ppm
+    * (1e6 · n DIV n_from — floor, so rows sum to ≤ 1e6 exactly like the
+    * PageRank mass convention). The standard user-journey / session-flow
+    * analysis.
+    *
+    * Plan: one shuffle on user + one per-partition sort for the lag, then
+    * a (from, to) aggregation whose cardinality is |types|² — tiny — so
+    * the from-totals join is a broadcast. Skew bound = one user's events.
+    */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, typeCol: String, tsMicrosCol: String,
+      idCol: String): DataFrame = {
+    val wu = Window.partitionBy(col("user")).orderBy(col("tsu"), col("id"))
+    val pairs = events
+      .select(col(userCol).as("user"), col(typeCol).as("to_type"),
+        col(tsMicrosCol).cast("bigint").as("tsu"), col(idCol).cast("bigint").as("id"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(wu))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(1000000 * n) DIV n_from").as("ppm"))
   }
 }

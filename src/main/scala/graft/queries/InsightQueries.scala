@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventAnalytics, Graph, Similarity}
+import graft.operators.{Associations, EventAnalytics, Graph, Similarity}
 
 /** Round-7 analytics queries (q106-q110): cohort retention, multi-touch
   * conversion attribution, degree-ordered triangle counting, robust
@@ -171,6 +171,86 @@ object InsightQueries {
              |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin),
       "supervised nearest-centroid (Rocchio) classifier: md5-gated 80/20 split, integer " +
         "floorDiv centroids (bounded driver state, broadcast as literals), exact integer " +
-        "argmin assignment — predict side is a shuffle-free map-only scan")
+        "argmin assignment — predict side is a shuffle-free map-only scan"),
+
+    // ------------------------------------------------- association rules
+    "q111_basket_rules" -> Q(
+      (s, dir) =>
+        Associations.pairRules(
+            Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            minPairSupport = 2L)
+          .orderBy(col("ante"), col("cons")),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+             |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM bi),
+             |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM bi GROUP BY it),
+             |pc AS (SELECT x.it AS ia, y.it AS ib, CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |d AS (SELECT ia AS ante, ib AS cons, n_ab FROM pc
+             |      UNION ALL SELECT ib, ia, n_ab FROM pc)
+             |SELECT d.ante, d.cons, d.n_ab, a.n_item AS n_a, b.n_item AS n_b,
+             |  nb.n_baskets,
+             |  (1000000 * d.n_ab) // a.n_item AS confidence_ppm,
+             |  (1000000 * nb.n_baskets * d.n_ab) // (a.n_item * b.n_item) AS lift_ppm
+             |FROM d JOIN ic a ON a.it = d.ante
+             |       JOIN ic b ON b.it = d.cons
+             |       CROSS JOIN nb
+             |ORDER BY ante, cons""".stripMargin),
+      "pairwise association rules (Apriori 2-itemsets) over order baskets: support, " +
+        "confidence and lift as exact integer ppm; pair fan-out bounded by basket size"),
+
+    // --------------------------------------------- seasonal robust anomaly
+    "q112_seasonal_anomaly" -> Q(
+      (s, dir) =>
+        EventAnalytics.madOutliersBy(
+            Tables.events(s, dir)
+              .withColumn("tsu", unix_micros(col("ts")))
+              .withColumn("hour", expr("(tsu DIV 3600000000) % 24"))
+              .withColumnRenamed("event_type", "etype"),
+            Seq("etype", "hour"), "value", "event_id", k = 3)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, event_type AS etype,
+             |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm
+             |  FROM events),
+             |w1 AS (SELECT *, count(*) OVER (PARTITION BY etype, hour) AS n,
+             |    row_number() OVER (PARTITION BY etype, hour ORDER BY xm, id) AS rn FROM e),
+             |w2 AS (SELECT *, min(CASE WHEN 2 * rn >= n THEN xm END)
+             |    OVER (PARTITION BY etype, hour) AS med FROM w1),
+             |w3 AS (SELECT *, abs(xm - med) AS adm FROM w2),
+             |w4 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY etype, hour ORDER BY adm, id) AS rn2 FROM w3),
+             |w5 AS (SELECT *, min(CASE WHEN 2 * rn2 >= n THEN adm END)
+             |    OVER (PARTITION BY etype, hour) AS mad FROM w4)
+             |SELECT id, etype, hour, xm AS value_micro, med AS med_micro, mad AS mad_micro,
+             |  CAST(10000 * adm > 44478 * mad AS BIGINT) AS is_outlier
+             |FROM w5 ORDER BY id""".stripMargin),
+      "seasonal robust anomaly: per-(type, hour-of-day) median/MAD baseline — the " +
+        "multi-key MAD gate; a diurnal traffic pattern stops masking true anomalies"),
+
+    // ------------------------------------------------- transition matrix
+    "q113_transitions" -> Q(
+      (s, dir) =>
+        EventAnalytics.transitionMatrix(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "event_type", "tsu", "event_id")
+          .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH e AS (
+             |  SELECT user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id AS id
+             |  FROM events),
+             |lagged AS (SELECT et AS to_type,
+             |    lag(et) OVER (PARTITION BY u ORDER BY tsu, id) AS from_type
+             |  FROM e),
+             |p AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+             |SELECT p.from_type, p.to_type, p.n, t.n_from,
+             |  (1000000 * p.n) // t.n_from AS ppm
+             |FROM p JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin),
+      "first-order Markov transition matrix over per-user event sequences: counts + " +
+        "row-stochastic ppm (floor, rows sum <= 1e6); one user-keyed shuffle, tiny agg")
   )
 }

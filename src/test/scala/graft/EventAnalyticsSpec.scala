@@ -248,4 +248,46 @@ class EventAnalyticsSpec extends SparkSpec {
     val b = EventAnalytics.madOutliers(d.repartition(13), "event_type", "value", "event_id")
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  test("madOutliersBy: composite (type, hour) groups get independent baselines") {
+    // group (g, 0): values 1,1,1 -> med 1, mad 0; group (g, 1): 100s
+    val d = Seq(
+      (1L, "g", 0L, 1.0), (2L, "g", 0L, 1.0), (3L, "g", 0L, 1.0),
+      (4L, "g", 1L, 100.0), (5L, "g", 1L, 100.0), (6L, "g", 1L, 107.0))
+      .toDF("id", "t", "h", "v")
+    val got = EventAnalytics.madOutliersBy(d, Seq("t", "h"), "v", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // columns: id, t, h, value_micro, med_micro, mad_micro, is_outlier
+    assert(got(1L) === ((1000000L, 1000000L, 0L, 0L)))
+    // hour-1 baseline: med 100, mad 0 -> 107 flags, 100s do not; a single
+    // global baseline would have flagged nothing in hour 0
+    assert(got(4L) === ((100000000L, 100000000L, 0L, 0L)))
+    assert(got(6L) === ((107000000L, 100000000L, 0L, 1L)))
+  }
+
+  // -------------------------------------------------------- transitionMatrix
+
+  test("transitionMatrix: hand-computed counts and ppm; users never chain together") {
+    // u1: A@1 B@2 A@3 C@4 -> A->B, B->A, A->C; u2: B@1 B@2 -> B->B
+    val d = Seq(
+      (1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "A", 3L, 3L), (1L, "C", 4L, 4L),
+      (2L, "B", 1L, 5L), (2L, "B", 2L, 6L)).toDF("u", "et", "tsu", "id")
+    val got = EventAnalytics.transitionMatrix(d, "u", "et", "tsu", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 2L, 500000L)),
+      ("A", "C") -> ((1L, 2L, 500000L)),
+      ("B", "A") -> ((1L, 2L, 500000L)),
+      ("B", "B") -> ((1L, 2L, 500000L))))
+  }
+
+  test("transitionMatrix: equal timestamps order by id (deterministic)") {
+    val d = Seq((1L, "A", 5L, 1L), (1L, "B", 5L, 2L), (1L, "C", 5L, 3L))
+      .toDF("u", "et", "tsu", "id")
+    val got = EventAnalytics.transitionMatrix(d, "u", "et", "tsu", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("A", "B"), ("B", "C")))
+  }
 }
