@@ -299,6 +299,74 @@ object Similarity {
     * shuffle at all on the predict side, so the operator is two corpus
     * scans total regardless of data volume.
     */
+  /** Per-row projection onto the corpus's top principal axis, computed
+    * with EXACT integer arithmetic end-to-end — the curation signal
+    * behind whitening / dominant-direction outlier filtering ("is this
+    * embedding an extreme point along the corpus's main axis of
+    * variation?").
+    *
+    * Three stages, every one engine-portable:
+    *  1. Gram matrix G = Σ_rows vq vqᵀ over micro-quantized coords —
+    *     ONE corpus scan: explode the dim×dim cell grid per row and
+    *     aggregate; partial (map-side) aggregation collapses each task to
+    *     ≤ dim² cells, so the shuffle is O(dim² · partitions) no matter
+    *     the corpus size, and the per-row dim² multiply cost is the Gram
+    *     computation's own arithmetic, not overhead. Cell sums use
+    *     decimal(38,0) (q93 pattern) — exact at any scale.
+    *  2. `iters` rounds of power iteration on the driver over BigInt
+    *     (dim ≤ 256, bounded state): w = G·v, sign-fixed so the
+    *     smallest index attaining max|w| is positive (deterministic —
+    *     power iteration's sign is otherwise arbitrary), then rescaled to
+    *     v' = trunc(w · 1e6 / max|w|), components back in [−1e6, 1e6].
+    *     Truncating division matches DuckDB's `//` and BigInt `/`, so the
+    *     oracle unrolls the loop exactly (the PageRank/BPE pattern).
+    *  3. Projection proj = vq · v (≤ dim · 2e6 · 1e6 < 2^53): exact in
+    *     codegen'd doubles, broadcast as a literal vector — a shuffle-free
+    *     map-only scan, like the classify side of
+    *     [[nearestCentroidClassify]].
+    *
+    * v0 = (1e6, …): fixed, so results are bit-reproducible; the
+    * measure-zero case of v0 ⊥ top eigenvector shifts convergence to the
+    * next axis, the standard caveat for deterministic seeding.
+    */
+  def principalAxisProjection(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1, 20]")
+    val e = quantized(embeddings, vecCol, idCol)
+    val cells = e
+      .select(col("vq"), posexplode(col("vq")).as(Seq("d1", "x1")))
+      .select(col("d1"), col("x1"), posexplode(col("vq")).as(Seq("d2", "x2")))
+      .filter(col("d2") >= col("d1")) // symmetric: aggregate the upper triangle
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("g"))
+      .collect()
+    require(cells.nonEmpty, "principalAxisProjection: empty corpus")
+    val dim = cells.iterator.map(_.getInt(1)).max + 1
+    require(dim <= 256, "principalAxisProjection: dim <= 256 (bounded driver state)")
+    val g = Array.fill(dim, dim)(BigInt(0))
+    cells.foreach { r =>
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      g(r.getInt(0))(r.getInt(1)) = v
+      g(r.getInt(1))(r.getInt(0)) = v
+    }
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > BigInt(0),
+        "principalAxisProjection: G·v vanished (degenerate/zero corpus)")
+      val jStar = w.indexWhere(_.abs == m)
+      val s = if (w(jStar) < 0) BigInt(-1) else BigInt(1)
+      v = w.map(x => x * s * BigInt(1000000) / m) // BigInt `/` truncates, like DuckDB `//`
+    }
+    // exact-integer window: |proj| <= dim * maxcoord(2^21-ish) * 1e6 —
+    // guardedVv already bounds coords, keeping the dot inside f64's 2^53
+    val axis = v.map(_.toDouble).toArray
+    e.select(col("vid").as("vec_id"),
+      V.dot(col("vq"), lit(axis)).cast("long").as("proj_micro2"))
+  }
+
   def nearestCentroidClassify(
       embeddings: DataFrame, vecCol: String, idCol: String, labelCol: String,
       trainBps: Int = 8000): DataFrame = {

@@ -251,6 +251,43 @@ object InsightQueries {
              |FROM p JOIN t USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin),
       "first-order Markov transition matrix over per-user event sequences: counts + " +
-        "row-stochastic ppm (floor, rows sum <= 1e6); one user-keyed shuffle, tiny agg")
+        "row-stochastic ppm (floor, rows sum <= 1e6); one user-keyed shuffle, tiny agg"),
+
+    // --------------------------------------- principal-axis projection (PCA)
+    "q114_principal_axis" -> Q(
+      (s, dir) =>
+        Similarity.principalAxisProjection(
+            Tables.table(s, dir, "embeddings"), "embedding", "vec_id", iters = 3)
+          .orderBy(col("vec_id")),
+      // the oracle replays all three stages exactly: HUGEINT Gram matrix,
+      // 3 unrolled power-iteration rounds (sign fixed at the smallest
+      // index attaining max|w|; truncating `//` == BigInt `/`), then the
+      // integer projection
+      Some {
+        def iter(k: Int): String =
+          s"""w$k AS (SELECT g.d1 AS d, sum(g.g * v.v) AS w
+             |  FROM g JOIN v${k - 1} v ON v.d = g.d2 GROUP BY 1),
+             |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+             |s$k AS (SELECT CASE WHEN min_by(w, d) < 0 THEN -1 ELSE 1 END AS s
+             |  FROM w$k, m$k WHERE abs(w) = m),
+             |v$k AS (SELECT d, (w * s * 1000000) // m AS v FROM w$k, m$k, s$k)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+           |  FROM embeddings),
+           |g AS (SELECT d1.d AS d1, d2.d AS d2,
+           |    sum(CAST(vq[d1.d] AS HUGEINT) * vq[d2.d]) AS g
+           |  FROM e CROSS JOIN generate_series(1, 64) d1(d)
+           |         CROSS JOIN generate_series(1, 64) d2(d)
+           |  GROUP BY 1, 2),
+           |v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM generate_series(1, 64) t(d)),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT e.vec_id, CAST(sum(CAST(vq[v3.d] AS HUGEINT) * v3.v) AS BIGINT) AS proj_micro2
+           |FROM e CROSS JOIN v3 GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
+      },
+      "top-principal-axis projection in exact integer fixed point: one-scan HUGEINT Gram " +
+        "matrix, 3 sign-fixed power-iteration rounds (bounded driver state), shuffle-free " +
+        "projection scan — the whitening / dominant-direction curation signal")
   )
 }

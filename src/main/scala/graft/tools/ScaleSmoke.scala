@@ -35,6 +35,20 @@ object ScaleSmoke {
   private val QueryNames =
     Seq("q31_dedup_jaccard", "q32_dedup_minhash", "q39_dedup_components",
       "q78_bloom_decontaminate")
+  // the join-heavy graph/basket operators, scaled on lineitem: replicas
+  // offset BOTH l_orderkey and l_partkey, so baskets and items are
+  // disjoint across replicas — edges, rules, and triangles scale exactly
+  // linearly (same honesty argument as the salted documents)
+  private val LineitemQueryNames = Seq("q108_triangles", "q111_basket_rules")
+
+  def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1, "replicas >= 1")
+    (0 until replicas).map { r =>
+      src.select(
+        (col("l_orderkey") + lit(r.toLong * 1000000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(r.toLong * 10000000L)).as("l_partkey"))
+    }.reduce(_.unionByName(_))
+  }
 
   def scaledDocuments(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
@@ -79,8 +93,15 @@ object ScaleSmoke {
     val nScaled = spark.read.parquet(scaledPath).count()
     System.err.println(s"[scale] src=$nSrc docs, scaled=$nScaled docs")
 
-    def timeQueries(dir: String, tag: String): Seq[(String, Double, Long)] =
-      QueryNames.map { name =>
+    val scaledLi = s"$outDir/lineitem.parquet"
+    if (!new java.io.File(scaledLi).exists()) {
+      scaledLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(scaledLi)
+    }
+
+    def timeNamed(names: Seq[String])(dir: String, tag: String): Seq[(String, Double, Long)] =
+      names.map { name =>
         val t0 = System.nanoTime()
         val rows = graft.queries.Registry.queries(name)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -90,9 +111,11 @@ object ScaleSmoke {
       }
 
     // warmup on the small corpus (JVM/codegen startup), then measure
-    timeQueries(srcDir, "warmup")
-    val base = timeQueries(srcDir, "sf0.1 ")
-    val big = timeQueries(outDir, s"x$replicas   ")
+    val allNames = QueryNames ++ LineitemQueryNames
+    timeNamed(allNames)(srcDir, "warmup")
+    val base = timeNamed(allNames)(srcDir, "sf0.1 ")
+    val big = timeNamed(QueryNames)(outDir, s"x$replicas   ") ++
+      timeNamed(LineitemQueryNames)(outDir, s"x$replicas   ")
     val pairs = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
       f"""{"query":"$n","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
     }

@@ -160,6 +160,54 @@ class SimilaritySpec extends SparkSpec {
     assert(acc > 0.2, s"train accuracy $acc — centroids look like noise")
   }
 
+  // ------------------------------------------------ principalAxisProjection
+
+  test("principalAxisProjection: axis-aligned corpus projects exactly onto that axis") {
+    // all variance on x: the axis converges to (1e6, 0) immediately, so
+    // proj = x-coord * 1e6 exactly
+    val e = Seq(
+      (1L, Array(2f, 0f)), (2L, Array(-2f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .principalAxisProjection(e, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2000000000000L, 2L -> -2000000000000L, 3L -> 1000000000000L))
+  }
+
+  test("principalAxisProjection matches a BigInt reference replica on a pseudo-random corpus") {
+    val dim = 8
+    val vecs = (0 until 30).map { i =>
+      i.toLong -> Array.tabulate(dim)(d => (((i * 31 + d * 17) % 13) - 6) / 4.0f)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    // reference: the documented algorithm, straight BigInt
+    val vq = vecs.map { case (_, v) => v.map(x => BigInt(math.round(x.toDouble * 1e6))) }
+    val g = Array.tabulate(dim, dim)((a, b) => vq.map(r => r(a) * r(b)).sum)
+    var ax = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * ax(j)).sum)
+      val m = w.map(_.abs).max
+      val jStar = w.indexWhere(_.abs == m)
+      val s = if (w(jStar) < 0) BigInt(-1) else BigInt(1)
+      ax = w.map(x => x * s * BigInt(1000000) / m)
+    }
+    val expect = vecs.map { case (id, _) =>
+      id -> vq(id.toInt).zip(ax).map { case (x, a) => x * a }.sum.toLong
+    }.toMap
+    val got = graft.operators.Similarity
+      .principalAxisProjection(e, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("principalAxisProjection is deterministic under repartitioning") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val a = graft.operators.Similarity.principalAxisProjection(emb, "embedding", "vec_id")
+    val b = graft.operators.Similarity
+      .principalAxisProjection(emb.repartition(13), "embedding", "vec_id")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("nearestCentroidClassify is deterministic under repartitioning") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val a = graft.operators.Similarity
