@@ -156,4 +156,53 @@ object Graph {
     tri.select(explode(array(col("u"), col("p"), col("q"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** k-core pruning: iteratively peel nodes of degree < k (with their
+    * incident edges) from the undirected simple graph until stable or
+    * `maxRounds` rounds — the standard dense-subgraph filter (spam-farm /
+    * bot-ring isolation in link curation; every member of the surviving
+    * subgraph has ≥ k surviving neighbors). Returns the final graph's
+    * `(node, deg)` — all degrees ≥ k iff peeling converged within the
+    * budget.
+    *
+    * Peeling is MONOTONE (a stable graph stays stable), so early-stop on
+    * an unchanged edge count is invisible next to a fixed-round replay —
+    * the oracle unrolls `maxRounds` rounds flat and matches whenever the
+    * graph stabilizes inside the budget; extra replayed rounds are
+    * no-ops. Each round costs one degree aggregation plus one
+    * semi-join-shaped edge filter (two shuffles), with the shrinking edge
+    * set re-checkpointed per round ([[Dedup.connectedComponents]]'s
+    * loop pattern); the convergence probe reads the checkpointed count,
+    * a bounded driver action.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 30, "maxRounds in [1, 30]")
+    var e = edges.select(col(srcCol).cast("bigint").as("x"),
+        col(dstCol).cast("bigint").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds && n > 0) {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "leftsemi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "leftsemi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e.count()
+      stable = n2 == n
+      n = n2
+      round += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -130,6 +130,33 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  // ------------------------------------------------------------------ kCore
+
+  private def core(k: Int, maxRounds: Int = 6)(edges: (Long, Long)*) =
+    Graph.kCore(edges.toSeq.toDF("s", "d"), "s", "d", k, maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: a triangle survives 2-core, its tail peels off") {
+    val got = core(2)((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path cascades to empty under k=2 (multi-round peel)") {
+    assert(core(2)((1L, 2L), (2L, 3L), (3L, 4L)) === Map.empty)
+  }
+
+  test("kCore: K4 is its own 3-core") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(core(3)(k4: _*) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: exhausted round budget leaves the partial peel (degrees may be < k)") {
+    // one round removes nodes 1 and 4; the surviving edge (2,3) would
+    // peel next round — the documented converged-iff-all-deg>=k contract
+    val got = core(2, maxRounds = 1)((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(got === Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("triangleCounts matches a brute-force reference on a pseudo-random graph") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
       .filter(e => e._1 != e._2)
