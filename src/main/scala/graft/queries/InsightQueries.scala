@@ -325,6 +325,51 @@ object InsightQueries {
       },
       "2-core of the co-purchase graph: iterative degree peel (monotone, early-stop == " +
         "fixed-round replay), per-round semi-join edge filter + re-checkpoint — the " +
-        "dense-subgraph spam/bot-ring filter")
+        "dense-subgraph spam/bot-ring filter"),
+
+    // ------------------------------------------- Holt level+trend smoothing
+    "q116_holt_trend" -> Q(
+      (s, dir) => {
+        val holt = graft.functions.HoltFunctions.holtUdaf(300000L, 100000L)
+        Tables.events(s, dir)
+          .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+          .withColumn("tsl", unix_micros(col("ts")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(holt(col("tsl"), col("event_id"), col("value")).as("h"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("day"),
+            col("h.level_micro").as("level_micro"),
+            col("h.trend_micro").as("trend_micro"),
+            col("h.forecast_micro").as("forecast_micro"), col("n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      // the oracle replays the integer fold with a recursive CTE: one
+      // recursion level per in-group position, all groups advancing in
+      // lockstep; `//` truncation == the aggregator's Long division
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT event_type AS et,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm,
+             |    row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+             |      ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+             |  FROM events),
+             |f AS (
+             |  SELECT et, day, 0 AS rn, CAST(0 AS BIGINT) AS l,
+             |    CAST(0 AS BIGINT) AS b, max(n) AS n
+             |  FROM ord GROUP BY et, day
+             |  UNION ALL
+             |  SELECT f.et, f.day, f.rn + 1,
+             |    (300000 * o.xm + 700000 * (f.l + f.b)) // 1000000,
+             |    (100000 * ((300000 * o.xm + 700000 * (f.l + f.b)) // 1000000 - f.l)
+             |      + 900000 * f.b) // 1000000,
+             |    f.n
+             |  FROM f JOIN ord o ON o.et = f.et AND o.day = f.day AND o.rn = f.rn + 1)
+             |SELECT et AS event_type, day, l AS level_micro, b AS trend_micro,
+             |  l + b AS forecast_micro, n
+             |FROM f WHERE rn = n ORDER BY event_type, day""".stripMargin),
+      "Holt double-exponential level+trend smoothing per (type, day) in exact integer " +
+        "fixed point (alpha=0.3, beta=0.1 ppm): zero-seeded ordered fold, typed Aggregator " +
+        "with concat-merge buffers — the trending extension of the reference's EWMA")
   )
 }
