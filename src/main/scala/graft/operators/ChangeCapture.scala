@@ -177,4 +177,55 @@ object ChangeCapture {
           .when(col("__c_mark").isNull, lit("K"))
           .otherwise(lit("U")).as("op"): _*)
   }
+
+  /** Point-in-time (backdated) dimension join: each probe row picks up
+    * the `attrCols` of the history version whose `validFromCol` is the
+    * LATEST at or before the probe's `probeTsCol` — the feature-store
+    * primitive that prevents training-serving skew (features joined as
+    * they were KNOWN at event time, never leaked from the future).
+    *
+    * NOT a range join: probes × versions as a theta join explodes
+    * quadratically per key at scale. Instead the [[q20-asof]] union
+    * trick, generalized to carry a whole attribute struct: union
+    * versions (kind 0) and probes (kind 1), shuffle ONCE by key, sort by
+    * (ts, kind) — versions sort before same-instant probes, making
+    * valid_from inclusive — and carry the latest version's struct
+    * forward with `last(ignoreNulls)` over an unbounded-preceding frame.
+    * One shuffle + one sort regardless of version density; probes before
+    * the first version keep NULL attrs.
+    *
+    * Preconditions: `(key, validFrom)` unique in `history` (the SCD2
+    * invariant [[scd2Merge]] maintains — equal-instant versions would be
+    * ambiguous); probe and attr column names disjoint.
+    */
+  def pointInTimeJoin(
+      probe: DataFrame, history: DataFrame, keyCol: String,
+      probeTsCol: String, validFromCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    require(!attrCols.contains(keyCol), "keyCol cannot be an attribute")
+    val clash = probe.columns.toSet.intersect(attrCols.toSet)
+    require(clash.isEmpty, s"probe already has attribute column(s): ${clash.mkString(", ")}")
+    val probeStruct = struct(probe.columns.map(col).toIndexedSeq: _*)
+    val attrStruct = struct(attrCols.map(col).toIndexedSeq: _*)
+    val h = history.select(
+      col(keyCol).as("__pit_key"),
+      col(validFromCol).cast("bigint").as("__pit_ts"),
+      lit(0).as("__pit_kind"),
+      attrStruct.as("__pit_attr"),
+      lit(null).cast(probe.schema).as("__pit_row"))
+    val p = probe.select(
+      col(keyCol).as("__pit_key"),
+      col(probeTsCol).cast("bigint").as("__pit_ts"),
+      lit(1).as("__pit_kind"),
+      lit(null).cast(h.schema("__pit_attr").dataType).as("__pit_attr"),
+      probeStruct.as("__pit_row"))
+    val w = Window.partitionBy(col("__pit_key"))
+      .orderBy(col("__pit_ts"), col("__pit_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .withColumn("__pit_cur", last(col("__pit_attr"), ignoreNulls = true).over(w))
+      .filter(col("__pit_kind") === 1)
+      .select(probe.columns.map(c => col(s"__pit_row.$c").as(c)) ++
+        attrCols.map(a => col(s"__pit_cur.$a").as(a)): _*)
+  }
 }

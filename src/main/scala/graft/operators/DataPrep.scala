@@ -210,4 +210,52 @@ object DataPrep {
       ty <- (y0 >> (bits - by)) to ((y1 - 1) >> (bits - by))
     } yield interleave(tx << (bits - bx), ty << (bits - by)) >> shift).distinct
   }
+
+  /** Quantile (rank) normalization per group — the distribution-free
+    * feature transform: each value maps to its within-group percentile
+    * in integer basis points, `pct_bps = 10000·(rn−1) div (n−1)` over
+    * the deterministic (value, id) rank (a single-member group maps to
+    * 0). Robust to arbitrary monotone distortions of the raw feature —
+    * the standard "quantile transform" a tabular model consumes.
+    *
+    * One shuffle on grp, one per-partition sort shared by the rank and
+    * count windows. Skew bound = group size, the natural per-key floor.
+    */
+  def rankNormalize(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame = {
+    val wg = Window.partitionBy(col("grp"))
+    val wv = wg.orderBy(col("xm"), col("id"))
+    df.select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wv))
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("(10000 * (rn - 1)) DIV (n - 1)")).as("pct_bps"))
+  }
+
+  /** Trimmed mean per group with an EXACT integer trim rule: keep ranks
+    * with `20·rn > n` and `20·rn ≤ 19·n` (drop the bottom and top 5% by
+    * rank — the fraction as a rational, no float thresholds), then
+    * `mean_micro = sum div count`. The robust location estimate that
+    * survives heavy tails where a plain mean is dragged; groups too
+    * small to trim (every rank excluded) emit no row.
+    *
+    * Same one-exchange shape as [[rankNormalize]]; the final aggregation
+    * rides the existing grp partitioning without a second shuffle.
+    */
+  def trimmedMean(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame = {
+    val wg = Window.partitionBy(col("grp"))
+    val wv = wg.orderBy(col("xm"), col("id"))
+    df.select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wv))
+      .filter(lit(20L) * col("rn") > col("n") && lit(20L) * col("rn") <= lit(19L) * col("n"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("xm")).as("sum_micro"))
+      .select(col("grp"), col("n_kept"), col("sum_micro"),
+        expr("sum_micro DIV n_kept").as("trimmed_mean_micro"))
+  }
 }

@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.operators.{Associations, EventAnalytics, Graph, Similarity}
+import graft.operators.{Associations, ChangeCapture, EventAnalytics, Graph, Similarity}
 
 /** Round-7 analytics queries (q106-q110): cohort retention, multi-touch
   * conversion attribution, degree-ordered triangle counting, robust
@@ -370,6 +372,97 @@ object InsightQueries {
              |FROM f WHERE rn = n ORDER BY event_type, day""".stripMargin),
       "Holt double-exponential level+trend smoothing per (type, day) in exact integer " +
         "fixed point (alpha=0.3, beta=0.1 ppm): zero-seeded ordered fold, typed Aggregator " +
-        "with concat-merge buffers — the trending extension of the reference's EWMA")
+        "with concat-merge buffers — the trending extension of the reference's EWMA"),
+
+    // ------------------------------------------- point-in-time feature join
+    "q117_pit_join" -> Q(
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+        // balance history: latest order per (custkey, day) keeps
+        // (key, valid_from) unique — the SCD2 invariant the PIT join needs
+        val hist = o.select(col("o_custkey").as("k"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+            col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k"), col("vf")).orderBy(col("o_orderkey").desc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("vf"),
+            round(col("o_totalprice") * lit(100)).cast("bigint").as("bal_cents"))
+        val probe = Tables.table(s, dir, "lineitem")
+          .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("lo"),
+            col("l_linenumber").cast("bigint").as("ln"),
+            col("o_custkey").as("k"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        ChangeCapture.pointInTimeJoin(probe, hist, "k", "ship_us", "vf", Seq("bal_cents"))
+          .orderBy(col("lo"), col("ln"))
+      },
+      // oracle uses the same union trick (portable semantics): version
+      // rows sort before same-instant probes, last_value IGNORE NULLS
+      // carries the attribute; probe-order ties are harmless (all NULL)
+      Some("""WITH h0 AS (
+             |  SELECT o_custkey AS k, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS vf,
+             |    o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |      ORDER BY o_orderkey DESC) AS rn
+             |  FROM orders),
+             |h AS (SELECT k, vf, CAST(round(o_totalprice * 100) AS BIGINT) AS bal
+             |      FROM h0 WHERE rn = 1),
+             |p AS (SELECT l.l_orderkey AS lo, CAST(l.l_linenumber AS BIGINT) AS ln,
+             |    o.o_custkey AS k, epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) AS ts
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |u AS (SELECT k, vf AS ts, 0 AS kind, bal,
+             |        NULL::BIGINT AS lo, NULL::BIGINT AS ln FROM h
+             |      UNION ALL
+             |      SELECT k, ts, 1, NULL, lo, ln FROM p),
+             |w AS (SELECT *, last_value(bal IGNORE NULLS) OVER (
+             |    PARTITION BY k ORDER BY ts, kind
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+             |  FROM u)
+             |SELECT lo, ln, k, ts AS ship_us, cur AS bal_cents
+             |FROM w WHERE kind = 1 ORDER BY lo, ln""".stripMargin),
+      "point-in-time feature join (feature-store backdating): each lineitem picks up the " +
+        "customer's balance as KNOWN at ship time via the union/last-ignore-nulls trick — " +
+        "one shuffle, no quadratic probe x version theta join, no future leakage"),
+
+    // --------------------------------------------------- rank normalization
+    "q118_rank_normalize" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.rankNormalize(
+            Tables.events(s, dir), "event_type", "value", "event_id")
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm
+             |  FROM events),
+             |w AS (SELECT *, count(*) OVER (PARTITION BY grp) AS n,
+             |    row_number() OVER (PARTITION BY grp ORDER BY xm, id) AS rn FROM e)
+             |SELECT id, grp, xm AS value_micro,
+             |  CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+             |       ELSE (10000 * (rn - 1)) // (n - 1) END AS pct_bps
+             |FROM w ORDER BY id""".stripMargin),
+      "quantile (rank) normalization per type: value -> within-group percentile bps over " +
+        "the deterministic (value, id) rank — the distribution-free feature transform"),
+
+    // --------------------------------------------------------- trimmed mean
+    "q119_trimmed_mean" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.trimmedMean(
+            Tables.events(s, dir), "event_type", "value", "event_id")
+          .orderBy(col("grp")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm
+             |  FROM events),
+             |w AS (SELECT *, count(*) OVER (PARTITION BY grp) AS n,
+             |    row_number() OVER (PARTITION BY grp ORDER BY xm, id) AS rn FROM e),
+             |t AS (SELECT * FROM w WHERE 20 * rn > n AND 20 * rn <= 19 * n)
+             |SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+             |  CAST(sum(xm) AS BIGINT) // count(*) AS trimmed_mean_micro
+             |FROM t GROUP BY grp ORDER BY grp""".stripMargin),
+      "5%-trimmed mean per type with an exact rational rank rule (20rn > n, 20rn <= 19n) " +
+        "— robust location where a plain mean is dragged by the tail; one exchange total")
   )
 }

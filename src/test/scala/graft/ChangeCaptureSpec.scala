@@ -179,4 +179,53 @@ class ChangeCaptureSpec extends SparkSpec {
       ChangeCapture.applyChanges(merged, chg, "k")
     }
   }
+
+  // ----------------------------------------------------------- pointInTimeJoin
+
+  test("pointInTimeJoin: inclusive valid_from, no future leakage, null before first version") {
+    val hist = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 777L))
+      .toDF("k", "vf", "bal")
+    val probe = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"),
+      (1L, 20L, "d"), (1L, 25L, "e"), (2L, 6L, "f"))
+      .toDF("k", "ts", "tag")
+    val got = ChangeCapture.pointInTimeJoin(probe, hist, "k", "ts", "vf", Seq("bal"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === Map(
+      "a" -> -1L,  // before the first version: NULL attr, never a leak
+      "b" -> 100L, // valid_from == probe ts is INCLUSIVE
+      "c" -> 100L, "d" -> 200L, "e" -> 200L,
+      "f" -> 777L)) // keys never cross
+  }
+
+  test("pointInTimeJoin: probe columns pass through; attr-name collisions fail loudly") {
+    val hist = Seq((1L, 10L, 9L)).toDF("k", "vf", "bal")
+    val probe = Seq((1L, 12L, 42L, "x")).toDF("k", "ts", "payload", "tag")
+    val row = ChangeCapture.pointInTimeJoin(probe, hist, "k", "ts", "vf", Seq("bal"))
+      .collect().head
+    assert(row.getAs[Long]("payload") === 42L && row.getAs[String]("tag") === "x"
+      && row.getAs[Long]("bal") === 9L)
+    intercept[IllegalArgumentException] {
+      ChangeCapture.pointInTimeJoin(
+        probe.withColumnRenamed("payload", "bal"), hist, "k", "ts", "vf", Seq("bal"))
+    }
+  }
+
+  test("pointInTimeJoin matches a brute-force reference on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val hist = (1 to 60).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, vf)
+    val probe = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+    val got = ChangeCapture.pointInTimeJoin(
+        probe.toDF("id", "k", "ts"), hist.toDF("k", "vf", "bal"),
+        "k", "ts", "vf", Seq("bal"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    probe.foreach { case (id, k, ts) =>
+      val want = hist.filter(h => h._1 == k && h._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+      assert(got(id) === want, s"probe $id (k=$k, ts=$ts)")
+    }
+  }
 }

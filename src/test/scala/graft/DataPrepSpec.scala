@@ -99,4 +99,31 @@ class DataPrepSpec extends SparkSpec {
       .agg(sum(col("n"))).head().getLong(0)
     assert(covered === total)
   }
+
+  // ------------------------------------------- rankNormalize / trimmedMean
+
+  test("rankNormalize: evenly spread ranks map to exact bps; singleton group is 0") {
+    import spark.implicits._
+    val d = (Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 30.0),
+      (4L, "g", 40.0), (5L, "g", 50.0), (6L, "solo", 7.0)))
+      .toDF("id", "grp", "v")
+    val got = DataPrep.rankNormalize(d, "grp", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2500L, 3L -> 5000L, 4L -> 7500L,
+      5L -> 10000L, 6L -> 0L))
+  }
+
+  test("trimmedMean: tail value trimmed away; untrimmable groups emit nothing") {
+    import spark.implicits._
+    // 1..19 plus 1000: ranks 1 and 20 trim -> mean of 2..19 = 10.5
+    val d = ((1 to 19).map(i => (i.toLong, "g", i.toDouble)) :+ ((20L, "g", 1000.0)))
+      .toDF("id", "grp", "v")
+    val row = DataPrep.trimmedMean(d, "grp", "v", "id").collect().head
+    assert(row.getAs[Long]("n_kept") === 18L)
+    assert(row.getAs[Long]("trimmed_mean_micro") === 10500000L,
+      "the 1000 outlier must not drag the trimmed mean (plain mean would be 59.5)")
+    val solo = DataPrep.trimmedMean(
+      Seq((1L, "s", 5.0)).toDF("id", "grp", "v"), "grp", "v", "id")
+    assert(solo.count() === 0L, "a group where every rank trims emits no row")
+  }
 }
