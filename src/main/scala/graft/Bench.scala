@@ -146,9 +146,42 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val eventsSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the event-analytics family the way a feature pipeline runs it:
+        // ONE normalized events scan persisted, five independent
+        // aggregation families consume it (funnel, attribution, retention,
+        // transitions, Holt trend) without re-reading the table
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.events(spark, sfDir)
+          .withColumn("tsu", unix_micros(col("ts")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          ev.count()
+          val nF = graft.operators.EventAnalytics.funnel(ev, "user_id", "event_type",
+            "tsu", Seq("view", "click", "purchase"), 86400L * 1000000L).count()
+          val nA = graft.operators.EventAnalytics.attributeConversions(ev, "user_id",
+            "event_type", "tsu", "event_id", "value",
+            Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()
+          val nR = graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "tsu").count()
+          val nT = graft.operators.EventAnalytics.transitionMatrix(ev, "user_id",
+            "event_type", "tsu", "event_id").count()
+          val holt = graft.functions.HoltFunctions.holtUdaf(300000L, 100000L)
+          val nH = ev.groupBy(col("event_type"))
+            .agg(holt(col("tsu"), col("event_id"), col("value")).as("h")).count()
+          System.err.println(
+            s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
+        } finally ev.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_events failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
-      "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs)
+      "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
+      "pipeline_events" -> eventsSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

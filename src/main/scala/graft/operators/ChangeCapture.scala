@@ -228,4 +228,44 @@ object ChangeCapture {
       .select(probe.columns.map(c => col(s"__pit_row.$c").as(c)) ++
         attrCols.map(a => col(s"__pit_cur.$a").as(a)): _*)
   }
+
+  /** Interval form of [[pointInTimeJoin]] for a CLOSED-INTERVAL history
+    * (each version carries `[validFrom, validTo)`, `validTo` null = still
+    * open — exactly [[scd2Merge]]'s output shape): probes left-join the
+    * version whose interval contains the probe time.
+    *
+    * Semantically identical to [[pointInTimeJoin]] whenever the intervals
+    * tile contiguously per key (the SCD2 invariant); the reason it
+    * exists: the interval predicate is a plain per-row join condition, so
+    * it runs UNCHANGED on a STREAMING probe frame as a stateless
+    * stream-static join — the online feature-serving side of the same
+    * dimension (StreamingEnrichSpec pins stream ≡ batch
+    * pointInTimeJoin). The union/window trick cannot run on a stream
+    * (it would need unbounded cross-input ordering state).
+    *
+    * Scale shape: with a broadcast-sized dimension this is a map-only
+    * probe scan per micro-batch; a dimension too big to broadcast
+    * becomes an equi-join on key with the interval filter applied
+    * post-join — per-key version fan-out, the usual SCD2 bound. For
+    * offline backfill over a huge dimension prefer [[pointInTimeJoin]]'s
+    * single-sort shape.
+    */
+  def intervalEnrich(
+      probe: DataFrame, history: DataFrame, keyCol: String,
+      probeTsCol: String, validFromCol: String, validToCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val clash = probe.columns.toSet.intersect(attrCols.toSet)
+    require(clash.isEmpty, s"probe already has attribute column(s): ${clash.mkString(", ")}")
+    val h = history.select(
+      (Seq(col(keyCol).as("__ie_key"),
+        col(validFromCol).cast("bigint").as("__ie_vf"),
+        col(validToCol).cast("bigint").as("__ie_vt")) ++ attrCols.map(col)): _*)
+    probe.join(h,
+      probe(keyCol) === h("__ie_key") &&
+        probe(probeTsCol).cast("bigint") >= col("__ie_vf") &&
+        (col("__ie_vt").isNull || probe(probeTsCol).cast("bigint") < col("__ie_vt")),
+      "left")
+      .drop("__ie_key", "__ie_vf", "__ie_vt")
+  }
 }

@@ -250,8 +250,13 @@ object EventAnalytics {
       conv("user") === touch("user") &&
         col("ttsu") <= col("ctsu") && col("ttsu") >= col("ctsu") - windowMicros,
       "left").drop(touch("user"))
-    val wOrd = Window.partitionBy(col("cid")).orderBy(col("ttsu"), col("tid"))
-    val wAll = Window.partitionBy(col("cid"))
+    // partition by (user, cid), not cid alone: cid is unique per
+    // conversion so the semantics are identical, but the user prefix lets
+    // Catalyst satisfy the window's clustering with the join's existing
+    // hash-on-user exchange — the per-conversion ranking then costs a
+    // sort, not a second full shuffle
+    val wOrd = Window.partitionBy(col("user"), col("cid")).orderBy(col("ttsu"), col("tid"))
+    val wAll = Window.partitionBy(col("user"), col("cid"))
     val credited = paired
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(col("tid")).over(wAll))
