@@ -30,9 +30,11 @@ object Associations {
     * algorithm's. The `minPairSupport` filter lands in the pair
     * aggregation (partial aggs map-side). Item counts are a separate
     * small aggregate broadcast back onto the (filtered, much smaller)
-    * rule set. Integer overflow window: n_baskets · n_ab must stay under
-    * 2^63 — at 1e9 baskets that allows n_ab up to ~9e9, i.e. every pair;
-    * ANSI mode makes a breach a hard error.
+    * rule set. The lift numerator 10⁶·n_baskets·n_ab runs through
+    * decimal(38,0) (the q93 pattern) — exact at any corpus size, where a
+    * Long would overflow past ~9e12 basket-pair products; the division
+    * is the exact-multiple form (A − A mod B)/B, so the decimal quotient
+    * is an integer and no rounding mode is involved.
     */
   def pairRules(
       baskets: DataFrame, basketCol: String, itemCol: String,
@@ -64,9 +66,16 @@ object Associations {
       .join(broadcast(itemCounts.withColumnRenamed("it", "cons")
         .withColumnRenamed("n_item", "n_b")), Seq("cons"))
       .withColumn("n_baskets", lit(nBaskets))
+      .withColumn("lift_num",
+        lit(1000000L).cast("decimal(38,0)") * col("n_baskets") * col("n_ab"))
+      .withColumn("lift_den", col("n_a").cast("decimal(38,0)") * col("n_b"))
       .select(col("ante"), col("cons"), col("n_ab"), col("n_a"), col("n_b"),
         col("n_baskets"),
         expr("(1000000 * n_ab) DIV n_a").as("confidence_ppm"),
-        expr("(1000000 * n_baskets * n_ab) DIV (n_a * n_b)").as("lift_ppm"))
+        // decimal(38,0) numerator/denominator; all terms positive and the
+        // numerator is reduced to an exact multiple before dividing, so
+        // the quotient is integral and exact — matches DuckDB HUGEINT //
+        expr("""CAST((lift_num - lift_num % lift_den) / lift_den AS BIGINT)""")
+          .as("lift_ppm"))
   }
 }

@@ -188,6 +188,7 @@ object DataPrep {
   def zorderBoxBuckets(
       x0: Long, x1: Long, y0: Long, y1: Long,
       bits: Int, nBuckets: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]") // zorderValue's window
     require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
       "nBuckets must be a power of two")
     val logB = 31 - Integer.numberOfLeadingZeros(nBuckets)
@@ -221,7 +222,11 @@ object DataPrep {
     * One shuffle on grp, one per-partition sort shared by the rank and
     * count windows. Skew bound = group size, the natural per-key floor.
     */
-  def rankNormalize(
+  // shared quantize+rank prep for the scaling operators: (id, grp,
+  // xm=micro value, n=group size, rn=deterministic (value, id) rank).
+  // The quantization and tie-break conventions here are hash-parity-
+  // critical — one definition, two consumers.
+  private def rankedByGroup(
       df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame = {
     val wg = Window.partitionBy(col("grp"))
     val wv = wg.orderBy(col("xm"), col("id"))
@@ -229,10 +234,14 @@ object DataPrep {
         round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
       .withColumn("n", count(lit(1)).over(wg))
       .withColumn("rn", row_number().over(wv))
+  }
+
+  def rankNormalize(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame =
+    rankedByGroup(df, groupCol, valueCol, idCol)
       .select(col("id"), col("grp"), col("xm").as("value_micro"),
         when(col("n") === 1, lit(0L))
           .otherwise(expr("(10000 * (rn - 1)) DIV (n - 1)")).as("pct_bps"))
-  }
 
   /** Trimmed mean per group with an EXACT integer trim rule: keep ranks
     * with `20·rn > n` and `20·rn ≤ 19·n` (drop the bottom and top 5% by
@@ -245,17 +254,11 @@ object DataPrep {
     * rides the existing grp partitioning without a second shuffle.
     */
   def trimmedMean(
-      df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame = {
-    val wg = Window.partitionBy(col("grp"))
-    val wv = wg.orderBy(col("xm"), col("id"))
-    df.select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
-        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
-      .withColumn("n", count(lit(1)).over(wg))
-      .withColumn("rn", row_number().over(wv))
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame =
+    rankedByGroup(df, groupCol, valueCol, idCol)
       .filter(lit(20L) * col("rn") > col("n") && lit(20L) * col("rn") <= lit(19L) * col("n"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_kept"), sum(col("xm")).as("sum_micro"))
       .select(col("grp"), col("n_kept"), col("sum_micro"),
         expr("sum_micro DIV n_kept").as("trimmed_mean_micro"))
-  }
 }

@@ -188,7 +188,7 @@ object Similarity {
   private val vvMax = 1.125899906842624e15 // 2^50, exactly representable
   private def guardedVv(vvCol: Column, idc: Column): Column =
     when(vvCol <= lit(vvMax), vvCol).otherwise(raise_error(concat(
-      lit("kmeansIntTopK: micro-quantized |v|^2 > 2^50 — coordinate "
+      lit("Similarity quantize: micro-quantized |v|^2 > 2^50 — coordinate "
         + "magnitudes exceed the exact-integer f64 window; rescale or "
         + "normalize the embeddings (id="), idc.cast("string"), lit(")"))))
 
@@ -279,26 +279,6 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Supervised nearest-centroid (Rocchio) classification over an
-    * embedding column: per-label centroids are trained on an
-    * md5-hash-gated train split ([[DataPrep.hashSplit]]'s convention —
-    * stateless, rerun-stable, portable) and every row is then assigned
-    * the label of its nearest centroid by EXACT integer squared distance
-    * (micro-quantized coords, ties to the smaller label). The classic
-    * embedding-quality baseline for a curation pipeline: cheap to train,
-    * fully deterministic, and the per-row `correct` flag aggregates to
-    * held-out accuracy for free.
-    *
-    * Returns `(vec_id, label, in_train, predicted, sq_dist_micro2,
-    * correct)`.
-    *
-    * Scale shape: training is ONE scan + one (label, dim)-keyed
-    * aggregation collected as bounded driver state (nLabels × dim longs,
-    * the [[trainIntCentroids]] pattern) and broadcast back as literal
-    * expressions; classification is a map-only codegen'd scan — no
-    * shuffle at all on the predict side, so the operator is two corpus
-    * scans total regardless of data volume.
-    */
   /** Per-row projection onto the corpus's top principal axis, computed
     * with EXACT integer arithmetic end-to-end — the curation signal
     * behind whitening / dominant-direction outlier filtering ("is this
@@ -367,6 +347,26 @@ object Similarity {
       V.dot(col("vq"), lit(axis)).cast("long").as("proj_micro2"))
   }
 
+  /** Supervised nearest-centroid (Rocchio) classification over an
+    * embedding column: per-label centroids are trained on an
+    * md5-hash-gated train split ([[DataPrep.hashSplit]]'s convention —
+    * stateless, rerun-stable, portable) and every row is then assigned
+    * the label of its nearest centroid by EXACT integer squared distance
+    * (micro-quantized coords, ties to the smaller label). The classic
+    * embedding-quality baseline for a curation pipeline: cheap to train,
+    * fully deterministic, and the per-row `correct` flag aggregates to
+    * held-out accuracy for free.
+    *
+    * Returns `(vec_id, label, in_train, predicted, sq_dist_micro2,
+    * correct)`.
+    *
+    * Scale shape: training is ONE scan + one (label, dim)-keyed
+    * aggregation collected as bounded driver state (nLabels × dim longs,
+    * the [[trainIntCentroids]] pattern) and broadcast back as literal
+    * expressions; classification is a map-only codegen'd scan — no
+    * shuffle at all on the predict side, so the operator is two corpus
+    * scans total regardless of data volume.
+    */
   def nearestCentroidClassify(
       embeddings: DataFrame, vecCol: String, idCol: String, labelCol: String,
       trainBps: Int = 8000): DataFrame = {

@@ -81,7 +81,10 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaledPath = s"$outDir/documents.parquet"
+    // replica count is part of the directory: a rerun with a different
+    // scale must regenerate, not silently reuse a stale corpus
+    val scaledDir = s"$outDir/x$replicas"
+    val scaledPath = s"$scaledDir/documents.parquet"
     if (!new java.io.File(scaledPath).exists()) {
       // 32 output files so the scaled scan parallelizes like a real
       // multi-split table instead of the single-row-group testdata file
@@ -93,7 +96,7 @@ object ScaleSmoke {
     val nScaled = spark.read.parquet(scaledPath).count()
     System.err.println(s"[scale] src=$nSrc docs, scaled=$nScaled docs")
 
-    val scaledLi = s"$outDir/lineitem.parquet"
+    val scaledLi = s"$scaledDir/lineitem.parquet"
     if (!new java.io.File(scaledLi).exists()) {
       scaledLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet"), replicas)
         .repartition(32)
@@ -114,8 +117,7 @@ object ScaleSmoke {
     val allNames = QueryNames ++ LineitemQueryNames
     timeNamed(allNames)(srcDir, "warmup")
     val base = timeNamed(allNames)(srcDir, "sf0.1 ")
-    val big = timeNamed(QueryNames)(outDir, s"x$replicas   ") ++
-      timeNamed(LineitemQueryNames)(outDir, s"x$replicas   ")
+    val big = timeNamed(allNames)(scaledDir, s"x$replicas   ")
     val pairs = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
       f"""{"query":"$n","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
     }
