@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release transforms for training corpora — the
+  * quasi-identifier side of PII handling (the direct-identifier side is
+  * [[TextPipeline]]'s redaction): before events/user tables feed a
+  * training pipeline, combinations of quasi-identifiers that single out
+  * fewer than k individuals must be coarsened or suppressed.
+  */
+object Privacy {
+
+  /** Cascading k-anonymity generalization (local recoding with a
+    * generalization ladder): each row is published at the FINEST ladder
+    * level whose quasi-identifier group still holds ≥ k rows among the
+    * rows that reached that level; rows failing every level are fully
+    * suppressed (`'*'`). Output: `(id, level, g1..gm)` — `level` is the
+    * assigned ladder rung (ladder size = full suppression) and `g1..gm`
+    * the published quasi values at that rung, all strings.
+    *
+    * Published equivalence classes are (level, g1..gm) tuples: level-0
+    * classes pass the ≥ k test over the full input, level-i classes over
+    * exactly the rows published at level i — so every non-suppressed
+    * class holds ≥ k rows, the k-anonymity invariant (spec-pinned).
+    * Suppressed rows reveal nothing and may number < k, the standard
+    * convention.
+    *
+    * `levels(i)` names this level's PRE-COMPUTED quasi columns (the
+    * caller owns the coarsening exprs — buckets, prefixes, decades);
+    * all levels must share arity, and each level should be a genuine
+    * coarsening of the previous for the ladder to make sense (not
+    * checked — a non-monotone ladder still k-anonymizes, it just wastes
+    * levels). All quasi values pass through `CAST(... AS STRING)`; keep
+    * the source exprs integer/string so the cast is engine-portable.
+    *
+    * Plan shape: one aggregation + one aggregation-keyed join per level
+    * over a geometrically shrinking residual (level i only re-processes
+    * rows that failed level i−1) — ladder depth is small and fixed, so
+    * the cost is ~2 shuffles of the residual per rung, never a
+    * per-group loop; no driver-side state at all.
+    */
+  def kAnonymize(
+      df: DataFrame, idCol: String, levels: Seq[Seq[String]], k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one generalization level")
+    val m = levels.head.size
+    require(m >= 1 && levels.forall(_.size == m), "all levels need the same arity")
+    require(k >= 1, "k must be >= 1")
+    val gNames = (1 to m).map(i => s"g$i")
+    var rest = df.select(col(idCol).cast("bigint").as("id") +:
+      levels.zipWithIndex.flatMap { case (cs, li) =>
+        cs.zip(gNames).map { case (c, g) => col(c).cast("string").as(s"__l${li}_$g") }
+      }: _*)
+    val published = levels.zipWithIndex.map { case (_, li) =>
+      val lcols = gNames.map(g => s"__l${li}_$g")
+      val counts = rest.groupBy(lcols.map(col): _*).agg(count(lit(1)).as("__ka_n"))
+      val joined = rest.join(counts, lcols)
+      val pass = joined.filter(col("__ka_n") >= k)
+        .select(col("id") +: lit(li.toLong).as("level") +:
+          lcols.zip(gNames).map { case (lc, g) => col(lc).as(g) }: _*)
+      rest = joined.filter(col("__ka_n") < k).drop("__ka_n")
+      pass
+    }
+    val suppressed = rest.select(col("id") +: lit(levels.size.toLong).as("level") +:
+      gNames.map(g => lit("*").as(g)): _*)
+    (published :+ suppressed).reduce(_.unionByName(_))
+  }
+}

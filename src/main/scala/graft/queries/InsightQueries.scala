@@ -463,6 +463,43 @@ object InsightQueries {
              |  CAST(sum(xm) AS BIGINT) // count(*) AS trimmed_mean_micro
              |FROM t GROUP BY grp ORDER BY grp""".stripMargin),
       "5%-trimmed mean per type with an exact rational rank rule (20rn > n, 20rn <= 19n) " +
-        "— robust location where a plain mean is dragged by the tail; one exchange total")
+        "— robust location where a plain mean is dragged by the tail; one exchange total"),
+
+    // ------------------------------------------------- k-anonymity ladder
+    "q120_k_anonymize" -> Q(
+      (s, dir) =>
+        graft.operators.Privacy.kAnonymize(
+            Tables.events(s, dir)
+              .withColumn("tsu", unix_micros(col("ts")))
+              .withColumn("hour", expr("(tsu DIV 3600000000) % 24"))
+              .withColumn("a0", col("user_id"))
+              .withColumn("b0", col("hour"))
+              .withColumn("a1", expr("user_id DIV 100"))
+              .withColumn("b1", expr("hour DIV 6")),
+            "event_id", Seq(Seq("a0", "b0"), Seq("a1", "b1")), k = 5L)
+          .orderBy(col("id")),
+      Some("""WITH e AS (
+             |  SELECT event_id AS id,
+             |    CAST(user_id AS VARCHAR) AS a0,
+             |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS VARCHAR) AS b0,
+             |    CAST(user_id // 100 AS VARCHAR) AS a1,
+             |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 6 AS VARCHAR) AS b1
+             |  FROM events),
+             |c0 AS (SELECT a0, b0, count(*) AS n FROM e GROUP BY 1, 2),
+             |l0 AS (SELECT e.id, CAST(0 AS BIGINT) AS level, e.a0 AS g1, e.b0 AS g2
+             |       FROM e JOIN c0 USING (a0, b0) WHERE c0.n >= 5),
+             |r1 AS (SELECT e.* FROM e JOIN c0 USING (a0, b0) WHERE c0.n < 5),
+             |c1 AS (SELECT a1, b1, count(*) AS n FROM r1 GROUP BY 1, 2),
+             |l1 AS (SELECT r1.id, CAST(1 AS BIGINT) AS level, r1.a1 AS g1, r1.b1 AS g2
+             |       FROM r1 JOIN c1 USING (a1, b1) WHERE c1.n >= 5),
+             |l2 AS (SELECT r1.id, CAST(2 AS BIGINT) AS level, '*' AS g1, '*' AS g2
+             |       FROM r1 JOIN c1 USING (a1, b1) WHERE c1.n < 5)
+             |SELECT id, level, g1, g2 FROM l0
+             |UNION ALL SELECT id, level, g1, g2 FROM l1
+             |UNION ALL SELECT id, level, g1, g2 FROM l2
+             |ORDER BY id""".stripMargin),
+      "cascading k-anonymity (k=5) over the (user, hour) quasi-identifier: exact pairs " +
+        "that would single out < 5 rows coarsen to (user-block, day-part), residual " +
+        "singletons suppress — every published class holds >= k rows")
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+/** Pins the cascading k-anonymity ladder: hand-computed level
+  * assignment, the published-class ≥ k invariant on the real corpus, and
+  * a brute-force reference on random data.
+  */
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kAnonymize: hand case — pass, coarsen, suppress") {
+    // level 0 on (city): NYC x3 passes k=3; LA x2 and SF x1 fail.
+    // level 1 on (coast): LA+SF are both 'west' (2+1 = 3 rows) -> pass.
+    // lone 'other' row fails both -> suppressed.
+    val d = Seq(
+      (1L, "NYC", "east"), (2L, "NYC", "east"), (3L, "NYC", "east"),
+      (4L, "LA", "west"), (5L, "LA", "west"), (6L, "SF", "west"),
+      (7L, "Reyk", "other"))
+      .toDF("id", "city", "coast")
+    val got = Privacy.kAnonymize(d, "id", Seq(Seq("city"), Seq("coast")), k = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      1L -> ((0L, "NYC")), 2L -> ((0L, "NYC")), 3L -> ((0L, "NYC")),
+      4L -> ((1L, "west")), 5L -> ((1L, "west")), 6L -> ((1L, "west")),
+      7L -> ((2L, "*"))))
+  }
+
+  test("kAnonymize: every published class holds >= k rows on the corpus") {
+    val k = 5L
+    val out = Privacy.kAnonymize(
+        Tables.events(spark, sfDir)
+          .withColumn("tsu", unix_micros(col("ts")))
+          .withColumn("hour", expr("(tsu DIV 3600000000) % 24"))
+          .withColumn("a1", expr("user_id DIV 100"))
+          .withColumn("b1", expr("hour DIV 6")),
+        "event_id", Seq(Seq("user_id", "hour"), Seq("a1", "b1")), k)
+      .cache()
+    assert(out.count() === Tables.events(spark, sfDir).count(), "no row lost or duplicated")
+    val bad = out.filter(col("level") < 2)
+      .groupBy(col("level"), col("g1"), col("g2")).count()
+      .filter(col("count") < k).count()
+    assert(bad === 0L, "a published equivalence class smaller than k leaks identity")
+  }
+
+  test("kAnonymize matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
+    val d = rows.toDF("id", "q").withColumn("qc", expr("q DIV 10"))
+    val got = Privacy.kAnonymize(d, "id", Seq(Seq("q"), Seq("qc")), k = 8L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val c0 = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val rest = rows.filter(e => c0(e._2) < 8)
+    val c1 = rest.groupBy(_._2 / 10).view.mapValues(_.size).toMap
+    rows.foreach { case (id, q) =>
+      val want =
+        if (c0(q) >= 8) (0L, q.toString)
+        else if (c1(q / 10) >= 8) (1L, (q / 10).toString)
+        else (2L, "*")
+      assert(got(id) === want, s"row $id (q=$q)")
+    }
+  }
+}
