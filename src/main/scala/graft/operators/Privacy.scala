@@ -65,4 +65,25 @@ object Privacy {
       gNames.map(g => lit("*").as(g)): _*)
     (published :+ suppressed).reduce(_.unionByName(_))
   }
+
+  /** Distinct-l-diversity audit — the attribute-disclosure complement of
+    * [[kAnonymize]]: a class can hold ≥ k rows yet still leak (every
+    * member shares one sensitive value, so membership reveals it). Per
+    * quasi-identifier class, counts rows and DISTINCT sensitive values
+    * and flags classes below `l` — the release gate a pipeline applies
+    * AFTER generalization.
+    *
+    * One aggregation (count + count_distinct on the same keys, one
+    * shuffle); output is class-cardinality-bounded, not row-bounded.
+    */
+  def lDiversityAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol), "sensitive column cannot be a quasi-identifier")
+    require(l >= 1, "l must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", (col("n_sensitive") >= l).cast("bigint"))
+  }
 }

@@ -500,6 +500,28 @@ object InsightQueries {
              |ORDER BY id""".stripMargin),
       "cascading k-anonymity (k=5) over the (user, hour) quasi-identifier: exact pairs " +
         "that would single out < 5 rows coarsen to (user-block, day-part), residual " +
-        "singletons suppress — every published class holds >= k rows")
+        "singletons suppress — every published class holds >= k rows"),
+
+    // --------------------------------------------------- l-diversity audit
+    "q121_l_diversity" -> Q(
+      (s, dir) =>
+        graft.operators.Privacy.lDiversityAudit(
+            Tables.events(s, dir)
+              .withColumn("tsu", unix_micros(col("ts")))
+              .withColumn("ublock", expr("user_id DIV 100"))
+              .withColumn("daypart", expr("((tsu DIV 3600000000) % 24) DIV 6")),
+            Seq("ublock", "daypart"), "event_type", l = 3L)
+          .orderBy(col("ublock"), col("daypart")),
+      Some("""WITH e AS (
+             |  SELECT user_id // 100 AS ublock,
+             |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 6 AS daypart,
+             |    event_type
+             |  FROM events)
+             |SELECT ublock, daypart, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+             |  CAST(count(DISTINCT event_type) >= 3 AS BIGINT) AS diverse
+             |FROM e GROUP BY 1, 2 ORDER BY ublock, daypart""".stripMargin),
+      "distinct-l-diversity audit (l=3) per generalized quasi class: the attribute-" +
+        "disclosure gate applied after k-anonymity — one shuffle, class-bounded output")
   )
 }

@@ -46,6 +46,20 @@ class PrivacySpec extends SparkSpec {
     assert(bad === 0L, "a published equivalence class smaller than k leaks identity")
   }
 
+  test("lDiversityAudit: homogeneous class flagged even when k-large") {
+    // class A: 4 rows but ONE sensitive value -> not diverse (the
+    // homogeneity attack k-anonymity alone misses); class B: 3 rows,
+    // 3 distinct values -> diverse
+    val d = Seq(
+      ("A", "flu"), ("A", "flu"), ("A", "flu"), ("A", "flu"),
+      ("B", "flu"), ("B", "cold"), ("B", "none"))
+      .toDF("q", "diag")
+    val got = Privacy.lDiversityAudit(d, Seq("q"), "diag", l = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map("A" -> ((4L, 1L, 0L)), "B" -> ((3L, 3L, 1L))))
+  }
+
   test("kAnonymize matches a brute-force reference on random data") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
