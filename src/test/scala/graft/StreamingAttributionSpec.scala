@@ -108,6 +108,45 @@ class StreamingAttributionSpec extends SparkSpec {
     assert(got === Map((2L, -1L) -> (("direct", 8000000L, 8000000L, 8000000L))))
   }
 
+  test("touch state survives a stop/restart from checkpoint") {
+    val in = Files.createTempDirectory("graft-sattr-ckpt-in-").toString
+    val out = Files.createTempDirectory("graft-sattr-ckpt-out-").toString
+    val ckpt = Files.createTempDirectory("graft-sattr-ckpt-").toString
+    val schema = Seq((0L, "", 0L, 0L, 0.0))
+      .toDF("user_id", "event_type", "tsu", "event_id", "value").schema
+
+    def start() = StreamingAttribution.credits(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/c_*"),
+      "user_id", "event_type", "tsu", "event_id", "value",
+      Seq("A", "B"), "buy", windowMicros = 1000L)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: two touches arrive, then the query "crashes"
+    Seq((1L, "A", 100L, 1L, 0.0), (1L, "B", 200L, 2L, 0.0))
+      .toDF("user_id", "event_type", "tsu", "event_id", "value")
+      .coalesce(1).write.parquet(s"$in/c_0")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: the conversion lands after restart — it credits BOTH
+    // pre-crash touches only if the touch list was recovered from state
+    Seq((1L, "buy", 300L, 3L, 6.0))
+      .toDF("user_id", "event_type", "tsu", "event_id", "value")
+      .coalesce(1).write.parquet(s"$in/c_1")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("tid") ->
+        ((r.getAs[String]("channel"), r.getAs[Long]("linear_c")))).toMap
+    assert(rows === Map(
+      1L -> (("A", 3000000L)), 2L -> (("B", 3000000L))),
+      "post-restart conversion must credit the pre-crash touches from recovered state")
+  }
+
   test("same-timestamp touch credits its conversion regardless of id order") {
     // touch id HIGHER than the conversion's at the same instant: the
     // batch join's time-only predicate includes it; the stream must too
