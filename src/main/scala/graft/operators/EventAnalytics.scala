@@ -215,14 +215,19 @@ object EventAnalytics {
   /** Multi-touch conversion attribution: each `convType` event's value is
     * credited to the `touchTypes` events of the SAME user in the
     * `windowMicros` before it (inclusive of the conversion instant) under
-    * the three standard models at once — first-touch, last-touch, and
-    * linear. A conversion with no preceding touch credits the synthetic
-    * `direct` channel in all three models.
+    * the four standard models at once — first-touch, last-touch, linear,
+    * and position-based (U-shaped 40/20/40: 40% to the first touch, 40%
+    * to the last, 20% split over the middles; 50/50 when there are only
+    * two touches, everything to a lone touch). A conversion with no
+    * preceding touch credits the synthetic `direct` channel in every
+    * model.
     *
     * All credit is integer micros: linear splits value DIV n per touch
-    * and gives the remainder to the FIRST touch (ordered by (ts, id)), so
-    * per-channel sums are exact and order-independent — the three models
-    * each conserve total conversion value to the micro.
+    * with the remainder to the FIRST touch (ordered by (ts, id)); the
+    * U-shape computes the 40% shares by integer basis points and gives
+    * each division's remainder to the earliest eligible touch — so
+    * per-channel sums are exact and order-independent, and all four
+    * models conserve total conversion value to the micro.
     *
     * Plan: one shuffle join on user (conversions ⋈ touches, the range
     * predicate applied post-join), then per-conversion window ranks on
@@ -267,12 +272,26 @@ object EventAnalytics {
       .withColumn("linear_c",
         when(col("n") === 0, col("vm")).otherwise(
           expr("vm DIV n") + when(col("rn") === 1, expr("vm % n")).otherwise(lit(0L))))
+      // U-shape: ends get (vm*4000) DIV 10000 each; the exact middle
+      // budget vm - 2*ends splits DIV (n-2), remainder to the first middle
+      .withColumn("pos_c",
+        when(col("n") <= 1, col("vm")) // direct (n=0) or a lone touch
+          .when(col("n") === 2,
+            expr("vm DIV 2") + when(col("rn") === 1, expr("vm % 2")).otherwise(lit(0L)))
+          .otherwise(
+            when(col("rn") === 1 || col("rn") === col("n"), expr("(vm * 4000) DIV 10000"))
+              .otherwise(
+                expr("(vm - 2 * ((vm * 4000) DIV 10000)) DIV (n - 2)") +
+                  when(col("rn") === 2,
+                    expr("(vm - 2 * ((vm * 4000) DIV 10000)) % (n - 2)"))
+                    .otherwise(lit(0L)))))
     credited.groupBy(col("ch").as("channel"))
       .agg(count(col("tid")).as("touches"),
         count_distinct(col("cid")).as("conversions"),
         sum(col("first_c")).as("first_micro"),
         sum(col("last_c")).as("last_micro"),
-        sum(col("linear_c")).as("linear_micro"))
+        sum(col("linear_c")).as("linear_micro"),
+        sum(col("pos_c")).as("position_micro"))
   }
 
   /** Robust (median/MAD) outlier flags with EXACT integer arithmetic —

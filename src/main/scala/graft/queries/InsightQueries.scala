@@ -72,17 +72,26 @@ object InsightQueries {
              |    CASE WHEN rn = n OR n = 0 THEN vm ELSE 0 END AS last_c,
              |    CASE WHEN n = 0 THEN vm
              |         ELSE vm // n + CASE WHEN rn = 1 THEN vm % n ELSE 0 END
-             |    END AS linear_c
+             |    END AS linear_c,
+             |    CASE WHEN n <= 1 THEN vm
+             |         WHEN n = 2 THEN vm // 2 + CASE WHEN rn = 1 THEN vm % 2 ELSE 0 END
+             |         WHEN rn = 1 OR rn = n THEN (vm * 4000) // 10000
+             |         ELSE (vm - 2 * ((vm * 4000) // 10000)) // (n - 2)
+             |            + CASE WHEN rn = 2
+             |                   THEN (vm - 2 * ((vm * 4000) // 10000)) % (n - 2)
+             |                   ELSE 0 END
+             |    END AS pos_c
              |  FROM r)
              |SELECT channel, CAST(count(tid) AS BIGINT) AS touches,
              |  CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
              |  CAST(sum(first_c) AS BIGINT) AS first_micro,
              |  CAST(sum(last_c) AS BIGINT) AS last_micro,
-             |  CAST(sum(linear_c) AS BIGINT) AS linear_micro
+             |  CAST(sum(linear_c) AS BIGINT) AS linear_micro,
+             |  CAST(sum(pos_c) AS BIGINT) AS position_micro
              |FROM cr GROUP BY channel ORDER BY channel""".stripMargin),
-      "multi-touch attribution (first/last/linear at once, 24h lookback, remainder-exact " +
-        "integer linear split, touchless conversions -> 'direct'): every model conserves " +
-        "total conversion value to the micro"),
+      "multi-touch attribution (first/last/linear/U-shaped-40-20-40 at once, 24h lookback, " +
+        "remainder-exact integer splits, touchless conversions -> 'direct'): every model " +
+        "conserves total conversion value to the micro"),
 
     // ------------------------------------------------------ triangle counting
     "q108_triangles" -> Q(
@@ -522,6 +531,56 @@ object InsightQueries {
              |  CAST(count(DISTINCT event_type) >= 3 AS BIGINT) AS diverse
              |FROM e GROUP BY 1, 2 ORDER BY ublock, daypart""".stripMargin),
       "distinct-l-diversity audit (l=3) per generalized quasi class: the attribute-" +
-        "disclosure gate applied after k-anonymity — one shuffle, class-bounded output")
+        "disclosure gate applied after k-anonymity — one shuffle, class-bounded output"),
+
+    // -------------------------------------------------- sessionized funnel
+    "q122_session_funnel" -> Q(
+      (s, dir) => {
+        // operator COMPOSITION: gap-sessionize tags every event with its
+        // session, then the ordered funnel runs per (user, session) via a
+        // composite key — conversion measured within a visit, the way
+        // product analytics actually reports it. Both shuffles key on
+        // user-derived keys; the join is id-equi.
+        val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+        val sess = EventAnalytics.sessionize(
+          ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+        val tagged = ev.select(col("event_id").as("id"), col("event_type"))
+          .join(sess, Seq("id"))
+          .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
+        EventAnalytics.funnel(tagged, "skey", "event_type", "tsu",
+            Seq("view", "click", "purchase"), windowMicros = 86400L * 1000000L)
+          .withColumn("u", split(col("user"), "#").getItem(0).cast("bigint"))
+          .withColumn("session", split(col("user"), "#").getItem(1).cast("bigint"))
+          .select(col("u").as("user_id"), col("session"), col("t0_us"), col("t1_us"),
+            col("t2_us"), col("n_steps"), col("converted"), col("dwell_us"))
+          .orderBy(col("user_id"), col("session"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+             |  FROM events),
+             |m AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |      OR tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tsu, id)),
+             |sx AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |s0 AS (SELECT u, sid, min(tsu) AS t0 FROM sx WHERE et = 'view' GROUP BY u, sid),
+             |s1 AS (SELECT x.u, x.sid, min(tsu) AS t1 FROM sx x JOIN s0 USING (u, sid)
+             |       WHERE et = 'click' AND tsu >= t0 AND tsu <= t0 + 86400000000
+             |       GROUP BY x.u, x.sid),
+             |s2 AS (SELECT x.u, x.sid, min(tsu) AS t2
+             |       FROM sx x JOIN s0 USING (u, sid) JOIN s1 USING (u, sid)
+             |       WHERE et = 'purchase' AND tsu >= t1 AND tsu <= t0 + 86400000000
+             |       GROUP BY x.u, x.sid)
+             |SELECT s0.u AS user_id, s0.sid AS session, t0 AS t0_us, t1 AS t1_us,
+             |  t2 AS t2_us,
+             |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
+             |            WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps,
+             |  CAST(t2 IS NOT NULL AS BIGINT) AS converted,
+             |  CASE WHEN t2 IS NOT NULL THEN t2 - t0 END AS dwell_us
+             |FROM s0 LEFT JOIN s1 USING (u, sid) LEFT JOIN s2 USING (u, sid)
+             |ORDER BY user_id, session""".stripMargin),
+      "sessionized funnel: gap-based session ids (6h) composed with the ordered funnel " +
+        "per (user, session) — within-visit conversion, the product-analytics report shape")
   )
 }

@@ -41,11 +41,13 @@ object StreamingAttribution {
   final case class TouchState(
       times: Array[Long], ids: Array[Long], chans: Array[String])
   /** One credit row per (conversion, touch); `tid == -1` marks the
-    * synthetic `direct` touch of a touchless conversion.
+    * synthetic `direct` touch of a touchless conversion. `pos_c` is the
+    * U-shaped 40/20/40 model (the batch operator's conventions: 50/50 at
+    * two touches, remainders to the earliest eligible touch).
     */
   final case class CreditRow(
       user: Long, cid: Long, ctsu: Long, channel: String, tid: Long,
-      first_c: Long, last_c: Long, linear_c: Long)
+      first_c: Long, last_c: Long, linear_c: Long, pos_c: Long)
 
   def update(windowMicros: Long, idleTimeoutMs: Long)(
       user: Long,
@@ -92,16 +94,24 @@ object StreamingAttribution {
         while (lo < m && t(lo) < e.tsu - windowMicros) lo += 1
         val n = (hi - lo).toLong
         if (n == 0) {
-          out += CreditRow(user, e.id, e.tsu, "direct", -1L, e.vm, e.vm, e.vm)
+          out += CreditRow(user, e.id, e.tsu, "direct", -1L, e.vm, e.vm, e.vm, e.vm)
         } else {
           val per = e.vm / n // vm >= 0 by contract: floor == trunc
           val rem = e.vm % n
+          val endShare = e.vm * 4000L / 10000L
+          val midTotal = e.vm - 2L * endShare
           var k = lo
           while (k < hi) {
+            val pos =
+              if (n == 1) e.vm
+              else if (n == 2) e.vm / 2 + (if (k == lo) e.vm % 2 else 0L)
+              else if (k == lo || k == hi - 1) endShare
+              else midTotal / (n - 2) + (if (k == lo + 1) midTotal % (n - 2) else 0L)
             out += CreditRow(user, e.id, e.tsu, ch(k), ids(k),
               if (k == lo) e.vm else 0L,
               if (k == hi - 1) e.vm else 0L,
-              per + (if (k == lo) rem else 0L))
+              per + (if (k == lo) rem else 0L),
+              pos)
             k += 1
           }
         }

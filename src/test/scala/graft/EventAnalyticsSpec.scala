@@ -190,6 +190,13 @@ class EventAnalyticsSpec extends SparkSpec {
       "A" -> ((2L, 1L, 10000000L, 10000000L, 6666667L)),
       "B" -> ((1L, 1L, 0L, 0L, 3333333L))))
     assert(got.values.map(_._5).sum === 10000000L, "linear conserves value exactly")
+    // U-shape: ends (both A) 4M each, middle B gets the exact 2M budget
+    val pos = EventAnalytics.attributeConversions(
+        att((1L, "A", 10L, 1L, 0.0), (1L, "B", 20L, 2L, 0.0),
+          (1L, "A", 30L, 3L, 0.0), (1L, "buy", 40L, 4L, 10.0)),
+        "u", "et", "tsu", "id", "v", Seq("A", "B"), "buy", windowMicros = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(pos === Map("A" -> 8000000L, "B" -> 2000000L))
   }
 
   test("attribution: touchless conversion credits 'direct' fully in all models") {

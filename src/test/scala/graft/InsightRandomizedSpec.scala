@@ -66,6 +66,11 @@ class InsightRandomizedSpec extends SparkSpec {
       assert(got.values.map(_._2).sum === totalVm, s"seed $seed first-touch leak")
       assert(got.values.map(_._3).sum === totalVm, s"seed $seed last-touch leak")
       assert(got.values.map(_._4).sum === totalVm, s"seed $seed linear leak")
+      val posTotal = EventAnalytics.attributeConversions(
+          rows.toDF("u", "et", "tsu", "id", "v"),
+          "u", "et", "tsu", "id", "v", touchTypes, "purchase", window)
+        .agg(org.apache.spark.sql.functions.sum("position_micro")).head.getLong(0)
+      assert(posTotal === totalVm, s"seed $seed U-shape leak")
     }
   }
 

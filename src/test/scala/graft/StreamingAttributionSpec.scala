@@ -47,14 +47,17 @@ class StreamingAttributionSpec extends SparkSpec {
           count_distinct(col("cid")).as("conversions"),
           sum(col("first_c")).as("first_micro"),
           sum(col("last_c")).as("last_micro"),
-          sum(col("linear_c")).as("linear_micro"))
+          sum(col("linear_c")).as("linear_micro"),
+          sum(col("pos_c")).as("position_micro"))
         .collect().map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
       val batch = EventAnalytics.attributeConversions(
           ev, "user_id", "event_type", "tsu", "event_id", "value",
           touches, "purchase", dayUs)
         .collect().map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
       assert(streamed === batch,
         "per-channel credit must equal the batch operator on the replayed corpus")
     } finally q.stop()
