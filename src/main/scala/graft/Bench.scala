@@ -14,16 +14,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // failures must reach the machine-readable summary, not just stderr — a
+    // failed entry's elapsed time is otherwise indistinguishable from a fast
+    // success to any consumer of BENCH_SUMMARY.json
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // optional per-query full GC: steadies round-over-round comparisons at
+    // the cost of wall time; off by default
+    val gcPerQuery = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     // untimed warmup: pay JVM/codegen/shuffle-machinery startup once, not
     // inside whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       // dedup queries persist their shingle index for the duration of the
-      // query; free it so caches never accumulate across the suite
+      // query; free it so caches never accumulate across the suite — and
+      // clear ALL cached plans so suite-order interference (q57/q83/q31
+      // showed 2-3x bench-vs-standalone variance in r7) can't leak one
+      // query's persisted state into the next one's timing
       graft.operators.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      if (gcPerQuery) System.gc()
       name -> secs
     }
     // streaming EWMA replay over events.parquet (BASELINE.md: <= 60 s at
@@ -60,6 +75,7 @@ object Bench {
         System.err.println(
           s"[bench] ewma_stream_replay rows=${spark.table("bench_ewma_replay").count()}")
       } catch { case e: Throwable =>
+        errors += "ewma_stream_replay"
         System.err.println(s"[bench] ewma_stream_replay failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -83,6 +99,7 @@ object Bench {
         System.err.println(
           s"[bench] slsh_stream_replay rows=${spark.table("bench_slsh_replay").count()}")
       } catch { case e: Throwable =>
+        errors += "slsh_stream_replay"
         System.err.println(s"[bench] slsh_stream_replay failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -108,6 +125,7 @@ object Bench {
           System.err.println(s"[bench] pipeline_dedup_shared jac=$nJac mh=$nMh keep=$nKeep")
         } finally index.unpersist(blocking = false)
       } catch { case e: Throwable =>
+        errors += "pipeline_dedup_shared"
         System.err.println(s"[bench] pipeline_dedup_shared failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -142,6 +160,7 @@ object Bench {
           System.err.println(s"[bench] pipeline_full sharded=$n")
         } finally index.unpersist(blocking = false)
       } catch { case e: Throwable =>
+        errors += "pipeline_full"
         System.err.println(s"[bench] pipeline_full failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -174,6 +193,7 @@ object Bench {
             s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
         } finally ev.unpersist(blocking = false)
       } catch { case e: Throwable =>
+        errors += "pipeline_events"
         System.err.println(s"[bench] pipeline_events failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -203,8 +223,9 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + dec3(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
+    val errJson = errors.toSeq.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The summary must survive three capture modes the driver has used:
     //  (a) a file — always complete, never depends on log capture;
     //  (b) the tail of the captured log, which is STDERR-dominated: r5/r6
@@ -224,6 +245,11 @@ object Bench {
       System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
     }
     spark.stop()
+    // sentinel-prefixed copy FIRST: a consumer that can't rely on "last
+    // line" (sbt appends its [success] epilogue after us) can grep for the
+    // stable prefix instead on either stream
+    println(s"BENCH_JSON $summary")
+    System.err.println(s"BENCH_JSON $summary")
     println(summary)
     System.out.flush()
     System.err.println(summary)

@@ -255,8 +255,12 @@ object ChangeCapture {
       probeTsCol: String, validFromCol: String, validToCol: String,
       attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "need at least one attribute column")
+    require(!attrCols.contains(keyCol), "keyCol cannot be an attribute")
     val clash = probe.columns.toSet.intersect(attrCols.toSet)
     require(clash.isEmpty, s"probe already has attribute column(s): ${clash.mkString(", ")}")
+    val reserved = probe.columns.filter(_.startsWith("__ie_"))
+    require(reserved.isEmpty,
+      s"probe column(s) use the reserved __ie_ prefix: ${reserved.mkString(", ")}")
     val h = history.select(
       (Seq(col(keyCol).as("__ie_key"),
         col(validFromCol).cast("bigint").as("__ie_vf"),

@@ -58,7 +58,11 @@ object Privacy {
       val pass = joined.filter(col("__ka_n") >= k)
         .select(col("id") +: lit(li.toLong).as("level") +:
           lcols.zip(gNames).map { case (lc, g) => col(lc).as(g) }: _*)
-      rest = joined.filter(col("__ka_n") < k).drop("__ka_n")
+      // Pin the residual: without this, level i+1's counts, its join AND the
+      // final union all re-derive the whole upstream chain from lineage, so
+      // the base scan re-runs once per rung. Same loop-invariant pattern as
+      // pageRank/connectedComponents.
+      rest = joined.filter(col("__ka_n") < k).drop("__ka_n").localCheckpoint(true)
       pass
     }
     val suppressed = rest.select(col("id") +: lit(levels.size.toLong).as("level") +:

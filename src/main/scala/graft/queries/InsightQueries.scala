@@ -551,8 +551,14 @@ object InsightQueries {
             Seq("view", "click", "purchase"), windowMicros = 86400L * 1000000L)
           .withColumn("u", split(col("user"), "#").getItem(0).cast("bigint"))
           .withColumn("session", split(col("user"), "#").getItem(1).cast("bigint"))
-          .select(col("u").as("user_id"), col("session"), col("t0_us"), col("t1_us"),
-            col("t2_us"), col("n_steps"), col("converted"), col("dwell_us"))
+          .select(col("u").as("user_id"), col("session"), col("t0_us"),
+            // -1 sentinel (not NULL) for unreached steps: keeps the row bytes
+            // canonicalization-proof across engines, mirroring q51/q100's gate
+            // pattern — the oracle SQL COALESCEs identically.
+            coalesce(col("t1_us"), lit(-1L)).as("t1_us"),
+            coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+            col("n_steps"), col("converted"),
+            coalesce(col("dwell_us"), lit(-1L)).as("dwell_us"))
           .orderBy(col("user_id"), col("session"))
       },
       Some("""WITH e AS (
@@ -572,12 +578,13 @@ object InsightQueries {
              |       FROM sx x JOIN s0 USING (u, sid) JOIN s1 USING (u, sid)
              |       WHERE et = 'purchase' AND tsu >= t1 AND tsu <= t0 + 86400000000
              |       GROUP BY x.u, x.sid)
-             |SELECT s0.u AS user_id, s0.sid AS session, t0 AS t0_us, t1 AS t1_us,
-             |  t2 AS t2_us,
+             |SELECT s0.u AS user_id, s0.sid AS session, t0 AS t0_us,
+             |  COALESCE(t1, -1) AS t1_us,
+             |  COALESCE(t2, -1) AS t2_us,
              |  CAST(CASE WHEN t2 IS NOT NULL THEN 3
              |            WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps,
              |  CAST(t2 IS NOT NULL AS BIGINT) AS converted,
-             |  CASE WHEN t2 IS NOT NULL THEN t2 - t0 END AS dwell_us
+             |  COALESCE(CASE WHEN t2 IS NOT NULL THEN t2 - t0 END, -1) AS dwell_us
              |FROM s0 LEFT JOIN s1 USING (u, sid) LEFT JOIN s2 USING (u, sid)
              |ORDER BY user_id, session""".stripMargin),
       "sessionized funnel: gap-based session ids (6h) composed with the ordered funnel " +
