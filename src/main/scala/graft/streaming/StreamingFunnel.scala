@@ -55,6 +55,33 @@ object StreamingFunnel {
     * exactly for any intra-batch arrival order. `nSteps`/`converted`
     * derive from the slot array: -1 marks an unreached step.
     */
+  /** Pure chain fill, shared by the fmgws and transformWithState forms
+    * (extracting it is what lets TwsFunnelSpec pin their equality by
+    * construction, not just by test): mutates `t` in place.
+    */
+  private[streaming] def fillChain(
+      nStepsTotal: Int, windowMicros: Long,
+      t: Array[Long], rows: Seq[StepEvent]): Unit = {
+    val sorted = rows.sortBy(r => (r.tsu, r.id))
+    for (i <- 0 until nStepsTotal) {
+      if (t(i) == -1L && (i == 0 || t(i - 1) != -1L)) {
+        sorted.find { r =>
+          r.step == i &&
+            (i == 0 || (r.tsu >= t(i - 1) && r.tsu <= t(0) + windowMicros))
+        }.foreach(r => t(i) = r.tsu)
+      }
+    }
+  }
+
+  /** Progress row for the current chain (empty until step 0 fills). */
+  private[streaming] def progressOf(
+      user: Long, t: Array[Long], nStepsTotal: Int): Iterator[FunnelProgress] =
+    if (t(0) == -1L) Iterator.empty
+    else {
+      val n = t.takeWhile(_ != -1L).length
+      Iterator.single(FunnelProgress(user, t.toSeq, n, t(nStepsTotal - 1) != -1L))
+    }
+
   def update(nStepsTotal: Int, windowMicros: Long, idleTimeoutMs: Long)(
       user: Long,
       rows: Iterator[StepEvent],
@@ -65,22 +92,10 @@ object StreamingFunnel {
     }
     val t = state.getOption.map(_.times.clone())
       .getOrElse(Array.fill(nStepsTotal)(-1L))
-    val sorted = rows.toSeq.sortBy(r => (r.tsu, r.id))
-    for (i <- 0 until nStepsTotal) {
-      if (t(i) == -1L && (i == 0 || t(i - 1) != -1L)) {
-        sorted.find { r =>
-          r.step == i &&
-            (i == 0 || (r.tsu >= t(i - 1) && r.tsu <= t(0) + windowMicros))
-        }.foreach(r => t(i) = r.tsu)
-      }
-    }
+    fillChain(nStepsTotal, windowMicros, t, rows.toSeq)
     state.update(FunnelState(t))
     if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
-    if (t(0) == -1L) Iterator.empty
-    else {
-      val n = t.takeWhile(_ != -1L).length
-      Iterator.single(FunnelProgress(user, t.toSeq, n, t(nStepsTotal - 1) != -1L))
-    }
+    progressOf(user, t, nStepsTotal)
   }
 
   /** Wire the progress stream over a streaming event frame. The step

@@ -40,17 +40,16 @@ object StreamingVelocity {
       user: Long, tsu: Long, id: Long, value_micro: Long,
       prev_n: Long, prev_sum_micro: Long)
 
-  def update(lookbackMicros: Long, idleTimeoutMs: Long)(
-      user: Long,
-      rows: Iterator[VEvent],
-      state: GroupState[VelState]): Iterator[VelocityRow] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      return Iterator.empty
-    }
-    val histT = state.getOption.map(_.times).getOrElse(Array.empty[Long])
-    val histV = state.getOption.map(_.vms).getOrElse(Array.empty[Long])
-    val evs = rows.toArray.sortBy(r => (r.tsu, r.id))
+  /** Pure merge + trailing-window sweep + prune, shared by the fmgws and
+    * transformWithState forms: returns the batch's output rows and the
+    * pruned retained state (None = state unchanged because the batch was
+    * empty).
+    */
+  private[streaming] def sweep(
+      lookbackMicros: Long, user: Long,
+      histT: Array[Long], histV: Array[Long],
+      evsIn: Array[VEvent]): (Array[VelocityRow], Option[VelState]) = {
+    val evs = evsIn.sortBy(r => (r.tsu, r.id))
     // merged time-ordered point list (retained history is sorted and, under
     // the ordered-replay contract, precedes the batch; a late event merges
     // correctly anyway). Window bounds are STRICT in time, so the relative
@@ -85,7 +84,23 @@ object StreamingVelocity {
       val cut = t(m - 1) - lookbackMicros
       var k = 0
       while (k < m && t(k) < cut) k += 1
-      state.update(VelState(t.slice(k, m), v.slice(k, m)))
+      (out, Some(VelState(t.slice(k, m), v.slice(k, m))))
+    } else (out, None)
+  }
+
+  def update(lookbackMicros: Long, idleTimeoutMs: Long)(
+      user: Long,
+      rows: Iterator[VEvent],
+      state: GroupState[VelState]): Iterator[VelocityRow] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val histT = state.getOption.map(_.times).getOrElse(Array.empty[Long])
+    val histV = state.getOption.map(_.vms).getOrElse(Array.empty[Long])
+    val (out, next) = sweep(lookbackMicros, user, histT, histV, rows.toArray)
+    next.foreach { st =>
+      state.update(st)
       if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
     }
     out.iterator
