@@ -38,15 +38,45 @@ object ScaleSmoke {
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
-  // linearly (same honesty argument as the salted documents)
-  private val LineitemQueryNames = Seq("q108_triangles", "q111_basket_rules")
+  // linearly (same honesty argument as the salted documents). q115 k-core
+  // peels the same disjoint-replica co-purchase graph; q117's PIT join
+  // also offsets o_custkey, so each replica's per-customer version
+  // history is the original's (probe x history fan-out scales linearly,
+  // never quadratically).
+  private val LineitemQueryNames =
+    Seq("q108_triangles", "q111_basket_rules", "q115_kcore", "q117_pit_join")
+  // q114's Gram matrix is 10x the original under identical-copy
+  // replication, but power iteration normalizes by max|w| each round, so
+  // the learned axis — and every per-row projection — is bit-identical;
+  // output rows scale exactly 10x
+  private val EmbeddingQueryNames = Seq("q114_principal_axis")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
     (0 until replicas).map { r =>
       src.select(
         (col("l_orderkey") + lit(r.toLong * 1000000000L)).as("l_orderkey"),
-        (col("l_partkey") + lit(r.toLong * 10000000L)).as("l_partkey"))
+        (col("l_partkey") + lit(r.toLong * 10000000L)).as("l_partkey"),
+        col("l_linenumber"), col("l_shipdate"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def scaledOrders(src: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1, "replicas >= 1")
+    (0 until replicas).map { r =>
+      src.select(
+        (col("o_orderkey") + lit(r.toLong * 1000000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(r.toLong * 10000000L)).as("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def scaledEmbeddings(src: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1, "replicas >= 1")
+    (0 until replicas).map { r =>
+      src.select(
+        (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        col("embedding"))
     }.reduce(_.unionByName(_))
   }
 
@@ -81,9 +111,11 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // replica count is part of the directory: a rerun with a different
-    // scale must regenerate, not silently reuse a stale corpus
-    val scaledDir = s"$outDir/x$replicas"
+    // replica count AND table layout version are part of the directory: a
+    // rerun with a different scale or schema must regenerate, not
+    // silently reuse a stale corpus (v2 added full-column lineitem,
+    // orders, embeddings)
+    val scaledDir = s"$outDir/v2_x$replicas"
     val scaledPath = s"$scaledDir/documents.parquet"
     if (!new java.io.File(scaledPath).exists()) {
       // 32 output files so the scaled scan parallelizes like a real
@@ -102,6 +134,18 @@ object ScaleSmoke {
         .repartition(32)
         .write.mode("overwrite").parquet(scaledLi)
     }
+    val scaledOrd = s"$scaledDir/orders.parquet"
+    if (!new java.io.File(scaledOrd).exists()) {
+      scaledOrders(spark.read.parquet(s"$srcDir/orders.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(scaledOrd)
+    }
+    val scaledEmb = s"$scaledDir/embeddings.parquet"
+    if (!new java.io.File(scaledEmb).exists()) {
+      scaledEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(scaledEmb)
+    }
 
     def timeNamed(names: Seq[String])(dir: String, tag: String): Seq[(String, Double, Long)] =
       names.map { name =>
@@ -114,14 +158,52 @@ object ScaleSmoke {
       }
 
     // warmup on the small corpus (JVM/codegen startup), then measure
-    val allNames = QueryNames ++ LineitemQueryNames
+    val allNames = QueryNames ++ LineitemQueryNames ++ EmbeddingQueryNames
     timeNamed(allNames)(srcDir, "warmup")
     val base = timeNamed(allNames)(srcDir, "sf0.1 ")
     val big = timeNamed(allNames)(scaledDir, s"x$replicas   ")
     val pairs = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
       f"""{"query":"$n","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
     }
-    println(s"""{"replicas":$replicas,"results":[${pairs.mkString(",")}]}""")
+
+    // ANN recall@10 vs brute force — the number exactness oracles can't
+    // answer. Fixed 50-query set; curves over nProbe (IVF) and
+    // probeHamming (sign-LSH) on BOTH corpora. Identical-copy embedding
+    // replication keeps each query's true neighborhood structure: every
+    // original neighbor brings its 9 copies, and since copies of one
+    // vector always share a bucket/signature, a method that found the
+    // original finds the copies — recall is comparable across decades.
+    def recallCurves(dir: String, tag: String): Seq[String] = {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 50)
+      def pairsOf(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairsOf(
+        Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 10))
+      val ivf = (1 to 4).map { nProbe =>
+        val got = pairsOf(Similarity.kmeansIntTopK(queries, emb, "embedding",
+          "vec_id", k = 10, nClusters = 8, nProbe = nProbe, iters = 3))
+        val rec = (got & exact).size.toDouble / exact.size
+        System.err.println(f"[scale] $tag ivf recall@10 nProbe=$nProbe $rec%.3f")
+        graft.operators.Dedup.releaseCaches()
+        f""""ivf_nprobe_$nProbe":$rec%.4f"""
+      }
+      val lsh = Seq(2, 4, 6).map { ham =>
+        val got = pairsOf(Similarity.lshTopK(queries, emb, "embedding",
+          "vec_id", k = 10, bits = 16, probeHamming = ham))
+        val rec = (got & exact).size.toDouble / exact.size
+        System.err.println(f"[scale] $tag lsh recall@10 hamming=$ham $rec%.3f")
+        f""""lsh_hamming_$ham":$rec%.4f"""
+      }
+      ivf ++ lsh
+    }
+    val recBase = recallCurves(srcDir, "sf0.1 ")
+    val recBig = recallCurves(scaledDir, s"x$replicas   ")
+    val recall =
+      s""""recall":{"base":{${recBase.mkString(",")}},"scaled":{${recBig.mkString(",")}}}"""
+    println(s"""{"replicas":$replicas,"results":[${pairs.mkString(",")}],$recall}""")
     spark.stop()
   }
 }

