@@ -198,10 +198,45 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val insightSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the q122 + q107 composition the way a product-analytics pipeline
+        // runs it: sessionize ONCE, persist the session-tagged frame, and
+        // feed BOTH the within-session funnel and the within-session
+        // U-shaped/position-based attribution from it — the
+        // materialize-once pattern pipeline_dedup_shared uses for the
+        // shingle index (each consumer's plan reads InMemoryTableScan of
+        // the shared frame instead of re-running the sessionize shuffle)
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.events(spark, sfDir)
+          .withColumn("tsu", unix_micros(col("ts")))
+        val sess = graft.operators.EventAnalytics.sessionize(
+          ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+        val tagged = ev.select(col("event_id").as("id"), col("event_type"), col("value"))
+          .join(sess, Seq("id"))
+          .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          tagged.count()
+          val nF = graft.operators.EventAnalytics.funnel(tagged, "skey",
+            "event_type", "tsu", Seq("view", "click", "purchase"),
+            86400L * 1000000L).count()
+          val nA = graft.operators.EventAnalytics.attributeConversions(tagged,
+            "skey", "event_type", "tsu", "id", "value",
+            Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()
+          System.err.println(s"[bench] pipeline_insight funnel=$nF attr=$nA")
+        } finally tagged.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        errors += "pipeline_insight"
+        System.err.println(s"[bench] pipeline_insight failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
-      "pipeline_events" -> eventsSecs)
+      "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -225,8 +225,8 @@ object DataPrep {
   // shared quantize+rank prep for the scaling operators: (id, grp,
   // xm=micro value, n=group size, rn=deterministic (value, id) rank).
   // The quantization and tie-break conventions here are hash-parity-
-  // critical — one definition, two consumers.
-  private def rankedByGroup(
+  // critical — one definition, shared with FeatureEng's bin/winsorize.
+  private[operators] def rankedByGroup(
       df: DataFrame, groupCol: String, valueCol: String, idCol: String): DataFrame = {
     val wg = Window.partitionBy(col("grp"))
     val wv = wg.orderBy(col("xm"), col("id"))

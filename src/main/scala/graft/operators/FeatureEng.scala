@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tabular feature-engineering stages for a training pipeline: the
+  * transforms that turn raw event/transaction columns into model inputs
+  * (discretize, encode, fold, clamp, pair-generate, align). Everything is
+  * a single keyed shuffle or a map-only projection, and every output is
+  * exact integer fixed point, so any engine reproduces the features
+  * bit-for-bit — the feature-parity property online/offline serving
+  * systems are built around.
+  */
+object FeatureEng {
+
+  /** Equal-frequency discretization (quantile binning) per group:
+    * `bin = (nBins * (rn - 1)) DIV n` over the deterministic (value, id)
+    * rank — the rational-arithmetic form of ntile that every engine
+    * reproduces exactly (ntile's remainder-distribution convention is
+    * engine-folklore; a rank ratio is not). Bins are equal-frequency up
+    * to integer rounding; the id tie-break makes duplicate values land
+    * deterministically.
+    *
+    * One exchange on the group key (the [[DataPrep.rankedByGroup]]
+    * window); map-only after that. At 100 TB: groups parallelize
+    * independently, and a skewed group pays one sort of its own rows —
+    * same contract as rankNormalize.
+    */
+  def quantileBin(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, "nBins in [2, 10000]")
+    DataPrep.rankedByGroup(df, groupCol, valueCol, idCol)
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        expr(s"($nBins * (rn - 1)) DIV n").as("bin"))
+  }
+
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in the category —
+    * `enc = (sum - own) DIV (n - 1)` in micro fixed point (truncating
+    * integer division; target must be non-negative for DIV to agree
+    * across engines — checked). Excluding the row itself is the standard
+    * leakage guard: a naive category mean feeds each row its own label.
+    * Singleton categories have no peers and emit the -1 sentinel (the
+    * q122 convention — no NULLs in gate-facing output).
+    *
+    * One window over the category key — single exchange, no join, no
+    * driver state; category cardinality never matters because the
+    * aggregates ride the same partitioning as the rows.
+    */
+  def targetEncode(
+      df: DataFrame, catCol: String, targetCol: String, idCol: String): DataFrame = {
+    val wc = Window.partitionBy(col("cat"))
+    df.select(col(idCol).cast("bigint").as("id"), col(catCol).as("cat"),
+        round(col(targetCol) * lit(1e6)).cast("bigint").as("tm"))
+      .withColumn("tm", when(col("tm") >= 0, col("tm")).otherwise(raise_error(
+        lit("targetEncode: negative target — DIV truncation is not "
+          + "floor-division-portable below zero; shift the target first"))))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("sum_tm", sum(col("tm")).over(wc))
+      .select(col("id"), col("cat"), col("tm").as("target_micro"),
+        when(col("n") === 1, lit(-1L))
+          .otherwise(expr("(sum_tm - tm) DIV (n - 1)")).as("loo_mean_micro"))
+  }
+
+  /** Deterministic k-fold assignment for cross-validation:
+    * `fold = md5(id)[0:8] % k` — content-independent, stateless,
+    * map-only, and portable (the [[DataPrep.hashSplit]] family; the
+    * first 8 hex chars fit exactly in a long, so the modulus is the same
+    * integer everywhere). A row's fold never depends on other rows, so
+    * folds are stable under reruns, repartitioning, and corpus growth.
+    */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    df.withColumn("fold",
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % k).cast("bigint"))
+  }
+
+  /** Winsorization (percentile clamping) per group: values below the
+    * `lowBps` percentile rise to it, values above `highBps` drop to it.
+    * Percentiles use the explicit discrete-rank definition the oracle
+    * family standardizes on (q81): cut rank r = max(1, ceil(p·n)) as the
+    * exact integer `(bps·n + 9999) DIV 10000`, cut value = the xm at
+    * rank r (computed as `min(xm | rn >= r)`, exact because xm is
+    * monotone in rn). The tail-robustness transform for features whose
+    * raw scale has heavy outliers — keeps the row count (unlike
+    * [[DataPrep.trimmedMean]], which drops tails).
+    *
+    * Two aggregations on the same grp partitioning (rank window + cut
+    * reduction) and one broadcast-friendly join of the per-group cut
+    * table (group-cardinality-bounded, tiny) back onto the rows.
+    */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      lowBps: Int = 500, highBps: Int = 9500): DataFrame = {
+    require(lowBps >= 0 && highBps <= 10000 && lowBps < highBps,
+      "need 0 <= lowBps < highBps <= 10000")
+    val ranked = DataPrep.rankedByGroup(df, groupCol, valueCol, idCol)
+    val cuts = ranked
+      .withColumn("rlo", expr(s"greatest(1, ($lowBps * n + 9999) DIV 10000)"))
+      .withColumn("rhi", expr(s"greatest(1, ($highBps * n + 9999) DIV 10000)"))
+      .groupBy(col("grp"))
+      .agg(min(when(col("rn") >= col("rlo"), col("xm"))).as("lo_micro"),
+        min(when(col("rn") >= col("rhi"), col("xm"))).as("hi_micro"))
+    ranked.join(broadcast(cuts), Seq("grp"))
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        greatest(col("lo_micro"), least(col("hi_micro"), col("xm")))
+          .as("winsorized_micro"))
+  }
+
+  /** Skip-gram co-occurrence pair counts within sessions — the
+    * training-pair generator for item2vec-style embedding models: items
+    * are ordered within each session by (ts, id) position and every
+    * ordered pair at position distance 1..`windowSize` counts once.
+    * Output `(item_a, item_b, n_pairs)` — directional (a precedes b);
+    * symmetrize downstream if the model wants it.
+    *
+    * One exchange on the session key for the position window, then a
+    * self-equi-join ON SESSION with the position-distance predicate as a
+    * post-join filter: per-session fan-out is `n·windowSize`, linear in
+    * session length for fixed window — never all-pairs (a session of n
+    * items yields at most n·w pairs, not n²). The final count shuffles
+    * on the (tiny) item-pair space.
+    */
+  def cooccurrencePairs(
+      events: DataFrame, sessionCol: String, itemCol: String, tsCol: String,
+      idCol: String, windowSize: Int = 2): DataFrame = {
+    require(windowSize >= 1 && windowSize <= 100, "windowSize in [1, 100]")
+    val ws = Window.partitionBy(col("sess")).orderBy(col("tsu"), col("id"))
+    val pos = events.select(col(sessionCol).as("sess"), col(itemCol).as("item"),
+        col(tsCol).cast("bigint").as("tsu"), col(idCol).cast("bigint").as("id"))
+      .withColumn("pos", row_number().over(ws))
+    val a = pos.select(col("sess"), col("item").as("item_a"), col("pos").as("pa"))
+    val b = pos.select(col("sess"), col("item").as("item_b"), col("pos").as("pb"))
+    a.join(b, Seq("sess"))
+      .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= windowSize)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Cross-correlation of two per-type event series at integer lags:
+    * bucket both series to `bucketMicros` counts, then for each lag
+    * 0..`maxLag` score = Σ_t cntA(t)·cntB(t + lag) — the exact-integer
+    * unnormalized cross-correlation a pipeline uses to detect "B follows
+    * A by k buckets" lead/lag structure before building lagged features.
+    * Output `(lag, score, n_terms)`.
+    *
+    * Two bucket aggregations (one scan), then a lag-expanded equi-join
+    * on the bucket id: the A side explodes `maxLag + 1` rows per
+    * NON-EMPTY bucket (bounded by observed time span / bucket size, not
+    * by event volume) and joins B on `bucket = a.bucket + lag` — a pure
+    * equi-join on a derived key, never a theta join over the series.
+    */
+  def crossCorrelation(
+      events: DataFrame, typeCol: String, tsCol: String,
+      typeA: String, typeB: String,
+      bucketMicros: Long, maxLag: Int): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(maxLag >= 0 && maxLag <= 10000, "maxLag in [0, 10000]")
+    def series(t: String) = events
+      .filter(col(typeCol) === t)
+      .select(expr(s"CAST($tsCol AS BIGINT) DIV $bucketMicros").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val lagged = series(typeA)
+      .select(col("bucket"), col("cnt").as("cnt_a"),
+        explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+      .withColumn("bucket_b", col("bucket") + col("lag"))
+    lagged.join(series(typeB).select(col("bucket").as("bucket_b"), col("cnt").as("cnt_b")),
+        Seq("bucket_b"))
+      .groupBy(col("lag"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+}

@@ -297,4 +297,34 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("A", "B"), ("B", "C")))
   }
+
+  // ------------------------------------------- session-tagged frame reuse
+
+  test("persisted session-tagged frame feeds funnel AND attribution from cache") {
+    // the pipeline_insight bench composition: sessionize once, persist,
+    // and both consumers' physical plans must read the InMemoryRelation
+    // instead of re-running the sessionize shuffle
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).withColumn("tsu", unix_micros(col("ts")))
+    val sess = EventAnalytics.sessionize(
+      ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+    val tagged = ev.select(col("event_id").as("id"), col("event_type"), col("value"))
+      .join(sess, Seq("id"))
+      .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
+      .persist()
+    try {
+      tagged.count()
+      val fun = EventAnalytics.funnel(tagged, "skey", "event_type", "tsu",
+        Seq("view", "click", "purchase"), 86400L * 1000000L)
+      val att = EventAnalytics.attributeConversions(tagged, "skey",
+        "event_type", "tsu", "id", "value",
+        Seq("view", "click", "signup"), "purchase", 86400L * 1000000L)
+      Seq("funnel" -> fun, "attribution" -> att).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+          s"$name must consume the cached session-tagged frame, got:\n$plan")
+        assert(df.count() > 0, s"$name produces rows on the corpus")
+      }
+    } finally tagged.unpersist(blocking = false)
+  }
 }

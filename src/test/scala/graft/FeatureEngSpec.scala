@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FeatureEng
+
+class FeatureEngSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------- quantileBin
+
+  test("quantileBin: hand case — rational rank ratio, id tie-break, per-group") {
+    // group A: values 1..5 -> 2 bins: ranks 1,2 -> bin 0; 3,4,5 -> ... with
+    // nBins=2, bin = (2*(rn-1)) DIV 5: rn 1,2,3 -> 0; rn 4,5 -> 1
+    val d = Seq((1L, "A", 0.000001), (2L, "A", 0.000002), (3L, "A", 0.000003),
+      (4L, "A", 0.000004), (5L, "A", 0.000005),
+      (6L, "B", 0.000009), (7L, "B", 0.000009)) // tie: id order decides ranks
+      .toDF("id", "g", "v")
+    val got = FeatureEng.quantileBin(d, "g", "v", "id", nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("quantileBin: decile sizes on the corpus are equal within 1 row per group") {
+    val got = FeatureEng.quantileBin(
+        Tables.events(spark, sfDir), "event_type", "value", "event_id", nBins = 10)
+      .groupBy(col("grp"), col("bin")).count()
+      .groupBy(col("grp"))
+      .agg((max(col("count")) - min(col("count"))).as("spread"),
+        count_distinct(col("bin")).as("nb"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("spread") <= 1L, s"unequal bins: $r")
+      assert(r.getAs[Long]("nb") === 10L, s"missing bins: $r")
+    }
+  }
+
+  // ---------------------------------------------------------- targetEncode
+
+  test("targetEncode: leave-one-out means by hand, singleton sentinel") {
+    // cat X: targets 1, 2, 3 (micro 1e6, 2e6, 3e6):
+    //   id1 -> (2+3)/2 = 2.5e6; id2 -> (1+3)/2 = 2e6; id3 -> 1.5e6
+    // cat Y: a single row -> -1 sentinel
+    val d = Seq((1L, "X", 1.0), (2L, "X", 2.0), (3L, "X", 3.0), (4L, "Y", 9.0))
+      .toDF("id", "c", "t")
+    val got = FeatureEng.targetEncode(d, "c", "t", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 2500000L, 2L -> 2000000L, 3L -> 1500000L, 4L -> -1L))
+  }
+
+  test("targetEncode rejects negative targets (DIV is not floor below zero)") {
+    val d = Seq((1L, "X", -1.0), (2L, "X", 2.0)).toDF("id", "c", "t")
+    val ex = intercept[Exception] {
+      FeatureEng.targetEncode(d, "c", "t", "id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative target")), msgs(ex).mkString("; "))
+  }
+
+  // ----------------------------------------------------------- kFoldAssign
+
+  test("kFoldAssign: folds in range, every fold populated, repartition-stable") {
+    val d = Tables.events(spark, sfDir).select(col("event_id"))
+    val a = FeatureEng.kFoldAssign(d, "event_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fold")).toMap
+    assert(a.values.forall(f => f >= 0L && f <= 4L))
+    assert(a.values.toSet.size === 5, "all 5 folds should be populated")
+    // each fold holds roughly 1/5 of rows (md5 is uniform; allow 3x slack)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).values
+    assert(sizes.min > a.size / 15, s"fold sizes badly skewed: $sizes")
+    val b = FeatureEng.kFoldAssign(d.repartition(7), "event_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fold")).toMap
+    assert(a === b, "fold assignment must not depend on partitioning")
+  }
+
+  // ------------------------------------------------------------- winsorize
+
+  test("winsorize: hand case — tails clamp to the cut values, middle unchanged") {
+    // 10 values 1..10 micro=1e6..10e6, lowBps=2000 highBps=8000:
+    //   rlo = ceil(0.2*10)=2 -> lo = value@rank2 = 2e6
+    //   rhi = ceil(0.8*10)=8 -> hi = value@rank8 = 8e6
+    val d = (1L to 10L).map(i => (i, "G", i.toDouble)).toDF("id", "g", "v")
+    val got = FeatureEng.winsorize(d, "g", "v", "id", lowBps = 2000, highBps = 8000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) === 2000000L && got(2L) === 2000000L)
+    (3L to 8L).foreach(i => assert(got(i) === i * 1000000L))
+    assert(got(9L) === 8000000L && got(10L) === 8000000L)
+  }
+
+  test("winsorize: output value distribution is bounded by the cuts on the corpus") {
+    val out = FeatureEng.winsorize(
+      Tables.events(spark, sfDir), "event_type", "value", "event_id")
+    val chk = out.groupBy(col("grp"))
+      .agg(min(col("winsorized_micro")).as("lo"), max(col("winsorized_micro")).as("hi"),
+        min(col("value_micro")).as("rawlo"), max(col("value_micro")).as("rawhi"),
+        count(lit(1)).as("n"))
+      .collect()
+    chk.foreach { r =>
+      assert(r.getAs[Long]("lo") >= r.getAs[Long]("rawlo"))
+      assert(r.getAs[Long]("hi") <= r.getAs[Long]("rawhi"))
+    }
+    assert(out.count() === Tables.events(spark, sfDir).count(),
+      "winsorize keeps the row count")
+  }
+
+  // ----------------------------------------------------- cooccurrencePairs
+
+  test("cooccurrencePairs: hand case — window, direction, session isolation") {
+    // sess 1: A B C D (window 2): AB AC BC BD CD; sess 2: X A -> XA only
+    // (no cross-session pairs)
+    val d = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "C", 30L, 3L),
+      (1L, "D", 40L, 4L), (2L, "X", 10L, 5L), (2L, "A", 20L, 6L))
+      .toDF("s", "item", "tsu", "id")
+    val got = FeatureEng.cooccurrencePairs(d, "s", "item", "tsu", "id", windowSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L,
+      ("B", "D") -> 1L, ("C", "D") -> 1L, ("X", "A") -> 1L))
+  }
+
+  test("cooccurrencePairs: equal timestamps order by id; window 1 = adjacent only") {
+    val d = Seq((1L, "A", 5L, 1L), (1L, "B", 5L, 2L), (1L, "C", 5L, 3L))
+      .toDF("s", "item", "tsu", "id")
+    val got = FeatureEng.cooccurrencePairs(d, "s", "item", "tsu", "id", windowSize = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("A", "B"), ("B", "C")))
+  }
+
+  // ------------------------------------------------------ crossCorrelation
+
+  test("crossCorrelation: a constructed 2-bucket lead shows up at lag 2") {
+    // A fires in buckets 0,1 (10 each); B fires in buckets 2,3 (10 each):
+    // lag 0: no shared bucket; lag 1: A@1*B@2; lag 2: A@0*B@2 + A@1*B@3;
+    // lag 3: A@0*B@3
+    val bucket = 100L
+    val evs =
+      (0 until 10).map(i => ("a", 0L * bucket + i)) ++
+        (0 until 10).map(i => ("a", 1L * bucket + i)) ++
+        (0 until 10).map(i => ("b", 2L * bucket + i)) ++
+        (0 until 10).map(i => ("b", 3L * bucket + i))
+    val d = evs.zipWithIndex.map { case ((t, ts), i) => (i.toLong, t, ts) }
+      .toDF("id", "et", "tsu")
+    val got = FeatureEng.crossCorrelation(d, "et", "tsu", "a", "b",
+        bucketMicros = bucket, maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.get(0L).isEmpty, "no overlapping buckets at lag 0")
+    assert(got(1L) === ((100L, 1L)))
+    assert(got(2L) === ((200L, 2L)))
+    assert(got(3L) === ((100L, 1L)))
+  }
+}

@@ -70,4 +70,45 @@ class StreamingEnrichSpec extends SparkSpec {
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(got === Map(1L -> 100L, 2L -> 200L, 3L -> -1L, 4L -> 200L))
   }
+
+  test("too-big-to-broadcast dimension: plan stays a key equi-join, results unchanged") {
+    // the 100 TB serving shape intervalEnrich documents but nothing
+    // exercised: with broadcast disabled the planner must fall back to a
+    // shuffled KEY equi-join with the interval predicate as a post-join
+    // filter (per-key version fan-out, the SCD2 bound) — never a
+    // broadcast-nested-loop over the whole dimension
+    val o = Tables.table(spark, sfDir, "orders")
+    val hist = o.select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("vf")).orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .withColumn("vt", lead(col("vf"), 1).over(
+        Window.partitionBy(col("k")).orderBy(col("vf"))))
+      .select(col("k"), col("vf"), col("vt"),
+        round(col("o_totalprice") * lit(100)).cast("bigint").as("bal_cents"))
+    val probe = Tables.events(spark, sfDir)
+      .select(col("event_id").as("pid"), col("user_id").as("k"),
+        unix_micros(col("ts")).as("pts"))
+    val broadcastDefault =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val enriched = ChangeCapture.intervalEnrich(
+        probe, hist, "k", "pts", "vf", "vt", Seq("bal_cents"))
+      val plan = enriched.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a shuffled key equi-join without broadcast, got:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"interval predicate must ride the equi-join, not force a loop join:\n$plan")
+      val got = enriched.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val want = ChangeCapture.pointInTimeJoin(
+          probe, hist.drop("vt"), "k", "pts", "vf", Seq("bal_cents"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(got === want, "non-broadcast plan must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastDefault)
+  }
 }
