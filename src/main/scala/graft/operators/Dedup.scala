@@ -379,6 +379,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs over an inverted term index —
+    * the lexical cousin of [[embeddingNearDups]] for corpora with no
+    * embeddings: docs are tf-idf vectors over the df-capped vocabulary
+    * (terms in more than `maxDf` docs are stopwords and leave BOTH the
+    * numerator and the norms — a true cosine over the filtered
+    * vocabulary) and a pair qualifies when cos ≥ p/q, decided by the
+    * EXACT integer clear-denominator gate (q93 pattern):
+    *
+    *   q² · S² ≥ p² · SSa · SSb   (with S > 0)
+    *
+    * where S = Σ_shared wa·wb, SS = Σ w², w = min(tf, tfCap) ·
+    * idf_milli, idf_milli = round(1000·ln((N+1)/(df+1))) — one ln per
+    * distinct df, rounded to integer BEFORE any sum (the q74/q82
+    * portability pattern), so S and SS are order-independent integer
+    * sums any engine reproduces.
+    *
+    * Numeric window: tfCap ≤ 255 and idf_milli ≤ ~32000 keep w ≤ 8.2e6,
+    * so SS and S stay under ~1.2e18 for ≤ 10^4 shared terms and the
+    * gate's products stay inside decimal(38,0) exactly. Scale shape:
+    * inverted-index equi-join on the term (per-term fan-out df² bounded
+    * by the df cap — never all-pairs), one pair-keyed aggregation for S,
+    * and a broadcast-sized join of the per-doc SS table.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      thresholdP: Int = 4, thresholdQ: Int = 5,
+      maxDf: Int = 1000, tfCap: Int = 255): DataFrame = {
+    require(thresholdP >= 1 && thresholdQ >= 1 && thresholdP <= thresholdQ,
+      "threshold p/q must be a fraction in (0, 1]")
+    require(thresholdP <= 1000 && thresholdQ <= 1000,
+      "keep p, q <= 1000 so the gate products stay inside decimal(38,0)")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    require(tfCap >= 1 && tfCap <= 255, "tfCap in [1, 255] (numeric window)")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc"), col("tok"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+    val n1 = docs.select((count(lit(1)) + 1).as("n1"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(n1))
+      .select(col("tok"),
+        round(lit(1000.0) * log(col("n1") / (col("df") + 1))).cast("bigint")
+          .as("idf_milli"))
+      // ln((N+1)/(df+1)) < 0 would mean df+1 > N+1 — impossible; 0-weight
+      // terms (df = N) contribute nothing and are dropped for free
+      .filter(col("idf_milli") > 0)
+    val w = persistTracked(
+      tf.join(dfTab, Seq("tok"))
+        .select(col("doc"), col("tok"), (col("tf") * col("idf_milli")).as("w")))
+    val ss = w.groupBy(col("doc"))
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("ss"))
+    val s = w.as("a")
+      .join(w.as("b"), col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(38,0)")).as("s"))
+    val p2 = thresholdP.toLong * thresholdP
+    val q2 = thresholdQ.toLong * thresholdQ
+    s.join(ss.select(col("doc").as("id_a"), col("ss").as("ss_a")), Seq("id_a"))
+      .join(ss.select(col("doc").as("id_b"), col("ss").as("ss_b")), Seq("id_b"))
+      .filter(col("s") > 0 &&
+        lit(q2) * col("s") * col("s") >= lit(p2) * col("ss_a") * col("ss_b"))
+      .select(col("id_a"), col("id_b"), col("s").cast("bigint").as("dot"),
+        col("ss_a").cast("bigint").as("ss_a"), col("ss_b").cast("bigint").as("ss_b"))
+  }
+
   /** FUZZY equi-join at edit distance <= 1 via deletion neighborhoods
     * (the SymSpell construction): two words are within one
     * insert/delete/substitute iff their deletion neighborhoods — the word

@@ -205,4 +205,52 @@ object Graph {
     e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Synchronous plurality label propagation (community detection) for a
+    * FIXED number of rounds, fully deterministic: labels start as node
+    * ids; each round every node adopts its neighbors' PLURALITY label,
+    * ties broken to the SMALLEST label (the (count desc, label asc)
+    * rule) — so every round is an exact integer computation any engine
+    * replays (the oracle unrolls the rounds in CTEs, the
+    * kCore/PageRank pattern). Unlike [[Dedup.connectedComponents]]'s
+    * min-label contraction, plurality voting finds DENSE communities
+    * inside a connected component — the co-purchase clustering /
+    * spam-ring grouping primitive. Fixed rounds because sync LPA can
+    * oscillate on bipartite-ish structure; a fixed budget is
+    * deterministic and is how curation pipelines run it.
+    *
+    * Per round: one equi-join of the (loop-invariant, checkpointed)
+    * adjacency onto current labels + two keyed aggregations (vote count,
+    * then per-node argmax via lexicographic struct-min) — 3 shuffles of
+    * the edge set regardless of graph size; labels re-checkpoint every
+    * round, so the plan never deepens. Isolated nodes never appear in
+    * edges and keep their own label by construction of the output join.
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1, 20]")
+    val adj0 = edges.select(col(srcCol).cast("bigint").as("x"),
+        col(dstCol).cast("bigint").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val adj = adj0.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(adj0.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("node")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("votes"))
+        // argmax by (votes desc, label asc) == lexicographic min of
+        // (-votes, label); struct ordering is field-by-field
+        .groupBy(col("node"))
+        .agg(min(struct((-col("votes")).as("nv"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

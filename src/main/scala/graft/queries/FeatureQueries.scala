@@ -3,13 +3,15 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.FeatureEng
+import graft.operators.{Dedup, EventAnalytics, FeatureEng, Graph, Temporal}
 
-/** Round-8 feature-engineering queries (q123-q128): quantile binning,
+/** Round-8 queries (q123-q131): feature engineering (quantile binning,
   * leave-one-out target encoding, k-fold assignment, winsorization,
-  * session co-occurrence pair generation, and integer-lag
-  * cross-correlation. Every emitted signal is exact integer fixed point
-  * (micro values, rational-rank bins, md5-derived folds) so both engines
+  * session co-occurrence pairs, integer-lag cross-correlation), plurality
+  * label-propagation communities, the bucket-blocked interval overlap
+  * join, and sparse TF-IDF cosine near-dup pairs. Every emitted signal is
+  * exact integer fixed point (micro values, rational-rank bins,
+  * md5-derived folds, clear-denominator cosine gates) so both engines
   * hash-match bit-for-bit.
   */
 object FeatureQueries {
@@ -138,6 +140,122 @@ object FeatureQueries {
              |GROUP BY lag ORDER BY lag""".stripMargin),
       "exact-integer cross-correlation of hourly view/purchase count series at lags " +
         "0..24h — lead/lag structure detection before lagged-feature construction; " +
-        "lag-expanded bucket equi-join, bounded by time span not event volume")
+        "lag-expanded bucket equi-join, bounded by time span not event volume"),
+
+    // -------------------------------------- label-propagation communities
+    "q129_label_prop" -> Q(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
+          .agg(count_distinct(col("x.ok")).as("supp"))
+          .filter(col("supp") >= 2)
+        Graph.labelPropagation(edges, "pa", "pb", rounds = 3).orderBy(col("node"))
+      },
+      // the oracle unrolls the 3 synchronous rounds; argmax by
+      // (votes desc, label asc) via row_number — the exact tie rule the
+      // operator's lexicographic struct-min implements
+      Some {
+        def round(r: Int): String =
+          s"""v$r AS (SELECT adj.node, l.label, count(*) AS votes
+             |  FROM adj JOIN l${r - 1} l ON l.node = adj.nbr GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node
+             |    ORDER BY votes DESC, label ASC) AS rn FROM v$r) WHERE rn = 1)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           |  GROUP BY 1, 2 HAVING count(DISTINCT x.ok) >= 2),
+           |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+           |  UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
+      "synchronous plurality label propagation (3 rounds, smallest-label ties) over " +
+        "the co-purchase graph — dense-community detection inside components; per " +
+        "round one adjacency join + two keyed aggs over a checkpointed edge list"),
+
+    // -------------------------------------------- interval overlap join
+    "q130_overlap_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+        val sess = EventAnalytics.sessionize(
+            ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+          .groupBy(col("user"), col("session_idx"))
+          .agg(min(col("tsu")).as("sa"), (max(col("tsu")) + 1).as("ea"))
+        val pdays = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .distinct()
+          .withColumn("sb", col("day") * 86400000000L)
+          .withColumn("eb", (col("day") + 1) * 86400000000L)
+        Temporal.overlapJoin(sess, pdays, "user",
+            "session_idx", "sa", "ea", "day", "sb", "eb",
+            bucketMicros = 6L * 3600L * 1000000L)
+          .withColumnRenamed("id_a", "session")
+          .withColumnRenamed("id_b", "day")
+          .orderBy(col("user"), col("session"), col("day"))
+      },
+      // the oracle is the plain theta join (viable at test scale only);
+      // the operator's bucket blocking + canonical-bucket dedup must
+      // reproduce it exactly
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et, event_id AS id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+             |m AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |      OR tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tsu, id)),
+             |sx AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |sess AS (SELECT u, sid, min(tsu) AS sa, max(tsu) + 1 AS ea
+             |         FROM sx GROUP BY 1, 2),
+             |pd AS (SELECT DISTINCT u, tsu // 86400000000 AS day
+             |       FROM e WHERE et = 'purchase'),
+             |pdi AS (SELECT u, day, day * 86400000000 AS sb,
+             |        (day + 1) * 86400000000 AS eb FROM pd)
+             |SELECT s.u AS user, s.sid AS session, p.day,
+             |  least(s.ea, p.eb) - greatest(s.sa, p.sb) AS overlap_us
+             |FROM sess s JOIN pdi p ON s.u = p.u AND s.sa < p.eb AND p.sb < s.ea
+             |ORDER BY user, session, day""".stripMargin),
+      "bucket-blocked interval overlap join: which user sessions overlap which " +
+        "purchase days — time-bucket equi-join with the canonical-bucket dedup-free " +
+        "emit, never a per-key theta join; exact intersection lengths"),
+
+    // --------------------------------------- sparse TF-IDF cosine pairs
+    "q131_tfidf_cosine" -> Q(
+      (s, dir) =>
+        Dedup.tfidfCosinePairs(Tables.table(s, dir, "documents"),
+            "text", "doc_id", thresholdP = 4, thresholdQ = 5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      t -> len(t) > 0)) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc, tok, least(CAST(count(*) AS BIGINT), 255) AS tf
+             |       FROM toks GROUP BY 1, 2),
+             |n1 AS (SELECT count(*) + 1 AS n1 FROM documents),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok
+             |        HAVING count(*) <= 1000),
+             |idf AS (SELECT tok, idf_milli FROM (
+             |    SELECT tok, CAST(round(1000 * ln(n1.n1 / (df + 1))) AS BIGINT)
+             |      AS idf_milli FROM dfq CROSS JOIN n1)
+             |  WHERE idf_milli > 0),
+             |w AS (SELECT tf.doc, tf.tok, tf.tf * idf.idf_milli AS w
+             |      FROM tf JOIN idf USING (tok)),
+             |ss AS (SELECT doc, sum(CAST(w AS HUGEINT) * w) AS ss FROM w GROUP BY doc),
+             |sn AS (SELECT a.doc AS id_a, b.doc AS id_b,
+             |    sum(CAST(a.w AS HUGEINT) * b.w) AS s
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc < b.doc GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(s AS BIGINT) AS dot,
+             |  CAST(sa.ss AS BIGINT) AS ss_a, CAST(sb.ss AS BIGINT) AS ss_b
+             |FROM sn JOIN ss sa ON sa.doc = sn.id_a JOIN ss sb ON sb.doc = sn.id_b
+             |WHERE s > 0 AND 25 * s * s >= 16 * sa.ss * sb.ss
+             |ORDER BY id_a, id_b""".stripMargin),
+      "sparse TF-IDF cosine near-dup pairs (cos >= 4/5) over the df-capped inverted " +
+        "index: integer milli-idf weights, exact clear-denominator gate 25*S^2 >= " +
+        "16*SSa*SSb — the lexical cousin of embedding near-dups, never all-pairs")
   )
 }

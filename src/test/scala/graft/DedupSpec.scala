@@ -252,4 +252,62 @@ class DedupSpec extends SparkSpec {
     assert(fast.contains(("cat", "cot")) && fast.contains(("cart", "carts"))
       && fast.contains(("mouse", "mouse")) && fast.contains(("a", "b")))
   }
+
+  test("tfidfCosinePairs: identical docs pass at cos=1, disjoint vocab never pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical to 1 -> cos = 1
+      (3L, "epsilon zeta eta theta"), // disjoint vocab -> no pair
+      (4L, "alpha beta something else")) // partial overlap, below 0.8
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    Dedup.releaseCaches()
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    // identical vectors: S == SSa == SSb (cos exactly 1)
+    val (_, _, dot, ssa, ssb) = got.head
+    assert(dot === ssa && ssa === ssb && dot > 0L)
+  }
+
+  test("tfidfCosinePairs: ubiquitous terms leave both numerator and norms") {
+    import spark.implicits._
+    // "common" appears in every doc -> idf_milli = round(1000*ln(4/4)) = 0,
+    // dropped; docs 1/2 then share NOTHING and must not pair even though
+    // they share the stopword
+    val d = Seq(
+      (1L, "common aaa"), (2L, "common bbb"), (3L, "common ccc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(d, "text", "doc_id").collect()
+    Dedup.releaseCaches()
+    assert(got.isEmpty)
+  }
+
+  test("tfidfCosinePairs matches a driver-side exact reference on the corpus sample") {
+    import spark.implicits._
+    val sample = docs.filter(col("doc_id") < 120)
+    val got = Dedup.tfidfCosinePairs(sample, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    // reference: same integer weights, brute-force all pairs
+    val rows = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).groupBy(identity).view
+        .mapValues(ts => math.min(ts.length, 255).toLong).toMap)
+    val n1 = rows.length + 1.0
+    val dfm = rows.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val idf = dfm.collect { case (t, df) if df <= 1000 =>
+      t -> math.round(1000.0 * math.log(n1 / (df + 1))) }.filter(_._2 > 0)
+    val w = rows.map { case (id, tfs) =>
+      id -> tfs.collect { case (t, tf) if idf.contains(t) => t -> tf * idf(t) } }.toMap
+    val want = (for {
+      (a, wa) <- w.toSeq; (b, wb) <- w.toSeq if a < b
+      s = wa.keySet.intersect(wb.keySet).toSeq.map(t => BigInt(wa(t)) * wb(t)).sum
+      ssa = wa.values.map(x => BigInt(x) * x).sum
+      ssb = wb.values.map(x => BigInt(x) * x).sum
+      if s > 0 && 25 * s * s >= 16 * ssa * ssb
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "corpus sample should contain at least one near-dup pair")
+  }
 }

@@ -157,6 +157,44 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(2L -> 1L, 3L -> 1L))
   }
 
+  // ------------------------------------------------------- labelPropagation
+
+  private def lpa(rounds: Int)(edges: (Long, Long)*) =
+    Graph.labelPropagation(edges.toSeq.toDF("s", "d"), "s", "d", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: two cliques joined by one bridge keep separate labels") {
+    // cliques {1,2,3} and {10,11,12} with bridge 3-10: within 3 rounds
+    // each clique converges to its own min label; the bridge endpoints'
+    // plurality is their clique, not the single cross edge
+    val c1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val c2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val got = lpa(3)(c1 ++ c2 :+ ((3L, 10L)): _*)
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L), "bridged cliques must stay distinct communities")
+  }
+
+  test("labelPropagation: plurality ties break to the SMALLEST label each round") {
+    // star center 5 with leaves 1..4: round 1, every leaf sees only the
+    // center (label 5); the center sees 4 distinct labels (one vote
+    // each) and must take the smallest, 1
+    val got = lpa(1)((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    assert(got(5L) === 1L)
+    assert((1L to 4L).forall(got(_) === 5L))
+  }
+
+  test("labelPropagation is deterministic under repartitioning") {
+    val edges = (0L until 300L).map(i => (i % 29, (i * 11 + 5) % 29))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("s", "d")
+    val a = Graph.labelPropagation(df, "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(df.repartition(13), "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("triangleCounts matches a brute-force reference on a pseudo-random graph") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
       .filter(e => e._1 != e._2)
