@@ -110,6 +110,72 @@ object FeatureEng {
           .as("winsorized_micro"))
   }
 
+  /** The TRAINED form of [[winsorize]]'s per-group cut table —
+    * `(grp, lo_micro, hi_micro)` — for the offline-train / online-serve
+    * split: train the cuts on yesterday's corpus, broadcast them, and
+    * clamp live rows with [[applyWinsorize]] (stateless, so it runs
+    * unchanged on a streaming frame — StreamingFeatureSpec pins
+    * stream ≡ batch). Group-cardinality-bounded output.
+    */
+  def winsorizeCuts(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      lowBps: Int = 500, highBps: Int = 9500): DataFrame = {
+    require(lowBps >= 0 && highBps <= 10000 && lowBps < highBps,
+      "need 0 <= lowBps < highBps <= 10000")
+    DataPrep.rankedByGroup(df, groupCol, valueCol, idCol)
+      .withColumn("rlo", expr(s"greatest(1, ($lowBps * n + 9999) DIV 10000)"))
+      .withColumn("rhi", expr(s"greatest(1, ($highBps * n + 9999) DIV 10000)"))
+      .groupBy(col("grp"))
+      .agg(min(when(col("rn") >= col("rlo"), col("xm"))).as("lo_micro"),
+        min(when(col("rn") >= col("rhi"), col("xm"))).as("hi_micro"))
+  }
+
+  /** Apply a trained [[winsorizeCuts]] table to rows — a stateless
+    * broadcast join + clamp, identical on batch and streaming frames.
+    * Groups absent from the cut table pass through unclamped (the
+    * new-group-at-serve-time convention; emit them to a monitor if that
+    * matters).
+    */
+  def applyWinsorize(
+      rows: DataFrame, cuts: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame =
+    rows.select(col(idCol).cast("bigint").as("id"), col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("value_micro"))
+      .join(broadcast(cuts), Seq("grp"), "left")
+      .select(col("id"), col("grp"), col("value_micro"),
+        greatest(coalesce(col("lo_micro"), col("value_micro")),
+          least(coalesce(col("hi_micro"), col("value_micro")), col("value_micro")))
+          .as("winsorized_micro"))
+
+  /** The TRAINED category-mean table for serving-time target encoding —
+    * `(cat, mean_micro, n_rows)`, full-category truncating mean (serving
+    * uses the full mean; the leave-one-out exclusion in [[targetEncode]]
+    * is a TRAIN-time leakage guard for rows whose own label is in the
+    * table). Category-cardinality-bounded; broadcast it and apply with
+    * [[applyEncoding]].
+    */
+  def encodingTable(
+      df: DataFrame, catCol: String, targetCol: String): DataFrame =
+    df.select(col(catCol).as("cat"),
+        round(col(targetCol) * lit(1e6)).cast("bigint").as("tm"))
+      .withColumn("tm", when(col("tm") >= 0, col("tm")).otherwise(raise_error(
+        lit("encodingTable: negative target — DIV truncation is not "
+          + "floor-division-portable below zero; shift the target first"))))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("tm")).as("s"))
+      .select(col("cat"), expr("s DIV n_rows").as("mean_micro"), col("n_rows"))
+
+  /** Apply a trained [[encodingTable]] — stateless broadcast join,
+    * identical on batch and streaming frames; unseen categories get the
+    * -1 sentinel (route them to a default/prior downstream).
+    */
+  def applyEncoding(
+      rows: DataFrame, table: DataFrame, catCol: String, idCol: String): DataFrame =
+    rows.select(col(idCol).cast("bigint").as("id"), col(catCol).as("cat"))
+      .join(broadcast(table.select(col("cat"), col("mean_micro"))), Seq("cat"), "left")
+      .select(col("id"), col("cat"),
+        coalesce(col("mean_micro"), lit(-1L)).as("enc_micro"))
+
   /** Skip-gram co-occurrence pair counts within sessions — the
     * training-pair generator for item2vec-style embedding models: items
     * are ordered within each session by (ts, id) position and every
@@ -138,6 +204,53 @@ object FeatureEng {
       .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= windowSize)
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * distribution per group — THE drift monitor a serving pipeline runs
+    * on its features: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with
+    * fixed-width value bins and +1 Laplace smoothing so empty bins never
+    * divide by zero. PSI < 0.1 is conventionally stable, > 0.25 drifted.
+    *
+    * Portability: each bin's term is ONE f64 expression assembled from
+    * exact integer counts in a fixed association order and rounded to
+    * integer micro BEFORE the sum (the q74/q82 ln pattern) — so the
+    * per-group sum is an order-independent integer any engine
+    * reproduces. With smoothing, p_i = (c_i+1)/(n+B), q_i = (d_i+1)/
+    * (m+B) over the B observed bins (union of both sides).
+    *
+    * One aggregation per side on (grp, bin) riding the same exchange, a
+    * full-outer bin merge within the group, and a final per-group sum —
+    * bins-cardinality-bounded intermediates, row-bounded input scans.
+    */
+  def psi(
+      ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: String,
+      binWidthMicro: Long): DataFrame = {
+    require(binWidthMicro > 0, "binWidthMicro must be positive")
+    def binned(df: DataFrame, cnt: String) = df
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT) DIV $binWidthMicro").as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as(cnt))
+    val merged = binned(ref, "c").join(binned(cur, "d"), Seq("grp", "bin"), "full_outer")
+      .select(col("grp"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("d"), lit(0L)).as("d"))
+    val wg = Window.partitionBy(col("grp"))
+    merged
+      .withColumn("n", sum(col("c")).over(wg))
+      .withColumn("m", sum(col("d")).over(wg))
+      .withColumn("nb", count(lit(1)).over(wg))
+      // p = (c+1)/(n+nb), q = (d+1)/(m+nb); term assembled in ONE fixed
+      // order: (p - q) * ln(p / q), each sub-ratio a single division of
+      // exact-integer-valued doubles
+      .withColumn("term_micro",
+        round(lit(1e6) *
+          ((col("c") + 1) / (col("n") + col("nb")) - (col("d") + 1) / (col("m") + col("nb"))) *
+          log(((col("c") + 1) / (col("n") + col("nb"))) /
+            ((col("d") + 1) / (col("m") + col("nb"))))).cast("bigint"))
+      .groupBy(col("grp"))
+      .agg(sum(col("term_micro")).as("psi_micro"),
+        max(col("nb")).as("n_bins"),
+        max(col("n")).as("n_ref"), max(col("m")).as("n_cur"))
   }
 
   /** Cross-correlation of two per-type event series at integer lags:

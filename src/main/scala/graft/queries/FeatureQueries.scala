@@ -256,6 +256,42 @@ object FeatureQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       "sparse TF-IDF cosine near-dup pairs (cos >= 4/5) over the df-capped inverted " +
         "index: integer milli-idf weights, exact clear-denominator gate 25*S^2 >= " +
-        "16*SSa*SSb — the lexical cousin of embedding near-dups, never all-pairs")
+        "16*SSa*SSb — the lexical cousin of embedding near-dups, never all-pairs"),
+
+    // ------------------------------------------------- PSI drift monitor
+    "q132_psi_drift" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+        val cut = 1705363200000000L // 2024-01-16T00:00:00Z in micros
+        FeatureEng.psi(ev.filter(col("tsu") < cut), ev.filter(col("tsu") >= cut),
+            "event_type", "value", binWidthMicro = 50000000L)
+          .orderBy(col("grp"))
+      },
+      Some("""WITH e AS (SELECT event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) // 50000000 AS bin,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+             |r AS (SELECT grp, bin, count(*) AS c FROM e
+             |      WHERE tsu < 1705363200000000 GROUP BY 1, 2),
+             |u AS (SELECT grp, bin, count(*) AS d FROM e
+             |      WHERE tsu >= 1705363200000000 GROUP BY 1, 2),
+             |mg AS (SELECT COALESCE(r.grp, u.grp) AS grp,
+             |    COALESCE(r.bin, u.bin) AS bin,
+             |    COALESCE(c, 0) AS c, COALESCE(d, 0) AS d
+             |  FROM r FULL OUTER JOIN u ON r.grp = u.grp AND r.bin = u.bin),
+             |w AS (SELECT *, sum(c) OVER (PARTITION BY grp) AS n,
+             |    sum(d) OVER (PARTITION BY grp) AS m,
+             |    count(*) OVER (PARTITION BY grp) AS nb FROM mg),
+             |t AS (SELECT grp,
+             |    CAST(round(1e6 * ((c + 1) / (n + nb) - (d + 1) / (m + nb))
+             |      * ln(((c + 1) / (n + nb)) / ((d + 1) / (m + nb)))) AS BIGINT)
+             |      AS term, nb, n, m FROM w)
+             |SELECT grp, CAST(sum(term) AS BIGINT) AS psi_micro,
+             |  CAST(max(nb) AS BIGINT) AS n_bins,
+             |  CAST(max(n) AS BIGINT) AS n_ref, CAST(max(m) AS BIGINT) AS n_cur
+             |FROM t GROUP BY grp ORDER BY grp""".stripMargin),
+      "Population Stability Index of the value distribution (50-unit bins, +1 " +
+        "smoothing) between the first and second half of the corpus per event type — " +
+        "the feature-drift monitor; per-bin ln terms rounded to integer micro before " +
+        "the order-independent sum (q74/q82 pattern)")
   )
 }

@@ -129,6 +129,30 @@ class FeatureEngSpec extends SparkSpec {
     assert(got === Set(("A", "B"), ("B", "C")))
   }
 
+  // ------------------------------------------------------------------- psi
+
+  test("psi: identical distributions read ~0, a hard shift reads large") {
+    // identical: each side 50 rows uniform over bins 0..4 -> every term 0
+    val same = (0 until 50).map(i => (i.toLong, "G", (i % 5) * 50.0)).toDF("id", "g", "v")
+    val psiSame = FeatureEng.psi(same, same, "g", "v", binWidthMicro = 50000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(psiSame("G") === 0L)
+    // hard shift: ref mass in bins 0-1, cur mass in bins 8-9 -> PSI >> 0.25
+    val ref = (0 until 50).map(i => (i.toLong, "G", (i % 2) * 50.0)).toDF("id", "g", "v")
+    val cur = (0 until 50).map(i => (i.toLong, "G", 400.0 + (i % 2) * 50.0)).toDF("id", "g", "v")
+    val psiShift = FeatureEng.psi(ref, cur, "g", "v", binWidthMicro = 50000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(psiShift("G") > 250000L, s"hard drift must exceed 0.25: ${psiShift("G")}")
+  }
+
+  test("psi: empty bins on one side are smoothed, never divide by zero") {
+    val ref = Seq((1L, "G", 10.0), (2L, "G", 10.0)).toDF("id", "g", "v")
+    val cur = Seq((3L, "G", 460.0)).toDF("id", "g", "v")
+    val got = FeatureEng.psi(ref, cur, "g", "v", binWidthMicro = 50000000L).collect()
+    assert(got.length === 1 && got.head.getLong(1) > 0L)
+    assert(got.head.getAs[Long]("n_bins") === 2L)
+  }
+
   // ------------------------------------------------------ crossCorrelation
 
   test("crossCorrelation: a constructed 2-bucket lead shows up at lag 2") {
