@@ -212,6 +212,44 @@ object EventAnalytics {
         expr("(10000 * n_users) DIV n_cohort").as("retention_bps"))
   }
 
+  /** Rolling distinct active users — the DAU/WAU dashboard primitive: for
+    * every day in the observed span, the count of DISTINCT users active
+    * in the trailing `windowDays` (inclusive of the day itself), plus
+    * that day's own distinct actives. A sliding COUNT DISTINCT cannot
+    * ride a window frame (distinct does not decompose); the scalable
+    * form is contribution fan-out: each (user, active-day) pair
+    * contributes the user to `windowDays` target days, then one distinct
+    * count per target day — fan-out bounded by windowDays, never by
+    * window CONTENT, and the heavy dedup to (user, day) happens first,
+    * so event volume collapses before the fan-out.
+    *
+    * Days past the last observed activity are cut (a dashboard's "today"
+    * cap), and `wau >= dau >= 0` with dau = 0 for gap days the trailing
+    * window still covers.
+    */
+  def rollingActives(
+      events: DataFrame, userCol: String, tsMicrosCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370, "windowDays in [1, 370]")
+    val dayUs = 86400000000L
+    val active = events
+      .select(col(userCol).as("user"), col(tsMicrosCol).cast("bigint").as("tsu"))
+      .select(col("user"), expr(s"tsu DIV ${dayUs}L").as("day"))
+      .distinct()
+    val maxDay = active.agg(max(col("day")).as("max_day"))
+    val contrib = active
+      .select(col("user"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+    val wau = contrib.groupBy(col("day"))
+      .agg(count_distinct(col("user")).as(s"active_${windowDays}d"))
+    val dau = active.groupBy(col("day")).agg(count_distinct(col("user")).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col(s"active_${windowDays}d"))
+  }
+
   /** Multi-touch conversion attribution: each `convType` event's value is
     * credited to the `touchTypes` events of the SAME user in the
     * `windowMicros` before it (inclusive of the conversion instant) under

@@ -253,6 +253,44 @@ object FeatureEng {
         max(col("n")).as("n_ref"), max(col("m")).as("n_cur"))
   }
 
+  /** Per-group Pearson correlation between two columns with exact
+    * integer moment accumulation: x quantizes to milli, y stays integer
+    * (caller picks integer-valued y like hour-of-day or an integer
+    * metric), all five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * decimal(38,0) sums, and only the FINAL r = num/√(sxx·syy) touches
+    * f64 — rounded to 6 decimals, the q34 cosine convention, so a 1-ulp
+    * sqrt difference cannot surface. Groups with zero variance on either
+    * side emit the -1000000 micro sentinel (r undefined).
+    *
+    * One aggregation on the group key; moment sums are
+    * order-independent integers, so the result is bit-stable at any
+    * parallelism.
+    */
+  def corrPearson(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      round(col(xCol) * lit(1e3)).cast("bigint").as("x"),
+      col(yCol).cast("bigint").as("y"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .select(col("grp"), col("n"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(-1000000L))
+          .otherwise(
+            round(lit(1e6) *
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .cast("bigint"))
+          .as("corr_micro"))
+  }
+
   /** Cross-correlation of two per-type event series at integer lags:
     * bucket both series to `bucketMicros` counts, then for each lag
     * 0..`maxLag` score = Σ_t cntA(t)·cntB(t + lag) — the exact-integer

@@ -292,6 +292,93 @@ object FeatureQueries {
       "Population Stability Index of the value distribution (50-unit bins, +1 " +
         "smoothing) between the first and second half of the corpus per event type — " +
         "the feature-drift monitor; per-bin ln terms rounded to integer micro before " +
-        "the order-independent sum (q74/q82 pattern)")
+        "the order-independent sum (q74/q82 pattern)"),
+
+    // ---------------------------------------------- ancestor closure
+    "q133_ancestors" -> Q(
+      (s, dir) => {
+        // 3-level synthetic hierarchy over the user population: user ->
+        // user-block (10M+u DIV 10) -> block-group (20M + ...), the
+        // category-tree shape; closure must surface depth-2 ancestors
+        val u = Tables.events(s, dir).select(col("user_id").as("usr")).distinct()
+        val e1 = u.select(col("usr").as("child"),
+          (lit(10000000L) + expr("usr DIV 10")).as("parent"))
+        val e2 = u.select((lit(10000000L) + expr("usr DIV 10")).as("child"),
+            (lit(20000000L) + expr("(usr DIV 10) DIV 10")).as("parent"))
+          .distinct()
+        graft.operators.Graph.ancestorClosure(
+            e1.unionByName(e2), "child", "parent", maxDepth = 4)
+          .orderBy(col("node"), col("ancestor"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id AS usr FROM events),
+             |e1 AS (SELECT usr AS child, 10000000 + usr // 10 AS parent FROM u),
+             |e2 AS (SELECT DISTINCT 10000000 + usr // 10 AS child,
+             |       20000000 + (usr // 10) // 10 AS parent FROM u),
+             |e AS (SELECT DISTINCT child, parent FROM
+             |      (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+             |c1 AS (SELECT child AS node, parent AS ancestor,
+             |       CAST(1 AS BIGINT) AS depth FROM e),
+             |c2 AS (SELECT a.child AS node, b.parent AS ancestor,
+             |       CAST(2 AS BIGINT) AS depth FROM e a JOIN e b ON a.parent = b.child)
+             |SELECT node, ancestor, min(depth) AS depth FROM
+             |  (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+             |GROUP BY 1, 2 ORDER BY node, ancestor""".stripMargin),
+      "transitive ancestor closure of the 3-level user hierarchy (doubling joins, " +
+        "min-hop depth, cycle guard) — the category-tree flattening a catalog or " +
+        "org-chart rollup needs; log-rounds, never a per-level loop"),
+
+    // ---------------------------------------------- rolling distinct actives
+    "q134_rolling_actives" -> Q(
+      (s, dir) =>
+        graft.operators.EventAnalytics.rollingActives(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "user_id", "tsu", windowDays = 7)
+          .orderBy(col("day")),
+      Some("""WITH a AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+             |mx AS (SELECT max(day) AS md FROM a),
+             |c AS (SELECT a.u, a.day + t.o AS day
+             |      FROM a CROSS JOIN generate_series(0, 6) t(o) CROSS JOIN mx
+             |      WHERE a.day + t.o <= mx.md),
+             |wau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS active_7d
+             |        FROM c GROUP BY day),
+             |dau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+             |        FROM a GROUP BY day)
+             |SELECT wau.day, COALESCE(dau.dau, 0) AS dau, wau.active_7d
+             |FROM wau LEFT JOIN dau USING (day) ORDER BY day""".stripMargin),
+      "rolling 7-day distinct active users per day (DAU + WAU) via contribution " +
+        "fan-out — sliding COUNT DISTINCT doesn't decompose into window frames; " +
+        "fan-out bounded by the window length, dedup to (user, day) happens first"),
+
+    // ------------------------------------------------ Pearson correlation
+    "q135_corr" -> Q(
+      (s, dir) =>
+        FeatureEng.corrPearson(
+            Tables.events(s, dir)
+              .withColumn("tsu", unix_micros(col("ts")))
+              .withColumn("hour", expr("(tsu DIV 3600000000) % 24")),
+            "event_type", "value", "hour")
+          .orderBy(col("grp")),
+      Some("""WITH e AS (SELECT event_type AS grp,
+             |    CAST(round(value * 1e3) AS BIGINT) AS x,
+             |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS y
+             |  FROM events),
+             |m AS (SELECT grp, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM e GROUP BY grp)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |    THEN -1000000
+             |    ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             |    END AS BIGINT) AS corr_micro
+             |FROM m ORDER BY grp""".stripMargin),
+      "per-type Pearson correlation of value vs hour-of-day: exact decimal(38,0) " +
+        "moment sums (order-independent), one f64 division+sqrt at the very end " +
+        "rounded to micro (the q34 cosine convention); -1e6 sentinel for zero variance")
   )
 }

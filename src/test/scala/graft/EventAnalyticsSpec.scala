@@ -298,6 +298,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Set(("A", "B"), ("B", "C")))
   }
 
+  // --------------------------------------------------------- rollingActives
+
+  test("rollingActives: hand case — trailing window, gap days, today cap") {
+    val dayUs = 86400000000L
+    // u1 active day 0 and 3; u2 active day 0; window 3:
+    // day 0: dau 2, w3 {u1,u2}=2; day 1: dau 0, w3 (from day 0) 2
+    // day 2: dau 0, w3 2; day 3: dau 1, w3 {u1 (day3)} + nothing from day 0 = 1
+    // days 4,5 cut by the max-day cap (max day = 3)
+    val d = Seq((1L, 0L * dayUs + 5L), (1L, 3L * dayUs + 5L), (2L, 0L * dayUs + 9L))
+      .toDF("u", "tsu")
+    val got = EventAnalytics.rollingActives(d, "u", "tsu", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      0L -> ((2L, 2L)), 1L -> ((0L, 2L)), 2L -> ((0L, 2L)), 3L -> ((1L, 1L))))
+    assert(!got.contains(4L), "days past the last activity are cut")
+    assert(got.forall { case (_, (dau, wau)) => wau >= dau })
+  }
+
   // ------------------------------------------- session-tagged frame reuse
 
   test("persisted session-tagged frame feeds funnel AND attribution from cache") {

@@ -129,6 +129,35 @@ class FeatureEngSpec extends SparkSpec {
     assert(got === Set(("A", "B"), ("B", "C")))
   }
 
+  // ----------------------------------------------------------- corrPearson
+
+  test("corrPearson: perfect line reads 1e6, anti-line -1e6, constant the sentinel") {
+    val up = (1 to 20).map(i => ("U", i.toDouble, i.toLong))
+    val down = (1 to 20).map(i => ("D", i.toDouble, (100 - i).toLong))
+    val flat = (1 to 20).map(i => ("F", 7.0, i.toLong)) // zero x-variance
+    val d = (up ++ down ++ flat).zipWithIndex
+      .map { case ((g, x, y), i) => (i.toLong, g, x, y) }.toDF("id", "g", "x", "y")
+    val got = FeatureEng.corrPearson(d, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("U") === 1000000L)
+    assert(got("D") === -1000000L)
+    // the zero-variance sentinel deliberately shares -1e6 with a perfect
+    // anti-correlation (both mean "don't use this feature pair as-is")
+    assert(got("F") === -1000000L)
+  }
+
+  test("corrPearson is deterministic under repartitioning (integer moments)") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("hour", expr("(tsu DIV 3600000000) % 24"))
+    val a = FeatureEng.corrPearson(ev, "event_type", "value", "hour")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = FeatureEng.corrPearson(ev.repartition(13), "event_type", "value", "hour")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a === b)
+    assert(a.values.forall(v => v >= -1000000L && v <= 1000000L))
+  }
+
   // ------------------------------------------------------------------- psi
 
   test("psi: identical distributions read ~0, a hard shift reads large") {

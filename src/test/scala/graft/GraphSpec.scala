@@ -157,6 +157,37 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(2L -> 1L, 3L -> 1L))
   }
 
+  // -------------------------------------------------------- ancestorClosure
+
+  private def anc(maxDepth: Int)(edges: (Long, Long)*) =
+    Graph.ancestorClosure(edges.toSeq.toDF("c", "p"), "c", "p", maxDepth)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+
+  test("ancestorClosure: a 4-level chain closes with min-hop depths") {
+    val got = anc(16)((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(got === Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (3L, 4L) -> 1L,
+      (1L, 3L) -> 2L, (2L, 4L) -> 2L, (1L, 4L) -> 3L))
+  }
+
+  test("ancestorClosure: diamond DAG keeps the SHORTEST path depth") {
+    // 1 -> 2 -> 4 and 1 -> 4 directly: depth(1,4) must be 1, not 2
+    val got = anc(16)((1L, 2L), (2L, 4L), (1L, 4L))
+    assert(got((1L, 4L)) === 1L)
+  }
+
+  test("ancestorClosure: maxDepth truncates deep chains") {
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val got = anc(3)(chain: _*)
+    assert(got.values.max === 3L)
+    assert(!got.contains((1L, 5L)), "depth-4 ancestor must be cut at maxDepth=3")
+  }
+
+  test("ancestorClosure: a cycle fails loudly instead of looping") {
+    val ex = intercept[Exception] { anc(8)((1L, 2L), (2L, 3L), (3L, 1L)) }
+    assert(ex.getMessage.contains("cycle"),
+      s"expected the cycle guard, got: ${ex.getMessage}")
+  }
+
   // ------------------------------------------------------- labelPropagation
 
   private def lpa(rounds: Int)(edges: (Long, Long)*) =
