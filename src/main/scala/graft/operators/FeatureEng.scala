@@ -234,7 +234,17 @@ object FeatureEng {
     val merged = binned(ref, "c").join(binned(cur, "d"), Seq("grp", "bin"), "full_outer")
       .select(col("grp"), col("bin"),
         coalesce(col("c"), lit(0L)).as("c"), coalesce(col("d"), lit(0L)).as("d"))
-    val wg = Window.partitionBy(col("grp"))
+    psiFromMerged(merged, Seq("grp"))
+  }
+
+  /** The PSI reduction over an already-merged `(keys..., bin, c, d)` bin
+    * table — shared by [[psi]] and the streaming drift monitor
+    * ([[graft.streaming.StreamingDrift]]), so the two cannot drift from
+    * each other. `keyCols` is the per-distribution identity (e.g. `grp`,
+    * or `window, grp`).
+    */
+  private[graft] def psiFromMerged(merged: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val wg = Window.partitionBy(keyCols.map(col): _*)
     merged
       .withColumn("n", sum(col("c")).over(wg))
       .withColumn("m", sum(col("d")).over(wg))
@@ -247,10 +257,24 @@ object FeatureEng {
           ((col("c") + 1) / (col("n") + col("nb")) - (col("d") + 1) / (col("m") + col("nb"))) *
           log(((col("c") + 1) / (col("n") + col("nb"))) /
             ((col("d") + 1) / (col("m") + col("nb"))))).cast("bigint"))
-      .groupBy(col("grp"))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum(col("term_micro")).as("psi_micro"),
         max(col("nb")).as("n_bins"),
         max(col("n")).as("n_ref"), max(col("m")).as("n_cur"))
+  }
+
+  /** Reference bin table for the streaming drift monitor: `(grp, bin,
+    * c)` counts of the offline corpus at `binWidthMicro` — train once,
+    * broadcast, compare live windows against it
+    * ([[graft.streaming.StreamingDrift]]). Bins-cardinality-bounded.
+    */
+  def referenceBins(
+      ref: DataFrame, groupCol: String, valueCol: String,
+      binWidthMicro: Long): DataFrame = {
+    require(binWidthMicro > 0, "binWidthMicro must be positive")
+    ref.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT) DIV $binWidthMicro").as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
   }
 
   /** Per-group Pearson correlation between two columns with exact

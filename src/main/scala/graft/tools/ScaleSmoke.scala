@@ -44,7 +44,8 @@ object ScaleSmoke {
   // history is the original's (probe x history fan-out scales linearly,
   // never quadratically).
   private val LineitemQueryNames =
-    Seq("q108_triangles", "q111_basket_rules", "q115_kcore", "q117_pit_join")
+    Seq("q108_triangles", "q111_basket_rules", "q115_kcore", "q117_pit_join",
+      "q129_label_prop")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
