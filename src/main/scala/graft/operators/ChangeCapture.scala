@@ -250,6 +250,100 @@ object ChangeCapture {
     * offline backfill over a huge dimension prefer [[pointInTimeJoin]]'s
     * single-sort shape.
     */
+  /** Incremental aggregate maintenance from CDC deltas — keep a
+    * per-group `(n_rows, sum_micro)` aggregate current WITHOUT
+    * rescanning the base table: each CDC record carries before/after
+    * images (the Debezium shape) and contributes an exact integer delta
+    * (`I`: +after, `D`: −before, `U`: after−before; unknown ops fail
+    * loudly). Deltas collapse map-side per group, merge into the running
+    * aggregate with one outer join, and groups whose count reaches zero
+    * drop out — so maintaining an aggregate over a 100 TB table costs
+    * O(batch + touched groups) per batch, never a rescan. Inverse
+    * (sum/count-style) aggregates only, by construction; min/max need
+    * the base table on deletes.
+    *
+    * Streaming form: call from `foreachBatch` over a CDC stream —
+    * ChangeCaptureSpec pins replay-fold ≡ direct aggregate of the final
+    * table, any batch split.
+    */
+  def applyCdcToAggregate(
+      agg: DataFrame, batch: DataFrame, groupCol: String,
+      opCol: String, beforeCol: String, afterCol: String): DataFrame = {
+    val bm = round(col(beforeCol) * lit(1e6)).cast("bigint")
+    val am = round(col(afterCol) * lit(1e6)).cast("bigint")
+    val bad = raise_error(concat(lit("applyCdcToAggregate: unknown op "), col(opCol)))
+    val deltas = batch.select(col(groupCol).as("grp"),
+        when(col(opCol) === "I", lit(1L)).when(col(opCol) === "D", lit(-1L))
+          .when(col(opCol) === "U", lit(0L)).otherwise(bad.cast("bigint")).as("dn"),
+        when(col(opCol) === "I", am).when(col(opCol) === "D", -bm)
+          .when(col(opCol) === "U", am - bm).as("ds"))
+      .groupBy(col("grp"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    agg.select(col("grp"), col("n_rows"), col("sum_micro"))
+      .join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_micro"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_micro"))
+      .filter(col("n_rows") > 0)
+  }
+
+  /** The zero-state starting aggregate for [[applyCdcToAggregate]] (or
+    * compute one directly from an existing table). */
+  def aggregateOf(rows: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    rows.select(col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("vm"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("vm")).as("sum_micro"))
+
+  /** BITEMPORAL as-of join: versions carry a VALID-time interval
+    * `[validFrom, validTo)` (when the fact was true in the world) AND a
+    * TRANSACTION-time interval `[txFrom, txTo)` (when the system knew
+    * it; null = still open on that axis). Each probe row asks "what did
+    * we know at `txTsCol` about the value valid at `validTsCol`" — the
+    * reproducible-training-snapshot question ([[pointInTimeJoin]] only
+    * answers the valid-time half; with late-arriving or corrected
+    * dimension data the two DIFFER, and training on the valid-time
+    * answer leaks knowledge the pipeline did not have).
+    *
+    * When valid intervals tile per key (the [[scd2Merge]] invariant), at
+    * most one version matches both axes — no tie-break needed; the tx
+    * filter can only turn a match into a miss (the honest "we did not
+    * know yet").
+    *
+    * Same scale shape as [[intervalEnrich]]: a plain per-row join
+    * condition — broadcast dim = map-only probe scan (and unchanged on a
+    * streaming probe frame); too-big-to-broadcast = key equi-join with
+    * both interval filters post-join, per-key version fan-out.
+    */
+  def bitemporalAsOf(
+      probe: DataFrame, history: DataFrame, keyCol: String,
+      validTsCol: String, txTsCol: String,
+      validFromCol: String, validToCol: String,
+      txFromCol: String, txToCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    require(!attrCols.contains(keyCol), "keyCol cannot be an attribute")
+    val clash = probe.columns.toSet.intersect(attrCols.toSet)
+    require(clash.isEmpty, s"probe already has attribute column(s): ${clash.mkString(", ")}")
+    val reserved = probe.columns.filter(_.startsWith("__bt_"))
+    require(reserved.isEmpty,
+      s"probe column(s) use the reserved __bt_ prefix: ${reserved.mkString(", ")}")
+    val h = history.select(
+      (Seq(col(keyCol).as("__bt_key"),
+        col(validFromCol).cast("bigint").as("__bt_vf"),
+        col(validToCol).cast("bigint").as("__bt_vt"),
+        col(txFromCol).cast("bigint").as("__bt_tf"),
+        col(txToCol).cast("bigint").as("__bt_tt")) ++ attrCols.map(col)): _*)
+    probe.join(h,
+      probe(keyCol) === h("__bt_key") &&
+        probe(validTsCol).cast("bigint") >= col("__bt_vf") &&
+        (col("__bt_vt").isNull || probe(validTsCol).cast("bigint") < col("__bt_vt")) &&
+        probe(txTsCol).cast("bigint") >= col("__bt_tf") &&
+        (col("__bt_tt").isNull || probe(txTsCol).cast("bigint") < col("__bt_tt")),
+      "left")
+      .drop("__bt_key", "__bt_vf", "__bt_vt", "__bt_tf", "__bt_tt")
+  }
+
   def intervalEnrich(
       probe: DataFrame, history: DataFrame, keyCol: String,
       probeTsCol: String, validFromCol: String, validToCol: String,

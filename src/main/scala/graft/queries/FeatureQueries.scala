@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, EventAnalytics, FeatureEng, Graph, Temporal}
+import graft.operators.{ChangeCapture, Dedup, EventAnalytics, FeatureEng, Graph, Temporal}
 
 /** Round-8 queries (q123-q131): feature engineering (quantile binning,
   * leave-one-out target encoding, k-fold assignment, winsorization,
@@ -379,6 +379,62 @@ object FeatureQueries {
              |FROM m ORDER BY grp""".stripMargin),
       "per-type Pearson correlation of value vs hour-of-day: exact decimal(38,0) " +
         "moment sums (order-independent), one f64 division+sqrt at the very end " +
-        "rounded to micro (the q34 cosine convention); -1e6 sentinel for zero variance")
+        "rounded to micro (the q34 cosine convention); -1e6 sentinel for zero variance"),
+
+    // ------------------------------------------------- bitemporal as-of
+    "q136_bitemporal" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // balance versions become KNOWN one day after they become valid
+        // (the late-arriving dimension): what the pipeline knew at ship
+        // time differs from what was true at ship time — q117 answers
+        // the valid-time question, this answers the knowledge-time one
+        val o = Tables.table(s, dir, "orders")
+        val hist = o.select(col("o_custkey").as("k"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+            col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k"), col("vf")).orderBy(col("o_orderkey").desc)))
+          .filter(col("rn") === 1)
+          .withColumn("vt", lead(col("vf"), 1).over(
+            Window.partitionBy(col("k")).orderBy(col("vf"))))
+          .select(col("k"), col("vf"), col("vt"),
+            (col("vf") + 86400000000L).as("tf"),
+            lit(null).cast("bigint").as("tt"),
+            round(col("o_totalprice") * lit(100)).cast("bigint").as("bal_cents"))
+        val probe = Tables.table(s, dir, "lineitem")
+          .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("lo"),
+            col("l_linenumber").cast("bigint").as("ln"),
+            col("o_custkey").as("k"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        ChangeCapture.bitemporalAsOf(probe, hist, "k", "ship_us", "ship_us",
+            "vf", "vt", "tf", "tt", Seq("bal_cents"))
+          .select(col("lo"), col("ln"), col("k"), col("ship_us"),
+            coalesce(col("bal_cents"), lit(-1L)).as("bal_cents"))
+          .orderBy(col("lo"), col("ln"))
+      },
+      Some("""WITH h0 AS (
+             |  SELECT o_custkey AS k, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS vf,
+             |    o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |      ORDER BY o_orderkey DESC) AS rn
+             |  FROM orders),
+             |h1 AS (SELECT k, vf, CAST(round(o_totalprice * 100) AS BIGINT) AS bal
+             |       FROM h0 WHERE rn = 1),
+             |h AS (SELECT k, vf, lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt,
+             |      vf + 86400000000 AS tf, bal FROM h1),
+             |p AS (SELECT l.l_orderkey AS lo, CAST(l.l_linenumber AS BIGINT) AS ln,
+             |    o.o_custkey AS k, epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) AS ts
+             |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+             |SELECT p.lo, p.ln, p.k, p.ts AS ship_us,
+             |  COALESCE(h.bal, -1) AS bal_cents
+             |FROM p LEFT JOIN h ON h.k = p.k AND h.vf <= p.ts
+             |  AND (h.vt IS NULL OR p.ts < h.vt) AND h.tf <= p.ts
+             |ORDER BY lo, ln""".stripMargin),
+      "bitemporal as-of: the balance KNOWN at ship time about the value VALID at ship " +
+        "time, with versions recorded a day late — differs from q117's valid-time " +
+        "answer exactly where knowledge lagged; valid-tiling makes the match unique")
   )
 }

@@ -211,6 +211,100 @@ class ChangeCaptureSpec extends SparkSpec {
     }
   }
 
+  test("applyCdcToAggregate: random CDC replay equals the direct aggregate, any split") {
+    // simulate a mutable table via a CDC log with before/after images,
+    // fold the aggregate batch-by-batch, compare against aggregating the
+    // surviving rows directly — the incremental-view-maintenance contract
+    val rnd = new scala.util.Random(7)
+    var live = Map.empty[Long, (String, Double)] // id -> (grp, value)
+    val ops = scala.collection.mutable.ListBuffer.empty[(String, String, Double, Double)]
+    var nextId = 0L
+    for (_ <- 1 to 400) {
+      val roll = rnd.nextInt(10)
+      if (roll < 5 || live.isEmpty) { // insert
+        val g = s"g${rnd.nextInt(4)}"
+        val v = rnd.nextInt(1000) / 100.0
+        live += (nextId -> (g, v)); nextId += 1
+        ops += (("I", g, 0.0, v))
+      } else if (roll < 8) { // update (value only, group kept)
+        val id = live.keys.toSeq(rnd.nextInt(live.size))
+        val (g, old) = live(id)
+        val v = rnd.nextInt(1000) / 100.0
+        live += (id -> (g, v))
+        ops += (("U", g, old, v))
+      } else { // delete
+        val id = live.keys.toSeq(rnd.nextInt(live.size))
+        val (g, old) = live(id)
+        live -= id
+        ops += (("D", g, old, 0.0))
+      }
+    }
+    val batches = ops.toSeq.grouped(73).toSeq // uneven batch split
+    var agg = ChangeCapture.aggregateOf(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v")
+    batches.foreach { b =>
+      agg = ChangeCapture.applyCdcToAggregate(
+        agg, b.toDF("op", "g", "before", "after"), "g", "op", "before", "after")
+        .localCheckpoint(true) // fold across batches without deepening the plan
+    }
+    val got = agg.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = live.values.groupBy(_._1).map { case (g, vs) =>
+      g -> ((vs.size.toLong, vs.map(v => math.round(v._2 * 1e6)).sum))
+    }
+    assert(got === want, "maintained aggregate must equal the direct aggregate")
+  }
+
+  test("applyCdcToAggregate: groups emptied by deletes drop out; unknown op fails") {
+    val agg0 = ChangeCapture.aggregateOf(
+      Seq(("a", 2.0), ("b", 3.0)).toDF("g", "v"), "g", "v")
+    val afterDel = ChangeCapture.applyCdcToAggregate(agg0,
+      Seq(("D", "a", 2.0, 0.0)).toDF("op", "g", "before", "after"),
+      "g", "op", "before", "after")
+    val got = afterDel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("b" -> 1L), "group a must vanish at n=0")
+    val ex = intercept[Exception] {
+      ChangeCapture.applyCdcToAggregate(agg0,
+        Seq(("X", "a", 0.0, 0.0)).toDF("op", "g", "before", "after"),
+        "g", "op", "before", "after").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("unknown op")), msgs(ex).mkString("; "))
+  }
+
+  test("bitemporalAsOf: knowledge lag hides a valid version until tx time passes") {
+    // version valid from t=10, recorded at t=15: probes at valid=12
+    // see it only if their tx >= 15
+    val hist = Seq((1L, 10L, Option.empty[Long], 15L, Option.empty[Long], 100L))
+      .toDF("k", "vf", "vt", "tf", "tt", "bal")
+    val probe = Seq(
+      (1L, 1L, 12L, 12L), // valid hit, not yet known -> miss
+      (2L, 1L, 12L, 20L), // backfill at tx=20 about valid=12 -> hit
+      (3L, 1L, 8L, 99L)) // before validity -> miss regardless of tx
+      .toDF("pid", "k", "vts", "tts")
+    val got = ChangeCapture.bitemporalAsOf(probe, hist, "k", "vts", "tts",
+        "vf", "vt", "tf", "tt", Seq("bal"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got === Map(1L -> -1L, 2L -> 100L, 3L -> -1L))
+  }
+
+  test("bitemporalAsOf: a closed tx interval (superseded knowledge) stops serving") {
+    // the correction story: bal=100 known during tx [15, 30), corrected
+    // to 120 from tx=30 — same valid interval
+    val hist = Seq(
+      (1L, 10L, Option.empty[Long], 15L, Some(30L), 100L),
+      (1L, 10L, Option.empty[Long], 30L, Option.empty[Long], 120L))
+      .toDF("k", "vf", "vt", "tf", "tt", "bal")
+    val probe = Seq((1L, 1L, 12L, 20L), (2L, 1L, 12L, 35L))
+      .toDF("pid", "k", "vts", "tts")
+    val got = ChangeCapture.bitemporalAsOf(probe, hist, "k", "vts", "tts",
+        "vf", "vt", "tf", "tt", Seq("bal"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 100L, 2L -> 120L),
+      "reproducing an old training run must read the OLD knowledge")
+  }
+
   test("pointInTimeJoin matches a brute-force reference on a random corpus") {
     val rnd = new scala.util.Random(42)
     val hist = (1 to 60).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong))
