@@ -277,6 +277,82 @@ object FeatureEng {
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
   }
 
+  /** Deterministic negative sampling for embedding-model training pairs
+    * (the word2vec/item2vec companion of [[cooccurrencePairs]]): each
+    * positive pair (a, b) gets `k` pseudo-random negatives drawn from
+    * the item vocabulary by `md5(a:b:i) % |vocab|` over the DENSE
+    * item-rank index — content-derived, so resampling is rerun- and
+    * engine-stable (no RNG state), and any engine reproduces the exact
+    * sample. Accidental hits (negative == a or b) are FLAGGED, not
+    * resampled — the standard trade (resampling would make the draw
+    * count data-dependent); downstream drops or keeps them knowingly.
+    *
+    * Scale shape: the vocabulary is a catalog, not a corpus — the dense
+    * rank is one skinny global sort of DISTINCT items (small by
+    * assumption; the subsequent join broadcasts it), then the pair side
+    * explodes k rows each and equi-joins the broadcast index. Bounded by
+    * k·|pairs| + |vocab|, no all-pairs anywhere.
+    */
+  def negativeSamples(
+      pairs: DataFrame, itemACol: String, itemBCol: String,
+      vocab: DataFrame, vocabItemCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k in [1, 100]")
+    val v = vocab.select(col(vocabItemCol).cast("bigint").as("item")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("item"))).cast("bigint") - 1)
+    val nv = broadcast(v.groupBy().agg(count(lit(1)).as("nv")))
+    val p = pairs.select(col(itemACol).cast("bigint").as("item_a"),
+        col(itemBCol).cast("bigint").as("item_b"))
+      .crossJoin(nv)
+      .select(col("item_a"), col("item_b"), col("nv"),
+        explode(sequence(lit(0L), lit(k.toLong - 1))).as("neg_rank"))
+      .withColumn("idx",
+        conv(substring(md5(concat_ws(":", col("item_a"), col("item_b"),
+          col("neg_rank"))), 1, 8), 16, 10).cast("bigint") % col("nv"))
+    p.join(broadcast(v), Seq("idx"))
+      .select(col("item_a"), col("item_b"), col("neg_rank"),
+        col("item").as("neg_item"),
+        (col("item") === col("item_a") || col("item") === col("item_b"))
+          .cast("bigint").as("collides"))
+  }
+
+  /** Regular-grid resampling with forward fill — the time-series
+    * regularizer every downstream model assumes: per group, the value
+    * series is bucketed to `bucketMicros`, each bucket keeps its LAST
+    * observation (lexicographic (ts, id) max — deterministic under
+    * ties), the grid is completed from the group's min to max bucket,
+    * and gaps carry the previous value forward. `observed` flags real
+    * vs filled rows; leading gaps cannot fill and emit the -1 sentinel.
+    *
+    * One exchange on the group key: the bucket aggregation, the
+    * min/max-span grid explode (bounded by TIME SPAN / bucket, not by
+    * event volume), and the forward-fill window all ride the same
+    * partitioning.
+    */
+  def resampleFfill(
+      events: DataFrame, groupCol: String, tsCol: String, valueCol: String,
+      idCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val bucketed = events.select(col(groupCol).as("grp"),
+        expr(s"CAST($tsCol AS BIGINT) DIV $bucketMicros").as("bucket"),
+        struct(col(tsCol).cast("bigint").as("tsu"),
+          col(idCol).cast("bigint").as("id"),
+          round(col(valueCol) * lit(1e6)).cast("bigint").as("vm")).as("obs"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("obs")).getField("vm").as("vm"))
+    val grid = bucketed.groupBy(col("grp"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("grp"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val wf = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq("grp", "bucket"), "left")
+      .withColumn("filled",
+        coalesce(last(col("vm"), ignoreNulls = true).over(wf), lit(-1L)))
+      .select(col("grp"), col("bucket"),
+        col("filled").as("value_micro"),
+        col("vm").isNotNull.cast("bigint").as("observed"))
+  }
+
   /** Per-group Pearson correlation between two columns with exact
     * integer moment accumulation: x quantizes to milli, y stays integer
     * (caller picks integer-valued y like hour-of-day or an integer

@@ -435,6 +435,70 @@ object FeatureQueries {
              |ORDER BY lo, ln""".stripMargin),
       "bitemporal as-of: the balance KNOWN at ship time about the value VALID at ship " +
         "time, with versions recorded a day late — differs from q117's valid-time " +
-        "answer exactly where knowledge lagged; valid-tiling makes the match unique")
+        "answer exactly where knowledge lagged; valid-tiling makes the match unique"),
+
+    // ---------------------------------------------- negative sampling
+    "q137_neg_samples" -> Q(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
+          .agg(count_distinct(col("x.ok")).as("supp"))
+          .filter(col("supp") >= 2)
+        FeatureEng.negativeSamples(pairs, "pa", "pb",
+            li.select(col("pk")), "pk", k = 4)
+          .orderBy(col("item_a"), col("item_b"), col("neg_rank"))
+      },
+      Some(s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+              |e AS (SELECT x.pk AS a, y.pk AS b
+              |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              |  GROUP BY 1, 2 HAVING count(DISTINCT x.ok) >= 2),
+              |v AS (SELECT pk AS item, row_number() OVER (ORDER BY pk) - 1 AS idx
+              |      FROM (SELECT DISTINCT pk FROM li)),
+              |nv AS (SELECT count(*) AS nv FROM v),
+              |p AS (SELECT a AS item_a, b AS item_b, t.i AS neg_rank,
+              |    ${hex8("md5(a || ':' || b || ':' || t.i)")} % nv.nv AS idx
+              |  FROM e CROSS JOIN generate_series(0, 3) t(i) CROSS JOIN nv)
+              |SELECT item_a, item_b, neg_rank, v.item AS neg_item,
+              |  CAST(v.item = item_a OR v.item = item_b AS BIGINT) AS collides
+              |FROM p JOIN v USING (idx)
+              |ORDER BY item_a, item_b, neg_rank""".stripMargin),
+      "deterministic md5-derived negative sampling (k=4) over the part vocabulary for " +
+        "the co-purchase training pairs — rerun/engine-stable draws, flagged (never " +
+        "resampled) accidental hits; catalog-sized vocab rank broadcast to the pairs"),
+
+    // ------------------------------------------- resample + forward fill
+    "q138_resample_ffill" -> Q(
+      (s, dir) =>
+        FeatureEng.resampleFfill(
+            Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+            "event_type", "tsu", "value", "event_id",
+            bucketMicros = 3600000000L)
+          .orderBy(col("grp"), col("bucket")),
+      Some("""WITH e0 AS (SELECT event_type AS grp,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id AS id,
+             |    CAST(round(value * 1e6) AS BIGINT) AS vm
+             |  FROM events),
+             |b AS (SELECT grp, bucket, vm FROM (
+             |    SELECT grp, bucket, vm, row_number() OVER (
+             |      PARTITION BY grp, bucket ORDER BY tsu DESC, id DESC) AS rn
+             |    FROM e0) WHERE rn = 1),
+             |s AS (SELECT grp, min(bucket) AS b0, max(bucket) AS b1
+             |      FROM b GROUP BY grp),
+             |g AS (SELECT grp, unnest(generate_series(b0, b1)) AS bucket FROM s),
+             |j AS (SELECT g.grp, g.bucket, b.vm
+             |      FROM g LEFT JOIN b ON b.grp = g.grp AND b.bucket = g.bucket)
+             |SELECT grp, bucket,
+             |  COALESCE(last_value(vm IGNORE NULLS) OVER (PARTITION BY grp
+             |    ORDER BY bucket ROWS UNBOUNDED PRECEDING), -1) AS value_micro,
+             |  CAST(vm IS NOT NULL AS BIGINT) AS observed
+             |FROM j ORDER BY grp, bucket""".stripMargin),
+      "hourly regular-grid resampling with forward fill per event type: last " +
+        "observation per bucket by deterministic (ts, id) max, span-bounded grid " +
+        "explode, carry-forward window — the regularizer every downstream " +
+        "time-series model assumes; -1 sentinel for unreachable leading gaps")
   )
 }

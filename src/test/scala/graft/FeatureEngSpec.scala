@@ -182,6 +182,63 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.head.getAs[Long]("n_bins") === 2L)
   }
 
+  // ------------------------------------------------------- negativeSamples
+
+  test("negativeSamples: k per pair, in-vocab, deterministic, collisions flagged") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val vocab = (1L to 50L).toDF("item")
+    val out = FeatureEng.negativeSamples(pairs, "a", "b", vocab, "item", k = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+    assert(rows.length === 8, "k negatives per pair")
+    assert(rows.map(_._1).toSet.size === 8, "ranks 0..3 per pair, no dups")
+    assert(rows.forall { case (_, (neg, _)) => neg >= 1L && neg <= 50L }, "in vocab")
+    rows.foreach { case ((a, b, _), (neg, coll)) =>
+      assert((coll === 1L) === (neg === a || neg === b), "collision flag is honest")
+    }
+    val again = FeatureEng.negativeSamples(
+        pairs.repartition(5), "a", "b", vocab.repartition(3), "item", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+    assert(rows.toMap === again.toMap, "md5 draw is partitioning-independent")
+  }
+
+  test("negativeSamples: a 2-item vocab forces flagged collisions, never resamples") {
+    val pairs = Seq((7L, 8L)).toDF("a", "b")
+    val vocab = Seq(7L, 8L).toDF("item")
+    val out = FeatureEng.negativeSamples(pairs, "a", "b", vocab, "item", k = 6)
+      .collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getLong(4) === 1L), "every draw collides and says so")
+  }
+
+  // --------------------------------------------------------- resampleFfill
+
+  test("resampleFfill: gaps carry forward, leading gap is the sentinel, last obs wins") {
+    // grp G buckets: 10 -> two obs (later one wins), 11 missing, 12 obs;
+    // grp H starts with a value immediately
+    val d = Seq(
+      (1L, "G", 1000L, 1.0), (2L, "G", 1050L, 2.0), // bucket 10, id 2 later
+      (3L, "G", 1250L, 9.0), // bucket 12
+      (4L, "H", 1120L, 5.0)) // bucket 11
+      .toDF("id", "g", "tsu", "v")
+    val got = FeatureEng.resampleFfill(d, "g", "tsu", "v", "id", bucketMicros = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("G", 10L) -> ((2000000L, 1L)), // the LATER obs in the bucket
+      ("G", 11L) -> ((2000000L, 0L)), // gap: carried forward, flagged filled
+      ("G", 12L) -> ((9000000L, 1L)),
+      ("H", 11L) -> ((5000000L, 1L))))
+  }
+
+  test("resampleFfill: equal timestamps break by id; span is per group") {
+    val d = Seq((1L, "G", 500L, 1.0), (2L, "G", 500L, 3.0)).toDF("id", "g", "tsu", "v")
+    val got = FeatureEng.resampleFfill(d, "g", "tsu", "v", "id", bucketMicros = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("G", 0L) -> 3000000L), "higher id wins the (ts, id) tie")
+  }
+
   // ------------------------------------------------------ crossCorrelation
 
   test("crossCorrelation: a constructed 2-bucket lead shows up at lag 2") {
