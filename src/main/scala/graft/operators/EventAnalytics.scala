@@ -250,6 +250,36 @@ object EventAnalytics {
         col(s"active_${windowDays}d"))
   }
 
+  /** Top user-journey paths: per session (any session key — gap
+    * sessions, visits, days), the ordered sequence of the first
+    * `maxSteps` event types joined with `>`, counted across sessions —
+    * the "what do users actually do" report product analytics opens
+    * with. Truncation to `maxSteps` keeps the path vocabulary bounded
+    * (untruncated paths are nearly unique, which is a list of sessions,
+    * not a report).
+    *
+    * One exchange on the session key (the ordered collect), one on the
+    * path string (the count) — path cardinality is bounded by
+    * |event types|^maxSteps in the worst case and tiny in practice.
+    * Ordering inside a session is the deterministic (ts, id) sort; the
+    * collect is per-session-bounded, never a global collect.
+    */
+  def sessionPaths(
+      events: DataFrame, sessionCol: String, typeCol: String,
+      tsMicrosCol: String, idCol: String, maxSteps: Int = 5): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 32, "maxSteps in [1, 32]")
+    events
+      .select(col(sessionCol).as("sess"), col(typeCol).as("et"),
+        col(tsMicrosCol).cast("bigint").as("tsu"), col(idCol).cast("bigint").as("id"))
+      .groupBy(col("sess"))
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("tsu"), col("id"), col("et")))),
+          s => s.getField("et")), 1, maxSteps), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Multi-touch conversion attribution: each `convType` event's value is
     * credited to the `touchTypes` events of the SAME user in the
     * `windowMicros` before it (inclusive of the conversion instant) under

@@ -499,6 +499,38 @@ object FeatureQueries {
       "hourly regular-grid resampling with forward fill per event type: last " +
         "observation per bucket by deterministic (ts, id) max, span-bounded grid " +
         "explode, carry-forward window — the regularizer every downstream " +
-        "time-series model assumes; -1 sentinel for unreachable leading gaps")
+        "time-series model assumes; -1 sentinel for unreachable leading gaps"),
+
+    // ------------------------------------------------ session journey paths
+    "q139_session_paths" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+        val sess = EventAnalytics.sessionize(
+          ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+        val tagged = ev.select(col("event_id").as("id"), col("event_type"))
+          .join(sess, Seq("id"))
+          .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
+        EventAnalytics.sessionPaths(tagged, "skey", "event_type", "tsu", "id",
+            maxSteps = 5)
+          .orderBy(col("n_sessions").desc, col("path"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id AS id, user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+             |  FROM events),
+             |m AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |      OR tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tsu, id)),
+             |sx AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |p AS (SELECT u, sid,
+             |    array_to_string(list_slice(list(et ORDER BY tsu, id), 1, 5), '>')
+             |      AS path
+             |  FROM sx GROUP BY u, sid)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin),
+      "top user-journey paths: first 5 ordered event types per 6h-gap session, " +
+        "counted across sessions — the opening product-analytics report; ordered " +
+        "per-session collect + path count, cardinality bounded by truncation")
   )
 }

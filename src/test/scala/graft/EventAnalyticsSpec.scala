@@ -298,6 +298,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Set(("A", "B"), ("B", "C")))
   }
 
+  // ----------------------------------------------------------- sessionPaths
+
+  test("sessionPaths: ordered by (ts, id), truncated at maxSteps, counted") {
+    // session A: C(5) then A(10,id1) then B(10,id2) -> "C>A>B"
+    // session B: same path; session D: 4 events truncated to 3
+    val d = Seq(
+      ("s1", "C", 5L, 1L), ("s1", "A", 10L, 2L), ("s1", "B", 10L, 3L),
+      ("s2", "C", 1L, 4L), ("s2", "A", 2L, 5L), ("s2", "B", 3L, 6L),
+      ("s3", "W", 1L, 7L), ("s3", "X", 2L, 8L), ("s3", "Y", 3L, 9L), ("s3", "Z", 4L, 10L))
+      .toDF("s", "et", "tsu", "id")
+    val got = EventAnalytics.sessionPaths(d, "s", "et", "tsu", "id", maxSteps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("C>A>B" -> 2L, "W>X>Y" -> 1L))
+  }
+
   // --------------------------------------------------------- rollingActives
 
   test("rollingActives: hand case — trailing window, gap days, today cap") {
