@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line per (query, corpus) with secs + result rows.
   */
 object ScaleSmoke {
+  // q131's pair set is only APPROXIMATELY preserved under token-salted
+  // replication (idf depends on the 10x corpus count: ln((10N+1)/(10df+1))
+  // != ln((N+1)/(df+1)) exactly), so its row ratio is near-10x, not
+  // exact — the TIME ratio is the scale signal
   private val QueryNames =
     Seq("q31_dedup_jaccard", "q32_dedup_minhash", "q39_dedup_components",
-      "q78_bloom_decontaminate")
+      "q78_bloom_decontaminate", "q131_tfidf_cosine")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
