@@ -226,6 +226,44 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("labelPropagation matches a driver-side round simulation on a random graph") {
+    val edges = (0L until 400L).map(i => (i % 31, (i * 13 + 7) % 31))
+      .filter(e => e._1 != e._2)
+    val got = lpa(3)(edges: _*)
+    // independent reference: simulate the synchronous rounds directly
+    val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === labels)
+  }
+
+  test("ancestorClosure matches a driver-side BFS on a random forest") {
+    // random forest: each node's parent has a strictly smaller id
+    val rnd = new scala.util.Random(11)
+    val edges = (1L until 80L).map(c => (c, rnd.nextLong(c).max(0L)))
+    val got = anc(64)(edges: _*)
+    val parent = edges.toMap
+    // reference: walk each node's parent chain to the root
+    def chain(n: Long): Seq[(Long, Long)] = {
+      var cur = n; var d = 0L
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      while (parent.contains(cur)) {
+        cur = parent(cur); d += 1
+        out += (cur -> d)
+      }
+      out.toSeq
+    }
+    val want = (1L until 80L).flatMap(n =>
+      chain(n).map { case (a, d) => (n, a) -> d }).toMap
+    assert(got === want)
+  }
+
   test("triangleCounts matches a brute-force reference on a pseudo-random graph") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 3) % 23))
       .filter(e => e._1 != e._2)
