@@ -277,6 +277,47 @@ object FeatureEng {
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
   }
 
+  /** Two-proportion A/B significance test with an EXACT integer decision
+    * — experimentation analytics without a single float: per metric row
+    * `(metric, x1, n1, x2, n2)` (successes/totals per arm), the pooled
+    * two-proportion z-test `|z| ≥ z_c` is decided by clearing every
+    * denominator (the q93 pattern):
+    *
+    *   z² ≥ c  ⟺  q·(x1·n2 − x2·n1)²·(n1+n2) ≥ p·n1·n2·s·(N − s)
+    *
+    * with s = x1+x2, N = n1+n2 and the critical value c = p/q as a
+    * RATIONAL (default 2401/625 = 1.96², the 95% two-sided test) — both
+    * sides exact decimal(38,0) products, so the verdict is bit-identical
+    * in any engine at any parallelism (a float z computed two ways can
+    * straddle the threshold; an integer comparison cannot). Emits the
+    * inputs, the lift direction, and the verdict — effect SIZE stays
+    * with the caller, in integers they choose.
+    *
+    * Degenerate pools (s = 0 or s = N: zero pooled variance) are not
+    * significant by convention. One map-only projection over a
+    * metric-cardinality-bounded input.
+    */
+  def abTest(
+      metrics: DataFrame, metricCol: String,
+      x1Col: String, n1Col: String, x2Col: String, n2Col: String,
+      critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    require(critP >= 1 && critQ >= 1, "critical value p/q must be positive")
+    val base = metrics.select(col(metricCol).as("metric"),
+      col(x1Col).cast("bigint").as("x1"), col(n1Col).cast("bigint").as("n1"),
+      col(x2Col).cast("bigint").as("x2"), col(n2Col).cast("bigint").as("n2"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val s = d("x1") + d("x2")
+    val nTot = d("n1") + d("n2")
+    val num = d("x1") * d("n2") - d("x2") * d("n1")
+    base
+      .withColumn("lift_sign",
+        when(num > 0, lit(1L)).when(num < 0, lit(-1L)).otherwise(lit(0L)))
+      .withColumn("significant",
+        (s > 0 && s < nTot &&
+          lit(critQ) * num * num * nTot >=
+            lit(critP) * d("n1") * d("n2") * s * (nTot - s)).cast("bigint"))
+  }
+
   /** Deterministic negative sampling for embedding-model training pairs
     * (the word2vec/item2vec companion of [[cooccurrencePairs]]): each
     * positive pair (a, b) gets `k` pseudo-random negatives drawn from

@@ -531,6 +531,56 @@ object FeatureQueries {
              |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin),
       "top user-journey paths: first 5 ordered event types per 6h-gap session, " +
         "counted across sessions — the opening product-analytics report; ordered " +
-        "per-session collect + path count, cardinality bounded by truncation")
+        "per-session collect + path count, cardinality bounded by truncation"),
+
+    // ------------------------------------------------ A/B significance test
+    "q140_ab_test" -> Q(
+      (s, dir) => {
+        // arms by md5 parity of user id (the hashSplit convention — the
+        // assignment any engine can reproduce); per event-type metric,
+        // x = distinct users in the arm who did it, n = arm size
+        val ev = Tables.events(s, dir)
+        val users = ev.select(col("user_id").as("u")).distinct()
+          .withColumn("arm",
+            conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10)
+              .cast("bigint") % 2)
+        val tot = users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"))
+        val hits = ev.select(col("event_type").as("metric"), col("user_id").as("u"))
+          .distinct()
+          .join(users, Seq("u"))
+          .groupBy(col("metric"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x2"))
+          .crossJoin(broadcast(tot))
+        FeatureEng.abTest(hits, "metric", "x1", "n1", "x2", "n2")
+          .orderBy(col("metric"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+              |ua AS (SELECT u, ${hex8("md5(CAST(u AS VARCHAR))")} % 2 AS arm FROM u),
+              |tot AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+              |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2 FROM ua),
+              |h AS (SELECT DISTINCT event_type AS metric, user_id AS u FROM events),
+              |hx AS (SELECT metric,
+              |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS x1,
+              |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS x2
+              |  FROM h JOIN ua USING (u) GROUP BY metric),
+              |j AS (SELECT metric, CAST(x1 AS HUGEINT) AS x1, CAST(n1 AS HUGEINT) AS n1,
+              |      CAST(x2 AS HUGEINT) AS x2, CAST(n2 AS HUGEINT) AS n2
+              |      FROM hx CROSS JOIN tot)
+              |SELECT metric, CAST(x1 AS BIGINT) AS x1, CAST(n1 AS BIGINT) AS n1,
+              |  CAST(x2 AS BIGINT) AS x2, CAST(n2 AS BIGINT) AS n2,
+              |  CAST(CASE WHEN x1 * n2 > x2 * n1 THEN 1
+              |            WHEN x1 * n2 < x2 * n1 THEN -1 ELSE 0 END AS BIGINT)
+              |    AS lift_sign,
+              |  CAST((x1 + x2) > 0 AND (x1 + x2) < (n1 + n2) AND
+              |    625 * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2) >=
+              |    2401 * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)
+              |    AS BIGINT) AS significant
+              |FROM j ORDER BY metric""".stripMargin),
+      "exact-integer two-proportion A/B test (95%, 1.96^2 = 2401/625) per event-type " +
+        "metric over md5-parity user arms — the experimentation readout with a " +
+        "clear-denominator verdict no float z-score can flip (q93 pattern)")
   )
 }

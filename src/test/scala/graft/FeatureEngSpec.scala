@@ -182,6 +182,46 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.head.getAs[Long]("n_bins") === 2L)
   }
 
+  // ---------------------------------------------------------------- abTest
+
+  test("abTest: strong lift significant, even split not, degenerate pools never") {
+    val m = Seq(
+      ("strong", 90L, 100L, 10L, 100L), // obvious win
+      ("even", 50L, 100L, 50L, 100L), // identical arms
+      ("allzero", 0L, 100L, 0L, 100L), // zero pooled variance
+      ("allone", 100L, 100L, 50L, 50L)) // saturated pool
+      .toDF("metric", "x1", "n1", "x2", "n2")
+    val got = FeatureEng.abTest(m, "metric", "x1", "n1", "x2", "n2")
+      .collect().map(r => r.getString(0) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(got("strong") === ((1L, 1L)))
+    assert(got("even") === ((0L, 0L)))
+    assert(got("allzero") === ((0L, 0L)))
+    assert(got("allone") === ((0L, 0L)), "saturated pool has zero variance")
+  }
+
+  test("abTest verdicts match the float z-test on random inputs") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val n1 = 20L + rnd.nextInt(500)
+      val n2 = 20L + rnd.nextInt(500)
+      (s"m$i", rnd.nextInt(n1.toInt + 1).toLong, n1, rnd.nextInt(n2.toInt + 1).toLong, n2)
+    }
+    val got = FeatureEng.abTest(rows.toDF("metric", "x1", "n1", "x2", "n2"),
+        "metric", "x1", "n1", "x2", "n2")
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    rows.foreach { case (m, x1, n1, x2, n2) =>
+      val p = (x1 + x2).toDouble / (n1 + n2)
+      val want =
+        if (p == 0.0 || p == 1.0) 0L
+        else {
+          val z = (x1.toDouble / n1 - x2.toDouble / n2) /
+            math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+          if (z * z >= 2401.0 / 625.0) 1L else 0L
+        }
+      assert(got(m) === want, s"$m x1=$x1 n1=$n1 x2=$x2 n2=$n2")
+    }
+  }
+
   // ------------------------------------------------------- negativeSamples
 
   test("negativeSamples: k per pair, in-vocab, deterministic, collisions flagged") {
