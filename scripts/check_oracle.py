@@ -63,6 +63,19 @@ def main(out_dir: str, sf_dir: str) -> None:
             print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1
             continue
+        # Driver-strict dtype gate: the driver hashes materialized values, so
+        # an int64 Spark column vs a float64 oracle column (e.g. a DuckDB
+        # HUGEINT window sum widened by pandas) hash-mismatches even when
+        # every value is equal. Mirror that by refusing kind mismatches
+        # (int vs float vs object); width-only differences (int32/int64)
+        # render identically and are allowed.
+        kind_bad = [(c, g[c].dtype, e[c].dtype) for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            det = ", ".join(f"{c}: spark={gk} oracle={ek}" for c, gk, ek in kind_bad)
+            print(f"FAIL  {name}: dtype kind mismatch ({det}) — driver hash would FAIL")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS  {name}: rows={len(g)}")

@@ -408,8 +408,14 @@ object Dedup {
       maxDf: Int = 1000, tfCap: Int = 255): DataFrame = {
     require(thresholdP >= 1 && thresholdQ >= 1 && thresholdP <= thresholdQ,
       "threshold p/q must be a fraction in (0, 1]")
-    require(thresholdP <= 1000 && thresholdQ <= 1000,
-      "keep p, q <= 1000 so the gate products stay inside decimal(38,0)")
+    // Gate products: q²·S² and p²·SS_a·SS_b with S, SS ≤ ~1.2e18 (the
+    // documented numeric window above), so q²·(1.2e18)² ≤ 10^38 needs
+    // q ≤ 8 — beyond that the decimal(38,0) product overflows to NULL
+    // (non-ANSI) and qualifying pairs would be silently dropped.
+    require(thresholdP <= 8 && thresholdQ <= 8,
+      "keep p, q <= 8: the gate computes q^2*S^2 with S up to ~1.2e18, and " +
+        "q > 8 pushes the product past decimal(38,0) (overflow -> NULL -> " +
+        "silently dropped pairs)")
     require(maxDf >= 1, "maxDf must be >= 1")
     require(tfCap >= 1 && tfCap <= 255, "tfCap in [1, 255] (numeric window)")
     val tf = docs

@@ -296,6 +296,14 @@ object FeatureEng {
     * Degenerate pools (s = 0 or s = N: zero pooled variance) are not
     * significant by convention. One map-only projection over a
     * metric-cardinality-bounded input.
+    *
+    * Numeric window: both gate sides must fit decimal(38,0) — the larger
+    * is critQ·num²·N (num can reach n1·n2). Rather than cap N at the
+    * worst case (which would forbid realistic big-N/small-num rows), each
+    * row's magnitudes are pre-estimated in double and any row whose gate
+    * product would exceed ~5·10³⁷ raises loudly — Spark's non-ANSI
+    * decimal overflow would otherwise NULL `significant` silently,
+    * contradicting the bit-identical claim.
     */
   def abTest(
       metrics: DataFrame, metricCol: String,
@@ -309,7 +317,21 @@ object FeatureEng {
     val s = d("x1") + d("x2")
     val nTot = d("n1") + d("n2")
     val num = d("x1") * d("n2") - d("x2") * d("n1")
-    base
+    // magnitude pre-check in double (exact decimal values, ~1e-16 relative
+    // estimate error vs a 2x safety margin): fail loudly instead of letting
+    // decimal(38,0) overflow silently NULL the verdict
+    val dd = (c: String) => col(c).cast("double")
+    val numD = abs(dd("x1") * dd("n2") - dd("x2") * dd("n1"))
+    val nD = dd("n1") + dd("n2")
+    val sD = dd("x1") + dd("x2")
+    val lhsD = lit(critQ.toDouble) * numD * numD * nD
+    val rhsD = lit(critP.toDouble) * dd("n1") * dd("n2") * sD * (nD - sD)
+    val guarded = base.withColumn("x1",
+      when(lhsD < 5e37 && rhsD < 5e37, col("x1")).otherwise(raise_error(concat(
+        lit("abTest: gate product would overflow decimal(38,0) for metric "),
+        col("metric"),
+        lit(" — shrink the arms or rescale counts (see numeric window)")))))
+    guarded
       .withColumn("lift_sign",
         when(num > 0, lit(1L)).when(num < 0, lit(-1L)).otherwise(lit(0L)))
       .withColumn("significant",
@@ -332,24 +354,35 @@ object FeatureEng {
     * rank is one skinny global sort of DISTINCT items (small by
     * assumption; the subsequent join broadcasts it), then the pair side
     * explodes k rows each and equi-joins the broadcast index. Bounded by
-    * k·|pairs| + |vocab|, no all-pairs anywhere.
+    * k·|pairs| + |vocab|, no all-pairs anywhere. The catalog assumption
+    * is ENFORCED: the distinct vocabulary is counted eagerly and must be
+    * ≤ `maxVocab`, because the dense rank is a single-partition sort and
+    * the index is broadcast — pointing this at an event stream would
+    * otherwise degrade to a silent one-task bottleneck.
     */
   def negativeSamples(
       pairs: DataFrame, itemACol: String, itemBCol: String,
-      vocab: DataFrame, vocabItemCol: String, k: Int): DataFrame = {
+      vocab: DataFrame, vocabItemCol: String, k: Int,
+      maxVocab: Long = 10000000L): DataFrame = {
     require(k >= 1 && k <= 100, "k in [1, 100]")
-    val v = vocab.select(col(vocabItemCol).cast("bigint").as("item")).distinct()
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("item"))).cast("bigint") - 1)
-    val nv = broadcast(v.groupBy().agg(count(lit(1)).as("nv")))
+    require(maxVocab >= 1, "maxVocab must be >= 1")
+    val items = vocab.select(col(vocabItemCol).cast("bigint").as("item")).distinct()
+    val nVocab = items.count()
+    require(nVocab >= 1, "negativeSamples: empty vocabulary")
+    require(nVocab <= maxVocab,
+      s"negativeSamples: $nVocab distinct vocabulary items exceed " +
+        s"maxVocab=$maxVocab — the dense rank is a single-partition sort and " +
+        "the index is broadcast, both sized for a catalog, not a corpus; " +
+        "raise maxVocab only if the driver and executors can hold the index")
+    val v = items.withColumn("idx",
+      row_number().over(Window.orderBy(col("item"))).cast("bigint") - 1)
     val p = pairs.select(col(itemACol).cast("bigint").as("item_a"),
         col(itemBCol).cast("bigint").as("item_b"))
-      .crossJoin(nv)
-      .select(col("item_a"), col("item_b"), col("nv"),
+      .select(col("item_a"), col("item_b"),
         explode(sequence(lit(0L), lit(k.toLong - 1))).as("neg_rank"))
       .withColumn("idx",
         conv(substring(md5(concat_ws(":", col("item_a"), col("item_b"),
-          col("neg_rank"))), 1, 8), 16, 10).cast("bigint") % col("nv"))
+          col("neg_rank"))), 1, 8), 16, 10).cast("bigint") % lit(nVocab))
     p.join(broadcast(v), Seq("idx"))
       .select(col("item_a"), col("item_b"), col("neg_rank"),
         col("item").as("neg_item"),

@@ -243,9 +243,10 @@ object Graph {
       edges: DataFrame, childCol: String, parentCol: String,
       maxDepth: Int = 16): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 1024, "maxDepth in [1, 1024]")
+    // self-edges (child == parent) are length-1 cycles: keep them so the
+    // closing require fails loudly, instead of silently dropping them
     var closure = edges.select(col(childCol).cast("bigint").as("node"),
         col(parentCol).cast("bigint").as("ancestor"))
-      .filter(col("node") =!= col("ancestor"))
       .distinct()
       .withColumn("depth", lit(1L))
       .localCheckpoint(true)

@@ -207,8 +207,8 @@ object FeatureQueries {
              |m AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
              |      OR tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
              |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tsu, id)),
-             |sx AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
-             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |sx AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
              |sess AS (SELECT u, sid, min(tsu) AS sa, max(tsu) + 1 AS ea
              |         FROM sx GROUP BY 1, 2),
              |pd AS (SELECT DISTINCT u, tsu // 86400000000 AS day

@@ -568,8 +568,8 @@ object InsightQueries {
              |m AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
              |      OR tsu - lag(tsu) OVER w > 21600000000 THEN 1 ELSE 0 END AS ns
              |  FROM e WINDOW w AS (PARTITION BY u ORDER BY tsu, id)),
-             |sx AS (SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
-             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |sx AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY u ORDER BY tsu, id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
              |s0 AS (SELECT u, sid, min(tsu) AS t0 FROM sx WHERE et = 'view' GROUP BY u, sid),
              |s1 AS (SELECT x.u, x.sid, min(tsu) AS t1 FROM sx x JOIN s0 USING (u, sid)
              |       WHERE et = 'click' AND tsu >= t0 AND tsu <= t0 + 86400000000

@@ -252,6 +252,36 @@ class FeatureEngSpec extends SparkSpec {
     assert(out.forall(_.getLong(4) === 1L), "every draw collides and says so")
   }
 
+  test("negativeSamples: oversized vocabulary trips the catalog guard") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val vocab = (1L to 50L).toDF("item")
+    val ex = intercept[IllegalArgumentException] {
+      FeatureEng.negativeSamples(pairs, "a", "b", vocab, "item", k = 2,
+        maxVocab = 10L)
+    }
+    assert(ex.getMessage.contains("maxVocab"),
+      s"expected the vocab-cardinality guard, got: ${ex.getMessage}")
+  }
+
+  test("abTest: arm sizes past the decimal(38,0) window raise, never NULL") {
+    // n1 = n2 = 2e9, full separation: critQ*num^2*N ~ 2.4e39 would
+    // silently overflow-to-NULL without the guard
+    val m = Seq(("huge", 2000000000L, 2000000000L, 0L, 2000000000L))
+      .toDF("metric", "x1", "n1", "x2", "n2")
+    val ex = intercept[Exception] {
+      FeatureEng.abTest(m, "metric", "x1", "n1", "x2", "n2").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflow")),
+      s"expected the overflow guard, got: ${msgs(ex).mkString("; ")}")
+    // and a big-but-safe row still decides exactly (num small, N large)
+    val ok = Seq(("fine", 1000000L, 100000000L, 999000L, 100000000L))
+      .toDF("metric", "x1", "n1", "x2", "n2")
+    val got = FeatureEng.abTest(ok, "metric", "x1", "n1", "x2", "n2").collect()
+    assert(got.length === 1 && !got.head.isNullAt(6), "verdict must be non-NULL")
+  }
+
   // --------------------------------------------------------- resampleFfill
 
   test("resampleFfill: gaps carry forward, leading gap is the sentinel, last obs wins") {

@@ -188,6 +188,12 @@ class GraphSpec extends SparkSpec {
       s"expected the cycle guard, got: ${ex.getMessage}")
   }
 
+  test("ancestorClosure: a self-edge (length-1 cycle) also fails loudly") {
+    val ex = intercept[Exception] { anc(8)((1L, 2L), (3L, 3L)) }
+    assert(ex.getMessage.contains("cycle"),
+      s"expected the cycle guard on child == parent, got: ${ex.getMessage}")
+  }
+
   // ------------------------------------------------------- labelPropagation
 
   private def lpa(rounds: Int)(edges: (Long, Long)*) =

@@ -64,6 +64,30 @@ class TemporalSpec extends SparkSpec {
       "bucket blocking must reproduce the theta join exactly")
   }
 
+  test("overlapJoin matches a brute-force theta reference on random intervals") {
+    // spans from 1 up to ~50 buckets, negative starts (trunc-DIV bucketing
+    // is monotonic, so the canonical-bucket emit must still be unique),
+    // bucket widths from degenerate (1) to coarser-than-most-intervals
+    val rnd = new scala.util.Random(43)
+    for (bucket <- Seq(1L, 7L, 64L, 1000L)) {
+      def side(): Seq[(Long, Long, Long, Long)] = (0 until 120).map { i =>
+        val k = rnd.nextInt(5).toLong
+        val s = rnd.nextLong() % 2000L // negative and positive starts
+        val span = 1L + rnd.nextInt(3000)
+        (k, i.toLong, s, s + span)
+      }
+      val l = side()
+      val r = side()
+      val got = run(l, r, bucket)
+      val want = (for {
+        (k, ia, sa, ea) <- l
+        (k2, ib, sb, eb) <- r
+        if k == k2 && sa < eb && sb < ea
+      } yield (k, ia, ib) -> (math.min(ea, eb) - math.max(sa, sb))).toMap
+      assert(got === want, s"bucket=$bucket: blocked join must equal theta join")
+    }
+  }
+
   test("overlapJoin rejects empty intervals loudly") {
     val ex = intercept[Exception] {
       run(left = Seq((1L, 1L, 10L, 10L)), right = Seq((1L, 2L, 0L, 100L)), bucket = 10L)
