@@ -651,4 +651,49 @@ object Curation {
       .select(col("doc"), col("n_tokens"), col("score"),
         (col("running") <= budget).as("keep"))
   }
+
+  /** SEQUENCE PACKING (concat-and-chunk): lay documents end to end in a
+    * deterministic pseudo-random order and cut the stream into
+    * fixed-`contextLen` training windows — the step between a curated
+    * corpus and a pretraining dataloader. Emits one row per document:
+    * its shard, its exclusive token offset within the shard's stream,
+    * and the first/last window it lands in (`first_bin`..`last_bin` —
+    * documents longer than the remaining window space SPAN windows, the
+    * standard causal-LM packing; a loader that drops boundary-crossing
+    * docs filters `n_bins > 1`).
+    *
+    * Determinism: the concatenation order is the [[corpusShards]] order
+    * (shard = md5 mod nShards, within-shard order by full md5 then id) —
+    * rerun-, partitioning-, and engine-stable, and adding documents
+    * never reorders existing pairs within a shard.
+    *
+    * Scale design — NO GLOBAL PREFIX SUM: offsets are per-shard (each
+    * shard is an independent token stream with its own window numbering,
+    * exactly how a 1000-executor writer emits N dataloader files), so
+    * the plan is one hash shuffle on shard + per-shard sort; single-task
+    * work is bounded by the largest shard, which `nShards` controls.
+    * Zero- or negative-token documents fail loudly — they would
+    * silently corrupt every later offset in their shard.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String,
+      contextLen: Long, nShards: Int = 64): DataFrame = {
+    require(contextLen >= 1, "contextLen must be >= 1")
+    require(nShards >= 1, "nShards must be >= 1")
+    val d = df.select(col(idCol).as("doc"),
+        col(tokensCol).cast("bigint").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("h"))
+      .withColumn("n_tokens", when(col("n_tokens") >= 1, col("n_tokens"))
+        .otherwise(raise_error(concat(lit("packSequences: doc "),
+          col("doc").cast("string"), lit(" has non-positive token count")))))
+      .withColumn("shard", md5Head8(col("doc")) % nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_bin", expr(s"off DIV $contextLen"))
+      .withColumn("last_bin", expr(s"(off + n_tokens - 1) DIV $contextLen"))
+      .select(col("doc"), col("shard"), col("n_tokens"), col("off"),
+        col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1).as("n_bins"))
+  }
 }

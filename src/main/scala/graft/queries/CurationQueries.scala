@@ -445,6 +445,32 @@ object CurationQueries {
              |    CAST(row_number() OVER (PARTITION BY grp ORDER BY h, doc) AS BIGINT) AS rk
              |  FROM s)
              |SELECT doc, grp, rk FROM r WHERE rk <= 5 ORDER BY grp, rk""".stripMargin),
-      "deterministic per-group k-sample: smallest md5(id) per group (stateless reservoir equivalent)")
+      "deterministic per-group k-sample: smallest md5(id) per group (stateless reservoir equivalent)"),
+
+    "q141_pack_sequences" -> Q(
+      (s, dir) =>
+        Curation.packSequences(
+            Tables.table(s, dir, "documents")
+              .withColumn("n_tok", greatest(lit(1L), expr("n_chars DIV 4"))),
+            "doc_id", "n_tok", contextLen = 2048L, nShards = 16)
+          .orderBy(col("doc")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id AS doc, greatest(1, n_chars // 4) AS n_tokens,
+              |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+              |s AS (SELECT doc, n_tokens, h, ${hex8("h")} % 16 AS shard FROM d),
+              |o AS (SELECT doc, shard, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc
+              |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+              |  FROM s)
+              |SELECT doc, CAST(shard AS BIGINT) AS shard,
+              |  CAST(n_tokens AS BIGINT) AS n_tokens, off,
+              |  off // 2048 AS first_bin,
+              |  (off + n_tokens - 1) // 2048 AS last_bin,
+              |  (off + n_tokens - 1) // 2048 - off // 2048 + 1 AS n_bins
+              |FROM o ORDER BY doc""".stripMargin),
+      "concat-and-chunk sequence packing: documents laid end to end in the " +
+        "deterministic shard order and cut into 2048-token training windows — " +
+        "per-doc shard, stream offset, and spanned window range; per-shard " +
+        "prefix sums, never a global one")
   )
 }

@@ -49,7 +49,24 @@ object ScaleSmoke {
   // never quadratically).
   private val LineitemQueryNames =
     Seq("q108_triangles", "q111_basket_rules", "q115_kcore", "q117_pit_join",
-      "q129_label_prop")
+      "q129_label_prop",
+      // q137's co-purchase pairs AND its item vocabulary both live on
+      // lineitem: disjoint replicas scale pairs and vocab exactly 10x
+      // (k negatives per pair -> output 10x; the guarded vocab rank grows
+      // linearly but stays catalog-sized)
+      "q137_neg_samples")
+  // events replicas offset user_id (and event_id, the deterministic
+  // tiebreaker) while keeping timestamps, types, and values bit-identical:
+  // each replica user's event sequence IS some original user's, so
+  // sessions, journey paths, per-day actives, and per-group observation
+  // density scale exactly 10x while the day / path / event-type group
+  // cardinalities stay fixed — the shape a 10x-users product would have.
+  // q134: 7-day fan-out rows 10x, output days constant, DAU/WAU values 10x.
+  // q138: groups (event_type) constant, so the last-obs-per-bucket window
+  // sees 10x rows per partition — the stress the operator claims to take.
+  // q139: sessions 10x, path table constant, counts 10x.
+  private val EventsQueryNames =
+    Seq("q134_rolling_actives", "q138_resample_ffill", "q139_session_paths")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
@@ -85,6 +102,20 @@ object ScaleSmoke {
     }.reduce(_.unionByName(_))
   }
 
+  /** Expects the ts-NORMALIZED events frame (Tables.events) so the scaled
+    * parquet carries plain micro TimestampType and reads back identically
+    * in any session, with or without the nanosAsLong legacy flag. */
+  def scaledEvents(srcNormalized: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 1, "replicas >= 1")
+    (0 until replicas).map { r =>
+      srcNormalized.select(
+        (col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r.toLong * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+  }
+
   def scaledDocuments(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
     val parts = (0 until replicas).map { r =>
@@ -111,6 +142,7 @@ object ScaleSmoke {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -151,6 +183,12 @@ object ScaleSmoke {
         .repartition(32)
         .write.mode("overwrite").parquet(scaledEmb)
     }
+    val scaledEv = s"$scaledDir/events.parquet"
+    if (!new java.io.File(scaledEv).exists()) {
+      scaledEvents(graft.Tables.events(spark, srcDir), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(scaledEv)
+    }
 
     def timeNamed(names: Seq[String])(dir: String, tag: String): Seq[(String, Double, Long)] =
       names.map { name =>
@@ -163,7 +201,8 @@ object ScaleSmoke {
       }
 
     // warmup on the small corpus (JVM/codegen startup), then measure
-    val allNames = QueryNames ++ LineitemQueryNames ++ EmbeddingQueryNames
+    val allNames = QueryNames ++ LineitemQueryNames ++ EmbeddingQueryNames ++
+      EventsQueryNames
     timeNamed(allNames)(srcDir, "warmup")
     val base = timeNamed(allNames)(srcDir, "sf0.1 ")
     val big = timeNamed(allNames)(scaledDir, s"x$replicas   ")

@@ -419,4 +419,51 @@ class CurationSpec extends SparkSpec {
     assert(Curation.tokenBudgetSelect(d, "doc", "sc", "toks", Long.MaxValue / 4)
       .filter(!col("keep")).count() === 0L)
   }
+
+  test("packSequences matches a driver-side reference (md5 order, spans, offsets)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val items = (1L to 40L).map(i => (i, i % 7 + 1)) // token counts 1..7
+    val d = items.toDF("doc", "toks")
+    val ctx = 10L
+    // reference: single shard (nShards = 1), concat in (md5, id) order,
+    // exclusive prefix offsets, bins by floor division
+    var off = 0L
+    val expected = items.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map { case (id, t) =>
+        val o = off; off += t
+        id -> ((o, o / ctx, (o + t - 1) / ctx))
+      }.toMap
+    val got = Curation.packSequences(d, "doc", "toks", ctx, nShards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    // multi-shard invariants: within each shard offsets tile the stream
+    // exactly (no gaps/overlaps) and the repartitioned plan agrees
+    val multi = Curation.packSequences(d, "doc", "toks", ctx, nShards = 4).cache()
+    val byShard = multi.collect().groupBy(_.getLong(1))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === expect, "offsets must tile the shard stream")
+        expect += r.getLong(2)
+        assert(r.getLong(6) === r.getLong(5) - r.getLong(4) + 1)
+      }
+    }
+    val again = Curation.packSequences(d.repartition(5), "doc", "toks", ctx, nShards = 4)
+    assert(multi.except(again).count() === 0L && again.except(multi).count() === 0L)
+    multi.unpersist()
+  }
+
+  test("packSequences: non-positive token counts fail loudly") {
+    val d = Seq((1L, 5L), (2L, 0L)).toDF("doc", "toks")
+    val ex = intercept[Exception] {
+      Curation.packSequences(d, "doc", "toks", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-positive")), msgs(ex).mkString("; "))
+  }
 }
