@@ -279,6 +279,206 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Product-quantization codebooks: the corpus's micro-quantized
+    * vectors are split into `m` contiguous subspaces and each subspace
+    * gets its own `nCentroids`-entry integer-Lloyd codebook (same
+    * fixed-point semantics as [[trainIntCentroids]]: smallest-md5 seeds,
+    * exact integer assignment, floorDiv means, empty cells keep their
+    * previous centroid — fully SQL-replayable). Training is ONE corpus
+    * scan per iteration for ALL m codebooks: per-row assignment columns,
+    * then a single exploded (subspace, cid, dim) aggregation — never m
+    * scans. Codebooks are bounded driver state (nCentroids · dim longs
+    * total), broadcast back as literals.
+    */
+  private[operators] def trainPqCodebooks(
+      e: DataFrame, m: Int, nCentroids: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val seeds = e
+      .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(seeds.nonEmpty, "pq training needs a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
+    val sub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val assigned = e.select(
+        col("vq") +: (0 until m).map { j =>
+          val sl = slice(col("vq"), j * sub + 1, sub)
+          nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
+        }: _*)
+      val sums = assigned
+        .select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), col(s"cid$j").as("cid"),
+            slice(col("vq"), j * sub + 1, sub).as("sq"))
+        }: _*)).as("s"))
+        .select(col("s.j").as("j"), col("s.cid").as("cid"),
+          posexplode(col("s.sq")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("cid"), col("d"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ-ADC approximate top-k (asymmetric distance computation): the
+    * corpus is ENCODED as m small codes (nearest codebook entry per
+    * subspace), each query precomputes its m × nCentroids exact integer
+    * subspace-distance table ONCE, and the scan scores a pair with m
+    * table lookups instead of a dim-length dot product. The approximate
+    * top-`rerank` per query (ties to the smaller id) is then re-scored
+    * with exact cosine and the top-`k` of that emitted — the standard
+    * PQ → exact-rerank pipeline.
+    *
+    * What PQ buys at scale: this is a COMPRESSED-DOMAIN LINEAR scan. It
+    * prunes FLOPs and memory traffic — the scanned corpus representation
+    * is m byte-sized codes (+ the rerank vector fetch for survivors)
+    * instead of dim floats, dim/m × smaller — but NOT pair enumeration;
+    * for that compose with the bucketed methods ([[lshTopK]],
+    * [[kmeansIntTopK]]) exactly as IVF-PQ does. Everything is exact
+    * integer arithmetic in micro² units (distances ≤ 2·2^50 < 2^53, sums
+    * over subspaces telescope to the full-vector bound), so training,
+    * codes, and candidate ranking are bit-identical in any engine at any
+    * parallelism, and the oracle replays all of it in SQL.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, m: Int = 4, nCentroids: Int = 16, iters: Int = 3,
+      rerank: Int = 50): DataFrame = {
+    require(m >= 1 && m <= 64, "m in [1, 64]")
+    require(nCentroids >= 1 && nCentroids <= 256, "nCentroids in [1, 256]")
+    require(iters >= 0 && k >= 1 && rerank >= k,
+      "need iters >= 0, k >= 1, rerank >= k")
+    val e = quantized(corpus, vecCol, idCol)
+    val books = trainPqCodebooks(e, m, nCentroids, iters)
+    val sub = books(0)(0).length
+    val codes = e.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+        array((0 until m).map { j =>
+          val sl = slice(col("vq"), j * sub + 1, sub)
+          nearestCid(sl, V.dot(sl, sl), books(j)).cast("long")
+        }: _*).as("code"))
+      .withColumn("cn", V.norm(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qvq", micro(col("qv")))
+      .withColumn("qvv",
+        guardedVv(V.dot(col("qvq"), col("qvq")), col("query_id")))
+      .withColumn("tbl", array((0 until m).map { j =>
+        val sl = slice(col("qvq"), j * sub + 1, sub)
+        array(books(j).toIndexedSeq.map { c =>
+          val cc = c.map(x => x * x).sum // exact: integer-valued squares
+          V.dot(sl, sl) - lit(2.0) * V.dot(sl, lit(c)) + lit(cc)
+        }: _*)
+      }: _*))
+      .withColumn("qn", V.norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("tbl"), col("code"),
+          (t, c) => element_at(t, (c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-PQ: the production ANN shape — [[kmeansIntTopK]]'s coarse
+    * integer-Lloyd buckets prune PAIR ENUMERATION (only the query's
+    * `nProbe` nearest buckets are scanned) and [[pqTopK]]'s codes prune
+    * PER-PAIR COST (m table lookups instead of a dim-length dot).
+    * Candidates surviving the ADC ranking (top-`rerank` per query, ties
+    * to the smaller id) get the exact cosine rerank. Codebooks here
+    * quantize RAW vectors shared across buckets (not per-bucket
+    * residuals — the residual variant buys accuracy at the price of
+    * per-bucket codebooks; this keeps the code table one broadcast and
+    * the whole pipeline SQL-replayable), so recall is tuned with
+    * `nProbe` × `rerank`, the two independent cost knobs.
+    *
+    * Scale: bucket equi-join bounds scanned pairs by bucket size ×
+    * nProbe; the scanned representation is m codes per row; both
+    * training loops are bounded driver state broadcast back. Same exact
+    * integer arithmetic as the parts, so bit-identical anywhere.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nClusters: Int = 8, nProbe: Int = 2, coarseIters: Int = 3,
+      m: Int = 4, nCentroids: Int = 16, pqIters: Int = 3,
+      rerank: Int = 50): DataFrame = {
+    require(nClusters >= 1 && nClusters <= 256 && nProbe >= 1,
+      "need 1 <= nClusters <= 256, nProbe >= 1")
+    require(m >= 1 && m <= 64 && nCentroids >= 1 && nCentroids <= 256,
+      "need m in [1, 64], nCentroids in [1, 256]")
+    require(coarseIters >= 0 && pqIters >= 0 && k >= 1 && rerank >= k,
+      "need iters >= 0, k >= 1, rerank >= k")
+    val e = quantized(corpus, vecCol, idCol)
+    val coarse = trainIntCentroids(e, nClusters, coarseIters)
+    val books = trainPqCodebooks(e, m, nCentroids, pqIters)
+    val sub = books(0)(0).length
+    val coded = e.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+        nearestCid(col("vq"), col("vv"), coarse).as("bucket"),
+        array((0 until m).map { j =>
+          val sl = slice(col("vq"), j * sub + 1, sub)
+          nearestCid(sl, V.dot(sl, sl), books(j)).cast("long")
+        }: _*).as("code"))
+      .withColumn("cn", V.norm(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qvq", micro(col("qv")))
+      .withColumn("qvv",
+        guardedVv(V.dot(col("qvq"), col("qvq")), col("query_id")))
+      .withColumn("qn", V.norm(col("qv")))
+      .withColumn("tbl", array((0 until m).map { j =>
+        val sl = slice(col("qvq"), j * sub + 1, sub)
+        array(books(j).toIndexedSeq.map { c =>
+          val cc = c.map(x => x * x).sum
+          V.dot(sl, sl) - lit(2.0) * V.dot(sl, lit(c)) + lit(cc)
+        }: _*)
+      }: _*))
+    val probes = q
+      .withColumn("pr", array_sort(array(coarse.toIndexedSeq.zipWithIndex.map {
+        case (c, i) => packedDist(col("qvq"), col("qvv"), c, i) }: _*)))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+        explode(slice(col("pr"), 1, nProbe)).as("pb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+        (col("pb") % 256).cast("int").as("bucket"))
+    val scored = coded.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("tbl"), col("code"),
+          (t, c) => element_at(t, (c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Per-row projection onto the corpus's top principal axis, computed
     * with EXACT integer arithmetic end-to-end — the curation signal
     * behind whitening / dominant-direction outlier filtering ("is this

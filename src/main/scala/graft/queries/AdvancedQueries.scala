@@ -33,6 +33,22 @@ object AdvancedQueries {
        |m$i AS (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM s$i GROUP BY cid),
        |c$i AS (SELECT p.cid, COALESCE(m$i.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i USING (cid))""".stripMargin
 
+  /** Subspace (product-quantization) Lloyd replay: the q58 recurrence
+    * with the subspace index j carried as DATA — codebooks are keyed
+    * (j, cid), slices are 16-wide (m=4 over dim 64), and every CTE
+    * partitions by (vec_id, j) where q58's partitioned by vec_id.
+    */
+  private def pqIter(i: Int): String =
+    s"""pasg$i AS (SELECT vec_id, j, sq, cid FROM (
+       |  SELECT s.vec_id, s.j, s.sq, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM psub s JOIN pc${i - 1} c ON c.j = s.j) WHERE rn = 1),
+       |ps$i AS (SELECT j, cid, dd.d AS d, sum(sq[dd.d]) AS s, count(*) AS cnt
+       |  FROM pasg$i CROSS JOIN generate_series(1, 16) AS dd(d) GROUP BY j, cid, dd.d),
+       |pm$i AS (SELECT j, cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM ps$i GROUP BY j, cid),
+       |pc$i AS (SELECT p.j, p.cid, COALESCE(pm$i.c, p.c) AS c FROM pc${i - 1} p
+       |  LEFT JOIN pm$i ON pm$i.j = p.j AND pm$i.cid = p.cid)""".stripMargin
+
   private val lloydWith: String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -267,6 +283,118 @@ object AdvancedQueries {
       },
       "IVF ANN with a KMeans-learned coarse quantizer — integer Lloyd's, fully engine-portable " +
         "(float-KMeans variant Similarity.ivfKmeansTopK stays spec-pinned)"),
+
+    // -------------------------------------------------------- PQ-ADC ANN path
+    // full subspace-Lloyd training + encoding + asymmetric-distance scan
+    // + exact rerank replayed in SQL: everything up to the final cosine
+    // is exact integer arithmetic in micro^2 units
+    "q142_sim_pq_adc" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(
+            emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
+            k = 10, m = 4, nCentroids = 16, iters = 3, rerank = 20)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+           |  FROM embeddings),
+           |psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+           |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+           |ini AS (SELECT vec_id, vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
+           |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
+           |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
+           |${pqIter(1)},
+           |${pqIter(2)},
+           |${pqIter(3)},
+           |enc AS (SELECT vec_id, j, cid FROM (
+           |  SELECT s.vec_id, s.j, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+           |  FROM psub s JOIN pc3 c ON c.j = s.j) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, vq FROM e WHERE vec_id < 5),
+           |qsub AS (SELECT query_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+           |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
+           |tbl AS (SELECT s.query_id, c.j, c.cid,
+           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))) AS dist
+           |  FROM qsub s JOIN pc3 c ON c.j = s.j),
+           |ad AS (SELECT t.query_id, enc.vec_id AS neighbor_id, CAST(sum(t.dist) AS BIGINT) AS adist
+           |  FROM enc JOIN tbl t ON t.j = enc.j AND t.cid = enc.cid
+           |  WHERE enc.vec_id <> t.query_id
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+           |  FROM ad) WHERE arank <= 20),
+           |scored AS (SELECT c.query_id, c.neighbor_id,
+           |    list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.neighbor_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      "PQ-ADC ANN: per-subspace integer-Lloyd codebooks (one corpus scan per round trains " +
+        "all 4), m-byte corpus codes, per-query exact integer distance tables, " +
+        "approximate top-20 by table-lookup sums, exact cosine rerank to top-10 — " +
+        "the compressed-domain scan that shrinks ANN memory traffic dim/m-fold"),
+
+    // ------------------------------------------------------- IVF-PQ ANN path
+    // coarse buckets (lloydWith's c3/af) prune enumeration, shared raw-
+    // vector PQ codes prune per-pair cost; both training loops + probe +
+    // ADC + exact rerank replayed in SQL
+    "q143_sim_ivf_pq" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+            emb.filter(col("vec_id") < 5), emb, "embedding", "vec_id",
+            k = 10, nClusters = 8, nProbe = 3, coarseIters = 3,
+            m = 4, nCentroids = 16, pqIters = 3, rerank = 20)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        s"""$lloydWith,
+           |psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+           |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+           |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
+           |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
+           |${pqIter(1)},
+           |${pqIter(2)},
+           |${pqIter(3)},
+           |enc AS (SELECT vec_id, j, cid FROM (
+           |  SELECT s.vec_id, s.j, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+           |  FROM psub s JOIN pc3 c ON c.j = s.j) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 5),
+           |pr AS (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
+           |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
+           |  FROM q CROSS JOIN c3 c),
+           |sel AS (SELECT query_id, bucket FROM pr WHERE crank <= 3),
+           |qsub AS (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+           |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
+           |tbl AS (SELECT s.query_id, c.j, c.cid,
+           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))) AS dist
+           |  FROM qsub s JOIN pc3 c ON c.j = s.j),
+           |ad AS (SELECT t.query_id, enc.vec_id AS neighbor_id, CAST(sum(t.dist) AS BIGINT) AS adist
+           |  FROM enc JOIN tbl t ON t.j = enc.j AND t.cid = enc.cid
+           |  JOIN af a ON a.vec_id = enc.vec_id
+           |  JOIN sel s ON s.query_id = t.query_id AND s.bucket = a.cid
+           |  WHERE enc.vec_id <> t.query_id
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+           |  FROM ad) WHERE arank <= 20),
+           |scored AS (SELECT c.query_id, c.neighbor_id,
+           |    list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.neighbor_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      "IVF-PQ ANN: integer-Lloyd coarse buckets prune pair enumeration (3 of 8 probed), " +
+        "shared PQ codes prune per-pair cost, exact cosine rerank of the ADC top-20 — " +
+        "nProbe and rerank as independent recall/cost knobs"),
 
     // ----------------------------------------------- embedding-space curation
     "q83_semdedup" -> Q(

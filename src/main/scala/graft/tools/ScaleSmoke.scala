@@ -241,7 +241,15 @@ object ScaleSmoke {
         System.err.println(f"[scale] $tag lsh recall@10 hamming=$ham $rec%.3f")
         f""""lsh_hamming_$ham":$rec%.4f"""
       }
-      ivf ++ lsh
+      val pq = Seq(50, 100, 200).map { rr =>
+        val got = pairsOf(Similarity.pqTopK(queries, emb, "embedding",
+          "vec_id", k = 10, m = 4, nCentroids = 16, iters = 3, rerank = rr))
+        val rec = (got & exact).size.toDouble / exact.size
+        System.err.println(f"[scale] $tag pq recall@10 rerank=$rr $rec%.3f")
+        graft.operators.Dedup.releaseCaches()
+        f""""pq_rerank_$rr":$rec%.4f"""
+      }
+      ivf ++ lsh ++ pq
     }
     val recBase = recallCurves(srcDir, "sf0.1 ")
     val recBig = recallCurves(scaledDir, s"x$replicas   ")

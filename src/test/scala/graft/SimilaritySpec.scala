@@ -145,6 +145,67 @@ class SimilaritySpec extends SparkSpec {
 
   // ------------------------------------------------- nearestCentroidClassify
 
+  test("pqTopK with a full-corpus rerank equals brute force exactly") {
+    // the ADC pass only ORDERS candidates; with rerank >= |corpus| every
+    // row survives to the exact cosine rerank, so the final top-k must be
+    // bit-identical to bruteForceTopK — pins encoding, table lookups, and
+    // the rerank plumbing end to end
+    val n = emb.count().toInt
+    val pq = Similarity.pqTopK(queries, emb, "embedding", "vec_id",
+        k = 5, m = 4, nCentroids = 16, iters = 2, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pq === bf)
+  }
+
+  test("pqTopK: decent recall at a small rerank, rerun-stable, m must divide dim") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(queries, emb, "embedding", "vec_id",
+        k, m = 4, nCentroids = 16, iters = 3, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    assert(recall >= 0.4,
+      f"PQ recall@10 $recall%.2f below floor (ADC table should beat random)")
+    val again = Similarity.pqTopK(queries, emb.repartition(7), "embedding",
+        "vec_id", k, m = 4, nCentroids = 16, iters = 3, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq === again, "PQ pipeline must be partitioning-independent")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(queries, emb, "embedding", "vec_id",
+        k, m = 7, nCentroids = 16, iters = 1, rerank = 100).collect()
+    }
+    assert(ex.getMessage.contains("divide"), ex.getMessage)
+  }
+
+  test("ivfPqTopK with all buckets probed and a full rerank equals brute force") {
+    // nProbe = nClusters disables enumeration pruning, rerank >= |corpus|
+    // disables ADC pruning — what remains must be the exact pipeline
+    val n = emb.count().toInt
+    val got = Similarity.ivfPqTopK(queries, emb, "embedding", "vec_id",
+        k = 5, nClusters = 4, nProbe = 4, coarseIters = 2,
+        m = 4, nCentroids = 16, pqIters = 2, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf)
+  }
+
+  test("ivfPqTopK is rerun-stable and bounded by nProbe buckets") {
+    val a = Similarity.ivfPqTopK(queries, emb, "embedding", "vec_id",
+        k = 10, nClusters = 8, nProbe = 3, coarseIters = 3,
+        m = 4, nCentroids = 16, pqIters = 3, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Similarity.ivfPqTopK(queries, emb.repartition(9), "embedding",
+        "vec_id", k = 10, nClusters = 8, nProbe = 3, coarseIters = 3,
+        m = 4, nCentroids = 16, pqIters = 3, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a === b, "IVF-PQ must be partitioning-independent")
+    assert(a.nonEmpty)
+  }
+
   test("nearestCentroidClassify: separable clusters classify perfectly, dist 0 at centroid") {
     // label 0 sits at [1, 0, ...], label 1 at [0, 1, ...] exactly — the
     // per-label centroid IS the common vector, so every sq_dist is 0 and
