@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation analytics for classifier-driven data pipelines (the
+  * quality-filter / decontamination-model feedback loop): exact ROC-AUC,
+  * threshold-bucketed precision/recall, calibration bins, and chi-square
+  * term selection. A 100-TB corpus is scored by a quality model and the
+  * pipeline must decide thresholds from the scores — these are the
+  * aggregates that decision reads.
+  *
+  * Everything follows the repo's exact-integer contract: scores live in
+  * micro fixed point, every emitted statistic is an integer ratio cleared
+  * through `DIV` (decimal(38,0) where products outgrow longs), so any
+  * engine reproduces the numbers bit-for-bit — a float AUC computed two
+  * ways can differ in the last ulp; an integer one cannot.
+  */
+object ModelEval {
+
+  /** Exact tie-aware ROC-AUC per group, via the Mann-Whitney U statistic
+    * in pair-counting form: aggregate to DISTINCT micro scores first
+    * (`pos_s`, `neg_s` counts per score), then
+    *
+    *   2·U = Σ_s pos_s · (2·negBelow_s + neg_s)
+    *   AUC = 2·U / (2·nPos·nNeg)
+    *
+    * — concordant pairs count twice, tied pairs once: the standard
+    * average-rank tie convention with every quantity an integer. Emitted
+    * as `auc_ppm = (1e6 · 2U) DIV (2·nPos·nNeg)` (decimal(38,0)
+    * arithmetic; the product fits until nPos·nNeg ~ 5·10³¹ — beyond any
+    * corpus — and a double pre-check raises loudly before a silent
+    * non-ANSI decimal NULL). Single-class groups emit the -1 sentinel
+    * (the q122 convention — no NULLs in gate-facing output).
+    *
+    * Scale shape: one shuffle to (grp, score) for the distinct-score
+    * counts — map-side partial aggregation does the heavy lifting since
+    * micro scores repeat — then a prefix window per group over DISTINCT
+    * scores only (bounded by score resolution, not row count; a model
+    * emitting 1e6 distinct scores costs a 1e6-row per-group sort, not a
+    * corpus sort), then a per-group reduce. Groups parallelize
+    * independently; nothing touches the driver.
+    */
+  def rocAuc(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(scoreCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(labelCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("rocAuc: label must be 0/1"))))
+    val perScore = labeled.groupBy(col("grp"), col("sm"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wBelow = Window.partitionBy(col("grp")).orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perGrp = perScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("neg_below") + col("neg"))).as("u2"))
+    perGrp
+      .withColumn("n_pos", // double pre-check: fail loudly, never NULL
+        when(col("n_pos").cast("double") * col("n_neg").cast("double") < 5e31,
+          col("n_pos"))
+        .otherwise(raise_error(concat(
+          lit("rocAuc: nPos*nNeg would overflow decimal(38,0) in group "),
+          col("grp").cast("string")))))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(-1L))
+          .otherwise(expr(
+            """(CAST(1000000 AS DECIMAL(38,0)) * CAST(u2 AS DECIMAL(38,0)))
+              | DIV (CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))
+              |      * CAST(n_neg AS DECIMAL(38,0)))""".stripMargin))
+          .as("auc_ppm"))
+  }
+
+  /** Threshold-bucketed precision/recall curve: micro scores are cut into
+    * `nBuckets` equal-WIDTH buckets between the global min and max (exact
+    * integer edges: `bucket = ((sm - lo) * B) DIV (hi - lo + 1)`), and
+    * each non-empty bucket emits the confusion counts and
+    * precision/recall (in ppm) of the classifier "predict positive iff
+    * score >= this bucket's lower edge" — scanning the curve top-down is
+    * exactly how a corpus-filter threshold is picked.
+    *
+    * Scale shape: one 1-row global (min, max) aggregate broadcast back,
+    * one groupBy(bucket) with map-side combine (corpus → ≤ B rows), then
+    * a prefix window over ≤ B rows — bounded, not data-sized. Equal-width
+    * (not equal-frequency) buckets are the deliberate scale choice: no
+    * global rank is ever computed.
+    */
+  def prCurve(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100000, "nBuckets in [2, 100000]")
+    val labeled = df.select(
+        round(col(scoreCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(labelCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("prCurve: label must be 0/1"))))
+    val bounds = labeled.agg(min(col("sm")).as("lo"), max(col("sm")).as("hi"))
+    val perBucket = labeled.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"((sm - lo) * $nBuckets) DIV (hi - lo + 1)"))
+      .groupBy(col("bucket"), col("lo"), col("hi"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val wTop = Window.orderBy(col("bucket").desc) // ≤ nBuckets rows: bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("tp", sum(col("pos")).over(wTop))
+      .withColumn("fp", sum(col("neg")).over(wTop))
+      .withColumn("all_pos", sum(col("pos")).over(wAll))
+      .select(col("bucket"),
+        (col("lo") + expr(s"(bucket * (hi - lo + 1)) DIV $nBuckets"))
+          .as("threshold_micro"),
+        col("tp"), col("fp"), (col("all_pos") - col("tp")).as("fn"),
+        expr("(1000000 * tp) DIV (tp + fp)").as("precision_ppm"),
+        when(col("all_pos") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * tp) DIV all_pos")).as("recall_ppm"))
+      .orderBy(col("bucket").desc)
+  }
+
+  /** Calibration table: predictions (micro probabilities in [0, 1e6]) cut
+    * into `nBins` equal-width bins; each bin emits its count, mean
+    * predicted probability, and observed positive rate — the reliability
+    * diagram a probability-emitting quality filter is audited with
+    * (|mean_pred - pos_rate| is the per-bin calibration gap; the
+    * n-weighted sum is ECE, left to the caller in integers).
+    *
+    * Pure groupBy with map-side combine — the ideal 100-TB aggregate:
+    * corpus in, ≤ nBins rows out, no window, no join, no driver state.
+    */
+  def calibrationBins(
+      df: DataFrame, predPpmCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, "nBins in [2, 100000]")
+    df.select(col(predPpmCol).cast("bigint").as("p"),
+        col(labelCol).cast("bigint").as("y"))
+      .withColumn("p", when(col("p").between(0L, 1000000L), col("p"))
+        .otherwise(raise_error(
+          lit("calibrationBins: pred must be ppm in [0, 1e6]"))))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("calibrationBins: label must be 0/1"))))
+      .withColumn("bin", least(lit(nBins - 1L),
+        expr(s"(p * $nBins) DIV 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("sum_p"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_p DIV n").as("mean_pred_ppm"),
+        expr("(1000000 * n_pos) DIV n").as("pos_rate_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance per group, exactly:
+    *
+    *   D = max over distinct values x of |F_a(x) − F_b(x)|
+    *     = max |n_b·cumA(x) − n_a·cumB(x)| / (n_a·n_b)
+    *
+    * — clearing the denominators makes every intermediate an integer
+    * (decimal(38,0) products), so the sup-distance AND its argmax
+    * location are bit-identical in any engine; a float CDF subtraction
+    * can flip the argmax between equal-height steps. Emitted in ppm with
+    * the tie-broken location `at_micro` = the SMALLEST value achieving
+    * the max. The nonparametric companion to the PSI drift monitor
+    * ([[FeatureEng.psiDrift]]): PSI needs binning choices, KS does not —
+    * run both when auditing a feature's train/serve skew. One-sided
+    * groups emit the -1 sentinel.
+    *
+    * Scale shape: identical to [[rocAuc]] — distinct-value aggregation
+    * with map-side combine, then per-group prefix windows over DISTINCT
+    * micro values only (bounded by value resolution), then one reduce.
+    */
+  def ksTest(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String): DataFrame = {
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(sideCol).cast("bigint").as("side"))
+      .withColumn("side", when(col("side").isin(0L, 1L), col("side"))
+        .otherwise(raise_error(lit("ksTest: side must be 0/1"))))
+    val perValue = labeled.groupBy(col("grp"), col("sm"))
+      .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stepped = perValue
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("n_a", // double pre-check: fail loudly, never NULL
+        when(col("n_a").cast("double") * col("n_b").cast("double") < 5e31,
+          col("n_a"))
+        .otherwise(raise_error(concat(
+          lit("ksTest: n_a*n_b would overflow decimal(38,0) in group "),
+          col("grp").cast("string")))))
+      .withColumn("diff", abs(
+        col("n_b").cast("decimal(38,0)") * col("cum_a").cast("decimal(38,0)") -
+        col("n_a").cast("decimal(38,0)") * col("cum_b").cast("decimal(38,0)")))
+      .withColumn("maxd", max(col("diff")).over(
+        Window.partitionBy(col("grp"))))
+    stepped.groupBy(col("grp"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("maxd")).as("maxd"),
+        min(when(col("diff") === col("maxd"), col("sm"))).as("at"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(-1L))
+          .otherwise(expr(
+            """(CAST(1000000 AS DECIMAL(38,0)) * maxd)
+              | DIV (CAST(n_a AS DECIMAL(38,0))
+              |      * CAST(n_b AS DECIMAL(38,0)))""".stripMargin))
+          .as("d_ppm"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(-1L))
+          .otherwise(col("at")).as("at_micro"))
+  }
+
+  /** Chi-square term selection: for every (class, term) pair over a
+    * document corpus, the 2×2 presence/absence contingency statistic
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * (a = class docs containing the term, b = other docs containing it,
+    * c/d their complements), emitted in ppm for the `topK` terms per
+    * class — the classical supervised vocabulary pruner (feature
+    * selection for the fastText-style quality classifiers corpus filters
+    * train). All counts are integers; χ² is one decimal(38,0) ratio per
+    * pair, with the abTest-style double pre-check raising loudly on the
+    * (astronomically distant) overflow window instead of NULLing.
+    *
+    * Scale shape: presence = per-doc DISTINCT tokens (array_distinct at
+    * the scan, one explode), then three keyed aggregations — (class,
+    * term), term, class — each with map-side combine. The contingency
+    * table is the FULL |classes| × |vocab| grid (a term absent from a
+    * class is evidence too, a = 0): vocab rows fan out by the broadcast
+    * class list and left-join the observed (class, term) counts on their
+    * own key. The final top-k window partitions by class over
+    * vocabulary-sized input. No all-pairs, no driver state.
+    */
+  def chiSquareTerms(
+      docs: DataFrame, classCol: String, textCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    import graft.functions.{TextFunctions => T}
+    val present = docs
+      .select(col(classCol).as("cls"), T.tokens(col(textCol)).as("w"))
+      .withColumn("term", explode(array_distinct(col("w"))))
+      .select(col("cls"), col("term"))
+    val clsTerm = present.groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("a"))
+    val termTot = present.groupBy(col("term")).agg(count(lit(1)).as("t"))
+    val docsPerCls = docs.select(col(classCol).as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("nc"))
+    val nTotal = docs.agg(count(lit(1)).as("nn"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    // full class x vocab cells — a term ABSENT from a class is evidence too
+    // (the textbook chi2 table has a = 0 there); the cross join fans each
+    // vocab row out by the broadcast class list, |classes| x |vocab| rows
+    val cells = termTot
+      .crossJoin(broadcast(docsPerCls))
+      .join(clsTerm, Seq("cls", "term"), "left")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("c", col("nc") - col("a"))
+      .withColumn("dd", col("nn") - col("t") - col("c"))
+    val numD = col("nn").cast("double") *
+      pow(col("a").cast("double") * col("dd") - col("b").cast("double") * col("c"), 2)
+    val scored = cells
+      .withColumn("a", // 1e6·num must fit decimal(38,0): double pre-check
+        when(numD < 5e31, col("a")).otherwise(raise_error(concat(
+          lit("chiSquareTerms: chi2 numerator would overflow decimal(38,0) "
+            + "for term "), col("term")))))
+      .withColumn("delta", d("a") * d("dd") - d("b") * d("c"))
+      .withColumn("num",
+        lit(1000000L).cast("decimal(38,0)") * d("nn") * col("delta") * col("delta"))
+      .withColumn("den", (d("a") + d("b")) * (d("c") + d("dd")) *
+        (d("a") + d("c")) * (d("b") + d("dd")))
+      .withColumn("chi2_ppm",
+        when(col("den") === lit(0).cast("decimal(38,0)"), lit(-1L))
+          .otherwise(expr("num DIV den")))
+    val wTop = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2_ppm").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("cls"), col("rank").cast("bigint").as("rank"), col("term"),
+        col("a").as("n_class_with_term"), col("b").as("n_other_with_term"),
+        col("chi2_ppm"))
+  }
+}

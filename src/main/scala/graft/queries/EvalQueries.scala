@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.ModelEval
+
+/** Round-9 queries (q144-q148): model-evaluation analytics — the
+  * aggregates a scored corpus is thresholded with (exact Mann-Whitney
+  * ROC-AUC, bucketed precision/recall curve, calibration/reliability
+  * bins), chi-square term selection for quality-classifier vocabularies,
+  * and the unpivot (wide→long melt) reshape. The synthetic model under
+  * evaluation: `props.k` (a 0..99 integer every event carries) read as
+  * score or probability, with labels from `k >= 50` or the purchase
+  * event type — deterministic, engine-portable inputs; every emitted
+  * statistic is an exact integer ppm ratio.
+  */
+object EvalQueries {
+
+  private val label = "CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END"
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------ exact ROC-AUC
+    "q144_roc_auc" -> Q(
+      (s, dir) =>
+        ModelEval.rocAuc(
+            Tables.events(s, dir).withColumn("y",
+              (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                .cast("bigint")),
+            "event_type", "value", "y")
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm, $label AS y
+              |  FROM events),
+              |s AS (SELECT grp, sm, sum(y) AS pos, count(*) - sum(y) AS neg
+              |  FROM e GROUP BY 1, 2),
+              |w AS (SELECT *, coalesce(sum(neg) OVER (PARTITION BY grp
+              |    ORDER BY sm ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    0) AS neg_below FROM s),
+              |g AS (SELECT grp, sum(pos) AS n_pos, sum(neg) AS n_neg,
+              |    sum(pos * (2 * neg_below + neg)) AS u2 FROM w GROUP BY 1)
+              |SELECT grp, CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(n_neg AS BIGINT) AS n_neg,
+              |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+              |    ELSE (1000000 * u2) // (2 * n_pos * n_neg) END
+              |    AS BIGINT) AS auc_ppm
+              |FROM g ORDER BY grp""".stripMargin),
+      "exact tie-aware Mann-Whitney ROC-AUC per event type (score = value, label = " +
+        "props.k >= 50) in ppm — distinct-score aggregation then a per-group prefix " +
+        "window over distinct scores only; the integer pair-counting AUC any engine " +
+        "reproduces bit-for-bit"),
+
+    // ------------------------------------------------ precision/recall curve
+    "q145_pr_curve" -> Q(
+      (s, dir) =>
+        ModelEval.prCurve(
+            Tables.events(s, dir).withColumn("y",
+              (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                .cast("bigint")),
+            "value", "y", nBuckets = 20),
+      Some(s"""WITH e AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS sm,
+              |    $label AS y FROM events),
+              |b AS (SELECT min(sm) AS lo, max(sm) AS hi FROM e),
+              |k AS (SELECT ((sm - lo) * 20) // (hi - lo + 1) AS bucket, lo, hi, y
+              |  FROM e, b),
+              |p AS (SELECT bucket, lo, hi, sum(y) AS pos,
+              |    count(*) - sum(y) AS neg FROM k GROUP BY 1, 2, 3),
+              |c AS (SELECT *,
+              |    sum(pos) OVER (ORDER BY bucket DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              |    sum(neg) OVER (ORDER BY bucket DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+              |    sum(pos) OVER () AS all_pos FROM p)
+              |SELECT CAST(bucket AS BIGINT) AS bucket,
+              |  CAST(lo + (bucket * (hi - lo + 1)) // 20 AS BIGINT)
+              |    AS threshold_micro,
+              |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              |  CAST(all_pos - tp AS BIGINT) AS fn,
+              |  CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+              |  CAST(CASE WHEN all_pos = 0 THEN -1
+              |    ELSE (1000000 * tp) // all_pos END AS BIGINT) AS recall_ppm
+              |FROM c ORDER BY bucket DESC""".stripMargin),
+      "threshold-bucketed PR curve (20 equal-width micro-score buckets, top-down " +
+        "cumulative confusion counts, ppm precision/recall) — the corpus-filter " +
+        "threshold picker; one 1-row min/max broadcast + one bounded groupBy, " +
+        "no global rank"),
+
+    // ------------------------------------------------------ calibration bins
+    "q146_calibration" -> Q(
+      (s, dir) =>
+        ModelEval.calibrationBins(
+            Tables.events(s, dir).select(
+              (get_json_object(col("props"), "$.k").cast("bigint") * 10000)
+                .as("pred_ppm"),
+              (col("event_type") === "purchase").cast("bigint").as("y")),
+            "pred_ppm", "y", nBins = 10),
+      Some("""WITH e AS (SELECT
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 10000 AS p,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |g AS (SELECT least(9, (p * 10) // 1000000) AS bin, count(*) AS n,
+             |    sum(y) AS n_pos, sum(p) AS sum_p FROM e GROUP BY 1)
+             |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+             |  CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(sum_p // n AS BIGINT) AS mean_pred_ppm,
+             |  CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm
+             |FROM g ORDER BY bin""".stripMargin),
+      "reliability diagram: props.k/100 read as predicted purchase probability, cut " +
+        "into 10 equal-width bins; per bin the count, mean prediction, and observed " +
+        "positive rate (ppm) — pure map-side-combine groupBy, the ideal 100-TB " +
+        "aggregate"),
+
+    // -------------------------------------------- chi-square term selection
+    "q147_chi2_terms" -> Q(
+      (s, dir) =>
+        ModelEval.chiSquareTerms(
+            Tables.table(s, dir, "documents"), "lang", "text", topK = 5)
+          .orderBy(col("cls"), col("rank")),
+      Some("""WITH p AS (SELECT lang AS cls,
+             |    unnest(list_distinct(list_filter(
+             |      regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      t -> len(t) > 0))) AS term
+             |  FROM documents),
+             |ct AS (SELECT cls, term, count(*) AS a FROM p GROUP BY 1, 2),
+             |tt AS (SELECT term, count(*) AS t FROM p GROUP BY 1),
+             |k AS (SELECT lang AS cls, count(*) AS nc FROM documents GROUP BY 1),
+             |nn AS (SELECT count(*) AS nn FROM documents),
+             |cells AS (SELECT k.cls, tt.term, coalesce(ct.a, 0) AS a,
+             |    t - coalesce(ct.a, 0) AS b, nc - coalesce(ct.a, 0) AS c,
+             |    nn - t - (nc - coalesce(ct.a, 0)) AS dd, nn
+             |  FROM tt CROSS JOIN k
+             |    LEFT JOIN ct ON ct.cls = k.cls AND ct.term = tt.term
+             |    CROSS JOIN nn),
+             |sc AS (SELECT cls, term, a, b,
+             |    CASE WHEN (a+b) * (c+dd) * (a+c) * (b+dd) = 0 THEN -1
+             |      ELSE CAST((1000000::HUGEINT * nn * (a*dd - b*c) * (a*dd - b*c))
+             |        // ((a+b)::HUGEINT * (c+dd) * (a+c) * (b+dd)) AS BIGINT)
+             |      END AS chi2_ppm
+             |  FROM cells),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY cls
+             |    ORDER BY chi2_ppm DESC, term ASC) AS rank FROM sc)
+             |SELECT cls, CAST(rank AS BIGINT) AS rank, term,
+             |  CAST(a AS BIGINT) AS n_class_with_term,
+             |  CAST(b AS BIGINT) AS n_other_with_term, chi2_ppm
+             |FROM r WHERE rank <= 5 ORDER BY cls, rank""".stripMargin),
+      "top-5 chi-square-selected terms per language over document token presence — " +
+        "the supervised vocabulary pruner for quality classifiers; three keyed " +
+        "aggregations joined on the term key, broadcast class totals, exact " +
+        "decimal(38,0) chi-square in ppm"),
+
+    // ------------------------------------------------------------- unpivot
+    "q148_unpivot" -> Q(
+      (s, dir) => {
+        val micro = round(col("value") * lit(1e6)).cast("bigint")
+        Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(micro).as("sum_value_micro"),
+            max(micro).as("max_value_micro"),
+            countDistinct(col("user_id")).as("n_users"))
+          .unpivot(Array(col("event_type")),
+            Array(col("n_events"), col("sum_value_micro"),
+              col("max_value_micro"), col("n_users")),
+            "metric", "metric_value")
+          .orderBy(col("event_type"), col("metric"))
+      },
+      Some("""WITH w AS (SELECT event_type, count(*) AS n_events,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro,
+             |    max(CAST(round(value * 1e6) AS BIGINT)) AS max_value_micro,
+             |    count(DISTINCT user_id) AS n_users FROM events GROUP BY 1)
+             |SELECT event_type, metric, CAST(metric_value AS BIGINT) AS metric_value
+             |FROM (
+             |  SELECT event_type, 'n_events' AS metric, n_events AS metric_value
+             |    FROM w
+             |  UNION ALL SELECT event_type, 'sum_value_micro', sum_value_micro
+             |    FROM w
+             |  UNION ALL SELECT event_type, 'max_value_micro', max_value_micro
+             |    FROM w
+             |  UNION ALL SELECT event_type, 'n_users', n_users FROM w)
+             |ORDER BY event_type, metric""".stripMargin),
+      "wide→long melt of a per-event-type metric table via the native unpivot " +
+        "operator (Expand under the hood: one pass, no join, output = rows × " +
+        "metrics) — the reshape every metrics store ingests")
+  )
+}

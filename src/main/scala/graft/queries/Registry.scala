@@ -17,7 +17,8 @@ object Registry {
   lazy val all: Seq[(String, Q)] =
     Relational.queries ++ EwmaQueries.queries ++ ExtensionQueries.queries ++
       AdvancedQueries.queries ++ DataPrepQueries.queries ++ CurationQueries.queries ++
-      AnalyticsQueries.queries ++ InsightQueries.queries ++ FeatureQueries.queries
+      AnalyticsQueries.queries ++ InsightQueries.queries ++ FeatureQueries.queries ++
+      EvalQueries.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.build }.toMap

@@ -1,0 +1,142 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ModelEval
+
+class ModelEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  // --------------------------------------------------------------- rocAuc
+
+  test("rocAuc: hand cases — perfect, inverted, tied, single-class sentinel") {
+    // A: positives strictly above negatives -> AUC 1
+    // B: positives strictly below           -> AUC 0
+    // C: scores [1,1,2], labels [0,1,1]: pairs (tie=0.5 + concordant=1)/2
+    //    -> 0.75
+    // D: all positive -> -1 sentinel
+    val d = Seq(
+      ("A", 1.0, 0L), ("A", 2.0, 0L), ("A", 3.0, 1L), ("A", 4.0, 1L),
+      ("B", 1.0, 1L), ("B", 2.0, 0L),
+      ("C", 0.000001, 0L), ("C", 0.000001, 1L), ("C", 0.000002, 1L),
+      ("D", 5.0, 1L), ("D", 6.0, 1L))
+      .toDF("g", "s", "y")
+    val got = ModelEval.rocAuc(d, "g", "s", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("A" -> 1000000L, "B" -> 0L, "C" -> 750000L, "D" -> -1L))
+  }
+
+  test("rocAuc: matches the exact brute-force pair count on random data") {
+    val rnd = new Random(42)
+    val rows = (1 to 400).map { _ =>
+      ("g", rnd.nextInt(50) / 1000000.0 * rnd.nextInt(1000), rnd.nextInt(2).toLong)
+    }
+    // exact integer reference: 2U = 2*concordant + ties over all pos x neg
+    val pos = rows.collect { case (_, s, 1L) => math.round(s * 1e6) }
+    val neg = rows.collect { case (_, s, 0L) => math.round(s * 1e6) }
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = (1000000L * u2) / (2L * pos.size * neg.size)
+    val got = ModelEval.rocAuc(rows.toDF("g", "s", "y"), "g", "s", "y")
+      .collect().head
+    assert(got.getLong(1) === pos.size.toLong)
+    assert(got.getLong(2) === neg.size.toLong)
+    assert(got.getLong(3) === expected)
+  }
+
+  test("rocAuc rejects non-binary labels") {
+    val d = Seq(("A", 1.0, 2L)).toDF("g", "s", "y")
+    val ex = intercept[Exception] { ModelEval.rocAuc(d, "g", "s", "y").collect() }
+    assert(msgs(ex).exists(_.contains("label must be 0/1")))
+  }
+
+  // -------------------------------------------------------------- prCurve
+
+  test("prCurve: hand case — cumulative confusion counts from the top") {
+    // scores 10,20,30,40 micro -> lo=10M hi=40M, width 30M+1, B=2:
+    //   bucket = ((sm-lo)*2) DIV (hi-lo+1): 10,20 -> 0; 30,40 -> 1
+    // labels:   10->0, 20->1, 30->0, 40->1
+    // bucket 1: tp=1 fp=1 fn=1  precision 500000 recall 500000
+    // bucket 0: tp=2 fp=2 fn=0  precision 500000 recall 1000000
+    val d = Seq((10.0, 0L), (20.0, 1L), (30.0, 0L), (40.0, 1L)).toDF("s", "y")
+    val got = ModelEval.prCurve(d, "s", "y", nBuckets = 2)
+      .select("bucket", "tp", "fp", "fn", "precision_ppm", "recall_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 500000L, 500000L),
+      (0L, 2L, 2L, 0L, 500000L, 1000000L)))
+  }
+
+  test("prCurve: bottom bucket recovers every positive (recall = 1)") {
+    val e = Tables.events(spark, sfDir).withColumn("y",
+      (get_json_object(col("props"), "$.k").cast("bigint") >= 50).cast("bigint"))
+    val rows = ModelEval.prCurve(e, "value", "y", nBuckets = 20).collect()
+    assert(rows.nonEmpty)
+    val bottom = rows.last
+    assert(bottom.getAs[Long]("recall_ppm") === 1000000L)
+    assert(bottom.getAs[Long]("fn") === 0L)
+    // tp is monotone nonincreasing as the threshold rises (rows are desc)
+    val tps = rows.map(_.getAs[Long]("tp"))
+    assert(tps.zip(tps.tail).forall { case (lo2, hi2) => lo2 <= hi2 })
+  }
+
+  // ------------------------------------------------------ calibrationBins
+
+  test("calibrationBins: hand case and the 1e6-edge clamp") {
+    // preds 0, 450000, 999999, 1000000 with nBins=10:
+    //   bins 0, 4, 9, 9 (the 1e6 edge clamps into the last bin)
+    val d = Seq((0L, 0L), (450000L, 1L), (999999L, 0L), (1000000L, 1L))
+      .toDF("p", "y")
+    val got = ModelEval.calibrationBins(d, "p", "y", nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 0L, 0L, 0L),
+      (4L, 1L, 1L, 450000L, 1000000L),
+      (9L, 2L, 1L, 999999L, 500000L)))
+  }
+
+  test("calibrationBins rejects out-of-range predictions") {
+    val d = Seq((1000001L, 0L)).toDF("p", "y")
+    val ex = intercept[Exception] {
+      ModelEval.calibrationBins(d, "p", "y").collect()
+    }
+    assert(msgs(ex).exists(_.contains("ppm in [0, 1e6]")))
+  }
+
+  // ------------------------------------------------------- chiSquareTerms
+
+  test("chiSquareTerms: hand case — discriminative vs ubiquitous terms") {
+    // 4 docs, 2 classes; "alpha" only in both A docs, "omega" only in both
+    // B docs, "common" everywhere. For alpha vs class A: a=2 b=0 c=0 d=2
+    //   chi2 = 4*(2*2-0)^2 / (2*2*2*2) = 4 -> 4000000 ppm
+    // "common": column marginal (c+dd) = 0 -> -1 sentinel, ranked last
+    val docs = Seq(
+      ("A", "alpha common"), ("A", "alpha common"),
+      ("B", "omega common"), ("B", "omega common")).toDF("cls", "text")
+    val got = ModelEval.chiSquareTerms(docs, "cls", "text", topK = 3)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getString(2), r.getLong(5)))).toMap
+    assert(got(("A", 1L)) === ("alpha", 4000000L))
+    assert(got(("A", 2L)) === ("omega", 4000000L)) // absence is also evidence
+    assert(got(("A", 3L)) === ("common", -1L))
+    assert(got(("B", 1L)) === ("alpha", 4000000L))
+  }
+
+  test("chiSquareTerms: independent term scores zero") {
+    // "x" in exactly half of each class: a=1 b=1 c=1 d=1 -> delta 0 -> chi2 0
+    val docs = Seq(
+      ("A", "x p"), ("A", "p"), ("B", "x q"), ("B", "q")).toDF("cls", "text")
+    val got = ModelEval.chiSquareTerms(docs, "cls", "text", topK = 10)
+      .filter(col("term") === "x").collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("chi2_ppm") === 0L))
+  }
+}
