@@ -60,8 +60,7 @@ object Bench {
           .parquet(sfDir)
         // tsl must be full-microsecond so events within the same second fold
         // in the same (ts, event_id) order as the batch queries (q27/q28)
-        val ev = (if (raw.schema("ts").dataType.typeName == "long")
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
+        val ev = graft.Tables.normalizeTs(raw)
           .withColumn("tsl", unix_micros(col("ts")))
         val agg = graft.streaming.EwmaPipeline.windowedEwma(
           ev, "event_type", "ts", "tsl", "event_id", "value",
@@ -289,5 +288,15 @@ object Bench {
     System.out.flush()
     System.err.println(summary)
     System.err.flush()
+    // A run with failed entries must not read as success: round 9 shipped 48
+    // errors under rc=0. The JSON (with its errors array) is already printed
+    // and BENCH_SUMMARY.json written, so a non-zero exit loses nothing for
+    // parsers while making the failure machine-visible to rc checks.
+    // (run / fork := true ⇒ the exit code propagates out of sbt.)
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH_ERRORS ${errors.size}: ${errors.toSeq.sorted.mkString(",")}")
+      System.err.flush()
+      sys.exit(1)
+    }
   }
 }

@@ -139,22 +139,52 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] against a prebuilt [[buildShingleIndex]] frame
     * (persist it first). Same df-cap skew guard; see that scaladoc.
+    *
+    * Verification runs ON THE POSTINGS, not on re-exploded full sets: the
+    * candidate self-join's output rows ARE the pair's shared rare
+    * shingles, so `groupBy(pair).count()` yields |A∩B ∩ rare| at the cost
+    * the old `.distinct()` already paid, and the df-capped (hot) shingles
+    * — few distinct values by construction — are added back by a small
+    * correction join, keeping the Jaccard EXACT. The old shape joined
+    * every candidate pair back to both full shingle arrays
+    * (pairs × 2 × |sh| longs shipped, then array_intersect per pair) —
+    * superlinear in the candidate count, the round-9 q31 regression.
     */
   def ngramJaccardPairsFromIndex(
       index: DataFrame, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
+    val sizes = index.select(col("doc"), size(col("sh")).cast("double").as("sz"))
     val posting = index.select(col("doc"), explode(col("sh")).as("s"))
-    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("s"))
+    val dfs = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = dfs.filter(col("df") <= maxDf).select(col("s"))
     val capped = posting.join(rare, Seq("s"), "left_semi")
     val a = capped.as("a")
     val b = capped.as("b")
-    val candidates = a
+    // one row per shared rare shingle -> count = |A∩B ∩ rare|; exact
+    // because the index arrays are array_distinct'd
+    val cntRare = a
       .join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    jaccardVerifyFromSets(candidates, index, threshold)
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("cnt_rare"))
+    // hot shingles (df > maxDf) are EXCLUDED from candidate generation —
+    // the f² skew guard — but still count toward the exact intersection;
+    // per-pair shared-hot count via posting joins (each doc carries at
+    // most a handful of hot shingles, so this is pairs × small)
+    val hot = posting.join(
+      dfs.filter(col("df") > maxDf).select(col("s")), Seq("s"), "left_semi")
+    val cntHot = cntRare.select(col("id_a"), col("id_b"))
+      .join(hot.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
+      .join(hot.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cnt_hot"))
+    cntRare
+      .join(cntHot, Seq("id_a", "id_b"), "left")
+      .withColumn("inter",
+        (col("cnt_rare") + coalesce(col("cnt_hot"), lit(0L))).cast("double"))
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),

@@ -487,12 +487,15 @@ object Similarity {
     *
     * Three stages, every one engine-portable:
     *  1. Gram matrix G = Σ_rows vq vqᵀ over micro-quantized coords —
-    *     ONE corpus scan: explode the dim×dim cell grid per row and
-    *     aggregate; partial (map-side) aggregation collapses each task to
-    *     ≤ dim² cells, so the shuffle is O(dim² · partitions) no matter
-    *     the corpus size, and the per-row dim² multiply cost is the Gram
-    *     computation's own arithmetic, not overhead. Cell sums use
-    *     decimal(38,0) (q93 pattern) — exact at any scale.
+    *     ONE corpus scan: a typed Aggregator
+    *     ([[graft.functions.VectorAggregates.OuterProductSumAgg]]) folds
+    *     each row's upper triangle into a per-partition long array
+    *     (grouped on spark_partition_id, so its addExact overflow guard
+    *     only ever covers one partition's rows), then the partitions·1
+    *     partial rows are exploded and cross-partition-summed in
+    *     decimal(38,0) (q93 pattern) — exact at any scale. No n·dim²
+    *     row materialization anywhere: the only exploded rows are the
+    *     P·dim(dim+1)/2 partial cells (P = input partitions).
     *  2. `iters` rounds of power iteration on the driver over BigInt
     *     (dim ≤ 256, bounded state): w = G·v, sign-fixed so the
     *     smallest index attaining max|w| is positive (deterministic —
@@ -515,20 +518,24 @@ object Similarity {
     require(iters >= 1 && iters <= 20, "iters in [1, 20]")
     val e = quantized(embeddings, vecCol, idCol)
     val cells = e
-      .select(col("vq"), posexplode(col("vq")).as(Seq("d1", "x1")))
-      .select(col("d1"), col("x1"), posexplode(col("vq")).as(Seq("d2", "x2")))
-      .filter(col("d2") >= col("d1")) // symmetric: aggregate the upper triangle
-      .groupBy(col("d1"), col("d2"))
-      .agg(sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("g"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(graft.functions.VectorAggregates.outerProductSum(col("vq")).as("tri"))
+      .select(posexplode(col("tri")).as(Seq("idx", "p")))
+      .groupBy(col("idx"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
       .collect()
     require(cells.nonEmpty, "principalAxisProjection: empty corpus")
-    val dim = cells.iterator.map(_.getInt(1)).max + 1
+    val dim = graft.functions.VectorAggregates.triDim(
+      cells.iterator.map(_.getInt(0)).max + 1)
     require(dim <= 256, "principalAxisProjection: dim <= 256 (bounded driver state)")
     val g = Array.fill(dim, dim)(BigInt(0))
+    // replay the aggregator's row-major upper-triangle order: idx -> (i, j)
+    val ij = (for (i <- 0 until dim; j <- i until dim) yield (i, j)).toArray
     cells.foreach { r =>
-      val v = BigInt(r.getDecimal(2).toBigInteger)
-      g(r.getInt(0))(r.getInt(1)) = v
-      g(r.getInt(1))(r.getInt(0)) = v
+      val (i, j) = ij(r.getInt(0))
+      val v = BigInt(r.getDecimal(1).toBigInteger)
+      g(i)(j) = v
+      g(j)(i) = v
     }
     var v = Array.fill(dim)(BigInt(1000000))
     for (_ <- 1 to iters) {

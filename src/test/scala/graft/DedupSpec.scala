@@ -270,6 +270,16 @@ class DedupSpec extends SparkSpec {
     assert(dot === ssa && ssa === ssb && dot > 0L)
   }
 
+  test("tfidfCosinePairs: q > 8 is rejected up front (decimal(38,0) window)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.tfidfCosinePairs(d, "text", "doc_id", thresholdP = 9, thresholdQ = 10)
+    }
+    assert(ex.getMessage.contains("p, q <= 8"),
+      s"expected the numeric-window guard, got: ${ex.getMessage}")
+  }
+
   test("tfidfCosinePairs: ubiquitous terms leave both numerator and norms") {
     import spark.implicits._
     // "common" appears in every doc -> idf_milli = round(1000*ln(4/4)) = 0,
