@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark frees broadcast/shuffle/RDD state via ContextCleaner, which
+      // only fires when the DRIVER GCs — on a large heap a 153-query suite
+      // never GCs, state from every prior query accumulates, and late
+      // queries run 3-6x slower than standalone (observed r10: q84 32s in
+      // suite vs ~5s alone). periodicGC forces the cleaner to keep up.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,6 +30,7 @@ object Bench {
     // untimed warmup: pay JVM/codegen/shuffle-machinery startup once, not
     // inside whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -38,7 +45,11 @@ object Bench {
       // query's persisted state into the next one's timing
       graft.operators.Dedup.releaseCaches()
       spark.catalog.clearCache()
-      if (gcPerQuery) System.gc()
+      // untimed GC every 16 queries (plus the periodicGC conf above): the
+      // explicit call lets ContextCleaner drain even when the 2-min timer
+      // hasn't fired, without paying a full GC inside every measurement
+      qIdx += 1
+      if (gcPerQuery || qIdx % 16 == 0) System.gc()
       name -> secs
     }
     // streaming EWMA replay over events.parquet (BASELINE.md: <= 60 s at

@@ -22,6 +22,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep ContextCleaner draining across the 147-query dump (see Bench:
+      // on a big heap the driver may never GC, so broadcast/shuffle state
+      // piles up and late queries crawl)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

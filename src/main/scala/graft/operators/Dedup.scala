@@ -187,6 +187,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup detection: MinHash-LSH near-dups of a NEW batch
+    * of documents (`deltaIndex`) against an EXISTING corpus (`baseIndex`)
+    * plus the batch itself — the production dedup shape at 100 TB, where
+    * the historical shingle index is a stored table built once per corpus
+    * snapshot and each day's crawl is deduped against it WITHOUT
+    * rescanning (or re-pairing) the history. Band keys for the base side
+    * are exactly the ones [[minhashNearDupsFromIndex]] computes, so a
+    * materialized banded index is reusable as-is; only delta×base and
+    * delta×delta collisions are enumerated — never base×base, which is
+    * the whole point (|delta| ≪ |base|).
+    *
+    * Doc ids must be disjoint across the two indexes, with base ids
+    * ordering below delta ids if the caller wants (id_a < id_b) output
+    * like the batch operators. Pairs are exact-Jaccard verified against
+    * the union index, so reported values are exact (LSH only prunes).
+    */
+  def minhashNearDupsAgainstBase(
+      baseIndexIn: DataFrame, deltaIndexIn: DataFrame,
+      threshold: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // each index feeds banding AND the verify join — persist like
+    // minhashNearDups (registered for releaseCaches); a production caller
+    // passes an already-materialized table and the persist is a cheap
+    // second cache of bounded postings
+    val baseIndex = persistTracked(baseIndexIn)
+    val deltaIndex = persistTracked(deltaIndexIn)
+    def banded(sets: DataFrame) = sets
+      .withColumn("sig", T.minhashSignatureFromHashes(col("sh"), bands * rowsPerBand))
+      .select(col("doc"),
+        posexplode(T.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val db = banded(baseIndex)
+    val dd = banded(deltaIndex)
+    val baseHits = db.as("a").join(dd.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val deltaHits = dd.as("a").join(dd.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val candidates = baseHits.unionByName(deltaHits).distinct()
+    jaccardVerifyFromSets(candidates, baseIndex.unionByName(deltaIndex), threshold)
+  }
+
   /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
     * deduplicated across bands. `sigLen = bands * rowsPerBand` hashes.
     */

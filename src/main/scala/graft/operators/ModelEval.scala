@@ -290,4 +290,37 @@ object ModelEval {
         col("a").as("n_class_with_term"), col("b").as("n_other_with_term"),
         col("chi2_ppm"))
   }
+
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * neighbor result against exact ground truth — THE metric that decides
+    * whether an LSH/IVF/PQ index is good enough to replace brute force in
+    * a similarity-dedup or retrieval pipeline. Both inputs are ranked
+    * result frames `(query_id, rank, neighbor_id)` (what every operator
+    * in [[Similarity]] emits); output is one row per ground-truth query:
+    * `(query_id, n_true, n_hit, recall_ppm)` with
+    * recall_ppm = (1e6 · |approx@k ∩ exact@k|) DIV |exact@k| — integer
+    * ppm, bit-identical in any engine. Queries the approximate side
+    * missed entirely still appear (n_hit = 0), because ground truth
+    * drives the output — an index that silently drops queries must not
+    * look perfect.
+    *
+    * Scale shape: both frames are |queries|·k rows (ground truth at
+    * corpus scale is computed on a SAMPLED query set — the standard
+    * recall-eval protocol), so the semi join and aggregation are bounded
+    * by the evaluation sample, never the corpus.
+    */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val gt = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = gt.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    gt.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_true").as("recall_ppm"))
+  }
 }

@@ -180,6 +180,71 @@ object EvalQueries {
              |ORDER BY event_type, metric""".stripMargin),
       "wide→long melt of a per-event-type metric table via the native unpivot " +
         "operator (Expand under the hood: one pass, no join, output = rows × " +
-        "metrics) — the reshape every metrics store ingests")
+        "metrics) — the reshape every metrics store ingests"),
+
+    // ------------------------------------------------------- ANN recall@k
+    "q150_ann_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val queries = emb.filter(col("vec_id") < 5)
+        // tight probe radius (hamming <= 2 of 16 bits) so the index
+        // genuinely misses neighbors and the metric is non-degenerate
+        val approx = graft.operators.Similarity.lshTopK(
+          queries, emb, "embedding", "vec_id", k = 10, bits = 16,
+          probeHamming = 2,
+          planes = Some(graft.functions.VectorFunctions.md5Planes(dim, 16)))
+        val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "embedding", "vec_id", k = 10)
+        ModelEval.annRecallAtK(approx, exact, k = 10)
+          .orderBy(col("query_id"))
+      },
+      // exact side = q35's oracle, approx side = q36's md5-plane oracle at
+      // hamming <= 2, then the recall join — every stage engine-portable
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sx AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, e.v) /
+             |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id),
+             |rx AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sx),
+             |gt AS (SELECT query_id, neighbor_id FROM rx WHERE rank <= 10),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 15) AS j(j)),
+             |sigs AS (
+             |  SELECT e.vec_id,
+             |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+             |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+             |sa AS (
+             |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             |    list_dot_product(eq.v, ec.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+             |  FROM sigs qs
+             |  JOIN e eq ON eq.vec_id = qs.vec_id
+             |  JOIN sigs cs ON cs.vec_id <> qs.vec_id
+             |  JOIN e ec ON ec.vec_id = cs.vec_id
+             |  WHERE qs.vec_id < 5 AND bit_count(xor(qs.sig, cs.sig)) <= 2),
+             |ra AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sa),
+             |ap AS (SELECT query_id, neighbor_id FROM ra WHERE rank <= 10),
+             |h AS (SELECT gt.query_id, count(*) AS n_hit
+             |  FROM gt JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+             |t AS (SELECT query_id, count(*) AS n_true FROM gt GROUP BY 1)
+             |SELECT t.query_id, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST((1000000 * coalesce(n_hit, 0)) // n_true AS BIGINT) AS recall_ppm
+             |FROM t LEFT JOIN h ON t.query_id = h.query_id
+             |ORDER BY t.query_id""".stripMargin),
+      "per-query recall@10 of the sign-LSH index against brute-force ground truth " +
+        "in integer ppm — the go/no-go metric for replacing exact search with an " +
+        "ANN index; bounded by the sampled query set, never the corpus")
   )
 }

@@ -125,6 +125,47 @@ object ExtensionQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       "MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified"),
 
+    // ------------------------------------------- dedup: incremental vs base
+    "q149_dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        // base = historical corpus (ids < 250), delta = today's batch:
+        // only delta×base and delta×delta collisions are enumerated —
+        // the base×base pair space is never touched (the incremental win)
+        val base = Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+        val delta = Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+        Dedup.minhashNearDupsAgainstBase(base, delta, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      // Same LSH-prunes/exact-verify contract as q32: at 16x4 bands the
+      // collision probability at t=0.8 is ~0.9998, so the result equals
+      // the EXACT pair set restricted to pairs touching the delta
+      // (id_b >= 250 — base ids order below delta ids). Corpus-validated
+      // per SF, like q32; the DedupSpec pin is the safety net.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+             |FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8 AND id_b >= 250
+             |ORDER BY id_a, id_b""".stripMargin),
+      "incremental MinHash-LSH dedup of a new batch against a stored base index — " +
+        "delta×base and delta×delta collisions only, base×base never enumerated"),
+
     // --------------------------------------------------------- dedup: SimHash
     "q33_dedup_simhash" -> Q(
       (s, dir) =>

@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashNearDupsAgainstBase: equals the batch pair set restricted to the delta") {
+    val base = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+    val delta = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+    val inc = Dedup.minhashNearDupsAgainstBase(base, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(docs, "text", "doc_id")
+      .filter(col("id_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Dedup.releaseCaches()
+    // same LSH parameters, same verify threshold: the incremental result
+    // must be EXACTLY the batch result minus base×base pairs — identical
+    // jaccard values included
+    assert(inc === full, s"only-inc: ${inc -- full}; only-batch: ${full -- inc}")
+    // and the split must actually exercise both collision kinds at this
+    // corpus (delta×base and delta×delta) or the test is vacuous
+    assert(inc.nonEmpty, "corpus produced no delta-touching near-dup pairs")
+  }
+
   test("SimHash near-dups: banding finds all pairs with hamming <= 3 (vs brute force)") {
     import graft.functions.{TextFunctions => T}
     val sigs = docs.select(col("doc_id"), T.simhash64(col("text")).as("sig"))

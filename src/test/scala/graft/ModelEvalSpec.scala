@@ -139,4 +139,32 @@ class ModelEvalSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach(r => assert(r.getAs[Long]("chi2_ppm") === 0L))
   }
+
+  // --------------------------------------------------------- annRecallAtK
+
+  test("annRecallAtK: hand case — partial hit, dropped query, rank cutoff") {
+    // ground truth: q1 -> {10, 12}, q2 -> {20, 21} at k=2
+    val exact = Seq(
+      (1L, 1L, 10L), (1L, 2L, 12L), (1L, 3L, 99L), // rank 3 ignored
+      (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // approx: q1 found 10 (hit) and 11 (miss); q2 absent entirely —
+    // the index dropped it, and it must still be reported at recall 0
+    val approx = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L)) // 12 only at rank 3: no hit at k=2
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = ModelEval.annRecallAtK(approx, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 500000L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got.size === 2)
+  }
+
+  test("annRecallAtK: identical inputs score a perfect million everywhere") {
+    val r = Seq((1L, 1L, 5L), (1L, 2L, 6L), (2L, 1L, 7L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = ModelEval.annRecallAtK(r, r, k = 10).collect()
+    assert(got.nonEmpty)
+    got.foreach(row => assert(row.getAs[Long]("recall_ppm") === 1000000L))
+  }
 }
