@@ -40,6 +40,34 @@ object DataPrep {
       .withColumn("split", split)
   }
 
+  /** LEAKAGE-SAFE train/test split: [[hashSplit]], but near-duplicate
+    * documents always land in the SAME split — the eval-contamination
+    * guard (a test doc whose near-twin is in train inflates every metric;
+    * splitting doc-by-doc cannot prevent it). `pairs` is any near-dup
+    * pair list (id_a, id_b) from the [[Dedup]] family; documents are
+    * grouped into connected components over those pairs and the split is
+    * decided by md5 of the COMPONENT representative (min doc id — the
+    * [[Dedup.keepRepresentatives]] convention), so every member of a
+    * near-dup cluster moves together. Isolated docs are their own
+    * component, so with an empty pair list this IS hashSplit modulo the
+    * hash input. Returns the docs plus (component, bucket, split).
+    *
+    * Scale shape: components are O(log n) alternating-star rounds over
+    * the pair list (pairs only — docs without dups never enter the graph)
+    * plus one left join of the component table; the split itself stays a
+    * map-only projection.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainBps: Int = 8000): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+    val tagged = docs
+      .join(comps.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    hashSplit(tagged, "component", trainBps)
+  }
+
   /** Sliding context-window chunking: token windows of `chunkSize` every
     * `stride` tokens (overlap = chunkSize - stride), the standard prep for
     * fixed-context-model training. A doc with n tokens yields

@@ -29,6 +29,51 @@ object DataPrepQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "deterministic md5-bucket train/test split (stateless, rerun-stable)"),
 
+    "q151_leakage_split" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id", shingleK = 5, threshold = 0.8)
+        DataPrep.leakageSafeSplit(docs, "doc_id", pairs, trainBps = 8000)
+          .select(col("doc_id"), col("component"), col("bucket"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      // q39's recursive-CTE components over the same jaccard>=0.8 edges,
+      // then q66's md5-bucket split keyed on the component representative
+      // instead of the doc — near-dup clusters move between splits as one
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (SELECT id_a, id_b FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, walk.lbl FROM walk JOIN edges e ON e.src = walk.id),
+             |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+             |SELECT d.doc_id, c.component,
+             |  substr(md5(CAST(c.component AS VARCHAR)), 1, 4) AS bucket,
+             |  CASE WHEN substr(md5(CAST(c.component AS VARCHAR)), 1, 4) < 'cccc'
+             |       THEN 'train' ELSE 'test' END AS split
+             |FROM documents d JOIN cc c ON c.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "leakage-safe split: near-dup components share one md5-bucket split decision — " +
+        "the eval-contamination guard doc-by-doc splitting cannot provide"),
+
     "q67_doc_chunks" -> Q(
       (s, dir) =>
         DataPrep.chunkTokens(Tables.table(s, dir, "documents"), "text", "doc_id",

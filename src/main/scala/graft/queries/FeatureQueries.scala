@@ -145,12 +145,17 @@ object FeatureQueries {
     // -------------------------------------- label-propagation communities
     "q129_label_prop" -> Q(
       (s, dir) => {
+        // distinct (ok, pk) FIRST: each (pa, pb, ok) join row is then
+        // unique by construction, so the support count is a plain count —
+        // the count_distinct expansion over the pair fan-out (the dominant
+        // cost of this query; ~|order|² rows per order) drops away
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.labelPropagation(edges, "pa", "pb", rounds = 3).orderBy(col("node"))
       },

@@ -18,6 +18,33 @@ class DataPrepSpec extends SparkSpec {
     assert(allTest.filter(col("split") =!= "test").count() === 0L)
   }
 
+  test("leakageSafeSplit: near-dup components never straddle the split") {
+    import spark.implicits._
+    // 1-2-3 chained near-dups, 4 isolated, 5-6 a pair
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DataPrep.leakageSafeSplit(d, "doc_id", pairs, trainBps = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    // the leakage property: every component is split-homogeneous
+    assert(byDoc(1L) === byDoc(2L) && byDoc(2L) === byDoc(3L))
+    assert(byDoc(5L) === byDoc(6L))
+    // components follow the min-id convention; isolated docs are their own
+    val comp = got.map(t => t._1 -> t._2).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(4L) === 4L && comp(5L) === 5L && comp(6L) === 5L)
+    // with no pairs at all, the split decision reduces to hashSplit on the
+    // component (= the doc id) — same buckets, same cuts
+    val noPairs = DataPrep.leakageSafeSplit(
+        d, "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"), trainBps = 5000)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = DataPrep.hashSplit(d, "doc_id", trainBps = 5000)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noPairs === plain)
+  }
+
   test("hashSplit is deterministic and roughly proportional") {
     val n = docs.count().toDouble
     val split = DataPrep.hashSplit(docs, "doc_id", trainBps = 8000)
