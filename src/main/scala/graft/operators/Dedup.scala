@@ -187,6 +187,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CROSS-SOURCE overlap matrix: for every pair of corpus sources, how
+    * many distinct word-k-shingles they share and the Jaccard between
+    * their shingle sets — the corpus-analytics view of contamination
+    * ("how much of source X is republished in source Y"), the first
+    * report run when a new source is onboarded into a training mix.
+    *
+    * Scale shape: postings are collapsed to DISTINCT (source, shingle)
+    * BEFORE the self-join, so per-shingle fan-out is bounded by the
+    * SOURCE cardinality (dozens), never document frequency — no df cap
+    * needed, unlike the per-document join in [[ngramJaccardPairs]]. One
+    * corpus scan, one distinct, one bounded self-join; output is
+    * sources², a report table.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame, textCol: String, groupCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val posting = docs
+      .withColumn("__tok", T.hashAll(T.tokens(col(textCol))))
+      .withColumn("__sh", array_distinct(
+        org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK)))
+      .select(col(groupCol).as("grp"), explode(col("__sh")).as("s"))
+      .distinct()
+    val sizes = posting.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    val inter = posting.as("a")
+      .join(posting.as("b"), col("a.s") === col("b.s") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("sz").as("sz_a"))), Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("sz").as("sz_b"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_shared"), col("sz_a"), col("sz_b"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** INCREMENTAL near-dup detection: MinHash-LSH near-dups of a NEW batch
     * of documents (`deltaIndex`) against an EXISTING corpus (`baseIndex`)
     * plus the batch itself — the production dedup shape at 100 TB, where

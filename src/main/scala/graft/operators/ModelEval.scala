@@ -291,6 +291,69 @@ object ModelEval {
         col("chi2_ppm"))
   }
 
+  /** Cohen's kappa per group: chance-corrected inter-annotator agreement
+    * over two label columns — the label-QC gate run before any
+    * human-annotated (or dual-model-scored) set trains a quality
+    * classifier (raw percent agreement flatters imbalanced label sets;
+    * kappa does not). All-integer (q93 pattern), so bit-identical in any
+    * engine:
+    *
+    *   po = agree/n,  pe = Σ_k rowA_k·colB_k / n²,
+    *   kappa_ppm = 1e6·(n·agree − pe_num) DIV (n² − pe_num)
+    *
+    * with pe_num = Σ_k rowA_k·colB_k. Signed integer division truncates
+    * toward zero in BOTH Spark (`DIV`) and DuckDB (`//`) — verified —
+    * so negative kappas (worse-than-chance agreement) stay portable.
+    * Degenerate groups (pe = 1: both raters constant) emit the −2000000
+    * sentinel, outside kappa's [−1e6, 1e6] range (q122 convention — no
+    * NULLs in gate-facing output).
+    *
+    * Scale shape: ONE shuffle to (grp, labelA, labelB) cells with
+    * map-side combine (corpus → ≤ groups·labels² rows); totals, marginals
+    * and the pe join all run over that bounded cell table, never the
+    * corpus. Returns (grp, n_items, n_agree, po_ppm, pe_ppm, kappa_ppm).
+    */
+  def cohenKappa(
+      df: DataFrame, groupCol: String,
+      raterACol: String, raterBCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(raterACol).cast("bigint").as("ra"),
+        col(raterBCol).cast("bigint").as("rb"))
+      .groupBy(col("grp"), col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("grp")).agg(
+      sum(col("c")).as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(lit(0L))).as("agree"))
+    val ma = cells.groupBy(col("grp"), col("ra").as("k")).agg(sum(col("c")).as("na"))
+    val mb = cells.groupBy(col("grp"), col("rb").as("k")).agg(sum(col("c")).as("nb"))
+    val pe = ma.join(mb, Seq("grp", "k"))
+      .groupBy(col("grp"))
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))
+        .as("pe_num"))
+    totals
+      .join(pe, Seq("grp"), "left")
+      // disjoint label vocabularies: the marginal join is empty -> pe = 0
+      .withColumn("pe_num", coalesce(col("pe_num"), lit(0L).cast("decimal(38,0)")))
+      .withColumn("n", // 1e6·n² must fit decimal(38,0): n ≤ ~5.6e15 — pre-
+        // check in double so overflow raises instead of NULLing (rocAuc)
+        when(col("n").cast("double") < 5e15, col("n"))
+          .otherwise(raise_error(concat(
+            lit("cohenKappa: n too large for the 1e6*n^2 decimal window in group "),
+            col("grp").cast("string")))))
+      .select(col("grp"), col("n").as("n_items"), col("agree").as("n_agree"),
+        expr("(1000000 * agree) DIV n").as("po_ppm"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * pe_num)
+                | DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"""
+          .stripMargin).cast("bigint").as("pe_ppm"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))") === col("pe_num"),
+            lit(-2000000L))
+          .otherwise(expr(
+            """(CAST(1000000 AS DECIMAL(38,0)) *
+              |   (CAST(n AS DECIMAL(38,0)) * CAST(agree AS DECIMAL(38,0)) - pe_num))
+              | DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - pe_num)"""
+              .stripMargin).cast("bigint"))
+          .as("kappa_ppm"))
+  }
+
   /** ANN quality evaluation: per-query recall@k of an approximate
     * neighbor result against exact ground truth — THE metric that decides
     * whether an LSH/IVF/PQ index is good enough to replace brute force in

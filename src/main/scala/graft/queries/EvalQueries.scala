@@ -245,6 +245,48 @@ object EvalQueries {
              |ORDER BY t.query_id""".stripMargin),
       "per-query recall@10 of the sign-LSH index against brute-force ground truth " +
         "in integer ppm — the go/no-go metric for replacing exact search with an " +
-        "ANN index; bounded by the sampled query set, never the corpus")
+        "ANN index; bounded by the sampled query set, never the corpus"),
+
+    // ------------------------------------------------------ Cohen's kappa
+    "q152_cohen_kappa" -> Q(
+      (s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        // two deterministic "annotators" of keep/drop quality labels: a
+        // char-length rule vs a token-count rule — the agreement audit a
+        // real dual-rater labeling pass would run per language
+        val rated = Tables.table(s, dir, "documents")
+          .select(col("lang"),
+            (col("n_chars") >= 300).cast("bigint").as("ra"),
+            (T.tokenCount(col("text")) >= 50).cast("bigint").as("rb"))
+        ModelEval.cohenKappa(rated, "lang", "ra", "rb")
+          .orderBy(col("grp"))
+      },
+      Some("""WITH r AS (SELECT lang AS grp,
+             |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+             |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) >= 50
+             |         THEN 1 ELSE 0 END AS rb
+             |  FROM documents),
+             |cells AS (SELECT grp, ra, rb, CAST(count(*) AS BIGINT) AS c
+             |  FROM r GROUP BY 1, 2, 3),
+             |t AS (SELECT grp, sum(c) AS n,
+             |    sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+             |  FROM cells GROUP BY 1),
+             |ma AS (SELECT grp, ra AS k, sum(c) AS na FROM cells GROUP BY 1, 2),
+             |mb AS (SELECT grp, rb AS k, sum(c) AS nb FROM cells GROUP BY 1, 2),
+             |pe AS (SELECT ma.grp, sum(CAST(na AS HUGEINT) * nb) AS pe_num
+             |  FROM ma JOIN mb ON ma.grp = mb.grp AND ma.k = mb.k GROUP BY 1)
+             |SELECT t.grp, CAST(n AS BIGINT) AS n_items,
+             |  CAST(agree AS BIGINT) AS n_agree,
+             |  CAST((1000000 * agree) // n AS BIGINT) AS po_ppm,
+             |  CAST((1000000::HUGEINT * coalesce(pe_num, 0)) // (n::HUGEINT * n)
+             |    AS BIGINT) AS pe_ppm,
+             |  CAST(CASE WHEN n::HUGEINT * n = coalesce(pe_num, 0) THEN -2000000
+             |    ELSE (1000000::HUGEINT * (n::HUGEINT * agree - coalesce(pe_num, 0)))
+             |      // (n::HUGEINT * n - coalesce(pe_num, 0)) END AS BIGINT) AS kappa_ppm
+             |FROM t LEFT JOIN pe ON t.grp = pe.grp
+             |ORDER BY t.grp""".stripMargin),
+      "Cohen's kappa per language between a char-length rater and a token-count " +
+        "rater — chance-corrected label agreement in exact integer ppm; one cell " +
+        "aggregation bounded by groups x labels^2, marginal joins never touch the corpus")
   )
 }

@@ -125,6 +125,38 @@ object ExtensionQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       "MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified"),
 
+    // ---------------------------------------------- dedup: source overlap
+    "q153_source_overlap" -> Q(
+      (s, dir) =>
+        Dedup.sourceOverlapMatrix(
+            Tables.table(s, dir, "documents"), "text", "source", shingleK = 5)
+          .orderBy(col("grp_a"), col("grp_b")),
+      // string shingles in SQL vs 64-bit hashed shingles in the engine:
+      // identical counts up to negligible hash collisions (the q31
+      // convention, corpus-validated per SF)
+      Some("""WITH toks AS (
+             |  SELECT source, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT source,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |ps AS (SELECT DISTINCT source AS grp, unnest(shingles) AS s FROM sh),
+             |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS sz FROM ps GROUP BY 1),
+             |ov AS (
+             |  SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM ps a JOIN ps b ON a.s = b.s AND a.grp < b.grp
+             |  GROUP BY 1, 2)
+             |SELECT grp_a, grp_b, n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+             |  round(CAST(n_shared AS DOUBLE) / (za.sz + zb.sz - n_shared), 6) AS jaccard
+             |FROM ov JOIN sz za ON za.grp = ov.grp_a JOIN sz zb ON zb.grp = ov.grp_b
+             |ORDER BY grp_a, grp_b""".stripMargin),
+      "cross-source shingle-overlap matrix: distinct (source, shingle) postings " +
+        "self-joined with fan-out bounded by source cardinality — the contamination " +
+        "report run when onboarding a new source into a training mix"),
+
     // ------------------------------------------- dedup: incremental vs base
     "q149_dedup_incremental" -> Q(
       (s, dir) => {

@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapMatrix: hand case — shared shingles counted once per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "X", "a b c"),  // X shingles(k=2): {a b, b c}
+      (2L, "X", "a b c"),  // duplicate doc: must not double-count postings
+      (3L, "Y", "b c d"),  // Y shingles: {b c, c d}
+      (4L, "Z", "x y z"))  // Z disjoint: no output rows with Z
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMatrix(d, "text", "source", shingleK = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set(("X", "Y")))
+    assert(got(("X", "Y")) === ((1L, 2L, 2L, 0.333333)))
+  }
+
   test("minhashNearDupsAgainstBase: equals the batch pair set restricted to the delta") {
     val base = Dedup.buildShingleIndex(
       docs.filter(col("doc_id") < 250), "text", "doc_id", 5)

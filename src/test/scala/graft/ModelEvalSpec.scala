@@ -140,6 +140,32 @@ class ModelEvalSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Long]("chi2_ppm") === 0L))
   }
 
+  // ---------------------------------------------------------- cohenKappa
+
+  test("cohenKappa: hand cases — perfect, chance, worse-than-chance, sentinel") {
+    // A: identical raters -> kappa 1e6
+    // B: the classic 2x2: a=20 b=5 c=10 d=15 over n=50:
+    //    po=0.7, pe=(30*25 + 20*25)/2500=0.5 -> kappa=0.4 exactly
+    // C: anti-correlated raters (ra = 1-rb, balanced): po=0, pe=0.5
+    //    -> kappa = -1e6 (integer-exact)
+    // D: both raters constant -> pe=1 -> -2000000 sentinel
+    def rows(g: String, ra: Long, rb: Long, n: Int) =
+      Seq.fill(n)((g, ra, rb))
+    val d = (rows("A", 1L, 1L, 3) ++ rows("A", 0L, 0L, 2) ++
+      rows("B", 1L, 1L, 20) ++ rows("B", 1L, 0L, 5) ++
+      rows("B", 0L, 1L, 10) ++ rows("B", 0L, 0L, 15) ++
+      rows("C", 1L, 0L, 5) ++ rows("C", 0L, 1L, 5) ++
+      rows("D", 1L, 1L, 4))
+      .toDF("g", "ra", "rb")
+    val got = ModelEval.cohenKappa(d, "g", "ra", "rb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") === ((5L, 5L, 1000000L, 520000L, 1000000L)))
+    assert(got("B") === ((50L, 35L, 700000L, 500000L, 400000L)))
+    assert(got("C") === ((10L, 0L, 0L, 500000L, -1000000L)))
+    assert(got("D") === ((4L, 4L, 1000000L, 1000000L, -2000000L)))
+  }
+
   // --------------------------------------------------------- annRecallAtK
 
   test("annRecallAtK: hand case — partial hit, dropped query, rank cutoff") {
