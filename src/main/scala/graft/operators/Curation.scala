@@ -696,4 +696,44 @@ object Curation {
         col("first_bin"), col("last_bin"),
         (col("last_bin") - col("first_bin") + 1).as("n_bins"))
   }
+
+  /** LARGEST-REMAINDER (Hamilton) BUDGET APPORTIONMENT: split an integer
+    * sample budget `total` across groups proportionally to their row
+    * counts, with Σ alloc = total EXACTLY — the step between a mixing-
+    * weight decision ([[temperatureMix]] emits real-valued weights) and a
+    * sampler that must draw a whole number of documents per source. Each
+    * group gets floor(total·n_g / N); the leftover units go one each to
+    * the groups with the largest remainders (ties broken by group name
+    * ascending — deterministic, rerun-stable).
+    *
+    * All-integer: quota numerators are decimal(38,0) products (exact for
+    * any corpus), `DIV`/`%` clear them, and the final rank compares
+    * remainders — no floats anywhere, so the allocation is bit-identical
+    * in any engine (a float quota can flip a marginal unit between two
+    * near-tied groups).
+    *
+    * Scale shape: ONE map-side-combined groupBy (corpus → |groups| rows);
+    * every window after it runs over group rows only, so the unpartitioned
+    * rank is bounded by group cardinality (sources/languages — thousands,
+    * not corpus-sized), never the data.
+    */
+  def largestRemainderAllocate(
+      df: DataFrame, groupCol: String, total: Long): DataFrame = {
+    require(total >= 0, "total must be >= 0")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("rem").desc, col("grp").asc)
+    df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("t", sum(col("n_rows")).over(wAll))
+      .withColumn("base",
+        expr(s"(CAST($total AS DECIMAL(38,0)) * n_rows) DIV t"))
+      .withColumn("rem",
+        expr(s"(CAST($total AS DECIMAL(38,0)) * n_rows) % t"))
+      .withColumn("leftover", lit(total) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("bigint"))
+      .select(col("grp"), col("n_rows"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc"))
+  }
 }

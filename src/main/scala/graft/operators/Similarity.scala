@@ -619,4 +619,82 @@ object Similarity {
         (element_at(labArr, (col("pk") % 256).cast("int") + 1) === col("label"))
           .cast("bigint").as("correct"))
   }
+
+  /** SIMPLIFIED SILHOUETTE (centroid-based, squared-distance) per
+    * embedding — the label-coherence audit of an embedding space: is each
+    * vector closer to its own label's centroid than to any other's?
+    * `sil_ppm = 1e6 · (b² − a²) / max(a², b²)` with a² = squared distance
+    * to the own-label centroid and b² = min squared distance to any other
+    * label's centroid; positive = coherent, negative = the point sits in
+    * another cluster's territory. The deliberate scale choice over the
+    * classic pairwise silhouette (which is O(n²) in cluster sizes and
+    * cannot run at corpus scale): Hruschka's centroid variant needs ONE
+    * aggregation and ONE map-only scan. Squared distances keep every
+    * intermediate an exact integer (no sqrt) — any engine reproduces the
+    * scores bit-for-bit.
+    *
+    * All-integer arithmetic: micro-quantized coords, [[Math.floorDiv]]
+    * centroid coordinates (the [[nearestCentroidClassify]] convention the
+    * q110 oracle replays), exact long squared distances (guarded by
+    * `guardedVv`'s 2^50 coordinate-norm cap), and a final
+    * decimal(38,0)-cleared DIV — truncation toward zero in both Spark
+    * `DIV` and DuckDB `//`, verified for negative silhouettes by the
+    * cohenKappa precedent. Both-zero distances (a point ON two coincident
+    * centroids) emit 0.
+    *
+    * Scale shape: training state is nLabels × dim longs on the driver
+    * (≤ 256 labels), broadcast back as literal arrays; scoring is a
+    * shuffle-free codegen'd scan — two corpus scans total, no join, no
+    * all-pairs anything.
+    */
+  def clusterSilhouette(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val base = embeddings.select(col(idCol).cast("bigint").as("vid"),
+        col(labelCol).cast("int").as("label"), V.asDouble(col(vecCol)).as("v"))
+      .withColumn("label", when(col("label").isNotNull, col("label"))
+        .otherwise(raise_error(concat(
+          lit("clusterSilhouette: null label for vec "), col("vid")))))
+      .withColumn("vq", micro(col("v")))
+      .withColumn("vv", guardedVv(V.dot(col("vq"), col("vq")), col("vid")))
+    val p = Dedup.persistTracked(base)
+    val sums = p.select(col("label"), posexplode(col("vq")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    require(sums.nonEmpty, "clusterSilhouette: empty corpus")
+    val labels = sums.map(_.getInt(0)).distinct.sorted
+    require(labels.length >= 2,
+      "clusterSilhouette: need >= 2 labels (b is a min over OTHER clusters)")
+    require(labels.length <= 256,
+      "clusterSilhouette: at most 256 labels (bounded driver state)")
+    val dim = sums.map(_.getInt(1)).max + 1
+    val idx = labels.zipWithIndex.toMap
+    val cents = labels.map(_ => Array.fill(dim)(0.0))
+    sums.foreach { r =>
+      cents(idx(r.getInt(0)))(r.getInt(1)) =
+        Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
+    }
+    // exact integer squared distance to EVERY label centroid, as one
+    // literal-array column; own slot masked to Long.MaxValue for the b2 min
+    val dists = array(cents.toIndexedSeq.map { c =>
+      val cc = c.map(x => x * x).sum // exact: integer-valued squares
+      (col("vv") - lit(2.0) * V.dot(col("vq"), lit(c)) + lit(cc)).cast("long")
+    }: _*)
+    val labToIdx = map(labels.toIndexedSeq.flatMap(l =>
+      Seq(lit(l), lit(idx(l)))): _*)
+    p.withColumn("ds", dists)
+      .withColumn("oi", element_at(labToIdx, col("label")))
+      .withColumn("a2", element_at(col("ds"), col("oi") + 1))
+      .withColumn("b2", array_min(transform(col("ds"),
+        (x, i) => when(i === col("oi"), lit(Long.MaxValue)).otherwise(x))))
+      .select(col("vid").as("vec_id"), col("label"),
+        col("a2").as("own_d2_micro2"), col("b2").as("min_other_d2_micro2"),
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0L))
+          .otherwise(expr(
+            """(CAST(1000000 AS DECIMAL(38,0)) *
+              |   (CAST(b2 AS DECIMAL(38,0)) - CAST(a2 AS DECIMAL(38,0))))
+              | DIV CAST(greatest(a2, b2) AS DECIMAL(38,0))""".stripMargin))
+          .as("sil_ppm"))
+  }
 }

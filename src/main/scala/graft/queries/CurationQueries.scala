@@ -471,6 +471,26 @@ object CurationQueries {
       "concat-and-chunk sequence packing: documents laid end to end in the " +
         "deterministic shard order and cut into 2048-token training windows — " +
         "per-doc shard, stream offset, and spanned window range; per-shard " +
-        "prefix sums, never a global one")
+        "prefix sums, never a global one"),
+
+    "q155_budget_allocation" -> Q(
+      (s, dir) =>
+        Curation.largestRemainderAllocate(
+            Tables.table(s, dir, "documents"), "lang", total = 997L)
+          .orderBy(col("grp")),
+      Some("""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT *, sum(n_rows) OVER () AS t FROM c),
+             |b AS (SELECT *, (997 * n_rows) // t AS base,
+             |    (997 * n_rows) % t AS rem FROM t),
+             |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rk,
+             |    997 - sum(base) OVER () AS leftover FROM b)
+             |SELECT grp, n_rows,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             |    AS alloc
+             |FROM r ORDER BY grp""".stripMargin),
+      "largest-remainder (Hamilton) apportionment of a 997-document budget across " +
+        "languages: floor quotas + remainder-ranked leftover units, sum EXACTLY the " +
+        "budget — all-integer, one bounded groupBy, windows over group rows only")
   )
 }

@@ -287,6 +287,85 @@ object EvalQueries {
              |ORDER BY t.grp""".stripMargin),
       "Cohen's kappa per language between a char-length rater and a token-count " +
         "rater — chance-corrected label agreement in exact integer ppm; one cell " +
-        "aggregation bounded by groups x labels^2, marginal joins never touch the corpus")
+        "aggregation bounded by groups x labels^2, marginal joins never touch the corpus"),
+
+    // ------------------------------------------- two-sample KS distance
+    "q154_ks_test" -> Q(
+      (s, dir) => {
+        // click vs purchase value distributions, audited per user cohort —
+        // the binning-free drift check run next to PSI when a feature's
+        // train/serve skew is suspected
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(concat(lit("u"), (col("user_id") % 3).cast("string")).as("g"),
+            col("value"),
+            (col("event_type") === "purchase").cast("bigint").as("side"))
+        ModelEval.ksTest(ev, "g", "value", "side").orderBy(col("grp"))
+      },
+      Some("""WITH e AS (SELECT 'u' || CAST(user_id % 3 AS VARCHAR) AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS sm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |s AS (SELECT grp, sm, sum(1 - side) AS ca, sum(side) AS cb
+             |  FROM e GROUP BY 1, 2),
+             |w AS (SELECT *,
+             |    sum(ca) OVER (PARTITION BY grp ORDER BY sm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             |    sum(cb) OVER (PARTITION BY grp ORDER BY sm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             |    sum(ca) OVER (PARTITION BY grp) AS n_a,
+             |    sum(cb) OVER (PARTITION BY grp) AS n_b
+             |  FROM s),
+             |d AS (SELECT *, abs(n_b * cum_a - n_a * cum_b) AS diff FROM w),
+             |m AS (SELECT *, max(diff) OVER (PARTITION BY grp) AS maxd FROM d)
+             |SELECT grp, CAST(max(n_a) AS BIGINT) AS n_a,
+             |  CAST(max(n_b) AS BIGINT) AS n_b,
+             |  CAST(CASE WHEN max(n_a) = 0 OR max(n_b) = 0 THEN -1
+             |    ELSE (1000000 * max(maxd)) // (max(n_a) * max(n_b)) END
+             |    AS BIGINT) AS d_ppm,
+             |  CAST(CASE WHEN max(n_a) = 0 OR max(n_b) = 0 THEN -1
+             |    ELSE min(CASE WHEN diff = maxd THEN sm END) END
+             |    AS BIGINT) AS at_micro
+             |FROM m GROUP BY grp ORDER BY grp""".stripMargin),
+      "two-sample Kolmogorov-Smirnov distance (click vs purchase values per user " +
+        "cohort) in exact integer ppm with its tie-broken argmax location — " +
+        "distinct-value aggregation then per-group prefix windows over distinct " +
+        "micro values only; the binning-free companion to the PSI drift monitor"),
+
+    // -------------------------------------------- cluster silhouette
+    "q156_silhouette" -> Q(
+      (s, dir) =>
+        graft.operators.Similarity.clusterSilhouette(
+            Tables.table(s, dir, "embeddings"), "embedding", "vec_id", "label")
+          .orderBy(col("vec_id")),
+      // q110's integer floorDiv centroids, then per-row exact squared
+      // distances to every label centroid — a2 = own, b2 = min other
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |s AS (SELECT label, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM e CROSS JOIN generate_series(1, 64) AS dd(d)
+             |  GROUP BY label, dd.d),
+             |c AS (SELECT label AS clab,
+             |    list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c
+             |  FROM s GROUP BY label),
+             |dist AS (SELECT e.vec_id, e.label, c.clab,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))) AS d2
+             |  FROM e CROSS JOIN c),
+             |ab AS (SELECT vec_id, label,
+             |    min(CASE WHEN clab = label THEN d2 END) AS a2,
+             |    min(CASE WHEN clab <> label THEN d2 END) AS b2
+             |  FROM dist GROUP BY 1, 2)
+             |SELECT vec_id, label, CAST(a2 AS BIGINT) AS own_d2_micro2,
+             |  CAST(b2 AS BIGINT) AS min_other_d2_micro2,
+             |  CAST(CASE WHEN greatest(a2, b2) = 0 THEN 0
+             |    ELSE (1000000 * (b2 - a2)) // greatest(a2, b2) END
+             |    AS BIGINT) AS sil_ppm
+             |FROM ab ORDER BY vec_id""".stripMargin),
+      "simplified (centroid-based, squared-distance) silhouette per embedding in " +
+        "exact integer ppm — the label-coherence audit of an embedding space; " +
+        "bounded driver centroids broadcast as literals, then a shuffle-free " +
+        "map-only scoring scan")
   )
 }

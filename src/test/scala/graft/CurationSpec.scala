@@ -466,4 +466,41 @@ class CurationSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("non-positive")), msgs(ex).mkString("; "))
   }
+
+  // ------------------------------------------------ largestRemainderAllocate
+
+  test("largestRemainderAllocate: hand case — floors + remainder-ranked units") {
+    // counts {a:5, b:3, c:2}, total 7: quotas 3.5/2.1/1.4 -> floors 3/2/1,
+    // one leftover unit goes to the largest remainder (a)
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val got = Curation.largestRemainderAllocate(
+        rows.toDF("g"), "g", total = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("largestRemainderAllocate: equal remainders break ties by group name") {
+    // three equal groups, total 4: each base 1, rem equal -> 'a' wins the unit
+    val rows = Seq("a", "b", "c")
+    val got = Curation.largestRemainderAllocate(rows.toDF("g"), "g", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("largestRemainderAllocate: allocation always sums exactly to total") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(_ => s"g${rnd.nextInt(13)}")
+    for (total <- Seq(0L, 1L, 97L, 300L, 12345L)) {
+      val a = Curation.largestRemainderAllocate(rows.toDF("g"), "g", total)
+        .collect()
+      assert(a.map(_.getLong(2)).sum === total, s"total=$total")
+      // proportionality: every group within 1 unit of its real quota
+      val n = rows.size.toDouble
+      a.foreach { r =>
+        val quota = total * r.getLong(1) / n
+        assert(math.abs(r.getLong(2) - quota) <= 1.0,
+          s"group ${r.getString(0)} total=$total")
+      }
+    }
+  }
 }

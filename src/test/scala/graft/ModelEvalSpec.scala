@@ -193,4 +193,57 @@ class ModelEvalSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach(row => assert(row.getAs[Long]("recall_ppm") === 1000000L))
   }
+
+  // ---------------------------------------------------------------- ksTest
+
+  test("ksTest: hand case — D = 1/3, smallest attaining value reported") {
+    // side0 = {1,2,3}, side1 = {2,3,4}: the ECDF gap is 1/3 at x=1, 2 and
+    // 3 — the reported location must be the SMALLEST (1.0 -> 1e6 micro)
+    val d = Seq(
+      ("A", 1.0, 0L), ("A", 2.0, 0L), ("A", 3.0, 0L),
+      ("A", 2.0, 1L), ("A", 3.0, 1L), ("A", 4.0, 1L))
+      .toDF("g", "v", "side")
+    val r = ModelEval.ksTest(d, "g", "v", "side").collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 3L)))
+    assert(r.getLong(3) === 333333L) // trunc(1e6 * 3 / 9)
+    assert(r.getLong(4) === 1000000L)
+  }
+
+  test("ksTest: identical samples give D = 0; one-sided group gives -1") {
+    val d = Seq(
+      ("same", 1.5, 0L), ("same", 2.5, 0L),
+      ("same", 1.5, 1L), ("same", 2.5, 1L),
+      ("onesided", 3.0, 1L), ("onesided", 4.0, 1L))
+      .toDF("g", "v", "side")
+    val got = ModelEval.ksTest(d, "g", "v", "side")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got("same") === ((0L, 1500000L))) // D=0 everywhere; smallest value
+    assert(got("onesided") === ((-1L, -1L)))
+  }
+
+  test("ksTest: matches a brute-force ECDF sup-distance on random data") {
+    val rnd = new Random(7)
+    val rows = (1 to 500).map { _ =>
+      ("g", rnd.nextInt(80) / 7.0, rnd.nextInt(2).toLong)
+    }
+    val a = rows.collect { case (_, v, 0L) => math.round(v * 1e6) }
+    val b = rows.collect { case (_, v, 1L) => math.round(v * 1e6) }
+    val pts = (a ++ b).distinct.sorted
+    val diffs = pts.map(x => math.abs(
+      b.length.toLong * a.count(_ <= x) - a.length.toLong * b.count(_ <= x)))
+    val maxd = diffs.max
+    val expD = (1000000L * maxd) / (a.length.toLong * b.length)
+    val expAt = pts(diffs.indexOf(maxd))
+    val r = ModelEval.ksTest(rows.toDF("g", "v", "side"), "g", "v", "side")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((a.length.toLong, b.length.toLong)))
+    assert(r.getLong(3) === expD)
+    assert(r.getLong(4) === expAt)
+  }
+
+  test("ksTest rejects non-binary side flags") {
+    val d = Seq(("A", 1.0, 2L)).toDF("g", "v", "side")
+    val ex = intercept[Exception] { ModelEval.ksTest(d, "g", "v", "side").collect() }
+    assert(msgs(ex).exists(_.contains("side must be 0/1")))
+  }
 }

@@ -310,4 +310,54 @@ class SimilaritySpec extends SparkSpec {
       .nearestCentroidClassify(emb.repartition(13), "embedding", "vec_id", "label")
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  // -------------------------------------------------------- clusterSilhouette
+
+  test("clusterSilhouette: hand case — exact a2/b2 and truncation toward zero") {
+    // 1-D micro coords. label 0: {0, 12} -> centroid floor(12/2) = 6;
+    // label 1: {1, 9} -> centroid floor(10/2) = 5.
+    val d = Seq(
+      (1L, Array(0.0f), 0), (2L, Array(12e-6f), 0),
+      (3L, Array(1e-6f), 1), (4L, Array(9e-6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .clusterSilhouette(d, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vec 1: a2 = 36, b2 = 25 -> trunc(-11e6/36) = -305555 (floor would be
+    // -305556 — this pins Spark DIV's truncation toward zero)
+    assert(got(1L) === ((36L, 25L, -305555L)))
+    assert(got(2L) === ((36L, 49L, 265306L)))  // trunc(13e6/49)
+    assert(got(3L) === ((16L, 25L, 360000L)))  // exact 9e6/25
+    assert(got(4L) === ((16L, 9L, -437500L)))  // exact -7e6/16
+  }
+
+  test("clusterSilhouette: coincident centroids with zero distances emit 0") {
+    // both labels centered at the same point; the origin vec sits ON both
+    val d = Seq(
+      (1L, Array(0.0f), 0), (2L, Array(0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .clusterSilhouette(d, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("clusterSilhouette: single-label corpora are rejected") {
+    val d = Seq((1L, Array(1e-6f), 7), (2L, Array(2e-6f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.clusterSilhouette(d, "embedding", "vec_id", "label")
+    }
+    assert(ex.getMessage.contains(">= 2 labels"))
+  }
+
+  test("clusterSilhouette is deterministic under repartitioning") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val a = graft.operators.Similarity
+      .clusterSilhouette(emb, "embedding", "vec_id", "label")
+    val b = graft.operators.Similarity
+      .clusterSilhouette(emb.repartition(13), "embedding", "vec_id", "label")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
 }
