@@ -736,4 +736,41 @@ object Curation {
           when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
           .as("alloc"))
   }
+
+  /** EXACT STRATIFIED SAMPLE: draw EXACTLY `total` rows overall, each
+    * group contributing its [[largestRemainderAllocate]] share, chosen
+    * within the group by md5(id) order — the [[groupHashSample]]
+    * selection rule, so the draw is stateless, rerun-stable, and
+    * engine-portable. The composition a mixing pipeline actually ships:
+    * decide per-source counts exactly, then sample those counts
+    * deterministically. (`sample(fraction)` gives neither: binomial row
+    * counts, and a different sample on every plan re-evaluation.)
+    *
+    * Requires `total` ≤ corpus rows: a group whose allocation exceeded
+    * its row count would silently under-fill the sample, so that case
+    * raises instead (check is distributed — a 1-row broadcast, no
+    * driver collect).
+    *
+    * Scale shape: the allocation is one bounded groupBy; the draw is one
+    * per-group md5 rank (groups sort in parallel) plus a broadcast join
+    * of the |groups|-row allocation table. Returns
+    * (doc, grp, rk, alloc) — rk ≤ alloc, Σ per-group rows = total.
+    */
+  def stratifiedSampleExact(
+      df: DataFrame, idCol: String, groupCol: String, total: Long): DataFrame = {
+    val alloc = largestRemainderAllocate(df, groupCol, total)
+      .withColumn("alloc",
+        when(col("alloc") <= col("n_rows"), col("alloc"))
+          .otherwise(raise_error(concat(
+            lit("stratifiedSampleExact: total exceeds corpus rows — group "),
+            col("grp").cast("string"), lit(" cannot fill its allocation")))))
+      .select(col("grp"), col("alloc"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"), col("doc"))
+    df.select(col(idCol).as("doc"), col(groupCol).as("grp"),
+        md5(col(idCol).cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(alloc), Seq("grp"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("doc"), col("grp"), col("rk"), col("alloc"))
+  }
 }

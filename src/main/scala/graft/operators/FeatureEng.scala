@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -463,6 +463,58 @@ object FeatureEng {
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
               .cast("bigint"))
           .as("corr_micro"))
+  }
+
+  /** Per-group Spearman rank correlation — Pearson over DOUBLED average
+    * ranks, which are exact integers even under ties:
+    * `2·avgrank = 2·rank() + |ties| − 1` (the average-rank tie convention
+    * with the ½ cleared), and correlation is scale-invariant, so doubling
+    * changes nothing. The monotone-association companion to
+    * [[corrPearson]]: outlier-robust and invariant to any monotone
+    * transform of either column — the association check to run when the
+    * relationship is nonlinear (quality score vs document length). Same
+    * output contract as corrPearson — exact decimal(38,0) moment sums,
+    * one f64 division+sqrt at the very end rounded to micro — except the
+    * zero-variance sentinel is −2000000 (OUTSIDE [−1e6, 1e6]; corrPearson
+    * predates the convention and its −1e6 sentinel collides with r = −1).
+    *
+    * Scale shape: two rank windows partitioned by group (ranking is the
+    * irreducible cost of Spearman — per-group sorts, groups in parallel;
+    * a single corpus-sized group is the skew risk, same as any per-group
+    * rank), then ONE order-independent moment aggregation.
+    */
+  def corrSpearman(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      round(col(xCol) * lit(1e6)).cast("bigint").as("xv"),
+      round(col(yCol) * lit(1e6)).cast("bigint").as("yv"))
+    val wx = Window.partitionBy(col("grp")).orderBy(col("xv"))
+    val wy = Window.partitionBy(col("grp")).orderBy(col("yv"))
+    val cx = Window.partitionBy(col("grp"), col("xv"))
+    val cy = Window.partitionBy(col("grp"), col("yv"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    base
+      .withColumn("x",
+        lit(2L) * rank().over(wx).cast("bigint") + count(lit(1)).over(cx) - 1L)
+      .withColumn("y",
+        lit(2L) * rank().over(wy).cast("bigint") + count(lit(1)).over(cy) - 1L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .select(col("grp"), col("n"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(-2000000L))
+          .otherwise(
+            round(lit(1e6) *
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .cast("bigint"))
+          .as("spearman_micro"))
   }
 
   /** Cross-correlation of two per-type event series at integer lags:

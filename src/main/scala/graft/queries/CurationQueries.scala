@@ -491,6 +491,34 @@ object CurationQueries {
              |FROM r ORDER BY grp""".stripMargin),
       "largest-remainder (Hamilton) apportionment of a 997-document budget across " +
         "languages: floor quotas + remainder-ranked leftover units, sum EXACTLY the " +
-        "budget — all-integer, one bounded groupBy, windows over group rows only")
+        "budget — all-integer, one bounded groupBy, windows over group rows only"),
+
+    "q157_stratified_sample" -> Q(
+      (s, dir) =>
+        Curation.stratifiedSampleExact(
+            Tables.table(s, dir, "documents"), "doc_id", "source", total = 197L)
+          .orderBy(col("grp"), col("rk")),
+      Some("""WITH c AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT *, sum(n_rows) OVER () AS t FROM c),
+             |b AS (SELECT *, (197 * n_rows) // t AS base,
+             |    (197 * n_rows) % t AS rem FROM t),
+             |a AS (SELECT grp,
+             |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, grp)
+             |      <= 197 - sum(base) OVER () THEN 1 ELSE 0 END AS alloc
+             |  FROM b),
+             |s AS (SELECT doc_id AS doc, source AS grp,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |r AS (SELECT doc, grp,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY h, doc) AS BIGINT)
+             |      AS rk
+             |  FROM s)
+             |SELECT r.doc, r.grp, r.rk, CAST(a.alloc AS BIGINT) AS alloc
+             |FROM r JOIN a USING (grp) WHERE rk <= alloc
+             |ORDER BY grp, rk""".stripMargin),
+      "exact stratified sample of 197 documents across sources: Hamilton " +
+        "allocation decides each group's count, smallest-md5 order draws it — " +
+        "stateless, rerun-stable, sums EXACTLY to the budget; bounded allocation " +
+        "broadcast back over one per-group rank")
   )
 }

@@ -386,6 +386,43 @@ object FeatureQueries {
         "moment sums (order-independent), one f64 division+sqrt at the very end " +
         "rounded to micro (the q34 cosine convention); -1e6 sentinel for zero variance"),
 
+    // ------------------------------------------------ Spearman correlation
+    "q158_spearman" -> Q(
+      (s, dir) =>
+        FeatureEng.corrSpearman(
+            Tables.events(s, dir).withColumn("k",
+              get_json_object(col("props"), "$.k").cast("bigint")),
+            "event_type", "value", "k")
+          .orderBy(col("grp")),
+      Some("""WITH e AS (SELECT event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xv,
+             |    CAST(round(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 1e6)
+             |      AS BIGINT) AS yv
+             |  FROM events),
+             |r AS (SELECT grp,
+             |    2 * rank() OVER (PARTITION BY grp ORDER BY xv)
+             |      + count(*) OVER (PARTITION BY grp, xv) - 1 AS x,
+             |    2 * rank() OVER (PARTITION BY grp ORDER BY yv)
+             |      + count(*) OVER (PARTITION BY grp, yv) - 1 AS y
+             |  FROM e),
+             |m AS (SELECT grp, count(*) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM r GROUP BY grp)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |    THEN -2000000
+             |    ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             |    END AS BIGINT) AS spearman_micro
+             |FROM m ORDER BY grp""".stripMargin),
+      "per-type Spearman rank correlation of value vs props.k: doubled average " +
+        "ranks stay exact integers under ties, then the corrPearson moment " +
+        "pipeline; -2e6 sentinel (outside the correlation range) for zero variance"),
+
     // ------------------------------------------------- bitemporal as-of
     "q136_bitemporal" -> Q(
       (s, dir) => {

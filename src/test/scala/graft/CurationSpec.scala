@@ -503,4 +503,38 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------------- stratifiedSampleExact
+
+  test("stratifiedSampleExact: exactly total rows, per-group = allocation, " +
+      "rerun- and partitioning-stable") {
+    val rnd = new scala.util.Random(23)
+    val d = (1L to 240L).map(i => (i, s"g${rnd.nextInt(7)}")).toDF("id", "g")
+    val alloc = Curation.largestRemainderAllocate(d, "g", 101L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val s1 = Curation.stratifiedSampleExact(d, "id", "g", 101L).collect()
+    assert(s1.length === 101)
+    val perGroup = s1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(perGroup === alloc.filter(_._2 > 0L))
+    // every drawn rank is within the group's allocation and ranks tile 1..alloc
+    s1.groupBy(_.getString(1)).foreach { case (g, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to alloc(g)))
+    }
+    val s2 = Curation.stratifiedSampleExact(d.repartition(9), "id", "g", 101L)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    assert(s2.map(key).toSet === s1.map(key).toSet)
+  }
+
+  test("stratifiedSampleExact: total above corpus size fails loudly") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val ex = intercept[Exception] {
+      Curation.stratifiedSampleExact(d, "id", "g", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("total exceeds corpus rows")),
+      msgs(ex).mkString("; "))
+  }
 }

@@ -331,4 +331,54 @@ class FeatureEngSpec extends SparkSpec {
     assert(got(2L) === ((200L, 2L)))
     assert(got(3L) === ((100L, 1L)))
   }
+
+  // -------------------------------------------------------- corrSpearman
+
+  test("corrSpearman: monotone maps to ±1e6 exactly (ties included), " +
+      "0.5 hand case, zero-variance sentinel") {
+    // A: y strictly increasing in x (nonlinearly) -> rho = 1 exactly
+    // B: x has ties, y anti-monotone with matching tie shape -> rho = -1
+    // C: x=[1,2,3], y=[1,3,2] -> rho = 0.5 exactly
+    // D: constant y -> -2e6 sentinel (NOT -1e6, which is a legal rho)
+    val d = Seq(
+      ("A", 1.0, 10.0), ("A", 2.0, 100.0), ("A", 3.0, 100000.0),
+      ("B", 1.0, 40.0), ("B", 2.0, 20.0), ("B", 2.0, 20.0), ("B", 3.0, 10.0),
+      ("C", 1.0, 1.0), ("C", 2.0, 3.0), ("C", 3.0, 2.0),
+      ("D", 1.0, 5.0), ("D", 2.0, 5.0))
+      .toDF("g", "x", "y")
+    val got = FeatureEng.corrSpearman(d, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("A" -> 1000000L, "B" -> -1000000L,
+      "C" -> 500000L, "D" -> -2000000L))
+  }
+
+  test("corrSpearman matches a driver-side average-rank reference on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map(_ =>
+      ("g", rnd.nextInt(40) / 3.0, rnd.nextInt(25).toDouble))
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      // doubled average rank: 2*rank + ties - 1, replicated exactly
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val eq = sorted.count(_ === v)
+        v -> (2L * (below + 1) + eq - 1)
+      }.toMap
+    }
+    val xm = rows.map(r => math.round(r._2 * 1e6))
+    val ym = rows.map(r => math.round(r._3 * 1e6))
+    val (rx, ry) = (ranks2(xm), ranks2(ym))
+    val xs = xm.map(rx); val ys = ym.map(ry)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+    val sxx = xs.map(a => a.toDouble * a).sum
+    val syy = ys.map(a => a.toDouble * a).sum
+    val expected = math.round(1e6 * (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    val got = FeatureEng.corrSpearman(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(got.getLong(1) === 400L)
+    assert(got.getLong(2) === expected)
+  }
 }
