@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -361,6 +362,94 @@ object TextPipeline {
     * shipped as a literal — the bounded-broadcast pattern again; the
     * corpus side stays shuffle-free.
     */
+  /** Per-group TOTAL-VARIATION DISTANCE between the group's token
+    * distribution and the whole corpus's — "which source's vocabulary
+    * diverges most?", the drift gate a mixing pipeline runs before a new
+    * crawl snapshot joins the training mix. TV is THE exact-integer
+    * divergence (KL/JS need logs, which no two engines round alike):
+    *
+    *   TV_g = ½ Σ_t |p_g(t) − p(t)|
+    *        = (Σ_{t∈g} |f_gt·N − f_t·N_g| + (N − Σ_{t∈g} f_t)·N_g)
+    *          / (2·N_g·N)
+    *
+    * — the second summand closes the sum over the corpus terms ABSENT
+    * from the group (each contributes f_t·N_g) without ever
+    * materializing the |groups| × |vocab| grid that
+    * [[graft.operators.ModelEval.chiSquareTerms]] needs: absent terms'
+    * contribution only depends on the TOTAL corpus frequency the group
+    * covers. Emitted in ppm via decimal(38,0) cross-multiplied integers.
+    *
+    * Scale shape: one explode → two token-keyed aggregations with
+    * map-side combine (group-term and term), a vocab-keyed join between
+    * them (skew-safe: both sides already aggregated, the hottest token
+    * is ONE row per group), per-group totals, and a 1-row corpus total
+    * broadcast. Nothing is ever |groups| × |vocab|.
+    */
+  def tokenDistributionDrift(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(T.tokens(col(textCol))).as("t"))
+    val st = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("fst"))
+    val tt = tok.groupBy(col("t")).agg(count(lit(1)).as("ft"))
+    val ns = tok.groupBy(col("grp")).agg(count(lit(1)).as("n_tokens"))
+    val nn = tok.agg(count(lit(1)).as("n"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    st.join(tt, Seq("t"))
+      .join(ns, Seq("grp"))
+      .crossJoin(broadcast(nn))
+      .withColumn("dv", abs(d("fst") * d("n") - d("ft") * d("n_tokens")))
+      .groupBy(col("grp"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("n")).as("n"),
+        sum(col("dv")).as("present_num"), sum(col("ft")).as("covered"))
+      .select(col("grp"), col("n_tokens"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) *
+                |  (present_num + (CAST(n AS DECIMAL(38,0)) - covered)
+                |     * CAST(n_tokens AS DECIMAL(38,0))))
+                | DIV (CAST(2 AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))
+                |      * CAST(n AS DECIMAL(38,0)))""".stripMargin)
+          .as("tv_ppm"))
+  }
+
+  /** Per-group GINI CONCENTRATION of the token frequency distribution —
+    * 0 = every distinct token equally frequent (maximal lexical
+    * diversity), →1 = a handful of tokens dominate (boilerplate,
+    * template spam). The corpus-health diversity number next to
+    * [[tokenDistributionDrift]]'s divergence number. Exact integers via
+    * the rank form of Gini over ascending frequencies:
+    *
+    *   G = (2·Σ_i i·x_i − (n+1)·Σx) / (n·Σx),  i = 1..n ascending
+    *
+    * (ties ordered by term for determinism — equal x_i make Σ i·x_i
+    * invariant to their internal order, so the tie-break cannot change
+    * the result, only make plans reproducible). Emitted in ppm via
+    * decimal(38,0).
+    *
+    * Scale shape: one explode → one (group, term)-keyed count with
+    * map-side combine, then a per-group rank over DISTINCT terms only
+    * (vocab-sized, not corpus-sized; groups sort in parallel), then one
+    * per-group reduce.
+    */
+  def tokenGini(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val freq = docs.select(col(groupCol).as("grp"),
+        explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"), col("t"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    freq.withColumn("i", row_number().over(w).cast("bigint"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("n_tokens"),
+        sum(d("i") * d("x")).as("ix"))
+      .select(col("grp"), col("n_terms"), col("n_tokens"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) *
+                |  (CAST(2 AS DECIMAL(38,0)) * ix
+                |   - (CAST(n_terms AS DECIMAL(38,0)) + 1)
+                |     * CAST(n_tokens AS DECIMAL(38,0))))
+                | DIV (CAST(n_terms AS DECIMAL(38,0))
+                |      * CAST(n_tokens AS DECIMAL(38,0)))""".stripMargin)
+          .as("gini_ppm"))
+  }
+
   def bloomContaminatedFast(
       docs: DataFrame, probes: DataFrame,
       textCol: String, idCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextPipeline}
 
 /** The LLM-training-data-pipeline operator surface (BASELINE.json north
   * star): deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
@@ -734,5 +734,65 @@ object ExtensionQueries {
              |SELECT doc_id, frame_idx,
              |  round(list_reduce(list_prepend(0.0, f), (acc, x) -> acc + x), 6) AS feat_sum
              |FROM feats ORDER BY doc_id, frame_idx""".stripMargin),
-      "per-frame feature extraction batch shape (doc, frame, feature vector; portable md5 stub)"))
+      "per-frame feature extraction batch shape (doc, frame, feature vector; portable md5 stub)"),
+
+    // --------------------------------------- text: source vocabulary drift
+    "q159_source_tv_drift" -> Q(
+      (s, dir) =>
+        TextPipeline.tokenDistributionDrift(
+            Tables.table(s, dir, "documents"), "text", "source")
+          .orderBy(col("grp")),
+      Some("""WITH tok AS (
+             |  SELECT source AS grp,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS t
+             |  FROM documents),
+             |st AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS fst
+             |  FROM tok GROUP BY 1, 2),
+             |tt AS (SELECT t, CAST(count(*) AS BIGINT) AS ft FROM tok GROUP BY 1),
+             |ns AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM tok GROUP BY 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+             |j AS (SELECT st.grp,
+             |    abs(CAST(fst AS HUGEINT) * n - CAST(ft AS HUGEINT) * n_tokens) AS dv,
+             |    ft
+             |  FROM st JOIN tt USING (t) JOIN ns USING (grp) CROSS JOIN nn),
+             |p AS (SELECT grp, sum(dv) AS present_num, sum(ft) AS covered
+             |  FROM j GROUP BY 1)
+             |SELECT p.grp, ns.n_tokens,
+             |  CAST((1000000::HUGEINT *
+             |      (present_num + (n - covered)::HUGEINT * n_tokens))
+             |    // (2::HUGEINT * n_tokens * n) AS BIGINT) AS tv_ppm
+             |FROM p JOIN ns USING (grp) CROSS JOIN nn
+             |ORDER BY grp""".stripMargin),
+      "per-source total-variation distance between the source's token distribution " +
+        "and the corpus's, in exact integer ppm (KL/JS need logs; TV doesn't) — " +
+        "the vocabulary-drift gate for onboarding a crawl snapshot; absent-term " +
+        "mass closed in aggregate so no |sources| x |vocab| grid exists"),
+
+    // --------------------------------------- text: token concentration
+    "q160_token_gini" -> Q(
+      (s, dir) =>
+        TextPipeline.tokenGini(
+            Tables.table(s, dir, "documents"), "text", "source")
+          .orderBy(col("grp")),
+      Some("""WITH tok AS (
+             |  SELECT source AS grp,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS t
+             |  FROM documents),
+             |f AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS x
+             |  FROM tok GROUP BY 1, 2),
+             |r AS (SELECT grp, x,
+             |    CAST(row_number() OVER (PARTITION BY grp ORDER BY x, t) AS BIGINT) AS i
+             |  FROM f),
+             |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+             |    sum(x) AS n_tokens, sum(CAST(i AS HUGEINT) * x) AS ix
+             |  FROM r GROUP BY 1)
+             |SELECT grp, n_terms, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST((1000000::HUGEINT * (2::HUGEINT * ix
+             |      - (n_terms + 1)::HUGEINT * n_tokens))
+             |    // (n_terms::HUGEINT * n_tokens) AS BIGINT) AS gini_ppm
+             |FROM g ORDER BY grp""".stripMargin),
+      "per-source Gini concentration of token frequencies in exact integer ppm " +
+        "(0 = uniform vocabulary, 1 = boilerplate domination) — the lexical-" +
+        "diversity health metric; per-group rank over DISTINCT terms only"))
 }

@@ -245,4 +245,75 @@ class TextPipelineSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(got === want)
   }
+
+  // ----------------------------------------------- tokenDistributionDrift
+
+  test("tokenDistributionDrift: identical distribution scores 0, disjoint " +
+      "vocab scores the exact closed form") {
+    import spark.implicits._
+    // A and B have the same token distribution as each other (and thus as
+    // the corpus) -> TV = 0 for both. C's vocabulary is disjoint:
+    // TV_C = 1/2*(sum_{t in C}|p_C - p| + corpus mass C doesn't cover)
+    val d = Seq(
+      (1L, "x x y", "A"), (2L, "x x y", "B"))
+      .toDF("doc_id", "text", "src")
+    val same = TextPipeline.tokenDistributionDrift(d, "text", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(same === Map("A" -> 0L, "B" -> 0L))
+    // A: {x}, B: {y}: p_A(x)=1 vs p(x)=1/2 -> |1-1/2| + absent y: 1/2
+    //   -> TV = 1/2*(1/2+1/2) = 1/2 exactly
+    val dj = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("doc_id", "text", "src")
+    val got = TextPipeline.tokenDistributionDrift(dj, "text", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("tokenDistributionDrift matches a driver-side reference on sf docs") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val got = TextPipeline.tokenDistributionDrift(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // exact BigInt reference
+    val toks = docs.select("lang", "text").collect().flatMap { r =>
+      r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t))
+    }
+    val n = BigInt(toks.length)
+    val byGrp = toks.groupBy(_._1)
+    val ft = toks.groupBy(_._2).view.mapValues(v => BigInt(v.length)).toMap
+    val want = byGrp.map { case (g, rows) =>
+      val ns = BigInt(rows.length)
+      val fst = rows.groupBy(_._2).view.mapValues(v => BigInt(v.length)).toMap
+      val present = fst.map { case (t, f) => (f * n - ft(t) * ns).abs }.sum
+      // .toSeq first: keys is a Set, and mapping it to ft values would
+      // collapse equal frequencies before the sum
+      val covered = fst.keys.toSeq.map(ft).sum
+      g -> ((BigInt(1000000) * (present + (n - covered) * ns)) / (2 * ns * n)).toLong
+    }
+    assert(got === want)
+  }
+
+  // ---------------------------------------------------------- tokenGini
+
+  test("tokenGini: uniform frequencies score 0, skew is exact") {
+    import spark.implicits._
+    // A: three tokens once each -> G = 0. B: freqs {1, 3}: sorted x=(1,3),
+    // num = 2*(1*1+2*3) - 3*4 = 2, den = 2*4 -> G = 1/4 exactly
+    val d = Seq(
+      (1L, "a b c", "A"),
+      (2L, "z z z q", "B"))
+      .toDF("doc_id", "text", "src")
+    val got = TextPipeline.tokenGini(d, "text", "src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(("A", 3L, 3L, 0L), ("B", 2L, 4L, 250000L)))
+  }
+
+  test("tokenGini is invariant to the internal order of tied frequencies") {
+    import spark.implicits._
+    // all four tokens appear twice: every rank assignment over ties gives
+    // the same sum, and uniform frequencies mean G = 0
+    val d = Seq((1L, "p q r s s r q p", "A")).toDF("doc_id", "text", "src")
+    val r1 = TextPipeline.tokenGini(d, "text", "src").collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((4L, 8L, 0L)))
+  }
 }
