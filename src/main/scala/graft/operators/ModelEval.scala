@@ -386,4 +386,72 @@ object ModelEval {
       .select(col("query_id"), col("n_true"), col("n_hit"),
         expr("(1000000 * n_hit) DIV n_true").as("recall_ppm"))
   }
+
+  /** ANN mean-reciprocal-rank inputs: per ground-truth query, the rank of
+    * the FIRST relevant result in the approximate list (relevant = member
+    * of the exact top-k) and its reciprocal in integer ppm
+    * (`rr_ppm = 1e6 DIV first_hit_rank`; 0-with-rank--1 when the index
+    * never surfaces a relevant neighbor) — the "how deep must a user
+    * scroll" companion to [[annRecallAtK]]'s set overlap. Averaging the
+    * ppm column gives MRR; the per-query rows are emitted so the slow
+    * queries are attributable, and ground truth drives the output
+    * (queries the index dropped appear with rank −1, not silence).
+    *
+    * Scale shape: both inputs are |queries|·k ranked frames (the
+    * annRecallAtK protocol), so the join and min-aggregate are bounded
+    * by the evaluation sample, never the corpus.
+    */
+  def annMrrAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val gt = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val firstHit = approx.filter(col("rank") <= k)
+      .join(gt, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(min(col("rank")).cast("bigint").as("fr"))
+    gt.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("fr"), lit(-1L)).as("first_hit_rank"),
+        coalesce(expr("1000000 DIV fr"), lit(0L)).as("rr_ppm"))
+  }
+
+  /** Per-class classification report — tp/fp/fn with precision, recall
+    * and F1 in exact integer ppm, over any (label, predicted) frame
+    * (e.g. [[graft.operators.Similarity.nearestCentroidClassify]]'s
+    * output): the per-class quality audit a corpus-filter model gets
+    * before its threshold ships. F1 uses the integer-exact form
+    * `f1_ppm = (2e6·tp) DIV (2·tp + fp + fn)` — algebraically equal to
+    * the harmonic mean, with no intermediate ratio to round. Classes
+    * that appear only in predictions still get a row (their fn = 0,
+    * recall undefined → −1 sentinel; precision likewise when the class
+    * is never predicted).
+    *
+    * Scale shape: one (label, predicted)-keyed count with map-side
+    * combine (corpus → ≤ labels² cells), then marginal aggregations and
+    * a full outer join over the bounded cell table — nothing after the
+    * first aggregation touches the corpus.
+    */
+  def classificationReport(
+      df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df.select(col(labelCol).cast("bigint").as("y"),
+        col(predCol).cast("bigint").as("p"))
+      .groupBy(col("y"), col("p")).agg(count(lit(1)).as("c"))
+    val tp = cells.filter(col("y") === col("p"))
+      .select(col("y").as("cls"), col("c").as("tp"))
+    val actual = cells.groupBy(col("y").as("cls")).agg(sum(col("c")).as("n_actual"))
+    val predicted = cells.groupBy(col("p").as("cls")).agg(sum(col("c")).as("n_pred"))
+    actual.join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_actual"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * tp) DIV (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * tp) DIV (tp + fn)")).as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(-1L))
+          .otherwise(expr("(2000000 * tp) DIV (2 * tp + fp + fn)")).as("f1_ppm"))
+  }
 }

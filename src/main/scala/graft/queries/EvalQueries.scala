@@ -366,6 +366,123 @@ object EvalQueries {
       "simplified (centroid-based, squared-distance) silhouette per embedding in " +
         "exact integer ppm — the label-coherence audit of an embedding space; " +
         "bounded driver centroids broadcast as literals, then a shuffle-free " +
-        "map-only scoring scan")
+        "map-only scoring scan"),
+
+    // ------------------------------------------------------------ ANN MRR
+    "q161_ann_mrr" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val queries = emb.filter(col("vec_id") < 5)
+        val approx = graft.operators.Similarity.lshTopK(
+          queries, emb, "embedding", "vec_id", k = 10, bits = 16,
+          probeHamming = 2,
+          planes = Some(graft.functions.VectorFunctions.md5Planes(dim, 16)))
+        val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "embedding", "vec_id", k = 10)
+        ModelEval.annMrrAtK(approx, exact, k = 10)
+          .orderBy(col("query_id"))
+      },
+      // q150's exact + md5-plane LSH CTEs, then first-relevant-rank
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sx AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, e.v) /
+             |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id),
+             |rx AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sx),
+             |gt AS (SELECT query_id, neighbor_id FROM rx WHERE rank <= 10),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 15) AS j(j)),
+             |sigs AS (
+             |  SELECT e.vec_id,
+             |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+             |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+             |sa AS (
+             |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             |    list_dot_product(eq.v, ec.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+             |  FROM sigs qs
+             |  JOIN e eq ON eq.vec_id = qs.vec_id
+             |  JOIN sigs cs ON cs.vec_id <> qs.vec_id
+             |  JOIN e ec ON ec.vec_id = cs.vec_id
+             |  WHERE qs.vec_id < 5 AND bit_count(xor(qs.sig, cs.sig)) <= 2),
+             |ra AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sa),
+             |fh AS (SELECT ra.query_id, min(ra.rank) AS fr
+             |  FROM ra JOIN gt ON gt.query_id = ra.query_id
+             |    AND gt.neighbor_id = ra.neighbor_id
+             |  WHERE ra.rank <= 10 GROUP BY 1),
+             |qs2 AS (SELECT DISTINCT query_id FROM gt)
+             |SELECT qs2.query_id,
+             |  CAST(coalesce(fr, -1) AS BIGINT) AS first_hit_rank,
+             |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm
+             |FROM qs2 LEFT JOIN fh USING (query_id)
+             |ORDER BY query_id""".stripMargin),
+      "per-query first-relevant-rank and reciprocal rank (ppm) of the sign-LSH " +
+        "index against brute-force top-10 — the how-deep-must-you-scroll ANN " +
+        "metric next to recall@k; bounded by the sampled query set"),
+
+    // --------------------------------------- classification report
+    "q162_centroid_report" -> Q(
+      (s, dir) =>
+        ModelEval.classificationReport(
+            graft.operators.Similarity.nearestCentroidClassify(
+              Tables.table(s, dir, "embeddings"), "embedding", "vec_id", "label",
+              trainBps = 8000),
+            "label", "predicted")
+          .orderBy(col("cls")),
+      // q110's oracle verbatim through the argmin, then the cell counts
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |sp AS (SELECT vec_id, label, vq,
+             |    CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'
+             |         THEN 1 ELSE 0 END AS tr
+             |  FROM e),
+             |s AS (SELECT label, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM sp CROSS JOIN generate_series(1, 64) AS dd(d)
+             |  WHERE tr = 1 GROUP BY label, dd.d),
+             |c AS (SELECT label AS clab,
+             |    list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c
+             |  FROM s GROUP BY label),
+             |scored AS (SELECT sp.vec_id, sp.label, c.clab,
+             |    row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        d -> (sp.vq[d] - c.c[d]) * (sp.vq[d] - c.c[d]))), c.clab) AS rn
+             |  FROM sp CROSS JOIN c),
+             |rep AS (SELECT label AS y, clab AS p FROM scored WHERE rn = 1),
+             |cells AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c
+             |  FROM rep GROUP BY 1, 2),
+             |tp AS (SELECT y AS cls, c AS tp FROM cells WHERE y = p),
+             |act AS (SELECT y AS cls, sum(c) AS n_actual FROM cells GROUP BY 1),
+             |prd AS (SELECT p AS cls, sum(c) AS n_pred FROM cells GROUP BY 1),
+             |f AS (SELECT cls,
+             |    coalesce(tp, 0) AS tp,
+             |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+             |    coalesce(n_actual, 0) - coalesce(tp, 0) AS fn
+             |  FROM act FULL OUTER JOIN prd USING (cls)
+             |    LEFT JOIN tp USING (cls))
+             |SELECT CAST(cls AS BIGINT) AS cls, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(CASE WHEN tp + fp = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+             |  CAST(CASE WHEN tp + fn = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+             |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+             |    ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+             |FROM f ORDER BY cls""".stripMargin),
+      "per-class precision/recall/F1 (exact integer ppm, F1 in the 2tp/(2tp+fp+fn) " +
+        "form — no intermediate ratio to round) over the nearest-centroid " +
+        "classifier — the model-quality audit before a filter threshold ships; " +
+        "everything after one labels^2-bounded cell count")
   )
 }

@@ -246,4 +246,64 @@ class ModelEvalSpec extends SparkSpec {
     val ex = intercept[Exception] { ModelEval.ksTest(d, "g", "v", "side").collect() }
     assert(msgs(ex).exists(_.contains("side must be 0/1")))
   }
+
+  // -------------------------------------------------------------- annMrrAtK
+
+  test("annMrrAtK: first-hit ranks, truncated reciprocals, dropped query") {
+    val exact = Seq(
+      (1L, 1L, 10L), (1L, 2L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L),
+      (3L, 1L, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // q1: first relevant at rank 3 (10 at rank 3; 11/13 are noise)
+    // q2: relevant at rank 1; q3: absent from the approx side entirely
+    val approx = Seq(
+      (1L, 1L, 11L), (1L, 2L, 13L), (1L, 3L, 10L), (1L, 4L, 12L),
+      (2L, 1L, 21L), (2L, 2L, 99L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = ModelEval.annMrrAtK(approx, exact, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((3L, 333333L))) // trunc(1e6/3)
+    assert(got(2L) === ((1L, 1000000L)))
+    assert(got(3L) === ((-1L, 0L)))
+    assert(got.size === 3)
+  }
+
+  test("annMrrAtK: relevant beyond the k cutoff does not count") {
+    val exact = Seq((1L, 1L, 10L)).toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 3L, 10L)).toDF("query_id", "rank", "neighbor_id")
+    val got = ModelEval.annMrrAtK(approx, exact, k = 2).collect().head
+    assert((got.getLong(1), got.getLong(2)) === ((-1L, 0L)))
+  }
+
+  // --------------------------------------------------- classificationReport
+
+  test("classificationReport: hand case with an unpredicted and a " +
+      "prediction-only class") {
+    // truth:      1,1,1,2,2,3
+    // predicted:  1,1,2,2,2,4   (class 3 never predicted, class 4 invented)
+    val d = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L), (3L, 4L))
+      .toDF("y", "p")
+    val got = ModelEval.classificationReport(d, "y", "p")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // cls 1: tp=2 fp=0 fn=1 -> p=1e6, r=666666, f1=2e6*2/5=800000
+    assert(got(1L) === ((2L, 0L, 1L, 1000000L, 666666L, 800000L)))
+    // cls 2: tp=2 fp=1 fn=0 -> p=666666, r=1e6, f1=800000
+    assert(got(2L) === ((2L, 1L, 0L, 666666L, 1000000L, 800000L)))
+    // cls 3: never predicted -> precision -1, recall 0, f1 0
+    assert(got(3L) === ((0L, 0L, 1L, -1L, 0L, 0L)))
+    // cls 4: never actual -> recall -1, precision 0, f1 0
+    assert(got(4L) === ((0L, 1L, 0L, 0L, -1L, 0L)))
+    assert(got.size === 4)
+  }
+
+  test("classificationReport on a perfect classifier is all 1e6") {
+    val d = Seq((1L, 1L), (2L, 2L), (2L, 2L)).toDF("y", "p")
+    ModelEval.classificationReport(d, "y", "p").collect().foreach { r =>
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) ===
+        ((1000000L, 1000000L, 1000000L)))
+    }
+  }
 }
