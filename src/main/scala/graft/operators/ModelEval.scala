@@ -183,9 +183,22 @@ object ModelEval {
         .otherwise(raise_error(lit("ksTest: side must be 0/1"))))
     val perValue = labeled.groupBy(col("grp"), col("sm"))
       .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
-    val wCum = Window.partitionBy(col("grp")).orderBy(col("sm"))
+    ksFromCounts(perValue, Seq("grp"))
+  }
+
+  /** The KS reduction over PRE-AGGREGATED per-value counts
+    * `(keys..., sm, ca, cb)` — the arithmetic [[ksTest]] and the
+    * streaming drift monitor ([[graft.streaming.StreamingKs]]) share, so
+    * batch and stream cannot diverge (the
+    * [[graft.operators.FeatureEng.psiFromMerged]] convention). Emits one
+    * row per key group: `(keys..., n_a, n_b, d_ppm, at_micro)`.
+    */
+  def ksFromCounts(perValue: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "ksFromCounts: need at least one key column")
+    val kc = keys.map(col)
+    val wCum = Window.partitionBy(kc: _*).orderBy(col("sm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("grp"))
+    val wAll = Window.partitionBy(kc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val stepped = perValue
       .withColumn("cum_a", sum(col("ca")).over(wCum))
@@ -197,17 +210,17 @@ object ModelEval {
           col("n_a"))
         .otherwise(raise_error(concat(
           lit("ksTest: n_a*n_b would overflow decimal(38,0) in group "),
-          col("grp").cast("string")))))
+          col(keys.head).cast("string")))))
       .withColumn("diff", abs(
         col("n_b").cast("decimal(38,0)") * col("cum_a").cast("decimal(38,0)") -
         col("n_a").cast("decimal(38,0)") * col("cum_b").cast("decimal(38,0)")))
       .withColumn("maxd", max(col("diff")).over(
-        Window.partitionBy(col("grp"))))
-    stepped.groupBy(col("grp"))
+        Window.partitionBy(kc: _*)))
+    stepped.groupBy(kc: _*)
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("maxd")).as("maxd"),
         min(when(col("diff") === col("maxd"), col("sm"))).as("at"))
-      .select(col("grp"), col("n_a"), col("n_b"),
+      .select(kc ++ Seq(col("n_a"), col("n_b"),
         when(col("n_a") === 0 || col("n_b") === 0, lit(-1L))
           .otherwise(expr(
             """(CAST(1000000 AS DECIMAL(38,0)) * maxd)
@@ -215,7 +228,7 @@ object ModelEval {
               |      * CAST(n_b AS DECIMAL(38,0)))""".stripMargin))
           .as("d_ppm"),
         when(col("n_a") === 0 || col("n_b") === 0, lit(-1L))
-          .otherwise(col("at")).as("at_micro"))
+          .otherwise(col("at")).as("at_micro")): _*)
   }
 
   /** Chi-square term selection: for every (class, term) pair over a
