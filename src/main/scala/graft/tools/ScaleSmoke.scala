@@ -38,7 +38,14 @@ object ScaleSmoke {
   // exact — the TIME ratio is the scale signal
   private val QueryNames =
     Seq("q31_dedup_jaccard", "q32_dedup_minhash", "q39_dedup_components",
-      "q78_bloom_decontaminate", "q131_tfidf_cosine")
+      "q78_bloom_decontaminate", "q131_tfidf_cosine",
+      // q159 under salted replication: every per-term mass ratio scales by
+      // exactly 100 (10x terms x 10x counts over 10x corpus), so tv_ppm is
+      // BIT-IDENTICAL to base and rows stay |sources| — the time ratio is
+      // the whole signal. q160: the frequency multiset replicates 10x, so
+      // Gini matches to the (n+1)/n finite-sample term (~1e2 ppm here);
+      // rows stay |sources|
+      "q159_source_tv_drift", "q160_token_gini")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -71,7 +78,11 @@ object ScaleSmoke {
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
   // output rows scale exactly 10x
-  private val EmbeddingQueryNames = Seq("q114_principal_axis")
+  // q156 under identical-copy replication: per-label sums AND counts both
+  // scale 10x, so the floorDiv centroids — and every per-row a2/b2/sil —
+  // are bit-identical per copy; output rows scale exactly 10x
+  private val EmbeddingQueryNames =
+    Seq("q114_principal_axis", "q156_silhouette")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
@@ -98,7 +109,7 @@ object ScaleSmoke {
     (0 until replicas).map { r =>
       src.select(
         (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
-        col("embedding"))
+        col("embedding"), col("label")) // label: q156 silhouette clusters
     }.reduce(_.unionByName(_))
   }
 
@@ -151,8 +162,8 @@ object ScaleSmoke {
     // replica count AND table layout version are part of the directory: a
     // rerun with a different scale or schema must regenerate, not
     // silently reuse a stale corpus (v2 added full-column lineitem,
-    // orders, embeddings)
-    val scaledDir = s"$outDir/v2_x$replicas"
+    // orders, embeddings; v3 added the embeddings label column)
+    val scaledDir = s"$outDir/v3_x$replicas"
     val scaledPath = s"$scaledDir/documents.parquet"
     if (!new java.io.File(scaledPath).exists()) {
       // 32 output files so the scaled scan parallelizes like a real
