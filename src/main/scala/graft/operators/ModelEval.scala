@@ -446,8 +446,9 @@ object ModelEval {
     */
   def classificationReport(
       df: DataFrame, labelCol: String, predCol: String): DataFrame = {
-    val cells = df.select(col(labelCol).cast("bigint").as("y"),
-        col(predCol).cast("bigint").as("p"))
+    // labels keep their own type (int classes, language codes, …) — every
+    // downstream op is a groupBy/join/equality on the class key
+    val cells = df.select(col(labelCol).as("y"), col(predCol).as("p"))
       .groupBy(col("y"), col("p")).agg(count(lit(1)).as("c"))
     val tp = cells.filter(col("y") === col("p"))
       .select(col("y").as("cls"), col("c").as("tp"))

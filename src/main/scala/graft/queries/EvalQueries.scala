@@ -436,8 +436,10 @@ object EvalQueries {
       (s, dir) =>
         ModelEval.classificationReport(
             graft.operators.Similarity.nearestCentroidClassify(
-              Tables.table(s, dir, "embeddings"), "embedding", "vec_id", "label",
-              trainBps = 8000),
+                Tables.table(s, dir, "embeddings"), "embedding", "vec_id", "label",
+                trainBps = 8000)
+              .select(col("label").cast("bigint").as("label"),
+                col("predicted").cast("bigint").as("predicted")),
             "label", "predicted")
           .orderBy(col("cls")),
       // q110's oracle verbatim through the argmin, then the cell counts

@@ -794,5 +794,63 @@ object ExtensionQueries {
              |FROM g ORDER BY grp""".stripMargin),
       "per-source Gini concentration of token frequencies in exact integer ppm " +
         "(0 = uniform vocabulary, 1 = boilerplate domination) — the lexical-" +
-        "diversity health metric; per-group rank over DISTINCT terms only"))
+        "diversity health metric; per-group rank over DISTINCT terms only"),
+
+    // --------------------------------------- text: language-ID audit
+    "q163_langid_report" -> Q(
+      (s, dir) => {
+        // q42's confusion counts, graded: per-language precision/recall/F1
+        // of the stopword-ratio language ID against the labeled lang column
+        val pred = Tables.table(s, dir, "documents")
+          .withColumn("w", T.tokens(col("text")))
+          .withColumn("hits", T.stopwordHitsAll(col("w")))
+          .select(col("lang"),
+            T.langIdFromHits(col("w"), col("hits")).as("predicted"))
+        graft.operators.ModelEval.classificationReport(pred, "lang", "predicted")
+          .orderBy(col("cls"))
+      },
+      // q42's argmax CTEs verbatim, then the q162 report aggregation —
+      // string class keys end to end
+      Some("""WITH toks AS (
+             |  SELECT lang, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sc AS (
+             |  SELECT lang,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['der','die','das','und','ein','ist','zu','den','mit','von'], t))) AS DOUBLE) / len(w) END AS s_de,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / len(w) END AS s_en,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','un','una','es','que','por','con'], t))) AS DOUBLE) / len(w) END AS s_es,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','un','une','est','que','pour','dans'], t))) AS DOUBLE) / len(w) END AS s_fr,
+             |    CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, t -> list_contains(['de','shi','le','zai','he','you','wo','ta','men','zhe'], t))) AS DOUBLE) / len(w) END AS s_zh
+             |  FROM toks),
+             |rep AS (SELECT lang AS y,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             |       WHEN s_fr >= s_zh THEN 'fr'
+             |       ELSE 'zh' END AS p
+             |  FROM sc),
+             |cells AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c
+             |  FROM rep GROUP BY 1, 2),
+             |tp AS (SELECT y AS cls, c AS tp FROM cells WHERE y = p),
+             |act AS (SELECT y AS cls, sum(c) AS n_actual FROM cells GROUP BY 1),
+             |prd AS (SELECT p AS cls, sum(c) AS n_pred FROM cells GROUP BY 1),
+             |f AS (SELECT cls,
+             |    coalesce(tp, 0) AS tp,
+             |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+             |    coalesce(n_actual, 0) - coalesce(tp, 0) AS fn
+             |  FROM act FULL OUTER JOIN prd USING (cls)
+             |    LEFT JOIN tp USING (cls))
+             |SELECT cls, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(CASE WHEN tp + fp = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+             |  CAST(CASE WHEN tp + fn = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+             |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+             |    ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+             |FROM f ORDER BY cls""".stripMargin),
+      "per-language precision/recall/F1 (integer ppm) of the stopword-ratio " +
+        "language ID against the labeled lang column — string class keys through " +
+        "the same labels^2-bounded report as q162; the audit that decides whether " +
+        "the cheap heuristic is safe to route documents with"))
 }

@@ -306,4 +306,19 @@ class ModelEvalSpec extends SparkSpec {
         ((1000000L, 1000000L, 1000000L)))
     }
   }
+
+  test("classificationReport keeps string class keys (language codes)") {
+    val d = Seq(("en", "en"), ("en", "fr"), ("fr", "fr"), ("zh", "fr"))
+      .toDF("y", "p")
+    val got = ModelEval.classificationReport(d, "y", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))).toMap
+    // en: tp=1 fp=0 fn=1 -> f1 = 2e6/3 = 666666
+    // fr: tp=1 fp=2 fn=0 -> f1 = 2e6/4 = 500000
+    // zh: tp=0 fp=0 fn=1 -> f1 = 0
+    assert(got === Map(
+      "en" -> ((1L, 0L, 1L, 666666L)),
+      "fr" -> ((1L, 2L, 0L, 500000L)),
+      "zh" -> ((0L, 0L, 1L, 0L))))
+  }
 }
