@@ -323,6 +323,54 @@ object Dedup {
       persistTracked(shingleSets(docs, textCol, idCol, shingleK)),
       threshold, maxDf)
 
+  /** MINHASH SKETCH-QUALITY EVAL: per exact near-dup pair, the
+    * signature-estimated Jaccard (`matches / nHashes` over an
+    * `nHashes`-permutation MinHash) next to the true Jaccard, plus the
+    * absolute error — the calibration audit run before trusting a
+    * signature width for LSH dedup at scale ("is 16 hashes enough at
+    * t = 0.8, or do we pay for 64?"). Expected |error| ≈
+    * √(J(1−J)/nHashes) ≈ 0.1 at J = 0.8, nHashes = 16 — the spec pins
+    * the bound, this operator shows the per-pair reality.
+    *
+    * Portability: hash j of shingle s is `md5(s || '_' || j)` compared
+    * AS A HEX STRING — fixed-width lowercase hex compares
+    * lexicographically exactly like the number it encodes, so min-hash
+    * signatures are bit-identical in any engine (md5 everywhere; the
+    * engine's production path [[minhashNearDups]] keeps xxhash64 — this
+    * eval deliberately uses the portable family so the DuckDB oracle
+    * replays it verbatim).
+    *
+    * Scale shape: signatures are one map-only pass (nHashes·|shingles|
+    * md5s per doc, then a bounded array compare per pair); the pair set
+    * is the exact near-dup output, so the join is |pairs|-bounded.
+    * Candidate generation reuses [[ngramJaccardPairs]] wholesale.
+    */
+  def minhashEstimateErrors(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, threshold: Double = 0.8,
+      nHashes: Int = 16): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 256, "nHashes in [1, 256]")
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, shingleK, threshold)
+    val sigs = docs
+      .withColumn("__w", T.tokens(col(textCol)))
+      .withColumn("__sh",
+        array_distinct(T.wordShinglesFromTokens(col("__w"), shingleK)))
+      .select(col(idCol).as("doc"),
+        transform(sequence(lit(0), lit(nHashes - 1)),
+          j => array_min(transform(col("__sh"),
+            s => md5(concat(s, lit("_"), j.cast("string")))))).as("sig"))
+    pairs
+      .join(sigs.select(col("doc").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("doc").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("bigint"))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * lit(1e6)).cast("bigint").as("exact_ppm"),
+        expr(s"(1000000 * matches) DIV $nHashes").as("est_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+  }
+
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxHamming.
     * Pigeonhole banding into 4x16-bit chunks makes candidate generation an
     * equi-join (any pair with hamming <= 3 shares at least one chunk).

@@ -362,6 +362,33 @@ object TextPipeline {
     * shipped as a literal — the bounded-broadcast pattern again; the
     * corpus side stays shuffle-free.
     */
+  /** Gopher-style DUPLICATE-N-GRAM repetition per document: the fraction
+    * (ppm) of word-n-gram OCCURRENCES that are repeats of an earlier
+    * occurrence — `(n_grams − n_distinct) / n_grams` — the within-doc
+    * repetition rule family from the Gopher quality filters that
+    * [[repetitionScores]]' top-token fraction doesn't cover (a document
+    * can repeat a 3-gram chorus while no single token dominates). Exact
+    * integer ppm; docs with ≤ n tokens form one whole-text gram (the
+    * [[graft.functions.TextFunctions.wordShinglesFromTokens]] convention
+    * shared with every shingle operator) and score 0.
+    *
+    * Map-only: tokenize once, shingle once (arrays staged through
+    * withColumn per the TextFunctions contract), two codegen'd size()
+    * calls — no shuffle at all, the ideal 100-TB per-document scan.
+    */
+  def ngramRepetitionScores(
+      docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 10, "n in [1, 10]")
+    docs
+      .withColumn("__w", T.tokens(col(textCol)))
+      .withColumn("__g", T.wordShinglesFromTokens(col("__w"), n))
+      .select(col(idCol).as("doc"),
+        size(col("__g")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ppm",
+        expr("(1000000 * (n_grams - n_distinct)) DIV n_grams"))
+  }
+
   /** Per-group TOTAL-VARIATION DISTANCE between the group's token
     * distribution and the whole corpus's — "which source's vocabulary
     * diverges most?", the drift gate a mixing pipeline runs before a new

@@ -852,5 +852,78 @@ object ExtensionQueries {
       "per-language precision/recall/F1 (integer ppm) of the stopword-ratio " +
         "language ID against the labeled lang column — string class keys through " +
         "the same labels^2-bounded report as q162; the audit that decides whether " +
-        "the cheap heuristic is safe to route documents with"))
+        "the cheap heuristic is safe to route documents with"),
+
+    // --------------------------------------- text: duplicate-n-gram score
+    "q164_ngram_repetition" -> Q(
+      (s, dir) =>
+        TextPipeline.ngramRepetitionScores(
+            Tables.table(s, dir, "documents"), "text", "doc_id", n = 3)
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc,
+             |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+             |    END AS grams
+             |  FROM toks),
+             |c AS (SELECT doc, CAST(len(grams) AS BIGINT) AS n_grams,
+             |    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+             |  FROM g)
+             |SELECT doc, n_grams, n_distinct,
+             |  CAST((1000000 * (n_grams - n_distinct)) // n_grams AS BIGINT)
+             |    AS rep_ppm
+             |FROM c ORDER BY doc""".stripMargin),
+      "Gopher-style duplicate-3-gram fraction per document in exact integer ppm " +
+        "(a chorus-repeating doc scores high while no single token dominates) — " +
+        "map-only, tokenize + shingle once, no shuffle"),
+
+    // ----------------------------------- dedup: minhash sketch calibration
+    "q165_minhash_error" -> Q(
+      (s, dir) =>
+        Dedup.minhashEstimateErrors(
+            Tables.table(s, dir, "documents"), "text", "doc_id",
+            shingleK = 5, threshold = 0.8, nHashes = 16)
+          .orderBy(col("id_a"), col("id_b")),
+      // q31's exact-pair CTEs + portable md5 min-hash signatures (hex-string
+      // min IS numeric min for fixed-width lowercase hex)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (
+             |  SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard
+             |  FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8),
+             |sigs AS (SELECT ex.doc_id, j.j AS j,
+             |    min(md5(ex.s || '_' || j.j::VARCHAR)) AS sig
+             |  FROM ex CROSS JOIN generate_series(0, 15) AS j(j) GROUP BY 1, 2),
+             |m AS (SELECT p.id_a, p.id_b, p.jaccard,
+             |    CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS matches
+             |  FROM pairs p
+             |  JOIN sigs a ON a.doc_id = p.id_a
+             |  JOIN sigs b ON b.doc_id = p.id_b AND b.j = a.j
+             |  GROUP BY 1, 2, 3)
+             |SELECT id_a, id_b,
+             |  CAST(round(jaccard * 1e6) AS BIGINT) AS exact_ppm,
+             |  CAST((1000000 * matches) // 16 AS BIGINT) AS est_ppm,
+             |  CAST(abs((1000000 * matches) // 16
+             |    - CAST(round(jaccard * 1e6) AS BIGINT)) AS BIGINT) AS abs_err_ppm
+             |FROM m ORDER BY id_a, id_b""".stripMargin),
+      "per-pair MinHash sketch calibration: md5-permutation signature estimate vs " +
+        "exact Jaccard with absolute error in ppm — the is-16-hashes-enough audit; " +
+        "signatures map-only, comparison bounded by the exact pair set"))
 }

@@ -355,4 +355,52 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty, "corpus sample should contain at least one near-dup pair")
   }
+
+  // ---------------------------------------------------- minhashEstimateErrors
+
+  test("minhashEstimateErrors matches an exact driver-side md5 replica") {
+    import spark.implicits._
+    // two 21-token docs differing in the last token: 17 5-gram shingles
+    // each, 16 shared -> J = 16/18 = 0.888889; plus an identical pair
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$base alpha"), (2L, s"$base beta"),
+      (3L, "same text here repeated exactly five times ok"),
+      (4L, "same text here repeated exactly five times ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashEstimateErrors(d, "text", "doc_id",
+        shingleK = 5, threshold = 0.8, nHashes = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Dedup.releaseCaches()
+
+    def shingles(text: String): Seq[String] = {
+      val w = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (w.length <= 5) Seq(w.mkString(" "))
+       else w.sliding(5).map(_.mkString(" ")).toSeq).distinct
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(text: String): Seq[String] =
+      (0 until 16).map(j => shingles(text).map(s => md5hex(s"${s}_$j")).min)
+    def expected(ta: String, tb: String): (Long, Long, Long) = {
+      val (sa, sb) = (shingles(ta).toSet, shingles(tb).toSet)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // round(j, 6) then * 1e6, replicating the engine's rounded-double path
+      val exactPpm = math.round(BigDecimal(j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      val matches = sig(ta).zip(sig(tb)).count { case (x, y) => x == y }
+      (exactPpm, 1000000L * matches / 16, math.abs(1000000L * matches / 16 - exactPpm))
+    }
+    val texts = Map(1L -> s"$base alpha", 2L -> s"$base beta",
+      3L -> "same text here repeated exactly five times ok",
+      4L -> "same text here repeated exactly five times ok")
+    assert(got.keySet === Set((1L, 2L), (3L, 4L)))
+    got.foreach { case ((a, b), v) => assert(v === expected(texts(a), texts(b)),
+      s"pair ($a,$b)") }
+    // identical docs: estimate must be exactly 1e6 with zero error
+    assert(got((3L, 4L)) === ((1000000L, 1000000L, 0L)))
+  }
 }

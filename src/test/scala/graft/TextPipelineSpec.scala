@@ -246,6 +246,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ------------------------------------------------ ngramRepetitionScores
+
+  test("ngramRepetitionScores: chorus repetition scores, short docs score 0") {
+    import spark.implicits._
+    // doc 1: "a b c a b c a b c" -> 7 3-grams, 3 distinct -> 4/7 repeats
+    // doc 2: all-distinct 3-grams -> 0
+    // doc 3: two tokens (<= n) -> single whole-text gram -> 0
+    val d = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "p q r s t"),
+      (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.ngramRepetitionScores(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((7L, 3L, 571428L))) // trunc(4e6/7)
+    assert(got(2L) === ((3L, 3L, 0L)))
+    assert(got(3L) === ((1L, 1L, 0L)))
+  }
+
   // ----------------------------------------------- tokenDistributionDrift
 
   test("tokenDistributionDrift: identical distribution scores 0, disjoint " +
