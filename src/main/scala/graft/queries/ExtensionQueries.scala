@@ -925,5 +925,34 @@ object ExtensionQueries {
              |FROM m ORDER BY id_a, id_b""".stripMargin),
       "per-pair MinHash sketch calibration: md5-permutation signature estimate vs " +
         "exact Jaccard with absolute error in ppm — the is-16-hashes-enough audit; " +
-        "signatures map-only, comparison bounded by the exact pair set"))
+        "signatures map-only, comparison bounded by the exact pair set"),
+
+    // --------------------------------------- text: tokenizer fertility
+    "q166_tokenizer_fertility" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("lang"),
+            T.tokenCount(col("text")).cast("bigint").as("w"),
+            T.bpeishTokenCount(col("text")).cast("bigint").as("b"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+            sum(col("b")).as("n_bpeish"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
+            when(col("n_words") === 0, lit(-1L))
+              .otherwise(expr("(1000000 * n_bpeish) DIV n_words"))
+              .as("fertility_ppm"))
+          .orderBy(col("lang")),
+      Some("""WITH f AS (SELECT lang,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS w,
+             |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS b
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(w) AS BIGINT) AS n_words,
+             |  CAST(sum(b) AS BIGINT) AS n_bpeish,
+             |  CAST(CASE WHEN sum(w) = 0 THEN -1
+             |    ELSE (1000000 * sum(b)) // sum(w) END AS BIGINT) AS fertility_ppm
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin),
+      "tokenizer fertility per language (BPE-ish units per whitespace word, " +
+        "integer ppm) — the per-language token-budget planning number; one " +
+        "map-side-combined aggregate over two already-specced codegen counters"))
 }
