@@ -222,25 +222,37 @@ object Similarity {
     * keep their previous centroid). Centroids are bounded driver state
     * (nClusters * dim longs) — the broadcast-table pattern.
     */
+  /** Smallest-md5 `n` quantized vectors — the deterministic seed set
+    * every Lloyd trainer starts from (a prefix of the same total order,
+    * so trainers needing different seed counts can share one collect).
+    */
+  private def seedVectors(e: DataFrame, n: Int): Array[Array[Double]] = e
+    .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
+    .orderBy(col("h"), col("vid")).limit(n)
+    .collect().map(_.getSeq[Double](1).toArray)
+
+  /** One exact-integer Lloyd round: assignment + floorDiv means (empty
+    * clusters keep their previous centroid). One corpus scan.
+    */
+  private def coarseRound(
+      e: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = e.select(nearestCid(col("vq"), col("vv"), centroids).as("cid"),
+        posexplode(col("vq")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val next = centroids.map(_.clone())
+    sums.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) =
+        Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
+    }
+    next
+  }
+
   private[operators] def trainIntCentroids(
       e: DataFrame, nClusters: Int, iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = e
-      .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
-      .orderBy(col("h"), col("vid")).limit(nClusters)
-      .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
-      val sums = e.select(nearestCid(col("vq"), col("vv"), centroids).as("cid"),
-          posexplode(col("vq")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
-      }
-      centroids = next
-    }
+    var centroids = seedVectors(e, nClusters)
+    for (_ <- 1 to iters) centroids = coarseRound(e, centroids)
     centroids
   }
 
@@ -290,43 +302,107 @@ object Similarity {
     * scans. Codebooks are bounded driver state (nCentroids · dim longs
     * total), broadcast back as literals.
     */
-  private[operators] def trainPqCodebooks(
-      e: DataFrame, m: Int, nCentroids: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
-    val seeds = e
-      .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
-      .orderBy(col("h"), col("vid")).limit(nCentroids)
-      .collect().map(_.getSeq[Double](1).toArray)
+  /** One exact-integer PQ round over all m subspaces — ONE corpus scan
+    * (per-row assignment columns, then a single exploded (subspace, cid,
+    * dim) aggregation). Same empty-cell keep-previous semantics.
+    */
+  private def pqRound(
+      e: DataFrame, books: Array[Array[Array[Double]]],
+      sub: Int): Array[Array[Array[Double]]] = {
+    val m = books.length
+    val assigned = e.select(
+      col("vq") +: (0 until m).map { j =>
+        val sl = slice(col("vq"), j * sub + 1, sub)
+        nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
+      }: _*)
+    val sums = assigned
+      .select(explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), col(s"cid$j").as("cid"),
+          slice(col("vq"), j * sub + 1, sub).as("sq"))
+      }: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.cid").as("cid"),
+        posexplode(col("s.sq")).as(Seq("d", "x")))
+      .groupBy(col("j"), col("cid"), col("d"))
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val next = books.map(_.map(_.clone()))
+    sums.foreach { r =>
+      next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
+    }
+    next
+  }
+
+  private def pqSeedBooks(
+      seeds: Array[Array[Double]], m: Int,
+      nCentroids: Int): (Array[Array[Array[Double]]], Int) = {
     require(seeds.nonEmpty, "pq training needs a non-empty corpus")
     val dim = seeds.head.length
     require(dim % m == 0, s"m=$m must divide the embedding dim $dim")
     val sub = dim / m
-    var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
-    for (_ <- 1 to iters) {
+    (Array.tabulate(m)(j =>
+      seeds.take(nCentroids).map(_.slice(j * sub, (j + 1) * sub))), sub)
+  }
+
+  private[operators] def trainPqCodebooks(
+      e: DataFrame, m: Int, nCentroids: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val (books0, sub) = pqSeedBooks(seedVectors(e, nCentroids), m, nCentroids)
+    var books = books0
+    for (_ <- 1 to iters) books = pqRound(e, books, sub)
+    books
+  }
+
+  /** Trains the coarse centroids AND the PQ codebooks together, fusing
+    * each pair of Lloyd rounds into ONE corpus scan (coarse assignment +
+    * m subspace assignments in the same select; the union'd (family,
+    * cid, dim) aggregation keys coarse cells as j = -1). Seeds come from
+    * one shared smallest-md5 collect — both seed sets are prefixes of
+    * the same md5 total order, so results are bit-identical to running
+    * [[trainIntCentroids]] and [[trainPqCodebooks]] separately (which
+    * the tail rounds do when the iteration counts differ).
+    */
+  private[operators] def trainIvfPqShared(
+      e: DataFrame, nClusters: Int, coarseIters: Int, m: Int,
+      nCentroids: Int, pqIters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val seeds = seedVectors(e, math.max(nClusters, nCentroids))
+    var centroids = seeds.take(nClusters)
+    val (books0, sub) = pqSeedBooks(seeds, m, nCentroids)
+    var books = books0
+    for (_ <- 1 to math.min(coarseIters, pqIters)) {
       val assigned = e.select(
-        col("vq") +: (0 until m).map { j =>
-          val sl = slice(col("vq"), j * sub + 1, sub)
-          nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
-        }: _*)
+        col("vq") +:
+          nearestCid(col("vq"), col("vv"), centroids).as("cidc") +:
+          (0 until m).map { j =>
+            val sl = slice(col("vq"), j * sub + 1, sub)
+            nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
+          }: _*)
       val sums = assigned
-        .select(explode(array((0 until m).map { j =>
-          struct(lit(j).as("j"), col(s"cid$j").as("cid"),
-            slice(col("vq"), j * sub + 1, sub).as("sq"))
-        }: _*)).as("s"))
+        .select(explode(array(
+          struct(lit(-1).as("j"), col("cidc").as("cid"), col("vq").as("sq")) +:
+            (0 until m).map { j =>
+              struct(lit(j).as("j"), col(s"cid$j").as("cid"),
+                slice(col("vq"), j * sub + 1, sub).as("sq"))
+            }: _*)).as("s"))
         .select(col("s.j").as("j"), col("s.cid").as("cid"),
           posexplode(col("s.sq")).as(Seq("d", "x")))
         .groupBy(col("j"), col("cid"), col("d"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
         .collect()
-      val next = books.map(_.map(_.clone()))
+      val nextC = centroids.map(_.clone())
+      val nextB = books.map(_.map(_.clone()))
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
+        val v = Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
+        if (r.getInt(0) < 0) nextC(r.getInt(1))(r.getInt(2)) = v
+        else nextB(r.getInt(0))(r.getInt(1))(r.getInt(2)) = v
       }
-      books = next
+      centroids = nextC
+      books = nextB
     }
-    books
+    for (_ <- 1 to (coarseIters - pqIters)) centroids = coarseRound(e, centroids)
+    for (_ <- 1 to (pqIters - coarseIters)) books = pqRound(e, books, sub)
+    (centroids, books)
   }
 
   /** PQ-ADC approximate top-k (asymmetric distance computation): the
@@ -430,8 +506,8 @@ object Similarity {
     require(coarseIters >= 0 && pqIters >= 0 && k >= 1 && rerank >= k,
       "need iters >= 0, k >= 1, rerank >= k")
     val e = quantized(corpus, vecCol, idCol)
-    val coarse = trainIntCentroids(e, nClusters, coarseIters)
-    val books = trainPqCodebooks(e, m, nCentroids, pqIters)
+    val (coarse, books) =
+      trainIvfPqShared(e, nClusters, coarseIters, m, nCentroids, pqIters)
     val sub = books(0)(0).length
     val coded = e.select(col("vid").as("neighbor_id"), col("v").as("cv"),
         nearestCid(col("vq"), col("vv"), coarse).as("bucket"),
