@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -467,5 +467,150 @@ object ModelEval {
           .otherwise(expr("(1000000 * tp) DIV (tp + fn)")).as("recall_ppm"),
         when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(-1L))
           .otherwise(expr("(2000000 * tp) DIV (2 * tp + fp + fn)")).as("f1_ppm"))
+  }
+
+  /** Matthews correlation coefficient per group — the single-number
+    * binary-classifier summary that stays honest under class imbalance
+    * (accuracy and F1 both saturate when one class dominates, the normal
+    * state of a quality-filter corpus where 99% of documents pass):
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * The four confusion cells are exact integer counts (one map-side-
+    * combine aggregation per group); the numerator is formed in
+    * decimal(38,0) (tp·tn alone overflows a long at ~3e9 rows per cell).
+    * Only the FINAL ratio touches f64 — numerator and the four marginals
+    * converted from exact integers, one fixed-order product, one IEEE
+    * sqrt (correctly rounded from identical inputs in any engine), then
+    * round to ppm — the q82/q88 ln convention: last-ulp engine agreement
+    * everywhere except a measure-zero rounding boundary. Any zero
+    * marginal (a degenerate group where a row or column of the confusion
+    * matrix is empty) emits the −2e6 sentinel, outside MCC's [−1e6, 1e6]
+    * range — the corrSpearman convention.
+    *
+    * Scale shape: corpus → 4 integers per group in ONE aggregation;
+    * everything after is per-group constant work.
+    */
+  def mcc(
+      df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    val bit = (c: String, n: String) =>
+      when(col(c).cast("bigint").isin(0L, 1L), col(c).cast("bigint"))
+        .otherwise(raise_error(lit(s"mcc: $n must be 0/1")))
+    val cells = df
+      .select(col(groupCol).as("grp"), bit(labelCol, "label").as("y"),
+        bit(predCol, "pred").as("p"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L)).as("fn"))
+    // degenerate check marginal-by-marginal — a single long product of
+    // the four marginals would ANSI-overflow-throw at ~1e5 rows per cell
+    cells.select(col("grp"), col("tp"), col("tn"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0
+          || col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0,
+          lit(-2000000L))
+        .otherwise(round(
+          (col("tp").cast("decimal(38,0)") * col("tn").cast("decimal(38,0)")
+            - col("fp").cast("decimal(38,0)") * col("fn").cast("decimal(38,0)"))
+            .cast("double") * lit(1e6)
+            / sqrt((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double")
+              * (col("tn") + col("fp")).cast("double")
+              * (col("tn") + col("fn")).cast("double")))
+          .cast("bigint")).as("mcc_ppm"))
+  }
+
+  /** Brier score + expected calibration error in ONE exact-integer pass —
+    * the two-number probabilistic-quality summary next to
+    * [[calibrationBins]]'s full reliability diagram. Per group:
+    *
+    *   brier_ppm = Σ (p − 1e6·y)² DIV (n · 1e6)
+    *   ece_ppm   = Σ_bins |Σ p − 1e6·n_pos| DIV n
+    *
+    * The ECE identity: the usual (n_b/N)·|conf_b − acc_b| weighting has
+    * the bin size cancel — n_b·|Σp/n_b − 1e6·pos_b/n_b| = |Σp − 1e6·pos_b|
+    * — so the whole statistic is integer arithmetic on per-bin sums, no
+    * rational intermediates at all. Both statistics are EXACT (not
+    * last-ulp): any engine reproduces every bit. Per-row squared error is
+    * ≤ 1e12, so sums fit decimal(38,0) to ~1e26 rows.
+    *
+    * Scale shape: one (grp, bin) aggregation with map-side combine
+    * (corpus → groups·nBins cells), then a per-group reduce over the
+    * bounded cell table.
+    */
+  def brierEce(
+      df: DataFrame, groupCol: String, predPpmCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, "nBins in [2, 100000]")
+    df.select(col(groupCol).as("grp"),
+        col(predPpmCol).cast("bigint").as("p"),
+        col(labelCol).cast("bigint").as("y"))
+      .withColumn("p", when(col("p").between(0L, 1000000L), col("p"))
+        .otherwise(raise_error(lit("brierEce: pred must be ppm in [0, 1e6]"))))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("brierEce: label must be 0/1"))))
+      .withColumn("bin", least(lit(nBins - 1L),
+        expr(s"(p * $nBins) DIV 1000000")))
+      .groupBy(col("grp"), col("bin"))
+      // per-row squared error <= 1e12 fits a long; the SUMS go through
+      // decimal(38,0) so a trillion-row group cannot ANSI-overflow
+      .agg(count(lit(1)).as("n"),
+        sum(((col("p") - lit(1000000L) * col("y"))
+          * (col("p") - lit(1000000L) * col("y")))
+          .cast("decimal(38,0)")).as("se"),
+        sum(col("p").cast("decimal(38,0)")).as("sp"),
+        sum(col("y")).as("np"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("se")).as("se"),
+        sum(abs(col("sp")
+          - col("np").cast("decimal(38,0)") * lit(1000000L))).as("ad"))
+      .select(col("grp"), col("n"),
+        expr("CAST(se DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_ppm"),
+        expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
+  }
+
+  /** ANN normalized discounted cumulative gain at k: position-weighted
+    * relevance of the approximate list against the exact top-k —
+    * [[annRecallAtK]] ignores WHERE in the window a true neighbor lands
+    * and [[annMrrAtK]] only sees the first, nDCG weights every position:
+    *
+    *   DCG  = Σ_{i≤k, approx[i] ∈ exact top-k} 1/log2(i+1)
+    *   IDCG = Σ_{i≤n_true} 1/log2(i+1),   ndcg_ppm = round(1e6·DCG/IDCG)
+    *
+    * The discounts 1/log2(i+1) are IEEE doubles of SMALL INTEGER
+    * arguments summed in fixed rank order, so the q82 ln convention
+    * applies: any engine agrees to the last ulp and the ppm rounding only
+    * bites on a measure-zero boundary. Ground truth drives the output —
+    * queries the index dropped score 0, not silence.
+    *
+    * Scale shape: both inputs are |queries|·k ranked frames (the
+    * annRecallAtK protocol) — a semi join and two bounded aggregations.
+    */
+  def annNdcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val disc = (r: Column) => lit(1.0) / log2(r.cast("double") + lit(1.0))
+    val gt = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcg = approx.filter(col("rank") <= k)
+      .join(gt, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      // fixed summation order: rank ascending via sort_array over
+      // (rank, discount) pairs would be overkill — discounts of distinct
+      // small ranks sum identically in any order only up to ulps, so pin
+      // the order with a rank-sorted array fold
+      .agg(sort_array(collect_list(col("rank").cast("int"))).as("rks"))
+      .select(col("query_id"), aggregate(col("rks"), lit(0.0),
+        (acc, r) => acc + disc(r)).as("dcg"))
+    gt.groupBy(col("query_id")).agg(count(lit(1)).cast("int").as("n_true"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true").cast("bigint").as("n_true"),
+        round(coalesce(col("dcg"), lit(0.0)) * lit(1e6)
+          / aggregate(sequence(lit(1), col("n_true")), lit(0.0),
+            (acc, r) => acc + disc(r))).cast("bigint").as("ndcg_ppm"))
   }
 }

@@ -485,6 +485,138 @@ object EvalQueries {
       "per-class precision/recall/F1 (exact integer ppm, F1 in the 2tp/(2tp+fp+fn) " +
         "form — no intermediate ratio to round) over the nearest-centroid " +
         "classifier — the model-quality audit before a filter threshold ships; " +
-        "everything after one labels^2-bounded cell count")
+        "everything after one labels^2-bounded cell count"),
+
+    // -------------------------------------- Matthews correlation coefficient
+    "q167_mcc" -> Q(
+      (s, dir) =>
+        ModelEval.mcc(
+            Tables.events(s, dir).withColumn("y",
+                (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                  .cast("bigint"))
+              .withColumn("p", (col("value") >= 0.5).cast("bigint")),
+            "event_type", "y", "p")
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT event_type AS grp, $label AS y,
+              |    CASE WHEN value >= 0.5 THEN 1 ELSE 0 END AS p FROM events),
+              |c AS (SELECT grp,
+              |    sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,
+              |    sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn,
+              |    sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,
+              |    sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn
+              |  FROM e GROUP BY 1)
+              |SELECT grp, CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+              |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+              |  CAST(CASE WHEN tp + fp = 0 OR tp + fn = 0
+              |      OR tn + fp = 0 OR tn + fn = 0 THEN -2000000
+              |    ELSE round(CAST(tp::HUGEINT * tn - fp::HUGEINT * fn AS DOUBLE)
+              |      * 1e6 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
+              |    END AS BIGINT) AS mcc_ppm
+              |FROM c ORDER BY grp""".stripMargin),
+      "Matthews correlation per event type (label = props.k >= 50, pred = " +
+        "value >= 0.5) — the imbalance-honest binary summary; corpus to four " +
+        "integers per group in one aggregation, ppm-rounded from an exact " +
+        "decimal numerator"),
+
+    // ----------------------------------------------- Brier score + ECE
+    "q168_brier_ece" -> Q(
+      (s, dir) =>
+        ModelEval.brierEce(
+            Tables.events(s, dir)
+              .select(concat(lit("u"), (col("user_id") % 3).cast("string")).as("g"),
+                (get_json_object(col("props"), "$.k").cast("bigint") * 10000L)
+                  .as("pred_ppm"),
+                col("event_type").isin("purchase", "signup")
+                  .cast("bigint").as("y")),
+            "g", "pred_ppm", "y", nBins = 10)
+          .orderBy(col("grp")),
+      Some("""WITH e AS (SELECT 'u' || CAST(user_id % 3 AS VARCHAR) AS grp,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 10000 AS p,
+             |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |b AS (SELECT grp, least(9, (p * 10) // 1000000) AS bin,
+             |    count(*) AS n,
+             |    sum((p - 1000000 * y) * (p - 1000000 * y)) AS se,
+             |    sum(p) AS sp, sum(y) AS np
+             |  FROM e GROUP BY 1, 2),
+             |g AS (SELECT grp, sum(n) AS n, sum(se) AS se,
+             |    sum(abs(sp - 1000000 * np)) AS ad FROM b GROUP BY 1)
+             |SELECT grp, CAST(n AS BIGINT) AS n,
+             |  CAST(se // (n::HUGEINT * 1000000) AS BIGINT) AS brier_ppm,
+             |  CAST(ad // n AS BIGINT) AS ece_ppm
+             |FROM g ORDER BY grp""".stripMargin),
+      "Brier score and expected calibration error per user cohort (pred = " +
+        "props.k in ppm, label = purchase/signup) — both EXACT integers: the " +
+        "bin size cancels out of ECE's weighted |conf - acc|, leaving pure " +
+        "integer arithmetic on per-bin sums; one (group, bin) map-side-combine " +
+        "aggregation then a bounded reduce"),
+
+    // --------------------------------------------------------- ANN nDCG@k
+    "q169_ann_ndcg" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val queries = emb.filter(col("vec_id") < 5)
+        val approx = graft.operators.Similarity.lshTopK(
+          queries, emb, "embedding", "vec_id", k = 10, bits = 16,
+          probeHamming = 2,
+          planes = Some(graft.functions.VectorFunctions.md5Planes(dim, 16)))
+        val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "embedding", "vec_id", k = 10)
+        ModelEval.annNdcgAtK(approx, exact, k = 10)
+          .orderBy(col("query_id"))
+      },
+      // q150's exact + md5-plane LSH CTEs, then the rank-discounted gain
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sx AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, e.v) /
+             |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id),
+             |rx AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sx),
+             |gt AS (SELECT query_id, neighbor_id FROM rx WHERE rank <= 10),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 15) AS j(j)),
+             |sigs AS (
+             |  SELECT e.vec_id,
+             |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+             |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+             |sa AS (
+             |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             |    list_dot_product(eq.v, ec.v) /
+             |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+             |  FROM sigs qs
+             |  JOIN e eq ON eq.vec_id = qs.vec_id
+             |  JOIN sigs cs ON cs.vec_id <> qs.vec_id
+             |  JOIN e ec ON ec.vec_id = cs.vec_id
+             |  WHERE qs.vec_id < 5 AND bit_count(xor(qs.sig, cs.sig)) <= 2),
+             |ra AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sa),
+             |dc AS (SELECT ra.query_id,
+             |    list_sum(list_transform(list_sort(list(ra.rank)),
+             |      r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))) AS dcg
+             |  FROM ra JOIN gt ON gt.query_id = ra.query_id
+             |    AND gt.neighbor_id = ra.neighbor_id
+             |  WHERE ra.rank <= 10 GROUP BY 1),
+             |t AS (SELECT query_id, count(*) AS n_true FROM gt GROUP BY 1)
+             |SELECT t.query_id, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(round(coalesce(dcg, 0.0) * 1e6 /
+             |    list_sum(list_transform(generate_series(1, CAST(n_true AS INT)),
+             |      r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0)))) AS BIGINT) AS ndcg_ppm
+             |FROM t LEFT JOIN dc USING (query_id)
+             |ORDER BY t.query_id""".stripMargin),
+      "per-query nDCG@10 of the sign-LSH index against brute-force ground truth — " +
+        "position-weighted ANN quality (recall ignores where in the window a true " +
+        "neighbor lands); fixed rank-sorted summation order so the f64 discounts " +
+        "agree to the last ulp in any engine, then one ppm rounding")
   )
 }

@@ -321,4 +321,99 @@ class ModelEvalSpec extends SparkSpec {
       "fr" -> ((1L, 2L, 0L, 500000L)),
       "zh" -> ((0L, 0L, 1L, 0L))))
   }
+
+  // ------------------------------------------------------------------ mcc
+
+  test("mcc: hand cases — balanced, perfect, degenerate sentinel") {
+    // A: tp=2 tn=2 fp=1 fn=1 -> (4-1)/sqrt(3^4) = 1/3 -> 333333 ppm
+    // B: perfect -> 1e6
+    // C: all-positive labels -> tn+fp = 0 -> -2e6 sentinel
+    val d = Seq(
+      ("A", 1L, 1L), ("A", 1L, 1L), ("A", 0L, 0L), ("A", 0L, 0L),
+      ("A", 0L, 1L), ("A", 1L, 0L),
+      ("B", 1L, 1L), ("B", 0L, 0L),
+      ("C", 1L, 1L), ("C", 1L, 0L))
+      .toDF("g", "y", "p")
+    val got = ModelEval.mcc(d, "g", "y", "p")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(got === Map("A" -> 333333L, "B" -> 1000000L, "C" -> -2000000L))
+  }
+
+  test("mcc matches the textbook float formula on random data") {
+    val rnd = new Random(7)
+    val rows = (1 to 500).map { _ =>
+      ("g", rnd.nextInt(2).toLong,
+        if (rnd.nextInt(4) == 0) rnd.nextInt(2).toLong else rnd.nextInt(2).toLong)
+    }
+    val tp = rows.count(r => r._2 == 1 && r._3 == 1).toLong
+    val tn = rows.count(r => r._2 == 0 && r._3 == 0).toLong
+    val fp = rows.count(r => r._2 == 0 && r._3 == 1).toLong
+    val fn = rows.count(r => r._2 == 1 && r._3 == 0).toLong
+    val expected = math.round((tp * tn - fp * fn).toDouble * 1e6
+      / math.sqrt((tp + fp).toDouble * (tp + fn).toDouble
+        * (tn + fp).toDouble * (tn + fn).toDouble))
+    val got = ModelEval.mcc(rows.toDF("g", "y", "p"), "g", "y", "p")
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((tp, tn, fp, fn)))
+    assert(got.getLong(5) === expected)
+  }
+
+  test("mcc rejects non-binary predictions") {
+    val d = Seq(("A", 1L, 3L)).toDF("g", "y", "p")
+    val ex = intercept[Exception] { ModelEval.mcc(d, "g", "y", "p").collect() }
+    assert(msgs(ex).exists(_.contains("pred must be 0/1")))
+  }
+
+  // ------------------------------------------------------------- brierEce
+
+  test("brierEce: hand case — exact integer Brier and bin-cancelled ECE") {
+    // (250000,0) (250000,1) -> bin 2: sp=500000 np=1 |diff|=500000
+    // (750000,1) (750000,1) -> bin 7: sp=1500000 np=2 |diff|=500000
+    // brier = (625 + 5625 + 625 + 625)e8 / (4e6) = 187500 ppm
+    // ece   = 1000000 / 4 = 250000 ppm
+    val d = Seq(("g", 250000L, 0L), ("g", 250000L, 1L),
+      ("g", 750000L, 1L), ("g", 750000L, 1L)).toDF("g", "p", "y")
+    val got = ModelEval.brierEce(d, "g", "p", "y", nBins = 10).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((4L, 187500L, 250000L)))
+  }
+
+  test("brierEce: perfectly calibrated hard predictions score 0/0") {
+    val d = Seq(("g", 1000000L, 1L), ("g", 0L, 0L)).toDF("g", "p", "y")
+    val got = ModelEval.brierEce(d, "g", "p", "y").collect().head
+    assert((got.getLong(2), got.getLong(3)) === ((0L, 0L)))
+  }
+
+  test("brierEce rejects out-of-range predictions") {
+    val d = Seq(("g", 1000001L, 1L)).toDF("g", "p", "y")
+    val ex = intercept[Exception] {
+      ModelEval.brierEce(d, "g", "p", "y").collect()
+    }
+    assert(msgs(ex).exists(_.contains("ppm in [0, 1e6]")))
+  }
+
+  // ----------------------------------------------------------- annNdcgAtK
+
+  test("annNdcgAtK: hand case — discounted hits, dropped query scores 0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    // q1 approx: rank1 miss, rank2 + rank3 hit; q2 never surfaced
+    val approx = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val disc = (r: Int) => 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    val expected1 = math.round(
+      (disc(2) + disc(3)) * 1e6 / (disc(1) + disc(2) + disc(3)))
+    val got = ModelEval.annNdcgAtK(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, expected1)), 2L -> ((1L, 0L))))
+  }
+
+  test("annNdcgAtK: perfect index scores 1e6 for every query") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    ModelEval.annNdcgAtK(exact, exact, k = 5).collect().foreach { r =>
+      assert(r.getLong(2) === 1000000L)
+    }
+  }
 }
