@@ -617,6 +617,71 @@ object EvalQueries {
       "per-query nDCG@10 of the sign-LSH index against brute-force ground truth — " +
         "position-weighted ANN quality (recall ignores where in the window a true " +
         "neighbor lands); fixed rank-sorted summation order so the f64 discounts " +
-        "agree to the last ulp in any engine, then one ppm rounding")
+        "agree to the last ulp in any engine, then one ppm rounding"),
+
+    // ------------------------------------- multinomial Naive Bayes router
+    "q170_naive_bayes" -> Q(
+      (s, dir) =>
+        ModelEval.classificationReport(
+            graft.operators.TextClassify.naiveBayesPredict(
+              Tables.table(s, dir, "documents"), "text", "doc_id", "lang",
+              trainBps = 8000),
+            "y", "predicted")
+          .orderBy(col("cls")),
+      // train split, (class, term) counts, micro-nat weight grid, argmax,
+      // then the q163 report aggregation — string class keys end to end
+      Some("""WITH d AS (SELECT doc_id AS did, lang AS y,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks,
+             |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+             |         THEN 1 ELSE 0 END AS tr
+             |  FROM documents),
+             |tok AS (SELECT did, y, tr, unnest(toks) AS t FROM d),
+             |cnt AS (SELECT y, t, count(*) AS c FROM tok WHERE tr = 1 GROUP BY 1, 2),
+             |cls AS (SELECT y, count(*) AS nd FROM d WHERE tr = 1 GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM d WHERE tr = 1),
+             |ny AS (SELECT y, sum(c) AS nt FROM cnt GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS v FROM cnt),
+             |prior AS (SELECT cls.y, ny.nt, voc.v,
+             |    CAST(round(ln(CAST(cls.nd AS DOUBLE) / tot.n) * 1e6) AS BIGINT) AS pw
+             |  FROM cls JOIN ny ON ny.y = cls.y CROSS JOIN tot CROSS JOIN voc),
+             |grid AS (SELECT prior.y, vt.t,
+             |    CAST(round(ln((COALESCE(cnt.c, 0) + 1.0) / (prior.nt + prior.v)) * 1e6) AS BIGINT) AS w
+             |  FROM (SELECT DISTINCT t FROM cnt) vt CROSS JOIN prior
+             |  LEFT JOIN cnt ON cnt.y = prior.y AND cnt.t = vt.t),
+             |ts AS (SELECT tok.did, grid.y AS cand, sum(grid.w) AS s
+             |  FROM tok JOIN grid ON grid.t = tok.t WHERE tok.tr = 0 GROUP BY 1, 2),
+             |test AS (SELECT did, y FROM d WHERE tr = 0),
+             |sc AS (SELECT test.did, test.y, prior.y AS cand,
+             |    prior.pw + COALESCE(ts.s, 0) AS score
+             |  FROM test CROSS JOIN prior
+             |  LEFT JOIN ts ON ts.did = test.did AND ts.cand = prior.y),
+             |pr AS (SELECT did, y, cand, row_number() OVER
+             |    (PARTITION BY did ORDER BY score DESC, cand) AS rn FROM sc),
+             |rep AS (SELECT y, cand AS p FROM pr WHERE rn = 1),
+             |cells AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c
+             |  FROM rep GROUP BY 1, 2),
+             |tp AS (SELECT y AS cls, c AS tp FROM cells WHERE y = p),
+             |act AS (SELECT y AS cls, sum(c) AS n_actual FROM cells GROUP BY 1),
+             |prd AS (SELECT p AS cls, sum(c) AS n_pred FROM cells GROUP BY 1),
+             |f AS (SELECT cls,
+             |    coalesce(tp, 0) AS tp,
+             |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+             |    coalesce(n_actual, 0) - coalesce(tp, 0) AS fn
+             |  FROM act FULL OUTER JOIN prd USING (cls)
+             |    LEFT JOIN tp USING (cls))
+             |SELECT cls, CAST(tp AS BIGINT) AS tp,
+             |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             |  CAST(CASE WHEN tp + fp = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_ppm,
+             |  CAST(CASE WHEN tp + fn = 0 THEN -1
+             |    ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+             |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+             |    ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+             |FROM f ORDER BY cls""".stripMargin),
+      "multinomial Naive Bayes language router trained IN-ENGINE on the md5-gated " +
+        "80% split (add-1 smoothing, micro-nat integer weight grid so scores are " +
+        "exact integer sums) and graded on the held-out 20% through the " +
+        "classification report — train is one (class, term) count, serving is one " +
+        "term-keyed join + (doc, class) partial sums; nothing touches the driver")
   )
 }
