@@ -151,9 +151,28 @@ object Dedup {
     * superlinear in the candidate count, the round-9 q31 regression.
     */
   def ngramJaccardPairsFromIndex(
-      index: DataFrame, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+      index: DataFrame, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    pairIntersectionsFromIndex(index, maxDf)
+      .withColumn("interd", col("inter").cast("double"))
+      .withColumn("jaccard",
+        col("interd") / (col("sz_a") + col("sz_b") - col("interd")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Exact per-pair shingle intersections from a [[buildShingleIndex]]
+    * frame: `(id_a, id_b, inter, sz_a, sz_b)` for every id_a < id_b pair
+    * sharing at least one RARE (df <= maxDf) shingle. The shared core of
+    * [[ngramJaccardPairsFromIndex]] and [[containmentPairsFromIndex]] —
+    * candidates come from the df-capped inverted-index self-join (the f²
+    * stop-shingle skew guard), intersections are made exact again by the
+    * bounded hot-shingle correction join. Pairs whose overlap is ONLY
+    * hot shingles never surface — by construction boilerplate-only
+    * overlap is not duplication evidence.
+    */
+  private def pairIntersectionsFromIndex(
+      index: DataFrame, maxDf: Int): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
-    val sizes = index.select(col("doc"), size(col("sh")).cast("double").as("sz"))
+    val sizes = index.select(col("doc"), size(col("sh")).cast("long").as("sz"))
     val posting = index.select(col("doc"), explode(col("sh")).as("s"))
     val dfs = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rare = dfs.filter(col("df") <= maxDf).select(col("s"))
@@ -178,14 +197,53 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cnt_hot"))
     cntRare
       .join(cntHot, Seq("id_a", "id_b"), "left")
-      .withColumn("inter",
-        (col("cnt_rare") + coalesce(col("cnt_hot"), lit(0L))).cast("double"))
+      .withColumn("inter", col("cnt_rare") + coalesce(col("cnt_hot"), lit(0L)))
       .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
   }
+
+  /** ASYMMETRIC near-dup detection: shingle CONTAINMENT pairs —
+    * `C(A→B) = |A∩B| / |A|` — the measure that catches a document
+    * EMBEDDED in a larger one (quote farms, aggregator pages, a README
+    * pasted into a 100-page manual), which symmetric Jaccard structurally
+    * misses: a 50-shingle doc fully contained in a 5000-shingle doc has
+    * J ≈ 0.01 but C = 1.0. The dedup policy downstream usually drops the
+    * CONTAINED side and keeps the superset.
+    *
+    * Output: one row per id_a < id_b candidate pair with BOTH directions
+    * as exact integer ppm — `c_ab_ppm = (1e6·|A∩B|) DIV |A|` (how much of
+    * A is inside B) and `c_ba_ppm` — kept when either direction reaches
+    * `thresholdPpm`. Integer arithmetic end to end: the gate and the
+    * emitted ratios are exact in any engine (no float Jaccard boundary).
+    *
+    * Scale shape: identical to [[ngramJaccardPairsFromIndex]] — df-capped
+    * inverted-index self-join for candidates (no all-pairs, stop-shingle
+    * f² guard), bounded hot-correction join for exactness. Pass a
+    * persisted/materialized [[buildShingleIndex]] frame.
+    */
+  def containmentPairsFromIndex(
+      index: DataFrame, thresholdPpm: Long = 800000L,
+      maxDf: Int = 1000): DataFrame = {
+    require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
+      "containmentPairsFromIndex: thresholdPpm in [1, 1e6]")
+    pairIntersectionsFromIndex(index, maxDf)
+      .withColumn("c_ab_ppm", expr("(1000000 * inter) DIV sz_a"))
+      .withColumn("c_ba_ppm", expr("(1000000 * inter) DIV sz_b"))
+      .filter(greatest(col("c_ab_ppm"), col("c_ba_ppm")) >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("c_ab_ppm"), col("c_ba_ppm"))
+  }
+
+  /** [[containmentPairsFromIndex]] with the index built (and cache-
+    * registered) in place — the self-contained form for one-shot runs.
+    */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String, shingleK: Int = 5,
+      thresholdPpm: Long = 800000L, maxDf: Int = 1000): DataFrame =
+    containmentPairsFromIndex(
+      persistTracked(shingleSets(docs, textCol, idCol, shingleK)),
+      thresholdPpm, maxDf)
 
   /** CROSS-SOURCE overlap matrix: for every pair of corpus sources, how
     * many distinct word-k-shingles they share and the Jaccard between

@@ -954,5 +954,40 @@ object ExtensionQueries {
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin),
       "tokenizer fertility per language (BPE-ish units per whitespace word, " +
         "integer ppm) — the per-language token-budget planning number; one " +
-        "map-side-combined aggregate over two already-specced codegen counters"))
+        "map-side-combined aggregate over two already-specced codegen counters"),
+
+    // --------------------------------------- dedup: shingle containment
+    "q171_containment" -> Q(
+      (s, dir) =>
+        Dedup.containmentPairs(Tables.table(s, dir, "documents"), "text", "doc_id",
+            shingleK = 5, thresholdPpm = 600000L)
+          .orderBy(col("id_a"), col("id_b")),
+      // q31's shingle CTEs through the exact intersection, then the
+      // integer containment gate in both directions
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS BIGINT) AS inter
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, inter,
+             |  CAST((1000000 * inter) // sz_a AS BIGINT) AS c_ab_ppm,
+             |  CAST((1000000 * inter) // sz_b AS BIGINT) AS c_ba_ppm
+             |FROM inter
+             |WHERE greatest((1000000 * inter) // sz_a, (1000000 * inter) // sz_b) >= 600000
+             |ORDER BY id_a, id_b""".stripMargin),
+      "asymmetric shingle CONTAINMENT pairs (|A∩B|/|A| as exact integer ppm, " +
+        "both directions) — catches a document embedded in a much larger one, " +
+        "which symmetric Jaccard structurally misses (J ~ |A|/|B| -> 0); same " +
+        "df-capped inverted-index candidates + hot-correction exactness as q31"))
 }

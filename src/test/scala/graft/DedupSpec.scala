@@ -403,4 +403,57 @@ class DedupSpec extends SparkSpec {
     // identical docs: estimate must be exactly 1e6 with zero error
     assert(got((3L, 4L)) === ((1000000L, 1000000L, 0L)))
   }
+
+  test("containmentPairs: embedded doc scores C=1 where Jaccard misses it") {
+    import spark.implicits._
+    // doc 1 (8 words -> 4 distinct 5-shingles) is verbatim inside doc 2's
+    // much longer text; filler words are all distinct so extra shingles
+    // never collide with doc 1's
+    val small = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val d = Seq(
+      (1L, small),
+      (2L, s"$filler $small"),
+      (3L, "totally different text with its own words entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "text", "doc_id",
+        shingleK = 5, thresholdPpm = 900000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc1: 4 shingles, all inside doc2 -> c_ab = 1e6 exactly; doc2 has
+    // 64 shingles (68 words) of which 4 shared -> c_ba = 62500
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === ((4L, 1000000L, 62500L)))
+    // symmetric Jaccard on the same pair is 4/64 = 0.0625 — far below any
+    // dedup threshold; the pair is invisible to ngramJaccardPairs
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      shingleK = 5, threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
+
+  test("containmentPairs matches a driver-side exact reference on the corpus") {
+    val ref = {
+      val texts = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def shingles(t: String): Set[String] = {
+        val w = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (w.length <= 5) Set(w.mkString(" "))
+        else w.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map { case (id, t) => id -> shingles(t) }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size.toLong if inter > 0
+        cab = 1000000L * inter / sa.size
+        cba = 1000000L * inter / sb.size
+        if math.max(cab, cba) >= 600000L
+      } yield (a, b) -> ((inter, cab, cba))).toMap
+    }
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleK = 5, thresholdPpm = 600000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === ref)
+  }
 }
