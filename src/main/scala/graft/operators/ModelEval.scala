@@ -572,6 +572,56 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** Benjamini–Hochberg FDR step-up over a FAMILY of hypothesis tests —
+    * the multiple-comparisons control a pipeline needs the moment it runs
+    * an A/B gate (q140), chi-square selection (q147), or KS drift test
+    * (q154) per metric/segment/feature: at α=0.05, fifty independent true
+    * nulls yield ~2.5 spurious "significant" results; BH caps the
+    * expected FALSE-DISCOVERY fraction at α instead of the per-test
+    * error.
+    *
+    * Procedure, all-integer (α given as the rational `alphaNum/alphaDen`):
+    * rank p-values ascending (ties broken by test id — deterministic),
+    * find the largest rank k with `p_(k)·m·alphaDen ≤ k·alphaNum·1e6`
+    * (the exact clear-denominator form of p_(k) ≤ (k/m)·α — a float gate
+    * can straddle the boundary, an integer product cannot), reject ranks
+    * ≤ k. Also emits the BH ADJUSTED q-value as the running suffix-min of
+    * `(p_(j)·m) DIV j` — the smallest α at which each test would still be
+    * rejected (up to DIV truncation), monotone by construction.
+    *
+    * Scale shape: `m` is the number of TESTS (metrics × segments), not
+    * corpus rows — the heavy per-test aggregation happened upstream. One
+    * window sort per family; families parallelize independently.
+    * Products go through decimal(38,0) so a million-test family with
+    * alphaDen 1000 cannot overflow.
+    */
+  def bhFdr(
+      df: DataFrame, groupCol: String, testCol: String, pPpmCol: String,
+      alphaNum: Long = 1L, alphaDen: Long = 20L): DataFrame = {
+    require(alphaNum >= 1 && alphaDen >= 1 && alphaNum < alphaDen,
+      "bhFdr: alpha must be a rational in (0, 1)")
+    val w = Window.partitionBy(col("grp"))
+    val wRank = w.orderBy(col("p_ppm"), col("test_id"))
+    val wSuffix = wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.select(col(groupCol).as("grp"), col(testCol).as("test_id"),
+        col(pPpmCol).cast("bigint").as("p_ppm"))
+      .withColumn("p_ppm",
+        when(col("p_ppm").between(0L, 1000000L), col("p_ppm"))
+          .otherwise(raise_error(lit("bhFdr: p must be ppm in [0, 1e6]"))))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("pass",
+        col("p_ppm").cast("decimal(38,0)") * col("m") * lit(alphaDen)
+          <= col("rank").cast("decimal(38,0)") * lit(alphaNum) * lit(1000000L))
+      .withColumn("k", max(when(col("pass"), col("rank"))).over(w))
+      .withColumn("q_ppm", least(lit(1000000L),
+        min(expr("CAST((CAST(p_ppm AS DECIMAL(38,0)) * m) DIV rank AS BIGINT)"))
+          .over(wSuffix)))
+      .select(col("grp"), col("test_id"), col("p_ppm"), col("rank"),
+        col("q_ppm"),
+        (col("rank") <= coalesce(col("k"), lit(0L))).cast("bigint").as("rejected"))
+  }
+
   /** ANN normalized discounted cumulative gain at k: position-weighted
     * relevance of the approximate list against the exact top-k —
     * [[annRecallAtK]] ignores WHERE in the window a true neighbor lands

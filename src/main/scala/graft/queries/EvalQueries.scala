@@ -19,6 +19,13 @@ object EvalQueries {
 
   private val label = "CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END"
 
+  // DuckDB fold: first 8 md5 hex chars -> BIGINT (mirrors Spark's
+  // conv(substring(md5(x), 1, 8), 16, 10); both < 2^32, exact)
+  private def hex8(e: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 8),
+       |      i -> strpos('0123456789abcdef', substring($e, i, 1)) - 1),
+       |      (a, x) -> a * 16 + x)""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------ exact ROC-AUC
@@ -682,6 +689,54 @@ object EvalQueries {
         "80% split (add-1 smoothing, micro-nat integer weight grid so scores are " +
         "exact integer sums) and graded on the held-out 20% through the " +
         "classification report — train is one (class, term) count, serving is one " +
-        "term-keyed join + (doc, class) partial sums; nothing touches the driver")
+        "term-keyed join + (doc, class) partial sums; nothing touches the driver"),
+
+    // ------------------------------------ Benjamini–Hochberg FDR step-up
+    "q172_bh_fdr" -> Q(
+      (s, dir) => {
+        // one hypothesis test per (event_type, props.k) cell; p-values are
+        // md5-derived uniforms with signal PLANTED in the purchase family
+        // (÷50) — deterministic, engine-portable, and the procedure must
+        // reject in the planted family while the null families survive
+        val tests = Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+          .distinct()
+          .withColumn("u",
+            conv(substring(md5(concat(lit("bh:"), col("event_type"),
+              lit(":"), col("k"))), 1, 8), 16, 10).cast("bigint")
+              % lit(1000001L))
+          .withColumn("p_ppm", when(col("event_type") === "purchase",
+            expr("u DIV 50")).otherwise(col("u")))
+        ModelEval.bhFdr(tests, "event_type", "k", "p_ppm",
+            alphaNum = 1L, alphaDen = 20L)
+          .orderBy(col("grp"), col("rank"))
+      },
+      Some(s"""WITH t AS (SELECT DISTINCT event_type AS grp,
+              |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |  FROM events),
+              |u AS (SELECT grp, k,
+              |    ${hex8("md5('bh:' || grp || ':' || CAST(k AS VARCHAR))")} % 1000001 AS u
+              |  FROM t),
+              |p AS (SELECT grp, k AS test_id,
+              |    CASE WHEN grp = 'purchase' THEN u // 50 ELSE u END AS p_ppm
+              |  FROM u),
+              |r AS (SELECT *, count(*) OVER (PARTITION BY grp) AS m,
+              |    row_number() OVER (PARTITION BY grp ORDER BY p_ppm, test_id) AS rank
+              |  FROM p),
+              |g AS (SELECT *, CASE WHEN p_ppm::HUGEINT * m * 20
+              |      <= rank::HUGEINT * 1000000 THEN rank END AS passr FROM r),
+              |kk AS (SELECT *, max(passr) OVER (PARTITION BY grp) AS kmax,
+              |    least(1000000, min((p_ppm::HUGEINT * m) // rank)
+              |      OVER (PARTITION BY grp ORDER BY p_ppm, test_id
+              |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_ppm
+              |  FROM g)
+              |SELECT grp, test_id, p_ppm, rank, CAST(q_ppm AS BIGINT) AS q_ppm,
+              |  CAST(CASE WHEN rank <= COALESCE(kmax, 0) THEN 1 ELSE 0 END AS BIGINT) AS rejected
+              |FROM kk ORDER BY grp, rank""".stripMargin),
+      "Benjamini–Hochberg FDR step-up per test family (exact integer gate " +
+        "p·m·alphaDen <= rank·alphaNum·1e6, suffix-min adjusted q-values) — the " +
+        "multiple-comparisons control over per-segment test batteries; m is the " +
+        "TEST count, one bounded window sort per family")
   )
 }

@@ -416,4 +416,44 @@ class ModelEvalSpec extends SparkSpec {
       assert(r.getLong(2) === 1000000L)
     }
   }
+
+  // ---------------------------------------------------------------- bhFdr
+
+  test("bhFdr: textbook hand case — reject exactly the first three ranks") {
+    // p = [.01, .02, .03, .5, .6], m=5, alpha=.05: per-rank thresholds
+    // .01/.02/.03/.04/.05 -> k=3
+    val d = Seq(("f", 1L, 10000L), ("f", 2L, 20000L), ("f", 3L, 30000L),
+      ("f", 4L, 500000L), ("f", 5L, 600000L)).toDF("g", "t", "p")
+    val got = ModelEval.bhFdr(d, "g", "t", "p")
+      .collect().map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got.view.mapValues(_._2).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    // adjusted q-values: p*m//rank = [50000,50000,50000,625000,600000],
+    // suffix-min -> [50000,50000,50000,600000,600000]
+    assert(got.view.mapValues(_._1).toMap === Map(1L -> 50000L, 2L -> 50000L,
+      3L -> 50000L, 4L -> 600000L, 5L -> 600000L))
+  }
+
+  test("bhFdr: step-up rejects a rank that fails its OWN threshold") {
+    // p = [.04, .04], m=2, alpha=.05: rank 1 fails .025 but rank 2 passes
+    // .05, and the step-up rejects EVERYTHING at or below k=2 — the case
+    // a naive per-rank gate gets wrong
+    val d = Seq(("f", 1L, 40000L), ("f", 2L, 40000L)).toDF("g", "t", "p")
+    val got = ModelEval.bhFdr(d, "g", "t", "p")
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("bhFdr: families are independent and out-of-range p raises") {
+    val d = Seq(("a", 1L, 1000L), ("a", 2L, 900000L),
+      ("b", 1L, 900000L)).toDF("g", "t", "p")
+    val got = ModelEval.bhFdr(d, "g", "t", "p")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got(("a", 1L)) === 1L && got(("a", 2L)) === 0L && got(("b", 1L)) === 0L)
+    val e = intercept[Exception] {
+      ModelEval.bhFdr(Seq(("a", 1L, 1000001L)).toDF("g", "t", "p"), "g", "t", "p")
+        .collect()
+    }
+    assert(msgs(e).exists(_.contains("bhFdr")))
+  }
 }
