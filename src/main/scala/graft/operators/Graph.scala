@@ -94,6 +94,81 @@ object Graph {
     pr
   }
 
+  /** HITS hubs & authorities in exact integer micro-units, run for a
+    * FIXED number of iterations — the complementary centrality to
+    * [[pageRank]]: PageRank measures where a random surfer accumulates,
+    * HITS separates GOOD POINTERS (hubs — a curated link list, a survey
+    * paper, an aggregator domain) from GOOD TARGETS (authorities — the
+    * canonical page everyone cites). In corpus curation the hub score
+    * finds the index/boilerplate pages to deprioritize while the
+    * authority score is a quality prior for the documents they point at.
+    *
+    * Kleinberg's mutual recurrence with L1 (sum) normalization instead of
+    * the classical L2 — the float sqrt would break exact cross-engine
+    * replay, and L1 preserves the ranking (normalization only rescales):
+    *
+    *   araw(v) = Σ_{u→v} hub(u)         auth(v) = (araw·10⁶·n) DIV Σaraw
+    *   hraw(u) = Σ_{u→v} auth(v)        hub(u)  = (hraw·10⁶·n) DIV Σhraw
+    *
+    * so scores keep mean ≈ 10⁶ each round and every quantity is an
+    * integer — any engine replays the recurrence bit-for-bit. Nodes with
+    * no in-edges (out-edges) hold authority (hub) 0. Edges are
+    * de-duplicated; a non-empty edge set keeps both normalizers strictly
+    * positive (the max-score node is ≥ the mean, and it has an incident
+    * edge), so the DIV is total.
+    *
+    * Numeric window: scores ≤ 10⁶·n, raw sums ≤ 10⁶·n², the normalizer
+    * product ≤ 10¹²·n³ — inside decimal(38,0) to n ≈ 2·10⁸ nodes; ANSI
+    * overflow raises beyond, never wraps.
+    *
+    * Plan: per round, TWO join+aggregate passes over the checkpointed
+    * edge set (auth then hub) and two 1-row total aggregates crossed back
+    * in (broadcast, never collected to the driver) — the [[pageRank]]
+    * loop shape with the same per-5-rounds re-checkpoint.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "iterations in [1, 20]")
+    val e = edges.select(
+        col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "hits: graph has no nodes")
+    def normalized(raw: DataFrame, keyCol: String, rawCol: String,
+        outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(rawCol)).as("tot"))
+      nodes.join(raw.select(col(keyCol).as("node"), col(rawCol)), Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((coalesce($rawCol, CAST(0 AS DECIMAL(38,0))) * 1000000 * $n) DIV tot AS BIGINT)")
+            .as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("hub_micro"))
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      val araw = e
+        .join(hub.select(col("node").as("src"), col("hub_micro")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub_micro").cast("decimal(38,0)")).as("araw"))
+      auth = normalized(araw, "dst", "araw", "auth_micro")
+      val hraw = e
+        .join(auth.select(col("node").as("dst"), col("auth_micro")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(sum(col("auth_micro").cast("decimal(38,0)")).as("hraw"))
+      hub = normalized(hraw, "src", "hraw", "hub_micro")
+      if (i % 5 == 0 && i < iterations) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** Per-node triangle counts on an undirected simple graph. Input edges
     * may arrive in either direction and with duplicates; they are
     * canonicalized to (a < b) and de-duplicated first. Self-loops are

@@ -467,6 +467,55 @@ object AnalyticsQueries {
              |       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.dst = node)
              |SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM p3 ORDER BY node""".stripMargin),
       "fixed-point weighted PageRank (3 rounds, damping 0.85) over the customer-nation -> " +
-        "supplier-nation trade graph; oracle unrolls the integer recurrence")
+        "supplier-nation trade graph; oracle unrolls the integer recurrence"),
+
+    // ------------------------------------------- HITS hubs & authorities
+    "q173_hits" -> Q(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        Graph.hits(edges, "src", "dst", iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""ar$r AS (SELECT dst, sum(h) AS araw FROM edges
+             |  JOIN h${r - 1} ON h${r - 1}.node = edges.src GROUP BY dst),
+             |at$r AS (SELECT sum(araw) AS atot FROM ar$r),
+             |a$r AS (SELECT node, (COALESCE(araw, 0)::HUGEINT * 1000000 * n) // atot AS a
+             |  FROM nodes CROSS JOIN nn CROSS JOIN at$r
+             |  LEFT JOIN ar$r ON ar$r.dst = node),
+             |hr$r AS (SELECT src, sum(a) AS hraw FROM edges
+             |  JOIN a$r ON a$r.node = edges.dst GROUP BY src),
+             |ht$r AS (SELECT sum(hraw) AS htot FROM hr$r),
+             |h$r AS (SELECT node, (COALESCE(hraw, 0)::HUGEINT * 1000000 * n) // htot AS h
+             |  FROM nodes CROSS JOIN nn CROSS JOIN ht$r
+             |  LEFT JOIN hr$r ON hr$r.src = node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+           |    CAST(s_nationkey AS BIGINT) AS dst
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges
+           |          UNION SELECT DISTINCT dst FROM edges),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |h0 AS (SELECT node, 1000000::HUGEINT AS h FROM nodes),
+           |$rounds
+           |SELECT node, CAST(h AS BIGINT) AS hub_micro, CAST(a AS BIGINT) AS auth_micro
+           |FROM h3 JOIN a3 USING (node) ORDER BY node""".stripMargin
+      },
+      "HITS hubs & authorities (3 rounds, exact integer L1-normalized recurrence) " +
+        "over the nation trade digraph — separates good POINTERS from good " +
+        "TARGETS, the curation prior PageRank can't express; oracle unrolls all " +
+        "three mutual-reinforcement rounds in HUGEINT SQL")
   )
 }

@@ -282,4 +282,61 @@ class GraphSpec extends SparkSpec {
     } yield n).groupBy(x => x).map { case (n, xs) => n -> xs.size.toLong }
     assert(tri(edges: _*) === expect)
   }
+
+  // ------------------------------------------------------------------ hits
+
+  /** BigInt replica of the L1-normalized integer HITS recurrence. */
+  private def hitsRef(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = BigInt(nodes.size)
+    var hub = nodes.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to iters) {
+      val araw = nodes.map(v =>
+        v -> e.filter(_._2 == v).map(x => hub(x._1)).sum).toMap
+      val atot = araw.values.sum
+      auth = araw.view.mapValues(x => x * 1000000 * n / atot).toMap
+      val hraw = nodes.map(u =>
+        u -> e.filter(_._1 == u).map(x => auth(x._2)).sum).toMap
+      val htot = hraw.values.sum
+      hub = hraw.view.mapValues(x => x * 1000000 * n / htot).toMap
+    }
+    nodes.map(v => v -> ((hub(v).toLong, auth(v).toLong))).toMap
+  }
+
+  test("hits: one-round bipartite hand case — exact closed-form scores") {
+    // u1 -> {v1, v2}, u2 -> {v1}; n = 4. araw: v1 = 2e6, v2 = 1e6,
+    // atot = 3e6 -> a(v1) = 2666666, a(v2) = 1333333; hraw: u1 = 3999999,
+    // u2 = 2666666, htot = 6666665 -> h(u1) = 2400000, h(u2) = 1600000
+    val got = Graph.hits(
+        Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d"), "s", "d",
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L)._2 === 2666666L && got(11L)._2 === 1333333L)
+    assert(got(1L)._1 === 2400000L && got(2L)._1 === 1600000L)
+    // pure sources hold no authority; pure sinks hold no hub mass
+    assert(got(1L)._2 === 0L && got(10L)._1 === 0L)
+  }
+
+  test("hits matches the BigInt reference on a pseudo-random digraph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).distinct
+    val got = Graph.hits(edges.toDF("s", "d"), "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === hitsRef(edges, 3))
+  }
+
+  test("hits is deterministic under repartitioning and duplicate edges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (1L, 2L))
+    val a = Graph.hits(edges.toDF("s", "d"), "s", "d", iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.hits(edges.toDF("s", "d").repartition(7), "s", "d",
+        iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a === hitsRef(edges, 2).map { case (n, (h, au)) => (n, h, au) }.toSet)
+  }
 }
