@@ -477,6 +477,61 @@ object TextPipeline {
           .as("gini_ppm"))
   }
 
+  /** Pairwise JENSEN–SHANNON divergence between per-group token
+    * distributions — the symmetric, always-finite divergence next to
+    * [[tokenDistributionDrift]]'s TV and `FeatureEng.psi`: TV weights all
+    * mass linearly, JS (like PSI) weights by log-ratio, so it is the
+    * number to read when two sources share most mass but one has a heavy
+    * minority vocabulary. Decomposed over each side's own support:
+    *
+    *   JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2
+    *   KL(P‖M) = Σ_{t: p>0} p·ln(2p/(p+q))
+    *
+    * Exactness: each per-term value is rounded to integer NANO-nats
+    * before the order-independent sum (the q74/q82/q132 ln convention,
+    * a thousand× finer than micro because JS spreads over the whole
+    * vocabulary instead of a handful of bins); the one ln per (pair,
+    * term) carries the usual 1-ulp libm caveat, corpus-validated per SF.
+    * `js_nano` ∈ [0, ln 2·10⁹ ≈ 6.93·10⁸].
+    *
+    * Scale shape: one explode → (group, term) counts with map-side
+    * combine; the ordered-pair term frame is counts × (|groups|−1) —
+    * bounded by the SOURCE count, never |vocab|·|groups|² — with terms
+    * absent from the other side kept by the left join (q = 0 ⇒ a finite
+    * p·ln 2 term); each unordered pair merges its two directed KL sums.
+    */
+  def jsDivergencePairs(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(T.tokens(col(textCol))).as("t"))
+    val cnt = Dedup.persistTracked(
+      tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c")))
+    val tot = tok.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val ordered = cnt
+      .select(col("grp").as("grp_a"), col("t"), col("c").as("c1"))
+      .crossJoin(broadcast(tot.select(col("grp").as("grp_b"))))
+      .filter(col("grp_a") =!= col("grp_b"))
+      .join(cnt.select(col("grp").as("grp_b"), col("t"), col("c").as("c2")),
+        Seq("grp_b", "t"), "left")
+      .join(broadcast(tot.select(col("grp").as("grp_a"), col("n").as("n1"))),
+        Seq("grp_a"))
+      .join(broadcast(tot.select(col("grp").as("grp_b"), col("n").as("n2"))),
+        Seq("grp_b"))
+      .withColumn("p", col("c1").cast("double") / col("n1"))
+      .withColumn("q", coalesce(col("c2"), lit(0L)).cast("double") / col("n2"))
+      .withColumn("term_nano",
+        round(lit(1e9) * col("p") * log((col("p") + col("p")) / (col("p") + col("q"))))
+          .cast("bigint"))
+    val sums = ordered.groupBy(col("grp_a"), col("grp_b"))
+      .agg(sum(col("term_nano")).as("s"))
+    sums.as("x")
+      .join(sums.as("y"),
+        col("x.grp_a") === col("y.grp_b") && col("x.grp_b") === col("y.grp_a"))
+      .filter(col("x.grp_a") < col("x.grp_b"))
+      .select(col("x.grp_a").as("grp_a"), col("x.grp_b").as("grp_b"),
+        expr("(x.s + y.s) DIV 2").as("js_nano"))
+  }
+
   def bloomContaminatedFast(
       docs: DataFrame, probes: DataFrame,
       textCol: String, idCol: String,

@@ -989,5 +989,38 @@ object ExtensionQueries {
       "asymmetric shingle CONTAINMENT pairs (|A∩B|/|A| as exact integer ppm, " +
         "both directions) — catches a document embedded in a much larger one, " +
         "which symmetric Jaccard structurally misses (J ~ |A|/|B| -> 0); same " +
-        "df-capped inverted-index candidates + hot-correction exactness as q31"))
+        "df-capped inverted-index candidates + hot-correction exactness as q31"),
+
+    // ------------------------------- text: Jensen-Shannon source divergence
+    "q174_js_divergence" -> Q(
+      (s, dir) =>
+        TextPipeline.jsDivergencePairs(
+            Tables.table(s, dir, "documents"), "text", "source")
+          .orderBy(col("grp_a"), col("grp_b")),
+      Some("""WITH tok AS (SELECT source AS grp,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |cnt AS (SELECT grp, t, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT grp, count(*) AS n FROM tok GROUP BY 1),
+             |ord AS (
+             |  SELECT a.grp AS grp_a, g.grp AS grp_b, a.t, a.c AS c1, b.c AS c2
+             |  FROM cnt a CROSS JOIN (SELECT grp FROM tot) g
+             |  LEFT JOIN cnt b ON b.grp = g.grp AND b.t = a.t
+             |  WHERE a.grp <> g.grp),
+             |terms AS (
+             |  SELECT grp_a, grp_b,
+             |    CAST(c1 AS DOUBLE) / n1.n AS p,
+             |    CAST(COALESCE(c2, 0) AS DOUBLE) / n2.n AS q
+             |  FROM ord JOIN tot n1 ON n1.grp = ord.grp_a
+             |  JOIN tot n2 ON n2.grp = ord.grp_b),
+             |tn AS (SELECT grp_a, grp_b,
+             |    sum(CAST(round(1e9 * p * ln((p + p) / (p + q))) AS BIGINT)) AS s
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT x.grp_a, x.grp_b, CAST((x.s + y.s) // 2 AS BIGINT) AS js_nano
+             |FROM tn x JOIN tn y ON x.grp_a = y.grp_b AND x.grp_b = y.grp_a
+             |WHERE x.grp_a < x.grp_b ORDER BY x.grp_a, x.grp_b""".stripMargin),
+      "pairwise Jensen-Shannon divergence between source token distributions " +
+        "(integer nano-nat terms, order-independent sums) — the log-weighted " +
+        "divergence next to q159's TV; ordered-pair fan-out bounded by the " +
+        "source count, each unordered pair merges its two directed KL sums"))
 }

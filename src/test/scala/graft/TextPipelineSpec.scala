@@ -336,4 +336,47 @@ class TextPipelineSpec extends SparkSpec {
     val r1 = TextPipeline.tokenGini(d, "text", "src").collect().head
     assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((4L, 8L, 0L)))
   }
+
+  test("jsDivergencePairs: identical sources score exactly 0, disjoint " +
+      "vocabularies score ln2 in nano-nats") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "x y x y"), ("b", "x y x y"),   // identical distributions
+      ("c", "zq zq zq zq")                  // disjoint from both
+    ).toDF("src", "text")
+    val got = TextPipeline.jsDivergencePairs(d, "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // identical: every ratio is 1 -> ln 1 = 0 -> exactly 0
+    assert(got(("a", "b")) === 0L)
+    // disjoint: each side sums p·ln2 over its own support; with p = 1/2
+    // per term, each term rounds from 0.5·ln2·1e9 = 346573590.28 ->
+    // 346573590, two terms per side -> 693147180 on both sides
+    assert(got(("a", "c")) === 693147180L)
+    assert(got(("b", "c")) === 693147180L)
+  }
+
+  test("jsDivergencePairs matches a driver-side reference on sf documents") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val ref = {
+      val rows = docs.select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val cnt = rows.flatMap { case (g, t) =>
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(g -> _)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tot = cnt.groupBy(_._1._1).map { case (g, m) => g -> m.values.sum }
+      val groups = tot.keys.toSeq.sorted
+      def dirSum(ga: String, gb: String): Long =
+        cnt.collect { case ((g, t), c1) if g == ga =>
+          val p = c1.toDouble / tot(ga)
+          val q = cnt.getOrElse((gb, t), 0L).toDouble / tot(gb)
+          math.round(1e9 * p * math.log((p + p) / (p + q)))
+        }.sum
+      (for {
+        a <- groups; b <- groups if a < b
+      } yield (a, b) -> Math.floorDiv(dirSum(a, b) + dirSum(b, a), 2L)).toMap
+    }
+    val got = TextPipeline.jsDivergencePairs(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
 }
