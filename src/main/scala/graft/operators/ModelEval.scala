@@ -572,6 +572,54 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** AVERAGE PRECISION (area under the ranked precision-recall curve) per
+    * group — the single-number PR summary next to [[prCurve]]'s bucketed
+    * curve and [[rocAuc]]'s ranking quality: AUC asks "are positives
+    * ranked above negatives?", AP asks "how early do they arrive?" —
+    * under heavy class imbalance (every quality-filter corpus) AP is the
+    * number that moves when the top of the ranking degrades.
+    *
+    *   AP = (1/P) · Σ_{rank k : y_k = 1} precision@k,
+    *   precision@k = posCum(k)/k
+    *
+    * over the DETERMINISTIC order (score desc, id asc) — tie handling is
+    * pinned by the id, so the statistic is exact and engine-portable:
+    * `term_ppm = (10⁶·posCum) DIV k` at each positive rank,
+    * `ap_ppm = Σ term DIV P`. All integers, no float boundary anywhere.
+    * Groups with no positives emit the −1 sentinel.
+    *
+    * Scale shape: ONE per-group window sort over the scored rows (the
+    * q81/q109 rank-window cost class — unlike [[rocAuc]] the ranked
+    * definition genuinely depends on per-row order, so distinct-score
+    * compression doesn't apply), then a per-group reduce over the
+    * positive ranks only. Numeric window: 10⁶·posCum fits a long to
+    * ~9·10¹² rows per group; sums go through decimal(38,0).
+    */
+  def averagePrecision(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(scoreCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(idCol).as("id"), col(labelCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("averagePrecision: label must be 0/1"))))
+    val w = Window.partitionBy(col("grp")).orderBy(col("sm").desc, col("id"))
+    val terms = labeled
+      .withColumn("rank", row_number().over(w))
+      .withColumn("pc",
+        sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("y") === 1)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(expr("(1000000 * pc) DIV rank").cast("decimal(38,0)")).as("s"))
+    labeled.select(col("grp")).distinct()
+      .join(terms, Seq("grp"), "left")
+      .select(col("grp"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(col("n_pos").isNull, lit(-1L))
+          .otherwise(expr("CAST(s DIV CAST(n_pos AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("ap_ppm"))
+  }
+
   /** Benjamini–Hochberg FDR step-up over a FAMILY of hypothesis tests —
     * the multiple-comparisons control a pipeline needs the moment it runs
     * an A/B gate (q140), chi-square selection (q147), or KS drift test

@@ -737,6 +737,36 @@ object EvalQueries {
       "Benjamini–Hochberg FDR step-up per test family (exact integer gate " +
         "p·m·alphaDen <= rank·alphaNum·1e6, suffix-min adjusted q-values) — the " +
         "multiple-comparisons control over per-segment test batteries; m is the " +
-        "TEST count, one bounded window sort per family")
+        "TEST count, one bounded window sort per family"),
+
+    // ------------------------------------------------- average precision
+    "q175_avg_precision" -> Q(
+      (s, dir) =>
+        ModelEval.averagePrecision(
+            Tables.events(s, dir).withColumn("y",
+              (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                .cast("bigint")),
+            "event_type", "value", "event_id", "y")
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm, event_id AS id,
+              |    $label AS y
+              |  FROM events),
+              |r AS (SELECT grp, y,
+              |    row_number() OVER (PARTITION BY grp ORDER BY sm DESC, id) AS rank,
+              |    sum(y) OVER (PARTITION BY grp ORDER BY sm DESC, id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+              |  FROM e),
+              |t AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pos,
+              |    sum((1000000 * pc) // rank) AS s
+              |  FROM r WHERE y = 1 GROUP BY 1)
+              |SELECT g.grp, COALESCE(n_pos, 0) AS n_pos,
+              |  CAST(CASE WHEN n_pos IS NULL THEN -1 ELSE s // n_pos END AS BIGINT) AS ap_ppm
+              |FROM (SELECT DISTINCT grp FROM e) g LEFT JOIN t USING (grp)
+              |ORDER BY g.grp""".stripMargin),
+      "average precision per event type (exact integer ppm over the pinned " +
+        "(score desc, id) order) — the early-ranking PR summary that moves " +
+        "under class imbalance when ROC-AUC barely does; one per-group window " +
+        "sort then a positives-only reduce")
   )
 }

@@ -417,6 +417,53 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- averagePrecision
+
+  test("averagePrecision: hand cases — interleaved, perfect, empty") {
+    // A: order (by score desc) y = [1,0,1,0] -> terms 1e6 (k=1, pc=1) and
+    //    666666 (k=3, pc=2); AP = 1666666 // 2 = 833333
+    // B: positives first -> every term 1e6 -> AP = 1e6
+    // C: no positives -> sentinel -1, n_pos 0
+    val d = Seq(
+      ("A", 4.0, 1L, 1L), ("A", 3.0, 2L, 0L), ("A", 2.0, 3L, 1L), ("A", 1.0, 4L, 0L),
+      ("B", 4.0, 1L, 1L), ("B", 3.0, 2L, 1L), ("B", 2.0, 3L, 0L),
+      ("C", 1.0, 1L, 0L))
+      .toDF("g", "s", "id", "y")
+    val got = ModelEval.averagePrecision(d, "g", "s", "id", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("A" -> ((2L, 833333L)), "B" -> ((2L, 1000000L)),
+      "C" -> ((0L, -1L))))
+  }
+
+  test("averagePrecision: ties are ordered by id — the pinned convention") {
+    // all scores equal; id order puts y = [0, 1]: term at k=2 pc=1 ->
+    // 500000; a pos-first tie order would read 1e6
+    val d = Seq(("g", 1.0, 1L, 0L), ("g", 1.0, 2L, 1L)).toDF("g", "s", "id", "y")
+    val got = ModelEval.averagePrecision(d, "g", "s", "id", "y").collect().head
+    assert(got.getLong(2) === 500000L)
+  }
+
+  test("averagePrecision matches an exact integer reference on random data") {
+    val rnd = new Random(23)
+    val rows = (1L to 300L).map(id =>
+      ("g", rnd.nextInt(40) / 7.0, id, rnd.nextInt(3).min(1).toLong))
+    val ref = {
+      val ranked = rows.sortBy { case (_, s, id, _) =>
+        (-math.round(s * 1e6), id)
+      }
+      val terms = ranked.zipWithIndex.collect {
+        case ((_, _, _, 1L), i) =>
+          val k = i + 1L
+          val pc = ranked.take(i + 1).count(_._4 == 1L).toLong
+          1000000L * pc / k
+      }
+      terms.sum / terms.length
+    }
+    val got = ModelEval.averagePrecision(rows.toDF("g", "s", "id", "y"),
+      "g", "s", "id", "y").collect().head
+    assert(got.getLong(2) === ref)
+  }
+
   // ---------------------------------------------------------------- bhFdr
 
   test("bhFdr: textbook hand case — reject exactly the first three ranks") {
