@@ -532,6 +532,44 @@ object TextPipeline {
         expr("(x.s + y.s) DIV 2").as("js_nano"))
   }
 
+  /** HASHING-TRICK feature vectorization (Weinberger et al.'s feature
+    * hashing): each token maps to bucket `md5("ht:"+t) mod dim` with a
+    * ±1 sign from the next md5 bit, and a document's feature vector is
+    * the per-bucket SIGNED token-count sum, emitted sparse as
+    * `(doc, bucket, v)` rows with v ≠ 0. The signed sum makes collisions
+    * cancel in expectation — the standard unbiased-inner-product
+    * construction — so linear models / similarity joins train on a
+    * FIXED dim-sized space with NO vocabulary table, no training pass,
+    * and no unseen-term problem: the serving path is identical to the
+    * training path by construction (contrast `FeatureEng.encodingTable`,
+    * which ships a trained vocab join).
+    *
+    * Exactness: bucket and sign derive from md5 (engine-portable, the
+    * q44/q125 convention — never xxhash), counts are integers, so the
+    * vectors are bit-identical in any engine at any parallelism.
+    *
+    * Scale shape: the ideal one — map-only bucket/sign projection, one
+    * (doc, bucket) aggregation with map-side combine, output bounded by
+    * docs × min(dim, doc length). A hot token skews nothing: its rows
+    * pre-aggregate per partition like any count.
+    */
+  def hashedFeatures(
+      docs: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 24), "hashedFeatures: dim in [2, 2^24]")
+    docs.select(col(idCol).cast("bigint").as("did"),
+        explode(T.tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(concat(lit("ht:"), col("t"))))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("bigint") % dim)
+      .withColumn("sign",
+        when((conv(substring(col("h"), 9, 1), 16, 10).cast("bigint") % 2) === 0L,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("did"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0L)
+  }
+
   def bloomContaminatedFast(
       docs: DataFrame, probes: DataFrame,
       textCol: String, idCol: String,

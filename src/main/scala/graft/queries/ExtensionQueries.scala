@@ -18,6 +18,13 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextPipeline}
   */
 object ExtensionQueries {
 
+  // DuckDB fold: first 8 md5 hex chars -> BIGINT (mirrors Spark's
+  // conv(substring(md5(x), 1, 8), 16, 10); both < 2^32, exact)
+  private def hex8(e: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 8),
+       |      i -> strpos('0123456789abcdef', substring($e, i, 1)) - 1),
+       |      (a, x) -> a * 16 + x)""".stripMargin
+
   /** The q90 oracle: an UNROLLED k-round BPE training loop in SQL. Every
     * round is three CTEs — pair counts from the current symbol strings,
     * a 1-row lexicographic argmax, and the boundary-safe wrapped-symbol
@@ -1022,5 +1029,28 @@ object ExtensionQueries {
       "pairwise Jensen-Shannon divergence between source token distributions " +
         "(integer nano-nat terms, order-independent sums) — the log-weighted " +
         "divergence next to q159's TV; ordered-pair fan-out bounded by the " +
-        "source count, each unordered pair merges its two directed KL sums"))
+        "source count, each unordered pair merges its two directed KL sums"),
+
+    // ------------------------------------- text: hashing-trick features
+    "q176_hashed_features" -> Q(
+      (s, dir) =>
+        TextPipeline.hashedFeatures(
+            Tables.table(s, dir, "documents"), "text", "doc_id", dim = 64)
+          .orderBy(col("did"), col("bucket")),
+      Some(s"""WITH tok AS (SELECT doc_id AS did,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0)) AS t
+              |  FROM documents),
+              |h AS (SELECT did, md5('ht:' || t) AS h FROM tok),
+              |b AS (SELECT did,
+              |    ${hex8("h")} % 64 AS bucket,
+              |    CASE WHEN (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) % 2 = 0
+              |         THEN 1 ELSE -1 END AS sign
+              |  FROM h)
+              |SELECT did, bucket, CAST(sum(sign) AS BIGINT) AS v
+              |FROM b GROUP BY 1, 2 HAVING sum(sign) <> 0
+              |ORDER BY did, bucket""".stripMargin),
+      "hashing-trick feature vectors (signed md5 buckets, sparse long form) — " +
+        "the no-vocabulary vectorizer whose serving path IS its training path; " +
+        "map-only projection + one (doc, bucket) map-side-combined aggregation, " +
+        "collisions cancel in expectation via the ±1 sign bit"))
 }

@@ -337,6 +337,54 @@ class TextPipelineSpec extends SparkSpec {
     assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((4L, 8L, 0L)))
   }
 
+  private def htMd5(s: String): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(("ht:" + s).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+  private def htBucket(t: String, dim: Int): Long =
+    java.lang.Long.parseLong(htMd5(t).substring(0, 8), 16) % dim
+  private def htSign(t: String): Long =
+    if ((Integer.parseInt(htMd5(t).substring(8, 9), 16) % 2) == 0) 1L else -1L
+
+  test("hashedFeatures matches a MessageDigest replica and cancels collisions") {
+    import spark.implicits._
+    // find two tokens in the SAME bucket with OPPOSITE signs — their
+    // co-occurrence must cancel to v=0 and the row must be ABSENT
+    val cands = (0 until 500).map(i => s"tok$i")
+    val (t1, t2) = (for {
+      a <- cands; b <- cands if a < b
+      if htBucket(a, 64) == htBucket(b, 64) && htSign(a) != htSign(b)
+    } yield (a, b)).head
+    val docs = Seq(
+      (1L, s"$t1 $t2"),                    // cancels entirely
+      (2L, s"$t1 $t1 $t2"),                // net one t1
+      (3L, "alpha beta alpha")             // plain counts
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.hashedFeatures(docs, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!got.keySet.exists(_._1 == 1L), "cancelled bucket must be absent")
+    assert(got((2L, htBucket(t1, 64))) === htSign(t1))
+    // replica over doc 3
+    val exp3 = Seq("alpha", "beta", "alpha")
+      .groupBy(t => htBucket(t, 64))
+      .map { case (b, ts) => b -> ts.map(htSign).sum }
+      .filter(_._2 != 0L)
+    assert(got.collect { case ((3L, b), v) => b -> v }.toMap === exp3)
+  }
+
+  test("hashedFeatures is repartition-deterministic and guards dim") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents").limit(50)
+    val a = TextPipeline.hashedFeatures(docs, "text", "doc_id", dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = TextPipeline.hashedFeatures(docs.repartition(5), "text", "doc_id", dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextPipeline.hashedFeatures(docs, "text", "doc_id", dim = 1)
+    }
+  }
+
   test("jsDivergencePairs: identical sources score exactly 0, disjoint " +
       "vocabularies score ln2 in nano-nats") {
     import spark.implicits._
