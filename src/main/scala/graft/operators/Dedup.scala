@@ -245,6 +245,42 @@ object Dedup {
       persistTracked(shingleSets(docs, textCol, idCol, shingleK)),
       thresholdPpm, maxDf)
 
+  /** Per-document SHINGLE NOVELTY: the fraction of a document's distinct
+    * word-k-shingles whose corpus-wide FIRST occurrence (smallest doc id
+    * — the deterministic corpus order; compose with `Curation.
+    * corpusShards` ids for shard-order novelty) is this document. The
+    * pair-free dedup PRIORITIZATION signal: near-dup pair enumeration
+    * says who matches whom, novelty says how much NEW text each doc
+    * contributes — the number a curation pipeline sorts on when it keeps
+    * one doc per cluster or budgets crawl snapshots ("this page is 97%
+    * already-seen content"). `novelty_ppm = (10⁶·n_novel) DIV n_shingles`
+    * — exact integers.
+    *
+    * Scale shape: one (shingle → min doc) aggregation with map-side
+    * combine, one shingle-keyed join of postings against that 1-row-per-
+    * shingle table (hot shingles cost per-occurrence rows, not f²: the
+    * aggregated side is single-row), one per-doc reduce. No pair
+    * enumeration anywhere — this is the operator that stays linear when
+    * the near-dup pair set explodes.
+    */
+  def shingleNoveltyFromIndex(index: DataFrame): DataFrame = {
+    val posting = index.select(col("doc"), explode(col("sh")).as("s"))
+    val firsts = posting.groupBy(col("s")).agg(min(col("doc")).as("first_doc"))
+    posting.join(firsts, Seq("s"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc"), col("n_shingles"), col("n_novel"),
+        expr("(1000000 * n_novel) DIV n_shingles").as("novelty_ppm"))
+  }
+
+  /** [[shingleNoveltyFromIndex]] with the index built in place. */
+  def shingleNovelty(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5): DataFrame =
+    shingleNoveltyFromIndex(
+      persistTracked(shingleSets(docs, textCol, idCol, shingleK)))
+
   /** CROSS-SOURCE overlap matrix: for every pair of corpus sources, how
     * many distinct word-k-shingles they share and the Jaccard between
     * their shingle sets — the corpus-analytics view of contamination

@@ -1052,5 +1052,34 @@ object ExtensionQueries {
       "hashing-trick feature vectors (signed md5 buckets, sparse long form) — " +
         "the no-vocabulary vectorizer whose serving path IS its training path; " +
         "map-only projection + one (doc, bucket) map-side-combined aggregation, " +
-        "collisions cancel in expectation via the ±1 sign bit"))
+        "collisions cancel in expectation via the ±1 sign bit"),
+
+    // ----------------------------------------- dedup: shingle novelty
+    "q177_shingle_novelty" -> Q(
+      (s, dir) =>
+        Dedup.shingleNovelty(Tables.table(s, dir, "documents"), "text", "doc_id",
+            shingleK = 5)
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id AS doc, unnest(sh) AS s FROM sets),
+             |firsts AS (SELECT s, min(doc) AS first_doc FROM ex GROUP BY s),
+             |agg AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
+             |    CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             |  FROM ex JOIN firsts USING (s) GROUP BY doc)
+             |SELECT doc, n_shingles, n_novel,
+             |  CAST((1000000 * n_novel) // n_shingles AS BIGINT) AS novelty_ppm
+             |FROM agg ORDER BY doc""".stripMargin),
+      "per-document shingle novelty (fraction of distinct 5-shingles first seen " +
+        "in this doc, exact integer ppm) — the pair-free dedup prioritization " +
+        "signal that stays LINEAR when near-dup pair enumeration explodes; one " +
+        "min-doc aggregation + one shingle-keyed join + one per-doc reduce"))
 }

@@ -432,6 +432,31 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() === 0L)
   }
 
+  test("shingleNovelty: first doc owns its shingles, a verbatim copy owns none") {
+    import spark.implicits._
+    val text = "a b c d e f g h i j"   // 10 words -> 6 distinct 5-shingles
+    val d = Seq(
+      (1L, text),                       // first occurrence of everything
+      (2L, text),                       // exact copy -> novelty 0
+      (3L, s"$text k l m n o")          // shares 6, adds 5 new shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(d, "text", "doc_id", shingleK = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((6L, 6L, 1000000L)))
+    assert(got(2L) === ((6L, 0L, 0L)))
+    // doc 3: 15 words -> 11 shingles, 6 seen in doc 1, 5 novel
+    assert(got(3L) === ((11L, 5L, 454545L)))
+  }
+
+  test("shingleNovelty: total novel shingles equals the distinct shingle count") {
+    val out = Dedup.shingleNovelty(docs, "text", "doc_id", shingleK = 5)
+    val totalNovel = out.agg(sum(col("n_novel"))).head().getLong(0)
+    val distinctShingles = Dedup.buildShingleIndex(docs, "text", "doc_id", 5)
+      .select(explode(col("sh"))).distinct().count()
+    assert(totalNovel === distinctShingles)
+  }
+
   test("containmentPairs matches a driver-side exact reference on the corpus") {
     val ref = {
       val texts = docs.select("doc_id", "text").collect()
