@@ -440,9 +440,14 @@ object ModelEval {
     * is never predicted).
     *
     * Scale shape: one (label, predicted)-keyed count with map-side
-    * combine (corpus → ≤ labels² cells), then marginal aggregations and
-    * a full outer join over the bounded cell table — nothing after the
-    * first aggregation touches the corpus.
+    * combine (corpus → ≤ labels² cells), then ONE union + aggregation
+    * over the bounded cell table: each cell contributes an actual-side
+    * row under its label and a predicted-side row under its prediction,
+    * and tp/fp/fn fall out of a single groupBy — the earlier
+    * marginals-plus-full-outer-join formulation cost four exchanges
+    * (and, under AQE, a serial cascade of per-stage jobs) to compute the
+    * same ≤ labels²-row arithmetic. Nothing after the first aggregation
+    * touches the corpus.
     */
   def classificationReport(
       df: DataFrame, labelCol: String, predCol: String): DataFrame = {
@@ -450,16 +455,20 @@ object ModelEval {
     // downstream op is a groupBy/join/equality on the class key
     val cells = df.select(col(labelCol).as("y"), col(predCol).as("p"))
       .groupBy(col("y"), col("p")).agg(count(lit(1)).as("c"))
-    val tp = cells.filter(col("y") === col("p"))
-      .select(col("y").as("cls"), col("c").as("tp"))
-    val actual = cells.groupBy(col("y").as("cls")).agg(sum(col("c")).as("n_actual"))
-    val predicted = cells.groupBy(col("p").as("cls")).agg(sum(col("c")).as("n_pred"))
-    actual.join(predicted, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
-        (coalesce(col("n_actual"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+    // two tagged contribution rows per cell: (cls = y) carries the
+    // actual-side count + tp when diagonal; (cls = p) the predicted-side
+    // count (tp only counted on the actual side — no double count)
+    cells.select(col("y").as("cls"),
+        when(col("y") === col("p"), col("c")).otherwise(lit(0L)).as("tp"),
+        col("c").as("n_actual"), lit(0L).as("n_pred"))
+      .unionByName(cells.select(col("p").as("cls"), lit(0L).as("tp"),
+        lit(0L).as("n_actual"), col("c").as("n_pred")))
+      .groupBy(col("cls"))
+      .agg(sum(col("tp")).as("tp"), sum(col("n_actual")).as("n_actual"),
+        sum(col("n_pred")).as("n_pred"))
+      .select(col("cls"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_actual") - col("tp")).as("fn"))
       .select(col("cls"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") === 0, lit(-1L))
           .otherwise(expr("(1000000 * tp) DIV (tp + fp)")).as("precision_ppm"),

@@ -40,7 +40,9 @@ object TextClassify {
     * exists) — the standard open-vocabulary convention; a test doc with
     * zero in-vocabulary tokens falls back to the prior argmax.
     *
-    * Scale shape (nothing touches the driver):
+    * Scale shape (driver holds only the |classes|-bounded prior table —
+    * the IVF-centroid bounded-state pattern; corpus data never leaves
+    * the cluster):
     *  - training is one explode + (class, term) count with map-side
     *    combine, plus three class-bounded aggregates;
     *  - the weight table is the DENSE vocab×classes grid (absent cells
@@ -67,50 +69,73 @@ object TextClassify {
       .withColumn("tr",
         (substring(md5(col("did").cast("string")), 1, 4) < lit(gate))
           .cast("int"))
-    val p = Dedup.persistTracked(base)
-    val tok = p.select(col("did"), col("y"), col("tr"),
+    val tok = base.select(col("did"), col("y"), col("tr"),
       explode(col("toks")).as("t"))
     // (class, term) occurrence counts over the train split — the model
     val cnt = tok.filter(col("tr") === 1)
       .groupBy(col("y"), col("t")).agg(count(lit(1)).as("c"))
     val cntP = Dedup.persistTracked(cnt)
-    // class-bounded scalars: train docs per class, total train tokens per
-    // class; vocab size V is a 1-row aggregate crossed in
-    val cls = p.filter(col("tr") === 1).groupBy(col("y"))
-      .agg(count(lit(1)).as("nd"))
-    val ny = cntP.groupBy(col("y")).agg(sum(col("c")).as("nt"))
-    val voc = cntP.select(col("t")).distinct().agg(count(lit(1)).as("v"))
-    val prior = cls.join(ny, Seq("y"))
-      .crossJoin(p.filter(col("tr") === 1).agg(count(lit(1)).as("n")))
-      .crossJoin(voc)
-      .select(col("y"), col("nt"), col("v"),
-        round(log(col("nd").cast("double") / col("n")) * lit(1e6))
-          .cast("bigint").as("pw"))
-    // dense vocab × classes weight grid; absent (class, term) cells take
-    // the smoothed floor ln(1/(N_c+V))
-    val grid = cntP.select(col("t")).distinct()
-      .crossJoin(broadcast(prior.select(col("y"), col("nt"), col("v"))))
-      .join(cntP, Seq("y", "t"), "left")
-      .select(col("y"), col("t"),
-        round(log((coalesce(col("c"), lit(0L)) + lit(1.0))
-          / (col("nt") + col("v"))) * lit(1e6)).cast("bigint").as("w"))
+    // class-bounded scalars collected ONCE to the driver (the IVF-centroid
+    // bounded-driver-state pattern — |classes| rows, never corpus data)
+    // and re-entered as literals. All three aggregates ship as ONE tagged
+    // union — one Spark job, not three: with a vocabulary this operator
+    // is codegen/scheduling-bound locally, and every extra action is a
+    // serial stage cascade
+    val scalars = base.filter(col("tr") === 1).groupBy(col("y"))
+      .agg(count(lit(1)).as("v")).select(lit("cls").as("tag"), col("y"), col("v"))
+      .unionByName(cntP.groupBy(col("y")).agg(sum(col("c")).as("v"))
+        .select(lit("ny").as("tag"), col("y"), col("v")))
+      .unionByName(cntP.select(col("t")).distinct()
+        .agg(count(lit(1)).as("v"))
+        .select(lit("voc").as("tag"), lit("").as("y"), col("v")))
+      .collect()
+    val clsRows = scalars.filter(_.getString(0) == "cls")
+      .map(r => (r.getString(1), r.getLong(2)))
+    require(clsRows.nonEmpty, "naiveBayesPredict: train split is empty")
+    require(clsRows.length <= 10000,
+      "naiveBayesPredict: at most 10000 classes (driver-held class table)")
+    val nyRows = scalars.filter(_.getString(0) == "ny")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val vocV = scalars.find(_.getString(0) == "voc").get.getLong(2)
+    val nTrain = clsRows.map(_._2).sum
+    // prior + per-class smoothing constants as LITERALS (classes-bounded
+    // driver maps) — every downstream use is a map lookup or a literal
+    // explode, never a join: at local scale this operator is stage-count
+    // bound, and each avoided exchange is one fewer serial AQE job
+    val classes = clsRows.map(_._1).sorted.toSeq
+    val nyLit = typedLit(nyRows)
+    val priorPairs = clsRows.map { case (y, nd) =>
+      (y, math.round(math.log(nd.toDouble / nTrain) * 1e6))
+    }.toSeq.sortBy(_._1)
+    // dense vocab × classes weight grid in ONE aggregation: per term a
+    // class→count map, exploded over the literal class list; absent
+    // (class, term) cells take the smoothed floor ln(1/(N_c+V))
+    val grid = cntP.groupBy(col("t"))
+      .agg(map_from_entries(collect_list(struct(col("y"), col("c")))).as("m"))
+      .select(col("t"), explode(typedLit(classes)).as("y"), col("m"))
+      .select(col("t"), col("y"),
+        round(log((coalesce(element_at(col("m"), col("y")), lit(0L)) + lit(1.0))
+          / (element_at(nyLit, col("y")) + lit(vocV))) * lit(1e6))
+          .cast("bigint").as("w"))
     // serve the held-out split: token → grid join keyed by term, then
-    // (doc, class) partial sums, prior add, per-doc argmax
+    // (doc, class) partial sums, literal-prior explode, per-doc argmax
+    // as min(struct(-score, cand)) — an aggregate with map-side combine,
+    // not a window sort
     val ts = tok.filter(col("tr") === 0).select(col("did"), col("t"))
       .join(grid, Seq("t"))
       .groupBy(col("did"), col("y"))
       .agg(sum(col("w")).as("s"))
       .select(col("did"), col("y").as("cand"), col("s"))
-    val test = p.filter(col("tr") === 0).select(col("did"), col("y"))
+    val test = base.filter(col("tr") === 0).select(col("did"), col("y"))
     val scored = test
-      .crossJoin(broadcast(prior.select(col("y").as("cand"), col("pw"))))
+      .select(col("did"), col("y"), explode(typedLit(priorPairs)).as("pp"))
+      .select(col("did"), col("y"), col("pp._1").as("cand"), col("pp._2").as("pw"))
       .join(ts, Seq("did", "cand"), "left")
       .select(col("did"), col("y"), col("cand"),
         (col("pw") + coalesce(col("s"), lit(0L))).as("score"))
-    val wArg = Window.partitionBy(col("did"))
-      .orderBy(col("score").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
-      .select(col("did"), col("y"), col("cand").as("predicted"))
+    scored.groupBy(col("did"))
+      .agg(first(col("y")).as("y"),
+        min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
+      .select(col("did"), col("y"), col("best.cand").as("predicted"))
   }
 }
