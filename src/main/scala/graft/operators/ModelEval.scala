@@ -581,6 +581,55 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** FAIRNESS AUDIT of a binary classifier across protected cohorts —
+    * demographic parity (selection rate), equalized-odds TPR/FPR, and
+    * each cohort's gap to the best-treated cohort, all exact integer
+    * ppm. A quality/safety filter over a multilingual, multi-source
+    * corpus IS a classifier over protected-ish cohorts (language,
+    * region, dialect); this is the per-cohort disparity table that
+    * decision reviews read:
+    *
+    *   sel_ppm = 10⁶·P(pred=1 | g),  tpr/fpr likewise conditioned on y,
+    *   *_gap_ppm = max over cohorts − this cohort (sentinel cohorts —
+    *   no positives / no negatives — emit −1 and stay out of the max).
+    *
+    * Scale shape: corpus → 5 integers per cohort in ONE map-side-combine
+    * aggregation; the gap columns are a window over the cohort-bounded
+    * result. Nothing after the first aggregation touches the corpus.
+    */
+  def fairnessGaps(
+      df: DataFrame, protectedCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    val bit = (c: String, n: String) =>
+      when(col(c).cast("bigint").isin(0L, 1L), col(c).cast("bigint"))
+        .otherwise(raise_error(lit(s"fairnessGaps: $n must be 0/1")))
+    val stats = df.select(col(protectedCol).as("grp"),
+        bit(labelCol, "label").as("y"), bit(predCol, "pred").as("p"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).as("n_sel"),
+        sum(col("y")).as("n_pos"),
+        sum(col("y") * col("p")).as("n_tp"),
+        sum((lit(1L) - col("y")) * col("p")).as("n_fp"))
+      .select(col("grp"), col("n"),
+        expr("(1000000 * n_sel) DIV n").as("sel_ppm"),
+        when(col("n_pos") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * n_tp) DIV n_pos")).as("tpr_ppm"),
+        when(col("n") - col("n_pos") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * n_fp) DIV (n - n_pos)")).as("fpr_ppm"))
+    val all = Window.partitionBy()
+    stats
+      .withColumn("sel_gap_ppm", max(col("sel_ppm")).over(all) - col("sel_ppm"))
+      .withColumn("tpr_gap_ppm",
+        when(col("tpr_ppm") === -1L, lit(-1L))
+          .otherwise(max(when(col("tpr_ppm") >= 0L, col("tpr_ppm"))).over(all)
+            - col("tpr_ppm")))
+      .withColumn("fpr_gap_ppm",
+        when(col("fpr_ppm") === -1L, lit(-1L))
+          .otherwise(max(when(col("fpr_ppm") >= 0L, col("fpr_ppm"))).over(all)
+            - col("fpr_ppm")))
+  }
+
   /** AVERAGE PRECISION (area under the ranked precision-recall curve) per
     * group — the single-number PR summary next to [[prCurve]]'s bucketed
     * curve and [[rocAuc]]'s ranking quality: AUC asks "are positives

@@ -767,6 +767,46 @@ object EvalQueries {
       "average precision per event type (exact integer ppm over the pinned " +
         "(score desc, id) order) — the early-ranking PR summary that moves " +
         "under class imbalance when ROC-AUC barely does; one per-group window " +
-        "sort then a positives-only reduce")
+        "sort then a positives-only reduce"),
+
+    // ------------------------------------------------- fairness audit
+    "q178_fairness" -> Q(
+      (s, dir) =>
+        ModelEval.fairnessGaps(
+            Tables.events(s, dir)
+              .select(concat(lit("c"), (col("user_id") % 4).cast("string")).as("g"),
+                (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                  .cast("bigint").as("y"),
+                (col("value") >= 0.5).cast("bigint").as("p")),
+            "g", "y", "p")
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS grp,
+              |    $label AS y,
+              |    CASE WHEN value >= 0.5 THEN 1 ELSE 0 END AS p
+              |  FROM events),
+              |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              |    sum(p) AS n_sel, sum(y) AS n_pos,
+              |    sum(y * p) AS n_tp, sum((1 - y) * p) AS n_fp
+              |  FROM e GROUP BY 1),
+              |r AS (SELECT grp, n,
+              |    CAST((1000000 * n_sel) // n AS BIGINT) AS sel_ppm,
+              |    CAST(CASE WHEN n_pos = 0 THEN -1
+              |      ELSE (1000000 * n_tp) // n_pos END AS BIGINT) AS tpr_ppm,
+              |    CAST(CASE WHEN n - n_pos = 0 THEN -1
+              |      ELSE (1000000 * n_fp) // (n - n_pos) END AS BIGINT) AS fpr_ppm
+              |  FROM st)
+              |SELECT grp, n, sel_ppm, tpr_ppm, fpr_ppm,
+              |  CAST(max(sel_ppm) OVER () - sel_ppm AS BIGINT) AS sel_gap_ppm,
+              |  CAST(CASE WHEN tpr_ppm = -1 THEN -1
+              |    ELSE max(CASE WHEN tpr_ppm >= 0 THEN tpr_ppm END) OVER () - tpr_ppm
+              |    END AS BIGINT) AS tpr_gap_ppm,
+              |  CAST(CASE WHEN fpr_ppm = -1 THEN -1
+              |    ELSE max(CASE WHEN fpr_ppm >= 0 THEN fpr_ppm END) OVER () - fpr_ppm
+              |    END AS BIGINT) AS fpr_gap_ppm
+              |FROM r ORDER BY grp""".stripMargin),
+      "fairness audit across user cohorts: demographic-parity selection rate, " +
+        "equalized-odds TPR/FPR, and each cohort's gap to the best-treated " +
+        "cohort (exact integer ppm, sentinel cohorts excluded from the max) — " +
+        "one map-side-combine aggregation then a cohort-bounded window")
   )
 }

@@ -417,6 +417,41 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- fairnessGaps
+
+  test("fairnessGaps: hand-computed rates, gaps, and sentinel exclusion") {
+    // A: 4 rows, sel 2/4, y=1 rows {tp 1 of 2} -> tpr 500000, fpr 1/2
+    // B: 2 rows, all selected, all positive, tp 2/2 -> tpr 1e6, fpr -1
+    //    (no negatives; must NOT drag the fpr max)
+    val d = Seq(
+      ("A", 1L, 1L), ("A", 1L, 0L), ("A", 0L, 1L), ("A", 0L, 0L),
+      ("B", 1L, 1L), ("B", 1L, 1L))
+      .toDF("g", "y", "p")
+    val got = ModelEval.fairnessGaps(d, "g", "y", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // sel: A 500000, B 1000000 -> gaps 500000 / 0
+    // tpr: A 500000, B 1000000 -> gaps 500000 / 0
+    // fpr: A 500000, B -1 -> gap A 0 (max over non-sentinels = A), B -1
+    assert(got("A") === ((500000L, 500000L, 500000L, 500000L, 500000L, 0L)))
+    assert(got("B") === ((1000000L, 1000000L, -1L, 0L, 0L, -1L)))
+  }
+
+  test("fairnessGaps: best-treated cohort reads gap 0 everywhere") {
+    val rnd = new Random(31)
+    val d = (1 to 500).map { _ =>
+      val g = s"g${rnd.nextInt(4)}"
+      (g, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong)
+    }.toDF("g", "y", "p")
+    val rows = ModelEval.fairnessGaps(d, "g", "y", "p").collect()
+    assert(rows.exists(_.getLong(5) === 0L))   // some cohort has sel gap 0
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0L)
+      if (r.getLong(3) >= 0L) assert(r.getLong(6) >= 0L)
+    }
+  }
+
   // ---------------------------------------------------- averagePrecision
 
   test("averagePrecision: hand cases — interleaved, perfect, empty") {
