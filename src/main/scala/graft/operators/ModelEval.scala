@@ -581,6 +581,62 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** NORMALIZED MUTUAL INFORMATION between a cluster assignment and a
+    * label column — the external clustering-quality audit next to
+    * `Similarity.clusterSilhouette`'s internal one: silhouette asks "are
+    * the clusters compact?", NMI asks "do they MEAN anything?" (do IVF
+    * buckets / LSH buckets / topic clusters line up with known classes).
+    *
+    *   MI    = Σ_{c,l} (n_cl/n)·ln(n_cl·n / (n_c·n_l))
+    *   H(C)  = Σ_c (n_c/n)·ln(n/n_c),  H(L) likewise
+    *   NMI   = MI / max(H(C), H(L))    (the max normalization — no sqrt)
+    *
+    * Each term is rounded to integer NANO-nats before the order-
+    * independent sum (the jsDivergencePairs convention);
+    * `nmi_ppm = (10⁶·mi_nano) DIV max(hc_nano, hl_nano)`, with the −1
+    * sentinel when either partition is degenerate (single cluster or
+    * single label ⇒ entropy 0 ⇒ NMI undefined).
+    *
+    * Scale shape: corpus → clusters×labels contingency cells in ONE
+    * map-side-combine aggregation; marginals, entropies, and the final
+    * ratio all derive from the bounded cell table. Per-group audits
+    * parallelize independently.
+    */
+  def nmiClusterLabel(
+      df: DataFrame, groupCol: String, clusterCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(clusterCol).as("c"), col(labelCol).as("l"))
+      .groupBy(col("grp"), col("c"), col("l")).agg(count(lit(1)).as("n_cl"))
+    val mc = cells.groupBy(col("grp"), col("c")).agg(sum(col("n_cl")).as("n_c"))
+    val ml = cells.groupBy(col("grp"), col("l")).agg(sum(col("n_cl")).as("n_l"))
+    val nn = cells.groupBy(col("grp")).agg(sum(col("n_cl")).as("n"))
+    val mi = cells.join(mc, Seq("grp", "c")).join(ml, Seq("grp", "l"))
+      .join(nn, Seq("grp"))
+      .select(col("grp"),
+        round(lit(1e9) * (col("n_cl").cast("double") / col("n"))
+          * log((col("n_cl").cast("double") * col("n"))
+            / (col("n_c").cast("double") * col("n_l"))))
+          .cast("bigint").as("t"))
+      .groupBy(col("grp")).agg(sum(col("t")).as("mi_nano"))
+    def entropy(marg: DataFrame, cntCol: String, out: String) =
+      marg.join(nn, Seq("grp"))
+        .select(col("grp"),
+          round(lit(1e9) * (col(cntCol).cast("double") / col("n"))
+            * log(col("n").cast("double") / col(cntCol)))
+            .cast("bigint").as("t"))
+        .groupBy(col("grp")).agg(sum(col("t")).as(out))
+    nn.join(mi, Seq("grp"))
+      .join(entropy(mc, "n_c", "hc_nano"), Seq("grp"))
+      .join(entropy(ml, "n_l", "hl_nano"), Seq("grp"))
+      .select(col("grp"), col("n"), col("mi_nano"), col("hc_nano"),
+        col("hl_nano"),
+        when(greatest(col("hc_nano"), col("hl_nano")) === 0L, lit(-1L))
+          .otherwise(expr(
+            "(1000000 * mi_nano) DIV greatest(hc_nano, hl_nano)"))
+          .as("nmi_ppm"))
+  }
+
   /** FAIRNESS AUDIT of a binary classifier across protected cohorts —
     * demographic parity (selection rate), equalized-odds TPR/FPR, and
     * each cohort's gap to the best-treated cohort, all exact integer

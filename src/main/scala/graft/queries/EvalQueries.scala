@@ -807,6 +807,64 @@ object EvalQueries {
       "fairness audit across user cohorts: demographic-parity selection rate, " +
         "equalized-odds TPR/FPR, and each cohort's gap to the best-treated " +
         "cohort (exact integer ppm, sentinel cohorts excluded from the max) — " +
-        "one map-side-combine aggregation then a cohort-bounded window")
+        "one map-side-combine aggregation then a cohort-bounded window"),
+
+    // ------------------------------------- cluster-label NMI audit
+    "q179_cluster_nmi" -> Q(
+      (s, dir) => {
+        import graft.functions.{VectorFunctions => V}
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val assigned = emb.select(lit("all").as("g"),
+          V.signLshWithPlanes(V.asDouble(col("embedding")),
+            V.md5Planes(dim, 4)).as("cluster"),
+          col("label").cast("bigint").as("lab"))
+        ModelEval.nmiClusterLabel(assigned, "g", "cluster", "lab")
+          .orderBy(col("grp"))
+      },
+      // q36's md5-plane signature CTEs at 4 bits, then the contingency
+      // table, nano-nat MI/entropy terms, and the max normalization
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 3) AS j(j)),
+             |sigs AS (
+             |  SELECT e.vec_id, e.label,
+             |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+             |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS c
+             |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.label),
+             |cells AS (SELECT 'all' AS grp, c, label AS l, count(*) AS n_cl
+             |  FROM sigs GROUP BY 1, 2, 3),
+             |mc AS (SELECT grp, c, sum(n_cl) AS n_c FROM cells GROUP BY 1, 2),
+             |ml AS (SELECT grp, l, sum(n_cl) AS n_l FROM cells GROUP BY 1, 2),
+             |nn AS (SELECT grp, sum(n_cl) AS n FROM cells GROUP BY 1),
+             |mi AS (SELECT cells.grp,
+             |    sum(CAST(round(1e9 * (CAST(n_cl AS DOUBLE) / n)
+             |      * ln((CAST(n_cl AS DOUBLE) * n) / (CAST(n_c AS DOUBLE) * n_l))) AS BIGINT)) AS mi_nano
+             |  FROM cells JOIN mc USING (grp, c) JOIN ml USING (grp, l)
+             |  JOIN nn USING (grp) GROUP BY 1),
+             |hc AS (SELECT mc.grp,
+             |    sum(CAST(round(1e9 * (CAST(n_c AS DOUBLE) / n)
+             |      * ln(CAST(n AS DOUBLE) / n_c)) AS BIGINT)) AS hc_nano
+             |  FROM mc JOIN nn USING (grp) GROUP BY 1),
+             |hl AS (SELECT ml.grp,
+             |    sum(CAST(round(1e9 * (CAST(n_l AS DOUBLE) / n)
+             |      * ln(CAST(n AS DOUBLE) / n_l)) AS BIGINT)) AS hl_nano
+             |  FROM ml JOIN nn USING (grp) GROUP BY 1)
+             |SELECT nn.grp, CAST(n AS BIGINT) AS n, CAST(mi_nano AS BIGINT) AS mi_nano,
+             |  CAST(hc_nano AS BIGINT) AS hc_nano, CAST(hl_nano AS BIGINT) AS hl_nano,
+             |  CAST(CASE WHEN greatest(hc_nano, hl_nano) = 0 THEN -1
+             |    ELSE (1000000 * mi_nano) // greatest(hc_nano, hl_nano)
+             |    END AS BIGINT) AS nmi_ppm
+             |FROM nn JOIN mi USING (grp) JOIN hc USING (grp) JOIN hl USING (grp)
+             |ORDER BY nn.grp""".stripMargin),
+      "normalized mutual information between 4-bit sign-LSH buckets and the " +
+        "embedding labels (nano-nat MI and entropies, max normalization) — the " +
+        "external do-the-clusters-mean-anything audit next to q156's internal " +
+        "silhouette; corpus to a clusters x labels contingency in one pass")
   )
 }

@@ -417,6 +417,47 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ nmiClusterLabel
+
+  test("nmiClusterLabel: perfect correspondence reads exactly 1e6, " +
+      "independence 0, double-degenerate -1") {
+    // perfect: cluster == label -> MI and H share identical per-cell
+    // terms (diagonal ln(n/n_c)) so rounding cancels exactly
+    val perfect = Seq((1L, 10L), (1L, 10L), (2L, 20L), (3L, 30L))
+      .map { case (c, l) => ("g", c, l) }.toDF("g", "c", "l")
+    val p = ModelEval.nmiClusterLabel(perfect, "g", "c", "l").collect().head
+    assert(p.getLong(5) === 1000000L)
+    // independence: every (c, l) cell has n_cl*n == n_c*n_l -> ln 1 = 0
+    val indep = (for { c <- 1L to 2L; l <- 1L to 3L } yield ("g", c, l))
+      .toDF("g", "c", "l")
+    val i = ModelEval.nmiClusterLabel(indep, "g", "c", "l").collect().head
+    assert(i.getLong(2) === 0L && i.getLong(5) === 0L)
+    // single cluster AND single label -> both entropies 0 -> sentinel
+    val deg = Seq(("g", 1L, 10L), ("g", 1L, 10L)).toDF("g", "c", "l")
+    assert(ModelEval.nmiClusterLabel(deg, "g", "c", "l")
+      .collect().head.getLong(5) === -1L)
+  }
+
+  test("nmiClusterLabel matches a driver-side reference on random data") {
+    val rnd = new Random(41)
+    val rows = (1 to 400).map(_ => ("g", rnd.nextInt(5).toLong, rnd.nextInt(3).toLong))
+    val ref = {
+      val n = rows.size.toDouble
+      val cl = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+      val mc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val ml = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      val mi = cl.map { case ((c, l), ncl) =>
+        math.round(1e9 * (ncl / n) * math.log((ncl * n) / (mc(c).toDouble * ml(l))))
+      }.sum
+      val hc = mc.values.map(x => math.round(1e9 * (x / n) * math.log(n / x))).sum
+      val hl = ml.values.map(x => math.round(1e9 * (x / n) * math.log(n / x))).sum
+      (mi, hc, hl, 1000000L * mi / math.max(hc, hl))
+    }
+    val got = ModelEval.nmiClusterLabel(rows.toDF("g", "c", "l"), "g", "c", "l")
+      .collect().head
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5)) === ref)
+  }
+
   // -------------------------------------------------------- fairnessGaps
 
   test("fairnessGaps: hand-computed rates, gaps, and sentinel exclusion") {
