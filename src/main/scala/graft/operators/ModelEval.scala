@@ -581,6 +581,63 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** THRESHOLD SELECTION for a target precision — the decision step the
+    * whole eval family feeds: given scored+labeled rows, find the LOWEST
+    * score cutoff whose "keep everything ≥ cutoff" policy still meets a
+    * precision target (lowest = maximum recall at that precision). This
+    * is the operator that turns a quality model into a filter config.
+    *
+    * Per group, over DISTINCT micro scores descending: cumulative
+    * tp/kept prefix sums, the exact integer gate
+    * `10⁶·tp_cum ≥ targetPpm·kept_cum`, then the minimum qualifying
+    * score. Output: `threshold_micro` (−1 sentinel when no cutoff meets
+    * the target — including no-positive groups), achieved
+    * precision/recall at that cutoff, and kept counts. All integers; the
+    * precision gate cannot straddle a float boundary.
+    *
+    * Scale shape: [[rocAuc]]'s — one (grp, score) aggregation with
+    * map-side combine, prefix windows over DISTINCT scores only
+    * (bounded by score resolution, not corpus size), one per-group
+    * reduce.
+    */
+  def thresholdForPrecision(
+      df: DataFrame, groupCol: String, scoreCol: String, labelCol: String,
+      targetPpm: Long): DataFrame = {
+    require(targetPpm >= 1 && targetPpm <= 1000000L,
+      "thresholdForPrecision: targetPpm in [1, 1e6]")
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(scoreCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(labelCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("thresholdForPrecision: label must be 0/1"))))
+    val perScore = labeled.groupBy(col("grp"), col("sm"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
+    val wDesc = Window.partitionBy(col("grp")).orderBy(col("sm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("tp_cum", sum(col("pos")).over(wDesc))
+      .withColumn("kept_cum", sum(col("cnt")).over(wDesc))
+      .withColumn("ok",
+        lit(1000000L) * col("tp_cum") >= lit(targetPpm) * col("kept_cum"))
+      .groupBy(col("grp"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("cnt")).as("n"),
+        min(when(col("ok"), col("sm"))).as("threshold_micro"),
+        // kept_cum strictly grows as the cutoff lowers, so the max struct
+        // IS the stats row of the lowest qualifying cutoff
+        max(when(col("ok"), struct(col("kept_cum"), col("tp_cum")))).as("best")
+      )
+      .select(col("grp"), col("n"), col("n_pos"),
+        coalesce(col("threshold_micro"), lit(-1L)).as("threshold_micro"),
+        when(col("threshold_micro").isNull, lit(-1L))
+          .otherwise(expr("(1000000 * best.tp_cum) DIV best.kept_cum"))
+          .as("precision_ppm"),
+        when(col("threshold_micro").isNull, lit(-1L))
+          .otherwise(when(col("n_pos") === 0, lit(-1L))
+            .otherwise(expr("(1000000 * best.tp_cum) DIV n_pos")))
+          .as("recall_ppm"),
+        coalesce(col("best.kept_cum"), lit(0L)).as("n_kept"))
+  }
+
   /** NORMALIZED MUTUAL INFORMATION between a cluster assignment and a
     * label column — the external clustering-quality audit next to
     * `Similarity.clusterSilhouette`'s internal one: silhouette asks "are

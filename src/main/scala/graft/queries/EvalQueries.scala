@@ -865,6 +865,44 @@ object EvalQueries {
       "normalized mutual information between 4-bit sign-LSH buckets and the " +
         "embedding labels (nano-nat MI and entropies, max normalization) — the " +
         "external do-the-clusters-mean-anything audit next to q156's internal " +
-        "silhouette; corpus to a clusters x labels contingency in one pass")
+        "silhouette; corpus to a clusters x labels contingency in one pass"),
+
+    // ------------------------------------- precision-targeted threshold
+    "q180_threshold_select" -> Q(
+      (s, dir) =>
+        ModelEval.thresholdForPrecision(
+            Tables.events(s, dir).withColumn("y",
+              (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                .cast("bigint")),
+            "event_type", "value", "y", targetPpm = 600000L)
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm, $label AS y
+              |  FROM events),
+              |s AS (SELECT grp, sm, sum(y) AS pos, count(*) AS cnt
+              |  FROM e GROUP BY 1, 2),
+              |c AS (SELECT *,
+              |    sum(pos) OVER (PARTITION BY grp ORDER BY sm DESC) AS tp_cum,
+              |    sum(cnt) OVER (PARTITION BY grp ORDER BY sm DESC) AS kept_cum
+              |  FROM s),
+              |o AS (SELECT *, 1000000 * tp_cum >= 600000 * kept_cum AS ok FROM c),
+              |g AS (SELECT grp, sum(pos) AS n_pos, sum(cnt) AS n,
+              |    min(CASE WHEN ok THEN sm END) AS thr,
+              |    max(CASE WHEN ok THEN kept_cum END) AS bk
+              |  FROM o GROUP BY 1),
+              |b AS (SELECT g.*, o.tp_cum AS btp
+              |  FROM g LEFT JOIN o ON o.grp = g.grp AND o.kept_cum = g.bk AND o.ok)
+              |SELECT grp, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(COALESCE(thr, -1) AS BIGINT) AS threshold_micro,
+              |  CAST(CASE WHEN thr IS NULL THEN -1
+              |    ELSE (1000000 * btp) // bk END AS BIGINT) AS precision_ppm,
+              |  CAST(CASE WHEN thr IS NULL OR n_pos = 0 THEN -1
+              |    ELSE (1000000 * btp) // n_pos END AS BIGINT) AS recall_ppm,
+              |  CAST(COALESCE(bk, 0) AS BIGINT) AS n_kept
+              |FROM b ORDER BY grp""".stripMargin),
+      "lowest score cutoff meeting a 60% precision target per event type " +
+        "(exact integer gate 1e6·tp >= target·kept over distinct-score prefix " +
+        "sums) with achieved precision/recall/kept — the operator that turns a " +
+        "quality model into a filter config; rocAuc's bounded-window shape")
   )
 }

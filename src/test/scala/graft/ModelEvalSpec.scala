@@ -417,6 +417,52 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- thresholdForPrecision
+
+  test("thresholdForPrecision: picks the LOWEST qualifying cutoff") {
+    // scores desc: 4(y=1), 3(y=1), 2(y=0), 1(y=1)
+    // cutoffs: >=4e6 prec 1/1; >=3e6 2/2; >=2e6 2/3=0.667; >=1e6 3/4=0.75
+    // target 0.7 -> ok at 4e6, 3e6, 1e6 (NOT 2e6) -> lowest = 1e6,
+    // achieved 750000 precision, recall 3/3 = 1e6, kept 4
+    val d = Seq(("g", 4.0, 1L), ("g", 3.0, 1L), ("g", 2.0, 0L), ("g", 1.0, 1L))
+      .toDF("g", "s", "y")
+    val r = ModelEval.thresholdForPrecision(d, "g", "s", "y", 700000L)
+      .collect().head
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((1000000L, 750000L, 1000000L, 4L)))
+  }
+
+  test("thresholdForPrecision: unreachable target and no positives -> sentinels") {
+    val d = Seq(("a", 2.0, 0L), ("a", 1.0, 1L),   // best prec = 1/2 < 0.9
+      ("b", 1.0, 0L))                              // no positives at all
+      .toDF("g", "s", "y")
+    val got = ModelEval.thresholdForPrecision(d, "g", "s", "y", 900000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("a") === ((-1L, -1L, -1L, 0L)))
+    assert(got("b") === ((-1L, -1L, -1L, 0L)))
+  }
+
+  test("thresholdForPrecision: achieved precision always meets the target " +
+      "and is the max-recall qualifying cutoff on random data") {
+    val rnd = new Random(53)
+    val d = (1 to 500).map(_ =>
+      ("g", rnd.nextInt(30) / 3.0, (rnd.nextInt(10) < 6).compare(false).toLong))
+      .toDF("g", "s", "y")
+    val r = ModelEval.thresholdForPrecision(d, "g", "s", "y", 650000L).collect().head
+    if (r.getLong(3) >= 0) {
+      assert(r.getLong(4) >= 650000L)
+      // no lower cutoff may also qualify (it was the minimum)
+      val rows = d.collect().map(x => (math.round(x.getDouble(1) * 1e6), x.getLong(2)))
+      val below = rows.filter(_._1 < r.getLong(3)).map(_._1).distinct.sorted.reverse
+      below.foreach { cut =>
+        val kept = rows.filter(_._1 >= cut)
+        assert(1000000L * kept.count(_._2 == 1L) < 650000L * kept.length,
+          s"cutoff $cut would also qualify")
+      }
+    }
+  }
+
   // ------------------------------------------------------ nmiClusterLabel
 
   test("nmiClusterLabel: perfect correspondence reads exactly 1e6, " +
