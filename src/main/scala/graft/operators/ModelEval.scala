@@ -581,6 +581,67 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** RANK-BIASED OVERLAP at k between the approximate and exact result
+    * lists — the ANN list-similarity number that weights agreement at the
+    * TOP: recall@k treats depth-1 and depth-k agreement alike, nDCG needs
+    * graded relevance; RBO's geometric depth weights (Webber et al.)
+    * compare the two RANKINGS as a user would read them:
+    *
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · X_d / d,
+    *   X_d = |A[1..d] ∩ B[1..d]| ,  p = pNum/pDen (default 9/10)
+    *
+    * FULLY EXACT — no floats: with rational p every term is a rational
+    * with denominator pDen^d·d, so the whole sum is taken over the
+    * common denominator C = pDen^k·lcm(1..k) with per-depth integer
+    * coefficients `coeff(d) = (pDen−pNum)·pNum^(d−1)·pDen^(k−d)·(L/d)`
+    * precomputed as literals; `rbo_ppm = (10⁶·Σ coeff·X_d) DIV C`. An
+    * item shared by both lists enters X_d from depth max(rank_a, rank_b).
+    *
+    * Scale shape: both inputs are |queries|·k ranked frames — one
+    * inner join on (query, neighbor), one bounded per-query collect of
+    * ≤ k depths, then an O(k²) literal fold per query. Ground truth
+    * drives the output (dropped queries read 0, not silence). k ≤ 12
+    * keeps C and every product inside decimal(38,0) comfortably.
+    */
+  def annRboAtK(
+      approx: DataFrame, exact: DataFrame, k: Int,
+      pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    require(k >= 1 && k <= 12, "annRboAtK: k in [1, 12]")
+    require(pNum >= 1 && pNum < pDen && pDen <= 10,
+      "annRboAtK: p = pNum/pDen must be a rational in (0, 1) with pDen <= 10")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val cDen = BigInt(pDen).pow(k).toLong * lcmK
+    val coeffs = (1 to k).map { d =>
+      (pDen - pNum) * BigInt(pNum).pow(d - 1).toLong *
+        BigInt(pDen).pow(k - d).toLong * (lcmK / d)
+    }
+    val coeffLit = typedLit(coeffs)
+    val shared = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+      .join(approx.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ra")),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        greatest(col("ra").cast("int"), col("rb").cast("int")).as("m"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sort_array(collect_list(col("m"))).as("ms"))
+    exact.filter(col("rank") <= k).groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"))
+      .join(shared, Seq("query_id"), "left")
+      .withColumn("__coeffs", coeffLit)
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(
+          expr(s"""CAST((1000000 * aggregate(sequence(1, $k),
+                  |  CAST(0 AS DECIMAL(38,0)),
+                  |  (acc, d) -> acc + element_at(__coeffs, d)
+                  |    * size(filter(ms, x -> x <= d))))
+                  | DIV $cDen AS BIGINT)""".stripMargin),
+          lit(0L)).as("rbo_ppm"))
+  }
+
   /** THRESHOLD SELECTION for a target precision — the decision step the
     * whole eval family feeds: given scored+labeled rows, find the LOWEST
     * score cutoff whose "keep everything ≥ cutoff" policy still meets a

@@ -903,6 +903,79 @@ object EvalQueries {
       "lowest score cutoff meeting a 60% precision target per event type " +
         "(exact integer gate 1e6·tp >= target·kept over distinct-score prefix " +
         "sums) with achieved precision/recall/kept — the operator that turns a " +
-        "quality model into a filter config; rocAuc's bounded-window shape")
+        "quality model into a filter config; rocAuc's bounded-window shape"),
+
+    // --------------------------------------------------------- ANN RBO@k
+    "q181_ann_rbo" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val queries = emb.filter(col("vec_id") < 5)
+        val approx = graft.operators.Similarity.lshTopK(
+          queries, emb, "embedding", "vec_id", k = 10, bits = 16,
+          probeHamming = 2,
+          planes = Some(graft.functions.VectorFunctions.md5Planes(dim, 16)))
+        val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "embedding", "vec_id", k = 10)
+        ModelEval.annRboAtK(approx, exact, k = 10)
+          .orderBy(col("query_id"))
+      },
+      // q169's exact + md5-plane LSH ranking CTEs, then the exact-rational
+      // RBO fold: coeff(d) = (10-9)·9^(d-1)·10^(10-d)·(2520/d), C = 10^10·2520
+      Some {
+        val coeffs = (1 to 10).map(d =>
+          (BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d)).toLong * (2520L / d))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sx AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, e.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+           |  WHERE e.vec_id <> q.vec_id),
+           |rx AS (SELECT *, row_number() OVER
+           |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sx),
+           |gt AS (SELECT query_id, neighbor_id, rank FROM rx WHERE rank <= 10),
+           |planes AS (
+           |  SELECT j.j AS j,
+           |    list_transform(generate_series(0, len((SELECT v FROM e LIMIT 1)) - 1), d ->
+           |      CASE WHEN ((strpos('0123456789abcdef',
+           |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+           |           THEN 1.0 ELSE -1.0 END) AS plane
+           |  FROM generate_series(0, 15) AS j(j)),
+           |sigs AS (
+           |  SELECT e.vec_id,
+           |    sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+           |             THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+           |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+           |sa AS (
+           |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+           |    list_dot_product(eq.v, ec.v) /
+           |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+           |  FROM sigs qs
+           |  JOIN e eq ON eq.vec_id = qs.vec_id
+           |  JOIN sigs cs ON cs.vec_id <> qs.vec_id
+           |  JOIN e ec ON ec.vec_id = cs.vec_id
+           |  WHERE qs.vec_id < 5 AND bit_count(xor(qs.sig, cs.sig)) <= 2),
+           |ra AS (SELECT *, row_number() OVER
+           |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sa),
+           |ap AS (SELECT query_id, neighbor_id, rank FROM ra WHERE rank <= 10),
+           |sh AS (SELECT gt.query_id, greatest(ap.rank, gt.rank) AS m
+           |  FROM gt JOIN ap ON ap.query_id = gt.query_id
+           |    AND ap.neighbor_id = gt.neighbor_id),
+           |ms AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_shared,
+           |    list_sort(list(m)) AS depths FROM sh GROUP BY 1),
+           |t AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM gt GROUP BY 1)
+           |SELECT t.query_id, t.n_true, COALESCE(ms.n_shared, 0) AS n_shared,
+           |  CAST(COALESCE((1000000 * list_sum(list_transform(generate_series(1, 10),
+           |      d -> (${coeffs.mkString("[", ", ", "]")})[d]
+           |        * len(list_filter(depths, x -> x <= d)))))
+           |    // ${BigInt(10).pow(10).toLong * 2520L}, 0) AS BIGINT) AS rbo_ppm
+           |FROM t LEFT JOIN ms USING (query_id)
+           |ORDER BY t.query_id""".stripMargin
+      },
+      "rank-biased overlap at 10 (p = 9/10) between the sign-LSH and exact " +
+        "neighbor RANKINGS — top-weighted list agreement, fully exact via the " +
+        "common-denominator rational fold (no float pow anywhere); the " +
+        "reads-like-a-user companion to recall/MRR/nDCG")
   )
 }

@@ -417,6 +417,47 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ annRboAtK
+
+  test("annRboAtK: identical lists read 1 - p^k exactly; disjoint read 0") {
+    val ranked = (1 to 10).flatMap(r => Seq((1L, r * 100L, r))).toDF("query_id", "neighbor_id", "rank")
+    val same = ModelEval.annRboAtK(ranked, ranked, k = 10).collect().head
+    // (10^10 - 9^10)/10^10 in ppm, floored
+    assert(same.getLong(3) === 651321L)
+    val other = (1 to 10).map(r => (1L, r * 7L + 1L, r)).toDF("query_id", "neighbor_id", "rank")
+    assert(ModelEval.annRboAtK(other, ranked, k = 10).collect().head.getLong(3) === 0L)
+  }
+
+  test("annRboAtK: order matters — swapped top-2 at p=1/2 reads exactly 1/4") {
+    // A = [a, b], B = [b, a]: X_1 = 0, X_2 = 2
+    // RBO = (1/2)(0/1 + (1/2)(2/2)) = 1/4
+    val ex = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val ap = Seq((1L, 20L, 1), (1L, 10L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val r = ModelEval.annRboAtK(ap, ex, k = 2, pNum = 1L, pDen = 2L).collect().head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 250000L)
+  }
+
+  test("annRboAtK matches an exact BigInt rational reference on random lists") {
+    val rnd = new Random(61)
+    val ids = (1L to 30L).toVector
+    def list10(): Vector[(Long, Int)] = rnd.shuffle(ids).take(10).zipWithIndex
+      .map { case (n, i) => (n, i + 1) }
+    val (la, lb) = (list10(), list10())
+    val ap = la.map { case (n, r) => (1L, n, r) }.toDF("query_id", "neighbor_id", "rank")
+    val ex = lb.map { case (n, r) => (1L, n, r) }.toDF("query_id", "neighbor_id", "rank")
+    val ref = {
+      // Σ (1-p)·p^(d-1)·X_d/d as one BigInt fraction over 10^10·lcm(1..10)
+      val num = (1 to 10).map { d =>
+        val xa = la.filter(_._2 <= d).map(_._1).toSet
+        val xb = lb.filter(_._2 <= d).map(_._1).toSet
+        BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d) * (2520 / d) *
+          (xa & xb).size
+      }.sum
+      (BigInt(1000000) * num / (BigInt(10).pow(10) * 2520)).toLong
+    }
+    assert(ModelEval.annRboAtK(ap, ex, k = 10).collect().head.getLong(3) === ref)
+  }
+
   // ------------------------------------------------- thresholdForPrecision
 
   test("thresholdForPrecision: picks the LOWEST qualifying cutoff") {
