@@ -465,6 +465,50 @@ object FeatureEng {
           .as("corr_micro"))
   }
 
+  /** Per-group OLS TREND LINE over integer (x, y) points — the
+    * monitoring primitive behind "is this source's daily volume
+    * growing/decaying?", "is quality drifting down week over week?":
+    * fit y = a + b·x by least squares and emit the slope and intercept
+    * as EXACT integers:
+    *
+    *   b_micro = (10⁶·(n·Σxy − Σx·Σy)) DIV (n·Σx² − (Σx)²)
+    *   a_micro = (10⁶·(Σy·Σx² − Σx·Σxy)) DIV (n·Σx² − (Σx)²)
+    *
+    * — both numerators and the shared denominator are exact decimal(38,0)
+    * moment sums (the [[corrPearson]] family), the DIV truncates toward
+    * zero identically in Spark and DuckDB (the q156-pinned semantics, so
+    * negative slopes stay engine-exact). Groups with a single distinct x
+    * (denominator 0 — no line) emit `degenerate = 1` with slope and
+    * intercept 0 rather than an in-range sentinel that could collide
+    * with a real value.
+    *
+    * Scale shape: corpus → five integer moments per group in ONE
+    * map-side-combine aggregation; callers fitting daily trends
+    * pre-aggregate to (group, day, count) first so x is bounded.
+    */
+  def trendSlope(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(groupCol).as("grp"), col(xCol).cast("bigint").as("x"),
+        col(yCol).cast("bigint").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x") * col("y"))).as("sxy"),
+        sum(d(col("x") * col("x"))).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("grp"), col("n"),
+        (col("den") === 0).cast("bigint").as("degenerate"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * sxy - sx * sy)) DIV den AS BIGINT)"))
+          .as("slope_micro"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (sy * sxx - sx * sxy)) DIV den AS BIGINT)"))
+          .as("intercept_micro"))
+  }
+
   /** Per-group Spearman rank correlation — Pearson over DOUBLED average
     * ranks, which are exact integers even under ties:
     * `2·avgrank = 2·rank() + |ties| − 1` (the average-rank tie convention

@@ -623,6 +623,40 @@ object FeatureQueries {
               |FROM j ORDER BY metric""".stripMargin),
       "exact-integer two-proportion A/B test (95%, 1.96^2 = 2401/625) per event-type " +
         "metric over md5-parity user arms — the experimentation readout with a " +
-        "clear-denominator verdict no float z-score can flip (q93 pattern)")
+        "clear-denominator verdict no float z-score can flip (q93 pattern)"),
+
+    // -------------------------------------------------- OLS trend slope
+    "q182_trend_slope" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.trendSlope(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                expr("unix_timestamp(ts) DIV 86400").as("day"))
+              .groupBy(col("event_type"), col("day"))
+              .agg(count(lit(1)).as("y")),
+            "event_type", "day", "y")
+          .orderBy(col("grp")),
+      Some("""WITH d AS (SELECT event_type AS grp,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+             |  FROM d GROUP BY 1),
+             |f AS (SELECT *, n * sxx - sx * sx AS den FROM m)
+             |SELECT grp, n,
+             |  CAST(CASE WHEN den = 0 THEN 1 ELSE 0 END AS BIGINT) AS degenerate,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (n * sxy - sx * sy)) // den
+             |    END AS BIGINT) AS slope_micro,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (sy * sxx - sx * sxy)) // den
+             |    END AS BIGINT) AS intercept_micro
+             |FROM f ORDER BY grp""".stripMargin),
+      "per-type OLS trend of daily event volume (slope and intercept as exact " +
+        "integer micro via decimal-cleared moment sums, truncation-matched DIV) " +
+        "— the is-this-source-growing monitor; corpus to five moments per group " +
+        "in one pass after the (type, day) pre-aggregation")
   )
 }

@@ -381,4 +381,39 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.getLong(1) === 400L)
     assert(got.getLong(2) === expected)
   }
+
+  test("trendSlope: exact line recovers slope and intercept; noise floors " +
+      "through DIV; single-x group is degenerate") {
+    import spark.implicits._
+    // g1: y = 3x + 7 exactly -> slope 3e6, intercept 7e6
+    // g2: single distinct x -> degenerate, 0/0
+    val d = (1L to 10L).map(x => ("g1", x, 3 * x + 7)) ++
+      Seq(("g2", 5L, 1L), ("g2", 5L, 9L))
+    val got = graft.operators.FeatureEng.trendSlope(d.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g1") === ((0L, 3000000L, 7000000L)))
+    assert(got("g2") === ((1L, 0L, 0L)))
+  }
+
+  test("trendSlope: negative slope matches a BigInt reference (trunc toward 0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (1L to 50L).map(x => (x, 1000L - 7 * x + rnd.nextInt(5)))
+    val ref = {
+      val n = BigInt(pts.size)
+      val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+      val sxy = pts.map { case (x, y) => BigInt(x) * y }.sum
+      val sxx = pts.map { case (x, _) => BigInt(x) * x }.sum
+      val den = n * sxx - sx * sx
+      def tdiv(a: BigInt, b: BigInt) = a / b   // BigInt / truncates toward 0
+      (tdiv(BigInt(1000000) * (n * sxy - sx * sy), den).toLong,
+        tdiv(BigInt(1000000) * (sy * sxx - sx * sxy), den).toLong)
+    }
+    val got = graft.operators.FeatureEng.trendSlope(
+        pts.map(p => ("g", p._1, p._2)).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert((got.getLong(3), got.getLong(4)) === ref)
+    assert(got.getLong(3) < 0L)
+  }
 }
