@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -25,63 +24,41 @@ import graft.functions.{TextFunctions => T}
   */
 object TextClassify {
 
-  /** Multinomial Naive Bayes with add-1 (Laplace) smoothing over
-    * whitespace tokens, md5-hash-gated train/test split (the
-    * `DataPrep.hashSplit` convention, same gate as
-    * `nearestCentroidClassify`). Returns one row per TEST document:
-    * `(did, y, predicted)` — actual and predicted label.
-    *
-    * Model:
-    *   score(d, c) = round(1e6·ln(docs_c/docs)) + Σ_{t ∈ d} w(c, t)
-    *   w(c, t)     = round(1e6·ln((cnt(c,t)+1) / (N_c + V)))
-    * with `cnt(c,t)` token occurrences of `t` in class-c train docs,
-    * `N_c` total class-c train tokens, `V` the train vocabulary size.
-    * Tokens outside the train vocabulary are SKIPPED (no weight row
-    * exists) — the standard open-vocabulary convention; a test doc with
-    * zero in-vocabulary tokens falls back to the prior argmax.
-    *
-    * Scale shape (driver holds only the |classes|-bounded prior table —
-    * the IVF-centroid bounded-state pattern; corpus data never leaves
-    * the cluster):
-    *  - training is one explode + (class, term) count with map-side
-    *    combine, plus three class-bounded aggregates;
-    *  - the weight table is the DENSE vocab×classes grid (absent cells
-    *    get the smoothed floor — absence from a class is evidence, the
-    *    chiSquareTerms a=0 rule) built by a vocab-sized cross join with
-    *    the tiny class table;
-    *  - serving joins exploded test tokens to the grid ON TERM (shuffle
-    *    hash join keyed by term; per-occurrence fan-out = |classes|,
-    *    never |vocab|), aggregates (doc, class) partial sums, then joins
-    *    the tiny prior table and takes one per-doc window argmax over
-    *    |classes| rows. A stop-word-heavy corpus skews the term join the
-    *    same way it skews the count — both absorb it in map-side partial
-    *    aggregation.
+  /** A trained Naive Bayes model: the distributed vocab×classes weight
+    * grid `(t, y, w)` plus the |classes|-bounded literal prior pairs
+    * `(class, prior_micro)`. The grid is an ordinary DataFrame — persist
+    * it (or write it to storage) for repeated serving; the priors are
+    * driver-held literals (the IVF-centroid bounded-state pattern).
     */
-  def naiveBayesPredict(
-      docs: DataFrame, textCol: String, idCol: String, labelCol: String,
-      trainBps: Int = 8000): DataFrame = {
-    require(trainBps >= 1 && trainBps <= 9999,
-      "naiveBayesPredict: trainBps in [1, 9999] (a held-out test split must exist)")
-    val gate = f"${trainBps.toLong * 65536 / 10000}%04x"
+  final case class NbModel(grid: DataFrame, priors: Seq[(String, Long)])
+
+  /** Train a multinomial Naive Bayes model with add-1 (Laplace)
+    * smoothing over whitespace tokens on the GIVEN rows (no split — pair
+    * with [[naiveBayesPredict]] for the md5-gated eval loop):
+    *
+    *   w(c, t)  = round(10⁶·ln((cnt(c,t)+1) / (N_c + V)))
+    *   prior(c) = round(10⁶·ln(docs_c / docs))
+    *
+    * Scale shape: one explode + (class, term) count with map-side
+    * combine; the class-bounded scalars (doc counts, token totals, vocab
+    * size) ship to the driver as ONE tagged-union job and re-enter as
+    * literals, so the dense vocab×classes grid builds in one aggregation
+    * (per-term class→count map exploded over the literal class list —
+    * absent cells take the smoothed floor: absence from a class is
+    * evidence, the chiSquareTerms a=0 rule). No crossJoin, no broadcast
+    * subquery — at local scale this operator is stage-count bound, and
+    * each avoided exchange is one fewer serial AQE job.
+    */
+  def naiveBayesTrain(
+      docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String): NbModel = {
     val base = docs.select(col(idCol).cast("bigint").as("did"),
-        col(labelCol).cast("string").as("y"),
-        T.tokens(col(textCol)).as("toks"))
-      .withColumn("tr",
-        (substring(md5(col("did").cast("string")), 1, 4) < lit(gate))
-          .cast("int"))
-    val tok = base.select(col("did"), col("y"), col("tr"),
-      explode(col("toks")).as("t"))
-    // (class, term) occurrence counts over the train split — the model
-    val cnt = tok.filter(col("tr") === 1)
-      .groupBy(col("y"), col("t")).agg(count(lit(1)).as("c"))
+      col(labelCol).cast("string").as("y"),
+      T.tokens(col(textCol)).as("toks"))
+    val tok = base.select(col("y"), explode(col("toks")).as("t"))
+    val cnt = tok.groupBy(col("y"), col("t")).agg(count(lit(1)).as("c"))
     val cntP = Dedup.persistTracked(cnt)
-    // class-bounded scalars collected ONCE to the driver (the IVF-centroid
-    // bounded-driver-state pattern — |classes| rows, never corpus data)
-    // and re-entered as literals. All three aggregates ship as ONE tagged
-    // union — one Spark job, not three: with a vocabulary this operator
-    // is codegen/scheduling-bound locally, and every extra action is a
-    // serial stage cascade
-    val scalars = base.filter(col("tr") === 1).groupBy(col("y"))
+    val scalars = base.groupBy(col("y"))
       .agg(count(lit(1)).as("v")).select(lit("cls").as("tag"), col("y"), col("v"))
       .unionByName(cntP.groupBy(col("y")).agg(sum(col("c")).as("v"))
         .select(lit("ny").as("tag"), col("y"), col("v")))
@@ -91,25 +68,18 @@ object TextClassify {
       .collect()
     val clsRows = scalars.filter(_.getString(0) == "cls")
       .map(r => (r.getString(1), r.getLong(2)))
-    require(clsRows.nonEmpty, "naiveBayesPredict: train split is empty")
+    require(clsRows.nonEmpty, "naiveBayesTrain: training set is empty")
     require(clsRows.length <= 10000,
-      "naiveBayesPredict: at most 10000 classes (driver-held class table)")
+      "naiveBayesTrain: at most 10000 classes (driver-held class table)")
     val nyRows = scalars.filter(_.getString(0) == "ny")
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     val vocV = scalars.find(_.getString(0) == "voc").get.getLong(2)
     val nTrain = clsRows.map(_._2).sum
-    // prior + per-class smoothing constants as LITERALS (classes-bounded
-    // driver maps) — every downstream use is a map lookup or a literal
-    // explode, never a join: at local scale this operator is stage-count
-    // bound, and each avoided exchange is one fewer serial AQE job
     val classes = clsRows.map(_._1).sorted.toSeq
     val nyLit = typedLit(nyRows)
-    val priorPairs = clsRows.map { case (y, nd) =>
+    val priors = clsRows.map { case (y, nd) =>
       (y, math.round(math.log(nd.toDouble / nTrain) * 1e6))
     }.toSeq.sortBy(_._1)
-    // dense vocab × classes weight grid in ONE aggregation: per term a
-    // class→count map, exploded over the literal class list; absent
-    // (class, term) cells take the smoothed floor ln(1/(N_c+V))
     val grid = cntP.groupBy(col("t"))
       .agg(map_from_entries(collect_list(struct(col("y"), col("c")))).as("m"))
       .select(col("t"), explode(typedLit(classes)).as("y"), col("m"))
@@ -117,25 +87,69 @@ object TextClassify {
         round(log((coalesce(element_at(col("m"), col("y")), lit(0L)) + lit(1.0))
           / (element_at(nyLit, col("y")) + lit(vocV))) * lit(1e6))
           .cast("bigint").as("w"))
-    // serve the held-out split: token → grid join keyed by term, then
-    // (doc, class) partial sums, literal-prior explode, per-doc argmax
-    // as min(struct(-score, cand)) — an aggregate with map-side combine,
-    // not a window sort
-    val ts = tok.filter(col("tr") === 0).select(col("did"), col("t"))
-      .join(grid, Seq("t"))
+    NbModel(grid, priors)
+  }
+
+  /** Score documents with a trained model: one `(did, predicted)` row
+    * per input document. Tokens outside the train vocabulary are
+    * SKIPPED (no weight row exists) — the standard open-vocabulary
+    * convention; a doc with zero in-vocabulary tokens falls back to the
+    * prior argmax (ties → smallest class label).
+    *
+    * Scale shape: exploded tokens join the grid ON TERM (shuffle hash
+    * join keyed by term; per-occurrence fan-out = |classes|, never
+    * |vocab|), (doc, class) partial sums with map-side combine, a
+    * literal-prior explode (every doc gets every class row — no join),
+    * and a per-doc argmax as `min(struct(-score, cand))` — an aggregate,
+    * not a window sort. Stop-word skew is absorbed by partial
+    * aggregation exactly like any hot-key count. Pure batch dataflow —
+    * serve a STREAM by folding micro-batches through this in
+    * foreachBatch (the streaming-SCD2 pattern; each doc is one row, so
+    * batch semantics are exact).
+    */
+  def naiveBayesApply(
+      model: NbModel, docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("bigint").as("did"),
+      T.tokens(col(textCol)).as("toks"))
+    val ts = base.select(col("did"), explode(col("toks")).as("t"))
+      .join(model.grid, Seq("t"))
       .groupBy(col("did"), col("y"))
       .agg(sum(col("w")).as("s"))
       .select(col("did"), col("y").as("cand"), col("s"))
-    val test = base.filter(col("tr") === 0).select(col("did"), col("y"))
-    val scored = test
-      .select(col("did"), col("y"), explode(typedLit(priorPairs)).as("pp"))
-      .select(col("did"), col("y"), col("pp._1").as("cand"), col("pp._2").as("pw"))
+    base.select(col("did"), explode(typedLit(model.priors)).as("pp"))
+      .select(col("did"), col("pp._1").as("cand"), col("pp._2").as("pw"))
       .join(ts, Seq("did", "cand"), "left")
-      .select(col("did"), col("y"), col("cand"),
+      .select(col("did"), col("cand"),
         (col("pw") + coalesce(col("s"), lit(0L))).as("score"))
-    scored.groupBy(col("did"))
-      .agg(first(col("y")).as("y"),
-        min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
-      .select(col("did"), col("y"), col("best.cand").as("predicted"))
+      .groupBy(col("did"))
+      .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
+      .select(col("did"), col("best.cand").as("predicted"))
+  }
+
+  /** The eval loop: md5-hash-gated train/test split (the
+    * `DataPrep.hashSplit` convention, same gate as
+    * `nearestCentroidClassify`), [[naiveBayesTrain]] on the train side,
+    * [[naiveBayesApply]] on the held-out side. Returns one row per TEST
+    * document: `(did, y, predicted)` — actual and predicted label, the
+    * frame `ModelEval.classificationReport` grades.
+    */
+  def naiveBayesPredict(
+      docs: DataFrame, textCol: String, idCol: String, labelCol: String,
+      trainBps: Int = 8000): DataFrame = {
+    require(trainBps >= 1 && trainBps <= 9999,
+      "naiveBayesPredict: trainBps in [1, 9999] (a held-out test split must exist)")
+    val gate = f"${trainBps.toLong * 65536 / 10000}%04x"
+    val split = docs.select(col(idCol).cast("bigint").as("did"),
+        col(labelCol).cast("string").as("y"), col(textCol).as("__text"))
+      .withColumn("tr",
+        (substring(md5(col("did").cast("string")), 1, 4) < lit(gate))
+          .cast("int"))
+    val model = naiveBayesTrain(
+      split.filter(col("tr") === 1), "__text", "did", "y")
+    naiveBayesApply(model, split.filter(col("tr") === 0), "__text", "did")
+      .join(split.filter(col("tr") === 0).select(col("did"), col("y")),
+        Seq("did"))
+      .select(col("did"), col("y"), col("predicted"))
   }
 }
