@@ -600,6 +600,38 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
   }
 
+  /** QUALITY-AWARE representative selection: keep the BEST-scoring doc
+    * per near-dup cluster instead of [[keepRepresentatives]]'s min-id —
+    * the production dedup policy (min-id keeps whichever copy happened
+    * to be crawled first; a curation pipeline wants the highest-quality
+    * copy: longest, best Gopher score, most recent). Ties on score break
+    * to the smallest id, so the choice is deterministic at any
+    * parallelism. Every doc not in any pair keeps itself.
+    *
+    * `scored` must carry `idCol` and `scoreCol` (higher = better, any
+    * numeric type; cast to bigint — pass micro-scaled fixed point for
+    * fractional scores). Output: `scored`'s rows plus `component` and
+    * `keep`.
+    *
+    * Scale shape: [[connectedComponents]]' O(log n) star rounds on the
+    * PAIR graph only, one join back to the corpus, one per-component
+    * max-struct window — same plan class as keepRepresentatives with the
+    * argmin key swapped for (score desc, id asc).
+    */
+  def keepBestRepresentatives(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    scored.join(comps.withColumnsRenamed(Map("id" -> idCol)), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("__key",
+        struct((-col(scoreCol).cast("bigint")).as("ns"), col(idCol).cast("bigint").as("i")))
+      .withColumn("keep", col("__key") === min(col("__key")).over(w))
+      .drop("__key")
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. `bucketed=true` prunes
     * the pair space by sign-LSH signature equality (scale path — only
     * near-identical directions collide on all sign bits); `false` is the

@@ -1081,5 +1081,55 @@ object ExtensionQueries {
       "per-document shingle novelty (fraction of distinct 5-shingles first seen " +
         "in this doc, exact integer ppm) — the pair-free dedup prioritization " +
         "signal that stays LINEAR when near-dup pair enumeration explodes; one " +
-        "min-doc aggregation + one shingle-keyed join + one per-doc reduce"))
+        "min-doc aggregation + one shingle-keyed join + one per-doc reduce"),
+
+    // ------------------------------- dedup: quality-aware representative
+    "q183_keep_best" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleK = 5, threshold = 0.8)
+        Dedup.keepBestRepresentatives(
+            docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", pairs)
+          .select(col("doc_id"), col("n_chars"), col("component"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      // q39's recursive-CTE components over the same jaccard>=0.8 edges,
+      // then the (score desc, id asc) struct-min per component
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (SELECT id_a, id_b FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, walk.lbl FROM walk JOIN edges e ON e.src = walk.id),
+             |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+             |best AS (SELECT component,
+             |    min(struct_pack(ns := -d.n_chars, i := d.doc_id)) AS b
+             |  FROM documents d JOIN cc ON cc.id = d.doc_id GROUP BY component)
+             |SELECT d.doc_id, d.n_chars, cc.component,
+             |  (struct_pack(ns := -d.n_chars, i := d.doc_id) = best.b) AS keep
+             |FROM documents d JOIN cc ON cc.id = d.doc_id
+             |JOIN best ON best.component = cc.component
+             |ORDER BY d.doc_id""".stripMargin),
+      "quality-aware dedup policy: per near-dup cluster keep the LONGEST copy " +
+        "(score desc, id asc struct-min — min-id keeps whichever copy was " +
+        "crawled first, production wants the best one); q39's component plan " +
+        "with the argmin key swapped"))
 }

@@ -432,6 +432,23 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() === 0L)
   }
 
+  test("keepBestRepresentatives: highest score wins, ties break to min id, " +
+      "singletons keep themselves") {
+    import spark.implicits._
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestRepresentatives(scored, "doc_id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster {1,2,3}: scores 10/30/30 -> tie 2 vs 3 -> doc 2 wins
+    assert(got(1L) === ((1L, false)) && got(2L) === ((1L, true))
+      && got(3L) === ((1L, false)))
+    assert(got(9L) === ((9L, true)))   // singleton
+    // exactly one keeper per component
+    val keepers = got.values.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    assert(keepers.values.forall(_ === 1))
+  }
+
   test("shingleNovelty: first doc owns its shingles, a verbatim copy owns none") {
     import spark.implicits._
     val text = "a b c d e f g h i j"   // 10 words -> 6 distinct 5-shingles
