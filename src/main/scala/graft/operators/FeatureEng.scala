@@ -465,6 +465,80 @@ object FeatureEng {
           .as("corr_micro"))
   }
 
+  /** DETERMINISTIC BOOTSTRAP confidence interval for a per-group mean —
+    * the uncertainty bar a metrics readout needs before anyone compares
+    * two numbers ("source A quality 0.61 vs B 0.63" means nothing
+    * without one). Poissonized resampling (the standard distributed
+    * bootstrap: multinomial row counts decouple into independent
+    * Poisson(1) weights), derandomized the repo way — each (row,
+    * replica) weight is the Poisson(1) inverse CDF of an md5-uniform, so
+    * every engine and every rerun draws the SAME replicas:
+    *
+    *   u(r, id) = hex8(md5("boot:" r ":" id)) mod 10⁶
+    *   k = inverse-CDF ladder of Poisson(1) in exact ppm literals
+    *   mean_r = (10⁶·Σ k·x) DIV Σ k
+    *   [lo, hi] = percentile_disc 2.5% / 97.5% over replica means
+    *              (the q81 ceil(p·R) rank convention)
+    *
+    * Replicas whose weights all drew 0 (tiny groups) are dropped from
+    * the ranking — `n_reps` reports the effective count. All integers.
+    *
+    * Scale shape: the explode is corpus × reps rows (reps defaults to
+    * 32 — bound it consciously; the weight is a literal CASE ladder, so
+    * the expansion is map-only and codegen'd), then one (grp, rep)
+    * aggregation with map-side combine and a reps-bounded per-group
+    * rank. The full-sample mean rides the same pass as rep 0 with
+    * weight 1.
+    */
+  def bootstrapCiMean(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 4 && reps <= 1000, "bootstrapCiMean: reps in [4, 1000]")
+    // P(K <= k) for Poisson(1), round(1e6 * cdf) — exact shared literals
+    val cdfPpm = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("bigint").as("x"), col(idCol).cast("bigint").as("id"))
+    val expanded = base
+      .select(col("grp"), col("x"), col("id"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("boot:"), col("rep"), lit(":"),
+          col("id"))), 1, 8), 16, 10).cast("bigint") % lit(1000000L))
+      .withColumn("k",
+        cdfPpm.zipWithIndex.foldRight(lit(cdfPpm.length.toLong)) {
+          case ((cdf, i), elseCol) =>
+            when(col("u") < cdf, lit(i.toLong)).otherwise(elseCol)
+        })
+    val repMeans = expanded.groupBy(col("grp"), col("rep"))
+      .agg(sum((col("k") * col("x")).cast("decimal(38,0)")).as("kx"),
+        sum(col("k")).as("kw"))
+      .filter(col("kw") > 0)
+      .select(col("grp"), col("rep"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * kx) DIV kw AS BIGINT)")
+          .as("m"))
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("m"), col("rep"))
+    val ci = repMeans
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(max(col("nr")).as("n_reps"),
+        // ceil(0.025 * R) and ceil(0.975 * R) discrete ranks
+        min(when(col("r") === expr("(25 * nr + 999) DIV 1000"), col("m")))
+          .as("lo_micro"),
+        min(when(col("r") === expr("(975 * nr + 999) DIV 1000"), col("m")))
+          .as("hi_micro"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)))) DIV count(1) AS BIGINT)")
+          .as("mean_micro"))
+      .join(ci, Seq("grp"), "left")
+      .select(col("grp"), col("n"), col("mean_micro"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+        coalesce(col("lo_micro"), col("mean_micro")).as("lo_micro"),
+        coalesce(col("hi_micro"), col("mean_micro")).as("hi_micro"))
+  }
+
   /** Per-group OLS TREND LINE over integer (x, y) points — the
     * monitoring primitive behind "is this source's daily volume
     * growing/decaying?", "is quality drifting down week over week?":

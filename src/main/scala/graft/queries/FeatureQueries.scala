@@ -657,6 +657,52 @@ object FeatureQueries {
       "per-type OLS trend of daily event volume (slope and intercept as exact " +
         "integer micro via decimal-cleared moment sums, truncation-matched DIV) " +
         "— the is-this-source-growing monitor; corpus to five moments per group " +
-        "in one pass after the (type, day) pre-aggregation")
+        "in one pass after the (type, day) pre-aggregation"),
+
+    // --------------------------------------------- bootstrap CI for mean
+    "q184_bootstrap_ci" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.bootstrapCiMean(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("bigint").as("x"),
+                col("event_id")),
+            "event_type", "x", "event_id", reps = 32)
+          .orderBy(col("grp")),
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS x,
+              |    event_id AS id
+              |  FROM events),
+              |xr AS (SELECT grp, x, id, g.rep FROM e
+              |  CROSS JOIN generate_series(1, 32) AS g(rep)),
+              |w AS (SELECT grp, rep, x,
+              |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+              |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+              |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+              |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+              |         WHEN u < 999999 THEN 8 ELSE 9 END AS k
+              |  FROM (SELECT grp, rep, x,
+              |      ${hex8("md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(id AS VARCHAR))")} % 1000000 AS u
+              |    FROM xr)),
+              |rm AS (SELECT grp, rep,
+              |    (1000000::HUGEINT * sum(k * x)) // sum(k) AS m
+              |  FROM w GROUP BY 1, 2 HAVING sum(k) > 0),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY m, rep) AS rk,
+              |    count(*) OVER (PARTITION BY grp) AS nr FROM rm),
+              |ci AS (SELECT grp, max(nr) AS n_reps,
+              |    min(CASE WHEN rk = (25 * nr + 999) // 1000 THEN m END) AS lo,
+              |    min(CASE WHEN rk = (975 * nr + 999) // 1000 THEN m END) AS hi
+              |  FROM r GROUP BY 1),
+              |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              |    (1000000::HUGEINT * sum(x)) // count(*) AS mean FROM e GROUP BY 1)
+              |SELECT g.grp, n, CAST(mean AS BIGINT) AS mean_micro,
+              |  CAST(COALESCE(n_reps, 0) AS BIGINT) AS n_reps,
+              |  CAST(COALESCE(lo, mean) AS BIGINT) AS lo_micro,
+              |  CAST(COALESCE(hi, mean) AS BIGINT) AS hi_micro
+              |FROM g LEFT JOIN ci USING (grp) ORDER BY g.grp""".stripMargin),
+      "deterministic Poissonized bootstrap 95% CI for the per-type mean of " +
+        "props.k (md5-derived Poisson(1) weights, 32 replicas, discrete-rank " +
+        "percentiles) — the uncertainty bar every metric comparison needs; " +
+        "map-only ladder expansion then one (grp, rep) aggregation")
   )
 }

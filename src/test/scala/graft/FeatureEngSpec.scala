@@ -382,6 +382,39 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.getLong(2) === expected)
   }
 
+  test("bootstrapCiMean: interval brackets the mean, shrinks with n, and is " +
+      "rerun/repartition deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val small = (1L to 40L).map(i => ("s", 50L + rnd.nextInt(21) - 10L, i))
+    val big = (1L to 2000L).map(i => ("b", 50L + rnd.nextInt(21) - 10L, i))
+    val df = (small ++ big).toDF("g", "x", "id")
+    val rows = graft.operators.FeatureEng.bootstrapCiMean(df, "g", "x", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    rows.foreach { case (g, (mean, lo, hi)) =>
+      assert(lo <= mean && mean <= hi, s"group $g: CI must bracket the mean")
+    }
+    val widthS = rows("s")._3 - rows("s")._2
+    val widthB = rows("b")._3 - rows("b")._2
+    assert(widthB < widthS, "50x data must narrow the interval")
+    // determinism: identical output on a repartitioned rerun
+    val again = graft.operators.FeatureEng.bootstrapCiMean(
+        df.repartition(7), "g", "x", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(again === rows)
+  }
+
+  test("bootstrapCiMean: constant values give a zero-width interval") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("g", 42L, i)).toDF("g", "x", "id")
+    val r = graft.operators.FeatureEng.bootstrapCiMean(df, "g", "x", "id")
+      .collect().head
+    assert(r.getLong(2) === 42000000L)
+    assert(r.getLong(4) === 42000000L && r.getLong(5) === 42000000L)
+  }
+
   test("trendSlope: exact line recovers slope and intercept; noise floors " +
       "through DIV; single-x group is degenerate") {
     import spark.implicits._
