@@ -271,6 +271,47 @@ object DataPrep {
         when(col("n") === 1, lit(0L))
           .otherwise(expr("(10000 * (rn - 1)) DIV (n - 1)")).as("pct_bps"))
 
+  /** QUANTILE NORMALIZATION against the pooled distribution — the
+    * batch-effect correction: each group's values are remapped onto the
+    * CORPUS-WIDE value distribution at the same within-group quantile,
+    * so every group ends up with (a subsample of) the same marginal
+    * distribution and cross-group comparisons stop reflecting
+    * per-source calibration quirks (source A's quality model scoring
+    * systematically 0.1 higher stops mattering). The genomics-standard
+    * "quantile normalize", exact-integer:
+    *
+    *   target rank in pool = ceil(q · N) over q = rn/n (clear-denominator
+    *   form `pr = (rn·N + n − 1) DIV n`), normalized value = pooled
+    *   value at pooled rank pr (deterministic (value, id) order both
+    *   sides).
+    *
+    * Output: `(id, grp, value_micro, norm_micro)`.
+    *
+    * Scale shape: one grp-keyed rank window (the [[rankNormalize]]
+    * exchange), one GLOBAL rank window over the pooled values — the
+    * honest cost of a pooled reference (single-partition sort; at
+    * production scale materialize the pooled ranking once per snapshot
+    * and reuse), then an equi-join on the computed pooled rank.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val ranked = rankedByGroup(df, groupCol, valueCol, idCol)
+    val wPool = Window.orderBy(col("xm"), col("id"))
+    val pool = df.select(col(idCol).cast("bigint").as("id"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+      .withColumn("pr", row_number().over(wPool))
+      .select(col("pr"), col("xm").as("norm_micro"))
+    val nPool = count(lit(1)).over(Window.partitionBy())
+    ranked
+      .withColumn("np", nPool)
+      .withColumn("pr",
+        expr("(rn * np + n - 1) DIV n"))
+      .join(pool, Seq("pr"))
+      .select(col("id"), col("grp"), col("xm").as("value_micro"),
+        col("norm_micro"))
+  }
+
   /** Trimmed mean per group with an EXACT integer trim rule: keep ranks
     * with `20·rn > n` and `20·rn ≤ 19·n` (drop the bottom and top 5% by
     * rank — the fraction as a rational, no float thresholds), then

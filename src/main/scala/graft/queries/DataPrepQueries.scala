@@ -190,6 +190,28 @@ object DataPrepQueries {
              |FROM zv ORDER BY l_orderkey, l_linenumber""".stripMargin),
       "Z-order (Morton) layout key: bit-interleaved (orderkey, partkey) + top-8-bit " +
         "bucket — multidimensional clustering so row-group min/max stats prune on " +
-        "either dimension; pure codegen'd bit math, oracle rebuilds the interleave")
+        "either dimension; pure codegen'd bit math, oracle rebuilds the interleave"),
+
+    // ------------------------------------------- quantile normalization
+    "q185_quantile_normalize" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.quantileNormalize(
+            Tables.events(s, dir), "event_type", "value", "event_id")
+          .orderBy(col("id")),
+      Some("""WITH e AS (SELECT event_id AS id, event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS xm FROM events),
+             |r AS (SELECT *, count(*) OVER (PARTITION BY grp) AS n,
+             |    row_number() OVER (PARTITION BY grp ORDER BY xm, id) AS rn FROM e),
+             |p AS (SELECT row_number() OVER (ORDER BY xm, id) AS pr,
+             |    xm AS norm_micro FROM e),
+             |j AS (SELECT id, grp, xm AS value_micro,
+             |    (rn * (SELECT count(*) FROM e) + n - 1) // n AS pr FROM r)
+             |SELECT id, grp, value_micro, norm_micro
+             |FROM j JOIN p USING (pr) ORDER BY id""".stripMargin),
+      "quantile normalization of per-type event values against the pooled " +
+        "corpus distribution (ceil-rank lookup, deterministic (value, id) order " +
+        "both sides) — the batch-effect correction that makes cross-source " +
+        "score comparisons calibration-free; one group rank + one pooled rank " +
+        "+ a rank equi-join")
   )
 }

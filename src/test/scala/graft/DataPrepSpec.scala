@@ -153,4 +153,28 @@ class DataPrepSpec extends SparkSpec {
       Seq((1L, "s", 5.0)).toDF("id", "grp", "v"), "grp", "v", "id")
     assert(solo.count() === 0L, "a group where every rank trims emits no row")
   }
+
+  test("quantileNormalize: shifted groups land on the pooled distribution, " +
+      "order within a group is preserved") {
+    import spark.implicits._
+    // group a = {1,2,3,4}, group b = {101,102,103,104}: b is a pure shift;
+    // after normalization both groups read values from the POOLED set and
+    // the group maxima map to the pooled maximum
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "b", 101.0), (6L, "b", 102.0), (7L, "b", 103.0), (8L, "b", 104.0))
+      .toDF("id", "grp", "v")
+    val got = DataPrep.quantileNormalize(df, "grp", "v", "id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pooled = df.collect().map(r => math.round(r.getDouble(2) * 1e6)).toSet
+    got.values.foreach { case (_, _, nm) => assert(pooled.contains(nm)) }
+    // group maxima -> pooled maximum (rank n/n -> pooled rank N)
+    assert(got(4L)._3 === 104000000L && got(8L)._3 === 104000000L)
+    // both groups get the SAME normalized multiset (equal group sizes)
+    val na = got.values.filter(_._1 == "a").map(_._3).toSeq.sorted
+    val nb = got.values.filter(_._1 == "b").map(_._3).toSeq.sorted
+    assert(na === nb)
+    // monotone within group
+    assert(na === na.sorted)
+  }
 }
