@@ -165,6 +165,48 @@ object FeatureEng {
       .agg(count(lit(1)).as("n_rows"), sum(col("tm")).as("s"))
       .select(col("cat"), expr("s DIV n_rows").as("mean_micro"), col("n_rows"))
 
+  /** SMOOTHED (m-estimate / empirical-Bayes) encoding table — the
+    * production form of [[encodingTable]] for long-tail categories: a
+    * category seen 3 times with 3 positives would encode as a perfect
+    * 1.0 and leak noise straight into the model; the m-estimate shrinks
+    * rare categories toward the global prior with pseudo-count weight m:
+    *
+    *   enc(c) = (Σ_c target + m·globalMean) / (n_c + m)
+    *
+    * in micro fixed point: `gm_micro = S_micro DIV N` first (one global
+    * aggregate, crossed back in as a broadcast 1-row frame — no driver
+    * round-trip), then `enc_micro = (s_c + m·gm_micro) DIV (n_c + m)`
+    * — exact integers, the documented two-stage rounding.
+    * As n_c → ∞ the prior washes out; at n_c = 0 (serving-time unseen)
+    * [[applyEncoding]] still returns −1 — route to `gm_micro` downstream
+    * if prior-fallback is wanted. Output schema matches
+    * [[encodingTable]] (`cat, mean_micro, n_rows`) so [[applyEncoding]]
+    * serves either table unchanged, batch or streaming.
+    *
+    * Scale shape: one (category) aggregation with map-side combine plus
+    * a 1-row global aggregate crossed in — category-bounded output.
+    */
+  def encodingTableSmoothed(
+      df: DataFrame, catCol: String, targetCol: String,
+      m: Long = 20L): DataFrame = {
+    require(m >= 1, "encodingTableSmoothed: m must be >= 1")
+    val base = df.select(col(catCol).as("cat"),
+        round(col(targetCol) * lit(1e6)).cast("bigint").as("tm"))
+      .withColumn("tm", when(col("tm") >= 0, col("tm")).otherwise(raise_error(
+        lit("encodingTableSmoothed: negative target — DIV truncation is not "
+          + "floor-division-portable below zero; shift the target first"))))
+    val global = base.agg(
+      expr("CAST(sum(CAST(tm AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+        .as("gm_micro"))
+    base.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("tm")).as("s"))
+      .crossJoin(broadcast(global))
+      .select(col("cat"),
+        expr(s"CAST((CAST(s AS DECIMAL(38,0)) + $m * CAST(gm_micro AS DECIMAL(38,0))) DIV (n_rows + $m) AS BIGINT)")
+          .as("mean_micro"),
+        col("n_rows"))
+  }
+
   /** Apply a trained [[encodingTable]] — stateless broadcast join,
     * identical on batch and streaming frames; unseen categories get the
     * -1 sentinel (route them to a default/prior downstream).

@@ -703,6 +703,30 @@ object FeatureQueries {
       "deterministic Poissonized bootstrap 95% CI for the per-type mean of " +
         "props.k (md5-derived Poisson(1) weights, 32 replicas, discrete-rank " +
         "percentiles) — the uncertainty bar every metric comparison needs; " +
-        "map-only ladder expansion then one (grp, rep) aggregation")
+        "map-only ladder expansion then one (grp, rep) aggregation"),
+
+    // --------------------------------------- smoothed target encoding
+    "q186_smoothed_encoding" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.encodingTableSmoothed(
+            Tables.events(s, dir)
+              .select(concat(col("event_type"), lit(":"),
+                (col("user_id") % 50).cast("string")).as("cat"),
+                col("value")),
+            "cat", "value", m = 20L)
+          .orderBy(col("cat")),
+      Some("""WITH b AS (SELECT event_type || ':' || CAST(user_id % 50 AS VARCHAR) AS cat,
+             |    CAST(round(value * 1e6) AS BIGINT) AS tm FROM events),
+             |g AS (SELECT sum(tm::HUGEINT) // count(*) AS gm FROM b),
+             |c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_rows,
+             |    sum(tm::HUGEINT) AS s FROM b GROUP BY 1)
+             |SELECT cat, CAST((s + 20 * gm) // (n_rows + 20) AS BIGINT) AS mean_micro,
+             |  n_rows
+             |FROM c CROSS JOIN g ORDER BY cat""".stripMargin),
+      "m-estimate smoothed target-encoding table over the long-tail " +
+        "(type, user-cohort) categories: rare cells shrink toward the global " +
+        "prior with pseudo-count 20 (exact integer two-stage rounding) — the " +
+        "leak-resistant production form of q124; serves through the same " +
+        "applyEncoding broadcast join, batch or streaming")
   )
 }

@@ -382,6 +382,31 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.getLong(2) === expected)
   }
 
+  test("encodingTableSmoothed: rare categories shrink to the prior, frequent " +
+      "ones dominate it, and applyEncoding serves the table unchanged") {
+    import spark.implicits._
+    // global mean = (100*1 + 0*1 + 1*98... ) construct: cat 'rare' has one
+    // 1.0 row; cat 'freq' has 100 rows of 0.2; global mean pulled near 0.2
+    val rows = Seq(("rare", 1.0)) ++ (1 to 100).map(_ => ("freq", 0.2))
+    val df = rows.toDF("cat", "v")
+    val gm = ((1000000L + 100L * 200000L) / 101L)   // 207920
+    val got = graft.operators.FeatureEng.encodingTableSmoothed(df, "cat", "v", m = 20L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rare: (1e6 + 20*gm) / 21 — mostly prior
+    assert(got("rare") === (1000000L + 20L * gm) / 21L)
+    // freq: (100*2e5 + 20*gm) / 120 — close to 0.2
+    assert(got("freq") === (100L * 200000L + 20L * gm) / 120L)
+    assert(math.abs(got("freq") - 200000L) < math.abs(got("rare") - 1000000L),
+      "frequent category must sit nearer its own mean than the rare one does")
+    // the smoothed table serves through the SAME apply
+    val served = graft.operators.FeatureEng.applyEncoding(
+        Seq((1L, "rare"), (2L, "nope")).toDF("id", "cat"),
+        graft.operators.FeatureEng.encodingTableSmoothed(df, "cat", "v", m = 20L),
+        "cat", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(served(1L) === got("rare") && served(2L) === -1L)
+  }
+
   test("bootstrapCiMean: interval brackets the mean, shrinks with n, and is " +
       "rerun/repartition deterministic") {
     import spark.implicits._
