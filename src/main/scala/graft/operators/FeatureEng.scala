@@ -165,6 +165,36 @@ object FeatureEng {
       .agg(count(lit(1)).as("n_rows"), sum(col("tm")).as("s"))
       .select(col("cat"), expr("s DIV n_rows").as("mean_micro"), col("n_rows"))
 
+  /** STRATIFIED k-fold assignment — [[kFoldAssign]] balanced WITHIN each
+    * stratum: plain `md5(id) % k` leaves small strata with lopsided
+    * folds (a 7-row language in a 5-fold split can easily land 4 rows in
+    * one fold), which skews per-stratum validation metrics exactly where
+    * they're noisiest. Here rows rank by md5 within their stratum and
+    * `fold = (rank−1) % k`, so every (stratum, fold) cell holds
+    * ⌊n_s/k⌋ or ⌈n_s/k⌉ rows — exact balance — while the md5 order keeps
+    * the assignment content-independent, rerun-stable, and engine-
+    * portable (rank ties impossible: the md5 hex of distinct ids is
+    * distinct in practice and the id itself tiebreaks).
+    *
+    * Unlike the stateless [[kFoldAssign]], adding corpus rows RESHUFFLES
+    * folds within the touched strata (ranks shift) — use this for
+    * frozen evaluation snapshots and kFoldAssign for growing corpora.
+    *
+    * Scale shape: one stratum-keyed rank window; strata sort in
+    * parallel, skew bound = stratum size.
+    */
+  def stratifiedKFold(
+      df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "stratifiedKFold: k in [2, 1000]")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("h"), col("id"))
+    df.select(col(idCol).cast("bigint").as("id"),
+        col(stratumCol).as("stratum"))
+      .withColumn("h", md5(concat(lit("skf:"), col("id"))))
+      .withColumn("fold", (row_number().over(w) - 1) % k)
+      .select(col("id"), col("stratum"), col("fold").cast("bigint").as("fold"))
+  }
+
   /** SMOOTHED (m-estimate / empirical-Bayes) encoding table — the
     * production form of [[encodingTable]] for long-tail categories: a
     * category seen 3 times with 3 positives would encode as a perfect

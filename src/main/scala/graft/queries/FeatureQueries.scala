@@ -727,6 +727,24 @@ object FeatureQueries {
         "(type, user-cohort) categories: rare cells shrink toward the global " +
         "prior with pseudo-count 20 (exact integer two-stage rounding) — the " +
         "leak-resistant production form of q124; serves through the same " +
-        "applyEncoding broadcast join, batch or streaming")
+        "applyEncoding broadcast join, batch or streaming"),
+
+    // --------------------------------------------- stratified k-fold
+    "q187_stratified_kfold" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.stratifiedKFold(
+            Tables.events(s, dir).select(col("event_id"), col("event_type")),
+            "event_type", "event_id", k = 5)
+          .orderBy(col("id")),
+      Some("""WITH e AS (SELECT event_id AS id, event_type AS stratum,
+             |    md5('skf:' || CAST(event_id AS VARCHAR)) AS h
+             |  FROM events)
+             |SELECT id, stratum,
+             |  CAST((row_number() OVER (PARTITION BY stratum ORDER BY h, id) - 1) % 5 AS BIGINT) AS fold
+             |FROM e ORDER BY id""".stripMargin),
+      "stratified 5-fold assignment: md5-ranked within each event-type stratum " +
+        "then round-robin, so every (stratum, fold) cell is exactly balanced " +
+        "(plain hash-mod leaves small strata lopsided right where validation " +
+        "is noisiest); one parallel per-stratum rank window")
   )
 }

@@ -382,6 +382,28 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.getLong(2) === expected)
   }
 
+  test("stratifiedKFold: every (stratum, fold) cell balanced within 1, " +
+      "repartition-deterministic; small stratum covers all folds") {
+    import spark.implicits._
+    val df = ((1L to 97L).map(i => (i, "big")) ++ (98L to 104L).map(i => (i, "sml")))
+      .toDF("id", "stratum")
+    val got = graft.operators.FeatureEng.stratifiedKFold(df, "stratum", "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cells = got.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    // big: 97 rows over 5 folds -> sizes in {19, 20}; sml: 7 rows -> {1, 2}
+    Seq("big", "sml").foreach { s =>
+      val sizes = (0L until 5L).map(f => cells.getOrElse((s, f), 0))
+      assert(sizes.max - sizes.min <= 1, s"stratum $s sizes: $sizes")
+    }
+    // the 7-row stratum still touches 5 distinct folds — the property
+    // plain md5-mod loses
+    assert(got.filter(_._2 == "sml").map(_._3).distinct.length === 5)
+    val again = graft.operators.FeatureEng.stratifiedKFold(
+        df.repartition(7), "stratum", "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === again.toSet)
+  }
+
   test("encodingTableSmoothed: rare categories shrink to the prior, frequent " +
       "ones dominate it, and applyEncoding serves the table unchanged") {
     import spark.implicits._
