@@ -581,6 +581,69 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** SPLIT-CONFORMAL prediction interval per group — distribution-free
+    * uncertainty for ANY point predictor: on an md5-gated calibration
+    * split, take the conformal quantile of absolute residuals
+    *
+    *   q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest |actual − pred|
+    *
+    * and the interval `pred ± q̂` covers a fresh point with probability
+    * ≥ 1−α, NO assumptions on the model or the noise (only
+    * exchangeability). Split membership hashes on the id (the
+    * `DataPrep.hashSplit` convention), the rank is the exact integer
+    * conformal rank (clear-denominator: `rank = ((n_cal+1)·(den−num)
+    * + den − 1) DIV den` for α = num/den), residuals are micro
+    * integers. Also reports the EMPIRICAL coverage of `±q̂` on the
+    * held-out (non-calibration) rows — the honesty check that the
+    * guarantee actually materialized. Calibration sets too small for
+    * the rank (rank > n_cal) emit the −1 sentinel.
+    *
+    * Scale shape: one per-group rank window over CALIBRATION rows only,
+    * one broadcast-size (group, q̂) table joined back for the coverage
+    * count — two passes, both group-parallel.
+    */
+  def splitConformalInterval(
+      df: DataFrame, groupCol: String, predCol: String, actualCol: String,
+      idCol: String, alphaNum: Long = 1L, alphaDen: Long = 10L,
+      calBps: Int = 5000): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen && alphaDen <= 1000,
+      "splitConformalInterval: alpha must be a rational in (0, 1), den <= 1000")
+    require(calBps >= 1 && calBps <= 9999,
+      "splitConformalInterval: calBps in [1, 9999]")
+    val gate = f"${calBps.toLong * 65536 / 10000}%04x"
+    val base = df.select(col(groupCol).as("grp"),
+        round(col(predCol) * lit(1e6)).cast("bigint").as("pm"),
+        round(col(actualCol) * lit(1e6)).cast("bigint").as("am"),
+        col(idCol).cast("bigint").as("id"))
+      .withColumn("res", abs(col("am") - col("pm")))
+      .withColumn("cal",
+        (substring(md5(concat(lit("conf:"), col("id"))), 1, 4) < lit(gate))
+          .cast("int"))
+    val wr = Window.partitionBy(col("grp")).orderBy(col("res"), col("id"))
+    val qhat = base.filter(col("cal") === 1)
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(col("rn") ===
+            expr(s"((n_cal + 1) * ${alphaDen - alphaNum} + $alphaDen - 1) DIV $alphaDen"),
+          col("res"))).as("qhat_micro"))
+    base.filter(col("cal") === 0)
+      .join(broadcast(qhat), Seq("grp"), "left")
+      .groupBy(col("grp"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("qhat_micro")).as("qm"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("res") <= col("qhat_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("grp"), coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        col("n_eval"),
+        coalesce(col("qm"), lit(-1L)).as("qhat_micro"),
+        when(col("qm").isNull, lit(-1L))
+          .otherwise(expr("(1000000 * n_covered) DIV n_eval"))
+          .as("coverage_ppm"))
+  }
+
   /** RANK-BIASED OVERLAP at k between the approximate and exact result
     * lists — the ANN list-similarity number that weights agreement at the
     * TOP: recall@k treats depth-1 and depth-k agreement alike, nDCG needs

@@ -976,6 +976,42 @@ object EvalQueries {
       "rank-biased overlap at 10 (p = 9/10) between the sign-LSH and exact " +
         "neighbor RANKINGS — top-weighted list agreement, fully exact via the " +
         "common-denominator rational fold (no float pow anywhere); the " +
-        "reads-like-a-user companion to recall/MRR/nDCG")
+        "reads-like-a-user companion to recall/MRR/nDCG"),
+
+    // ------------------------------------- split-conformal intervals
+    "q188_conformal" -> Q(
+      (s, dir) =>
+        ModelEval.splitConformalInterval(
+            Tables.events(s, dir).withColumn("pred",
+              get_json_object(col("props"), "$.k").cast("bigint")),
+            "event_type", "pred", "value", "event_id",
+            alphaNum = 1L, alphaDen = 10L, calBps = 5000)
+          .orderBy(col("grp")),
+      Some("""WITH e AS (SELECT event_type AS grp,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 1000000 AS pm,
+             |    CAST(round(value * 1e6) AS BIGINT) AS am, event_id AS id
+             |  FROM events),
+             |b AS (SELECT grp, abs(am - pm) AS res, id,
+             |    CASE WHEN substring(md5('conf:' || CAST(id AS VARCHAR)), 1, 4) < '8000'
+             |         THEN 1 ELSE 0 END AS cal FROM e),
+             |c AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY res, id) AS rn,
+             |    count(*) OVER (PARTITION BY grp) AS n_cal FROM b WHERE cal = 1),
+             |q AS (SELECT grp, max(n_cal) AS n_cal,
+             |    min(CASE WHEN rn = ((n_cal + 1) * 9 + 9) // 10 THEN res END) AS qhat
+             |  FROM c GROUP BY 1),
+             |v AS (SELECT b.grp, q.n_cal, q.qhat, count(*) AS n_eval,
+             |    sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS n_cov
+             |  FROM b LEFT JOIN q ON q.grp = b.grp WHERE cal = 0 GROUP BY 1, 2, 3)
+             |SELECT grp, CAST(COALESCE(n_cal, 0) AS BIGINT) AS n_cal,
+             |  CAST(n_eval AS BIGINT) AS n_eval,
+             |  CAST(COALESCE(qhat, -1) AS BIGINT) AS qhat_micro,
+             |  CAST(CASE WHEN qhat IS NULL THEN -1
+             |    ELSE (1000000 * n_cov) // n_eval END AS BIGINT) AS coverage_ppm
+             |FROM v ORDER BY grp""".stripMargin),
+      "split-conformal 90% prediction interval per event type (props.k as the " +
+        "point model for value): exact conformal rank ceil((n+1)(1-alpha)) " +
+        "over md5-gated calibration residuals, plus the EMPIRICAL held-out " +
+        "coverage — distribution-free uncertainty with its own honesty check; " +
+        "one calibration rank window + one broadcast join")
   )
 }

@@ -417,6 +417,36 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ splitConformalInterval
+
+  test("splitConformalInterval: qhat is the exact conformal rank and " +
+      "tiny calibration sets emit the sentinel") {
+    // deterministic residuals |actual - pred|; find which ids calibrate
+    // under the 5000-bps 'conf:' gate and hand-compute the rank
+    def isCal(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"conf:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      h.substring(0, 4) < "8000"
+    }
+    val rows = (1L to 200L).map(id => ("g", 0.0, (id % 37).toDouble, id))
+    val df = rows.toDF("g", "p", "a", "id")
+    val cal = rows.filter(r => isCal(r._4)).map(r => math.round(r._3 * 1e6)).sorted
+    val rank = ((cal.length + 1) * 9 + 9) / 10
+    val expectedQ = if (rank <= cal.length) cal(rank - 1) else -1L
+    val got = ModelEval.splitConformalInterval(df, "g", "p", "a", "id")
+      .collect().head
+    assert(got.getLong(3) === expectedQ)
+    // coverage sanity: ±qhat must cover roughly 1-alpha of held-out rows
+    assert(got.getLong(4) >= 800000L && got.getLong(4) <= 1000000L)
+    // a 3-row calibration set cannot host the rank -> sentinel
+    val tiny = Seq(("g", 0.0, 1.0, 2L), ("g", 0.0, 2.0, 8L), ("g", 0.0, 3.0, 3L),
+      ("g", 0.0, 9.0, 5L)).toDF("g", "p", "a", "id")
+    val t = ModelEval.splitConformalInterval(tiny, "g", "p", "a", "id").collect()
+    t.foreach { r =>
+      if (r.getLong(1) < 9) assert(r.getLong(3) === -1L && r.getLong(4) === -1L)
+    }
+  }
+
   // ------------------------------------------------------------ annRboAtK
 
   test("annRboAtK: identical lists read 1 - p^k exactly; disjoint read 0") {
