@@ -445,4 +445,48 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         expr("(1000000 * n) DIV n_from").as("ppm"))
   }
+
+  /** Per-user INTER-ARRIVAL burstiness — mean gap and the squared
+    * coefficient of variation of consecutive event gaps, the classic
+    * behavioral fingerprint: a Poisson (human-ish) arrival process reads
+    * CV² ≈ 1, a metronomic bot ≪ 1, a bursty scraper ≫ 1. The bot/abuse
+    * screen a training pipeline runs before user-generated events feed
+    * anything downstream.
+    *
+    *   gaps dᵢ over the deterministic (ts, id) order (micros);
+    *   mean_gap_us = Σd DIV n,
+    *   cv2_ppm = (10⁶·(n·Σd² − (Σd)²)) DIV (Σd)²   — exact integers,
+    *
+    * with Σd² through decimal(38,0) (a day-long gap squares to ~7·10²¹).
+    * Users with < 2 events emit no row (no gap exists); all-simultaneous
+    * users (Σd = 0) emit the −1 sentinel.
+    *
+    * Scale shape: one user-keyed shuffle for the lag window, then the
+    * aggregation rides the same partitioning; skew bound = events per
+    * user, the natural floor.
+    */
+  def interArrivalStats(
+      events: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("tsu"), col("id"))
+    events.select(col(userCol).cast("bigint").as("u"),
+        unix_micros(col(tsCol)).as("tsu"), col(idCol).cast("bigint").as("id"))
+      .withColumn("d", col("tsu") - lag(col("tsu"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("d")).as("sd"),
+        // cast BEFORE the square: a day-long gap in micros squares past
+        // a long (8.6e10² ≈ 7.5e21)
+        sum(col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+          .as("sdd"))
+      .select(col("u"), col("n_gaps"),
+        expr("sd DIV n_gaps").as("mean_gap_us"),
+        when(col("sd") === 0, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+              |  (n_gaps * sdd - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))))
+              | DIV (CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+          .as("cv2_ppm"))
+  }
 }

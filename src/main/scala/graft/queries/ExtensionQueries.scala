@@ -1131,5 +1131,53 @@ object ExtensionQueries {
       "quality-aware dedup policy: per near-dup cluster keep the LONGEST copy " +
         "(score desc, id asc struct-min — min-id keeps whichever copy was " +
         "crawled first, production wants the best one); q39's component plan " +
-        "with the argmin key swapped"))
+        "with the argmin key swapped"),
+
+    // ----------------------------------------------- text: Zipf slope
+    "q189_zipf_slope" -> Q(
+      (s, dir) => {
+        // per-source token frequencies -> (ln rank, ln freq) in micro-nats
+        // -> the OLS slope; natural text reads ~ -1e6 (Zipf's law), tables/
+        // boilerplate flatten toward 0 — a corpus-health fingerprint built
+        // ENTIRELY from existing operators (rank window + trendSlope)
+        val freq = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+        val ranked = freq.withColumn("r",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("f").desc, col("t"))))
+          .select(col("source"),
+            round(log(col("r").cast("double")) * lit(1e6)).cast("bigint").as("lr"),
+            round(log(col("f").cast("double")) * lit(1e6)).cast("bigint").as("lf"))
+        graft.operators.FeatureEng.trendSlope(ranked, "source", "lr", "lf")
+          .orderBy(col("grp"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |f AS (SELECT source, t, count(*) AS f FROM tok GROUP BY 1, 2),
+             |r AS (SELECT source,
+             |    CAST(round(ln(CAST(row_number() OVER
+             |      (PARTITION BY source ORDER BY f DESC, t) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             |  FROM f),
+             |m AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+             |  FROM r GROUP BY 1),
+             |ff AS (SELECT *, n * sxx - sx * sx AS den FROM m)
+             |SELECT grp, n,
+             |  CAST(CASE WHEN den = 0 THEN 1 ELSE 0 END AS BIGINT) AS degenerate,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (n * sxy - sx * sy)) // den
+             |    END AS BIGINT) AS slope_micro,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (sy * sxx - sx * sxy)) // den
+             |    END AS BIGINT) AS intercept_micro
+             |FROM ff ORDER BY grp""".stripMargin),
+      "Zipf slope per source: OLS over (ln rank, ln freq) of the token " +
+        "frequency table in micro-nats — natural text reads ~ -1e6, template " +
+        "spam flattens toward 0; a corpus-health fingerprint composed from the " +
+        "rank window + the exact-integer trendSlope, no new operator code"))
 }

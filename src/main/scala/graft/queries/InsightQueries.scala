@@ -588,6 +588,29 @@ object InsightQueries {
              |FROM s0 LEFT JOIN s1 USING (u, sid) LEFT JOIN s2 USING (u, sid)
              |ORDER BY user_id, session""".stripMargin),
       "sessionized funnel: gap-based session ids (6h) composed with the ordered funnel " +
-        "per (user, session) — within-visit conversion, the product-analytics report shape")
+        "per (user, session) — within-visit conversion, the product-analytics report shape"),
+
+    // --------------------------------------- inter-arrival burstiness
+    "q190_burstiness" -> Q(
+      (s, dir) =>
+        graft.operators.EventAnalytics.interArrivalStats(
+            Tables.events(s, dir), "user_id", "ts", "event_id")
+          .orderBy(col("u")),
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_id AS id FROM events),
+             |g AS (SELECT u, tsu - lag(tsu) OVER
+             |    (PARTITION BY u ORDER BY tsu, id) AS d FROM e),
+             |a AS (SELECT u, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    sum(d::HUGEINT) AS sd, sum(d::HUGEINT * d) AS sdd
+             |  FROM g WHERE d IS NOT NULL GROUP BY 1)
+             |SELECT u, n_gaps, CAST(sd // n_gaps AS BIGINT) AS mean_gap_us,
+             |  CAST(CASE WHEN sd = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * (n_gaps * sdd - sd * sd)) // (sd * sd)
+             |    END AS BIGINT) AS cv2_ppm
+             |FROM a ORDER BY u""".stripMargin),
+      "per-user inter-arrival burstiness: mean gap + squared coefficient of " +
+        "variation of consecutive event gaps (exact integers; Poisson ~ 1e6, " +
+        "metronomic bot << 1e6, bursty scraper >> 1e6) — the bot screen before " +
+        "user events feed training; one user-keyed lag window + one reduce")
   )
 }

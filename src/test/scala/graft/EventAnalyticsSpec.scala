@@ -360,4 +360,26 @@ class EventAnalyticsSpec extends SparkSpec {
       }
     } finally tagged.unpersist(blocking = false)
   }
+
+  test("interArrivalStats: metronome reads cv2=0, burst inflates it, " +
+      "singletons vanish, simultaneous events hit the sentinel") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // metronome: gaps 10s,10s,10s -> var 0 -> cv2 0
+    // burst: gaps 1s, 1s, 28s: mean 10s, cv2 = (3*(1+1+784)-900)/900 e6
+    val rows = Seq(
+      (1L, 0L), (1L, 10000000L), (1L, 20000000L), (1L, 30000000L),
+      (2L, 0L), (2L, 1000000L), (2L, 2000000L), (2L, 30000000L),
+      (3L, 5000000L),                       // single event -> no row
+      (4L, 7000000L), (4L, 7000000L))       // same instant -> sd=0 sentinel
+      .zipWithIndex.map { case ((u, t), i) => (u, ts(t), i.toLong) }
+    val got = EventAnalytics.interArrivalStats(
+        rows.toDF("user_id", "ts", "event_id"), "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 10000000L, 0L)))
+    val expected2 = 1000000L * (3L * (1L + 1L + 784L) - 900L) / 900L
+    assert(got(2L) === ((3L, 10000000L, expected2)))
+    assert(!got.contains(3L))
+    assert(got(4L)._3 === -1L)
+  }
 }
