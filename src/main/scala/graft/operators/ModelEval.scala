@@ -840,22 +840,35 @@ object ModelEval {
     val bit = (c: String, n: String) =>
       when(col(c).cast("bigint").isin(0L, 1L), col(c).cast("bigint"))
         .otherwise(raise_error(lit(s"fairnessGaps: $n must be 0/1")))
-    val stats = df.select(col(protectedCol).as("grp"),
-        bit(labelCol, "label").as("y"), bit(predCol, "pred").as("p"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("p")).as("n_sel"),
-        sum(col("y")).as("n_pos"),
-        sum(col("y") * col("p")).as("n_tp"),
-        sum((lit(1L) - col("y")) * col("p")).as("n_fp"))
-      .select(col("grp"), col("n"),
+    fairnessFromCounts(
+      df.select(col(protectedCol).as("grp"),
+          bit(labelCol, "label").as("y"), bit(predCol, "pred").as("p"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).as("n_sel"),
+          sum(col("y")).as("n_pos"),
+          sum(col("y") * col("p")).as("n_tp"),
+          sum((lit(1L) - col("y")) * col("p")).as("n_fp")),
+      scope = Seq.empty)
+  }
+
+  /** The [[fairnessGaps]] REDUCTION from per-cohort confusion counts
+    * `(grp, n, n_sel, n_pos, n_tp, n_fp)` — shared by the batch audit
+    * and `graft.streaming.StreamingFairness` (whose windowed counts
+    * reduce per closed window with `scope = Seq("win_start_us")`), so
+    * batch and stream cannot diverge. Gap maxima are taken WITHIN each
+    * scope; sentinel cohorts stay out of the max.
+    */
+  def fairnessFromCounts(
+      counts: DataFrame, scope: Seq[String]): DataFrame = {
+    val all = Window.partitionBy(scope.map(col): _*)
+    counts
+      .select(scope.map(col) ++ Seq(col("grp"), col("n"),
         expr("(1000000 * n_sel) DIV n").as("sel_ppm"),
         when(col("n_pos") === 0, lit(-1L))
           .otherwise(expr("(1000000 * n_tp) DIV n_pos")).as("tpr_ppm"),
         when(col("n") - col("n_pos") === 0, lit(-1L))
-          .otherwise(expr("(1000000 * n_fp) DIV (n - n_pos)")).as("fpr_ppm"))
-    val all = Window.partitionBy()
-    stats
+          .otherwise(expr("(1000000 * n_fp) DIV (n - n_pos)")).as("fpr_ppm")): _*)
       .withColumn("sel_gap_ppm", max(col("sel_ppm")).over(all) - col("sel_ppm"))
       .withColumn("tpr_gap_ppm",
         when(col("tpr_ppm") === -1L, lit(-1L))
