@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-preserving release transforms for training corpora — the
@@ -89,5 +89,62 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("diverse", (col("n_sensitive") >= l).cast("bigint"))
+  }
+
+  /** T-CLOSENESS audit — the third rung of the disclosure-control ladder
+    * ([[kAnonymize]] stops re-identification, [[lDiversityAudit]] stops
+    * homogeneity, t-closeness stops SKEWNESS: a class can hold l distinct
+    * sensitive values yet still leak — "90% of this class has condition
+    * X" when the population rate is 1%). Per quasi class, the total-
+    * variation distance between the class's sensitive-value distribution
+    * and the GLOBAL one, exact integers (the q159 closure trick — values
+    * absent from the class contribute their full global mass without a
+    * classes × values grid):
+    *
+    *   TV_c = (Σ_{v∈c} |n_cv·N − n_v·N_c| + (N − covered_c)·N_c)
+    *          / (2·N_c·N)
+    *
+    * `tv_ppm` is the DIV-truncated ratio; the `close` flag uses the
+    * EXACT clear-denominator gate `num·10⁶ ≤ tPpm·2·N_c·N` (a truncated
+    * ppm could mis-flag a class sitting exactly on the threshold).
+    *
+    * Scale shape: one (quasi, value) aggregation with map-side combine,
+    * one value-keyed join against the values-bounded global table, one
+    * per-class reduce, a broadcast 1-row total — nothing is ever
+    * classes × values.
+    */
+  def tClosenessAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    require(tPpm >= 1 && tPpm <= 1000000L, "tPpm in [1, 1e6]")
+    val qs = quasiCols.map(col)
+    val base = df.select(qs :+ col(sensitiveCol).as("__v"): _*)
+    val cells = base.groupBy(qs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("n_cv"))
+    val glob = base.groupBy(col("__v")).agg(count(lit(1)).as("n_v"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val nc = cells.groupBy(qs: _*).agg(sum(col("n_cv")).as("n_c"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    cells.join(glob, Seq("__v"))
+      .join(nc, quasiCols)
+      .crossJoin(broadcast(tot))
+      .withColumn("dv",
+        abs(d(col("n_cv")) * d(col("n")) - d(col("n_v")) * d(col("n_c"))))
+      .groupBy(qs: _*)
+      .agg(max(col("n_c")).as("n_rows"), max(col("n")).as("n"),
+        sum(col("dv")).as("present"), sum(col("n_v")).as("covered"))
+      .withColumn("num",
+        col("present") + (d(col("n")) - d(col("covered"))) * d(col("n_rows")))
+      .select(qs ++ Seq(col("n_rows"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * num)
+               | DIV (CAST(2 AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0))
+               |      * CAST(n AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("tv_ppm"),
+        (col("num") * lit(1000000L)
+          <= d(lit(tPpm)) * lit(2L) * d(col("n_rows")) * d(col("n")))
+          .cast("bigint").as("close")): _*)
   }
 }

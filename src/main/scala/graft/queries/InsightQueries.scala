@@ -533,6 +533,47 @@ object InsightQueries {
       "distinct-l-diversity audit (l=3) per generalized quasi class: the attribute-" +
         "disclosure gate applied after k-anonymity — one shuffle, class-bounded output"),
 
+    // ---------------------------------------------------- t-closeness
+    "q191_t_closeness" -> Q(
+      (s, dir) =>
+        graft.operators.Privacy.tClosenessAudit(
+            Tables.events(s, dir)
+              .withColumn("tsu", unix_micros(col("ts")))
+              .withColumn("ublock", expr("user_id DIV 100"))
+              .withColumn("daypart", expr("((tsu DIV 3600000000) % 24) DIV 6")),
+            Seq("ublock", "daypart"), "event_type", tPpm = 200000L)
+          .orderBy(col("ublock"), col("daypart")),
+      Some("""WITH e AS (
+             |  SELECT user_id // 100 AS ublock,
+             |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 6 AS daypart,
+             |    event_type AS v
+             |  FROM events),
+             |cells AS (SELECT ublock, daypart, v, count(*) AS n_cv
+             |  FROM e GROUP BY 1, 2, 3),
+             |gv AS (SELECT v, count(*) AS n_v FROM e GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM e),
+             |nc AS (SELECT ublock, daypart, sum(n_cv) AS n_c
+             |  FROM cells GROUP BY 1, 2),
+             |j AS (SELECT cells.ublock, cells.daypart,
+             |    abs(n_cv::HUGEINT * n - n_v::HUGEINT * n_c) AS dv, n_v, n_c, n
+             |  FROM cells JOIN gv USING (v)
+             |  JOIN nc ON nc.ublock = cells.ublock AND nc.daypart = cells.daypart
+             |  CROSS JOIN tot),
+             |a AS (SELECT ublock, daypart, max(n_c) AS n_rows, max(n) AS n,
+             |    sum(dv) AS present, sum(n_v) AS covered
+             |  FROM j GROUP BY 1, 2),
+             |f AS (SELECT *, present + (n::HUGEINT - covered) * n_rows AS num FROM a)
+             |SELECT ublock, daypart, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST((1000000::HUGEINT * num) // (2::HUGEINT * n_rows * n) AS BIGINT) AS tv_ppm,
+             |  CAST(CASE WHEN num * 1000000 <= 200000::HUGEINT * 2 * n_rows * n
+             |    THEN 1 ELSE 0 END AS BIGINT) AS close
+             |FROM f ORDER BY ublock, daypart""".stripMargin),
+      "t-closeness audit (t=0.2) per generalized quasi class: exact-integer TV " +
+        "between the class's sensitive distribution and the global one (q159 " +
+        "closure trick — no classes x values grid), exact clear-denominator " +
+        "threshold gate — the skewness-disclosure rung after k-anonymity and " +
+        "l-diversity"),
+
     // -------------------------------------------------- sessionized funnel
     "q122_session_funnel" -> Q(
       (s, dir) => {

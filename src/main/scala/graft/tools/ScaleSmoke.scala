@@ -45,7 +45,14 @@ object ScaleSmoke {
       // the whole signal. q160: the frequency multiset replicates 10x, so
       // Gini matches to the (n+1)/n finite-sample term (~1e2 ppm here);
       // rows stay |sources|
-      "q159_source_tv_drift", "q160_token_gini")
+      "q159_source_tv_drift", "q160_token_gini",
+      // continuation additions on the same salted-document corpus:
+      // q171 containment pairs scale exactly 10x (same edge-preservation
+      // argument as q31); q177 novelty rows scale 10x with per-replica
+      // values bit-identical (cross-replica shingles are disjoint, so
+      // first-occurrence structure is per-replica); q183 keep-best
+      // components scale 10x (q39's argument with the score key)
+      "q171_containment", "q177_shingle_novelty", "q183_keep_best")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -77,4 +77,30 @@ class PrivacySpec extends SparkSpec {
       assert(got(id) === want, s"row $id (q=$q)")
     }
   }
+
+  test("tClosenessAudit: skewed class fails where a diverse one passes, " +
+      "hand-computed TV, global-mirror class reads 0") {
+    // global is UNIFORM by construction (C and D mirror each other):
+    // v1 = 6+5+1 = 12, v2 = 6+1+5 = 12, N = 24. Class A (6+6) mirrors
+    // the global exactly -> TV = 0; classes C (5 v1, 1 v2) and D are
+    // both 2-diverse yet SKEWED vs global — the leak l-diversity misses
+    // and t-closeness exists to catch.
+    val rows =
+      (1 to 6).map(i => ("A", "v1", i.toLong)) ++
+        (1 to 6).map(i => ("A", "v2", 100L + i)) ++
+        (1 to 5).map(i => ("C", "v1", 300L + i)) :+ (("C", "v2", 306L)) :+
+        (("D", "v1", 401L)) appendedAll (2 to 6).map(i => ("D", "v2", 400L + i))
+    val df = rows.toDF("q", "v", "id")
+    val got = Privacy.tClosenessAudit(df, Seq("q"), "v", tPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((12L, 0L, 1L)))
+    // C: (|5*24-12*6| + |1*24-12*6|) / (2*6*24) = 96/288 = 1/3 -> 333333
+    assert(got("C") === ((6L, 333333L, 0L)))
+    assert(got("D") === ((6L, 333333L, 0L)))
+    // C passes l-diversity at l=2 but fails t-closeness — the skew leak
+    val ldiv = Privacy.lDiversityAudit(df, Seq("q"), "v", l = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ldiv("C") === 1L && got("C")._3 === 0L)
+  }
 }
