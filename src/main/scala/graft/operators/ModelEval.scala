@@ -734,23 +734,39 @@ object ModelEval {
         col(labelCol).cast("bigint").as("y"))
       .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
         .otherwise(raise_error(lit("thresholdForPrecision: label must be 0/1"))))
-    val perScore = labeled.groupBy(col("grp"), col("sm"))
-      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
-    val wDesc = Window.partitionBy(col("grp")).orderBy(col("sm").desc)
+    thresholdFromScoreCounts(
+      labeled.groupBy(col("grp"), col("sm"))
+        .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt")),
+      targetPpm, scope = Seq.empty)
+  }
+
+  /** The [[thresholdForPrecision]] REDUCTION from per-(group, distinct
+    * micro score) counts `(grp, sm, pos, cnt)` — shared by the batch
+    * selector and `graft.streaming.StreamingThreshold` (whose windowed
+    * counts reduce per closed window with `scope = Seq("win_start_us")`),
+    * so batch and stream cannot diverge. Prefix sums and the qualifying
+    * minimum are taken WITHIN each scope.
+    */
+  def thresholdFromScoreCounts(
+      counts: DataFrame, targetPpm: Long, scope: Seq[String]): DataFrame = {
+    require(targetPpm >= 1 && targetPpm <= 1000000L,
+      "thresholdFromScoreCounts: targetPpm in [1, 1e6]")
+    val keys = scope.map(col) :+ col("grp")
+    val wDesc = Window.partitionBy(keys: _*).orderBy(col("sm").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perScore
+    counts
       .withColumn("tp_cum", sum(col("pos")).over(wDesc))
       .withColumn("kept_cum", sum(col("cnt")).over(wDesc))
       .withColumn("ok",
         lit(1000000L) * col("tp_cum") >= lit(targetPpm) * col("kept_cum"))
-      .groupBy(col("grp"))
+      .groupBy(keys: _*)
       .agg(sum(col("pos")).as("n_pos"), sum(col("cnt")).as("n"),
         min(when(col("ok"), col("sm"))).as("threshold_micro"),
         // kept_cum strictly grows as the cutoff lowers, so the max struct
         // IS the stats row of the lowest qualifying cutoff
         max(when(col("ok"), struct(col("kept_cum"), col("tp_cum")))).as("best")
       )
-      .select(col("grp"), col("n"), col("n_pos"),
+      .select(scope.map(col) ++ Seq(col("grp"), col("n"), col("n_pos"),
         coalesce(col("threshold_micro"), lit(-1L)).as("threshold_micro"),
         when(col("threshold_micro").isNull, lit(-1L))
           .otherwise(expr("(1000000 * best.tp_cum) DIV best.kept_cum"))
@@ -759,7 +775,7 @@ object ModelEval {
           .otherwise(when(col("n_pos") === 0, lit(-1L))
             .otherwise(expr("(1000000 * best.tp_cum) DIV n_pos")))
           .as("recall_ppm"),
-        coalesce(col("best.kept_cum"), lit(0L)).as("n_kept"))
+        coalesce(col("best.kept_cum"), lit(0L)).as("n_kept")): _*)
   }
 
   /** NORMALIZED MUTUAL INFORMATION between a cluster assignment and a
