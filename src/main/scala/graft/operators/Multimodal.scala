@@ -60,6 +60,74 @@ object Multimodal {
       .select(col(idCol), col("frame_idx").cast("bigint").as("frame_idx"), col("frame"))
   }
 
+  /** PERCEPTUAL HASH (dHash) of an image payload — the standard
+    * duplicate-image fingerprint: resize to an 8×8 grayscale grid, set
+    * bit `7r+c` iff pixel(r,c) > pixel(r,c+1) — 56 gradient bits, robust
+    * (with a real decoder) to rescaling/recompression. The PIXELS here
+    * come from the documented STUB decode: a 4-link md5 chain of the
+    * payload yields 64 deterministic bytes standing in for the resized
+    * grid — engine-portable, so the full hash replays in SQL. With the
+    * stub, only EXACT payload duplicates land at Hamming 0 (md5
+    * avalanche destroys locality); with a real decoder the same
+    * operator catches near-identical images at small Hamming — only the
+    * pixel-source expression changes.
+    *
+    * 56 bits keeps the hash in a non-negative long (no sign games in
+    * portable SQL). Map-only, codegen'd.
+    */
+  def dhashBits(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val h0 = md5(col(payloadCol))
+    val chain = concat((0 until 4).map(i =>
+      md5(concat(h0, lit(s":$i")))): _*)
+    val withChain = df.withColumn("__ch", chain)
+    val px = (j: Int) =>
+      conv(substring(col("__ch"), 2 * j + 1, 2), 16, 10).cast("long")
+    val bits = (for (r <- 0 until 8; c <- 0 until 7) yield {
+      val k = 7 * r + c
+      when(px(8 * r + c) > px(8 * r + c + 1), lit(1L << k)).otherwise(lit(0L))
+    }).reduce(_ + _)
+    withChain
+      .select(col(idCol).cast("bigint").as("doc"), bits.as("dhash"))
+  }
+
+  /** Duplicate-image pairs by dHash Hamming distance, banded: the
+    * 56-bit hash splits into `bands` equal slices and candidate pairs
+    * agree on at least one slice — the [[graft.operators.Dedup]] SimHash
+    * pigeonhole, EXACT for `maxHamming <= bands − 1` (a pair within that
+    * distance cannot differ in every band), so the banding is a pure
+    * pruning step and the oracle can be brute force. Verification is one
+    * codegen'd `bit_count(xor)` per candidate.
+    *
+    * Scale shape: per-image fan-out = `bands` rows, band-keyed self-join
+    * (identical template renders collide; unrelated images spread over
+    * 2^14-value band keys), exact verify on the |candidates| set — no
+    * all-pairs anywhere.
+    */
+  def dhashNearDups(
+      df: DataFrame, idCol: String, payloadCol: String = "payload",
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 56 % bands == 0, "bands must divide 56")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      "dhashNearDups: maxHamming <= bands - 1 (the pigeonhole guarantee)")
+    val width = 56 / bands
+    val hashes = dhashBits(df, idCol, payloadCol)
+    val banded = hashes.select(col("doc"), col("dhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(dhash, band * $width) & ${(1L << width) - 1}L"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** STUB feature extraction over decoded frames: a deterministic 8-dim
     * "embedding" per frame, dimension i = (3 md5 hex chars of the frame,
     * offset 3i) mod 1000 / 1000 — md5-derived so any engine reproduces the

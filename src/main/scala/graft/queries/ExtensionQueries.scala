@@ -1179,5 +1179,50 @@ object ExtensionQueries {
       "Zipf slope per source: OLS over (ln rank, ln freq) of the token " +
         "frequency table in micro-nats — natural text reads ~ -1e6, template " +
         "spam flattens toward 0; a corpus-health fingerprint composed from the " +
-        "rank window + the exact-integer trendSlope, no new operator code"))
+        "rank window + the exact-integer trendSlope, no new operator code"),
+
+    // ------------------------------------- multimodal: dHash image dedup
+    "q192_image_dhash" -> Q(
+      (s, dir) => {
+        // synthetic "thumbnails": each doc's payload is the render of its
+        // 3-token template prefix — docs sharing a header collide at
+        // Hamming 0, the exact-duplicate-image case the md5-avalanche
+        // stub can exercise (a real decoder makes small Hamming
+        // meaningful; only the pixel source changes)
+        val imgs = Tables.table(s, dir, "documents")
+          .withColumn("pfx", array_join(
+            slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3), " "))
+          .withColumn("payload", encode(col("pfx"), "UTF-8"))
+        Multimodal.dhashNearDups(imgs, "doc_id", "payload",
+            maxHamming = 3, bands = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      // the banding is pigeonhole-EXACT for hamming <= bands-1, so the
+      // oracle is the brute-force pair scan over the replayed hash
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |p AS (SELECT doc_id, array_to_string(w[1:3], ' ') AS pfx FROM toks),
+             |h AS (SELECT doc_id, md5(pfx) AS h0 FROM p),
+             |c AS (SELECT doc_id,
+             |    md5(h0 || ':0') || md5(h0 || ':1') || md5(h0 || ':2') || md5(h0 || ':3') AS ch
+             |  FROM h),
+             |px AS (SELECT doc_id, list_transform(generate_series(0, 63), j ->
+             |    (strpos('0123456789abcdef', substring(ch, 2 * j + 1, 1)) - 1) * 16
+             |    + strpos('0123456789abcdef', substring(ch, 2 * j + 2, 1)) - 1) AS px
+             |  FROM c),
+             |d AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 55), k ->
+             |    CASE WHEN px[(k // 7) * 8 + (k % 7) + 1] > px[(k // 7) * 8 + (k % 7) + 2]
+             |         THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS dhash
+             |  FROM px)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM d a JOIN d b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin),
+      "duplicate-image detection by 56-bit perceptual dHash over the stubbed " +
+        "decode (4-link md5 pixel chain replayed in SQL), 4-band pigeonhole " +
+        "candidates + exact bit_count verify — banding is EXACT for " +
+        "hamming <= 3, so the oracle brute-forces; with a real decoder only " +
+        "the pixel-source expression changes"))
 }
