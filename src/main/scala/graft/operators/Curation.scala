@@ -675,6 +675,48 @@ object Curation {
     * Zero- or negative-token documents fail loudly — they would
     * silently corrupt every later offset in their shard.
     */
+  /** SLIDING-WINDOW document chunking — the retrieval/indexing splitter
+    * next to [[packSequences]]'s training packer: each document cuts
+    * into windows of `chunkLen` tokens advancing by `stride`
+    * (`stride < chunkLen` ⇒ overlap, so a fact straddling a boundary
+    * appears whole in SOME chunk — the property retrieval needs and
+    * plain splitting loses). Output: one row per chunk —
+    * `(doc, chunk_idx, tok_start, n_tok, chunk_text)` with token-exact
+    * offsets and the chunk text rebuilt by joining the window's tokens.
+    *
+    * Chunk count per doc: `1 + ceil(max(0, n − chunkLen)/stride)` — the
+    * final window is allowed to be short rather than dropping tail
+    * tokens (a truncating splitter silently loses up to chunkLen−1
+    * tokens per doc, which on a billion documents is a corpus).
+    *
+    * Scale shape: map-only — tokens staged once per row, a bounded
+    * `sequence` explode per doc (fan-out = chunk count, linear in doc
+    * length), `slice` + `array_join` per chunk. No shuffle anywhere.
+    */
+  def chunkDocuments(
+      docs: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1, "chunkDocuments: chunkLen >= 1")
+    require(stride >= 1 && stride <= chunkLen,
+      "chunkDocuments: stride in [1, chunkLen] (gaps would drop tokens)")
+    docs.select(col(idCol).cast("bigint").as("doc"),
+        T.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        expr(s"CAST((greatest(__n - $chunkLen, 0) + ${stride - 1}) DIV $stride AS INT)"))))
+      .withColumn("tok_start", col("chunk_idx") * lit(stride))
+      // safety net: with stride <= chunkLen the ceil bound provably keeps
+      // every start inside the doc, but an empty window must never leak
+      .filter(col("tok_start") < col("__n"))
+      .select(col("doc"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("tok_start").cast("bigint").as("tok_start"),
+        least(lit(chunkLen), col("__n") - col("tok_start")).cast("bigint")
+          .as("n_tok"),
+        array_join(slice(col("__t"), col("tok_start") + 1, lit(chunkLen)), " ")
+          .as("chunk_text"))
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, tokensCol: String,
       contextLen: Long, nShards: Int = 64): DataFrame = {

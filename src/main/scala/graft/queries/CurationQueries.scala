@@ -447,6 +447,30 @@ object CurationQueries {
              |SELECT doc, grp, rk FROM r WHERE rk <= 5 ORDER BY grp, rk""".stripMargin),
       "deterministic per-group k-sample: smallest md5(id) per group (stateless reservoir equivalent)"),
 
+    "q193_chunk_overlap" -> Q(
+      (s, dir) =>
+        Curation.chunkDocuments(Tables.table(s, dir, "documents"),
+            "text", "doc_id", chunkLen = 64, stride = 16)
+          .orderBy(col("doc"), col("chunk_idx")),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |nn AS (SELECT doc, w, len(w) AS n FROM toks WHERE len(w) > 0),
+             |x AS (SELECT doc, w, n,
+             |    unnest(generate_series(0, (greatest(n - 64, 0) + 15) // 16)) AS chunk_idx
+             |  FROM nn),
+             |f AS (SELECT doc, chunk_idx, chunk_idx * 16 AS tok_start, n, w
+             |  FROM x WHERE chunk_idx * 16 < n)
+             |SELECT CAST(doc AS BIGINT) AS doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(tok_start AS BIGINT) AS tok_start,
+             |  CAST(least(64, n - tok_start) AS BIGINT) AS n_tok,
+             |  array_to_string(w[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+             |FROM f ORDER BY doc, chunk_idx""".stripMargin),
+      "sliding-window chunking (64 tokens, stride 16 -> 48-token overlap) with " +
+        "token-exact offsets and short final windows kept — the retrieval/RAG " +
+        "splitter whose overlap keeps boundary-straddling facts whole in some " +
+        "chunk; map-only, bounded per-doc explode, no shuffle"),
+
     "q141_pack_sequences" -> Q(
       (s, dir) =>
         Curation.packSequences(

@@ -537,4 +537,36 @@ class CurationSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("total exceeds corpus rows")),
       msgs(ex).mkString("; "))
   }
+
+  test("chunkDocuments: hand case, full coverage, exact overlap, " +
+      "stride=chunkLen partitions, guard") {
+    import spark.implicits._
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text10), (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(d, "text", "doc_id", chunkLen = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: starts 0,2,4,6 — windows of 4, tail window full
+    assert(got.keySet.count(_._1 == 1L) === 4)
+    assert(got((1L, 0L)) === ((0L, 4L, "t1 t2 t3 t4")))
+    assert(got((1L, 1L)) === ((2L, 4L, "t3 t4 t5 t6")))
+    assert(got((1L, 3L)) === ((6L, 4L, "t7 t8 t9 t10")))
+    // short doc: one short chunk
+    assert(got((2L, 0L)) === ((0L, 2L, "a b")))
+    // consecutive chunks overlap by chunkLen - stride = 2 tokens
+    assert(got((1L, 0L))._3.split(" ").takeRight(2).toSeq ===
+      got((1L, 1L))._3.split(" ").take(2).toSeq)
+    // every token of doc 1 appears in some chunk
+    val covered = got.collect { case ((1L, _), (_, _, t)) => t.split(" ") }
+      .flatten.toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+    // stride == chunkLen: exact partition, no overlap, tail kept short
+    val part = Curation.chunkDocuments(d.filter(col("doc_id") === 1L),
+        "text", "doc_id", chunkLen = 4, stride = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted
+    assert(part === Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(d, "text", "doc_id", chunkLen = 4, stride = 5)
+    }
+  }
 }
