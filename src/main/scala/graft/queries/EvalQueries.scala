@@ -1012,6 +1012,59 @@ object EvalQueries {
         "point model for value): exact conformal rank ceil((n+1)(1-alpha)) " +
         "over md5-gated calibration residuals, plus the EMPIRICAL held-out " +
         "coverage — distribution-free uncertainty with its own honesty check; " +
-        "one calibration rank window + one broadcast join")
+        "one calibration rank window + one broadcast join"),
+
+    // ------------------------------------- matryoshka truncation eval
+    "q194_matryoshka_recall" -> Q(
+      (s, dir) => {
+        // how much neighbor recall survives truncating the embedding to
+        // its first 16 dims? — the matryoshka/compressed-index planning
+        // number (truncate -> 4x memory traffic saved iff recall holds);
+        // pure composition: brute force at both dims + the recall grader
+        val emb = Tables.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "embedding", "vec_id", k = 10)
+        val tq = queries.withColumn("emb16", slice(col("embedding"), 1, 16))
+        val tc = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+        val approx = graft.operators.Similarity.bruteForceTopK(
+          tq, tc, "emb16", "vec_id", k = 10)
+        ModelEval.annRecallAtK(approx, exact, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sx AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, e.v) /
+             |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+             |  FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id),
+             |rx AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sx),
+             |gt AS (SELECT query_id, neighbor_id FROM rx WHERE rank <= 10),
+             |t AS (SELECT vec_id, v[1:16] AS v FROM e),
+             |st AS (
+             |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             |    list_dot_product(q.v, t.v) /
+             |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v))) AS cos
+             |  FROM t CROSS JOIN (SELECT * FROM t WHERE vec_id < 5) q
+             |  WHERE t.vec_id <> q.vec_id),
+             |rt AS (SELECT *, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM st),
+             |ap AS (SELECT query_id, neighbor_id FROM rt WHERE rank <= 10),
+             |hits AS (SELECT gt.query_id, CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM gt JOIN ap ON ap.query_id = gt.query_id
+             |    AND ap.neighbor_id = gt.neighbor_id
+             |  GROUP BY 1),
+             |tt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+             |  FROM gt GROUP BY 1)
+             |SELECT tt.query_id, n_true, COALESCE(n_hit, 0) AS n_hit,
+             |  CAST((1000000 * COALESCE(n_hit, 0)) // n_true AS BIGINT) AS recall_ppm
+             |FROM tt LEFT JOIN hits USING (query_id)
+             |ORDER BY tt.query_id""".stripMargin),
+      "matryoshka truncation audit: neighbor recall@10 of the FIRST-16-DIM " +
+        "embedding against the full-dim ground truth — the keep-how-many-dims " +
+        "planning number for compressed indexes; pure composition of the " +
+        "brute-force scorer at two dims and the recall grader")
   )
 }
