@@ -127,6 +127,45 @@ object TextClassify {
       .select(col("did"), col("best.cand").as("predicted"))
   }
 
+  /** [[naiveBayesApply]] with the CONFIDENCE MARGIN: per document, the
+    * winning class plus `margin_micro` = best score − runner-up score
+    * (≥ 0, exact integer — scores are integer sums). The margin is the
+    * cascade-routing signal: a corpus router sends low-margin documents
+    * to the expensive model and keeps high-margin ones on the cheap
+    * path, so the margin distribution decides the cascade's cost.
+    * Single-class models emit margin 2^62 (infinitely confident by
+    * construction — nothing to be confused with).
+    *
+    * Same plan as [[naiveBayesApply]] except the final argmax aggregates
+    * the TWO smallest (-score, cand) structs via a sorted slice of the
+    * |classes|-bounded collected list — still one aggregation, no
+    * window sort.
+    */
+  def naiveBayesApplyWithMargin(
+      model: NbModel, docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("bigint").as("did"),
+      T.tokens(col(textCol)).as("toks"))
+    val ts = base.select(col("did"), explode(col("toks")).as("t"))
+      .join(model.grid, Seq("t"))
+      .groupBy(col("did"), col("y"))
+      .agg(sum(col("w")).as("s"))
+      .select(col("did"), col("y").as("cand"), col("s"))
+    base.select(col("did"), explode(typedLit(model.priors)).as("pp"))
+      .select(col("did"), col("pp._1").as("cand"), col("pp._2").as("pw"))
+      .join(ts, Seq("did", "cand"), "left")
+      .select(col("did"), col("cand"),
+        (col("pw") + coalesce(col("s"), lit(0L))).as("score"))
+      .groupBy(col("did"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("cand")))), 1, 2).as("top2"))
+      .select(col("did"), col("top2").getItem(0).getField("cand").as("predicted"),
+        when(size(col("top2")) < 2, lit(1L << 62))
+          .otherwise(col("top2").getItem(1).getField("ns")
+            - col("top2").getItem(0).getField("ns"))
+          .as("margin_micro"))
+  }
+
   /** The eval loop: md5-hash-gated train/test split (the
     * `DataPrep.hashSplit` convention, same gate as
     * `nearestCentroidClassify`), [[naiveBayesTrain]] on the train side,

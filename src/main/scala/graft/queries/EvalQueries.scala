@@ -1065,6 +1065,80 @@ object EvalQueries {
       "matryoshka truncation audit: neighbor recall@10 of the FIRST-16-DIM " +
         "embedding against the full-dim ground truth — the keep-how-many-dims " +
         "planning number for compressed indexes; pure composition of the " +
-        "brute-force scorer at two dims and the recall grader")
+        "brute-force scorer at two dims and the recall grader"),
+
+    // --------------------------------------- cascade routing audit
+    "q195_route_margins" -> Q(
+      (s, dir) => {
+        // NB trained on the full corpus, served back with confidence
+        // margins; per predicted class: volume, low-margin escalation
+        // fraction (margin < 5 nats -> the expensive model), and the
+        // rank-median margin — the numbers that price a model cascade
+        val docs = Tables.table(s, dir, "documents")
+        val model = graft.operators.TextClassify.naiveBayesTrain(
+          docs, "text", "doc_id", "lang")
+        val scored = graft.operators.TextClassify.naiveBayesApplyWithMargin(
+          model, docs, "text", "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("predicted"))
+        val wr = w.orderBy(col("margin_micro"), col("did"))
+        scored
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wr))
+          .groupBy(col("predicted"))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("margin_micro") < 5000000L, 1L).otherwise(0L))
+              .as("n_escalate"),
+            min(when(lit(2L) * col("rn") >= col("n"), col("margin_micro")))
+              .as("med_margin_micro"))
+          .select(col("predicted"), col("n"),
+            col("n_escalate"),
+            expr("(1000000 * n_escalate) DIV n").as("escalate_ppm"),
+            col("med_margin_micro"))
+          .orderBy(col("predicted"))
+      },
+      // q170's training CTEs WITHOUT the split (trained and served on the
+      // full corpus), margins from the per-doc top-2 ranks, then the
+      // q81-convention rank median per predicted class
+      Some("""WITH d AS (SELECT doc_id AS did, lang AS y,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+             |  FROM documents),
+             |tok AS (SELECT did, y, unnest(toks) AS t FROM d),
+             |cnt AS (SELECT y, t, count(*) AS c FROM tok GROUP BY 1, 2),
+             |cls AS (SELECT y, count(*) AS nd FROM d GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM d),
+             |ny AS (SELECT y, sum(c) AS nt FROM cnt GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT t) AS v FROM cnt),
+             |prior AS (SELECT cls.y, ny.nt, voc.v,
+             |    CAST(round(ln(CAST(cls.nd AS DOUBLE) / tot.n) * 1e6) AS BIGINT) AS pw
+             |  FROM cls JOIN ny ON ny.y = cls.y CROSS JOIN tot CROSS JOIN voc),
+             |grid AS (SELECT prior.y, vt.t,
+             |    CAST(round(ln((COALESCE(cnt.c, 0) + 1.0) / (prior.nt + prior.v)) * 1e6) AS BIGINT) AS w
+             |  FROM (SELECT DISTINCT t FROM cnt) vt CROSS JOIN prior
+             |  LEFT JOIN cnt ON cnt.y = prior.y AND cnt.t = vt.t),
+             |ts AS (SELECT tok.did, grid.y AS cand, sum(grid.w) AS s
+             |  FROM tok JOIN grid ON grid.t = tok.t GROUP BY 1, 2),
+             |sc AS (SELECT d.did, prior.y AS cand,
+             |    prior.pw + COALESCE(ts.s, 0) AS score
+             |  FROM d CROSS JOIN prior
+             |  LEFT JOIN ts ON ts.did = d.did AND ts.cand = prior.y),
+             |pr AS (SELECT did, cand, score, row_number() OVER
+             |    (PARTITION BY did ORDER BY score DESC, cand) AS rn FROM sc),
+             |m AS (SELECT p1.did, p1.cand AS predicted,
+             |    CAST(p1.score - p2.score AS BIGINT) AS margin
+             |  FROM pr p1 JOIN pr p2 ON p2.did = p1.did AND p2.rn = 2
+             |  WHERE p1.rn = 1),
+             |r AS (SELECT *, count(*) OVER (PARTITION BY predicted) AS n,
+             |    row_number() OVER (PARTITION BY predicted ORDER BY margin, did) AS rn
+             |  FROM m)
+             |SELECT predicted, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN margin < 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_escalate,
+             |  CAST((1000000 * sum(CASE WHEN margin < 5000000 THEN 1 ELSE 0 END)) // max(n) AS BIGINT) AS escalate_ppm,
+             |  CAST(min(CASE WHEN 2 * rn >= n THEN margin END) AS BIGINT) AS med_margin_micro
+             |FROM r GROUP BY predicted ORDER BY predicted""".stripMargin),
+      "model-cascade routing audit: Naive Bayes confidence margins (best minus " +
+        "runner-up score, exact integers) per predicted language — volume, " +
+        "low-margin escalation fraction at 5 nats, rank-median margin; the " +
+        "numbers that price a cheap-model/expensive-model cascade")
   )
 }

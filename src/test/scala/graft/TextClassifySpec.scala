@@ -116,6 +116,32 @@ class TextClassifySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("naiveBayesApplyWithMargin: margin = best minus runner-up, agrees " +
+      "with apply's argmax; single-class model reads the infinite sentinel") {
+    val docs = Seq((10L, "big", "cc dd"), (11L, "big", "cc dd"),
+      (12L, "sml", "aa bb"), (13L, "sml", "aa bb"), (14L, "big", "cc ee"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextClassify.naiveBayesTrain(docs, "text", "doc_id", "lang")
+    val plain = TextClassify.naiveBayesApply(model, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = TextClassify.naiveBayesApplyWithMargin(model, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    m.foreach { case (id, (p, margin)) =>
+      assert(p === plain(id), s"doc $id argmax must agree with apply")
+      assert(margin >= 0L)
+    }
+    // clearly-separable docs carry strictly positive margins
+    assert(m(10L)._2 > 0L && m(12L)._2 > 0L)
+    // single-class model: the sentinel
+    val solo = TextClassify.naiveBayesTrain(
+      Seq((1L, "only", "x y")).toDF("doc_id", "lang", "text"),
+      "text", "doc_id", "lang")
+    val s1 = TextClassify.naiveBayesApplyWithMargin(solo,
+        Seq((9L, "x")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(s1.getString(1) === "only" && s1.getLong(2) === (1L << 62))
+  }
+
   test("naiveBayes: trainBps=10000 rejected (no held-out split)") {
     val e = intercept[IllegalArgumentException] {
       TextClassify.naiveBayesPredict(
