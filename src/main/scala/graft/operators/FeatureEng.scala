@@ -165,6 +165,47 @@ object FeatureEng {
       .agg(count(lit(1)).as("n_rows"), sum(col("tm")).as("s"))
       .select(col("cat"), expr("s DIV n_rows").as("mean_micro"), col("n_rows"))
 
+  /** A/B POWER ANALYSIS — the minimum detectable effect (MDE) for each
+    * metric at the CURRENT arm sizes: the planning number read BEFORE
+    * [[abTest]]'s verdict is trusted ("not significant" on an
+    * underpowered experiment is silence, not evidence). Two-proportion
+    * normal approximation:
+    *
+    *   MDE = (z_{α/2} + z_{power}) · √(p̂(1−p̂)·(1/n1 + 1/n2))
+    *
+    * with p̂ the pooled rate and the z quantiles passed as MICRO-integer
+    * literals (defaults 1959964 and 841621 — the 97.5% and 80% normal
+    * points; no inverse-CDF evaluation anywhere). The one √ follows the
+    * q167 convention: exact integer inputs, one fixed-order f64
+    * product+sqrt, round to ppm — last-ulp engine agreement. Also emits
+    * the observed |Δ| so "observed vs detectable" reads off one row.
+    *
+    * Scale shape: pure map over the per-metric count table (the
+    * [[abTest]] input shape — aggregation happened upstream).
+    */
+  def abPower(
+      metrics: DataFrame, metricCol: String,
+      x1Col: String, n1Col: String, x2Col: String, n2Col: String,
+      zAlphaMicro: Long = 1959964L, zPowerMicro: Long = 841621L): DataFrame = {
+    require(zAlphaMicro > 0 && zPowerMicro >= 0, "z quantiles must be positive")
+    val base = metrics.select(col(metricCol).as("metric"),
+      col(x1Col).cast("bigint").as("x1"), col(n1Col).cast("bigint").as("n1"),
+      col(x2Col).cast("bigint").as("x2"), col(n2Col).cast("bigint").as("n2"))
+    base
+      .withColumn("p_pool",
+        (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")))
+      .select(col("metric"), col("n1"), col("n2"),
+        expr("CAST((1000000 * x1) DIV n1 AS BIGINT)").as("rate1_ppm"),
+        expr("CAST((1000000 * x2) DIV n2 AS BIGINT)").as("rate2_ppm"),
+        round(abs(col("x1").cast("double") / col("n1")
+          - col("x2").cast("double") / col("n2")) * lit(1e6))
+          .cast("bigint").as("observed_delta_ppm"),
+        round(lit((zAlphaMicro + zPowerMicro) / 1e6)
+          * sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))) * lit(1e6))
+          .cast("bigint").as("mde_ppm"))
+  }
+
   /** STRATIFIED k-fold assignment — [[kFoldAssign]] balanced WITHIN each
     * stratum: plain `md5(id) % k` leaves small strata with lopsided
     * folds (a 7-row language in a 5-fold split can easily land 4 rows in

@@ -729,6 +729,55 @@ object FeatureQueries {
         "leak-resistant production form of q124; serves through the same " +
         "applyEncoding broadcast join, batch or streaming"),
 
+    // --------------------------------------------- A/B power analysis
+    "q196_ab_power" -> Q(
+      (s, dir) => {
+        // q140's md5-parity arms and per-metric counts, graded for POWER
+        // instead of significance: what effect size could this experiment
+        // even see?
+        val ev = Tables.events(s, dir)
+        val users = ev.select(col("user_id").as("u")).distinct()
+          .withColumn("arm",
+            conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10)
+              .cast("bigint") % 2)
+        val tot = users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"))
+        val hits = ev.select(col("event_type").as("metric"), col("user_id").as("u"))
+          .distinct()
+          .join(users, Seq("u"))
+          .groupBy(col("metric"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x2"))
+          .crossJoin(broadcast(tot))
+        FeatureEng.abPower(hits, "metric", "x1", "n1", "x2", "n2")
+          .orderBy(col("metric"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+              |ua AS (SELECT u, ${hex8("md5(CAST(u AS VARCHAR))")} % 2 AS arm FROM u),
+              |tot AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+              |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2 FROM ua),
+              |h AS (SELECT DISTINCT event_type AS metric, user_id AS u FROM events),
+              |hx AS (SELECT metric,
+              |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS x1,
+              |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS x2
+              |  FROM h JOIN ua USING (u) GROUP BY 1),
+              |j AS (SELECT metric, x1, x2, n1, n2,
+              |    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS p_pool
+              |  FROM hx CROSS JOIN tot)
+              |SELECT metric, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              |  CAST((1000000 * x1) // n1 AS BIGINT) AS rate1_ppm,
+              |  CAST((1000000 * x2) // n2 AS BIGINT) AS rate2_ppm,
+              |  CAST(round(abs(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) * 1e6) AS BIGINT) AS observed_delta_ppm,
+              |  CAST(round(2.801585 * sqrt(p_pool * (1.0 - p_pool)
+              |    * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT) AS mde_ppm
+              |FROM j ORDER BY metric""".stripMargin),
+      "A/B power analysis over the q140 arms: minimum detectable effect at " +
+        "80% power / 95% confidence (z quantiles as micro literals, one " +
+        "fixed-order sqrt) next to the observed delta — 'not significant' on " +
+        "an underpowered metric is silence, not evidence; pure map over the " +
+        "per-metric count table"),
+
     // --------------------------------------------- stratified k-fold
     "q187_stratified_kfold" -> Q(
       (s, dir) =>

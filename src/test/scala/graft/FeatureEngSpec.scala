@@ -382,6 +382,26 @@ class FeatureEngSpec extends SparkSpec {
     assert(got.getLong(2) === expected)
   }
 
+  test("abPower: hand-computed MDE, shrinks with n, observed delta exact") {
+    import spark.implicits._
+    val d = Seq(
+      ("m_small", 50L, 100L, 50L, 100L),
+      ("m_big", 5000L, 10000L, 5000L, 10000L),
+      ("m_delta", 30L, 100L, 60L, 100L))
+      .toDF("metric", "x1", "n1", "x2", "n2")
+    val got = graft.operators.FeatureEng.abPower(d, "metric", "x1", "n1", "x2", "n2")
+      .collect().map(r => r.getString(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    def mde(x1: Long, n1: Long, x2: Long, n2: Long): Long = {
+      val p = (x1 + x2).toDouble / (n1 + n2)
+      math.round(2.801585 * math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2)) * 1e6)
+    }
+    assert(got("m_small")._2 === mde(50, 100, 50, 100))
+    assert(got("m_big")._2 === mde(5000, 10000, 5000, 10000))
+    // 100x the data -> 10x smaller detectable effect
+    assert(got("m_big")._2 * 9 < got("m_small")._2)
+    assert(got("m_delta")._1 === 300000L)   // |0.30 - 0.60| exactly
+  }
+
   test("stratifiedKFold: every (stratum, fold) cell balanced within 1, " +
       "repartition-deterministic; small stratum covers all folds") {
     import spark.implicits._
