@@ -1224,5 +1224,57 @@ object ExtensionQueries {
         "decode (4-link md5 pixel chain replayed in SQL), 4-band pigeonhole " +
         "candidates + exact bit_count verify — banding is EXACT for " +
         "hamming <= 3, so the oracle brute-forces; with a real decoder only " +
-        "the pixel-source expression changes"))
+        "the pixel-source expression changes"),
+
+    // ---------------------------------- dedup: cluster-size histogram
+    "q197_cluster_sizes" -> Q(
+      (s, dir) => {
+        // the dedup-yield planning table: how big are the near-dup
+        // clusters, and how many documents would keep-one-per-cluster
+        // actually remove? Pure composition over the q39 components.
+        val docs = Tables.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleK = 5, threshold = 0.8)
+        Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"),
+            ((col("cluster_size") - 1L) * col("n_clusters")).as("n_removable"))
+          .orderBy(col("cluster_size"))
+      },
+      // q39's recursive-CTE components, then the two-level histogram
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |shg AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (SELECT id_a, id_b FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, walk.lbl FROM walk JOIN edges e ON e.src = walk.id),
+             |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+             |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY 1)
+             |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+             |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+             |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin),
+      "near-dup cluster-size histogram with the keep-one removable count per " +
+        "size — the dedup-yield planning table ('dedup will drop N docs, " +
+        "mostly from pairs'); pure composition over the q39 component plan"))
 }
