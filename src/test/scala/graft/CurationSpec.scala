@@ -569,4 +569,13 @@ class CurationSpec extends SparkSpec {
       Curation.chunkDocuments(d, "text", "doc_id", chunkLen = 4, stride = 5)
     }
   }
+
+  test("chunkDocuments plan is map-only: no exchange anywhere") {
+    val plan = Curation.chunkDocuments(
+        Tables.table(spark, sfDir, "documents"), "text", "doc_id",
+        chunkLen = 64, stride = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the splitter must never shuffle; plan:\n$plan")
+  }
 }
