@@ -156,4 +156,31 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.size <= 4 * 256)
     } finally q.stop()
   }
+
+  test("chunkDocuments runs UNCHANGED on a streaming frame (stateless " +
+      "map-only) and equals the batch chunks row-for-row") {
+    import graft.operators.Curation
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = Curation.chunkDocuments(docs, "text", "doc_id", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val dir = Files.createTempDirectory("graft-schunk-").toString
+    docs.randomSplit(Array(0.6, 0.4), seed = 3L)
+      .foreach(_.coalesce(1).write.mode("append").parquet(s"$dir/in"))
+    val stream = Curation.chunkDocuments(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      "text", "doc_id", 64, 16)
+    val q = stream.writeStream.format("memory").queryName("schunk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("schunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(streamed === batch,
+        "streamed chunks must equal the batch splitter row-for-row")
+    } finally q.stop()
+  }
 }
