@@ -243,10 +243,40 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val routingSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the model-cascade composition the way a router ships: train the
+        // NB language model ONCE on the corpus, serve it back with
+        // confidence margins, and feed BOTH the per-class report and the
+        // escalation audit from the one scored frame (persisted — the
+        // materialize-once pattern again)
+        import org.apache.spark.sql.functions._
+        val docs = graft.Tables.table(spark, sfDir, "documents")
+        val model = graft.operators.TextClassify.naiveBayesTrain(
+          docs, "text", "doc_id", "lang")
+        val scored = graft.operators.TextClassify.naiveBayesApplyWithMargin(
+            model, docs, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          scored.count()
+          val nRep = graft.operators.ModelEval.classificationReport(
+            scored.join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did")),
+            "lang", "predicted").count()
+          val nEsc = scored.filter(col("margin_micro") < 5000000L).count()
+          System.err.println(s"[bench] pipeline_routing report=$nRep escalate=$nEsc")
+        } finally scored.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        errors += "pipeline_routing"
+        System.err.println(s"[bench] pipeline_routing failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
-      "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs)
+      "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
+      "pipeline_routing" -> routingSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
