@@ -38,17 +38,17 @@ object StreamingLshDedup {
   final case class BucketState(ids: Seq[Long])
   final case class CandidatePair(id_a: Long, id_b: Long)
 
-  /** Per-bucket update: pair each first-seen doc against the bucket's
-    * members (and earlier first-seens of this batch, id-sorted for
-    * determinism), then append to state, keeping the newest `maxBucket`.
+  /** The literal per-bucket fold shared by the fmgws variant and
+    * [[TwsLshDedup]] (so the two state APIs cannot drift): pair each
+    * first-seen doc against the bucket's members (and earlier first-seens
+    * of this batch, id-sorted for determinism), append to the bucket,
+    * keep the newest `maxBucket`. Returns (emitted pairs, new bucket ids,
+    * changed?).
     */
-  def update(maxBucket: Int)(
-      key: (Int, Long),
-      rows: Iterator[BandHit],
-      state: GroupState[BucketState]): Iterator[CandidatePair] = {
-    val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+  def fold(seen: Seq[Long], incoming: Seq[Long], maxBucket: Int)
+      : (Seq[CandidatePair], Seq[Long], Boolean) = {
     val seenSet = seen.toSet
-    val fresh = rows.map(_.doc).toSeq.distinct.sorted.filterNot(seenSet)
+    val fresh = incoming.distinct.sorted.filterNot(seenSet)
     val out = Seq.newBuilder[CandidatePair]
     var acc = seen
     fresh.foreach { n =>
@@ -57,8 +57,18 @@ object StreamingLshDedup {
       }
       acc = acc :+ n
     }
-    if (fresh.nonEmpty) state.update(BucketState(acc.takeRight(maxBucket)))
-    out.result().iterator
+    (out.result(), acc.takeRight(maxBucket), fresh.nonEmpty)
+  }
+
+  /** Per-bucket update: [[fold]] behind a GroupState handle. */
+  def update(maxBucket: Int)(
+      key: (Int, Long),
+      rows: Iterator[BandHit],
+      state: GroupState[BucketState]): Iterator[CandidatePair] = {
+    val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+    val (out, acc, changed) = fold(seen, rows.map(_.doc).toSeq, maxBucket)
+    if (changed) state.update(BucketState(acc))
+    out.iterator
   }
 
   /** (doc, band, bkey) hits via the SAME codegen signature/banding
@@ -66,7 +76,7 @@ object StreamingLshDedup {
     * [[initialBuckets]] seeding and half-batch/half-stream equivalence
     * (StreamingLshDedupSpec) hold.
     */
-  private def bandHits(
+  private[streaming] def bandHits(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int, bands: Int, rowsPerBand: Int): Dataset[BandHit] = {
     implicit val hitEnc = Encoders.product[BandHit]
