@@ -581,6 +581,55 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** 1-D EARTH MOVER'S DISTANCE between each group's value distribution
+    * and the pooled global one — the drift number that weights mass by
+    * how FAR it moved: TV/PSI/KS ([[ksTest]], `FeatureEng.psi`,
+    * `TextPipeline.tokenDistributionDrift`) all read a small uniform
+    * shift and a catastrophic tail teleport similarly; EMD = ∫|F_g − F|dx
+    * charges by displacement, so "every score drifted +0.02" and "2% of
+    * scores went to 0" separate cleanly. Exact integers on the merged
+    * (global) support:
+    *
+    *   emd_micro = Σ_i |cumG_i·N − cumAll_i·n_g| · Δx_i  DIV  (n_g·N)
+    *
+    * with micro-quantized values, Δx the gap to the next distinct value,
+    * and all products in decimal(38,0) — bit-reproducible anywhere.
+    *
+    * Scale shape: one (grp, value) count + one global value count (both
+    * map-side combined); the grid is groups × DISTINCT VALUES — bounded
+    * by score resolution (the rocAuc argument), never row count — with
+    * one per-group prefix window over it. Quantize continuous raw
+    * measurements upstream.
+    */
+  def emdVsGlobal(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"))
+    val byGrp = base.groupBy(col("grp"), col("sm")).agg(count(lit(1)).as("cg"))
+    val glob = base.groupBy(col("sm")).agg(count(lit(1)).as("c_all"))
+    val ng = base.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("sm"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    glob.crossJoin(ng.select(col("grp")))
+      .join(byGrp, Seq("grp", "sm"), "left")
+      .join(ng, Seq("grp"))
+      .crossJoin(broadcast(nn))
+      .withColumn("cum_g", sum(coalesce(col("cg"), lit(0L))).over(wc))
+      .withColumn("cum_all", sum(col("c_all")).over(wc))
+      .withColumn("dx", coalesce(lead(col("sm"), 1).over(w) - col("sm"), lit(0L)))
+      .withColumn("term",
+        abs(d(col("cum_g")) * d(col("n")) - d(col("cum_all")) * d(col("n_g")))
+          * d(col("dx")))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n"), max(col("n")).as("n_all"),
+        sum(col("term")).as("s"))
+      .select(col("grp"), col("n"),
+        expr("""CAST(s DIV (CAST(n AS DECIMAL(38,0)) * CAST(n_all AS DECIMAL(38,0)))
+               | AS BIGINT)""".stripMargin).as("emd_micro"))
+  }
+
   /** SPLIT-CONFORMAL prediction interval per group — distribution-free
     * uncertainty for ANY point predictor: on an md5-gated calibration
     * split, take the conformal quantile of absolute residuals

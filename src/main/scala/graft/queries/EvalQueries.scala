@@ -1139,6 +1139,37 @@ object EvalQueries {
       "model-cascade routing audit: Naive Bayes confidence margins (best minus " +
         "runner-up score, exact integers) per predicted language — volume, " +
         "low-margin escalation fraction at 5 nats, rank-median margin; the " +
-        "numbers that price a cheap-model/expensive-model cascade")
+        "numbers that price a cheap-model/expensive-model cascade"),
+
+    // ----------------------------------------------- 1-D earth mover's
+    "q198_emd_drift" -> Q(
+      (s, dir) =>
+        ModelEval.emdVsGlobal(Tables.events(s, dir), "event_type", "value")
+          .orderBy(col("grp")),
+      Some("""WITH e AS (SELECT event_type AS grp,
+             |    CAST(round(value * 1e6) AS BIGINT) AS sm FROM events),
+             |bg AS (SELECT grp, sm, count(*) AS cg FROM e GROUP BY 1, 2),
+             |gl AS (SELECT sm, count(*) AS c_all FROM e GROUP BY 1),
+             |ng AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM e GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM e),
+             |grid AS (SELECT ng.grp, gl.sm, gl.c_all,
+             |    COALESCE(bg.cg, 0) AS cg, ng.n_g, nn.n
+             |  FROM gl CROSS JOIN ng CROSS JOIN nn
+             |  LEFT JOIN bg ON bg.grp = ng.grp AND bg.sm = gl.sm),
+             |c AS (SELECT *,
+             |    sum(cg) OVER (PARTITION BY grp ORDER BY sm) AS cum_g,
+             |    sum(c_all) OVER (PARTITION BY grp ORDER BY sm) AS cum_all,
+             |    COALESCE(lead(sm) OVER (PARTITION BY grp ORDER BY sm) - sm, 0) AS dx
+             |  FROM grid),
+             |t AS (SELECT grp, max(n_g) AS n, max(n) AS n_all,
+             |    sum(abs(cum_g::HUGEINT * n - cum_all::HUGEINT * n_g) * dx) AS s
+             |  FROM c GROUP BY 1)
+             |SELECT grp, n, CAST(s // (n::HUGEINT * n_all) AS BIGINT) AS emd_micro
+             |FROM t ORDER BY grp""".stripMargin),
+      "1-D earth mover's distance between each event type's value distribution " +
+        "and the pooled global one (exact integer cross-multiplied CDF gaps " +
+        "weighted by value displacement) — the drift number that separates " +
+        "'everything shifted slightly' from 'a tail teleported', which " +
+        "TV/KS/PSI all read alike; grid bounded by score resolution")
   )
 }

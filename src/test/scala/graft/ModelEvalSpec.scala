@@ -417,6 +417,59 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ emdVsGlobal
+
+  test("emdVsGlobal: identical-to-global reads 0, a pure shift reads the " +
+      "shift distance, displacement beats TV-equal rearrangement") {
+    // groups A and B have equal sizes; global = A ∪ B.
+    // A = {0, 10}, B = {1, 11}: each group is the global shifted by ±0.5
+    // (in the merged-support sense) -> both EMDs equal and positive
+    val d = (Seq(("A", 0.0), ("A", 10.0), ("B", 1.0), ("B", 11.0)))
+      .toDF("g", "v")
+    val got = ModelEval.emdVsGlobal(d, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("A") === got("B") && got("A") > 0L)
+    // a group that IS the global distribution reads exactly 0
+    val same = (for (g <- Seq("X", "Y"); i <- 0 to 3) yield (g, i.toDouble))
+      .toDF("g", "v")
+    // X and Y both hold {0,1,2,3} uniformly = the global -> EMD 0
+    ModelEval.emdVsGlobal(same, "g", "v").collect()
+      .foreach(r => assert(r.getLong(2) === 0L))
+    // displacement sensitivity: against a bulk group pinning the global
+    // at 0, C moves 1 of 4 points to 2 and D moves 1 of 4 to 200 — same
+    // moved MASS (same TV-ish deviation), ~10x the EMD
+    val e = ((1 to 40).map(_ => ("E", 0.0)) ++
+      Seq(("C", 0.0), ("C", 0.0), ("C", 0.0), ("C", 2.0),
+        ("D", 0.0), ("D", 0.0), ("D", 0.0), ("D", 200.0))).toDF("g", "v")
+    val emd = ModelEval.emdVsGlobal(e, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(emd("D") > 9L * emd("C"), s"C=${emd("C")} D=${emd("D")}")
+  }
+
+  test("emdVsGlobal matches a driver-side exact reference on random data") {
+    val rnd = new Random(71)
+    val rows = (1 to 300).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(50) / 7.0))
+    val ref = {
+      val sm = rows.map { case (g, v) => (g, math.round(v * 1e6)) }
+      val support = sm.map(_._2).distinct.sorted
+      val n = BigInt(sm.size)
+      sm.map(_._1).distinct.map { g =>
+        val ng = BigInt(sm.count(_._1 == g))
+        var (cumG, cumAll) = (BigInt(0), BigInt(0))
+        val s = support.zip(support.tail :+ support.last).map { case (x, nx) =>
+          cumG += sm.count(r => r._1 == g && r._2 == x)
+          cumAll += sm.count(_._2 == x)
+          (cumG * n - cumAll * ng).abs * BigInt(nx - x)
+        }.sum
+        g -> (s / (ng * n)).toLong
+      }.toMap
+    }
+    val got = ModelEval.emdVsGlobal(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
+
   // ------------------------------------------------ splitConformalInterval
 
   test("splitConformalInterval: qhat is the exact conformal rank and " +
