@@ -286,5 +286,43 @@ object syntax {
     def pageRank(srcCol: String, dstCol: String, weightCol: String,
         iterations: Int = 3, dampPpm: Long = 850000L): DataFrame =
       graft.operators.Graph.pageRank(df, srcCol, dstCol, weightCol, iterations, dampPpm)
+
+    def hits(srcCol: String, dstCol: String, iterations: Int = 3): DataFrame =
+      graft.operators.Graph.hits(df, srcCol, dstCol, iterations)
+
+    // ------------------------------------- round-10 continuation surface
+    /** Asymmetric containment near-dup pairs — catches embedded docs
+      * symmetric Jaccard misses. */
+    def nearDupPairsContainment(
+        textCol: String, idCol: String, shingleK: Int = 5,
+        thresholdPpm: Long = 800000L, maxDf: Int = 1000): DataFrame =
+      Dedup.containmentPairs(df, textCol, idCol, shingleK, thresholdPpm, maxDf)
+
+    /** Per-doc fraction of shingles first seen in this doc — the
+      * pair-free dedup prioritization signal. */
+    def shingleNovelty(textCol: String, idCol: String, shingleK: Int = 5): DataFrame =
+      Dedup.shingleNovelty(df, textCol, idCol, shingleK)
+
+    /** Keep the BEST-scoring doc per near-dup cluster (ties → min id). */
+    def keepBestPerCluster(idCol: String, scoreCol: String, pairs: DataFrame): DataFrame =
+      Dedup.keepBestRepresentatives(df, idCol, scoreCol, pairs)
+
+    /** Sliding-window chunks with overlap — the retrieval/RAG splitter. */
+    def chunkWithOverlap(
+        textCol: String, idCol: String, chunkLen: Int, stride: Int): DataFrame =
+      graft.operators.Curation.chunkDocuments(df, textCol, idCol, chunkLen, stride)
+
+    /** Hashing-trick feature vectors (signed md5 buckets, sparse rows). */
+    def hashedFeatures(textCol: String, idCol: String, dim: Int = 1024): DataFrame =
+      graft.operators.TextPipeline.hashedFeatures(df, textCol, idCol, dim)
+
+    /** Pairwise Jensen-Shannon divergence between group vocabularies. */
+    def jsDivergenceBySource(textCol: String, groupCol: String): DataFrame =
+      graft.operators.TextPipeline.jsDivergencePairs(df, textCol, groupCol)
+
+    /** Duplicate-image pairs by perceptual dHash over the payload column. */
+    def imageNearDups(idCol: String, payloadCol: String = "payload",
+        maxHamming: Int = 3, bands: Int = 4): DataFrame =
+      graft.operators.Multimodal.dhashNearDups(df, idCol, payloadCol, maxHamming, bands)
   }
 }

@@ -70,6 +70,21 @@ class SyntaxSpec extends SparkSpec {
     assert(l1.except(l2).count() === 0)
   }
 
+  test("continuation chainers delegate to their operators") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    assert(docs.shingleNovelty("text", "doc_id").except(
+      graft.operators.Dedup.shingleNovelty(docs, "text", "doc_id")).count() === 0)
+    assert(docs.chunkWithOverlap("text", "doc_id", 64, 16).except(
+      graft.operators.Curation.chunkDocuments(docs, "text", "doc_id", 64, 16))
+      .count() === 0)
+    assert(docs.hashedFeatures("text", "doc_id", 32).except(
+      graft.operators.TextPipeline.hashedFeatures(docs, "text", "doc_id", 32))
+      .count() === 0)
+    assert(docs.jsDivergenceBySource("text", "source").except(
+      graft.operators.TextPipeline.jsDivergencePairs(docs, "text", "source"))
+      .count() === 0)
+  }
+
   test("ewmaByKey matches the registry query result") {
     import graft.functions.EwmaFunctions
     val ev = Tables.events(spark, sfDir).withColumn("tsl", col("ts").cast("long"))
