@@ -608,26 +608,47 @@ object ModelEval {
     val byGrp = base.groupBy(col("grp"), col("sm")).agg(count(lit(1)).as("cg"))
     val glob = base.groupBy(col("sm")).agg(count(lit(1)).as("c_all"))
     val ng = base.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
-    val nn = base.agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("sm"))
-    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    glob.crossJoin(ng.select(col("grp")))
+    val grid = glob.crossJoin(ng.select(col("grp")))
       .join(byGrp, Seq("grp", "sm"), "left")
-      .join(ng, Seq("grp"))
-      .crossJoin(broadcast(nn))
-      .withColumn("cum_g", sum(coalesce(col("cg"), lit(0L))).over(wc))
-      .withColumn("cum_all", sum(col("c_all")).over(wc))
+      .select(col("grp"), col("sm"),
+        coalesce(col("cg"), lit(0L)).as("ca"), col("c_all").as("cb"))
+    emdFromCounts(grid, Seq("grp"))
+      .select(col("grp"), col("n_a").as("n"), col("emd_micro"))
+  }
+
+  /** The EMD reduction over PRE-AGGREGATED per-value counts
+    * `(keys..., sm, ca, cb)` — the arithmetic [[emdVsGlobal]] and the
+    * streaming drift monitor (`graft.streaming.StreamingEmd`) share, so
+    * batch and stream cannot diverge (the [[ksFromCounts]] convention).
+    * Emits one row per key group: `(keys..., n_a, n_b, emd_micro)` —
+    * −1 when either side is empty.
+    */
+  def emdFromCounts(perValue: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "emdFromCounts: need at least one key column")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("sm"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    perValue
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
       .withColumn("dx", coalesce(lead(col("sm"), 1).over(w) - col("sm"), lit(0L)))
       .withColumn("term",
-        abs(d(col("cum_g")) * d(col("n")) - d(col("cum_all")) * d(col("n_g")))
+        abs(d(col("cum_a")) * d(col("n_b")) - d(col("cum_b")) * d(col("n_a")))
           * d(col("dx")))
-      .groupBy(col("grp"))
-      .agg(max(col("n_g")).as("n"), max(col("n")).as("n_all"),
+      .groupBy(kc: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         sum(col("term")).as("s"))
-      .select(col("grp"), col("n"),
-        expr("""CAST(s DIV (CAST(n AS DECIMAL(38,0)) * CAST(n_all AS DECIMAL(38,0)))
-               | AS BIGINT)""".stripMargin).as("emd_micro"))
+      .select(kc ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(-1L))
+          .otherwise(expr(
+            """CAST(s DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))
+              | AS BIGINT)""".stripMargin))
+          .as("emd_micro")): _*)
   }
 
   /** SPLIT-CONFORMAL prediction interval per group — distribution-free
