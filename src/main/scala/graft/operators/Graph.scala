@@ -94,6 +94,63 @@ object Graph {
     pr
   }
 
+  /** PERSONALIZED PageRank — [[pageRank]] with the teleport restricted
+    * to a SEED set: authority "as seen from" the seeds, the similarity/
+    * expansion primitive (seed = a trusted-domain list → propagated
+    * trust scores; seed = one entity → its neighborhood ranked by
+    * multi-hop relatedness, the random-walk recommender). Same exact
+    * integer micro-unit recurrence, same per-edge routing table and
+    * loop shape; only the base term changes:
+    *
+    *   base(d) = (10⁶ − dampPpm) DIV |S|  if d ∈ S,  else 0
+    *
+    * so non-seed mass arrives exclusively through edges. Dangling-node
+    * leakage behaves as in [[pageRank]] (mass drains rather than
+    * redistributing — documented, oracle-replayable). Seeds must be a
+    * driver-known list (bounded — a seed FRAME would need a join; keep
+    * ≤ ~10⁴ literals, the `isin` codegen limit).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: Seq[Long], iterations: Int = 3,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm in [0, 1e6]")
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      "personalizedPageRank: 1..10000 literal seeds")
+    val e = edges.select(
+      col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"),
+      col(weightCol).cast("bigint").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val routed = e.join(outw, Seq("src")).localCheckpoint(true)
+    require(nodes.count() > 0, "graph has no nodes")
+    val minW = routed.agg(min(col("w"))).head.getLong(0)
+    require(minW > 0,
+      s"personalizedPageRank requires strictly positive edge weights; found min(w)=$minW")
+    val seedBase = (1000000L - dampPpm) / seeds.size
+    val base = when(col("node").isin(seeds: _*), lit(seedBase)).otherwise(lit(0L))
+    var pr = nodes.select(col("node"),
+      when(col("node").isin(seeds: _*), lit(1000000L / seeds.size))
+        .otherwise(lit(0L)).as("pr_micro"))
+    for (i <- 1 to iterations) {
+      val inflow = routed
+        .join(pr.select(col("node").as("src"), col("pr_micro")), Seq("src"))
+        .select(col("dst"), expr("(pr_micro * w) DIV outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = nodes
+        .join(inflow.select(col("dst").as("node"), col("inflow")), Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampPpm * coalesce(inflow, 0L)) DIV 1000000"))
+            .as("pr_micro"))
+      if (i % 10 == 0 && i < iterations) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
   /** HITS hubs & authorities in exact integer micro-units, run for a
     * FIXED number of iterations — the complementary centrality to
     * [[pageRank]]: PageRank measures where a random surfer accumulates,

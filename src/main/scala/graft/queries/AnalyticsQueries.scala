@@ -516,6 +516,62 @@ object AnalyticsQueries {
       "HITS hubs & authorities (3 rounds, exact integer L1-normalized recurrence) " +
         "over the nation trade digraph — separates good POINTERS from good " +
         "TARGETS, the curation prior PageRank can't express; oracle unrolls all " +
-        "three mutual-reinforcement rounds in HUGEINT SQL")
+        "three mutual-reinforcement rounds in HUGEINT SQL"),
+
+    // ------------------------------------------ personalized PageRank
+    "q199_personalized_pr" -> Q(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.personalizedPageRank(edges, "src", "dst", "w",
+            seeds = Seq(0L, 1L), iterations = 3, dampPpm = 850000L)
+          .orderBy(col("node"))
+      },
+      // q97's unrolled recurrence with the teleport CASE-restricted to
+      // the seed set {0, 1}
+      Some("""WITH edges AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS src,
+             |    CAST(s_nationkey AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1, 2),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges
+             |          UNION SELECT DISTINCT dst FROM edges),
+             |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+             |p0 AS (SELECT node,
+             |    CASE WHEN node IN (0, 1) THEN 1000000 // 2 ELSE 0 END AS pr
+             |  FROM nodes),
+             |i1 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p0 ON p0.node = edges.src
+             |       GROUP BY dst),
+             |p1 AS (SELECT node, CASE WHEN node IN (0, 1) THEN 150000 // 2 ELSE 0 END
+             |         + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes LEFT JOIN i1 ON i1.dst = node),
+             |i2 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p1 ON p1.node = edges.src
+             |       GROUP BY dst),
+             |p2 AS (SELECT node, CASE WHEN node IN (0, 1) THEN 150000 // 2 ELSE 0 END
+             |         + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes LEFT JOIN i2 ON i2.dst = node),
+             |i3 AS (SELECT dst, CAST(sum((pr * w) // outw) AS BIGINT) AS inflow
+             |       FROM edges JOIN outw USING (src) JOIN p2 ON p2.node = edges.src
+             |       GROUP BY dst),
+             |p3 AS (SELECT node, CASE WHEN node IN (0, 1) THEN 150000 // 2 ELSE 0 END
+             |         + (850000 * COALESCE(inflow, 0)) // 1000000 AS pr
+             |       FROM nodes LEFT JOIN i3 ON i3.dst = node)
+             |SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM p3 ORDER BY node""".stripMargin),
+      "personalized PageRank seeded at nations {0, 1} (teleport restricted to " +
+        "the seed set, exact integer recurrence) — trust propagation / " +
+        "random-walk relatedness from a trusted seed list, the expansion " +
+        "primitive plain PageRank can't express; q97's plan with a CASE base")
   )
 }

@@ -283,6 +283,48 @@ class GraphSpec extends SparkSpec {
     assert(tri(edges: _*) === expect)
   }
 
+  // ----------------------------------------------- personalizedPageRank
+
+  test("personalizedPageRank: non-seed nodes start at 0 and only gain " +
+      "mass through edges; seed-restricted teleport differs from global") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3 plus an isolated-ish node 4 -> 1: seeds = {1}
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (4L, 1L, 1L))
+      .toDF("s", "d", "w")
+    val ppr = Graph.personalizedPageRank(edges, "s", "d", "w",
+        seeds = Seq(1L), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 4 has no in-edges and is not a seed -> exactly 0
+    assert(ppr(4L) === 0L)
+    // the seed holds the teleport base; its successors hold damped mass
+    assert(ppr(1L) >= 150000L && ppr(2L) > 0L && ppr(3L) > 0L)
+    assert(ppr(2L) > ppr(3L), "mass decays with distance from the seed")
+    // a different seed produces a different ranking (vs global PageRank
+    // semantics where teleport is uniform)
+    val ppr3 = Graph.personalizedPageRank(edges, "s", "d", "w",
+        seeds = Seq(3L), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr3(3L) > ppr3(2L))
+  }
+
+  test("personalizedPageRank with ALL nodes as seeds equals plain pageRank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong, 1L + rnd.nextInt(3)))
+      .toDF("s", "d", "w")
+    val nodes = edges.select(col("s")).union(edges.select(col("d")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val ppr = Graph.personalizedPageRank(edges, "s", "d", "w",
+        seeds = nodes.toSeq, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(edges, "s", "d", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical recurrence when the seed set is the whole node set
+    // (base = (1e6-damp)/n both ways)
+    assert(ppr === pr)
+  }
+
   // ------------------------------------------------------------------ hits
 
   /** BigInt replica of the L1-normalized integer HITS recurrence. */
