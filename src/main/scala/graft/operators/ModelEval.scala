@@ -581,6 +581,62 @@ object ModelEval {
         expr("CAST(ad DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("ece_ppm"))
   }
 
+  /** CUMULATIVE GAINS / LIFT chart per group — the "how much of the good
+    * stuff is in the top k%" table (the marketing-curve cousin of
+    * [[averagePrecision]]): rank rows by score descending (ties → id,
+    * the pinned convention), cut into `nBuckets` equal-frequency
+    * buckets, and per bucket report the cumulative positive share and
+    * the lift over random selection:
+    *
+    *   gain_ppm = 10⁶·cumPos_b DIV totalPos
+    *   lift_ppm = (10⁶·cumPos_b·n) DIV (totalPos·cumN_b)
+    *
+    * — a useless model reads lift 1e6 everywhere, a good one front-loads
+    * (top decile lift ≫ 1e6). All exact integers; groups with no
+    * positives emit −1 sentinels. The curation read: "keep the top 20%
+    * by quality score" → this table says what fraction of known-good
+    * documents that keeps.
+    *
+    * Scale shape: one per-group rank window (the [[averagePrecision]]
+    * cost class), then a buckets-bounded aggregation; bucket =
+    * `ceil(nBuckets·rank/n)` — the q123 exact-rational ntile.
+    */
+  def gainChart(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      labelCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000, "gainChart: nBuckets in [2, 1000]")
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(scoreCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(idCol).as("id"), col(labelCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("gainChart: label must be 0/1"))))
+    val w = Window.partitionBy(col("grp"))
+    val wr = w.orderBy(col("sm").desc, col("id"))
+    val perBucket = labeled
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bucket",
+        expr(s"($nBuckets * rn + n - 1) DIV n"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("n")).as("n_total"), count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("total_pos",
+        sum(col("n_pos")).over(Window.partitionBy(col("grp"))))
+      .select(col("grp"), col("bucket"), col("n"), col("n_pos"),
+        when(col("total_pos") === 0, lit(-1L))
+          .otherwise(expr("(1000000 * cum_pos) DIV total_pos")).as("gain_ppm"),
+        when(col("total_pos") === 0, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos * n_total)
+              | DIV (CAST(total_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)""".stripMargin))
+          .as("lift_ppm"))
+  }
+
   /** 1-D EARTH MOVER'S DISTANCE between each group's value distribution
     * and the pooled global one — the drift number that weights mass by
     * how FAR it moved: TV/PSI/KS ([[ksTest]], `FeatureEng.psi`,

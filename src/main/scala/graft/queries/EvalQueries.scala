@@ -1170,6 +1170,41 @@ object EvalQueries {
         "and the pooled global one (exact integer cross-multiplied CDF gaps " +
         "weighted by value displacement) — the drift number that separates " +
         "'everything shifted slightly' from 'a tail teleported', which " +
-        "TV/KS/PSI all read alike; grid bounded by score resolution")
+        "TV/KS/PSI all read alike; grid bounded by score resolution"),
+
+    // ------------------------------------------------ gains / lift chart
+    "q200_gain_chart" -> Q(
+      (s, dir) =>
+        ModelEval.gainChart(
+            Tables.events(s, dir).withColumn("y",
+              (get_json_object(col("props"), "$.k").cast("bigint") >= 50)
+                .cast("bigint")),
+            "event_type", "value", "event_id", "y", nBuckets = 10)
+          .orderBy(col("grp"), col("bucket")),
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm, event_id AS id,
+              |    $label AS y
+              |  FROM events),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY sm DESC, id) AS rn,
+              |    count(*) OVER (PARTITION BY grp) AS n FROM e),
+              |b AS (SELECT grp, (10 * rn + n - 1) // n AS bucket,
+              |    count(*) AS n_b, sum(y) AS n_pos, max(n) AS n_total
+              |  FROM r GROUP BY 1, 2),
+              |c AS (SELECT *,
+              |    sum(n_b) OVER (PARTITION BY grp ORDER BY bucket) AS cum_n,
+              |    sum(n_pos) OVER (PARTITION BY grp ORDER BY bucket) AS cum_pos,
+              |    sum(n_pos) OVER (PARTITION BY grp) AS total_pos FROM b)
+              |SELECT grp, CAST(bucket AS BIGINT) AS bucket, CAST(n_b AS BIGINT) AS n,
+              |  CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(CASE WHEN total_pos = 0 THEN -1
+              |    ELSE (1000000 * cum_pos) // total_pos END AS BIGINT) AS gain_ppm,
+              |  CAST(CASE WHEN total_pos = 0 THEN -1
+              |    ELSE (1000000::HUGEINT * cum_pos * n_total)
+              |      // (total_pos::HUGEINT * cum_n) END AS BIGINT) AS lift_ppm
+              |FROM c ORDER BY grp, bucket""".stripMargin),
+      "cumulative gains / lift chart per event type (10 exact-rational " +
+        "deciles over the pinned (score desc, id) order, integer gain and " +
+        "lift) — 'keep the top 20% by quality score' reads its known-good " +
+        "coverage straight off this table; one rank window + bounded buckets")
   )
 }

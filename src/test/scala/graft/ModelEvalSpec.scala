@@ -417,6 +417,40 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------------- gainChart
+
+  test("gainChart: a perfect ranker front-loads (top-bucket lift = nBuckets), " +
+      "last bucket always reads gain 1e6 / lift 1e6; no-positive sentinel") {
+    // 20 rows, 2 positives with the top scores, 10 buckets of 2 rows each:
+    // bucket 1 holds both positives -> gain 1e6, lift = 1e6*2*20/(2*2) = 10e6
+    val d = ((1 to 2).map(i => ("A", 100.0 - i, i.toLong, 1L)) ++
+      (3 to 20).map(i => ("A", 100.0 - i, i.toLong, 0L)) ++
+      Seq(("B", 1.0, 1L, 0L), ("B", 2.0, 2L, 0L)))
+      .toDF("g", "s", "id", "y")
+    val got = ModelEval.gainChart(d, "g", "s", "id", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("A", 1L)) === ((2L, 2L, 1000000L, 10000000L)))
+    assert(got(("A", 10L))._3 === 1000000L && got(("A", 10L))._4 === 1000000L)
+    // group with no positives: sentinels
+    got.collect { case (("B", _), v) => v }.foreach { v =>
+      assert(v._3 === -1L && v._4 === -1L)
+    }
+  }
+
+  test("gainChart: gain is monotone and buckets partition the group") {
+    val rnd = new Random(83)
+    val d = (1L to 500L).map(id =>
+      ("g", rnd.nextInt(100) / 9.0, id, (rnd.nextInt(5) == 0).compare(false).toLong))
+      .toDF("g", "s", "id", "y")
+    val rows = ModelEval.gainChart(d, "g", "s", "id", "y")
+      .orderBy(col("bucket")).collect()
+    assert(rows.map(_.getLong(2)).sum === 500L)
+    val gains = rows.map(_.getLong(4))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last === 1000000L)
+  }
+
   // ------------------------------------------------------------ emdVsGlobal
 
   test("emdVsGlobal: identical-to-global reads 0, a pure shift reads the " +
