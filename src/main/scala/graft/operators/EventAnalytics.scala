@@ -446,6 +446,75 @@ object EventAnalytics {
         expr("(1000000 * n) DIV n_from").as("ppm"))
   }
 
+  /** KAPLAN–MEIER survival curve for time-to-event with right censoring
+    * — the statistically honest "how long until users convert" curve:
+    * the naive mean-time-to-purchase silently drops everyone who hasn't
+    * converted YET (survivorship bias toward fast converters); KM keeps
+    * them in the risk set until their observation ends. Entry = the
+    * user's first `entryType` event; event = their first `eventType` at
+    * or after entry; users without the event are CENSORED at the global
+    * observation end. Durations bucket by `bucketMicros` (exact integer
+    * DIV).
+    *
+    * Emits one row per distinct EVENT duration t:
+    * `(t, n_risk, n_events, ln_surv_micro, surv_ppm)` where
+    *
+    *   ln S(t) = Σ_{t'≤t} ln((n_risk − d)/n_risk)     (micro-nat terms,
+    *             rounded per step then integer-summed — the q74/q82 ln
+    *             convention), surv_ppm = round(10⁶·exp(lnS/10⁶))
+    *
+    * — the one exp carries the same 1-ulp libm caveat as the ln terms,
+    * corpus-validated per SF.
+    *
+    * Scale shape: two per-user min-aggregations (entry, first event) and
+    * a broadcast 1-row censor time; the KM table is a window over
+    * DISTINCT durations (bounded by the time resolution, not user
+    * count).
+    */
+  def kaplanMeier(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, eventType: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "kaplanMeier: bucketMicros >= 1")
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"), col(typeCol).as("et"))
+    val entry = base.filter(col("et") === entryType)
+      .groupBy(col("u")).agg(min(col("tsu")).as("t0"))
+    val evt = base.filter(col("et") === eventType)
+      .join(entry, Seq("u"))
+      .filter(col("tsu") >= col("t0"))
+      .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
+    val censor = base.agg(max(col("tsu")).as("tmax"))
+    val durations = entry.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(censor))
+      .select(col("u"),
+        expr(s"(coalesce(t1, tmax) - t0) DIV $bucketMicros").as("t"),
+        col("t1").isNotNull.cast("bigint").as("observed"))
+    val perT = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    val wAsc = Window.orderBy(col("t"))
+    val wPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_risk", col("total") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("step_micro",
+        when(col("d") === 0, lit(0L))
+          // every at-risk user converts at this t: S drops to 0 and
+          // ln(0) = -inf — pin the step at -46e6 (e^-46 < 1e-20 ⇒
+          // surv_ppm rounds to 0), a documented finite floor
+          .when(col("n_risk") === col("d"), lit(-46000000L))
+          .otherwise(round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk")) * lit(1e6)).cast("bigint")))
+      .withColumn("ln_surv_micro", sum(col("step_micro")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("ln_surv_micro"),
+        round(exp(col("ln_surv_micro").cast("double") / lit(1e6)) * lit(1e6))
+          .cast("bigint").as("surv_ppm"))
+  }
+
   /** Per-user INTER-ARRIVAL burstiness — mean gap and the squared
     * coefficient of variation of consecutive event gaps, the classic
     * behavioral fingerprint: a Poisson (human-ish) arrival process reads

@@ -652,6 +652,45 @@ object InsightQueries {
       "per-user inter-arrival burstiness: mean gap + squared coefficient of " +
         "variation of consecutive event gaps (exact integers; Poisson ~ 1e6, " +
         "metronomic bot << 1e6, bursty scraper >> 1e6) — the bot screen before " +
-        "user events feed training; one user-keyed lag window + one reduce")
+        "user events feed training; one user-keyed lag window + one reduce"),
+
+    // ------------------------------------------ Kaplan-Meier survival
+    "q201_kaplan_meier" -> Q(
+      (s, dir) =>
+        graft.operators.EventAnalytics.kaplanMeier(
+            Tables.events(s, dir), "user_id", "ts", "event_type",
+            entryType = "view", eventType = "purchase",
+            bucketMicros = 3600000000L)
+          .orderBy(col("t")),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+             |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+             |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt, sum(observed) AS nd FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc
+             |  FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    CASE WHEN nd = 0 THEN 0
+             |         WHEN total - COALESCE(prevc, 0) = nd THEN -46000000
+             |         ELSE CAST(round(ln(CAST(total - COALESCE(prevc, 0) - nd AS DOUBLE)
+             |           / (total - COALESCE(prevc, 0))) * 1e6) AS BIGINT) END AS step
+             |  FROM w),
+             |c AS (SELECT *, sum(step) OVER (ORDER BY t) AS lnsurv FROM st)
+             |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(nd AS BIGINT) AS n_events,
+             |  CAST(lnsurv AS BIGINT) AS ln_surv_micro,
+             |  CAST(round(exp(CAST(lnsurv AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS surv_ppm
+             |FROM c WHERE nd > 0 ORDER BY t""".stripMargin),
+      "Kaplan-Meier time-to-purchase curve (hourly buckets from first view, " +
+        "right-censored at observation end) — the survivorship-bias-free " +
+        "conversion timing the naive mean silently gets wrong; micro-nat log " +
+        "steps summed exactly, one exp per emitted row; risk table bounded by " +
+        "time resolution")
   )
 }

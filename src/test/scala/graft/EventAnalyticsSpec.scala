@@ -361,6 +361,35 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally tagged.unpersist(blocking = false)
   }
 
+  test("kaplanMeier: hand-computed survival with censoring; the censored " +
+      "user holds the risk set; all-convert floor reads surv 0") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    // all view at hour 0; u1/u4 purchase at 1h, u2 at 2h, u3 censored
+    // (only a click at 3h -> tmax)
+    val rows = Seq(
+      (1L, "view", 0L), (2L, "view", 0L), (3L, "view", 0L), (4L, "view", 0L),
+      (1L, "purchase", 1L), (4L, "purchase", 1L), (2L, "purchase", 2L),
+      (3L, "click", 3L))
+      .zipWithIndex.map { case ((u, et, h), i) => (i.toLong, u, et, ts(h)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.kaplanMeier(rows, "user_id", "ts", "event_type",
+        "view", "purchase", 3600000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // t=1: risk 4, events 2 -> S=1/2; t=2: risk 2 (u2 + censored u3),
+    // events 1 -> S=1/4. exp(round(ln(.5)e6)/1e6) rounds to the exact ppm
+    assert(got(1L) === ((4L, 2L, 500000L)))
+    assert(got(2L) === ((2L, 1L, 250000L)))
+    // every at-risk user converts at the last bucket -> the -46e6 floor
+    val all = Seq((0L, 9L, "view", ts(0)), (1L, 9L, "purchase", ts(1)),
+      (2L, 8L, "view", ts(0)), (3L, 8L, "purchase", ts(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val g2 = EventAnalytics.kaplanMeier(all, "user_id", "ts", "event_type",
+        "view", "purchase", 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(g2(1L) === 0L)
+  }
+
   test("interArrivalStats: metronome reads cv2=0, burst inflates it, " +
       "singletons vanish, simultaneous events hit the sentinel") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
