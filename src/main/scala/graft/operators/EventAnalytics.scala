@@ -515,6 +515,88 @@ object EventAnalytics {
           .cast("bigint").as("surv_ppm"))
   }
 
+  /** LOG-RANK TEST between two arms' time-to-event curves — the
+    * experiment readout [[kaplanMeier]] feeds and the rate-based
+    * `FeatureEng.abTest` cannot answer: two arms can convert at the SAME
+    * final rate while one converts systematically FASTER; the log-rank
+    * statistic compares the whole timing curve, censoring-honest. At
+    * each event time t (either arm):
+    *
+    *   O1 += d1,  E1 += d·n1/n,  V += d·n1·n2·(n−d) / (n²·(n−1))
+    *   χ² = (O1 − E1)² / V      (~χ²₁ under the null)
+    *
+    * E1/V terms are rounded to integer MICRO per event time then summed
+    * (the q74 ln convention applied to rationals — deterministic at any
+    * parallelism); `chi2_micro = (10⁶·O1 − E1μ)² DIV (10⁶·Vμ)` and the
+    * significance flag compares against the χ²₁ 95% point 3.841459 as a
+    * micro literal. Arms come from `armCol` (0/1, constant per user —
+    * e.g. the q140 md5-parity assignment).
+    *
+    * Scale shape: the [[kaplanMeier]] prep per arm, then one window over
+    * DISTINCT durations (time-resolution bounded) and a 1-row reduce.
+    */
+  def logRankTest(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      armCol: String, entryType: String, eventType: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "logRankTest: bucketMicros >= 1")
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"), col(typeCol).as("et"),
+      col(armCol).cast("bigint").as("arm"))
+      .withColumn("arm", when(col("arm").isin(0L, 1L), col("arm"))
+        .otherwise(raise_error(lit("logRankTest: arm must be 0/1"))))
+    val entry = base.filter(col("et") === entryType)
+      .groupBy(col("u")).agg(min(col("tsu")).as("t0"), max(col("arm")).as("arm"))
+    val evt = base.filter(col("et") === eventType)
+      .join(entry.select(col("u"), col("t0")), Seq("u"))
+      .filter(col("tsu") >= col("t0"))
+      .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
+    val censor = base.agg(max(col("tsu")).as("tmax"))
+    val durations = entry.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(censor))
+      .select(col("arm"),
+        expr(s"(coalesce(t1, tmax) - t0) DIV $bucketMicros").as("t"),
+        col("t1").isNotNull.cast("bigint").as("observed"))
+    val perT = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cnt1"),
+        sum(col("observed")).as("d"),
+        sum(col("observed") * when(col("arm") === 1, 1L).otherwise(0L)).as("d1"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val steps = perT
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("total1", sum(col("cnt1")).over(wAll))
+      .withColumn("n", col("total") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("n1", col("total1") - coalesce(sum(col("cnt1")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("e1_micro",
+        round(lit(1e6) * col("d").cast("double") * col("n1") / col("n"))
+          .cast("bigint"))
+      .withColumn("v_micro",
+        when(col("n") <= 1, lit(0L))
+          .otherwise(round(lit(1e6)
+            * (col("d").cast("double") * col("n1") * (col("n") - col("n1"))
+              * (col("n") - col("d")))
+            / (col("n").cast("double") * col("n") * (col("n") - lit(1L))))
+            .cast("bigint")))
+    steps.agg(count(lit(1)).as("n_event_times"),
+        sum(col("d")).as("n_events"), sum(col("d1")).as("o1"),
+        sum(col("e1_micro")).as("e1_micro"), sum(col("v_micro")).as("v_micro"))
+      .select(col("n_event_times"), col("n_events"), col("o1"),
+        col("e1_micro"), col("v_micro"),
+        when(col("v_micro") <= 0, lit(-1L))
+          .otherwise(expr(
+            """CAST(((CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro)
+              |  * (CAST(1000000 AS DECIMAL(38,0)) * o1 - e1_micro))
+              | DIV CAST(v_micro AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+          .as("chi2_micro"))
+      .withColumn("significant_95",
+        (col("chi2_micro") >= 3841459L && col("chi2_micro") >= 0).cast("bigint"))
+  }
+
   /** Per-user INTER-ARRIVAL burstiness — mean gap and the squared
     * coefficient of variation of consecutive event gaps, the classic
     * behavioral fingerprint: a Poisson (human-ish) arrival process reads

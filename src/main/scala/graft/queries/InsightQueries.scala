@@ -18,6 +18,13 @@ object InsightQueries {
 
   private val dayUs = 86400000000L
 
+  // DuckDB fold: first 8 md5 hex chars -> BIGINT (mirrors Spark's
+  // conv(substring(md5(x), 1, 8), 16, 10); both < 2^32, exact)
+  private def hex8(e: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 8),
+       |      i -> strpos('0123456789abcdef', substring($e, i, 1)) - 1),
+       |      (a, x) -> a * 16 + x)""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------ cohort retention
@@ -691,6 +698,65 @@ object InsightQueries {
         "right-censored at observation end) — the survivorship-bias-free " +
         "conversion timing the naive mean silently gets wrong; micro-nat log " +
         "steps summed exactly, one exp per emitted row; risk table bounded by " +
-        "time resolution")
+        "time resolution"),
+
+    // ---------------------------------------------------- log-rank test
+    "q202_log_rank" -> Q(
+      (s, dir) =>
+        graft.operators.EventAnalytics.logRankTest(
+            Tables.events(s, dir).withColumn("arm",
+              conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint") % 2),
+            "user_id", "ts", "event_type", "arm",
+            entryType = "view", eventType = "purchase",
+            bucketMicros = 3600000000L),
+      Some(s"""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+              |    epoch_us(ts) AS tsu, event_type AS et,
+              |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS arm
+              |  FROM events),
+              |en AS (SELECT u, min(tsu) AS t0, max(arm) AS arm
+              |  FROM b WHERE et = 'view' GROUP BY 1),
+              |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+              |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+              |cz AS (SELECT max(tsu) AS tmax FROM b),
+              |dd AS (SELECT en.arm, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+              |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+              |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+              |p AS (SELECT t, count(*) AS cnt,
+              |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cnt1,
+              |    sum(observed) AS nd,
+              |    sum(observed * CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nd1
+              |  FROM dd GROUP BY 1),
+              |w AS (SELECT *, sum(cnt) OVER () AS total,
+              |    sum(cnt1) OVER () AS total1,
+              |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+              |    sum(cnt1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc1
+              |  FROM p),
+              |st AS (SELECT *, total - COALESCE(pc, 0) AS n,
+              |    total1 - COALESCE(pc1, 0) AS n1 FROM w WHERE nd > 0),
+              |tm AS (SELECT *,
+              |    CAST(round(1e6 * CAST(nd AS DOUBLE) * n1 / n) AS BIGINT) AS e1m,
+              |    CASE WHEN n <= 1 THEN 0
+              |      ELSE CAST(round(1e6 * (CAST(nd AS DOUBLE) * n1 * (n - n1) * (n - nd))
+              |        / (CAST(n AS DOUBLE) * n * (n - 1))) AS BIGINT) END AS vm
+              |  FROM st),
+              |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+              |    CAST(sum(nd) AS BIGINT) AS n_events, CAST(sum(nd1) AS BIGINT) AS o1,
+              |    CAST(sum(e1m) AS BIGINT) AS e1_micro, CAST(sum(vm) AS BIGINT) AS v_micro
+              |  FROM tm)
+              |SELECT n_event_times, n_events, o1, e1_micro, v_micro,
+              |  CAST(CASE WHEN v_micro <= 0 THEN -1
+              |    ELSE ((1000000::HUGEINT * o1 - e1_micro)
+              |      * (1000000::HUGEINT * o1 - e1_micro)) // v_micro::HUGEINT
+              |    END AS BIGINT) AS chi2_micro,
+              |  CAST(CASE WHEN v_micro > 0
+              |      AND ((1000000::HUGEINT * o1 - e1_micro)
+              |        * (1000000::HUGEINT * o1 - e1_micro)) // v_micro::HUGEINT >= 3841459
+              |    THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+              |FROM agg""".stripMargin),
+      "log-rank test between md5-parity arms' time-to-purchase curves " +
+        "(censoring-honest O-E and variance terms micro-rounded per event time, " +
+        "exact integer chi-square gate at the 95% point) — detects 'same final " +
+        "rate, different SPEED', which the rate-based A/B test cannot see")
   )
 }

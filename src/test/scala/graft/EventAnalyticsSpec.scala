@@ -390,6 +390,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2(1L) === 0L)
   }
 
+  test("logRankTest: a faster arm is significant, identical arms read " +
+      "chi2 exactly 0, bad arm values raise") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    def mk(rows: Seq[(Long, Long, String, Long)]) = rows.zipWithIndex
+      .map { case ((u, arm, et, h), i) => (i.toLong, u, arm, et, ts(h)) }
+      .toDF("event_id", "user_id", "arm", "event_type", "ts")
+    // arm 1 converts at 1h, arm 0 at 10h (20 users each): chi2 ~ 39e6
+    val fast = mk((1L to 20L).flatMap(u =>
+      Seq((u, 1L, "view", 0L), (u, 1L, "purchase", 1L))) ++
+      (21L to 40L).flatMap(u =>
+        Seq((u, 0L, "view", 0L), (u, 0L, "purchase", 10L))))
+    val r = EventAnalytics.logRankTest(fast, "user_id", "ts", "event_type",
+      "arm", "view", "purchase", 3600000000L).collect().head
+    assert(r.getLong(5) > 30000000L && r.getLong(6) === 1L)
+    // identical timing in both arms (two event times so the variance is
+    // positive — a single shared time is the legitimate v=0 sentinel):
+    // O1 = E1 at every time -> chi2 exactly 0
+    val same = mk((1L to 8L).flatMap(u =>
+      Seq((u, u % 2, "view", 0L),
+        (u, u % 2, "purchase", if (u <= 4) 2L else 5L))))
+    val r2 = EventAnalytics.logRankTest(same, "user_id", "ts", "event_type",
+      "arm", "view", "purchase", 3600000000L).collect().head
+    assert(r2.getLong(5) === 0L && r2.getLong(6) === 0L)
+    val e = intercept[Exception] {
+      EventAnalytics.logRankTest(
+        mk(Seq((1L, 2L, "view", 0L))), "user_id", "ts", "event_type",
+        "arm", "view", "purchase", 3600000000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("logRankTest")))
+  }
+
   test("interArrivalStats: metronome reads cv2=0, burst inflates it, " +
       "singletons vanish, simultaneous events hit the sentinel") {
     def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
