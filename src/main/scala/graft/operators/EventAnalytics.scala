@@ -515,6 +515,52 @@ object EventAnalytics {
           .cast("bigint").as("surv_ppm"))
   }
 
+  /** RFM SEGMENTATION — the classic user-value triage (recency,
+    * frequency, monetary) as exact-rational quintiles: the sampling /
+    * weighting prior a behavior-data pipeline applies before user events
+    * feed training ("oversample engaged users, decay churned ones").
+    * Per user: `recency_us` (observation end − last event), `frequency`
+    * (event count), `monetary_micro` (Σ value). Each metric quintiles by
+    * the q123 exact ntile `(5·rank + n − 1) DIV n` over the
+    * deterministic (metric, user) order — quintile 1 = SMALLEST metric
+    * (for recency that means most recent; flip downstream if a
+    * 5-is-best convention is wanted), and `segment = 100·r + 10·f + m`.
+    *
+    * Scale shape: one per-user aggregation, then three rank windows over
+    * the USER-level table (one row per user, not per event).
+    */
+  def rfmSegments(
+      events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"),
+      round(col(valueCol) * lit(1e6)).cast("bigint").as("vm"))
+    val perUser = base.groupBy(col("u"))
+      .agg(max(col("tsu")).as("last_tsu"), count(lit(1)).as("frequency"),
+        sum(col("vm")).as("monetary_micro"))
+      .crossJoin(broadcast(base.agg(max(col("tsu")).as("tmax"))))
+      .withColumn("recency_us", col("tmax") - col("last_tsu"))
+      .drop("tmax", "last_tsu")
+    def quintile(metric: String): Column =
+      expr(s"(5 * rank_$metric + n_users - 1) DIV n_users")
+    val n = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perUser
+      .withColumn("n_users", count(lit(1)).over(n))
+      .withColumn("rank_recency_us",
+        row_number().over(Window.orderBy(col("recency_us"), col("u"))))
+      .withColumn("rank_frequency",
+        row_number().over(Window.orderBy(col("frequency"), col("u"))))
+      .withColumn("rank_monetary_micro",
+        row_number().over(Window.orderBy(col("monetary_micro"), col("u"))))
+      .withColumn("r", quintile("recency_us"))
+      .withColumn("f", quintile("frequency"))
+      .withColumn("m", quintile("monetary_micro"))
+      .select(col("u"), col("recency_us"), col("frequency"),
+        col("monetary_micro"), col("r"), col("f"), col("m"),
+        (col("r") * 100L + col("f") * 10L + col("m")).as("segment"))
+  }
+
   /** LOG-RANK TEST between two arms' time-to-event curves — the
     * experiment readout [[kaplanMeier]] feeds and the rate-based
     * `FeatureEng.abTest` cannot answer: two arms can convert at the SAME

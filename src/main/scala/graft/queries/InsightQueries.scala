@@ -757,6 +757,38 @@ object InsightQueries {
       "log-rank test between md5-parity arms' time-to-purchase curves " +
         "(censoring-honest O-E and variance terms micro-rounded per event time, " +
         "exact integer chi-square gate at the 95% point) — detects 'same final " +
-        "rate, different SPEED', which the rate-based A/B test cannot see")
+        "rate, different SPEED', which the rate-based A/B test cannot see"),
+
+    // ---------------------------------------------- RFM segmentation
+    "q203_rfm_segments" -> Q(
+      (s, dir) =>
+        graft.operators.EventAnalytics.rfmSegments(
+            Tables.events(s, dir), "user_id", "ts", "value")
+          .orderBy(col("u")),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu,
+             |    CAST(round(value * 1e6) AS BIGINT) AS vm FROM events),
+             |pu AS (SELECT u, max(tsu) AS last_tsu, CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(sum(vm) AS BIGINT) AS monetary_micro FROM b GROUP BY 1),
+             |t AS (SELECT max(tsu) AS tmax FROM b),
+             |m AS (SELECT u, tmax - last_tsu AS recency_us, frequency,
+             |    monetary_micro, count(*) OVER () AS n_users,
+             |    row_number() OVER (ORDER BY tmax - last_tsu, u) AS rr,
+             |    row_number() OVER (ORDER BY frequency, u) AS rf,
+             |    row_number() OVER (ORDER BY monetary_micro, u) AS rm
+             |  FROM pu CROSS JOIN t)
+             |SELECT u, CAST(recency_us AS BIGINT) AS recency_us, frequency,
+             |  monetary_micro,
+             |  CAST((5 * rr + n_users - 1) // n_users AS BIGINT) AS r,
+             |  CAST((5 * rf + n_users - 1) // n_users AS BIGINT) AS f,
+             |  CAST((5 * rm + n_users - 1) // n_users AS BIGINT) AS m,
+             |  CAST(((5 * rr + n_users - 1) // n_users) * 100
+             |    + ((5 * rf + n_users - 1) // n_users) * 10
+             |    + (5 * rm + n_users - 1) // n_users AS BIGINT) AS segment
+             |FROM m ORDER BY u""".stripMargin),
+      "RFM user-value segmentation (recency/frequency/monetary exact-rational " +
+        "quintiles over deterministic (metric, user) order, quintile 1 = " +
+        "smallest metric) — the sampling/weighting prior before behavior data " +
+        "feeds training; one per-user aggregate + three user-level rank windows")
   )
 }

@@ -390,6 +390,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2(1L) === 0L)
   }
 
+  test("rfmSegments: quintiles balanced within 1, segment composition, " +
+      "recency/frequency/monetary ranked correctly") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    // 10 users: user u has u events at hours 1..u, each value u.0 —
+    // so frequency and monetary both rank ascending with u, and recency
+    // DESCENDS with u (later last event = smaller recency = lower quintile
+    // for big u... reversed: u=10 has last event at hour 10 = most recent)
+    val rows = (1L to 10L).flatMap(u => (1L to u).map(h => (u, ts(h), u.toDouble)))
+      .zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics.rfmSegments(rows, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // 10 users over 5 quintiles -> every quintile holds exactly 2 users
+    Seq(1, 2, 3).foreach { idx =>
+      val counts = got.values.groupBy(v => idx match {
+        case 1 => v._1; case 2 => v._2; case 3 => v._3
+      }).view.mapValues(_.size).toMap
+      assert(counts === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2))
+    }
+    // user 10: most events + highest value -> f = m = 5; most recent last
+    // event -> recency quintile 1
+    assert(got(10L) === ((1L, 5L, 5L, 155L)))
+    // user 1: one event long ago, lowest value -> r = 5, f = m = 1
+    assert(got(1L) === ((5L, 1L, 1L, 511L)))
+  }
+
   test("logRankTest: a faster arm is significant, identical arms read " +
       "chi2 exactly 0, bad arm values raise") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
