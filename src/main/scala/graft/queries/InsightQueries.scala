@@ -789,6 +789,62 @@ object InsightQueries {
       "RFM user-value segmentation (recency/frequency/monetary exact-rational " +
         "quintiles over deterministic (metric, user) order, quintile 1 = " +
         "smallest metric) — the sampling/weighting prior before behavior data " +
-        "feeds training; one per-user aggregate + three user-level rank windows")
+        "feeds training; one per-user aggregate + three user-level rank windows"),
+
+    // ----------------------------------------------- funnel drop-off
+    "q204_funnel_dropoff" -> Q(
+      (s, dir) => {
+        // the report the per-user funnel feeds: per step, how many users
+        // arrived and what fraction of the PREVIOUS step's arrivals they
+        // are — the where-do-we-lose-them table. Cumulative-from-top
+        // counts fall out of a n_steps histogram suffix sum.
+        val f = EventAnalytics.funnel(
+          Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts"))),
+          "user_id", "event_type", "tsu",
+          Seq("view", "click", "purchase"), windowMicros = 86400L * 1000000L)
+        val byDepth = f.groupBy(col("n_steps")).agg(count(lit(1)).as("c"))
+        val wSuffix = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_steps"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        byDepth
+          .withColumn("n_reached", sum(col("c")).over(wSuffix))
+          .withColumn("prev",
+            lag(col("n_reached"), 1).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("n_steps"))))
+          .select(col("n_steps").as("step"), col("n_reached"),
+            when(col("prev").isNull, lit(1000000L))
+              .otherwise(expr("(1000000 * n_reached) DIV prev"))
+              .as("conv_from_prev_ppm"))
+          .orderBy(col("step"))
+      },
+      // q92's funnel CTEs, then the depth histogram + suffix sums
+      Some("""WITH e AS (
+             |  SELECT user_id AS u, event_type AS et,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+             |  FROM events),
+             |s0 AS (SELECT u, min(tsu) AS t0 FROM e WHERE et = 'view' GROUP BY u),
+             |s1 AS (SELECT e.u, min(tsu) AS t1 FROM e JOIN s0 USING (u)
+             |       WHERE et = 'click' AND tsu >= t0 AND tsu <= t0 + 86400000000
+             |       GROUP BY e.u),
+             |s2 AS (SELECT e.u, min(tsu) AS t2 FROM e JOIN s0 USING (u) JOIN s1 USING (u)
+             |       WHERE et = 'purchase' AND tsu >= t1 AND tsu <= t0 + 86400000000
+             |       GROUP BY e.u),
+             |d AS (SELECT CAST(CASE WHEN t2 IS NOT NULL THEN 3
+             |              WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps
+             |  FROM s0 LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u)),
+             |h AS (SELECT n_steps, count(*) AS c FROM d GROUP BY 1),
+             |r0 AS (SELECT *, sum(c) OVER (ORDER BY n_steps
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_reached
+             |  FROM h),
+             |r AS (SELECT *, lag(n_reached) OVER (ORDER BY n_steps) AS prev FROM r0)
+             |SELECT n_steps AS step, CAST(n_reached AS BIGINT) AS n_reached,
+             |  CAST(CASE WHEN prev IS NULL THEN 1000000
+             |    ELSE (1000000 * n_reached) // prev END AS BIGINT) AS conv_from_prev_ppm
+             |FROM r ORDER BY step""".stripMargin),
+      "funnel drop-off table: per step the cumulative-from-top arrivals and " +
+        "the conversion from the previous step (exact integer ppm) — the " +
+        "where-do-we-lose-them report composed over the q92 per-user funnel " +
+        "via a depth-histogram suffix sum")
   )
 }
