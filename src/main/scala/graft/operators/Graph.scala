@@ -94,6 +94,64 @@ object Graph {
     pr
   }
 
+  /** DETERMINISTIC RANDOM-WALK training pairs (the DeepWalk primitive):
+    * fixed-length walks from every node with md5-derandomized neighbor
+    * choices, emitting the (center, context) skip-gram pairs an
+    * embedding model trains on — the graph analog of
+    * `FeatureEng.cooccurrencePairs`' session skip-grams. Derandomized
+    * the repo way: step p of walk (node, r) picks
+    * `nbrs(cur)[ hex8(md5("rw:" r ":" start ":" p ":" cur)) mod deg ]`
+    * over the dst-sorted adjacency list, so every engine and rerun
+    * generates the SAME corpus of walks (an oracle can replay them).
+    * Walks stop early at sink nodes. Pairs are directional (center
+    * precedes context within `window` steps) and counted.
+    *
+    * Scale shape: adjacency lists built once (per-node array bounded by
+    * `maxDeg` — hubs truncate to their `maxDeg` smallest neighbors,
+    * deterministic, documented); each step is one equi-join of the
+    * walk frontier against the adjacency table (walkLen joins total);
+    * pair fan-out is walks × walkLen × window. No driver state.
+    */
+  def randomWalkPairs(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int = 3, walksPerNode: Int = 2, window: Int = 2,
+      maxDeg: Int = 10000): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 10, "walkLen in [1, 10]")
+    require(walksPerNode >= 1 && walksPerNode <= 100, "walksPerNode in [1, 100]")
+    require(window >= 1 && window <= walkLen, "window in [1, walkLen]")
+    require(maxDeg >= 1, "maxDeg >= 1")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst")).distinct()
+    val adj = e.groupBy(col("src"))
+      .agg(slice(sort_array(collect_list(col("dst"))), 1, maxDeg).as("nbrs"))
+      .localCheckpoint(true)
+    var walks = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
+      .withColumn("path", array(col("start")))
+    for (p <- 0 until walkLen) {
+      walks = walks
+        .withColumn("cur", element_at(col("path"), -1))
+        .join(adj.select(col("src").as("cur"), col("nbrs")), Seq("cur"), "left")
+        .withColumn("nxt",
+          when(col("nbrs").isNotNull,
+            element_at(col("nbrs"),
+              (conv(substring(md5(concat(lit("rw:"), col("r"), lit(":"),
+                col("start"), lit(":"), lit(p), lit(":"), col("cur"))), 1, 8),
+                16, 10).cast("bigint") % size(col("nbrs")) + 1).cast("int"))))
+        .withColumn("path",
+          when(col("nxt").isNotNull, concat(col("path"), array(col("nxt"))))
+            .otherwise(col("path")))
+        .drop("cur", "nbrs", "nxt")
+    }
+    // two sequential explodes over the retained path — no self-join
+    walks.select(col("path"), posexplode(col("path")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("path")).as(Seq("j", "b")))
+      .filter(col("j") > col("i") && col("j") - col("i") <= window)
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** PERSONALIZED PageRank — [[pageRank]] with the teleport restricted
     * to a SEED set: authority "as seen from" the seeds, the similarity/
     * expansion primitive (seed = a trusted-domain list → propagated

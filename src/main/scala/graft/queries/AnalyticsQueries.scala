@@ -572,6 +572,68 @@ object AnalyticsQueries {
       "personalized PageRank seeded at nations {0, 1} (teleport restricted to " +
         "the seed set, exact integer recurrence) — trust propagation / " +
         "random-walk relatedness from a trusted seed list, the expansion " +
-        "primitive plain PageRank can't express; q97's plan with a CASE base")
+        "primitive plain PageRank can't express; q97's plan with a CASE base"),
+
+    // ------------------------------------------ random-walk skip-grams
+    "q205_walk_pairs" -> Q(
+      (s, dir) => {
+        val edges = Tables.table(s, dir, "lineitem")
+          .join(Tables.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        Graph.randomWalkPairs(edges, "src", "dst",
+            walkLen = 3, walksPerNode = 2, window = 2)
+          .orderBy(col("item_a"), col("item_b"))
+      },
+      Some {
+        // keep '||' at line ends: the nested stripMargin passes would eat
+        // leading pipes
+        def h(p: Int) =
+          "list_reduce(list_transform(generate_series(1, 8), " +
+            "i -> strpos('0123456789abcdef', substring(md5('rw:' || CAST(r AS VARCHAR) || " +
+            s"':' || CAST(start AS VARCHAR) || ':' || '$p' || ':' || " +
+            "CAST(cur AS VARCHAR)), i, 1)) - 1), (a, x) -> a * 16 + x)"
+        val steps = (0 until 3).map { p =>
+          s"""s$p AS (SELECT start, r, path, path[len(path)] AS cur
+             |  FROM w$p),
+             |j$p AS (SELECT s$p.*, adj.nbrs FROM s$p
+             |  LEFT JOIN adj ON adj.src = s$p.cur),
+             |w${p + 1} AS (SELECT start, r,
+             |    CASE WHEN nbrs IS NULL THEN path
+             |         ELSE list_append(path,
+             |           nbrs[CAST(${h(p)} % len(nbrs) AS INT) + 1])
+             |    END AS path
+             |  FROM j$p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+           |    CAST(s_nationkey AS BIGINT) AS dst
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey),
+           |adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM edges GROUP BY 1),
+           |starts AS (SELECT DISTINCT src AS start FROM edges),
+           |w0 AS (SELECT start, g.r AS r, [start] AS path
+           |  FROM starts CROSS JOIN generate_series(0, 1) AS g(r)),
+           |$steps,
+           |pr AS (SELECT path FROM w3),
+           |pairs AS (SELECT path[gi.i] AS a, path[gj.j] AS b
+           |  FROM pr
+           |  CROSS JOIN generate_series(1, 4) AS gi(i)
+           |  CROSS JOIN generate_series(1, 4) AS gj(j)
+           |  WHERE gi.i <= len(path) AND gj.j <= len(path)
+           |    AND gj.j > gi.i AND gj.j - gi.i <= 2)
+           |SELECT a AS item_a, b AS item_b, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin
+      },
+      "DeepWalk-style skip-gram pairs from md5-derandomized 3-step walks over " +
+        "the nation trade digraph (2 walks/node, window 2) — the graph-embedding " +
+        "training-pair generator, every walk replayable in SQL; adjacency built " +
+        "once, one equi-join per step, pair fan-out walks x len x window")
   )
 }

@@ -325,6 +325,62 @@ class GraphSpec extends SparkSpec {
     assert(ppr === pr)
   }
 
+  // ------------------------------------------------------- randomWalkPairs
+
+  test("randomWalkPairs: chain walks stop at the sink, both walks per node " +
+      "replay identically on single-neighbor nodes") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 (3 is a sink): every walk is forced, so both r-walks
+    // from each start produce the same path and pair counts double
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.randomWalkPairs(edges, "s", "d",
+        walkLen = 3, walksPerNode = 2, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // start 1: path [1,2,3] -> pairs (1,2),(1,3),(2,3); start 2: [2,3] ->
+    // (2,3); start 3 never starts (only srcs start) — all x2 walks
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 4L))
+  }
+
+  test("randomWalkPairs matches a MessageDigest walk replay on a random " +
+      "digraph and is repartition-deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong)).distinct
+    def hex8(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toVector).toMap
+    val ref = {
+      val paths = for {
+        start <- adj.keys.toSeq; r <- 0 to 1
+      } yield {
+        var path = Vector(start)
+        for (p <- 0 until 3) {
+          val cur = path.last
+          adj.get(cur).foreach { ns =>
+            path = path :+ ns((hex8(s"rw:$r:$start:$p:$cur") % ns.size).toInt)
+          }
+        }
+        path
+      }
+      paths.flatMap { path =>
+        for {
+          i <- path.indices; j <- path.indices
+          if j > i && j - i <= 2
+        } yield (path(i), path(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val df = edges.toDF("s", "d")
+    val got = Graph.randomWalkPairs(df, "s", "d", 3, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+    val again = Graph.randomWalkPairs(df.repartition(7), "s", "d", 3, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === ref)
+  }
+
   // ------------------------------------------------------------------ hits
 
   /** BigInt replica of the L1-normalized integer HITS recurrence. */
