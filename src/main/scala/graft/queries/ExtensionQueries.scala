@@ -1276,5 +1276,66 @@ object ExtensionQueries {
              |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin),
       "near-dup cluster-size histogram with the keep-one removable count per " +
         "size — the dedup-yield planning table ('dedup will drop N docs, " +
-        "mostly from pairs'); pure composition over the q39 component plan"))
+        "mostly from pairs'); pure composition over the q39 component plan"),
+
+    // --------------------------------------- text: Heaps-law growth fit
+    "q206_heaps_growth" -> Q(
+      (s, dir) => {
+        // vocabulary growth in ingest order: per doc_id bucket, token
+        // volume and FIRST-SEEN term count, cumulated, then the OLS slope
+        // over (ln tokens, ln vocab) — Heaps' exponent (~0.5 for natural
+        // text; -> 0 when the vocabulary saturates, the crawl-exhaustion
+        // signal next to q189's Zipf slope). Composed from first-occurrence
+        // aggregation + window sums + trendSlope — no new operator code.
+        val tok = Tables.table(s, dir, "documents")
+          .select(expr("CAST(doc_id AS BIGINT) DIV 32").as("b"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        val perB = tok.groupBy(col("b")).agg(count(lit(1)).as("n_tok"))
+        val firsts = tok.groupBy(col("t")).agg(min(col("b")).as("fb"))
+          .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val pts = perB
+          .join(firsts.select(col("fb").as("b"), col("n_new")), Seq("b"), "left")
+          .withColumn("ctok", sum(col("n_tok")).over(w))
+          .withColumn("cvoc", sum(coalesce(col("n_new"), lit(0L))).over(w))
+          .select(lit("all").as("g"),
+            round(log(col("ctok").cast("double")) * lit(1e6)).cast("bigint").as("x"),
+            round(log(col("cvoc").cast("double")) * lit(1e6)).cast("bigint").as("y"))
+        graft.operators.FeatureEng.trendSlope(pts, "g", "x", "y")
+          .orderBy(col("grp"))
+      },
+      Some("""WITH tok AS (SELECT doc_id // 32 AS b,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |pb AS (SELECT b, count(*) AS n_tok FROM tok GROUP BY 1),
+             |fo AS (SELECT min(b) AS fb FROM tok GROUP BY t),
+             |fn AS (SELECT fb AS b, count(*) AS n_new FROM fo GROUP BY 1),
+             |c AS (SELECT pb.b, sum(n_tok) OVER (ORDER BY pb.b) AS ctok,
+             |    sum(COALESCE(n_new, 0)) OVER (ORDER BY pb.b) AS cvoc
+             |  FROM pb LEFT JOIN fn ON fn.b = pb.b),
+             |pts AS (SELECT 'all' AS grp,
+             |    CAST(round(ln(CAST(ctok AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(cvoc AS DOUBLE)) * 1e6) AS BIGINT) AS y
+             |  FROM c),
+             |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+             |  FROM pts GROUP BY 1),
+             |ff AS (SELECT *, n * sxx - sx * sx AS den FROM m)
+             |SELECT grp, n,
+             |  CAST(CASE WHEN den = 0 THEN 1 ELSE 0 END AS BIGINT) AS degenerate,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (n * sxy - sx * sy)) // den
+             |    END AS BIGINT) AS slope_micro,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |    ELSE (1000000::HUGEINT * (sy * sxx - sx * sxy)) // den
+             |    END AS BIGINT) AS intercept_micro
+             |FROM ff ORDER BY grp""".stripMargin),
+      "Heaps-law vocabulary-growth fit over ingest order (OLS slope of " +
+        "ln-vocab vs ln-tokens in micro-nats; natural text ~ 0.5e6, saturation " +
+        "-> 0 — the crawl-exhaustion signal next to q189's Zipf slope); " +
+        "first-occurrence aggregation + cumulative windows + trendSlope, no " +
+        "new operator code"))
 }
