@@ -288,25 +288,27 @@ object DataPrep {
     * Output: `(id, grp, value_micro, norm_micro)`.
     *
     * Scale shape: one grp-keyed rank window (the [[rankNormalize]]
-    * exchange), one GLOBAL rank window over the pooled values — the
-    * honest cost of a pooled reference (single-partition sort; at
-    * production scale materialize the pooled ranking once per snapshot
-    * and reuse), then an equi-join on the computed pooled rank.
+    * exchange); the pooled reference is the [[Ranks.offsetRank]]
+    * distributed rank of the full frame — a range exchange plus a
+    * broadcast-offset join, NO single-partition sort (ranks are
+    * bit-identical to the `row_number OVER (ORDER BY xm, id)` form, and
+    * this beats a distinct-value prefix-sum when values are
+    * micro-quantized doubles with distinct ≈ N) — then an equi-join on
+    * the computed pooled rank. The pool size enters as a collected
+    * literal, replacing the former `count(*) OVER ()` global window.
+    * The pooled intermediate is persisted (tracked —
+    * [[Dedup.releaseCaches]] frees it).
     */
   def quantileNormalize(
       df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
     val ranked = rankedByGroup(df, groupCol, valueCol, idCol)
-    val wPool = Window.orderBy(col("xm"), col("id"))
-    val pool = df.select(col(idCol).cast("bigint").as("id"),
-        round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
-      .withColumn("pr", row_number().over(wPool))
-      .select(col("pr"), col("xm").as("norm_micro"))
-    val nPool = count(lit(1)).over(Window.partitionBy())
+    val e = df.select(col(idCol).cast("bigint").as("id"),
+      round(col(valueCol) * lit(1e6)).cast("bigint").as("xm"))
+    val (pooled, np) = Ranks.offsetRank(e, Nil, Seq("xm", "id"), "pr")
+    val pool = pooled.select(col("pr"), col("xm").as("norm_micro"))
     ranked
-      .withColumn("np", nPool)
-      .withColumn("pr",
-        expr("(rn * np + n - 1) DIV n"))
+      .withColumn("pr", expr(s"(rn * ${np}L + n - 1) DIV n"))
       .join(pool, Seq("pr"))
       .select(col("id"), col("grp"), col("xm").as("value_micro"),
         col("norm_micro"))

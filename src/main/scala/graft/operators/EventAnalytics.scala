@@ -526,8 +526,15 @@ object EventAnalytics {
     * (for recency that means most recent; flip downstream if a
     * 5-is-best convention is wanted), and `segment = 100·r + 10·f + m`.
     *
-    * Scale shape: one per-user aggregation, then three rank windows over
-    * the USER-level table (one row per user, not per event).
+    * Scale shape: one per-user aggregation, then three
+    * [[Ranks.offsetRank]] distributed ranks over the USER-level table
+    * (one row per user, not per event) — range exchange +
+    * broadcast-offset join each, bit-identical to the former
+    * `row_number OVER (ORDER BY metric, u)` global windows but with NO
+    * single-partition sort; `n_users` enters as the rank pass's
+    * collected total, replacing the former `count(*) OVER ()` global
+    * window. Intermediates are persisted (tracked —
+    * [[Dedup.releaseCaches]] frees them).
     */
   def rfmSegments(
       events: DataFrame, userCol: String, tsCol: String,
@@ -541,18 +548,16 @@ object EventAnalytics {
       .crossJoin(broadcast(base.agg(max(col("tsu")).as("tmax"))))
       .withColumn("recency_us", col("tmax") - col("last_tsu"))
       .drop("tmax", "last_tsu")
+    val (r1, nUsers) =
+      Ranks.offsetRank(perUser, Nil, Seq("recency_us", "u"), "rank_recency_us")
+    val (r2, _) =
+      Ranks.offsetRank(r1, Nil, Seq("frequency", "u"), "rank_frequency")
+    val (r3, _) =
+      Ranks.offsetRank(r2, Nil, Seq("monetary_micro", "u"), "rank_monetary_micro")
+    val denom = math.max(nUsers, 1L) // empty frame: no rows evaluate, avoid DIV 0 fold
     def quintile(metric: String): Column =
-      expr(s"(5 * rank_$metric + n_users - 1) DIV n_users")
-    val n = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perUser
-      .withColumn("n_users", count(lit(1)).over(n))
-      .withColumn("rank_recency_us",
-        row_number().over(Window.orderBy(col("recency_us"), col("u"))))
-      .withColumn("rank_frequency",
-        row_number().over(Window.orderBy(col("frequency"), col("u"))))
-      .withColumn("rank_monetary_micro",
-        row_number().over(Window.orderBy(col("monetary_micro"), col("u"))))
+      expr(s"(5 * rank_$metric + ${nUsers}L - 1) DIV ${denom}L")
+    r3
       .withColumn("r", quintile("recency_us"))
       .withColumn("f", quintile("frequency"))
       .withColumn("m", quintile("monetary_micro"))
