@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -152,7 +152,12 @@ object Dedup {
     */
   def ngramJaccardPairsFromIndex(
       index: DataFrame, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
-    pairIntersectionsFromIndex(index, maxDf)
+    pairIntersectionsFromIndex(index, maxDf,
+      // conservative prune: jaccard is monotone in inter (numerator grows,
+      // denominator shrinks; IEEE division is monotone both ways), so a
+      // pair whose overlap UPPER BOUND already fails the gate cannot pass
+      pruneKeep = Some((ub, szA, szB) =>
+        ub.cast("double") / (szA + szB - ub) >= threshold))
       .withColumn("interd", col("inter").cast("double"))
       .withColumn("jaccard",
         col("interd") / (col("sz_a") + col("sz_b") - col("interd")))
@@ -168,9 +173,21 @@ object Dedup {
     * bounded hot-shingle correction join. Pairs whose overlap is ONLY
     * hot shingles never surface — by construction boilerplate-only
     * overlap is not duplication evidence.
+    *
+    * `pruneKeep(interUpperBound, szA, szB)` is the threshold-aware
+    * candidate prune (round-11, the q171 superlinear-tail fix): a pair's
+    * final intersection can never exceed `cnt_rare + min(hot_a, hot_b)`
+    * (hot_x = doc x's count of df-capped shingles), so a caller whose
+    * gate is monotone in `inter` can reject candidates BEFORE the
+    * hot-correction join pays for them — candidate pairs outnumber
+    * passing pairs by orders of magnitude, and the prune is provably
+    * lossless (the bound over-counts, so only guaranteed-failing pairs
+    * drop). Sizes/hot-counts ride doc-keyed joins the output needed
+    * anyway.
     */
   private def pairIntersectionsFromIndex(
-      index: DataFrame, maxDf: Int): DataFrame = {
+      index: DataFrame, maxDf: Int,
+      pruneKeep: Option[(Column, Column, Column) => Column] = None): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
     val sizes = index.select(col("doc"), size(col("sh")).cast("long").as("sz"))
     val posting = index.select(col("doc"), explode(col("sh")).as("s"))
@@ -191,15 +208,28 @@ object Dedup {
     // most a handful of hot shingles, so this is pairs × small)
     val hot = posting.join(
       dfs.filter(col("df") > maxDf).select(col("s")), Seq("s"), "left_semi")
-    val cntHot = cntRare.select(col("id_a"), col("id_b"))
+    val hotPerDoc = hot.groupBy(col("doc")).agg(count(lit(1)).as("hot_cnt"))
+    val withSizes = cntRare
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .join(hotPerDoc.select(col("doc").as("id_a"), col("hot_cnt").as("hot_a")),
+        Seq("id_a"), "left")
+      .join(hotPerDoc.select(col("doc").as("id_b"), col("hot_cnt").as("hot_b")),
+        Seq("id_b"), "left")
+      .withColumn("__ub", col("cnt_rare") +
+        least(coalesce(col("hot_a"), lit(0L)), coalesce(col("hot_b"), lit(0L))))
+    val survivors = pruneKeep match {
+      case Some(keep) =>
+        withSizes.filter(keep(col("__ub"), col("sz_a"), col("sz_b")))
+      case None => withSizes
+    }
+    val cntHot = survivors.select(col("id_a"), col("id_b"))
       .join(hot.select(col("doc").as("id_a"), col("s")), Seq("id_a"))
       .join(hot.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"), "left_semi")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cnt_hot"))
-    cntRare
+    survivors
       .join(cntHot, Seq("id_a", "id_b"), "left")
       .withColumn("inter", col("cnt_rare") + coalesce(col("cnt_hot"), lit(0L)))
-      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
   }
 
@@ -219,15 +249,25 @@ object Dedup {
     *
     * Scale shape: identical to [[ngramJaccardPairsFromIndex]] — df-capped
     * inverted-index self-join for candidates (no all-pairs, stop-shingle
-    * f² guard), bounded hot-correction join for exactness. Pass a
-    * persisted/materialized [[buildShingleIndex]] frame.
+    * f² guard), bounded hot-correction join for exactness, and the
+    * threshold-aware candidate prune BEFORE the correction join: the
+    * gate `max(c_ab, c_ba) ≥ t` is equivalent to
+    * `10⁶·inter ≥ t·min(|A|,|B|)` (the larger direction divides by the
+    * smaller set), which is monotone in `inter`, so candidates whose
+    * overlap upper bound already fails drop losslessly — containment has
+    * no Jaccard-style size-ratio bound (a tiny doc inside a huge one is
+    * exactly the target), making this per-pair prune the one that
+    * matters. Pass a persisted/materialized [[buildShingleIndex]] frame.
     */
   def containmentPairsFromIndex(
       index: DataFrame, thresholdPpm: Long = 800000L,
       maxDf: Int = 1000): DataFrame = {
     require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
       "containmentPairsFromIndex: thresholdPpm in [1, 1e6]")
-    pairIntersectionsFromIndex(index, maxDf)
+    pairIntersectionsFromIndex(index, maxDf,
+      // floor(10⁶·i / m) ≥ t  ⟺  10⁶·i ≥ t·m (m > 0, t integer)
+      pruneKeep = Some((ub, szA, szB) =>
+        lit(1000000L) * ub >= lit(thresholdPpm) * least(szA, szB)))
       .withColumn("c_ab_ppm", expr("(1000000 * inter) DIV sz_a"))
       .withColumn("c_ba_ppm", expr("(1000000 * inter) DIV sz_b"))
       .filter(greatest(col("c_ab_ppm"), col("c_ba_ppm")) >= thresholdPpm)

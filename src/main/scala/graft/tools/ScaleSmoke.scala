@@ -80,7 +80,14 @@ object ScaleSmoke {
   // sees 10x rows per partition — the stress the operator claims to take.
   // q139: sessions 10x, path table constant, counts 10x.
   private val EventsQueryNames =
-    Seq("q134_rolling_actives", "q138_resample_ffill", "q139_session_paths")
+    Seq("q134_rolling_actives", "q138_resample_ffill", "q139_session_paths",
+      // round-11 additions. q120: replica users are disjoint, so anonymity
+      // groups are per-replica identical — rows scale exactly 10x, level
+      // assignment bit-identical per replica. q185: output rows = input
+      // rows (exactly 10x); the pooled rank is now the distributed
+      // offset-rank, which this row exists to watch. q203: rows = users
+      // (exactly 10x); same offset-rank machinery, three passes.
+      "q120_k_anonymize", "q185_quantile_normalize", "q203_rfm_segments")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
@@ -89,7 +96,12 @@ object ScaleSmoke {
   // scale 10x, so the floorDiv centroids — and every per-row a2/b2/sil —
   // are bit-identical per copy; output rows scale exactly 10x
   private val EmbeddingQueryNames =
-    Seq("q114_principal_axis", "q156_silhouette")
+    Seq("q114_principal_axis", "q156_silhouette",
+      // round-11: PQ train+encode+ADC scan over the 10x corpus — the query
+      // set is fixed (vec_id < 5), so rows stay 50; codebook VALUES may
+      // differ from base (init ranks by md5(vec_id) and replica ids
+      // differ), so the time ratio and constant row count are the signal
+      "q142_sim_pq_adc")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
