@@ -265,7 +265,13 @@ object Bench {
             "lang", "predicted").count()
           val nEsc = scored.filter(col("margin_micro") < 5000000L).count()
           System.err.println(s"[bench] pipeline_routing report=$nRep escalate=$nEsc")
-        } finally scored.unpersist(blocking = false)
+        } finally {
+          scored.unpersist(blocking = false)
+          // naiveBayesTrain persistTracks its (class, term) count frame;
+          // the per-query release at the registry loop ran before this
+          // block, so free it here or it pins memory for the whole run
+          graft.operators.Dedup.releaseCaches()
+        }
       } catch { case e: Throwable =>
         errors += "pipeline_routing"
         System.err.println(s"[bench] pipeline_routing failed: ${e.getMessage}")

@@ -589,7 +589,12 @@ object FeatureEng {
     *
     *   u(r, id) = hex8(md5("boot:" r ":" id)) mod 10⁶
     *   k = inverse-CDF ladder of Poisson(1) in exact ppm literals
-    *   mean_r = (10⁶·Σ k·x) DIV Σ k
+    *   xμ = round(10⁶·x)  (the repo-wide micro quantization — fractional
+    *        inputs are honest, not silently floor-truncated; for
+    *        integer-valued inputs every output is bit-identical to the
+    *        pre-quantization form since Σ k·(10⁶x) DIV Σk =
+    *        (10⁶·Σ kx) DIV Σk. |x| ≲ 9·10⁹ keeps 10⁶x double-exact)
+    *   mean_r = (Σ k·xμ) DIV Σ k
     *   [lo, hi] = percentile_disc 2.5% / 97.5% over replica means
     *              (the q81 ceil(p·R) rank convention)
     *
@@ -611,7 +616,8 @@ object FeatureEng {
     val cdfPpm = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
       999406L, 999917L, 999990L, 999999L)
     val base = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast("bigint").as("x"), col(idCol).cast("bigint").as("id"))
+      round(col(valueCol) * lit(1e6)).cast("bigint").as("x"),
+      col(idCol).cast("bigint").as("id"))
     val expanded = base
       .select(col("grp"), col("x"), col("id"),
         explode(sequence(lit(1), lit(reps))).as("rep"))
@@ -624,12 +630,14 @@ object FeatureEng {
             when(col("u") < cdf, lit(i.toLong)).otherwise(elseCol)
         })
     val repMeans = expanded.groupBy(col("grp"), col("rep"))
-      .agg(sum((col("k") * col("x")).cast("decimal(38,0)")).as("kx"),
+      // cast each factor BEFORE multiplying: k·xμ on raw longs can
+      // ANSI-overflow for micro-scaled magnitudes
+      .agg(sum(col("k").cast("decimal(38,0)") *
+        col("x").cast("decimal(38,0)")).as("kx"),
         sum(col("k")).as("kw"))
       .filter(col("kw") > 0)
       .select(col("grp"), col("rep"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * kx) DIV kw AS BIGINT)")
-          .as("m"))
+        expr("CAST(kx DIV kw AS BIGINT)").as("m"))
     val wRank = Window.partitionBy(col("grp")).orderBy(col("m"), col("rep"))
     val ci = repMeans
       .withColumn("r", row_number().over(wRank))
@@ -643,7 +651,7 @@ object FeatureEng {
           .as("hi_micro"))
     base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)))) DIV count(1) AS BIGINT)")
+        expr("CAST(sum(CAST(x AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
           .as("mean_micro"))
       .join(ci, Seq("grp"), "left")
       .select(col("grp"), col("n"), col("mean_micro"),

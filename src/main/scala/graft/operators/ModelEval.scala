@@ -664,7 +664,10 @@ object ModelEval {
     val byGrp = base.groupBy(col("grp"), col("sm")).agg(count(lit(1)).as("cg"))
     val glob = base.groupBy(col("sm")).agg(count(lit(1)).as("c_all"))
     val ng = base.groupBy(col("grp")).agg(count(lit(1)).as("n_g"))
-    val grid = glob.crossJoin(ng.select(col("grp")))
+    // both grid sides are aggregate-bounded; hint the (smaller) group
+    // list so the plan is a BroadcastNestedLoop by construction instead
+    // of relying on AQE to rescue a cartesian exchange
+    val grid = glob.crossJoin(broadcast(ng.select(col("grp"))))
       .join(byGrp, Seq("grp", "sm"), "left")
       .select(col("grp"), col("sm"),
         coalesce(col("cg"), lit(0L)).as("ca"), col("c_all").as("cb"))
@@ -722,11 +725,14 @@ object ModelEval {
     * integers. Also reports the EMPIRICAL coverage of `±q̂` on the
     * held-out (non-calibration) rows — the honesty check that the
     * guarantee actually materialized. Calibration sets too small for
-    * the rank (rank > n_cal) emit the −1 sentinel.
+    * the rank (rank > n_cal) emit the −1 sentinel. EVERY input group
+    * emits a row (the `averagePrecision` all-groups convention): a
+    * group whose rows all landed in the calibration split reports
+    * `n_eval = 0, coverage_ppm = −1` instead of vanishing silently.
     *
     * Scale shape: one per-group rank window over CALIBRATION rows only,
     * one broadcast-size (group, q̂) table joined back for the coverage
-    * count — two passes, both group-parallel.
+    * count, one group-level driving aggregate — all group-parallel.
     */
   def splitConformalInterval(
       df: DataFrame, groupCol: String, predCol: String, actualCol: String,
@@ -754,18 +760,19 @@ object ModelEval {
         min(when(col("rn") ===
             expr(s"((n_cal + 1) * ${alphaDen - alphaNum} + $alphaDen - 1) DIV $alphaDen"),
           col("res"))).as("qhat_micro"))
-    base.filter(col("cal") === 0)
+    val evalAgg = base.filter(col("cal") === 0)
       .join(broadcast(qhat), Seq("grp"), "left")
       .groupBy(col("grp"))
-      .agg(max(col("n_cal")).as("n_cal"),
-        max(col("qhat_micro")).as("qm"),
-        count(lit(1)).as("n_eval"),
+      .agg(count(lit(1)).as("n_eval"),
         sum(when(col("res") <= col("qhat_micro"), 1L).otherwise(0L))
           .as("n_covered"))
+    base.groupBy(col("grp")).agg(count(lit(1)).as("__n")).drop("__n")
+      .join(broadcast(qhat), Seq("grp"), "left")
+      .join(broadcast(evalAgg), Seq("grp"), "left")
       .select(col("grp"), coalesce(col("n_cal"), lit(0L)).as("n_cal"),
-        col("n_eval"),
-        coalesce(col("qm"), lit(-1L)).as("qhat_micro"),
-        when(col("qm").isNull, lit(-1L))
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("qhat_micro"), lit(-1L)).as("qhat_micro"),
+        when(col("qhat_micro").isNull || col("n_eval").isNull, lit(-1L))
           .otherwise(expr("(1000000 * n_covered) DIV n_eval"))
           .as("coverage_ppm"))
   }

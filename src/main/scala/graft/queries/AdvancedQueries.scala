@@ -507,7 +507,7 @@ object AdvancedQueries {
       (s, dir) => {
         val r = t(s, dir, "region").select(col("r_name"))
         val statuses = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
-        r.crossJoin(statuses)
+        r.crossJoin(broadcast(statuses))
           .orderBy(col("r_name"), col("o_orderstatus"))
       },
       Some("""SELECT r_name, o_orderstatus

@@ -999,20 +999,24 @@ object EvalQueries {
              |q AS (SELECT grp, max(n_cal) AS n_cal,
              |    min(CASE WHEN rn = ((n_cal + 1) * 9 + 9) // 10 THEN res END) AS qhat
              |  FROM c GROUP BY 1),
-             |v AS (SELECT b.grp, q.n_cal, q.qhat, count(*) AS n_eval,
+             |v AS (SELECT b.grp, count(*) AS n_eval,
              |    sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS n_cov
-             |  FROM b LEFT JOIN q ON q.grp = b.grp WHERE cal = 0 GROUP BY 1, 2, 3)
-             |SELECT grp, CAST(COALESCE(n_cal, 0) AS BIGINT) AS n_cal,
-             |  CAST(n_eval AS BIGINT) AS n_eval,
-             |  CAST(COALESCE(qhat, -1) AS BIGINT) AS qhat_micro,
-             |  CAST(CASE WHEN qhat IS NULL THEN -1
-             |    ELSE (1000000 * n_cov) // n_eval END AS BIGINT) AS coverage_ppm
-             |FROM v ORDER BY grp""".stripMargin),
+             |  FROM b LEFT JOIN q ON q.grp = b.grp WHERE cal = 0 GROUP BY 1),
+             |g AS (SELECT DISTINCT grp FROM b)
+             |SELECT g.grp, CAST(COALESCE(q.n_cal, 0) AS BIGINT) AS n_cal,
+             |  CAST(COALESCE(v.n_eval, 0) AS BIGINT) AS n_eval,
+             |  CAST(COALESCE(q.qhat, -1) AS BIGINT) AS qhat_micro,
+             |  CAST(CASE WHEN q.qhat IS NULL OR v.n_eval IS NULL THEN -1
+             |    ELSE (1000000 * v.n_cov) // v.n_eval END AS BIGINT) AS coverage_ppm
+             |FROM g LEFT JOIN q ON q.grp = g.grp LEFT JOIN v ON v.grp = g.grp
+             |ORDER BY g.grp""".stripMargin),
       "split-conformal 90% prediction interval per event type (props.k as the " +
         "point model for value): exact conformal rank ceil((n+1)(1-alpha)) " +
         "over md5-gated calibration residuals, plus the EMPIRICAL held-out " +
         "coverage — distribution-free uncertainty with its own honesty check; " +
-        "one calibration rank window + one broadcast join"),
+        "every input group emits a row (n_eval=0, -1 coverage when all rows " +
+        "fell in the calibration split); one calibration rank window + " +
+        "broadcast joins"),
 
     // ------------------------------------- matryoshka truncation eval
     "q194_matryoshka_recall" -> Q(

@@ -482,6 +482,17 @@ class FeatureEngSpec extends SparkSpec {
     assert(r.getLong(4) === 42000000L && r.getLong(5) === 42000000L)
   }
 
+  test("bootstrapCiMean: fractional values micro-quantize instead of " +
+      "truncating toward zero (round-11 ADVICE fix)") {
+    import spark.implicits._
+    // pre-fix, cast('bigint') floored 0.5 -> 0 and the mean read 0
+    val df = (1L to 50L).map(i => ("g", 0.5, i)).toDF("g", "x", "id")
+    val r = graft.operators.FeatureEng.bootstrapCiMean(df, "g", "x", "id")
+      .collect().head
+    assert(r.getLong(2) === 500000L)
+    assert(r.getLong(4) === 500000L && r.getLong(5) === 500000L)
+  }
+
   test("trendSlope: exact line recovers slope and intercept; noise floors " +
       "through DIV; single-x group is degenerate") {
     import spark.implicits._

@@ -534,6 +534,27 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("splitConformalInterval: a group whose rows ALL calibrate still " +
+      "emits a row with n_eval=0 and -1 coverage (round-11 ADVICE fix)") {
+    def isCal(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"conf:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      h.substring(0, 4) < "8000"
+    }
+    val calIds = (1L to 200L).filter(isCal).take(5)
+    val evalId = (1L to 200L).find(id => !isCal(id)).get
+    val df = (calIds.map(id => ("allcal", 0.0, id.toDouble, id)) :+
+      ("mixed", 0.0, 1.0, calIds.head) :+ ("mixed", 0.0, 2.0, evalId))
+      .toDF("g", "p", "a", "id")
+    val got = ModelEval.splitConformalInterval(df, "g", "p", "a", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.contains("allcal"), "all-calibration group must not vanish")
+    assert(got("allcal")._1 === 5L && got("allcal")._2 === 0L &&
+      got("allcal")._3 === -1L)
+    assert(got("mixed")._2 === 1L)
+  }
+
   // ------------------------------------------------------------ annRboAtK
 
   test("annRboAtK: identical lists read 1 - p^k exactly; disjoint read 0") {
