@@ -189,7 +189,10 @@ object EventAnalytics {
     * min per user (reuses the dedup's hash partitioning on user via the
     * (user, day)-keyed exchange), and a final small aggregation on
     * (cohort, offset) — the output is bounded by active-days², not data
-    * volume. The cohort-size join is on the tiny aggregated matrix.
+    * volume. The cohort size rides a cohort-partitioned window over the
+    * aggregated matrix (a self-join here re-ran the whole upstream for
+    * its broadcast side — the round-11 pipeline_events job-count
+    * finding).
     */
   def retentionCohorts(
       events: DataFrame, userCol: String, tsMicrosCol: String): DataFrame = {
@@ -205,9 +208,12 @@ object EventAnalytics {
       .withColumn("cohort_day", min(col("day")).over(w))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
-    val sizes = matrix.filter(col("offset_days") === 0)
-      .select(col("cohort_day"), col("n_users").as("n_cohort"))
-    matrix.join(broadcast(sizes), Seq("cohort_day"))
+    // every cohort has its offset-0 row by construction (the cohort day
+    // itself), so the size is a sum over the cohort's matrix partition
+    matrix
+      .withColumn("n_cohort",
+        sum(when(col("offset_days") === 0, col("n_users")).otherwise(0L))
+          .over(Window.partitionBy(col("cohort_day"))))
       .select(col("cohort_day"), col("offset_days"), col("n_users"), col("n_cohort"),
         expr("(10000 * n_users) DIV n_cohort").as("retention_bps"))
   }
@@ -440,8 +446,13 @@ object EventAnalytics {
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
-    pairs.join(broadcast(totals), Seq("from_type"))
+    // row-normalize with a from_type-partitioned window over the tiny
+    // aggregated matrix — the totals self-join re-ran the lag window +
+    // aggregation a second time for its broadcast side (the round-11
+    // pipeline_events job-count finding)
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         expr("(1000000 * n) DIV n_from").as("ppm"))
   }

@@ -111,4 +111,59 @@ object Ranks {
       .drop("__mid", "__pid", "__base")
     (ranked, total)
   }
+
+  /** Adds `cum_<valueCol>` = exact GLOBAL running sum of each value
+    * column under the `sortCols` order — the distributed replacement for
+    * `sum(v) OVER (ORDER BY ...)` on an unboundedly-growing frame (the
+    * same single-partition-sort failure as the rank case). Same two-pass
+    * scheme as [[offsetRank]]: range exchange, ONE bounded collect of
+    * per-partition sums → running prior offsets broadcast back, then a
+    * partition-LOCAL running-sum window (partitioned by the range
+    * partition id — each window group is one bounded range partition,
+    * never the frame). `sortCols` must form a UNIQUE key (ROWS-frame
+    * running sums are tie-order-sensitive otherwise) and value columns
+    * must be non-null longs (coalesce upstream).
+    *
+    * The intermediate is persisted and registered with
+    * [[Dedup.releaseCaches]].
+    */
+  def offsetCumSum(
+      df: DataFrame, sortCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(sortCols.nonEmpty && valueCols.nonEmpty,
+      "offsetCumSum: sortCols and valueCols must be non-empty")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val keys = sortCols.map(col)
+    val tagged = Dedup.persistTracked(
+      df.repartitionByRange(p, keys: _*)
+        .withColumn("__pid", spark_partition_id().cast("long")))
+    val sumAggs = valueCols.map(c => sum(col(c)).as(s"__s_$c"))
+    val parts = tagged.groupBy(col("__pid"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .sortBy(_.getAs[Long]("__pid"))
+    val priors = scala.collection.mutable.Map(valueCols.map(_ -> 0L): _*)
+    val offsetRows = parts.map { r =>
+      val row = Row.fromSeq(r.getAs[Long]("__pid") +:
+        valueCols.map(c => priors(c)))
+      valueCols.foreach(c => priors(c) += r.getAs[Long](s"__s_$c"))
+      row
+    }.toSeq
+    val offSchema = StructType(
+      StructField("__pid", LongType, nullable = false) +:
+        valueCols.map(c => StructField(s"__prior_$c", LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(offsetRows).asJava), offSchema)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    valueCols.foldLeft(tagged.join(broadcast(offsets), Seq("__pid"))) {
+      (acc, c) =>
+        acc.withColumn(s"cum_$c",
+          col(s"__prior_$c") + sum(col(c)).over(wRun))
+          .drop(s"__prior_$c")
+    }.drop("__pid")
+  }
 }

@@ -1286,23 +1286,24 @@ object ExtensionQueries {
         // over (ln tokens, ln vocab) — Heaps' exponent (~0.5 for natural
         // text; -> 0 when the vocabulary saturates, the crawl-exhaustion
         // signal next to q189's Zipf slope). Composed from first-occurrence
-        // aggregation + window sums + trendSlope — no new operator code.
+        // aggregation + the Ranks.offsetCumSum distributed prefix sum
+        // (the bucket frame is corpus/32 rows — an unpartitioned cumsum
+        // window here would be a corpus-scaled single-partition sort) +
+        // trendSlope — no new operator code.
         val tok = Tables.table(s, dir, "documents")
           .select(expr("CAST(doc_id AS BIGINT) DIV 32").as("b"),
             explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
         val perB = tok.groupBy(col("b")).agg(count(lit(1)).as("n_tok"))
         val firsts = tok.groupBy(col("t")).agg(min(col("b")).as("fb"))
           .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val pts = perB
+        val joined = perB
           .join(firsts.select(col("fb").as("b"), col("n_new")), Seq("b"), "left")
-          .withColumn("ctok", sum(col("n_tok")).over(w))
-          .withColumn("cvoc", sum(coalesce(col("n_new"), lit(0L))).over(w))
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        val pts = graft.operators.Ranks
+          .offsetCumSum(joined, Seq("b"), Seq("n_tok", "n_new"))
           .select(lit("all").as("g"),
-            round(log(col("ctok").cast("double")) * lit(1e6)).cast("bigint").as("x"),
-            round(log(col("cvoc").cast("double")) * lit(1e6)).cast("bigint").as("y"))
+            round(log(col("cum_n_tok").cast("double")) * lit(1e6)).cast("bigint").as("x"),
+            round(log(col("cum_n_new").cast("double")) * lit(1e6)).cast("bigint").as("y"))
         graft.operators.FeatureEng.trendSlope(pts, "g", "x", "y")
           .orderBy(col("grp"))
       },

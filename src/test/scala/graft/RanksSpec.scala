@@ -74,6 +74,26 @@ class RanksSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("offsetCumSum ≡ running sum window, multiple columns, " +
+      "pid-partitioned plan only") {
+    val df = spark.range(0, 3000)
+      .select(col("id").as("b"), (col("id") % 13L + 1L).as("v1"),
+        (col("id") % 7L).as("v2"))
+    val got = Ranks.offsetCumSum(df.repartition(5), Seq("b"), Seq("v1", "v2"))
+    val exp = df.withColumn("e1",
+        sum(col("v1")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("e2",
+        sum(col("v2")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.join(exp, Seq("b", "v1", "v2"))
+      .filter(col("cum_v1") =!= col("e1") || col("cum_v2") =!= col("e2"))
+      .count() === 0L)
+    assert(unpartitionedWindows(got).isEmpty,
+      "offsetCumSum must only use range-partition-local windows")
+    Dedup.releaseCaches()
+  }
+
   private def unpartitionedWindows(df: DataFrame): Seq[LogicalWindow] =
     df.queryExecution.optimizedPlan.collect {
       case w: LogicalWindow if w.partitionSpec.isEmpty => w
