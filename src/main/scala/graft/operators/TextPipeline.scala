@@ -586,4 +586,105 @@ object TextPipeline {
           .cast("bigint").as("n_hits"))
       .filter(col("n_hits") >= minShared)
   }
+
+  /** UNIGRAM CROSS-ENTROPY quality score — the perplexity-proxy filter
+    * (the CCNet-class signal): per document, the mean surprisal of its
+    * tokens under the corpus's own add-one-smoothed unigram language
+    * model,
+    *
+    *   s(t) = round(10⁶ · ln((N + V) / (cnt(t) + 1)))   micro-nats,
+    *   ce_micro_nats = (Σ_occurrences s(t)) DIV n_tokens
+    *
+    * (N = corpus token occurrences, V = vocabulary size). Low = the
+    * document reads like the corpus (common tokens); high = rare-token
+    * soup — boilerplate/gibberish at one tail, exotic-but-valuable at
+    * the other, which is why this is a RANKING signal feeding thresholds
+    * (q191-style), not a hard gate. Per-term micro rounding keeps the
+    * sum engine-portable (the q74 ln convention: the 1-ulp libm caveat
+    * is accepted, corpus-validated per SF). Every input document emits a
+    * row — tokenless docs read `n_tokens = 0, ce_micro_nats = −1`.
+    *
+    * Scale shape: one (doc, token) count aggregation (map-side combine
+    * absorbs within-doc repetition), one token-keyed count aggregation
+    * over THAT (distinct-pair sized), a 1-row totals broadcast, one
+    * fact-dim equi-join of per-doc distinct tokens against the
+    * vocabulary score table (AQE splits hot-token probe groups), one
+    * per-doc sum. The (doc, token) frame is persisted — tracked,
+    * [[Dedup.releaseCaches]] frees it — because both the vocabulary
+    * counts and the scoring join consume it.
+    */
+  def unigramCrossEntropy(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dt = Dedup.persistTracked(docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c")))
+    val cnt = dt.groupBy(col("t")).agg(sum(col("c")).as("cf"))
+    val tot = cnt.agg(sum(col("cf")).as("n"), count(lit(1)).as("v"))
+    val sc = cnt.crossJoin(broadcast(tot))
+      .select(col("t"),
+        round(lit(1e6) * log((col("n") + col("v")).cast("double") /
+          (col("cf") + lit(1L)).cast("double"))).cast("bigint").as("s"))
+    val perDoc = dt.join(sc, Seq("t"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_tokens"),
+        // decimal factors: c·s on raw longs can ANSI-overflow for long
+        // docs of rare tokens (s grows with ln N)
+        sum(col("c").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+          .as("se"))
+      .select(col("doc"), col("n_tokens"),
+        expr("CAST(se DIV n_tokens AS BIGINT)").as("ce_micro_nats"))
+    docs.select(col(idCol).as("doc")).join(perDoc, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ce_micro_nats"), lit(-1L)).as("ce_micro_nats"))
+  }
+
+  /** TOKEN-COVERAGE-AT-K — the tokenizer/vocabulary planning curve: what
+    * fraction of all corpus token OCCURRENCES is covered by the k most
+    * frequent types, for each requested k. The number that decides
+    * vocabulary size ("32k types cover 99.2% of occurrences; the tail is
+    * byte-fallback") and flags corpus shift (coverage at fixed k
+    * dropping release-over-release = new-domain influx). Exact integers:
+    * `coverage_ppm = (10⁶ · covered) DIV N`; a k beyond the vocabulary
+    * reads full coverage with `n_vocab` reporting the true type count;
+    * an empty corpus reads the −1 sentinel.
+    *
+    * Scale shape: token counts (map-side combined), then ONE
+    * [[Ranks.offsetCumSum]] pass over the vocabulary ordered by
+    * (count desc, token) computing rank and cumulative occurrences
+    * together — the vocabulary frame is unbounded at corpus scale, so
+    * this is the distributed prefix sum, not a single-partition window —
+    * then a |ks|-row literal frame left-joined against the picked ranks.
+    */
+  def tokenCoverageAtK(
+      docs: DataFrame, textCol: String,
+      ks: Seq[Long] = Seq(100L, 1000L, 8000L)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.length == ks.length,
+      "tokenCoverageAtK: ks must be distinct positive ranks")
+    val spark = docs.sparkSession
+    val cnt = docs
+      .select(explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cf"))
+      // negated count: offsetCumSum orders ascending, the curve wants
+      // most-frequent-first; (−cf, t) is the unique composite key
+      .withColumn("negcf", -col("cf"))
+      .withColumn("one", lit(1L))
+    val tot = cnt.agg(coalesce(sum(col("cf")), lit(0L)).as("n"),
+      count(lit(1)).as("v"))
+    val picked = Ranks.offsetCumSum(cnt, Seq("negcf", "t"), Seq("one", "cf"))
+      .filter(col("cum_one").isin(ks: _*))
+      .select(col("cum_one").as("k"), col("cum_cf").as("covered"))
+    import spark.implicits._
+    ks.sorted.toDF("k")
+      .join(broadcast(picked), Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("v").as("n_vocab"),
+        coalesce(col("covered"), col("n")).as("covered_tokens"),
+        col("n").as("total_tokens"),
+        when(col("n") === 0L, lit(-1L))
+          // decimal-cleared: 10⁶·covered overflows long past N ~ 10¹³
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * coalesce(covered, n))
+              | DIV n AS BIGINT)""".stripMargin))
+          .as("coverage_ppm"))
+  }
 }

@@ -1338,5 +1338,64 @@ object ExtensionQueries {
         "ln-vocab vs ln-tokens in micro-nats; natural text ~ 0.5e6, saturation " +
         "-> 0 — the crawl-exhaustion signal next to q189's Zipf slope); " +
         "first-occurrence aggregation + cumulative windows + trendSlope, no " +
-        "new operator code"))
+        "new operator code"),
+
+    // ------------------------------- text: unigram cross-entropy score
+    "q207_unigram_ce" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.unigramCrossEntropy(
+            Tables.table(s, dir, "documents"), "text", "doc_id")
+          .orderBy(col("doc")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+             |cnt AS (SELECT t, sum(c) AS cf FROM dt GROUP BY 1),
+             |tot AS (SELECT sum(cf) AS n, count(*) AS v FROM cnt),
+             |sc AS (SELECT t,
+             |    CAST(round(1e6 * ln(CAST(n + v AS DOUBLE) / CAST(cf + 1 AS DOUBLE))) AS BIGINT) AS s
+             |  FROM cnt CROSS JOIN tot),
+             |pd AS (SELECT doc_id, sum(c) AS n_tokens, sum(c::HUGEINT * s) AS se
+             |  FROM dt JOIN sc USING (t) GROUP BY 1)
+             |SELECT d.doc_id AS doc, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(se // n_tokens, -1) AS BIGINT) AS ce_micro_nats
+             |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+             |ORDER BY doc""".stripMargin),
+      "unigram cross-entropy quality score per document (mean micro-nat " +
+        "surprisal under the corpus's add-one-smoothed unigram LM, per-term " +
+        "rounded — the CCNet-class perplexity-proxy ranking signal); " +
+        "(doc, token) counts -> vocab score table -> one fact-dim join; " +
+        "tokenless docs emit the -1 sentinel"),
+
+    // ---------------------------- text: token coverage-at-k planning curve
+    "q208_token_coverage" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.tokenCoverageAtK(
+            Tables.table(s, dir, "documents"), "text",
+            ks = Seq(100L, 1000L, 8000L))
+          .orderBy(col("k")),
+      Some("""WITH tok AS (SELECT
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |cnt AS (SELECT t, count(*) AS cf FROM tok GROUP BY 1),
+             |tot AS (SELECT COALESCE(sum(cf), 0) AS n, count(*) AS v FROM cnt),
+             |r AS (SELECT cf,
+             |    row_number() OVER (ORDER BY cf DESC, t) AS rk,
+             |    sum(cf) OVER (ORDER BY cf DESC, t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM cnt),
+             |ks AS (SELECT CAST(unnest([100, 1000, 8000]) AS BIGINT) AS k),
+             |p AS (SELECT rk AS k, cum AS covered FROM r WHERE rk IN (100, 1000, 8000))
+             |SELECT k, CAST(v AS BIGINT) AS n_vocab,
+             |  CAST(COALESCE(covered, n) AS BIGINT) AS covered_tokens,
+             |  CAST(n AS BIGINT) AS total_tokens,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * COALESCE(covered, n)) // n
+             |    END AS BIGINT) AS coverage_ppm
+             |FROM ks LEFT JOIN p USING (k) CROSS JOIN tot ORDER BY k""".stripMargin),
+      "token coverage-at-k (fraction of corpus occurrences covered by the k " +
+        "most frequent types, exact ppm) — the vocabulary-size planning curve " +
+        "and corpus-shift monitor; counts + ONE Ranks.offsetCumSum distributed " +
+        "prefix pass over the (count desc, token) order, k beyond the " +
+        "vocabulary reads full coverage"))
 }

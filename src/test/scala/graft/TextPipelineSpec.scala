@@ -427,4 +427,51 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === ref)
   }
+
+  test("unigramCrossEntropy: hand corpus matches the driver replica and " +
+      "tokenless docs emit the sentinel") {
+    // counts: a:3 b:1 c:1 -> N=5, V=3, N+V=8; s(t)=round(1e6 ln(8/(c+1)))
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    def s(c: Long): Long = math.round(1e6 * math.log(8.0 / (c + 1)))
+    val expected = Map(
+      1L -> (3L, (2 * s(3) + s(1)) / 3),
+      2L -> (2L, (s(3) + s(1)) / 2),
+      3L -> (0L, -1L))
+    val got = TextPipeline.unigramCrossEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    graft.operators.Dedup.releaseCaches()
+    // repartition determinism
+    val again = TextPipeline.unigramCrossEntropy(
+        docs.repartition(5), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === expected)
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("tokenCoverageAtK: exact curve, k beyond vocab reads full coverage, " +
+      "empty corpus reads the sentinel, guards fire") {
+    // a:5 b:3 c:2 d:1 e:1 -> N=12, V=5
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c d e")).toDF("doc_id", "text")
+    val got = TextPipeline.tokenCoverageAtK(docs, "text", ks = Seq(1L, 3L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> (5L, 5L, 12L, 1000000L * 5 / 12),
+      3L -> (5L, 10L, 12L, 1000000L * 10 / 12),
+      10L -> (5L, 12L, 12L, 1000000L)))
+    graft.operators.Dedup.releaseCaches()
+    val empty = TextPipeline.tokenCoverageAtK(
+        Seq((1L, "  ")).toDF("doc_id", "text"), "text", ks = Seq(2L))
+      .collect().head
+    assert(empty.getLong(1) === 0L && empty.getLong(4) === -1L)
+    graft.operators.Dedup.releaseCaches()
+    intercept[IllegalArgumentException] {
+      TextPipeline.tokenCoverageAtK(docs, "text", ks = Seq(3L, 3L))
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.tokenCoverageAtK(docs, "text", ks = Seq(0L))
+    }
+  }
 }
