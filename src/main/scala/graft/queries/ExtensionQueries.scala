@@ -1397,5 +1397,48 @@ object ExtensionQueries {
         "most frequent types, exact ppm) — the vocabulary-size planning curve " +
         "and corpus-shift monitor; counts + ONE Ranks.offsetCumSum distributed " +
         "prefix pass over the (count desc, token) order, k beyond the " +
-        "vocabulary reads full coverage"))
+        "vocabulary reads full coverage"),
+
+    // -------------------- text: windowed LM-drift monitor (batch twin)
+    "q209_windowed_ce" -> Q(
+      (s, dir) => {
+        // even doc_ids freeze the reference LM, odd doc_ids replay as a
+        // daily document stream (synthetic ts = doc_id hours) — the
+        // batch twin of StreamingSurprisal.windowSurprisal, sharing its
+        // fold verbatim
+        val docs = Tables.table(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val probe = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("ts", timestamp_micros(
+            col("doc_id").cast("bigint") * lit(3600000000L)))
+        val (lm, oov) = graft.streaming.StreamingSurprisal.referenceLm(ref, "text")
+        graft.streaming.StreamingSurprisal
+          .batchWindowSurprisal(probe, "text", "ts", lm, oov, "1 day")
+          .orderBy(col("win_start_us"))
+      },
+      Some("""WITH rt AS (SELECT
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |cnt AS (SELECT t, count(*) AS cf FROM rt GROUP BY 1),
+             |tot AS (SELECT COALESCE(sum(cf), 0) + count(*) AS nv FROM cnt),
+             |probe AS (SELECT
+             |    (doc_id * 3600000000 // 86400000000) * 86400000000 AS w,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |sc AS (SELECT w,
+             |    CASE WHEN cf IS NULL
+             |      THEN CAST(round(1e6 * ln(CAST(nv AS DOUBLE))) AS BIGINT)
+             |      ELSE CAST(round(1e6 * ln(CAST(nv AS DOUBLE) / CAST(cf + 1 AS DOUBLE))) AS BIGINT)
+             |      END AS s,
+             |    CASE WHEN cf IS NULL THEN 1 ELSE 0 END AS o
+             |  FROM probe LEFT JOIN cnt USING (t) CROSS JOIN tot)
+             |SELECT w AS win_start_us, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(s::HUGEINT) // count(*) AS BIGINT) AS ce_micro_nats,
+             |  CAST((1000000::HUGEINT * sum(o)) // count(*) AS BIGINT) AS oov_ppm
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
+      "windowed LM-drift monitor, batch twin (per daily window: mean " +
+        "micro-nat surprisal + OOV ppm of a doc stream against a FROZEN " +
+        "reference unigram LM; unseen tokens score the add-one unseen " +
+        "surprisal ln(N+V)) — the serving-time companion of q207/q208; " +
+        "stream ≡ batch by shared fold (StreamingSurprisalSpec)"))
 }
