@@ -56,4 +56,25 @@ class PlanInvariantSpec extends SparkSpec {
       s"allowlist entries with no global window anymore (remove them): " +
         stale.mkString(", "))
   }
+
+  test("every crossJoin in main sources is broadcast-hinted (plan stability)") {
+    // round-10 verdict: bounded-side crossJoins must carry the hint
+    // rather than rely on AQE rescue. Source-level check so a new
+    // unhinted cartesian cannot land silently.
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+      }
+    val root = new java.io.File("src/main/scala")
+    assert(root.isDirectory, s"expected to run from the repo root, cwd=${new java.io.File(".").getAbsolutePath}")
+    val unhinted = scalaFiles(root).flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      "crossJoin\\(\\s*([a-zA-Z_]+)".r.findAllMatchIn(src)
+        .filter(_.group(1) != "broadcast")
+        .map(m => s"${f.getPath}: crossJoin(${m.group(1)}...)")
+    }
+    assert(unhinted.isEmpty,
+      s"unhinted crossJoin call sites:\n${unhinted.mkString("\n")}")
+  }
 }
