@@ -79,4 +79,84 @@ object HoltFunctions {
     */
   def holtUdaf(alphaPpm: Long, betaPpm: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new HoltAggregator(alphaPpm, betaPpm), Encoders.product[PricePoint])
+
+  // ------------------------------------------------------ Holt-Winters
+
+  final case class HoltWintersOut(
+      level_micro: Long, trend_micro: Long, season_micro: Long,
+      forecast_micro: Long)
+
+  /** Scala-side reference of the ADDITIVE Holt-Winters fold — the
+    * seasonal completion of the EWMA → Holt ladder. Zero-seeded
+    * (l₀ = b₀ = 0 and an all-zero season ring of `period` slots, the
+    * §2.3 convention), position t (1-based) reads ring slot
+    * (t−1) mod period:
+    *
+    *   l' = (α(x − s_old) + (10⁶ − α)(l + b))  div 10⁶
+    *   b' = (β(l' − l)    + (10⁶ − β) b)       div 10⁶
+    *   s' = (γ(x − l')    + (10⁶ − γ) s_old)   div 10⁶   (written back)
+    *
+    * emitting, after the last point n: the level, trend, the NEXT
+    * position's season `s_next = ring[n mod period]`, and the one-step
+    * forecast `l + b + s_next`. All Long arithmetic truncating toward
+    * zero (Scala `/` ≡ DuckDB `//`), so the oracle replays the fold
+    * with a recursive CTE carrying the ring as a list — bit-identical.
+    * γ = 0 keeps the ring at its zero seed, collapsing EXACTLY to
+    * [[foldOracle]] (HoltSpec pins this).
+    */
+  def foldWintersOracle(
+      xs: Seq[Double], alphaPpm: Long, betaPpm: Long, gammaPpm: Long,
+      period: Int): HoltWintersOut = {
+    var l = 0L
+    var b = 0L
+    val ring = Array.fill(period)(0L)
+    var t = 0
+    xs.foreach { x =>
+      val xm = math.round(x * 1e6)
+      val idx = t % period
+      val sOld = ring(idx)
+      val lNew = (alphaPpm * (xm - sOld) + (1000000L - alphaPpm) * (l + b)) / 1000000L
+      b = (betaPpm * (lNew - l) + (1000000L - betaPpm) * b) / 1000000L
+      ring(idx) = (gammaPpm * (xm - lNew) + (1000000L - gammaPpm) * sOld) / 1000000L
+      l = lNew
+      t += 1
+    }
+    val sNext = ring(t % period)
+    HoltWintersOut(l, b, sNext, l + b + sNext)
+  }
+
+  /** Same scale shape as [[HoltAggregator]]: concat-merge buffers, one
+    * sorted linear fold per group at finish — state O(group window),
+    * the EWMA contract.
+    */
+  class HoltWintersAggregator(
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long, period: Int)
+      extends Aggregator[PricePoint, ArrayBuffer[PricePoint], HoltWintersOut] {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L, "alphaPpm in [0, 1e6]")
+    require(betaPpm >= 0 && betaPpm <= 1000000L, "betaPpm in [0, 1e6]")
+    require(gammaPpm >= 0 && gammaPpm <= 1000000L, "gammaPpm in [0, 1e6]")
+    require(period >= 1 && period <= 366, "period in [1, 366]")
+    override def zero: ArrayBuffer[PricePoint] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[PricePoint], a: PricePoint): ArrayBuffer[PricePoint] = {
+      b += a; b
+    }
+    override def merge(b1: ArrayBuffer[PricePoint], b2: ArrayBuffer[PricePoint]): ArrayBuffer[PricePoint] = {
+      b1 ++= b2; b1
+    }
+    override def finish(buf: ArrayBuffer[PricePoint]): HoltWintersOut = {
+      val sorted = buf.sortBy(p => (p.ts, p.seq, p.price))
+      foldWintersOracle(sorted.toSeq.map(_.price), alphaPpm, betaPpm,
+        gammaPpm, period)
+    }
+    override def bufferEncoder: Encoder[ArrayBuffer[PricePoint]] =
+      Encoders.kryo[ArrayBuffer[PricePoint]]
+    override def outputEncoder: Encoder[HoltWintersOut] =
+      Encoders.product[HoltWintersOut]
+  }
+
+  def holtWintersUdaf(
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long,
+      period: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new HoltWintersAggregator(alphaPpm, betaPpm, gammaPpm, period),
+      Encoders.product[PricePoint])
 }

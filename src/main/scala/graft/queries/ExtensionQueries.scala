@@ -1440,5 +1440,67 @@ object ExtensionQueries {
         "micro-nat surprisal + OOV ppm of a doc stream against a FROZEN " +
         "reference unigram LM; unseen tokens score the add-one unseen " +
         "surprisal ln(N+V)) — the serving-time companion of q207/q208; " +
-        "stream ≡ batch by shared fold (StreamingSurprisalSpec)"))
+        "stream ≡ batch by shared fold (StreamingSurprisalSpec)"),
+
+    // ----------------------- Holt-Winters additive seasonal smoothing
+    "q210_holt_winters" -> Q(
+      (s, dir) => {
+        // weekly-seasonal smoothing of each type's daily volume — the
+        // seasonal completion of the EWMA -> Holt ladder (α=.3, β=.1,
+        // γ=.2 ppm, period 7), exact integer fold per the shared
+        // foldWintersOracle
+        val hw = graft.functions.HoltFunctions
+          .holtWintersUdaf(300000L, 100000L, 200000L, 7)
+        val daily = Tables.events(s, dir)
+          .withColumn("day_us",
+            expr("(unix_micros(ts) DIV 86400000000) * 86400000000"))
+          .groupBy(col("event_type"), col("day_us"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy(col("event_type"))
+          .agg(hw(col("day_us"), lit(0L), col("c").cast("double")).as("h"),
+            count(lit(1)).as("n_days"))
+          .select(col("event_type"),
+            col("h.level_micro").as("level_micro"),
+            col("h.trend_micro").as("trend_micro"),
+            col("h.season_micro").as("season_micro"),
+            col("h.forecast_micro").as("forecast_micro"), col("n_days"))
+          .orderBy(col("event_type"))
+      },
+      // recursive-CTE replay of the exact integer fold (the q116
+      // pattern) with the 7-slot season ring carried as a list
+      Some {
+        val sOld = "f.s[f.rn % 7 + 1]"
+        val lp = s"((300000 * (o.xm - $sOld) + 700000 * (f.l + f.b)) // 1000000)"
+        val bp = s"((100000 * ($lp - f.l) + 900000 * f.b) // 1000000)"
+        val sp = s"((200000 * (o.xm - $lp) + 800000 * $sOld) // 1000000)"
+        s"""WITH RECURSIVE ord AS (
+           |  SELECT event_type AS et,
+           |    (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+           |    count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |o2 AS (SELECT et, CAST(c * 1000000 AS BIGINT) AS xm,
+           |    row_number() OVER (PARTITION BY et ORDER BY day_us) AS rn,
+           |    count(*) OVER (PARTITION BY et) AS n
+           |  FROM ord),
+           |f AS (
+           |  SELECT et, 0 AS rn, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+           |    list_transform(generate_series(1, 7), i -> CAST(0 AS BIGINT)) AS s,
+           |    max(n) AS n
+           |  FROM o2 GROUP BY et
+           |  UNION ALL
+           |  SELECT f.et, f.rn + 1, $lp, $bp,
+           |    list_transform(generate_series(1, 7),
+           |      i -> CASE WHEN i = f.rn % 7 + 1 THEN $sp ELSE f.s[i] END),
+           |    f.n
+           |  FROM f JOIN o2 o ON o.et = f.et AND o.rn = f.rn + 1)
+           |SELECT et AS event_type, l AS level_micro, b AS trend_micro,
+           |  s[(n % 7) + 1] AS season_micro,
+           |  l + b + s[(n % 7) + 1] AS forecast_micro, CAST(n AS BIGINT) AS n_days
+           |FROM f WHERE rn = n ORDER BY event_type""".stripMargin
+      },
+      "Holt-Winters additive seasonal smoothing of daily event volume per type " +
+        "(weekly ring, alpha=.3 beta=.1 gamma=.2 ppm, zero-seeded exact integer " +
+        "fold; gamma=0 collapses exactly to q116 Holt) — level/trend/season and " +
+        "the one-step seasonal forecast; typed Aggregator with concat-merge " +
+        "buffers, oracle replays the fold with a list-state recursive CTE"))
 }

@@ -52,4 +52,77 @@ class HoltSpec extends SparkSpec {
     val ref = HoltFunctions.foldOracle(rows, 300000L, 100000L)
     assert(a("click") === ((ref.level_micro, ref.trend_micro)))
   }
+
+  // ------------------------------------------------------ Holt-Winters
+
+  test("foldWintersOracle: gamma=0 collapses exactly to the Holt fold") {
+    val xs = (1 to 60).map(i => (i % 7) * 2.0 + i * 0.1)
+    val hw = HoltFunctions.foldWintersOracle(xs, 300000L, 100000L, 0L, 7)
+    val h = HoltFunctions.foldOracle(xs, 300000L, 100000L)
+    assert(hw.level_micro === h.level_micro)
+    assert(hw.trend_micro === h.trend_micro)
+    assert(hw.season_micro === 0L, "zero gamma keeps the zero-seeded ring")
+    assert(hw.forecast_micro === h.forecast_micro)
+  }
+
+  test("foldWintersOracle: independent BigInt replica on a seasonal series") {
+    // re-derive with BigInt arithmetic and an explicit ring — catches
+    // any overflow/rounding slip in the Long implementation
+    val xs = (1 to 80).map(i => Seq(10.0, 30.0, 20.0, 50.0)((i - 1) % 4))
+    val (a, b0, g, m) = (400000L, 200000L, 300000L, 4)
+    var l = BigInt(0); var b = BigInt(0)
+    val ring = Array.fill(m)(BigInt(0))
+    xs.zipWithIndex.foreach { case (x, t) =>
+      val xm = BigInt(math.round(x * 1e6))
+      val sOld = ring(t % m)
+      val lNew = (a * (xm - sOld) + (1000000L - a) * (l + b)) / 1000000
+      b = (b0 * (lNew - l) + (1000000L - b0) * b) / 1000000
+      ring(t % m) = (g * (xm - lNew) + (1000000L - g) * sOld) / 1000000
+      l = lNew
+    }
+    val got = HoltFunctions.foldWintersOracle(xs, a, b0, g, m)
+    assert(got.level_micro === l.toLong && got.trend_micro === b.toLong)
+    assert(got.season_micro === ring(xs.length % m).toLong)
+    // the learned week tracks the pattern: season for a high slot beats
+    // a low slot
+    assert(ring(3) > ring(0), "the 50-valued slot must carry more season")
+  }
+
+  test("holtWintersUdaf == foldWintersOracle on the corpus under repartitioning") {
+    val hw = HoltFunctions.holtWintersUdaf(300000L, 100000L, 200000L, 7)
+    def run(rep: Int) = Tables.events(spark, sfDir)
+      .repartition(rep)
+      .withColumn("day_us",
+        expr("(unix_micros(ts) DIV 86400000000) * 86400000000"))
+      .groupBy(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(hw(col("day_us"), lit(0L), col("c").cast("double")).as("h"))
+      .select(col("event_type"), col("h.level_micro"), col("h.season_micro"),
+        col("h.forecast_micro"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val a = run(3)
+    assert(a === run(13), "merge-order must not affect the sorted fold")
+    val series = Tables.events(spark, sfDir)
+      .withColumn("day_us",
+        expr("(unix_micros(ts) DIV 86400000000) * 86400000000"))
+      .filter(col("event_type") === "click")
+      .groupBy(col("day_us")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2.toDouble).toSeq
+    val ref = HoltFunctions.foldWintersOracle(series, 300000L, 100000L, 200000L, 7)
+    assert(a("click") ===
+      ((ref.level_micro, ref.season_micro, ref.forecast_micro)))
+  }
+
+  test("HoltWintersAggregator guards its parameter ranges") {
+    intercept[IllegalArgumentException] {
+      new HoltFunctions.HoltWintersAggregator(300000L, 100000L, 1000001L, 7)
+    }
+    intercept[IllegalArgumentException] {
+      new HoltFunctions.HoltWintersAggregator(300000L, 100000L, 200000L, 0)
+    }
+  }
 }
