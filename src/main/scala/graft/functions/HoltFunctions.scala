@@ -104,24 +104,35 @@ object HoltFunctions {
     * γ = 0 keeps the ring at its zero seed, collapsing EXACTLY to
     * [[foldOracle]] (HoltSpec pins this).
     */
+  /** ONE Holt-Winters step, shared verbatim by the batch aggregator and
+    * the continuous streaming twin (the TwsLshDedup shared-fold rule —
+    * the two forms cannot drift). Mutates `ring` slot `t mod period`,
+    * returns (l', b').
+    */
+  def wintersStep(
+      l: Long, b: Long, ring: Array[Long], t: Long, xm: Long,
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long): (Long, Long) = {
+    val idx = (t % ring.length).toInt
+    val sOld = ring(idx)
+    val lNew = (alphaPpm * (xm - sOld) + (1000000L - alphaPpm) * (l + b)) / 1000000L
+    val bNew = (betaPpm * (lNew - l) + (1000000L - betaPpm) * b) / 1000000L
+    ring(idx) = (gammaPpm * (xm - lNew) + (1000000L - gammaPpm) * sOld) / 1000000L
+    (lNew, bNew)
+  }
+
   def foldWintersOracle(
       xs: Seq[Double], alphaPpm: Long, betaPpm: Long, gammaPpm: Long,
       period: Int): HoltWintersOut = {
     var l = 0L
     var b = 0L
     val ring = Array.fill(period)(0L)
-    var t = 0
+    var t = 0L
     xs.foreach { x =>
-      val xm = math.round(x * 1e6)
-      val idx = t % period
-      val sOld = ring(idx)
-      val lNew = (alphaPpm * (xm - sOld) + (1000000L - alphaPpm) * (l + b)) / 1000000L
-      b = (betaPpm * (lNew - l) + (1000000L - betaPpm) * b) / 1000000L
-      ring(idx) = (gammaPpm * (xm - lNew) + (1000000L - gammaPpm) * sOld) / 1000000L
-      l = lNew
-      t += 1
+      val (l2, b2) = wintersStep(l, b, ring, t, math.round(x * 1e6),
+        alphaPpm, betaPpm, gammaPpm)
+      l = l2; b = b2; t += 1
     }
-    val sNext = ring(t % period)
+    val sNext = ring((t % period).toInt)
     HoltWintersOut(l, b, sNext, l + b + sNext)
   }
 
