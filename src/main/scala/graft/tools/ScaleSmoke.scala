@@ -52,7 +52,14 @@ object ScaleSmoke {
       // values bit-identical (cross-replica shingles are disjoint, so
       // first-occurrence structure is per-replica); q183 keep-best
       // components scale 10x (q39's argument with the score key)
-      "q171_containment", "q177_shingle_novelty", "q183_keep_best")
+      "q171_containment", "q177_shingle_novelty", "q183_keep_best",
+      // round-11 text additions. q207: rows exactly 10x (every doc
+      // scores; salted replica vocabularies are disjoint so each term's
+      // surprisal shifts by ~ln 10 — rows are the invariant). q208: rows
+      // stay |ks| = 3; the vocabulary frame under offsetCumSum grows 10x
+      // — exactly the machinery this row watches. q209: probe windows
+      // follow the offset doc ids, rows ~10x.
+      "q207_unigram_ce", "q208_token_coverage", "q209_windowed_ce")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -87,7 +94,12 @@ object ScaleSmoke {
       // rows (exactly 10x); the pooled rank is now the distributed
       // offset-rank, which this row exists to watch. q203: rows = users
       // (exactly 10x); same offset-rank machinery, three passes.
-      "q120_k_anonymize", "q185_quantile_normalize", "q203_rfm_segments")
+      "q120_k_anonymize", "q185_quantile_normalize", "q203_rfm_segments",
+      // q210: (type, day) groups are constant under user-offset
+      // replication (daily counts 10x, day span unchanged), so rows stay
+      // |types| and the fold depth is constant — the time ratio watches
+      // the pre-aggregation only
+      "q210_holt_winters")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
