@@ -310,15 +310,22 @@ object Similarity {
       e: DataFrame, books: Array[Array[Array[Double]]],
       sub: Int): Array[Array[Array[Double]]] = {
     val m = books.length
-    val assigned = e.select(
-      col("vq") +: (0 until m).map { j =>
-        val sl = slice(col("vq"), j * sub + 1, sub)
-        nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
+    // stage each subspace slice ONCE per row: nearestCid fans the slice
+    // into nCentroids distance expressions, and an inline slice() would
+    // re-materialize the sub-array per centroid (CollapseProject keeps
+    // the staging project because slice is non-cheap and multiply-used)
+    val staged = e.select(
+      (0 until m).map(j =>
+        slice(col("vq"), j * sub + 1, sub).as(s"sq$j")): _*)
+    val assigned = staged.select(
+      (0 until m).flatMap { j =>
+        val sl = col(s"sq$j")
+        Seq(sl, nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j"))
       }: _*)
     val sums = assigned
       .select(explode(array((0 until m).map { j =>
         struct(lit(j).as("j"), col(s"cid$j").as("cid"),
-          slice(col("vq"), j * sub + 1, sub).as("sq"))
+          col(s"sq$j").as("sq"))
       }: _*)).as("s"))
       .select(col("s.j").as("j"), col("s.cid").as("cid"),
         posexplode(col("s.sq")).as(Seq("d", "x")))
