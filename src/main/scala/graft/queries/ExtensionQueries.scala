@@ -1502,5 +1502,46 @@ object ExtensionQueries {
         "(weekly ring, alpha=.3 beta=.1 gamma=.2 ppm, zero-seeded exact integer " +
         "fold; gamma=0 collapses exactly to q116 Holt) — level/trend/season and " +
         "the one-step seasonal forecast; typed Aggregator with concat-merge " +
-        "buffers, oracle replays the fold with a list-state recursive CTE"))
+        "buffers, oracle replays the fold with a list-state recursive CTE"),
+
+    // --------------- text: per-source windowed LM drift (grouped twin)
+    "q211_windowed_ce_by_source" -> Q(
+      (s, dir) => {
+        // q209 sliced the way a drift dashboard reads it: per (window,
+        // source) — the grouped form of the same shared fold
+        val docs = Tables.table(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val probe = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("ts", timestamp_micros(
+            col("doc_id").cast("bigint") * lit(3600000000L)))
+        val (lm, oov) = graft.streaming.StreamingSurprisal.referenceLm(ref, "text")
+        graft.streaming.StreamingSurprisal
+          .batchWindowSurprisal(probe, "text", "ts", lm, oov, "1 day",
+            grpCols = Seq("source"))
+          .orderBy(col("win_start_us"), col("source"))
+      },
+      Some("""WITH rt AS (SELECT
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |cnt AS (SELECT t, count(*) AS cf FROM rt GROUP BY 1),
+             |tot AS (SELECT COALESCE(sum(cf), 0) + count(*) AS nv FROM cnt),
+             |probe AS (SELECT source,
+             |    (doc_id * 3600000000 // 86400000000) * 86400000000 AS w,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |sc AS (SELECT w, source,
+             |    CASE WHEN cf IS NULL
+             |      THEN CAST(round(1e6 * ln(CAST(nv AS DOUBLE))) AS BIGINT)
+             |      ELSE CAST(round(1e6 * ln(CAST(nv AS DOUBLE) / CAST(cf + 1 AS DOUBLE))) AS BIGINT)
+             |      END AS s,
+             |    CASE WHEN cf IS NULL THEN 1 ELSE 0 END AS o
+             |  FROM probe LEFT JOIN cnt USING (t) CROSS JOIN tot)
+             |SELECT w AS win_start_us, source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(s::HUGEINT) // count(*) AS BIGINT) AS ce_micro_nats,
+             |  CAST((1000000::HUGEINT * sum(o)) // count(*) AS BIGINT) AS oov_ppm
+             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "per-(window, source) LM-drift monitor — q209's shared fold with the " +
+        "source dimension a production dashboard slices by; same frozen " +
+        "reference LM, same add-one unseen surprisal, one extra group key " +
+        "on the windowed aggregation"))
 }

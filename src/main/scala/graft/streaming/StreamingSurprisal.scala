@@ -54,55 +54,63 @@ object StreamingSurprisal {
   }
 
   /** The shared scoring fold: one row per token occurrence with its
-    * reference surprisal and OOV flag. Works on a batch frame or a
-    * stream (the lm join is stream-static).
+    * reference surprisal and OOV flag (plus any carried group columns).
+    * Works on a batch frame or a stream (the lm join is stream-static).
     */
   def scoredTokens(
       docs: DataFrame, textCol: String, tsCol: String,
-      lmScores: DataFrame, oovMicroNats: Long): DataFrame =
-    docs.select(col(tsCol), explode(T.tokens(col(textCol))).as("t"))
+      lmScores: DataFrame, oovMicroNats: Long,
+      grpCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(tsCol) +: grpCols.map(col) :+
+        explode(T.tokens(col(textCol))).as("t"): _*)
       .join(lmScores, Seq("t"), "left")
       .withColumn("is_oov", col("s").isNull.cast("bigint"))
       .withColumn("s", coalesce(col("s"), lit(oovMicroNats)))
 
-  // the literal window reduction both entry points share
+  // the literal window reduction every entry point shares (grouped and
+  // ungrouped — the grp columns just extend the aggregation key)
   private def reduce(
-      scored: DataFrame, tsCol: String, windowDuration: String): DataFrame =
+      scored: DataFrame, tsCol: String, windowDuration: String,
+      grpCols: Seq[String]): DataFrame =
     scored
-      .groupBy(window(col(tsCol), windowDuration).as("win"))
+      .groupBy(window(col(tsCol), windowDuration).as("win") +:
+        grpCols.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
         // decimal sum: occurrences × ln N surprisals overflow long at
         // corpus scale
         sum(col("s").cast("decimal(38,0)")).as("ssum"),
         sum(col("is_oov")).as("n_oov"))
-      .select(unix_micros(col("win.start")).as("win_start_us"),
-        col("n_tokens"),
-        expr("CAST(ssum DIV n_tokens AS BIGINT)").as("ce_micro_nats"),
+      .select(unix_micros(col("win.start")).as("win_start_us") +:
+        grpCols.map(col) :+
+        col("n_tokens") :+
+        expr("CAST(ssum DIV n_tokens AS BIGINT)").as("ce_micro_nats") :+
         // decimal-cleared: 10⁶·n_oov overflows long past 10¹³ occurrences
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_oov)
-               | DIV n_tokens AS BIGINT)""".stripMargin).as("oov_ppm"))
+               | DIV n_tokens AS BIGINT)""".stripMargin).as("oov_ppm"): _*)
 
-  /** STREAMING stage: per closed event-time window, the mean surprisal
-    * and OOV rate of a document stream against the frozen LM (append
-    * mode; watermark closes windows).
+  /** STREAMING stage: per closed event-time window (and optional group
+    * columns — the per-source dashboard slice), the mean surprisal and
+    * OOV rate of a document stream against the frozen LM (append mode;
+    * watermark closes windows).
     */
   def windowSurprisal(
       docs: DataFrame, textCol: String, tsCol: String,
       lmScores: DataFrame, oovMicroNats: Long,
-      windowDuration: String, watermark: String): DataFrame =
+      windowDuration: String, watermark: String,
+      grpCols: Seq[String] = Nil): DataFrame =
     reduce(
       scoredTokens(docs.withWatermark(tsCol, watermark), textCol, tsCol,
-        lmScores, oovMicroNats),
-      tsCol, windowDuration)
+        lmScores, oovMicroNats, grpCols),
+      tsCol, windowDuration, grpCols)
 
   /** The batch twin — the SAME fold and reduction with no watermark;
     * StreamingSurprisalSpec pins stream ≡ batch per closed window, and
-    * q209 oracles this form against DuckDB.
+    * q209 (global) / q211 (per-source) oracle this form against DuckDB.
     */
   def batchWindowSurprisal(
       docs: DataFrame, textCol: String, tsCol: String,
       lmScores: DataFrame, oovMicroNats: Long,
-      windowDuration: String): DataFrame =
-    reduce(scoredTokens(docs, textCol, tsCol, lmScores, oovMicroNats),
-      tsCol, windowDuration)
+      windowDuration: String, grpCols: Seq[String] = Nil): DataFrame =
+    reduce(scoredTokens(docs, textCol, tsCol, lmScores, oovMicroNats, grpCols),
+      tsCol, windowDuration, grpCols)
 }

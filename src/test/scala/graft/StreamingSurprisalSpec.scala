@@ -58,6 +58,50 @@ class StreamingSurprisalSpec extends SparkSpec {
     } finally lmC.unpersist(blocking = false)
   }
 
+  test("grouped (per-source) streamed surprisal == grouped batch twin") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("ts", timestamp_micros(
+        col("doc_id").cast("bigint") * lit(3600000000L)))
+      .select(col("doc_id"), col("source"), col("text"), col("ts"))
+    val (lm, oov) = StreamingSurprisal.referenceLm(ref, "text")
+    val lmC = lm.cache()
+    try {
+      val dir = Files.createTempDirectory("graft-ssurg-").toString
+      val mm = probe.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      probe.filter(col("doc_id") <= cut).coalesce(1).write.parquet(s"$dir/in")
+      probe.filter(col("doc_id") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+      val out = StreamingSurprisal.windowSurprisal(
+        spark.readStream.schema(probe.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+        "text", "ts", lmC, oov,
+        windowDuration = "1 day", watermark = "0 seconds",
+        grpCols = Seq("source"))
+      val q = out.writeStream.format("memory").queryName("ssurg")
+        .outputMode("append").start()
+      val streamed = try {
+        q.processAllAvailable()
+        spark.table("ssurg").collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      } finally q.stop()
+      assert(streamed.nonEmpty)
+      val batch = StreamingSurprisal
+        .batchWindowSurprisal(probe, "text", "ts", lmC, oov, "1 day",
+          grpCols = Seq("source"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      val lastWin = batch.map(_._1._1).max
+      val closed = batch.filter(_._1._1 != lastWin).toMap
+      assert(streamed === closed,
+        "per closed (window, source) the stream must equal the batch twin")
+    } finally lmC.unpersist(blocking = false)
+  }
+
   test("a stream drawn from the reference itself reads oov_ppm = 0") {
     import spark.implicits._
     val docs = Seq((2L, "alpha beta gamma"), (4L, "beta beta delta"))
