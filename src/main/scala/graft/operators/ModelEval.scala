@@ -1168,4 +1168,52 @@ object ModelEval {
           / aggregate(sequence(lit(1), col("n_true")), lit(0.0),
             (acc, r) => acc + disc(r))).cast("bigint").as("ndcg_ppm"))
   }
+
+  /** CLASS-BALANCE report — the dataset-skew check run before any
+    * classifier trains or any stratified mix is drawn: label entropy in
+    * micro-nats (per-class terms `round(10⁶·(c·ln(N/c))/N)` — the q74 ln
+    * convention, integer-summed so any engine reproduces the total), the
+    * EFFECTIVE class count `exp(H)` (the "how many classes does this
+    * dataset behave like" number — K balanced classes read exactly K;
+    * one dominant class drags it toward 1), and the max/min class shares
+    * in exact ppm. One row out:
+    * `(n_rows, n_classes, entropy_micro_nats, effective_classes_micro,
+    * max_share_ppm, min_share_ppm)`; an empty input reads −1 sentinels.
+    * The one `exp` carries the same 1-ulp libm caveat as the ln terms,
+    * corpus-validated per SF.
+    *
+    * Scale shape: one map-side-combined label count, a 1-row totals
+    * broadcast, and a class-bounded reduction — nothing row-scaled past
+    * the first aggregate.
+    */
+  def classBalance(df: DataFrame, labelCol: String): DataFrame = {
+    val c = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("c"))
+    val tot = c.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      coalesce(max(col("c")), lit(0L)).as("cmax"),
+      coalesce(min(col("c")), lit(0L)).as("cmin"))
+    val h = c.crossJoin(broadcast(tot.select(col("n").as("__n"))))
+      .select(round(lit(1e6) *
+        (col("c").cast("double") *
+          log(col("__n").cast("double") / col("c").cast("double"))) /
+        col("__n").cast("double")).cast("bigint").as("term"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("h_micro"))
+    tot.crossJoin(broadcast(h))
+      .select(col("n").as("n_rows"), col("k").as("n_classes"),
+        when(col("n") === 0L, lit(-1L)).otherwise(col("h_micro"))
+          .as("entropy_micro_nats"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(round(lit(1e6) *
+            exp(col("h_micro").cast("double") / lit(1e6))).cast("bigint"))
+          .as("effective_classes_micro"),
+        // decimal-cleared: 10⁶·count overflows long past 10¹³ rows
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cmax) DIV n AS BIGINT)"))
+          .as("max_share_ppm"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cmin) DIV n AS BIGINT)"))
+          .as("min_share_ppm"))
+  }
 }

@@ -780,4 +780,55 @@ object Similarity {
               | DIV CAST(greatest(a2, b2) AS DECIMAL(38,0))""".stripMargin))
           .as("sil_ppm"))
   }
+
+  /** EMBEDDING ISOTROPY diagnostics — the embedding-health monitor run
+    * before an ANN index or a cosine-similarity pipeline trusts a new
+    * embedding snapshot: a healthy spread has a mean vector near the
+    * origin relative to typical vector energy; a drifting/collapsed
+    * encoder concentrates mass in one direction (the known anisotropy
+    * failure, where cosine similarity stops discriminating). Exact
+    * integers on the repo's micro grid:
+    *
+    *   μ_d   = (Σ xq_d) DIV n                  (floor per dimension)
+    *   mean‖x‖² = (Σ ‖xq‖²) DIV n              (micro² units)
+    *   anisotropy_ppm = (10⁶·‖μ‖²) DIV mean‖x‖²  (0 = perfectly centered,
+    *                    10⁶ = all vectors identical)
+    *
+    * One row out: `(n_vectors, dim, mean_norm_sq_micro2, mu_norm_sq_micro2,
+    * anisotropy_ppm)`; the empty corpus and the all-zero corpus read the
+    * −1 sentinel.
+    *
+    * Scale shape: one corpus scan → a dim-bounded (d, Σ) aggregation
+    * (map-side combined posexplode) + a 1-row totals aggregate, joined
+    * broadcast — no driver loops, no per-pair work.
+    */
+  def embeddingIsotropy(
+      corpus: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val e = corpus
+      .select(col(idCol).cast("bigint").as("vid"),
+        V.asDouble(col(vecCol)).as("v"))
+      .withColumn("vq", micro(col("v")))
+      .withColumn("vv", guardedVv(V.dot(col("vq"), col("vq")), col("vid")))
+    val tot = e.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("vv").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("svv"),
+      coalesce(max(size(col("vq"))), lit(0)).cast("bigint").as("dim"))
+    val mu2 = e.select(posexplode(col("vq")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x").cast("long")).as("s"))
+      .crossJoin(broadcast(tot.select(col("n").as("__n"))))
+      .select(expr("CAST(s AS DECIMAL(38,0)) DIV __n").as("mu"))
+      .agg(coalesce(sum(expr("mu * mu")), lit(0).cast("decimal(38,0)"))
+        .as("mu2"))
+    tot.crossJoin(broadcast(mu2))
+      .select(col("n").as("n_vectors"), col("dim"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr("CAST(svv DIV n AS BIGINT)"))
+          .as("mean_norm_sq_micro2"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr("CAST(mu2 AS BIGINT)")).as("mu_norm_sq_micro2"),
+        when(col("n") === 0L || expr("svv DIV n") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * mu2) DIV (svv DIV n) AS BIGINT)"))
+          .as("anisotropy_ppm"))
+  }
 }

@@ -1543,5 +1543,62 @@ object ExtensionQueries {
       "per-(window, source) LM-drift monitor — q209's shared fold with the " +
         "source dimension a production dashboard slices by; same frozen " +
         "reference LM, same add-one unseen surprisal, one extra group key " +
-        "on the windowed aggregation"))
+        "on the windowed aggregation"),
+
+    // ------------------------------ embeddings: isotropy diagnostics
+    "q212_embedding_isotropy" -> Q(
+      (s, dir) =>
+        graft.operators.Similarity.embeddingIsotropy(
+          Tables.table(s, dir, "embeddings"), "embedding", "vec_id"),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |vv AS (SELECT vec_id, vq,
+             |    list_sum(list_transform(vq, x -> x::HUGEINT * x)) AS v2 FROM e),
+             |tot AS (SELECT count(*) AS n, COALESCE(sum(v2), 0) AS svv,
+             |    COALESCE(max(len(vq)), 0) AS dim FROM vv),
+             |dims AS (SELECT g.d, sum(vq[g.d]) AS s
+             |  FROM e CROSS JOIN generate_series(1, 64) AS g(d) GROUP BY 1),
+             |mu AS (SELECT COALESCE(sum((s::HUGEINT // (SELECT n FROM tot))
+             |    * (s::HUGEINT // (SELECT n FROM tot))), 0) AS mu2 FROM dims)
+             |SELECT CAST(n AS BIGINT) AS n_vectors, CAST(dim AS BIGINT) AS dim,
+             |  CAST(CASE WHEN n = 0 THEN -1 ELSE svv // n END AS BIGINT)
+             |    AS mean_norm_sq_micro2,
+             |  CAST(CASE WHEN n = 0 THEN -1 ELSE mu2 END AS BIGINT)
+             |    AS mu_norm_sq_micro2,
+             |  CAST(CASE WHEN n = 0 OR svv // n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * mu2) // (svv // n) END AS BIGINT)
+             |    AS anisotropy_ppm
+             |FROM tot CROSS JOIN mu""".stripMargin),
+      "embedding isotropy diagnostics (floor-mean vector energy vs typical " +
+        "vector energy, exact integer micro^2; anisotropy_ppm -> 0 centered, " +
+        "-> 1e6 collapsed) — the embedding-health gate before an ANN index " +
+        "or cosine pipeline trusts a snapshot; one scan + dim-bounded " +
+        "aggregation"),
+
+    // ----------------------------------- labels: class-balance report
+    "q213_class_balance" -> Q(
+      (s, dir) =>
+        graft.operators.ModelEval.classBalance(
+          Tables.table(s, dir, "documents"), "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             |tot AS (SELECT COALESCE(sum(c), 0) AS n, count(*) AS k,
+             |    COALESCE(max(c), 0) AS cmax, COALESCE(min(c), 0) AS cmin FROM c),
+             |h AS (SELECT COALESCE(sum(CAST(round(1e6 *
+             |    (CAST(c AS DOUBLE) * ln(CAST((SELECT n FROM tot) AS DOUBLE) / CAST(c AS DOUBLE)))
+             |    / CAST((SELECT n FROM tot) AS DOUBLE)) AS BIGINT)), 0) AS hm FROM c)
+             |SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_classes,
+             |  CAST(CASE WHEN n = 0 THEN -1 ELSE hm END AS BIGINT) AS entropy_micro_nats,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE round(1e6 * exp(CAST(hm AS DOUBLE) / 1e6)) END AS BIGINT)
+             |    AS effective_classes_micro,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * cmax) // n END AS BIGINT) AS max_share_ppm,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * cmin) // n END AS BIGINT) AS min_share_ppm
+             |FROM tot CROSS JOIN h""".stripMargin),
+      "class-balance report over document languages (label entropy in " +
+        "micro-nats per the q74 ln convention, effective class count exp(H), " +
+        "max/min shares in exact ppm) — the dataset-skew gate before training " +
+        "or stratified mixing; one label count + class-bounded reduction"))
 }

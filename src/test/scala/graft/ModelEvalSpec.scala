@@ -555,6 +555,37 @@ class ModelEvalSpec extends SparkSpec {
     assert(got("mixed")._2 === 1L)
   }
 
+  // ---------------------------------------------------------- classBalance
+
+  test("classBalance: balanced classes read ~K effective, dominance drags " +
+      "toward 1, empty reads sentinels, driver replica matches") {
+    def run(labels: Seq[String]) =
+      ModelEval.classBalance(
+        labels.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+          .toDF("id", "label"), "label").collect().head
+    val balanced = run(Seq.fill(25)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(25)("c") ++ Seq.fill(25)("d"))
+    assert(balanced.getLong(1) === 4L)
+    assert(math.abs(balanced.getLong(3) - 4000000L) <= 10L,
+      s"4 balanced classes must read ~4e6, got ${balanced.getLong(3)}")
+    assert(balanced.getLong(4) === 250000L && balanced.getLong(5) === 250000L)
+    val skewed = run(Seq.fill(98)("a") ++ Seq("b", "c"))
+    assert(skewed.getLong(3) < 1300000L,
+      "one dominant class must drag the effective count toward 1")
+    assert(skewed.getLong(4) === 980000L && skewed.getLong(5) === 10000L)
+    val empty = run(Seq.empty[String])
+    assert(empty.getLong(0) === 0L && empty.getLong(2) === -1L &&
+      empty.getLong(3) === -1L)
+    // driver replica with the operator's per-term rounding
+    val labels = Seq.fill(13)("x") ++ Seq.fill(7)("y") ++ Seq.fill(3)("z")
+    val n = labels.size.toDouble
+    val h = Seq(13, 7, 3).map(c =>
+      math.round(1e6 * (c * math.log(n / c)) / n)).sum
+    val eff = math.round(1e6 * math.exp(h / 1e6))
+    val got = run(labels)
+    assert(got.getLong(2) === h && got.getLong(3) === eff)
+  }
+
   // ------------------------------------------------------------ annRboAtK
 
   test("annRboAtK: identical lists read 1 - p^k exactly; disjoint read 0") {

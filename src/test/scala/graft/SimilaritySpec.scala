@@ -360,4 +360,30 @@ class SimilaritySpec extends SparkSpec {
       .clusterSilhouette(emb.repartition(13), "embedding", "vec_id", "label")
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  test("embeddingIsotropy: identical vectors read 1e6, symmetric pairs read 0, " +
+      "empty reads the sentinel, random corpus matches a driver replica") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Seq[Float])]) =
+      graft.operators.Similarity.embeddingIsotropy(
+        rows.toDF("vec_id", "embedding"), "embedding", "vec_id").collect().head
+    val same = run((1L to 10L).map(i => (i, Seq(1.5f, -2.0f, 0.5f))))
+    assert(same.getLong(4) === 1000000L, "identical vectors are fully collapsed")
+    val sym = run(Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(-1.0f, -2.0f))))
+    assert(sym.getLong(4) === 0L, "x and -x center exactly")
+    val empty = run(Seq.empty[(Long, Seq[Float])])
+    assert(empty.getLong(0) === 0L && empty.getLong(4) === -1L)
+    // driver replica with the operator's floor arithmetic
+    val rnd = new scala.util.Random(212)
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill(4)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val vq = rows.map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    val n = vq.size
+    val mu = (0 until 4).map(d => BigInt(vq.map(_(d)).sum) / n)
+    val mu2 = mu.map(m => m * m).sum
+    val meanSq = vq.map(v => v.map(x => BigInt(x) * BigInt(x)).sum).sum / n
+    val got = run(rows)
+    assert(got.getLong(2) === meanSq.toLong && got.getLong(3) === mu2.toLong)
+    assert(got.getLong(4) === ((BigInt(1000000) * mu2) / meanSq).toLong)
+  }
 }
