@@ -687,4 +687,112 @@ object TextPipeline {
               | DIV n AS BIGINT)""".stripMargin))
           .as("coverage_ppm"))
   }
+
+  /** BM25 TOP-K RETRIEVAL — the sparse lexical ranking function behind
+    * every production search/decontamination/hard-negative-mining stack:
+    * for each query (a small set of terms), the k highest-scoring
+    * documents under Okapi BM25,
+    *
+    *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Exactness contract: idf(t) = round(10⁶ · ln((N+1)/(df+0.5)))
+    * micro-nats per term (the strictly-positive Robertson–Spärck-Jones
+    * +1 form; per-term rounding is the q74/q207 ln convention), and the
+    * saturation fraction is cleared to ONE exact integer division by
+    * multiplying through by 10⁶·L (L = corpus token occurrences, so
+    * avgdl = L/N never materializes as a float):
+    *
+    *   s(t,d) = (idf·(1000+K)·1000·tf·L)
+    *              DIV (10⁶·tf·L + K·(1000−B)·L + K·B·dl·N)
+    *
+    * with K = k1 in millis (1200 = 1.2), B = b in millis (750 = 0.75);
+    * contributions sum per (query, doc). Products route through
+    * decimal(38,0) — idf·tf·L overflows a long at corpus scale. Query
+    * terms absent from the corpus contribute nothing (no-match docs
+    * never appear); ties break on doc id.
+    *
+    * Scale shape: the (doc, token) count frame (map-side combined,
+    * persisted — tracked, [[Dedup.releaseCaches]] frees it — because
+    * doc-length, document-frequency, AND the probe join all consume it)
+    * is probed by a BROADCAST of the query-term list — the inverted-
+    * index access path: only postings of query terms survive the join,
+    * so the scored frame is |terms|·df-sized, never corpus-sized. df/N/L
+    * are aggregate-bounded broadcasts; the final top-k window partitions
+    * by query (bounded per query, never global).
+    */
+  def bm25TopK(
+      docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int = 10,
+      k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+    require(k >= 1, "bm25TopK: k >= 1")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      "bm25TopK: k1Milli >= 0 and bMilli in [0, 1000] (millis of k1, b)")
+    val dt = Dedup.persistTracked(docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("tf")))
+    val dl = dt.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dfq = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dt.agg(coalesce(sum(col("tf")), lit(0L)).as("l")))
+    val idf = dfq.crossJoin(broadcast(tot))
+      .select(col("t"),
+        round(lit(1e6) * log((col("n") + lit(1L)).cast("double") /
+          (col("df").cast("double") + lit(0.5)))).cast("bigint").as("idf_micro"))
+    val numMult = (1000L + k1Milli) * 1000L
+    val cFlat = k1Milli.toLong * (1000L - bMilli)
+    val cLen = k1Milli.toLong * bMilli
+    val q = queries.select(col("query_id"), col("term"))
+    val sc = dt.join(broadcast(q), dt("t") === q("term"))
+      .join(idf, Seq("t"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s", expr(
+        s"""CAST((CAST(idf_micro AS DECIMAL(38,0)) * $numMult * tf * l)
+           | DIV (CAST(1000000 AS DECIMAL(38,0)) * tf * l
+           |      + CAST($cFlat AS DECIMAL(38,0)) * l
+           |      + CAST($cLen AS DECIMAL(38,0)) * dl * n) AS BIGINT)""".stripMargin))
+    val agg = sc.groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc"),
+        col("n_terms"), col("score_micro"))
+  }
+
+  /** RECIPROCAL-RANK FUSION — merge per-query rankings from independent
+    * rankers (lexical BM25, embedding ANN, quality rerankers …) without
+    * calibrating their incomparable scores: each ranker votes
+    * 1/(κ + rank) for its items and votes add,
+    *
+    *   rrf_micro(q, d) = Σ_rankers 10⁶ DIV (κ + rank_r(q, d))
+    *
+    * (κ = 60, the Cormack/Clarke/Büttcher constant, damps the head so a
+    * single ranker's #1 cannot dominate two rankers' #5s). Exact by
+    * construction — every vote is one integer division — so fusion is
+    * engine-portable and associative (fuse fusions). Items missing from
+    * a ranker simply cast no vote (the standard RRF convention);
+    * `n_rankers` reports how many voted. Ties break on item id.
+    *
+    * Scale shape: one union of ranking frames (each already top-k-
+    * bounded per query by its producer), one (query, item) aggregation
+    * with map-side combine, one top-k window PARTITIONED by query —
+    * bounded by |rankers|·k rows per query, never corpus-scaled.
+    */
+  def rrfFuse(
+      rankings: DataFrame, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 1 && topK >= 1, "rrfFuse: kRrf >= 1 and topK >= 1")
+    val agg = rankings
+      .select(col("query_id"), col("doc"),
+        expr(s"CAST(1000000 DIV ($kRrf + rank) AS BIGINT)").as("vote"))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_rankers"), sum(col("vote")).as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc").asc)
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc"),
+        col("n_rankers"), col("rrf_micro"))
+  }
 }

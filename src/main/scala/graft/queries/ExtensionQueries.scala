@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1600,5 +1601,135 @@ object ExtensionQueries {
       "class-balance report over document languages (label entropy in " +
         "micro-nats per the q74 ln convention, effective class count exp(H), " +
         "max/min shares in exact ppm) — the dataset-skew gate before training " +
-        "or stratified mixing; one label count + class-bounded reduction"))
+        "or stratified mixing; one label count + class-bounded reduction"),
+
+    // ------------------------------------- retrieval: BM25 top-k search
+    "q214_bm25_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, "hash"), (1L, "join"),
+          (2L, "vector"), (2L, "scan"), (2L, "slow"),
+          (3L, "customer"), (3L, "order"), (3L, "zzzunseen"))
+          .toDF("query_id", "term")
+        TextPipeline.bm25TopK(
+            Tables.table(s, dir, "documents"), "text", "doc_id", qs, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'hash'), (1, 'join'),
+             |    (2, 'vector'), (2, 'scan'), (2, 'slow'),
+             |    (3, 'customer'), (3, 'order'), (3, 'zzzunseen')),
+             |tok AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |dlq AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY 1),
+             |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |               (SELECT COALESCE(sum(tf), 0) FROM dt) AS l),
+             |idf AS (SELECT t,
+             |    CAST(round(1e6 * ln((n + 1.0) / (df + 0.5))) AS BIGINT) AS idf_micro
+             |  FROM dfq CROSS JOIN tot),
+             |sc AS (SELECT q.query_id, dt.doc_id AS doc,
+             |    (idf_micro::HUGEINT * 2200000 * tf * l)
+             |      // (1000000::HUGEINT * tf * l + 300000::HUGEINT * l
+             |         + 900000::HUGEINT * dl * n) AS s
+             |  FROM q JOIN dt ON dt.t = q.term
+             |  JOIN idf ON idf.t = q.term
+             |  JOIN dlq ON dlq.doc_id = dt.doc_id
+             |  CROSS JOIN tot),
+             |agg AS (SELECT query_id, doc, count(*) AS n_terms, sum(s) AS score
+             |  FROM sc GROUP BY 1, 2),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rk
+             |  FROM agg)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS INT) AS rank,
+             |  doc, CAST(n_terms AS BIGINT) AS n_terms, CAST(score AS BIGINT) AS score_micro
+             |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+      "Okapi BM25 top-10 retrieval for three term queries (k1=1.2 b=0.75; " +
+        "idf micro-nats per the q74 ln convention, saturation cleared to one " +
+        "exact integer division by multiplying through by 1e6*L) — the " +
+        "lexical search/decontamination/hard-negative primitive; broadcast " +
+        "query-term probe of the inverted (doc, token) count frame, " +
+        "OOV query terms vote nothing"),
+
+    // ------------------------- retrieval: reciprocal-rank fusion rerank
+    "q215_rrf_fusion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.table(s, dir, "documents")
+        val qs = Seq(
+          (1L, "hash"), (1L, "join"),
+          (2L, "vector"), (2L, "scan"), (2L, "slow"),
+          (3L, "customer"), (3L, "order"))
+          .toDF("query_id", "term")
+        val lex = TextPipeline.bm25TopK(docs, "text", "doc_id", qs, k = 20)
+        val ce = TextPipeline.unigramCrossEntropy(docs, "text", "doc_id")
+        val qual = lex.select(col("query_id"), col("doc"))
+          .join(ce, Seq("doc"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("ce_micro_nats").asc, col("doc").asc)))
+        TextPipeline.rrfFuse(
+            lex.select(col("query_id"), col("doc"), col("rank"))
+              .union(qual.select(col("query_id"), col("doc"), col("rank"))),
+            kRrf = 60, topK = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'hash'), (1, 'join'),
+             |    (2, 'vector'), (2, 'scan'), (2, 'slow'),
+             |    (3, 'customer'), (3, 'order')),
+             |tok AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |dlq AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY 1),
+             |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+             |               (SELECT COALESCE(sum(tf), 0) FROM dt) AS l),
+             |idf AS (SELECT t,
+             |    CAST(round(1e6 * ln((n + 1.0) / (df + 0.5))) AS BIGINT) AS idf_micro
+             |  FROM dfq CROSS JOIN tot),
+             |sc AS (SELECT q.query_id, dt.doc_id AS doc,
+             |    (idf_micro::HUGEINT * 2200000 * tf * l)
+             |      // (1000000::HUGEINT * tf * l + 300000::HUGEINT * l
+             |         + 900000::HUGEINT * dl * n) AS s
+             |  FROM q JOIN dt ON dt.t = q.term
+             |  JOIN idf ON idf.t = q.term
+             |  JOIN dlq ON dlq.doc_id = dt.doc_id
+             |  CROSS JOIN tot),
+             |agg AS (SELECT query_id, doc, count(*) AS n_terms, sum(s) AS score
+             |  FROM sc GROUP BY 1, 2),
+             |lex0 AS (SELECT query_id, doc,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rk
+             |  FROM agg),
+             |lex AS (SELECT * FROM lex0 WHERE rk <= 20),
+             |cnt AS (SELECT t, sum(tf) AS cf FROM dt GROUP BY 1),
+             |ttot AS (SELECT COALESCE(sum(cf), 0) AS nn, count(*) AS v FROM cnt),
+             |scv AS (SELECT t,
+             |    CAST(round(1e6 * ln(CAST(nn + v AS DOUBLE) / CAST(cf + 1 AS DOUBLE))) AS BIGINT) AS sv
+             |  FROM cnt CROSS JOIN ttot),
+             |pd AS (SELECT doc_id AS doc, sum(tf) AS n_tokens, sum(tf::HUGEINT * sv) AS se
+             |  FROM dt JOIN scv USING (t) GROUP BY 1),
+             |ced AS (SELECT doc, se // n_tokens AS ce_m FROM pd),
+             |qual0 AS (SELECT l.query_id, l.doc,
+             |    row_number() OVER (PARTITION BY l.query_id ORDER BY c.ce_m ASC, l.doc) AS rk
+             |  FROM lex l JOIN ced c ON c.doc = l.doc),
+             |u AS (SELECT query_id, doc, rk FROM lex
+             |  UNION ALL SELECT query_id, doc, rk FROM qual0),
+             |f AS (SELECT query_id, doc, count(*) AS n_rankers,
+             |    sum(1000000 // (60 + rk)) AS rrf FROM u GROUP BY 1, 2),
+             |rr AS (SELECT *,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc) AS rk2
+             |  FROM f)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk2 AS INT) AS rank,
+             |  doc, CAST(n_rankers AS BIGINT) AS n_rankers, CAST(rrf AS BIGINT) AS rrf_micro
+             |FROM rr WHERE rk2 <= 10 ORDER BY query_id, rank""".stripMargin),
+      "hybrid retrieval by reciprocal-rank fusion (kappa=60): BM25 top-20 " +
+        "candidates fused with a unigram-CE quality rerank of the SAME " +
+        "candidate set — the calibration-free lexical x quality merge every " +
+        "hybrid search stack runs; votes are exact integer divisions, " +
+        "missing-from-a-ranker items simply cast no vote"))
 }

@@ -474,4 +474,73 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.tokenCoverageAtK(docs, "text", ks = Seq(0L))
     }
   }
+
+  test("bm25TopK: hand corpus matches the BigInt replica, OOV terms vote " +
+      "nothing, guards fire") {
+    // corpus: doc1 {a:2 b:1} dl=3, doc2 {a:1 c:1} dl=2, doc3 {b:3 c:1} dl=4,
+    // doc4 tokenless -> N=4 docs, L=9 occurrences, df(a)=df(b)=df(c)=2
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b c"), (4L, "   "))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "zzz"))
+      .toDF("query_id", "term")
+    val idf = math.round(1e6 * math.log(5.0 / 2.5)) // 693147 for every term
+    def s(tf: Long, dl: Long): Long =
+      ((BigInt(idf) * 2200000 * tf * 9) /
+        (BigInt(1000000) * tf * 9 + BigInt(300000) * 9 +
+          BigInt(900000) * dl * 4)).toLong
+    val expected = Map( // (query, doc) -> (rank, n_terms, score)
+      (1L, 1L) -> ((1, 2L, s(2, 3) + s(1, 3))),
+      (1L, 3L) -> ((2, 1L, s(3, 4))),
+      (1L, 2L) -> ((3, 1L, s(1, 2))),
+      // equal tf, equal idf: the SHORTER doc wins — BM25's length prior
+      (2L, 2L) -> ((1, 1L, s(1, 2))),
+      (2L, 3L) -> ((2, 1L, s(1, 4))))
+    assert(expected((2L, 2L))._3 > expected((2L, 3L))._3)
+    // doc1's two-term match must outrank both single-term docs
+    assert(expected((1L, 1L))._3 > expected((1L, 3L))._3)
+    val got = TextPipeline.bm25TopK(docs, "text", "doc_id", qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getInt(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected) // query 3 (OOV only) emits no rows
+    graft.operators.Dedup.releaseCaches()
+    val again = TextPipeline.bm25TopK(
+        docs.repartition(5), "text", "doc_id", qs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getInt(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === expected)
+    graft.operators.Dedup.releaseCaches()
+    intercept[IllegalArgumentException] {
+      TextPipeline.bm25TopK(docs, "text", "doc_id", qs, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.bm25TopK(docs, "text", "doc_id", qs, k = 1, bMilli = 1001)
+    }
+  }
+
+  test("rrfFuse: votes add as exact integer divisions, missing items cast " +
+      "no vote, topK truncates, guards fire") {
+    val rankings = Seq(
+      (1L, 10L, 1), (1L, 20L, 2),  // ranker A
+      (1L, 20L, 1), (1L, 30L, 2))  // ranker B
+      .toDF("query_id", "doc", "rank")
+    val full = TextPipeline.rrfFuse(rankings, kRrf = 60, topK = 10)
+      .collect()
+      .map(r => r.getLong(2) -> ((r.getInt(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(full === Map(
+      20L -> ((1, 2L, 1000000L / 62 + 1000000L / 61)),
+      10L -> ((2, 1L, 1000000L / 61)),
+      30L -> ((3, 1L, 1000000L / 62))))
+    val top2 = TextPipeline.rrfFuse(rankings, kRrf = 60, topK = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(top2 === Set(20L, 10L))
+    intercept[IllegalArgumentException] {
+      TextPipeline.rrfFuse(rankings, kRrf = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.rrfFuse(rankings, topK = 0)
+    }
+  }
 }
