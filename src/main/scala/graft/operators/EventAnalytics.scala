@@ -702,4 +702,78 @@ object EventAnalytics {
               | DIV (CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
           .as("cv2_ppm"))
   }
+
+  /** CUSUM MEAN-SHIFT CHANGEPOINT — per group, the day that best splits
+    * the daily value series into a "before" and "after" regime: the
+    * classic offline CUSUM estimator, argmax_k |S_k| over the centered
+    * prefix sums S_k = Σ_{i≤k} (x_i − x̄). The drift detector that answers
+    * "WHEN did this metric move" next to q112's seasonal "is today
+    * anomalous" and q132/q159's "did the distribution move" — the
+    * monitoring triplet every ingest pipeline runs per source/metric.
+    *
+    * Exactness: events quantize to micro (round(value·10⁶)); the
+    * centered prefix is cleared of the mean's division by scaling with
+    * the total event count,
+    *
+    *   D_k = cnt_total · cumsum_k − cumcnt_k · sum_total   (exact),
+    *
+    * argmax on (|D_k| desc, day asc) via one min(struct) aggregation —
+    * ties resolve to the EARLIEST day, so a constant series reads its
+    * first day with zero magnitude. Reported at the peak:
+    * `cusum_micro = D_k DIV cnt_total` (the unscaled CUSUM value),
+    * before/after regime means, and their shift; a group whose peak
+    * lands on its last day (single-day groups: D_n = 0 by construction)
+    * has no "after" regime and emits the −2·10⁶ sentinel means/shift.
+    *
+    * Scale shape: one (group, day) aggregation with map-side combine
+    * collapses the event stream to calendar-bounded series; the prefix
+    * sums ride ONE window partitioned by group (bound = days per group,
+    * the calendar — never event counts); group totals ride the same
+    * partitioning; the argmax is a plain aggregation. Nothing global,
+    * nothing event-scaled past the first aggregation.
+    */
+  def cusumChangepoint(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val scored = daily
+      .withColumn("cs", sum(col("ds")).over(w))
+      .withColumn("cc", sum(col("dc")).over(w))
+      .withColumn("ts_tot", sum(col("ds")).over(wAll))
+      .withColumn("tc_tot", sum(col("dc")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      // decimal factors: cnt·cumsum overflows a long once either side
+      // carries corpus-scale micro sums
+      .withColumn("d_k", expr(
+        """CAST(tc_tot AS DECIMAL(38,0)) * cs
+          | - CAST(cc AS DECIMAL(38,0)) * ts_tot""".stripMargin))
+    scored
+      .groupBy(col("grp"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("tc_tot")).as("n_events"),
+        min(struct(negate(abs(col("d_k"))).as("na"), col("day").as("day"),
+          col("d_k").as("d"), col("cs").as("cs"), col("cc").as("cc"),
+          col("ts_tot").as("ts"), col("tc_tot").as("tc"))).as("pk"))
+      .select(col("grp"), col("n_days"), col("n_events"),
+        col("pk.day").as("change_day"),
+        expr("CAST(pk.d DIV pk.tc AS BIGINT)").as("cusum_micro"),
+        expr("CAST(pk.cs DIV pk.cc AS BIGINT)").as("mean_before_micro"),
+        when(col("pk.tc") === col("pk.cc"), lit(-2000000L))
+          .otherwise(expr(
+            "CAST((pk.ts - pk.cs) DIV (pk.tc - pk.cc) AS BIGINT)"))
+          .as("mean_after_micro"),
+        when(col("pk.tc") === col("pk.cc"), lit(-2000000L))
+          .otherwise(expr(
+            """CAST((pk.ts - pk.cs) DIV (pk.tc - pk.cc)
+              | - pk.cs DIV pk.cc AS BIGINT)""".stripMargin))
+          .as("shift_micro"))
+  }
 }

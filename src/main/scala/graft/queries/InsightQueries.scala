@@ -845,6 +845,44 @@ object InsightQueries {
       "funnel drop-off table: per step the cumulative-from-top arrivals and " +
         "the conversion from the previous step (exact integer ppm) — the " +
         "where-do-we-lose-them report composed over the q92 per-user funnel " +
-        "via a depth-histogram suffix sum")
+        "via a depth-histogram suffix sum"),
+
+    // ---------------------------- series: CUSUM mean-shift changepoint
+    "q216_cusum_changepoint" -> Q(
+      (s, dir) =>
+        EventAnalytics.cusumChangepoint(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) AS ds, count(*) AS dc
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT grp, day, ds, dc,
+             |    sum(ds) OVER (PARTITION BY grp ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             |    sum(dc) OVER (PARTITION BY grp ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    sum(ds) OVER (PARTITION BY grp) AS tst,
+             |    sum(dc) OVER (PARTITION BY grp) AS tct,
+             |    count(*) OVER (PARTITION BY grp) AS nd
+             |  FROM daily),
+             |s AS (SELECT *, tct::HUGEINT * cs - cc::HUGEINT * tst AS dk FROM c),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY grp ORDER BY abs(dk) DESC, day) AS rk
+             |  FROM s)
+             |SELECT grp, CAST(nd AS BIGINT) AS n_days, CAST(tct AS BIGINT) AS n_events,
+             |  day AS change_day,
+             |  CAST(dk // tct AS BIGINT) AS cusum_micro,
+             |  CAST(cs // cc AS BIGINT) AS mean_before_micro,
+             |  CAST(CASE WHEN tct = cc THEN -2000000
+             |    ELSE (tst - cs) // (tct - cc) END AS BIGINT) AS mean_after_micro,
+             |  CAST(CASE WHEN tct = cc THEN -2000000
+             |    ELSE (tst - cs) // (tct - cc) - cs // cc END AS BIGINT) AS shift_micro
+             |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin),
+      "offline CUSUM mean-shift changepoint per event type: the day whose " +
+        "centered prefix sum peaks (division-free via cnt_total-scaling, " +
+        "exact micro; ties -> earliest day), with before/after regime means " +
+        "and the shift — the WHEN-did-it-move monitor next to q112's " +
+        "is-today-anomalous and q132/q159's did-the-distribution-move")
   )
 }

@@ -471,4 +471,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!got.contains(3L))
     assert(got(4L)._3 === -1L)
   }
+
+  test("cusumChangepoint: step series peaks at the last pre-shift day, " +
+      "constant series ties to its first day, single-day groups read the " +
+      "sentinel regime, repartition-deterministic") {
+    // g: 10,10,10 then 22 -> D_k (scaled by cnt=4): -12e6,-24e6,-36e6,0
+    //    peak day 3, cusum = -36e6 DIV 4, before 10e6, after 22e6
+    // c: 7,7 -> all D zero -> earliest day, zero shift
+    // h: one day -> D_1 = 0, no after-regime
+    val rows = Seq(
+      ("g", "2024-03-01", 10.0), ("g", "2024-03-02", 10.0),
+      ("g", "2024-03-03", 10.0), ("g", "2024-03-04", 22.0),
+      ("c", "2024-03-01", 7.0), ("c", "2024-03-02", 7.0),
+      ("h", "2024-03-05", 5.0))
+      .toDF("event_type", "d", "value")
+      .withColumn("ts", to_timestamp(col("d")))
+    val expected = Map(
+      "g" -> ((4L, 4L, "2024-03-03", -9000000L, 10000000L, 22000000L, 12000000L)),
+      "c" -> ((2L, 2L, "2024-03-01", 0L, 7000000L, 7000000L, 0L)),
+      "h" -> ((1L, 1L, "2024-03-05", 0L, 5000000L, -2000000L, -2000000L)))
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val got = read(EventAnalytics.cusumChangepoint(rows, "ts", "value", "event_type"))
+    assert(got === expected)
+    val again = read(EventAnalytics.cusumChangepoint(
+      rows.repartition(5), "ts", "value", "event_type"))
+    assert(again === expected)
+  }
 }
