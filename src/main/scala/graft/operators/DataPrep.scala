@@ -332,4 +332,53 @@ object DataPrep {
       .agg(count(lit(1)).as("n_kept"), sum(col("xm")).as("sum_micro"))
       .select(col("grp"), col("n_kept"), col("sum_micro"),
         expr("sum_micro DIV n_kept").as("trimmed_mean_micro"))
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the join-health gate a lakehouse runs
+    * before trusting a snapshot: for each declared child→parent key
+    * relation, how many child rows carry NULL keys, how many reference a
+    * parent that does not exist (orphans — the rows an inner join will
+    * silently DROP), and how many parent keys are never referenced
+    * (unreachable dimension rows). `orphan_ppm` is exact over the
+    * non-null child rows (−1 when every key is NULL).
+    *
+    * One pass per relation: the child key column LEFT-joins the parent's
+    * distinct key set with a match marker, and every child-side statistic
+    * (row/null/distinct/orphan counts) falls out of ONE aggregation over
+    * the marked frame; `unref_parents` is the parent's distinct key count
+    * (a second, parent-bounded aggregate) minus the matched distinct
+    * count — no second join. At scale the key-only projection keeps the
+    * shuffle narrow (two columns), AQE broadcasts genuinely small
+    * dimension sides, and the output is |relations| rows.
+    */
+  def referentialAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "referentialAudit: at least one relation")
+    require(relations.map(_._1).distinct.length == relations.length,
+      "referentialAudit: relation names must be distinct")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val pkd = parent.select(col(parentKey).as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val marked = child.select(col(childKey).as("k"))
+        .join(pkd.withColumn("m", lit(1)), Seq("k"), "left")
+      marked
+        .agg(count(lit(1)).as("child_rows"),
+          coalesce(sum(when(col("k").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("null_keys"),
+          count_distinct(col("k")).as("distinct_keys"),
+          coalesce(sum(when(col("k").isNotNull && col("m").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("orphan_rows"),
+          count_distinct(when(col("m").isNull, col("k"))).as("orphan_keys"),
+          count_distinct(when(col("m").isNotNull, col("k"))).as("matched"))
+        .crossJoin(broadcast(pkd.agg(count(lit(1)).as("parent_keys"))))
+        .select(lit(name).as("relation"), col("child_rows"), col("null_keys"),
+          col("distinct_keys"), col("orphan_rows"), col("orphan_keys"),
+          when(col("child_rows") === col("null_keys"), lit(-1L))
+            .otherwise(expr(
+              """CAST((CAST(1000000 AS DECIMAL(38,0)) * orphan_rows)
+                | DIV (child_rows - null_keys) AS BIGINT)""".stripMargin))
+            .as("orphan_ppm"),
+          col("parent_keys"),
+          (col("parent_keys") - col("matched")).as("unref_parents"))
+    }.reduce(_ union _)
+  }
 }

@@ -644,5 +644,57 @@ object AdvancedQueries {
              |  round(list_sum(list_transform(w, x -> len(x))) * 1.0 /
              |        greatest(len(w), 1), 4) AS mean_wordlen
              |FROM toks ORDER BY doc_id""".stripMargin),
-      "array higher-order surface: min/max/distinct/element_at/aggregate"))
+      "array higher-order surface: min/max/distinct/element_at/aggregate"),
+
+    // ------------------------- quality: referential-integrity audit
+    "q217_referential_audit" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.referentialAudit(Seq(
+            ("customer_nation", t(s, dir, "customer"), "c_nationkey",
+              t(s, dir, "nation"), "n_nationkey"),
+            ("events_user_customer", Tables.events(s, dir), "user_id",
+              t(s, dir, "customer"), "c_custkey"),
+            ("events_user_supplier", Tables.events(s, dir), "user_id",
+              t(s, dir, "supplier"), "s_suppkey"),
+            ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+              t(s, dir, "orders"), "o_orderkey"),
+            ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+              t(s, dir, "part"), "p_partkey"),
+            ("orders_customer", t(s, dir, "orders"), "o_custkey",
+              t(s, dir, "customer"), "c_custkey")))
+          .orderBy(col("relation")),
+      Some(Seq(
+          ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          ("events_user_customer", "events", "user_id", "customer", "c_custkey"),
+          ("events_user_supplier", "events", "user_id", "supplier", "s_suppkey"),
+          ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .map { case (name, child, ck, parent, pk) =>
+          s"""SELECT '$name' AS relation,
+             |  CAST(count(*) AS BIGINT) AS child_rows,
+             |  CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS null_keys,
+             |  CAST(count(DISTINCT k) AS BIGINT) AS distinct_keys,
+             |  CAST(count(*) FILTER (WHERE k IS NOT NULL AND m IS NULL) AS BIGINT)
+             |    AS orphan_rows,
+             |  CAST(count(DISTINCT k) FILTER (WHERE m IS NULL) AS BIGINT) AS orphan_keys,
+             |  CAST(CASE WHEN count(*) = count(*) FILTER (WHERE k IS NULL) THEN -1
+             |    ELSE (1000000::HUGEINT * count(*) FILTER (WHERE k IS NOT NULL AND m IS NULL))
+             |      // (count(*) - count(*) FILTER (WHERE k IS NULL)) END AS BIGINT)
+             |    AS orphan_ppm,
+             |  CAST((SELECT count(DISTINCT $pk) FROM $parent WHERE $pk IS NOT NULL)
+             |    AS BIGINT) AS parent_keys,
+             |  CAST((SELECT count(DISTINCT $pk) FROM $parent WHERE $pk IS NOT NULL)
+             |    - count(DISTINCT k) FILTER (WHERE m IS NOT NULL) AS BIGINT)
+             |    AS unref_parents
+             |FROM (SELECT c.$ck AS k, p.m FROM $child c LEFT JOIN
+             |  (SELECT DISTINCT $pk AS k2, 1 AS m FROM $parent WHERE $pk IS NOT NULL) p
+             |  ON c.$ck = p.k2)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")),
+      "referential-integrity audit over six declared child->parent key " +
+        "relations (TPC-H FKs, events->customer, and a deliberately " +
+        "mismatched events->supplier probe): NULL keys, orphan rows/keys " +
+        "(what an inner join silently drops, exact ppm), and parent keys " +
+        "never referenced — one marked left join + one aggregation per " +
+        "relation, output |relations| rows"))
 }

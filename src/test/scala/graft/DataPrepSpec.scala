@@ -177,4 +177,29 @@ class DataPrepSpec extends SparkSpec {
     // monotone within group
     assert(na === na.sorted)
   }
+
+  test("referentialAudit: null keys excluded from orphan base, orphan and " +
+      "unreferenced-parent counts exact, all-null child reads the sentinel, " +
+      "guards fire") {
+    import spark.implicits._
+    // child keys: 1 (matched, twice), 9 (orphan, twice), null; parents
+    // {1, 2, 2}: parent 2 never referenced, duplicate parent keys collapse
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None).toDF("ck")
+    val parent = Seq(Some(1L), Some(2L), Some(2L), None).toDF("pk")
+    val r = DataPrep.referentialAudit(Seq(("rel", child, "ck", parent, "pk")))
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ===
+      (("rel", 5L, 1L, 2L, 2L, 1L, 1000000L * 2 / 4, 2L, 1L)))
+    // all-NULL child: orphan base empty -> -1 sentinel
+    val nulls = Seq[Option[Long]](None, None).toDF("ck")
+    val r2 = DataPrep.referentialAudit(Seq(("n", nulls, "ck", parent, "pk")))
+      .collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(6)) === ((2L, 2L, -1L)))
+    intercept[IllegalArgumentException] { DataPrep.referentialAudit(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      DataPrep.referentialAudit(Seq(
+        ("dup", child, "ck", parent, "pk"), ("dup", child, "ck", parent, "pk")))
+    }
+  }
 }
