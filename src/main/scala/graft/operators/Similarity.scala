@@ -43,6 +43,92 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** MMR DIVERSIFIED TOP-K — maximal marginal relevance (Carbonell &
+    * Goldstein): greedily pick k items that are RELEVANT to the query but
+    * not redundant with what's already picked,
+    *
+    *   pick_1 = argmax rel,
+    *   pick_i = argmax λ·rel − (1−λ)·max_{s ∈ picked} cos(c, s)
+    *
+    * — the de-duplicating selection every RAG context builder and
+    * diverse-exemplar sampler runs after ANN retrieval. Relevance is the
+    * exact cosine against the query; redundancy is the running maximum
+    * cosine to the picked set.
+    *
+    * Exactness: cosines round to 6 decimals BEFORE scoring (the q69
+    * rounded-rank convention — a 1-ulp sqrt/divide wobble cannot flip a
+    * pick), λ enters as millis so both engines evaluate the identical
+    * f64 literal, ties break on candidate id ascending. A query whose
+    * candidate pool is smaller than k simply stops early.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s broadcast
+    * scan bounded to `candidates` rows per query (swap in an ANN front
+    * end upstream at 100 TB — the operator only needs the scored pool);
+    * the greedy loop is k − 1 rounds over a (queries × candidates)-
+    * bounded frame — each round ONE per-query min(struct) argmax, ONE
+    * join against that round's single pick per query, and a
+    * localCheckpoint that pins the round (the q120 loop-invariant
+    * pattern) so lineage cannot compound. Nothing in the loop ever
+    * touches the corpus again.
+    */
+  def mmrTopK(
+      queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+      candidates: Int = 20, k: Int = 5, lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      "mmrTopK: need k >= 1 and candidates >= k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      "mmrTopK: lambdaMilli in [0, 1000]")
+    val lam = lambdaMilli / 1000.0
+    val mu = (1000 - lambdaMilli) / 1000.0
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", V.norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("cid"), V.asDouble(col(vecCol)).as("v"))
+      .withColumn("cn", V.norm(col("v")))
+    val scored = c.join(q, col("query_id") =!= col("cid"))
+      .withColumn("rel",
+        round(V.dot(col("qv"), col("v")) / (col("qn") * col("cn")), 6))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid").asc)
+    var state = scored
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= candidates)
+      .select(col("query_id"), col("cid"), col("rel"), col("v"), col("cn"))
+      .withColumn("ms", lit(null).cast("double"))
+      .localCheckpoint(true)
+    var picks: DataFrame = null
+    for (i <- 1 to k) {
+      val negScore =
+        if (i == 1) negate(col("rel"))
+        else negate(lit(lam) * col("rel") - lit(mu) * col("ms"))
+      val pick = state
+        .groupBy(col("query_id"))
+        .agg(min(struct(negScore.as("negs"), col("cid").as("pcid"),
+          col("rel").as("prel"), col("v").as("pv"), col("cn").as("pcn")))
+          .as("p"))
+        .select(col("query_id"), col("p.pcid").as("pcid"),
+          col("p.prel").as("prel"), col("p.pv").as("pv"),
+          col("p.pcn").as("pcn"), negate(col("p.negs")).as("score"))
+      val pickOut = pick.select(col("query_id"), lit(i).as("rank"),
+        col("pcid").as("cand_id"), col("prel").as("relevance"),
+        round(col("score"), 6).as("mmr_score"))
+      picks = if (picks == null) pickOut else picks.union(pickOut)
+      if (i < k) {
+        state = state
+          .join(pick.select(col("query_id"), col("pcid"), col("pv"), col("pcn")),
+            Seq("query_id"))
+          .filter(col("cid") =!= col("pcid"))
+          .withColumn("psim",
+            round(V.dot(col("v"), col("pv")) / (col("cn") * col("pcn")), 6))
+          .withColumn("ms", when(col("ms").isNull, col("psim"))
+            .otherwise(greatest(col("ms"), col("psim"))))
+          .select(col("query_id"), col("cid"), col("rel"), col("v"),
+            col("cn"), col("ms"))
+          .localCheckpoint(true)
+      }
+    }
+    picks
+  }
+
   /** Approximate top-k: score only corpus rows whose sign-LSH signature is
     * within hamming distance `probeHamming` of the query's signature.
     * The signature test is a cheap codegen'd bit_count per (query, row)

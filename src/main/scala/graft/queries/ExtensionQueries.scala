@@ -1731,5 +1731,62 @@ object ExtensionQueries {
         "candidates fused with a unigram-CE quality rerank of the SAME " +
         "candidate set — the calibration-free lexical x quality merge every " +
         "hybrid search stack runs; votes are exact integer divisions, " +
-        "missing-from-a-ranker items simply cast no vote"))
+        "missing-from-a-ranker items simply cast no vote"),
+
+    // ---------------------------- similarity: MMR diversified top-k
+    "q218_mmr_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+            "embedding", "vec_id", candidates = 20, k = 5, lambdaMilli = 700)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        // the greedy loop unrolls to one (pick, update) CTE pair per round
+        // — the q116 recursive-replay convention for iterative operators
+        val head =
+          """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            |sc AS (SELECT query_id, e.vec_id AS cid, e.v,
+            |    sqrt(list_dot_product(e.v, e.v)) AS cn,
+            |    round(list_dot_product(qv, e.v) /
+            |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS rel
+            |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+            |cand AS (SELECT query_id, cid, v, cn, rel FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+            |    FROM sc) WHERE rk <= 20),
+            |s1 AS (SELECT query_id, cid AS pcid, v AS pv, cn AS pcn, rel AS prel, rel AS pscore
+            |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+            |    FROM cand) WHERE rk = 1),
+            |m1 AS (SELECT c.query_id, c.cid, c.v, c.cn, c.rel,
+            |    round(list_dot_product(c.v, s.pv) / (c.cn * s.pcn), 6) AS ms
+            |  FROM cand c JOIN s1 s USING (query_id) WHERE c.cid <> s.pcid)""".stripMargin
+        val rounds = (2 to 5).map { i =>
+          val sel =
+            s"""s$i AS (SELECT query_id, pcid, pv, pcn, prel, pscore FROM (
+               |    SELECT query_id, cid AS pcid, v AS pv, cn AS pcn, rel AS prel,
+               |      0.7 * rel - 0.3 * ms AS pscore,
+               |      row_number() OVER (PARTITION BY query_id
+               |        ORDER BY 0.7 * rel - 0.3 * ms DESC, cid) AS rk
+               |    FROM m${i - 1}) WHERE rk = 1)""".stripMargin
+          val upd =
+            if (i < 5)
+              s""",
+                 |m$i AS (SELECT m.query_id, m.cid, m.v, m.cn, m.rel,
+                 |    greatest(m.ms, round(list_dot_product(m.v, s.pv) / (m.cn * s.pcn), 6)) AS ms
+                 |  FROM m${i - 1} m JOIN s$i s USING (query_id) WHERE m.cid <> s.pcid)""".stripMargin
+            else ""
+          sel + upd
+        }.mkString(",\n", ",\n", "\n")
+        val tail = (1 to 5).map { i =>
+          s"SELECT query_id, CAST($i AS INT) AS rank, pcid AS cand_id, " +
+            s"prel AS relevance, round(pscore, 6) AS mmr_score FROM s$i"
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id, rank")
+        head + rounds + tail
+      },
+      "maximal-marginal-relevance diversified top-5 from a 20-candidate " +
+        "cosine pool (lambda=0.7): greedy picks trade relevance against the " +
+        "running max similarity to already-picked items — the de-duplicating " +
+        "selection after ANN retrieval; cosines round to 6dp before scoring " +
+        "so ranking is 1-ulp-stable, k-1 bounded rounds, corpus touched once"))
 }

@@ -386,4 +386,66 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(2) === meanSq.toLong && got.getLong(3) === mu2.toLong)
     assert(got.getLong(4) === ((BigInt(1000000) * mu2) / meanSq).toLong)
   }
+
+  test("mmrTopK: demotes the near-duplicate of the first pick below an " +
+      "orthogonal moderately-relevant item, matches the greedy driver " +
+      "replica, guards fire") {
+    import spark.implicits._
+    // query 100 = (1,0,0); A(1) top pick, B(2) ~ duplicate of A, C(3)
+    // orthogonal-ish but moderately relevant; lambda=0.5 -> A, C, B
+    // (pure relevance would read A, B, C)
+    val vecs = Map(
+      100L -> Array(1.0f, 0.0f, 0.0f),
+      1L -> Array(0.96f, 0.28f, 0.0f),
+      2L -> Array(0.955f, 0.29f, 0.03f),
+      3L -> Array(0.5f, -0.866f, 0.0f))
+    val df = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      def n(x: Array[Double]) =
+        math.sqrt(x.foldLeft(0.0)((acc, v) => acc + v * v))
+      BigDecimal(d / (n(a) * n(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // greedy replica mirroring the operator: rounded-6 cosines, running
+    // max similarity, ties on id ascending
+    val qv = vecs(100L).map(_.toDouble)
+    val cands = Seq(1L, 2L, 3L)
+      .map(id => id -> vecs(id).map(_.toDouble)).toMap
+    var remaining = cands.keySet
+    var picked = List.empty[(Long, Double, Double)] // (id, rel, score)
+    var ms = Map.empty[Long, Double]
+    for (i <- 1 to 3) {
+      val scored = remaining.toSeq.map { id =>
+        val rel = cos6(qv, cands(id))
+        val score = if (i == 1) rel else 0.5 * rel - 0.5 * ms(id)
+        (id, rel, score)
+      }
+      val (pid, prel, pscore) = scored.minBy { case (id, _, s) => (-s, id) }
+      picked = picked :+ ((pid, prel,
+        BigDecimal(pscore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      remaining -= pid
+      ms = remaining.map { id =>
+        val sim = cos6(cands(id), cands(pid))
+        id -> (if (i == 1) sim else math.max(ms(id), sim))
+      }.toMap
+    }
+    val got = Similarity.mmrTopK(
+        df.filter(col("vec_id") === 100L), df.filter(col("vec_id") < 100L),
+        "embedding", "vec_id", candidates = 3, k = 3, lambdaMilli = 500)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toList === picked.map(_._1))
+    assert(got.map(_._1).toList === List(1L, 3L, 2L)) // the diversity flip
+    got.zip(picked).foreach { case ((_, gr, gs), (_, er, es)) =>
+      assert(math.abs(gr - er) < 1e-9 && math.abs(gs - es) < 1e-9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, df, "embedding", "vec_id", candidates = 2, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, df, "embedding", "vec_id", lambdaMilli = 1001)
+    }
+  }
 }
