@@ -776,4 +776,57 @@ object EventAnalytics {
               | - pk.cs DIV pk.cc AS BIGINT)""".stripMargin))
           .as("shift_micro"))
   }
+
+  /** ONLINE CUSUM DRIFT ALARMS over a grouped daily series — Page's
+    * sequential detector ([[graft.functions.CusumFunctions]]) run against
+    * a reference mean FROZEN on the first `refDays` days: the monitor
+    * that pages you DURING the drift, where [[cusumChangepoint]] dates it
+    * afterwards. Per group: daily micro-means (exact integer division of
+    * the micro sum), μ₀ = the integer mean of the first `refDays` daily
+    * means, then the two-sided CUSUM fold over the remaining days'
+    * deviations in strict day order. Alarm counts, the surviving
+    * statistics, and the first alarm day ('' = never) come back exactly —
+    * the oracle replays the literal fold as a lockstep recursive CTE, and
+    * the streaming twin shares [[graft.functions.CusumFunctions.step]]
+    * verbatim.
+    *
+    * Scale shape: one (group, day) aggregation with map-side combine
+    * collapses events to calendar-bounded series; the day rank rides a
+    * window PARTITIONED by group; the fold is a typed UDAF whose buffer
+    * is the group's probe DAYS (calendar-bounded, the Holt/EWMA state
+    * contract). Groups whose series is shorter than `refDays` alarm on
+    * nothing (no probe rows) and read zero-state sentinels.
+    */
+  def onlineCusum(
+      events: DataFrame, tsCol: String, valueCol: String, groupCol: String,
+      refDays: Int, slackMicro: Long, hMicro: Long): DataFrame = {
+    require(refDays >= 1, "onlineCusum: refDays >= 1")
+    val cusum = graft.functions.CusumFunctions.cusumUdaf(slackMicro, hMicro)
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+      .groupBy(col("grp"), col("day"))
+      .agg(expr("sum(xm) DIV count(1)").as("dm"))
+    val ranked = daily.withColumn("rk", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("day"))))
+    val mu = ranked.filter(col("rk") <= refDays)
+      .groupBy(col("grp"))
+      .agg(expr("sum(dm) DIV count(1)").as("mu"), count(lit(1)).as("n_ref"))
+    val folded = ranked.filter(col("rk") > refDays)
+      .join(mu.select(col("grp"), col("mu")), Seq("grp"))
+      .withColumn("dev", col("dm") - col("mu"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_probe"),
+        cusum(col("day"), lit(0L), col("dev")).as("h"))
+    mu.join(folded, Seq("grp"), "left")
+      .select(col("grp"), col("mu").as("mu_micro"),
+        col("n_ref").as("n_ref_days"),
+        coalesce(col("n_probe"), lit(0L)).as("n_probe_days"),
+        coalesce(col("h.s_hi_micro"), lit(0L)).as("s_hi_micro"),
+        coalesce(col("h.s_lo_micro"), lit(0L)).as("s_lo_micro"),
+        coalesce(col("h.alarms_hi"), lit(0L)).as("alarms_hi"),
+        coalesce(col("h.alarms_lo"), lit(0L)).as("alarms_lo"),
+        coalesce(col("h.first_alarm"), lit("")).as("first_alarm"))
+  }
 }

@@ -733,7 +733,7 @@ object TextPipeline {
     val dl = dt.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val dfq = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val tot = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dt.agg(coalesce(sum(col("tf")), lit(0L)).as("l")))
+      .crossJoin(broadcast(dt.agg(coalesce(sum(col("tf")), lit(0L)).as("l"))))
     val idf = dfq.crossJoin(broadcast(tot))
       .select(col("t"),
         round(lit(1e6) * log((col("n") + lit(1L)).cast("double") /

@@ -696,5 +696,50 @@ object AdvancedQueries {
         "mismatched events->supplier probe): NULL keys, orphan rows/keys " +
         "(what an inner join silently drops, exact ppm), and parent keys " +
         "never referenced — one marked left join + one aggregation per " +
-        "relation, output |relations| rows"))
+        "relation, output |relations| rows"),
+
+    // ------------------------------- quality: key-skew diagnostics
+    "q219_key_skew" -> Q(
+      (s, dir) =>
+        graft.operators.Skew.keySkewReport(t(s, dir, "orders"), "o_custkey"),
+      Some("""WITH counts AS (SELECT o_custkey AS k, count(*) AS c
+             |  FROM orders GROUP BY 1),
+             |cc AS (SELECT c, count(*) AS f FROM counts GROUP BY 1),
+             |cum AS (SELECT c, f, sum(f) OVER (ORDER BY c
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_f
+             |  FROM cc),
+             |tot AS (SELECT COALESCE(sum(c * f), 0) AS n_rows,
+             |    COALESCE(sum(f), 0) AS n_keys,
+             |    COALESCE(max(c), 0) AS max_count FROM cc),
+             |g AS (SELECT COALESCE(sum(c::HUGEINT * f * (2 * (cum_f - f) + f + 1)), 0)
+             |    AS twos FROM cum),
+             |p50 AS (SELECT COALESCE(min(c), -1) AS p50_count
+             |  FROM cum CROSS JOIN tot WHERE cum_f >= (n_keys + 1) // 2),
+             |p99 AS (SELECT COALESCE(min(c), -1) AS p99_count
+             |  FROM cum CROSS JOIN tot WHERE cum_f >= (99 * n_keys + 99) // 100)
+             |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(max_count AS BIGINT) AS max_count,
+             |  CAST(CASE WHEN n_keys = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * n_rows) // n_keys END AS BIGINT)
+             |    AS mean_count_micro,
+             |  CAST(p50_count AS BIGINT) AS p50_count,
+             |  CAST(p99_count AS BIGINT) AS p99_count,
+             |  CAST(CASE WHEN n_rows = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * max_count) // n_rows END AS BIGINT)
+             |    AS top1_share_ppm,
+             |  CAST(CASE WHEN n_rows = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * max_count * n_keys) // n_rows END AS BIGINT)
+             |    AS skew_ratio_ppm,
+             |  CAST(CASE WHEN n_keys = 0 OR n_rows = 0 THEN -1
+             |    ELSE (1000000::HUGEINT *
+             |      (twos - (n_keys + 1)::HUGEINT * n_rows))
+             |      // (n_keys::HUGEINT * n_rows) END AS BIGINT) AS gini_ppm
+             |FROM tot CROSS JOIN g CROSS JOIN p50 CROSS JOIN p99""".stripMargin),
+      "key-skew diagnostics of orders.o_custkey (exact max/mean ratio, " +
+        "p50/p99 percentile_disc counts, rank-form Gini in ppm) — the " +
+        "salt-or-not report before a shuffle join; per-key counts collapse " +
+        "to the count-of-counts histogram so every downstream pass is " +
+        "resolution-bounded (ksFromCounts trick), cumulative via the " +
+        "distributed offset prefix, no global window"))
 }

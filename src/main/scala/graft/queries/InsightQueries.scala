@@ -883,6 +883,64 @@ object InsightQueries {
         "centered prefix sum peaks (division-free via cnt_total-scaling, " +
         "exact micro; ties -> earliest day), with before/after regime means " +
         "and the shift — the WHEN-did-it-move monitor next to q112's " +
-        "is-today-anomalous and q132/q159's did-the-distribution-move")
+        "is-today-anomalous and q132/q159's did-the-distribution-move"),
+
+    // ----------------------------- series: online CUSUM drift alarms
+    "q220_online_cusum" -> Q(
+      (s, dir) =>
+        EventAnalytics.onlineCusum(
+            Tables.events(s, dir), "ts", "value", "event_type",
+            refDays = 10, slackMicro = 2000000L, hMicro = 10000000L)
+          .orderBy(col("grp")),
+      // the oracle replays the literal CusumFunctions.step fold as a
+      // lockstep recursive CTE over day-ranked probe rows (q116 pattern)
+      Some("""WITH RECURSIVE daily AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+             |  FROM events GROUP BY 1, 2),
+             |rk AS (SELECT grp, day, dm,
+             |    row_number() OVER (PARTITION BY grp ORDER BY day) AS rk
+             |  FROM daily),
+             |mu AS (SELECT grp, sum(dm) // count(*) AS mu, count(*) AS n_ref
+             |  FROM rk WHERE rk <= 10 GROUP BY grp),
+             |probe AS (SELECT r.grp, r.day, r.dm - m.mu AS dev,
+             |    row_number() OVER (PARTITION BY r.grp ORDER BY r.day) AS pn,
+             |    count(*) OVER (PARTITION BY r.grp) AS np
+             |  FROM rk r JOIN mu m ON m.grp = r.grp WHERE r.rk > 10),
+             |f AS (
+             |  SELECT grp, 0::BIGINT AS i, 0::BIGINT AS sh, 0::BIGINT AS sl,
+             |    0::BIGINT AS ah, 0::BIGINT AS al, '' AS fa, np
+             |  FROM (SELECT DISTINCT grp, np FROM probe)
+             |  UNION ALL
+             |  SELECT f.grp, f.i + 1,
+             |    CASE WHEN greatest(0, f.sh + p.dev - 2000000) > 10000000
+             |      THEN 0 ELSE greatest(0, f.sh + p.dev - 2000000) END,
+             |    CASE WHEN greatest(0, f.sl - p.dev - 2000000) > 10000000
+             |      THEN 0 ELSE greatest(0, f.sl - p.dev - 2000000) END,
+             |    f.ah + CASE WHEN greatest(0, f.sh + p.dev - 2000000) > 10000000
+             |      THEN 1 ELSE 0 END,
+             |    f.al + CASE WHEN greatest(0, f.sl - p.dev - 2000000) > 10000000
+             |      THEN 1 ELSE 0 END,
+             |    CASE WHEN f.fa <> '' THEN f.fa
+             |      WHEN greatest(0, f.sh + p.dev - 2000000) > 10000000
+             |        OR greatest(0, f.sl - p.dev - 2000000) > 10000000 THEN p.day
+             |      ELSE '' END,
+             |    f.np
+             |  FROM f JOIN probe p ON p.grp = f.grp AND p.pn = f.i + 1),
+             |fin AS (SELECT grp, np, sh, sl, ah, al, fa FROM f WHERE i = np)
+             |SELECT m.grp, CAST(m.mu AS BIGINT) AS mu_micro,
+             |  CAST(m.n_ref AS BIGINT) AS n_ref_days,
+             |  CAST(COALESCE(fin.np, 0) AS BIGINT) AS n_probe_days,
+             |  CAST(COALESCE(fin.sh, 0) AS BIGINT) AS s_hi_micro,
+             |  CAST(COALESCE(fin.sl, 0) AS BIGINT) AS s_lo_micro,
+             |  CAST(COALESCE(fin.ah, 0) AS BIGINT) AS alarms_hi,
+             |  CAST(COALESCE(fin.al, 0) AS BIGINT) AS alarms_lo,
+             |  COALESCE(fin.fa, '') AS first_alarm
+             |FROM mu m LEFT JOIN fin ON fin.grp = m.grp ORDER BY m.grp""".stripMargin),
+      "online CUSUM drift alarms per event type (Page's detector, frozen " +
+        "10-day reference mean, slack 2.0, threshold 10.0, two-sided with " +
+        "restart-on-alarm) — the monitor that pages DURING the drift q216 " +
+        "dates afterwards; exact integer fold shared verbatim with the " +
+        "streaming twin, replayed lockstep by the oracle's recursive CTE")
   )
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.functions.CusumFunctions
+import graft.operators.EventAnalytics
+import graft.streaming.ContinuousCusum
+import graft.streaming.ContinuousCusum.Sample
+
+/** Ground-truth pins for the online CUSUM fold: hand-computed alarm /
+  * restart / first-alarm semantics, UDAF ≡ foldOracle, the batch operator
+  * end-to-end, and the continuous twin's cross-batch equality (EXACT —
+  * integer fixed point end-to-end).
+  */
+class CusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("step: alarms fire on strict h crossing, restart at zero, slack " +
+      "absorbs drift, first_alarm keeps the earliest ord") {
+    val got = CusumFunctions.foldOracle(
+      Seq(("d1", 4L), ("d2", 4L), ("d3", -10L), ("d4", 2L)),
+      slackMicro = 1L, hMicro = 5L)
+    assert(got === CusumFunctions.CusumState(1L, 0L, 1L, 1L, "d2"))
+    // slack eats a sub-slack drift entirely
+    val calm = CusumFunctions.foldOracle(
+      (1 to 100).map(i => (f"d$i%03d", 1L)), slackMicro = 1L, hMicro = 5L)
+    assert(calm === CusumFunctions.CusumState(0L, 0L, 0L, 0L, ""))
+  }
+
+  test("cusumUdaf == foldOracle regardless of row order") {
+    val devs = Seq(("d1", 4L), ("d2", 4L), ("d3", -10L), ("d4", 2L))
+    val want = CusumFunctions.foldOracle(devs, 1L, 5L)
+    val udaf = CusumFunctions.cusumUdaf(1L, 5L)
+    val got = devs.reverse.zipWithIndex
+      .map { case ((ord, dev), _) => ("k", ord, 0L, dev) }
+      .toDF("k", "ord", "seq", "dev")
+      .repartition(4)
+      .groupBy(col("k")).agg(udaf(col("ord"), col("seq"), col("dev")).as("h"))
+      .select(col("h.*")).as[CusumFunctions.CusumState].head()
+    assert(got === want)
+    intercept[IllegalArgumentException] { CusumFunctions.cusumUdaf(-1L, 5L) }
+    intercept[IllegalArgumentException] { CusumFunctions.cusumUdaf(0L, 0L) }
+  }
+
+  test("onlineCusum: hand series alarms both sides once, short groups " +
+      "read zero-state sentinels") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 12:00:00")
+    val rows = Seq(
+      ("g", ts(1), 10.0), ("g", ts(1), 10.0), ("g", ts(2), 12.0),
+      ("g", ts(3), 20.0), ("g", ts(4), 2.0), ("g", ts(5), 11.0),
+      ("h", ts(1), 7.0))
+      .toDF("event_type", "ts", "value")
+    val got = EventAnalytics.onlineCusum(rows, "ts", "value", "event_type",
+        refDays = 2, slackMicro = 1000000L, hMicro = 5000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getString(8)))).toMap
+    // g: mu = (10e6 + 12e6)/2; probe devs +9e6, -9e6, 0 with slack 1e6:
+    // d3 alarms high (8e6 > 5e6), d4 alarms low, d5 absorbed
+    assert(got("g") ===
+      ((11000000L, 2L, 3L, 0L, 0L, 1L, 1L, "2024-03-03")))
+    assert(got("h") === ((7000000L, 1L, 0L, 0L, 0L, 0L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.onlineCusum(rows, "ts", "value", "event_type",
+        refDays = 0, slackMicro = 0L, hMicro = 1L)
+    }
+  }
+
+  test("straggler batches emit nothing; mixed batches fold only newer rows") {
+    import ContinuousCusum._
+    val s0 = foldBatch(zeroState,
+      Iterator(Sample("k", "d2", 1L, 9L)), 1L, 5L).get
+    // 9 - 1 = 8 > 5 -> alarm + restart
+    assert((s0.s_hi_micro, s0.alarms_hi, s0.first_alarm) === ((0L, 1L, "d2")))
+    assert(foldBatch(s0, Iterator(Sample("k", "d1", 0L, 100L)), 1L, 5L).isEmpty)
+    val s1 = foldBatch(s0,
+      Iterator(Sample("k", "d1", 9L, 100L), Sample("k", "d3", 1L, 3L)), 1L, 5L).get
+    assert((s1.s_hi_micro, s1.alarms_hi, s1.n) === ((2L, 1L, 2L)))
+  }
+
+  test("stateful streaming CUSUM == one global fold per key, across " +
+      "micro-batches") {
+    val samples = (1 to 300).map { i =>
+      Sample(key = s"k${i % 3}", ord = f"t$i%04d", seq = i.toLong,
+        dev_micro = ((i % 23) - 11).toLong * 1000000L)
+    }
+    val dir = Files.createTempDirectory("graft-cusum-").toString
+    samples.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk).coalesce(1).write.parquet(s"$dir/part_$i")
+    }
+    val schema = Encoders.product[Sample].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part_*")
+    val out = ContinuousCusum.run(stream.as[Sample], 1000000L, 5000000L)
+    val q = out.writeStream.format("memory").queryName("cont_cusum")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cont_cusum")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")
+            .orderBy(col("n").desc)))
+        .filter(col("rn") === 1)
+        .select("key", "s_hi_micro", "s_lo_micro", "alarms_hi", "alarms_lo",
+          "first_alarm")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))).toMap
+      val want = ContinuousCusum.batchOracle(samples, 1000000L, 5000000L)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, g) =>
+        val w = want(k)
+        assert(g === ((w.s_hi_micro, w.s_lo_micro, w.alarms_hi, w.alarms_lo,
+          w.first_alarm)), s"key $k diverged from the global fold")
+      }
+      // alarms actually fired somewhere (the harness is not vacuous)
+      assert(want.values.map(w => w.alarms_hi + w.alarms_lo).sum > 0)
+      // every intermediate update is the fold of its replay prefix
+      val updates = spark.table("cont_cusum")
+        .select("key", "n", "s_hi_micro", "s_lo_micro").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      updates.foreach { case ((k, n), g) =>
+        val prefix = samples.filter(_.key == k)
+          .sortBy(s => (s.ord, s.seq)).take(n.toInt)
+        val w = ContinuousCusum.batchOracle(prefix, 1000000L, 5000000L)(k)
+        assert(g === ((w.s_hi_micro, w.s_lo_micro)),
+          s"prefix n=$n of $k diverged")
+      }
+    } finally q.stop()
+  }
+}
