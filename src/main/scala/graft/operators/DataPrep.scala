@@ -381,4 +381,49 @@ object DataPrep {
           (col("parent_keys") - col("matched")).as("unref_parents"))
     }.reduce(_ union _)
   }
+
+  /** DATA-CONTRACT AUDIT — declarative row-level constraint checking
+    * (the Deequ/dbt-test shape): each rule is a boolean SQL predicate the
+    * data PROMISES; the audit reports, per rule, how many rows break the
+    * promise (a NULL predicate is a violation — "unknown" fails a
+    * contract), the exact violation ppm, and the smallest violating key
+    * for triage (−1 = clean). The gate a 100 TB ingest runs before
+    * publishing a snapshot.
+    *
+    * Scale shape: ONE scan evaluates EVERY rule simultaneously — all
+    * violation counts and first-key mins ride a single aggregation
+    * (contrast [[referentialAudit]], which needs one join per relation
+    * because its rules cross tables), then a |rules|-row `stack` unpivot
+    * of the 1-row aggregate. Adding a rule costs zero extra passes.
+    */
+  def constraintAudit(
+      df: DataFrame, keyCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "constraintAudit: at least one rule")
+    require(rules.map(_._1).distinct.length == rules.length,
+      "constraintAudit: rule names must be distinct")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "constraintAudit: rule names must be [A-Za-z0-9_]+ (they are embedded " +
+        "in the unpivot expression)")
+    val viols = rules.map { case (n, p) =>
+      n -> not(coalesce(expr(p), lit(false)))
+    }
+    val aggs = viols.flatMap { case (n, v) =>
+      Seq(sum(when(v, 1L).otherwise(0L)).as(s"v_$n"),
+        min(when(v, col(keyCol).cast("long"))).as(s"k_$n"))
+    }
+    val base = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${rules.length}, " +
+      rules.map { case (n, _) => s"'$n', v_$n, k_$n" }.mkString(", ") +
+      ") AS (rule, violations, first_bad_key)"
+    base.select(col("n_rows"), expr(stackExpr))
+      .select(col("rule"), col("n_rows"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        when(col("n_rows") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * violations)
+              | DIV n_rows AS BIGINT)""".stripMargin))
+          .as("violation_ppm"),
+        coalesce(col("first_bad_key"), lit(-1L)).as("first_bad_key"))
+  }
 }

@@ -741,5 +741,43 @@ object AdvancedQueries {
         "salt-or-not report before a shuffle join; per-key counts collapse " +
         "to the count-of-counts histogram so every downstream pass is " +
         "resolution-bounded (ksFromCounts trick), cumulative via the " +
-        "distributed offset prefix, no global window"))
+        "distributed offset prefix, no global window"),
+
+    // ------------------------------- quality: data-contract audit
+    "q221_constraint_audit" -> {
+      // ONE predicate list drives both engines — the rules must parse
+      // identically in Spark SQL and DuckDB (BETWEEN/IN/TIMESTAMP are)
+      val rules = Seq(
+        ("qty_range", "l_quantity BETWEEN 1 AND 50"),
+        ("qty_cap40", "l_quantity <= 40"),
+        ("discount_range", "l_discount BETWEEN 0.0 AND 0.1"),
+        ("tax_cap", "l_tax <= 0.05"),
+        ("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+        ("price_positive", "l_extendedprice > 0"),
+        ("ship_cutoff", "l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'"))
+      Q(
+        (s, dir) =>
+          graft.operators.DataPrep.constraintAudit(
+              t(s, dir, "lineitem"), "l_orderkey", rules)
+            .orderBy(col("rule")),
+        Some(rules.map { case (name, pred) =>
+          s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (WHERE NOT COALESCE(($pred), FALSE)) AS BIGINT)
+             |    AS violations,
+             |  CAST(CASE WHEN count(*) = 0 THEN -1
+             |    ELSE (1000000::HUGEINT *
+             |      count(*) FILTER (WHERE NOT COALESCE(($pred), FALSE)))
+             |      // count(*) END AS BIGINT) AS violation_ppm,
+             |  CAST(COALESCE(min(l_orderkey)
+             |    FILTER (WHERE NOT COALESCE(($pred), FALSE)), -1) AS BIGINT)
+             |    AS first_bad_key
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")),
+        "declarative data-contract audit over lineitem (Deequ/dbt-test " +
+          "shape): seven promised predicates checked in ONE scan — all " +
+          "violation counts and first-bad-key mins ride a single " +
+          "aggregation, then a |rules|-row stack unpivot; NULL predicate = " +
+          "violation, exact ppm, -1 sentinels; three rules genuinely fire " +
+          "on the corpus (tax cap, quantity cap, ship cutoff)")
+    })
 }

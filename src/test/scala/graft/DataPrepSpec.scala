@@ -202,4 +202,38 @@ class DataPrepSpec extends SparkSpec {
         ("dup", child, "ck", parent, "pk"), ("dup", child, "ck", parent, "pk")))
     }
   }
+
+  test("constraintAudit: one scan evaluates all rules, NULL predicate is a " +
+      "violation, first_bad_key is the smallest violating key, guards fire") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, Some(10.0)), (3L, Some(200.0)), (7L, None), (9L, Some(50.0)))
+      .toDF("k", "v")
+    val got = DataPrep.constraintAudit(df, "k", Seq(
+        ("v_cap", "v <= 100"),        // row 3 breaks it; row 7 NULL breaks it
+        ("v_present", "v IS NOT NULL"), // row 7
+        ("k_positive", "k > 0")))       // clean
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "v_cap" -> ((4L, 2L, 500000L, 3L)),
+      "v_present" -> ((4L, 1L, 250000L, 7L)),
+      "k_positive" -> ((4L, 0L, 0L, -1L))))
+    // empty frame: zero rows, -1 ppm sentinel
+    val empty = DataPrep.constraintAudit(
+        df.filter(col("k") < 0), "k", Seq(("any", "v > 0")))
+      .collect().head
+    assert((empty.getLong(1), empty.getLong(3), empty.getLong(4)) ===
+      ((0L, -1L, -1L)))
+    intercept[IllegalArgumentException] {
+      DataPrep.constraintAudit(df, "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.constraintAudit(df, "k", Seq(("a", "v > 0"), ("a", "v < 9")))
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.constraintAudit(df, "k", Seq(("bad name", "v > 0")))
+    }
+  }
 }
