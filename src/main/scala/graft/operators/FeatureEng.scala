@@ -789,4 +789,64 @@ object FeatureEng {
       .agg(sum(col("cnt_a") * col("cnt_b")).as("score"),
         count(lit(1)).as("n_terms"))
   }
+
+  /** POST-STRATIFIED ATE — the confounder-adjusted treatment-effect
+    * estimate next to [[abTest]]'s raw two-proportion test: when arms are
+    * imbalanced WITHIN strata (mix shift, triggered exposure, partial
+    * rollout), the naive mean difference confounds treatment with
+    * composition. Post-stratification reweights per-stratum arm-mean
+    * differences by stratum size,
+    *
+    *   ATE = Σ_s w_s · (ȳ_{1,s} − ȳ_{0,s}) / Σ_s w_s,   w_s = n_s
+    *
+    * over strata where BOTH arms are observed (singletons are reported,
+    * not silently dropped: `n_strata_used` vs `n_strata`). Exactness:
+    * values quantize to micro; every arm mean is one exact integer
+    * division (micro resolution — documented truncation, identical in
+    * both engines); the weighted sum routes through decimal(38,0). The
+    * unadjusted difference is emitted next to the ATE so the confounding
+    * correction is visible. Degenerate inputs (an empty arm overall, or
+    * zero usable strata) read the −2·10⁶ sentinel with the count columns
+    * explaining why.
+    *
+    * Scale shape: one (stratum, arm) aggregation with map-side combine —
+    * the only data-scaled pass — then stratum-bounded conditional
+    * pivots and one 1-row reduction. Nothing joins, nothing sorts.
+    */
+  def stratifiedAte(
+      df: DataFrame, armCol: String, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val cell = df
+      .select(col(stratumCol).as("s"), col(armCol).cast("bigint").as("arm"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("ym"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0L, col("ym")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1L, col("ym")).otherwise(0L)).as("s1"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    cell.agg(
+        sum(col("n0") + col("n1")).as("n_rows"),
+        sum(col("n1")).as("n_treat"),
+        sum(col("n0")).as("n_control"),
+        sum(col("s1")).as("st"), sum(col("s0")).as("sc"),
+        count(lit(1)).as("n_strata"),
+        sum(when(col("n0") > 0 && col("n1") > 0, 1L).otherwise(0L))
+          .as("n_strata_used"),
+        sum(when(col("n0") > 0 && col("n1") > 0,
+            (d("n0") + d("n1")) *
+              (expr("s1 DIV n1").cast("decimal(38,0)")
+                - expr("s0 DIV n0").cast("decimal(38,0)")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("wd"),
+        sum(when(col("n0") > 0 && col("n1") > 0, col("n0") + col("n1"))
+          .otherwise(0L)).as("wsum"))
+      .select(col("n_rows"), col("n_treat"), col("n_control"),
+        col("n_strata"), col("n_strata_used"),
+        when(col("n_treat") === 0L || col("n_control") === 0L, lit(-2000000L))
+          .otherwise(expr("st DIV n_treat - sc DIV n_control"))
+          .as("unadjusted_diff_micro"),
+        when(col("n_strata_used") === 0L, lit(-2000000L))
+          .otherwise(expr("CAST(wd DIV wsum AS BIGINT)"))
+          .as("ate_micro"))
+  }
 }

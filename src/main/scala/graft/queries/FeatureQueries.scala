@@ -794,6 +794,55 @@ object FeatureQueries {
       "stratified 5-fold assignment: md5-ranked within each event-type stratum " +
         "then round-robin, so every (stratum, fold) cell is exactly balanced " +
         "(plain hash-mod leaves small strata lopsided right where validation " +
-        "is noisiest); one parallel per-stratum rank window")
+        "is noisiest); one parallel per-stratum rank window"),
+
+    // ----------------------------- experiments: post-stratified ATE
+    "q222_stratified_ate" -> Q(
+      (s, dir) =>
+        FeatureEng.stratifiedAte(
+          Tables.events(s, dir)
+            .withColumn("arm",
+              conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint") % 2),
+          "arm", "event_type", "value"),
+      Some(s"""WITH e AS (SELECT event_type AS st,
+             |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS arm,
+             |    CAST(round(value * 1e6) AS BIGINT) AS ym
+             |  FROM events),
+             |cell AS (SELECT st,
+             |    count(*) FILTER (WHERE arm = 0) AS n0,
+             |    COALESCE(sum(ym) FILTER (WHERE arm = 0), 0) AS s0,
+             |    count(*) FILTER (WHERE arm = 1) AS n1,
+             |    COALESCE(sum(ym) FILTER (WHERE arm = 1), 0) AS s1
+             |  FROM e GROUP BY 1),
+             |agg AS (SELECT
+             |    COALESCE(sum(n0 + n1), 0) AS n_rows,
+             |    COALESCE(sum(n1), 0) AS n_treat,
+             |    COALESCE(sum(n0), 0) AS n_control,
+             |    COALESCE(sum(s1), 0) AS stt,
+             |    COALESCE(sum(s0), 0) AS sc,
+             |    count(*) AS n_strata,
+             |    count(*) FILTER (WHERE n0 > 0 AND n1 > 0) AS n_used,
+             |    COALESCE(sum((n0 + n1)::HUGEINT * (s1 // n1 - s0 // n0))
+             |      FILTER (WHERE n0 > 0 AND n1 > 0), 0) AS wd,
+             |    COALESCE(sum(n0 + n1) FILTER (WHERE n0 > 0 AND n1 > 0), 0) AS wsum
+             |  FROM cell)
+             |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_treat AS BIGINT) AS n_treat,
+             |  CAST(n_control AS BIGINT) AS n_control,
+             |  CAST(n_strata AS BIGINT) AS n_strata,
+             |  CAST(n_used AS BIGINT) AS n_strata_used,
+             |  CAST(CASE WHEN n_treat = 0 OR n_control = 0 THEN -2000000
+             |    ELSE stt // n_treat - sc // n_control END AS BIGINT)
+             |    AS unadjusted_diff_micro,
+             |  CAST(CASE WHEN n_used = 0 THEN -2000000
+             |    ELSE wd // wsum END AS BIGINT) AS ate_micro
+             |FROM agg""".stripMargin),
+      "post-stratified average treatment effect over the md5-assigned " +
+        "pseudo-experiment (arms by user hash, strata by event type): " +
+        "per-stratum arm-mean differences reweighted by stratum size, " +
+        "emitted next to the naive difference so composition confounding " +
+        "is visible; one (stratum, arm) aggregation then stratum-bounded " +
+        "reductions, exact micro integer arithmetic throughout")
   )
 }

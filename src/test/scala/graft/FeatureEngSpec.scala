@@ -527,4 +527,26 @@ class FeatureEngSpec extends SparkSpec {
     assert((got.getLong(3), got.getLong(4)) === ref)
     assert(got.getLong(3) < 0L)
   }
+
+  test("stratifiedAte: hand strata reweight the confounded naive diff, " +
+      "single-arm strata counted but excluded, empty-arm sentinel") {
+    // A: c=[10] t=[20] (w 2, diff 10e6); B: c=[0,0] t=[30] (w 3, diff 30e6);
+    // C: t-only [99] -> excluded from ATE, counted in totals
+    val df = Seq(
+      ("A", 0L, 10.0), ("A", 1L, 20.0),
+      ("B", 0L, 0.0), ("B", 0L, 0.0), ("B", 1L, 30.0),
+      ("C", 1L, 99.0))
+      .toDF("stratum", "arm", "y")
+    val r = FeatureEng.stratifiedAte(df, "arm", "stratum", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) === ((6L, 3L, 3L, 3L, 2L)))
+    // naive: (149e6 DIV 3) - (10e6 DIV 3); ATE: (2*10e6 + 3*30e6) DIV 5
+    assert(r.getLong(5) === 149000000L / 3 - 10000000L / 3)
+    assert(r.getLong(6) === 22000000L)
+    // control arm absent entirely -> sentinel diffs, counts explain
+    val oneArm = FeatureEng.stratifiedAte(
+      df.filter(col("arm") === 1L), "arm", "stratum", "y").collect().head
+    assert((r.getLong(0) > 0) && oneArm.getLong(2) === 0L)
+    assert(oneArm.getLong(5) === -2000000L && oneArm.getLong(6) === -2000000L)
+  }
 }
