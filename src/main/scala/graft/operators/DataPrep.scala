@@ -426,4 +426,68 @@ object DataPrep {
           .as("violation_ppm"),
         coalesce(col("first_bad_key"), lit(-1L)).as("first_bad_key"))
   }
+
+  /** Benford expectation for leading digit d, in exact ppm — computed
+    * ONCE in Scala (`round(10⁶·log₁₀(1 + 1/d))`) so both engines compare
+    * against the same nine integer literals and no SQL `ln` enters the
+    * plan.
+    */
+  def benfordPpm(d: Int): Long = {
+    require(d >= 1 && d <= 9, "benfordPpm: digit in [1, 9]")
+    math.round(1e6 * math.log(1.0 + 1.0 / d) / math.log(10.0))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fabrication/truncation screen for
+    * any naturally multi-magnitude positive measure (prices, revenues,
+    * populations): the leading significant digit of organic data follows
+    * log₁₀(1 + 1/d); fabricated, capped, or unit-mangled data does not.
+    * Emits one row per digit 1–9 (zero-count digits included) with the
+    * observed share and the Benford expectation in exact ppm, plus the
+    * total-variation distance `tv_ppm = (Σ|obs − exp|) DIV 2` repeated
+    * on every row as the single summary number to threshold on.
+    *
+    * Exactness: values quantize to micro Longs and the leading digit is
+    * the first character of the INTEGER's decimal rendering — no float
+    * formatting, no log₁₀ in either engine (expectations are Scala-
+    * computed integer literals, [[benfordPpm]]); non-positive values are
+    * excluded and reported via `n_used` vs the digit counts. Digit
+    * ordering ties are impossible (digits are distinct).
+    *
+    * Scale shape: one filter + one 9-ary groupBy with map-side combine —
+    * the only data-scaled pass — joined against a 9-row literal digit
+    * frame (broadcast), then a 9-row reduction for TV. Nothing sorts,
+    * nothing is corpus-wide after the count.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+      .filter(col("xm") > 0L)
+      .withColumn("digit",
+        substring(col("xm").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("c"))
+    val digits = broadcast(
+      (1 to 9).map(d => (d, benfordPpm(d))).toDF("digit", "benford_ppm"))
+    val tot = broadcast(counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_used")))
+    val perDigit = digits.join(counts, Seq("digit"), "left")
+      .crossJoin(tot)
+      .select(col("digit"), coalesce(col("c"), lit(0L)).as("cnt"),
+        col("n_used"),
+        when(col("n_used") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * coalesce(c, 0))
+              | DIV n_used AS BIGINT)""".stripMargin))
+          .as("observed_ppm"),
+        col("benford_ppm"))
+    val tv = broadcast(perDigit.agg(
+      when(max(col("n_used")) === 0L, lit(-1L))
+        .otherwise(expr(
+          "CAST(sum(abs(observed_ppm - benford_ppm)) DIV 2 AS BIGINT)"))
+        .as("tv_ppm")))
+    perDigit.crossJoin(tv)
+      .select(col("digit"), col("cnt"), col("n_used"),
+        col("observed_ppm"), col("benford_ppm"), col("tv_ppm"))
+  }
 }

@@ -779,5 +779,46 @@ object AdvancedQueries {
           "aggregation, then a |rules|-row stack unpivot; NULL predicate = " +
           "violation, exact ppm, -1 sentinels; three rules genuinely fire " +
           "on the corpus (tax cap, quantity cap, ship cutoff)")
+    },
+
+    // ------------------------------- quality: Benford first-digit audit
+    "q223_benford_audit" -> {
+      // the nine expectations are Scala-computed integer literals shared
+      // by both engines — no SQL ln anywhere
+      val ben = (1 to 9).map(d => (d, graft.operators.DataPrep.benfordPpm(d)))
+      Q(
+        (s, dir) =>
+          graft.operators.DataPrep.benfordAudit(
+              t(s, dir, "lineitem"), "l_extendedprice")
+            .orderBy(col("digit")),
+        Some(s"""WITH v AS (SELECT CAST(round(l_extendedprice * 1e6) AS BIGINT) AS xm
+               |  FROM lineitem),
+               |p AS (SELECT CAST(substring(CAST(xm AS VARCHAR), 1, 1) AS INT) AS digit,
+               |    count(*) AS c
+               |  FROM v WHERE xm > 0 GROUP BY 1),
+               |d(digit, benford_ppm) AS (VALUES
+               |  ${ben.map { case (dd, e) => s"($dd, ${e}::BIGINT)" }.mkString(", ")}),
+               |tot AS (SELECT COALESCE(sum(c), 0) AS n_used FROM p),
+               |pd AS (SELECT d.digit, COALESCE(p.c, 0) AS cnt, n_used,
+               |    CASE WHEN n_used = 0 THEN -1
+               |      ELSE (1000000::HUGEINT * COALESCE(p.c, 0)) // n_used
+               |      END AS observed_ppm,
+               |    d.benford_ppm
+               |  FROM d LEFT JOIN p ON p.digit = d.digit CROSS JOIN tot),
+               |tv AS (SELECT CASE WHEN max(n_used) = 0 THEN -1
+               |    ELSE sum(abs(observed_ppm - benford_ppm)) // 2 END AS tv_ppm
+               |  FROM pd)
+               |SELECT CAST(digit AS INT) AS digit, CAST(cnt AS BIGINT) AS cnt,
+               |  CAST(n_used AS BIGINT) AS n_used,
+               |  CAST(observed_ppm AS BIGINT) AS observed_ppm,
+               |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+               |  CAST(tv_ppm AS BIGINT) AS tv_ppm
+               |FROM pd CROSS JOIN tv ORDER BY digit""".stripMargin),
+        "Benford first-digit audit of lineitem extended prices: observed " +
+          "vs expected leading-digit shares in exact ppm plus the " +
+          "total-variation summary — the fabrication/truncation screen for " +
+          "multi-magnitude measures; leading digit from the INTEGER micro " +
+          "rendering (no float formatting), expectations as shared integer " +
+          "literals, one 9-ary count as the only data-scaled pass")
     })
 }

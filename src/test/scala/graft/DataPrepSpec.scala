@@ -236,4 +236,32 @@ class DataPrepSpec extends SparkSpec {
       DataPrep.constraintAudit(df, "k", Seq(("bad name", "v > 0")))
     }
   }
+
+  test("benfordAudit: leading digits from the integer micro rendering, " +
+      "non-positive values excluded, zero-count digits emitted, TV matches " +
+      "the hand fold, empty input reads sentinels") {
+    import spark.implicits._
+    // 1.0 -> 1000000 (digit 1); 25.0 (digit 2); 900.0 (digit 9);
+    // 0.0000001 -> micro 0 excluded; -5.0 excluded
+    val df = Seq(1.0, 25.0, 900.0, 0.0000001, -5.0).toDF("v")
+    val rows = DataPrep.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet === (1 to 9).toSet)
+    val obs = (1 to 9).map(d =>
+      d -> (if (Set(1, 2, 9)(d)) 1000000L / 3 else 0L)).toMap
+    val tv = (1 to 9).map(d =>
+      math.abs(obs(d) - DataPrep.benfordPpm(d))).sum / 2
+    (1 to 9).foreach { d =>
+      val (cnt, nUsed, oPpm, bPpm, tvPpm) = rows(d)
+      assert(nUsed === 3L && oPpm === obs(d) && bPpm === DataPrep.benfordPpm(d)
+        && tvPpm === tv)
+      assert(cnt === (if (Set(1, 2, 9)(d)) 1L else 0L))
+    }
+    // Benford expectations sum to ~1e6 (rounding residue at most a few ppm)
+    assert(math.abs((1 to 9).map(DataPrep.benfordPpm).sum - 1000000L) <= 3L)
+    val empty = DataPrep.benfordAudit(df.filter(col("v") < -100), "v")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(empty.length === 9 && empty.forall(_ === ((0L, -1L, -1L))))
+  }
 }
