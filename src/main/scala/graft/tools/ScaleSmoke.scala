@@ -59,7 +59,12 @@ object ScaleSmoke {
       // stay |ks| = 3; the vocabulary frame under offsetCumSum grows 10x
       // — exactly the machinery this row watches. q209: probe windows
       // follow the offset doc ids, rows ~10x.
-      "q207_unigram_ce", "q208_token_coverage", "q209_windowed_ce")
+      "q207_unigram_ce", "q208_token_coverage", "q209_windowed_ce",
+      // q214 BM25: replica tokens carry the _rN suffix, so the fixed query
+      // terms match replica 0 only — rows stay 30 (3 queries x top-10)
+      // while the inverted-index build (the df/dl/L side) is fully
+      // corpus-scaled; the probe stays candidate-bounded by design
+      "q214_bm25_topk")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -75,7 +80,13 @@ object ScaleSmoke {
       // lineitem: disjoint replicas scale pairs and vocab exactly 10x
       // (k negatives per pair -> output 10x; the guarded vocab rank grows
       // linearly but stays catalog-sized)
-      "q137_neg_samples")
+      "q137_neg_samples",
+      // q219 key-skew on scaled ORDERS: replica custkey sets are disjoint
+      // with identical per-key count distributions, so the count-of-counts
+      // histogram scales its frequencies 10x while every shape statistic
+      // (max/mean/p50/p99/gini/skew-ratio) is BIT-IDENTICAL to base;
+      // only n_rows/n_keys read 10x, rows stay 1
+      "q219_key_skew")
   // events replicas offset user_id (and event_id, the deterministic
   // tiebreaker) while keeping timestamps, types, and values bit-identical:
   // each replica user's event sequence IS some original user's, so
@@ -99,7 +110,14 @@ object ScaleSmoke {
       // replication (daily counts 10x, day span unchanged), so rows stay
       // |types| and the fold depth is constant — the time ratio watches
       // the pre-aggregation only
-      "q210_holt_winters")
+      "q210_holt_winters",
+      // q216/q220 CUSUM: 10x-replicated daily (sum, count) divide to
+      // BIT-IDENTICAL daily means (10s DIV 10c = s DIV c exactly), so
+      // regime means, alarm counts, statistics and first-alarm days all
+      // match base; q216's unnormalized cusum_micro and n_events scale
+      // 10x by construction. Rows stay |types|; the calendar bounds the
+      // fold, the pre-aggregation carries the 10x.
+      "q216_cusum_changepoint", "q220_online_cusum")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
