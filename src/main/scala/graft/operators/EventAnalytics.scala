@@ -829,4 +829,54 @@ object EventAnalytics {
         coalesce(col("h.alarms_lo"), lit(0L)).as("alarms_lo"),
         coalesce(col("h.first_alarm"), lit("")).as("first_alarm"))
   }
+
+  /** STL-LITE SEASONAL DECOMPOSITION — split each group's daily series
+    * into trend + weekly seasonal + residual, the classical additive
+    * decomposition (moving-average trend, seasonal = per-weekday mean of
+    * the detrended series) that makes q112's "is today anomalous" and
+    * q216/q220's "did the level move" questions readable: monitor the
+    * RESIDUAL, report the SEASONAL, alarm on the TREND.
+    *
+    *   trend_d    = centered ±3-day moving mean (window clips at edges),
+    *   seasonal_w = mean over the group's days with ISO weekday w of
+    *                (x_d − trend_d),
+    *   residual_d = x_d − trend_d − seasonal_w(d).
+    *
+    * Exactness: daily means, the trend window, and the weekday means are
+    * each ONE exact integer micro division (documented truncation,
+    * identical in both engines); weekday = ISO 1–7 (Spark `weekday+1` ≡
+    * DuckDB `isodow`). The seasonal is the raw per-weekday mean
+    * (uncentered — the detrended series already sums near zero), so the
+    * identity x = trend + seasonal + residual holds EXACTLY per row.
+    *
+    * Scale shape: one (group, day) aggregation with map-side combine
+    * collapses the event stream; the trend window and the weekday means
+    * are calendar-bounded passes partitioned by group. Nothing global.
+    */
+  def stlDecompose(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+      .groupBy(col("grp"), col("day"))
+      .agg(expr("sum(xm) DIV count(1)").as("dm"))
+    val wTrend = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t2 = daily
+      .withColumn("tsum", sum(col("dm")).over(wTrend))
+      .withColumn("tcnt", count(lit(1)).over(wTrend))
+      .withColumn("trend", expr("tsum DIV tcnt"))
+      .withColumn("dow",
+        (weekday(to_date(col("day"))) + lit(1)).cast("int"))
+      .withColumn("det", col("dm") - col("trend"))
+    val seasonal = t2.groupBy(col("grp"), col("dow"))
+      .agg(expr("sum(det) DIV count(1)").as("seasonal"))
+    t2.join(seasonal, Seq("grp", "dow"))
+      .select(col("grp"), col("day"), col("dm").as("dm_micro"),
+        col("trend").as("trend_micro"), col("dow"),
+        col("seasonal").as("seasonal_micro"),
+        (col("dm") - col("trend") - col("seasonal")).as("residual_micro"))
+  }
 }

@@ -941,6 +941,38 @@ object InsightQueries {
         "10-day reference mean, slack 2.0, threshold 10.0, two-sided with " +
         "restart-on-alarm) — the monitor that pages DURING the drift q216 " +
         "dates afterwards; exact integer fold shared verbatim with the " +
-        "streaming twin, replayed lockstep by the oracle's recursive CTE")
+        "streaming twin, replayed lockstep by the oracle's recursive CTE"),
+
+    // --------------------------- series: STL-lite seasonal decomposition
+    "q224_stl_decompose" -> Q(
+      (s, dir) =>
+        EventAnalytics.stlDecompose(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp"), col("day")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT grp, day, dm,
+             |    sum(dm) OVER w // count(*) OVER w AS trend,
+             |    CAST(isodow(CAST(day AS DATE)) AS INT) AS dow
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY grp ORDER BY day
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d AS (SELECT *, dm - trend AS det FROM t),
+             |se AS (SELECT grp, dow, sum(det) // count(*) AS seasonal
+             |  FROM d GROUP BY 1, 2)
+             |SELECT d.grp, d.day, CAST(d.dm AS BIGINT) AS dm_micro,
+             |  CAST(d.trend AS BIGINT) AS trend_micro, d.dow,
+             |  CAST(se.seasonal AS BIGINT) AS seasonal_micro,
+             |  CAST(d.dm - d.trend - se.seasonal AS BIGINT) AS residual_micro
+             |FROM d JOIN se ON se.grp = d.grp AND se.dow = d.dow
+             |ORDER BY d.grp, d.day""".stripMargin),
+      "STL-lite additive decomposition of each event type's daily series: " +
+        "centered 7-day moving-average trend, per-ISO-weekday seasonal " +
+        "means of the detrended values, exact residual (the identity " +
+        "x = trend + seasonal + residual holds per row) — monitor the " +
+        "residual, report the seasonal, alarm on the trend; " +
+        "calendar-bounded windows partitioned by group")
   )
 }

@@ -500,4 +500,39 @@ class EventAnalyticsSpec extends SparkSpec {
       rows.repartition(5), "ts", "value", "event_type"))
     assert(again === expected)
   }
+
+  test("stlDecompose: additive identity holds per row, edge windows clip, " +
+      "ISO weekdays, constant series decomposes to itself") {
+    // 2024-03-04 is a Monday; ten days of a noisy-ish series
+    val vals = Seq(10.0, 14.0, 9.0, 20.0, 11.0, 16.0, 8.0, 12.0, 15.0, 10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("g", java.sql.Timestamp.valueOf(f"2024-03-${4 + i}%02d 10:00:00"), v)
+    }.toDF("event_type", "ts", "value")
+    val got = EventAnalytics.stlDecompose(rows, "ts", "value", "event_type")
+      .orderBy(col("day")).collect()
+    assert(got.length === 10)
+    // per-row additive identity, exact
+    got.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(5) + r.getLong(6))
+    }
+    // ISO weekday: Monday = 1, next Sunday (2024-03-10) = 7
+    assert(got.head.getInt(4) === 1 && got(6).getInt(4) === 7)
+    // edge trend = mean of the first 4 days (window clips);
+    // interior day 4 (index 3) = mean of days 1..7
+    def microMean(xs: Seq[Double]): Long = {
+      val s = xs.map(x => math.round(x * 1e6)).sum
+      Math.floorDiv(s, xs.length) // all positive here; same as DIV
+    }
+    assert(got.head.getLong(3) === microMean(vals.take(4)))
+    assert(got(3).getLong(3) === microMean(vals.take(7)))
+    // constant series: trend = value, seasonal = residual = 0
+    val const = (0 until 10).map { i =>
+      ("c", java.sql.Timestamp.valueOf(f"2024-03-${4 + i}%02d 10:00:00"), 7.0)
+    }.toDF("event_type", "ts", "value")
+    EventAnalytics.stlDecompose(const, "ts", "value", "event_type")
+      .collect().foreach { r =>
+        assert((r.getLong(3), r.getLong(5), r.getLong(6)) ===
+          ((7000000L, 0L, 0L)))
+      }
+  }
 }
