@@ -324,5 +324,54 @@ object syntax {
     def imageNearDups(idCol: String, payloadCol: String = "payload",
         maxHamming: Int = 3, bands: Int = 4): DataFrame =
       graft.operators.Multimodal.dhashNearDups(df, idCol, payloadCol, maxHamming, bands)
+
+    /** Okapi BM25 top-k retrieval against a (query_id, term) frame. */
+    def bm25TopK(textCol: String, idCol: String, queries: DataFrame,
+        k: Int = 10): DataFrame =
+      graft.operators.TextPipeline.bm25TopK(df, textCol, idCol, queries, k)
+
+    /** Fuse per-query rankings (query_id, doc, rank) by reciprocal rank. */
+    def rrfFuse(kRrf: Int = 60, topK: Int = 10): DataFrame =
+      graft.operators.TextPipeline.rrfFuse(df, kRrf, topK)
+
+    /** MMR-diversified top-k of this corpus against a query frame. */
+    def mmrTopK(queries: DataFrame, vecCol: String, idCol: String,
+        candidates: Int = 20, k: Int = 5, lambdaMilli: Int = 700): DataFrame =
+      graft.operators.Similarity.mmrTopK(queries, df, vecCol, idCol,
+        candidates, k, lambdaMilli)
+
+    /** Offline CUSUM changepoint per group over the daily value series. */
+    def cusumChangepoint(tsCol: String, valueCol: String,
+        groupCol: String): DataFrame =
+      graft.operators.EventAnalytics.cusumChangepoint(df, tsCol, valueCol, groupCol)
+
+    /** Online CUSUM drift alarms against a frozen refDays reference mean. */
+    def onlineCusum(tsCol: String, valueCol: String, groupCol: String,
+        refDays: Int = 10, slackMicro: Long = 2000000L,
+        hMicro: Long = 10000000L): DataFrame =
+      graft.operators.EventAnalytics.onlineCusum(df, tsCol, valueCol, groupCol,
+        refDays, slackMicro, hMicro)
+
+    /** STL-lite trend + weekly-seasonal + residual per group and day. */
+    def stlDecompose(tsCol: String, valueCol: String,
+        groupCol: String): DataFrame =
+      graft.operators.EventAnalytics.stlDecompose(df, tsCol, valueCol, groupCol)
+
+    /** Key-skew diagnostics report for a prospective join/agg key. */
+    def keySkewReport(keyCol: String): DataFrame =
+      graft.operators.Skew.keySkewReport(df, keyCol)
+
+    /** Data-contract audit: one scan, all rule predicates. */
+    def constraintAudit(keyCol: String, rules: Seq[(String, String)]): DataFrame =
+      graft.operators.DataPrep.constraintAudit(df, keyCol, rules)
+
+    /** Benford leading-digit audit of a positive measure column. */
+    def benfordAudit(valueCol: String): DataFrame =
+      graft.operators.DataPrep.benfordAudit(df, valueCol)
+
+    /** Post-stratified ATE of arm 1 vs arm 0 across strata. */
+    def stratifiedAte(armCol: String, stratumCol: String,
+        valueCol: String): DataFrame =
+      graft.operators.FeatureEng.stratifiedAte(df, armCol, stratumCol, valueCol)
   }
 }

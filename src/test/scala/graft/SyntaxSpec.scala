@@ -96,4 +96,30 @@ class SyntaxSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaSyntax === direct)
   }
+
+  test("session-11 chainers delegate to their operators") {
+    import spark.implicits._
+    val qs = Seq((1L, "hash"), (1L, "join")).toDF("query_id", "term")
+    val viaChain = docs.bm25TopK("text", "doc_id", qs, k = 5).collect()
+    val direct = graft.operators.TextPipeline
+      .bm25TopK(docs, "text", "doc_id", qs, k = 5).collect()
+    assert(viaChain.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+    graft.operators.Dedup.releaseCaches()
+
+    val ev = Tables.events(spark, sfDir)
+    val viaStl = ev.stlDecompose("ts", "value", "event_type")
+      .orderBy(col("grp"), col("day")).collect()
+    val directStl = graft.operators.EventAnalytics
+      .stlDecompose(ev, "ts", "value", "event_type")
+      .orderBy(col("grp"), col("day")).collect()
+    assert(viaStl.map(_.toSeq).toSeq === directStl.map(_.toSeq).toSeq)
+
+    val viaSkew = Tables.table(spark, sfDir, "orders")
+      .keySkewReport("o_custkey").collect().head
+    val directSkew = graft.operators.Skew
+      .keySkewReport(Tables.table(spark, sfDir, "orders"), "o_custkey")
+      .collect().head
+    assert(viaSkew.toSeq === directSkew.toSeq)
+    graft.operators.Dedup.releaseCaches()
+  }
 }
