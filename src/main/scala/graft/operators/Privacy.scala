@@ -147,4 +147,54 @@ object Privacy {
           <= d(lit(tPpm)) * lit(2L) * d(col("n_rows")) * d(col("n")))
           .cast("bigint").as("close")): _*)
   }
+
+  /** LAPLACE-NOISED COUNTS — the ε-differential-privacy release
+    * MECHANISM for a count query (sensitivity 1), completing the
+    * k-anonymity → l-diversity → t-closeness ladder with the noise-based
+    * end of the privacy spectrum: per group, count + Lap(1/ε) via the
+    * inverse CDF,
+    *
+    *   noise = −(1/ε) · sign(u − ½) · ln(1 − 2|u − ½|).
+    *
+    * ENGINE-TEST CAVEAT, stated loudly: `u` here is md5-derived from the
+    * group key and a caller salt, so the release is DETERMINISTIC —
+    * reproducible across engines (the oracle replays it) and across
+    * retries (a re-run cannot burn extra privacy budget by re-sampling),
+    * but a true production ε-DP release must draw u fresh from a CSPRNG per
+    * release; swap the salt for that draw and the mechanism is the
+    * textbook one. The TRUE count is emitted alongside (this is a
+    * mechanism-machinery query, not a release).
+    *
+    * Exactness: u = (h + ½)/10⁶ with h = md5-hex8 mod 10⁶, so
+    * t = 1 − 2|u − ½| has the exact integer form 10⁶ − |2h + 1 − 10⁶|
+    * (odd numerator ⇒ never 0); ln t takes the one per-group rounded
+    * micro-nat call (the q74 convention) and the 1/ε scaling is an
+    * exact integer division. `noisy_micro = 10⁶·count + noise_micro`.
+    *
+    * Scale shape: one grouped count with map-side combine; the noise is
+    * a per-row scalar expression on the group-bounded result. Nothing
+    * else.
+    */
+  def dpNoisyCounts(
+      df: DataFrame, groupCol: String, epsilonMicro: Long,
+      salt: String): DataFrame = {
+    require(epsilonMicro > 0, "dpNoisyCounts: epsilonMicro > 0")
+    require(!salt.contains("'"), "dpNoisyCounts: salt must not contain quotes")
+    df.select(col(groupCol).cast("string").as("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("true_count"))
+      .withColumn("h", expr(
+        s"conv(substring(md5(concat(grp, ':$salt')), 1, 8), 16, 10)")
+        .cast("bigint") % 1000000L)
+      .withColumn("tm", lit(1000000L) - abs(lit(2L) * col("h") + 1L - 1000000L))
+      .withColumn("ln_micro",
+        round(lit(1e6) * log(col("tm").cast("double") / 1e6)).cast("bigint"))
+      .withColumn("noise_micro", expr(
+        s"""CAST(CASE WHEN 2 * h + 1 > 1000000
+           |  THEN -(ln_micro * 1000000) DIV $epsilonMicro
+           |  ELSE (ln_micro * 1000000) DIV $epsilonMicro END AS BIGINT)""".stripMargin))
+      .select(col("grp"), col("true_count"),
+        col("noise_micro"),
+        (col("true_count") * lit(1000000L) + col("noise_micro"))
+          .as("noisy_micro"))
+  }
 }

@@ -973,6 +973,37 @@ object InsightQueries {
         "means of the detrended values, exact residual (the identity " +
         "x = trend + seasonal + residual holds per row) — monitor the " +
         "residual, report the seasonal, alarm on the trend; " +
-        "calendar-bounded windows partitioned by group")
+        "calendar-bounded windows partitioned by group"),
+
+    // ------------------------------ privacy: Laplace-noised DP counts
+    "q225_dp_counts" -> Q(
+      (s, dir) =>
+        graft.operators.Privacy.dpNoisyCounts(
+            Tables.events(s, dir), "event_type",
+            epsilonMicro = 1000000L, salt = "dp1")
+          .orderBy(col("grp")),
+      Some(s"""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+             |    count(*) AS true_count FROM events GROUP BY 1),
+             |n AS (SELECT grp, true_count,
+             |    ${hex8("md5(grp || ':dp1')")} % 1000000 AS h FROM c),
+             |t AS (SELECT *, 1000000 - abs(2 * h + 1 - 1000000) AS tm FROM n),
+             |l AS (SELECT *,
+             |    CAST(round(1e6 * ln(CAST(tm AS DOUBLE) / 1e6)) AS BIGINT) AS ln_micro
+             |  FROM t)
+             |SELECT grp, CAST(true_count AS BIGINT) AS true_count,
+             |  CAST(CASE WHEN 2 * h + 1 > 1000000
+             |    THEN -(ln_micro * 1000000) // 1000000
+             |    ELSE (ln_micro * 1000000) // 1000000 END AS BIGINT) AS noise_micro,
+             |  CAST(true_count * 1000000 + CASE WHEN 2 * h + 1 > 1000000
+             |    THEN -(ln_micro * 1000000) // 1000000
+             |    ELSE (ln_micro * 1000000) // 1000000 END AS BIGINT) AS noisy_micro
+             |FROM l ORDER BY grp""".stripMargin),
+      "Laplace-noised per-type counts (eps=1.0, sensitivity-1 inverse-CDF " +
+        "mechanism) — the noise end of the privacy ladder after " +
+        "k-anon/l-diversity/t-closeness; u is md5-derived (deterministic, " +
+        "engine-replayable, retry-safe — a production release swaps the " +
+        "salt for a CSPRNG draw, loudly documented), the Laplace tail " +
+        "takes one rounded micro-nat ln per group, 1/eps is an exact " +
+        "integer division")
   )
 }

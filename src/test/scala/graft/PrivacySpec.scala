@@ -103,4 +103,44 @@ class PrivacySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(ldiv("C") === 1L && got("C")._3 === 0L)
   }
+
+  test("dpNoisyCounts: noise matches the BigInt/MessageDigest replica, " +
+      "shrinks with epsilon, is deterministic per (group, salt), guards fire") {
+    def replicaNoise(grp: String, salt: String, epsMicro: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$grp:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val tm = 1000000L - math.abs(2 * h + 1 - 1000000L)
+      val lnMicro = math.round(1e6 * math.log(tm.toDouble / 1e6))
+      val scaled = BigInt(lnMicro) * 1000000L
+      if (2 * h + 1 > 1000000L) (-(scaled / epsMicro)).toLong
+      else (scaled / epsMicro).toLong
+    }
+    val df = Seq("a", "a", "a", "b", "c", "c").toDF("g")
+    val got = Privacy.dpNoisyCounts(df, "g", 1000000L, "s1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    Seq(("a", 3L), ("b", 1L), ("c", 2L)).foreach { case (g, n) =>
+      val noise = replicaNoise(g, "s1", 1000000L)
+      assert(got(g) === ((n, noise, n * 1000000L + noise)), s"group $g")
+    }
+    // bigger epsilon -> smaller-magnitude noise (integer truncation kept)
+    val tight = Privacy.dpNoisyCounts(df, "g", 4000000L, "s1")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    tight.foreach { case (g, nz) =>
+      assert(math.abs(nz) <= math.abs(got(g)._2), s"group $g")
+    }
+    // different salt -> different draw (for at least one group here)
+    val other = Privacy.dpNoisyCounts(df, "g", 1000000L, "s2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(other !== got.map { case (g, (_, nz, _)) => g -> nz })
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", 0L, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", 1L, "s'quote")
+    }
+  }
 }
