@@ -278,11 +278,39 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val monitorSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the metric-monitoring suite the way a dashboard job ships: the
+        // per-(type, day) daily stats are computed ONCE (persisted) and
+        // feed the offline changepoint, the online CUSUM alarms, and the
+        // STL decomposition from the one frame — three monitors, one
+        // event-stream aggregation
+        val daily = graft.operators.EventAnalytics.dailyStats(
+            graft.Tables.events(spark, sfDir), "ts", "value", "event_type")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          daily.count()
+          val nCp = graft.operators.EventAnalytics
+            .cusumChangepointFromDaily(daily).count()
+          val nAl = graft.operators.EventAnalytics
+            .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L).count()
+          val nSt = graft.operators.EventAnalytics
+            .stlDecomposeFromDaily(daily).count()
+          System.err.println(
+            s"[bench] pipeline_monitor changepoints=$nCp alarms=$nAl stl=$nSt")
+        } finally daily.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        errors += "pipeline_monitor"
+        System.err.println(s"[bench] pipeline_monitor failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
-      "pipeline_routing" -> routingSecs)
+      "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

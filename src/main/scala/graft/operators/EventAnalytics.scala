@@ -732,15 +732,31 @@ object EventAnalytics {
     * partitioning; the argmax is a plain aggregation. Nothing global,
     * nothing event-scaled past the first aggregation.
     */
-  def cusumChangepoint(
+  /** Shared first pass of the daily-series monitor family
+    * ([[cusumChangepoint]], [[onlineCusum]], [[stlDecompose]]): collapse
+    * the event stream to per-(group, day) micro sums, counts, and the
+    * exact integer daily mean. Compute ONCE and persist when feeding
+    * several monitors — the materialize-once pattern the bench's
+    * pipeline_monitor entry exercises.
+    */
+  def dailyStats(
       events: DataFrame, tsCol: String, valueCol: String,
-      groupCol: String): DataFrame = {
-    val daily = events
+      groupCol: String): DataFrame =
+    events
       .select(col(groupCol).as("grp"),
         date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
         expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
+      .withColumn("dm", expr("ds DIV dc"))
+
+  def cusumChangepoint(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    cusumChangepointFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[cusumChangepoint]] over a prepared [[dailyStats]] frame. */
+  def cusumChangepointFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("grp"))
@@ -799,15 +815,16 @@ object EventAnalytics {
     */
   def onlineCusum(
       events: DataFrame, tsCol: String, valueCol: String, groupCol: String,
-      refDays: Int, slackMicro: Long, hMicro: Long): DataFrame = {
+      refDays: Int, slackMicro: Long, hMicro: Long): DataFrame =
+    onlineCusumFromDaily(dailyStats(events, tsCol, valueCol, groupCol),
+      refDays, slackMicro, hMicro)
+
+  /** [[onlineCusum]] over a prepared [[dailyStats]] frame. */
+  def onlineCusumFromDaily(
+      daily: DataFrame, refDays: Int, slackMicro: Long,
+      hMicro: Long): DataFrame = {
     require(refDays >= 1, "onlineCusum: refDays >= 1")
     val cusum = graft.functions.CusumFunctions.cusumUdaf(slackMicro, hMicro)
-    val daily = events
-      .select(col(groupCol).as("grp"),
-        date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
-      .groupBy(col("grp"), col("day"))
-      .agg(expr("sum(xm) DIV count(1)").as("dm"))
     val ranked = daily.withColumn("rk", row_number().over(
       Window.partitionBy(col("grp")).orderBy(col("day"))))
     val mu = ranked.filter(col("rk") <= refDays)
@@ -855,13 +872,11 @@ object EventAnalytics {
     */
   def stlDecompose(
       events: DataFrame, tsCol: String, valueCol: String,
-      groupCol: String): DataFrame = {
-    val daily = events
-      .select(col(groupCol).as("grp"),
-        date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
-      .groupBy(col("grp"), col("day"))
-      .agg(expr("sum(xm) DIV count(1)").as("dm"))
+      groupCol: String): DataFrame =
+    stlDecomposeFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[stlDecompose]] over a prepared [[dailyStats]] frame. */
+  def stlDecomposeFromDaily(daily: DataFrame): DataFrame = {
     val wTrend = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(-3, 3)
     val t2 = daily
