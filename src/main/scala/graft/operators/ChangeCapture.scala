@@ -366,4 +366,67 @@ object ChangeCapture {
       "left")
       .drop("__ie_key", "__ie_vf", "__ie_vt")
   }
+
+  /** SNAPSHOT RECONCILIATION DIFF — the release-gate comparison of two
+    * keyed snapshots (yesterday's publish vs today's, source-of-truth vs
+    * replica): how many keys were ADDED, REMOVED, kept in COMMON, and —
+    * per compared column — how many common keys CHANGED value. The
+    * question every lakehouse asks before promoting a snapshot, answered
+    * as one exact report instead of eyeballed row counts.
+    *
+    * Null semantics: values compare with IS DISTINCT FROM, so
+    * null → value and value → null both count as changes while
+    * null → null does not. `changed_ppm` is exact over the common keys
+    * (−1 when there are none). Keys are assumed unique per snapshot
+    * (compact with [[latestByKey]] first); duplicate keys would fan the
+    * join out and inflate every count.
+    *
+    * Scale shape: ONE full-outer join on the key (the only shuffle —
+    * AQE broadcasts a genuinely small side), then ONE aggregation
+    * computes the added/removed/common counts AND every column's change
+    * count simultaneously (the [[DataPrep.constraintAudit]] one-pass
+    * shape), unpivoted to |columns| rows. Adding a compared column costs
+    * zero extra passes.
+    */
+  def snapshotDiff(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: at least one compare column")
+    require(compareCols.distinct.length == compareCols.length,
+      "snapshotDiff: compare columns must be distinct")
+    require(compareCols.forall(_.matches("[A-Za-z0-9_]+")),
+      "snapshotDiff: column names must be [A-Za-z0-9_]+ (embedded in the " +
+        "unpivot expression)")
+    val aa = a.select(col(keyCol).as("k") +:
+      compareCols.map(c => col(c).as(s"a_$c")): _*).withColumn("ina", lit(1))
+    val bb = b.select(col(keyCol).as("k") +:
+      compareCols.map(c => col(c).as(s"b_$c")): _*).withColumn("inb", lit(1))
+    val j = aa.join(bb, Seq("k"), "full_outer")
+    val aggs = Seq(
+      sum(when(col("ina").isNotNull, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("inb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("ina").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("inb").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+        .otherwise(0L)).as("common")) ++
+      compareCols.map { c =>
+        sum(when(col("ina").isNotNull && col("inb").isNotNull &&
+            expr(s"a_$c IS DISTINCT FROM b_$c"), 1L)
+          .otherwise(0L)).as(s"ch_$c")
+      }
+    val base = j.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${compareCols.length}, " +
+      compareCols.map(c => s"'$c', ch_$c").mkString(", ") +
+      ") AS (column_name, changed)"
+    base.select(col("n_a"), col("n_b"), col("added"), col("removed"),
+        col("common"), expr(stackExpr))
+      .select(col("column_name"), col("n_a"), col("n_b"), col("added"),
+        col("removed"), col("common"),
+        coalesce(col("changed"), lit(0L)).as("changed"),
+        when(col("common") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * changed)
+              | DIV common AS BIGINT)""".stripMargin))
+          .as("changed_ppm"))
+  }
 }

@@ -1004,6 +1004,76 @@ object InsightQueries {
         "engine-replayable, retry-safe — a production release swaps the " +
         "salt for a CSPRNG draw, loudly documented), the Laplace tail " +
         "takes one rounded micro-nat ln per group, 1/eps is an exact " +
-        "integer division")
+        "integer division"),
+
+    // ------------------------------ cdc: snapshot reconciliation diff
+    "q226_snapshot_diff" -> Q(
+      (s, dir) => {
+        // v2 = v1 with deterministic mutations: every 13th key removed,
+        // every 7th price bumped, every 11th status flipped, every 17th
+        // key re-added under a new id — the shapes a publish gate must
+        // catch, reproduced identically by the oracle
+        val o = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v2 = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.5)
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 11 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        ChangeCapture.snapshotDiff(o, v2, "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+             |  FROM orders),
+             |b AS (
+             |  SELECT k,
+             |    CASE WHEN k % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN k % 7 = 0 THEN o_totalprice + 1.5
+             |      ELSE o_totalprice END AS o_totalprice
+             |  FROM a WHERE k % 13 <> 0
+             |  UNION ALL
+             |  SELECT k + 100000000, o_orderstatus, o_totalprice
+             |  FROM a WHERE k % 17 = 0),
+             |j AS (SELECT a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb,
+             |    a.o_totalprice AS ap, b.o_totalprice AS bp,
+             |    a.o_orderstatus AS ast, b.o_orderstatus AS bst
+             |  FROM a FULL OUTER JOIN b ON a.k = b.k),
+             |g AS (SELECT
+             |    count(*) FILTER (WHERE ina) AS n_a,
+             |    count(*) FILTER (WHERE inb) AS n_b,
+             |    count(*) FILTER (WHERE NOT ina) AS added,
+             |    count(*) FILTER (WHERE NOT inb) AS removed,
+             |    count(*) FILTER (WHERE ina AND inb) AS common,
+             |    count(*) FILTER (WHERE ina AND inb AND ap IS DISTINCT FROM bp)
+             |      AS chp,
+             |    count(*) FILTER (WHERE ina AND inb AND ast IS DISTINCT FROM bst)
+             |      AS chs
+             |  FROM j)
+             |SELECT 'o_orderstatus' AS column_name, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b, CAST(added AS BIGINT) AS added,
+             |  CAST(removed AS BIGINT) AS removed, CAST(common AS BIGINT) AS common,
+             |  CAST(chs AS BIGINT) AS changed,
+             |  CAST(CASE WHEN common = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * chs) // common END AS BIGINT) AS changed_ppm
+             |FROM g
+             |UNION ALL
+             |SELECT 'o_totalprice', CAST(n_a AS BIGINT), CAST(n_b AS BIGINT),
+             |  CAST(added AS BIGINT), CAST(removed AS BIGINT), CAST(common AS BIGINT),
+             |  CAST(chp AS BIGINT),
+             |  CAST(CASE WHEN common = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * chp) // common END AS BIGINT)
+             |FROM g ORDER BY column_name""".stripMargin),
+      "snapshot reconciliation diff of orders v1 vs a deterministically " +
+        "mutated v2 (removed/bumped/flipped/re-added keys): per compared " +
+        "column the added/removed/common key counts and IS-DISTINCT-FROM " +
+        "change counts in exact ppm — the publish gate a lakehouse runs " +
+        "before promoting; ONE full-outer key join + ONE aggregation " +
+        "computes every column's count simultaneously (the q221 one-pass " +
+        "shape)")
   )
 }

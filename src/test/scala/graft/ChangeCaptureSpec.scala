@@ -322,4 +322,41 @@ class ChangeCaptureSpec extends SparkSpec {
       assert(got(id) === want, s"probe $id (k=$k, ts=$ts)")
     }
   }
+
+  test("snapshotDiff: IS DISTINCT FROM null semantics, added/removed/common " +
+      "exact, no-common sentinel, guards fire") {
+    val a = Seq(
+      (1L, Some("x"), Some(10.0)), (2L, None, Some(20.0)),
+      (3L, Some("z"), None), (4L, Some("w"), Some(40.0)),
+      (6L, None, None))
+      .toDF("k", "c1", "c2")
+    val b = Seq(
+      (1L, Some("x"), Some(10.0)), (2L, Some("y"), Some(20.0)),
+      (3L, Some("z"), Some(5.0)), (5L, Some("new"), Some(1.0)),
+      (6L, None, None))
+      .toDF("k", "c1", "c2")
+    val got = ChangeCapture.snapshotDiff(a, b, "k", Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // common = {1, 2, 3, 6}; c1 changes on key 2 (null -> y),
+    // c2 on key 3 (null -> 5.0); key 6's null == null is NOT a change
+    assert(got === Map(
+      "c1" -> ((5L, 5L, 1L, 1L, 4L, 1L, 250000L)),
+      "c2" -> ((5L, 5L, 1L, 1L, 4L, 1L, 250000L))))
+    // disjoint snapshots: zero common -> ppm sentinel
+    val disjoint = ChangeCapture.snapshotDiff(
+        a.filter(col("k") <= 2), b.filter(col("k") >= 5), "k", Seq("c1"))
+      .collect().head
+    assert((disjoint.getLong(5), disjoint.getLong(7)) === ((0L, -1L)))
+    intercept[IllegalArgumentException] {
+      ChangeCapture.snapshotDiff(a, b, "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ChangeCapture.snapshotDiff(a, b, "k", Seq("c1", "c1"))
+    }
+    intercept[IllegalArgumentException] {
+      ChangeCapture.snapshotDiff(a, b, "k", Seq("bad col"))
+    }
+  }
 }
