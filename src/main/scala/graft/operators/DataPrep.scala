@@ -472,7 +472,7 @@ object DataPrep {
     val tot = broadcast(counts.agg(
       coalesce(sum(col("c")), lit(0L)).as("n_used")))
     val perDigit = digits.join(counts, Seq("digit"), "left")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .select(col("digit"), coalesce(col("c"), lit(0L)).as("cnt"),
         col("n_used"),
         when(col("n_used") === 0L, lit(-1L))
@@ -486,7 +486,7 @@ object DataPrep {
         .otherwise(expr(
           "CAST(sum(abs(observed_ppm - benford_ppm)) DIV 2 AS BIGINT)"))
         .as("tv_ppm")))
-    perDigit.crossJoin(tv)
+    perDigit.crossJoin(broadcast(tv))
       .select(col("digit"), col("cnt"), col("n_used"),
         col("observed_ppm"), col("benford_ppm"), col("tv_ppm"))
   }
