@@ -875,6 +875,56 @@ object EventAnalytics {
       groupCol: String): DataFrame =
     stlDecomposeFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
 
+  /** AUTOCORRELATION FUNCTION of each group's daily series at lags
+    * 1..`maxLag` — the series fingerprint that picks the seasonal period
+    * for [[graft.functions.HoltFunctions]]' Holt-Winters (the lag-7 spike
+    * says "weekly"), validates [[stlDecompose]]'s residual whiteness, and
+    * flags regime stickiness. Computed as the exact Pearson correlation
+    * over the (x_t, x_{t−ℓ}) pair set of each lag (the q135 convention:
+    * exact decimal moment sums, ONE f64 divide+sqrt at the very end
+    * rounded to micro; −10⁶ sentinel when either margin is constant).
+    * Lags with no pairs (series shorter than ℓ+1) emit no row.
+    *
+    * Scale shape: ONE group-partitioned window pass carries all `maxLag`
+    * lag columns (no self-join), a `stack` unpivot turns them into
+    * (group, lag) pair rows, and one aggregation computes every lag's
+    * moments — calendar-bounded throughout.
+    */
+  def acf(
+      events: DataFrame, tsCol: String, valueCol: String, groupCol: String,
+      maxLag: Int = 7): DataFrame =
+    acfFromDaily(dailyStats(events, tsCol, valueCol, groupCol), maxLag)
+
+  /** [[acf]] over a prepared [[dailyStats]] frame. */
+  def acfFromDaily(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, "acf: maxLag in [1, 60]")
+    val wd = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, l) =>
+      df.withColumn(s"lag_$l", lag(col("dm"), l).over(wd))
+    }
+    val pairs = lagged
+      .select(col("grp"), col("dm").as("x"), expr(
+        s"stack($maxLag, " +
+          (1 to maxLag).map(l => s"$l, lag_$l").mkString(", ") +
+          ") AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    pairs.groupBy(col("grp"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d("x")).as("sx"), sum(d("y")).as("sy"),
+        sum(d("x") * d("y")).as("sxy"),
+        sum(d("x") * d("x")).as("sxx"),
+        sum(d("y") * d("y")).as("syy"))
+      .select(col("grp"), col("lag"), col("n_pairs"),
+        when(expr("n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0"),
+          lit(-1000000L))
+          .otherwise(expr(
+            """CAST(round(1e6 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+              |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+              |    * CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS BIGINT)""".stripMargin))
+          .as("acf_micro"))
+  }
+
   /** [[stlDecompose]] over a prepared [[dailyStats]] frame. */
   def stlDecomposeFromDaily(daily: DataFrame): DataFrame = {
     val wTrend = Window.partitionBy(col("grp")).orderBy(col("day"))

@@ -1074,6 +1074,46 @@ object InsightQueries {
         "change counts in exact ppm — the publish gate a lakehouse runs " +
         "before promoting; ONE full-outer key join + ONE aggregation " +
         "computes every column's count simultaneously (the q221 one-pass " +
-        "shape)")
+        "shape)"),
+
+    // ----------------------------- series: autocorrelation function
+    "q227_acf" -> Q(
+      (s, dir) =>
+        EventAnalytics.acf(
+            Tables.events(s, dir), "ts", "value", "event_type", maxLag = 7)
+          .orderBy(col("grp"), col("lag")),
+      Some {
+        val arms = (1 to 7).map(l =>
+          s"SELECT grp, $l AS lag, dm AS x, l$l AS y FROM lg WHERE l$l IS NOT NULL")
+          .mkString("\nUNION ALL\n")
+        s"""WITH daily AS (SELECT event_type AS grp,
+           |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+           |  FROM events GROUP BY 1, 2),
+           |lg AS (SELECT grp, day, dm,
+           |    ${(1 to 7).map(l => s"lag(dm, $l) OVER w AS l$l").mkString(", ")}
+           |  FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+           |p AS ($arms),
+           |m AS (SELECT grp, lag, count(*) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy
+           |  FROM p GROUP BY 1, 2)
+           |SELECT grp, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           |  CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+           |    THEN -1000000
+           |    ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+           |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           |        * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+           |    END AS BIGINT) AS acf_micro
+           |FROM m ORDER BY grp, lag""".stripMargin
+      },
+      "autocorrelation of each type's daily mean series at lags 1-7 " +
+        "(exact Pearson over the lagged pair sets, q135 moment convention, " +
+        "one f64 divide+sqrt rounded to micro at the end) — the seasonal- " +
+        "period picker for Holt-Winters and the residual-whiteness check " +
+        "for q224; one group-partitioned window pass carries all lags, " +
+        "stack-unpivoted into one aggregation")
   )
 }

@@ -535,4 +535,32 @@ class EventAnalyticsSpec extends SparkSpec {
           ((7000000L, 0L, 0L)))
       }
   }
+
+  test("acf: a period-2 series reads exactly -1 at lag 1 and +1 at lag 2, " +
+      "short series emit only realizable lags, zero variance reads the " +
+      "sentinel, guards fire") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val alt = (0 until 8).map(i => ("g", ts(1 + i), if (i % 2 == 0) 1.0 else 3.0))
+    val short = Seq(("h", ts(1), 5.0), ("h", ts(2), 5.0))
+    val got = EventAnalytics.acf(
+        (alt ++ short).toDF("event_type", "ts", "value"),
+        "ts", "value", "event_type", maxLag = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // y = 4 - x at odd lags (corr exactly -1), y = x at even lags (+1)
+    (1 to 7).foreach { l =>
+      val want = if (l % 2 == 1) -1000000L else 1000000L
+      assert(got(("g", l)) === (((8 - l).toLong, want)), s"lag $l")
+    }
+    // h has ONE lag-1 pair (zero variance -> sentinel, the q135
+    // convention: -1e6 doubles as both sentinel and perfect anti-corr)
+    // and no realizable higher lags
+    assert(got(("h", 1)) === ((1L, -1000000L)))
+    assert(!got.contains(("h", 2)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.acf(alt.toDF("event_type", "ts", "value"),
+        "ts", "value", "event_type", maxLag = 0)
+    }
+  }
 }
