@@ -917,4 +917,59 @@ object Similarity {
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * mu2) DIV (svv DIV n) AS BIGINT)"))
           .as("anisotropy_ppm"))
   }
+
+  /** CENTROID DRIFT between two embedding snapshots — the retrain /
+    * re-ingest monitor next to [[embeddingIsotropy]]'s single-snapshot
+    * health gate: per label, how far did the class centroid MOVE
+    * (cosine between old and new centroids, L2 shift) and how did its
+    * magnitude change. A cosine dropping below ~0.99 or a shift
+    * comparable to the centroid norm says downstream ANN indexes,
+    * nearest-centroid routers, and cached neighbors are stale.
+    *
+    * Exactness: vectors quantize to micro Longs, per-label centroids are
+    * exact floorDiv per dimension (the q110/q162 convention), and the
+    * resulting integer-valued f64 arrays feed one dot/sqrt/divide
+    * rounded to 6 decimals (cosine, the q35 convention) — the squared
+    * sums stay below 2⁵³ so both engines see EXACT integers before the
+    * one sqrt. Labels present in only one snapshot emit no row (the
+    * count columns on the q213 class-balance report catch those);
+    * zero-norm centroids read the −2 cosine sentinel.
+    *
+    * Scale shape: per snapshot ONE posexplode → (label, dim) aggregation
+    * with map-side combine, then a label-keyed collect_list bounded by
+    * the DIMENSION (never rows); the join is |labels|-sized. Nothing
+    * collects to the driver.
+    */
+  def centroidDrift(
+      a: DataFrame, b: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    def centroids(df: DataFrame) =
+      df.select(col(labelCol).cast("int").as("label"),
+          transform(V.asDouble(col(vecCol)),
+            x => round(x * 1e6).cast("bigint")).as("vq"))
+        .select(col("label"), posexplode(col("vq")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("cd",
+          expr("CAST((s - ((s % cnt + cnt) % cnt)) DIV cnt AS DOUBLE)"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+          p => p.getField("cd")).as("c"), max(col("cnt")).as("n"))
+    val ca = centroids(a)
+      .select(col("label"), col("c").as("ca"), col("n").as("n_a"))
+    val cb = centroids(b)
+      .select(col("label"), col("c").as("cb"), col("n").as("n_b"))
+    ca.join(cb, Seq("label"))
+      .withColumn("na", V.norm(col("ca")))
+      .withColumn("nb", V.norm(col("cb")))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("na") === 0.0 || col("nb") === 0.0, lit(-2.0))
+          .otherwise(round(V.dot(col("ca"), col("cb")) /
+            (col("na") * col("nb")), 6))
+          .as("cos_centroid"),
+        round(V.norm(zip_with(col("ca"), col("cb"), (x, y) => x - y)))
+          .cast("bigint").as("shift_micro"),
+        round(col("na")).cast("bigint").as("norm_a_micro"),
+        round(col("nb")).cast("bigint").as("norm_b_micro"))
+  }
 }

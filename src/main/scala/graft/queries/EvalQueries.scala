@@ -1209,6 +1209,53 @@ object EvalQueries {
       "cumulative gains / lift chart per event type (10 exact-rational " +
         "deciles over the pinned (score desc, id) order, integer gain and " +
         "lift) — 'keep the top 20% by quality score' reads its known-good " +
-        "coverage straight off this table; one rank window + bounded buckets")
+        "coverage straight off this table; one rank window + bounded buckets"),
+
+    // -------------------------- embeddings: centroid drift monitor
+    "q228_centroid_drift" -> Q(
+      (s, dir) => {
+        // vec_id parity plays the two snapshots (old = even, new = odd)
+        val e = Tables.table(s, dir, "embeddings")
+        graft.operators.Similarity.centroidDrift(
+            e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+            "embedding", "label")
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |sa AS (SELECT label, dd.d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM e CROSS JOIN generate_series(1, 64) AS dd(d)
+             |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+             |caa AS (SELECT label,
+             |    list(CAST((s - ((s % cnt + cnt) % cnt)) // cnt AS DOUBLE) ORDER BY d) AS c,
+             |    max(cnt) AS n FROM sa GROUP BY 1),
+             |sb AS (SELECT label, dd.d, sum(vq[dd.d]) AS s, count(*) AS cnt
+             |  FROM e CROSS JOIN generate_series(1, 64) AS dd(d)
+             |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+             |cbb AS (SELECT label,
+             |    list(CAST((s - ((s % cnt + cnt) % cnt)) // cnt AS DOUBLE) ORDER BY d) AS c,
+             |    max(cnt) AS n FROM sb GROUP BY 1),
+             |j AS (SELECT caa.label, caa.n AS n_a, cbb.n AS n_b,
+             |    caa.c AS ca, cbb.c AS cb,
+             |    sqrt(list_dot_product(caa.c, caa.c)) AS na,
+             |    sqrt(list_dot_product(cbb.c, cbb.c)) AS nb
+             |  FROM caa JOIN cbb USING (label))
+             |SELECT CAST(label AS INT) AS label, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b,
+             |  CASE WHEN na = 0 OR nb = 0 THEN -2.0
+             |    ELSE round(list_dot_product(ca, cb) / (na * nb), 6)
+             |    END AS cos_centroid,
+             |  CAST(round(sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    d -> (ca[d] - cb[d]) * (ca[d] - cb[d]))))) AS BIGINT) AS shift_micro,
+             |  CAST(round(na) AS BIGINT) AS norm_a_micro,
+             |  CAST(round(nb) AS BIGINT) AS norm_b_micro
+             |FROM j ORDER BY label""".stripMargin),
+      "per-label centroid drift between embedding snapshots (vec_id parity " +
+        "plays old vs new): cosine between exact floorDiv micro centroids, " +
+        "L2 shift, and both norms — the retrain monitor that says when ANN " +
+        "indexes and centroid routers are stale; per snapshot one " +
+        "(label, dim) aggregation then a dim-bounded per-label assembly, " +
+        "nothing driver-side")
   )
 }

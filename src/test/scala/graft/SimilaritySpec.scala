@@ -448,4 +448,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrTopK(df, df, "embedding", "vec_id", lambdaMilli = 1001)
     }
   }
+
+  test("centroidDrift: orthogonal centroids read cosine 0 with the exact " +
+      "L2 shift, floorDiv centroids on negative sums, zero-norm sentinel, " +
+      "one-sided labels emit no row") {
+    import spark.implicits._
+    def df(rows: Seq[(Int, Seq[Float])]) =
+      rows.toDF("label", "embedding")
+    // label 1: A centroid (2e6, 0) from (1,0)/(3,0); B centroid (0, 2e6)
+    // label 3: all-zero vectors both sides -> -2 sentinel
+    // label 4: A sums (-1000001, 0) over 2 -> floorDiv -500001
+    // label 9: only in A -> no row
+    val a = df(Seq(
+      (1, Seq(1f, 0f)), (1, Seq(3f, 0f)),
+      (3, Seq(0f, 0f)),
+      (4, Seq(-1f, 0f)), (4, Seq(-0.000001f, 0f)),
+      (9, Seq(1f, 1f))))
+    val b = df(Seq(
+      (1, Seq(0f, 2f)),
+      (3, Seq(0f, 0f)), (3, Seq(0f, 0f)),
+      (4, Seq(1f, 0f))))
+    val got = Similarity.centroidDrift(a, b, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === Set(1, 3, 4))
+    val shift1 = math.round(math.sqrt(2.0) * 2e6)
+    assert(got(1) === ((2L, 1L, 0.0, shift1, 2000000L, 2000000L)))
+    assert(got(3) === ((1L, 2L, -2.0, 0L, 0L, 0L)))
+    // A centroid (-500001, 0) vs B (1000000, 0): anti-parallel
+    val (na4, nb4) = (500001.0, 1000000.0)
+    assert(got(4)._3 === BigDecimal(-500001.0 * 1000000 / (na4 * nb4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(4)._4 === 1500001L && got(4)._5 === 500001L)
+  }
 }
