@@ -458,36 +458,79 @@ object DataPrep {
     * frame (broadcast), then a 9-row reduction for TV. Nothing sorts,
     * nothing is corpus-wide after the count.
     */
+  /** Shared quantize-and-extract: the leading decimal digit of
+    * `round(value·10⁶)` as an INT (null for non-positive values) — the
+    * one expression the batch audit and the streaming windowed monitor
+    * both apply, so their digit grids cannot drift.
+    */
+  def leadingDigit(value: Column): Column = {
+    val xm = round(value * lit(1e6)).cast("bigint")
+    when(xm > 0L, substring(xm.cast("string"), 1, 1).cast("int"))
+  }
+
+  /** THE Benford reduction, factored over a `scope` (the windowed-monitor
+    * convention of StreamingKs/StreamingDrift): given per-(scope, digit)
+    * counts, emit per scope the 9 digit rows with observed vs expected
+    * ppm and the total-variation summary. `scopeFrame` overrides the
+    * reported scopes (the batch audit passes a 1-row literal so an empty
+    * input still reads its 9 sentinel rows; the streaming reduction
+    * derives scopes from the closed windows themselves).
+    */
+  def benfordOfCounts(
+      digitCounts: DataFrame, scope: Seq[String],
+      scopeFrame: Option[DataFrame] = None): DataFrame = {
+    require(scope.nonEmpty,
+      "benfordOfCounts: non-empty scope (wrap a literal for a global audit)")
+    val spark = digitCounts.sparkSession
+    import spark.implicits._
+    val digits =
+      (1 to 9).map(d => (d, benfordPpm(d))).toDF("digit", "benford_ppm")
+    val sc = scope.map(col)
+    val wins = scopeFrame.getOrElse(digitCounts.select(sc: _*).distinct())
+    val tot = digitCounts.groupBy(sc: _*).agg(sum(col("c")).as("__n"))
+    // alias-rename the grid side before joining frames derived from the
+    // same digitCounts plan — the StreamingKs fresh-attribute-ids lesson
+    // (a Deduplicate-into-self-join otherwise trips conflicting refs on
+    // streaming memory tables)
+    val grid = wins.crossJoin(broadcast(digits))
+      .select(scope.map(s => col(s).as(s"__g_$s")) ++
+        Seq(col("digit").as("__g_digit"), col("benford_ppm")): _*)
+    val perDigit = grid
+      .join(digitCounts,
+        scope.map(s => col(s"__g_$s") === col(s)).reduce(_ && _) &&
+          col("__g_digit") === col("digit"),
+        "left")
+      .select(scope.map(s => col(s"__g_$s").as(s)) ++
+        Seq(col("__g_digit").as("digit"),
+          coalesce(col("c"), lit(0L)).as("cnt"), col("benford_ppm")): _*)
+      .join(broadcast(tot), scope, "left")
+      .withColumn("n_used", coalesce(col("__n"), lit(0L)))
+      .select(sc ++ Seq(col("digit"), col("cnt"), col("n_used"),
+        when(col("n_used") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt)
+              | DIV n_used AS BIGINT)""".stripMargin))
+          .as("observed_ppm"),
+        col("benford_ppm")): _*)
+    val tv = perDigit.groupBy(sc: _*)
+      .agg(when(max(col("n_used")) === 0L, lit(-1L))
+        .otherwise(expr(
+          "CAST(sum(abs(observed_ppm - benford_ppm)) DIV 2 AS BIGINT)"))
+        .as("tv_ppm"))
+    perDigit.join(broadcast(tv), scope)
+      .select(sc ++ Seq(col("digit"), col("cnt"), col("n_used"),
+        col("observed_ppm"), col("benford_ppm"), col("tv_ppm")): _*)
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
-      .select(expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
-      .filter(col("xm") > 0L)
-      .withColumn("digit",
-        substring(col("xm").cast("string"), 1, 1).cast("int"))
+      .select(leadingDigit(expr(valueCol)).as("digit"))
+      .filter(col("digit").isNotNull)
       .groupBy(col("digit")).agg(count(lit(1)).as("c"))
-    val digits = broadcast(
-      (1 to 9).map(d => (d, benfordPpm(d))).toDF("digit", "benford_ppm"))
-    val tot = broadcast(counts.agg(
-      coalesce(sum(col("c")), lit(0L)).as("n_used")))
-    val perDigit = digits.join(counts, Seq("digit"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("digit"), coalesce(col("c"), lit(0L)).as("cnt"),
-        col("n_used"),
-        when(col("n_used") === 0L, lit(-1L))
-          .otherwise(expr(
-            """CAST((CAST(1000000 AS DECIMAL(38,0)) * coalesce(c, 0))
-              | DIV n_used AS BIGINT)""".stripMargin))
-          .as("observed_ppm"),
-        col("benford_ppm"))
-    val tv = broadcast(perDigit.agg(
-      when(max(col("n_used")) === 0L, lit(-1L))
-        .otherwise(expr(
-          "CAST(sum(abs(observed_ppm - benford_ppm)) DIV 2 AS BIGINT)"))
-        .as("tv_ppm")))
-    perDigit.crossJoin(broadcast(tv))
-      .select(col("digit"), col("cnt"), col("n_used"),
-        col("observed_ppm"), col("benford_ppm"), col("tv_ppm"))
+      .withColumn("__s", lit(1))
+    benfordOfCounts(counts, Seq("__s"), Some(Seq(1).toDF("__s")))
+      .drop("__s")
   }
 }

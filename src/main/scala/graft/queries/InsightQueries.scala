@@ -1114,6 +1114,47 @@ object InsightQueries {
         "one f64 divide+sqrt rounded to micro at the end) — the seasonal- " +
         "period picker for Holt-Winters and the residual-whiteness check " +
         "for q224; one group-partitioned window pass carries all lags, " +
-        "stack-unpivoted into one aggregation")
+        "stack-unpivoted into one aggregation"),
+
+    // ------------------- quality: windowed Benford monitor (batch twin)
+    "q229_windowed_benford" -> Q(
+      (s, dir) =>
+        graft.streaming.StreamingBenford.batchWindowBenford(
+            Tables.events(s, dir), "value", "ts", "1 day")
+          .orderBy(col("win_start_us"), col("digit")),
+      Some {
+        val ben = (1 to 9).map(d =>
+          (d, graft.operators.DataPrep.benfordPpm(d)))
+        s"""WITH v AS (SELECT epoch_us(date_trunc('day', ts)) AS w,
+           |    CAST(round(value * 1e6) AS BIGINT) AS xm FROM events),
+           |p AS (SELECT w, CAST(substring(CAST(xm AS VARCHAR), 1, 1) AS INT) AS digit,
+           |    count(*) AS c
+           |  FROM v WHERE xm > 0 GROUP BY 1, 2),
+           |d(digit, bp) AS (VALUES
+           |  ${ben.map { case (dd, e) => s"($dd, ${e}::BIGINT)" }.mkString(", ")}),
+           |wins AS (SELECT DISTINCT w FROM p),
+           |grid AS (SELECT w, digit, bp FROM wins CROSS JOIN d),
+           |tot AS (SELECT w, sum(c) AS n_used FROM p GROUP BY 1),
+           |pd AS (SELECT g.w, g.digit, COALESCE(p.c, 0) AS cnt, t.n_used,
+           |    CASE WHEN t.n_used = 0 THEN -1
+           |      ELSE (1000000::HUGEINT * COALESCE(p.c, 0)) // t.n_used
+           |      END AS observed_ppm,
+           |    g.bp AS benford_ppm
+           |  FROM grid g LEFT JOIN p ON p.w = g.w AND p.digit = g.digit
+           |  JOIN tot t ON t.w = g.w),
+           |tv AS (SELECT w, sum(abs(observed_ppm - benford_ppm)) // 2 AS tv_ppm
+           |  FROM pd GROUP BY 1)
+           |SELECT pd.w AS win_start_us, pd.digit, CAST(cnt AS BIGINT) AS cnt,
+           |  CAST(n_used AS BIGINT) AS n_used,
+           |  CAST(observed_ppm AS BIGINT) AS observed_ppm,
+           |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+           |  CAST(tv.tv_ppm AS BIGINT) AS tv_ppm
+           |FROM pd JOIN tv ON tv.w = pd.w ORDER BY 1, 2""".stripMargin
+      },
+      "per-day windowed Benford monitor over event values — q223's audit " +
+        "as a live drift signal (a TV spike says the magnitude mix moved: " +
+        "capping, unit mangling, synthetic feeds); batch twin of " +
+        "StreamingBenford sharing leadingDigit and the benfordOfCounts " +
+        "reduction VERBATIM, at most 9 digit rows of state per open window")
   )
 }
