@@ -373,5 +373,25 @@ object syntax {
     def stratifiedAte(armCol: String, stratumCol: String,
         valueCol: String): DataFrame =
       graft.operators.FeatureEng.stratifiedAte(df, armCol, stratumCol, valueCol)
+
+    /** Laplace-noised eps-DP per-group counts (deterministic salt draw). */
+    def dpNoisyCounts(groupCol: String, epsilonMicro: Long,
+        salt: String): DataFrame =
+      graft.operators.Privacy.dpNoisyCounts(df, groupCol, epsilonMicro, salt)
+
+    /** Keyed snapshot diff of this frame (old) against `other` (new). */
+    def snapshotDiff(other: DataFrame, keyCol: String,
+        compareCols: Seq[String]): DataFrame =
+      graft.operators.ChangeCapture.snapshotDiff(df, other, keyCol, compareCols)
+
+    /** Autocorrelation of each group's daily series at lags 1..maxLag. */
+    def acf(tsCol: String, valueCol: String, groupCol: String,
+        maxLag: Int = 7): DataFrame =
+      graft.operators.EventAnalytics.acf(df, tsCol, valueCol, groupCol, maxLag)
+
+    /** Per-label centroid drift of this snapshot (old) vs `other` (new). */
+    def centroidDrift(other: DataFrame, vecCol: String,
+        labelCol: String): DataFrame =
+      graft.operators.Similarity.centroidDrift(df, other, vecCol, labelCol)
   }
 }

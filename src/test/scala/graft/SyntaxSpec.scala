@@ -121,5 +121,12 @@ class SyntaxSpec extends SparkSpec {
       .collect().head
     assert(viaSkew.toSeq === directSkew.toSeq)
     graft.operators.Dedup.releaseCaches()
+
+    val viaAcf = ev.acf("ts", "value", "event_type", maxLag = 3)
+      .orderBy(col("grp"), col("lag")).collect()
+    val directAcf = graft.operators.EventAnalytics
+      .acf(ev, "ts", "value", "event_type", maxLag = 3)
+      .orderBy(col("grp"), col("lag")).collect()
+    assert(viaAcf.map(_.toSeq).toSeq === directAcf.map(_.toSeq).toSeq)
   }
 }
