@@ -614,11 +614,18 @@ object TextPipeline {
     * counts and the scoring join consume it.
     */
   def unigramCrossEntropy(
-      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val dt = Dedup.persistTracked(docs
-      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("t"))
-      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c")))
-    val cnt = dt.groupBy(col("t")).agg(sum(col("c")).as("cf"))
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    unigramCrossEntropyFromCounts(
+      Dedup.persistTracked(docTokenCounts(docs, textCol, idCol)),
+      docs.select(col(idCol).as("doc")))
+
+  /** [[unigramCrossEntropy]] over a prepared [[docTokenCounts]] frame;
+    * `docIds` is the FULL corpus id list (column `doc`) so tokenless
+    * documents still emit their sentinel rows.
+    */
+  def unigramCrossEntropyFromCounts(
+      dt: DataFrame, docIds: DataFrame): DataFrame = {
+    val cnt = dt.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
     val tot = cnt.agg(sum(col("cf")).as("n"), count(lit(1)).as("v"))
     val sc = cnt.crossJoin(broadcast(tot))
       .select(col("t"),
@@ -626,14 +633,14 @@ object TextPipeline {
           (col("cf") + lit(1L)).cast("double"))).cast("bigint").as("s"))
     val perDoc = dt.join(sc, Seq("t"))
       .groupBy(col("doc"))
-      .agg(sum(col("c")).as("n_tokens"),
-        // decimal factors: c·s on raw longs can ANSI-overflow for long
+      .agg(sum(col("tf")).as("n_tokens"),
+        // decimal factors: tf·s on raw longs can ANSI-overflow for long
         // docs of rare tokens (s grows with ln N)
-        sum(col("c").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        sum(col("tf").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
           .as("se"))
       .select(col("doc"), col("n_tokens"),
         expr("CAST(se DIV n_tokens AS BIGINT)").as("ce_micro_nats"))
-    docs.select(col(idCol).as("doc")).join(perDoc, Seq("doc"), "left")
+    docIds.join(perDoc, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("ce_micro_nats"), lit(-1L)).as("ce_micro_nats"))
   }
@@ -720,19 +727,47 @@ object TextPipeline {
     * are aggregate-bounded broadcasts; the final top-k window partitions
     * by query (bounded per query, never global).
     */
+  /** Shared first pass of the retrieval/scoring family: per-(doc, token)
+    * occurrence counts. Compute ONCE (persist) when feeding several
+    * consumers — [[bm25TopKFromCounts]] and
+    * [[unigramCrossEntropyFromCounts]] both take this frame, so a hybrid
+    * pipeline (q215) tokenizes the corpus exactly once (the
+    * EventAnalytics.dailyStats materialize-once convention).
+    */
+  def docTokenCounts(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("tf"))
+
+  /** [[docTokenCounts]] persisted and registered with
+    * [[Dedup.releaseCaches]] — the form multi-consumer pipelines hold.
+    */
+  def docTokenCountsPersisted(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.persistTracked(docTokenCounts(docs, textCol, idCol))
+
   def bm25TopK(
       docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, k: Int = 10,
+      k1Milli: Int = 1200, bMilli: Int = 750): DataFrame =
+    bm25TopKFromCounts(
+      Dedup.persistTracked(docTokenCounts(docs, textCol, idCol)),
+      docs.agg(count(lit(1)).as("n")), queries, k, k1Milli, bMilli)
+
+  /** [[bm25TopK]] over a prepared [[docTokenCounts]] frame; `nDocs` is a
+    * 1-row frame with column `n` = the FULL corpus document count
+    * (including tokenless docs — idf's N).
+    */
+  def bm25TopKFromCounts(
+      dt: DataFrame, nDocs: DataFrame, queries: DataFrame, k: Int = 10,
       k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
     require(k >= 1, "bm25TopK: k >= 1")
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       "bm25TopK: k1Milli >= 0 and bMilli in [0, 1000] (millis of k1, b)")
-    val dt = Dedup.persistTracked(docs
-      .select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("t"))
-      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("tf")))
     val dl = dt.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val dfq = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val tot = docs.agg(count(lit(1)).as("n"))
+    val tot = nDocs
       .crossJoin(broadcast(dt.agg(coalesce(sum(col("tf")), lit(0L)).as("l"))))
     val idf = dfq.crossJoin(broadcast(tot))
       .select(col("t"),

@@ -1664,8 +1664,13 @@ object ExtensionQueries {
           (2L, "vector"), (2L, "scan"), (2L, "slow"),
           (3L, "customer"), (3L, "order"))
           .toDF("query_id", "term")
-        val lex = TextPipeline.bm25TopK(docs, "text", "doc_id", qs, k = 20)
-        val ce = TextPipeline.unigramCrossEntropy(docs, "text", "doc_id")
+        // BOTH rankers ride one persisted (doc, token) count frame — the
+        // corpus tokenizes exactly once (docTokenCounts materialize-once)
+        val dt = TextPipeline.docTokenCountsPersisted(docs, "text", "doc_id")
+        val lex = TextPipeline.bm25TopKFromCounts(
+          dt, docs.agg(count(lit(1)).as("n")), qs, k = 20)
+        val ce = TextPipeline.unigramCrossEntropyFromCounts(
+          dt, docs.select(col("doc_id").as("doc")))
         val qual = lex.select(col("query_id"), col("doc"))
           .join(ce, Seq("doc"))
           .withColumn("rank", row_number().over(
