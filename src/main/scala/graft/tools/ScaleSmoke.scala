@@ -86,7 +86,13 @@ object ScaleSmoke {
       // histogram scales its frequencies 10x while every shape statistic
       // (max/mean/p50/p99/gini/skew-ratio) is BIT-IDENTICAL to base;
       // only n_rows/n_keys read 10x, rows stay 1
-      "q219_key_skew")
+      "q219_key_skew",
+      // q226 snapshot diff on scaled ORDERS: the offset (1e9 per replica)
+      // rotates each replica's residues mod 13/7/11/17, so the mutation
+      // sets differ per replica but keep ~1/13-style hit RATES — counts
+      // land near-10x (not exact, the q131 approximation precedent);
+      // rows stay 2, the full-outer join carries the 10x
+      "q226_snapshot_diff")
   // events replicas offset user_id (and event_id, the deterministic
   // tiebreaker) while keeping timestamps, types, and values bit-identical:
   // each replica user's event sequence IS some original user's, so
@@ -117,7 +123,13 @@ object ScaleSmoke {
       // match base; q216's unnormalized cusum_micro and n_events scale
       // 10x by construction. Rows stay |types|; the calendar bounds the
       // fold, the pre-aggregation carries the 10x.
-      "q216_cusum_changepoint", "q220_online_cusum")
+      "q216_cusum_changepoint", "q220_online_cusum",
+      // q224/q227 ride the same bit-identical daily means (10s DIV 10c =
+      // s DIV c): trend/seasonal/residual and every ACF value replicate
+      // exactly, rows stay 150/35. q229's per-window ppms are identical
+      // by the same argument ((1e6*10c) DIV (10n) = (1e6*c) DIV n), so
+      // TV replicates while cnt/n_used read 10x; rows stay 270.
+      "q224_stl_decompose", "q227_acf", "q229_windowed_benford")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
@@ -149,7 +161,7 @@ object ScaleSmoke {
       src.select(
         (col("o_orderkey") + lit(r.toLong * 1000000000L)).as("o_orderkey"),
         (col("o_custkey") + lit(r.toLong * 10000000L)).as("o_custkey"),
-        col("o_totalprice"), col("o_orderdate"))
+        col("o_totalprice"), col("o_orderdate"), col("o_orderstatus"))
     }.reduce(_.unionByName(_))
   }
 
@@ -211,8 +223,9 @@ object ScaleSmoke {
     // replica count AND table layout version are part of the directory: a
     // rerun with a different scale or schema must regenerate, not
     // silently reuse a stale corpus (v2 added full-column lineitem,
-    // orders, embeddings; v3 added the embeddings label column)
-    val scaledDir = s"$outDir/v3_x$replicas"
+    // orders, embeddings; v3 added the embeddings label column; v4 added
+    // orders.o_orderstatus for the q226 snapshot diff)
+    val scaledDir = s"$outDir/v4_x$replicas"
     val scaledPath = s"$scaledDir/documents.parquet"
     if (!new java.io.File(scaledPath).exists()) {
       // 32 output files so the scaled scan parallelizes like a real
