@@ -522,6 +522,53 @@ object DataPrep {
         col("observed_ppm"), col("benford_ppm"), col("tv_ppm")): _*)
   }
 
+  /** WEIGHTED DISCRETE QUANTILES per group — "the price below which half
+    * the shipped QUANTITY falls": each row votes with its weight, and the
+    * q-quantile is the smallest value whose cumulative weight reaches
+    * q/10⁴ of the group total (the lower/disc convention, so results are
+    * actual corpus values — q81's exactness argument, weight-generalized;
+    * `q_bps = 5000` with unit weights degenerates to percentile_disc's
+    * median). The threshold test is the integer cross-multiplication
+    * `10⁴·cumw ≥ q·W` — no ceil, no division, decimal-cleared.
+    *
+    * Values and weights quantize to micro; rows with non-positive
+    * weights are dropped (a group with none emits no rows — documented,
+    * not a sentinel, since every output column is a weighted statistic).
+    *
+    * Scale shape: one (group, value) weight aggregation with map-side
+    * combine bounds everything downstream by VALUE RESOLUTION per group;
+    * the cumulative rides a window PARTITIONED by group (per-key
+    * parallel, the Ranks guidance for grouped ranks); the |qs|-row
+    * literal frame broadcast-joins and one min-aggregation picks each
+    * quantile. No global window, no sort of raw rows.
+    */
+  def weightedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
+      qBps: Seq[Int]): DataFrame = {
+    require(qBps.nonEmpty && qBps.distinct.length == qBps.length &&
+      qBps.forall(q => q >= 1 && q <= 10000),
+      "weightedQuantiles: qBps must be distinct values in [1, 10000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vw = df.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"),
+        expr(s"CAST(round($weightCol * 1e6) AS BIGINT)").as("wm"))
+      .filter(col("wm") > 0L)
+      .groupBy(col("grp"), col("vm")).agg(sum(col("wm")).as("w"))
+    val cum = vw
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+    cum.crossJoin(broadcast(qBps.sorted.toDF("q_bps")))
+      .filter(expr(
+        """CAST(cw AS DECIMAL(38,0)) * 10000
+          | >= CAST(q_bps AS DECIMAL(38,0)) * tw""".stripMargin))
+      .groupBy(col("grp"), col("q_bps"))
+      .agg(min(col("vm")).as("wq_value_micro"),
+        max(col("tw")).as("total_weight_micro"))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

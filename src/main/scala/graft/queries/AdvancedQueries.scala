@@ -820,5 +820,37 @@ object AdvancedQueries {
           "multi-magnitude measures; leading digit from the INTEGER micro " +
           "rendering (no float formatting), expectations as shared integer " +
           "literals, one 9-ary count as the only data-scaled pass")
-    })
+    },
+
+    // ------------------------ stats: weighted discrete quantiles
+    "q230_weighted_quantiles" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.weightedQuantiles(
+            t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+            "l_quantity", qBps = Seq(2500, 5000, 7500, 9000))
+          .orderBy(col("grp"), col("q_bps")),
+      Some("""WITH vw AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS vm,
+             |    sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS w
+             |  FROM lineitem
+             |  WHERE CAST(round(l_quantity * 1e6) AS BIGINT) > 0
+             |  GROUP BY 1, 2),
+             |c AS (SELECT grp, vm, w,
+             |    sum(w) OVER (PARTITION BY grp ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    sum(w) OVER (PARTITION BY grp) AS tw
+             |  FROM vw),
+             |q(q_bps) AS (VALUES (2500), (5000), (7500), (9000))
+             |SELECT grp, CAST(q_bps AS INT) AS q_bps,
+             |  CAST(min(vm) AS BIGINT) AS wq_value_micro,
+             |  CAST(max(tw) AS BIGINT) AS total_weight_micro
+             |FROM c CROSS JOIN q
+             |WHERE cw::HUGEINT * 10000 >= q_bps::HUGEINT * tw
+             |GROUP BY grp, q_bps ORDER BY grp, q_bps""".stripMargin),
+      "quantity-weighted price quantiles per return flag (p25/p50/p75/p90 " +
+        "of the SHIPPED-VOLUME distribution, lower/disc convention so " +
+        "results are actual corpus values; threshold by integer " +
+        "cross-multiplication, no ceil, no division) — q81's " +
+        "percentile_disc weight-generalized; (group, value) weight " +
+        "aggregation then group-partitioned cumulative, no global window"))
 }

@@ -264,4 +264,38 @@ class DataPrepSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
     assert(empty.length === 9 && empty.forall(_ === ((0L, -1L, -1L))))
   }
+
+  test("weightedQuantiles: weights move the median, unit weights reduce to " +
+      "percentile_disc, non-positive weights dropped, guards fire") {
+    import spark.implicits._
+    // values 1..4; weight 7 on value 4 dominates: W=10, p50 threshold
+    // 10000*cw >= 5000*10 -> cw >= 5 -> first value with cum weight >= 5
+    // is 4 (cum: 1,2,3,10)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0),
+        (9.0, 0.0), (8.0, -2.0)) // zero/negative weights: dropped
+      .toDF("v", "w").withColumn("g", lit("G"))
+    val got = DataPrep.weightedQuantiles(df, "g", "v", "w",
+        qBps = Seq(2500, 5000, 10000))
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      2500 -> ((3000000L, 10000000L)),  // cw >= 2.5 -> value 3
+      5000 -> ((4000000L, 10000000L)),
+      10000 -> ((4000000L, 10000000L))))
+    // unit weights == discrete percentiles: median of {10,20,30,40} lower
+    // convention = 20
+    val unit = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+      .withColumn("g", lit("G")).withColumn("w", lit(1.0))
+    val med = DataPrep.weightedQuantiles(unit, "g", "v", "w", Seq(5000))
+      .collect().head.getLong(2)
+    assert(med === 20000000L)
+    intercept[IllegalArgumentException] {
+      DataPrep.weightedQuantiles(df, "g", "v", "w", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.weightedQuantiles(df, "g", "v", "w", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.weightedQuantiles(df, "g", "v", "w", Seq(5000, 5000))
+    }
+  }
 }
