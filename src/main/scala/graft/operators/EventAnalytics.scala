@@ -944,4 +944,89 @@ object EventAnalytics {
         col("seasonal").as("seasonal_micro"),
         (col("dm") - col("trend") - col("seasonal")).as("residual_micro"))
   }
+
+  /** MANN-KENDALL trend test + THEIL-SEN slope of each group's daily
+    * series — the nonparametric "is this metric drifting?" monitor that
+    * complements [[cusumChangepoint]] (abrupt shift) with monotone-trend
+    * detection, robust to outliers and to any monotone transform of the
+    * values. Per group:
+    *
+    *   - `s_stat`  = Σ_{i<j} sign(x_j − x_i) over all day pairs (exact),
+    *   - `var_num` = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tied-value
+    *     blocks (18·Var(S), exact integer),
+    *   - `z_micro` = round(10⁶·(S∓1)/sqrt(var_num/18)) with the standard
+    *     continuity correction toward zero (ONE f64 divide+sqrt at the
+    *     very end, the q227 acf convention); −2·10⁶ sentinel when
+    *     `var_num = 0` (constant series or n < 2),
+    *   - `sen_slope_nano` = median pairwise slope in NANO-units/day —
+    *     each pair's `(1000·(x_j − x_i)) DIV Δdays` truncates toward
+    *     zero identically in both engines; the median is the lower
+    *     median (rank `(n_pairs+1) DIV 2`), deterministic under ties
+    *     because equal slopes are interchangeable,
+    *   - `trend` = 'inc' / 'dec' when |z| ≥ 1.959964 (5% two-sided),
+    *     'none' otherwise, 'flat' for a constant multi-day series,
+    *     'insufficient' for single-day groups.
+    *
+    * Exactness: sign counts, tie blocks, and pair slopes are exact
+    * integers; only the final z divide+sqrt touches f64 (identical
+    * operands ⇒ identical correctly-rounded result in both engines).
+    *
+    * Scale shape: the event stream collapses to (group, day) in the ONE
+    * data-scaled aggregation ([[dailyStats]], map-side combined); the
+    * pair self-join, tie counts, and the slope-median window are all
+    * calendar-bounded (n days per group ⇒ ≤ n²/2 pairs, n ≤ corpus span
+    * in days) and partitioned by group — nothing global, nothing
+    * driver-side.
+    */
+  def mannKendall(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    mannKendallFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[mannKendall]] over a prepared [[dailyStats]] frame. */
+  def mannKendallFromDaily(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("grp"), col("day"), col("dm"))
+    val pairs = d.alias("a")
+      .join(d.alias("b"), expr("a.grp = b.grp AND a.day < b.day"))
+      .select(col("a.grp").as("grp"),
+        (col("b.dm") - col("a.dm")).as("diff"),
+        datediff(to_date(col("b.day")), to_date(col("a.day"))).as("dt"))
+      .withColumn("sgn", signum(col("diff")).cast("bigint"))
+      .withColumn("slope_nano", expr("(1000 * diff) DIV dt"))
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("slope_nano"))
+    val wGrp = Window.partitionBy(col("grp"))
+    val sen = pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("np", count(lit(1)).over(wGrp))
+      .filter(expr("rn = (np + 1) DIV 2"))
+      .select(col("grp"), col("slope_nano").as("sen_slope_nano"),
+        col("np").as("n_pairs"))
+    val sStat = pairs.groupBy(col("grp"))
+      .agg(sum(col("sgn")).as("s_stat"))
+    val nDays = d.groupBy(col("grp")).agg(count(lit(1)).as("n_days"))
+    val ties = d.groupBy(col("grp"), col("dm")).agg(count(lit(1)).as("t"))
+      .groupBy(col("grp"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    nDays
+      .join(ties, Seq("grp"))
+      .join(sStat, Seq("grp"), "left")
+      .join(sen, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var_num"),
+        coalesce(col("sen_slope_nano"), lit(0L)).as("sen_slope_nano"))
+      .withColumn("z_micro",
+        when(col("var_num") <= 0, lit(-2000000L))
+          .otherwise(expr(
+            """CAST(round(1e6 * (s_stat - CAST(sign(s_stat) AS BIGINT))
+              |  / sqrt(var_num / 18.0)) AS BIGINT)""".stripMargin)))
+      .withColumn("trend",
+        when(col("n_days") < 2, lit("insufficient"))
+          .when(col("var_num") <= 0, lit("flat"))
+          .when(col("z_micro") >= 1959964L, lit("inc"))
+          .when(col("z_micro") <= -1959964L, lit("dec"))
+          .otherwise(lit("none")))
+  }
 }

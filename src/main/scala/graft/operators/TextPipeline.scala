@@ -830,4 +830,68 @@ object TextPipeline {
       .select(col("query_id"), col("rank"), col("doc"),
         col("n_rankers"), col("rrf_micro"))
   }
+
+  /** GOOD-TURING frequency-of-frequencies audit of the corpus vocabulary
+    * — the "how much probability mass belongs to tokens we have NOT seen
+    * yet" estimate that sizes vocabulary/coverage risk before freezing a
+    * tokenizer or an n-gram LM (the q73 Heaps-fit's probabilistic
+    * sibling). One row per count class r = 0..`maxR`:
+    *
+    *   - `n_r`: number of distinct tokens occurring exactly r times
+    *     (r = 0 reads 0 — N₀ is unobservable),
+    *   - `mass_ppm`: share of the NEXT sample this class claims — the
+    *     Good-Turing estimate. For r = 0 that is N₁/N (the unseen/novel
+    *     mass, Gale–Sampson's P₀); for r ≥ 1 the raw maximum-likelihood
+    *     share r·N_r/N, exact `(10⁶·…) DIV N`,
+    *   - `r_star_micro`: the Good-Turing adjusted count
+    *     r* = (r+1)·N_{r+1}/N_r in micro (10⁶·(r+1)·N_{r+1} DIV N_r);
+    *     −1 when undefined (r = 0, or no token has count r). A vanished
+    *     N_{r+1} legitimately reads r* = 0 — the classic raw-GT quirk
+    *     smoothing variants exist to fix; this operator reports the raw
+    *     estimator,
+    *   - `n_total`, `vocab`: corpus occurrence and distinct-token totals
+    *     (repeated per row; −1 mass sentinel on an empty corpus).
+    *
+    * Scale shape: ONE data-scaled pass (token counts, map-side combined)
+    * collapses to the count-of-counts histogram — every later pass is
+    * count-VALUE-resolution-bounded (≤ √(2L) distinct counts, the q219
+    * pattern); the r-frame is a `maxR`-row literal and the totals ride a
+    * 1-row broadcast. Products route through decimal(38,0): at 10⁹
+    * vocab, 10⁶·(r+1)·N_{r+1} brushes the long ceiling.
+    */
+  def goodTuring(docs: DataFrame, textCol: String, maxR: Int = 10)
+      : DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, "goodTuring: maxR in [1, 1000]")
+    val tc = docs.select(explode(T.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val cc = Dedup.persistTracked(
+      tc.groupBy(col("c")).agg(count(lit(1)).as("nr")))
+    // totals ride the bounded histogram, not a second vocabulary scan
+    val tot = cc.agg(
+      coalesce(sum(col("c") * col("nr")), lit(0L)).as("n_total"),
+      coalesce(sum(col("nr")), lit(0L)).as("vocab"))
+    val rFrame = docs.sparkSession.range(0, maxR + 1L)
+      .select(col("id").as("r"))
+    rFrame
+      .join(cc.select(col("c"), col("nr").as("nr0")),
+        col("r") === col("c"), "left").drop("c")
+      .join(cc.select(col("c"), col("nr").as("nr1")),
+        col("r") + lit(1L) === col("c"), "left").drop("c")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), coalesce(col("nr0"), lit(0L)).as("n_r"),
+        col("n_total"), col("vocab"),
+        coalesce(col("nr1"), lit(0L)).as("nr1"))
+      .withColumn("mass_ppm",
+        when(col("n_total") === 0L, lit(-1L))
+          .when(col("r") === 0L,
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nr1" +
+              " DIV n_total AS BIGINT)"))
+          .otherwise(expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * r * n_r" +
+            " DIV n_total AS BIGINT)")))
+      .withColumn("r_star_micro",
+        when(col("r") === 0L || col("n_r") === 0L, lit(-1L))
+          .otherwise(expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (r + 1)" +
+            " * nr1 DIV n_r AS BIGINT)")))
+      .drop("nr1")
+  }
 }

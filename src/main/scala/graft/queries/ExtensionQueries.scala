@@ -1793,5 +1793,44 @@ object ExtensionQueries {
         "cosine pool (lambda=0.7): greedy picks trade relevance against the " +
         "running max similarity to already-picked items — the de-duplicating " +
         "selection after ANN retrieval; cosines round to 6dp before scoring " +
-        "so ranking is 1-ulp-stable, k-1 bounded rounds, corpus touched once"))
+        "so ranking is 1-ulp-stable, k-1 bounded rounds, corpus touched once"),
+
+    // ------------------- text: Good-Turing frequency-of-frequencies
+    "q232_good_turing" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.goodTuring(
+            Tables.table(s, dir, "documents"), "text", maxR = 10)
+          .orderBy(col("r")),
+      Some("""WITH tok AS (SELECT
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |tc AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+             |cc AS (SELECT c, count(*) AS nr FROM tc GROUP BY 1),
+             |tot AS (SELECT COALESCE(sum(c * nr), 0) AS n_total,
+             |    COALESCE(sum(nr), 0) AS vocab FROM cc),
+             |rs AS (SELECT range AS r FROM range(0, 11))
+             |SELECT rs.r, CAST(COALESCE(c0.nr, 0) AS BIGINT) AS n_r,
+             |  CAST(tot.n_total AS BIGINT) AS n_total,
+             |  CAST(tot.vocab AS BIGINT) AS vocab,
+             |  CAST(CASE WHEN tot.n_total = 0 THEN -1
+             |    WHEN rs.r = 0
+             |      THEN (1000000::HUGEINT * COALESCE(c1.nr, 0)) // tot.n_total
+             |    ELSE (1000000::HUGEINT * rs.r * COALESCE(c0.nr, 0))
+             |      // tot.n_total END AS BIGINT) AS mass_ppm,
+             |  CAST(CASE WHEN rs.r = 0 OR COALESCE(c0.nr, 0) = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * (rs.r + 1) * COALESCE(c1.nr, 0))
+             |      // c0.nr END AS BIGINT) AS r_star_micro
+             |FROM rs CROSS JOIN tot
+             |LEFT JOIN cc c0 ON c0.c = rs.r
+             |LEFT JOIN cc c1 ON c1.c = rs.r + 1
+             |ORDER BY r""".stripMargin),
+      "Good-Turing frequency-of-frequencies audit of the corpus " +
+        "vocabulary: per count class r = 0..10 the token count N_r, the " +
+        "Good-Turing mass estimate (r = 0 row = N_1/N, the unseen-token " +
+        "probability that sizes tokenizer/LM coverage risk before " +
+        "freezing a vocab — Gale-Sampson P0) and the adjusted count " +
+        "r* = (r+1)N_{r+1}/N_r in micro; ONE vocabulary-sized pass " +
+        "collapses to the count-of-counts histogram (q219 pattern), " +
+        "everything after is count-resolution-bounded")
+  )
 }

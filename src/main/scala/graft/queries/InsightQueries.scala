@@ -1155,6 +1155,69 @@ object InsightQueries {
         "as a live drift signal (a TV spike says the magnitude mix moved: " +
         "capping, unit mangling, synthetic feeds); batch twin of " +
         "StreamingBenford sharing leadingDigit and the benfordOfCounts " +
-        "reduction VERBATIM, at most 9 digit rows of state per open window")
+        "reduction VERBATIM, at most 9 digit rows of state per open window"),
+
+    // ------------------------- series: Mann-Kendall trend + Sen slope
+    "q231_mann_kendall" -> Q(
+      (s, dir) =>
+        EventAnalytics.mannKendall(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp")),
+      Some(
+        """WITH daily AS (SELECT event_type AS grp,
+          |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT a.grp, b.dm - a.dm AS diff,
+          |    date_diff('day', strptime(a.day, '%Y-%m-%d'),
+          |      strptime(b.day, '%Y-%m-%d')) AS dt
+          |  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day),
+          |sl AS (SELECT grp, (1000 * diff) // dt AS slope_nano FROM p),
+          |sen AS (SELECT grp, slope_nano AS sen_slope_nano, np AS n_pairs
+          |  FROM (SELECT grp, slope_nano,
+          |      row_number() OVER (PARTITION BY grp ORDER BY slope_nano) AS rn,
+          |      count(*) OVER (PARTITION BY grp) AS np FROM sl)
+          |  WHERE rn = (np + 1) // 2),
+          |st AS (SELECT grp,
+          |    sum(CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END)
+          |      AS s_stat
+          |  FROM p GROUP BY 1),
+          |nn AS (SELECT grp, count(*) AS n_days FROM daily GROUP BY 1),
+          |ti AS (SELECT grp, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+          |  FROM (SELECT grp, count(*) AS t FROM daily GROUP BY grp, dm)
+          |  GROUP BY 1),
+          |base AS (SELECT nn.grp, nn.n_days,
+          |    COALESCE(sen.n_pairs, 0) AS n_pairs,
+          |    COALESCE(st.s_stat, 0) AS s_stat,
+          |    nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ti.tie_term
+          |      AS var_num,
+          |    COALESCE(sen.sen_slope_nano, 0) AS sen_slope_nano
+          |  FROM nn JOIN ti ON ti.grp = nn.grp
+          |  LEFT JOIN st ON st.grp = nn.grp
+          |  LEFT JOIN sen ON sen.grp = nn.grp),
+          |z AS (SELECT *,
+          |    CASE WHEN var_num <= 0 THEN -2000000
+          |      ELSE CAST(round(1e6 * (s_stat - sign(s_stat))
+          |        / sqrt(var_num / 18.0)) AS BIGINT) END AS z_micro
+          |  FROM base)
+          |SELECT grp, CAST(n_days AS BIGINT) AS n_days,
+          |  CAST(n_pairs AS BIGINT) AS n_pairs,
+          |  CAST(s_stat AS BIGINT) AS s_stat,
+          |  CAST(var_num AS BIGINT) AS var_num,
+          |  CAST(sen_slope_nano AS BIGINT) AS sen_slope_nano,
+          |  CAST(z_micro AS BIGINT) AS z_micro,
+          |  CASE WHEN n_days < 2 THEN 'insufficient'
+          |    WHEN var_num <= 0 THEN 'flat'
+          |    WHEN z_micro >= 1959964 THEN 'inc'
+          |    WHEN z_micro <= -1959964 THEN 'dec'
+          |    ELSE 'none' END AS trend
+          |FROM z ORDER BY grp""".stripMargin),
+      "Mann-Kendall monotone-trend test + Theil-Sen slope of each event " +
+        "type's daily mean series — the nonparametric is-this-metric- " +
+        "drifting monitor next to q216's abrupt-shift CUSUM: exact " +
+        "pairwise sign counts with tied-value variance correction, one " +
+        "f64 divide+sqrt for z (q227 convention), lower-median pairwise " +
+        "slope in nano-units/day; everything after the (group, day) " +
+        "collapse is calendar-bounded and group-partitioned")
   )
 }

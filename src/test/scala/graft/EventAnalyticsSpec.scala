@@ -563,4 +563,74 @@ class EventAnalyticsSpec extends SparkSpec {
         "ts", "value", "event_type", maxLag = 0)
     }
   }
+
+  /** Driver-side Mann-Kendall replica from first principles (BigInt pair
+    * arithmetic; BigInt `/` truncates toward zero like Spark `DIV`).
+    * Takes one group's (day, value) series, returns
+    * (n_days, n_pairs, s_stat, var_num, sen_slope_nano, z_micro).
+    */
+  private def mkReplica(series: Seq[(String, Double)])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val pts = series.map { case (d, v) =>
+      (java.time.LocalDate.parse(d).toEpochDay, math.round(v * 1e6)) }
+    val pairs = for {
+      i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+    } yield (pts(j)._2 - pts(i)._2, pts(j)._1 - pts(i)._1)
+    val s = pairs.map { case (d, _) => d.sign }.sum
+    val n = pts.length.toLong
+    val tie = pts.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varNum = n * (n - 1) * (2 * n + 5) - tie
+    val slopes = pairs
+      .map { case (d, dt) => (BigInt(1000) * d / dt).toLong }.sorted
+    val sen = if (slopes.isEmpty) 0L
+      else slopes((slopes.length + 1) / 2 - 1)
+    val z = if (varNum <= 0) -2000000L
+      else math.round(1e6 * (s - s.sign) / math.sqrt(varNum / 18.0))
+    (n, pairs.length.toLong, s, varNum, sen, z)
+  }
+
+  test("mannKendall: monotone series trend at 5%, ties correct the " +
+      "variance, constant reads flat, single day insufficient, gapped " +
+      "series divide by true day spans, replica agreement, determinism") {
+    val inc = (0 until 10).map(i => ("inc", f"2024-03-${1 + i}%02d", 1.0 + i))
+    val dec = (0 until 10).map(i => ("dec", f"2024-03-${1 + i}%02d", 9.0 - i))
+    val tied = Seq(("t", "2024-03-01", 1.0), ("t", "2024-03-02", 1.0),
+      ("t", "2024-03-03", 2.0))
+    val const = (0 until 3).map(i => ("c", f"2024-03-${1 + i}%02d", 4.0))
+    val one = Seq(("s", "2024-03-05", 2.5))
+    // gapped + tied wiggle: negative-slope truncation toward zero crosses
+    // a multi-day span ((1000 * diff) DIV dt with dt > 1, diff < 0)
+    val wig = Seq("2024-03-01" -> 3.2, "2024-03-02" -> 1.5,
+      "2024-03-03" -> 1.5, "2024-03-05" -> 4.0, "2024-03-06" -> 2.2,
+      "2024-03-09" -> 2.2, "2024-03-10" -> 5.5, "2024-03-12" -> 0.7)
+    val rows = (inc ++ dec ++ tied ++ const ++ one ++
+        wig.map { case (d, v) => ("w", d, v) })
+      .toDF("event_type", "d", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    val got = read(
+      EventAnalytics.mannKendall(rows, "ts", "value", "event_type"))
+    // monotone 10-day: S = +/-45, no ties, var_num = 10*9*25, slope
+    // exactly +/-1 unit/day = 1e9 nano/day, z = 44/sqrt(125) ~ 3.94
+    val zInc = math.round(1e6 * 44.0 / math.sqrt(2250.0 / 18.0))
+    assert(got("inc") === ((10L, 45L, 45L, 2250L, 1000000000L, zInc, "inc")))
+    assert(got("dec") === ((10L, 45L, -45L, 2250L, -1000000000L, -zInc, "dec")))
+    // hand tie case [1,1,2]: S=2, tie_term=18, var_num=66-18=48,
+    // slopes {0, 5e8, 1e9} -> lower median 5e8, z = 1/sqrt(48/18)
+    assert(got("t") === ((3L, 3L, 2L, 48L, 500000000L,
+      math.round(1e6 / math.sqrt(48.0 / 18.0)), "none")))
+    assert(got("c") === ((3L, 3L, 0L, 0L, 0L, -2000000L, "flat")))
+    assert(got("s") === ((1L, 0L, 0L, 0L, 0L, -2000000L, "insufficient")))
+    // replica agreement on the gapped/tied wiggle
+    val (n, np, s, vn, sen, z) = mkReplica(wig)
+    val w = got("w")
+    assert((w._1, w._2, w._3, w._4, w._5, w._6) === ((n, np, s, vn, sen, z)))
+    val again = read(EventAnalytics.mannKendall(
+      rows.repartition(7), "ts", "value", "event_type"))
+    assert(again === got)
+  }
 }

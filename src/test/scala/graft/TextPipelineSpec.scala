@@ -543,4 +543,36 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.rrfFuse(rankings, topK = 0)
     }
   }
+
+  test("goodTuring: hand histogram, unseen mass = N1/N, vanished N_{r+1} " +
+      "reads r*=0, empty classes and empty corpus hit sentinels, " +
+      "determinism, guards") {
+    // tokens: a:3 b:2 c:2 d:1 -> N=8 V=4, cc = {1->1, 2->2, 3->1}
+    val docs = Seq("a a a b b c", "c d").toDF("text")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val got = read(TextPipeline.goodTuring(docs, "text", maxR = 4))
+    assert(got === Map(
+      0L -> ((0L, 8L, 4L, 125000L, -1L)),
+      1L -> ((1L, 8L, 4L, 125000L, 4000000L)),
+      2L -> ((2L, 8L, 4L, 500000L, 1500000L)),
+      3L -> ((1L, 8L, 4L, 375000L, 0L)),       // raw-GT vanished N_4
+      4L -> ((0L, 8L, 4L, 0L, -1L))))
+    val again = read(
+      TextPipeline.goodTuring(docs.repartition(5), "text", maxR = 4))
+    assert(again === got)
+    // empty corpus: every mass/adjusted count is a sentinel or zero
+    val empty = read(TextPipeline.goodTuring(
+      Seq("", "   ").toDF("text"), "text", maxR = 2))
+    assert(empty === Map(
+      0L -> ((0L, 0L, 0L, -1L, -1L)),
+      1L -> ((0L, 0L, 0L, -1L, -1L)),
+      2L -> ((0L, 0L, 0L, -1L, -1L))))
+    intercept[IllegalArgumentException] {
+      TextPipeline.goodTuring(docs, "text", maxR = 0)
+    }
+    graft.operators.Dedup.releaseCaches()
+  }
 }
