@@ -918,6 +918,68 @@ object Similarity {
           .as("anisotropy_ppm"))
   }
 
+  /** JOHNSON–LINDENSTRAUSS random-projection DISTORTION audit — before
+    * shipping a cheaper k-dim projection of the embedding corpus (ANN
+    * pre-filter, sketch storage, bandwidth), measure how well ±1
+    * projections preserve pairwise squared distances on a deterministic
+    * probe set (consecutive ids, one pair per adjacent id — corpus-sized,
+    * never all-pairs). For the ±1 family E[‖Pv‖²] = k·‖v‖², so
+    *
+    *   distortion_ppm = (10⁶ · d²_proj) DIV (k · d²_orig)
+    *
+    * reads 10⁶ when the projection preserves the pair's distance exactly
+    * and the spread around 10⁶ quantifies the JL error at this k (−1
+    * sentinel for coincident originals).
+    *
+    * Exactness: vectors quantize to micro Longs; each projection is the
+    * codegen'd [[VectorFunctions.dot]] against a ±1 literal plane
+    * ([[VectorFunctions.md5Planes]] — engine-portable, derived per
+    * MATRIX CELL from md5, never stored), accumulated left-to-right over
+    * exact-integer doubles, so every projection, vv, and cross dot is an
+    * EXACT integer in both engines (|p_j| ≤ dim·max|x|_micro ≪ 2⁵³);
+    * squared differences then sum in BIGINT and only the final ppm
+    * division (decimal-routed) truncates.
+    *
+    * Scale shape: one corpus scan computes k projections + vv per row
+    * (k·dim multiply-adds inside whole-stage codegen); the probe join is
+    * an equi-join on id+1 (1-to-1, shuffle-partitioned, no windows, no
+    * all-pairs); everything downstream is per-pair arithmetic.
+    */
+  def jlDistortion(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    require(planes.nonEmpty && planes.size <= 63,
+      "jlDistortion: 1..63 planes")
+    require(planes.forall(_.forall(x => x == 1.0 || x == -1.0)),
+      "jlDistortion: planes must be +-1 (the portable md5Planes family)")
+    val k = planes.size
+    val e = corpus
+      .select(col(idCol).cast("bigint").as("vid"),
+        V.asDouble(col(vecCol)).as("v"))
+      .withColumn("vq", micro(col("v")))
+      .withColumn("vv", V.dot(col("vq"), col("vq")).cast("bigint"))
+      .withColumn("proj", array(planes.map(p =>
+        V.dot(col("vq"), typedlit(p)).cast("bigint")): _*))
+      .select(col("vid"), col("vq"), col("vv"), col("proj"))
+    val a = e.select(col("vid").as("id_a"), col("vq").as("vqa"),
+      col("vv").as("vva"), col("proj").as("pa"))
+    val b = e.select(col("vid").as("id_b"), col("vq").as("vqb"),
+      col("vv").as("vvb"), col("proj").as("pb"))
+    a.join(b, col("id_b") === col("id_a") + lit(1L))
+      .withColumn("dab", V.dot(col("vqa"), col("vqb")).cast("bigint"))
+      .withColumn("d2_orig",
+        col("vva") + col("vvb") - lit(2L) * col("dab"))
+      .withColumn("d2_proj",
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("id_a"), col("id_b"), col("d2_orig"), col("d2_proj"),
+        when(col("d2_orig") === 0L, lit(-1L))
+          .otherwise(expr(
+            s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * d2_proj)
+               |  DIV ($k * d2_orig) AS BIGINT)""".stripMargin))
+          .as("distortion_ppm"))
+  }
+
   /** CENTROID DRIFT between two embedding snapshots — the retrain /
     * re-ingest monitor next to [[embeddingIsotropy]]'s single-snapshot
     * health gate: per label, how far did the class centroid MOVE

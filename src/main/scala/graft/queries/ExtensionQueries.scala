@@ -1831,6 +1831,60 @@ object ExtensionQueries {
         "freezing a vocab — Gale-Sampson P0) and the adjusted count " +
         "r* = (r+1)N_{r+1}/N_r in micro; ONE vocabulary-sized pass " +
         "collapses to the count-of-counts histogram (q219 pattern), " +
-        "everything after is count-resolution-bounded")
+        "everything after is count-resolution-bounded"),
+
+    // ------------- embeddings: JL random-projection distortion audit
+    "q233_jl_distortion" -> Q(
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        Similarity.jlDistortion(emb, "embedding", "vec_id",
+            graft.functions.VectorFunctions.md5Planes(dim, 16))
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[], x -> round(x * 1e6)) AS vq
+             |  FROM embeddings),
+             |planes AS (
+             |  SELECT j.j AS j,
+             |    list_transform(generate_series(0, len((SELECT vq FROM e LIMIT 1)) - 1), d ->
+             |      CASE WHEN ((strpos('0123456789abcdef',
+             |                    substring(md5(d::VARCHAR || '_' || j.j::VARCHAR), 1, 1)) - 1) & 1) = 0
+             |           THEN 1.0 ELSE -1.0 END) AS plane
+             |  FROM generate_series(0, 15) AS j(j)),
+             |pj AS (SELECT e.vec_id, p.j,
+             |    CAST(list_dot_product(e.vq, p.plane) AS BIGINT) AS pv
+             |  FROM e CROSS JOIN planes p),
+             |vv AS (SELECT vec_id,
+             |    CAST(list_dot_product(vq, vq) AS BIGINT) AS vv FROM e),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+             |dp AS (SELECT pr.id_a, pr.id_b,
+             |    sum((pa.pv - pb.pv) * (pa.pv - pb.pv)) AS d2p
+             |  FROM pairs pr
+             |  JOIN pj pa ON pa.vec_id = pr.id_a
+             |  JOIN pj pb ON pb.vec_id = pr.id_b AND pb.j = pa.j
+             |  GROUP BY 1, 2),
+             |dor AS (SELECT pr.id_a, pr.id_b,
+             |    va.vv + vb.vv - 2 * CAST(list_dot_product(ea.vq, eb.vq) AS BIGINT) AS d2o
+             |  FROM pairs pr
+             |  JOIN vv va ON va.vec_id = pr.id_a
+             |  JOIN vv vb ON vb.vec_id = pr.id_b
+             |  JOIN e ea ON ea.vec_id = pr.id_a
+             |  JOIN e eb ON eb.vec_id = pr.id_b)
+             |SELECT d.id_a, d.id_b, o.d2o AS d2_orig, CAST(d.d2p AS BIGINT) AS d2_proj,
+             |  CAST(CASE WHEN o.d2o = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * d.d2p) // (16 * o.d2o) END AS BIGINT)
+             |    AS distortion_ppm
+             |FROM dp d JOIN dor o ON o.id_a = d.id_a AND o.id_b = d.id_b
+             |ORDER BY d.id_a""".stripMargin),
+      "Johnson-Lindenstrauss distortion audit of a 16-dim +-1 random " +
+        "projection (portable md5-plane family, the q36 matrix): per " +
+        "consecutive-id probe pair the exact original and projected " +
+        "squared distances in micro^2 and their k-normalized ratio in " +
+        "ppm (1e6 = perfectly preserved) — the measure-before-you-ship " +
+        "gate for projected ANN prefilters/sketches; one corpus scan " +
+        "computes projections in whole-stage codegen, the probe join is " +
+        "1-to-1 on id+1, never all-pairs")
   )
 }

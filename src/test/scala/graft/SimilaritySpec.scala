@@ -482,4 +482,55 @@ class SimilaritySpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got(4)._4 === 1500001L && got(4)._5 === 500001L)
   }
+
+  test("jlDistortion: Hadamard planes preserve distances exactly, k=1 " +
+      "projects the hand ratio, coincident pair hits the sentinel, " +
+      "md5-plane replica agreement, determinism, guards") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 1f)), (2L, Seq(3f, 1f)))
+      .toDF("vec_id", "embedding")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (1,1),(1,-1) is a 2x2 Hadamard: ||Pv||^2 = 2||v||^2 EXACTLY, so
+    // every non-degenerate pair reads distortion exactly 1e6
+    val had = read(Similarity.jlDistortion(
+      vecs, "embedding", "vec_id", Seq(Seq(1.0, 1.0), Seq(1.0, -1.0))))
+    assert(had((0L, 1L)) === ((5000000000000L, 10000000000000L, 1000000L)))
+    assert(had((1L, 2L)) === ((0L, 0L, -1L)))
+    // single plane (1,1): d2_proj = (dx+dy)^2 = 1e12, k=1 -> 200000 ppm
+    val one = read(Similarity.jlDistortion(
+      vecs, "embedding", "vec_id", Seq(Seq(1.0, 1.0))))
+    assert(one((0L, 1L)) === ((5000000000000L, 1000000000000L, 200000L)))
+    // BigInt replica on the real md5-plane family (dim 4, k 8)
+    val planes = graft.functions.VectorFunctions.md5Planes(4, 8)
+    val rvecs = Seq(
+      (10L, Seq(0.25f, -1.5f, 2f, 0.125f)),
+      (11L, Seq(-0.75f, 0.5f, -2.25f, 1f)),
+      (12L, Seq(1.125f, 1.125f, 0.375f, -0.625f)))
+    val rdf = rvecs.toDF("vec_id", "embedding")
+    val micro = rvecs.map { case (id, v) =>
+      id -> v.map(x => BigInt(math.round(x.toDouble * 1e6))) }.toMap
+    def d2(a: Seq[BigInt], b: Seq[BigInt]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def proj(v: Seq[BigInt]) = planes.map(p =>
+      v.zip(p).map { case (x, s) => x * BigInt(s.toLong) }.sum)
+    val expect = Seq((10L, 11L), (11L, 12L)).map { case (ia, ib) =>
+      val (va, vb) = (micro(ia), micro(ib))
+      val (dOrig, dProj) = (d2(va, vb), d2(proj(va), proj(vb)))
+      val ppm = (BigInt(1000000) * dProj / (8 * dOrig)).toLong
+      (ia, ib) -> ((dOrig.toLong, dProj.toLong, ppm))
+    }.toMap
+    val gotR = read(Similarity.jlDistortion(rdf, "embedding", "vec_id", planes))
+    assert(gotR === expect)
+    val again = read(Similarity.jlDistortion(
+      rdf.repartition(5), "embedding", "vec_id", planes))
+    assert(again === expect)
+    intercept[IllegalArgumentException] {
+      Similarity.jlDistortion(vecs, "embedding", "vec_id", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.jlDistortion(vecs, "embedding", "vec_id", Seq(Seq(0.5, 1.0)))
+    }
+  }
 }
