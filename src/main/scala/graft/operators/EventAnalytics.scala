@@ -945,6 +945,67 @@ object EventAnalytics {
         (col("dm") - col("trend") - col("seasonal")).as("residual_micro"))
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST (MASE) of each group's daily
+    * series — before wiring a real forecaster, measure whether the
+    * m-day seasonal-naive predictor (ŷ_d = y_{d−m}, default weekly) even
+    * beats the 1-step naive (ŷ_d = y_{d−1}) on this metric; the MASE
+    * convention (Hyndman–Koehler) scales the seasonal model's error by
+    * the naive error so the ratio is unit-free:
+    *
+    *   mase_ppm = (10⁶ · Σ|y − y_{−m}|) DIV Σ|y − y_{−1}|
+    *
+    * over evaluation rows where the lag-m value exists (row lags over
+    * the day-ordered series, the q227 acf convention). < 10⁶ says the
+    * seasonal structure is real (use it as the forecast baseline /
+    * Holt-Winters sanity floor, q210); −1 sentinel when the naive error
+    * sums to zero (constant eval span). Groups too short to evaluate
+    * emit `n_eval = 0` with sentinels instead of vanishing (the q⁠-
+    * conformal every-group-emits-a-row convention).
+    *
+    * Exactness: daily means are exact micro longs, absolute errors sum
+    * exactly, both MAEs and the ratio are single toward-zero integer
+    * divisions.
+    *
+    * Scale shape: the event stream collapses in ONE aggregation
+    * ([[dailyStats]]); the lag window and the per-group reduction are
+    * calendar-bounded and group-partitioned — nothing global.
+    */
+  def forecastBacktest(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String, seasonLag: Int = 7): DataFrame =
+    forecastBacktestFromDaily(
+      dailyStats(events, tsCol, valueCol, groupCol), seasonLag)
+
+  /** [[forecastBacktest]] over a prepared [[dailyStats]] frame. */
+  def forecastBacktestFromDaily(
+      daily: DataFrame, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 2 && seasonLag <= 366,
+      "forecastBacktest: seasonLag in [2, 366]")
+    val wd = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("lm", lag(col("dm"), seasonLag).over(wd))
+      .withColumn("l1", lag(col("dm"), 1).over(wd))
+      .filter(col("lm").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("dm") - col("lm"))).as("se_model"),
+        sum(abs(col("dm") - col("l1"))).as("se_naive"))
+    daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days"))
+      .join(lagged, Seq("grp"), "left")
+      .select(col("grp"), col("n_days"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        when(coalesce(col("n_eval"), lit(0L)) === 0L, lit(-1L))
+          .otherwise(expr("se_model DIV n_eval")).as("mae_model_micro"),
+        when(coalesce(col("n_eval"), lit(0L)) === 0L, lit(-1L))
+          .otherwise(expr("se_naive DIV n_eval")).as("mae_naive_micro"),
+        when(coalesce(col("n_eval"), lit(0L)) === 0L ||
+            col("se_naive") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * se_model" +
+              " DIV se_naive AS BIGINT)"))
+          .as("mase_ppm"))
+  }
+
   /** MANN-KENDALL trend test + THEIL-SEN slope of each group's daily
     * series — the nonparametric "is this metric drifting?" monitor that
     * complements [[cusumChangepoint]] (abrupt shift) with monotone-trend

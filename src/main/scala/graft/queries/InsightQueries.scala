@@ -1218,6 +1218,44 @@ object InsightQueries {
         "pairwise sign counts with tied-value variance correction, one " +
         "f64 divide+sqrt for z (q227 convention), lower-median pairwise " +
         "slope in nano-units/day; everything after the (group, day) " +
-        "collapse is calendar-bounded and group-partitioned")
+        "collapse is calendar-bounded and group-partitioned"),
+
+    // ---------------- series: seasonal-naive forecast backtest (MASE)
+    "q234_mase_backtest" -> Q(
+      (s, dir) =>
+        EventAnalytics.forecastBacktest(
+            Tables.events(s, dir), "ts", "value", "event_type",
+            seasonLag = 7)
+          .orderBy(col("grp")),
+      Some(
+        """WITH daily AS (SELECT event_type AS grp,
+          |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+          |  FROM events GROUP BY 1, 2),
+          |lg AS (SELECT grp, dm, lag(dm, 7) OVER w AS lm,
+          |    lag(dm, 1) OVER w AS l1
+          |  FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+          |ev AS (SELECT grp, count(*) AS n_eval,
+          |    sum(abs(dm - lm)) AS se_model, sum(abs(dm - l1)) AS se_naive
+          |  FROM lg WHERE lm IS NOT NULL GROUP BY 1),
+          |nn AS (SELECT grp, count(*) AS n_days FROM daily GROUP BY 1)
+          |SELECT nn.grp, CAST(nn.n_days AS BIGINT) AS n_days,
+          |  CAST(COALESCE(ev.n_eval, 0) AS BIGINT) AS n_eval,
+          |  CAST(CASE WHEN COALESCE(ev.n_eval, 0) = 0 THEN -1
+          |    ELSE se_model // ev.n_eval END AS BIGINT) AS mae_model_micro,
+          |  CAST(CASE WHEN COALESCE(ev.n_eval, 0) = 0 THEN -1
+          |    ELSE se_naive // ev.n_eval END AS BIGINT) AS mae_naive_micro,
+          |  CAST(CASE WHEN COALESCE(ev.n_eval, 0) = 0 OR se_naive = 0
+          |    THEN -1
+          |    ELSE (1000000::HUGEINT * se_model) // se_naive END AS BIGINT)
+          |    AS mase_ppm
+          |FROM nn LEFT JOIN ev ON ev.grp = nn.grp ORDER BY 1""".stripMargin),
+      "seasonal-naive (lag-7) forecast backtest per event type, scored " +
+        "as MASE against the 1-step naive (Hyndman-Koehler, exact " +
+        "integer error sums, one toward-zero ppm division) — the " +
+        "is-the-weekly-structure-real gate that sizes a forecast " +
+        "baseline before Holt-Winters (q210) ships; groups too short to " +
+        "evaluate emit n_eval=0 sentinels; one daily collapse + " +
+        "group-partitioned lags, nothing global")
   )
 }

@@ -564,6 +564,40 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("forecastBacktest: exact weekly series scores mase 0, linear " +
+      "series reads the hand ratio, constant and too-short series hit " +
+      "sentinels, determinism, guards") {
+    def day(i: Int) = f"2024-03-${1 + i}%02d"
+    val weekly = (0 until 21).map(i =>
+      ("wk", day(i), Seq(2.0, 5.0, 3.0, 8.0, 1.0, 9.0, 4.0)(i % 7)))
+    val lin = (0 until 10).map(i => ("ln", day(i), 1.0 + i))
+    val const = (0 until 10).map(i => ("ct", day(i), 4.0))
+    val short = (0 until 5).map(i => ("sh", day(i), 1.0 + i))
+    val rows = (weekly ++ lin ++ const ++ short)
+      .toDF("event_type", "d", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val got = read(
+      EventAnalytics.forecastBacktest(rows, "ts", "value", "event_type"))
+    // weekly: 14 eval rows, model error 0 -> mase 0; naive errors > 0
+    assert(got("wk")._1 === 21L && got("wk")._2 === 14L)
+    assert(got("wk")._3 === 0L && got("wk")._5 === 0L)
+    // linear: eval days 8..10, |y - y_{-7}| = 7e6 each, naive 1e6 each
+    assert(got("ln") === ((10L, 3L, 7000000L, 1000000L, 7000000L)))
+    assert(got("ct") === ((10L, 3L, 0L, 0L, -1L)))
+    assert(got("sh") === ((5L, 0L, -1L, -1L, -1L)))
+    val again = read(EventAnalytics.forecastBacktest(
+      rows.repartition(5), "ts", "value", "event_type"))
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.forecastBacktest(rows, "ts", "value", "event_type",
+        seasonLag = 1)
+    }
+  }
+
   /** Driver-side Mann-Kendall replica from first principles (BigInt pair
     * arithmetic; BigInt `/` truncates toward zero like Spark `DIV`).
     * Takes one group's (day, value) series, returns
