@@ -945,6 +945,81 @@ object EventAnalytics {
         (col("dm") - col("trend") - col("seasonal")).as("residual_micro"))
   }
 
+  /** BINARY-SEGMENTATION multi-changepoint detection over each group's
+    * daily series — the multi-shift extension of [[cusumChangepoint]]
+    * (which finds exactly one): `maxSplits` greedy rounds, each
+    * splitting AT MOST ONE segment per group — the one whose
+    * within-segment CUSUM peak is largest — at that peak. The decision
+    * statistic is exact integer micro: with cumulative event sums cs/cc
+    * and segment totals ts/tc (event-weighted, the q216 convention),
+    *
+    *   stat_k = |tc·cs_k − cc_k·ts| DIV tc   (the raw CUSUM in micro),
+    *
+    * candidates exclude the segment's last day (both sides stay
+    * nonempty) and zero-stat peaks (constant segments never split);
+    * ties break earliest day, then segment label. Returns one row per
+    * final segment: `(grp, seg_start, seg_end, n_days, n_events,
+    * mean_micro)`.
+    *
+    * Exactness: decimal(38,0)-routed products, one toward-zero DIV per
+    * candidate; picks are min(struct) argmaxes — no floats anywhere.
+    *
+    * Scale shape: the event stream collapses once ([[dailyStats]]);
+    * each round is calendar-bounded windows partitioned by (group,
+    * segment), a group-keyed argmax aggregation, and one equi-join of
+    * the picks back — `maxSplits` bounded rounds, each localCheckpointed
+    * (the q120/q218 loop-invariant pattern) so plans don't nest.
+    */
+  def binarySegmentation(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String, maxSplits: Int = 2): DataFrame =
+    binarySegmentationFromDaily(
+      dailyStats(events, tsCol, valueCol, groupCol), maxSplits)
+
+  /** [[binarySegmentation]] over a prepared [[dailyStats]] frame. */
+  def binarySegmentationFromDaily(
+      daily: DataFrame, maxSplits: Int = 2): DataFrame = {
+    require(maxSplits >= 1 && maxSplits <= 8,
+      "binarySegmentation: maxSplits in [1, 8]")
+    var cur = daily.select(col("grp"), col("day"), col("ds"), col("dc"))
+      .withColumn("seg", lit("r"))
+    for (_ <- 1 to maxSplits) {
+      val w = Window.partitionBy(col("grp"), col("seg")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy(col("grp"), col("seg"))
+      val picks = cur
+        .withColumn("cs", sum(col("ds")).over(w))
+        .withColumn("cc", sum(col("dc")).over(w))
+        .withColumn("ts", sum(col("ds")).over(wa))
+        .withColumn("tc", sum(col("dc")).over(wa))
+        .filter(col("cc") < col("tc"))
+        .withColumn("stat", expr(
+          """CAST(abs(CAST(tc AS DECIMAL(38,0)) * cs
+            |  - CAST(cc AS DECIMAL(38,0)) * ts) DIV tc AS BIGINT)"""
+            .stripMargin))
+        .filter(col("stat") > 0L)
+        .groupBy(col("grp"))
+        .agg(min(struct(negate(col("stat")).as("ns"),
+          col("day").as("pday"), col("seg").as("pseg"))).as("pk"))
+        .select(col("grp").as("pgrp"), col("pk.pday").as("pday"),
+          col("pk.pseg").as("pseg"))
+      cur = cur
+        .join(picks,
+          col("grp") === col("pgrp") && col("seg") === col("pseg"), "left")
+        .withColumn("seg",
+          when(col("pday").isNotNull && col("day") > col("pday"),
+            col("pday")).otherwise(col("seg")))
+        .select(col("grp"), col("day"), col("ds"), col("dc"), col("seg"))
+        .localCheckpoint()
+    }
+    cur.groupBy(col("grp"), col("seg"))
+      .agg(min(col("day")).as("seg_start"), max(col("day")).as("seg_end"),
+        count(lit(1)).as("n_days"), sum(col("dc")).as("n_events"),
+        expr("sum(ds) DIV sum(dc)").as("mean_micro"))
+      .select(col("grp"), col("seg_start"), col("seg_end"),
+        col("n_days"), col("n_events"), col("mean_micro"))
+  }
+
   /** SEASONAL-NAIVE FORECAST BACKTEST (MASE) of each group's daily
     * series — before wiring a real forecaster, measure whether the
     * m-day seasonal-naive predictor (ŷ_d = y_{d−m}, default weekly) even

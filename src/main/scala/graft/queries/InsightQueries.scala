@@ -1256,6 +1256,58 @@ object InsightQueries {
         "is-the-weekly-structure-real gate that sizes a forecast " +
         "baseline before Holt-Winters (q210) ships; groups too short to " +
         "evaluate emit n_eval=0 sentinels; one daily collapse + " +
-        "group-partitioned lags, nothing global")
+        "group-partitioned lags, nothing global"),
+
+    // ------------- series: binary-segmentation multi-changepoint
+    "q235_binary_segmentation" -> Q(
+      (s, dir) =>
+        EventAnalytics.binarySegmentation(
+            Tables.events(s, dir), "ts", "value", "event_type",
+            maxSplits = 2)
+          .orderBy(col("grp"), col("seg_start")),
+      Some {
+        val rounds = (1 to 2).map { r =>
+          s"""c$r AS (SELECT grp, seg, day, ds, dc,
+             |    sum(ds) OVER (PARTITION BY grp, seg ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS cs,
+             |    sum(dc) OVER (PARTITION BY grp, seg ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS cc,
+             |    sum(ds) OVER (PARTITION BY grp, seg) AS st,
+             |    sum(dc) OVER (PARTITION BY grp, seg) AS tc
+             |  FROM s${r - 1}),
+             |p$r AS (SELECT grp, seg, day FROM (
+             |    SELECT grp, seg, day, row_number() OVER
+             |        (PARTITION BY grp ORDER BY stat DESC, day, seg) AS rn
+             |    FROM (SELECT grp, seg, day,
+             |        abs(tc::HUGEINT * cs - cc::HUGEINT * st) // tc AS stat
+             |      FROM c$r WHERE cc < tc)
+             |    WHERE stat > 0)
+             |  WHERE rn = 1),
+             |s$r AS (SELECT s.grp, s.day, s.ds, s.dc,
+             |    CASE WHEN p.day IS NOT NULL AND s.day > p.day
+             |      THEN p.day ELSE s.seg END AS seg
+             |  FROM s${r - 1} s
+             |  LEFT JOIN p$r p ON p.grp = s.grp AND p.seg = s.seg)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH s0 AS (SELECT event_type AS grp,
+           |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |    sum(CAST(round(value * 1e6) AS BIGINT)) AS ds,
+           |    count(*) AS dc, 'r' AS seg
+           |  FROM events GROUP BY 1, 2),
+           |$rounds
+           |SELECT grp, min(day) AS seg_start, max(day) AS seg_end,
+           |  CAST(count(*) AS BIGINT) AS n_days,
+           |  CAST(sum(dc) AS BIGINT) AS n_events,
+           |  CAST(sum(ds) // sum(dc) AS BIGINT) AS mean_micro
+           |FROM s2 GROUP BY grp, seg ORDER BY grp, seg_start""".stripMargin
+      },
+      "binary-segmentation multi-changepoint over each event type's " +
+        "daily series (2 greedy rounds, at most one split per group per " +
+        "round at the largest within-segment CUSUM peak, exact integer " +
+        "micro statistic with earliest-day ties, constant segments never " +
+        "split) — the multi-shift extension of q216's single " +
+        "changepoint; each round is (group, segment)-partitioned windows " +
+        "+ one group argmax + one picks join, localCheckpoint-pinned")
   )
 }

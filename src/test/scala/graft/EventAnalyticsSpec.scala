@@ -564,6 +564,39 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("binarySegmentation: one step splits once and stops, a two-step " +
+      "ladder splits twice at the hand peaks, constant series never " +
+      "splits, determinism, guards") {
+    def day(i: Int) = f"2024-03-${i}%02d"
+    // g: 10x4 then 30x4 -> round-1 peak at day 4, both halves constant
+    val g = (1 to 8).map(i => ("g", day(i), if (i <= 4) 10.0 else 30.0))
+    // h: 0x3, 10x3, 40x3 -> round-1 peak day 6, round-2 splits [1-6] at 3
+    val h = (1 to 9).map(i =>
+      ("h", day(i), if (i <= 3) 0.0 else if (i <= 6) 10.0 else 40.0))
+    val c = (1 to 5).map(i => ("c", day(i), 7.0))
+    val rows = (g ++ h ++ c).toDF("event_type", "d", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = read(EventAnalytics.binarySegmentation(
+      rows, "ts", "value", "event_type", maxSplits = 2))
+    assert(got === Map(
+      ("g", "2024-03-01") -> (("2024-03-04", 4L, 4L, 10000000L)),
+      ("g", "2024-03-05") -> (("2024-03-08", 4L, 4L, 30000000L)),
+      ("h", "2024-03-01") -> (("2024-03-03", 3L, 3L, 0L)),
+      ("h", "2024-03-04") -> (("2024-03-06", 3L, 3L, 10000000L)),
+      ("h", "2024-03-07") -> (("2024-03-09", 3L, 3L, 40000000L)),
+      ("c", "2024-03-01") -> (("2024-03-05", 5L, 5L, 7000000L))))
+    val again = read(EventAnalytics.binarySegmentation(
+      rows.repartition(5), "ts", "value", "event_type", maxSplits = 2))
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.binarySegmentation(
+        rows, "ts", "value", "event_type", maxSplits = 0)
+    }
+  }
+
   test("forecastBacktest: exact weekly series scores mase 0, linear " +
       "series reads the hand ratio, constant and too-short series hit " +
       "sentinels, determinism, guards") {
