@@ -393,5 +393,31 @@ object syntax {
     def centroidDrift(other: DataFrame, vecCol: String,
         labelCol: String): DataFrame =
       graft.operators.Similarity.centroidDrift(df, other, vecCol, labelCol)
+
+    /** Mann-Kendall monotone-trend test + Theil-Sen slope per group. */
+    def mannKendall(tsCol: String, valueCol: String,
+        groupCol: String): DataFrame =
+      graft.operators.EventAnalytics.mannKendall(df, tsCol, valueCol, groupCol)
+
+    /** Seasonal-naive forecast backtest (MASE) per group. */
+    def forecastBacktest(tsCol: String, valueCol: String, groupCol: String,
+        seasonLag: Int = 7): DataFrame =
+      graft.operators.EventAnalytics.forecastBacktest(
+        df, tsCol, valueCol, groupCol, seasonLag)
+
+    /** Binary-segmentation multi-changepoint segments per group. */
+    def binarySegmentation(tsCol: String, valueCol: String, groupCol: String,
+        maxSplits: Int = 2): DataFrame =
+      graft.operators.EventAnalytics.binarySegmentation(
+        df, tsCol, valueCol, groupCol, maxSplits)
+
+    /** Good-Turing frequency-of-frequencies vocabulary audit. */
+    def goodTuring(textCol: String, maxR: Int = 10): DataFrame =
+      graft.operators.TextPipeline.goodTuring(df, textCol, maxR)
+
+    /** JL ±1-projection distortion audit on consecutive-id probe pairs. */
+    def jlDistortion(vecCol: String, idCol: String,
+        planes: Seq[Seq[Double]]): DataFrame =
+      graft.operators.Similarity.jlDistortion(df, vecCol, idCol, planes)
   }
 }

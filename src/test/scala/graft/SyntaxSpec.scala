@@ -129,4 +129,47 @@ class SyntaxSpec extends SparkSpec {
       .orderBy(col("grp"), col("lag")).collect()
     assert(viaAcf.map(_.toSeq).toSeq === directAcf.map(_.toSeq).toSeq)
   }
+
+  test("series/vocab/projection chainers delegate to their operators") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val viaMk = ev.mannKendall("ts", "value", "event_type")
+      .orderBy(col("grp")).collect()
+    val directMk = graft.operators.EventAnalytics
+      .mannKendall(ev, "ts", "value", "event_type")
+      .orderBy(col("grp")).collect()
+    assert(viaMk.map(_.toSeq).toSeq === directMk.map(_.toSeq).toSeq)
+
+    val viaMase = ev.forecastBacktest("ts", "value", "event_type")
+      .orderBy(col("grp")).collect()
+    val directMase = graft.operators.EventAnalytics
+      .forecastBacktest(ev, "ts", "value", "event_type")
+      .orderBy(col("grp")).collect()
+    assert(viaMase.map(_.toSeq).toSeq === directMase.map(_.toSeq).toSeq)
+
+    val viaSeg = ev.binarySegmentation("ts", "value", "event_type")
+      .orderBy(col("grp"), col("seg_start")).collect()
+    val directSeg = graft.operators.EventAnalytics
+      .binarySegmentation(ev, "ts", "value", "event_type")
+      .orderBy(col("grp"), col("seg_start")).collect()
+    assert(viaSeg.map(_.toSeq).toSeq === directSeg.map(_.toSeq).toSeq)
+
+    val viaGt = docs.goodTuring("text", maxR = 5)
+      .orderBy(col("r")).collect()
+    val directGt = graft.operators.TextPipeline
+      .goodTuring(docs, "text", maxR = 5).orderBy(col("r")).collect()
+    assert(viaGt.map(_.toSeq).toSeq === directGt.map(_.toSeq).toSeq)
+    graft.operators.Dedup.releaseCaches()
+
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val planes = graft.functions.VectorFunctions.md5Planes(
+      emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head().getInt(0), 8)
+    val viaJl = emb.jlDistortion("embedding", "vec_id", planes)
+      .orderBy(col("id_a")).collect()
+    val directJl = graft.operators.Similarity
+      .jlDistortion(emb, "embedding", "vec_id", planes)
+      .orderBy(col("id_a")).collect()
+    assert(viaJl.map(_.toSeq).toSeq === directJl.map(_.toSeq).toSeq)
+  }
 }
