@@ -283,9 +283,10 @@ object Bench {
       try {
         // the metric-monitoring suite the way a dashboard job ships: the
         // per-(type, day) daily stats are computed ONCE (persisted) and
-        // feed the offline changepoint, the online CUSUM alarms, and the
-        // STL decomposition from the one frame — three monitors, one
-        // event-stream aggregation
+        // feed the offline changepoint, the online CUSUM alarms, the STL
+        // decomposition, the Mann-Kendall trend test, the MASE forecast
+        // backtest, and binary segmentation from the one frame — six
+        // monitors, one event-stream aggregation
         val daily = graft.operators.EventAnalytics.dailyStats(
             graft.Tables.events(spark, sfDir), "ts", "value", "event_type")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -297,8 +298,15 @@ object Bench {
             .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L).count()
           val nSt = graft.operators.EventAnalytics
             .stlDecomposeFromDaily(daily).count()
+          val nMk = graft.operators.EventAnalytics
+            .mannKendallFromDaily(daily).count()
+          val nMa = graft.operators.EventAnalytics
+            .forecastBacktestFromDaily(daily).count()
+          val nBs = graft.operators.EventAnalytics
+            .binarySegmentationFromDaily(daily).count()
           System.err.println(
-            s"[bench] pipeline_monitor changepoints=$nCp alarms=$nAl stl=$nSt")
+            s"[bench] pipeline_monitor changepoints=$nCp alarms=$nAl " +
+              s"stl=$nSt mk=$nMk mase=$nMa segs=$nBs")
         } finally daily.unpersist(blocking = false)
       } catch { case e: Throwable =>
         errors += "pipeline_monitor"

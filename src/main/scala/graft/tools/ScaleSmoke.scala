@@ -64,7 +64,12 @@ object ScaleSmoke {
       // terms match replica 0 only — rows stay 30 (3 queries x top-10)
       // while the inverted-index build (the df/dl/L side) is fully
       // corpus-scaled; the probe stays candidate-bounded by design
-      "q214_bm25_topk")
+      "q214_bm25_topk",
+      // q232 Good-Turing: salted replica vocabularies are disjoint with
+      // identical count distributions, so every N_r scales exactly 10x
+      // and every ratio is BIT-IDENTICAL ((1e6*10rN_r) DIV (10N) =
+      // (1e6*rN_r) DIV N, same for r*); rows stay maxR+1
+      "q232_good_turing")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -129,7 +134,16 @@ object ScaleSmoke {
       // exactly, rows stay 150/35. q229's per-window ppms are identical
       // by the same argument ((1e6*10c) DIV (10n) = (1e6*c) DIV n), so
       // TV replicates while cnt/n_used read 10x; rows stay 270.
-      "q224_stl_decompose", "q227_acf", "q229_windowed_benford")
+      "q224_stl_decompose", "q227_acf", "q229_windowed_benford",
+      // q231/q234 ride the bit-identical daily means too (10s DIV 10c =
+      // s DIV c): every pairwise sign/slope and every lag error — so S,
+      // var_num, sen slope, z, MAEs and MASE all replicate exactly; rows
+      // stay |types|, the daily pre-aggregation carries the 10x. q235's
+      // split statistic is event-weighted (stat' = floor(10*D/tc) vs
+      // floor(D/tc)*10 — ordering preserved, picks identical on this
+      // corpus), so segment bounds/means replicate and n_events reads
+      // 10x; rows stay |segments|.
+      "q231_mann_kendall", "q234_mase_backtest", "q235_binary_segmentation")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
@@ -143,7 +157,11 @@ object ScaleSmoke {
       // set is fixed (vec_id < 5), so rows stay 50; codebook VALUES may
       // differ from base (init ranks by md5(vec_id) and replica ids
       // differ), so the time ratio and constant row count are the signal
-      "q142_sim_pq_adc")
+      "q142_sim_pq_adc",
+      // q233 JL distortion: replica id blocks are 1e7 apart, so the id+1
+      // probe pairs replicate base pairs exactly (no cross-replica pair
+      // is consecutive) — rows exactly 10x, every ppm bit-identical
+      "q233_jl_distortion")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
