@@ -569,6 +569,66 @@ object DataPrep {
         max(col("tw")).as("total_weight_micro"))
   }
 
+  /** LORENZ CONCENTRATION CURVE per group — cumulative share of total
+    * value held by the bottom d/`buckets` of rows (the "bottom 50% of
+    * documents hold 4% of the tokens" data-balance report; the curve
+    * whose area reads the q219 Gini). One row per (group, decile d):
+    * `k_rows = (d·n) DIV buckets` bottom rows and their exact cumulative
+    * value share in ppm; d = `buckets` reads exactly 10⁶.
+    *
+    * Exactness: values quantize to micro; the bottom-k sum is exact —
+    * with the cumulative block sums cs/cc over the (group, value)
+    * histogram, the block containing rank k contributes
+    * `cs − vm·(cc − k)` (tied rows are interchangeable, so NO row-level
+    * tiebreak is needed — the share at any cut is well-defined);
+    * negative values are dropped (Lorenz needs a non-negative measure —
+    * the [[weightedQuantiles]] drop convention); an all-zero group reads
+    * the −1 sentinel.
+    *
+    * Scale shape: the ONE data-scaled pass is the (group, value)
+    * histogram aggregation (map-side combined); the cumulative windows
+    * ride the value-RESOLUTION-bounded histogram partitioned by group
+    * (q219/q230 pattern), the decile frame is a `buckets`-row broadcast
+    * literal, and the block pick is a min(struct) argmin — no
+    * row_number over rows, nothing global.
+    */
+  def lorenzCurve(
+      df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      "lorenzCurve: buckets in [2, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = df.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
+      .filter(col("vm") >= 0L)
+      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("bs", expr("CAST(vm AS DECIMAL(38,0)) * c"))
+      .withColumn("cc", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cs", sum(col("bs")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .withColumn("tv", sum(col("bs")).over(Window.partitionBy(col("grp"))))
+    cum.crossJoin(broadcast((1 to buckets).toDF("decile")))
+      .withColumn("kd", expr(s"(decile * n) DIV $buckets"))
+      .filter(col("cc") >= col("kd"))
+      .groupBy(col("grp"), col("decile"))
+      .agg(min(struct(col("cc"), col("vm"), col("cs"), col("kd"),
+        col("n"), col("tv"))).as("pk"))
+      .select(col("grp"), col("decile"),
+        col("pk.kd").as("k_rows"), col("pk.n").as("n_rows"),
+        when(col("pk.tv") === 0, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0))
+              |  * (pk.cs - CAST(pk.vm AS DECIMAL(38,0)) * (pk.cc - pk.kd)))
+              |  DIV pk.tv AS BIGINT)""".stripMargin))
+          .as("cum_share_ppm"))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -849,4 +849,59 @@ object FeatureEng {
           .otherwise(expr("CAST(wd DIV wsum AS BIGINT)"))
           .as("ate_micro"))
   }
+
+  /** SPEARMAN rank correlation between two measures, per group — the
+    * outlier-robust, monotone-invariant companion of the q135 Pearson
+    * family (a heavy-tailed measure pair can read Pearson ≈ 0 while the
+    * ranks are almost perfectly coupled). Ties get average ranks, kept
+    * exact by working with DOUBLED ranks: `r2 = 2·rank_min + (t − 1)`
+    * is an integer for any tie width, and Pearson is invariant to the
+    * common ×2. Emits `(grp, n_rows, rho_micro)`;
+    *
+    * Exactness: micro-quantized values rank identically in both
+    * engines; moments over the doubled ranks are exact decimal sums,
+    * and ONE f64 divide+sqrt at the very end rounds to micro (the
+    * q135/q227 convention; −10⁶ sentinel when either margin is
+    * constant, doubling as perfect anti-correlation).
+    *
+    * Scale shape: two group-partitioned rank windows + one tie-count
+    * window each (never global), then a single moment aggregation per
+    * group. The per-group sort is the honest cost of exact ranks —
+    * partition-parallel across groups.
+    */
+  def spearmanCorr(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      expr(s"CAST(round($xCol * 1e6) AS BIGINT)").as("xm"),
+      expr(s"CAST(round($yCol * 1e6) AS BIGINT)").as("ym"))
+    val ranked = base
+      .withColumn("rx", rank().over(
+        Window.partitionBy(col("grp")).orderBy(col("xm"))))
+      .withColumn("tx", count(lit(1)).over(
+        Window.partitionBy(col("grp"), col("xm"))))
+      .withColumn("ry", rank().over(
+        Window.partitionBy(col("grp")).orderBy(col("ym"))))
+      .withColumn("ty", count(lit(1)).over(
+        Window.partitionBy(col("grp"), col("ym"))))
+      .select(col("grp"),
+        (lit(2L) * col("rx") + col("tx") - lit(1L)).as("x"),
+        (lit(2L) * col("ry") + col("ty") - lit(1L)).as("y"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(d("x")).as("sx"), sum(d("y")).as("sy"),
+        sum(d("x") * d("y")).as("sxy"),
+        sum(d("x") * d("x")).as("sxx"),
+        sum(d("y") * d("y")).as("syy"))
+      .select(col("grp"), col("n").as("n_rows"),
+        when(expr("n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"),
+          lit(-1000000L))
+          .otherwise(expr(
+            """CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+              |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              |    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"""
+              .stripMargin))
+          .as("rho_micro"))
+  }
 }

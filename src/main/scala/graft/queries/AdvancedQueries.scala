@@ -852,5 +852,47 @@ object AdvancedQueries {
         "results are actual corpus values; threshold by integer " +
         "cross-multiplication, no ceil, no division) — q81's " +
         "percentile_disc weight-generalized; (group, value) weight " +
-        "aggregation then group-partitioned cumulative, no global window"))
+        "aggregation then group-partitioned cumulative, no global window"),
+
+    // ---------------------- profiling: Lorenz concentration curve
+    "q236_lorenz_curve" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.lorenzCurve(
+            t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+            buckets = 10)
+          .orderBy(col("grp"), col("decile")),
+      Some("""WITH v AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS vm
+             |  FROM lineitem
+             |  WHERE CAST(round(l_extendedprice * 1e6) AS BIGINT) >= 0),
+             |h AS (SELECT grp, vm, count(*) AS c FROM v GROUP BY 1, 2),
+             |cum AS (SELECT grp, vm, c,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    sum(vm::HUGEINT * c) OVER (PARTITION BY grp ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             |    sum(c) OVER (PARTITION BY grp) AS n,
+             |    sum(vm::HUGEINT * c) OVER (PARTITION BY grp) AS tv
+             |  FROM h),
+             |d AS (SELECT range AS decile FROM range(1, 11)),
+             |j AS (SELECT cum.*, d.decile, (d.decile * n) // 10 AS kd
+             |  FROM cum CROSS JOIN d),
+             |p AS (SELECT grp, decile, kd, n, tv, cc, vm, cs,
+             |    row_number() OVER (PARTITION BY grp, decile ORDER BY cc)
+             |      AS rn
+             |  FROM j WHERE cc >= kd)
+             |SELECT grp, CAST(decile AS INT) AS decile,
+             |  CAST(kd AS BIGINT) AS k_rows, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN tv = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * (cs - vm::HUGEINT * (cc - kd)))
+             |      // tv END AS BIGINT) AS cum_share_ppm
+             |FROM p WHERE rn = 1 ORDER BY grp, decile""".stripMargin),
+      "Lorenz concentration curve of price per return flag: exact " +
+        "cumulative value share of the bottom d/10 of rows (the " +
+        "data-balance report whose area reads q219's Gini; decile 10 " +
+        "pins 1e6 exactly); the bottom-k sum comes from the (group, " +
+        "value) histogram in closed form — tied rows are " +
+        "interchangeable, so no row-level tiebreak and NO row_number " +
+        "over rows, every pass after the histogram aggregation is " +
+        "value-resolution-bounded (q219/q230 pattern)"))
 }

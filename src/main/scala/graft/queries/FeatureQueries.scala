@@ -843,6 +843,45 @@ object FeatureQueries {
         "per-stratum arm-mean differences reweighted by stratum size, " +
         "emitted next to the naive difference so composition confounding " +
         "is visible; one (stratum, arm) aggregation then stratum-bounded " +
-        "reductions, exact micro integer arithmetic throughout")
+        "reductions, exact micro integer arithmetic throughout"),
+
+    // ------------------- stats: Spearman rank correlation per group
+    "q237_spearman" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.spearmanCorr(
+            Tables.table(s, dir, "lineitem"), "l_returnflag",
+            "l_quantity", "l_extendedprice")
+          .orderBy(col("grp")),
+      Some("""WITH b AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_quantity * 1e6) AS BIGINT) AS xm,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS ym
+             |  FROM lineitem),
+             |r AS (SELECT grp,
+             |    2 * rank() OVER (PARTITION BY grp ORDER BY xm)
+             |      + count(*) OVER (PARTITION BY grp, xm) - 1 AS x,
+             |    2 * rank() OVER (PARTITION BY grp ORDER BY ym)
+             |      + count(*) OVER (PARTITION BY grp, ym) - 1 AS y
+             |  FROM b),
+             |m AS (SELECT grp, count(*) AS n,
+             |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+             |    sum(x::HUGEINT * y) AS sxy,
+             |    sum(x::HUGEINT * x) AS sxx,
+             |    sum(y::HUGEINT * y) AS syy
+             |  FROM r GROUP BY 1)
+             |SELECT grp, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |    THEN -1000000
+             |    ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             |    END AS BIGINT) AS rho_micro
+             |FROM m ORDER BY grp""".stripMargin),
+      "Spearman rank correlation of quantity vs extended price per " +
+        "return flag — the monotone-invariant companion of the q135 " +
+        "Pearson family, exact under ties via doubled average ranks " +
+        "(2*rank_min + t - 1, integer for any tie width, Pearson " +
+        "invariant to the common x2); group-partitioned rank windows + " +
+        "one moment aggregation, one f64 divide+sqrt rounded to micro " +
+        "(q227 convention)")
   )
 }

@@ -419,5 +419,15 @@ object syntax {
     def jlDistortion(vecCol: String, idCol: String,
         planes: Seq[Seq[Double]]): DataFrame =
       graft.operators.Similarity.jlDistortion(df, vecCol, idCol, planes)
+
+    /** Lorenz concentration curve of a non-negative measure per group. */
+    def lorenzCurve(groupCol: String, valueCol: String,
+        buckets: Int = 10): DataFrame =
+      graft.operators.DataPrep.lorenzCurve(df, groupCol, valueCol, buckets)
+
+    /** Spearman rank correlation of two measures per group. */
+    def spearmanCorr(groupCol: String, xCol: String,
+        yCol: String): DataFrame =
+      graft.operators.FeatureEng.spearmanCorr(df, groupCol, xCol, yCol)
   }
 }

@@ -298,4 +298,41 @@ class DataPrepSpec extends SparkSpec {
       DataPrep.weightedQuantiles(df, "g", "v", "w", Seq(5000, 5000))
     }
   }
+
+  test("lorenzCurve: hand quartiles, equal values trace the diagonal, " +
+      "all-zero group reads the sentinel, negatives drop, top decile " +
+      "pins 1e6, determinism, guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 6.0),
+      ("e", 5.0), ("e", 5.0), ("e", 5.0),
+      ("z", 0.0), ("z", 0.0),
+      ("n", -5.0), ("n", 1.0), ("n", 3.0))
+      .toDF("g", "v")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = read(DataPrep.lorenzCurve(df, "g", "v", buckets = 4))
+    // a: values 1,1,2,6 (total 10): bottom 1/2/3/4 rows hold 1/2/4/10
+    assert(got(("a", 1)) === ((1L, 4L, 100000L)))
+    assert(got(("a", 2)) === ((2L, 4L, 200000L)))
+    assert(got(("a", 3)) === ((3L, 4L, 400000L)))
+    assert(got(("a", 4)) === ((4L, 4L, 1000000L)))
+    // e: perfect equality -> diagonal (k/n, truncated ppm), ties need
+    // no row-level ordering
+    assert(got(("e", 1)) === ((0L, 3L, 0L)))
+    assert(got(("e", 2)) === ((1L, 3L, 333333L)))
+    assert(got(("e", 3)) === ((2L, 3L, 666666L)))
+    assert(got(("e", 4)) === ((3L, 3L, 1000000L)))
+    // z: all-zero total -> sentinel; n: the -5 row is dropped (n_rows 2)
+    assert(got(("z", 4)) === ((2L, 2L, -1L)))
+    assert(got(("n", 2)) === ((1L, 2L, 250000L)))
+    assert(got(("n", 4)) === ((2L, 2L, 1000000L)))
+    val again = read(DataPrep.lorenzCurve(
+      df.repartition(5), "g", "v", buckets = 4))
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      DataPrep.lorenzCurve(df, "g", "v", buckets = 1)
+    }
+  }
 }

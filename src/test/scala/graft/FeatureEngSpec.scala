@@ -549,4 +549,30 @@ class FeatureEngSpec extends SparkSpec {
     assert((r.getLong(0) > 0) && oneArm.getLong(2) === 0L)
     assert(oneArm.getLong(5) === -2000000L && oneArm.getLong(6) === -2000000L)
   }
+
+  test("spearmanCorr: monotone nonlinear reads exactly +-1e6, the " +
+      "tied hand case zeroes out like fractional ranks, constant " +
+      "margin hits the sentinel, determinism") {
+    import spark.implicits._
+    val rows = Seq(
+      // monotone cubic: ranks align perfectly despite nonlinearity
+      ("m", 1.0, 1.0), ("m", 2.0, 8.0), ("m", 3.0, 27.0), ("m", 4.0, 64.0),
+      // reversed
+      ("v", 1.0, 64.0), ("v", 2.0, 27.0), ("v", 3.0, 8.0), ("v", 4.0, 1.0),
+      // tied x block: avg ranks (1.5, 1.5, 3) vs y ranks (1, 3, 2) -> 0
+      ("t", 1.0, 5.0), ("t", 1.0, 7.0), ("t", 2.0, 6.0),
+      // constant y margin
+      ("c", 1.0, 9.0), ("c", 2.0, 9.0))
+      .toDF("g", "x", "y")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val got = read(FeatureEng.spearmanCorr(rows, "g", "x", "y"))
+    assert(got === Map(
+      "m" -> ((4L, 1000000L)), "v" -> ((4L, -1000000L)),
+      "t" -> ((3L, 0L)), "c" -> ((2L, -1000000L))))
+    val again = read(FeatureEng.spearmanCorr(
+      rows.repartition(5), "g", "x", "y"))
+    assert(again === got)
+  }
 }

@@ -171,5 +171,20 @@ class SyntaxSpec extends SparkSpec {
       .jlDistortion(emb, "embedding", "vec_id", planes)
       .orderBy(col("id_a")).collect()
     assert(viaJl.map(_.toSeq).toSeq === directJl.map(_.toSeq).toSeq)
+
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val viaLz = li.lorenzCurve("l_returnflag", "l_extendedprice")
+      .orderBy(col("grp"), col("decile")).collect()
+    val directLz = graft.operators.DataPrep
+      .lorenzCurve(li, "l_returnflag", "l_extendedprice")
+      .orderBy(col("grp"), col("decile")).collect()
+    assert(viaLz.map(_.toSeq).toSeq === directLz.map(_.toSeq).toSeq)
+
+    val viaSp = li.spearmanCorr("l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("grp")).collect()
+    val directSp = graft.operators.FeatureEng
+      .spearmanCorr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy(col("grp")).collect()
+    assert(viaSp.map(_.toSeq).toSeq === directSp.map(_.toSeq).toSeq)
   }
 }
