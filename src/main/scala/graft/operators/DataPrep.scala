@@ -629,6 +629,132 @@ object DataPrep {
           .as("cum_share_ppm"))
   }
 
+  /** HILL TAIL-INDEX estimator per group — "how heavy is this measure's
+    * tail?" (α ≈ 1–2: extreme heavy tail, single keys can dominate a
+    * shuffle; α > 3: near-light). With x₍₁₎ ≥ … the descending order
+    * statistics and threshold t = x₍k+1₎,
+    *
+    *   α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎ / t)
+    *
+    * Exactness: each ln-ratio term is rounded to integer micro-nats
+    * (the per-term q74/q207 convention — ratio of exact micro integers,
+    * one correctly-rounded f64 divide then the accepted 1-ulp ln);
+    * rows TIED at the threshold contribute ln(t/t) = 0, so the sum
+    * needs only blocks strictly above t; `alpha_micro =
+    * (10⁶·k·10⁶) DIV sum`. Non-positive values are dropped (ln);
+    * sentinels: −1 when the group has ≤ k positive rows, and when the
+    * top k+1 values are all equal (sum 0, α undefined).
+    *
+    * Scale shape: ONE data-scaled pass (the (group, value) histogram);
+    * the descending cumulative, the threshold argmin pick, and the term
+    * sum all ride the value-RESOLUTION-bounded histogram partitioned by
+    * group (the q219/q236 pattern) — no per-row window, no top-k sort.
+    */
+  def hillTailIndex(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 100000, "hillTailIndex: k in [2, 100000]")
+    val h = df.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
+      .filter(col("vm") > 0L)
+      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cc", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    val thr = cum.filter(col("cc") >= lit(k.toLong + 1L))
+      .groupBy(col("grp"))
+      .agg(min(struct(col("cc"), col("vm"))).as("pk"),
+        max(col("n")).as("n_pos"))
+      .select(col("grp").as("tgrp"), col("pk.vm").as("thr"), col("n_pos"))
+    val terms = cum.join(thr, col("grp") === col("tgrp") &&
+        col("vm") > col("thr"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c") *
+        expr("CAST(round(1e6 * ln(CAST(vm AS DOUBLE) / thr)) AS BIGINT)"))
+        .as("sum_ln_micro"))
+    val groups = h.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_all"))
+    groups
+      .join(thr, col("grp") === col("tgrp"), "left").drop("tgrp")
+      .join(terms, Seq("grp"), "left")
+      .select(col("grp"), col("n_all").as("n_pos"), lit(k).as("k"),
+        coalesce(col("thr"), lit(-1L)).as("threshold_micro"),
+        coalesce(col("sum_ln_micro"), lit(0L)).as("sum_ln_micro"),
+        when(col("thr").isNull ||
+            coalesce(col("sum_ln_micro"), lit(0L)) === 0L, lit(-1L))
+          .otherwise(expr(
+            s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * $k * 1000000)
+               |  DIV sum_ln_micro AS BIGINT)""".stripMargin))
+          .as("alpha_micro"))
+  }
+
+  /** TRIMMED MEAN per group — the mean of the middle rows after cutting
+    * the bottom `loBps` and top `10000 − hiBps` basis points by rank
+    * (the robust location estimate between median and mean; the
+    * outlier-insensitive SLA/quality aggregate). Rank cuts are row
+    * COUNTS: k_lo = (loBps·n) DIV 10⁴, k_hi = (hiBps·n) DIV 10⁴, and
+    * the kept sum is the bottom-k closed form `cs − vm·(cc − k)`
+    * evaluated at both cuts on the (group, value) histogram
+    * ([[lorenzCurve]]'s block arithmetic — tied rows are
+    * interchangeable, no row-level tiebreak). −1 sentinel when the cuts
+    * leave nothing (k_hi = k_lo). Works for any sign of value — nothing
+    * is dropped. The parameterized, histogram-bounded upgrade of the
+    * fixed-5% rank-window [[trimmedMean]] (q119): same estimate at
+    * (500, 9500) up to the rank-vs-count cut convention, but no per-row
+    * window and every group emits a row.
+    *
+    * Scale shape: one histogram aggregation, then value-resolution-
+    * bounded cumulative windows partitioned by group and a 2-row
+    * broadcast cut frame — the q219/q236 pattern, no row_number over
+    * rows.
+    */
+  def trimmedMeanBps(
+      df: DataFrame, groupCol: String, valueCol: String,
+      loBps: Int = 500, hiBps: Int = 9500): DataFrame = {
+    require(loBps >= 0 && hiBps <= 10000 && loBps < hiBps,
+      "trimmedMeanBps: 0 <= loBps < hiBps <= 10000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = df.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
+      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("bs", expr("CAST(vm AS DECIMAL(38,0)) * c"))
+      .withColumn("cc", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cs", sum(col("bs")).over(
+        Window.partitionBy(col("grp")).orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    // bottom-k sums at both cuts via the shared argmin-block pick
+    val picks = cum
+      .crossJoin(broadcast(Seq(("lo", loBps), ("hi", hiBps))
+        .toDF("cut", "bps")))
+      .withColumn("kd", expr("(bps * n) DIV 10000"))
+      .filter(col("cc") >= col("kd"))
+      .groupBy(col("grp"), col("cut"))
+      .agg(min(struct(col("cc"), col("vm"), col("cs"), col("kd"),
+        col("n"))).as("pk"))
+      .select(col("grp"), col("cut"), col("pk.kd").as("kd"),
+        col("pk.n").as("n"),
+        expr("pk.cs - CAST(pk.vm AS DECIMAL(38,0)) * (pk.cc - pk.kd)")
+          .as("bsum"))
+    picks.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"),
+        max(when(col("cut") === "lo", col("kd"))).as("k_lo"),
+        max(when(col("cut") === "hi", col("kd"))).as("k_hi"),
+        max(when(col("cut") === "lo", col("bsum"))).as("blo"),
+        max(when(col("cut") === "hi", col("bsum"))).as("bhi"))
+      .select(col("grp"), col("n_rows"), col("k_lo"), col("k_hi"),
+        when(col("k_hi") === col("k_lo"), lit(-1L))
+          .otherwise(expr(
+            "CAST((bhi - blo) DIV (k_hi - k_lo) AS BIGINT)"))
+          .as("trimmed_mean_micro"))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -894,5 +894,95 @@ object AdvancedQueries {
         "value) histogram in closed form — tied rows are " +
         "interchangeable, so no row-level tiebreak and NO row_number " +
         "over rows, every pass after the histogram aggregation is " +
-        "value-resolution-bounded (q219/q230 pattern)"))
+        "value-resolution-bounded (q219/q230 pattern)"),
+
+    // ---------------------- profiling: Hill tail-index estimator
+    "q238_hill_tail" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.hillTailIndex(
+            t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+            k = 100)
+          .orderBy(col("grp")),
+      Some("""WITH v AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS vm
+             |  FROM lineitem
+             |  WHERE CAST(round(l_extendedprice * 1e6) AS BIGINT) > 0),
+             |h AS (SELECT grp, vm, count(*) AS c FROM v GROUP BY 1, 2),
+             |cum AS (SELECT grp, vm, c,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY vm DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    sum(c) OVER (PARTITION BY grp) AS n
+             |  FROM h),
+             |thr AS (SELECT grp, vm AS thr FROM (
+             |    SELECT grp, vm,
+             |      row_number() OVER (PARTITION BY grp ORDER BY cc) AS rn
+             |    FROM cum WHERE cc >= 101) WHERE rn = 1),
+             |terms AS (SELECT cum.grp,
+             |    sum(c * CAST(round(1e6 * ln(vm::DOUBLE / thr)) AS BIGINT))
+             |      AS sum_ln
+             |  FROM cum JOIN thr ON thr.grp = cum.grp AND cum.vm > thr.thr
+             |  GROUP BY 1),
+             |g AS (SELECT grp, sum(c) AS n_all FROM h GROUP BY 1)
+             |SELECT g.grp, CAST(n_all AS BIGINT) AS n_pos,
+             |  CAST(100 AS INT) AS k,
+             |  CAST(COALESCE(thr.thr, -1) AS BIGINT) AS threshold_micro,
+             |  CAST(COALESCE(terms.sum_ln, 0) AS BIGINT) AS sum_ln_micro,
+             |  CAST(CASE WHEN thr.thr IS NULL OR COALESCE(terms.sum_ln, 0) = 0
+             |    THEN -1
+             |    ELSE (1000000::HUGEINT * 100 * 1000000) // terms.sum_ln
+             |    END AS BIGINT) AS alpha_micro
+             |FROM g LEFT JOIN thr ON thr.grp = g.grp
+             |LEFT JOIN terms ON terms.grp = g.grp
+             |ORDER BY 1""".stripMargin),
+      "Hill tail-index of price per return flag (k = 100 upper order " +
+        "statistics): how heavy is the tail — alpha near 1-2 warns a " +
+        "single key class can dominate a shuffle, alpha > 3 reads " +
+        "near-light; threshold-tied rows contribute exactly 0 so the " +
+        "whole estimate rides the (group, value) histogram (q219/q236 " +
+        "pattern, NO top-k sort), per-term micro-nat ln rounding " +
+        "(q207 convention), one exact final division"),
+
+    // ---------------------- profiling: trimmed mean
+    "q239_trimmed_mean" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.trimmedMeanBps(
+            t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+            loBps = 500, hiBps = 9500)
+          .orderBy(col("grp")),
+      Some("""WITH h AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS vm,
+             |    count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (SELECT grp, vm, c,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    sum(vm::HUGEINT * c) OVER (PARTITION BY grp ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             |    sum(c) OVER (PARTITION BY grp) AS n
+             |  FROM h),
+             |cuts(cut, bps) AS (VALUES ('lo', 500), ('hi', 9500)),
+             |j AS (SELECT cum.*, cuts.cut, (cuts.bps * n) // 10000 AS kd
+             |  FROM cum CROSS JOIN cuts),
+             |p AS (SELECT grp, cut, kd, n,
+             |    cs - vm::HUGEINT * (cc - kd) AS bsum,
+             |    row_number() OVER (PARTITION BY grp, cut ORDER BY cc) AS rn
+             |  FROM j WHERE cc >= kd),
+             |a AS (SELECT grp, max(n) AS n_rows,
+             |    max(CASE WHEN cut = 'lo' THEN kd END) AS k_lo,
+             |    max(CASE WHEN cut = 'hi' THEN kd END) AS k_hi,
+             |    max(CASE WHEN cut = 'lo' THEN bsum END) AS blo,
+             |    max(CASE WHEN cut = 'hi' THEN bsum END) AS bhi
+             |  FROM p WHERE rn = 1 GROUP BY 1)
+             |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(k_lo AS BIGINT) AS k_lo, CAST(k_hi AS BIGINT) AS k_hi,
+             |  CAST(CASE WHEN k_hi = k_lo THEN -1
+             |    ELSE (bhi - blo) // (k_hi - k_lo) END AS BIGINT)
+             |    AS trimmed_mean_micro
+             |FROM a ORDER BY grp""".stripMargin),
+      "5/95 trimmed mean of price per return flag — the robust location " +
+        "aggregate between median and mean; both rank cuts evaluate the " +
+        "bottom-k closed form cs - vm*(cc - k) on the (group, value) " +
+        "histogram (q236's block arithmetic — tied rows interchangeable, " +
+        "no row-level tiebreak, no row_number over rows), so the whole " +
+        "estimate is value-resolution-bounded after one aggregation"))
 }

@@ -429,5 +429,16 @@ object syntax {
     def spearmanCorr(groupCol: String, xCol: String,
         yCol: String): DataFrame =
       graft.operators.FeatureEng.spearmanCorr(df, groupCol, xCol, yCol)
+
+    /** Hill tail-index of a positive measure per group (k top stats). */
+    def hillTailIndex(groupCol: String, valueCol: String,
+        k: Int = 100): DataFrame =
+      graft.operators.DataPrep.hillTailIndex(df, groupCol, valueCol, k)
+
+    /** Basis-point-parameterized trimmed mean per group. */
+    def trimmedMeanBps(groupCol: String, valueCol: String,
+        loBps: Int = 500, hiBps: Int = 9500): DataFrame =
+      graft.operators.DataPrep.trimmedMeanBps(df, groupCol, valueCol,
+        loBps, hiBps)
   }
 }

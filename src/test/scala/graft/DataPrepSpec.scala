@@ -335,4 +335,65 @@ class DataPrepSpec extends SparkSpec {
       DataPrep.lorenzCurve(df, "g", "v", buckets = 1)
     }
   }
+
+  test("hillTailIndex: hand ln terms at k=2, threshold ties contribute " +
+      "zero, short and all-equal groups hit sentinels, non-positives " +
+      "drop, determinism, guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("p", 8.0), ("p", 4.0), ("p", 2.0), ("p", 1.0), ("p", 1.0),
+      ("p", 0.0), ("p", -3.0),                   // dropped
+      ("t", 5.0), ("t", 3.0), ("t", 3.0), ("t", 3.0), ("t", 1.0),
+      ("s", 9.0), ("s", 2.0),                    // only 2 positives
+      ("e", 4.0), ("e", 4.0), ("e", 4.0), ("e", 4.0))
+      .toDF("g", "v")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    def ln(num: Long, den: Long): Long =
+      math.round(1e6 * math.log(num.toDouble / den))
+    val got = read(DataPrep.hillTailIndex(df, "g", "v", k = 2))
+    val sumP = ln(8000000L, 2000000L) + ln(4000000L, 2000000L)
+    val alphaP = (BigInt(1000000L) * 2 * 1000000L / sumP).toLong
+    assert(got("p") === ((5L, 2, 2000000L, sumP, alphaP)))
+    val sumT = ln(5000000L, 3000000L)
+    val alphaT = (BigInt(1000000L) * 2 * 1000000L / sumT).toLong
+    assert(got("t") === ((5L, 2, 3000000L, sumT, alphaT)))
+    assert(got("s") === ((2L, 2, -1L, 0L, -1L)))
+    assert(got("e") === ((4L, 2, 4000000L, 0L, -1L)))
+    val again = read(DataPrep.hillTailIndex(
+      df.repartition(5), "g", "v", k = 2))
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      DataPrep.hillTailIndex(df, "g", "v", k = 1)
+    }
+  }
+
+  test("trimmedMeanBps: asymmetric hand cut, ties interchangeable, " +
+      "negatives kept, empty-keep sentinel, determinism, guards") {
+    import spark.implicits._
+    val a = (0 until 10).map(i => ("a", i.toDouble))
+    val t = Seq.fill(4)(("t", 1.0))
+    val n = Seq(("n", -10.0), ("n", -10.0), ("n", 10.0), ("n", 10.0))
+    val s = Seq(("s", 42.0))
+    val df = (a ++ t ++ n ++ s).toDF("g", "v")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: values 0..9, cut 20/90% -> keep ranks 3..9 = values 2..8
+    val g1 = read(DataPrep.trimmedMeanBps(df, "g", "v", 2000, 9000))
+    assert(g1("a") === ((10L, 2L, 9L, 5000000L)))
+    assert(g1("t") === ((4L, 0L, 3L, 1000000L)))
+    assert(g1("s") === ((1L, 0L, 0L, -1L)))       // 90% of 1 row = 0 kept
+    // n: keep bottom half only -> mean of the two -10s
+    val g2 = read(DataPrep.trimmedMeanBps(df, "g", "v", 0, 5000))
+    assert(g2("n") === ((4L, 0L, 2L, -10000000L)))
+    val again = read(DataPrep.trimmedMeanBps(
+      df.repartition(5), "g", "v", 2000, 9000))
+    assert(again === g1)
+    intercept[IllegalArgumentException] {
+      DataPrep.trimmedMeanBps(df, "g", "v", 5000, 5000)
+    }
+  }
 }

@@ -186,5 +186,19 @@ class SyntaxSpec extends SparkSpec {
       .spearmanCorr(li, "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy(col("grp")).collect()
     assert(viaSp.map(_.toSeq).toSeq === directSp.map(_.toSeq).toSeq)
+
+    val viaHill = li.hillTailIndex("l_returnflag", "l_extendedprice", k = 50)
+      .orderBy(col("grp")).collect()
+    val directHill = graft.operators.DataPrep
+      .hillTailIndex(li, "l_returnflag", "l_extendedprice", k = 50)
+      .orderBy(col("grp")).collect()
+    assert(viaHill.map(_.toSeq).toSeq === directHill.map(_.toSeq).toSeq)
+
+    val viaTm = li.trimmedMeanBps("l_returnflag", "l_extendedprice")
+      .orderBy(col("grp")).collect()
+    val directTm = graft.operators.DataPrep
+      .trimmedMeanBps(li, "l_returnflag", "l_extendedprice")
+      .orderBy(col("grp")).collect()
+    assert(viaTm.map(_.toSeq).toSeq === directTm.map(_.toSeq).toSeq)
   }
 }
