@@ -1308,6 +1308,28 @@ object InsightQueries {
         "micro statistic with earliest-day ties, constant segments never " +
         "split) — the multi-shift extension of q216's single " +
         "changepoint; each round is (group, segment)-partitioned windows " +
-        "+ one group argmax + one picks join, localCheckpoint-pinned")
+        "+ one group argmax + one picks join, localCheckpoint-pinned"),
+
+    // -------------- series: streaming daily-stats stage (batch twin)
+    "q240_daily_stats" -> Q(
+      (s, dir) =>
+        graft.streaming.StreamingDailyStats.batchDailyStats(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp"), col("day")),
+      Some(
+        """SELECT event_type AS grp,
+          |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS ds,
+          |  CAST(count(*) AS BIGINT) AS dc,
+          |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) // count(*)
+          |    AS BIGINT) AS dm
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "the streaming daily-stats stage's batch twin: event-time 1-day " +
+        "windows carrying exact (sum, count, mean) per (type, day) — " +
+        "window(ts, '1 day').start ≡ date_trunc day in the pinned UTC " +
+        "session, so the closed-window stream rows are bit-equal to the " +
+        "dailyStats frame every FromDaily monitor (q216/q220/q224/q227/" +
+        "q231/q234/q235) consumes; one watermarked aggregation, one " +
+        "(sum, count) pair of state per open (group, day)")
   )
 }
