@@ -945,6 +945,61 @@ object EventAnalytics {
         (col("dm") - col("trend") - col("seasonal")).as("residual_micro"))
   }
 
+  /** SEASONALITY / TREND STRENGTH of each group's daily series
+    * (Hyndman–Athanasopoulos): from the [[stlDecompose]] components,
+    *
+    *   F_seasonal = max(0, 1 − Var(R)/Var(S+R)),
+    *   F_trend    = max(0, 1 − Var(R)/Var(T+R)),
+    *
+    * in exact ppm — the one-number answers to "should Holt-Winters
+    * carry a seasonal term (q210)?" and "is the q231 trend worth
+    * modeling?". Because S+R = x − T and T+R = x − S hold EXACTLY per
+    * row (the q224 additive identity), both comparison series are exact
+    * integer micro columns of the decomposition.
+    *
+    * Exactness: the variance RATIO shares the common n, so it reduces
+    * to a ratio of the integer moment combinations n·Σq² − (Σq)²
+    * (decimal-routed, Cauchy–Schwarz keeps them ≥ 0) — ONE toward-zero
+    * division per strength, no floats; −1 sentinel when the comparison
+    * variance is 0 (constant series).
+    *
+    * Scale shape: the STL passes (calendar-bounded, group-partitioned)
+    * plus one moment aggregation per group — nothing global.
+    */
+  def seasonalStrength(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    seasonalStrengthFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[seasonalStrength]] over a prepared [[dailyStats]] frame. */
+  def seasonalStrengthFromDaily(daily: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    stlDecomposeFromDaily(daily)
+      .select(col("grp"), col("residual_micro").as("r"),
+        (col("dm_micro") - col("trend_micro")).as("qs"),
+        (col("dm_micro") - col("seasonal_micro")).as("qt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(d(col("r"))).as("sr"), sum(d(col("r")) * d(col("r"))).as("srr"),
+        sum(d(col("qs"))).as("sqs"),
+        sum(d(col("qs")) * d(col("qs"))).as("sqss"),
+        sum(d(col("qt"))).as("sqt"),
+        sum(d(col("qt")) * d(col("qt"))).as("sqtt"))
+      .select(col("grp"), col("n_days"),
+        when(expr("n_days * sqss - sqs * sqs = 0"), lit(-1L))
+          .otherwise(greatest(lit(0L), expr(
+            """CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0))
+              |  * (n_days * srr - sr * sr))
+              |  DIV (n_days * sqss - sqs * sqs) AS BIGINT)""".stripMargin)))
+          .as("seasonal_strength_ppm"),
+        when(expr("n_days * sqtt - sqt * sqt = 0"), lit(-1L))
+          .otherwise(greatest(lit(0L), expr(
+            """CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0))
+              |  * (n_days * srr - sr * sr))
+              |  DIV (n_days * sqtt - sqt * sqt) AS BIGINT)""".stripMargin)))
+          .as("trend_strength_ppm"))
+  }
+
   /** BINARY-SEGMENTATION multi-changepoint detection over each group's
     * daily series — the multi-shift extension of [[cusumChangepoint]]
     * (which finds exactly one): `maxSplits` greedy rounds, each

@@ -1330,6 +1330,54 @@ object InsightQueries {
         "session, so the closed-window stream rows are bit-equal to the " +
         "dailyStats frame every FromDaily monitor (q216/q220/q224/q227/" +
         "q231/q234/q235) consumes; one watermarked aggregation, one " +
-        "(sum, count) pair of state per open (group, day)")
+        "(sum, count) pair of state per open (group, day)"),
+
+    // ----------------- series: seasonality / trend strength (Hyndman)
+    "q241_seasonal_strength" -> Q(
+      (s, dir) =>
+        EventAnalytics.seasonalStrength(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp")),
+      Some(
+        """WITH daily AS (SELECT event_type AS grp,
+          |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT grp, day, dm,
+          |    sum(dm) OVER w // count(*) OVER w AS trend,
+          |    CAST(isodow(CAST(day AS DATE)) AS INT) AS dow
+          |  FROM daily
+          |  WINDOW w AS (PARTITION BY grp ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |d AS (SELECT *, dm - trend AS det FROM t),
+          |se AS (SELECT grp, dow, sum(det) // count(*) AS seasonal
+          |  FROM d GROUP BY 1, 2),
+          |comp AS (SELECT d.grp,
+          |    d.dm - d.trend - se.seasonal AS r,
+          |    d.dm - d.trend AS qs,
+          |    d.dm - se.seasonal AS qt
+          |  FROM d JOIN se ON se.grp = d.grp AND se.dow = d.dow),
+          |m AS (SELECT grp, count(*) AS n,
+          |    sum(r::HUGEINT) AS sr, sum(r::HUGEINT * r) AS srr,
+          |    sum(qs::HUGEINT) AS sqs, sum(qs::HUGEINT * qs) AS sqss,
+          |    sum(qt::HUGEINT) AS sqt, sum(qt::HUGEINT * qt) AS sqtt
+          |  FROM comp GROUP BY 1)
+          |SELECT grp, CAST(n AS BIGINT) AS n_days,
+          |  CAST(CASE WHEN n * sqss - sqs * sqs = 0 THEN -1
+          |    ELSE greatest(0, 1000000 - (1000000::HUGEINT
+          |      * (n * srr - sr * sr)) // (n * sqss - sqs * sqs))
+          |    END AS BIGINT) AS seasonal_strength_ppm,
+          |  CAST(CASE WHEN n * sqtt - sqt * sqt = 0 THEN -1
+          |    ELSE greatest(0, 1000000 - (1000000::HUGEINT
+          |      * (n * srr - sr * sr)) // (n * sqtt - sqt * sqt))
+          |    END AS BIGINT) AS trend_strength_ppm
+          |FROM m ORDER BY grp""".stripMargin),
+      "Hyndman seasonality and trend strength of each event type's " +
+        "daily series from the q224 STL components — F = max(0, 1 - " +
+        "Var(R)/Var(comparison)) in exact ppm, where S+R = x-T and " +
+        "T+R = x-S hold exactly per row, so both strengths reduce to " +
+        "ratios of integer moment combinations with ONE toward-zero " +
+        "division each (no floats); the should-Holt-Winters-carry-a- " +
+        "seasonal-term gate next to q227's period picker")
   )
 }

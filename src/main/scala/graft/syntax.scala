@@ -440,5 +440,11 @@ object syntax {
         loBps: Int = 500, hiBps: Int = 9500): DataFrame =
       graft.operators.DataPrep.trimmedMeanBps(df, groupCol, valueCol,
         loBps, hiBps)
+
+    /** Hyndman seasonality/trend strength of each group's daily series. */
+    def seasonalStrength(tsCol: String, valueCol: String,
+        groupCol: String): DataFrame =
+      graft.operators.EventAnalytics.seasonalStrength(
+        df, tsCol, valueCol, groupCol)
   }
 }

@@ -597,6 +597,54 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalStrength: constant series hits both sentinels, strengths " +
+      "match a BigInt replica of the moment arithmetic over the pinned " +
+      "STL components, bounds hold, determinism") {
+    def day(i: Int) = f"2024-03-${1 + i}%02d"
+    val wk = (0 until 21).map(i =>
+      ("wk", day(i), Seq(2.0, 5.0, 3.0, 8.0, 1.0, 9.0, 4.0)(i % 7)))
+    val ln = (0 until 14).map(i => ("ln", day(i), 1.0 * i))
+    val ct = (0 until 10).map(i => ("ct", day(i), 6.0))
+    val rows = (wk ++ ln ++ ct).toDF("event_type", "d", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = read(EventAnalytics.seasonalStrength(
+      rows, "ts", "value", "event_type"))
+    assert(got("ct") === ((10L, -1L, -1L)))
+    // replica over the (already spec-pinned) STL components
+    val stl = EventAnalytics.stlDecompose(rows, "ts", "value", "event_type")
+      .collect().map(r => (r.getString(0),
+        (BigInt(r.getLong(2) - r.getLong(3)),              // qs = dm - trend
+         BigInt(r.getLong(2) - r.getLong(5)),              // qt = dm - seasonal
+         BigInt(r.getLong(6)))))                           // r
+    def strength(grp: String, pickQ: ((BigInt, BigInt, BigInt)) => BigInt)
+        : Long = {
+      val g = stl.filter(_._1 == grp).map(_._2)
+      val n = BigInt(g.length)
+      val (sr, srr) = (g.map(_._3).sum, g.map(t => t._3 * t._3).sum)
+      val qs = g.map(pickQ)
+      val (sq, sqq) = (qs.sum, qs.map(q => q * q).sum)
+      val den = n * sqq - sq * sq
+      if (den == 0) -1L
+      else (BigInt(0).max(BigInt(1000000) -
+        BigInt(1000000) * (n * srr - sr * sr) / den)).toLong
+    }
+    Seq("wk", "ln").foreach { g =>
+      assert(got(g)._2 === strength(g, _._1), s"$g seasonal")
+      assert(got(g)._3 === strength(g, _._2), s"$g trend")
+      assert(got(g)._2 >= 0L && got(g)._2 <= 1000000L)
+      assert(got(g)._3 >= 0L && got(g)._3 <= 1000000L)
+    }
+    // the weekly series reads strongly seasonal, the linear one strongly
+    // trending — the gates the operator exists to inform
+    assert(got("wk")._2 > 800000L && got("ln")._3 > 800000L)
+    val again = read(EventAnalytics.seasonalStrength(
+      rows.repartition(5), "ts", "value", "event_type"))
+    assert(again === got)
+  }
+
   test("forecastBacktest: exact weekly series scores mase 0, linear " +
       "series reads the hand ratio, constant and too-short series hit " +
       "sentinels, determinism, guards") {
