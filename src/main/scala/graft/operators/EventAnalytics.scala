@@ -925,6 +925,87 @@ object EventAnalytics {
           .as("acf_micro"))
   }
 
+  /** Signed permutation expansion of a k×k determinant as a SQL
+    * expression string over pre-cast integer entry columns — shared by
+    * the Spark build AND the DuckDB oracle generator (both engines then
+    * run the SAME exact-integer arithmetic; sums of exact decimals are
+    * order-independent, so nothing depends on evaluation order). k ≤ 5
+    * keeps the 120-term expansion within decimal(38,0)/HUGEINT bounds
+    * for micro-scaled entries (≤ 120·(10⁶)⁵ ≈ 1.2·10³²).
+    */
+  private[graft] def detExpansion(k: Int, entry: (Int, Int) => String): String = {
+    val terms = (0 until k).toList.permutations.map { p =>
+      val inv = (for {
+        i <- 0 until k; j <- i + 1 until k if p(i) > p(j)
+      } yield 1).sum
+      val prod = (0 until k).map(i => entry(i, p(i))).mkString(" * ")
+      if (inv % 2 == 0) s"($prod)" else s"(- ($prod))"
+    }.toSeq
+    // chunked, parenthesized sums: a flat 120-term left-associated chain
+    // exceeds DuckDB's 128-deep binder limit; balancing is free because
+    // the sums are exact integers (order-independent)
+    terms.grouped(8).map(_.mkString("(", " + ", ")")).mkString(" + ")
+  }
+
+  /** PARTIAL AUTOCORRELATION FUNCTION of each group's daily series at
+    * lags 1..`maxLag` — the AR-order picker that completes the q227 ACF
+    * (an AR(p) process cuts off in PACF after lag p; ACF alone cannot
+    * separate AR from MA structure). Computed EXACTLY by Cramer's rule
+    * on the Yule–Walker Toeplitz system: with ρ in integer micro,
+    *
+    *   φ_kk = det(R_k with last column → (ρ₁..ρ_k)) / det(R_k),
+    *
+    * both determinants are exact integers (the micro scaling cancels:
+    * each is homogeneous of degree k), so the ONLY float operation is
+    * the final ratio — one correctly-rounded f64 divide per lag rounded
+    * to micro (the q227 convention). This sidesteps the Durbin–Levinson
+    * recursion's chained divisions, which would compound cross-engine
+    * 1-ulp drift. −2·10⁶ sentinel on a singular R_k (e.g. a perfectly
+    * periodic series); lags whose ACF prerequisites don't exist (series
+    * shorter than the lag) emit no row. `maxLag` ≤ 5: the 120-term
+    * expansion bound keeps k! ·(10⁶)^k inside decimal(38,0).
+    *
+    * Scale shape: everything after [[acfFromDaily]]'s calendar-bounded
+    * passes is a |groups|-row pivot and per-row literal arithmetic —
+    * the determinant expansions are one projection, no joins, no
+    * windows.
+    */
+  def pacf(
+      events: DataFrame, tsCol: String, valueCol: String, groupCol: String,
+      maxLag: Int = 5): DataFrame =
+    pacfFromAcf(
+      acfFromDaily(dailyStats(events, tsCol, valueCol, groupCol), maxLag),
+      maxLag)
+
+  /** [[pacf]] over a prepared [[acfFromDaily]] frame. */
+  def pacfFromAcf(acfDf: DataFrame, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 5,
+      "pacf: maxLag in [1, 5] (exact-determinant bound)")
+    val aggs = (1 to maxLag).map(l =>
+      max(when(col("lag") === l, col("acf_micro"))).as(s"r$l"))
+    var piv = acfDf.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("r0", lit(1000000L))
+    (0 to maxLag).foreach { j =>
+      piv = piv.withColumn(s"d$j", col(s"r$j").cast("decimal(38,0)"))
+    }
+    val pacfCols = (1 to maxLag).map { k =>
+      val den = detExpansion(k, (i, j) => s"d${math.abs(i - j)}")
+      val num = detExpansion(k,
+        (i, j) => if (j == k - 1) s"d${i + 1}" else s"d${math.abs(i - j)}")
+      expr(
+        s"""CASE WHEN ($den) = 0 THEN CAST(-2000000 AS BIGINT)
+           | ELSE CAST(round(1e6 * CAST(($num) AS DOUBLE)
+           |   / CAST(($den) AS DOUBLE)) AS BIGINT) END""".stripMargin)
+        .as(s"p$k")
+    }
+    piv.select(col("grp") +: pacfCols: _*)
+      .select(col("grp"), expr(
+        s"stack($maxLag, " +
+          (1 to maxLag).map(k => s"$k, p$k").mkString(", ") +
+          ") AS (lag, pacf_micro)"))
+      .filter(col("pacf_micro").isNotNull)
+  }
+
   /** [[stlDecompose]] over a prepared [[dailyStats]] frame. */
   def stlDecomposeFromDaily(daily: DataFrame): DataFrame = {
     val wTrend = Window.partitionBy(col("grp")).orderBy(col("day"))

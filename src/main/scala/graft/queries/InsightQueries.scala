@@ -1378,6 +1378,71 @@ object InsightQueries {
         "T+R = x-S hold exactly per row, so both strengths reduce to " +
         "ratios of integer moment combinations with ONE toward-zero " +
         "division each (no floats); the should-Holt-Winters-carry-a- " +
-        "seasonal-term gate next to q227's period picker")
+        "seasonal-term gate next to q227's period picker"),
+
+    // ------------------ series: PACF via exact Cramer determinants
+    "q242_pacf" -> Q(
+      (s, dir) =>
+        EventAnalytics.pacf(
+            Tables.events(s, dir), "ts", "value", "event_type", maxLag = 5)
+          .orderBy(col("grp"), col("lag")),
+      Some {
+        val arms = (1 to 5).map(l =>
+          s"SELECT grp, $l AS lag, dm AS x, l$l AS y FROM lg WHERE l$l IS NOT NULL")
+          .mkString("\nUNION ALL\n")
+        def det(k: Int, num: Boolean) = EventAnalytics.detExpansion(k,
+          (i, j) => if (num && j == k - 1) s"d${i + 1}"
+            else s"d${math.abs(i - j)}")
+        val resArms = (1 to 5).map { k =>
+          val dn = det(k, num = false)
+          val nm = det(k, num = true)
+          s"""SELECT grp, CAST($k AS INT) AS lag,
+             |  CASE WHEN ($dn) = 0 THEN CAST(-2000000 AS BIGINT)
+             |    ELSE CAST(round(1e6 * CAST(($nm) AS DOUBLE)
+             |      / CAST(($dn) AS DOUBLE)) AS BIGINT) END AS pacf_micro
+             |FROM wd""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH daily AS (SELECT event_type AS grp,
+           |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+           |  FROM events GROUP BY 1, 2),
+           |lg AS (SELECT grp, day, dm,
+           |    ${(1 to 5).map(l => s"lag(dm, $l) OVER w AS l$l").mkString(", ")}
+           |  FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+           |p AS ($arms),
+           |m AS (SELECT grp, lag, count(*) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy
+           |  FROM p GROUP BY 1, 2),
+           |av AS (SELECT grp, lag,
+           |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+           |      THEN -1000000
+           |      ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+           |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           |          * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+           |      END AS a
+           |  FROM m),
+           |pv AS (SELECT grp,
+           |    ${(1 to 5).map(l => s"max(CASE WHEN lag = $l THEN a END) AS r$l").mkString(", ")}
+           |  FROM av GROUP BY 1),
+           |wd AS (SELECT grp, 1000000::HUGEINT AS d0,
+           |    ${(1 to 5).map(l => s"r$l::HUGEINT AS d$l").mkString(", ")}
+           |  FROM pv),
+           |res AS ($resArms)
+           |SELECT grp, lag, pacf_micro FROM res
+           |WHERE pacf_micro IS NOT NULL ORDER BY grp, lag""".stripMargin
+      },
+      "partial autocorrelation of each type's daily series at lags 1-5 " +
+        "— the AR-order picker completing q227's ACF, computed EXACTLY " +
+        "by Cramer's rule on the Yule-Walker Toeplitz system: both " +
+        "determinants expand to exact integer sums (micro scaling " +
+        "cancels, k<=5 keeps 120 terms inside decimal bounds; the SAME " +
+        "Scala permutation generator emits both engines' expressions), " +
+        "so the only float op is one final divide per lag — no " +
+        "Durbin-Levinson chained-division drift; singular systems read " +
+        "the -2e6 sentinel, everything after the ACF is a groups-row " +
+        "projection")
   )
 }

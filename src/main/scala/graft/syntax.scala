@@ -446,5 +446,11 @@ object syntax {
         groupCol: String): DataFrame =
       graft.operators.EventAnalytics.seasonalStrength(
         df, tsCol, valueCol, groupCol)
+
+    /** PACF of each group's daily series (exact Cramer determinants). */
+    def pacf(tsCol: String, valueCol: String, groupCol: String,
+        maxLag: Int = 5): DataFrame =
+      graft.operators.EventAnalytics.pacf(
+        df, tsCol, valueCol, groupCol, maxLag)
   }
 }

@@ -597,6 +597,52 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pacf: lag 1 equals rho_1, the periodic singular system reads the " +
+      "sentinel, all lags match a BigInt Cramer replica from the pinned " +
+      "ACF, determinism, guards") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val alt = (0 until 8).map(i => ("g", ts(1 + i), if (i % 2 == 0) 1.0 else 3.0))
+    val wigVals = Seq(3.2, 1.5, 1.5, 4.0, 2.2, 2.2, 5.5, 0.7, 2.9, 3.3, 1.1, 4.4)
+    val wig = wigVals.zipWithIndex.map { case (v, i) => ("w", ts(1 + i), v) }
+    val rows = (alt ++ wig).toDF("event_type", "ts", "value")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = read(EventAnalytics.pacf(rows, "ts", "value", "event_type"))
+    // period-2: rho = (-1,+1,...)e6 exactly -> phi_11 = rho_1, every
+    // higher-order Toeplitz system is singular
+    assert(got(("g", 1)) === -1000000L)
+    (2 to 5).foreach(k => assert(got(("g", k)) === -2000000L, s"lag $k"))
+    // BigInt Cramer replica from the (already spec-pinned) ACF values
+    val rho = EventAnalytics.acf(rows, "ts", "value", "event_type", maxLag = 5)
+      .filter(col("grp") === "w").collect()
+      .map(r => r.getInt(1) -> BigInt(r.getLong(3))).toMap
+    def detB(m: IndexedSeq[IndexedSeq[BigInt]]): BigInt =
+      (0 until m.length).toList.permutations.map { p =>
+        val inv = (for {
+          i <- m.indices; j <- i + 1 until m.length if p(i) > p(j)
+        } yield 1).sum
+        val sign = if (inv % 2 == 0) BigInt(1) else BigInt(-1)
+        sign * m.indices.map(i => m(i)(p(i))).product
+      }.sum
+    def r(j: Int): BigInt = if (j == 0) BigInt(1000000) else rho(j)
+    (1 to 5).foreach { k =>
+      val den = detB(Vector.tabulate(k, k)((i, j) => r(math.abs(i - j))))
+      val num = detB(Vector.tabulate(k, k)((i, j) =>
+        if (j == k - 1) r(i + 1) else r(math.abs(i - j))))
+      val want = if (den == 0) -2000000L
+        else math.round(1e6 * num.toDouble / den.toDouble)
+      assert(got(("w", k)) === want, s"lag $k replica")
+    }
+    // phi_11 is rho_1 exactly
+    assert(got(("w", 1)) === rho(1).toLong)
+    val again = read(EventAnalytics.pacf(
+      rows.repartition(5), "ts", "value", "event_type"))
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.pacf(rows, "ts", "value", "event_type", maxLag = 6)
+    }
+  }
+
   test("seasonalStrength: constant series hits both sentinels, strengths " +
       "match a BigInt replica of the moment arithmetic over the pinned " +
       "STL components, bounds hold, determinism") {
