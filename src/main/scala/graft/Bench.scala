@@ -314,11 +314,38 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val profileSecs = {
+      val t0 = System.nanoTime()
+      try {
+        // the value-profiling suite the way a dashboard ships: the
+        // (group, value) histogram of lineitem prices is computed ONCE
+        // (persisted) and feeds the Lorenz curve, the trimmed mean, and
+        // the Hill tail index — three profilers, one fact-table scan
+        val hist = graft.operators.DataPrep.valueHistogram(
+            graft.Tables.table(spark, sfDir, "lineitem"),
+            "l_returnflag", "l_extendedprice")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          hist.count()
+          val nLz = graft.operators.DataPrep.lorenzFromHistogram(hist).count()
+          val nTm = graft.operators.DataPrep
+            .trimmedMeanBpsFromHistogram(hist).count()
+          val nHl = graft.operators.DataPrep.hillFromHistogram(hist).count()
+          System.err.println(
+            s"[bench] pipeline_profile lorenz=$nLz trimmed=$nTm hill=$nHl")
+        } finally hist.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        errors += "pipeline_profile"
+        System.err.println(s"[bench] pipeline_profile failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
-      "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs)
+      "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,
+      "pipeline_profile" -> profileSecs)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def dec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -592,17 +592,32 @@ object DataPrep {
     * literal, and the block pick is a min(struct) argmin — no
     * row_number over rows, nothing global.
     */
+  /** Shared first pass of the value-profiling family: the (group,
+    * micro-value) count histogram. Compute ONCE (persist) when feeding
+    * several consumers — [[lorenzFromHistogram]],
+    * [[trimmedMeanBpsFromHistogram]] and [[hillFromHistogram]] all take
+    * this frame (the docTokenCounts / dailyStats materialize-once
+    * convention), so a profiling dashboard scans the fact table once.
+    */
+  def valueHistogram(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
+      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+
   def lorenzCurve(
       df: DataFrame, groupCol: String, valueCol: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10): DataFrame =
+    lorenzFromHistogram(valueHistogram(df, groupCol, valueCol), buckets)
+
+  /** [[lorenzCurve]] over a prepared [[valueHistogram]] frame. */
+  def lorenzFromHistogram(hist: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,
       "lorenzCurve: buckets in [2, 1000]")
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
-    val h = df.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
-      .filter(col("vm") >= 0L)
-      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+    // dropping negatives AFTER counting by value ≡ dropping rows first
+    val h = hist.filter(col("vm") >= 0L)
     val cum = h
       .withColumn("bs", expr("CAST(vm AS DECIMAL(38,0)) * c"))
       .withColumn("cc", sum(col("c")).over(
@@ -652,12 +667,13 @@ object DataPrep {
     */
   def hillTailIndex(
       df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 100): DataFrame = {
+      k: Int = 100): DataFrame =
+    hillFromHistogram(valueHistogram(df, groupCol, valueCol), k)
+
+  /** [[hillTailIndex]] over a prepared [[valueHistogram]] frame. */
+  def hillFromHistogram(hist: DataFrame, k: Int = 100): DataFrame = {
     require(k >= 2 && k <= 100000, "hillTailIndex: k in [2, 100000]")
-    val h = df.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
-      .filter(col("vm") > 0L)
-      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
+    val h = hist.filter(col("vm") > 0L)
     val cum = h
       .withColumn("cc", sum(col("c")).over(
         Window.partitionBy(col("grp")).orderBy(col("vm").desc)
@@ -712,15 +728,18 @@ object DataPrep {
     */
   def trimmedMeanBps(
       df: DataFrame, groupCol: String, valueCol: String,
-      loBps: Int = 500, hiBps: Int = 9500): DataFrame = {
+      loBps: Int = 500, hiBps: Int = 9500): DataFrame =
+    trimmedMeanBpsFromHistogram(
+      valueHistogram(df, groupCol, valueCol), loBps, hiBps)
+
+  /** [[trimmedMeanBps]] over a prepared [[valueHistogram]] frame. */
+  def trimmedMeanBpsFromHistogram(
+      hist: DataFrame, loBps: Int = 500, hiBps: Int = 9500): DataFrame = {
     require(loBps >= 0 && hiBps <= 10000 && loBps < hiBps,
       "trimmedMeanBps: 0 <= loBps < hiBps <= 10000")
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
-    val h = df.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
-      .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
-    val cum = h
+    val cum = hist
       .withColumn("bs", expr("CAST(vm AS DECIMAL(38,0)) * c"))
       .withColumn("cc", sum(col("c")).over(
         Window.partitionBy(col("grp")).orderBy(col("vm"))
