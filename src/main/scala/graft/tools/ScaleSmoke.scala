@@ -97,7 +97,17 @@ object ScaleSmoke {
       // sets differ per replica but keep ~1/13-style hit RATES — counts
       // land near-10x (not exact, the q131 approximation precedent);
       // rows stay 2, the full-outer join carries the 10x
-      "q226_snapshot_diff")
+      "q226_snapshot_diff",
+      // the histogram profilers on scaled lineitem: per-flag value
+      // MULTISETS replicate exactly (counts 10x), so Lorenz shares and
+      // the trimmed mean are BIT-IDENTICAL while n/k columns read 10x;
+      // Hill's fixed k probes a deeper tail on the bigger corpus
+      // (threshold rises — expected estimator behavior, rows stay 3);
+      // q237's doubled ranks transform affinely per margin (r2' =
+      // 10*r2 - 9), so rho is mathematically identical (equal up to
+      // 1 micro-ulp of the final f64 divide)
+      "q236_lorenz_curve", "q237_spearman", "q238_hill_tail",
+      "q239_trimmed_mean")
   // events replicas offset user_id (and event_id, the deterministic
   // tiebreaker) while keeping timestamps, types, and values bit-identical:
   // each replica user's event sequence IS some original user's, so
@@ -143,7 +153,12 @@ object ScaleSmoke {
       // floor(D/tc)*10 — ordering preserved, picks identical on this
       // corpus), so segment bounds/means replicate and n_events reads
       // 10x; rows stay |segments|.
-      "q231_mann_kendall", "q234_mase_backtest", "q235_binary_segmentation")
+      "q231_mann_kendall", "q234_mase_backtest", "q235_binary_segmentation",
+      // q241/q242 ride the bit-identical daily means: STL components,
+      // moment ratios, ACF values and so the Cramer determinants all
+      // replicate exactly — strengths and PACF bit-identical, rows stay
+      // |types| and |types|*lags
+      "q241_seasonal_strength", "q242_pacf")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
@@ -169,7 +184,10 @@ object ScaleSmoke {
       src.select(
         (col("l_orderkey") + lit(r.toLong * 1000000000L)).as("l_orderkey"),
         (col("l_partkey") + lit(r.toLong * 10000000L)).as("l_partkey"),
-        col("l_linenumber"), col("l_shipdate"))
+        col("l_linenumber"), col("l_shipdate"),
+        // v5: measure columns for the histogram-profiling family — kept
+        // bit-identical per replica so value multisets replicate exactly
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
     }.reduce(_.unionByName(_))
   }
 
@@ -242,8 +260,9 @@ object ScaleSmoke {
     // rerun with a different scale or schema must regenerate, not
     // silently reuse a stale corpus (v2 added full-column lineitem,
     // orders, embeddings; v3 added the embeddings label column; v4 added
-    // orders.o_orderstatus for the q226 snapshot diff)
-    val scaledDir = s"$outDir/v4_x$replicas"
+    // orders.o_orderstatus for the q226 snapshot diff; v5 added the
+    // lineitem measure columns for the histogram-profiling family)
+    val scaledDir = s"$outDir/v5_x$replicas"
     val scaledPath = s"$scaledDir/documents.parquet"
     if (!new java.io.File(scaledPath).exists()) {
       // 32 output files so the scaled scan parallelizes like a real
