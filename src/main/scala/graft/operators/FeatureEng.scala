@@ -850,6 +850,67 @@ object FeatureEng {
           .as("ate_micro"))
   }
 
+  /** JACKKNIFE standard error of a per-group RATIO metric
+    * R = Σnum/Σden (CTR, ARPU, tokens-per-doc — the metrics whose
+    * naive per-row variance is WRONG because numerator and denominator
+    * covary). Leave-one-out is closed-form for ratios: the i-th
+    * pseudo-estimate is `(Sn − n_i)/(Sd − d_i)` with the group totals
+    * broadcast back, so the whole jackknife is ONE extra pass — no n
+    * resamples. Emits `(grp, n_rows, ratio_micro, jk_se_micro)` with
+    *
+    *   SE² = (n−1)/n · Σ(R₍ᵢ₎ − R̄₍·₎)²,
+    *
+    * −1 sentinels when n < 2, when any leave-one-out denominator hits 0
+    * (the estimator is undefined — a single row carries the whole
+    * denominator), or when the full denominator is 0.
+    *
+    * Exactness: each pseudo-estimate is ONE f64 divide rounded to micro
+    * (deterministic per row in both engines — identical exact-integer
+    * operands); the SE reduces those integers with exact decimal
+    * moments and ONE final sqrt (q227 convention).
+    *
+    * Scale shape: one (group) totals aggregation broadcast back, one
+    * per-row projection, one moment aggregation — map-side combined,
+    * nothing global, no per-row windows.
+    */
+  def jackknifeRatio(
+      df: DataFrame, groupCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      expr(s"CAST(round($numCol * 1e6) AS BIGINT)").as("nm"),
+      expr(s"CAST(round($denCol * 1e6) AS BIGINT)").as("dm"))
+    val tot = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("nm")).as("sn"),
+        sum(col("dm")).as("sd"))
+    val pseudo = base.join(broadcast(tot), Seq("grp"))
+      .withColumn("bad",
+        (col("sd") - col("dm") === 0L).cast("bigint"))
+      .withColumn("r_i",
+        when(col("sd") - col("dm") === 0L, lit(0L))
+          .otherwise(expr(
+            """CAST(round(1e6 * CAST(sn - nm AS DOUBLE)
+              |  / CAST(sd - dm AS DOUBLE)) AS BIGINT)""".stripMargin)))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    pseudo.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"), max(col("sn")).as("sn"),
+        max(col("sd")).as("sd"), sum(col("bad")).as("n_bad"),
+        sum(d("r_i")).as("sr"), sum(d("r_i") * d("r_i")).as("srr"))
+      .select(col("grp"), col("n_rows"),
+        when(col("sd") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST(round(1e6 * CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE))" +
+              " AS BIGINT)"))
+          .as("ratio_micro"),
+        when(col("n_rows") < 2L || col("n_bad") > 0L || col("sd") === 0L,
+          lit(-1L))
+          .otherwise(expr(
+            """CAST(round(sqrt((CAST(n_rows AS DOUBLE) - 1)
+              |  * CAST(n_rows * srr - sr * sr AS DOUBLE)
+              |  / CAST(n_rows AS DOUBLE) / n_rows)) AS BIGINT)"""
+              .stripMargin))
+          .as("jk_se_micro"))
+  }
+
   /** SPEARMAN rank correlation between two measures, per group — the
     * outlier-robust, monotone-invariant companion of the q135 Pearson
     * family (a heavy-tailed measure pair can read Pearson ≈ 0 while the

@@ -882,6 +882,50 @@ object FeatureQueries {
         "(2*rank_min + t - 1, integer for any tie width, Pearson " +
         "invariant to the common x2); group-partitioned rank windows + " +
         "one moment aggregation, one f64 divide+sqrt rounded to micro " +
-        "(q227 convention)")
+        "(q227 convention)"),
+
+    // -------------------- stats: jackknife SE of a ratio metric
+    "q243_jackknife_ratio" -> Q(
+      (s, dir) =>
+        graft.operators.FeatureEng.jackknifeRatio(
+            Tables.table(s, dir, "lineitem"), "l_returnflag",
+            "l_extendedprice", "l_quantity")
+          .orderBy(col("grp")),
+      Some("""WITH b AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS nm,
+             |    CAST(round(l_quantity * 1e6) AS BIGINT) AS dm
+             |  FROM lineitem),
+             |t AS (SELECT grp, count(*) AS n, sum(nm) AS sn,
+             |    sum(dm) AS sd FROM b GROUP BY 1),
+             |ps AS (SELECT b.grp, t.n, t.sn, t.sd,
+             |    CASE WHEN t.sd - b.dm = 0 THEN 1 ELSE 0 END AS bad,
+             |    CASE WHEN t.sd - b.dm = 0 THEN 0
+             |      ELSE CAST(round(1e6 * CAST(t.sn - b.nm AS DOUBLE)
+             |        / CAST(t.sd - b.dm AS DOUBLE)) AS BIGINT) END AS r_i
+             |  FROM b JOIN t ON t.grp = b.grp),
+             |m AS (SELECT grp, max(n) AS n_rows, max(sn) AS sn,
+             |    max(sd) AS sd, sum(bad) AS n_bad,
+             |    sum(r_i::HUGEINT) AS sr, sum(r_i::HUGEINT * r_i) AS srr
+             |  FROM ps GROUP BY 1)
+             |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN sd = 0 THEN -1
+             |    ELSE CAST(round(1e6 * CAST(sn AS DOUBLE)
+             |      / CAST(sd AS DOUBLE)) AS BIGINT) END AS BIGINT)
+             |    AS ratio_micro,
+             |  CAST(CASE WHEN n_rows < 2 OR n_bad > 0 OR sd = 0 THEN -1
+             |    ELSE CAST(round(sqrt((CAST(n_rows AS DOUBLE) - 1)
+             |      * CAST(n_rows * srr - sr * sr AS DOUBLE)
+             |      / CAST(n_rows AS DOUBLE) / n_rows)) AS BIGINT)
+             |    END AS BIGINT) AS jk_se_micro
+             |FROM m ORDER BY grp""".stripMargin),
+      "jackknife standard error of price-per-unit-shipped per return " +
+        "flag — the correct error bar for RATIO metrics (numerator and " +
+        "denominator covary, so the naive per-row variance is wrong); " +
+        "leave-one-out is closed-form for ratios, so the whole " +
+        "jackknife is one broadcast-totals pass + one moment " +
+        "aggregation: each pseudo-estimate is ONE deterministic f64 " +
+        "divide rounded to micro, the SE one final sqrt (q227 " +
+        "convention); sentinels for n<2 / zero leave-one-out " +
+        "denominators")
   )
 }

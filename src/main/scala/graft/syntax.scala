@@ -452,5 +452,10 @@ object syntax {
         maxLag: Int = 5): DataFrame =
       graft.operators.EventAnalytics.pacf(
         df, tsCol, valueCol, groupCol, maxLag)
+
+    /** Jackknife SE of the per-group ratio metric sum(num)/sum(den). */
+    def jackknifeRatio(groupCol: String, numCol: String,
+        denCol: String): DataFrame =
+      graft.operators.FeatureEng.jackknifeRatio(df, groupCol, numCol, denCol)
   }
 }

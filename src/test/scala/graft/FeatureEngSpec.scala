@@ -550,6 +550,33 @@ class FeatureEngSpec extends SparkSpec {
     assert(oneArm.getLong(5) === -2000000L && oneArm.getLong(6) === -2000000L)
   }
 
+  test("jackknifeRatio: constant ratio reads SE 0, the two-row hand case " +
+      "reads SE exactly 1e6, zero leave-one-out denominators and " +
+      "singletons hit sentinels, determinism") {
+    import spark.implicits._
+    val rows = Seq(
+      ("c", 2.0, 1.0), ("c", 4.0, 2.0), ("c", 6.0, 3.0), // R_i all 2e6
+      ("v", 1.0, 1.0), ("v", 3.0, 1.0),                  // pseudo 3e6/1e6
+      ("z", 1.0, 0.0), ("z", 2.0, 5.0),                  // one d-zero LOO
+      ("o", 7.0, 2.0),                                   // singleton
+      ("d", 1.0, 0.0), ("d", 2.0, 0.0))                  // sd = 0
+      .toDF("g", "num", "den")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = read(FeatureEng.jackknifeRatio(rows, "g", "num", "den"))
+    assert(got("c") === ((3L, 2000000L, 0L)))
+    // v: R = 2e6, pseudo = {3e6, 1e6} -> SE^2 = (1/2)*(1e12+1e12) = 1e12
+    assert(got("v") === ((2L, 2000000L, 1000000L)))
+    assert(got("z") === ((2L, 600000L, -1L)))
+    assert(got("o")._1 === 1L && got("o")._2 === 3500000L &&
+      got("o")._3 === -1L)
+    assert(got("d") === ((2L, -1L, -1L)))
+    val again = read(FeatureEng.jackknifeRatio(
+      rows.repartition(5), "g", "num", "den"))
+    assert(again === got)
+  }
+
   test("spearmanCorr: monotone nonlinear reads exactly +-1e6, the " +
       "tied hand case zeroes out like fractional ranks, constant " +
       "margin hits the sentinel, determinism") {
