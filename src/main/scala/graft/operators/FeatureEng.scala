@@ -850,6 +850,81 @@ object FeatureEng {
           .as("ate_micro"))
   }
 
+  /** COCHRAN–MANTEL–HAENSZEL stratified 2×2 test — "does the binary
+    * treatment move the binary outcome, CONTROLLING for the stratum
+    * mix?" (the q222 post-stratification story for proportions: a
+    * pooled 2×2 can show an association that is pure composition —
+    * Simpson's paradox — while CMH pools the per-stratum evidence).
+    * `armCol`/`outcomeCol` must be 0/1. One output row:
+    *
+    *   - `d_micro` = Σᵢ(10⁶·aᵢ − round(10⁶·n1ᵢm1ᵢ/Tᵢ)) — observed minus
+    *     expected treated-successes, per-stratum micro-rounded (one
+    *     deterministic f64 divide each, the q227 convention),
+    *   - `var_micro2` = Σᵢ round(10¹²·n1ᵢn2ᵢm1ᵢm2ᵢ/(Tᵢ²(Tᵢ−1))),
+    *   - `cmh_micro` = round(10⁶·(|D|−½·10⁶)₊²/V) — the continuity-
+    *     corrected χ²₁ statistic (3.84·10⁶ ≈ the 5% line); −1 when
+    *     V = 0 (no usable stratum carries both outcomes and both arms),
+    *   - `or_mh_micro` = Mantel–Haenszel pooled odds ratio
+    *     Σ(aᵢdᵢ/Tᵢ)/Σ(bᵢcᵢ/Tᵢ), per-term micro-rounded; −1 when the
+    *     denominator vanishes.
+    *
+    * Single-row strata (Tᵢ < 2) are counted-but-excluded (the q222
+    * convention — V's Tᵢ−1 is undefined there).
+    *
+    * Scale shape: ONE (stratum) aggregation collapses the data; every
+    * later pass is strata-bounded arithmetic in a single reduction —
+    * no joins, no windows, nothing driver-side.
+    */
+  def cmhTest(
+      df: DataFrame, stratumCol: String, armCol: String,
+      outcomeCol: String): DataFrame = {
+    val cell = df.select(col(stratumCol).as("st"),
+        col(armCol).cast("bigint").as("arm"),
+        col(outcomeCol).cast("bigint").as("out"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("t"), sum(col("arm")).as("n1"),
+        sum(col("out")).as("m1"), sum(col("arm") * col("out")).as("a"))
+      .withColumn("ok", (col("t") >= 2L).cast("bigint"))
+      .withColumn("e_micro", when(col("ok") === 1L, expr(
+        "CAST(round(1e6 * (CAST(n1 AS DOUBLE) * m1) / t) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("v_micro2", when(col("ok") === 1L, expr(
+        """CAST(round(1e12 * CAST(CAST(n1 AS DECIMAL(38,0)) * (t - n1)
+          |    * m1 * (t - m1) AS DOUBLE)
+          |  / CAST(CAST(t AS DECIMAL(38,0)) * t * (t - 1) AS DOUBLE))
+          |  AS DECIMAL(38,0))""".stripMargin))
+        .otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("ad_micro", when(col("ok") === 1L, expr(
+        "CAST(round(1e6 * (CAST(a AS DOUBLE) * (t - n1 - m1 + a)) / t)" +
+          " AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("bc_micro", when(col("ok") === 1L, expr(
+        "CAST(round(1e6 * (CAST(n1 - a AS DOUBLE) * (m1 - a)) / t)" +
+          " AS BIGINT)")).otherwise(lit(0L)))
+    cell.agg(count(lit(1)).as("n_strata"), sum(col("ok")).as("n_used"),
+        sum(when(col("ok") === 1L, lit(1000000L) * col("a") - col("e_micro"))
+          .otherwise(lit(0L))).as("d"),
+        sum(col("v_micro2")).as("v"),
+        sum(col("ad_micro")).as("s_ad"), sum(col("bc_micro")).as("s_bc"))
+      .select(col("n_strata"), coalesce(col("n_used"), lit(0L)).as("n_used"),
+        coalesce(col("d"), lit(0L)).as("d_micro"),
+        expr("CAST(coalesce(v, CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("var_micro2"),
+        when(coalesce(col("v"), expr("CAST(0 AS DECIMAL(38,0))")) ===
+            expr("CAST(0 AS DECIMAL(38,0))"), lit(-1L))
+          .otherwise(expr(
+            """CAST(round(1e6 * CAST(CAST(greatest(CAST(0 AS BIGINT),
+              |    abs(d) - 500000) AS DECIMAL(38,0))
+              |    * greatest(CAST(0 AS BIGINT), abs(d) - 500000)
+              |    AS DOUBLE)
+              |  / CAST(v AS DOUBLE)) AS BIGINT)""".stripMargin))
+          .as("cmh_micro"),
+        when(coalesce(col("s_bc"), lit(0L)) === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST(round(1e6 * CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE))" +
+              " AS BIGINT)"))
+          .as("or_mh_micro"))
+  }
+
   /** JACKKNIFE standard error of a per-group RATIO metric
     * R = Σnum/Σden (CTR, ARPU, tokens-per-doc — the metrics whose
     * naive per-row variance is WRONG because numerator and denominator

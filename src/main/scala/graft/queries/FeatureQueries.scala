@@ -926,6 +926,70 @@ object FeatureQueries {
         "aggregation: each pseudo-estimate is ONE deterministic f64 " +
         "divide rounded to micro, the SE one final sqrt (q227 " +
         "convention); sentinels for n<2 / zero leave-one-out " +
-        "denominators")
+        "denominators"),
+
+    // --------------- stats: Cochran-Mantel-Haenszel stratified 2x2
+    "q244_cmh_test" -> Q(
+      (s, dir) =>
+        FeatureEng.cmhTest(
+          Tables.events(s, dir)
+            .withColumn("arm",
+              conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint") % 2)
+            .withColumn("hit", (col("value") >= 500.0).cast("bigint")),
+          "event_type", "arm", "hit"),
+      Some(s"""WITH e AS (SELECT event_type AS st,
+             |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS arm,
+             |    CASE WHEN value >= 500 THEN 1 ELSE 0 END AS outc
+             |  FROM events),
+             |cell AS (SELECT st, count(*) AS t, sum(arm) AS n1,
+             |    sum(outc) AS m1, sum(arm * outc) AS a
+             |  FROM e GROUP BY 1),
+             |term AS (SELECT *,
+             |    CASE WHEN t >= 2 THEN 1 ELSE 0 END AS ok,
+             |    CASE WHEN t >= 2 THEN
+             |      CAST(round(1e6 * (n1::DOUBLE * m1) / t) AS BIGINT)
+             |      ELSE 0 END AS e_micro,
+             |    CASE WHEN t >= 2 THEN
+             |      CAST(round(1e12 * CAST(n1::HUGEINT * (t - n1) * m1
+             |          * (t - m1) AS DOUBLE)
+             |        / CAST(t::HUGEINT * t * (t - 1) AS DOUBLE)) AS HUGEINT)
+             |      ELSE 0 END AS v_micro2,
+             |    CASE WHEN t >= 2 THEN
+             |      CAST(round(1e6 * (a::DOUBLE * (t - n1 - m1 + a)) / t)
+             |        AS BIGINT) ELSE 0 END AS ad_micro,
+             |    CASE WHEN t >= 2 THEN
+             |      CAST(round(1e6 * ((n1 - a)::DOUBLE * (m1 - a)) / t)
+             |        AS BIGINT) ELSE 0 END AS bc_micro
+             |  FROM cell),
+             |agg AS (SELECT count(*) AS n_strata,
+             |    COALESCE(sum(ok), 0) AS n_used,
+             |    COALESCE(sum(CASE WHEN ok = 1
+             |      THEN 1000000 * a - e_micro ELSE 0 END), 0) AS d,
+             |    COALESCE(sum(v_micro2), 0) AS v,
+             |    COALESCE(sum(ad_micro), 0) AS s_ad,
+             |    COALESCE(sum(bc_micro), 0) AS s_bc
+             |  FROM term)
+             |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+             |  CAST(n_used AS BIGINT) AS n_used,
+             |  CAST(d AS BIGINT) AS d_micro, CAST(v AS BIGINT) AS var_micro2,
+             |  CAST(CASE WHEN v = 0 THEN -1
+             |    ELSE CAST(round(1e6
+             |      * CAST(greatest(0, abs(d) - 500000)::HUGEINT
+             |        * greatest(0, abs(d) - 500000) AS DOUBLE)
+             |      / CAST(v AS DOUBLE)) AS BIGINT) END AS BIGINT)
+             |    AS cmh_micro,
+             |  CAST(CASE WHEN s_bc = 0 THEN -1
+             |    ELSE CAST(round(1e6 * CAST(s_ad AS DOUBLE)
+             |      / CAST(s_bc AS DOUBLE)) AS BIGINT) END AS BIGINT)
+             |    AS or_mh_micro
+             |FROM agg""".stripMargin),
+      "Cochran-Mantel-Haenszel stratified 2x2 test over the md5-armed " +
+        "pseudo-experiment (outcome = value >= 500, strata = event " +
+        "type): continuity-corrected chi-square and the MH pooled odds " +
+        "ratio, per-stratum expected/variance/odds terms micro-rounded " +
+        "with ONE deterministic f64 divide each — the proportions " +
+        "companion of q222 that survives Simpson's-paradox composition; " +
+        "one stratum aggregation then strata-bounded reduction")
   )
 }

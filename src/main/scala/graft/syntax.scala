@@ -457,5 +457,10 @@ object syntax {
     def jackknifeRatio(groupCol: String, numCol: String,
         denCol: String): DataFrame =
       graft.operators.FeatureEng.jackknifeRatio(df, groupCol, numCol, denCol)
+
+    /** Cochran–Mantel–Haenszel stratified 2×2 test (0/1 arm + outcome). */
+    def cmhTest(stratumCol: String, armCol: String,
+        outcomeCol: String): DataFrame =
+      graft.operators.FeatureEng.cmhTest(df, stratumCol, armCol, outcomeCol)
   }
 }

@@ -550,6 +550,49 @@ class FeatureEngSpec extends SparkSpec {
     assert(oneArm.getLong(5) === -2000000L && oneArm.getLong(6) === -2000000L)
   }
 
+  test("cmhTest: driver replica agreement on a two-stratum table, " +
+      "single-row strata excluded, degenerate outcome and odds " +
+      "denominators hit sentinels, determinism") {
+    import spark.implicits._
+    // stratum A: arm1 9/12 hits, arm0 3/10; stratum B: arm1 2/8, arm0 4/9
+    def block(st: String, arm: Long, hits: Int, total: Int) =
+      (0 until total).map(i => (st, arm, if (i < hits) 1L else 0L))
+    val rows = (block("A", 1L, 9, 12) ++ block("A", 0L, 3, 10) ++
+      block("B", 1L, 2, 8) ++ block("B", 0L, 4, 9) ++
+      Seq(("solo", 1L, 1L)))                        // T = 1 -> excluded
+      .toDF("st", "arm", "hit")
+    // replica mirroring the operator's per-stratum rounding
+    case class S(t: Long, n1: Long, m1: Long, a: Long)
+    val strata = Seq(S(22, 12, 12, 9), S(17, 8, 6, 2))
+    def rnd(x: Double) = math.round(x)
+    val d = strata.map(s => 1000000L * s.a -
+      rnd(1e6 * (s.n1.toDouble * s.m1) / s.t)).sum
+    val v = strata.map(s => rnd(1e12 *
+      (BigInt(s.n1) * (s.t - s.n1) * s.m1 * (s.t - s.m1)).toDouble /
+      (BigInt(s.t) * s.t * (s.t - 1)).toDouble)).sum
+    val sAd = strata.map(s => rnd(1e6 *
+      (s.a.toDouble * (s.t - s.n1 - s.m1 + s.a)) / s.t)).sum
+    val sBc = strata.map(s => rnd(1e6 *
+      ((s.n1 - s.a).toDouble * (s.m1 - s.a)) / s.t)).sum
+    val dd = math.max(0L, math.abs(d) - 500000L)
+    val cmh = math.round(1e6 * (BigInt(dd) * dd).toDouble / v.toDouble)
+    val or = math.round(1e6 * sAd.toDouble / sBc.toDouble)
+    val got = FeatureEng.cmhTest(rows, "st", "arm", "hit").collect().head
+    assert(got.toSeq === Seq(3L, 2L, d, v, cmh, or))
+    // all-miss outcome: m1 = 0 everywhere -> V = 0 -> chi sentinel; and
+    // a perfect separation zeroes every b*c term -> odds sentinel
+    val flat = FeatureEng.cmhTest(
+      rows.withColumn("hit", lit(0L)), "st", "arm", "hit").collect().head
+    assert(flat.getLong(4) === -1L)
+    val perfect = FeatureEng.cmhTest(
+      rows.withColumn("hit", col("arm")), "st", "arm", "hit")
+      .collect().head
+    assert(perfect.getLong(5) === -1L)
+    val again = FeatureEng.cmhTest(
+      rows.repartition(5), "st", "arm", "hit").collect().head
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("jackknifeRatio: constant ratio reads SE 0, the two-row hand case " +
       "reads SE exactly 1e6, zero leave-one-out denominators and " +
       "singletons hit sentinels, determinism") {
