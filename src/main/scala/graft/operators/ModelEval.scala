@@ -1216,4 +1216,51 @@ object ModelEval {
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * cmin) DIV n AS BIGINT)"))
           .as("min_share_ppm"))
   }
+
+  /** McNEMAR PAIRED test — "is filter/model B actually better than A on
+    * the SAME examples?" (comparing two accuracies computed on one eval
+    * set ignores the pairing; only the DISCORDANT examples carry
+    * evidence). Input: two 0/1 correctness indicator columns. One row:
+    * per-model accuracies in exact ppm, the discordant counts b (A
+    * right, B wrong) and c (A wrong, B right), and the continuity-
+    * corrected statistic
+    *
+    *   mcnemar_micro = round(10⁶·(|b−c|−1)₊² / (b+c))   (χ²₁),
+    *
+    * −1 sentinel when b+c = 0 (no discordance — the models are
+    * indistinguishable on this set). Exactness: counts are exact, the
+    * statistic is ONE f64 divide of exact integers rounded to micro
+    * (q227 convention); accuracies are toward-zero ppm divisions.
+    *
+    * Scale shape: ONE aggregation over the eval frame — map-side
+    * combined counts, no joins, no windows, nothing driver-side.
+    */
+  def mcnemarTest(
+      df: DataFrame, correctACol: String, correctBCol: String): DataFrame =
+    df.select(col(correctACol).cast("bigint").as("ca"),
+        col(correctBCol).cast("bigint").as("cb"))
+      .agg(count(lit(1)).as("n"), sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"),
+        sum(col("ca") * (lit(1L) - col("cb"))).as("b"),
+        sum((lit(1L) - col("ca")) * col("cb")).as("c"))
+      .select(col("n"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * na DIV n AS BIGINT)"))
+          .as("acc_a_ppm"),
+        when(col("n") === 0L, lit(-1L))
+          .otherwise(expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * nb DIV n AS BIGINT)"))
+          .as("acc_b_ppm"),
+        coalesce(col("b"), lit(0L)).as("b"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        when(coalesce(col("b"), lit(0L)) + coalesce(col("c"), lit(0L))
+            === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST(round(1e6
+              |  * CAST(CAST(greatest(CAST(0 AS BIGINT), abs(b - c) - 1)
+              |      AS DECIMAL(38,0))
+              |    * greatest(CAST(0 AS BIGINT), abs(b - c) - 1) AS DOUBLE)
+              |  / CAST(b + c AS DOUBLE)) AS BIGINT)""".stripMargin))
+          .as("mcnemar_micro"))
 }

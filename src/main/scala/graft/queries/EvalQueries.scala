@@ -1256,6 +1256,62 @@ object EvalQueries {
         "L2 shift, and both norms — the retrain monitor that says when ANN " +
         "indexes and centroid routers are stale; per snapshot one " +
         "(label, dim) aggregation then a dim-bounded per-label assembly, " +
-        "nothing driver-side")
+        "nothing driver-side"),
+
+    // ------------------------ eval: McNemar paired classifier test
+    "q245_mcnemar" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .withColumn("is_en", (col("lang") === "en").cast("bigint"))
+          .withColumn("pred_a",
+            array_contains(graft.functions.TextFunctions.tokens(col("text")),
+              "the").cast("bigint"))
+          .withColumn("pred_b",
+            (graft.functions.TextFunctions.tokenCount(col("text")) >= 40)
+              .cast("bigint"))
+        graft.operators.ModelEval.mcnemarTest(
+          docs
+            .withColumn("ok_a",
+              (col("pred_a") === col("is_en")).cast("bigint"))
+            .withColumn("ok_b",
+              (col("pred_b") === col("is_en")).cast("bigint")),
+          "ok_a", "ok_b")
+      },
+      Some("""WITH d AS (SELECT
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             |    CASE WHEN list_contains(list_filter(
+             |        regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        t -> len(t) > 0), 'the') THEN 1 ELSE 0 END AS pred_a,
+             |    CASE WHEN len(list_filter(
+             |        regexp_split_to_array(trim(lower(text)), '\s+'),
+             |        t -> len(t) > 0)) >= 40 THEN 1 ELSE 0 END AS pred_b
+             |  FROM documents),
+             |k AS (SELECT
+             |    CASE WHEN pred_a = is_en THEN 1 ELSE 0 END AS ca,
+             |    CASE WHEN pred_b = is_en THEN 1 ELSE 0 END AS cb
+             |  FROM d),
+             |m AS (SELECT count(*) AS n, sum(ca) AS na, sum(cb) AS nb,
+             |    sum(ca * (1 - cb)) AS b, sum((1 - ca) * cb) AS c
+             |  FROM k)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * na) // n END AS BIGINT) AS acc_a_ppm,
+             |  CAST(CASE WHEN n = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * nb) // n END AS BIGINT) AS acc_b_ppm,
+             |  CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+             |  CAST(CASE WHEN b + c = 0 THEN -1
+             |    ELSE CAST(round(1e6
+             |      * CAST(greatest(0, abs(b - c) - 1)::HUGEINT
+             |        * greatest(0, abs(b - c) - 1) AS DOUBLE)
+             |      / CAST(b + c AS DOUBLE)) AS BIGINT) END AS BIGINT)
+             |    AS mcnemar_micro
+             |FROM m""".stripMargin),
+      "McNemar paired test of two deterministic language filters " +
+        "(contains-'the' vs length>=40 tokens) against the lang='en' " +
+        "label on the SAME documents — comparing accuracies alone " +
+        "ignores the pairing; only discordant docs carry evidence: " +
+        "continuity-corrected chi-square from exact counts, ONE f64 " +
+        "divide (q227 convention); a single map-side-combined " +
+        "aggregation over the eval frame")
   )
 }

@@ -462,5 +462,9 @@ object syntax {
     def cmhTest(stratumCol: String, armCol: String,
         outcomeCol: String): DataFrame =
       graft.operators.FeatureEng.cmhTest(df, stratumCol, armCol, outcomeCol)
+
+    /** McNemar paired test of two 0/1 correctness indicator columns. */
+    def mcnemarTest(correctACol: String, correctBCol: String): DataFrame =
+      graft.operators.ModelEval.mcnemarTest(df, correctACol, correctBCol)
   }
 }

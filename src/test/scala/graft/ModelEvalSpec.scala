@@ -835,4 +835,26 @@ class ModelEvalSpec extends SparkSpec {
     }
     assert(msgs(e).exists(_.contains("bhFdr")))
   }
+
+  test("mcnemarTest: hand discordant counts, concordant-only sentinel, " +
+      "empty-frame sentinels, determinism") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)((1L, 1L)) ++ Seq.fill(3)((1L, 0L)) ++
+      Seq((0L, 1L)) ++ Seq.fill(2)((0L, 0L))).toDF("ok_a", "ok_b")
+    val got = graft.operators.ModelEval.mcnemarTest(rows, "ok_a", "ok_b")
+      .collect().head
+    // n=11, na=8, nb=6, b=3, c=1 -> stat = (|2|-1)^2/4 = 250000 micro
+    assert(got.toSeq === Seq(11L, 727272L, 545454L, 3L, 1L, 250000L))
+    val conc = graft.operators.ModelEval.mcnemarTest(
+      Seq((1L, 1L), (0L, 0L)).toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .collect().head
+    assert(conc.getLong(5) === -1L)
+    val empty = graft.operators.ModelEval.mcnemarTest(
+      Seq.empty[(Long, Long)].toDF("ok_a", "ok_b"), "ok_a", "ok_b")
+      .collect().head
+    assert(empty.toSeq === Seq(0L, -1L, -1L, 0L, 0L, -1L))
+    val again = graft.operators.ModelEval.mcnemarTest(
+      rows.repartition(5), "ok_a", "ok_b").collect().head
+    assert(again.toSeq === got.toSeq)
+  }
 }
