@@ -14,6 +14,16 @@ import graft.functions.{TextFunctions => T}
   */
 object DataPrep {
 
+  /** `CAST(round(v * 1e6) AS BIGINT)` built with the Column API — the
+    * standard HALF_UP micro-quantization every histogram/stat operator
+    * uses, expressed without interpolating caller column names into
+    * `expr()` SQL (a name needing backticks would fail to parse or
+    * evaluate as an unintended expression). Bit-identical to the SQL
+    * form: same `round` (HALF_UP), same double literal, same cast.
+    */
+  private[graft] def micro(c: Column): Column =
+    round(c * lit(1e6)).cast("bigint")
+
   /** Deterministic train/test assignment by content-independent id hash:
     * bucket = first 4 hex chars of md5(id), split = train iff bucket is
     * below `trainBps`/10000 of the 16^4 bucket space. Properties that
@@ -551,8 +561,8 @@ object DataPrep {
     val spark = df.sparkSession
     import spark.implicits._
     val vw = df.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"),
-        expr(s"CAST(round($weightCol * 1e6) AS BIGINT)").as("wm"))
+        micro(col(valueCol)).as("vm"),
+        micro(col(weightCol)).as("wm"))
       .filter(col("wm") > 0L)
       .groupBy(col("grp"), col("vm")).agg(sum(col("wm")).as("w"))
     val cum = vw
@@ -602,7 +612,7 @@ object DataPrep {
   def valueHistogram(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("vm"))
+        micro(col(valueCol)).as("vm"))
       .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
 
   def lorenzCurve(

@@ -745,7 +745,7 @@ object EventAnalytics {
     events
       .select(col(groupCol).as("grp"),
         date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+        DataPrep.micro(col(valueCol)).as("xm"))
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
       .withColumn("dm", expr("ds DIV dc"))
@@ -992,8 +992,16 @@ object EventAnalytics {
       val den = detExpansion(k, (i, j) => s"d${math.abs(i - j)}")
       val num = detExpansion(k,
         (i, j) => if (j == k - 1) s"d${i + 1}" else s"d${math.abs(i - j)}")
+      // a constant series reaches here as acfFromDaily's -10⁶ sentinel;
+      // feeding that into the determinants as a literal ρ = -1 would
+      // yield plausible-looking but meaningless PACF values, so any
+      // sentinel ACF among r₁..r_k maps to the -2·10⁶ out-of-range
+      // sentinel. NULL r (series shorter than the lag) still falls
+      // through to a NULL ratio → row dropped, as documented.
+      val sentinel = (1 to k).map(l => s"r$l = -1000000").mkString(" OR ")
       expr(
-        s"""CASE WHEN ($den) = 0 THEN CAST(-2000000 AS BIGINT)
+        s"""CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
+           | WHEN ($den) = 0 THEN CAST(-2000000 AS BIGINT)
            | ELSE CAST(round(1e6 * CAST(($num) AS DOUBLE)
            |   / CAST(($den) AS DOUBLE)) AS BIGINT) END""".stripMargin)
         .as(s"p$k")

@@ -340,9 +340,12 @@ object FeatureEng {
       ref: DataFrame, cur: DataFrame, groupCol: String, valueCol: String,
       binWidthMicro: Long): DataFrame = {
     require(binWidthMicro > 0, "binWidthMicro must be positive")
+    // only the numeric bin width is interpolated into expr(); the caller's
+    // column name goes through the Column API (DataPrep.micro)
     def binned(df: DataFrame, cnt: String) = df
+      .withColumn("__vm", DataPrep.micro(col(valueCol)))
       .select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT) DIV $binWidthMicro").as("bin"))
+        expr(s"__vm DIV $binWidthMicro").as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as(cnt))
     val merged = binned(ref, "c").join(binned(cur, "d"), Seq("grp", "bin"), "full_outer")
       .select(col("grp"), col("bin"),
@@ -385,8 +388,9 @@ object FeatureEng {
       ref: DataFrame, groupCol: String, valueCol: String,
       binWidthMicro: Long): DataFrame = {
     require(binWidthMicro > 0, "binWidthMicro must be positive")
-    ref.select(col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT) DIV $binWidthMicro").as("bin"))
+    ref.withColumn("__vm", DataPrep.micro(col(valueCol)))
+      .select(col(groupCol).as("grp"),
+        expr(s"__vm DIV $binWidthMicro").as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
   }
 
@@ -520,8 +524,10 @@ object FeatureEng {
       events: DataFrame, groupCol: String, tsCol: String, valueCol: String,
       idCol: String, bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
-    val bucketed = events.select(col(groupCol).as("grp"),
-        expr(s"CAST($tsCol AS BIGINT) DIV $bucketMicros").as("bucket"),
+    val bucketed = events
+      .withColumn("__ts", col(tsCol).cast("bigint"))
+      .select(col(groupCol).as("grp"),
+        expr(s"__ts DIV $bucketMicros").as("bucket"),
         struct(col(tsCol).cast("bigint").as("tsu"),
           col(idCol).cast("bigint").as("id"),
           round(col(valueCol) * lit(1e6)).cast("bigint").as("vm")).as("obs"))
@@ -777,7 +783,8 @@ object FeatureEng {
     require(maxLag >= 0 && maxLag <= 10000, "maxLag in [0, 10000]")
     def series(t: String) = events
       .filter(col(typeCol) === t)
-      .select(expr(s"CAST($tsCol AS BIGINT) DIV $bucketMicros").as("bucket"))
+      .withColumn("__ts", col(tsCol).cast("bigint"))
+      .select(expr(s"__ts DIV $bucketMicros").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val lagged = series(typeA)
       .select(col("bucket"), col("cnt").as("cnt_a"),
@@ -818,7 +825,7 @@ object FeatureEng {
       valueCol: String): DataFrame = {
     val cell = df
       .select(col(stratumCol).as("s"), col(armCol).cast("bigint").as("arm"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("ym"))
+        DataPrep.micro(col(valueCol)).as("ym"))
       .groupBy(col("s"))
       .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
         sum(when(col("arm") === 0L, col("ym")).otherwise(0L)).as("s0"),
@@ -952,8 +959,8 @@ object FeatureEng {
       df: DataFrame, groupCol: String, numCol: String,
       denCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("grp"),
-      expr(s"CAST(round($numCol * 1e6) AS BIGINT)").as("nm"),
-      expr(s"CAST(round($denCol * 1e6) AS BIGINT)").as("dm"))
+      DataPrep.micro(col(numCol)).as("nm"),
+      DataPrep.micro(col(denCol)).as("dm"))
     val tot = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("nm")).as("sn"),
         sum(col("dm")).as("sd"))
@@ -1009,8 +1016,8 @@ object FeatureEng {
       df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("grp"),
-      expr(s"CAST(round($xCol * 1e6) AS BIGINT)").as("xm"),
-      expr(s"CAST(round($yCol * 1e6) AS BIGINT)").as("ym"))
+      DataPrep.micro(col(xCol)).as("xm"),
+      DataPrep.micro(col(yCol)).as("ym"))
     val ranked = base
       .withColumn("rx", rank().over(
         Window.partitionBy(col("grp")).orderBy(col("xm"))))

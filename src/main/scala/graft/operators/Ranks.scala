@@ -105,8 +105,15 @@ object Ranks {
     val offsets = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(offsetRows).asJava), offSchema)
+    // Null-safe (<=>) on the group columns: a plain USING join would
+    // silently drop rows whose group-key value is NULL (null = null is
+    // never true), vanishing whole null groups from the ranked output.
+    val joinCond = grpCols
+      .map(c => tagged(c) <=> offsets(c))
+      .foldLeft(tagged("__pid") === offsets("__pid"))(_ && _)
     val ranked = tagged
-      .join(broadcast(offsets), Seq("__pid") ++ grpCols)
+      .join(broadcast(offsets), joinCond)
+      .select(tagged.columns.map(tagged(_)) :+ offsets("__base"): _*)
       .withColumn(rankCol, col("__mid") + col("__base"))
       .drop("__mid", "__pid", "__base")
     (ranked, total)

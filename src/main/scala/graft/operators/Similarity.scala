@@ -875,7 +875,11 @@ object Similarity {
     * failure, where cosine similarity stops discriminating). Exact
     * integers on the repo's micro grid:
     *
-    *   μ_d   = (Σ xq_d) DIV n                  (floor per dimension)
+    *   μ_d   = (Σ xq_d) DIV n                  (toward-zero per dimension;
+    *           NOT floor — differs for negative coordinate sums. This is
+    *           deliberately the decimal-DIV convention, unlike
+    *           centroidDrift's true floorDiv; both engines agree either
+    *           way, the doc just names the convention honestly.)
     *   mean‖x‖² = (Σ ‖xq‖²) DIV n              (micro² units)
     *   anisotropy_ppm = (10⁶·‖μ‖²) DIV mean‖x‖²  (0 = perfectly centered,
     *                    10⁶ = all vectors identical)

@@ -1396,8 +1396,10 @@ object InsightQueries {
         val resArms = (1 to 5).map { k =>
           val dn = det(k, num = false)
           val nm = det(k, num = true)
+          val sentinel = (1 to k).map(l => s"r$l = -1000000").mkString(" OR ")
           s"""SELECT grp, CAST($k AS INT) AS lag,
-             |  CASE WHEN ($dn) = 0 THEN CAST(-2000000 AS BIGINT)
+             |  CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
+             |    WHEN ($dn) = 0 THEN CAST(-2000000 AS BIGINT)
              |    ELSE CAST(round(1e6 * CAST(($nm) AS DOUBLE)
              |      / CAST(($dn) AS DOUBLE)) AS BIGINT) END AS pacf_micro
              |FROM wd""".stripMargin
@@ -1428,7 +1430,8 @@ object InsightQueries {
            |    ${(1 to 5).map(l => s"max(CASE WHEN lag = $l THEN a END) AS r$l").mkString(", ")}
            |  FROM av GROUP BY 1),
            |wd AS (SELECT grp, 1000000::HUGEINT AS d0,
-           |    ${(1 to 5).map(l => s"r$l::HUGEINT AS d$l").mkString(", ")}
+           |    ${(1 to 5).map(l => s"r$l::HUGEINT AS d$l").mkString(", ")},
+           |    ${(1 to 5).map(l => s"r$l").mkString(", ")}
            |  FROM pv),
            |res AS ($resArms)
            |SELECT grp, lag, pacf_micro FROM res

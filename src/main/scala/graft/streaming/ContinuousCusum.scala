@@ -36,6 +36,13 @@ object ContinuousCusum {
   /** Shared batch fold: sort (ord, seq), fold rows above the high-water
     * mark with the literal [[CusumFunctions.step]], return the new state
     * iff anything folded.
+    *
+    * CONTRACT: (ord, seq) must be UNIQUE per key. The high-water mark is
+    * a strict comparison, so a duplicate (ord, seq) arriving in the SAME
+    * micro-batch folds once here but twice in [[batchOracle]] / the batch
+    * UDAF — the replay-prefix equivalence holds only for unique keys.
+    * Producers get uniqueness for free from a monotone per-key sequence
+    * (the specs assert it on their generated corpora).
     */
   def foldBatch(
       prev: St, rows: Iterator[Sample],

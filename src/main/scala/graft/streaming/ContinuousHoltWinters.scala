@@ -33,6 +33,12 @@ object ContinuousHoltWinters {
   /** Shared batch fold: sort (ts, seq), step rows above the high-water
     * mark with the SHARED [[HoltFunctions.wintersStep]], return the new
     * state iff anything folded.
+    *
+    * CONTRACT: (ts, seq) must be UNIQUE per key — the high-water mark is
+    * strict, so a duplicate (ts, seq) in one micro-batch folds once here
+    * but twice in the batch fold (same contract as
+    * [[ContinuousCusum.foldBatch]]; the specs assert uniqueness on their
+    * generated corpora).
     */
   def foldBatch(
       prev: HwState, rows: Iterator[Sample],

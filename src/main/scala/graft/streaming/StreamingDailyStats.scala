@@ -36,7 +36,7 @@ object StreamingDailyStats {
     val base = watermark.fold(events)(events.withWatermark(tsCol, _))
     base
       .select(col(groupCol).as("grp"), col(tsCol).as("__ts"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT)").as("xm"))
+        graft.operators.DataPrep.micro(col(valueCol)).as("xm"))
       .groupBy(window(col("__ts"), "1 day").as("win"), col("grp"))
       .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
       .select(col("grp"),

@@ -40,10 +40,11 @@ object StreamingDrift {
       binWidthMicro: Long): DataFrame = {
     require(binWidthMicro > 0, "binWidthMicro must be positive")
     events
+      .withColumn("__vm", graft.operators.DataPrep.micro(col(valueCol)))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDuration).as("win"),
         col(groupCol).as("grp"),
-        expr(s"CAST(round($valueCol * 1e6) AS BIGINT) DIV $binWidthMicro").as("bin"))
+        expr(s"__vm DIV $binWidthMicro").as("bin"))
       .agg(count(lit(1)).as("d"))
       .select(unix_micros(col("win.start")).as("win_start_us"),
         col("grp"), col("bin"), col("d"))

@@ -31,6 +31,9 @@ class ContinuousHoltSpec extends SparkSpec {
     val samples = (1 to 300).map { i =>
       Sample(key = s"k${i % 3}", ts = i.toLong, seq = i.toLong, price = (i % 17) * 1.25 + 1)
     }
+    // foldBatch contract: (ts, seq) unique per key (strict high-water mark)
+    assert(samples.map(s => (s.key, s.ts, s.seq)).distinct.size ===
+      samples.size)
     val dir = Files.createTempDirectory("graft-holt-").toString
     samples.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
       spark.createDataset(chunk).coalesce(1).write.parquet(s"$dir/part_$i")

@@ -87,6 +87,9 @@ class CusumSpec extends SparkSpec {
       Sample(key = s"k${i % 3}", ord = f"t$i%04d", seq = i.toLong,
         dev_micro = ((i % 23) - 11).toLong * 1000000L)
     }
+    // foldBatch contract: (ord, seq) unique per key (strict high-water mark)
+    assert(samples.map(s => (s.key, s.ord, s.seq)).distinct.size ===
+      samples.size)
     val dir = Files.createTempDirectory("graft-cusum-").toString
     samples.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
       spark.createDataset(chunk).coalesce(1).write.parquet(s"$dir/part_$i")

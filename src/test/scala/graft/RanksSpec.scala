@@ -65,6 +65,22 @@ class RanksSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("offsetRank grouped variant keeps NULL-key groups (null-safe join)") {
+    // a null group key must form its own group, not vanish from the output
+    val df = Seq((Option("a"), 1L, 30L), (Option("a"), 2L, 10L),
+      (Option.empty[String], 3L, 20L), (Option.empty[String], 4L, 2L),
+      (Option("b"), 5L, 1L)).toDF("g", "id", "v")
+    val (got, total) = Ranks.offsetRank(df, Seq("g"), Seq("v", "id"), "rnk")
+    assert(total === 5L)
+    val rows = got.collect()
+    assert(rows.length === 5, "null-group rows must survive the offset join")
+    val exp = df.withColumn("expected",
+      row_number().over(Window.partitionBy("g").orderBy("v", "id")))
+    assert(got.join(exp, got("id") === exp("id"))
+      .filter(col("rnk") =!= col("expected").cast("bigint")).count() === 0L)
+    Dedup.releaseCaches()
+  }
+
   test("offsetRank guards the (partition × group) driver-state bound") {
     val wide = spark.range(0, 70000).select(col("id").as("g"), col("id"))
     val e = intercept[IllegalArgumentException] {

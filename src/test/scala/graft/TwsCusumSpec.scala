@@ -20,6 +20,9 @@ class TwsCusumSpec extends SparkSpec {
       Sample(key = s"k${i % 2}", ord = f"t$i%04d", seq = i.toLong,
         dev_micro = ((i % 19) - 9).toLong * 1000000L)
     }
+    // foldBatch contract: (ord, seq) unique per key (strict high-water mark)
+    assert(samples.map(s => (s.key, s.ord, s.seq)).distinct.size ==
+      samples.size)
     val dir = Files.createTempDirectory("graft-twscusum-").toString
     samples.grouped(80).zipWithIndex.foreach { case (chunk, i) =>
       spark.createDataset(chunk)(Encoders.product[Sample])

@@ -21,6 +21,9 @@ class TwsHoltWintersSpec extends SparkSpec {
       Sample(key = s"k${i % 2}", ts = i.toLong, seq = i.toLong,
         price = Seq(3.0, 9.0, 6.0, 15.0, 1.0)(i % period) + i * 0.02)
     }
+    // foldBatch contract: (ts, seq) unique per key (strict high-water mark)
+    assert(samples.map(s => (s.key, s.ts, s.seq)).distinct.size ==
+      samples.size)
     val dir = Files.createTempDirectory("graft-twshw-").toString
     samples.grouped(90).zipWithIndex.foreach { case (chunk, i) =>
       spark.createDataset(chunk)(Encoders.product[Sample])
