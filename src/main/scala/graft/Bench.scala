@@ -43,7 +43,7 @@ object Bench {
       // clear ALL cached plans so suite-order interference (q57/q83/q31
       // showed 2-3x bench-vs-standalone variance in r7) can't leak one
       // query's persisted state into the next one's timing
-      graft.operators.Dedup.releaseCaches()
+      graft.operators.Dedup.releaseAllCaches()
       spark.catalog.clearCache()
       // untimed GC every 16 queries (plus the periodicGC conf above): the
       // explicit call lets ContextCleaner drain even when the 2-min timer
@@ -270,7 +270,7 @@ object Bench {
           // naiveBayesTrain persistTracks its (class, term) count frame;
           // the per-query release at the registry loop ran before this
           // block, so free it here or it pins memory for the whole run
-          graft.operators.Dedup.releaseCaches()
+          graft.operators.Dedup.releaseAllCaches()
         }
       } catch { case e: Throwable =>
         errors += "pipeline_routing"

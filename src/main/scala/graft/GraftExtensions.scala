@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftvec.{TextExprs, VectorExprs}
+import org.apache.spark.sql.graftvec.{FilterExprs, TextExprs, VectorExprs}
 
 /** SparkSessionExtensions entry point registering the engine's custom
   * codegen expressions as SQL functions, so `spark.sql(...)` users get the
@@ -11,8 +11,16 @@ import org.apache.spark.sql.graftvec.{TextExprs, VectorExprs}
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  *   SELECT vec_dot(a, b), vec_norm(a), minhash_sig(hashes, 64),
-  *          simhash64(hashes), shingle_hashes(hashes, 5)
+  *   SELECT vec_dot(a, b), vec_norm(a), sign_lsh(a, 16),
+  *          minhash_sig(hashes, 64), simhash64(hashes),
+  *          shingle_hashes(hashes, 5), md5_hashes(strs),
+  *          char_gram_md5(s, 3, 2), stopword_hits(toks, 'the,a|le,la'),
+  *          text_normalize(s, 'NFKC', true),
+  *          bloom_shingle_hits(toks, filter_words, 4096, 2, 5)
+  *
+  * (the xxhash64-shingle chain composes from SQL as
+  * `shingle_hashes(transform(toks, t -> xxhash64(t)), k)` — pinned in
+  * ExtensionsSpec.)
   *
   * No custom Rule/SparkStrategy is registered — the reference surface
   * needs none (SURVEY.md §4.2); expression-level extension is the whole
@@ -93,6 +101,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"strip_accents must be a boolean literal, got $other")
           })
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh"),
+      info("sign_lsh",
+        "sign_lsh(array<double>, bits) - sign-random-projection LSH signature (deterministic xxhash64 planes)"),
+      (args: Seq[Expression]) =>
+        VectorExprs.SignLsh(args(0), intLit(args(1), "signature bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_gram_md5"),
+      info("char_gram_md5",
+        "char_gram_md5(str, gram_len, stride) - md5 hex of each character n-gram at the given stride"),
+      (args: Seq[Expression]) =>
+        TextExprs.CharGramMd5(args(0), intLit(args(1), "gram length"),
+          intLit(args(2), "stride"))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_shingle_hits"),
+      info("bloom_shingle_hits",
+        "bloom_shingle_hits(tokens, filter_words, m_bits, k_hashes, shingle_k) - " +
+          "distinct word-k-shingle count hitting a portable md5 bloom filter " +
+          "(filter as a foldable array<long> of 32-bit words)"),
+      (args: Seq[Expression]) => {
+        if (args.length != 5) throw new IllegalArgumentException(
+          "bloom_shingle_hits requires exactly 5 arguments " +
+            s"(tokens, filter_words, m_bits, k_hashes, shingle_k), got ${args.length}")
+        // the filter must be known at plan time (it is broadcast into the
+        // generated code as a constant array, same as the Column API path)
+        val words = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+            case other => throw new IllegalArgumentException(
+              s"filter_words must evaluate to array<long>, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"filter_words must be a foldable array<long> expression, got $other")
+        }
+        FilterExprs.BloomShingleHitCountMd5(args(0), words,
+          intLit(args(2), "m_bits"), intLit(args(3), "k_hashes"),
+          intLit(args(4), "shingle_k"))
       }))
   }
 }

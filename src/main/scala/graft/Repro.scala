@@ -20,7 +20,7 @@ object Repro {
         val n = SparkEntry.queries(q)(spark, sf).count()
         println(f"TIME $q ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
       } catch { case e: Throwable => println(s"ERR $q: ${String.valueOf(e.getMessage).take(200)}") }
-      graft.operators.Dedup.releaseCaches(); spark.catalog.clearCache()
+      graft.operators.Dedup.releaseAllCaches(); spark.catalog.clearCache()
     }
     spark.stop()
   }

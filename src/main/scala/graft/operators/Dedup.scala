@@ -37,32 +37,70 @@ object Dedup {
     * call it once the pair frames have been consumed (Bench does so
     * after every query).
     *
-    * SCOPE CAVEAT: the registry is GLOBAL to the JVM, so concurrent
-    * pipelines in one session share it — a [[releaseCaches]] from one
-    * caller unpersists the other's still-live index (correctness is
-    * unaffected; the index silently rebuilds on next use). And because
-    * Spark cache identity is LOGICAL-PLAN-based, releaseCaches can also
-    * drop a caller's own persisted frame if it has the same plan as a
-    * registry entry (DedupSpec pins this). Callers that need scoped
-    * lifetimes should [[buildShingleIndex]] once, persist/WRITE it
-    * themselves (a written table has a new scan plan, immune to this),
-    * and use the `*FromIndex` variants, which never touch this
-    * registry — also the cheaper shape for running several dedup passes
-    * over one corpus (one scan, not one per operator).
+    * SCOPING: every persist registers under the ambient [[CacheScope]]
+    * (a thread-inheritable dynamic variable; default = a shared root
+    * scope). [[releaseCaches]] frees ONLY the current scope's entries,
+    * so two concurrent pipelines that each run inside their own
+    * [[inScope]] block cannot unpersist each other's indexes
+    * (DedupSpec pins this); [[releaseAllCaches]] is the global
+    * harness-teardown free. Two caveats remain Spark semantics, not
+    * registry semantics: (a) cache identity is LOGICAL-PLAN-based, so
+    * two pipelines persisting the SAME plan share one cache entry and
+    * either's release drops it for both (correctness unaffected — the
+    * index silently rebuilds on next use); (b) callers that need a
+    * lifetime the registry can't see should [[buildShingleIndex]] once,
+    * persist/WRITE it themselves (a written table has a new scan plan)
+    * and use the `*FromIndex` variants, which never touch this registry
+    * — also the cheaper shape for several dedup passes over one corpus.
     */
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  final class CacheScope
+
+  private val rootScope = new CacheScope
+  private val currentScope =
+    new scala.util.DynamicVariable[CacheScope](rootScope)
+
+  /** A fresh scope token for [[inScope]]. */
+  def newScope(): CacheScope = new CacheScope
+
+  /** Runs `f` with all tracked persists registered under `scope`, so a
+    * later `inScope(scope) { releaseCaches() }` (or
+    * [[releaseScope]]`(scope)`) frees exactly that pipeline's indexes.
+    * The dynamic variable is inherited by child threads, covering the
+    * per-partition tasks a pipeline spawns.
+    */
+  def inScope[T](scope: CacheScope)(f: => T): T =
+    currentScope.withValue(scope)(f)
+
+  private val trackedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[(CacheScope, DataFrame)]
 
   private[operators] def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedCaches += df
+    trackedCaches += ((currentScope.value, df))
     df
   }
 
-  /** Unpersist every shingle index cached by earlier dedup calls. Safe to
-    * call at any time: results computed afterwards just rebuild the index.
+  /** Unpersist the CURRENT scope's tracked indexes (the shared root
+    * scope when no [[inScope]] is active — the single-pipeline default).
+    * Safe to call at any time: results computed afterwards rebuild.
     */
-  def releaseCaches(): Unit = trackedCaches.synchronized {
-    trackedCaches.foreach(df => df.unpersist(blocking = false))
+  def releaseCaches(): Unit = releaseScope(currentScope.value)
+
+  /** Unpersist exactly `scope`'s tracked indexes, leaving other scopes'
+    * entries cached.
+    */
+  def releaseScope(scope: CacheScope): Unit = trackedCaches.synchronized {
+    val (mine, rest) = trackedCaches.partition(_._1 eq scope)
+    mine.foreach(_._2.unpersist(blocking = false))
+    trackedCaches.clear()
+    trackedCaches ++= rest
+  }
+
+  /** Unpersist EVERY tracked index regardless of scope — the bench /
+    * harness teardown free.
+    */
+  def releaseAllCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach(_._2.unpersist(blocking = false))
     trackedCaches.clear()
   }
 

@@ -482,6 +482,35 @@ object EventAnalytics {
     * DISTINCT durations (bounded by the time resolution, not user
     * count).
     */
+  /** Loud bound on the distinct duration-bucket count the KM / log-rank
+    * tables may carry. COST MODEL (why an unpartitioned window is OK
+    * here, and exactly how far): the `perT` frame has at most
+    * `(tmax − tmin) DIV bucketMicros + 1` rows — the calendar span of
+    * the corpus in buckets, NOT the user count — and its global-ORDER-BY
+    * windows sort that one frame on a single partition. 10⁶ rows of
+    * (t, counts) is a few tens of MB — trivially sortable — while any
+    * span beyond that means the caller picked a bucket width that turns
+    * the survival table into row-per-microsecond noise. The guard rides
+    * the broadcast censor row (zero extra jobs) and fails LOUDLY with
+    * the measured span instead of silently single-sorting an unbounded
+    * frame (the largestRemainder contract style).
+    */
+  private[operators] val MaxDurationBuckets = 1000000L
+
+  /** `(coalesce(t1, tmax) − t0) DIV bucketMicros`, guarded: raises with
+    * the measured span when the corpus's bucket span exceeds
+    * [[MaxDurationBuckets]]. Expects `t0, t1, tmax, tmin` in scope.
+    */
+  private def guardedBucket(op: String, bucketMicros: Long): Column = {
+    val span = expr(s"(tmax - tmin) DIV $bucketMicros")
+    when(span <= lit(MaxDurationBuckets),
+      expr(s"(coalesce(t1, tmax) - t0) DIV $bucketMicros"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: duration span "), span.cast("string"),
+        lit(s" buckets exceeds the $MaxDurationBuckets bound for the " +
+          "single-partition survival-table sort — coarsen bucketMicros"))))
+  }
+
   def kaplanMeier(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       entryType: String, eventType: String, bucketMicros: Long): DataFrame = {
@@ -494,11 +523,11 @@ object EventAnalytics {
       .join(entry, Seq("u"))
       .filter(col("tsu") >= col("t0"))
       .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
-    val censor = base.agg(max(col("tsu")).as("tmax"))
+    val censor = base.agg(max(col("tsu")).as("tmax"), min(col("tsu")).as("tmin"))
     val durations = entry.join(evt, Seq("u"), "left")
       .crossJoin(broadcast(censor))
       .select(col("u"),
-        expr(s"(coalesce(t1, tmax) - t0) DIV $bucketMicros").as("t"),
+        guardedBucket("kaplanMeier", bucketMicros).as("t"),
         col("t1").isNotNull.cast("bigint").as("observed"))
     val perT = durations.groupBy(col("t"))
       .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
@@ -613,11 +642,11 @@ object EventAnalytics {
       .join(entry.select(col("u"), col("t0")), Seq("u"))
       .filter(col("tsu") >= col("t0"))
       .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
-    val censor = base.agg(max(col("tsu")).as("tmax"))
+    val censor = base.agg(max(col("tsu")).as("tmax"), min(col("tsu")).as("tmin"))
     val durations = entry.join(evt, Seq("u"), "left")
       .crossJoin(broadcast(censor))
       .select(col("arm"),
-        expr(s"(coalesce(t1, tmax) - t0) DIV $bucketMicros").as("t"),
+        guardedBucket("logRankTest", bucketMicros).as("t"),
         col("t1").isNotNull.cast("bigint").as("observed"))
     val perT = durations.groupBy(col("t"))
       .agg(count(lit(1)).as("cnt"),
@@ -880,10 +909,14 @@ object EventAnalytics {
     * for [[graft.functions.HoltFunctions]]' Holt-Winters (the lag-7 spike
     * says "weekly"), validates [[stlDecompose]]'s residual whiteness, and
     * flags regime stickiness. Computed as the exact Pearson correlation
-    * over the (x_t, x_{t−ℓ}) pair set of each lag (the q135 convention:
-    * exact decimal moment sums, ONE f64 divide+sqrt at the very end
-    * rounded to micro; −10⁶ sentinel when either margin is constant).
-    * Lags with no pairs (series shorter than ℓ+1) emit no row.
+    * over the (x_t, x_{t−ℓ}) pair set of each lag (the q135 moment
+    * convention: exact decimal moment sums, ONE f64 divide+sqrt at the
+    * very end rounded to micro). A constant margin emits the −2·10⁶
+    * OUT-OF-RANGE sentinel — deliberately NOT q135's −10⁶, which a
+    * perfectly anti-correlated lag (e.g. an alternating series at odd
+    * lags) produces legitimately; [[pacfFromAcf]] consumes these values
+    * and must be able to tell the two apart. Lags with no pairs (series
+    * shorter than ℓ+1) emit no row.
     *
     * Scale shape: ONE group-partitioned window pass carries all `maxLag`
     * lag columns (no self-join), a `stack` unpivot turns them into
@@ -917,7 +950,7 @@ object EventAnalytics {
         sum(d("y") * d("y")).as("syy"))
       .select(col("grp"), col("lag"), col("n_pairs"),
         when(expr("n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0"),
-          lit(-1000000L))
+          lit(-2000000L))
           .otherwise(expr(
             """CAST(round(1e6 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
               |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
@@ -992,13 +1025,14 @@ object EventAnalytics {
       val den = detExpansion(k, (i, j) => s"d${math.abs(i - j)}")
       val num = detExpansion(k,
         (i, j) => if (j == k - 1) s"d${i + 1}" else s"d${math.abs(i - j)}")
-      // a constant series reaches here as acfFromDaily's -10⁶ sentinel;
-      // feeding that into the determinants as a literal ρ = -1 would
-      // yield plausible-looking but meaningless PACF values, so any
-      // sentinel ACF among r₁..r_k maps to the -2·10⁶ out-of-range
-      // sentinel. NULL r (series shorter than the lag) still falls
-      // through to a NULL ratio → row dropped, as documented.
-      val sentinel = (1 to k).map(l => s"r$l = -1000000").mkString(" OR ")
+      // a constant series reaches here as acfFromDaily's -2·10⁶
+      // OUT-OF-RANGE sentinel (deliberately distinct from a legitimate
+      // ρ = -1); feeding it into the determinants would yield
+      // plausible-looking but meaningless PACF values, so any sentinel
+      // ACF among r₁..r_k propagates as the same -2·10⁶ sentinel here.
+      // NULL r (series shorter than the lag) still falls through to a
+      // NULL ratio → row dropped, as documented.
+      val sentinel = (1 to k).map(l => s"r$l = -2000000").mkString(" OR ")
       expr(
         s"""CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
            | WHEN ($den) = 0 THEN CAST(-2000000 AS BIGINT)

@@ -247,9 +247,11 @@ object Similarity {
     *    vectors (the portable fold the brute-force baseline uses)
     *
     * Driver state is bounded by nClusters * dim longs per round (the
-    * centroid table — same driver footprint as any distributed KMeans);
-    * per round the corpus does one codegen'd scan of the persisted
-    * quantized frame plus one (cid, dim)-keyed aggregation.
+    * centroid table — same driver footprint as any distributed KMeans).
+    * Training runs over the [[TrainSampleSize]] md5-smallest vectors
+    * (one bounded top-n select, then `iters` scans of that cached
+    * ≤1024-row frame) — constant cost regardless of corpus size; only
+    * the final assignment pass scans the full corpus.
     */
   // --- shared integer-Lloyd machinery (kmeansIntTopK + EmbeddingCuration) ---
 
@@ -317,6 +319,32 @@ object Similarity {
     .orderBy(col("h"), col("vid")).limit(n)
     .collect().map(_.getSeq[Double](1).toArray)
 
+  /** Codebook-training sample bound: every Lloyd trainer learns its
+    * centroids/codebooks from the `TrainSampleSize` md5-smallest vectors
+    * instead of scanning the full corpus once per round. KMeans codebook
+    * quality saturates far below this sample size for the cluster counts
+    * the API allows (≤ 256), so at 100 TB the training loop costs a
+    * bounded top-n select + `iters` scans of a ≤1024-row cached frame —
+    * CONSTANT, not corpus-linear — while the assignment/encode/scan
+    * passes stay full-corpus and exact. The sample is a PREFIX of the
+    * same md5 total order [[seedVectors]] uses, so seeds are unchanged
+    * and a corpus with ≤ `TrainSampleSize` vectors trains bit-identically
+    * to the former full-corpus loop; larger corpora learn (equally valid,
+    * SQL-replayed) sampled codebooks.
+    */
+  private[operators] val TrainSampleSize = 1024
+
+  /** The md5-smallest [[TrainSampleSize]] rows of a [[quantized]] frame,
+    * persisted via the shared tracked cache (each Lloyd round rescans it;
+    * the top-n is a per-partition limit + merge, never a global sort).
+    */
+  private[operators] def trainingSample(e: DataFrame): DataFrame =
+    Dedup.persistTracked(
+      e.select(col("vid"), col("vq"), col("vv"),
+          md5(col("vid").cast("string")).as("__h"))
+        .orderBy(col("__h"), col("vid")).limit(TrainSampleSize)
+        .drop("__h"))
+
   /** One exact-integer Lloyd round: assignment + floorDiv means (empty
     * clusters keep their previous centroid). One corpus scan.
     */
@@ -337,8 +365,9 @@ object Similarity {
 
   private[operators] def trainIntCentroids(
       e: DataFrame, nClusters: Int, iters: Int): Array[Array[Double]] = {
-    var centroids = seedVectors(e, nClusters)
-    for (_ <- 1 to iters) centroids = coarseRound(e, centroids)
+    val tr = trainingSample(e)
+    var centroids = seedVectors(tr, nClusters)
+    for (_ <- 1 to iters) centroids = coarseRound(tr, centroids)
     centroids
   }
 
@@ -382,11 +411,12 @@ object Similarity {
     * gets its own `nCentroids`-entry integer-Lloyd codebook (same
     * fixed-point semantics as [[trainIntCentroids]]: smallest-md5 seeds,
     * exact integer assignment, floorDiv means, empty cells keep their
-    * previous centroid — fully SQL-replayable). Training is ONE corpus
-    * scan per iteration for ALL m codebooks: per-row assignment columns,
-    * then a single exploded (subspace, cid, dim) aggregation — never m
-    * scans. Codebooks are bounded driver state (nCentroids · dim longs
-    * total), broadcast back as literals.
+    * previous centroid — fully SQL-replayable). Training runs over the
+    * [[TrainSampleSize]] md5-smallest vectors, ONE sample scan per
+    * iteration for ALL m codebooks: per-row assignment columns, then a
+    * single exploded (subspace, cid, dim) aggregation — never m scans,
+    * never corpus-linear. Codebooks are bounded driver state
+    * (nCentroids · dim longs total), broadcast back as literals.
     */
   /** One exact-integer PQ round over all m subspaces — ONE corpus scan
     * (per-row assignment columns, then a single exploded (subspace, cid,
@@ -440,9 +470,10 @@ object Similarity {
   private[operators] def trainPqCodebooks(
       e: DataFrame, m: Int, nCentroids: Int,
       iters: Int): Array[Array[Array[Double]]] = {
-    val (books0, sub) = pqSeedBooks(seedVectors(e, nCentroids), m, nCentroids)
+    val tr = trainingSample(e)
+    val (books0, sub) = pqSeedBooks(seedVectors(tr, nCentroids), m, nCentroids)
     var books = books0
-    for (_ <- 1 to iters) books = pqRound(e, books, sub)
+    for (_ <- 1 to iters) books = pqRound(tr, books, sub)
     books
   }
 
@@ -459,12 +490,13 @@ object Similarity {
       e: DataFrame, nClusters: Int, coarseIters: Int, m: Int,
       nCentroids: Int, pqIters: Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val seeds = seedVectors(e, math.max(nClusters, nCentroids))
+    val tr = trainingSample(e)
+    val seeds = seedVectors(tr, math.max(nClusters, nCentroids))
     var centroids = seeds.take(nClusters)
     val (books0, sub) = pqSeedBooks(seeds, m, nCentroids)
     var books = books0
     for (_ <- 1 to math.min(coarseIters, pqIters)) {
-      val assigned = e.select(
+      val assigned = tr.select(
         col("vq") +:
           nearestCid(col("vq"), col("vv"), centroids).as("cidc") +:
           (0 until m).map { j =>
@@ -493,8 +525,8 @@ object Similarity {
       centroids = nextC
       books = nextB
     }
-    for (_ <- 1 to (coarseIters - pqIters)) centroids = coarseRound(e, centroids)
-    for (_ <- 1 to (pqIters - coarseIters)) books = pqRound(e, books, sub)
+    for (_ <- 1 to (coarseIters - pqIters)) centroids = coarseRound(tr, centroids)
+    for (_ <- 1 to (pqIters - coarseIters)) books = pqRound(tr, books, sub)
     (centroids, books)
   }
 

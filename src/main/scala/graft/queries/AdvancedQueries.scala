@@ -21,13 +21,16 @@ object AdvancedQueries {
     * corpus): iteration i assigns by exact integer squared distance to
     * c{i-1} and floor-divides per-dim sums into c{i} (empty clusters
     * keep the previous centroid); `af` is the final assignment against
-    * c3. Shared WITH-prefix of the q58/q83/q84 oracles.
+    * c3. Training iterates over `tr` — the md5-smallest 1024 vectors
+    * (Similarity.TrainSampleSize), the same bounded deterministic sample
+    * the Scala trainers use — while `af` assigns the FULL corpus.
+    * Shared WITH-prefix of the q58/q83/q84 oracles.
     */
   private def lloydIter(i: Int): String =
     s"""asg$i AS (SELECT vec_id, vq, cid FROM (
        |  SELECT e.vec_id, e.vq, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
-       |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+       |  FROM tr e CROSS JOIN c${i - 1} c) WHERE rn = 1),
        |s$i AS (SELECT cid, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
        |  FROM asg$i CROSS JOIN generate_series(1, 64) AS dd(d) GROUP BY cid, dd.d),
        |m$i AS (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM s$i GROUP BY cid),
@@ -42,7 +45,7 @@ object AdvancedQueries {
     s"""pasg$i AS (SELECT vec_id, j, sq, cid FROM (
        |  SELECT s.vec_id, s.j, s.sq, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
        |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
-       |  FROM psub s JOIN pc${i - 1} c ON c.j = s.j) WHERE rn = 1),
+       |  FROM ptr s JOIN pc${i - 1} c ON c.j = s.j) WHERE rn = 1),
        |ps$i AS (SELECT j, cid, dd.d AS d, sum(sq[dd.d]) AS s, count(*) AS cnt
        |  FROM pasg$i CROSS JOIN generate_series(1, 16) AS dd(d) GROUP BY j, cid, dd.d),
        |pm$i AS (SELECT j, cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM ps$i GROUP BY j, cid),
@@ -54,6 +57,8 @@ object AdvancedQueries {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
        |  FROM embeddings),
+       |tr AS (SELECT vec_id, vq FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
        |ini AS (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
        |c0 AS (SELECT rk - 1 AS cid, vq AS c FROM ini WHERE rk <= 8),
        |${lloydIter(1)},
@@ -303,6 +308,9 @@ object AdvancedQueries {
            |  FROM embeddings),
            |psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
            |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+           |tr AS (SELECT vec_id, vq FROM e
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+           |ptr AS (SELECT s.vec_id, s.j, s.sq FROM psub s JOIN tr ON tr.vec_id = s.vec_id),
            |ini AS (SELECT vec_id, vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
            |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
            |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
@@ -334,8 +342,9 @@ object AdvancedQueries {
            |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
-      "PQ-ADC ANN: per-subspace integer-Lloyd codebooks (one corpus scan per round trains " +
-        "all 4), m-byte corpus codes, per-query exact integer distance tables, " +
+      "PQ-ADC ANN: per-subspace integer-Lloyd codebooks (trained on the md5-smallest " +
+        "1024-vector sample, one scan per round trains all 4), m-byte corpus codes, " +
+        "per-query exact integer distance tables, " +
         "approximate top-20 by table-lookup sums, exact cosine rerank to top-10 — " +
         "the compressed-domain scan that shrinks ANN memory traffic dim/m-fold"),
 
@@ -356,6 +365,7 @@ object AdvancedQueries {
         s"""$lloydWith,
            |psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
            |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+           |ptr AS (SELECT s.vec_id, s.j, s.sq FROM psub s JOIN tr ON tr.vec_id = s.vec_id),
            |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
            |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
            |${pqIter(1)},

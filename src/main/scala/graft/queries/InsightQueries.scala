@@ -1102,7 +1102,7 @@ object InsightQueries {
            |  FROM p GROUP BY 1, 2)
            |SELECT grp, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
            |  CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-           |    THEN -1000000
+           |    THEN -2000000
            |    ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
            |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
            |        * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
@@ -1396,7 +1396,7 @@ object InsightQueries {
         val resArms = (1 to 5).map { k =>
           val dn = det(k, num = false)
           val nm = det(k, num = true)
-          val sentinel = (1 to k).map(l => s"r$l = -1000000").mkString(" OR ")
+          val sentinel = (1 to k).map(l => s"r$l = -2000000").mkString(" OR ")
           s"""SELECT grp, CAST($k AS INT) AS lag,
              |  CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
              |    WHEN ($dn) = 0 THEN CAST(-2000000 AS BIGINT)
@@ -1420,7 +1420,7 @@ object InsightQueries {
            |  FROM p GROUP BY 1, 2),
            |av AS (SELECT grp, lag,
            |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-           |      THEN -1000000
+           |      THEN -2000000
            |      ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
            |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
            |          * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)

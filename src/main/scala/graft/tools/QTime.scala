@@ -29,7 +29,7 @@ object QTime {
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      graft.operators.Dedup.releaseCaches()
+      graft.operators.Dedup.releaseAllCaches()
       println(f"[qtime] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
     spark.stop()

@@ -53,6 +53,12 @@ object ScaleSmoke {
       // first-occurrence structure is per-replica); q183 keep-best
       // components scale 10x (q39's argument with the score key)
       "q171_containment", "q177_shingle_novelty", "q183_keep_best",
+      // q197 composes q39's components with a two-level size histogram:
+      // per-replica component structure is identical (token salting is a
+      // shingle bijection), so the cluster-size MULTISET replicates 10x —
+      // n_clusters/n_docs/n_removable read exactly 10x per size row and
+      // the size cardinality (row count) is bit-identical to base
+      "q197_cluster_sizes",
       // round-11 text additions. q207: rows exactly 10x (every doc
       // scores; salted replica vocabularies are disjoint so each term's
       // surprisal shifts by ~ln 10 — rows are the invariant). q208: rows
@@ -305,7 +311,7 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val rows = graft.queries.Registry.queries(name)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
-        graft.operators.Dedup.releaseCaches()
+        graft.operators.Dedup.releaseAllCaches()
         System.err.println(f"[scale] $tag $name%-24s $secs%8.2f s  rows=$rows")
         (name, secs, rows)
       }
@@ -341,7 +347,7 @@ object ScaleSmoke {
           "vec_id", k = 10, nClusters = 8, nProbe = nProbe, iters = 3))
         val rec = (got & exact).size.toDouble / exact.size
         System.err.println(f"[scale] $tag ivf recall@10 nProbe=$nProbe $rec%.3f")
-        graft.operators.Dedup.releaseCaches()
+        graft.operators.Dedup.releaseAllCaches()
         f""""ivf_nprobe_$nProbe":$rec%.4f"""
       }
       val lsh = Seq(2, 4, 6).map { ham =>
@@ -356,7 +362,7 @@ object ScaleSmoke {
           "vec_id", k = 10, m = 4, nCentroids = 16, iters = 3, rerank = rr))
         val rec = (got & exact).size.toDouble / exact.size
         System.err.println(f"[scale] $tag pq recall@10 rerank=$rr $rec%.3f")
-        graft.operators.Dedup.releaseCaches()
+        graft.operators.Dedup.releaseAllCaches()
         f""""pq_rerank_$rr":$rec%.4f"""
       }
       ivf ++ lsh ++ pq

@@ -34,7 +34,7 @@ object WindowAudit {
       } catch {
         case e: Throwable =>
           println(s"[winaudit] $name !! construction failed: ${e.getMessage}")
-      } finally graft.operators.Dedup.releaseCaches()
+      } finally graft.operators.Dedup.releaseAllCaches()
     }
     spark.stop()
   }

@@ -166,6 +166,40 @@ class DedupSpec extends SparkSpec {
       s"releaseCaches must unpersist every tracked index; leaked RDDs: $leftover")
   }
 
+  test("scoped caches: one pipeline's release cannot unpersist the other's") {
+    Dedup.releaseAllCaches()
+    docs.count() // materialize the suite-level docs cache into the baseline
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    val scopeA = Dedup.newScope()
+    val scopeB = Dedup.newScope()
+    // two concurrent pipelines over DIFFERENT corpora — distinct logical
+    // plans, so distinct cache entries (same-plan frames share ONE Spark
+    // cache entry by design; that caveat is pinned by the FromIndex test)
+    val corpusB = docs.limit(200)
+    Dedup.inScope(scopeA) {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleK = 5, threshold = 0.8).count()
+    }
+    val cachedA = spark.sparkContext.getPersistentRDDs.keySet -- base
+    Dedup.inScope(scopeB) {
+      Dedup.ngramJaccardPairs(corpusB, "text", "doc_id",
+        shingleK = 5, threshold = 0.8).count()
+    }
+    val cachedB = spark.sparkContext.getPersistentRDDs.keySet -- base -- cachedA
+    assert(cachedA.nonEmpty && cachedB.nonEmpty,
+      "both pipelines should have live tracked indexes")
+    // pipeline A tears down; pipeline B's index must stay cached
+    Dedup.releaseScope(scopeA)
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert((cachedB -- live).isEmpty,
+      s"scope A's release dropped scope B's index: ${cachedB -- live}")
+    assert((cachedA & live).isEmpty,
+      s"scope A's entries must be freed: ${cachedA & live}")
+    Dedup.releaseScope(scopeB)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(leftover.isEmpty, s"leaked after both releases: $leftover")
+  }
+
   test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {
     import spark.implicits._
     // 1,000 docs all sharing one stop shingle ("a b c d e") plus one unique
@@ -219,9 +253,10 @@ class DedupSpec extends SparkSpec {
       assert(mhBefore === pairSet(Dedup.minhashNearDups(docs, "text", "doc_id", 5, 0.8)))
       // Spark cache identity is LOGICAL-PLAN-based: releaseCaches() on the
       // self-building paths' registry entries also drops this identical-plan
-      // caller index (the documented cross-pipeline interaction). Pin what
-      // the contract actually guarantees: results stay CORRECT — the index
-      // silently rebuilds on next use.
+      // caller index (the documented same-plan caveat that scoping cannot
+      // isolate — see the scoped-caches test for the distinct-plan
+      // guarantee). Pin what the contract actually guarantees: results stay
+      // CORRECT — the index silently rebuilds on next use.
       Dedup.releaseCaches()
       assert(pairSet(Dedup.ngramJaccardPairsFromIndex(index, threshold = 0.8)) === jacBefore)
       assert(pairSet(Dedup.minhashNearDupsFromIndex(index, threshold = 0.8)) === mhBefore)

@@ -390,6 +390,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2(1L) === 0L)
   }
 
+  test("kaplanMeier: bucket-span guard fails loudly past MaxDurationBuckets") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val rows = Seq(
+      (0L, 1L, "view", ts(0)), (1L, 1L, "purchase", ts(2000000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    // span = 2e6 hours; bucketMicros = 1 hour -> 2e6 buckets > the 1e6 bound
+    val e = intercept[Exception] {
+      EventAnalytics.kaplanMeier(rows, "user_id", "ts", "event_type",
+        "view", "purchase", 3600000000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("coarsen bucketMicros")))
+    // the same corpus with a wide-enough bucket passes the guard
+    val ok = EventAnalytics.kaplanMeier(rows, "user_id", "ts", "event_type",
+      "view", "purchase", 3600000000L * 10).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("rfmSegments: quintiles balanced within 1, segment composition, " +
       "recency/frequency/monetary ranked correctly") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
@@ -548,15 +567,18 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
       .toMap
-    // y = 4 - x at odd lags (corr exactly -1), y = x at even lags (+1)
+    // y = 4 - x at odd lags (corr exactly -1), y = x at even lags (+1);
+    // lag 7 has a SINGLE pair (zero variance both margins) -> sentinel
     (1 to 7).foreach { l =>
-      val want = if (l % 2 == 1) -1000000L else 1000000L
+      val want =
+        if (l == 7) -2000000L else if (l % 2 == 1) -1000000L else 1000000L
       assert(got(("g", l)) === (((8 - l).toLong, want)), s"lag $l")
     }
-    // h has ONE lag-1 pair (zero variance -> sentinel, the q135
-    // convention: -1e6 doubles as both sentinel and perfect anti-corr)
-    // and no realizable higher lags
-    assert(got(("h", 1)) === ((1L, -1000000L)))
+    // h has ONE lag-1 pair (zero variance -> the -2e6 OUT-OF-RANGE
+    // sentinel, deliberately distinct from g's legitimate -1e6 at odd
+    // lags — pacf consumes these and must tell them apart) and no
+    // realizable higher lags
+    assert(got(("h", 1)) === ((1L, -2000000L)))
     assert(!got.contains(("h", 2)))
     intercept[IllegalArgumentException] {
       EventAnalytics.acf(alt.toDF("event_type", "ts", "value"),

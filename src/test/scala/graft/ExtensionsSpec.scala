@@ -87,6 +87,70 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol && viaSql === "cafe A")
   }
 
+  test("sign_lsh and char_gram_md5 are SQL-callable and match the Column API") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftvec.{TextExprs, VectorExprs}
+    import spark.implicits._
+    val v = Seq((Seq(1.0, -2.0, 0.5), "abcdef")).toDF("v", "s")
+    val lshSql = v.selectExpr("sign_lsh(v, 16) AS sig").head().getLong(0)
+    val lshCol = v.select(VectorExprs.signLshCol(col("v"), 16).as("sig"))
+      .head().getLong(0)
+    assert(lshSql === lshCol)
+    val gramSql = v.selectExpr("char_gram_md5(s, 3, 2) AS g")
+      .head().getSeq[String](0)
+    val gramCol = v.select(TextExprs.charGramMd5Col(col("s"), 3, 2).as("g"))
+      .head().getSeq[String](0)
+    assert(gramSql === gramCol && gramSql.nonEmpty)
+  }
+
+  test("bloom_shingle_hits is SQL-callable, matches the Column API, " +
+      "and rejects a non-foldable filter") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftvec.FilterExprs
+    import spark.implicits._
+    // build a tiny 64-bit filter on the driver containing exactly the
+    // shingle "a b" (kHashes = 2), using the same md5-position convention
+    // the expression probes with
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("a b".getBytes("UTF-8"))
+    val words = new Array[Long](2)
+    (0 until 2).foreach { j =>
+      val p = FilterExprs.md5BloomPosition(d, j, 64)
+      words((p / 32).toInt) |= (1L << (p % 32).toInt)
+    }
+    val df = Seq(Seq("a", "b", "c")).toDF("tk") // shingles: "a b", "b c"
+    val viaCol = df.select(
+        FilterExprs.bloomShingleHitsMd5Col(col("tk"), words, 64, 2, 2).as("h"))
+      .head().getLong(0)
+    val wordsSql = words.mkString("array(", "L, ", "L)")
+    val viaSql = df.selectExpr(
+      s"bloom_shingle_hits(tk, $wordsSql, 64, 2, 2) AS h").head().getLong(0)
+    assert(viaCol === viaSql)
+    assert(viaCol >= 1L, "the inserted shingle must hit")
+    val err = intercept[Exception] {
+      spark.sql("SELECT bloom_shingle_hits(array('a'), array(xxhash64(rand())), 64, 1, 2)")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
+
+  test("xxhash64-shingle SQL composition equals the Dedup Column-API chain") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftvec.TextExprs
+    import spark.implicits._
+    // the scale path Dedup uses: tokens -> per-token xxhash64 -> rolling
+    // k-window chain hashes — reachable from pure SQL via the registered
+    // shingle_hashes over a transform(…, xxhash64) lambda
+    val df = Seq(Seq("the", "quick", "brown", "fox", "jumps", "over")).toDF("tk")
+    val viaSql = df.selectExpr(
+      "shingle_hashes(transform(tk, t -> xxhash64(t)), 5) AS sh")
+      .head().getSeq[Long](0)
+    val viaCol = df.select(TextExprs.shingleHashCol(
+        transform(col("tk"), t => xxhash64(t)), 5).as("sh"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.length === 2)
+  }
+
   test("text_normalize canonicalization makes visually-identical variants dedup-equal") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftvec.TextExprs
