@@ -1048,6 +1048,71 @@ object EventAnalytics {
       .filter(col("pacf_micro").isNotNull)
   }
 
+  // χ²(df, 0.95) critical values in micro for the Ljung-Box verdict —
+  // exact-to-6dp literals, the q119 fixed-constant convention
+  private val Chi2Crit95Micro: Map[Int, Long] = Map(
+    1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L, 4 -> 9487729L,
+    5 -> 11070498L, 6 -> 12591587L, 7 -> 14067140L)
+
+  /** LJUNG–BOX PORTMANTEAU whiteness test of each group's daily series —
+    * the one-number "is there ANY autocorrelation left" verdict that
+    * completes the q227 ACF / q242 PACF family (ACF shows where the
+    * structure is; Ljung-Box decides whether the whole lag window is
+    * jointly distinguishable from white noise, the residual check run
+    * after a forecast model fits):
+    *
+    *   Q = n(n+2) Σ_{k≤maxLag} ρ_k² / (n − k)
+    *
+    * computed from the ACF's exact micro correlations with a DEFINED
+    * integer evaluation order (each term `ρ_micro_k² DIV n_pairs_k`
+    * truncates before the sum; the n(n+2) product and final 10⁶ descale
+    * run in decimal(38,0)), so both engines produce the identical
+    * q_micro. `white_95 = 1` iff q_micro < χ²(maxLag, 0.95) — an integer
+    * compare against a fixed micro literal, never a float straddle.
+    *
+    * Groups whose series is too short for every lag in the window emit
+    * no row (the PACF convention); a group with any constant-margin
+    * sentinel ACF (−2·10⁶) emits the −2·10⁶ q_micro sentinel with
+    * `white_95 = −1`.
+    *
+    * Scale shape: [[acfFromDaily]]'s calendar-bounded passes, then a
+    * |groups|-row pivot and per-row literal arithmetic — no joins, no
+    * windows after the ACF.
+    */
+  def ljungBox(
+      events: DataFrame, tsCol: String, valueCol: String, groupCol: String,
+      maxLag: Int = 5): DataFrame =
+    ljungBoxFromAcf(
+      acfFromDaily(dailyStats(events, tsCol, valueCol, groupCol), maxLag),
+      maxLag)
+
+  /** [[ljungBox]] over a prepared [[acfFromDaily]] frame. */
+  def ljungBoxFromAcf(acfDf: DataFrame, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 7,
+      "ljungBox: maxLag in [1, 7] (critical-value table bound)")
+    val crit = Chi2Crit95Micro(maxLag)
+    val aggs = (1 to maxLag).flatMap(l => Seq(
+      max(when(col("lag") === l, col("acf_micro"))).as(s"r$l"),
+      max(when(col("lag") === l, col("n_pairs"))).as(s"np$l")))
+    val piv = acfDf.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      // every lag in the window must exist (n_pairs ≥ 1 by construction)
+      .filter((1 to maxLag).map(l => col(s"np$l").isNotNull).reduce(_ && _))
+      .withColumn("n_days", col("np1") + lit(1L))
+    val sentinel = (1 to maxLag).map(l => s"r$l = -2000000").mkString(" OR ")
+    val termSum = (1 to maxLag)
+      .map(l => s"(CAST(r$l AS DECIMAL(38,0)) * r$l) DIV np$l")
+      .mkString(" + ")
+    piv.select(col("grp"), col("n_days"),
+        expr(
+          s"""CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
+             | ELSE CAST((CAST(n_days AS DECIMAL(38,0)) * (n_days + 2)
+             |   * ($termSum)) DIV 1000000 AS BIGINT) END""".stripMargin)
+          .as("q_micro"))
+      .withColumn("white_95",
+        when(col("q_micro") === -2000000L, lit(-1L))
+          .otherwise((col("q_micro") < lit(crit)).cast("bigint")))
+  }
+
   /** [[stlDecompose]] over a prepared [[dailyStats]] frame. */
   def stlDecomposeFromDaily(daily: DataFrame): DataFrame = {
     val wTrend = Window.partitionBy(col("grp")).orderBy(col("day"))

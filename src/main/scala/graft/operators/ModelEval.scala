@@ -231,6 +231,100 @@ object ModelEval {
           .otherwise(col("at")).as("at_micro")): _*)
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) location test per key group —
+    * the nonparametric "is arm b's value distribution shifted vs arm
+    * a's" companion to [[ksTest]] (KS is sensitive to ANY shape
+    * difference; rank-sum targets location, the usual experiment
+    * question) — with ties handled by average ranks and the verdict
+    * decided by an EXACT integer gate (the
+    * [[graft.operators.FeatureEng.abTest]] clear-the-denominators
+    * pattern), so the significance bit is identical in any engine:
+    *
+    * Doubled ranks keep everything integral: a tied value block at
+    * cumulative offset c with t rows has doubled average rank
+    * 2c + t + 1, so 2·R_a = Σ ca·(2c + t + 1) and 2·U_a = 2R_a −
+    * n_a(n_a+1) are exact integers. With D = 2U_a − n_a·n_b (twice the
+    * deviation from the null mean) and the tie-corrected variance, the
+    * normal-approximation test |z| ≥ √(p/q) becomes
+    *
+    *   q·3·D²·N(N−1) ≥ p·n_a·n_b·(N(N−1)(N+1) − T),   T = Σ(t³ − t)
+    *
+    * — both sides exact decimal(38,0) products (double pre-check raises
+    * loudly near the window, the abTest guard). A zero-variance group
+    * (one arm empty handled by the −1 sentinel; all values tied makes
+    * both sides 0) is not significant by convention (strict inequality).
+    *
+    * Scale shape: one (keys, value) micro-histogram with map-side
+    * combine, per-key value-resolution-bounded cumulative windows
+    * PARTITIONED by the keys, one reduce — the [[ksFromCounts]] plan.
+    */
+  def rankSumTest(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String, critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(sideCol).cast("bigint").as("side"))
+      .withColumn("side", when(col("side").isin(0L, 1L), col("side"))
+        .otherwise(raise_error(lit("rankSumTest: side must be 0/1"))))
+    val perValue = labeled.groupBy(col("grp"), col("sm"))
+      .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
+    rankSumFromCounts(perValue, Seq("grp"), critP, critQ)
+  }
+
+  /** The rank-sum reduction over PRE-AGGREGATED per-value counts
+    * `(keys..., sm, ca, cb)` — shareable with a streaming monitor the
+    * same way [[ksFromCounts]] is. Emits one row per key group:
+    * `(keys..., n_a, n_b, u2_a, shift_sign, significant_95)` where
+    * `u2_a = 2·U_a` (the exact doubled U statistic) and `shift_sign` is
+    * the direction of arm a's stochastic dominance (+1 = arm a larger).
+    */
+  def rankSumFromCounts(
+      perValue: DataFrame, keys: Seq[String],
+      critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    require(keys.nonEmpty, "rankSumFromCounts: need at least one key column")
+    require(critP >= 1 && critQ >= 1, "critical value p/q must be positive")
+    val kc = keys.map(col)
+    val wCum = Window.partitionBy(kc: _*).orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val stepped = perValue
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      // doubled average rank of this tied block: 2·(cum−t) + t + 1
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val agg = stepped.groupBy(kc: _*)
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(d("ca") * d("r2")).as("r2a"),
+        sum(d("t") * d("t") * d("t") - d("t")).as("tie_t"))
+      .withColumn("n_tot", col("n_a") + col("n_b"))
+      .withColumn("u2a", col("r2a") - d("n_a") * (d("n_a") + lit(1)))
+      .withColumn("dev", col("u2a") - d("n_a") * d("n_b"))
+    // double pre-check: both gate sides must fit decimal(38,0)
+    val nD = col("n_tot").cast("double")
+    val devD = abs(col("dev").cast("double"))
+    val lhsD = lit(critQ.toDouble * 3.0) * devD * devD * nD * nD
+    val rhsD = lit(critP.toDouble) * col("n_a").cast("double") *
+      col("n_b").cast("double") * nD * nD * nD
+    val guarded = agg.withColumn("n_a",
+      when(lhsD < 5e37 && rhsD < 5e37, col("n_a")).otherwise(raise_error(concat(
+        lit("rankSumTest: gate product would overflow decimal(38,0) in group "),
+        col(keys.head).cast("string"),
+        lit(" — shrink the arms or rescale counts")))))
+    guarded.select(kc ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(-1L))
+        .otherwise(col("u2a").cast("bigint")).as("u2_a"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(0L))
+        .when(col("dev") > 0, lit(1L)).when(col("dev") < 0, lit(-1L))
+        .otherwise(lit(0L)).as("shift_sign"),
+      when(col("n_a") === 0L || col("n_b") === 0L, lit(0L))
+        .otherwise((lit(critQ) * lit(3) * col("dev") * col("dev") *
+          d("n_tot") * (d("n_tot") - lit(1)) >
+          lit(critP) * d("n_a") * d("n_b") *
+            (d("n_tot") * (d("n_tot") - lit(1)) * (d("n_tot") + lit(1)) -
+              col("tie_t"))).cast("bigint")).as("significant_95")): _*)
+  }
+
   /** Chi-square term selection: for every (class, term) pair over a
     * document corpus, the 2×2 presence/absence contingency statistic
     *

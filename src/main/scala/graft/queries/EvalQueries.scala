@@ -1312,6 +1312,58 @@ object EvalQueries {
         "ignores the pairing; only discordant docs carry evidence: " +
         "continuity-corrected chi-square from exact counts, ONE f64 " +
         "divide (q227 convention); a single map-side-combined " +
-        "aggregation over the eval frame")
+        "aggregation over the eval frame"),
+
+    // --------------- Mann-Whitney U rank-sum location test per metric
+    "q248_rank_sum" -> Q(
+      (s, dir) => {
+        // arms by md5 parity of user id (the q140 assignment); per
+        // event-type group, does arm 1's value distribution sit shifted
+        // against arm 0's?
+        val ev = Tables.events(s, dir).withColumn("side",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2)
+        graft.operators.ModelEval.rankSumTest(ev, "event_type", "value", "side")
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm,
+              |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS side
+              |  FROM events),
+              |pv AS (SELECT grp, sm,
+              |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+              |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+              |  FROM e GROUP BY 1, 2),
+              |st AS (SELECT grp, ca, cb, ca + cb AS t,
+              |    sum(ca + cb) OVER (PARTITION BY grp ORDER BY sm
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM pv),
+              |r2 AS (SELECT grp, ca, cb, t, 2 * (cum - t) + t + 1 AS r2 FROM st),
+              |ag AS (SELECT grp,
+              |    CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb,
+              |    sum(CAST(ca AS HUGEINT) * r2) AS r2a,
+              |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+              |  FROM r2 GROUP BY 1),
+              |fin AS (SELECT grp, na, nb, na + nb AS nt, tie_t,
+              |    r2a - na * (na + 1) AS u2a FROM ag),
+              |dv AS (SELECT *, u2a - na * nb AS dev FROM fin)
+              |SELECT grp, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  CAST(CASE WHEN na = 0 OR nb = 0 THEN -1 ELSE u2a END AS BIGINT) AS u2_a,
+              |  CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+              |       WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END AS BIGINT)
+              |    AS shift_sign,
+              |  CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+              |    ELSE CAST(625 * 3 * dev * dev * nt * (nt - 1) >
+              |      2401 * na * nb * (nt * (nt - 1) * (nt + 1) - tie_t) AS INT)
+              |    END AS BIGINT) AS significant_95
+              |FROM dv ORDER BY grp""".stripMargin),
+      "Mann-Whitney U rank-sum location test per event type over " +
+        "md5-parity user arms — the nonparametric shift companion to " +
+        "q141's KS shape test: doubled average ranks keep tied blocks " +
+        "exactly integral (2U_a is exact), and the tie-corrected normal " +
+        "verdict clears every denominator into one decimal comparison " +
+        "(q93/q140 pattern) — a float z can straddle the threshold, an " +
+        "integer gate cannot; one value histogram + per-group " +
+        "partitioned cumulative window")
   )
 }

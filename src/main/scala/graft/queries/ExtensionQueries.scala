@@ -1885,6 +1885,33 @@ object ExtensionQueries {
         "ppm (1e6 = perfectly preserved) — the measure-before-you-ship " +
         "gate for projected ANN prefilters/sketches; one corpus scan " +
         "computes projections in whole-stage codegen, the probe join is " +
-        "1-to-1 on id+1, never all-pairs")
+        "1-to-1 on id+1, never all-pairs"),
+
+    // ------------------- text: Chao1 vocabulary-richness lower bound
+    "q246_chao1" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.chao1(
+            Tables.table(s, dir, "documents"), "text", "source")
+          .orderBy(col("grp")),
+      Some("""WITH tok AS (SELECT source AS grp,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS t
+             |  FROM documents),
+             |tc AS (SELECT grp, t, count(*) AS c FROM tok GROUP BY 1, 2),
+             |agg AS (SELECT grp, count(*) AS vocab,
+             |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+             |  FROM tc GROUP BY 1)
+             |SELECT grp, CAST(vocab AS BIGINT) AS vocab,
+             |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             |  CAST(1000000::HUGEINT * vocab
+             |    + (1000000::HUGEINT * f1 * (f1 - 1)) // (2 * (f2 + 1))
+             |    AS BIGINT) AS chao1_micro
+             |FROM agg ORDER BY grp""".stripMargin),
+      "Chao1 vocabulary-richness lower bound per source (bias-corrected " +
+        "V + F1(F1-1)/(2(F2+1)) in exact integer micro) — the unseen-TYPES " +
+        "companion to q232's Good-Turing unseen MASS and q206's Heaps " +
+        "exponent, the saturated-or-still-growing triage before weighting " +
+        "a new source in a training mix; one (source, token) count with " +
+        "map-side combine, then a source-bounded reduction")
   )
 }

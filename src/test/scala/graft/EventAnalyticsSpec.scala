@@ -409,6 +409,52 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(ok.nonEmpty)
   }
 
+  test("ljungBox: statistic matches a BigInt replica from the pinned ACF, " +
+      "constant series reads the sentinel, short series emits no row, " +
+      "white series passes") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val alt = (0 until 8).map(i => ("g", ts(1 + i), if (i % 2 == 0) 1.0 else 3.0))
+    val wigVals = Seq(3.2, 1.5, 1.5, 4.0, 2.2, 2.2, 5.5, 0.7, 2.9, 3.3, 1.1, 4.4)
+    val wig = wigVals.zipWithIndex.map { case (v, i) => ("w", ts(1 + i), v) }
+    val const = (0 until 10).map(i => ("c", ts(1 + i), 7.0))
+    val short = (0 until 4).map(i => ("s", ts(1 + i), i.toDouble))
+    val rows = (alt ++ wig ++ const ++ short).toDF("event_type", "ts", "value")
+    val got = EventAnalytics.ljungBox(rows, "ts", "value", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // short series: lag-5 ACF has no pairs -> no row
+    assert(!got.contains("s"))
+    // constant series: every ACF is the -2e6 sentinel -> q sentinel
+    assert(got("c") === ((10L, -2000000L, -1L)))
+    // BigInt replica from the (already spec-pinned) ACF output, same
+    // DIV-per-term evaluation order
+    val acf = EventAnalytics.acf(rows, "ts", "value", "event_type", maxLag = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    Seq("g", "w").foreach { grp =>
+      val n = acf((grp, 1))._1 + 1
+      val sum = (1 to 5).map { k =>
+        val (np, r) = acf((grp, k))
+        BigInt(r) * BigInt(r) / BigInt(np)
+      }.sum
+      val want = (BigInt(n) * BigInt(n + 2) * sum / BigInt(1000000)).toLong
+      assert(got(grp)._1 === n, s"$grp n_days")
+      assert(got(grp)._2 === want, s"$grp q_micro")
+      assert(got(grp)._3 === (if (want < 11070498L) 1L else 0L), s"$grp white")
+    }
+    // the alternating series is maximally autocorrelated -> rejected
+    assert(got("g")._3 === 0L)
+    val again = EventAnalytics.ljungBox(
+        rows.repartition(5), "ts", "value", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.ljungBox(rows, "ts", "value", "event_type", maxLag = 8)
+    }
+  }
+
   test("rfmSegments: quintiles balanced within 1, segment composition, " +
       "recency/frequency/monetary ranked correctly") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)

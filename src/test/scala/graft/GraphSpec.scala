@@ -437,4 +437,76 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
     assert(a === hitsRef(edges, 2).map { case (n, (h, au)) => (n, h, au) }.toSet)
   }
+
+  // ------------------------------------------------------------- adamicAdar
+
+  private def aa(maxDeg: Int = 1000)(edges: (Long, Long)*) =
+    Graph.adamicAdar(edges.toSeq.toDF("s", "d"), "s", "d", maxDeg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("adamicAdar: path 1-2-3 scores the (1,3) wedge through node 2") {
+    val got = aa()((1L, 2L), (2L, 3L))
+    // only common neighbor is 2 with deg 2: term = round(1e6 / ln 2)
+    val t2 = math.round(1e6 / math.log(2.0))
+    assert(got === Map((1L, 3L) -> ((1L, t2, 0L))))
+  }
+
+  test("adamicAdar: K3 — every pair is an edge sharing the third node") {
+    val got = aa()((1L, 2L), (2L, 3L), (1L, 3L))
+    val t2 = math.round(1e6 / math.log(2.0))
+    assert(got === Map(
+      (1L, 2L) -> ((1L, t2, 1L)), (1L, 3L) -> ((1L, t2, 1L)),
+      (2L, 3L) -> ((1L, t2, 1L))))
+  }
+
+  test("adamicAdar: star hub weights shrink with degree; hub above the " +
+      "cap drops its wedges (documented recall trade)") {
+    // star: hub 0 connected to 1..4 -> C(4,2) pairs, each through hub deg 4
+    val star = (1L to 4L).map(h => (0L, h))
+    val got = aa()(star: _*)
+    val t4 = math.round(1e6 / math.log(4.0))
+    assert(got.size === 6 && got.values.forall(_ === ((1L, t4, 0L))))
+    // the same star with maxDeg=3: the hub is capped away, nothing scores
+    assert(aa(maxDeg = 3)(star: _*) === Map.empty)
+    // degrees stay FULL-graph exact: a capped hub's neighbors keep their
+    // true degree in terms they contribute elsewhere
+    val mixed = star ++ Seq((1L, 2L)) // 1-2 edge: common neighbor 0 (deg 4)
+    val got2 = aa(maxDeg = 3)(mixed: _*)
+    // hub 0 capped (deg 4 > 3); nodes 1,2 have deg 2 — pair (a, b) exists
+    // only via z in {1, 2} for wedges (0,1)-(1,2) etc.
+    val t2 = math.round(1e6 / math.log(2.0))
+    assert(got2 === Map(
+      (0L, 2L) -> ((1L, t2, 1L)), (0L, 1L) -> ((1L, t2, 1L))))
+  }
+
+  test("adamicAdar is repartition-deterministic and matches a driver replica") {
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 1) % 40)) ++
+      (0L until 20L).map(i => (i, (i + 2) % 40))
+    val got = aa()(edges: _*)
+    val b = Graph.adamicAdar(edges.toDF("s", "d").repartition(7), "s", "d", 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === b)
+    // driver replica with exact integer terms
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbr = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    for ((z, ns) <- nbr if ns.size >= 2; a <- ns; b <- ns if a < b) {
+      val t = math.round(1e6 / math.log(ns.size.toDouble))
+      val (c, s) = expect((a, b)); expect((a, b)) = (c + 1, s + t)
+    }
+    val gotCore = got.map { case (k, (c, s, _)) => k -> ((c, s)) }
+    assert(gotCore === expect.toMap)
+    // edge flags match the canonical edge set
+    val edgeSet = und.toSet
+    got.foreach { case ((a, b), (_, _, f)) =>
+      assert(f === (if (edgeSet.contains((a, b))) 1L else 0L))
+    }
+  }
 }

@@ -857,4 +857,45 @@ class ModelEvalSpec extends SparkSpec {
       rows.repartition(5), "ok_a", "ok_b").collect().head
     assert(again.toSeq === got.toSeq)
   }
+
+  test("rankSumTest: hand doubled-U with ties, a clear shift is " +
+      "significant, identical arms are not, one-arm group reads the " +
+      "sentinel, determinism") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group g: arm0 = {1, 2, 2}, arm1 = {2, 3} (tie block at 2).
+    // Sorted blocks: 1(t=1), 2(t=3), 3(t=1); doubled ranks 2; 2+3+1=... r2
+    // at v=1: 2*0+1+1=2; v=2: 2*1+3+1=6; v=3: 2*4+1+1=10.
+    // 2R_a = 1*2 + 2*6 = 14; 2U_a = 14 - 3*4 = 2; dev = 2 - 6 = -4.
+    val g = Seq((1.0, 0L), (2.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))
+      .map { case (v, s) => ("g", v, s) }
+    // group h: arm1 clearly larger, 12 vs 12 values, no overlap
+    val h = (1 to 12).map(i => ("h", i.toDouble, 0L)) ++
+      (1 to 12).map(i => ("h", 100.0 + i, 1L))
+    // group i: identical arms -> dev 0, not significant
+    val iG = (1 to 8).flatMap(k => Seq(("i", k.toDouble, 0L), ("i", k.toDouble, 1L)))
+    // group j: one-armed -> sentinel
+    val j = Seq(("j", 5.0, 0L))
+    val df = (g ++ h ++ iG ++ j).toDF("grp", "v", "side")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = read(graft.operators.ModelEval.rankSumTest(df, "grp", "v", "side"))
+    assert(got("g") === ((3L, 2L, 2L, -1L, 0L)))
+    // h: arm0 ranks 1..12 -> 2R_a = 2*78 = 156; 2U_a = 156 - 12*13 = 0;
+    // dev = 0 - 144 = -144 -> maximal shift, significant
+    assert(got("h") === ((12L, 12L, 0L, -1L, 1L)))
+    assert(got("i")._4 === 0L && got("i")._5 === 0L)
+    assert(got("j") === ((1L, 0L, -1L, 0L, 0L)))
+    assert(read(graft.operators.ModelEval.rankSumTest(
+      df.repartition(7), "grp", "v", "side")) === got)
+    // guard: a non-0/1 side fails loudly
+    val bad = Seq(("k", 1.0, 2L)).toDF("grp", "v", "side")
+    val e = intercept[Exception] {
+      graft.operators.ModelEval.rankSumTest(bad, "grp", "v", "side").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("side must be 0/1")))
+  }
 }

@@ -67,6 +67,14 @@ class StreamingDailyStatsSpec extends SparkSpec {
       rows(EventAnalytics.mannKendallFromDaily(batchDaily)))
     assert(rows(EventAnalytics.forecastBacktestFromDaily(sinkDaily)) ===
       rows(EventAnalytics.forecastBacktestFromDaily(batchDaily)))
+    // the round-12 closers: PACF (via the shared ACF prefix) and the
+    // Hyndman seasonal/trend strengths ride the same sink rows unchanged
+    assert(rows(EventAnalytics.pacfFromAcf(
+        EventAnalytics.acfFromDaily(sinkDaily, maxLag = 5))) ===
+      rows(EventAnalytics.pacfFromAcf(
+        EventAnalytics.acfFromDaily(batchDaily, maxLag = 5))))
+    assert(rows(EventAnalytics.seasonalStrengthFromDaily(sinkDaily)) ===
+      rows(EventAnalytics.seasonalStrengthFromDaily(batchDaily)))
     // and against the full-batch monitor restricted to closed days: the
     // trend verdicts agree when the open day is the only difference
     val full = EventAnalytics.mannKendall(ev, "ts", "value", "event_type")

@@ -575,4 +575,27 @@ class TextPipelineSpec extends SparkSpec {
     }
     graft.operators.Dedup.releaseCaches()
   }
+
+  test("chao1: hand histogram, bias-corrected F2=0 form, singleton-free " +
+      "source reads exactly V, determinism") {
+    import spark.implicits._
+    // source s1: tokens a(1), b(1), c(2), d(3) -> V=4, F1=2, F2=1
+    //   chao1 = 1e6*4 + (1e6*2*1) DIV (2*2) = 4_500_000
+    // source s2: e(2), f(2) -> V=2, F1=0, F2=2 -> chao1 = 2e6 exactly
+    // source s3: g(1), h(1), i(1) with F2=0 -> bias-corrected
+    //   chao1 = 3e6 + (1e6*3*2) DIV 2 = 6_000_000
+    val docs = Seq(
+      ("s1", "a b c c"), ("s1", "d d d"),
+      ("s2", "e e f f"),
+      ("s3", "g h i")).toDF("source", "text")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = read(TextPipeline.chao1(docs, "text", "source"))
+    assert(got("s1") === ((4L, 2L, 1L, 4500000L)))
+    assert(got("s2") === ((2L, 0L, 2L, 2000000L)))
+    assert(got("s3") === ((3L, 3L, 0L, 6000000L)))
+    assert(read(TextPipeline.chao1(docs.repartition(5), "text", "source"))
+      === got)
+  }
 }
