@@ -109,6 +109,53 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** FUZZY-KEY near-dup pairs at edit distance ≤ 1 via FastSS
+    * deletion-neighborhood blocking: every key joins its candidates
+    * through the set {key} ∪ {key minus one character} — two keys within
+    * one substitution/insertion/deletion ALWAYS share a variant (the
+    * FastSS completeness property for k = 1), so blocking loses nothing;
+    * survivors are verified with the exact `levenshtein` (codegen'd in
+    * Spark, built in to the oracle engine — unit edit costs, identical
+    * everywhere). The typo-dedup primitive for short keys (titles, URLs,
+    * product names) where shingle Jaccard has nothing to grab.
+    *
+    * Emits `(id_a, id_b, key_a, key_b, dist)` with `id_a < id_b`,
+    * deduplicated across the (up to |key|+1 shared) variants. Identical
+    * keys pair at dist 0 — run [[exact]] first if exact dups are handled
+    * elsewhere.
+    *
+    * Scale shape: the variant posting list is (|key|+1)·rows and the
+    * pair join is variant-keyed — per-variant fan-out is postings², so
+    * hot variants (short common prefixes) are df-capped at `maxDf`
+    * exactly like [[ngramJaccardPairs]]'s stop-shingle cap (documented
+    * recall trade: a pair bridged ONLY by a capped variant is lost).
+    * One explode, one capped equi-join, one distinct — no all-pairs.
+    */
+  def fuzzyKeyPairs(
+      df: DataFrame, keyCol: String, idCol: String,
+      maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 2, "fuzzyKeyPairs: maxDf >= 2")
+    val base = df.select(col(idCol).cast("bigint").as("id"),
+        col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull && length(col("key")) >= 1)
+    val posting = base.select(col("id"), col("key"), explode(concat(
+        array(col("key")),
+        transform(sequence(lit(1), length(col("key"))), i =>
+          concat(col("key").substr(lit(1), i - 1),
+            col("key").substr(i + 1, length(col("key"))))))).as("v"))
+      .distinct()
+    val capped = posting.join(
+      posting.groupBy(col("v")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("v")), Seq("v"))
+    capped.as("a").join(capped.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("bigint"))
+      .filter(col("dist") <= 1L)
+  }
+
   /** (id, distinct HASHED shingle set) projection, staged so each array is
     * computed exactly once per row: tokens -> per-token xxhash64 -> codegen
     * rolling k-window chain hash -> distinct. Shingle STRINGS are never

@@ -325,6 +325,83 @@ object ModelEval {
               col("tie_t"))).cast("bigint")).as("significant_95")): _*)
   }
 
+  // χ²(df, 0.95) critical values in micro for the Kruskal-Wallis verdict
+  // (the EventAnalytics Ljung-Box table, repeated here to keep the two
+  // operators dependency-free)
+  private val KwCrit95Micro: Map[Long, Long] = Map(
+    1L -> 3841459L, 2L -> 5991465L, 3L -> 7814728L, 4L -> 9487729L,
+    5L -> 11070498L, 6L -> 12591587L, 7L -> 14067140L)
+
+  /** KRUSKAL–WALLIS H — the k-group generalization of [[rankSumTest]]
+    * ("does `valueCol`'s distribution differ across ANY of the classes"),
+    * the nonparametric one-way ANOVA a pipeline runs before trusting a
+    * per-class mean table. Doubled average ranks keep tied blocks exact
+    * (the rank-sum convention); with R2_j = doubled rank sum of class j,
+    * N total rows and T = Σ(t³ − t) over tied blocks, the tie-corrected
+    * statistic reduces (the (N³−N)/(N(N+1)) = N−1 cancellation) to
+    *
+    *   H = 3·(Σ_j R2_j²/n_j − N(N+1)²)·(N−1) / (N³ − N − T)
+    *
+    * evaluated with a DEFINED integer order: each class term
+    * `R2_j² DIV n_j` truncates before the sum, the final ratio is ONE
+    * decimal(38,0) truncating division scaled to micro — bit-identical
+    * anywhere. Verdict: `h_micro ≥ χ²(k−1, 0.95)` against the micro
+    * literal (k ≤ 8 enforced — the table bound). All values tied (T =
+    * N³−N) or a single class reads the −2·10⁶ sentinel with
+    * `significant_95 = −1`. One output row.
+    *
+    * Scale shape: one (class, value) micro-histogram with map-side
+    * combine, one value-resolution-bounded GLOBAL cumulative window
+    * (the rank axis is shared across classes — bounded by distinct
+    * values, never rows; the q219 histogram argument), one class
+    * reduce, one 1-row reduce.
+    */
+  def kruskalWallis(
+      df: DataFrame, classCol: String, valueCol: String): DataFrame = {
+    val hist = df.select(col(classCol).as("cls"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"))
+      .groupBy(col("cls"), col("sm")).agg(count(lit(1)).as("cc"))
+    // doubled average rank per value block over the CLASS-POOLED axis
+    val wCum = Window.orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = hist.groupBy(col("sm")).agg(sum(col("cc")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val perClass = hist.join(blocks.select(col("sm"), col("r2")), Seq("sm"))
+      .groupBy(col("cls"))
+      .agg(sum(col("cc")).as("n_j"), sum(d("cc") * d("r2")).as("r2j"))
+    val ties = blocks.agg(
+      coalesce(sum(d("t") * d("t") * d("t") - d("t")), lit(0).cast("decimal(38,0)"))
+        .as("tie_t"),
+      coalesce(sum(col("t")), lit(0L)).as("n_tot"))
+    val agg = perClass
+      .select(col("cls"), col("n_j"),
+        expr("(CAST(r2j AS DECIMAL(38,0)) * r2j) DIV n_j").as("s_j"))
+      .agg(count(lit(1)).as("k"), sum(col("s_j")).as("s"))
+      .crossJoin(broadcast(ties))
+    agg
+      .withColumn("k", when(col("k") <= 8L, col("k"))
+        .otherwise(raise_error(concat(
+          lit("kruskalWallis: "), col("k").cast("string"),
+          lit(" classes exceed the chi-square table bound (8)")))))
+      .withColumn("den",
+        d("n_tot") * d("n_tot") * d("n_tot") - d("n_tot") - col("tie_t"))
+      .withColumn("h_micro",
+        when(col("k") < 2L || col("den") <= 0, lit(-2000000L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * 3
+              |  * (s - CAST(n_tot AS DECIMAL(38,0)) * (n_tot + 1) * (n_tot + 1))
+              |  * (n_tot - 1)) DIV den AS BIGINT)""".stripMargin)))
+      .withColumn("significant_95",
+        when(col("k") < 2L || col("den") <= 0, lit(-1L))
+          .otherwise((col("h_micro") >=
+            element_at(typedLit(KwCrit95Micro), col("k") - lit(1L)))
+            .cast("bigint")))
+      .select(col("k"), col("n_tot").as("n"), col("h_micro"),
+        col("significant_95"))
+  }
+
   /** Chi-square term selection: for every (class, term) pair over a
     * document corpus, the 2×2 presence/absence contingency statistic
     *

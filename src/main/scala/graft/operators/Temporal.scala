@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval algebra over event-time ranges — the join shapes session /
@@ -59,5 +60,50 @@ object Temporal {
       .filter(col("bucket") === expr(s"greatest(sa, sb) DIV $bucketMicros"))
       .select(col("k").as(keyCol), col("id_a"), col("id_b"),
         (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap_us"))
+  }
+
+  /** GAP-AND-ISLAND interval merge per key: overlapping-or-touching
+    * intervals (`start ≤ running max end` — closed-touch merges)
+    * coalesce into islands, the classic "activity episodes from raw
+    * spans" reduction (machine uptime from heartbeats, user activity
+    * episodes from per-event attention windows, contract coverage from
+    * policy rows). Emits one row per island:
+    * `(key, island, start_us, end_us, n_intervals, covered_us)` with
+    * `covered_us = end − start` (the island is contiguous by
+    * construction) and `island` = 1-based index in time order.
+    *
+    * Exact integer microseconds end-to-end; islands are determined by
+    * the (start, end) order alone, so the output is independent of
+    * partitioning and of any id column.
+    *
+    * Scale shape: ONE window pass partitioned by the key (running max
+    * of `end` over the time order, island = running sum of the
+    * gap-break flag) and one (key, island) aggregation — per-key
+    * parallel, no global sort, no joins. A single hot key pays one
+    * sort of its own rows, the [[overlapJoin]] contract.
+    */
+  def mergeIslands(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+        col(startCol).cast("bigint").as("s"),
+        col(endCol).cast("bigint").as("e"))
+      .withColumn("s", when(col("e") > col("s"), col("s"))
+        .otherwise(raise_error(concat(
+          lit("mergeIslands: empty interval (key="),
+          col("k").cast("string"), lit(")")))))
+    val order = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    val prevMax = order.rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prev_end", max(col("e")).over(prevMax))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("s") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k").as(keyCol), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered_us", col("end_us") - col("start_us"))
   }
 }

@@ -1364,6 +1364,54 @@ object EvalQueries {
         "verdict clears every denominator into one decimal comparison " +
         "(q93/q140 pattern) — a float z can straddle the threshold, an " +
         "integer gate cannot; one value histogram + per-group " +
-        "partitioned cumulative window")
+        "partitioned cumulative window"),
+
+    // --------------- Kruskal-Wallis k-group nonparametric ANOVA
+    "q250_kruskal_wallis" -> Q(
+      (s, dir) =>
+        graft.operators.ModelEval.kruskalWallis(
+          Tables.events(s, dir), "event_type", "value"),
+      Some("""WITH e AS (SELECT event_type AS cls,
+             |    CAST(round(value * 1e6) AS BIGINT) AS sm FROM events),
+             |h AS (SELECT cls, sm, count(*) AS cc FROM e GROUP BY 1, 2),
+             |b AS (SELECT sm, sum(cc) AS t FROM h GROUP BY 1),
+             |bb AS (SELECT sm, t,
+             |    sum(t) OVER (ORDER BY sm ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b),
+             |r AS (SELECT sm, 2 * (cum - t) + t + 1 AS r2 FROM bb),
+             |pc AS (SELECT cls, CAST(sum(cc) AS HUGEINT) AS n_j,
+             |    sum(CAST(cc AS HUGEINT) * r2) AS r2j
+             |  FROM h JOIN r USING (sm) GROUP BY 1),
+             |tt AS (SELECT
+             |    COALESCE(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie_t,
+             |    COALESCE(sum(t), 0) AS n_tot FROM b),
+             |ag AS (SELECT count(*) AS k, sum((r2j * r2j) // n_j) AS s FROM pc),
+             |fin AS (SELECT ag.k, tt.n_tot, ag.s, tt.tie_t,
+             |    CAST(tt.n_tot AS HUGEINT) * tt.n_tot * tt.n_tot
+             |      - tt.n_tot - tt.tie_t AS den
+             |  FROM ag CROSS JOIN tt),
+             |hm AS (SELECT k, n_tot, den,
+             |    CASE WHEN k < 2 OR den <= 0 THEN CAST(-2000000 AS HUGEINT)
+             |      ELSE (1000000::HUGEINT * 3
+             |        * (s - CAST(n_tot AS HUGEINT) * (n_tot + 1) * (n_tot + 1))
+             |        * (n_tot - 1)) // den END AS h_micro
+             |  FROM fin)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+             |  CAST(h_micro AS BIGINT) AS h_micro,
+             |  CAST(CASE WHEN k < 2 OR den <= 0 THEN -1
+             |    ELSE CAST(h_micro >= CASE k - 1
+             |      WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+             |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+             |      WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+             |      ELSE 14067140 END AS INT) END AS BIGINT) AS significant_95
+             |FROM hm""".stripMargin),
+      "Kruskal-Wallis H across the event types' value distributions — " +
+        "the k-group generalization of q248's rank-sum (nonparametric " +
+        "one-way ANOVA): doubled average ranks over the class-pooled " +
+        "value histogram keep tied blocks exact, the tie-corrected " +
+        "statistic reduces to ONE truncating decimal division per class " +
+        "plus one final (the (N^3-N)/(N(N+1)) = N-1 cancellation keeps " +
+        "products inside decimal(38,0)), and the verdict is an integer " +
+        "compare against the chi2(k-1, .95) micro literal")
   )
 }

@@ -1912,6 +1912,45 @@ object ExtensionQueries {
         "companion to q232's Good-Turing unseen MASS and q206's Heaps " +
         "exponent, the saturated-or-still-growing triage before weighting " +
         "a new source in a training mix; one (source, token) count with " +
-        "map-side combine, then a source-bounded reduction")
+        "map-side combine, then a source-bounded reduction"),
+
+    // ------------ dedup: FastSS fuzzy-key pairs at edit distance <= 1
+    "q252_fuzzy_key_pairs" -> Q(
+      (s, dir) => {
+        // key = the first 12 chars of the normalized text — the
+        // title-prefix key typo-dedup grabs when shingles have nothing
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(trim(lower(col("text"))), 1, 12).as("k12"))
+        Dedup.fuzzyKeyPairs(docs, "k12", "doc_id")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS id,
+             |    substring(trim(lower(text)), 1, 12) AS key
+             |  FROM documents
+             |  WHERE length(substring(trim(lower(text)), 1, 12)) >= 1),
+             |pv AS (SELECT DISTINCT id, key, v FROM (
+             |  SELECT id, key, unnest(list_prepend(key,
+             |    list_transform(generate_series(1, length(key)), i ->
+             |      substring(key, 1, i - 1)
+             |        || substring(key, i + 1, length(key))))) AS v
+             |  FROM d)),
+             |cap AS (SELECT pv.id, pv.key, pv.v FROM pv JOIN (
+             |    SELECT v FROM pv GROUP BY v HAVING count(*) <= 1000) c
+             |  USING (v)),
+             |pr AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    a.key AS key_a, b.key AS key_b
+             |  FROM cap a JOIN cap b ON a.v = b.v AND a.id < b.id)
+             |SELECT id_a, id_b, key_a, key_b,
+             |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+             |FROM pr WHERE levenshtein(key_a, key_b) <= 1
+             |ORDER BY id_a, id_b""".stripMargin),
+      "fuzzy-key near-dup pairs at edit distance <= 1 via FastSS " +
+        "deletion-neighborhood blocking on the 12-char normalized text " +
+        "prefix: two keys within one edit ALWAYS share a {key} union " +
+        "{key minus one char} variant (k=1 completeness), candidates " +
+        "verify with exact levenshtein (codegen'd / built-in, unit " +
+        "costs identical) — the typo-dedup primitive for short keys; " +
+        "variant-keyed join with the q31 df cap on hot variants")
   )
 }

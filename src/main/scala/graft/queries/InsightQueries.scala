@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Associations, ChangeCapture, EventAnalytics, Graph, Similarity}
+import graft.operators.{Associations, ChangeCapture, EventAnalytics, Graph, Similarity, Temporal}
 
 /** Round-7 analytics queries (q106-q110): cohort retention, multi-touch
   * conversion attribution, degree-ordered triangle counting, robust
@@ -1547,6 +1547,40 @@ object InsightQueries {
         "convention), existing edges flagged — the recommendation/" +
         "link-spam baseline; pairs enumerate THROUGH the neighbor " +
         "(wedge-bounded, maxDeg-capped hubs, full-graph exact degrees), " +
-        "never nodes^2")
+        "never nodes^2"),
+
+    // -------------------- temporal: gap-and-island interval merge
+    "q251_interval_islands" -> Q(
+      (s, dir) => {
+        // per-event 10-minute attention windows merged into activity
+        // episodes per user — the gaps-and-islands reduction
+        val iv = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("e0"))
+        Temporal.mergeIslands(iv, "user_id", "s0", "e0")
+          .orderBy(col("user_id"), col("island"))
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + 600000000 AS e FROM events),
+             |w1 AS (SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM iv),
+             |w2 AS (SELECT *, CASE WHEN prev_end IS NULL OR s > prev_end
+             |    THEN 1 ELSE 0 END AS brk FROM w1),
+             |w3 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM w2)
+             |SELECT user_id, CAST(island AS BIGINT) AS island,
+             |  min(s) AS start_us, max(e) AS end_us,
+             |  CAST(count(*) AS BIGINT) AS n_intervals,
+             |  max(e) - min(s) AS covered_us
+             |FROM w3 GROUP BY user_id, island
+             |ORDER BY user_id, island""".stripMargin),
+      "gap-and-island interval merge: per-event 10-minute attention " +
+        "windows coalesce into per-user activity episodes (closed-touch " +
+        "merges, exact integer micros) — the machine-uptime/coverage " +
+        "reduction a plain groupBy cannot express; ONE window pass " +
+        "partitioned by user (running max end + running break sum) and " +
+        "one (user, island) aggregation, per-key parallel, no global sort")
   )
 }

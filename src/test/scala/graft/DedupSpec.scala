@@ -200,6 +200,37 @@ class DedupSpec extends SparkSpec {
     assert(leftover.isEmpty, s"leaked after both releases: $leftover")
   }
 
+  test("fuzzyKeyPairs: finds substitution/insertion/deletion neighbors " +
+      "at dist <= 1, excludes dist 2, folds exact dups at dist 0, the " +
+      "variant df cap drops hot blocks, determinism") {
+    import spark.implicits._
+    val keys = Seq(
+      (1L, "banana"), (2L, "banan"),   // deletion: dist 1
+      (3L, "banxna"),                  // substitution vs banana: dist 1
+      (4L, "bananas"),                 // insertion vs banana: dist 1
+      (5L, "banana"),                  // exact dup of 1: dist 0
+      (6L, "orange"))                  // dist >= 2 from everything
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val got = read(Dedup.fuzzyKeyPairs(keys.toDF("id", "key"), "key", "id"))
+    // every dist-2 combination (banan/banxna, banan/bananas,
+    // banxna/bananas, everything vs orange) must be absent
+    assert(got === Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 4L) -> 1L, (1L, 5L) -> 0L,
+      (2L, 5L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L))
+    // determinism under repartition
+    assert(read(Dedup.fuzzyKeyPairs(
+      keys.toDF("id", "key").repartition(5), "key", "id")) === got)
+    // df cap: 50 identical keys share every variant -> capped away at
+    // maxDf 10, nothing pairs (the documented recall trade)
+    val hot = (1L to 50L).map(i => (i, "same")).toDF("id", "key")
+    assert(Dedup.fuzzyKeyPairs(hot, "key", "id", maxDf = 10).count() === 0L)
+    // and rare keys beside the hot block still pair
+    val mixed = hot.union(Seq((100L, "rarekey"), (101L, "rarekeys")).toDF("id", "key"))
+    val m = read(Dedup.fuzzyKeyPairs(mixed, "key", "id", maxDf = 10))
+    assert(m === Map((100L, 101L) -> 1L))
+  }
+
   test("ngramJaccardPairs: df cap prevents the f^2 stop-shingle bucket") {
     import spark.implicits._
     // 1,000 docs all sharing one stop shingle ("a b c d e") plus one unique

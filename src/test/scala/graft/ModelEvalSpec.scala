@@ -898,4 +898,56 @@ class ModelEvalSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("side must be 0/1")))
   }
+
+  test("kruskalWallis: two-class case reduces to the rank-sum frame, a " +
+      "clear separation is significant, identical classes are not, " +
+      "all-tied and single-class read sentinels, determinism, class guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def kw(rows: Seq[(String, Double)]) =
+      graft.operators.ModelEval.kruskalWallis(
+        rows.toDF("cls", "v"), "cls", "v").collect().head
+    // three well-separated classes: H must clear chi2(2, .95) = 5.99
+    val sep = (1 to 8).map(i => ("a", i.toDouble)) ++
+      (1 to 8).map(i => ("b", 100.0 + i)) ++
+      (1 to 8).map(i => ("c", 200.0 + i))
+    val g1 = kw(sep)
+    assert(g1.getLong(0) === 3L && g1.getLong(1) === 24L)
+    assert(g1.getLong(3) === 1L, s"separated classes must reject: $g1")
+    // BigInt replica with the same DIV order on the separated case
+    val n = 24L
+    // ranks: class a = 1..8, b = 9..16, c = 17..24 (no ties) -> doubled
+    val r2 = Seq(1 to 8, 9 to 16, 17 to 24).map(_.map(_ * 2L).sum)
+    val s = r2.map(x => BigInt(x) * BigInt(x) / 8).sum
+    val want = (BigInt(1000000) * 3 *
+      (s - BigInt(n) * (n + 1) * (n + 1)) * (n - 1) /
+      (BigInt(n) * n * n - n)).toLong
+    assert(g1.getLong(2) === want)
+    // identical class distributions: H ~ 0, not significant
+    val same = (1 to 10).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble), ("c", i.toDouble)))
+    val g2 = kw(same)
+    assert(g2.getLong(3) === 0L && math.abs(g2.getLong(2)) < 1000000L)
+    // all values tied -> zero variance -> sentinel
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0))
+    val g3 = kw(tied)
+    assert(g3.getLong(2) === -2000000L && g3.getLong(3) === -1L)
+    // single class -> sentinel
+    val solo = Seq(("a", 1.0), ("a", 2.0))
+    val g4 = kw(solo)
+    assert(g4.getLong(2) === -2000000L && g4.getLong(3) === -1L)
+    // determinism under repartition
+    val again = graft.operators.ModelEval.kruskalWallis(
+      sep.toDF("cls", "v").repartition(7), "cls", "v").collect().head
+    assert(again.toSeq === g1.toSeq)
+    // class-count guard (chi-square table bound)
+    val many = (1 to 9).map(i => (s"c$i", i.toDouble))
+    val e2 = intercept[Exception] {
+      graft.operators.ModelEval.kruskalWallis(
+        many.toDF("cls", "v"), "cls", "v").collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs2(x.getCause))
+    assert(msgs2(e2).exists(m => m != null && m.contains("table bound")))
+  }
 }

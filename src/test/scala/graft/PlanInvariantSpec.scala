@@ -24,7 +24,9 @@ class PlanInvariantSpec extends SparkSpec {
     "q202_log_rank" -> "distinct event-duration frame (time-resolution bounded)",
     "q204_funnel_dropoff" -> "n_steps histogram, <= |funnel steps|+1 rows",
     "q85_token_budget" -> "score-bucket prefix frame (resolution bounded)",
-    "q87_weighted_sample" -> "rank over the already-limited top-k frame")
+    "q87_weighted_sample" -> "rank over the already-limited top-k frame",
+    "q250_kruskal_wallis" -> ("class-pooled value HISTOGRAM frame (distinct " +
+      "micro values, never rows — the q219 resolution bound)"))
 
   test("no registry query has an unpartitioned Window over an unbounded frame") {
     Tables.registerAll(spark, sfDir)

@@ -96,4 +96,39 @@ class TemporalSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("empty interval")), msgs(ex).mkString("; "))
   }
+
+  test("mergeIslands: overlap and closed-touch merge, a gap splits, " +
+      "duplicates fold in, per-key independence, determinism, empty guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key 1: [0,10) + [5,20) overlap; [20,30) touches (start == prev end)
+    //        -> one island [0,30) of 3; [40,50) after a gap -> second island
+    // key 2: [0,5) alone; a duplicate [0,5) folds into the same island
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      (2L, 0L, 5L), (2L, 0L, 5L)).toDF("k", "s", "e")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = read(Temporal.mergeIslands(iv, "k", "s", "e"))
+    assert(got === Map(
+      (1L, 1L) -> ((0L, 30L, 3L, 30L)),
+      (1L, 2L) -> ((40L, 50L, 1L, 10L)),
+      (2L, 1L) -> ((0L, 5L, 2L, 5L))))
+    // an interval swallowed by a longer earlier one must not split the
+    // island when a later interval overlaps only the long one
+    val swallowed = Seq((3L, 0L, 100L), (3L, 10L, 20L), (3L, 90L, 120L))
+      .toDF("k", "s", "e")
+    assert(read(Temporal.mergeIslands(swallowed, "k", "s", "e")) ===
+      Map((3L, 1L) -> ((0L, 120L, 3L, 120L))))
+    assert(read(Temporal.mergeIslands(iv.repartition(5), "k", "s", "e"))
+      === got)
+    val ex = intercept[Exception] {
+      Temporal.mergeIslands(Seq((1L, 5L, 5L)).toDF("k", "s", "e"),
+        "k", "s", "e").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("empty interval")))
+  }
 }
