@@ -576,6 +576,100 @@ object EventAnalytics {
     * window. Intermediates are persisted (tracked —
     * [[Dedup.releaseCaches]] frees them).
     */
+  /** NELSON–AALEN cumulative hazard — [[kaplanMeier]]'s companion
+    * estimator, and the FULLY EXACT one: H(t) = Σ_{t'≤t} d/n_risk needs
+    * no logarithm, so every emitted value is a truncating integer
+    * division (`step_ppm = (10⁶·d) DIV n_risk`) integer-summed in event
+    * order — bit-identical anywhere, no libm caveat at all. Same
+    * entry/event/censoring prep, same duration bucketing (and the same
+    * [[MaxDurationBuckets]] loud guard) as the KM table; one row per
+    * distinct event duration: `(t, n_risk, n_events, step_ppm,
+    * cum_hazard_ppm)`.
+    *
+    * Scale shape: two per-user min-aggregations, a broadcast censor row,
+    * and the guarded duration-bucket windows — calendar-bounded, never
+    * user-bounded (the q201/q202 argument).
+    */
+  def nelsonAalen(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, eventType: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "nelsonAalen: bucketMicros >= 1")
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"), col(typeCol).as("et"))
+    val entry = base.filter(col("et") === entryType)
+      .groupBy(col("u")).agg(min(col("tsu")).as("t0"))
+    val evt = base.filter(col("et") === eventType)
+      .join(entry, Seq("u"))
+      .filter(col("tsu") >= col("t0"))
+      .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
+    val censor = base.agg(max(col("tsu")).as("tmax"), min(col("tsu")).as("tmin"))
+    val durations = entry.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(censor))
+      .select(col("u"),
+        guardedBucket("nelsonAalen", bucketMicros).as("t"),
+        col("t1").isNotNull.cast("bigint").as("observed"))
+    val perT = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    val wAsc = Window.orderBy(col("t"))
+    val wPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_risk", col("total") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("step_ppm", expr("(1000000 * d) DIV n_risk"))
+      .withColumn("cum_hazard_ppm", sum(col("step_ppm")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("step_ppm"), col("cum_hazard_ppm"))
+  }
+
+  /** FANO DISPERSION INDEX of each group's DAILY event counts —
+    * variance-to-mean of the per-day arrival counts, the classic "is
+    * this count process Poisson" monitor (Poisson ⇒ Fano ≈ 1;
+    * clumped/bursty traffic ≫ 1, metronomic bots ≪ 1 — the
+    * interARRIVAL twin of [[interArrivalStats]]' CV², at daily
+    * granularity where it composes with the q240 dailyStats family).
+    * Exactly integral: with S = Σc, Q = Σc² over n days,
+    *
+    *   fano_ppm = (10⁶·(n·Q − S²)) DIV ((n−1)·S)
+    *
+    * — sample variance over mean collapses to ONE truncating division
+    * of exact integers. `mean_micro = (10⁶·S) DIV n` rides along.
+    * Groups with n < 2 days or S = 0 read the −2·10⁶ sentinel.
+    *
+    * Scale shape: one (group, day) count with map-side combine, one
+    * group reduce — calendar-bounded after the first pass.
+    */
+  def fanoDispersion(
+      events: DataFrame, tsCol: String, groupCol: String): DataFrame =
+    fanoFromDailyCounts(
+      events.select(col(groupCol).as("grp"),
+          date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("day"))
+        .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("dc")))
+
+  /** [[fanoDispersion]] over a prepared `(grp, day, dc)` count frame
+    * (the [[dailyStats]] shape — one daily aggregation feeds this AND
+    * the q216/q220/q224 monitors).
+    */
+  def fanoFromDailyCounts(daily: DataFrame): DataFrame = {
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    daily.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dc")).as("s"),
+        sum(d("dc") * d("dc")).as("q"))
+      .select(col("grp"), col("n_days"),
+        when(col("n_days") < 2L || col("s") === 0L, lit(-2000000L))
+          .otherwise(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV n_days AS BIGINT)"))
+          .as("mean_micro"),
+        when(col("n_days") < 2L || col("s") === 0L, lit(-2000000L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0))
+              |  * (n_days * q - CAST(s AS DECIMAL(38,0)) * s))
+              | DIV ((n_days - 1) * CAST(s AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+          .as("fano_ppm"))
+  }
+
   def rfmSegments(
       events: DataFrame, userCol: String, tsCol: String,
       valueCol: String): DataFrame = {

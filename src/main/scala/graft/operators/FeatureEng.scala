@@ -457,6 +457,61 @@ object FeatureEng {
             lit(critP) * d("n1") * d("n2") * s * (nTot - s)).cast("bigint"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES estimator over a 2×2 (arm × period)
+    * panel — the quasi-experimental readout when randomization isn't
+    * available ("did the treated arm move MORE than the control moved
+    * across the same cut"):
+    *
+    *   DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    *
+    * with each cell mean the truncating integer `sum_micro DIV n` (the
+    * dailyStats dm convention — engine-portable; the ≤4-micro-ulp
+    * truncation skew is documented, not hidden in float addition
+    * order). Emits the four cell (n, mean_micro) pairs and `did_micro`;
+    * any empty cell reads the −2·10⁶ sentinel (a 2×2 with a hole has
+    * no estimand). One output row.
+    *
+    * `armCol` must be 0 (control) / 1 (treated) — enforced;
+    * `periodCol` must be 0 (pre) / 1 (post) — enforced.
+    *
+    * Scale shape: ONE map-side-combined 4-cell aggregation; nothing
+    * else.
+    */
+  def diffInDiff(
+      df: DataFrame, armCol: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(armCol).cast("bigint").as("arm"),
+        col(periodCol).cast("bigint").as("per"),
+        DataPrep.micro(col(valueCol)).as("ym"))
+      .withColumn("arm", when(col("arm").isin(0L, 1L), col("arm"))
+        .otherwise(raise_error(lit("diffInDiff: arm must be 0/1"))))
+      .withColumn("per", when(col("per").isin(0L, 1L), col("per"))
+        .otherwise(raise_error(lit("diffInDiff: period must be 0/1"))))
+    def cell(a: Int, p: Int, what: String) = Seq(
+      sum(when(col("arm") === a.toLong && col("per") === p.toLong, 1L)
+        .otherwise(0L)).as(s"n_$what"),
+      sum(when(col("arm") === a.toLong && col("per") === p.toLong, col("ym"))
+        .otherwise(0L)).as(s"s_$what"))
+    val cells = cell(0, 0, "c0") ++ cell(0, 1, "c1") ++
+      cell(1, 0, "t0") ++ cell(1, 1, "t1")
+    val agg = base.agg(cells.head, cells.tail: _*)
+    val names = Seq("c0", "c1", "t0", "t1")
+    val anyEmpty = names.map(w => col(s"n_$w") === 0L).reduce(_ || _)
+    val withMeans = names.foldLeft(agg) { (df2, w) =>
+      df2.withColumn(s"mean_${w}_micro",
+        when(col(s"n_$w") === 0L, lit(-2000000L))
+          .otherwise(expr(s"s_$w DIV n_$w")))
+    }
+    withMeans
+      .withColumn("did_micro",
+        when(anyEmpty, lit(-2000000L))
+          .otherwise((col("mean_t1_micro") - col("mean_t0_micro")) -
+            (col("mean_c1_micro") - col("mean_c0_micro"))))
+      .select(col("n_c0"), col("mean_c0_micro"), col("n_c1"),
+        col("mean_c1_micro"), col("n_t0"), col("mean_t0_micro"),
+        col("n_t1"), col("mean_t1_micro"), col("did_micro"))
+  }
+
   /** Deterministic negative sampling for embedding-model training pairs
     * (the word2vec/item2vec companion of [[cooccurrencePairs]]): each
     * positive pair (a, b) gets `k` pseudo-random negatives drawn from

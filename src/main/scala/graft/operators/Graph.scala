@@ -404,6 +404,87 @@ object Graph {
       .drop("__e")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
+    * neighborhood is to a clique: `cc_ppm = (10⁶·2·triangles(v)) DIV
+    * (deg(v)·(deg(v)−1))`, exact integers over [[triangleCounts]]'s
+    * exact triangle table and the canonical simple-graph degrees.
+    * Degree-1 (and isolated-by-canonicalization) nodes read the −1
+    * sentinel — the coefficient is undefined, not zero. The
+    * community-tightness / spam-ring-density readout next to
+    * [[triangleCounts]] and [[kCore]].
+    *
+    * Scale shape: [[triangleCounts]]'s degree-ordered wedge closure plus
+    * one degree aggregation and one node-keyed left join — nothing new
+    * scales worse than the triangle pass it composes.
+    */
+  def clusteringCoefficient(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonicalize ONCE and checkpoint: the degree pass and the triangle
+    // pass both read this frame, and the caller's edge build (often a
+    // self-join) must not run twice
+    val undirected = edges
+      .select(col(srcCol).cast("bigint").as("x"), col(dstCol).cast("bigint").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = undirected.select(col("a").as("node")).unionAll(
+        undirected.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(undirected, "a", "b")
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("cc_ppm",
+        when(col("degree") < 2L, lit(-1L))
+          .otherwise(expr("(1000000 * 2 * triangles) DIV (degree * (degree - 1))")))
+  }
+
+  /** DEGREE ASSORTATIVITY of the undirected simple graph — the Pearson
+    * correlation of endpoint degrees over the edge list with each edge
+    * counted in BOTH orientations (the standard Newman r): positive =
+    * hubs link hubs (social nets), negative = hubs link leaves
+    * (the web, biology). Exact decimal moment sums over the symmetric
+    * (deg a, deg b) multiset, ONE f64 divide + sqrt at the very end
+    * rounded to micro (the q135/q227 convention); a degree-regular
+    * graph (zero variance) reads the −2·10⁶ sentinel. One output row:
+    * `(n_edges, r_micro)`.
+    *
+    * Scale shape: one degree aggregation, two node-keyed joins to tag
+    * edge endpoints, one 1-row moment reduce — all equi-joins on the
+    * node key, no windows.
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val undirected = edges
+      .select(col(srcCol).cast("bigint").as("x"), col(dstCol).cast("bigint").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = undirected.select(col("a").as("node")).unionAll(
+        undirected.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val tagged = undirected
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    // both orientations: (da, db) and (db, da)
+    val sym = tagged.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(tagged.select(col("db").as("u"), col("da").as("v")))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    sym.agg(count(lit(1)).as("m"),
+        sum(d("u")).as("su"), sum(d("v")).as("sv"),
+        sum(d("u") * d("v")).as("suv"),
+        sum(d("u") * d("u")).as("suu"),
+        sum(d("v") * d("v")).as("svv"))
+      .select(expr("m DIV 2").as("n_edges"),
+        when(expr("m * suu - su * su = 0 OR m * svv - sv * sv = 0"),
+          lit(-2000000L))
+          .otherwise(expr(
+            """CAST(round(1e6 * CAST(m * suv - su * sv AS DOUBLE)
+              |  / sqrt(CAST(m * suu - su * su AS DOUBLE)
+              |    * CAST(m * svv - sv * sv AS DOUBLE))) AS BIGINT)""".stripMargin))
+          .as("r_micro"))
+  }
+
   /** k-core pruning: iteratively peel nodes of degree < k (with their
     * incident edges) from the undirected simple graph until stable or
     * `maxRounds` rounds — the standard dense-subgraph filter (spam-farm /

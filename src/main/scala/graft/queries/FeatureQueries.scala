@@ -990,6 +990,54 @@ object FeatureQueries {
         "ratio, per-stratum expected/variance/odds terms micro-rounded " +
         "with ONE deterministic f64 divide each — the proportions " +
         "companion of q222 that survives Simpson's-paradox composition; " +
-        "one stratum aggregation then strata-bounded reduction")
+        "one stratum aggregation then strata-bounded reduction"),
+
+    // ------------------- difference-in-differences over a 2x2 panel
+    "q255_diff_in_diff" -> Q(
+      (s, dir) => {
+        // arms by md5 parity of user id (the q140 assignment), periods
+        // split at the corpus midpoint date
+        val ev = Tables.events(s, dir)
+          .withColumn("arm",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+              .cast("bigint") % 2)
+          .withColumn("per",
+            (col("ts") >= to_timestamp(lit("2024-01-16"))).cast("bigint"))
+        FeatureEng.diffInDiff(ev, "arm", "per", "value")
+      },
+      Some(s"""WITH e AS (SELECT
+              |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS arm,
+              |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS per,
+              |    CAST(round(value * 1e6) AS BIGINT) AS ym
+              |  FROM events),
+              |ag AS (SELECT
+              |    sum(CASE WHEN arm = 0 AND per = 0 THEN 1 ELSE 0 END) AS n_c0,
+              |    CAST(sum(CASE WHEN arm = 0 AND per = 0 THEN ym ELSE 0 END) AS HUGEINT) AS s_c0,
+              |    sum(CASE WHEN arm = 0 AND per = 1 THEN 1 ELSE 0 END) AS n_c1,
+              |    CAST(sum(CASE WHEN arm = 0 AND per = 1 THEN ym ELSE 0 END) AS HUGEINT) AS s_c1,
+              |    sum(CASE WHEN arm = 1 AND per = 0 THEN 1 ELSE 0 END) AS n_t0,
+              |    CAST(sum(CASE WHEN arm = 1 AND per = 0 THEN ym ELSE 0 END) AS HUGEINT) AS s_t0,
+              |    sum(CASE WHEN arm = 1 AND per = 1 THEN 1 ELSE 0 END) AS n_t1,
+              |    CAST(sum(CASE WHEN arm = 1 AND per = 1 THEN ym ELSE 0 END) AS HUGEINT) AS s_t1
+              |  FROM e)
+              |SELECT CAST(n_c0 AS BIGINT) AS n_c0,
+              |  CAST(CASE WHEN n_c0 = 0 THEN -2000000 ELSE s_c0 // n_c0 END AS BIGINT) AS mean_c0_micro,
+              |  CAST(n_c1 AS BIGINT) AS n_c1,
+              |  CAST(CASE WHEN n_c1 = 0 THEN -2000000 ELSE s_c1 // n_c1 END AS BIGINT) AS mean_c1_micro,
+              |  CAST(n_t0 AS BIGINT) AS n_t0,
+              |  CAST(CASE WHEN n_t0 = 0 THEN -2000000 ELSE s_t0 // n_t0 END AS BIGINT) AS mean_t0_micro,
+              |  CAST(n_t1 AS BIGINT) AS n_t1,
+              |  CAST(CASE WHEN n_t1 = 0 THEN -2000000 ELSE s_t1 // n_t1 END AS BIGINT) AS mean_t1_micro,
+              |  CAST(CASE WHEN n_c0 = 0 OR n_c1 = 0 OR n_t0 = 0 OR n_t1 = 0
+              |    THEN -2000000
+              |    ELSE (s_t1 // n_t1 - s_t0 // n_t0) - (s_c1 // n_c1 - s_c0 // n_c0)
+              |    END AS BIGINT) AS did_micro
+              |FROM ag""".stripMargin),
+      "difference-in-differences over the 2x2 (md5-parity arm x " +
+        "midpoint-date period) panel — the quasi-experimental estimand " +
+        "when randomization isn't available: four truncating integer " +
+        "cell means (the dailyStats dm convention) and their double " +
+        "difference, -2e6 sentinel on an empty cell; ONE map-side-" +
+        "combined 4-cell aggregation, nothing else")
   )
 }

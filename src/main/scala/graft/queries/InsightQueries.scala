@@ -1581,6 +1581,152 @@ object InsightQueries {
         "merges, exact integer micros) — the machine-uptime/coverage " +
         "reduction a plain groupBy cannot express; ONE window pass " +
         "partitioned by user (running max end + running break sum) and " +
-        "one (user, island) aggregation, per-key parallel, no global sort")
+        "one (user, island) aggregation, per-key parallel, no global sort"),
+
+    // ---------------- graph: local clustering coefficient per node
+    "q253_clustering_coeff" -> Q(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
+          .agg(count_distinct(col("x.ok")).as("supp"))
+          .filter(col("supp") >= 2)
+        Graph.clusteringCoefficient(edges, "pa", "pb").orderBy(col("node"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT x.pk AS a, y.pk AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(DISTINCT x.ok) >= 2),
+             |tri AS (SELECT e1.a AS u, e1.b AS p, e2.b AS q
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |nodes AS (SELECT u AS node FROM tri
+             |          UNION ALL SELECT p FROM tri
+             |          UNION ALL SELECT q FROM tri),
+             |tc AS (SELECT node, count(*) AS triangles FROM nodes GROUP BY 1),
+             |dg AS (SELECT node, count(*) AS degree FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+             |SELECT dg.node, CAST(dg.degree AS BIGINT) AS degree,
+             |  CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+             |  CAST(CASE WHEN dg.degree < 2 THEN -1
+             |    ELSE (1000000 * 2 * COALESCE(tc.triangles, 0))
+             |      // (dg.degree * (dg.degree - 1)) END AS BIGINT) AS cc_ppm
+             |FROM dg LEFT JOIN tc USING (node) ORDER BY node""".stripMargin),
+      "local clustering coefficient per node on the q108 co-purchase " +
+        "graph — 2*triangles/(deg*(deg-1)) in exact ppm, degree<2 reads " +
+        "the -1 sentinel; community-tightness/spam-ring density next to " +
+        "triangles and k-core, costing one degree pass + one node join " +
+        "over the triangle plan it composes"),
+
+    // ---------------- graph: degree assortativity (Newman r)
+    "q254_assortativity" -> Q(
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
+          .agg(count_distinct(col("x.ok")).as("supp"))
+          .filter(col("supp") >= 2)
+        Graph.degreeAssortativity(edges, "pa", "pb")
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT x.pk AS a, y.pk AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(DISTINCT x.ok) >= 2),
+             |dg AS (SELECT node, count(*) AS d FROM (
+             |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+             |tg AS (SELECT da.d AS da, db.d AS db
+             |  FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b),
+             |sym AS (SELECT da AS u, db AS v FROM tg
+             |        UNION ALL SELECT db, da FROM tg),
+             |mm AS (SELECT count(*) AS m,
+             |    sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+             |    sum(CAST(u AS HUGEINT) * v) AS suv,
+             |    sum(CAST(u AS HUGEINT) * u) AS suu,
+             |    sum(CAST(v AS HUGEINT) * v) AS svv
+             |  FROM sym)
+             |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+             |  CAST(CASE WHEN m * suu - su * su = 0 OR m * svv - sv * sv = 0
+             |    THEN -2000000
+             |    ELSE CAST(round(1e6 * CAST(m * suv - su * sv AS DOUBLE)
+             |      / sqrt(CAST(m * suu - su * su AS DOUBLE)
+             |        * CAST(m * svv - sv * sv AS DOUBLE))) AS BIGINT)
+             |    END AS BIGINT) AS r_micro
+             |FROM mm""".stripMargin),
+      "degree assortativity (Newman r) of the co-purchase graph — the " +
+        "Pearson correlation of endpoint degrees with each edge counted " +
+        "both orientations: positive = hubs link hubs, negative = " +
+        "hub-and-spoke; exact decimal moments, ONE f64 divide+sqrt " +
+        "rounded to micro (q135 convention), -2e6 on a degree-regular " +
+        "graph; one degree pass + two node joins + a 1-row reduce"),
+
+    // --------------- survival: Nelson-Aalen cumulative hazard
+    "q256_nelson_aalen" -> Q(
+      (s, dir) =>
+        EventAnalytics.nelsonAalen(
+            Tables.events(s, dir), "user_id", "ts", "event_type",
+            entryType = "view", eventType = "purchase",
+            bucketMicros = 3600000000L)
+          .orderBy(col("t")),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+             |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+             |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt, sum(observed) AS nd FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc
+             |  FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    (1000000 * nd) // (total - COALESCE(prevc, 0)) AS step_ppm
+             |  FROM w),
+             |c AS (SELECT *, sum(step_ppm) OVER (ORDER BY t) AS cum FROM st)
+             |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(nd AS BIGINT) AS n_events,
+             |  CAST(step_ppm AS BIGINT) AS step_ppm,
+             |  CAST(cum AS BIGINT) AS cum_hazard_ppm
+             |FROM c WHERE nd > 0 ORDER BY t""".stripMargin),
+      "Nelson-Aalen cumulative hazard of time-to-purchase (hourly " +
+        "buckets from first view, right-censored) — the FULLY exact " +
+        "survival companion to q201's Kaplan-Meier: H(t) = sum(d/n_risk) " +
+        "needs no logarithm, so every value is a truncating integer " +
+        "division summed in event order (no libm caveat anywhere); same " +
+        "calendar-bounded risk table and the same loud duration-span " +
+        "guard"),
+
+    // --------------- series: Fano dispersion of daily arrival counts
+    "q257_fano_dispersion" -> Q(
+      (s, dir) =>
+        EventAnalytics.fanoDispersion(
+            Tables.events(s, dir), "ts", "event_type")
+          .orderBy(col("grp")),
+      Some("""WITH d AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    count(*) AS dc
+             |  FROM events GROUP BY 1, 2),
+             |ag AS (SELECT grp, count(*) AS n_days,
+             |    CAST(sum(dc) AS HUGEINT) AS s,
+             |    sum(CAST(dc AS HUGEINT) * dc) AS q
+             |  FROM d GROUP BY 1)
+             |SELECT grp, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(CASE WHEN n_days < 2 OR s = 0 THEN -2000000
+             |    ELSE (1000000::HUGEINT * s) // n_days END AS BIGINT) AS mean_micro,
+             |  CAST(CASE WHEN n_days < 2 OR s = 0 THEN -2000000
+             |    ELSE (1000000::HUGEINT * (n_days * q - s * s))
+             |      // ((n_days - 1) * s) END AS BIGINT) AS fano_ppm
+             |FROM ag ORDER BY grp""".stripMargin),
+      "Fano dispersion index of each type's daily arrival counts — " +
+        "variance-to-mean in exact ppm (Poisson reads ~1e6, bursty " +
+        "traffic >>, metronomic bots <<), the daily-granularity twin of " +
+        "q190's inter-arrival CV^2 and a natural q240 dailyStats " +
+        "co-monitor: sample-variance-over-mean collapses to ONE " +
+        "truncating division of exact integer moments per group")
   )
 }

@@ -390,6 +390,52 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2(1L) === 0L)
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard on the KM corpus, " +
+      "exact integer steps, censored user holds the risk set") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val rows = Seq(
+      (1L, "view", 0L), (2L, "view", 0L), (3L, "view", 0L), (4L, "view", 0L),
+      (1L, "purchase", 1L), (4L, "purchase", 1L), (2L, "purchase", 2L),
+      (3L, "click", 3L))
+      .zipWithIndex.map { case ((u, et, h), i) => (i.toLong, u, et, ts(h)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.nelsonAalen(rows, "user_id", "ts", "event_type",
+        "view", "purchase", 3600000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // t=1: risk 4, d=2 -> step 500000, cum 500000
+    // t=2: risk 2 (u2 + censored u3), d=1 -> step 500000, cum 1000000
+    assert(got === Map(
+      1L -> ((4L, 2L, 500000L, 500000L)),
+      2L -> ((2L, 1L, 500000L, 1000000L))))
+  }
+
+  test("fanoDispersion: hand counts, Poisson-flat reads ~0 dispersion " +
+      "for constant counts, sentinels on one day, determinism") {
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 0$i:00:00")
+    // g: daily counts 1, 3, 2 over 3 days: S=6, Q=14, n=3
+    //   fano_ppm = 1e6*(3*14-36) DIV (2*6) = 1e6*6 DIV 12 = 500000
+    //   mean_micro = 6e6 DIV 3 = 2e6
+    val g = Seq((1, 1), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2))
+      .map { case (d, i) => ("g", ts(d, i)) }
+    // c: constant 2 events/day over 3 days -> variance 0 -> fano 0
+    val c = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2))
+      .map { case (d, i) => ("c", ts(d, i)) }
+    // s: a single day -> n < 2 -> sentinel
+    val s1 = Seq(("s", ts(1, 1)))
+    val rows = (g ++ c ++ s1).toDF("event_type", "ts")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = read(EventAnalytics.fanoDispersion(rows, "ts", "event_type"))
+    assert(got("g") === ((3L, 2000000L, 500000L)))
+    assert(got("c") === ((3L, 2000000L, 0L)))
+    assert(got("s") === ((1L, -2000000L, -2000000L)))
+    assert(read(EventAnalytics.fanoDispersion(
+      rows.repartition(5), "ts", "event_type")) === got)
+  }
+
   test("kaplanMeier: bucket-span guard fails loudly past MaxDurationBuckets") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
     val rows = Seq(

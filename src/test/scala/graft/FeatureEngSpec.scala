@@ -645,4 +645,43 @@ class FeatureEngSpec extends SparkSpec {
       rows.repartition(5), "g", "x", "y"))
     assert(again === got)
   }
+
+  test("diffInDiff: hand 2x2 panel, empty-cell sentinel, arm/period " +
+      "guards, determinism") {
+    import spark.implicits._
+    // control: pre mean 10, post mean 12 (+2); treated: pre 20, post 25
+    // (+5) -> DiD = +3
+    val panel = Seq(
+      (0L, 0L, 9.0), (0L, 0L, 11.0),
+      (0L, 1L, 11.0), (0L, 1L, 13.0),
+      (1L, 0L, 19.0), (1L, 0L, 21.0),
+      (1L, 1L, 24.0), (1L, 1L, 26.0)).toDF("arm", "per", "v")
+    val got = FeatureEng.diffInDiff(panel, "arm", "per", "v").collect().head
+    assert(got.getAs[Long]("did_micro") === 3000000L)
+    assert(got.getAs[Long]("mean_c0_micro") === 10000000L)
+    assert(got.getAs[Long]("mean_t1_micro") === 25000000L)
+    assert(got.getAs[Long]("n_t0") === 2L)
+    // truncating cell means: sums divide toward zero
+    val trunc = Seq((0L, 0L, 1.0), (0L, 0L, 2.0), (0L, 1L, 1.0),
+      (1L, 0L, 1.0), (1L, 1L, 1.0)).toDF("arm", "per", "v")
+    val g2 = FeatureEng.diffInDiff(trunc, "arm", "per", "v").collect().head
+    assert(g2.getAs[Long]("mean_c0_micro") === 1500000L)
+    // empty treated-post cell -> sentinel
+    val holed = panel.filter(!(col("arm") === 1L && col("per") === 1L))
+    val g3 = FeatureEng.diffInDiff(holed, "arm", "per", "v").collect().head
+    assert(g3.getAs[Long]("did_micro") === -2000000L)
+    assert(g3.getAs[Long]("mean_t1_micro") === -2000000L)
+    // determinism
+    val again = FeatureEng.diffInDiff(panel.repartition(5), "arm", "per", "v")
+      .collect().head
+    assert(again.toSeq === got.toSeq)
+    // guards
+    val e = intercept[Exception] {
+      FeatureEng.diffInDiff(
+        Seq((2L, 0L, 1.0)).toDF("arm", "per", "v"), "arm", "per", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("arm must be 0/1")))
+  }
 }

@@ -438,6 +438,59 @@ class GraphSpec extends SparkSpec {
     assert(a === hitsRef(edges, 2).map { case (n, (h, au)) => (n, h, au) }.toSet)
   }
 
+  // -------------------------------------------------- clusteringCoefficient
+
+  test("clusteringCoefficient: K4 reads 1e6 everywhere, a path reads 0 " +
+      "in the middle and the -1 sentinel at degree-1 ends") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = Graph.clusteringCoefficient(k4.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // K4: deg 3, 3 triangles each -> 2*3/(3*2) = 1
+    assert(got === (1L to 4L).map(_ -> ((3L, 3L, 1000000L))).toMap)
+    val path = Graph.clusteringCoefficient(
+        Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(path === Map(1L -> -1L, 2L -> 0L, 3L -> -1L))
+    // bowtie: center deg 4 with 2 triangles -> 2*2/(4*3) ppm = 333333
+    val bow = Graph.clusteringCoefficient(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+          .toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bow(3L) === 333333L && bow(1L) === 1000000L)
+  }
+
+  // --------------------------------------------------- degreeAssortativity
+
+  test("degreeAssortativity: a star is exactly -1e6, a regular graph " +
+      "reads the sentinel, driver Pearson replica on a mixed graph") {
+    def r(edges: (Long, Long)*): (Long, Long) = {
+      val row = Graph.degreeAssortativity(edges.toSeq.toDF("s", "d"), "s", "d")
+        .collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    // star K1,3: every edge pairs deg 3 with deg 1 -> r = -1 exactly
+    assert(r((0L, 1L), (0L, 2L), (0L, 3L)) === ((3L, -1000000L)))
+    // K3 is 2-regular: zero degree variance -> sentinel
+    assert(r((1L, 2L), (2L, 3L), (1L, 3L)) === ((3L, -2000000L)))
+    // mixed graph vs a driver Pearson replica
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L))
+    val (m, got) = r(edges: _*)
+    assert(m === 6L)
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val pts = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = pts.size.toDouble
+    val su = pts.map(_._1).sum.toDouble; val sv = pts.map(_._2).sum.toDouble
+    val suv = pts.map(p => p._1 * p._2).sum.toDouble
+    val suu = pts.map(p => p._1 * p._1).sum.toDouble
+    val svv = pts.map(p => p._2 * p._2).sum.toDouble
+    val want = math.round(1e6 * (n * suv - su * sv) /
+      math.sqrt((n * suu - su * su) * (n * svv - sv * sv)))
+    assert(got === want)
+  }
+
   // ------------------------------------------------------------- adamicAdar
 
   private def aa(maxDeg: Int = 1000)(edges: (Long, Long)*) =
