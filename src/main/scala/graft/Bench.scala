@@ -285,9 +285,9 @@ object Bench {
         // per-(type, day) daily stats are computed ONCE (persisted) and
         // feed the offline changepoint, the online CUSUM alarms, the STL
         // decomposition, the Mann-Kendall trend test, the MASE forecast
-        // backtest, binary segmentation, PACF, and the seasonal/trend
-        // strengths from the one frame — eight monitors, one
-        // event-stream aggregation
+        // backtest, binary segmentation, PACF, the seasonal/trend
+        // strengths, and the Fano dispersion from the one frame — nine
+        // monitors, one event-stream aggregation
         val daily = graft.operators.EventAnalytics.dailyStats(
             graft.Tables.events(spark, sfDir), "ts", "value", "event_type")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -310,9 +310,12 @@ object Bench {
               .acfFromDaily(daily, maxLag = 5)).count()
           val nSs = graft.operators.EventAnalytics
             .seasonalStrengthFromDaily(daily).count()
+          val nFo = graft.operators.EventAnalytics
+            .fanoFromDailyCounts(daily).count()
           System.err.println(
             s"[bench] pipeline_monitor changepoints=$nCp alarms=$nAl " +
-              s"stl=$nSt mk=$nMk mase=$nMa segs=$nBs pacf=$nPc ss=$nSs")
+              s"stl=$nSt mk=$nMk mase=$nMa segs=$nBs pacf=$nPc ss=$nSs " +
+              s"fano=$nFo")
         } finally daily.unpersist(blocking = false)
       } catch { case e: Throwable =>
         errors += "pipeline_monitor"

@@ -615,6 +615,41 @@ object DataPrep {
         micro(col(valueCol)).as("vm"))
       .groupBy(col("grp"), col("vm")).agg(count(lit(1)).as("c"))
 
+  /** HERFINDAHL–HIRSCHMAN concentration index per group — how
+    * concentrated a weight mass is across members, `hhi_ppm =
+    * (10⁶·Σ mᵢ²) DIV S²` over the exact micro member masses (10⁶ = one
+    * member holds everything; 10⁶/n = perfectly even across n). The
+    * one-number companion to [[lorenzCurve]]/Gini for the questions a
+    * mixing pipeline asks per source ("is this source's mass a few
+    * giant documents?") and market-share analytics ask per segment.
+    * Weights must be non-negative (enforced — a negative mass has no
+    * share semantics); an all-zero group reads the −1 sentinel.
+    *
+    * Scale shape: one (group, member) sum with map-side combine, one
+    * group-bounded moment reduce — squares routed through
+    * decimal(38,0).
+    */
+  def hhiConcentration(
+      df: DataFrame, groupCol: String, memberCol: String,
+      weightCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(memberCol).as("member"),
+        micro(col(weightCol)).as("wm"))
+      .withColumn("wm", when(col("wm") >= 0L, col("wm"))
+        .otherwise(raise_error(lit(
+          "hhiConcentration: negative weight — shares are undefined"))))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    base.groupBy(col("grp"), col("member")).agg(sum(col("wm")).as("m"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_members"), sum(col("m")).as("s"),
+        sum(d("m") * d("m")).as("q"))
+      .select(col("grp"), col("n_members"),
+        when(col("s") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * q)
+              | DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)""".stripMargin))
+          .as("hhi_ppm"))
+  }
+
   def lorenzCurve(
       df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 10): DataFrame =

@@ -917,6 +917,86 @@ object TextPipeline {
     * histogram pattern; F₁·F₁ routes through decimal(38,0) (10⁹-token
     * vocabularies square past the long ceiling with the 10⁶ scale).
     */
+  /** INTRA-DOCUMENT REPETITION rate — the generation-loop / boilerplate
+    * detector: the fraction of a document's word-k-shingle OCCURRENCES
+    * that repeat an earlier shingle of the SAME document,
+    * `rep_ppm = (10⁶·(n − d)) DIV n` with n = total shingles and d =
+    * distinct shingles. A looping generator ("the the the …", repeated
+    * paragraph templates) reads high; natural prose reads near 0. The
+    * WITHIN-doc complement of [[graft.operators.Dedup.shingleNovelty]]
+    * (which measures repetition ACROSS the corpus).
+    *
+    * Scale shape: map-only per document — one codegen'd
+    * tokens → hashes → rolling-shingle pass and a per-row
+    * distinct count; no shuffle at all (the hashed-shingle identity is
+    * the q31/q177 convention: exact up to 64-bit collisions, which the
+    * string-based oracle confirms absent per SF).
+    */
+  def intraDocRepetition(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5): DataFrame = {
+    require(shingleK >= 1, "intraDocRepetition: shingleK >= 1")
+    docs
+      .withColumn("__tok", T.hashAll(T.tokens(col(textCol))))
+      .withColumn("__sh",
+        org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK))
+      .select(col(idCol).as("doc"),
+        size(col("__sh")).cast("bigint").as("n_shingles"),
+        size(array_distinct(col("__sh"))).cast("bigint").as("n_distinct"))
+      .withColumn("repetition_ppm",
+        expr("(1000000 * (n_shingles - n_distinct)) DIV n_shingles"))
+  }
+
+  /** BIGRAM CONDITIONAL ENTROPY per group — how predictable the next
+    * token is given the current one, H(w₂|w₁) = H(w₁w₂) − H(w₁), in
+    * micro-nats with the q94 per-term rounding convention
+    * (`round(−ln(p)·p·10⁶)` per cell, integer-summed — order-free).
+    * Both entropies are computed over the BIGRAM table (the w₁ marginal
+    * is the bigram prefix marginal, not raw unigram counts — the
+    * correct conditioning measure). The text-predictability /
+    * templated-source detector next to [[chao1]] and the q94/q206
+    * family: low conditional entropy = formulaic text (boilerplate,
+    * logs), high = diverse prose.
+    *
+    * Scale shape: one bigram explode (map-only window inside each doc's
+    * token array), one (group, w₁, w₂) count with map-side combine, a
+    * prefix re-aggregation of that table, and group-bounded broadcast
+    * totals — the data-scaled pass is the first count, everything after
+    * is vocabulary-bounded.
+    */
+  def bigramCondEntropy(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = docs
+      .select(col(groupCol).as("grp"), T.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(col("grp"), explode(
+        transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("grp"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = Dedup.persistTracked(
+      bi.groupBy(col("grp"), col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+    val tot = cb.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    def entropyOf(counts: DataFrame, out: String, vocabOut: String) = counts
+      .join(broadcast(tot), Seq("grp"))
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("term_micro",
+        round(-log(col("p")) * col("p") * 1e6).cast("bigint"))
+      .groupBy(col("grp"))
+      .agg(sum(col("term_micro")).as(out), count(lit(1)).as(vocabOut),
+        max(col("n")).as("__n_" + out))
+    val hb = entropyOf(cb, "h_bigram_micro", "vocab_bigrams")
+    val hp = entropyOf(
+      cb.groupBy(col("grp"), col("w1")).agg(sum(col("c")).as("c")),
+      "h_prefix_micro", "vocab_prefixes")
+    hb.join(hp, Seq("grp"))
+      .select(col("grp"), col("__n_h_bigram_micro").as("n_bigrams"),
+        col("vocab_bigrams"), col("vocab_prefixes"),
+        col("h_bigram_micro"), col("h_prefix_micro"),
+        (col("h_bigram_micro") - col("h_prefix_micro"))
+          .as("cond_entropy_micro"))
+  }
+
   def chao1(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"), explode(T.tokens(col(textCol))).as("t"))
       .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))

@@ -1951,6 +1951,85 @@ object ExtensionQueries {
         "{key minus one char} variant (k=1 completeness), candidates " +
         "verify with exact levenshtein (codegen'd / built-in, unit " +
         "costs identical) — the typo-dedup primitive for short keys; " +
-        "variant-keyed join with the q31 df cap on hot variants")
+        "variant-keyed join with the q31 df cap on hot variants"),
+
+    // ------------- text: bigram conditional entropy per source
+    "q258_bigram_entropy" -> Q(
+      (s, dir) =>
+        TextPipeline.bigramCondEntropy(
+            Tables.table(s, dir, "documents"), "text", "source")
+          .orderBy(col("grp")),
+      Some("""WITH toks AS (SELECT source AS grp,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |bi AS (SELECT grp, unnest(w[1:len(w)-1]) AS w1,
+             |    unnest(w[2:len(w)]) AS w2
+             |  FROM toks WHERE len(w) >= 2),
+             |cb AS (SELECT grp, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+             |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY 1),
+             |hb AS (SELECT cb.grp, CAST(count(*) AS BIGINT) AS vocab_bigrams,
+             |    CAST(sum(CAST(round(-ln(CAST(c AS DOUBLE) / n)
+             |      * (CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)) AS BIGINT) AS h_bigram_micro
+             |  FROM cb JOIN tot USING (grp) GROUP BY 1),
+             |cp AS (SELECT grp, w1, sum(c) AS c FROM cb GROUP BY 1, 2),
+             |hp AS (SELECT cp.grp, CAST(count(*) AS BIGINT) AS vocab_prefixes,
+             |    CAST(sum(CAST(round(-ln(CAST(c AS DOUBLE) / n)
+             |      * (CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)) AS BIGINT) AS h_prefix_micro
+             |  FROM cp JOIN tot USING (grp) GROUP BY 1)
+             |SELECT hb.grp, tot.n AS n_bigrams, vocab_bigrams, vocab_prefixes,
+             |  h_bigram_micro, h_prefix_micro,
+             |  h_bigram_micro - h_prefix_micro AS cond_entropy_micro
+             |FROM hb JOIN hp ON hp.grp = hb.grp JOIN tot ON tot.grp = hb.grp
+             |ORDER BY hb.grp""".stripMargin),
+      "bigram conditional entropy H(w2|w1) per source in micro-nats " +
+        "(q94 per-term rounding, both entropies over the bigram table) " +
+        "— the text-predictability/templated-source detector: low = " +
+        "formulaic boilerplate, high = diverse prose; one bigram count " +
+        "with map-side combine, then vocabulary-bounded reductions"),
+
+    // ------------- text: intra-document repetition (loop detector)
+    "q259_intra_doc_repetition" -> Q(
+      (s, dir) =>
+        TextPipeline.intraDocRepetition(
+            Tables.table(s, dir, "documents"), "text", "doc_id")
+          .orderBy(col("doc")),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (SELECT doc,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks)
+             |SELECT doc, CAST(len(shingles) AS BIGINT) AS n_shingles,
+             |  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+             |  CAST((1000000 * (len(shingles) - len(list_distinct(shingles))))
+             |    // len(shingles) AS BIGINT) AS repetition_ppm
+             |FROM sh ORDER BY doc""".stripMargin),
+      "intra-document 5-shingle repetition rate in exact ppm — the " +
+        "generation-loop/boilerplate detector (repeated templates read " +
+        "high, natural prose near 0), the within-doc complement of " +
+        "q177's cross-corpus novelty; map-only per document, no shuffle"),
+
+    // ------------- corpus: Herfindahl concentration of source mass
+    "q260_hhi_concentration" -> Q(
+      (s, dir) =>
+        graft.operators.DataPrep.hhiConcentration(
+            Tables.table(s, dir, "documents"), "source", "doc_id", "n_chars")
+          .orderBy(col("grp")),
+      Some("""WITH m AS (SELECT source AS grp, doc_id AS member,
+             |    CAST(sum(CAST(round(n_chars * 1e6) AS BIGINT)) AS HUGEINT) AS m
+             |  FROM documents GROUP BY 1, 2),
+             |ag AS (SELECT grp, count(*) AS n_members, sum(m) AS s,
+             |    sum(m * m) AS q FROM m GROUP BY 1)
+             |SELECT grp, CAST(n_members AS BIGINT) AS n_members,
+             |  CAST(CASE WHEN s = 0 THEN -1
+             |    ELSE (1000000::HUGEINT * q) // (s * s) END AS BIGINT) AS hhi_ppm
+             |FROM ag ORDER BY grp""".stripMargin),
+      "Herfindahl-Hirschman concentration of each source's character " +
+        "mass across its documents in exact ppm (1e6 = one giant doc, " +
+        "1e6/n = perfectly even) — the one-number Lorenz/Gini companion " +
+        "a mixing pipeline reads before trusting a source's weight; one " +
+        "(source, doc) sum + one group-bounded moment reduce")
   )
 }

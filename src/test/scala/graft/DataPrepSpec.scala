@@ -396,4 +396,33 @@ class DataPrepSpec extends SparkSpec {
       DataPrep.trimmedMeanBps(df, "g", "v", 5000, 5000)
     }
   }
+
+  test("hhiConcentration: monopoly reads 1e6, even split reads 1e6/n, " +
+      "member rows pre-aggregate, zero-mass sentinel, negative guard, " +
+      "determinism") {
+    import spark.implicits._
+    val df = Seq(
+      ("mono", 1L, 10.0),
+      ("even", 1L, 5.0), ("even", 2L, 5.0), ("even", 3L, 5.0), ("even", 4L, 5.0),
+      // split rows for one member must merge before squaring:
+      // member 1 holds 6 (2 rows), member 2 holds 2 -> hhi = (36+4)/64
+      ("agg", 1L, 4.0), ("agg", 1L, 2.0), ("agg", 2L, 2.0),
+      ("zero", 1L, 0.0)).toDF("g", "m", "w")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = read(DataPrep.hhiConcentration(df, "g", "m", "w"))
+    assert(got("mono") === ((1L, 1000000L)))
+    assert(got("even") === ((4L, 250000L)))
+    assert(got("agg") === ((2L, 625000L)))
+    assert(got("zero") === ((1L, -1L)))
+    assert(read(DataPrep.hhiConcentration(df.repartition(5), "g", "m", "w"))
+      === got)
+    val e = intercept[Exception] {
+      DataPrep.hhiConcentration(
+        Seq(("g", 1L, -1.0)).toDF("g", "m", "w"), "g", "m", "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("negative weight")))
+  }
 }

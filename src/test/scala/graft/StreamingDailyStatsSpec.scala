@@ -75,6 +75,8 @@ class StreamingDailyStatsSpec extends SparkSpec {
         EventAnalytics.acfFromDaily(batchDaily, maxLag = 5))))
     assert(rows(EventAnalytics.seasonalStrengthFromDaily(sinkDaily)) ===
       rows(EventAnalytics.seasonalStrengthFromDaily(batchDaily)))
+    assert(rows(EventAnalytics.fanoFromDailyCounts(sinkDaily)) ===
+      rows(EventAnalytics.fanoFromDailyCounts(batchDaily)))
     // and against the full-batch monitor restricted to closed days: the
     // trend verdicts agree when the open day is the only difference
     val full = EventAnalytics.mannKendall(ev, "ts", "value", "event_type")

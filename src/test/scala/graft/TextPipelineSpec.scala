@@ -576,6 +576,59 @@ class TextPipelineSpec extends SparkSpec {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("intraDocRepetition: looping text reads high, distinct text reads " +
+      "0, short docs fold to one shingle, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 tokens of pure loop: shingles all identical -> 6 total, 1
+      // distinct -> rep = (1e6 * 5) DIV 6
+      (1L, "a a a a a a a a a a"),
+      // all-distinct tokens: every 5-shingle unique -> rep 0
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      // short doc (< 5 tokens): ONE whole-text shingle -> rep 0
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = read(TextPipeline.intraDocRepetition(docs, "text", "doc_id"))
+    assert(got(1L) === ((6L, 1L, 833333L)))
+    assert(got(2L) === ((4L, 4L, 0L)))
+    assert(got(3L) === ((1L, 1L, 0L)))
+    assert(read(TextPipeline.intraDocRepetition(
+      docs.repartition(3), "text", "doc_id")) === got)
+  }
+
+  test("bigramCondEntropy: deterministic text reads 0 conditional " +
+      "entropy, a branching bigram reads exactly ln 2, driver replica, " +
+      "determinism") {
+    import spark.implicits._
+    // s1: "a b a b a b" -> bigrams ab, ba, ab, ba, ab: every prefix
+    // fully determines the next token -> H(w2|w1) = 0
+    // s2: "x y x z" -> bigrams xy, yx, xz: prefix x branches 50/50
+    //   H(bigram) = -2*(1/3 ln 1/3) - ... all three distinct: ln 3
+    //   H(prefix): x: 2/3, y: 1/3 -> cond = H(bi) - H(pre)
+    val docs = Seq(("s1", "a b a b a b"), ("s2", "x y x z"))
+      .toDF("source", "text")
+    val got = TextPipeline.bigramCondEntropy(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // driver replica with the exact per-term rounding
+    def h(counts: Seq[Long]): Long = {
+      val n = counts.sum.toDouble
+      counts.map(c => math.round(-math.log(c / n) * (c / n) * 1e6)).sum
+    }
+    assert(got("s1") === ((5L, h(Seq(3L, 2L)), h(Seq(3L, 2L)), 0L)))
+    val wantBi = h(Seq(1L, 1L, 1L))
+    val wantPre = h(Seq(2L, 1L))
+    assert(got("s2") === ((3L, wantBi, wantPre, wantBi - wantPre)))
+    val again = TextPipeline.bigramCondEntropy(
+        docs.repartition(3), "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(again === got)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("chao1: hand histogram, bias-corrected F2=0 form, singleton-free " +
       "source reads exactly V, determinism") {
     import spark.implicits._
