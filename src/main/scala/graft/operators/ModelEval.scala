@@ -402,6 +402,82 @@ object ModelEval {
         col("significant_95"))
   }
 
+  /** FRIEDMAN TEST — the repeated-measures companion of
+    * [[kruskalWallis]]: k systems scored on the SAME n subjects ("do k
+    * model variants rank consistently across benchmark items", "do the
+    * event types order the same way every day"), blocking out
+    * per-subject level differences that would drown a pooled rank test.
+    * Values are reduced to the per-(subject, system) truncating micro
+    * mean first (the dailyStats dm convention), subjects missing any
+    * system are DROPPED (a complete-block design — `n_subjects` reports
+    * the blocks actually used), and ranks are doubled within-subject
+    * average ranks (ties exact, the rank-sum convention). With R2_j the
+    * doubled rank sum of system j and A2 = Σ r2²  the tie-corrected
+    * statistic is fully integral up to ONE final division:
+    *
+    *   q_micro = (10⁶·(k−1)·Σ_j (R2_j − n(k+1))²) DIV (A2 − n·k·(k+1)²)
+    *
+    * Verdict: `q_micro ≥ χ²(k−1, 0.95)` against the micro literal
+    * (k ≤ 8 — the table bound, enforced). A zero denominator (all
+    * systems tied within every subject) or n = 0 reads the −2·10⁶
+    * sentinel with `significant_95 = −1`. One output row.
+    *
+    * Scale shape: one (subject, system) mean with map-side combine, a
+    * subject-partitioned rank window over per-subject k-bounded blocks,
+    * and k-bounded reductions; the distinct-system count is ONE bounded
+    * driver action (systems are a catalog — the negativeSamples
+    * maxVocab precedent).
+    */
+  def friedmanTest(
+      df: DataFrame, subjectCol: String, systemCol: String,
+      valueCol: String): DataFrame = {
+    val cell = df.select(col(subjectCol).as("subj"), col(systemCol).as("sys"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("ym"))
+      .groupBy(col("subj"), col("sys"))
+      .agg(expr("sum(ym) DIV count(1)").as("sm"))
+    val k = cell.select(col("sys")).distinct().count()
+    require(k >= 2 && k <= 8,
+      s"friedmanTest: $k systems — need 2..8 (chi-square table bound)")
+    val complete = cell
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("subj"))))
+      .filter(col("__cnt") === k)
+      .drop("__cnt")
+    // doubled within-subject average ranks over tied value blocks
+    val wCum = Window.partitionBy(col("subj")).orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = complete.groupBy(col("subj"), col("sm"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val cells = complete.join(blocks.select(col("subj"), col("sm"), col("r2")),
+      Seq("subj", "sm"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val nFrame = cells.agg(
+      (count_distinct(col("subj"))).as("n"),
+      coalesce(sum(d("r2") * d("r2")), lit(0).cast("decimal(38,0)")).as("a2"))
+    val perSys = cells.groupBy(col("sys")).agg(sum(col("r2")).as("r2j"))
+    // s2 aggregated on its own 1-row frame so an EMPTY complete-block set
+    // still yields one (sentinel) output row
+    val s2only = perSys.crossJoin(broadcast(nFrame))
+      .agg(coalesce(sum((d("r2j") - d("n") * lit(k + 1)) *
+        (d("r2j") - d("n") * lit(k + 1))), lit(0).cast("decimal(38,0)"))
+        .as("s2"))
+    nFrame.crossJoin(broadcast(s2only))
+      .withColumn("den",
+        col("a2") - d("n") * lit(k) * lit((k + 1) * (k + 1)))
+      .withColumn("q_micro",
+        when(col("n") === 0L || col("den") <= 0, lit(-2000000L))
+          .otherwise(expr(
+            s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * ${k - 1} * s2)
+               | DIV den AS BIGINT)""".stripMargin)))
+      .withColumn("significant_95",
+        when(col("n") === 0L || col("den") <= 0, lit(-1L))
+          .otherwise((col("q_micro") >= lit(KwCrit95Micro(k - 1)))
+            .cast("bigint")))
+      .select(lit(k).as("k"), col("n").cast("bigint").as("n_subjects"),
+        col("q_micro"), col("significant_95"))
+  }
+
   /** Chi-square term selection: for every (class, term) pair over a
     * document corpus, the 2×2 presence/absence contingency statistic
     *

@@ -1412,6 +1412,62 @@ object EvalQueries {
         "statistic reduces to ONE truncating decimal division per class " +
         "plus one final (the (N^3-N)/(N(N+1)) = N-1 cancellation keeps " +
         "products inside decimal(38,0)), and the verdict is an integer " +
-        "compare against the chi2(k-1, .95) micro literal")
+        "compare against the chi2(k-1, .95) micro literal"),
+
+    // -------- Friedman repeated-measures rank test over daily blocks
+    "q261_friedman" -> Q(
+      (s, dir) =>
+        graft.operators.ModelEval.friedmanTest(
+          Tables.events(s, dir)
+            .withColumn("day",
+              date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")),
+          "day", "event_type", "value"),
+      Some("""WITH cellt AS (SELECT
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS subj,
+             |    event_type AS sys,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS sm
+             |  FROM events GROUP BY 1, 2),
+             |kk AS (SELECT count(DISTINCT sys) AS k FROM cellt),
+             |comp AS (SELECT c.* FROM cellt c JOIN (
+             |    SELECT subj FROM cellt GROUP BY subj
+             |    HAVING count(*) = (SELECT k FROM kk)) g USING (subj)),
+             |blk AS (SELECT subj, sm, count(*) AS t FROM comp GROUP BY 1, 2),
+             |bb AS (SELECT subj, sm, t, sum(t) OVER (PARTITION BY subj
+             |    ORDER BY sm ROWS UNBOUNDED PRECEDING) AS cum FROM blk),
+             |rr AS (SELECT subj, sm, 2 * (cum - t) + t + 1 AS r2 FROM bb),
+             |cells AS (SELECT c.subj, c.sys, rr.r2
+             |  FROM comp c JOIN rr ON rr.subj = c.subj AND rr.sm = c.sm),
+             |nn AS (SELECT count(DISTINCT subj) AS n,
+             |    COALESCE(sum(CAST(r2 AS HUGEINT) * r2), 0) AS a2 FROM cells),
+             |ps AS (SELECT sys, CAST(sum(r2) AS HUGEINT) AS r2j
+             |  FROM cells GROUP BY 1),
+             |ss AS (SELECT COALESCE(sum(
+             |    (r2j - (SELECT n FROM nn) * ((SELECT k FROM kk) + 1))
+             |    * (r2j - (SELECT n FROM nn) * ((SELECT k FROM kk) + 1))), 0)
+             |    AS s2 FROM ps),
+             |fin AS (SELECT (SELECT k FROM kk) AS k, nn.n, ss.s2,
+             |    nn.a2 - CAST(nn.n AS HUGEINT) * (SELECT k FROM kk)
+             |      * ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1) AS den
+             |  FROM nn CROSS JOIN ss),
+             |hm AS (SELECT k, n, den,
+             |    CASE WHEN n = 0 OR den <= 0 THEN CAST(-2000000 AS HUGEINT)
+             |      ELSE (1000000::HUGEINT * (k - 1) * s2) // den END AS q_micro
+             |  FROM fin)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_subjects,
+             |  CAST(q_micro AS BIGINT) AS q_micro,
+             |  CAST(CASE WHEN n = 0 OR den <= 0 THEN -1
+             |    ELSE CAST(q_micro >= CASE k - 1
+             |      WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+             |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+             |      WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+             |      ELSE 14067140 END AS INT) END AS BIGINT) AS significant_95
+             |FROM hm""".stripMargin),
+      "Friedman repeated-measures rank test: do the event types rank " +
+        "consistently by daily micro-mean across days (days = blocks, " +
+        "types = systems — the same machinery compares k model variants " +
+        "across benchmark items)? Doubled within-day average ranks keep " +
+        "ties exact, incomplete days drop (complete-block design), the " +
+        "tie-corrected statistic is integral up to ONE final truncating " +
+        "division, verdict vs the chi2(k-1, .95) micro literal")
   )
 }

@@ -63,14 +63,25 @@ object StreamingKs {
     * follows [[ModelEval.ksFromCounts]]: side a = reference, side b =
     * the window.
     */
-  def ksOfCounts(valueCounts: DataFrame, refCounts: DataFrame): DataFrame = {
+  def ksOfCounts(valueCounts: DataFrame, refCounts: DataFrame): DataFrame =
+    ModelEval.ksFromCounts(mergedCounts(valueCounts, refCounts),
+      Seq("win_start_us", "grp"))
+
+  /** The shared merge: every closed (window, group) full-outer-joined
+    * with the broadcast reference on the micro value grid —
+    * `(win_start_us, grp, sm, ca = reference, cb = window)`. Feeds
+    * [[ksOfCounts]] AND [[StreamingRankSum.rankSumOfCounts]] (one
+    * streamed histogram, two drift tests).
+    */
+  private[streaming] def mergedCounts(
+      valueCounts: DataFrame, refCounts: DataFrame): DataFrame = {
     val wins = valueCounts.select(col("win_start_us"), col("grp")).distinct()
     // fresh attribute ids before the full-outer self-join — the
     // StreamingDrift.psiOfCounts conflicting-reference lesson
     val refExpanded = wins.join(broadcast(refCounts), Seq("grp"))
       .select(col("win_start_us").as("rw"), col("grp").as("rg"),
         col("sm").as("rs"), col("c").as("rc"))
-    val merged = refExpanded
+    refExpanded
       .join(valueCounts,
         col("rw") === col("win_start_us") && col("rg") === col("grp") &&
           col("rs") === col("sm"),
@@ -81,6 +92,27 @@ object StreamingKs {
         coalesce(col("rs"), col("sm")).as("sm"),
         coalesce(col("rc"), lit(0L)).as("ca"),
         coalesce(col("d"), lit(0L)).as("cb"))
-    ModelEval.ksFromCounts(merged, Seq("win_start_us", "grp"))
   }
+}
+
+/** Streaming LOCATION-drift monitoring with the Mann–Whitney rank-sum
+  * test: the same two-stage split (and literally the same stage-1 feed)
+  * as [[StreamingKs]] — [[StreamingKs.windowValueCounts]] streams the
+  * per-(window, group, micro value) histogram, and this reduction runs
+  * the SHARED [[ModelEval.rankSumFromCounts]] arithmetic per closed
+  * window against the broadcast reference, so batch and stream cannot
+  * diverge (StreamingRankSumSpec pins window ≡ batch). KS answers "did
+  * the SHAPE change", rank-sum answers "did the LEVEL shift" — a drift
+  * dashboard reads both off one streamed histogram.
+  */
+object StreamingRankSum {
+
+  /** Rank-sum per (window, group) of closed-window value counts against
+    * a [[StreamingKs.referenceValueCounts]] table — stateless; side a =
+    * reference, side b = the window.
+    */
+  def rankSumOfCounts(valueCounts: DataFrame, refCounts: DataFrame): DataFrame =
+    ModelEval.rankSumFromCounts(
+      StreamingKs.mergedCounts(valueCounts, refCounts),
+      Seq("win_start_us", "grp"))
 }

@@ -899,6 +899,60 @@ class ModelEvalSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("side must be 0/1")))
   }
 
+  test("friedmanTest: consistent ranking is significant with the hand " +
+      "statistic, all-tied reads the sentinel, incomplete blocks drop, " +
+      "within-block ties average, determinism, class guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fr(rows: Seq[(String, String, Double)]) =
+      graft.operators.ModelEval.friedmanTest(
+        rows.toDF("subj", "sys", "v"), "subj", "sys", "v").collect().head
+    // 4 subjects, 3 systems, always a < b < c:
+    // R2 = (8, 16, 24), n(k+1) = 16 -> S = 128; A2 = 224; den = 32
+    // q = 1e6 * 2 * 128 / 32 = 8e6 >= chi2(2, .95) = 5.991465
+    val consistent = for {
+      s <- Seq("s1", "s2", "s3", "s4")
+      (sys, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+    } yield (s, sys, v + s.hashCode % 2 * 10.0) // per-subject level shifts out
+    val g1 = fr(consistent)
+    assert(g1.getLong(0) === 3L && g1.getLong(1) === 4L)
+    assert(g1.getLong(2) === 8000000L && g1.getLong(3) === 1L)
+    // an extra INCOMPLETE subject (one system only) must drop, not skew
+    val g2 = fr(consistent ++ Seq(("s5", "a", 9.0)))
+    assert(g2.toSeq === g1.toSeq)
+    // all values tied within every subject -> zero denominator -> sentinel
+    val tied = for {
+      s <- Seq("s1", "s2"); sys <- Seq("a", "b", "c")
+    } yield (s, sys, 7.0)
+    val g3 = fr(tied)
+    assert(g3.getLong(2) === -2000000L && g3.getLong(3) === -1L)
+    // within-block tie: subject s1 has a == b < c -> doubled avg ranks
+    // (3, 3, 6); replica over BigInt with the same arithmetic
+    val withTie = Seq(
+      ("s1", "a", 1.0), ("s1", "b", 1.0), ("s1", "c", 2.0),
+      ("s2", "a", 1.0), ("s2", "b", 2.0), ("s2", "c", 3.0))
+    val g4 = fr(withTie)
+    val r2s = Map("a" -> (3L + 2L), "b" -> (3L + 4L), "c" -> (6L + 6L))
+    val n = 2L; val k = 3L
+    val s2 = r2s.values.map(r => BigInt(r - n * (k + 1)) * BigInt(r - n * (k + 1))).sum
+    val a2 = BigInt(9 + 9 + 36) + BigInt(4 + 16 + 36)
+    val den = a2 - BigInt(n * k * (k + 1) * (k + 1))
+    val want = (BigInt(1000000) * (k - 1) * s2 / den).toLong
+    assert(g4.getLong(2) === want)
+    // determinism
+    val again = graft.operators.ModelEval.friedmanTest(
+      consistent.toDF("subj", "sys", "v").repartition(7),
+      "subj", "sys", "v").collect().head
+    assert(again.toSeq === g1.toSeq)
+    // guard: > 8 systems
+    val many = (1 to 9).map(i => ("s1", s"sys$i", i.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ModelEval.friedmanTest(
+        many.toDF("subj", "sys", "v"), "subj", "sys", "v")
+    }
+    assert(e.getMessage.contains("table bound"))
+  }
+
   test("kruskalWallis: two-class case reduces to the rank-sum frame, a " +
       "clear separation is significant, identical classes are not, " +
       "all-tied and single-class read sentinels, determinism, class guard") {
