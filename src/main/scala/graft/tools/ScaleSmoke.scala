@@ -113,7 +113,12 @@ object ScaleSmoke {
       // 10*r2 - 9), so rho is mathematically identical (equal up to
       // 1 micro-ulp of the final f64 divide)
       "q236_lorenz_curve", "q237_spearman", "q238_hill_tail",
-      "q239_trimmed_mean")
+      "q239_trimmed_mean",
+      // round-12 graph additions on the same disjoint-replica co-purchase
+      // graph: wedges, AA pairs, triangles and degrees are per-replica
+      // identical, so q249's pair set and q253's coefficient table scale
+      // exactly 10x with bit-identical values per replica
+      "q249_adamic_adar", "q253_clustering_coeff")
   // events replicas offset user_id (and event_id, the deterministic
   // tiebreaker) while keeping timestamps, types, and values bit-identical:
   // each replica user's event sequence IS some original user's, so
