@@ -455,11 +455,15 @@ object Graph {
     */
   def degreeAssortativity(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonicalize ONCE and checkpoint: the degree pass and the
+    // endpoint-tagging join both read this frame, and the caller's edge
+    // build (often a self-join) must not run twice
     val undirected = edges
       .select(col(srcCol).cast("bigint").as("x"), col(dstCol).cast("bigint").as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = undirected.select(col("a").as("node")).unionAll(
         undirected.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
