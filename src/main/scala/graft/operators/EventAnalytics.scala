@@ -1196,9 +1196,22 @@ object EventAnalytics {
     val termSum = (1 to maxLag)
       .map(l => s"(CAST(r$l AS DECIMAL(38,0)) * r$l) DIV np$l")
       .mkString(" + ")
+    // double pre-check (the rankSumFromCounts guard): |acf_micro| ≤ 10^6 so
+    // each term ≤ 10^12/np — the n·(n+2)·Σ product must fit decimal(38,0);
+    // raise a NAMED error instead of the generic ANSI decimal overflow
+    // (calendar-bounded n_days makes this unreachable in practice, but the
+    // guard keeps the failure mode uniform across the rank-test family)
+    val termSumD = (1 to maxLag)
+      .map(l => s"(CAST(r$l AS DOUBLE) * r$l / np$l)")
+      .mkString(" + ")
     piv.select(col("grp"), col("n_days"),
         expr(
           s"""CASE WHEN $sentinel THEN CAST(-2000000 AS BIGINT)
+             | WHEN CAST(n_days AS DOUBLE) * (n_days + 2) * ($termSumD) >= 5e37
+             |   THEN raise_error(concat(
+             |     'ljungBox: statistic numerator would overflow ',
+             |     'decimal(38,0) at n_days = ', CAST(n_days AS STRING),
+             |     ' — shrink the window or rescale'))
              | ELSE CAST((CAST(n_days AS DECIMAL(38,0)) * (n_days + 2)
              |   * ($termSum)) DIV 1000000 AS BIGINT) END""".stripMargin)
           .as("q_micro"))

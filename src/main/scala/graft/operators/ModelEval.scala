@@ -357,10 +357,18 @@ object ModelEval {
     * reduce, one 1-row reduce.
     */
   def kruskalWallis(
-      df: DataFrame, classCol: String, valueCol: String): DataFrame = {
-    val hist = df.select(col(classCol).as("cls"),
-        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"))
-      .groupBy(col("cls"), col("sm")).agg(count(lit(1)).as("cc"))
+      df: DataFrame, classCol: String, valueCol: String): DataFrame =
+    kruskalWallisFromCounts(
+      df.select(col(classCol).as("cls"),
+          round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"))
+        .groupBy(col("cls"), col("sm")).agg(count(lit(1)).as("cc")))
+
+  /** The Kruskal–Wallis reduction over a PRE-AGGREGATED per-class value
+    * histogram `(cls, sm, cc)` — the [[rankSumFromCounts]] convention,
+    * shareable with any upstream that already holds counts (and the seam
+    * the overflow-guard spec drives with fabricated counts).
+    */
+  def kruskalWallisFromCounts(hist: DataFrame): DataFrame = {
     // doubled average rank per value block over the CLASS-POOLED axis
     val wCum = Window.orderBy(col("sm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -387,12 +395,25 @@ object ModelEval {
           lit(" classes exceed the chi-square table bound (8)")))))
       .withColumn("den",
         d("n_tot") * d("n_tot") * d("n_tot") - d("n_tot") - col("tie_t"))
+      // double pre-check (the rankSumFromCounts guard): the ~N^4-scale
+      // numerator must fit decimal(38,0) — raise a NAMED error instead of
+      // the generic ANSI decimal overflow
+      .withColumn("__numD",
+        lit(3e6) * abs(col("s").cast("double") -
+          col("n_tot").cast("double") * (col("n_tot").cast("double") + 1d)
+            * (col("n_tot").cast("double") + 1d)) *
+          (col("n_tot").cast("double") - 1d))
       .withColumn("h_micro",
         when(col("k") < 2L || col("den") <= 0, lit(-2000000L))
+          .when(col("__numD") >= 5e37, raise_error(concat(
+            lit("kruskalWallis: statistic numerator would overflow "),
+            lit("decimal(38,0) at n = "), col("n_tot").cast("string"),
+            lit(" pooled rows — shrink the classes or rescale counts"))))
           .otherwise(expr(
             """CAST((CAST(1000000 AS DECIMAL(38,0)) * 3
               |  * (s - CAST(n_tot AS DECIMAL(38,0)) * (n_tot + 1) * (n_tot + 1))
               |  * (n_tot - 1)) DIV den AS BIGINT)""".stripMargin)))
+      .drop("__numD")
       .withColumn("significant_95",
         when(col("k") < 2L || col("den") <= 0, lit(-1L))
           .otherwise((col("h_micro") >=
@@ -467,6 +488,13 @@ object ModelEval {
         col("a2") - d("n") * lit(k) * lit((k + 1) * (k + 1)))
       .withColumn("q_micro",
         when(col("n") === 0L || col("den") <= 0, lit(-2000000L))
+          // double pre-check (the rankSumFromCounts guard) on the
+          // 10^6·(k−1)·s2 numerator — named raise, not generic overflow
+          .when(lit(1e6 * (k - 1)) * col("s2").cast("double") >= 5e37,
+            raise_error(concat(
+              lit("friedmanTest: statistic numerator would overflow "),
+              lit("decimal(38,0) at n = "), col("n").cast("string"),
+              lit(" subjects — shrink the blocks or rescale counts"))))
           .otherwise(expr(
             s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * ${k - 1} * s2)
                | DIV den AS BIGINT)""".stripMargin)))

@@ -895,28 +895,6 @@ object TextPipeline {
       .drop("nr1")
   }
 
-  /** CHAO1 VOCABULARY RICHNESS per group — the nonparametric "how many
-    * distinct tokens does this source REALLY have" lower-bound estimator
-    * ecology uses for species richness, applied to corpus vocabulary:
-    * the observed vocabulary V undercounts whenever rare tokens exist,
-    * and the singleton/doubleton ratio estimates the unseen mass. The
-    * bias-corrected form (defined for F₂ = 0):
-    *
-    *   chao1 = V + F₁(F₁ − 1) / (2(F₂ + 1))
-    *
-    * with F₁/F₂ = tokens occurring exactly once/twice — emitted in exact
-    * integer micro (`10⁶·V + (10⁶·F₁·(F₁−1)) DIV (2(F₂+1))`, truncating
-    * decimal division, engine-portable). The companion to [[goodTuring]]
-    * (which estimates unseen MASS; chao1 estimates unseen TYPES) and
-    * [[heapsLaw]] — together the "is this source's vocabulary saturated
-    * or still growing" triage a mixing pipeline runs before weighting a
-    * new source.
-    *
-    * Scale shape: ONE data-scaled (group, token) count with map-side
-    * combine, then a group-cardinality-bounded reduction — the q219
-    * histogram pattern; F₁·F₁ routes through decimal(38,0) (10⁹-token
-    * vocabularies square past the long ceiling with the 10⁶ scale).
-    */
   /** INTRA-DOCUMENT REPETITION rate — the generation-loop / boilerplate
     * detector: the fraction of a document's word-k-shingle OCCURRENCES
     * that repeat an earlier shingle of the SAME document,
@@ -997,6 +975,28 @@ object TextPipeline {
           .as("cond_entropy_micro"))
   }
 
+  /** CHAO1 VOCABULARY RICHNESS per group — the nonparametric "how many
+    * distinct tokens does this source REALLY have" lower-bound estimator
+    * ecology uses for species richness, applied to corpus vocabulary:
+    * the observed vocabulary V undercounts whenever rare tokens exist,
+    * and the singleton/doubleton ratio estimates the unseen mass. The
+    * bias-corrected form (defined for F₂ = 0):
+    *
+    *   chao1 = V + F₁(F₁ − 1) / (2(F₂ + 1))
+    *
+    * with F₁/F₂ = tokens occurring exactly once/twice — emitted in exact
+    * integer micro (`10⁶·V + (10⁶·F₁·(F₁−1)) DIV (2(F₂+1))`, truncating
+    * decimal division, engine-portable). The companion to [[goodTuring]]
+    * (which estimates unseen MASS; chao1 estimates unseen TYPES) and
+    * [[heapsLaw]] — together the "is this source's vocabulary saturated
+    * or still growing" triage a mixing pipeline runs before weighting a
+    * new source.
+    *
+    * Scale shape: ONE data-scaled (group, token) count with map-side
+    * combine, then a group-cardinality-bounded reduction — the q219
+    * histogram pattern; F₁·F₁ routes through decimal(38,0) (10⁹-token
+    * vocabularies square past the long ceiling with the 10⁶ scale).
+    */
   def chao1(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"), explode(T.tokens(col(textCol))).as("t"))
       .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))

@@ -436,23 +436,33 @@ class EventAnalyticsSpec extends SparkSpec {
       rows.repartition(5), "ts", "event_type")) === got)
   }
 
-  test("kaplanMeier: bucket-span guard fails loudly past MaxDurationBuckets") {
+  test("survival family: bucket-span guard fails loudly past " +
+      "MaxDurationBuckets on ALL THREE of kaplanMeier / nelsonAalen / " +
+      "logRankTest") {
     def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
     val rows = Seq(
       (0L, 1L, "view", ts(0)), (1L, 1L, "purchase", ts(2000000L)))
       .toDF("event_id", "user_id", "event_type", "ts")
-    // span = 2e6 hours; bucketMicros = 1 hour -> 2e6 buckets > the 1e6 bound
-    val e = intercept[Exception] {
-      EventAnalytics.kaplanMeier(rows, "user_id", "ts", "event_type",
-        "view", "purchase", 3600000000L).collect()
-    }
+    val armed = rows.withColumn("arm", lit(0L))
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("coarsen bucketMicros")))
-    // the same corpus with a wide-enough bucket passes the guard
-    val ok = EventAnalytics.kaplanMeier(rows, "user_id", "ts", "event_type",
-      "view", "purchase", 3600000000L * 10).collect()
-    assert(ok.nonEmpty)
+    // span = 2e6 hours; bucketMicros = 1 hour -> 2e6 buckets > the 1e6 bound
+    val attempts: Seq[(String, Long => Array[org.apache.spark.sql.Row])] = Seq(
+      "kaplanMeier" -> ((b: Long) => EventAnalytics.kaplanMeier(
+        rows, "user_id", "ts", "event_type", "view", "purchase", b).collect()),
+      "nelsonAalen" -> ((b: Long) => EventAnalytics.nelsonAalen(
+        rows, "user_id", "ts", "event_type", "view", "purchase", b).collect()),
+      "logRankTest" -> ((b: Long) => EventAnalytics.logRankTest(
+        armed, "user_id", "ts", "event_type", "arm", "view", "purchase",
+        b).collect()))
+    for ((name, run) <- attempts) {
+      val e = intercept[Exception] { run(3600000000L) }
+      assert(msgs(e).exists(m => m != null &&
+        m.contains("coarsen bucketMicros") && m.contains(name)),
+        s"$name did not raise the named guard")
+      // the same corpus with a wide-enough bucket passes the guard
+      assert(run(3600000000L * 10).nonEmpty, s"$name failed past the guard")
+    }
   }
 
   test("ljungBox: statistic matches a BigInt replica from the pinned ACF, " +
@@ -499,6 +509,24 @@ class EventAnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventAnalytics.ljungBox(rows, "ts", "value", "event_type", maxLag = 8)
     }
+  }
+
+  test("ljungBoxFromAcf: the double pre-check raises the NAMED overflow " +
+      "error past the decimal(38,0) numerator window") {
+    // calendar-bounded n_days makes the guard unreachable from real
+    // corpora, so drive the FromAcf seam directly with a fabricated frame:
+    // a huge lag-1 pair count (n_days ~ 9e18) against tiny higher-lag
+    // counts keeps per-lag terms ~1e12 while n·(n+2) squares past 5e37
+    val acfDf = (1 to 5).map(l =>
+        ("g", l, 1000000L, if (l == 1) 9000000000000000000L else 1L))
+      .toDF("grp", "lag", "acf_micro", "n_pairs")
+    val e = intercept[Exception] {
+      EventAnalytics.ljungBoxFromAcf(acfDf).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("ljungBox") && m.contains("overflow")))
   }
 
   test("rfmSegments: quintiles balanced within 1, segment composition, " +

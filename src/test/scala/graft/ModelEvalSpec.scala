@@ -1004,4 +1004,27 @@ class ModelEvalSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs2(x.getCause))
     assert(msgs2(e2).exists(m => m != null && m.contains("table bound")))
   }
+
+  test("kruskalWallis: the double pre-check raises the NAMED overflow " +
+      "error on counts past the decimal(38,0) numerator window, and a " +
+      "same-shape small histogram passes") {
+    import spark.implicits._
+    // two classes on two extreme value blocks: s − N(N+1)² = 2c³, so the
+    // numerator ~ 1.2e7·c⁴ clears 5e37 at c ≈ 1.5e8 — fabricated counts
+    // drive the FromCounts seam the way rankSumFromCounts' guard is driven
+    def hist(c: Long) =
+      Seq(("a", 1L, c), ("b", 2L, c)).toDF("cls", "sm", "cc")
+    val e = intercept[Exception] {
+      graft.operators.ModelEval.kruskalWallisFromCounts(hist(200000000L))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("kruskalWallis") && m.contains("overflow")))
+    // identical shape below the window computes (and rejects the null)
+    val ok = graft.operators.ModelEval.kruskalWallisFromCounts(hist(1000L))
+      .collect().head
+    assert(ok.getLong(3) === 1L)
+  }
 }
