@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 /** Market-basket association mining over a (basket, item) relation —
   * the pairwise (2-itemset) core of Apriori: which items co-occur more
   * than chance, and how predictive is one of the other. The curation
@@ -48,7 +50,7 @@ object Associations {
     val bi = baskets
       .select(col(basketCol).as("bk"), col(itemCol).cast("bigint").as("it"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     val nBaskets = bi.select(col("bk")).distinct().count()
     val itemCounts = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
     val pairCounts = bi.as("x").join(bi.as("y"),
@@ -56,7 +58,7 @@ object Associations {
       .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairSupport)
-      .localCheckpoint(true)
+      .materialize
     val directed = pairCounts.select(col("ia").as("ante"), col("ib").as("cons"), col("n_ab"))
       .unionByName(
         pairCounts.select(col("ib").as("ante"), col("ia").as("cons"), col("n_ab")))

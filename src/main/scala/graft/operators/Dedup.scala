@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Deduplication operators for the training-data pipeline.
@@ -630,7 +632,7 @@ object Dedup {
     *
     * The fixpoint is a forest of stars rooted at each component's minimum
     * id. Every round is two keyed aggregations + two joins (no driver-side
-    * graph state), the edge frame is `localCheckpoint`ed per round so
+    * graph state), the edge frame is materialized ([[Materialize.checkpoint]]) per round so
     * lineage and planning cost stay O(1), and convergence is ONE cheap
     * aggregate over the already-materialized frame — (count, xor-of-edge-
     * hashes) equality with the previous round — instead of a changed-row
@@ -659,7 +661,7 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = null
@@ -685,7 +687,7 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(smallMins.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .materialize
       val sigRow = next
         .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 /** Event-stream analytics over a (user, type, timestamp, value) event
   * table: ordered funnel conversion and exact-arithmetic outlier
   * flagging. Both are single-shuffle keyed plans — nothing materializes a
@@ -1317,7 +1319,7 @@ object EventAnalytics {
     * Scale shape: the event stream collapses once ([[dailyStats]]);
     * each round is calendar-bounded windows partitioned by (group,
     * segment), a group-keyed argmax aggregation, and one equi-join of
-    * the picks back — `maxSplits` bounded rounds, each localCheckpointed
+    * the picks back — `maxSplits` bounded rounds, each Materialize.checkpoint-pinned
     * (the q120/q218 loop-invariant pattern) so plans don't nest.
     */
   def binarySegmentation(
@@ -1360,7 +1362,7 @@ object EventAnalytics {
           when(col("pday").isNotNull && col("day") > col("pday"),
             col("pday")).otherwise(col("seg")))
         .select(col("grp"), col("day"), col("ds"), col("dc"), col("seg"))
-        .localCheckpoint()
+        .materialize
     }
     cur.groupBy(col("grp"), col("seg"))
       .agg(min(col("day")).as("seg_start"), max(col("day")).as("seg_end"),

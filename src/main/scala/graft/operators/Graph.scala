@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 /** Iterative graph algorithms as join/aggregate rounds — the same
   * distributed shape as [[Dedup.connectedComponents]]'s star contraction:
   * each iteration is one equi-join plus one keyed aggregation, so a round
@@ -40,7 +42,7 @@ object Graph {
     * (broadcast when the node table is small), aggregates inflow by
     * destination, and left-joins back onto the node set for the teleport
     * base. The routing table and node set are loop-invariant, so both are
-    * eagerly `localCheckpoint`ed BEFORE the loop — without that, each
+    * eagerly materialized ([[Materialize.checkpoint]]) BEFORE the loop — without that, each
     * round's `inflow` plan re-derives them from lineage, and when the
     * edge table is itself an expensive join (q97 builds it from a 4-table
     * lineitem⋈orders⋈customer⋈supplier join) every iteration re-runs the
@@ -66,12 +68,12 @@ object Graph {
       col(weightCol).cast("bigint").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .materialize
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw): the per-edge routing table. Eagerly
     // materialized so the (possibly very expensive) edge derivation and
     // the out-weight aggregation run ONCE, not once per iteration.
-    val routed = e.join(outw, Seq("src")).localCheckpoint(true)
+    val routed = e.join(outw, Seq("src")).materialize
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     // n > 0 implies e (and hence routed) is non-empty, so min(w) is non-null
@@ -89,7 +91,7 @@ object Graph {
         .join(inflow.select(col("dst").as("node"), col("inflow")), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampPpm * coalesce(inflow, 0L)) DIV 1000000")).as("pr_micro"))
-      if (i % 10 == 0 && i < iterations) pr = pr.localCheckpoint(true)
+      if (i % 10 == 0 && i < iterations) pr = pr.materialize
     }
     pr
   }
@@ -124,7 +126,7 @@ object Graph {
       col(dstCol).cast("bigint").as("dst")).distinct()
     val adj = e.groupBy(col("src"))
       .agg(slice(sort_array(collect_list(col("dst"))), 1, maxDeg).as("nbrs"))
-      .localCheckpoint(true)
+      .materialize
     var walks = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(0), lit(walksPerNode - 1))).as("r"))
@@ -182,9 +184,9 @@ object Graph {
       col(weightCol).cast("bigint").as("w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .materialize
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val routed = e.join(outw, Seq("src")).localCheckpoint(true)
+    val routed = e.join(outw, Seq("src")).materialize
     require(nodes.count() > 0, "graph has no nodes")
     val minW = routed.agg(min(col("w"))).head.getLong(0)
     require(minW > 0,
@@ -204,7 +206,7 @@ object Graph {
         .select(col("node"),
           (base + expr(s"($dampPpm * coalesce(inflow, 0L)) DIV 1000000"))
             .as("pr_micro"))
-      if (i % 10 == 0 && i < iterations) pr = pr.localCheckpoint(true)
+      if (i % 10 == 0 && i < iterations) pr = pr.materialize
     }
     pr
   }
@@ -248,10 +250,10 @@ object Graph {
     val e = edges.select(
         col(srcCol).cast("bigint").as("src"),
         col(dstCol).cast("bigint").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().materialize
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .materialize
     val n = nodes.count()
     require(n > 0, "hits: graph has no nodes")
     def normalized(raw: DataFrame, keyCol: String, rawCol: String,
@@ -277,8 +279,8 @@ object Graph {
         .agg(sum(col("auth_micro").cast("decimal(38,0)")).as("hraw"))
       hub = normalized(hraw, "src", "hraw", "hub_micro")
       if (i % 5 == 0 && i < iterations) {
-        auth = auth.localCheckpoint(true)
-        hub = hub.localCheckpoint(true)
+        auth = auth.materialize
+        hub = hub.materialize
       }
     }
     hub.join(auth, Seq("node"))
@@ -317,7 +319,7 @@ object Graph {
       .distinct()
       // canonical edge set is read 3x (degrees, wedges, closure) — cut
       // the dedup's lineage once instead of re-running it per consumer
-      .localCheckpoint(true)
+      .materialize
     val deg = undirected.select(col("a").as("node")).unionAll(
         undirected.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -334,7 +336,7 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .localCheckpoint(true)
+      .materialize
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||
@@ -382,7 +384,7 @@ object Graph {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     val post = undirected.select(col("a").as("z"), col("b").as("n"))
       .unionAll(undirected.select(col("b").as("z"), col("a").as("n")))
     val deg = post.groupBy(col("z")).agg(count(lit(1)).as("d"))
@@ -427,7 +429,7 @@ object Graph {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     val deg = undirected.select(col("a").as("node")).unionAll(
         undirected.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -463,7 +465,7 @@ object Graph {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     val deg = undirected.select(col("a").as("node")).unionAll(
         undirected.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -517,7 +519,7 @@ object Graph {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize
     var n = e.count()
     var stable = false
     var round = 0
@@ -528,7 +530,7 @@ object Graph {
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "leftsemi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "leftsemi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .materialize
       val n2 = e.count()
       stable = n2 == n
       n = n2
@@ -581,7 +583,7 @@ object Graph {
         col(parentCol).cast("bigint").as("ancestor"))
       .distinct()
       .withColumn("depth", lit(1L))
-      .localCheckpoint(true)
+      .materialize
     var depthReached = 1L
     var grew = true
     while (grew && depthReached < maxDepth) {
@@ -595,7 +597,7 @@ object Graph {
       // DAGs this is min-hop distance
       val merged = closure.unionByName(next)
         .groupBy(col("node"), col("ancestor")).agg(min(col("depth")).as("depth"))
-        .localCheckpoint(true)
+        .materialize
       val before = closure.count()
       val after = merged.count()
       closure = merged
@@ -618,9 +620,9 @@ object Graph {
       .distinct()
     val adj = adj0.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(adj0.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint(true)
-    val nodes = adj.select(col("node")).distinct().localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+      .materialize
+    val nodes = adj.select(col("node")).distinct().materialize
+    var labels = nodes.withColumn("label", col("node")).materialize
     for (_ <- 1 to rounds) {
       labels = adj
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
@@ -630,7 +632,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(struct((-col("votes")).as("nv"), col("label"))).as("best"))
         .select(col("node"), col("best.label").as("label"))
-        .localCheckpoint(true)
+        .materialize
     }
     labels
   }

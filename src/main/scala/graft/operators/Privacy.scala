@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 /** Privacy-preserving release transforms for training corpora — the
   * quasi-identifier side of PII handling (the direct-identifier side is
   * [[TextPipeline]]'s redaction): before events/user tables feed a
@@ -62,7 +64,7 @@ object Privacy {
       // final union all re-derive the whole upstream chain from lineage, so
       // the base scan re-runs once per rung. Same loop-invariant pattern as
       // pageRank/connectedComponents.
-      rest = joined.filter(col("__ka_n") < k).drop("__ka_n").localCheckpoint(true)
+      rest = joined.filter(col("__ka_n") < k).drop("__ka_n").materialize
       pass
     }
     val suppressed = rest.select(col("id") +: lit(levels.size.toLong).as("level") +:

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 import graft.functions.{VectorFunctions => V}
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -67,7 +69,7 @@ object Similarity {
     * the greedy loop is k − 1 rounds over a (queries × candidates)-
     * bounded frame — each round ONE per-query min(struct) argmax, ONE
     * join against that round's single pick per query, and a
-    * localCheckpoint that pins the round (the q120 loop-invariant
+    * Materialize.checkpoint that pins the round (the q120 loop-invariant
     * pattern) so lineage cannot compound. Nothing in the loop ever
     * touches the corpus again.
     */
@@ -94,7 +96,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wc)).filter(col("rk") <= candidates)
       .select(col("query_id"), col("cid"), col("rel"), col("v"), col("cn"))
       .withColumn("ms", lit(null).cast("double"))
-      .localCheckpoint(true)
+      .materialize
     var picks: DataFrame = null
     for (i <- 1 to k) {
       val negScore =
@@ -123,7 +125,7 @@ object Similarity {
             .otherwise(greatest(col("ms"), col("psim"))))
           .select(col("query_id"), col("cid"), col("rel"), col("v"),
             col("cn"), col("ms"))
-          .localCheckpoint(true)
+          .materialize
       }
     }
     picks

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 import graft.functions.{TextFunctions => T}
 
 /** Corpus-level text-pipeline stages that are joins/aggregations rather
@@ -131,7 +133,7 @@ object TextPipeline {
     * inside "the" once with weight 10^9 instead of 10^9 times). Each
     * round is one vocab-sized pair aggregation + a 1-row argmax collect
     * (the same bounded-driver pattern as the KMeans centroids) + a
-    * map-only merge apply; `localCheckpoint` bounds the per-round plan
+    * map-only merge apply; [[Materialize.checkpoint]] bounds the per-round plan
     * growth exactly as in [[Dedup.connectedComponents]].
     *
     * Portability: counts are exact integers and the argmax tie-break is
@@ -154,7 +156,7 @@ object TextPipeline {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(concat_ws("", transform(split(col("w"), ""),
         ch => concat(lit(o), ch, lit(c)))).as("ws"), col("f"))
-      .localCheckpoint(true)
+      .materialize
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -176,7 +178,7 @@ object TextPipeline {
         words = words
           .select(call_function("replace", col("ws"),
             lit(o + l + c + o + rr + c), lit(o + l + rr + c)).as("ws"), col("f"))
-          .localCheckpoint(true)
+          .materialize
       }
     }
     import spark.implicits._
@@ -203,14 +205,14 @@ object TextPipeline {
     // 2^bit as an exact integer-valued double (pow with integer exponent
     // <= 31 is exact): shiftleft() takes only a literal shift count
     def mask(p: Column): Column = pow(lit(2.0), (p % 32).cast("int")).cast("long")
-    // localCheckpoint before exploding: composing Generate directly over
+    // materialize before exploding: composing Generate directly over
     // the (large) string-shingle HOF expression tree costs the OPTIMIZER
     // ~3.5 s per build regardless of data size (measured — the generator
     // tree is duplicated into inferred filters and re-canonicalized);
     // materializing the tiny bounded probe frame first makes the whole
     // build ~0.2 s and costs one probe-set-sized write.
     val setBits = stringShingles(probes, textCol, idCol, shingleK)
-      .localCheckpoint(true)
+      .materialize
       .select(explode(col("sh")).as("s"))
       .distinct()
       .withColumn("d", md5(col("s")))

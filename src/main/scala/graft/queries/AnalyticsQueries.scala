@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{ChangeCapture, EventAnalytics, Graph, TextPipeline}
+import graft.operators.Materialize.MaterializeOps
 
 /** Round-6 analytics queries (q91-q102): batch CDC merge + SCD2 history,
   * funnel conversion, exact-integer outlier flags, character entropy, BPE
@@ -356,7 +357,7 @@ object AnalyticsQueries {
         // STRING node ids), canonicalize to the lexicographic minimum
         import graft.functions.{TextFunctions => T}
         import graft.operators.Dedup
-        // localCheckpoint: the vocab subplan (full-corpus tokenize + top-k)
+        // Materialize.checkpoint: the vocab subplan (full-corpus tokenize + top-k)
         // is consumed THREE times (both fuzzy-join sides + the final join);
         // materializing the tiny result once keeps it a single corpus scan
         val vocab = Tables.table(s, dir, "documents")
@@ -365,7 +366,7 @@ object AnalyticsQueries {
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("w")).limit(300)
           .select(col("w"))
-          .localCheckpoint(true)
+          .materialize
         val pairs = Dedup.fuzzyJoinEd1(vocab, vocab, "w", "w")
           .filter(col("w1") < col("w2"))
           .select(col("w1").as("id_a"), col("w2").as("id_b"))

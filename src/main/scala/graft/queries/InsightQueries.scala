@@ -1308,7 +1308,7 @@ object InsightQueries {
         "micro statistic with earliest-day ties, constant segments never " +
         "split) — the multi-shift extension of q216's single " +
         "changepoint; each round is (group, segment)-partitioned windows " +
-        "+ one group argmax + one picks join, localCheckpoint-pinned"),
+        "+ one group argmax + one picks join, Materialize.checkpoint-pinned"),
 
     // -------------- series: streaming daily-stats stage (batch twin)
     "q240_daily_stats" -> Q(
