@@ -140,5 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(2), "m_bits"), intLit(args(3), "k_hashes"),
           intLit(args(4), "shingle_k"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize",
+        "url_canonicalize(str) - canonical URL key: drop fragment, lowercase " +
+          "scheme+host, strip www./default port/tracking params/trailing slash"),
+      (args: Seq[Expression]) => TextExprs.CanonicalizeUrl(args(0))))
   }
 }

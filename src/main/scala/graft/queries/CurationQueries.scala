@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, WebCuration}
 
 /** Corpus-curation queries (q71-q76): rule-based quality filtering,
   * deterministic sharding, duplicated-span detection, importance
@@ -543,6 +543,118 @@ object CurationQueries {
       "exact stratified sample of 197 documents across sources: Hamilton " +
         "allocation decides each group's count, smallest-md5 order draws it — " +
         "stateless, rerun-stable, sums EXACTLY to the budget; bounded allocation " +
-        "broadcast back over one per-group rank")
+        "broadcast back over one per-group rank"),
+
+    // ---- URL/host web curation (the CCNet/RefinedWeb front half) ----
+    // The corpus has no URL column, so both engines derive a DETERMINISTIC
+    // messy URL per document from (doc_id, source) — every canonicalizer
+    // rule exercised: scheme/host case, www., default ports, trailing
+    // slash, utm_*/ref tracking params, fragments. The DuckDB oracle
+    // states the EXPECTED canonical form from first principles (not a
+    // replay of the regex chain), so it independently pins the rule set.
+
+    "q262_url_canonicalize" -> Q(
+      (s, dir) =>
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            WebCuration.canonicalUrl(messyUrlA).as("canon_url"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  'http' || CASE WHEN doc_id % 3 = 0 THEN 's' ELSE '' END
+             |  || '://' || source || '.example.com/Articles/'
+             |  || CAST(doc_id // 7 AS VARCHAR)
+             |  || CASE WHEN doc_id % 7 = 0 THEN ''
+             |       WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR)
+             |       WHEN doc_id % 3 = 2 THEN
+             |         '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&page=2'
+             |       ELSE '' END AS canon_url
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "canonical-URL normalization (codegen url_canonicalize): fragment " +
+        "dropped, scheme+host lowercased, www./default-port stripped, " +
+        "utm_*/ref tracking params removed order-preserving, trailing slash " +
+        "collapsed — map-only, the pre-dedup key of the web-curation recipe"),
+
+    "q263_url_dedup" -> Q(
+      (s, dir) =>
+        WebCuration.urlKeyDedup(
+            Tables.table(s, dir, "documents").withColumn("__url", messyUrlB),
+            "__url", "doc_id")
+          .orderBy(col("canon_url")),
+      Some("""WITH c AS (SELECT doc_id,
+             |  'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+             |    || CAST(doc_id // 35 AS VARCHAR) AS canon_url
+             |  FROM documents)
+             |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_variants
+             |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin),
+      "URL-keyed exact dedup: canonicalize (case/www/port/slash/utm noise " +
+        "collapses 5-variant groups), ONE hash aggregation on the canonical " +
+        "key keeping min doc_id — the cheapest dedup pass, run before any " +
+        "content shingling at web scale"),
+
+    "q264_domain_stats" -> Q(
+      (s, dir) => {
+        val stats = WebCuration.domainStats(
+          Tables.table(s, dir, "documents").withColumn("__url", messyUrlA),
+          "__url", "text", "n_chars")
+        // deterministic md5-gated blocklist (~half the domains) standing in
+        // for the curated list a real pipeline broadcasts
+        val block = stats.select(col("domain"))
+          .filter(substring(md5(col("domain")), 1, 1) < "8")
+        WebCuration.withBlocklist(stats, block).orderBy(col("domain"))
+      },
+      Some("""WITH d AS (SELECT source || '.example.com' AS domain,
+             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      t -> len(t) > 0)) AS nt,
+             |    n_chars FROM documents),
+             |s AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |    CAST((1000000 * CAST(sum(n_chars) AS HUGEINT)) // count(*)
+             |      AS BIGINT) AS mean_chars_micro
+             |  FROM d GROUP BY 1)
+             |SELECT domain, n_docs, n_tokens, mean_chars_micro,
+             |  CAST(CASE WHEN substring(md5(domain), 1, 1) < '8' THEN 1 ELSE 0 END
+             |    AS BIGINT) AS blocked
+             |FROM s ORDER BY domain""".stripMargin),
+      "per-domain curation ledger: docs, whitespace tokens, mean chars in " +
+        "exact micro per registered domain (ONE domain-keyed aggregation — " +
+        "domain-cardinality-bounded), plus a broadcast blocklist flag join " +
+        "(md5-gated deterministic stand-in for the curated list)")
   )
+
+  // messy URL A: source-keyed host (q262/q264) — exercises every
+  // canonicalizer rule; expected canonical derivable from first principles
+  private def messyUrlA =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      lit("/Articles/"), expr("doc_id DIV 7").cast("string"),
+      when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("?utm_source=Feed&utm_medium=Mail"))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 97).cast("string"),
+            lit("&utm_campaign=X")))
+        .when(col("doc_id") % 3 === 2,
+          concat(lit("?id="), (col("doc_id") % 97).cast("string"),
+            lit("&ref=home&page=2")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 3, lit("#Section-2")).otherwise(lit("")))
+
+  // messy URL B: doc-keyed host/path with only canon-INVARIANT noise
+  // (case, www., default port, trailing slash, utm, fragment), so each
+  // (doc_id % 7, doc_id DIV 35) bucket collapses to one canonical URL
+  private def messyUrlB =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("site"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), expr("doc_id DIV 35").cast("string"),
+      when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("?utm_source=Feed")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 3, lit("#x")).otherwise(lit("")))
 }

@@ -430,6 +430,86 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Tracking query parameters every canonicalizer strips (the CCNet /
+    * RefinedWeb recipe): analytics campaign tags that vary per click while
+    * the fetched resource is identical.
+    */
+  private val TrackingParams = java.util.Set.of(
+    "fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+  /** Canonical-URL normalization core (string-level, deliberately NOT
+    * java.net.URI — URI's parser rejects/alters real-web URLs and its
+    * behavior is not replicable in a SQL oracle). Steps, in order:
+    *
+    *   1. trim; drop the `#fragment`
+    *   2. lowercase the `scheme://authority` prefix (path/query case is
+    *      meaningful and preserved); a string without `://` returns after
+    *      step 1 (not a URL shape — left as-is rather than guessed at)
+    *   3. drop a leading `www.` on the host
+    *   4. drop the scheme's default port (`:80` http, `:443` https)
+    *   5. drop tracking query params (`utm_*`, fbclid, gclid, msclkid,
+    *      ref, mc_cid, mc_eid — name compared case-insensitively);
+    *      remaining params keep their original order; an emptied query
+    *      loses its `?`
+    *   6. drop ONE trailing `/` from the path (root `/` collapses onto
+    *      the authority)
+    *
+    * Every step is a regex/list operation any engine can replay — the
+    * DuckDB oracle applies the identical chain.
+    */
+  def canonicalizeUrl(in: UTF8String): UTF8String = {
+    var s = in.toString.trim
+    val hi = s.indexOf('#')
+    if (hi >= 0) s = s.substring(0, hi).trim // strip may expose trailing ws
+    val si = s.indexOf("://")
+    if (si < 0) return UTF8String.fromString(s)
+    var i = si + 3
+    while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?') i += 1
+    val scheme = s.substring(0, si).toLowerCase(java.util.Locale.ROOT)
+    var auth = s.substring(si + 3, i).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(i)
+    if (auth.startsWith("www.")) auth = auth.substring(4)
+    if (scheme == "http" && auth.endsWith(":80"))
+      auth = auth.substring(0, auth.length - 3)
+    else if (scheme == "https" && auth.endsWith(":443"))
+      auth = auth.substring(0, auth.length - 4)
+    val qi = rest.indexOf('?')
+    var path = if (qi >= 0) rest.substring(0, qi) else rest
+    var query: String = if (qi >= 0) rest.substring(qi + 1) else null
+    if (query != null) {
+      val kept = query.split("&", -1).filter { p =>
+        val ei = p.indexOf('=')
+        val name = (if (ei >= 0) p.substring(0, ei) else p)
+          .toLowerCase(java.util.Locale.ROOT)
+        !(name.startsWith("utm_") || TrackingParams.contains(name))
+      }
+      query = if (kept.isEmpty) null else kept.mkString("&")
+    }
+    if (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    UTF8String.fromString(
+      scheme + "://" + auth + path + (if (query == null) "" else "?" + query))
+  }
+
+  /** Codegen'd [[canonicalizeUrl]] — the pre-dedup URL key for web-scale
+    * curation (dedupe by canonical URL BEFORE any content pass).
+    */
+  case class CanonicalizeUrl(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(a: Any): Any =
+      canonicalizeUrl(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = org.apache.spark.sql.graftvec.TextExprs.canonicalizeUrl($a);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def canonicalizeUrlCol(url: Column): Column =
+    ExpressionUtils.column(CanonicalizeUrl(ExpressionUtils.expression(url)))
+
   def normalizeTextCol(text: Column, form: String = "NFKC", stripAccents: Boolean = false): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text), form, stripAccents))
 
