@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAggregates(spark)
     // failures must reach the machine-readable summary, not just stderr — a
     // failed entry's elapsed time is otherwise indistinguishable from a fast
     // success to any consumer of BENCH_SUMMARY.json

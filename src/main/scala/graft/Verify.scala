@@ -29,6 +29,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAggregates(spark)
     new java.io.File(outDir).mkdirs()
     // Dump the oracle SQL FIRST: if any later stage dies, the driver still
     // has the per-query oracle map instead of an empty correctness round.

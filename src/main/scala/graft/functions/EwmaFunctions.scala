@@ -105,4 +105,50 @@ object EwmaFunctions {
     */
   def ewmaUdaf(alphaVal: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new EwmaAggregator(alphaVal), Encoders.product[PricePoint])
+
+  /** Row shape for the SQL-registered form: alpha rides as a fourth
+    * (constant) argument because `spark.udf.register` binds one function
+    * object — a pure-SQL caller has no closure to carry alpha in.
+    */
+  case class PricePointA(ts: Long, seq: Long, price: Double, alpha: Double)
+
+  /** SQL-callable EWMA aggregate: `ewma_agg(ts, seq, price, alpha)` after
+    * [[graft.GraftFunctions.registerAggregates]]. Same pinned fold as
+    * [[EwmaAggregator]] ((ts, seq, price) order, zero seed, IEEE-754 left
+    * fold); alpha must be the SAME literal on every row of a group —
+    * mixed values raise rather than silently folding with one of them.
+    */
+  class EwmaSqlAggregator
+      extends Aggregator[PricePointA, ArrayBuffer[PricePointA], Double] {
+    override def zero: ArrayBuffer[PricePointA] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[PricePointA], a: PricePointA): ArrayBuffer[PricePointA] = {
+      b += a; b
+    }
+    override def merge(b1: ArrayBuffer[PricePointA], b2: ArrayBuffer[PricePointA]): ArrayBuffer[PricePointA] = {
+      b1 ++= b2; b1
+    }
+    override def finish(b: ArrayBuffer[PricePointA]): Double =
+      if (b.isEmpty) 0.0
+      else {
+        val a = b.head.alpha
+        require(b.forall(_.alpha == a),
+          "ewma_agg: alpha must be constant within a group")
+        val sorted = b.sortBy(p => (p.ts, p.seq, p.price))
+        var cur = 0.0
+        var i = 0
+        while (i < sorted.length) {
+          cur = a * sorted(i).price + (1.0 - a) * cur
+          i += 1
+        }
+        cur
+      }
+    override def bufferEncoder: Encoder[ArrayBuffer[PricePointA]] =
+      implicitly[Encoder[ArrayBuffer[PricePointA]]](
+        org.apache.spark.sql.Encoders.kryo[ArrayBuffer[PricePointA]])
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** The [[EwmaSqlAggregator]] as a registrable UDF object. */
+  def ewmaSqlUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new EwmaSqlAggregator, Encoders.product[PricePointA])
 }

@@ -80,6 +80,50 @@ object VectorAggregates {
     (c: Column) => f(c)
   }
 
+  /** Elementwise EXACT vector sum — the centroid numerator (`centroid =
+    * vec_sum_agg(vq) / count(*)`, the maintenance step of every
+    * KMeans/IVF codebook). Inputs follow the [[OuterProductSumAgg]]
+    * contract: micro-quantized INTEGER-VALUED doubles (fractional parts
+    * would truncate — the quantization is the caller's step); each
+    * component accumulates through `Math.addExact`, so a partial past
+    * 2^63 fails loudly instead of wrapping.
+    */
+  class VecSumAgg extends Aggregator[VecRow, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], r: VecRow): Array[Long] = {
+      val v = r.vq
+      val buf = if (b.isEmpty) new Array[Long](v.length) else b
+      require(buf.length == v.length,
+        s"VecSumAgg: ragged embedding dims (buffer ${buf.length}, row ${v.length})")
+      var i = 0
+      while (i < buf.length) {
+        buf(i) = Math.addExact(buf(i), v(i).toLong)
+        i += 1
+      }
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else {
+        require(b1.length == b2.length,
+          s"VecSumAgg: ragged embedding dims across partials (${b1.length} vs ${b2.length})")
+        var i = 0
+        while (i < b1.length) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
+        b1
+      }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: `vecSum(col("vq"))` → array<bigint> elementwise sum. */
+  val vecSum: Column => Column = {
+    val f = udaf(new VecSumAgg, Encoders.product[VecRow])
+    (c: Column) => f(c)
+  }
+
   /** Inverse of `L = dim(dim+1)/2`; throws if L is not triangular (the
     * cross-partition ragged-dim case posexplode+groupBy can't see).
     */

@@ -161,4 +161,65 @@ class ExtensionsSpec extends SparkSpec {
       .distinct().count()
     assert(keys === 1L, "NFC collapses composed/decomposed variants to one dedup key")
   }
+
+  test("registered ewma_agg: pure SQL equals the Column-API EwmaAggregator " +
+      "and the in-file fold oracle; mixed alpha raises") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.registerAggregates(spark)
+    val alpha = 2.0 / 301.0
+    // out-of-order (ts, seq) so the sorted fold is exercised, two groups
+    val rows = Seq(
+      ("a", 5L, 1L, 101.5), ("a", 3L, 1L, 99.25), ("a", 3L, 0L, 100.0),
+      ("a", 9L, 2L, 103.0), ("b", 1L, 0L, 7.5), ("b", 2L, 0L, 8.5))
+    val df = rows.toDF("g", "ts", "seq", "p")
+    df.createOrReplaceTempView("ewma_in")
+    val viaSql = spark.sql(
+      s"SELECT g, ewma_agg(ts, seq, p, ${alpha}D) AS e FROM ewma_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaCol = df.groupBy(col("g"))
+      .agg(graft.functions.EwmaFunctions.ewmaUdaf(alpha)(
+        col("ts"), col("seq"), col("p")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaCol)
+    val oracleA = graft.functions.EwmaFunctions.foldOracle(
+      rows.filter(_._1 == "a").sortBy(r => (r._2, r._3, r._4)).map(_._4), alpha)
+    assert(viaSql("a") === oracleA)
+    val e = intercept[Exception] {
+      spark.sql("SELECT ewma_agg(ts, seq, p, CAST(ts AS DOUBLE) / 10) FROM ewma_in")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("alpha must be constant")))
+  }
+
+  test("registered vec_sum_agg / vec_outer_product_sum: pure SQL equals " +
+      "the Column API (centroid maintenance from SQL)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.registerAggregates(spark)
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)), ("a", Seq(10.0, 20.0, 30.0)),
+      ("b", Seq(-4.0, 0.0, 5.0)))
+      .toDF("g", "vq")
+    df.createOrReplaceTempView("vec_in")
+    val viaSql = spark.sql(
+      "SELECT g, vec_sum_agg(vq) AS s, vec_outer_product_sum(vq) AS o " +
+        "FROM vec_in GROUP BY g")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    val viaCol = df.groupBy(col("g"))
+      .agg(graft.functions.VectorAggregates.vecSum(col("vq")).as("s"),
+        graft.functions.VectorAggregates.outerProductSum(col("vq")).as("o"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    assert(viaSql === viaCol)
+    assert(viaSql("a")._1 === Seq(11L, 22L, 33L))
+    // upper triangle of v1 v1^T + v2 v2^T, row-major (0,0)(0,1)(0,2)(1,1)(1,2)(2,2)
+    assert(viaSql("a")._2 === Seq(101L, 202L, 303L, 404L, 606L, 909L))
+    assert(viaSql("b")._1 === Seq(-4L, 0L, 5L))
+  }
 }
