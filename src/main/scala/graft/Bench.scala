@@ -144,32 +144,10 @@ object Bench {
     val fullSecs = {
       val t0 = System.nanoTime()
       try {
-        // the end-to-end curation funnel (PipelineEndToEndSpec, benched):
-        // gopher gate -> exact dedup -> near-dup keep-one -> bloom
-        // decontaminate -> shard compose
-        val docs = graft.Tables.table(spark, sfDir, "documents")
-        val rules = graft.operators.Curation.gopherRules(docs, "text", "doc_id",
-          minWords = 20, maxWords = 100000)
-        val gated = docs.join(
-          rules.filter(col("f_words") && col("f_mean_len") && col("f_alpha"))
-            .select(col("doc").as("doc_id")), Seq("doc_id"), "left_semi")
-        val exactReps = graft.operators.Dedup.exact(gated, "text", "doc_id")
-        val collapsed = gated.join(
-          exactReps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        val index = graft.operators.Dedup.buildShingleIndex(collapsed, "text", "doc_id", 5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val pairs = graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8)
-          val kept = graft.operators.Dedup.keepRepresentatives(collapsed, "doc_id", pairs)
-            .filter(col("keep")).drop("component", "keep")
-          val probes = docs.filter(col("doc_id") < 10)
-          val words = graft.operators.TextPipeline.bloomWords(probes, "text", "doc_id")
-          val clean = kept.join(
-            graft.operators.TextPipeline.bloomProbe(kept, words, "text", "doc_id")
-              .select(col("doc").as("doc_id")), Seq("doc_id"), "left_anti")
-          val n = graft.operators.Curation.corpusShards(clean, "doc_id", nShards = 16).count()
-          System.err.println(s"[bench] pipeline_full sharded=$n")
-        } finally index.unpersist(blocking = false)
+        // the end-to-end curation funnel (PipelineEndToEndSpec, benched;
+        // body shared with tools.ScaleSmoke via graft.Pipelines)
+        val n = graft.Pipelines.fullCuration(spark, sfDir)
+        System.err.println(s"[bench] pipeline_full sharded=$n")
       } catch { case e: Throwable =>
         errors += "pipeline_full"
         System.err.println(s"[bench] pipeline_full failed: ${e.getMessage}")
@@ -284,40 +262,11 @@ object Bench {
       try {
         // the metric-monitoring suite the way a dashboard job ships: the
         // per-(type, day) daily stats are computed ONCE (persisted) and
-        // feed the offline changepoint, the online CUSUM alarms, the STL
-        // decomposition, the Mann-Kendall trend test, the MASE forecast
-        // backtest, binary segmentation, PACF, the seasonal/trend
-        // strengths, and the Fano dispersion from the one frame — nine
-        // monitors, one event-stream aggregation
-        val daily = graft.operators.EventAnalytics.dailyStats(
-            graft.Tables.events(spark, sfDir), "ts", "value", "event_type")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          daily.count()
-          val nCp = graft.operators.EventAnalytics
-            .cusumChangepointFromDaily(daily).count()
-          val nAl = graft.operators.EventAnalytics
-            .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L).count()
-          val nSt = graft.operators.EventAnalytics
-            .stlDecomposeFromDaily(daily).count()
-          val nMk = graft.operators.EventAnalytics
-            .mannKendallFromDaily(daily).count()
-          val nMa = graft.operators.EventAnalytics
-            .forecastBacktestFromDaily(daily).count()
-          val nBs = graft.operators.EventAnalytics
-            .binarySegmentationFromDaily(daily).count()
-          val nPc = graft.operators.EventAnalytics
-            .pacfFromAcf(graft.operators.EventAnalytics
-              .acfFromDaily(daily, maxLag = 5)).count()
-          val nSs = graft.operators.EventAnalytics
-            .seasonalStrengthFromDaily(daily).count()
-          val nFo = graft.operators.EventAnalytics
-            .fanoFromDailyCounts(daily).count()
-          System.err.println(
-            s"[bench] pipeline_monitor changepoints=$nCp alarms=$nAl " +
-              s"stl=$nSt mk=$nMk mase=$nMa segs=$nBs pacf=$nPc ss=$nSs " +
-              s"fano=$nFo")
-        } finally daily.unpersist(blocking = false)
+        // feed NINE monitors from the one frame (body shared with
+        // tools.ScaleSmoke via graft.Pipelines)
+        val counts = graft.Pipelines.monitorSuite(spark, sfDir)
+        System.err.println("[bench] pipeline_monitor " +
+          counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
       } catch { case e: Throwable =>
         errors += "pipeline_monitor"
         System.err.println(s"[bench] pipeline_monitor failed: ${e.getMessage}")

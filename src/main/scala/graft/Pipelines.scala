@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** The composed end-to-end pipelines Bench times — factored out so
+  * tools.ScaleSmoke can run the IDENTICAL composition on a ×10 corpus
+  * (the shared-scan shapes are exactly where a superlinear surprise
+  * would hide; a re-implementation in the smoke would test the wrong
+  * plan).
+  */
+object Pipelines {
+
+  /** The end-to-end curation funnel (PipelineEndToEndSpec, benched as
+    * pipeline_full): gopher gate → exact dedup → near-dup keep-one (ONE
+    * materialized shingle index) → bloom decontaminate → shard compose.
+    * Returns the sharded row count.
+    */
+  def fullCuration(spark: SparkSession, sfDir: String): Long = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val rules = operators.Curation.gopherRules(docs, "text", "doc_id",
+      minWords = 20, maxWords = 100000)
+    val gated = docs.join(
+      rules.filter(col("f_words") && col("f_mean_len") && col("f_alpha"))
+        .select(col("doc").as("doc_id")), Seq("doc_id"), "left_semi")
+    val exactReps = operators.Dedup.exact(gated, "text", "doc_id")
+    val collapsed = gated.join(
+      exactReps.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val index = operators.Dedup.buildShingleIndex(collapsed, "text", "doc_id", 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = operators.Dedup.minhashNearDupsFromIndex(index, 0.8)
+      val kept = operators.Dedup.keepRepresentatives(collapsed, "doc_id", pairs)
+        .filter(col("keep")).drop("component", "keep")
+      val probes = docs.filter(col("doc_id") < 10)
+      val words = operators.TextPipeline.bloomWords(probes, "text", "doc_id")
+      val clean = kept.join(
+        operators.TextPipeline.bloomProbe(kept, words, "text", "doc_id")
+          .select(col("doc").as("doc_id")), Seq("doc_id"), "left_anti")
+      operators.Curation.corpusShards(clean, "doc_id", nShards = 16).count()
+    } finally index.unpersist(blocking = false)
+  }
+
+  /** The metric-monitoring suite (benched as pipeline_monitor): the
+    * per-(type, day) daily stats computed ONCE (persisted) feed NINE
+    * monitors — offline changepoint, online CUSUM alarms, STL, Mann-
+    * Kendall, MASE backtest, binary segmentation, PACF, seasonal/trend
+    * strength, Fano dispersion. Returns the nine named row counts.
+    */
+  def monitorSuite(spark: SparkSession, sfDir: String): Seq[(String, Long)] = {
+    import operators.EventAnalytics
+    val daily = EventAnalytics.dailyStats(
+        Tables.events(spark, sfDir), "ts", "value", "event_type")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      daily.count()
+      Seq(
+        "changepoints" -> EventAnalytics.cusumChangepointFromDaily(daily).count(),
+        "alarms" -> EventAnalytics
+          .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L).count(),
+        "stl" -> EventAnalytics.stlDecomposeFromDaily(daily).count(),
+        "mk" -> EventAnalytics.mannKendallFromDaily(daily).count(),
+        "mase" -> EventAnalytics.forecastBacktestFromDaily(daily).count(),
+        "segs" -> EventAnalytics.binarySegmentationFromDaily(daily).count(),
+        "pacf" -> EventAnalytics.pacfFromAcf(
+          EventAnalytics.acfFromDaily(daily, maxLag = 5)).count(),
+        "ss" -> EventAnalytics.seasonalStrengthFromDaily(daily).count(),
+        "fano" -> EventAnalytics.fanoFromDailyCounts(daily).count())
+    } finally daily.unpersist(blocking = false)
+  }
+}

@@ -506,6 +506,115 @@ object ModelEval {
         col("q_micro"), col("significant_95"))
   }
 
+  /** COCHRAN'S Q — the BINARY repeated-measures test completing the
+    * nonparametric ladder (rank-sum → Kruskal-Wallis → Friedman →
+    * Cochran-Q): k systems judged pass/fail on the SAME n subjects ("do
+    * k quality gates trip consistently across days", "do k model
+    * variants solve the same benchmark items"). Outcomes must be 0/1
+    * (anything else raises); multiple rows per (subject, system) cell
+    * reduce by MAX (any success counts — document upstream if a
+    * different cell rule is wanted); subjects missing any system are
+    * DROPPED (complete blocks, the [[friedmanTest]] convention).
+    *
+    * With G_j = per-system success totals, L_i = per-subject totals and
+    * T = ΣG_j = ΣL_i, the statistic is fully integral up to ONE
+    * truncating decimal division:
+    *
+    *   q_micro = (10⁶·(k−1)·(k·ΣG_j² − T²)) DIV (k·T − ΣL_i²)
+    *
+    * Verdict: `q_micro ≥ χ²(k−1, 0.95)` micro literal (k ≤ 8 — the
+    * table bound, enforced). A zero denominator (every subject all-0 or
+    * all-1 — no within-block discrimination) or n = 0 reads the −2·10⁶
+    * sentinel with `significant_95 = −1`. One output row.
+    *
+    * Scale shape: one (subject, system) max with map-side combine, then
+    * system-bounded and subject-keyed sum reductions — no windows at
+    * all (binary outcomes need no ranks); the distinct-system count is
+    * ONE bounded driver action (systems are a catalog).
+    */
+  def cochranQ(
+      df: DataFrame, subjectCol: String, systemCol: String,
+      valueCol: String): DataFrame = {
+    val cell = df.select(col(subjectCol).as("subj"), col(systemCol).as("sys"),
+        col(valueCol).cast("bigint").as("y"))
+      .withColumn("y", when(col("y").isin(0L, 1L), col("y"))
+        .otherwise(raise_error(lit("cochranQ: outcomes must be 0/1"))))
+      .groupBy(col("subj"), col("sys")).agg(max(col("y")).as("y"))
+    val k = cell.select(col("sys")).distinct().count()
+    require(k >= 2 && k <= 8,
+      s"cochranQ: $k systems — need 2..8 (chi-square table bound)")
+    val complete = cell
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("subj"))))
+      .filter(col("__cnt") === k)
+      .drop("__cnt")
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val perSys = complete.groupBy(col("sys")).agg(sum(col("y")).as("g"))
+      .agg(coalesce(sum(d("g") * d("g")), lit(0).cast("decimal(38,0)"))
+        .as("sum_g2"),
+        coalesce(sum(col("g")), lit(0L)).as("t_tot"))
+    val perSubj = complete.groupBy(col("subj")).agg(sum(col("y")).as("l"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(d("l") * d("l")), lit(0).cast("decimal(38,0)"))
+          .as("sum_l2"))
+    perSubj.crossJoin(broadcast(perSys))
+      .withColumn("den", lit(k) * d("t_tot") - col("sum_l2"))
+      .withColumn("num",
+        lit(k - 1) * (lit(k) * col("sum_g2") - d("t_tot") * d("t_tot")))
+      .withColumn("q_micro",
+        when(col("n") === 0L || col("den") <= 0, lit(-2000000L))
+          // double pre-check (the rankSumFromCounts guard) — named raise
+          .when(lit(1e6) * abs(col("num").cast("double")) >= 5e37,
+            raise_error(concat(
+              lit("cochranQ: statistic numerator would overflow "),
+              lit("decimal(38,0) at n = "), col("n").cast("string"),
+              lit(" subjects — shrink the blocks"))))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * num) DIV den AS BIGINT)")))
+      .withColumn("significant_95",
+        when(col("n") === 0L || col("den") <= 0, lit(-1L))
+          .otherwise((col("q_micro") >= lit(KwCrit95Micro(k - 1)))
+            .cast("bigint")))
+      .select(lit(k).as("k"), col("n").cast("bigint").as("n_subjects"),
+        col("t_tot").as("n_successes"), col("q_micro"),
+        col("significant_95"))
+  }
+
+  /** CLIFF'S DELTA — the rank-sum family's EFFECT SIZE: how often does
+    * arm a's value exceed arm b's over all cross pairs, δ = (#(a>b) −
+    * #(a<b)) / (n_a·n_b) ∈ [−1, 1] — the "is the shift big enough to
+    * matter" companion every rank-sum verdict needs (significance says
+    * nothing about magnitude at web-scale n). Equal to the normalized
+    * doubled-U deviation: δ = (2U_a − n_a·n_b)/(n_a·n_b) = dev/(n_a·n_b),
+    * so it rides [[rankSumFromCounts]]' exact integers — ONE truncating
+    * ppm division. `magnitude` applies the standard Romano thresholds
+    * (|δ| < 0.147 negligible / < 0.33 small / < 0.474 medium / else
+    * large). An empty arm reads the −2·10⁶ sentinel with magnitude
+    * 'undefined'. One row per key group.
+    *
+    * Scale shape: the [[rankSumTest]] plan verbatim (one value
+    * micro-histogram, key-partitioned resolution-bounded windows, one
+    * reduce) plus a map-only select.
+    */
+  def cliffsDelta(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String): DataFrame = {
+    val rs = rankSumTest(df, groupCol, valueCol, sideCol)
+    rs.select(col("grp"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(-2000000L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0))
+              |  * (u2_a - CAST(n_a AS DECIMAL(38,0)) * n_b))
+              | DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+              .stripMargin))
+          .as("delta_ppm"))
+      .withColumn("magnitude",
+        when(col("delta_ppm") === -2000000L, lit("undefined"))
+          .when(abs(col("delta_ppm")) < 147000L, lit("negligible"))
+          .when(abs(col("delta_ppm")) < 330000L, lit("small"))
+          .when(abs(col("delta_ppm")) < 474000L, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
   /** Chi-square term selection: for every (class, term) pair over a
     * document corpus, the 2×2 presence/absence contingency statistic
     *

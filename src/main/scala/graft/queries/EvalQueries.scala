@@ -1468,6 +1468,109 @@ object EvalQueries {
         "across benchmark items)? Doubled within-day average ranks keep " +
         "ties exact, incomplete days drop (complete-block design), the " +
         "tie-corrected statistic is integral up to ONE final truncating " +
-        "division, verdict vs the chi2(k-1, .95) micro literal")
+        "division, verdict vs the chi2(k-1, .95) micro literal"),
+
+    // --------------- Cochran-Q binary repeated-measures test
+    "q265_cochran_q" -> Q(
+      (s, dir) => {
+        // binary per-(day, type) outcome: did the type's exact daily
+        // micro-mean clear 50.0 that day — "do the k gates trip
+        // consistently across days"
+        val cells = Tables.events(s, dir)
+          .withColumn("day",
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+          .groupBy(col("day"), col("event_type"))
+          .agg((expr("sum(CAST(round(value * 1e6) AS BIGINT)) DIV count(1)")
+            >= 50000000L).cast("bigint").as("y"))
+        graft.operators.ModelEval.cochranQ(cells, "day", "event_type", "y")
+      },
+      Some("""WITH cell AS (SELECT
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS subj,
+             |    event_type AS sys,
+             |    CASE WHEN sum(CAST(round(value * 1e6) AS BIGINT)) // count(*)
+             |      >= 50000000 THEN 1 ELSE 0 END AS y
+             |  FROM events GROUP BY 1, 2),
+             |kk AS (SELECT count(DISTINCT sys) AS k FROM cell),
+             |comp AS (SELECT c.* FROM cell c JOIN (
+             |    SELECT subj FROM cell GROUP BY subj
+             |    HAVING count(*) = (SELECT k FROM kk)) g USING (subj)),
+             |gj AS (SELECT COALESCE(sum(CAST(g AS HUGEINT) * g), 0) AS sum_g2,
+             |    COALESCE(sum(g), 0) AS t_tot
+             |  FROM (SELECT sys, sum(y) AS g FROM comp GROUP BY 1)),
+             |li AS (SELECT count(*) AS n,
+             |    COALESCE(sum(CAST(l AS HUGEINT) * l), 0) AS sum_l2
+             |  FROM (SELECT subj, sum(y) AS l FROM comp GROUP BY 1)),
+             |fin AS (SELECT (SELECT k FROM kk) AS k, li.n, gj.t_tot,
+             |    (SELECT k FROM kk) * CAST(gj.t_tot AS HUGEINT) - li.sum_l2
+             |      AS den,
+             |    ((SELECT k FROM kk) - 1) * ((SELECT k FROM kk) * gj.sum_g2
+             |      - CAST(gj.t_tot AS HUGEINT) * gj.t_tot) AS num
+             |  FROM li CROSS JOIN gj),
+             |qm AS (SELECT k, n, t_tot, den,
+             |    CASE WHEN n = 0 OR den <= 0 THEN CAST(-2000000 AS HUGEINT)
+             |      ELSE (1000000::HUGEINT * num) // den END AS q_micro
+             |  FROM fin)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_subjects,
+             |  CAST(t_tot AS BIGINT) AS n_successes,
+             |  CAST(q_micro AS BIGINT) AS q_micro,
+             |  CAST(CASE WHEN n = 0 OR den <= 0 THEN -1
+             |    ELSE CAST(q_micro >= CASE k - 1
+             |      WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+             |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+             |      WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+             |      ELSE 14067140 END AS INT) END AS BIGINT) AS significant_95
+             |FROM qm""".stripMargin),
+      "Cochran-Q binary repeated-measures test (the pass/fail Friedman): " +
+        "did the event types' daily above-50 gates trip consistently " +
+        "across days? All-integer up to ONE truncating decimal division " +
+        "(k*sum(G^2) - T^2 over k*T - sum(L^2)), complete blocks only, " +
+        "verdict vs the chi2(k-1, .95) micro literal — no windows at all " +
+        "(binary outcomes need no ranks)"),
+
+    // --------------- Cliff's delta rank-sum effect size
+    "q266_cliffs_delta" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("side",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2)
+        graft.operators.ModelEval.cliffsDelta(ev, "event_type", "value", "side")
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm,
+              |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS side
+              |  FROM events),
+              |pv AS (SELECT grp, sm,
+              |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+              |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+              |  FROM e GROUP BY 1, 2),
+              |st AS (SELECT grp, ca, cb, ca + cb AS t,
+              |    sum(ca + cb) OVER (PARTITION BY grp ORDER BY sm
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM pv),
+              |r2 AS (SELECT grp, ca, cb, t, 2 * (cum - t) + t + 1 AS r2 FROM st),
+              |ag AS (SELECT grp,
+              |    CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb,
+              |    sum(CAST(ca AS HUGEINT) * r2) AS r2a
+              |  FROM r2 GROUP BY 1),
+              |fin AS (SELECT grp, na, nb,
+              |    r2a - na * (na + 1) - na * nb AS dev FROM ag),
+              |dp AS (SELECT grp, na, nb,
+              |    CASE WHEN na = 0 OR nb = 0 THEN -2000000
+              |      ELSE (1000000::HUGEINT * dev) // (na * nb) END AS delta_ppm
+              |  FROM fin)
+              |SELECT grp, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  CAST(delta_ppm AS BIGINT) AS delta_ppm,
+              |  CASE WHEN delta_ppm = -2000000 THEN 'undefined'
+              |    WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+              |    WHEN abs(delta_ppm) < 330000 THEN 'small'
+              |    WHEN abs(delta_ppm) < 474000 THEN 'medium'
+              |    ELSE 'large' END AS magnitude
+              |FROM dp ORDER BY grp""".stripMargin),
+      "Cliff's delta effect size per event type over the q248 md5-parity " +
+        "arms: the normalized doubled-U deviation dev/(n_a*n_b) in exact " +
+        "ppm (ONE truncating division over rank-sum's integers) with the " +
+        "standard Romano magnitude labels — significance says nothing " +
+        "about magnitude at web-scale n, this is the number that does")
   )
 }

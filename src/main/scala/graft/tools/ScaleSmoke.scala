@@ -327,9 +327,36 @@ object ScaleSmoke {
     timeNamed(allNames)(srcDir, "warmup")
     val base = timeNamed(allNames)(srcDir, "sf0.1 ")
     val big = timeNamed(allNames)(scaledDir, s"x$replicas   ")
+    // composed pipelines: the EXACT Bench composition (graft.Pipelines,
+    // shared body — a smoke re-implementation would test the wrong plan).
+    // pipeline_full rows: replicas are token-disjoint, so every funnel
+    // stage replicates per replica EXCEPT decontamination — the probe set
+    // (doc_id < 10) lives in replica 0 only, so scaled_rows =
+    // 10*kept_base − contaminated_base (near-10x; the q131 approximation
+    // precedent). pipeline_monitor rows: all nine monitors are
+    // calendar/type-bounded, so the summed row count is BIT-IDENTICAL to
+    // base — the time ratio watches the daily pre-aggregation alone.
+    val pipelines: Seq[(String, String => Long)] = Seq(
+      "pipeline_full" ->
+        ((dir: String) => graft.Pipelines.fullCuration(spark, dir)),
+      "pipeline_monitor" ->
+        ((dir: String) => graft.Pipelines.monitorSuite(spark, dir).map(_._2).sum))
+    val pipePairs = pipelines.map { case (name, run) =>
+      def timed(dir: String, tag: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = run(dir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releaseAllCaches()
+        System.err.println(f"[scale] $tag $name%-24s $secs%8.2f s  rows=$rows")
+        (secs, rows)
+      }
+      val (s0, r0) = timed(srcDir, "sf0.1 ")
+      val (s1, r1) = timed(scaledDir, s"x$replicas   ")
+      f"""{"query":"$name","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
+    }
     val pairs = base.zip(big).map { case ((n, s0, r0), (_, s1, r1)) =>
       f"""{"query":"$n","base_secs":$s0%.3f,"scaled_secs":$s1%.3f,"ratio":${s1 / s0}%.2f,"base_rows":$r0,"scaled_rows":$r1}"""
-    }
+    } ++ pipePairs
 
     // ANN recall@10 vs brute force — the number exactness oracles can't
     // answer. Fixed 50-query set; curves over nProbe (IVF) and

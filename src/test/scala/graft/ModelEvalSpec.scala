@@ -1027,4 +1027,78 @@ class ModelEvalSpec extends SparkSpec {
       .collect().head
     assert(ok.getLong(3) === 1L)
   }
+
+  test("cochranQ: textbook hand case, degenerate all-equal blocks read " +
+      "the sentinel, incomplete blocks drop, cell max rule, 0/1 guard, " +
+      "determinism") {
+    import spark.implicits._
+    def q(rows: Seq[(String, String, Long)]) =
+      graft.operators.ModelEval.cochranQ(
+        rows.toDF("subj", "sys", "y"), "subj", "sys", "y").collect().head
+    // 4 subjects x 3 systems; G = (4, 2, 1), L = (3, 2, 1, 1), T = 7
+    val rows = Seq(
+      ("s1", "a", 1L), ("s1", "b", 1L), ("s1", "c", 1L),
+      ("s2", "a", 1L), ("s2", "b", 1L), ("s2", "c", 0L),
+      ("s3", "a", 1L), ("s3", "b", 0L), ("s3", "c", 0L),
+      ("s4", "a", 1L), ("s4", "b", 0L), ("s4", "c", 0L))
+    val got = q(rows)
+    // Q = (k-1)(k*sumG2 - T^2)/(k*T - sumL2) = 2*(63-49)/(21-15) = 28/6
+    val want = BigInt(1000000) * 2 * (3 * 21 - 49) / (3 * 7 - 15)
+    assert(got.getLong(0) === 3L && got.getLong(1) === 4L)
+    assert(got.getLong(2) === 7L)
+    assert(got.getLong(3) === want.toLong)
+    assert(got.getLong(4) === (if (want.toLong >= 5991465L) 1L else 0L))
+    // all-equal blocks: den = 0 -> sentinel
+    val flat = q(Seq(("s1", "a", 1L), ("s1", "b", 1L),
+      ("s2", "a", 0L), ("s2", "b", 0L)))
+    assert(flat.getLong(3) === -2000000L && flat.getLong(4) === -1L)
+    // incomplete block drops: s3 missing system b contributes nothing
+    val withIncomplete = q(rows ++ Seq(("s9", "a", 1L)))
+    assert(withIncomplete.toSeq === got.toSeq)
+    // multiple rows per cell reduce by max
+    val dupCell = q(rows ++ Seq(("s3", "b", 0L)))
+    assert(dupCell.toSeq === got.toSeq)
+    // non-binary outcome raises
+    val e = intercept[Exception] { q(rows ++ Seq(("s4", "a", 2L))) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("must be 0/1")))
+    val again = graft.operators.ModelEval.cochranQ(
+      rows.toDF("subj", "sys", "y").repartition(7), "subj", "sys", "y")
+      .collect().head
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("cliffsDelta: perfect separation reads ±1e6/large, identical " +
+      "distributions read 0/negligible, empty arm reads the sentinel, " +
+      "magnitude thresholds") {
+    import spark.implicits._
+    def cd(rows: Seq[(String, Double, Long)]) =
+      graft.operators.ModelEval.cliffsDelta(
+        rows.toDF("g", "v", "side"), "g", "v", "side")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val rows =
+      // arm 0 all above arm 1 -> delta = +1
+      (1 to 4).map(i => ("hi", 10.0 + i, 0L)) ++
+        (1 to 3).map(i => ("hi", i.toDouble, 1L)) ++
+        // identical values -> delta = 0
+        (1 to 4).flatMap(i => Seq(("eq", i.toDouble, 0L), ("eq", i.toDouble, 1L))) ++
+        // one arm empty -> sentinel
+        (1 to 3).map(i => ("solo", i.toDouble, 0L))
+    val got = cd(rows)
+    assert(got("hi") === ((4L, 3L, 1000000L, "large")))
+    assert(got("eq") === ((4L, 4L, 0L, "negligible")))
+    assert(got("solo") === ((3L, 0L, -2000000L, "undefined")))
+    // driver replica on a mixed draw: delta = (#(a>b) - #(a<b))/(na*nb)
+    val rnd = new scala.util.Random(97)
+    val mixed = (1 to 40).map(_ =>
+      ("m", rnd.nextInt(9) * 0.5, rnd.nextInt(2).toLong))
+    val a = mixed.filter(_._3 == 0L).map(_._2)
+    val b = mixed.filter(_._3 == 1L).map(_._2)
+    val wins = (for (x <- a; y <- b) yield math.signum(x - y)).sum
+    val want = BigInt(1000000) * BigInt(wins.toLong) /
+      (BigInt(a.size) * b.size)
+    assert(cd(mixed)("m")._3 === want.toLong)
+  }
 }
