@@ -627,6 +627,55 @@ object EventAnalytics {
         col("step_ppm"), col("cum_hazard_ppm"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the ONE-NUMBER summary of the
+    * [[kaplanMeier]] curve clinicians (and retention analysts) actually
+    * report: RMST(τ) = ∫₀^τ S(t)dt, the mean duration survived inside the
+    * first τ buckets ("average buckets-to-conversion among the first τ,
+    * counting non-converters at full τ") — robust where the raw mean is
+    * censoring-biased and the median is undefined past 50% survival.
+    *
+    * Exact on top of the KM table's integers: S is a step function (1
+    * before the first event bucket, `surv_ppm_i` from t_i to t_{i+1}),
+    * so the integral is
+    *
+    *   rmst_ppm_buckets = 10⁶·min(t₁, τ)
+    *                    + Σ_i surv_ppm_i·(min(t_{i+1}, τ) − min(t_i, τ))
+    *
+    * — products of KM's already-exact ppm values with clamped integer
+    * segment widths (decimal-routed), no new float steps at all. An
+    * event-free corpus reads RMST = 10⁶·τ (everyone survives the whole
+    * window). One output row: `(tau, n_event_times, rmst_ppm_buckets)`;
+    * divide by 10⁶ for mean buckets.
+    *
+    * Scale shape: the KM plan plus ONE lead/aggregate pass over the
+    * event-duration frame — time-resolution bounded like its parent
+    * (and guarded by the same [[MaxDurationBuckets]] raise).
+    */
+  def rmst(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, eventType: String, bucketMicros: Long,
+      tauBuckets: Long): DataFrame = {
+    require(tauBuckets >= 1, "rmst: tauBuckets >= 1")
+    val km = kaplanMeier(events, userCol, tsCol, typeCol, entryType,
+      eventType, bucketMicros)
+    val wLead = Window.orderBy(col("t"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    km.select(col("t"), col("surv_ppm"))
+      .withColumn("t_next",
+        least(coalesce(lead(col("t"), 1).over(wLead), lit(tauBuckets)),
+          lit(tauBuckets)))
+      .withColumn("seg", col("t_next") - least(col("t"), lit(tauBuckets)))
+      .agg(
+        coalesce(min(least(col("t"), lit(tauBuckets))), lit(tauBuckets))
+          .as("t_first_c"),
+        coalesce(sum(d(col("surv_ppm")) * d(col("seg"))),
+          lit(0).cast("decimal(38,0)")).as("tail_ppm"),
+        count(lit(1)).as("n_event_times"))
+      .select(lit(tauBuckets).as("tau"), col("n_event_times"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * t_first_c + tail_ppm" +
+          " AS BIGINT)").as("rmst_ppm_buckets"))
+  }
+
   /** FANO DISPERSION INDEX of each group's DAILY event counts —
     * variance-to-mean of the per-day arrival counts, the classic "is
     * this count process Poisson" monitor (Poisson ⇒ Fano ≈ 1;
@@ -874,6 +923,76 @@ object EventAnalytics {
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
       .withColumn("dm", expr("ds DIV dc"))
+
+  /** WALD–WOLFOWITZ RUNS TEST of each group's daily series — "is the
+    * sequence of above/below-median days RANDOM, or does it cluster
+    * (trend/regime) or alternate (overcorrection)?" — the
+    * assumption-free randomness screen a monitoring stack runs before
+    * trusting i.i.d.-flavored alarms. Signs come from each group's exact
+    * LOWER MEDIAN of daily micro-means (rank `(n+1) DIV 2` over the
+    * value histogram — no global sort); days equal to the median DROP
+    * (the standard convention); `n_runs` counts maximal same-sign
+    * stretches in day order.
+    *
+    * Verdict — cleared-denominator exact gate: with N = n₁+n₂ surviving
+    * days, m = n₁·n₂, E[R] = 1 + 2m/N and Var[R] = 2m(2m−N)/(N²(N−1)),
+    * the N-scaled deviation DN = N·(R−1) − 2m is an exact integer and
+    * |R − E| > z·σ multiplies through by N²(N−1) into
+    *
+    *   q·DN²·(N−1) > p·2m·(2m−N)
+    *
+    * — all decimal(38,0) integers (days are calendar-bounded, no
+    * pre-check needed). `random_95 = 1` when the null survives (the
+    * [[ljungBox]] white_95 convention), 0 when rejected, −1 when the
+    * variance term is ≤ 0 (one sign absent, or n₁ = n₂ = 1).
+    *
+    * Scale shape: calendar-bounded group-partitioned windows over the
+    * daily frame only (median from the value histogram, runs from one
+    * lag) — the [[dailyStats]] pre-aggregation carries the data scale.
+    */
+  def runsTest(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    runsTestFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[runsTest]] over a prepared [[dailyStats]] frame. */
+  def runsTestFromDaily(
+      daily: DataFrame, critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    require(critP >= 1 && critQ >= 1, "critical value p/q must be positive")
+    // exact lower median per group from the dm histogram
+    val hist = daily.groupBy(col("grp"), col("dm")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("dm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("ntot", sum(col("c")).over(wAll))
+      .filter(col("cum") >= expr("(ntot + 1) DIV 2"))
+      .groupBy(col("grp")).agg(min(col("dm")).as("med"))
+    val signs = daily.join(med, Seq("grp"))
+      .filter(col("dm") =!= col("med"))
+      .select(col("grp"), col("day"),
+        when(col("dm") > col("med"), 1L).otherwise(-1L).as("sg"))
+    val wDay = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    signs
+      .withColumn("chg",
+        (lag(col("sg"), 1).over(wDay).isNull ||
+          lag(col("sg"), 1).over(wDay) =!= col("sg")).cast("bigint"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("chg")).as("n_runs"))
+      .withColumn("nn", col("n_pos") + col("n_neg"))
+      .withColumn("m2", lit(2) * d("n_pos") * d("n_neg"))
+      .withColumn("dn", d("nn") * (d("n_runs") - lit(1)) - col("m2"))
+      .withColumn("vterm", col("m2") * (col("m2") - d("nn")))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("n_runs"),
+        when(col("vterm") <= 0, lit(-1L))
+          .otherwise((!(lit(critQ) * col("dn") * col("dn") * (d("nn") - lit(1)) >
+            lit(critP) * col("vterm"))).cast("bigint"))
+          .as("random_95"))
+  }
 
   def cusumChangepoint(
       events: DataFrame, tsCol: String, valueCol: String,

@@ -579,6 +579,90 @@ object ModelEval {
         col("significant_95"))
   }
 
+  /** WILCOXON SIGNED-RANK — the PAIRED two-condition location test the
+    * rank family was missing ([[rankSumTest]] compares independent arms;
+    * this compares the SAME subjects under two conditions — "did
+    * per-user engagement shift after the change", "does model B beat
+    * model A on the same benchmark items"). Per (group, subject, side)
+    * the value reduces to the truncating micro mean (the dailyStats dm
+    * convention); subjects missing either side drop (paired design),
+    * zero differences drop (the standard Wilcoxon convention), and
+    * doubled average ranks over the |d| histogram keep ties exact:
+    * `w2_plus = Σ_{d>0} r2 = 2·W⁺` is an exact integer.
+    *
+    * Verdict — the cleared-denominator exact gate: with D = 2·w2_plus −
+    * n(n+1) = 4(W⁺ − E[W⁺]) and T = Σ(t³ − t) over tied |d| blocks,
+    * 16·Var[W⁺] = (2n(n+1)(2n+1) − T)/3, so |z| > √(p/q) becomes
+    *
+    *   q·3·D² > p·(2n(n+1)(2n+1) − T)
+    *
+    * — both sides exact decimal(38,0) (double pre-check raises loudly
+    * near the window). A group with no surviving pairs (no complete
+    * pair, or every difference exactly zero) emits NO row.
+    *
+    * Scale shape: one (group, subject, side) mean with map-side combine,
+    * one subject-keyed pair pivot, then a |d|-HISTOGRAM cumulative
+    * window PARTITIONED by group (resolution-bounded, never
+    * subject-bounded — the [[rankSumFromCounts]] plan) and one reduce.
+    */
+  def signedRankTest(
+      df: DataFrame, groupCol: String, subjectCol: String,
+      valueCol: String, sideCol: String,
+      critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    require(critP >= 1 && critQ >= 1, "critical value p/q must be positive")
+    val cell = df.select(col(groupCol).as("grp"),
+        col(subjectCol).as("subj"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("ym"),
+        col(sideCol).cast("bigint").as("side"))
+      .withColumn("side", when(col("side").isin(0L, 1L), col("side"))
+        .otherwise(raise_error(lit("signedRankTest: side must be 0/1"))))
+      .groupBy(col("grp"), col("subj"), col("side"))
+      .agg(expr("sum(ym) DIV count(1)").as("sm"))
+    val paired = cell.groupBy(col("grp"), col("subj"))
+      .agg(max(when(col("side") === 0L, col("sm"))).as("s0"),
+        max(when(col("side") === 1L, col("sm"))).as("s1"))
+      .filter(col("s0").isNotNull && col("s1").isNotNull)
+      .select(col("grp"), (col("s1") - col("s0")).as("dv"))
+      .filter(col("dv") =!= 0L)
+    val hist = paired.groupBy(col("grp"), abs(col("dv")).as("ad"))
+      .agg(sum(when(col("dv") > 0L, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("dv") < 0L, 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val stepped = hist
+      .withColumn("t", col("cp") + col("cn"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("r2", lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+    val agg = stepped.groupBy(col("grp"))
+      .agg(sum(col("t")).as("n"),
+        sum(d("cp") * d("r2")).as("w2p"),
+        sum(d("t") * d("t") * d("t") - d("t")).as("tie_t"))
+      .withColumn("dev", lit(2) * col("w2p") - d("n") * (d("n") + lit(1)))
+    // double pre-check (the rankSumFromCounts guard): D ~ n², D² ~ n⁴
+    val devD = abs(col("dev").cast("double"))
+    val nD = col("n").cast("double")
+    val guarded = agg.withColumn("n",
+      when(lit(3.0 * critQ) * devD * devD < 5e37 &&
+          lit(critP.toDouble) * 2.0 * nD * (nD + 1) * (nD * 2 + 1) < 5e37,
+        col("n"))
+        .otherwise(raise_error(concat(
+          lit("signedRankTest: gate product would overflow decimal(38,0) "),
+          lit("in group "), col("grp").cast("string"),
+          lit(" — shrink the pairs or rescale")))))
+    guarded.select(col("grp"), col("n").as("n_pairs"),
+      when(col("n") === 0L, lit(-1L))
+        .otherwise(col("w2p").cast("bigint")).as("w2_plus"),
+      when(col("n") === 0L, lit(0L))
+        .when(col("dev") > 0, lit(1L)).when(col("dev") < 0, lit(-1L))
+        .otherwise(lit(0L)).as("shift_sign"),
+      when(col("n") === 0L, lit(0L))
+        .otherwise((lit(critQ) * lit(3) * col("dev") * col("dev") >
+          lit(critP) * (lit(2) * d("n") * (d("n") + lit(1))
+            * (lit(2) * d("n") + lit(1)) - col("tie_t"))).cast("bigint"))
+        .as("significant_95"))
+  }
+
   /** CLIFF'S DELTA — the rank-sum family's EFFECT SIZE: how often does
     * arm a's value exceed arm b's over all cross pairs, δ = (#(a>b) −
     * #(a<b)) / (n_a·n_b) ∈ [−1, 1] — the "is the shift big enough to

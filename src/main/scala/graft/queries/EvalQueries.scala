@@ -1571,6 +1571,55 @@ object EvalQueries {
         "arms: the normalized doubled-U deviation dev/(n_a*n_b) in exact " +
         "ppm (ONE truncating division over rank-sum's integers) with the " +
         "standard Romano magnitude labels — significance says nothing " +
-        "about magnitude at web-scale n, this is the number that does")
+        "about magnitude at web-scale n, this is the number that does"),
+
+    // --------------- Wilcoxon signed-rank paired test
+    "q268_signed_rank" -> Q(
+      (s, dir) =>
+        graft.operators.ModelEval.signedRankTest(
+          Tables.events(s, dir)
+            .withColumn("side", (dayofmonth(col("ts")) > 15).cast("bigint")),
+          "event_type", "user_id", "value", "side")
+          .orderBy(col("grp")),
+      Some("""WITH cellt AS (SELECT event_type AS grp, user_id AS subj,
+             |    CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS side,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS sm
+             |  FROM events GROUP BY 1, 2, 3),
+             |pr AS (SELECT grp, subj,
+             |    max(CASE WHEN side = 1 THEN sm END)
+             |      - max(CASE WHEN side = 0 THEN sm END) AS dv
+             |  FROM cellt GROUP BY 1, 2
+             |  HAVING max(CASE WHEN side = 0 THEN sm END) IS NOT NULL
+             |     AND max(CASE WHEN side = 1 THEN sm END) IS NOT NULL),
+             |nz AS (SELECT grp, dv FROM pr WHERE dv <> 0),
+             |h AS (SELECT grp, abs(dv) AS ad,
+             |    sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS cp,
+             |    sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS cn
+             |  FROM nz GROUP BY 1, 2),
+             |st AS (SELECT grp, cp, cn, cp + cn AS t,
+             |    sum(cp + cn) OVER (PARTITION BY grp ORDER BY ad
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+             |r2 AS (SELECT grp, cp, t, 2 * (cum - t) + t + 1 AS r2 FROM st),
+             |ag AS (SELECT grp, CAST(sum(t) AS HUGEINT) AS n,
+             |    sum(CAST(cp AS HUGEINT) * r2) AS w2p,
+             |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+             |  FROM r2 GROUP BY 1),
+             |dv2 AS (SELECT grp, n, w2p, tie_t,
+             |    2 * w2p - n * (n + 1) AS dev FROM ag)
+             |SELECT grp, CAST(n AS BIGINT) AS n_pairs,
+             |  CAST(w2p AS BIGINT) AS w2_plus,
+             |  CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1
+             |    ELSE 0 END AS BIGINT) AS shift_sign,
+             |  CAST(CASE WHEN 625 * 3 * dev * dev >
+             |      2401 * (2 * n * (n + 1) * (2 * n + 1) - tie_t)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+             |FROM dv2 ORDER BY grp""".stripMargin),
+      "Wilcoxon signed-rank paired test per event type: did each USER's " +
+        "exact micro-mean value shift between the first and second half " +
+        "of the month (same subjects, two conditions — the paired " +
+        "companion q248's independent-arm test cannot answer)? Doubled " +
+        "average ranks over the |d| histogram keep ties exact (2*W+ " +
+        "integral), zero diffs and incomplete pairs drop, verdict is one " +
+        "cleared-denominator decimal comparison")
   )
 }

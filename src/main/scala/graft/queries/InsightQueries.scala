@@ -1727,6 +1727,106 @@ object InsightQueries {
         "traffic >>, metronomic bots <<), the daily-granularity twin of " +
         "q190's inter-arrival CV^2 and a natural q240 dailyStats " +
         "co-monitor: sample-variance-over-mean collapses to ONE " +
-        "truncating division of exact integer moments per group")
+        "truncating division of exact integer moments per group"),
+
+    // --------------- survival: restricted mean survival time
+    "q267_rmst" -> Q(
+      (s, dir) =>
+        EventAnalytics.rmst(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          entryType = "view", eventType = "purchase",
+          bucketMicros = 3600000000L, tauBuckets = 200L),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+             |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+             |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt, sum(observed) AS nd FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc
+             |  FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    CASE WHEN nd = 0 THEN 0
+             |         WHEN total - COALESCE(prevc, 0) = nd THEN -46000000
+             |         ELSE CAST(round(ln(CAST(total - COALESCE(prevc, 0) - nd AS DOUBLE)
+             |           / (total - COALESCE(prevc, 0))) * 1e6) AS BIGINT) END AS step
+             |  FROM w),
+             |c AS (SELECT *, sum(step) OVER (ORDER BY t) AS lnsurv FROM st),
+             |km AS (SELECT CAST(t AS BIGINT) AS t,
+             |    CAST(round(exp(CAST(lnsurv AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+             |      AS surv_ppm
+             |  FROM c WHERE nd > 0),
+             |sg AS (SELECT t, surv_ppm,
+             |    least(COALESCE(lead(t) OVER (ORDER BY t), 200), 200)
+             |      - least(t, 200) AS seg
+             |  FROM km),
+             |ag AS (SELECT COALESCE(min(least(t, 200)), 200) AS t_first_c,
+             |    COALESCE(sum(CAST(surv_ppm AS HUGEINT) * seg), 0) AS tail_ppm,
+             |    count(*) AS n_event_times
+             |  FROM sg)
+             |SELECT CAST(200 AS BIGINT) AS tau,
+             |  CAST(n_event_times AS BIGINT) AS n_event_times,
+             |  CAST(1000000::HUGEINT * t_first_c + tail_ppm AS BIGINT)
+             |    AS rmst_ppm_buckets
+             |FROM ag""".stripMargin),
+      "restricted mean survival time at tau = 200 hourly buckets — the " +
+        "one-number KM summary (mean buckets-to-purchase with " +
+        "non-converters counted at full tau): the step-function integral " +
+        "is exact products of KM's ppm values with clamped integer " +
+        "segment widths, no new float steps; one lead/aggregate pass " +
+        "over the time-resolution-bounded duration frame"),
+
+    // --------------- Wald-Wolfowitz runs test on the daily series
+    "q269_runs_test" -> Q(
+      (s, dir) =>
+        EventAnalytics.runsTest(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp")),
+      Some("""WITH d AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+             |  FROM events GROUP BY 1, 2),
+             |h AS (SELECT grp, dm, count(*) AS c FROM d GROUP BY 1, 2),
+             |w AS (SELECT grp, dm,
+             |    sum(c) OVER (PARTITION BY grp ORDER BY dm
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY grp) AS ntot FROM h),
+             |md AS (SELECT grp, min(dm) AS med FROM w
+             |  WHERE cum >= (ntot + 1) // 2 GROUP BY 1),
+             |sg AS (SELECT d.grp, d.day,
+             |    CASE WHEN dm > med THEN 1 ELSE -1 END AS sg
+             |  FROM d JOIN md ON md.grp = d.grp WHERE dm <> med),
+             |ch AS (SELECT grp, sg,
+             |    CASE WHEN lag(sg) OVER (PARTITION BY grp ORDER BY day)
+             |        IS NULL
+             |      OR lag(sg) OVER (PARTITION BY grp ORDER BY day) <> sg
+             |      THEN 1 ELSE 0 END AS chg FROM sg),
+             |ag AS (SELECT grp,
+             |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS n_pos,
+             |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS n_neg,
+             |    sum(chg) AS n_runs FROM ch GROUP BY 1),
+             |fin AS (SELECT grp, n_pos, n_neg, n_runs,
+             |    CAST(n_pos AS HUGEINT) + n_neg AS nn,
+             |    2 * CAST(n_pos AS HUGEINT) * n_neg AS m2 FROM ag),
+             |gg AS (SELECT *, nn * (n_runs - 1) - m2 AS dn,
+             |    m2 * (m2 - nn) AS vterm FROM fin)
+             |SELECT grp, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(n_runs AS BIGINT) AS n_runs,
+             |  CAST(CASE WHEN vterm <= 0 THEN -1
+             |    WHEN 625 * dn * dn * (nn - 1) > 2401 * vterm THEN 0
+             |    ELSE 1 END AS BIGINT) AS random_95
+             |FROM gg ORDER BY grp""".stripMargin),
+      "Wald-Wolfowitz runs test of each type's daily above/below-median " +
+        "sign sequence — the assumption-free randomness screen " +
+        "(clustered signs = trend/regime, alternating = overcorrection) " +
+        "run before trusting i.i.d.-flavored alarms: exact lower median " +
+        "from the value histogram (no global sort), runs from one lag, " +
+        "verdict one cleared-denominator decimal comparison; everything " +
+        "after dailyStats is calendar-bounded")
   )
 }

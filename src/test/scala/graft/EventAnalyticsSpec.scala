@@ -511,6 +511,36 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("runsTest: alternating and clustered sign sequences reject " +
+      "randomness, a balanced mixed sequence passes, median-equal days " +
+      "drop, a one-sign series reads the sentinel, determinism") {
+    def daily(vals: Seq[Long], grp: String = "g") =
+      vals.zipWithIndex.map { case (v, i) => (grp, f"d$i%02d", v) }
+        .toDF("grp", "day", "dm")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.runsTestFromDaily(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 12 distinct values interleaved low/high: med = 6 (drops), signs
+    // -+-+-+-+-+ then a ++ tail -> R = 10 of N = 11 -> rejected
+    val alt = run(daily(Seq(1L, 12L, 2L, 11L, 3L, 10L, 4L, 9L, 5L, 8L, 6L, 7L)))
+    assert(alt("g") === ((6L, 5L, 10L, 0L)))
+    // ascending 1..12: two runs -> rejected
+    val asc = run(daily((1L to 12L)))
+    assert(asc("g") === ((6L, 5L, 2L, 0L)))
+    // balanced ++--+--++- (R = 6, E[R] = 6) -> passes; med 6 dropped
+    val ok = run(daily(Seq(7L, 8L, 1L, 2L, 9L, 3L, 4L, 10L, 11L, 5L, 6L)))
+    assert(ok("g") === ((5L, 5L, 6L, 1L)))
+    // two days: the lower-median day drops, one sign survives -> sentinel
+    val solo = run(daily(Seq(1L, 9L)))
+    assert(solo("g") === ((1L, 0L, 1L, -1L)))
+    // determinism under repartition, groups independent
+    val both = daily(Seq(1L, 12L, 2L, 11L, 3L, 10L, 4L, 9L, 5L, 8L, 6L, 7L))
+      .union(daily((1L to 12L), grp = "h")).repartition(7)
+    val g2 = run(both)
+    assert(g2("g") === alt("g") && g2("h") === asc("g"))
+  }
+
   test("ljungBoxFromAcf: the double pre-check raises the NAMED overflow " +
       "error past the decimal(38,0) numerator window") {
     // calendar-bounded n_days makes the guard unreachable from real

@@ -1069,6 +1069,40 @@ class ModelEvalSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("signedRankTest: hand doubled-W+ with ties, consistent shift is " +
+      "significant, zero diffs and incomplete pairs drop, side guard") {
+    import spark.implicits._
+    def sr(rows: Seq[(String, Long, Double, Long)]) =
+      graft.operators.ModelEval.signedRankTest(
+        rows.toDF("g", "subj", "v", "side"), "g", "subj", "v", "side")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 8 subjects all shifted up by the same amounts (tie-dense |d|):
+    // diffs = (1,1,2,2,3,3,4,4) -> r2 blocks: |1|:t2 r2=3, |2|:t2 r2=7,
+    // |3|:t2 r2=11, |4|:t2 r2=15 -> W2+ = 2(3+7+11+15) = 72 (all positive)
+    val up = (1L to 8L).flatMap { s =>
+      val d = ((s - 1) / 2 + 1).toDouble
+      Seq(("g", s, 10.0, 0L), ("g", s, 10.0 + d, 1L))
+    }
+    val got = sr(up)
+    assert(got("g")._1 === 8L && got("g")._2 === 72L && got("g")._3 === 1L)
+    // n=8, no ties broken: dev = 144-72 = 72; gate 625*3*72^2 = 9.72e6 >
+    // 2401*(2*8*9*17 - T), T = 4*(8-2) = 24 -> 2401*2424 = 5.82e6 -> sig
+    assert(got("g")._4 === 1L)
+    // zero diffs and incomplete pairs drop entirely
+    val noisy = sr(up ++ Seq(("g", 90L, 5.0, 0L), ("g", 91L, 5.0, 0L),
+      ("g", 91L, 5.0, 1L)))
+    assert(noisy("g") === got("g"))
+    // a group with ONLY zero/incomplete pairs emits no row
+    assert(sr(Seq(("z", 1L, 5.0, 0L), ("z", 1L, 5.0, 1L))).isEmpty)
+    val e = intercept[Exception] {
+      sr(up ++ Seq(("g", 99L, 1.0, 2L)))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("side must be 0/1")))
+  }
+
   test("cliffsDelta: perfect separation reads ±1e6/large, identical " +
       "distributions read 0/negligible, empty arm reads the sentinel, " +
       "magnitude thresholds") {

@@ -24,6 +24,8 @@ class PlanInvariantSpec extends SparkSpec {
     "q202_log_rank" -> "distinct event-duration frame (time-resolution bounded)",
     "q256_nelson_aalen" -> ("distinct event-duration frame (time-resolution " +
       "bounded + the MaxDurationBuckets loud guard)"),
+    "q267_rmst" -> ("the q201 KM event-duration frame plus one lead pass " +
+      "(time-resolution bounded + the MaxDurationBuckets loud guard)"),
     "q204_funnel_dropoff" -> "n_steps histogram, <= |funnel steps|+1 rows",
     "q85_token_budget" -> "score-bucket prefix frame (resolution bounded)",
     "q87_weighted_sample" -> "rank over the already-limited top-k frame",

@@ -130,4 +130,48 @@ class RankTestsRandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("signedRankTest matches a BigInt doubled-rank reference on 20 " +
+      "random tie-dense paired draws (zero diffs and incomplete pairs " +
+      "dropped)") {
+    val rnd = new Random(229)
+    (1 to 20).foreach { trial =>
+      val nSubj = 6 + rnd.nextInt(30)
+      // one value per (subject, side); ~15% of subjects miss side 1
+      val rows = (1 to nSubj).flatMap { s =>
+        val both = rnd.nextInt(7) > 0
+        Seq((s"g", s.toLong, rnd.nextInt(5) * 0.5, 0L)) ++
+          (if (both) Seq((s"g", s.toLong, rnd.nextInt(5) * 0.5, 1L)) else Nil)
+      }
+      val gotRows = ModelEval.signedRankTest(
+        rows.toDF("grp", "subj", "v", "side"), "grp", "subj", "v", "side")
+        .collect()
+      // reference: paired micro diffs, doubled ranks over |d|
+      val bySubj = rows.groupBy(_._2)
+      val diffs = bySubj.values.toSeq.flatMap { rs =>
+        val s0 = rs.find(_._4 == 0L).map(r => math.round(r._3 * 1e6))
+        val s1 = rs.find(_._4 == 1L).map(r => math.round(r._3 * 1e6))
+        for (a <- s0; b <- s1; if b - a != 0L) yield b - a
+      }
+      if (diffs.isEmpty) {
+        assert(gotRows.isEmpty, s"trial $trial expected no row")
+      } else {
+        val got = gotRows.head
+        val n = diffs.size.toLong
+        val r2 = doubledRanks(diffs.map(math.abs))
+        val w2p = diffs.filter(_ > 0).map(dd => BigInt(r2(math.abs(dd)))).sum
+        val tieT = diffs.map(math.abs).groupBy(identity).values
+          .map(g => BigInt(g.size).pow(3) - g.size).sum
+        val dev = 2 * w2p - BigInt(n) * (n + 1)
+        assert(got.getLong(1) === n, s"trial $trial n")
+        assert(BigInt(got.getLong(2)) === w2p, s"trial $trial w2+")
+        assert(got.getLong(3) === dev.signum.toLong, s"trial $trial sign")
+        val lhs = BigInt(625) * 3 * dev * dev
+        val rhs = BigInt(2401) *
+          (2 * BigInt(n) * (n + 1) * (2 * n + 1) - tieT)
+        assert(got.getLong(4) === (if (lhs > rhs) 1L else 0L),
+          s"trial $trial verdict")
+      }
+    }
+  }
 }

@@ -121,6 +121,47 @@ class SurvivalRandomizedSpec extends SparkSpec {
     }
   }
 
+  test("rmst matches a first-principles step-integral replica on 15 " +
+      "random draws (clamping tau inside and beyond the span); an " +
+      "event-free corpus reads 1e6*tau") {
+    val rnd = new Random(331)
+    (1 to 15).foreach { trial =>
+      val rows = draw(rnd)
+      val bucketH = 1L + rnd.nextInt(2)
+      val tau = 1L + rnd.nextInt(30) // sometimes inside, sometimes past
+      val got = EventAnalytics.rmst(toDf(rows), "user_id", "ts",
+        "event_type", "view", "purchase", bucketH * HourUs, tau)
+        .collect().head
+      // KM replica -> step integral
+      var lnCum = 0L
+      val kmRows = riskTable(rows, bucketH).flatMap { case (t, n, d, _) =>
+        val step =
+          if (d == 0L) 0L
+          else if (n == d) -46000000L
+          else half(math.log((n - d).toDouble / n) * 1e6)
+        lnCum += step
+        if (d > 0L) Some((t, half(math.exp(lnCum.toDouble / 1e6) * 1e6)))
+        else None
+      }
+      val tFirst = kmRows.headOption.map(r => math.min(r._1, tau)).getOrElse(tau)
+      val tail = kmRows.zipWithIndex.map { case ((t, s), i) =>
+        val tNext = math.min(
+          kmRows.lift(i + 1).map(_._1).getOrElse(tau), tau)
+        BigInt(s) * (tNext - math.min(t, tau))
+      }.sum
+      assert(got.getLong(0) === tau, s"trial $trial tau")
+      assert(got.getLong(1) === kmRows.size.toLong, s"trial $trial times")
+      assert(BigInt(got.getLong(2)) === BigInt(1000000) * tFirst + tail,
+        s"trial $trial rmst")
+    }
+    // event-free corpus: everyone survives the whole window
+    val noEvt = Seq((1L, "view", 0L, 0L), (2L, "view", 3L, 0L),
+      (1L, "click", 9L, 0L))
+    val g = EventAnalytics.rmst(toDf(noEvt), "user_id", "ts", "event_type",
+      "view", "purchase", HourUs, 12L).collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) === ((12L, 0L, 12000000L)))
+  }
+
   test("nelsonAalen matches an ALL-INTEGER driver replica on 15 random " +
       "censoring-heavy draws") {
     val rnd = new Random(311)
