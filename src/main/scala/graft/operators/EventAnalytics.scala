@@ -994,6 +994,52 @@ object EventAnalytics {
           .as("random_95"))
   }
 
+  /** TURNING-POINT TEST of each group's daily series — the [[runsTest]]
+    * co-screen that needs NO median: count strict local extrema
+    * (dm[i−1] < dm[i] > dm[i+1] or the mirror) over the day order; an
+    * i.i.d. series has E[TP] = 2(n−2)/3 and Var[TP] = (16n−29)/90, so
+    * too few turns = trend/regime, too many = alternation. Tie-adjacent
+    * points are simply not strict extrema (deterministic, no drops).
+    *
+    * Verdict — cleared-denominator exact gate: D = 3·TP − 2(n−2) is the
+    * 3-scaled integer deviation, and |TP − E| > z·σ multiplies through
+    * into `10·q·D² > p·(16n−29)` — all exact integers (days are
+    * calendar-bounded). `random_95 = 1` when the null survives (the
+    * [[ljungBox]] white_95 convention); groups with n < 3 days read −1.
+    *
+    * Scale shape: one lag/lead window partitioned by group over the
+    * daily frame, one group reduce — everything after [[dailyStats]] is
+    * calendar-bounded.
+    */
+  def turningPoints(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    turningPointsFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[turningPoints]] over a prepared [[dailyStats]] frame. */
+  def turningPointsFromDaily(
+      daily: DataFrame, critP: Long = 2401L, critQ: Long = 625L): DataFrame = {
+    require(critP >= 1 && critQ >= 1, "critical value p/q must be positive")
+    val wDay = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    daily
+      .withColumn("pv", lag(col("dm"), 1).over(wDay))
+      .withColumn("nx", lead(col("dm"), 1).over(wDay))
+      .withColumn("tp",
+        (col("pv").isNotNull && col("nx").isNotNull &&
+          ((col("dm") > col("pv") && col("dm") > col("nx")) ||
+            (col("dm") < col("pv") && col("dm") < col("nx")))).cast("bigint"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"), sum(col("tp")).as("n_turns"))
+      .withColumn("dd",
+        lit(3) * d("n_turns") - lit(2) * (d("n_days") - lit(2)))
+      .select(col("grp"), col("n_days"), col("n_turns"),
+        when(col("n_days") < 3L, lit(-1L))
+          .otherwise((!(lit(critQ) * lit(10) * col("dd") * col("dd") >
+            lit(critP) * (lit(16) * d("n_days") - lit(29)))).cast("bigint"))
+          .as("random_95"))
+  }
+
   def cusumChangepoint(
       events: DataFrame, tsCol: String, valueCol: String,
       groupCol: String): DataFrame =

@@ -506,6 +506,90 @@ object ModelEval {
         col("q_micro"), col("significant_95"))
   }
 
+  /** MOOD'S MEDIAN TEST — the coarse-but-robust k-group location test:
+    * classify every row as above / not-above the POOLED lower median and
+    * chi-square the k×2 table ("do the classes straddle the common
+    * median differently" — survives outliers and wild tails that bend
+    * [[kruskalWallis]]' rank variance). No rows drop: the split is
+    * `> median` vs `≤ median` (the standard Mood convention), so ties
+    * with the median land in the lower cell deterministically.
+    *
+    * Exactness: with N rows, M above-median rows, n_j/a_j per class,
+    * Pearson's χ² for the 2×k table reduces to
+    *
+    *   χ² = Σ_j (a_j·N − n_j·M)² / n_j  /  (M·(N−M))
+    *
+    * — evaluated with a DEFINED integer order (per-class truncating DIV,
+    * then ONE final micro division), engine-portable. Verdict vs the
+    * χ²(k−1, 0.95) micro literal (k ≤ 8 enforced). M = 0 or M = N (the
+    * median swallows everything — no split exists) or k < 2 reads the
+    * −2·10⁶ sentinel. One output row.
+    *
+    * Scale shape: one (class, value) micro-histogram with map-side
+    * combine, one value-resolution-bounded GLOBAL cumulative window for
+    * the pooled median (the q250 histogram argument), class-bounded
+    * reductions after that.
+    */
+  def moodMedianTest(
+      df: DataFrame, classCol: String, valueCol: String): DataFrame = {
+    val hist = df.select(col(classCol).as("cls"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"))
+      .groupBy(col("cls"), col("sm")).agg(count(lit(1)).as("cc"))
+    // pooled lower median over the class-pooled value histogram
+    val wCum = Window.orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = hist.groupBy(col("sm")).agg(sum(col("cc")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("ntot", sum(col("t")).over(wAll))
+      .filter(col("cum") >= expr("(ntot + 1) DIV 2"))
+      .agg(min(col("sm")).as("med"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val perClass = hist.crossJoin(broadcast(med))
+      .groupBy(col("cls"))
+      .agg(sum(col("cc")).as("n_j"),
+        sum(when(col("sm") > col("med"), col("cc")).otherwise(0L)).as("a_j"))
+    val tot = perClass.agg(count(lit(1)).as("k"), sum(col("n_j")).as("n_tot"),
+      sum(col("a_j")).as("m_above"))
+    perClass.crossJoin(broadcast(tot))
+      .select(col("cls"), col("k"), col("n_tot"), col("m_above"),
+        // double pre-check (the rankSumFromCounts guard): the per-class
+        // product is ~N^4-scale — raise a NAMED error before the generic
+        // ANSI decimal overflow can
+        expr("""CASE WHEN CAST(n_tot AS DOUBLE) * n_tot * n_tot * n_tot
+               |    >= 5e37
+               |  THEN raise_error(concat(
+               |    'moodMedianTest: chi-square numerator would overflow ',
+               |    'decimal(38,0) at n = ', CAST(n_tot AS STRING),
+               |    ' pooled rows — shrink the classes or rescale counts'))
+               |  ELSE CAST(((CAST(a_j AS DECIMAL(38,0)) * n_tot
+               |    - CAST(n_j AS DECIMAL(38,0)) * m_above)
+               |    * (CAST(a_j AS DECIMAL(38,0)) * n_tot
+               |    - CAST(n_j AS DECIMAL(38,0)) * m_above)) DIV n_j
+               |    AS DECIMAL(38,0)) END""".stripMargin).as("s_j"))
+      .groupBy(col("k"), col("n_tot"), col("m_above"))
+      .agg(sum(col("s_j")).as("s"))
+      .withColumn("k", when(col("k") <= 8L, col("k"))
+        .otherwise(raise_error(concat(
+          lit("moodMedianTest: "), col("k").cast("string"),
+          lit(" classes exceed the chi-square table bound (8)")))))
+      .withColumn("chi2_micro",
+        when(col("k") < 2L || col("m_above") === 0L ||
+            col("m_above") === col("n_tot"), lit(-2000000L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * s)
+              | DIV (CAST(m_above AS DECIMAL(38,0))
+              |   * (n_tot - m_above)) AS BIGINT)""".stripMargin)))
+      .withColumn("significant_95",
+        when(col("chi2_micro") === -2000000L, lit(-1L))
+          .otherwise((col("chi2_micro") >=
+            element_at(typedLit(KwCrit95Micro), col("k") - lit(1L)))
+            .cast("bigint")))
+      .select(col("k"), col("n_tot").as("n"), col("m_above"),
+        col("chi2_micro"), col("significant_95"))
+  }
+
   /** COCHRAN'S Q — the BINARY repeated-measures test completing the
     * nonparametric ladder (rank-sum → Kruskal-Wallis → Friedman →
     * Cochran-Q): k systems judged pass/fail on the SAME n subjects ("do

@@ -1620,6 +1620,53 @@ object EvalQueries {
         "companion q248's independent-arm test cannot answer)? Doubled " +
         "average ranks over the |d| histogram keep ties exact (2*W+ " +
         "integral), zero diffs and incomplete pairs drop, verdict is one " +
-        "cleared-denominator decimal comparison")
+        "cleared-denominator decimal comparison"),
+
+    // --------------- Mood's median k-group test
+    "q270_mood_median" -> Q(
+      (s, dir) =>
+        graft.operators.ModelEval.moodMedianTest(
+          Tables.events(s, dir), "event_type", "value"),
+      Some("""WITH e AS (SELECT event_type AS cls,
+             |    CAST(round(value * 1e6) AS BIGINT) AS sm FROM events),
+             |h AS (SELECT cls, sm, count(*) AS cc FROM e GROUP BY 1, 2),
+             |b AS (SELECT sm, sum(cc) AS t FROM h GROUP BY 1),
+             |w AS (SELECT sm,
+             |    sum(t) OVER (ORDER BY sm ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(t) OVER () AS ntot FROM b),
+             |md AS (SELECT min(sm) AS med FROM w WHERE cum >= (ntot + 1) // 2),
+             |pc AS (SELECT cls, CAST(sum(cc) AS HUGEINT) AS n_j,
+             |    CAST(sum(CASE WHEN sm > (SELECT med FROM md) THEN cc
+             |      ELSE 0 END) AS HUGEINT) AS a_j
+             |  FROM h GROUP BY 1),
+             |tt AS (SELECT count(*) AS k, sum(n_j) AS n_tot,
+             |    sum(a_j) AS m_above FROM pc),
+             |sj AS (SELECT sum(
+             |    ((a_j * (SELECT n_tot FROM tt) - n_j * (SELECT m_above FROM tt))
+             |     * (a_j * (SELECT n_tot FROM tt) - n_j * (SELECT m_above FROM tt)))
+             |    // n_j) AS s FROM pc),
+             |fin AS (SELECT tt.k, tt.n_tot, tt.m_above,
+             |    CASE WHEN tt.k < 2 OR tt.m_above = 0 OR tt.m_above = tt.n_tot
+             |      THEN CAST(-2000000 AS HUGEINT)
+             |      ELSE (1000000::HUGEINT * sj.s)
+             |        // (tt.m_above * (tt.n_tot - tt.m_above)) END AS chi2
+             |  FROM tt CROSS JOIN sj)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+             |  CAST(m_above AS BIGINT) AS m_above,
+             |  CAST(chi2 AS BIGINT) AS chi2_micro,
+             |  CAST(CASE WHEN chi2 = -2000000 THEN -1
+             |    ELSE CAST(chi2 >= CASE k - 1
+             |      WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+             |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+             |      WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+             |      ELSE 14067140 END AS INT) END AS BIGINT) AS significant_95
+             |FROM fin""".stripMargin),
+      "Mood's median test across the event types: classify every value " +
+        "above / not-above the POOLED lower median (exact from the value " +
+        "histogram, ties land low deterministically — no drops) and " +
+        "chi-square the kx2 table with a DEFINED integer order (per-class " +
+        "truncating DIV + one final micro division) — the outlier-proof " +
+        "coarse companion to q250's rank ANOVA, verdict vs the " +
+        "chi2(k-1, .95) micro literal")
   )
 }

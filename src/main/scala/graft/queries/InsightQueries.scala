@@ -1827,6 +1827,40 @@ object InsightQueries {
         "run before trusting i.i.d.-flavored alarms: exact lower median " +
         "from the value histogram (no global sort), runs from one lag, " +
         "verdict one cleared-denominator decimal comparison; everything " +
-        "after dailyStats is calendar-bounded")
+        "after dailyStats is calendar-bounded"),
+
+    // --------------- turning-point randomness test on the daily series
+    "q271_turning_points" -> Q(
+      (s, dir) =>
+        EventAnalytics.turningPoints(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("grp")),
+      Some("""WITH d AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT grp, dm,
+             |    lag(dm) OVER (PARTITION BY grp ORDER BY day) AS pv,
+             |    lead(dm) OVER (PARTITION BY grp ORDER BY day) AS nx FROM d),
+             |t AS (SELECT grp, CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+             |    AND ((dm > pv AND dm > nx) OR (dm < pv AND dm < nx))
+             |    THEN 1 ELSE 0 END AS tp FROM l),
+             |ag AS (SELECT grp, count(*) AS n_days, sum(tp) AS n_turns
+             |  FROM t GROUP BY 1),
+             |f AS (SELECT grp, n_days, n_turns,
+             |    3 * CAST(n_turns AS HUGEINT)
+             |      - 2 * (CAST(n_days AS HUGEINT) - 2) AS dd FROM ag)
+             |SELECT grp, CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(n_turns AS BIGINT) AS n_turns,
+             |  CAST(CASE WHEN n_days < 3 THEN -1
+             |    WHEN 625 * 10 * dd * dd >
+             |      2401 * (16 * CAST(n_days AS HUGEINT) - 29) THEN 0
+             |    ELSE 1 END AS BIGINT) AS random_95
+             |FROM f ORDER BY grp""".stripMargin),
+      "turning-point randomness test of each type's daily series — " +
+        "strict local extrema counted against the i.i.d. expectation " +
+        "2(n-2)/3 (too few = trend, too many = alternation), the q269 " +
+        "runs-test co-screen that needs NO median; exact integer gate " +
+        "10*q*D^2 vs p*(16n-29), one lag/lead window after dailyStats")
   )
 }

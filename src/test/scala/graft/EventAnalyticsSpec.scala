@@ -541,6 +541,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2("g") === alt("g") && g2("h") === asc("g"))
   }
 
+  test("turningPoints: wiggles pass, monotone and alternating series " +
+      "reject, tie-adjacent points are not extrema, short series reads " +
+      "the sentinel") {
+    def daily(vals: Seq[Long], grp: String = "g") =
+      vals.zipWithIndex.map { case (v, i) => (grp, f"d$i%02d", v) }
+        .toDF("grp", "day", "dm")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.turningPointsFromDaily(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 1,5,2,6,3: three strict extrema of n=5 -> E = 2, passes
+    assert(run(daily(Seq(1L, 5L, 2L, 6L, 3L)))("g") === ((5L, 3L, 1L)))
+    // monotone ascent: zero turns -> rejected (trend)
+    assert(run(daily((1L to 8L)))("g") === ((8L, 0L, 0L)))
+    // strict alternation: every interior point turns -> rejected
+    assert(run(daily(Seq(1L, 9L, 1L, 9L, 1L, 9L, 1L, 9L, 1L)))("g")
+      === ((9L, 7L, 0L)))
+    // tie-adjacent points are not strict extrema: 1,5,5,2 has no turn
+    val tied = run(daily(Seq(1L, 5L, 5L, 2L)))("g")
+    assert(tied._2 === 0L)
+    // n < 3: no interior point exists -> sentinel
+    assert(run(daily(Seq(3L, 7L)))("g") === ((2L, 0L, -1L)))
+  }
+
   test("ljungBoxFromAcf: the double pre-check raises the NAMED overflow " +
       "error past the decimal(38,0) numerator window") {
     // calendar-bounded n_days makes the guard unreachable from real

@@ -1069,6 +1069,33 @@ class ModelEvalSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("moodMedianTest: separated classes reject, identical classes read " +
+      "chi2=0, all-tied and single-class read sentinels, determinism") {
+    import spark.implicits._
+    def mm(rows: Seq[(String, Double)]) =
+      graft.operators.ModelEval.moodMedianTest(
+        rows.toDF("cls", "v"), "cls", "v").collect().head
+    // a = {1..4}, b = {10..13}: pooled lower median 4, a_j = (0, 4),
+    // S_j = 64 + 64, chi2 = 128/(4*4) = 8.0 -> rejected at chi2(1)
+    val sep = (1 to 4).map(i => ("a", i.toDouble)) ++
+      (10 to 13).map(i => ("b", i.toDouble))
+    val g1 = mm(sep)
+    assert(g1.toSeq === Seq(2L, 8L, 4L, 8000000L, 1L))
+    // identical class distributions: chi2 exactly 0
+    val same = (1 to 4).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val g2 = mm(same)
+    assert(g2.getLong(3) === 0L && g2.getLong(4) === 0L)
+    // all values equal: nothing above the median -> sentinel
+    val flat = mm(Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)))
+    assert(flat.getLong(3) === -2000000L && flat.getLong(4) === -1L)
+    // single class -> sentinel
+    val solo = mm(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)))
+    assert(solo.getLong(3) === -2000000L && solo.getLong(4) === -1L)
+    val again = graft.operators.ModelEval.moodMedianTest(
+      sep.toDF("cls", "v").repartition(7), "cls", "v").collect().head
+    assert(again.toSeq === g1.toSeq)
+  }
+
   test("signedRankTest: hand doubled-W+ with ties, consistent shift is " +
       "significant, zero diffs and incomplete pairs drop, side guard") {
     import spark.implicits._

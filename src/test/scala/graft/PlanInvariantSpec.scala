@@ -30,7 +30,9 @@ class PlanInvariantSpec extends SparkSpec {
     "q85_token_budget" -> "score-bucket prefix frame (resolution bounded)",
     "q87_weighted_sample" -> "rank over the already-limited top-k frame",
     "q250_kruskal_wallis" -> ("class-pooled value HISTOGRAM frame (distinct " +
-      "micro values, never rows — the q219 resolution bound)"))
+      "micro values, never rows — the q219 resolution bound)"),
+    "q270_mood_median" -> ("pooled-median over the class-pooled value " +
+      "HISTOGRAM frame (the q250 resolution bound)"))
 
   test("no registry query has an unpartitioned Window over an unbounded frame") {
     Tables.registerAll(spark, sfDir)

@@ -75,6 +75,37 @@ class WebCurationSpec extends SparkSpec {
       "http://a.com/x" -> ((1L, 3L)), "http://a.com/y" -> ((4L, 1L))))
   }
 
+  test("streamed canonical-URL dedup (canonicalize -> dropDuplicates on " +
+      "the canon key) matches batch urlKeyDedup's key set under " +
+      "at-least-once redelivery") {
+    import java.nio.file.Files
+    val rows = Seq(
+      (1L, "http://a.com/x"), (2L, "HTTP://WWW.a.com:80/x/"),
+      (3L, "http://a.com/x?utm_source=f"), (4L, "http://a.com/y"),
+      (5L, "https://B.com/z#frag"), (6L, "https://b.com/z"))
+      .toDF("doc_id", "url")
+    val dir = Files.createTempDirectory("graft-surl-").toString
+    rows.coalesce(1).write.parquet(s"$dir/a")
+    rows.coalesce(1).write.parquet(s"$dir/b") // redelivery
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+      .withColumn("canon_url", WebCuration.canonicalUrl(col("url")))
+      .dropDuplicates("canon_url")
+    val q = stream.writeStream.format("memory").queryName("surl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("surl").select("canon_url")
+        .collect().map(_.getString(0)).toSet
+      val batch = WebCuration.urlKeyDedup(rows, "url", "doc_id")
+        .select("canon_url").collect().map(_.getString(0)).toSet
+      assert(streamed === batch)
+      assert(spark.table("surl").count() === batch.size.toLong,
+        "exactly one row per canonical key")
+    } finally q.stop()
+  }
+
   test("domainStats aggregates per domain; withBlocklist broadcast-flags") {
     val rows = Seq(
       (1L, "https://a.com/1", "one two three", 13L),
