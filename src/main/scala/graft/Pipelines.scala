@@ -43,10 +43,11 @@ object Pipelines {
   }
 
   /** The metric-monitoring suite (benched as pipeline_monitor): the
-    * per-(type, day) daily stats computed ONCE (persisted) feed NINE
+    * per-(type, day) daily stats computed ONCE (persisted) feed ELEVEN
     * monitors — offline changepoint, online CUSUM alarms, STL, Mann-
     * Kendall, MASE backtest, binary segmentation, PACF, seasonal/trend
-    * strength, Fano dispersion. Returns the nine named row counts.
+    * strength, Fano dispersion, and the round-13 randomness screens
+    * (runs test, turning points). Returns the named row counts.
     */
   def monitorSuite(spark: SparkSession, sfDir: String): Seq[(String, Long)] = {
     import operators.EventAnalytics
@@ -66,7 +67,9 @@ object Pipelines {
         "pacf" -> EventAnalytics.pacfFromAcf(
           EventAnalytics.acfFromDaily(daily, maxLag = 5)).count(),
         "ss" -> EventAnalytics.seasonalStrengthFromDaily(daily).count(),
-        "fano" -> EventAnalytics.fanoFromDailyCounts(daily).count())
+        "fano" -> EventAnalytics.fanoFromDailyCounts(daily).count(),
+        "runs" -> EventAnalytics.runsTestFromDaily(daily).count(),
+        "turns" -> EventAnalytics.turningPointsFromDaily(daily).count())
     } finally daily.unpersist(blocking = false)
   }
 }

@@ -231,6 +231,97 @@ object ModelEval {
           .otherwise(col("at")).as("at_micro")): _*)
   }
 
+  /** CRAMÉR–VON MISES two-sample criterion per key group — the
+    * INTEGRATED-difference drift test between [[ksTest]] (sup of the CDF
+    * gap: one sharp local break) and [[rankSumTest]] (location only):
+    * CvM accumulates the SQUARED gap over the whole support, so many
+    * small persistent deviations that never spike past KS's sup — the
+    * classic slow-drift signature — still trip it.
+    *
+    *   T = (n·m/N²)·Σ_pooled (F_a(x) − F_b(x))²
+    *     = Σ_blocks t·(m·cumA − n·cumB)² / (N²·n·m)
+    *
+    * evaluated with a DEFINED integer order (the kruskalWallis
+    * convention): per block S = (m·cumA − n·cumB)² DIV (n·m) truncates
+    * first, then `t_cvm_micro = (10⁶·Σ t·S) DIV N²` — engine-portable
+    * to the last digit. Verdict vs the asymptotic 5% critical value
+    * 0.46136 (Anderson 1962) as the micro literal 461360. Either side
+    * empty reads the −1/−1 sentinels. The squared-gap product needs
+    * n·m < 10¹⁸ (double pre-check raises the operator-named error).
+    *
+    * Scale shape: the [[ksFromCounts]] plan verbatim — one (keys, value)
+    * micro-histogram with map-side combine, key-partitioned
+    * resolution-bounded cumulative windows, one reduce. Streaming twin:
+    * [[graft.streaming.StreamingCvm]] runs THIS reduction over the same
+    * windowed histogram KS/EMD/rank-sum consume.
+    */
+  def cvmTest(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String): DataFrame = {
+    val labeled = df.select(col(groupCol).as("grp"),
+        round(col(valueCol) * lit(1e6)).cast("bigint").as("sm"),
+        col(sideCol).cast("bigint").as("side"))
+      .withColumn("side", when(col("side").isin(0L, 1L), col("side"))
+        .otherwise(raise_error(lit("cvmTest: side must be 0/1"))))
+    val perValue = labeled.groupBy(col("grp"), col("sm"))
+      .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
+    cvmFromCounts(perValue, Seq("grp"))
+  }
+
+  /** The CvM reduction over PRE-AGGREGATED per-value counts
+    * `(keys..., sm, ca, cb)` — shareable with the streaming monitor the
+    * same way [[ksFromCounts]] is. Emits one row per key group:
+    * `(keys..., n_a, n_b, t_cvm_micro, drift_95)`.
+    */
+  def cvmFromCounts(perValue: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "cvmFromCounts: need at least one key column")
+    val kc = keys.map(col)
+    val wCum = Window.partitionBy(kc: _*).orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    val stepped = perValue
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      // double pre-check: the squared gap is bounded by (n_a*n_b)^2 and
+      // must fit decimal(38,0) — raise the NAMED error, never NULL
+      .withColumn("n_a",
+        when(col("n_a").cast("double") * col("n_b").cast("double") < 1e18,
+          col("n_a"))
+          .otherwise(raise_error(concat(
+            lit("cvmTest: squared CDF gap would overflow decimal(38,0) "),
+            lit("in group "), col(keys.head).cast("string"),
+            lit(" — shrink the sides or rescale counts")))))
+      .withColumn("gap",
+        d("n_b") * d("cum_a") - d("n_a") * d("cum_b"))
+      .withColumn("s_blk",
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(0).cast("decimal(38,0)"))
+          .otherwise(expr(
+            "CAST((gap * gap) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+              " AS DECIMAL(38,0))")))
+    stepped.groupBy(kc: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum((d("ca") + d("cb")) * col("s_blk")).as("ts"))
+      .select(kc ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * ts)
+              | DIV ((CAST(n_a AS DECIMAL(38,0)) + n_b)
+              |   * (CAST(n_a AS DECIMAL(38,0)) + n_b)) AS BIGINT)"""
+              .stripMargin)).as("t_cvm_micro"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(-1L))
+          .otherwise((expr(
+            """CAST((CAST(1000000 AS DECIMAL(38,0)) * ts)
+              | DIV ((CAST(n_a AS DECIMAL(38,0)) + n_b)
+              |   * (CAST(n_a AS DECIMAL(38,0)) + n_b)) AS BIGINT)"""
+              .stripMargin) >= lit(461360L)).cast("bigint"))
+          .as("drift_95")): _*)
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) location test per key group —
     * the nonparametric "is arm b's value distribution shifted vs arm
     * a's" companion to [[ksTest]] (KS is sensitive to ANY shape

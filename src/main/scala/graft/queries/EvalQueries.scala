@@ -1667,6 +1667,60 @@ object EvalQueries {
         "chi-square the kx2 table with a DEFINED integer order (per-class " +
         "truncating DIV + one final micro division) — the outlier-proof " +
         "coarse companion to q250's rank ANOVA, verdict vs the " +
-        "chi2(k-1, .95) micro literal")
+        "chi2(k-1, .95) micro literal"),
+
+    // --------------- Cramér–von Mises integrated drift test
+    "q272_cvm_drift" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("side",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 2)
+        graft.operators.ModelEval.cvmTest(ev, "event_type", "value", "side")
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH e AS (SELECT event_type AS grp,
+              |    CAST(round(value * 1e6) AS BIGINT) AS sm,
+              |    ${hex8("md5(CAST(user_id AS VARCHAR))")} % 2 AS side
+              |  FROM events),
+              |pv AS (SELECT grp, sm,
+              |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+              |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+              |  FROM e GROUP BY 1, 2),
+              |st AS (SELECT grp, ca, cb,
+              |    sum(ca) OVER (PARTITION BY grp ORDER BY sm
+              |      ROWS UNBOUNDED PRECEDING) AS cum_a,
+              |    sum(cb) OVER (PARTITION BY grp ORDER BY sm
+              |      ROWS UNBOUNDED PRECEDING) AS cum_b,
+              |    sum(ca) OVER (PARTITION BY grp) AS na,
+              |    sum(cb) OVER (PARTITION BY grp) AS nb FROM pv),
+              |sb AS (SELECT grp, ca, cb, na, nb,
+              |    CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS HUGEINT)
+              |      ELSE ((CAST(nb AS HUGEINT) * cum_a
+              |        - CAST(na AS HUGEINT) * cum_b)
+              |       * (CAST(nb AS HUGEINT) * cum_a
+              |        - CAST(na AS HUGEINT) * cum_b))
+              |      // (CAST(na AS HUGEINT) * nb) END AS s FROM st),
+              |ag AS (SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+              |    sum((CAST(ca AS HUGEINT) + cb) * s) AS ts FROM sb GROUP BY 1),
+              |f AS (SELECT grp, n_a, n_b,
+              |    CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(-1 AS HUGEINT)
+              |      ELSE (1000000::HUGEINT * ts)
+              |        // ((CAST(n_a AS HUGEINT) + n_b)
+              |           * (CAST(n_a AS HUGEINT) + n_b)) END AS t_cvm
+              |  FROM ag)
+              |SELECT grp, CAST(n_a AS BIGINT) AS n_a,
+              |  CAST(n_b AS BIGINT) AS n_b,
+              |  CAST(t_cvm AS BIGINT) AS t_cvm_micro,
+              |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN -1
+              |    WHEN t_cvm >= 461360 THEN 1 ELSE 0 END AS BIGINT)
+              |    AS drift_95
+              |FROM f ORDER BY grp""".stripMargin),
+      "Cramér–von Mises two-sample criterion per event type over the " +
+        "q248 md5-parity arms — the integrated squared-CDF-gap drift " +
+        "test that catches slow persistent deviations KS's sup misses: " +
+        "per-block DIV-then-weight defined integer order over the same " +
+        "value histogram q141/q248 ride, verdict vs the asymptotic " +
+        "0.46136 micro literal; the 4th reduction the streamed histogram " +
+        "feeds (StreamingCvm)")
   )
 }

@@ -116,3 +116,23 @@ object StreamingRankSum {
       StreamingKs.mergedCounts(valueCounts, refCounts),
       Seq("win_start_us", "grp"))
 }
+
+/** Streaming INTEGRATED-drift monitoring with the Cramér–von Mises
+  * criterion — the fourth reduction over the ONE streamed histogram
+  * ([[StreamingKs.windowValueCounts]]): KS reads the sharpest local CDF
+  * break, EMD the transport cost, rank-sum the level shift, and CvM the
+  * accumulated squared gap — the slow-persistent-drift signature the
+  * other three can each miss. Shares [[ModelEval.cvmFromCounts]]
+  * verbatim, so batch and stream cannot diverge (StreamingCvmSpec).
+  */
+object StreamingCvm {
+
+  /** CvM per (window, group) of closed-window value counts against a
+    * [[StreamingKs.referenceValueCounts]] table — stateless; side a =
+    * reference, side b = the window.
+    */
+  def cvmOfCounts(valueCounts: DataFrame, refCounts: DataFrame): DataFrame =
+    ModelEval.cvmFromCounts(
+      StreamingKs.mergedCounts(valueCounts, refCounts),
+      Seq("win_start_us", "grp"))
+}

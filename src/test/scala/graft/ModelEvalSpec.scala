@@ -1069,6 +1069,51 @@ class ModelEvalSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("cvmTest: hand separated-arms integral, identical arms read 0, " +
+      "empty arm reads the sentinel, BigInt replica on a mixed draw, " +
+      "side guard") {
+    import spark.implicits._
+    def cvm(rows: Seq[(String, Double, Long)]) =
+      graft.operators.ModelEval.cvmTest(
+        rows.toDF("g", "v", "side"), "g", "v", "side")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a = {1..5}, b = {11..15}: per-block S = i^2 then (5-j)^2,
+    // ts = 55 + 30 = 85, T = 1e6*85/100 = 850000 >= 461360 -> drift
+    val sep = (1 to 5).map(i => ("s", i.toDouble, 0L)) ++
+      (11 to 15).map(i => ("s", i.toDouble, 1L))
+    assert(cvm(sep)("s") === ((5L, 5L, 850000L, 1L)))
+    // identical arms: every gap 0
+    val same = (1 to 6).flatMap(i => Seq(("e", i.toDouble, 0L), ("e", i.toDouble, 1L)))
+    assert(cvm(same)("e") === ((6L, 6L, 0L, 0L)))
+    // one arm empty -> sentinels
+    assert(cvm((1 to 4).map(i => ("o", i.toDouble, 0L)))("o")
+      === ((4L, 0L, -1L, -1L)))
+    // driver replica with the same DIV-then-weight order
+    val rnd = new scala.util.Random(41)
+    val mixed = (1 to 60).map(_ =>
+      ("m", rnd.nextInt(9) * 0.5, rnd.nextInt(2).toLong))
+    val byV = mixed.groupBy(x => math.round(x._2 * 1e6)).toSeq.sortBy(_._1)
+    val na = mixed.count(_._3 == 0L).toLong
+    val nb = mixed.size - na
+    var (cumA, cumB) = (0L, 0L)
+    var ts = BigInt(0)
+    byV.foreach { case (_, rs) =>
+      val ca = rs.count(_._3 == 0L).toLong
+      val cb = rs.size - ca
+      cumA += ca; cumB += cb
+      val gap = BigInt(nb) * cumA - BigInt(na) * cumB
+      ts += BigInt(ca + cb) * (gap * gap / (BigInt(na) * nb))
+    }
+    val n = BigInt(na + nb)
+    val want = (BigInt(1000000) * ts / (n * n)).toLong
+    assert(cvm(mixed)("m")._3 === want)
+    val e = intercept[Exception] { cvm(sep ++ Seq(("s", 1.0, 5L))) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("side must be 0/1")))
+  }
+
   test("moodMedianTest: separated classes reject, identical classes read " +
       "chi2=0, all-tied and single-class read sentinels, determinism") {
     import spark.implicits._

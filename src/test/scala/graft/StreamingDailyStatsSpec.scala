@@ -77,6 +77,12 @@ class StreamingDailyStatsSpec extends SparkSpec {
       rows(EventAnalytics.seasonalStrengthFromDaily(batchDaily)))
     assert(rows(EventAnalytics.fanoFromDailyCounts(sinkDaily)) ===
       rows(EventAnalytics.fanoFromDailyCounts(batchDaily)))
+    // the round-13 closers: runs-test and turning-point randomness
+    // screens ride the same sink rows unchanged
+    assert(rows(EventAnalytics.runsTestFromDaily(sinkDaily)) ===
+      rows(EventAnalytics.runsTestFromDaily(batchDaily)))
+    assert(rows(EventAnalytics.turningPointsFromDaily(sinkDaily)) ===
+      rows(EventAnalytics.turningPointsFromDaily(batchDaily)))
     // and against the full-batch monitor restricted to closed days: the
     // trend verdicts agree when the open day is the only difference
     val full = EventAnalytics.mannKendall(ev, "ts", "value", "event_type")
