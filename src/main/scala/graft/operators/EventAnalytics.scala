@@ -557,6 +557,88 @@ object EventAnalytics {
           .cast("bigint").as("surv_ppm"))
   }
 
+  /** KAPLAN–MEIER WITH GREENWOOD CONFIDENCE BANDS — the reporting form
+    * of [[kaplanMeier]]: the same survival table plus the log-scale 95%
+    * band every curve plot carries. Greenwood's variance of ln S is the
+    * EXACT integer cumulative sum
+    *
+    *   var_ln_pico = Σ_{t'≤t} (10¹²·d) DIV (n_risk·(n_risk − d))
+    *
+    * (pico resolution — the per-step terms are ≪ 1 micro), and the band
+    * is exp(ln S ± 1.96·√var) with the [[kaplanMeier]] float discipline:
+    * each libm step rounds to an integer column before composing, so
+    * both engines evaluate the identical chain (√ correctly rounded, exp
+    * the accepted 1-ulp class). The upper bound caps at 10⁶ (S ≤ 1). A
+    * full-conversion step (n_risk = d — the −46·10⁶ ln-floor) makes the
+    * variance undefined from that time on: those rows read
+    * `var_ln_pico = −1` with `lo_ppm = hi_ppm = 0` (S has hit 0).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — time-resolution-bounded
+    * duration frame, the same [[MaxDurationBuckets]] loud guard.
+    */
+  def kaplanMeierCi(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, eventType: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "kaplanMeierCi: bucketMicros >= 1")
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"), col(typeCol).as("et"))
+    val entry = base.filter(col("et") === entryType)
+      .groupBy(col("u")).agg(min(col("tsu")).as("t0"))
+    val evt = base.filter(col("et") === eventType)
+      .join(entry, Seq("u"))
+      .filter(col("tsu") >= col("t0"))
+      .groupBy(col("u")).agg(min(col("tsu")).as("t1"))
+    val censor = base.agg(max(col("tsu")).as("tmax"), min(col("tsu")).as("tmin"))
+    val durations = entry.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(censor))
+      .select(col("u"),
+        guardedBucket("kaplanMeierCi", bucketMicros).as("t"),
+        col("t1").isNotNull.cast("bigint").as("observed"))
+    val perT = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("observed")).as("d"))
+    val wAsc = Window.orderBy(col("t"))
+    val wPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_risk", col("total") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("step_micro",
+        when(col("d") === 0, lit(0L))
+          .when(col("n_risk") === col("d"), lit(-46000000L))
+          .otherwise(round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk")) * lit(1e6)).cast("bigint")))
+      .withColumn("ln_surv_micro", sum(col("step_micro")).over(wCum))
+      .withColumn("g_step",
+        when(col("d") === 0 || col("n_risk") === col("d"), lit(0L))
+          .otherwise(expr(
+            """CAST((CAST(1000000000000 AS DECIMAL(38,0)) * d)
+              | DIV (CAST(n_risk AS DECIMAL(38,0)) * (n_risk - d))
+              | AS BIGINT)""".stripMargin)))
+      .withColumn("g_cum", sum(col("g_step")).over(wCum))
+      .withColumn("floored",
+        max((col("n_risk") === col("d") && col("d") > 0).cast("bigint"))
+          .over(wCum))
+      .withColumn("margin_micro",
+        round(lit(1.96) * sqrt(col("g_cum").cast("double"))).cast("bigint"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        round(exp(col("ln_surv_micro").cast("double") / lit(1e6)) * lit(1e6))
+          .cast("bigint").as("surv_ppm"),
+        when(col("floored") === 1L, lit(-1L)).otherwise(col("g_cum"))
+          .as("var_ln_pico"),
+        when(col("floored") === 1L, lit(0L))
+          .otherwise(round(exp((col("ln_surv_micro") - col("margin_micro"))
+            .cast("double") / lit(1e6)) * lit(1e6)).cast("bigint"))
+          .as("lo_ppm"),
+        when(col("floored") === 1L, lit(0L))
+          .otherwise(least(lit(1000000L),
+            round(exp((col("ln_surv_micro") + col("margin_micro"))
+              .cast("double") / lit(1e6)) * lit(1e6)).cast("bigint")))
+          .as("hi_ppm"))
+  }
+
   /** RFM SEGMENTATION — the classic user-value triage (recency,
     * frequency, monetary) as exact-rational quintiles: the sampling /
     * weighting prior a behavior-data pipeline applies before user events
@@ -923,6 +1005,61 @@ object EventAnalytics {
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("xm")).as("ds"), count(lit(1)).as("dc"))
       .withColumn("dm", expr("ds DIV dc"))
+
+  /** KENDALL TAU-B between every PAIR of groups' daily series — the
+    * cross-METRIC dependence monitor ("do error-rate and purchase-value
+    * move together day over day?") completing the per-series tools
+    * (Mann-Kendall is tau of ONE series against time): concordant /
+    * discordant / tied day-pairs counted EXACTLY over the shared-day
+    * join, with the tau-b tie correction
+    *
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),   n₀ = n(n−1)/2,
+    *   n₁/n₂ = pairs tied in the a/b series
+    *
+    * — all counts exact integers; the final micro value takes ONE f64
+    * divide+√ (the q135 Pearson convention: exact integer moments, one
+    * correctly-rounded float step, corpus-validated). A pair with a
+    * constant series (denominator 0) reads the −2·10⁶ sentinel. One row
+    * per unordered group pair.
+    *
+    * Scale shape: the daily pre-aggregation carries the data scale;
+    * after it, a |types|²-bounded group-pair join and a calendar-bounded
+    * day-pair join PARTITIONED by the group pair — never row-scaled.
+    */
+  def kendallTauPairs(
+      events: DataFrame, tsCol: String, valueCol: String,
+      groupCol: String): DataFrame =
+    kendallTauPairsFromDaily(dailyStats(events, tsCol, valueCol, groupCol))
+
+  /** [[kendallTauPairs]] over a prepared [[dailyStats]] frame. */
+  def kendallTauPairsFromDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("grp").as("ga"), col("day"), col("dm").as("va"))
+    val b = daily.select(col("grp").as("gb"), col("day"), col("dm").as("vb"))
+    val paired = a.join(b, Seq("day")).filter(col("ga") < col("gb"))
+    val p1 = paired.select(col("ga"), col("gb"), col("day").as("d1"),
+      col("va").as("a1"), col("vb").as("b1"))
+    val p2 = paired.select(col("ga"), col("gb"), col("day").as("d2"),
+      col("va").as("a2"), col("vb").as("b2"))
+    val dayPairs = p1.join(p2, Seq("ga", "gb")).filter(col("d1") < col("d2"))
+      .withColumn("sa", signum(col("a1") - col("a2")).cast("bigint"))
+      .withColumn("sb", signum(col("b1") - col("b2")).cast("bigint"))
+    val d = (c: String) => col(c).cast("decimal(38,0)")
+    dayPairs.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("sa") * col("sb") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("sa") * col("sb") === -1L, 1L).otherwise(0L))
+          .as("disc"),
+        sum(when(col("sa") === 0L, 1L).otherwise(0L)).as("tie_a"),
+        sum(when(col("sb") === 0L, 1L).otherwise(0L)).as("tie_b"))
+      .select(col("ga"), col("gb"), col("n0"), col("c").as("concordant"),
+        col("disc").as("discordant"),
+        when((col("n0") === col("tie_a")) || (col("n0") === col("tie_b")),
+          lit(-2000000L))
+          .otherwise(round(lit(1e6) * (col("c") - col("disc")).cast("double")
+            / sqrt(((d("n0") - d("tie_a")) * (d("n0") - d("tie_b")))
+              .cast("double"))).cast("bigint"))
+          .as("tau_b_micro"))
+  }
 
   /** WALD–WOLFOWITZ RUNS TEST of each group's daily series — "is the
     * sequence of above/below-median days RANDOM, or does it cluster

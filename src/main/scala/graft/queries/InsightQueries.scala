@@ -1861,6 +1861,108 @@ object InsightQueries {
         "strict local extrema counted against the i.i.d. expectation " +
         "2(n-2)/3 (too few = trend, too many = alternation), the q269 " +
         "runs-test co-screen that needs NO median; exact integer gate " +
-        "10*q*D^2 vs p*(16n-29), one lag/lead window after dailyStats")
+        "10*q*D^2 vs p*(16n-29), one lag/lead window after dailyStats"),
+
+    // --------------- Kendall tau-b across metric pairs
+    "q273_kendall_pairs" -> Q(
+      (s, dir) =>
+        EventAnalytics.kendallTauPairs(
+            Tables.events(s, dir), "ts", "value", "event_type")
+          .orderBy(col("ga"), col("gb")),
+      Some("""WITH d AS (SELECT event_type AS grp,
+             |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |    sum(CAST(round(value * 1e6) AS BIGINT)) // count(*) AS dm
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.grp AS ga, b.grp AS gb, a.day,
+             |    a.dm AS va, b.dm AS vb
+             |  FROM d a JOIN d b USING (day) WHERE a.grp < b.grp),
+             |dp AS (SELECT p1.ga, p1.gb,
+             |    CASE WHEN p1.va > p2.va THEN 1 WHEN p1.va < p2.va THEN -1
+             |      ELSE 0 END AS sa,
+             |    CASE WHEN p1.vb > p2.vb THEN 1 WHEN p1.vb < p2.vb THEN -1
+             |      ELSE 0 END AS sb
+             |  FROM p p1 JOIN p p2 ON p1.ga = p2.ga AND p1.gb = p2.gb
+             |    AND p1.day < p2.day),
+             |ag AS (SELECT ga, gb, count(*) AS n0,
+             |    sum(CASE WHEN sa * sb = 1 THEN 1 ELSE 0 END) AS c,
+             |    sum(CASE WHEN sa * sb = -1 THEN 1 ELSE 0 END) AS disc,
+             |    sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS tie_a,
+             |    sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS tie_b
+             |  FROM dp GROUP BY 1, 2)
+             |SELECT ga, gb, CAST(n0 AS BIGINT) AS n0,
+             |  CAST(c AS BIGINT) AS concordant,
+             |  CAST(disc AS BIGINT) AS discordant,
+             |  CAST(CASE WHEN n0 = tie_a OR n0 = tie_b THEN -2000000
+             |    ELSE CAST(round(1e6 * (c - disc) /
+             |      sqrt(CAST((n0 - tie_a) * (n0 - tie_b) AS DOUBLE)))
+             |      AS BIGINT) END AS BIGINT) AS tau_b_micro
+             |FROM ag ORDER BY ga, gb""".stripMargin),
+      "Kendall tau-b between every pair of event types' daily series — " +
+        "the cross-metric dependence monitor (Mann-Kendall is tau of one " +
+        "series vs time; this is metric vs metric): exact concordant/" +
+        "discordant/tie counts over the calendar-bounded day-pair join, " +
+        "one f64 divide+sqrt at the end (q135 convention), -2e6 on a " +
+        "constant series"),
+
+    // --------------- Kaplan-Meier with Greenwood bands
+    "q274_km_greenwood" -> Q(
+      (s, dir) =>
+        EventAnalytics.kaplanMeierCi(
+            Tables.events(s, dir), "user_id", "ts", "event_type",
+            entryType = "view", eventType = "purchase",
+            bucketMicros = 3600000000L)
+          .orderBy(col("t")),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+             |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+             |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt, sum(observed) AS nd FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc
+             |  FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    CASE WHEN nd = 0 THEN 0
+             |         WHEN total - COALESCE(prevc, 0) = nd THEN -46000000
+             |         ELSE CAST(round(ln(CAST(total - COALESCE(prevc, 0) - nd AS DOUBLE)
+             |           / (total - COALESCE(prevc, 0))) * 1e6) AS BIGINT) END AS step,
+             |    CASE WHEN nd = 0 OR total - COALESCE(prevc, 0) = nd THEN 0
+             |      ELSE CAST((1000000000000::HUGEINT * nd)
+             |        // (CAST(total - COALESCE(prevc, 0) AS HUGEINT)
+             |           * (total - COALESCE(prevc, 0) - nd)) AS BIGINT)
+             |      END AS gstep
+             |  FROM w),
+             |c AS (SELECT *, sum(step) OVER (ORDER BY t) AS lnsurv,
+             |    sum(gstep) OVER (ORDER BY t) AS gcum,
+             |    max(CASE WHEN n_risk = nd AND nd > 0 THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY t) AS floored
+             |  FROM st),
+             |m AS (SELECT *,
+             |    CAST(round(1.96 * sqrt(CAST(gcum AS DOUBLE))) AS BIGINT)
+             |      AS margin FROM c)
+             |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(nd AS BIGINT) AS n_events,
+             |  CAST(round(exp(CAST(lnsurv AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+             |    AS surv_ppm,
+             |  CAST(CASE WHEN floored = 1 THEN -1 ELSE gcum END AS BIGINT)
+             |    AS var_ln_pico,
+             |  CAST(CASE WHEN floored = 1 THEN 0
+             |    ELSE CAST(round(exp(CAST(lnsurv - margin AS DOUBLE) / 1e6)
+             |      * 1e6) AS BIGINT) END AS BIGINT) AS lo_ppm,
+             |  CAST(CASE WHEN floored = 1 THEN 0
+             |    ELSE least(1000000, CAST(round(exp(CAST(lnsurv + margin
+             |      AS DOUBLE) / 1e6) * 1e6) AS BIGINT)) END AS BIGINT)
+             |    AS hi_ppm
+             |FROM m WHERE nd > 0 ORDER BY t""".stripMargin),
+      "Kaplan-Meier with Greenwood log-scale 95% bands — the reporting " +
+        "form of q201: Var(ln S) as an exact pico-resolution integer " +
+        "cumulative sum (10^12*d DIV n(n-d)), band = exp(lnS +- " +
+        "1.96*sqrt(var)) with every libm step rounded to an integer " +
+        "column before composing (both engines evaluate the identical " +
+        "chain); full-conversion rows read the -1/0 band sentinels")
   )
 }

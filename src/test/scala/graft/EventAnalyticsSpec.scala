@@ -541,6 +541,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(g2("g") === alt("g") && g2("h") === asc("g"))
   }
 
+  test("kendallTauPairs: perfect concordance reads +1e6, perfect " +
+      "anti-concordance -1e6, a constant series reads the sentinel, " +
+      "hand tie-corrected case, determinism") {
+    def daily(rows: Seq[(String, Int, Long)]) =
+      rows.map { case (g, i, v) => (g, f"d$i%02d", v) }
+        .toDF("grp", "day", "dm")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.kendallTauPairsFromDaily(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a ascends, b ascends (concordant), c descends (anti), k constant
+    val rows = (1 to 6).flatMap(i => Seq(
+      ("a", i, i.toLong), ("b", i, 10L + i), ("c", i, 100L - i),
+      ("k", i, 7L)))
+    val got = run(daily(rows))
+    assert(got(("a", "b")) === ((15L, 15L, 0L, 1000000L)))
+    assert(got(("a", "c")) === ((15L, 0L, 15L, -1000000L)))
+    assert(got(("a", "k")) === ((15L, 0L, 0L, -2000000L)))
+    // tie-corrected hand case: a = (1,1,2,3), b = (1,2,2,3):
+    // pairs (6): C = 4, D = 0, tie_a = 1 (days 1-2), tie_b = 1 (days 2-3)
+    // tau_b = 4 / sqrt(5*5) = 0.8
+    val tied = run(daily(Seq(("x", 1, 1L), ("x", 2, 1L), ("x", 3, 2L),
+      ("x", 4, 3L), ("y", 1, 1L), ("y", 2, 2L), ("y", 3, 2L), ("y", 4, 3L))))
+    assert(tied(("x", "y")) === ((6L, 4L, 0L, 800000L)))
+    val again = run(daily(rows).repartition(7))
+    assert(again === got)
+  }
+
   test("turningPoints: wiggles pass, monotone and alternating series " +
       "reject, tie-adjacent points are not extrema, short series reads " +
       "the sentinel") {

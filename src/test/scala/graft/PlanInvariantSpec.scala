@@ -26,6 +26,9 @@ class PlanInvariantSpec extends SparkSpec {
       "bounded + the MaxDurationBuckets loud guard)"),
     "q267_rmst" -> ("the q201 KM event-duration frame plus one lead pass " +
       "(time-resolution bounded + the MaxDurationBuckets loud guard)"),
+    "q274_km_greenwood" -> ("the q201 KM event-duration frame plus the " +
+      "Greenwood cumulative term (time-resolution bounded + the " +
+      "MaxDurationBuckets loud guard)"),
     "q204_funnel_dropoff" -> "n_steps histogram, <= |funnel steps|+1 rows",
     "q85_token_budget" -> "score-bucket prefix frame (resolution bounded)",
     "q87_weighted_sample" -> "rank over the already-limited top-k frame",

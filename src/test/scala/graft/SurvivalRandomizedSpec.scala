@@ -182,6 +182,45 @@ class SurvivalRandomizedSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeierCi matches a first-principles Greenwood replica on " +
+      "15 random draws; full-conversion rows read the band sentinels") {
+    val rnd = new Random(337)
+    (1 to 15).foreach { trial =>
+      val rows = draw(rnd)
+      val bucketH = 1L + rnd.nextInt(2)
+      val got = EventAnalytics.kaplanMeierCi(toDf(rows), "user_id", "ts",
+          "event_type", "view", "purchase", bucketH * HourUs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      var (lnCum, gCum, floored) = (0L, 0L, false)
+      val want = riskTable(rows, bucketH).map { case (t, n, d, _) =>
+        val step =
+          if (d == 0L) 0L
+          else if (n == d) -46000000L
+          else half(math.log((n - d).toDouble / n) * 1e6)
+        lnCum += step
+        if (d > 0L && n > d)
+          gCum += (BigInt(1000000000000L) * d / (BigInt(n) * (n - d))).toLong
+        if (d > 0L && n == d) floored = true
+        val surv = half(math.exp(lnCum.toDouble / 1e6) * 1e6)
+        val margin = half(1.96 * math.sqrt(gCum.toDouble))
+        val (v, lo, hi) =
+          if (floored) (-1L, 0L, 0L)
+          else (gCum,
+            half(math.exp((lnCum - margin).toDouble / 1e6) * 1e6),
+            math.min(1000000L,
+              half(math.exp((lnCum + margin).toDouble / 1e6) * 1e6)))
+        t -> ((n, d, surv, v, lo, hi))
+      }.filter(_._2._2 > 0L).toMap
+      assert(got === want, s"trial $trial")
+      // the band brackets the estimate wherever it is defined
+      got.values.filter(_._4 >= 0L).foreach { case (_, _, s, _, lo, hi) =>
+        assert(lo <= s && s <= hi)
+      }
+    }
+  }
+
   test("logRankTest matches a first-principles driver replica on 15 " +
       "random two-arm draws") {
     val rnd = new Random(313)
