@@ -639,6 +639,114 @@ object EventAnalytics {
           .as("hi_ppm"))
   }
 
+  /** KM SURVIVAL QUANTILES — the "how long until a quarter / half /
+    * three-quarters have converted" summary read straight off the
+    * [[kaplanMeier]] table: t_qP = the first bucket where S drops to
+    * ≤ 1 − P/100 (the standard survival-quantile convention — exact
+    * integer comparisons on the already-pinned surv_ppm), −1 when the
+    * curve never reaches the level inside the observation window (the
+    * honest answer censoring-naive percentiles get wrong). One row.
+    *
+    * Scale shape: the KM plan plus one aggregate over the
+    * time-resolution-bounded duration frame.
+    */
+  def kmQuantiles(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, eventType: String, bucketMicros: Long): DataFrame =
+    kaplanMeier(events, userCol, tsCol, typeCol, entryType, eventType,
+      bucketMicros)
+      .agg(
+        coalesce(min(when(col("surv_ppm") <= 750000L, col("t"))), lit(-1L))
+          .as("t_q25"),
+        coalesce(min(when(col("surv_ppm") <= 500000L, col("t"))), lit(-1L))
+          .as("t_median"),
+        coalesce(min(when(col("surv_ppm") <= 250000L, col("t"))), lit(-1L))
+          .as("t_q75"),
+        count(lit(1)).as("n_event_times"))
+
+  /** COMPETING-RISKS CUMULATIVE INCIDENCE (Aalen–Johansen, discrete
+    * buckets) — when a user's first qualifying event can be one of
+    * SEVERAL mutually-exclusive outcomes (purchase vs churn-error vs …),
+    * per-outcome "1 − KM" curves are WRONG (they treat the other
+    * outcomes as censoring and overstate every incidence); the CIF
+    * splits each bucket's hazard by outcome against the overall
+    * survival:
+    *
+    *   CIF_k(t) = Σ_{t'≤t} S(t'−)·d_k(t')/n_risk(t')
+    *
+    * Exactness: the overall S rides [[kaplanMeier]]'s ln-chain (the same
+    * float discipline — each libm step rounds to an integer column
+    * before composing); each CIF step is then the EXACT integer
+    * `(surv_prev_ppm·d_k) DIV n_risk` and the curve an integer cumsum —
+    * CIFs never exceed 10⁶ and Σ_k CIF_k + S ≈ 10⁶ up to the documented
+    * per-step truncation. A user's outcome is the type of their FIRST
+    * qualifying event (same-microsecond ties break by type name — the
+    * struct-min convention). One row per bucket with any event:
+    * `(t, n_risk, d_total, d_<k>…, cif_<k>_ppm…)`.
+    *
+    * Scale shape: the KM plan (two per-user min-aggregations, broadcast
+    * censor row, [[MaxDurationBuckets]]-guarded time-resolution-bounded
+    * duration frame); outcome count is a require-bounded literal pivot.
+    */
+  def competingRisks(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entryType: String, outcomeTypes: Seq[String],
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "competingRisks: bucketMicros >= 1")
+    require(outcomeTypes.nonEmpty && outcomeTypes.size <= 8,
+      "competingRisks: 1..8 outcome types")
+    require(outcomeTypes.distinct.size == outcomeTypes.size,
+      "competingRisks: outcome types must be distinct")
+    val base = events.select(col(userCol).cast("bigint").as("u"),
+      unix_micros(col(tsCol)).as("tsu"), col(typeCol).as("et"))
+    val entry = base.filter(col("et") === entryType)
+      .groupBy(col("u")).agg(min(col("tsu")).as("t0"))
+    val evt = base.filter(col("et").isin(outcomeTypes: _*))
+      .join(entry, Seq("u"))
+      .filter(col("tsu") >= col("t0"))
+      .groupBy(col("u"))
+      .agg(min(struct(col("tsu"), col("et"))).as("fe"))
+      .select(col("u"), col("fe.tsu").as("t1"), col("fe.et").as("outcome"))
+    val censor = base.agg(max(col("tsu")).as("tmax"), min(col("tsu")).as("tmin"))
+    val durations = entry.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(censor))
+      .select(col("u"),
+        guardedBucket("competingRisks", bucketMicros).as("t"),
+        col("outcome"))
+    val aggs = Seq(count(lit(1)).as("cnt"),
+      sum(col("outcome").isNotNull.cast("bigint")).as("d_total")) ++
+      outcomeTypes.map(k =>
+        sum(when(col("outcome") === k, 1L).otherwise(0L)).as(s"d_$k"))
+    val perT2 = durations.groupBy(col("t")).agg(aggs.head, aggs.tail: _*)
+    val wAsc = Window.orderBy(col("t"))
+    val wPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = perT2
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("step_micro",
+        when(col("d_total") === 0, lit(0L))
+          .when(col("n_risk") === col("d_total"), lit(-46000000L))
+          .otherwise(round(log((col("n_risk") - col("d_total")).cast("double")
+            / col("n_risk")) * lit(1e6)).cast("bigint")))
+      .withColumn("ln_surv_micro", sum(col("step_micro")).over(wCum))
+      .withColumn("surv_prev_ppm",
+        round(exp(coalesce(lag(col("ln_surv_micro"), 1).over(wAsc), lit(0L))
+          .cast("double") / lit(1e6)) * lit(1e6)).cast("bigint"))
+    val withCif = outcomeTypes.foldLeft(stepped) { (df, k) =>
+      df.withColumn(s"cif_${k}_ppm",
+        sum(expr(s"(surv_prev_ppm * d_$k) DIV n_risk")).over(wCum))
+    }
+    withCif
+      .filter(col("d_total") > 0)
+      .select((Seq(col("t"), col("n_risk"), col("d_total")) ++
+        outcomeTypes.map(k => col(s"d_$k")) ++
+        outcomeTypes.map(k => col(s"cif_${k}_ppm"))): _*)
+  }
+
   /** RFM SEGMENTATION — the classic user-value triage (recency,
     * frequency, monetary) as exact-rational quintiles: the sampling /
     * weighting prior a behavior-data pipeline applies before user events

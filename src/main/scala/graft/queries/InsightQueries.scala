@@ -1963,6 +1963,108 @@ object InsightQueries {
         "cumulative sum (10^12*d DIV n(n-d)), band = exp(lnS +- " +
         "1.96*sqrt(var)) with every libm step rounded to an integer " +
         "column before composing (both engines evaluate the identical " +
-        "chain); full-conversion rows read the -1/0 band sentinels")
+        "chain); full-conversion rows read the -1/0 band sentinels"),
+
+    // --------------- competing-risks cumulative incidence
+    "q275_competing_risks" -> Q(
+      (s, dir) =>
+        EventAnalytics.competingRisks(
+            Tables.events(s, dir), "user_id", "ts", "event_type",
+            entryType = "view", outcomeTypes = Seq("purchase", "error"),
+            bucketMicros = 3600000000L)
+          .orderBy(col("t")),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et IN ('purchase', 'error') AND tsu >= t0 GROUP BY 1),
+             |oc AS (SELECT b.u, min(b.et) AS outcome
+             |  FROM b JOIN en ON en.u = b.u JOIN ev ON ev.u = b.u
+             |  WHERE b.et IN ('purchase', 'error') AND b.tsu = ev.t1
+             |    AND b.tsu >= en.t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u,
+             |    (COALESCE(ev.t1, cz.tmax) - t0) // 3600000000 AS t,
+             |    oc.outcome
+             |  FROM en LEFT JOIN ev ON ev.u = en.u
+             |    LEFT JOIN oc ON oc.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt,
+             |    sum(CASE WHEN outcome IS NOT NULL THEN 1 ELSE 0 END) AS dt,
+             |    sum(CASE WHEN outcome = 'purchase' THEN 1 ELSE 0 END) AS dp,
+             |    sum(CASE WHEN outcome = 'error' THEN 1 ELSE 0 END) AS de
+             |  FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING) AS prevc FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    CASE WHEN dt = 0 THEN 0
+             |         WHEN total - COALESCE(prevc, 0) = dt THEN -46000000
+             |         ELSE CAST(round(ln(CAST(total - COALESCE(prevc, 0) - dt
+             |           AS DOUBLE) / (total - COALESCE(prevc, 0))) * 1e6)
+             |           AS BIGINT) END AS step
+             |  FROM w),
+             |c AS (SELECT *, sum(step) OVER (ORDER BY t) AS lnsurv FROM st),
+             |sp AS (SELECT *, CAST(round(exp(CAST(COALESCE(
+             |      lag(lnsurv) OVER (ORDER BY t), 0) AS DOUBLE) / 1e6) * 1e6)
+             |      AS BIGINT) AS surv_prev FROM c),
+             |ci AS (SELECT *,
+             |    sum((surv_prev * dp) // n_risk) OVER (ORDER BY t) AS cif_p,
+             |    sum((surv_prev * de) // n_risk) OVER (ORDER BY t) AS cif_e
+             |  FROM sp)
+             |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(dt AS BIGINT) AS d_total,
+             |  CAST(dp AS BIGINT) AS d_purchase, CAST(de AS BIGINT) AS d_error,
+             |  CAST(cif_p AS BIGINT) AS cif_purchase_ppm,
+             |  CAST(cif_e AS BIGINT) AS cif_error_ppm
+             |FROM ci WHERE dt > 0 ORDER BY t""".stripMargin),
+      "competing-risks cumulative incidence (Aalen-Johansen) of purchase " +
+        "vs error from first view — per-outcome 1-KM curves overstate " +
+        "incidence when outcomes compete; the CIF splits each bucket's " +
+        "hazard by outcome against the overall survival: exact integer " +
+        "steps (surv_prev*d_k) DIV n_risk over the KM ln-chain, " +
+        "first-event outcome with struct-min tie-break"),
+
+    // --------------- KM survival quantiles
+    "q276_km_quantiles" -> Q(
+      (s, dir) =>
+        EventAnalytics.kmQuantiles(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          entryType = "view", eventType = "purchase",
+          bucketMicros = 3600000000L),
+      Some("""WITH b AS (SELECT CAST(user_id AS BIGINT) AS u,
+             |    epoch_us(ts) AS tsu, event_type AS et FROM events),
+             |en AS (SELECT u, min(tsu) AS t0 FROM b WHERE et = 'view' GROUP BY 1),
+             |ev AS (SELECT b.u, min(tsu) AS t1 FROM b JOIN en ON en.u = b.u
+             |       WHERE et = 'purchase' AND tsu >= t0 GROUP BY 1),
+             |cz AS (SELECT max(tsu) AS tmax FROM b),
+             |dd AS (SELECT en.u, (COALESCE(t1, tmax) - t0) // 3600000000 AS t,
+             |    CASE WHEN t1 IS NULL THEN 0 ELSE 1 END AS observed
+             |  FROM en LEFT JOIN ev ON ev.u = en.u CROSS JOIN cz),
+             |p AS (SELECT t, count(*) AS cnt, sum(observed) AS nd FROM dd GROUP BY 1),
+             |w AS (SELECT *, sum(cnt) OVER () AS total,
+             |    sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevc
+             |  FROM p),
+             |st AS (SELECT *, total - COALESCE(prevc, 0) AS n_risk,
+             |    CASE WHEN nd = 0 THEN 0
+             |         WHEN total - COALESCE(prevc, 0) = nd THEN -46000000
+             |         ELSE CAST(round(ln(CAST(total - COALESCE(prevc, 0) - nd AS DOUBLE)
+             |           / (total - COALESCE(prevc, 0))) * 1e6) AS BIGINT) END AS step
+             |  FROM w),
+             |c AS (SELECT *, sum(step) OVER (ORDER BY t) AS lnsurv FROM st),
+             |km AS (SELECT CAST(t AS BIGINT) AS t,
+             |    CAST(round(exp(CAST(lnsurv AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+             |      AS surv_ppm
+             |  FROM c WHERE nd > 0)
+             |SELECT
+             |  COALESCE(min(CASE WHEN surv_ppm <= 750000 THEN t END), -1) AS t_q25,
+             |  COALESCE(min(CASE WHEN surv_ppm <= 500000 THEN t END), -1) AS t_median,
+             |  COALESCE(min(CASE WHEN surv_ppm <= 250000 THEN t END), -1) AS t_q75,
+             |  CAST(count(*) AS BIGINT) AS n_event_times
+             |FROM km""".stripMargin),
+      "KM survival quantiles — first bucket where S drops to 75/50/25% " +
+        "(how long until a quarter/half/three-quarters convert), -1 when " +
+        "the curve never reaches the level inside the window (the honest " +
+        "answer censoring-naive percentiles get wrong); exact integer " +
+        "comparisons on q201's pinned surv_ppm")
   )
 }

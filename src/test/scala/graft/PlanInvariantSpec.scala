@@ -29,6 +29,12 @@ class PlanInvariantSpec extends SparkSpec {
     "q274_km_greenwood" -> ("the q201 KM event-duration frame plus the " +
       "Greenwood cumulative term (time-resolution bounded + the " +
       "MaxDurationBuckets loud guard)"),
+    "q275_competing_risks" -> ("the q201 KM event-duration frame with " +
+      "per-outcome CIF cumsums (time-resolution bounded + the " +
+      "MaxDurationBuckets loud guard)"),
+    "q276_km_quantiles" -> ("the q201 KM event-duration frame reduced to " +
+      "one quantile row (time-resolution bounded + the " +
+      "MaxDurationBuckets loud guard)"),
     "q204_funnel_dropoff" -> "n_steps histogram, <= |funnel steps|+1 rows",
     "q85_token_budget" -> "score-bucket prefix frame (resolution bounded)",
     "q87_weighted_sample" -> "rank over the already-limited top-k frame",

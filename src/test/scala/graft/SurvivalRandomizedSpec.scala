@@ -221,6 +221,97 @@ class SurvivalRandomizedSpec extends SparkSpec {
     }
   }
 
+  test("competingRisks matches a first-principles CIF replica on 15 " +
+      "random two-outcome draws, with the incidence-mass identity") {
+    val rnd = new Random(347)
+    (1 to 15).foreach { trial =>
+      // extend the base draw with a competing 'error' outcome stream
+      val rows = draw(rnd) ++ (1L to 8L).flatMap { u =>
+        (1 to rnd.nextInt(3)).map(_ =>
+          (u, "error", (rnd.nextInt(26) - 6).toLong, 0L))
+      }
+      val bucketH = 1L + rnd.nextInt(2)
+      val got = EventAnalytics.competingRisks(toDf(rows), "user_id", "ts",
+          "event_type", "view", Seq("purchase", "error"), bucketH * HourUs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      // replica: first qualifying event per user, tie-break by type name
+      val tmax = rows.map(_._3).max * HourUs
+      val t0 = rows.filter(_._2 == "view").groupBy(_._1)
+        .view.mapValues(_.map(_._3 * HourUs).min).toMap
+      val firstEvt = rows.filter(r => r._2 == "purchase" || r._2 == "error")
+        .groupBy(_._1).flatMap { case (u, es) =>
+          t0.get(u).flatMap { e0 =>
+            val after = es.map(e => (e._3 * HourUs, e._2)).filter(_._1 >= e0)
+            if (after.isEmpty) None else Some(u -> after.min)
+          }
+        }
+      val durs = t0.toSeq.map { case (u, e0) =>
+        val (end, out) = firstEvt.get(u)
+          .map { case (t1, et) => (t1, Some(et)) }.getOrElse((tmax, None))
+        ((end - e0) / (bucketH * HourUs), out)
+      }
+      val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+      var atRisk = durs.size.toLong
+      var lnCum = 0L
+      var (cifP, cifE) = (0L, 0L)
+      val want = byT.map { case (t, ds) =>
+        val n = atRisk
+        val dp = ds.count(_._2.contains("purchase")).toLong
+        val de = ds.count(_._2.contains("error")).toLong
+        val dt = dp + de
+        val survPrev = half(math.exp(lnCum.toDouble / 1e6) * 1e6)
+        val step =
+          if (dt == 0L) 0L
+          else if (n == dt) -46000000L
+          else half(math.log((n - dt).toDouble / n) * 1e6)
+        lnCum += step
+        cifP += survPrev * dp / n
+        cifE += survPrev * de / n
+        atRisk -= ds.size
+        t -> ((n, dt, dp, de, cifP, cifE))
+      }.filter(_._2._2 > 0L).toMap
+      assert(got === want, s"trial $trial")
+      // incidence-mass identity: CIFs + S account for all mass up to the
+      // documented per-step truncation (< 1 ppm per event row) + exp ulps
+      if (want.nonEmpty) {
+        val lastT = want.keys.max
+        val (_, _, _, _, cp, ce) = want(lastT)
+        val sLast = half(math.exp(lnCum.toDouble / 1e6) * 1e6)
+        assert(math.abs(cp + ce + sLast - 1000000L) <=
+          byT.size.toLong * 2 + 2, s"trial $trial mass")
+      }
+    }
+  }
+
+  test("kmQuantiles reads the first bucket at each survival level; " +
+      "never-reached levels read -1") {
+    val rnd = new Random(353)
+    (1 to 10).foreach { trial =>
+      val rows = draw(rnd)
+      val bucketH = 1L + rnd.nextInt(2)
+      val got = EventAnalytics.kmQuantiles(toDf(rows), "user_id", "ts",
+        "event_type", "view", "purchase", bucketH * HourUs).collect().head
+      // KM replica -> quantiles
+      var lnCum = 0L
+      val km = riskTable(rows, bucketH).flatMap { case (t, n, d, _) =>
+        val step =
+          if (d == 0L) 0L
+          else if (n == d) -46000000L
+          else half(math.log((n - d).toDouble / n) * 1e6)
+        lnCum += step
+        if (d > 0L) Some((t, half(math.exp(lnCum.toDouble / 1e6) * 1e6)))
+        else None
+      }
+      def firstAt(level: Long) =
+        km.collectFirst { case (t, s) if s <= level => t }.getOrElse(-1L)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+        === ((firstAt(750000L), firstAt(500000L), firstAt(250000L),
+          km.size.toLong)), s"trial $trial")
+    }
+  }
+
   test("logRankTest matches a first-principles driver replica on 15 " +
       "random two-arm draws") {
     val rnd = new Random(313)
