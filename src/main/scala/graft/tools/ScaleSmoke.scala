@@ -75,7 +75,16 @@ object ScaleSmoke {
       // identical count distributions, so every N_r scales exactly 10x
       // and every ratio is BIT-IDENTICAL ((1e6*10rN_r) DIV (10N) =
       // (1e6*rN_r) DIV N, same for r*); rows stay maxR+1
-      "q232_good_turing")
+      "q232_good_turing",
+      // round-13 URL family on the scaled documents: q262 canonicalizes
+      // every doc (map-only — rows exactly 10x); q263's messy-URL
+      // construction is doc_id-keyed and replica id blocks are 10M apart,
+      // so each replica's (id%7, id DIV 35) collision structure is the
+      // original's — canonical URLs scale ~10x with per-replica-identical
+      // group shapes; q264's domains are source-keyed (rows stay
+      // |sources| = 20; token-suffixed replica text shifts the means —
+      // expected, the row count is the invariant)
+      "q262_url_canonicalize", "q263_url_dedup", "q264_domain_stats")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -169,7 +178,17 @@ object ScaleSmoke {
       // moment ratios, ACF values and so the Cramer determinants all
       // replicate exactly — strengths and PACF bit-identical, rows stay
       // |types| and |types|*lags
-      "q241_seasonal_strength", "q242_pacf")
+      "q241_seasonal_strength", "q242_pacf",
+      // round-13 FromDaily closers ride the same bit-identical daily
+      // means (10s DIV 10c = s DIV c): q269 runs / q271 turning points /
+      // q273 tau-b pairs replicate every verdict exactly, rows stay
+      // |types| (and |type pairs|). q274/q275 scale the KM risk table's
+      // counts 10x: surv_ppm and CIF curves are bit-identical (the
+      // hazard ratios cancel the 10), while Greenwood variance shrinks
+      // ~10x — the statistically-correct behavior, surv_ppm is the
+      // bit-invariant
+      "q269_runs_test", "q271_turning_points", "q273_kendall_pairs",
+      "q274_km_greenwood", "q275_competing_risks")
   // q114's Gram matrix is 10x the original under identical-copy
   // replication, but power iteration normalizes by max|w| each round, so
   // the learned axis — and every per-row projection — is bit-identical;
