@@ -1220,7 +1220,7 @@ object EventAnalytics {
         when(col("dm") > col("med"), 1L).otherwise(-1L).as("sg"))
     val wDay = Window.partitionBy(col("grp")).orderBy(col("day"))
     val d = (c: String) => col(c).cast("decimal(38,0)")
-    signs
+    val counted = signs
       .withColumn("chg",
         (lag(col("sg"), 1).over(wDay).isNull ||
           lag(col("sg"), 1).over(wDay) =!= col("sg")).cast("bigint"))
@@ -1228,6 +1228,14 @@ object EventAnalytics {
       .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_neg"),
         sum(col("chg")).as("n_runs"))
+    // Re-anchor on `med` (exactly one row per group): a group whose days
+    // ALL equal its median contributes zero sign rows and would otherwise
+    // vanish — it must emit (0, 0, 0, -1) like the other degenerate
+    // (one-sign-absent) cases. With the filled zeros, m2 = 0 → vterm = 0
+    // → the existing <= 0 branch produces the -1 sentinel.
+    med.select(col("grp"))
+      .join(counted, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_pos", "n_neg", "n_runs"))
       .withColumn("nn", col("n_pos") + col("n_neg"))
       .withColumn("m2", lit(2) * d("n_pos") * d("n_neg"))
       .withColumn("dn", d("nn") * (d("n_runs") - lit(1)) - col("m2"))

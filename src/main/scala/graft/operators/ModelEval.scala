@@ -286,10 +286,18 @@ object ModelEval {
       .withColumn("cum_b", sum(col("cb")).over(wCum))
       .withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
-      // double pre-check: the squared gap is bounded by (n_a*n_b)^2 and
-      // must fit decimal(38,0) — raise the NAMED error, never NULL
+      // double pre-check covering the FULL reduction, raising the NAMED
+      // error (never NULL, never the generic ANSI overflow): the squared
+      // gap is bounded by (n_a*n_b)^2 (needs n_a*n_b < 1e18), and the
+      // final numerator 1e6*sum(t*s_blk) is bounded by 1e6*N*n_a*n_b
+      // (needs (n_a+n_b)*n_a*n_b < 5e31 so 1e6x stays under ~5e37) —
+      // the second bound catches extremely imbalanced arms (e.g.
+      // n_a~9e17, n_b=1) that pass the product-only check
       .withColumn("n_a",
-        when(col("n_a").cast("double") * col("n_b").cast("double") < 1e18,
+        when(col("n_a").cast("double") * col("n_b").cast("double") < 1e18
+            && (col("n_a").cast("double") + col("n_b").cast("double"))
+              * col("n_a").cast("double") * col("n_b").cast("double")
+              < 5e31,
           col("n_a"))
           .otherwise(raise_error(concat(
             lit("cvmTest: squared CDF gap would overflow decimal(38,0) "),
@@ -306,20 +314,21 @@ object ModelEval {
     stepped.groupBy(kc: _*)
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         sum((d("ca") + d("cb")) * col("s_blk")).as("ts"))
-      .select(kc ++ Seq(col("n_a"), col("n_b"),
+      // compute the statistic ONCE and derive the verdict from the
+      // column (the kruskalWallis/friedman pattern) — one division,
+      // one expression to keep in sync
+      .withColumn("t_cvm_micro",
         when(col("n_a") === 0L || col("n_b") === 0L, lit(-1L))
           .otherwise(expr(
             """CAST((CAST(1000000 AS DECIMAL(38,0)) * ts)
               | DIV ((CAST(n_a AS DECIMAL(38,0)) + n_b)
               |   * (CAST(n_a AS DECIMAL(38,0)) + n_b)) AS BIGINT)"""
-              .stripMargin)).as("t_cvm_micro"),
+              .stripMargin)))
+      .withColumn("drift_95",
         when(col("n_a") === 0L || col("n_b") === 0L, lit(-1L))
-          .otherwise((expr(
-            """CAST((CAST(1000000 AS DECIMAL(38,0)) * ts)
-              | DIV ((CAST(n_a AS DECIMAL(38,0)) + n_b)
-              |   * (CAST(n_a AS DECIMAL(38,0)) + n_b)) AS BIGINT)"""
-              .stripMargin) >= lit(461360L)).cast("bigint"))
-          .as("drift_95")): _*)
+          .otherwise((col("t_cvm_micro") >= lit(461360L)).cast("bigint")))
+      .select(kc ++ Seq(col("n_a"), col("n_b"), col("t_cvm_micro"),
+        col("drift_95")): _*)
   }
 
   /** MANN–WHITNEY U (Wilcoxon rank-sum) location test per key group —

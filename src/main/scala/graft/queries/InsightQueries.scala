@@ -1805,10 +1805,13 @@ object InsightQueries {
              |        IS NULL
              |      OR lag(sg) OVER (PARTITION BY grp ORDER BY day) <> sg
              |      THEN 1 ELSE 0 END AS chg FROM sg),
-             |ag AS (SELECT grp,
-             |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS n_pos,
-             |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS n_neg,
-             |    sum(chg) AS n_runs FROM ch GROUP BY 1),
+             |ag AS (SELECT md.grp,
+             |    coalesce(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END), 0)
+             |      AS n_pos,
+             |    coalesce(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END), 0)
+             |      AS n_neg,
+             |    coalesce(sum(chg), 0) AS n_runs
+             |  FROM md LEFT JOIN ch ON ch.grp = md.grp GROUP BY 1),
              |fin AS (SELECT grp, n_pos, n_neg, n_runs,
              |    CAST(n_pos AS HUGEINT) + n_neg AS nn,
              |    2 * CAST(n_pos AS HUGEINT) * n_neg AS m2 FROM ag),

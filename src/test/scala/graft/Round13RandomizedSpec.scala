@@ -20,11 +20,16 @@ class Round13RandomizedSpec extends SparkSpec {
   }
 
   test("runsTestFromDaily matches a first-principles replica on 20 " +
-      "random tie-dense daily draws") {
+      "random tie-dense daily draws plus the all-tied degenerate draw") {
     val rnd = new Random(401)
-    (1 to 20).foreach { trial =>
+    // trial 0 pins the all-tied group: every day equals the median, so
+    // zero sign rows survive — the group must still emit (0, 0, 0, -1)
+    // rather than vanish (round-13 ADVICE).
+    (0 to 20).foreach { trial =>
       val n = 5 + rnd.nextInt(40)
-      val vals = (0 until n).map(_ => rnd.nextInt(7).toLong)
+      val vals =
+        if (trial == 0) Seq.fill(n)(3L)
+        else (0 until n).map(_ => rnd.nextInt(7).toLong)
       val daily = vals.zipWithIndex
         .map { case (v, i) => ("g", f"d$i%02d", v) }
         .toDF("grp", "day", "dm")
