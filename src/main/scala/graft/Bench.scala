@@ -28,6 +28,46 @@ object Bench {
     // optional per-query full GC: steadies round-over-round comparisons at
     // the cost of wall time; off by default
     val gcPerQuery = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    // Per-entry hygiene + telemetry for the NON-registry entries (replays +
+    // composed pipelines), which run AFTER the ~280-query registry loop:
+    // round-13's driver artifact read pipeline_monitor at 65.5 s vs 7-9 s
+    // isolated — suite-context (ContextCleaner backlog / driver-GC pressure
+    // accumulated over the loop), not a plan regression. Each entry now gets
+    // the registry loop's cache clear plus an UNTIMED full GC before its
+    // timer starts, and the GC count / GC millis / used-heap-MB observed
+    // INSIDE the timed body land in BENCH_SUMMARY.json ("gc" map), so a
+    // suite-context outlier is self-diagnosing from the artifact alone
+    // (high gc-ms share of a slow entry = context pressure, not the plan).
+    import scala.jdk.CollectionConverters._
+    val gcBeans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNow(): (Long, Long) = {
+      var n = 0L; var ms = 0L
+      gcBeans.asScala.foreach { b =>
+        n += math.max(0L, b.getCollectionCount)
+        ms += math.max(0L, b.getCollectionTime)
+      }
+      (n, ms)
+    }
+    val gcTel =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    def timedEntry(name: String)(body: => Unit): Double = {
+      graft.operators.Dedup.releaseAllCaches()
+      spark.catalog.clearCache()
+      System.gc() // untimed: drain ContextCleaner debt before the clock
+      val (gn0, gm0) = gcNow()
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (gn1, gm1) = gcNow()
+      val rt = java.lang.Runtime.getRuntime
+      gcTel(name) =
+        (gn1 - gn0, gm1 - gm0, (rt.totalMemory() - rt.freeMemory()) >> 20)
+      secs
+    }
     // untimed warmup: pay JVM/codegen/shuffle-machinery startup once, not
     // inside whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -56,9 +96,8 @@ object Bench {
     // streaming EWMA replay over events.parquet (BASELINE.md: <= 60 s at
     // sf0.1): full file-source micro-batch replay through the windowed
     // event-time EWMA into a memory sink
-    val streamSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val streamSecs = timedEntry("ewma_stream_replay") {
+      {
         import org.apache.spark.sql.functions._
         val batchSchema = graft.Tables.events(spark, sfDir).schema
         // Trigger.AvailableNow + a byte budget per micro-batch: batch count
@@ -85,17 +124,12 @@ object Bench {
         require(batchSchema != null)
         System.err.println(
           s"[bench] ewma_stream_replay rows=${spark.table("bench_ewma_replay").count()}")
-      } catch { case e: Throwable =>
-        errors += "ewma_stream_replay"
-        System.err.println(s"[bench] ewma_stream_replay failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // streaming LSH near-dup replay over documents.parquet: the stateful
     // per-bucket candidate stream (StreamingLshDedup) end-to-end
-    val slshSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val slshSecs = timedEntry("slsh_stream_replay") {
+      {
         val docs = spark.readStream.schema(
             spark.read.parquet(s"$sfDir/documents.parquet").schema)
           .option("maxBytesPerTrigger", (512L * 1024 * 1024).toString)
@@ -109,18 +143,13 @@ object Bench {
         try q.awaitTermination() finally q.stop()
         System.err.println(
           s"[bench] slsh_stream_replay rows=${spark.table("bench_slsh_replay").count()}")
-      } catch { case e: Throwable =>
-        errors += "slsh_stream_replay"
-        System.err.println(s"[bench] slsh_stream_replay failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // composed-pipeline entries: regressions in COMPOSITION (shared index
     // reuse, stage chaining) are invisible to per-operator timings
     import org.apache.spark.sql.functions.col
-    val sharedSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val sharedSecs = timedEntry("pipeline_dedup_shared") {
+      {
         // q31+q32+q39 the way a production pipeline runs them: ONE corpus
         // scan builds the shingle index, all three passes consume it
         val docs = graft.Tables.table(spark, sfDir, "documents")
@@ -135,28 +164,16 @@ object Bench {
             .filter(col("keep")).count()
           System.err.println(s"[bench] pipeline_dedup_shared jac=$nJac mh=$nMh keep=$nKeep")
         } finally index.unpersist(blocking = false)
-      } catch { case e: Throwable =>
-        errors += "pipeline_dedup_shared"
-        System.err.println(s"[bench] pipeline_dedup_shared failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val fullSecs = {
-      val t0 = System.nanoTime()
-      try {
-        // the end-to-end curation funnel (PipelineEndToEndSpec, benched;
-        // body shared with tools.ScaleSmoke via graft.Pipelines)
-        val n = graft.Pipelines.fullCuration(spark, sfDir)
-        System.err.println(s"[bench] pipeline_full sharded=$n")
-      } catch { case e: Throwable =>
-        errors += "pipeline_full"
-        System.err.println(s"[bench] pipeline_full failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+    val fullSecs = timedEntry("pipeline_full") {
+      // the end-to-end curation funnel (PipelineEndToEndSpec, benched;
+      // body shared with tools.ScaleSmoke via graft.Pipelines)
+      val n = graft.Pipelines.fullCuration(spark, sfDir)
+      System.err.println(s"[bench] pipeline_full sharded=$n")
     }
-    val eventsSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val eventsSecs = timedEntry("pipeline_events") {
+      {
         // the event-analytics family the way a feature pipeline runs it:
         // ONE normalized events scan persisted, five independent
         // aggregation families consume it (funnel, attribution, retention,
@@ -181,15 +198,10 @@ object Bench {
           System.err.println(
             s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
         } finally ev.unpersist(blocking = false)
-      } catch { case e: Throwable =>
-        errors += "pipeline_events"
-        System.err.println(s"[bench] pipeline_events failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val insightSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val insightSecs = timedEntry("pipeline_insight") {
+      {
         // the q122 + q107 composition the way a product-analytics pipeline
         // runs it: sessionize ONCE, persist the session-tagged frame, and
         // feed BOTH the within-session funnel and the within-session
@@ -216,15 +228,10 @@ object Bench {
             Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()
           System.err.println(s"[bench] pipeline_insight funnel=$nF attr=$nA")
         } finally tagged.unpersist(blocking = false)
-      } catch { case e: Throwable =>
-        errors += "pipeline_insight"
-        System.err.println(s"[bench] pipeline_insight failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val routingSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val routingSecs = timedEntry("pipeline_routing") {
+      {
         // the model-cascade composition the way a router ships: train the
         // NB language model ONCE on the corpus, serve it back with
         // confidence margins, and feed BOTH the per-class report and the
@@ -251,31 +258,19 @@ object Bench {
           // block, so free it here or it pins memory for the whole run
           graft.operators.Dedup.releaseAllCaches()
         }
-      } catch { case e: Throwable =>
-        errors += "pipeline_routing"
-        System.err.println(s"[bench] pipeline_routing failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val monitorSecs = {
-      val t0 = System.nanoTime()
-      try {
-        // the metric-monitoring suite the way a dashboard job ships: the
-        // per-(type, day) daily stats are computed ONCE (persisted) and
-        // feed NINE monitors from the one frame (body shared with
-        // tools.ScaleSmoke via graft.Pipelines)
-        val counts = graft.Pipelines.monitorSuite(spark, sfDir)
-        System.err.println("[bench] pipeline_monitor " +
-          counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
-      } catch { case e: Throwable =>
-        errors += "pipeline_monitor"
-        System.err.println(s"[bench] pipeline_monitor failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+    val monitorSecs = timedEntry("pipeline_monitor") {
+      // the metric-monitoring suite the way a dashboard job ships: the
+      // per-(type, day) daily stats are computed ONCE (persisted) and
+      // feed the eleven FromDaily monitors from the one frame (body
+      // shared with tools.ScaleSmoke via graft.Pipelines)
+      val counts = graft.Pipelines.monitorSuite(spark, sfDir)
+      System.err.println("[bench] pipeline_monitor " +
+        counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
-    val profileSecs = {
-      val t0 = System.nanoTime()
-      try {
+    val profileSecs = timedEntry("pipeline_profile") {
+      {
         // the value-profiling suite the way a dashboard ships: the
         // (group, value) histogram of lineitem prices is computed ONCE
         // (persisted) and feeds the Lorenz curve, the trimmed mean, and
@@ -293,11 +288,7 @@ object Bench {
           System.err.println(
             s"[bench] pipeline_profile lorenz=$nLz trimmed=$nTm hill=$nHl")
         } finally hist.unpersist(blocking = false)
-      } catch { case e: Throwable =>
-        errors += "pipeline_profile"
-        System.err.println(s"[bench] pipeline_profile failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
@@ -311,7 +302,10 @@ object Bench {
     // full-name per-query lines go to stderr for human reading; they may
     // scroll out of the driver's bounded tail capture, which is fine
     all.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      System.err.println(s"[bench] $k ${dec3(v)}s")
+      val gcSuffix = gcTel.get(k)
+        .map { case (n, ms, mb) => s" gc=$n/${ms}ms heap=${mb}MB" }
+        .getOrElse("")
+      System.err.println(s"[bench] $k ${dec3(v)}s$gcSuffix")
     }
     // THE parsed line: the driver keeps only the last ~2 KB of the log, so
     // the summary must be (a) the LAST line printed and (b) short enough to
@@ -327,8 +321,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.values.sum else 0.0
     val errJson = errors.toSeq.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // GC telemetry for the replay/pipeline entries only (9 keys, ~300
+    // bytes — the registry queries would blow the driver's bounded log
+    // tail): per entry [gcCount, gcMillis, usedHeapMBAfter] observed
+    // inside the timed body. A slow entry whose gcMillis dominates its
+    // wall time is suite-context pressure, not a plan regression.
+    val gcJson = gcTel.map { case (k, (n, ms, mb)) =>
+      "\"" + shortKey(k) + "\":[" + n + "," + ms + "," + mb + "]"
+    }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"gc":$gcJson,"sf":"$sfDir"}"""
     // The summary must survive three capture modes the driver has used:
     //  (a) a file — always complete, never depends on log capture;
     //  (b) the tail of the captured log, which is STDERR-dominated: r5/r6
