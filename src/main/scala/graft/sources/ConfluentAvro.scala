@@ -186,6 +186,15 @@ object ConfluentAvro {
   def toConfluentAvro(st: StructType, schemaId: Int, recordName: String): UserDefinedFunction =
     udf(new Encoder(avroSchemaJson(st, recordName), schemaId), BinaryType)
 
+  /** UDF: encode under an EXPLICIT writer-schema JSON (field names must
+    * exist in the input struct) framed with `schemaId` — the evolved-
+    * producer path: a v2 writer emits v2-ordered bytes under the
+    * registry id the v2 registration returned, while v1 consumers keep
+    * resolving through [[fromConfluentAvroRegistry]].
+    */
+  def toConfluentAvroJson(writerSchemaJson: String, schemaId: Int): UserDefinedFunction =
+    udf(new Encoder(writerSchemaJson, schemaId), BinaryType)
+
   /** Serializable permissive decoder: null row on any malformed payload
     * (frame or body), like from_json's PERMISSIVE mode — one poisoned
     * Kafka message must not kill a whole job at scale.
@@ -225,6 +234,31 @@ object ConfluentAvro {
       writerSchemasById: Map[Int, String]): UserDefinedFunction = {
     require(writerSchemasById.nonEmpty, "registry snapshot must contain at least one schema id")
     udf(new RegistryDecoder(avroSchemaJson(st, recordName), st, writerSchemasById), st)
+  }
+
+  /** Client-backed variant of [[fromConfluentAvroRegistry]]: resolve the
+    * id -> writer-schema snapshot through a [[SchemaRegistry.Client]] at
+    * PLAN time (driver-side; registry size is control-plane-bounded) and
+    * decode through the same RegistryDecoder. Executors never touch the
+    * registry — unlike the reference's per-message fetch + cache
+    * (consumer.rs:76), a 1000-executor job issues zero registry requests
+    * from the decode hot path. Restrict with `subjects` (empty = all).
+    */
+  def fromConfluentAvroRegistry(st: StructType, recordName: String,
+      client: SchemaRegistry.Client, subjects: Seq[String]): UserDefinedFunction =
+    fromConfluentAvroRegistry(st, recordName, client.snapshot(subjects))
+
+  /** The reference producer's encode path (producer.rs:43-56): register
+    * the frame schema under the TopicNameStrategy value subject, take the
+    * registry-assigned global id, and frame every payload with it.
+    * Registration happens ONCE, driver-side, at pipeline build.
+    * @return (assignedSchemaId, encode UDF framing with that id)
+    */
+  def registerAndEncoder(client: SchemaRegistry.Client, topic: String,
+      st: StructType, recordName: String): (Int, UserDefinedFunction) = {
+    val json = avroSchemaJson(st, recordName)
+    val id = client.register(SchemaRegistry.valueSubject(topic), json)
+    (id, toConfluentAvro(st, id, recordName))
   }
 
   /** Encode convenience: `encodeCol(struct(cols...), schema, id, name)`. */
