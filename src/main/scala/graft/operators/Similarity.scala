@@ -635,14 +635,142 @@ object Similarity {
     val e = quantized(corpus, vecCol, idCol)
     val (coarse, books) =
       trainIvfPqShared(e, nClusters, coarseIters, m, nCentroids, pqIters)
-    val sub = books(0)(0).length
-    val coded = e.select(col("vid").as("neighbor_id"), col("v").as("cv"),
-        nearestCid(col("vq"), col("vv"), coarse).as("bucket"),
-        array((0 until m).map { j =>
+    val model = IvfPqModel(coarse, books)
+    probeCoded(model, encodeQuantized(model, e), queries, vecCol, idCol,
+      k, nProbe, rerank)
+  }
+
+  /** A FROZEN IVF-PQ model — the control-plane half of a persisted ANN
+    * index: coarse centroids (nClusters ≤ 256 × dim) plus per-subspace PQ
+    * codebooks (m × nCentroids ≤ 256 × dim/m). A few hundred KB of driver
+    * state at most, broadcast into the encode/probe closures; the
+    * data-plane half is the coded corpus frame ([[ivfPqEncode]]) persisted
+    * as an ordinary table. Freezing the model is what makes the index
+    * INCREMENTAL: a daily delta is encoded under yesterday's codebooks and
+    * appended, so ingest cost tracks the delta, never the accumulated
+    * corpus ([[ivfPqEncode]] doc).
+    */
+  final case class IvfPqModel(
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]]) {
+    require(coarse.nonEmpty && coarse.length <= 256,
+      "need 1 <= nClusters <= 256")
+    require(books.nonEmpty && books.length <= 64 &&
+      books.forall(b => b.nonEmpty && b.length <= 256),
+      "need m in [1, 64], nCentroids in [1, 256]")
+    require(books.forall(_.forall(_.length == books(0)(0).length)),
+      "ragged codebooks")
+    def m: Int = books.length
+    def sub: Int = books(0)(0).length
+  }
+
+  /** Train an IVF-PQ model WITHOUT building the index — the seam the
+    * incremental-maintenance story needs (train once on the base corpus,
+    * freeze, encode deltas forever). Same bounded-sample integer-Lloyd
+    * training as [[ivfPqTopK]] (md5-smallest [[TrainSampleSize]] rows,
+    * fused coarse+PQ rounds), so training cost is CONSTANT in corpus
+    * size and the oracle replays it in SQL.
+    */
+  def ivfPqTrain(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int = 8, coarseIters: Int = 3,
+      m: Int = 4, nCentroids: Int = 16, pqIters: Int = 3): IvfPqModel = {
+    require(nClusters >= 1 && nClusters <= 256, "need 1 <= nClusters <= 256")
+    require(m >= 1 && m <= 64 && nCentroids >= 1 && nCentroids <= 256,
+      "need m in [1, 64], nCentroids in [1, 256]")
+    require(coarseIters >= 0 && pqIters >= 0, "need iters >= 0")
+    val (coarse, books) = trainIvfPqShared(
+      quantized(corpus, vecCol, idCol), nClusters, coarseIters, m,
+      nCentroids, pqIters)
+    IvfPqModel(coarse, books)
+  }
+
+  /** Encode a corpus — or a DELTA of one — under a FROZEN model:
+    * `(neighbor_id, cv, bucket, code, cn)`, the row layout
+    * [[ivfPqProbeIndex]] scans and the unit an index table stores.
+    *
+    * This is the daily-ingest shape for a 100 TB embedding store (the
+    * vector twin of the q193 incremental-MinHash pattern): the base
+    * corpus is encoded ONCE and persisted; each day only the delta is
+    * encoded (a stateless map-only scan over delta rows — no shuffle, no
+    * training, no base re-read) and appended to the index table. Because
+    * encoding is per-row given the frozen model, delta encoding is
+    * bit-identical to what a full re-encode of the union would produce
+    * for those rows (SimilaritySpec pins this), so probe results never
+    * depend on WHEN a row was ingested.
+    */
+  def ivfPqEncode(
+      model: IvfPqModel, corpus: DataFrame,
+      vecCol: String, idCol: String): DataFrame =
+    encodeQuantized(model, quantized(corpus, vecCol, idCol))
+
+  private def encodeQuantized(model: IvfPqModel, e: DataFrame): DataFrame = {
+    val sub = model.sub
+    e.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+        nearestCid(col("vq"), col("vv"), model.coarse).as("bucket"),
+        array((0 until model.m).map { j =>
           val sl = slice(col("vq"), j * sub + 1, sub)
-          nearestCid(sl, V.dot(sl, sl), books(j)).cast("long")
+          nearestCid(sl, V.dot(sl, sl), model.books(j)).cast("long")
         }: _*).as("code"))
       .withColumn("cn", V.norm(col("cv")))
+  }
+
+  /** Probe queries against a STORED coded index ([[ivfPqEncode]] rows,
+    * possibly a base ∪ deltas union read back from a table) with the
+    * model that encoded it: nProbe nearest coarse buckets per query, ADC
+    * scoring over the m codes, exact-cosine rerank of the top-`rerank`.
+    * Identical semantics to [[ivfPqTopK]]'s probe half — [[ivfPqTopK]]
+    * IS train + encode + this.
+    */
+  def ivfPqProbeIndex(
+      model: IvfPqModel, index: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(nProbe >= 1 && k >= 1 && rerank >= k,
+      "need nProbe >= 1, k >= 1, rerank >= k")
+    probeCoded(model, index, queries, vecCol, idCol, k, nProbe, rerank)
+  }
+
+  /** The model as two bounded tables — `(cid, c)` coarse centroids and
+    * `(j, cid, c)` codebooks — so an index survives as ordinary parquet
+    * alongside its coded rows. [[ivfPqModelFromTables]] reads them back;
+    * both sides are ≤ a few hundred rows (control-plane state).
+    */
+  def ivfPqModelTables(
+      spark: org.apache.spark.sql.SparkSession,
+      model: IvfPqModel): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = model.coarse.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cid", "c")
+    val books = (for {
+      (book, j) <- model.books.toIndexedSeq.zipWithIndex
+      (c, i) <- book.toIndexedSeq.zipWithIndex
+    } yield (j, i, c.toIndexedSeq)).toDF("j", "cid", "c")
+    (cents, books)
+  }
+
+  /** Rebuild a frozen model from its [[ivfPqModelTables]] tables. The
+    * collects are control-plane-bounded (≤ 256 + m·256 rows). */
+  def ivfPqModelFromTables(
+      centroids: DataFrame, codebooks: DataFrame): IvfPqModel = {
+    val coarse = centroids.select(col("cid"), col("c"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val books = codebooks.select(col("j"), col("cid"), col("c"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+    IvfPqModel(coarse, books)
+  }
+
+  private def probeCoded(
+      model: IvfPqModel, coded: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val coarse = model.coarse
+    val books = model.books
+    val m = model.m
+    val sub = model.sub
     val q = queries
       .select(col(idCol).as("query_id"), V.asDouble(col(vecCol)).as("qv"))
       .withColumn("qvq", micro(col("qv")))

@@ -69,6 +69,77 @@ object AdvancedQueries {
        |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
        |  FROM e CROSS JOIN c3 c) WHERE rn = 1)""".stripMargin
 
+  /** [[lloydWith]] with training restricted to the md5-gated BASE corpus
+    * (80% — the q193 incremental split): seeds (`ini`) and the Lloyd
+    * sample (`tr`) read only base rows, while `e`/`af` keep covering the
+    * FULL corpus, so downstream encode/probe CTEs replay base-trained
+    * frozen-codebook encoding of base ∪ delta verbatim.
+    */
+  private val lloydWithBase: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |bs AS (SELECT vec_id, vq FROM e
+       |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'),
+       |tr AS (SELECT vec_id, vq FROM bs
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+       |ini AS (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM bs),
+       |c0 AS (SELECT rk - 1 AS cid, vq AS c FROM ini WHERE rk <= 8),
+       |${lloydIter(1)},
+       |${lloydIter(2)},
+       |${lloydIter(3)},
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM e CROSS JOIN c3 c) WHERE rn = 1)""".stripMargin
+
+  /** The IVF-PQ encode + probe replay shared by q143 (self-trained) and
+    * q277 (base-trained incremental): PQ codebook rounds over `tr`/`ini`,
+    * full-corpus encode, nProbe=3 coarse selection, ADC top-20, exact
+    * cosine rerank to top-10. Which corpus TRAINED the model is entirely
+    * a property of the WITH prefix (`lloydWith` vs `lloydWithBase`).
+    */
+  private val ivfPqBodySql: String =
+    s"""psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+       |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+       |ptr AS (SELECT s.vec_id, s.j, s.sq FROM psub s JOIN tr ON tr.vec_id = s.vec_id),
+       |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
+       |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
+       |${pqIter(1)},
+       |${pqIter(2)},
+       |${pqIter(3)},
+       |enc AS (SELECT vec_id, j, cid FROM (
+       |  SELECT s.vec_id, s.j, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM psub s JOIN pc3 c ON c.j = s.j) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 5),
+       |pr AS (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
+       |  FROM q CROSS JOIN c3 c),
+       |sel AS (SELECT query_id, bucket FROM pr WHERE crank <= 3),
+       |qsub AS (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+       |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
+       |tbl AS (SELECT s.query_id, c.j, c.cid,
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))) AS dist
+       |  FROM qsub s JOIN pc3 c ON c.j = s.j),
+       |ad AS (SELECT t.query_id, enc.vec_id AS neighbor_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM enc JOIN tbl t ON t.j = enc.j AND t.cid = enc.cid
+       |  JOIN af a ON a.vec_id = enc.vec_id
+       |  JOIN sel s ON s.query_id = t.query_id AND s.bucket = a.cid
+       |  WHERE enc.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+       |  FROM ad) WHERE arank <= 20),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------- statistical aggregates
@@ -361,50 +432,41 @@ object AdvancedQueries {
             m = 4, nCentroids = 16, pqIters = 3, rerank = 20)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
-        s"""$lloydWith,
-           |psub AS (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
-           |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
-           |ptr AS (SELECT s.vec_id, s.j, s.sq FROM psub s JOIN tr ON tr.vec_id = s.vec_id),
-           |pc0 AS (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
-           |  FROM ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
-           |${pqIter(1)},
-           |${pqIter(2)},
-           |${pqIter(3)},
-           |enc AS (SELECT vec_id, j, cid FROM (
-           |  SELECT s.vec_id, s.j, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
-           |  FROM psub s JOIN pc3 c ON c.j = s.j) WHERE rn = 1),
-           |q AS (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 5),
-           |pr AS (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
-           |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
-           |  FROM q CROSS JOIN c3 c),
-           |sel AS (SELECT query_id, bucket FROM pr WHERE crank <= 3),
-           |qsub AS (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
-           |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
-           |tbl AS (SELECT s.query_id, c.j, c.cid,
-           |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))) AS dist
-           |  FROM qsub s JOIN pc3 c ON c.j = s.j),
-           |ad AS (SELECT t.query_id, enc.vec_id AS neighbor_id, CAST(sum(t.dist) AS BIGINT) AS adist
-           |  FROM enc JOIN tbl t ON t.j = enc.j AND t.cid = enc.cid
-           |  JOIN af a ON a.vec_id = enc.vec_id
-           |  JOIN sel s ON s.query_id = t.query_id AND s.bucket = a.cid
-           |  WHERE enc.vec_id <> t.query_id
-           |  GROUP BY 1, 2),
-           |cand AS (SELECT query_id, neighbor_id FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
-           |  FROM ad) WHERE arank <= 20),
-           |scored AS (SELECT c.query_id, c.neighbor_id,
-           |    list_dot_product(qe.v, ce.v) /
-           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
-           |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.neighbor_id),
-           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-      },
+      Some(s"$lloydWith,\n$ivfPqBodySql"),
       "IVF-PQ ANN: integer-Lloyd coarse buckets prune pair enumeration (3 of 8 probed), " +
         "shared PQ codes prune per-pair cost, exact cosine rerank of the ADC top-20 — " +
         "nProbe and rerank as independent recall/cost knobs"),
+
+    "q277_sim_ivf_pq_incremental" -> Q(
+      (s, dir) => {
+        // The daily-ingest index-maintenance shape (vector twin of q193's
+        // incremental MinHash): TRAIN on the md5-gated 80% base only,
+        // FREEZE the model, encode base and delta separately (the delta
+        // encode is the stateless map-only pass a real pipeline runs per
+        // day), union the coded index, probe against the union. Because
+        // encoding is per-row under a frozen model, the union index is
+        // bit-identical to a full re-encode — pinned by SimilaritySpec
+        // and by this oracle, which replays base-trained codebooks over
+        // the full corpus.
+        val emb = t(s, dir, "embeddings")
+        val gate =
+          substring(md5(col("vec_id").cast("string")), 1, 4) < lit("cccc")
+        val base = emb.filter(gate)
+        val delta = emb.filter(!gate)
+        val model = Similarity.ivfPqTrain(base, "embedding", "vec_id",
+          nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3)
+        val index = Similarity.ivfPqEncode(model, base, "embedding", "vec_id")
+          .union(Similarity.ivfPqEncode(model, delta, "embedding", "vec_id"))
+        Similarity.ivfPqProbeIndex(model, index,
+            emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+            k = 10, nProbe = 3, rerank = 20)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"$lloydWithBase,\n$ivfPqBodySql"),
+      "incremental IVF-PQ index maintenance: frozen base-trained codebooks encode the " +
+        "delta without retraining or re-reading the base (map-only, delta-sized cost), " +
+        "probe runs against the stored base ∪ delta index — the daily-ingest shape of a " +
+        "100 TB embedding store"),
 
     // ----------------------------------------------- embedding-space curation
     "q83_semdedup" -> Q(

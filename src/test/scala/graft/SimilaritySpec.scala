@@ -533,4 +533,96 @@ class SimilaritySpec extends SparkSpec {
       Similarity.jlDistortion(vecs, "embedding", "vec_id", Seq(Seq(0.5, 1.0)))
     }
   }
+
+  // ------------------------- incremental IVF-PQ index maintenance (round 14)
+
+  private def codeMap(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("neighbor_id"), col("bucket"), col("code")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2).toSeq))).toMap
+
+  private def probeRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("incremental IVF-PQ: frozen-codebook delta encoding equals " +
+      "full-corpus encoding for the delta rows") {
+    val gate = substring(md5(col("vec_id").cast("string")), 1, 4) < lit("cccc")
+    val base = emb.filter(gate)
+    val delta = emb.filter(!gate)
+    val nDelta = delta.count()
+    assert(nDelta > 0 && nDelta < emb.count(), "split must be non-trivial")
+    val model = Similarity.ivfPqTrain(base, "embedding", "vec_id")
+    val fullCodes = codeMap(
+      Similarity.ivfPqEncode(model, emb, "embedding", "vec_id"))
+    val deltaCodes = codeMap(
+      Similarity.ivfPqEncode(model, delta, "embedding", "vec_id"))
+    assert(deltaCodes.nonEmpty)
+    deltaCodes.foreach { case (id, bc) =>
+      assert(fullCodes(id) === bc, s"delta row $id diverged from full encode")
+    }
+  }
+
+  test("incremental IVF-PQ: train + encode + probe composition equals " +
+      "ivfPqTopK, and the model round-trips through its tables") {
+    val model = Similarity.ivfPqTrain(emb, "embedding", "vec_id",
+      nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3)
+    val index = Similarity.ivfPqEncode(model, emb, "embedding", "vec_id")
+    val composed = probeRows(Similarity.ivfPqProbeIndex(
+      model, index, queries, "embedding", "vec_id",
+      k = 10, nProbe = 3, rerank = 20))
+    val oneShot = probeRows(Similarity.ivfPqTopK(
+      queries, emb, "embedding", "vec_id", k = 10, nClusters = 8,
+      nProbe = 3, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3,
+      rerank = 20))
+    assert(composed === oneShot)
+    // persist the control plane as tables and rebuild: identical probe
+    val (cents, books) = Similarity.ivfPqModelTables(spark, model)
+    val rebuilt = Similarity.ivfPqModelFromTables(cents, books)
+    assert(rebuilt.coarse.map(_.toSeq).toSeq === model.coarse.map(_.toSeq).toSeq)
+    assert(rebuilt.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val viaTables = probeRows(Similarity.ivfPqProbeIndex(
+      rebuilt, index, queries, "embedding", "vec_id",
+      k = 10, nProbe = 3, rerank = 20))
+    assert(viaTables === composed)
+  }
+
+  test("incremental IVF-PQ: the base-trained union index keeps recall@10 " +
+      "within 0.1 of a full self-trained retrain (vs brute force)") {
+    val gate = substring(md5(col("vec_id").cast("string")), 1, 4) < lit("cccc")
+    val base = emb.filter(gate)
+    val delta = emb.filter(!gate)
+    val model = Similarity.ivfPqTrain(base, "embedding", "vec_id")
+    val index = Similarity.ivfPqEncode(model, base, "embedding", "vec_id")
+      .union(Similarity.ivfPqEncode(model, delta, "embedding", "vec_id"))
+    val approx = Similarity.ivfPqProbeIndex(model, index, queries,
+        "embedding", "vec_id", k = 10, nProbe = 3, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding",
+        "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // the retrain reference: the SAME params trained on the full union
+    // (at sf0.001's 500 vectors and nProbe=3/rerank=20 the absolute
+    // recall is modest for BOTH — what the incremental story must pin is
+    // that freezing yesterday's codebooks costs almost nothing vs a full
+    // retrain, plus a floor far above the ~0.02 random baseline)
+    val selfTrained = Similarity.ivfPqTopK(queries, emb, "embedding",
+        "vec_id", k = 10, nClusters = 8, nProbe = 3, coarseIters = 3,
+        m = 4, nCentroids = 16, pqIters = 3, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val selfRecall = selfTrained.intersect(exact).size.toDouble / exact.size
+    assert(recall >= selfRecall - 0.1,
+      s"base-trained recall $recall degraded vs self-trained $selfRecall")
+    assert(recall >= 0.15, s"union-index recall@10 $recall below floor")
+    // delta neighbors are reachable: at least one delta row surfaces
+    // somewhere in the result set (the union is actually probed)
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.exists { case (_, n) => deltaIds.contains(n) },
+      "no delta row ever surfaced — union index not actually probed")
+  }
 }
