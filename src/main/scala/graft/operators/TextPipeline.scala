@@ -1010,4 +1010,195 @@ object TextPipeline {
         """CAST(CAST(1000000 AS DECIMAL(38,0)) * vocab
           | + (CAST(1000000 AS DECIMAL(38,0)) * f1 * (f1 - 1))
           |   DIV (2 * (f2 + 1)) AS BIGINT)""".stripMargin))
+
+  // ----------------------- unigram-LM tokenizer (SentencePiece-unigram)
+
+  /** Piece score absent from the model — loses to any single-char path
+    * (whose floor score is ≥ −20·10⁶ per char). */
+  private val UnigramAbsent = -1000000000000L
+  /** CASE arm for j > i in the packed Viterbi argmax — below any
+    * reachable packed value. */
+  private val UnigramUnreach = -9000000000000000L
+
+  /** Packed Viterbi forward pass over one word: dp[i] is the best
+    * unigram-LM score of the first i chars, stored as the single long
+    * `score·8 + j` where j is the length of the last piece of the best
+    * segmentation (j ≤ 8 keeps the pack exact; ties in score resolve to
+    * the LONGER last piece because the pack is monotone in (score, j) —
+    * the defined tie-break both engines replay). One `aggregate` HOF
+    * over char positions, the accumulator growing into the full dp array
+    * so the backward pass can walk it. Map lookups hit the broadcast
+    * score-map LITERAL (`try_element_at`: absent piece → the
+    * [[UnigramAbsent]] floor), so the lambda references only attributes
+    * and constants (the wordShinglesFromTokens HOF contract).
+    */
+  private def viterbiDp(w: Column, scores: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => {
+        val cands = (1 to maxLen).map { j =>
+          val prev = element_at(acc, i - lit(j) + lit(1))
+          val prevS = ((prev - pmod(prev, lit(8))) / lit(8)).cast("long")
+          val pieceScore = coalesce(
+            try_element_at(scores, w.substr(i - lit(j) + lit(1), lit(j))),
+            lit(UnigramAbsent))
+          when(lit(j) <= i, (prevS + pieceScore) * lit(8) + lit(j))
+            .otherwise(lit(UnigramUnreach))
+        }
+        concat(acc, array(greatest(cands: _*)))
+      })
+
+  /** Backward walk of a [[viterbiDp]] array: hop `pos -> pos - j` reading
+    * j from the packed entry, collecting the chosen pieces (in
+    * back-to-front order — the per-piece COUNTS the EM needs are
+    * order-independent). At most `length(w)` hops; once pos hits 0 the
+    * fold idles. `dp` must be a staged ATTRIBUTE (withColumn), not an
+    * inline expression, or the interpreted lambda re-runs the whole
+    * forward pass per hop.
+    */
+  private def viterbiPieces(w: Column, dp: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val pk = element_at(dp, pos + lit(1))
+        val j = pmod(pk, lit(8)).cast("int")
+        when(pos > 0,
+          struct((pos - j).as("pos"),
+            concat(st.getField("ps"),
+              array(w.substr(pos - j + lit(1), j))).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+
+  /** Final unpacked score of a [[viterbiDp]] array: the unigram-LM
+    * log-likelihood (micro-nats) of the word's best segmentation. */
+  private def viterbiScore(w: Column, dp: Column): Column = {
+    val pk = element_at(dp, length(w) + lit(1))
+    ((pk - pmod(pk, lit(8))) / lit(8)).cast("long")
+  }
+
+  /** The shared train core: (word-freq vocab frame, candidate pieces,
+    * final EM counts, final scores). See [[unigramTrain]]. */
+  private def unigramCore(
+      docs: DataFrame, textCol: String, maxPieceLen: Int, nSeed: Int,
+      emRounds: Int)
+      : (DataFrame, Array[(String, Long)], Map[String, Long], Map[String, Long]) = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      "maxPieceLen in [2, 8] (the packed-argmax bound)")
+    require(nSeed >= 1 && emRounds >= 1, "need nSeed >= 1, emRounds >= 1")
+    val words = docs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .materialize // the ONE corpus scan; EM iterates over this table
+    // seed candidates: every substring of length 1..maxPieceLen weighted
+    // by word frequency — all single chars (coverage guarantee: every
+    // word stays segmentable in every round) + the nSeed most frequent
+    // multi-char pieces, ties breaking lexicographically
+    val subp = words.select(col("f"),
+        explode(flatten(transform(sequence(lit(1), lit(maxPieceLen)), l =>
+          filter(transform(sequence(lit(1), length(col("w"))),
+            p => when(p + l - lit(1) <= length(col("w")),
+              col("w").substr(p, l))),
+            x => x.isNotNull)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    val chars = subp.filter(length(col("piece")) === 1)
+    val multi = subp.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(nSeed)
+    val cands: Array[(String, Long)] = chars.unionByName(multi)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val v = cands.length
+    // M-step: Laplace-smoothed micro-nat log-probs over the FIXED
+    // candidate set (smoothing keeps every candidate scoreable in every
+    // round — no ln(0) — and exactly mirrors the oracle's expression)
+    def mstep(counts: Map[String, Long]): Map[String, Long] = {
+      val full = cands.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+      val t = full.map(_._2).sum
+      full.map { case (p, c) =>
+        p -> math.round(1e6 * math.log((c + 1.0) / (t + v).toDouble))
+      }.toMap
+    }
+    var counts: Map[String, Long] = cands.toMap
+    var scores = mstep(counts)
+    for (_ <- 1 to emRounds) {
+      val m = typedLit(scores)
+      val seg = words
+        .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
+        .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+      counts = seg.select(col("f"), explode(col("ps")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      scores = mstep(counts)
+    }
+    (words, cands, counts, scores)
+  }
+
+  /** UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-unigram style, hard
+    * EM): seed a candidate vocabulary (all single chars + the `nSeed`
+    * most frequent multi-char substrings up to `maxPieceLen`), then run
+    * `emRounds` of Viterbi EM — E-step segments every vocabulary word
+    * under the current piece scores (exact packed-integer DP, longest-
+    * piece tie-break), M-step re-estimates Laplace-smoothed micro-nat
+    * log-probs from the frequency-weighted piece counts. Returns
+    * `(piece, plen, cnt, logp_micro, kept)` — the scored vocabulary a
+    * tokenizer serves; `kept` marks pieces the final segmentation
+    * actually uses (single chars always kept for coverage).
+    *
+    * Scale design — the corpus is scanned ONCE into the (word, freq)
+    * vocabulary table (the [[bpeTrain]] trick: "the" is segmented once
+    * with weight 10⁹, not 10⁹ times); every EM round is a map-only
+    * Viterbi over that corpus-independent table plus one candidate-
+    * bounded count collect (≤ nSeed + |alphabet| rows — the KMeans-
+    * centroid bounded-driver pattern), and scores travel as a broadcast
+    * map literal.
+    *
+    * Portability: DP sums are exact integers over micro-nat scores; the
+    * only float steps are the per-piece `round(1e6·ln((c+1)/(T+V)))`
+    * M-step terms (the accepted per-term-rounding ln convention), so the
+    * DuckDB oracle replays every round — Viterbi via recursive CTEs,
+    * M-step via the same expression.
+    */
+  def unigramTrain(
+      docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, cands, counts, scores) =
+      unigramCore(docs, textCol, maxPieceLen, nSeed, emRounds)
+    cands.map { case (p, _) =>
+      val c = counts.getOrElse(p, 0L)
+      (p, p.length.toLong, c, scores(p), c > 0 || p.length == 1)
+    }.toSeq.toDF("piece", "plen", "cnt", "logp_micro", "kept")
+  }
+
+  /** UNIGRAM-LM ENCODE: train as [[unigramTrain]], then Viterbi-segment
+    * each DISTINCT corpus word once under the final scores and price
+    * every document through the (doc, word) count join — `(doc,
+    * n_tokens, n_pieces, logp_micro)` where n_pieces is the total piece
+    * count and logp_micro the summed segmentation log-likelihood (the
+    * compression + perplexity readout a tokenizer eval wants). Same
+    * vocab-level discipline as [[bpeEncode]]: the segmentation cost is
+    * corpus-independent, the pricing join is one vocab-sized equi-join.
+    */
+  def unigramEncode(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): DataFrame = {
+    val (words, _, _, scores) =
+      unigramCore(docs, textCol, maxPieceLen, nSeed, emRounds)
+    val m = typedLit(scores)
+    val seg = words
+      .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
+      .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+      .select(col("w"), size(col("ps")).cast("bigint").as("n_p"),
+        viterbiScore(col("w"), col("dp")).as("lp"))
+    docs.select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
+      .join(seg, Seq("w"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_p")).as("n_pieces"),
+        sum(col("c") * col("lp")).as("logp_micro"))
+  }
 }

@@ -57,6 +57,86 @@ object ExtensionQueries {
        |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
+  // ------------- unigram-LM tokenizer oracle (q278/q279) SQL generators
+
+  /** One packed-Viterbi segmentation pass in SQL (forward + backward
+    * recursive CTEs) — the exact mirror of
+    * [[graft.operators.TextPipeline.unigramTrain]]'s DP: dp entries are
+    * `score·8 + j` packed longs (argmax ties resolve to the longer last
+    * piece), piece scores come from `mapCte`'s micro-nat map, absent
+    * pieces read the −10¹² floor. Emits `${prefix}seg(w, f, ps, dps)`.
+    */
+  private def uniViterbi(
+      prefix: String, wordsCte: String, mapCte: String, maxLen: Int): String = {
+    val cands = (1 to maxLen).map { j =>
+      val prev = s"dps[pos + 2 - $j]"
+      val sPrev = s"($prev - (($prev % 8) + 8) % 8) // 8"
+      val sc = s"coalesce(list_extract(map_extract(m, substring(w, pos + 2 - $j, $j)), 1), " +
+        "-1000000000000)"
+      s"CASE WHEN $j <= pos + 1 THEN ($sPrev + $sc) * 8 + $j ELSE -9000000000000000 END"
+    }
+    val best = cands.mkString("greatest(", ",\n      ", ")")
+    s"""${prefix}fw AS (
+       |  SELECT w, f, 0 AS pos, [CAST(0 AS BIGINT)] AS dps FROM $wordsCte
+       |  UNION ALL
+       |  SELECT w, f, pos + 1, list_append(dps, $best)
+       |  FROM ${prefix}fw CROSS JOIN $mapCte
+       |  WHERE pos < len(w)),
+       |${prefix}fd AS (SELECT w, f, dps FROM ${prefix}fw WHERE pos = len(w)),
+       |${prefix}bk AS (
+       |  SELECT w, f, len(w) AS pos, CAST([] AS VARCHAR[]) AS ps, dps FROM ${prefix}fd
+       |  UNION ALL
+       |  SELECT w, f, pos - j, list_append(ps, substring(w, pos - j + 1, j)), dps
+       |  FROM (SELECT w, f, pos, ps, dps,
+       |          CAST(((dps[pos + 1] % 8) + 8) % 8 AS INTEGER) AS j
+       |        FROM ${prefix}bk WHERE pos > 0) t),
+       |${prefix}seg AS (SELECT w, f, ps, dps FROM ${prefix}bk WHERE pos = 0)""".stripMargin
+  }
+
+  /** One EM M-step in SQL: frequency-weighted piece counts from a
+    * segmentation, zero-filled over the fixed candidate set, then the
+    * Laplace-smoothed micro-nat scores + score map. */
+  private def uniMstep(prefix: String, segCte: String): String =
+    s"""${prefix}cnt AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, unnest(ps) AS piece FROM $segCte) GROUP BY piece),
+       |${prefix}full AS (SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+       |  FROM cands c LEFT JOIN ${prefix}cnt n USING (piece)),
+       |${prefix}tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM ${prefix}full),
+       |${prefix}sc AS (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+       |  FROM ${prefix}full CROSS JOIN ${prefix}tot),
+       |${prefix}mp AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m
+       |  FROM ${prefix}sc)""".stripMargin
+
+  /** Shared WITH prefix: tokenization, (word, freq) vocab, seed
+    * candidates (all single chars + top-`nSeed` multi-char substrings),
+    * seed scores, and `emRounds` unrolled EM rounds (the bpeOracle
+    * unrolling convention). Leaves r{emRounds}full / r{emRounds}sc /
+    * r{emRounds}mp in scope.
+    */
+  private def uniTrainWith(maxLen: Int, nSeed: Int, emRounds: Int): String = {
+    val rounds = (1 to emRounds).map { r =>
+      uniViterbi(s"r$r", "wf", s"r${r - 1}mp", maxLen) + ",\n" +
+        uniMstep(s"r$r", s"r${r}seg")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+       |sub0 AS (SELECT f, w, unnest(generate_series(1, len(w))) AS p FROM wf),
+       |sub1 AS (SELECT f, w, p, unnest(generate_series(1, $maxLen)) AS l FROM sub0),
+       |subp AS (SELECT substring(w, p, l) AS piece, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM sub1 WHERE p + l - 1 <= len(w) GROUP BY piece),
+       |cands AS (SELECT piece, cnt FROM subp WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subp WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $nSeed)),
+       |r0tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM cands),
+       |r0sc AS (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+       |  FROM cands CROSS JOIN r0tot),
+       |r0mp AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM r0sc),
+       |$rounds""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------ dedup: exact
@@ -618,6 +698,46 @@ object ExtensionQueries {
       Some(bpeOracle(6)),
       "BPE vocabulary training: 6 merge rounds over the word-frequency table, exact " +
         "integer pair counts, lexicographic tie-break — oracle replays every round in SQL"),
+
+    "q278_unigram_train" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.unigramTrain(
+            Tables.table(s, dir, "documents"), "text",
+            maxPieceLen = 3, nSeed = 32, emRounds = 2)
+          .orderBy(col("cnt").desc, col("piece")),
+      Some(s"""${uniTrainWith(3, 32, 2)}
+              |SELECT f.piece, CAST(len(f.piece) AS BIGINT) AS plen, f.cnt,
+              |  s.s AS logp_micro,
+              |  (f.cnt > 0 OR len(f.piece) = 1) AS kept
+              |FROM r2full f JOIN r2sc s USING (piece)
+              |ORDER BY f.cnt DESC, f.piece""".stripMargin),
+      "unigram-LM tokenizer training (SentencePiece-unigram, hard EM): seed substring " +
+        "candidates, 2 Viterbi-EM rounds over the word-frequency table (packed exact-" +
+        "integer DP, longer-piece tie-break), Laplace micro-nat scores — oracle replays " +
+        "every round via recursive-CTE Viterbi"),
+
+    "q279_unigram_encode" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.unigramEncode(
+            Tables.table(s, dir, "documents"), "text", "doc_id",
+            maxPieceLen = 3, nSeed = 32, emRounds = 2)
+          .orderBy(col("doc")),
+      Some(s"""${uniTrainWith(3, 32, 2)},
+              |${uniViterbi("en", "wf", "r2mp", 3)},
+              |env AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM enseg),
+              |dwc AS (SELECT doc_id AS doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM documents),
+              |dcx AS (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM dwc GROUP BY 1, 2)
+              |SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |  CAST(sum(c * lp) AS BIGINT) AS logp_micro
+              |FROM dcx JOIN env USING (w) GROUP BY doc ORDER BY doc""".stripMargin),
+      "unigram-LM encode: Viterbi-segment each distinct corpus word once under the " +
+        "final trained scores, price documents through the (doc, word) count join — " +
+        "piece counts + segmentation log-likelihood per doc"),
 
     "q65_decontaminate" -> Q(
       (s, dir) => {

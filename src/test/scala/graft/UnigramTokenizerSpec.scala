@@ -1,0 +1,178 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextPipeline
+
+/** Differential fuzzing + guards for the unigram-LM tokenizer (round-14
+  * directive #4): a pure-Scala first-principles replica of seed + hard-EM
+  * Viterbi rounds + Laplace micro-nat scoring, run against
+  * [[TextPipeline.unigramTrain]]/[[TextPipeline.unigramEncode]] on random
+  * tie-dense small-alphabet corpora.
+  */
+class UnigramTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Absent = -1000000000000L
+
+  /** (piece, plen, cnt, logp_micro, kept) + per-word segmentations —
+    * the exact arithmetic of the operator, re-derived from scratch. */
+  private def replica(docs: Seq[String], maxLen: Int, nSeed: Int,
+      rounds: Int): (Seq[(String, Long, Long, Long, Boolean)], Map[String, Seq[String]]) = {
+    val toks = docs.flatMap(_.trim.toLowerCase
+      .split("\\s+").filter(_.nonEmpty))
+    val wf = toks.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val subCnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      for (p <- 0 until w.length; l <- 1 to maxLen if p + l <= w.length)
+        subCnt(w.substring(p, p + l)) += f
+    }
+    val chars = subCnt.filter(_._1.length == 1).toSeq
+    val multi = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(nSeed)
+    val cands = chars ++ multi
+    val v = cands.size
+    def mstep(counts: Map[String, Long]): Map[String, Long] = {
+      val full = cands.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+      val t = full.map(_._2).sum
+      full.map { case (p, c) =>
+        p -> math.round(1e6 * math.log((c + 1.0) / (t + v).toDouble))
+      }.toMap
+    }
+    var counts: Map[String, Long] = cands.toMap
+    var scores = mstep(counts)
+    def viterbi(w: String): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(0L)
+      for (i <- 1 to n) {
+        var best = Long.MinValue
+        for (j <- 1 to math.min(maxLen, i)) {
+          val prev = dp(i - j)
+          val prevS = (prev - Math.floorMod(prev, 8L)) / 8L
+          val sc = scores.getOrElse(w.substring(i - j, i), Absent)
+          val cand = (prevS + sc) * 8L + j
+          if (cand > best) best = cand
+        }
+        dp(i) = best
+      }
+      var pos = n
+      val ps = mutable.Buffer.empty[String]
+      while (pos > 0) {
+        val j = Math.floorMod(dp(pos), 8L).toInt
+        ps += w.substring(pos - j, pos)
+        pos -= j
+      }
+      ps.toSeq
+    }
+    var segs = Map.empty[String, Seq[String]]
+    for (_ <- 1 to rounds) {
+      val c = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      segs = wf.keys.map(w => w -> viterbi(w)).toMap
+      wf.foreach { case (w, f) => segs(w).foreach(p => c(p) += f) }
+      counts = c.toMap
+      scores = mstep(counts)
+    }
+    val out = cands.map { case (p, _) =>
+      val c = counts.getOrElse(p, 0L)
+      (p, p.length.toLong, c, scores(p), c > 0 || p.length == 1)
+    }
+    // encode segments under the FINAL scores (one more Viterbi pass)
+    (out, wf.keys.map(w => w -> viterbi(w)).toMap)
+  }
+
+  private def randomCorpus(rnd: Random): Seq[String] = {
+    val alpha = "abcde".take(3 + rnd.nextInt(3))
+    val nWords = 5 + rnd.nextInt(25)
+    (1 to nWords).map { _ =>
+      val wordsInDoc = 1 + rnd.nextInt(4)
+      (1 to wordsInDoc).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }.mkString(" ")
+    }
+  }
+
+  test("unigramTrain matches the first-principles replica on 12 random " +
+      "tie-dense corpora") {
+    val rnd = new Random(421)
+    (1 to 12).foreach { trial =>
+      val docs = randomCorpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val maxLen = 2 + rnd.nextInt(2) // 2 or 3
+      val nSeed = 4 + rnd.nextInt(12)
+      val rounds = 1 + rnd.nextInt(2)
+      val got = TextPipeline.unigramTrain(df, "text", maxLen, nSeed, rounds)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).sortBy(_._1)
+      val (want, _) = replica(docs, maxLen, nSeed, rounds)
+      assert(got.toSeq === want.sortBy(_._1),
+        s"trial $trial (maxLen=$maxLen nSeed=$nSeed rounds=$rounds)")
+    }
+  }
+
+  test("unigramEncode matches per-document piece counts and likelihood " +
+      "from the replica's final segmentation") {
+    val rnd = new Random(431)
+    (1 to 6).foreach { trial =>
+      val docs = randomCorpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (model, segs) = replica(docs, 3, 8, 2)
+      val scores = model.map { case (p, _, _, s, _) => p -> s }.toMap
+      val got = TextPipeline.unigramEncode(df, "text", "doc_id", 3, 8, 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val want = docs.zipWithIndex.map { case (t, i) =>
+        val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val nPieces = ws.map(w => segs(w).size.toLong).sum
+        val lp = ws.map(w => segs(w).map(scores).sum).sum
+        i.toLong -> ((ws.size.toLong, nPieces, lp))
+      }.toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("unigram hand case: a dominant bigram becomes the kept piece and " +
+      "segmentations prefer it over chars") {
+    // 'ab' occurs 12x inside words; after EM its count must dominate and
+    // every 'ab' word segments through the bigram (longer-piece tie-break
+    // plus higher probability)
+    val df = Seq.fill(6)((1L, "ab abab")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextPipeline.unigramTrain(df, "text", 2, 4, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out("ab")._1 === 18L) // 6x "ab" (1 piece) + 6x "abab" (2 pieces)
+    assert(out("ab")._2)
+    assert(out("a")._1 === 0L && out("b")._1 === 0L) // chars unused...
+    assert(out.contains("a") && out.contains("b")) // ...but kept
+    val enc = TextPipeline.unigramEncode(df, "text", "doc_id", 2, 4, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(enc === Array((2L, 3L))) // 2 tokens -> 3 'ab' pieces per doc
+  }
+
+  test("unigramTrain is deterministic under repartitioning and rejects " +
+      "out-of-contract parameters") {
+    val docs = randomCorpus(new Random(443))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = TextPipeline.unigramTrain(df, "text", 3, 8, 2).collect().toSeq
+    val b = TextPipeline.unigramTrain(df.repartition(7), "text", 3, 8, 2)
+      .collect().toSeq
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
+    intercept[IllegalArgumentException] {
+      TextPipeline.unigramTrain(df, "text", maxPieceLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.unigramTrain(df, "text", maxPieceLen = 9)
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.unigramTrain(df, "text", emRounds = 0)
+    }
+  }
+}
