@@ -50,26 +50,37 @@ object Pipelines {
     * (runs test, turning points). Returns the named row counts.
     */
   def monitorSuite(spark: SparkSession, sfDir: String): Seq[(String, Long)] = {
-    import operators.EventAnalytics
-    val daily = EventAnalytics.dailyStats(
+    val daily = operators.EventAnalytics.dailyStats(
         Tables.events(spark, sfDir), "ts", "value", "event_type")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       daily.count()
-      Seq(
-        "changepoints" -> EventAnalytics.cusumChangepointFromDaily(daily).count(),
-        "alarms" -> EventAnalytics
-          .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L).count(),
-        "stl" -> EventAnalytics.stlDecomposeFromDaily(daily).count(),
-        "mk" -> EventAnalytics.mannKendallFromDaily(daily).count(),
-        "mase" -> EventAnalytics.forecastBacktestFromDaily(daily).count(),
-        "segs" -> EventAnalytics.binarySegmentationFromDaily(daily).count(),
-        "pacf" -> EventAnalytics.pacfFromAcf(
-          EventAnalytics.acfFromDaily(daily, maxLag = 5)).count(),
-        "ss" -> EventAnalytics.seasonalStrengthFromDaily(daily).count(),
-        "fano" -> EventAnalytics.fanoFromDailyCounts(daily).count(),
-        "runs" -> EventAnalytics.runsTestFromDaily(daily).count(),
-        "turns" -> EventAnalytics.turningPointsFromDaily(daily).count())
+      monitorFrames(daily).map { case (name, df) => name -> df.count() }
     } finally daily.unpersist(blocking = false)
+  }
+
+  /** The eleven FromDaily monitors as (name, frame) pairs off ONE
+    * prepared daily frame — the LITERAL composition [[monitorSuite]]
+    * times, exposed so StreamingMonitorParitySpec can run the identical
+    * suite off the streamed daily sink (batch and live monitors sharing
+    * one body cannot drift).
+    */
+  def monitorFrames(daily: org.apache.spark.sql.DataFrame)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    import operators.EventAnalytics
+    Seq(
+      "changepoints" -> EventAnalytics.cusumChangepointFromDaily(daily),
+      "alarms" -> EventAnalytics
+        .onlineCusumFromDaily(daily, 10, 2000000L, 10000000L),
+      "stl" -> EventAnalytics.stlDecomposeFromDaily(daily),
+      "mk" -> EventAnalytics.mannKendallFromDaily(daily),
+      "mase" -> EventAnalytics.forecastBacktestFromDaily(daily),
+      "segs" -> EventAnalytics.binarySegmentationFromDaily(daily),
+      "pacf" -> EventAnalytics.pacfFromAcf(
+        EventAnalytics.acfFromDaily(daily, maxLag = 5)),
+      "ss" -> EventAnalytics.seasonalStrengthFromDaily(daily),
+      "fano" -> EventAnalytics.fanoFromDailyCounts(daily),
+      "runs" -> EventAnalytics.runsTestFromDaily(daily),
+      "turns" -> EventAnalytics.turningPointsFromDaily(daily))
   }
 }
