@@ -149,22 +149,9 @@ object Bench {
     // reuse, stage chaining) are invisible to per-operator timings
     import org.apache.spark.sql.functions.col
     val sharedSecs = timedEntry("pipeline_dedup_shared") {
-      {
-        // q31+q32+q39 the way a production pipeline runs them: ONE corpus
-        // scan builds the shingle index, all three passes consume it
-        val docs = graft.Tables.table(spark, sfDir, "documents")
-        val index = graft.operators.Dedup.buildShingleIndex(docs, "text", "doc_id", 5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          index.count()
-          val nJac = graft.operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count()
-          val nMh = graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8).count()
-          val nKeep = graft.operators.Dedup.keepRepresentatives(
-            docs, "doc_id", graft.operators.Dedup.minhashNearDupsFromIndex(index, 0.8))
-            .filter(col("keep")).count()
-          System.err.println(s"[bench] pipeline_dedup_shared jac=$nJac mh=$nMh keep=$nKeep")
-        } finally index.unpersist(blocking = false)
-      }
+      // body shared with tools.MemFloor via graft.Pipelines
+      val (nJac, nMh, nKeep) = graft.Pipelines.dedupShared(spark, sfDir)
+      System.err.println(s"[bench] pipeline_dedup_shared jac=$nJac mh=$nMh keep=$nKeep")
     }
     val fullSecs = timedEntry("pipeline_full") {
       // the end-to-end curation funnel (PipelineEndToEndSpec, benched;

@@ -42,6 +42,26 @@ object Pipelines {
     } finally index.unpersist(blocking = false)
   }
 
+  /** The shared-index dedup composition (benched as
+    * pipeline_dedup_shared): q31+q32+q39 the way a production pipeline
+    * runs them — ONE corpus scan builds the shingle index, all three
+    * passes consume it. Returns (jaccardPairs, minhashPairs, keptDocs).
+    */
+  def dedupShared(spark: SparkSession, sfDir: String): (Long, Long, Long) = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val index = operators.Dedup.buildShingleIndex(docs, "text", "doc_id", 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      index.count()
+      val nJac = operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count()
+      val nMh = operators.Dedup.minhashNearDupsFromIndex(index, 0.8).count()
+      val nKeep = operators.Dedup.keepRepresentatives(
+          docs, "doc_id", operators.Dedup.minhashNearDupsFromIndex(index, 0.8))
+        .filter(col("keep")).count()
+      (nJac, nMh, nKeep)
+    } finally index.unpersist(blocking = false)
+  }
+
   /** The metric-monitoring suite (benched as pipeline_monitor): the
     * per-(type, day) daily stats computed ONCE (persisted) feed ELEVEN
     * monitors — offline changepoint, online CUSUM alarms, STL, Mann-

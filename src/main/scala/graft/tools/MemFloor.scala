@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Memory-floor proof for the dedup funnel (round-14 directive #6): run
+  * the two heaviest composed pipelines — pipeline_full (the end-to-end
+  * curation funnel) and pipeline_dedup_shared (the shared shingle-index
+  * triple) — under whatever heap `SPARK_DRIVER_MEM` grants the forked
+  * JVM (build.sbt wires it into -Xmx) and print one machine-readable
+  * line with the heap and the result counts. A constrained run (e.g.
+  * SPARK_DRIVER_MEM=2g at sf0.1) proving completion WITH counts
+  * identical to the 8g run demonstrates the plans spill instead of
+  * ballooning: in local mode -Xmx bounds driver AND all executor threads
+  * together, so this is the harshest memory shape the composition can
+  * meet. Usage:
+  *
+  *   SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 \
+  *     sbt "runMain graft.tools.MemFloor /root/testdata/sf0.1"
+  *
+  * The documented floor lives in SCALE.md (round-14 section).
+  */
+object MemFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftFunctions.registerAggregates(spark)
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
+    val t0 = System.nanoTime()
+    val (nJac, nMh, nKeep) = graft.Pipelines.dedupShared(spark, sfDir)
+    graft.operators.Dedup.releaseAllCaches()
+    spark.catalog.clearCache()
+    val t1 = System.nanoTime()
+    val sharded = graft.Pipelines.fullCuration(spark, sfDir)
+    graft.operators.Dedup.releaseAllCaches()
+    val t2 = System.nanoTime()
+    val line =
+      s"""{"heap_mb":$heapMb,"cpus":$cpus,"sf":"$sfDir","jac":$nJac,""" +
+        s""""mh":$nMh,"keep":$nKeep,"sharded":$sharded,""" +
+        s""""dedup_shared_sec":${(t1 - t0) / 1e9},""" +
+        s""""full_sec":${(t2 - t1) / 1e9}}"""
+    spark.stop()
+    println(s"MEMFLOOR_JSON $line")
+    System.err.println(s"MEMFLOOR_JSON $line")
+  }
+}
