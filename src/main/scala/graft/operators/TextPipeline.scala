@@ -224,6 +224,22 @@ object TextPipeline {
     Array.tabulate(mBits / 32)(i => setBits.getOrElse(i, 0L))
   }
 
+  /** OR-merge two [[bloomWords]] filters built with the SAME geometry
+    * (mBits, kHashes, shingleK) — the incremental-decontamination story:
+    * yesterday's benchmark filter plus today's delta probe set, without
+    * re-reading yesterday's probes. Because positions are pure md5
+    * functions of the shingle and bit_or is associative/commutative, the
+    * merged filter is BIT-IDENTICAL to one built from the probe union
+    * (TextPipelineSpec pins it), so hit/miss decisions — including
+    * deterministic false positives — cannot depend on ingestion order or
+    * batching. Driver cost: one |words| array OR (a few KB).
+    */
+  def bloomMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"bloomMerge: filters disagree on geometry (${a.length} vs ${b.length} words)")
+    Array.tabulate(a.length)(i => a(i) | b(i))
+  }
+
   /** MAP-ONLY probe of a corpus against a built filter: (doc, n_hits) for
     * documents with >= `minShared` DISTINCT shingles whose kHashes bits
     * are all set. The per-document work — shingle windows, distinct, md5,
@@ -1182,6 +1198,28 @@ object TextPipeline {
     * vocab-level discipline as [[bpeEncode]]: the segmentation cost is
     * corpus-independent, the pricing join is one vocab-sized equi-join.
     */
+  /** CCNet-style LM QUALITY GATE from the unigram model: per document,
+    * the mean negative log-likelihood per piece of the Viterbi
+    * segmentation (`nll_micro`, integer micro-nats — perplexity is
+    * exp(nll), monotone, so gating on nll IS the perplexity filter) and
+    * a keep flag at `maxNllMicro`. High nll = text the corpus-trained LM
+    * finds surprising (noise, boilerplate in another script, binary-ish
+    * junk); the classic pre-training screen run right after
+    * deduplication. Exact integers on top of [[unigramEncode]]'s
+    * outputs: `nll_micro = (−logp_micro) DIV n_pieces` — engine-portable
+    * with zero new float steps, same map-only scale shape.
+    */
+  def unigramQualityGate(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxNllMicro: Long,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): DataFrame = {
+    require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
+    unigramEncode(docs, textCol, idCol, maxPieceLen, nSeed, emRounds)
+      .withColumn("nll_micro", expr("(-logp_micro) DIV n_pieces"))
+      .select(col("doc"), col("n_tokens"), col("n_pieces"),
+        col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
+  }
+
   def unigramEncode(
       docs: DataFrame, textCol: String, idCol: String,
       maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): DataFrame = {

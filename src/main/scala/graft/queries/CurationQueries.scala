@@ -256,6 +256,64 @@ object CurationQueries {
               |ORDER BY doc""".stripMargin),
       "bloom-filter decontamination: md5-position filter rebuilt bit-for-bit by the oracle"),
 
+    "q281_bloom_incremental" -> Q(
+      (s, dir) => {
+        // The incremental-decontamination shape: yesterday's filter
+        // (probes doc_id < 5) OR-merged with today's delta filter
+        // (5 <= doc_id < 10) — no re-read of yesterday's probes. Because
+        // bloom positions are pure md5 functions and bit_or is
+        // associative, the merged filter is bit-identical to one built
+        // from the probe union, which is exactly what the oracle builds.
+        val docs = Tables.table(s, dir, "documents")
+        val base = graft.operators.TextPipeline.bloomWords(
+          docs.filter(col("doc_id") < 5), "text", "doc_id",
+          shingleK = 5, mBits = 1 << 16, kHashes = 4)
+        val delta = graft.operators.TextPipeline.bloomWords(
+          docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text",
+          "doc_id", shingleK = 5, mBits = 1 << 16, kHashes = 4)
+        graft.operators.TextPipeline.bloomProbe(
+            docs.filter(col("doc_id") >= 10).repartition(),
+            graft.operators.TextPipeline.bloomMerge(base, delta),
+            "text", "doc_id", shingleK = 5, minShared = 1, kHashes = 4)
+          .orderBy(col("doc"))
+      },
+      // the oracle builds ONE filter from the probe UNION (doc_id < 10) —
+      // merge ≡ union-build is the property under test, so this is the
+      // q78 oracle verbatim
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |  FROM documents),
+              |sets AS (
+              |  SELECT doc_id, list_distinct(
+              |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+              |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+              |    END) AS sh
+              |  FROM toks),
+              |psh AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE doc_id < 10),
+              |ppos AS (
+              |  SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM psh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |words AS (
+              |  SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM ppos GROUP BY wd),
+              |dsh AS (SELECT doc_id AS doc, unnest(sh) AS s FROM sets WHERE doc_id >= 10),
+              |dpos AS (
+              |  SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM dsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |hits AS (
+              |  SELECT doc, s
+              |  FROM dpos JOIN words ON words.wd = dpos.p // 32
+              |  WHERE (words.bits & (CAST(1 AS BIGINT) << CAST(dpos.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4)
+              |SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+              |FROM hits GROUP BY doc HAVING count(*) >= 1
+              |ORDER BY doc""".stripMargin),
+      "incremental bloom decontamination: yesterday's filter OR-merged with the delta " +
+        "probes' filter equals the union-built filter bit-for-bit (oracle builds the " +
+        "union) — benchmark screening that ingests new probe suites without re-reading " +
+        "old ones"),
+
     "q79_temperature_mix" -> Q(
       (s, dir) =>
         Curation.temperatureMix(Tables.table(s, dir, "documents"), "doc_id", "source",

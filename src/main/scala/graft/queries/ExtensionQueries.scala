@@ -739,6 +739,34 @@ object ExtensionQueries {
         "final trained scores, price documents through the (doc, word) count join — " +
         "piece counts + segmentation log-likelihood per doc"),
 
+    "q280_unigram_quality_gate" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.unigramQualityGate(
+            Tables.table(s, dir, "documents"), "text", "doc_id",
+            maxNllMicro = 3520000L,
+            maxPieceLen = 3, nSeed = 32, emRounds = 2)
+          .orderBy(col("doc")),
+      Some(s"""${uniTrainWith(3, 32, 2)},
+              |${uniViterbi("en", "wf", "r2mp", 3)},
+              |env AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM enseg),
+              |dwc AS (SELECT doc_id AS doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM documents),
+              |dcx AS (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM dwc GROUP BY 1, 2),
+              |agg AS (SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |    CAST(sum(c * lp) AS BIGINT) AS logp
+              |  FROM dcx JOIN env USING (w) GROUP BY doc)
+              |SELECT doc, n_tokens, n_pieces,
+              |  CAST((-logp) // n_pieces AS BIGINT) AS nll_micro,
+              |  ((-logp) // n_pieces < 3520000) AS keep
+              |FROM agg ORDER BY doc""".stripMargin),
+      "CCNet-style LM quality gate: mean negative log-likelihood per piece of the " +
+        "unigram Viterbi segmentation (perplexity filter in exact micro-nats), keep " +
+        "flag at the threshold — the pre-training screen run after dedup"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

@@ -84,7 +84,15 @@ object ScaleSmoke {
       // group shapes; q264's domains are source-keyed (rows stay
       // |sources| = 20; token-suffixed replica text shifts the means —
       // expected, the row count is the invariant)
-      "q262_url_canonicalize", "q263_url_dedup", "q264_domain_stats")
+      "q262_url_canonicalize", "q263_url_dedup", "q264_domain_stats",
+      // round-14 unigram-LM tokenizer on the salted documents: the _rN
+      // token suffixes add digit chars to the alphabet and shift the
+      // substring top-N, so candidate VALUES differ from base by design —
+      // the invariants are the vocab-bounded row count (|alphabet| +
+      // nSeed, corpus-independent) for q278 and exactly-10x doc rows for
+      // q279; the time ratio watches the once-per-corpus scan + the
+      // corpus-independent EM rounds
+      "q278_unigram_train", "q279_unigram_encode")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -206,7 +214,13 @@ object ScaleSmoke {
       // q233 JL distortion: replica id blocks are 1e7 apart, so the id+1
       // probe pairs replicate base pairs exactly (no cross-replica pair
       // is consecutive) — rows exactly 10x, every ppm bit-identical
-      "q233_jl_distortion")
+      "q233_jl_distortion",
+      // round-14 incremental IVF-PQ: the md5 base gate and the trained
+      // codebooks depend on replica vec_ids, so values differ from base
+      // by design (the q142 argument) — the fixed query set keeps rows
+      // at 50 and the time ratio watches train (constant, sampled) +
+      // the two map-only encodes + the bucket-bounded probe
+      "q277_sim_ivf_pq_incremental")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")

@@ -182,6 +182,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(split === composed)
   }
 
+  test("bloomMerge of split probe filters is bit-identical to the " +
+      "union-built filter, and probes agree; geometry mismatch rejected") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val a = TextPipeline.bloomWords(
+      docs.filter(col("doc_id") < 5), "text", "doc_id")
+    val b = TextPipeline.bloomWords(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text", "doc_id")
+    val union = TextPipeline.bloomWords(
+      docs.filter(col("doc_id") < 10), "text", "doc_id")
+    val merged = TextPipeline.bloomMerge(a, b)
+    assert(merged.toSeq === union.toSeq) // bit-for-bit, word by word
+    // merge order cannot matter
+    assert(TextPipeline.bloomMerge(b, a).toSeq === merged.toSeq)
+    val rest = docs.filter(col("doc_id") >= 10)
+    val viaMerge = TextPipeline.bloomProbe(rest, merged, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaUnion = TextPipeline.bloomProbe(rest, union, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaMerge === viaUnion)
+    intercept[IllegalArgumentException] {
+      TextPipeline.bloomMerge(a, TextPipeline.bloomWords(
+        docs.filter(col("doc_id") < 5), "text", "doc_id", mBits = 1 << 10))
+    }
+  }
+
   test("charEntropy: constant string scores 0, uniform pair scores 2x round(ln2/2 micro)") {
     import spark.implicits._
     val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")

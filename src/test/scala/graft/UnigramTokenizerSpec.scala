@@ -156,6 +156,33 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(enc === Array((2L, 3L))) // 2 tokens -> 3 'ab' pieces per doc
   }
 
+  test("unigramQualityGate: nll is (-logp) DIV n_pieces of the encode " +
+      "output, keep flags split at the threshold, guard fires") {
+    val docs = randomCorpus(new Random(457))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = TextPipeline.unigramEncode(df, "text", "doc_id", 3, 8, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val nlls = enc.map { case (d, (np, lp)) => d -> (-lp) / np }
+    // a threshold strictly between min and max must split the flags
+    val thr = (nlls.values.min + nlls.values.max) / 2 + 1
+    val got = TextPipeline
+      .unigramQualityGate(df, "text", "doc_id", thr, 3, 8, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    got.foreach { case (d, (nll, keep)) =>
+      assert(nll === nlls(d), s"doc $d nll")
+      assert(keep === (nll < thr), s"doc $d keep")
+    }
+    if (nlls.values.min != nlls.values.max) {
+      assert(got.values.exists(_._2) && got.values.exists(!_._2),
+        "threshold between min and max must split the corpus")
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.unigramQualityGate(df, "text", "doc_id", 0L)
+    }
+  }
+
   test("unigramTrain is deterministic under repartitioning and rejects " +
       "out-of-contract parameters") {
     val docs = randomCorpus(new Random(443))
