@@ -1097,6 +1097,82 @@ object TextPipeline {
     ((pk - pmod(pk, lit(8))) / lit(8)).cast("long")
   }
 
+  /** One-pass per-token Viterbi for the SERVING path: forward DP
+    * carrying BOTH the packed score array and the best-path piece-count
+    * array (cnt[i] = cnt[i−j]+1 for the argmax j — the same optimal path
+    * the batch backward walk extracts, so counts cannot diverge), with
+    * the aggregate's finish lambda emitting one `struct(np, lp)` per
+    * token so no sub-expression is ever evaluated twice per element.
+    */
+  private def viterbiServe(w: Column, scores: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(array(lit(0L)).as("dps"), array(lit(0L)).as("cnts")),
+      (acc, i) => {
+        val dps = acc.getField("dps")
+        val cnts = acc.getField("cnts")
+        val cands = (1 to maxLen).map { j =>
+          val prev = element_at(dps, i - lit(j) + lit(1))
+          val prevS = ((prev - pmod(prev, lit(8))) / lit(8)).cast("long")
+          val pieceScore = coalesce(
+            try_element_at(scores, w.substr(i - lit(j) + lit(1), lit(j))),
+            lit(UnigramAbsent))
+          when(lit(j) <= i, (prevS + pieceScore) * lit(8) + lit(j))
+            .otherwise(lit(UnigramUnreach))
+        }
+        val best = greatest(cands: _*)
+        val bj = pmod(best, lit(8)).cast("int")
+        struct(concat(dps, array(best)).as("dps"),
+          concat(cnts,
+            array(element_at(cnts, i - bj + lit(1)) + lit(1L))).as("cnts"))
+      },
+      acc => {
+        val pk = element_at(acc.getField("dps"), length(w) + lit(1))
+        struct(
+          element_at(acc.getField("cnts"), length(w) + lit(1)).as("np"),
+          ((pk - pmod(pk, lit(8))) / lit(8)).cast("long").as("lp"))
+      })
+
+  /** SERVE the trained unigram model on any frame — batch OR streaming:
+    * the whole score (tokenize, per-token Viterbi, document sums, nll,
+    * keep flag) is ONE stateless map-only projection, no (doc, word)
+    * groupBy, so it runs unchanged on a `readStream` frame (the
+    * winsorizeCuts/applyEncoding trained-table serving pattern: train
+    * batch, broadcast the bounded score map, apply live).
+    * `scores` is the (piece -> logp_micro) map collected from
+    * [[unigramTrain]]'s bounded output. Emits the [[unigramQualityGate]]
+    * schema; batch-equal row-for-row (StreamingUnigramServeSpec) — the
+    * trade vs the batch path is a per-OCCURRENCE segmentation instead of
+    * per-DISTINCT-word (right for unbounded streams where the distinct-
+    * word frame would be state; the batch path stays cheaper for
+    * repetitive corpora). Token-free documents emit no row (the batch
+    * path's explode semantics).
+    */
+  def unigramServe(
+      docs: DataFrame, textCol: String, idCol: String,
+      scores: Map[String, Long], maxNllMicro: Long,
+      maxPieceLen: Int = 3): DataFrame = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      "maxPieceLen in [2, 8] (the packed-argmax bound)")
+    require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
+    require(scores.nonEmpty, "need a trained score map")
+    val m = typedLit(scores)
+    docs
+      .withColumn("__toks", T.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__st",
+        transform(col("__toks"), w => viterbiServe(w, m, maxPieceLen)))
+      .select(col(idCol).as("doc"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        aggregate(col("__st"), lit(0L),
+          (a, x) => a + x.getField("np")).as("n_pieces"),
+        aggregate(col("__st"), lit(0L),
+          (a, x) => a + x.getField("lp")).as("logp"))
+      .withColumn("nll_micro", expr("(-logp) DIV n_pieces"))
+      .select(col("doc"), col("n_tokens"), col("n_pieces"),
+        col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
+  }
+
   /** The shared train core: (word-freq vocab frame, candidate pieces,
     * final EM counts, final scores). See [[unigramTrain]]. */
   private def unigramCore(

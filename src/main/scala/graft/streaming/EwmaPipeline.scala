@@ -262,6 +262,25 @@ object EwmaPipeline {
       .select(col("key"), col("t.*"))
   }
 
+  /** [[kafkaSource]] with the writer-schema snapshot resolved through a
+    * live [[graft.sources.SchemaRegistry.Client]] at PLAN time: the
+    * topic's value subject is walked once on the driver (registry size
+    * is control-plane-bounded) and the id -> schema map rides the
+    * decoder closure — executors issue ZERO registry requests, unlike
+    * the reference consumer's per-message fetch + cache
+    * (consumer.rs:47-48,76). RegistryPipelineFidelitySpec drives the
+    * identical decode path on file streams end-to-end into the windowed
+    * EWMA.
+    */
+  def kafkaSourceWithRegistry(
+      spark: SparkSession, bootstrap: String, topic: String,
+      valueSchema: StructType, recordName: String,
+      client: graft.sources.SchemaRegistry.Client,
+      startingOffsets: String = "latest"): DataFrame =
+    kafkaSource(spark, bootstrap, topic, valueSchema, recordName,
+      startingOffsets,
+      client.snapshot(Seq(graft.sources.SchemaRegistry.valueSubject(topic))))
+
   /** Processing-time trigger mirroring the reference's wall-clock tick
     * (main.rs:83-85): period minutes -> ms trigger interval.
     */
