@@ -1055,7 +1055,7 @@ object TextPipeline {
       (acc, i) => {
         val cands = (1 to maxLen).map { j =>
           val prev = element_at(acc, i - lit(j) + lit(1))
-          val prevS = ((prev - pmod(prev, lit(8))) / lit(8)).cast("long")
+          val prevS = shiftright(prev - pmod(prev, lit(8)), 3)
           val pieceScore = coalesce(
             try_element_at(scores, w.substr(i - lit(j) + lit(1), lit(j))),
             lit(UnigramAbsent))
@@ -1094,7 +1094,7 @@ object TextPipeline {
     * log-likelihood (micro-nats) of the word's best segmentation. */
   private def viterbiScore(w: Column, dp: Column): Column = {
     val pk = element_at(dp, length(w) + lit(1))
-    ((pk - pmod(pk, lit(8))) / lit(8)).cast("long")
+    shiftright(pk - pmod(pk, lit(8)), 3)
   }
 
   /** One-pass per-token Viterbi for the SERVING path: forward DP
@@ -1113,7 +1113,7 @@ object TextPipeline {
         val cnts = acc.getField("cnts")
         val cands = (1 to maxLen).map { j =>
           val prev = element_at(dps, i - lit(j) + lit(1))
-          val prevS = ((prev - pmod(prev, lit(8))) / lit(8)).cast("long")
+          val prevS = shiftright(prev - pmod(prev, lit(8)), 3)
           val pieceScore = coalesce(
             try_element_at(scores, w.substr(i - lit(j) + lit(1), lit(j))),
             lit(UnigramAbsent))
@@ -1130,7 +1130,7 @@ object TextPipeline {
         val pk = element_at(acc.getField("dps"), length(w) + lit(1))
         struct(
           element_at(acc.getField("cnts"), length(w) + lit(1)).as("np"),
-          ((pk - pmod(pk, lit(8))) / lit(8)).cast("long").as("lp"))
+          shiftright(pk - pmod(pk, lit(8)), 3).as("lp"))
       })
 
   /** SERVE the trained unigram model on any frame — batch OR streaming:
@@ -1152,8 +1152,9 @@ object TextPipeline {
       docs: DataFrame, textCol: String, idCol: String,
       scores: Map[String, Long], maxNllMicro: Long,
       maxPieceLen: Int = 3): DataFrame = {
-    require(maxPieceLen >= 2 && maxPieceLen <= 8,
-      "maxPieceLen in [2, 8] (the packed-argmax bound)")
+    require(maxPieceLen >= 2 && maxPieceLen <= 7,
+      "maxPieceLen in [2, 7]: the packed argmax stores the last-piece " +
+        "length in the mod-8 residue, so j = 8 would alias to 0")
     require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
     require(scores.nonEmpty, "need a trained score map")
     val m = typedLit(scores)
@@ -1179,8 +1180,9 @@ object TextPipeline {
       docs: DataFrame, textCol: String, maxPieceLen: Int, nSeed: Int,
       emRounds: Int)
       : (DataFrame, Array[(String, Long)], Map[String, Long], Map[String, Long]) = {
-    require(maxPieceLen >= 2 && maxPieceLen <= 8,
-      "maxPieceLen in [2, 8] (the packed-argmax bound)")
+    require(maxPieceLen >= 2 && maxPieceLen <= 7,
+      "maxPieceLen in [2, 7]: the packed argmax stores the last-piece " +
+        "length in the mod-8 residue, so j = 8 would alias to 0")
     require(nSeed >= 1 && emRounds >= 1, "need nSeed >= 1, emRounds >= 1")
     val words = docs.select(explode(T.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -1216,9 +1218,15 @@ object TextPipeline {
     var scores = mstep(counts)
     for (_ <- 1 to emRounds) {
       val m = typedLit(scores)
+      // materialize before exploding: InferFiltersFromGenerate would
+      // otherwise push a size(ps) > 0 filter BELOW the staging projects
+      // with dp fully inlined — re-running the whole forward DP per
+      // backward hop (the bloomWords Generate-over-HOF lesson); the
+      // frame is vocab-sized, so the cut is cheap
       val seg = words
         .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
         .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+        .materialize
       counts = seg.select(col("f"), explode(col("ps")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -1265,15 +1273,6 @@ object TextPipeline {
     }.toSeq.toDF("piece", "plen", "cnt", "logp_micro", "kept")
   }
 
-  /** UNIGRAM-LM ENCODE: train as [[unigramTrain]], then Viterbi-segment
-    * each DISTINCT corpus word once under the final scores and price
-    * every document through the (doc, word) count join — `(doc,
-    * n_tokens, n_pieces, logp_micro)` where n_pieces is the total piece
-    * count and logp_micro the summed segmentation log-likelihood (the
-    * compression + perplexity readout a tokenizer eval wants). Same
-    * vocab-level discipline as [[bpeEncode]]: the segmentation cost is
-    * corpus-independent, the pricing join is one vocab-sized equi-join.
-    */
   /** CCNet-style LM QUALITY GATE from the unigram model: per document,
     * the mean negative log-likelihood per piece of the Viterbi
     * segmentation (`nll_micro`, integer micro-nats — perplexity is
@@ -1296,6 +1295,15 @@ object TextPipeline {
         col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
   }
 
+  /** UNIGRAM-LM ENCODE: train as [[unigramTrain]], then Viterbi-segment
+    * each DISTINCT corpus word once under the final scores and price
+    * every document through the (doc, word) count join — `(doc,
+    * n_tokens, n_pieces, logp_micro)` where n_pieces is the total piece
+    * count and logp_micro the summed segmentation log-likelihood (the
+    * compression + perplexity readout a tokenizer eval wants). Same
+    * vocab-level discipline as [[bpeEncode]]: the segmentation cost is
+    * corpus-independent, the pricing join is one vocab-sized equi-join.
+    */
   def unigramEncode(
       docs: DataFrame, textCol: String, idCol: String,
       maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): DataFrame = {

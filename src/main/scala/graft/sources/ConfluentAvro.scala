@@ -276,4 +276,32 @@ object ConfluentAvro {
   def decodeColRegistry(payload: Column, st: StructType, recordName: String,
       writerSchemasById: Map[Int, String]): Column =
     fromConfluentAvroRegistry(st, recordName, writerSchemasById)(payload)
+
+  /** Permissive registry decode: null row on malformed payloads AND on
+    * schema ids outside the snapshot — for LONG-RUNNING streaming queries
+    * where the snapshot is frozen at plan time: a producer registering a
+    * NEW schema version mid-stream (or one poisoned message) must not
+    * kill the query (the [[fromConfluentAvroSafe]] principle). The
+    * operational model: count the nulls (a StreamingQueryListener metric),
+    * and when they appear, restart the query — the checkpoint makes the
+    * restart cheap and the fresh plan re-snapshots the registry. Strict
+    * [[decodeColRegistry]] stays the default for bounded/batch reads,
+    * where failing fast beats silently dropping rows.
+    */
+  private final class SafeRegistryDecoder(readerJson: String, st: StructType,
+      writerSchemasById: Map[Int, String])
+      extends UDF1[Array[Byte], Row] with Serializable {
+    private val strict = new RegistryDecoder(readerJson, st, writerSchemasById)
+    override def call(payload: Array[Byte]): Row =
+      try strict.call(payload)
+      catch { case _: Exception => null }
+  }
+
+  def decodeColRegistrySafe(payload: Column, st: StructType, recordName: String,
+      writerSchemasById: Map[Int, String]): Column = {
+    require(writerSchemasById.nonEmpty,
+      "registry snapshot must contain at least one schema id")
+    udf(new SafeRegistryDecoder(
+      avroSchemaJson(st, recordName), st, writerSchemasById), st)(payload)
+  }
 }

@@ -65,13 +65,19 @@ object SchemaRegistry {
     private def call(method: String, path: String,
         body: Option[String] = None): com.fasterxml.jackson.databind.JsonNode = {
       val (status, resp) = transport.send(method, path, body)
-      val node = mapper.readTree(resp)
       if (status >= 400) {
-        val code = if (node.has("error_code")) node.get("error_code").asInt else status
-        val msg = if (node.has("message")) node.get("message").asText else resp
+        // a real HTTP transport can hand back a NON-JSON error body (a
+        // proxy's HTML 502, a load balancer's plain-text timeout) — the
+        // typed RegistryException must surface either way, carrying the
+        // raw text when the Confluent error envelope is absent
+        val node = try Some(mapper.readTree(resp)) catch { case _: Exception => None }
+        val code = node.filter(_.has("error_code"))
+          .map(_.get("error_code").asInt).getOrElse(status)
+        val msg = node.filter(_.has("message"))
+          .map(_.get("message").asText).getOrElse(resp)
         throw RegistryException(status, code, msg)
       }
-      node
+      mapper.readTree(resp)
     }
 
     /** POST /subjects/{subject}/versions — register a schema, returning

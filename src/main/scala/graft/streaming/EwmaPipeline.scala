@@ -271,15 +271,41 @@ object EwmaPipeline {
     * (consumer.rs:47-48,76). RegistryPipelineFidelitySpec drives the
     * identical decode path on file streams end-to-end into the windowed
     * EWMA.
+    *
+    * The snapshot is FROZEN at plan time, so a schema version registered
+    * mid-stream arrives with an unknown id. `strict = true` (default)
+    * fails the query fast — right for bounded reads and for deployments
+    * that restart on schema change. For long-running queries pass
+    * `strict = false`: unknown-id and malformed frames decode to null
+    * (the decodeColSafe principle — one poisoned message must not kill
+    * the job); count the nulls via a listener metric and restart when
+    * they appear (the checkpoint makes restart cheap, and the fresh plan
+    * re-snapshots the registry).
     */
   def kafkaSourceWithRegistry(
       spark: SparkSession, bootstrap: String, topic: String,
       valueSchema: StructType, recordName: String,
       client: graft.sources.SchemaRegistry.Client,
-      startingOffsets: String = "latest"): DataFrame =
-    kafkaSource(spark, bootstrap, topic, valueSchema, recordName,
-      startingOffsets,
-      client.snapshot(Seq(graft.sources.SchemaRegistry.valueSubject(topic))))
+      startingOffsets: String = "latest",
+      strict: Boolean = true): DataFrame = {
+    val snapshot =
+      client.snapshot(Seq(graft.sources.SchemaRegistry.valueSubject(topic)))
+    if (strict)
+      kafkaSource(spark, bootstrap, topic, valueSchema, recordName,
+        startingOffsets, snapshot)
+    else {
+      val raw = spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load()
+      raw.select(col("key").cast("string").as("key"),
+          graft.sources.ConfluentAvro.decodeColRegistrySafe(
+            col("value"), valueSchema, recordName, snapshot).as("t"))
+        .select(col("key"), col("t.*"))
+    }
+  }
 
   /** Processing-time trigger mirroring the reference's wall-clock tick
     * (main.rs:83-85): period minutes -> ms trigger interval.

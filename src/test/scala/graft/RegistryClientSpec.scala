@@ -167,5 +167,25 @@ class RegistryClientSpec extends SparkSpec {
           .as("t")).collect()
     }
     assert(ex.getMessage != null)
+    // the PERMISSIVE registry decoder nulls the unknown-id row instead —
+    // the long-running-stream mode (a mid-stream schema registration or
+    // one poisoned message must not kill the query)
+    val safe = mixed.union(rogue).select(ConfluentAvro.decodeColRegistrySafe(
+      col("value"), Trade.schema, "TradesDataAvro",
+      c.snapshot(Seq("raw-trades-value"))).as("t"))
+    assert(safe.filter(col("t").isNull).count() === 1)
+    assert(safe.filter(col("t").isNotNull).count() === trades.size * 2L)
+  }
+
+  test("registry errors surface as typed RegistryException even when the " +
+      "transport returns a non-JSON error body") {
+    val c = new Client(new SchemaRegistry.RegistryTransport {
+      def send(method: String, path: String,
+          body: Option[String]): (Int, String) =
+        (502, "<html>Bad Gateway</html>")
+    })
+    val e = intercept[RegistryException] { c.subjects() }
+    assert(e.status === 502 && e.errorCode === 502)
+    assert(e.message.contains("Bad Gateway"))
   }
 }

@@ -196,7 +196,8 @@ class UnigramTokenizerSpec extends SparkSpec {
       TextPipeline.unigramTrain(df, "text", maxPieceLen = 1)
     }
     intercept[IllegalArgumentException] {
-      TextPipeline.unigramTrain(df, "text", maxPieceLen = 9)
+      // 8 would alias to 0 in the mod-8 packed argmax — rejected
+      TextPipeline.unigramTrain(df, "text", maxPieceLen = 8)
     }
     intercept[IllegalArgumentException] {
       TextPipeline.unigramTrain(df, "text", emRounds = 0)
