@@ -684,6 +684,29 @@ object Similarity {
     IvfPqModel(coarse, books)
   }
 
+  /** [[ivfPqTrain]] + [[ivfPqEncode]] over the SAME corpus in one call,
+    * sharing ONE quantized scan/persist between training and encoding —
+    * the base-corpus bootstrap of the incremental story (separate calls
+    * quantize the corpus twice: each builds its own tracked cache entry).
+    * Deltas still encode through [[ivfPqEncode]] with the returned frozen
+    * model; results are bit-identical to the two-call composition.
+    */
+  def ivfPqTrainEncode(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int = 8, coarseIters: Int = 3,
+      m: Int = 4, nCentroids: Int = 16, pqIters: Int = 3)
+      : (IvfPqModel, DataFrame) = {
+    require(nClusters >= 1 && nClusters <= 256, "need 1 <= nClusters <= 256")
+    require(m >= 1 && m <= 64 && nCentroids >= 1 && nCentroids <= 256,
+      "need m in [1, 64], nCentroids in [1, 256]")
+    require(coarseIters >= 0 && pqIters >= 0, "need iters >= 0")
+    val e = quantized(corpus, vecCol, idCol)
+    val (coarse, books) =
+      trainIvfPqShared(e, nClusters, coarseIters, m, nCentroids, pqIters)
+    val model = IvfPqModel(coarse, books)
+    (model, encodeQuantized(model, e))
+  }
+
   /** Encode a corpus — or a DELTA of one — under a FROZEN model:
     * `(neighbor_id, cv, bucket, code, cn)`, the row layout
     * [[ivfPqProbeIndex]] scans and the unit an index table stores.

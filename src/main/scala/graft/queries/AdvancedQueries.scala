@@ -453,9 +453,12 @@ object AdvancedQueries {
           substring(md5(col("vec_id").cast("string")), 1, 4) < lit("cccc")
         val base = emb.filter(gate)
         val delta = emb.filter(!gate)
-        val model = Similarity.ivfPqTrain(base, "embedding", "vec_id",
+        // bootstrap: ONE quantized base scan shared by train + encode;
+        // the delta encodes under the frozen model as usual
+        val (model, baseIndex) = Similarity.ivfPqTrainEncode(
+          base, "embedding", "vec_id",
           nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3)
-        val index = Similarity.ivfPqEncode(model, base, "embedding", "vec_id")
+        val index = baseIndex
           .union(Similarity.ivfPqEncode(model, delta, "embedding", "vec_id"))
         Similarity.ivfPqProbeIndex(model, index,
             emb.filter(col("vec_id") < 5), "embedding", "vec_id",

@@ -576,6 +576,16 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 3, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3,
       rerank = 20))
     assert(composed === oneShot)
+    // the fused bootstrap (one shared quantized scan) is bit-identical
+    // to the two-call composition, model and codes both
+    val (fusedModel, fusedIndex) =
+      Similarity.ivfPqTrainEncode(emb, "embedding", "vec_id",
+        nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16, pqIters = 3)
+    assert(fusedModel.coarse.map(_.toSeq).toSeq ===
+      model.coarse.map(_.toSeq).toSeq)
+    assert(fusedModel.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codeMap(fusedIndex) === codeMap(index))
     // persist the control plane as tables and rebuild: identical probe
     val (cents, books) = Similarity.ivfPqModelTables(spark, model)
     val rebuilt = Similarity.ivfPqModelFromTables(cents, books)
