@@ -86,6 +86,47 @@ object Curation {
       .drop("txt", "w", "lines", "n_alpha_words", "n_bullet_lines", "n_ellipsis_lines")
   }
 
+  /** RELATIVE length gate: keep documents whose token count lies inside
+    * their OWN source's [loBps, hiBps] discrete length percentiles — the
+    * per-source outlier trim that [[gopherRules]]' absolute min/max words
+    * cannot express (a 50-word doc is normal in a chat source and an
+    * outlier in a books source). Percentiles are the standard discrete
+    * rank definition (min value with cumulative count ≥ ceil(p·n) — the
+    * q81 convention), computed from the per-source LENGTH HISTOGRAM, so
+    * the cumulative window is partitioned per source and bounded by
+    * length resolution, never corpus size; the ≤|sources|·2 cut table
+    * broadcasts back over the doc frame. Exact integers throughout
+    * (`10000·cum ≥ bps·n` ⟺ `cum ≥ ceil(bps·n/10000)`).
+    * Emits `(doc, src, n_tokens, lo_len, hi_len, keep)`.
+    */
+  def lengthPercentileGate(
+      docs: DataFrame, textCol: String, idCol: String, groupCol: String,
+      loBps: Int = 500, hiBps: Int = 9500): DataFrame = {
+    require(loBps >= 0 && hiBps <= 10000 && loBps <= hiBps,
+      "need 0 <= loBps <= hiBps <= 10000")
+    val lens = docs.select(col(idCol).as("doc"), col(groupCol).as("src"),
+      size(T.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+    val hist = lens.groupBy(col("src"), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("src")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("src"))
+      .agg(
+        min(when(col("cum") * 10000 >= lit(loBps.toLong) * col("n"),
+          col("n_tokens"))).as("lo_len"),
+        min(when(col("cum") * 10000 >= lit(hiBps.toLong) * col("n"),
+          col("n_tokens"))).as("hi_len"))
+    lens.join(broadcast(cuts), Seq("src"))
+      .select(col("doc"), col("src"), col("n_tokens"),
+        col("lo_len"), col("hi_len"),
+        col("n_tokens").between(col("lo_len"), col("hi_len")).as("keep"))
+  }
+
   /** Deterministic corpus sharding — the "global training shuffle" without
     * a global sort: shard = md5(id) mod `nShards`, position within the
     * shard = rank by the full md5 value. Because the order key is a hash

@@ -314,6 +314,35 @@ object CurationQueries {
         "union) — benchmark screening that ingests new probe suites without re-reading " +
         "old ones"),
 
+    "q282_length_percentile_gate" -> Q(
+      (s, dir) =>
+        Curation.lengthPercentileGate(
+            Tables.table(s, dir, "documents"), "text", "doc_id", "source",
+            loBps = 1000, hiBps = 9000)
+          .orderBy(col("doc")),
+      Some("""WITH lens AS (SELECT doc_id AS doc, source AS src,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             |      t -> len(t) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |h AS (SELECT src, n_tokens, count(*) AS c FROM lens GROUP BY 1, 2),
+             |w AS (SELECT src, n_tokens,
+             |    sum(c) OVER (PARTITION BY src ORDER BY n_tokens
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY src) AS n FROM h),
+             |cuts AS (SELECT src,
+             |    min(CASE WHEN cum * 10000 >= 1000 * n THEN n_tokens END) AS lo_len,
+             |    min(CASE WHEN cum * 10000 >= 9000 * n THEN n_tokens END) AS hi_len
+             |  FROM w GROUP BY src)
+             |SELECT doc, lens.src, n_tokens,
+             |  CAST(lo_len AS BIGINT) AS lo_len, CAST(hi_len AS BIGINT) AS hi_len,
+             |  (n_tokens BETWEEN lo_len AND hi_len) AS keep
+             |FROM lens JOIN cuts ON cuts.src = lens.src
+             |ORDER BY doc""".stripMargin),
+      "per-source relative length gate: keep docs inside their own source's [p10, p90] " +
+        "discrete token-count percentiles (the outlier trim absolute Gopher bounds miss); " +
+        "cut table from the length HISTOGRAM — windows bounded by length resolution per " +
+        "source, never corpus size, then one broadcast join"),
+
     "q79_temperature_mix" -> Q(
       (s, dir) =>
         Curation.temperatureMix(Tables.table(s, dir, "documents"), "doc_id", "source",

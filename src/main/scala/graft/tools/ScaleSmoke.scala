@@ -92,7 +92,12 @@ object ScaleSmoke {
       // nSeed, corpus-independent) for q278 and exactly-10x doc rows for
       // q279; the time ratio watches the once-per-corpus scan + the
       // corpus-independent EM rounds
-      "q278_unigram_train", "q279_unigram_encode")
+      "q278_unigram_train", "q279_unigram_encode",
+      // q282 on the salted documents: the _rN suffix preserves TOKEN
+      // COUNTS, so each source's length histogram scales its frequencies
+      // exactly 10x, the percentile cuts are BIT-IDENTICAL to base, and
+      // every replica doc's keep flag replicates — rows exactly 10x
+      "q282_length_percentile_gate")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

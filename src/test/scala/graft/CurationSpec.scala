@@ -578,4 +578,45 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"the splitter must never shuffle; plan:\n$plan")
   }
+
+  test("lengthPercentileGate: hand percentiles per source, gate flags, " +
+      "determinism, guards") {
+    // source a: lengths 1..10 (one doc each) -> p20 = 2 (cum 2*10000 >=
+    // 20%*10), p80 = 8; source b: five docs of length 3 -> p20 = p80 = 3
+    val docs =
+      (1 to 10).map(i => (i.toLong, ("w " * i).trim, "a")) ++
+        (11 to 15).map(i => (i.toLong, "w w w", "b"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = Curation
+      .lengthPercentileGate(df, "text", "doc_id", "source", 2000, 8000)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))))
+      .toMap
+    (1 to 10).foreach { i =>
+      val (src, n, lo, hi, keep) = got(i.toLong)
+      assert(src === "a" && n === i.toLong && lo === 2L && hi === 8L)
+      assert(keep === (i >= 2 && i <= 8), s"doc $i")
+    }
+    (11 to 15).foreach { i =>
+      val (src, n, lo, hi, keep) = got(i.toLong)
+      assert(src === "b" && n === 3L && lo === 3L && hi === 3L && keep)
+    }
+    // deterministic under repartitioning
+    val again = Curation
+      .lengthPercentileGate(df.repartition(7), "text", "doc_id", "source",
+        2000, 8000)
+      .collect().map(_.toSeq.toString).sorted
+    val first = Curation
+      .lengthPercentileGate(df, "text", "doc_id", "source", 2000, 8000)
+      .collect().map(_.toSeq.toString).sorted
+    assert(again.toSeq === first.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.lengthPercentileGate(df, "text", "doc_id", "source", 9000, 500)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.lengthPercentileGate(df, "text", "doc_id", "source", -1, 500)
+    }
+  }
 }
