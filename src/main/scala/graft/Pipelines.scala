@@ -51,15 +51,22 @@ object Pipelines {
     val docs = Tables.table(spark, sfDir, "documents")
     val index = operators.Dedup.buildShingleIndex(docs, "text", "doc_id", 5)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the minhash pair frame feeds BOTH the count and keepRepresentatives:
+    // persist it (tiny — the near-dup pair set) or the LSH banding +
+    // self-join over the index runs twice
+    val mh = operators.Dedup.minhashNearDupsFromIndex(index, 0.8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       index.count()
       val nJac = operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count()
-      val nMh = operators.Dedup.minhashNearDupsFromIndex(index, 0.8).count()
-      val nKeep = operators.Dedup.keepRepresentatives(
-          docs, "doc_id", operators.Dedup.minhashNearDupsFromIndex(index, 0.8))
+      val nMh = mh.count()
+      val nKeep = operators.Dedup.keepRepresentatives(docs, "doc_id", mh)
         .filter(col("keep")).count()
       (nJac, nMh, nKeep)
-    } finally index.unpersist(blocking = false)
+    } finally {
+      mh.unpersist(blocking = false)
+      index.unpersist(blocking = false)
+    }
   }
 
   /** The metric-monitoring suite (benched as pipeline_monitor): the

@@ -240,6 +240,36 @@ object TextPipeline {
     Array.tabulate(a.length)(i => a(i) | b(i))
   }
 
+  /** A built bloom filter WITH its geometry: the raw-array [[bloomMerge]]
+    * can verify only mBits (the array length) — kHashes and shingleK are
+    * invisible in the words, so two filters built with different hash
+    * counts would merge silently into something that matches NEITHER
+    * union. The typed form makes that mismatch a loud require. */
+  final case class BloomModel(words: Array[Long], kHashes: Int, shingleK: Int)
+
+  /** [[bloomWords]] returning the geometry-carrying [[BloomModel]]. */
+  def bloomModel(
+      probes: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, mBits: Int = 1 << 16, kHashes: Int = 4): BloomModel =
+    BloomModel(bloomWords(probes, textCol, idCol, shingleK, mBits, kHashes),
+      kHashes, shingleK)
+
+  /** Geometry-checked OR-merge of two [[BloomModel]]s. */
+  def bloomMerge(a: BloomModel, b: BloomModel): BloomModel = {
+    require(a.kHashes == b.kHashes && a.shingleK == b.shingleK,
+      s"bloomMerge: filters disagree on geometry (kHashes ${a.kHashes} vs " +
+        s"${b.kHashes}, shingleK ${a.shingleK} vs ${b.shingleK})")
+    BloomModel(bloomMerge(a.words, b.words), a.kHashes, a.shingleK)
+  }
+
+  /** [[bloomProbe]] against a [[BloomModel]] — geometry comes from the
+    * model, so probe parameters cannot drift from build parameters. */
+  def bloomProbe(
+      docs: DataFrame, model: BloomModel, textCol: String, idCol: String,
+      minShared: Int): DataFrame =
+    bloomProbe(docs, model.words, textCol, idCol, model.shingleK, minShared,
+      model.kHashes)
+
   /** MAP-ONLY probe of a corpus against a built filter: (doc, n_hits) for
     * documents with >= `minShared` DISTINCT shingles whose kHashes bits
     * are all set. The per-document work — shingle windows, distinct, md5,
@@ -1032,9 +1062,26 @@ object TextPipeline {
   /** Piece score absent from the model — loses to any single-char path
     * (whose floor score is ≥ −20·10⁶ per char). */
   private val UnigramAbsent = -1000000000000L
-  /** CASE arm for j > i in the packed Viterbi argmax — below any
-    * reachable packed value. */
-  private val UnigramUnreach = -9000000000000000L
+  /** CASE arm for j > i in the packed Viterbi argmax. Must sit below any
+    * REACHABLE packed value or greatest() picks it and its mod-8 residue
+    * (j = 0) corrupts the backward walk: reachable values are bounded by
+    * −8·len·|UnigramAbsent| ≈ −8·10¹²·len, so Long.MinValue/4 (−2.3·10¹⁸)
+    * is safe for words up to ~288k chars — and [[MaxWordChars]] raises
+    * loudly far before that (also keeping the ×8 pack clear of Long
+    * overflow, which starts near len ≈ 10⁶). */
+  private val UnigramUnreach = Long.MinValue / 4
+  /** Hard per-word length bound for the unigram DP (65536 chars): beyond
+    * it the packed arithmetic would eventually clip, so the operators
+    * raise the operator-named error instead of mis-scoring — a single
+    * unbroken 64 KB "word" is not text any tokenizer should score. */
+  private val MaxWordChars = 65536
+
+  private def guardedWordLen(w: Column): Column =
+    when(length(w) <= MaxWordChars, w)
+      .otherwise(raise_error(concat(
+        lit(s"unigram: token longer than $MaxWordChars chars (len="),
+        length(w).cast("string"),
+        lit(") — not scoreable text; split or drop it upstream"))))
 
   /** Packed Viterbi forward pass over one word: dp[i] is the best
     * unigram-LM score of the first i chars, stored as the single long
@@ -1161,6 +1208,7 @@ object TextPipeline {
     docs
       .withColumn("__toks", T.tokens(col(textCol)))
       .filter(size(col("__toks")) > 0)
+      .withColumn("__toks", transform(col("__toks"), guardedWordLen(_)))
       .withColumn("__st",
         transform(col("__toks"), w => viterbiServe(w, m, maxPieceLen)))
       .select(col(idCol).as("doc"),
@@ -1224,6 +1272,7 @@ object TextPipeline {
       // backward hop (the bloomWords Generate-over-HOF lesson); the
       // frame is vocab-sized, so the cut is cheap
       val seg = words
+        .withColumn("w", guardedWordLen(col("w")))
         .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
         .withColumn("ps", viterbiPieces(col("w"), col("dp")))
         .materialize
@@ -1311,6 +1360,7 @@ object TextPipeline {
       unigramCore(docs, textCol, maxPieceLen, nSeed, emRounds)
     val m = typedLit(scores)
     val seg = words
+      .withColumn("w", guardedWordLen(col("w")))
       .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
       .withColumn("ps", viterbiPieces(col("w"), col("dp")))
       .select(col("w"), size(col("ps")).cast("bigint").as("n_p"),

@@ -265,16 +265,16 @@ object CurationQueries {
         // associative, the merged filter is bit-identical to one built
         // from the probe union, which is exactly what the oracle builds.
         val docs = Tables.table(s, dir, "documents")
-        val base = graft.operators.TextPipeline.bloomWords(
+        val base = graft.operators.TextPipeline.bloomModel(
           docs.filter(col("doc_id") < 5), "text", "doc_id",
           shingleK = 5, mBits = 1 << 16, kHashes = 4)
-        val delta = graft.operators.TextPipeline.bloomWords(
+        val delta = graft.operators.TextPipeline.bloomModel(
           docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text",
           "doc_id", shingleK = 5, mBits = 1 << 16, kHashes = 4)
         graft.operators.TextPipeline.bloomProbe(
             docs.filter(col("doc_id") >= 10).repartition(),
             graft.operators.TextPipeline.bloomMerge(base, delta),
-            "text", "doc_id", shingleK = 5, minShared = 1, kHashes = 4)
+            "text", "doc_id", minShared = 1)
           .orderBy(col("doc"))
       },
       // the oracle builds ONE filter from the probe UNION (doc_id < 10) —

@@ -56,6 +56,15 @@ object SchemaRegistry {
 
   private def quote(s: String): String = mapper.writeValueAsString(s)
 
+  /** Percent-encode one PATH SEGMENT (subject names are arbitrary
+    * strings — '/', '%', '?', spaces would mis-route a real HTTP
+    * transport; identity for the usual [A-Za-z0-9._-] names). */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def unseg(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   final case class RegisteredVersion(subject: String, id: Int, version: Int,
       schemaJson: String)
 
@@ -85,7 +94,7 @@ object SchemaRegistry {
       * returns the existing id; an incompatible schema raises 409).
       */
     def register(subject: String, schemaJson: String): Int =
-      call("POST", s"/subjects/$subject/versions",
+      call("POST", s"/subjects/${seg(subject)}/versions",
         Some(s"""{"schema": ${quote(schemaJson)}}""")).get("id").asInt
 
     /** GET /schemas/ids/{id} — resolve a writer schema by global id. */
@@ -94,13 +103,13 @@ object SchemaRegistry {
 
     /** GET /subjects/{subject}/versions — registered version numbers. */
     def versions(subject: String): Seq[Int] = {
-      val node = call("GET", s"/subjects/$subject/versions")
+      val node = call("GET", s"/subjects/${seg(subject)}/versions")
       (0 until node.size()).map(node.get(_).asInt)
     }
 
     /** GET /subjects/{subject}/versions/{version|latest}. */
     def version(subject: String, version: String = "latest"): RegisteredVersion = {
-      val node = call("GET", s"/subjects/$subject/versions/$version")
+      val node = call("GET", s"/subjects/${seg(subject)}/versions/$version")
       RegisteredVersion(node.get("subject").asText, node.get("id").asInt,
         node.get("version").asInt, node.get("schema").asText)
     }
@@ -115,7 +124,7 @@ object SchemaRegistry {
       * this schema be accepted, WITHOUT registering it?
       */
     def testCompatibility(subject: String, schemaJson: String): Boolean =
-      call("POST", s"/compatibility/subjects/$subject/versions/latest",
+      call("POST", s"/compatibility/subjects/${seg(subject)}/versions/latest",
         Some(s"""{"schema": ${quote(schemaJson)}}"""))
         .get("is_compatible").asBoolean
 
@@ -184,7 +193,8 @@ object SchemaRegistry {
       val compatRe = "^/compatibility/subjects/([^/]+)/versions/latest$".r
       val configRe = "^/config/([^/]+)$".r
       (method, path) match {
-        case ("POST", verRe(subject)) =>
+        case ("POST", verRe(rawSubject)) =>
+          val subject = unseg(rawSubject)
           val schemaJson = mapper.readTree(body.get).get("schema").asText
           parseSchema(schemaJson) match {
             case Left(e) => e
@@ -225,12 +235,14 @@ object SchemaRegistry {
           }
         case ("GET", "/subjects") =>
           (200, subjectVersions.keys.map(quote).mkString("[", ",", "]"))
-        case ("GET", verRe(subject)) =>
+        case ("GET", verRe(rawSubject)) =>
+          val subject = unseg(rawSubject)
           subjectVersions.get(subject) match {
             case Some(vs) => (200, vs.indices.map(_ + 1).mkString("[", ",", "]"))
             case None => err(404, 40401, s"subject $subject not found")
           }
-        case ("GET", verNRe(subject, verStr)) =>
+        case ("GET", verNRe(rawSubject, verStr)) =>
+          val subject = unseg(rawSubject)
           subjectVersions.get(subject) match {
             case None => err(404, 40401, s"subject $subject not found")
             case Some(vs) =>
@@ -244,7 +256,8 @@ object SchemaRegistry {
                   s""""id": $id, "schema": ${quote(schemasById(id))}}""")
               }
           }
-        case ("POST", compatRe(subject)) =>
+        case ("POST", compatRe(rawSubject)) =>
+          val subject = unseg(rawSubject)
           subjectVersions.get(subject).filter(_.nonEmpty) match {
             case None => err(404, 40401, s"subject $subject not found")
             case Some(vs) =>
@@ -258,7 +271,8 @@ object SchemaRegistry {
                   (200, s"""{"is_compatible": $ok}""")
               }
           }
-        case ("PUT", configRe(subject)) =>
+        case ("PUT", configRe(rawSubject)) =>
+          val subject = unseg(rawSubject)
           val mode = mapper.readTree(body.get).get("compatibility").asText
           if (!Set("BACKWARD", "NONE").contains(mode))
             err(422, 42203, s"unsupported compatibility mode $mode " +

@@ -242,25 +242,34 @@ object EwmaPipeline {
     * registry lookup, minus the network hop. With the default empty map
     * the single-schema decoder is used as before.
     */
-  def kafkaSource(
+  /** The ONE Kafka reader + key/decode projection both source variants
+    * share — any reader option added here applies to strict and safe
+    * streams alike (they must read the topic identically; only the value
+    * decoder differs).
+    */
+  private def kafkaDecoded(
       spark: SparkSession, bootstrap: String, topic: String,
-      valueSchema: StructType, recordName: String,
-      startingOffsets: String = "latest",
-      writerSchemas: Map[Int, String] = Map.empty): DataFrame = {
-    val raw = spark.readStream
+      startingOffsets: String)(decoded: org.apache.spark.sql.Column): DataFrame =
+    spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
-    val decoded =
+      .select(col("key").cast("string").as("key"), decoded.as("t"))
+      .select(col("key"), col("t.*"))
+
+  def kafkaSource(
+      spark: SparkSession, bootstrap: String, topic: String,
+      valueSchema: StructType, recordName: String,
+      startingOffsets: String = "latest",
+      writerSchemas: Map[Int, String] = Map.empty): DataFrame =
+    kafkaDecoded(spark, bootstrap, topic, startingOffsets)(
       if (writerSchemas.nonEmpty)
         graft.sources.ConfluentAvro.decodeColRegistry(
           col("value"), valueSchema, recordName, writerSchemas)
-      else graft.sources.ConfluentAvro.decodeCol(col("value"), valueSchema, recordName)
-    raw.select(col("key").cast("string").as("key"), decoded.as("t"))
-      .select(col("key"), col("t.*"))
-  }
+      else
+        graft.sources.ConfluentAvro.decodeCol(col("value"), valueSchema, recordName))
 
   /** [[kafkaSource]] with the writer-schema snapshot resolved through a
     * live [[graft.sources.SchemaRegistry.Client]] at PLAN time: the
@@ -290,21 +299,13 @@ object EwmaPipeline {
       strict: Boolean = true): DataFrame = {
     val snapshot =
       client.snapshot(Seq(graft.sources.SchemaRegistry.valueSubject(topic)))
-    if (strict)
-      kafkaSource(spark, bootstrap, topic, valueSchema, recordName,
-        startingOffsets, snapshot)
-    else {
-      val raw = spark.readStream
-        .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
-        .load()
-      raw.select(col("key").cast("string").as("key"),
-          graft.sources.ConfluentAvro.decodeColRegistrySafe(
-            col("value"), valueSchema, recordName, snapshot).as("t"))
-        .select(col("key"), col("t.*"))
-    }
+    kafkaDecoded(spark, bootstrap, topic, startingOffsets)(
+      if (strict)
+        graft.sources.ConfluentAvro.decodeColRegistry(
+          col("value"), valueSchema, recordName, snapshot)
+      else
+        graft.sources.ConfluentAvro.decodeColRegistrySafe(
+          col("value"), valueSchema, recordName, snapshot))
   }
 
   /** Processing-time trigger mirroring the reference's wall-clock tick

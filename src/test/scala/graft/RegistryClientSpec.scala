@@ -177,6 +177,18 @@ class RegistryClientSpec extends SparkSpec {
     assert(safe.filter(col("t").isNotNull).count() === trades.size * 2L)
   }
 
+  test("subjects with reserved path characters round-trip (client " +
+      "percent-encodes segments; the server decodes them)") {
+    val c = freshClient()
+    val subject = "orders/v1 %special?-value"
+    val id = c.register(subject, v1Json)
+    assert(c.versions(subject) === Seq(1))
+    assert(c.version(subject).id === id)
+    assert(c.subjects() === Seq(subject)) // stored DECODED
+    assert(c.testCompatibility(subject, v2Json))
+    assert(c.snapshot(Seq(subject)).keySet === Set(id))
+  }
+
   test("registry errors surface as typed RegistryException even when the " +
       "transport returns a non-JSON error body") {
     val c = new Client(new SchemaRegistry.RegistryTransport {

@@ -205,6 +205,26 @@ class TextPipelineSpec extends SparkSpec {
       TextPipeline.bloomMerge(a, TextPipeline.bloomWords(
         docs.filter(col("doc_id") < 5), "text", "doc_id", mBits = 1 << 10))
     }
+    // the typed model catches the geometry the raw arrays CANNOT:
+    // same mBits but different kHashes/shingleK must refuse to merge
+    val ma = TextPipeline.bloomModel(
+      docs.filter(col("doc_id") < 5), "text", "doc_id")
+    val mKh = TextPipeline.bloomModel(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text",
+      "doc_id", kHashes = 2)
+    intercept[IllegalArgumentException] { TextPipeline.bloomMerge(ma, mKh) }
+    val mSh = TextPipeline.bloomModel(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text",
+      "doc_id", shingleK = 3)
+    intercept[IllegalArgumentException] { TextPipeline.bloomMerge(ma, mSh) }
+    // and the typed path equals the raw path when geometry agrees
+    val mb = TextPipeline.bloomModel(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), "text", "doc_id")
+    assert(TextPipeline.bloomMerge(ma, mb).words.toSeq === merged.toSeq)
+    val viaModel = TextPipeline.bloomProbe(rest,
+        TextPipeline.bloomMerge(ma, mb), "text", "doc_id", minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaModel === viaUnion)
   }
 
   test("charEntropy: constant string scores 0, uniform pair scores 2x round(ln2/2 micro)") {

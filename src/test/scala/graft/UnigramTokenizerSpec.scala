@@ -203,4 +203,26 @@ class UnigramTokenizerSpec extends SparkSpec {
       TextPipeline.unigramTrain(df, "text", emRounds = 0)
     }
   }
+
+  test("a single token longer than the DP bound raises the named error " +
+      "instead of mis-scoring (train and serve paths)") {
+    val blob = "x" * 70000 // > MaxWordChars = 65536
+    val df = Seq((1L, "normal words here"), (2L, blob)).toDF("doc_id", "text")
+    val exTrain = intercept[Exception] {
+      TextPipeline.unigramTrain(df, "text", 3, 4, 1).collect()
+    }
+    assert(exTrain.getMessage.contains("unigram") ||
+      exTrain.getCause != null)
+    val scores = TextPipeline
+      .unigramTrain(df.filter(col("doc_id") === 1L), "text", 3, 4, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exServe = intercept[Exception] {
+      TextPipeline.unigramServe(df, "text", "doc_id", scores, 1000000L, 3)
+        .collect()
+    }
+    assert(exServe.getMessage != null)
+    // well-formed docs still serve when the blob is gone
+    assert(TextPipeline.unigramServe(df.filter(col("doc_id") === 1L),
+      "text", "doc_id", scores, 1000000L, 3).count() === 1L)
+  }
 }
