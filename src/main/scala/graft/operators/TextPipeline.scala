@@ -1222,6 +1222,40 @@ object TextPipeline {
         col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
   }
 
+  /** A trained unigram LM WITH its DP geometry: the raw score map can't
+    * carry maxPieceLen, so scores trained at maxPieceLen=3 served at
+    * maxPieceLen=2 would silently mis-segment (long pieces in the map
+    * become unreachable without any error) — the exact mismatch class
+    * [[BloomModel]] closes for bloom filters. The typed form pins the
+    * serve-time DP window to the training geometry. */
+  final case class UnigramModel(scores: Map[String, Long], maxPieceLen: Int) {
+    require(scores.nonEmpty, "need a trained score map")
+    require(maxPieceLen >= 2 && maxPieceLen <= 7,
+      "maxPieceLen in [2, 7]: the packed argmax stores the last-piece " +
+        "length in the mod-8 residue, so j = 8 would alias to 0")
+    require(scores.keysIterator.forall(_.length <= maxPieceLen),
+      "UnigramModel: score map contains a piece longer than maxPieceLen " +
+        "— the scores were trained under a different geometry")
+  }
+
+  /** [[unigramTrain]] returning the geometry-carrying [[UnigramModel]]
+    * (scores over the full candidate set + the maxPieceLen they were
+    * trained at), the form [[unigramServe]] consumes. */
+  def unigramTrainModel(
+      docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 2): UnigramModel = {
+    val (_, _, _, scores) = unigramCore(docs, textCol, maxPieceLen, nSeed, emRounds)
+    UnigramModel(scores, maxPieceLen)
+  }
+
+  /** [[unigramServe]] against a [[UnigramModel]] — DP geometry comes
+    * from the model, so serve-time segmentation cannot drift from the
+    * training window. */
+  def unigramServe(
+      docs: DataFrame, textCol: String, idCol: String,
+      model: UnigramModel, maxNllMicro: Long): DataFrame =
+    unigramServe(docs, textCol, idCol, model.scores, maxNllMicro, model.maxPieceLen)
+
   /** The shared train core: (word-freq vocab frame, candidate pieces,
     * final EM counts, final scores). See [[unigramTrain]]. */
   private def unigramCore(

@@ -65,6 +65,11 @@ object ExtensionQueries {
     * `score·8 + j` packed longs (argmax ties resolve to the longer last
     * piece), piece scores come from `mapCte`'s micro-nat map, absent
     * pieces read the −10¹² floor. Emits `${prefix}seg(w, f, ps, dps)`.
+    * The unreachable arm (j > pos+1) uses the SAME Long.MinValue/4
+    * sentinel as the Spark side (safe headroom to ~288k-char words), and
+    * the base case replays the Spark MaxWordChars=65536 guard via
+    * error() — both engines fail identically on a pathological token
+    * instead of one silently corrupting its argmax.
     */
   private def uniViterbi(
       prefix: String, wordsCte: String, mapCte: String, maxLen: Int): String = {
@@ -73,11 +78,13 @@ object ExtensionQueries {
       val sPrev = s"($prev - (($prev % 8) + 8) % 8) // 8"
       val sc = s"coalesce(list_extract(map_extract(m, substring(w, pos + 2 - $j, $j)), 1), " +
         "-1000000000000)"
-      s"CASE WHEN $j <= pos + 1 THEN ($sPrev + $sc) * 8 + $j ELSE -9000000000000000 END"
+      s"CASE WHEN $j <= pos + 1 THEN ($sPrev + $sc) * 8 + $j ELSE -2305843009213693952 END"
     }
     val best = cands.mkString("greatest(", ",\n      ", ")")
     s"""${prefix}fw AS (
-       |  SELECT w, f, 0 AS pos, [CAST(0 AS BIGINT)] AS dps FROM $wordsCte
+       |  SELECT CASE WHEN len(w) > 65536
+       |    THEN error('unigram: token longer than 65536 chars') ELSE w END AS w,
+       |    f, 0 AS pos, [CAST(0 AS BIGINT)] AS dps FROM $wordsCte
        |  UNION ALL
        |  SELECT w, f, pos + 1, list_append(dps, $best)
        |  FROM ${prefix}fw CROSS JOIN $mapCte
@@ -1380,9 +1387,16 @@ object ExtensionQueries {
       (s, dir) => {
         // the dedup-yield planning table: how big are the near-dup
         // clusters, and how many documents would keep-one-per-cluster
-        // actually remove? Pure composition over the q39 components.
+        // actually remove? Candidates come from MinHash-LSH banding
+        // (bucket-bounded, vs the inverted-index self-join's df-capped
+        // postings²) and the Jaccard each candidate is verified with is
+        // EXACT, so the pair set equals the exact scan whenever the
+        // 16×4 banding recalls every >= 0.8 pair — ~0.9998 per pair at
+        // J = 0.8 and certain at J = 1, and the brute-force oracle below
+        // re-checks it at every SF (round-15 headroom change; the old
+        // verify join was the suite's most expensive stage).
         val docs = Tables.table(s, dir, "documents")
-        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
           shingleK = 5, threshold = 0.8)
         Dedup.keepRepresentatives(docs, "doc_id", pairs)
           .groupBy(col("component")).agg(count(lit(1)).as("sz"))

@@ -107,9 +107,13 @@ object SchemaRegistry {
       (0 until node.size()).map(node.get(_).asInt)
     }
 
-    /** GET /subjects/{subject}/versions/{version|latest}. */
+    /** GET /subjects/{subject}/versions/{version|latest}. The version
+      * segment goes through [[seg]] like subjects do — a malformed
+      * argument ("1/2", "../other") must arrive at the server as one
+      * (rejectable) segment, not re-route the request.
+      */
     def version(subject: String, version: String = "latest"): RegisteredVersion = {
-      val node = call("GET", s"/subjects/${seg(subject)}/versions/$version")
+      val node = call("GET", s"/subjects/${seg(subject)}/versions/${seg(version)}")
       RegisteredVersion(node.get("subject").asText, node.get("id").asInt,
         node.get("version").asInt, node.get("schema").asText)
     }

@@ -40,6 +40,30 @@ class StreamingUnigramServeSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("UnigramModel serve path equals the raw-map path and pins geometry") {
+    val (maxLen, nSeed, rounds) = params
+    val thr = 3520000L
+    val model = TextPipeline.unigramTrainModel(docs, "text", maxLen, nSeed, rounds)
+    assert(model.maxPieceLen === maxLen)
+    assert(model.scores === scores)
+    val viaModel = TextPipeline
+      .unigramServe(docs, "text", "doc_id", model, thr)
+      .collect().map(key).toMap
+    val viaMap = TextPipeline
+      .unigramServe(docs, "text", "doc_id", scores, thr, maxLen)
+      .collect().map(key).toMap
+    assert(viaModel === viaMap)
+    // the drift class the model closes: scores trained at maxPieceLen=3
+    // carry 3-char pieces, so wrapping them at maxPieceLen=2 is a loud
+    // construction error instead of a silent mis-segmentation
+    intercept[IllegalArgumentException] {
+      TextPipeline.UnigramModel(model.scores, maxPieceLen = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TextPipeline.UnigramModel(Map.empty, maxPieceLen = 3)
+    }
+  }
+
   test("unigramServe runs unchanged on a streaming frame and matches batch") {
     val (maxLen, _, _) = params
     val thr = 3520000L
@@ -65,10 +89,10 @@ class StreamingUnigramServeSpec extends SparkSpec {
 
   test("unigramServe guards: empty score map, bad threshold, bad maxLen") {
     intercept[IllegalArgumentException] {
-      TextPipeline.unigramServe(docs, "text", "doc_id", Map.empty, 1L)
+      TextPipeline.unigramServe(docs, "text", "doc_id", Map.empty[String, Long], 1L, 3)
     }
     intercept[IllegalArgumentException] {
-      TextPipeline.unigramServe(docs, "text", "doc_id", Map("a" -> -1L), 0L)
+      TextPipeline.unigramServe(docs, "text", "doc_id", Map("a" -> -1L), 0L, 3)
     }
     intercept[IllegalArgumentException] {
       TextPipeline.unigramServe(docs, "text", "doc_id", Map("a" -> -1L), 1L,
