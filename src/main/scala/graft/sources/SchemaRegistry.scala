@@ -132,6 +132,12 @@ object SchemaRegistry {
         Some(s"""{"schema": ${quote(schemaJson)}}"""))
         .get("is_compatible").asBoolean
 
+    /** PUT /config/{subject} — set the subject's compatibility mode. */
+    def setCompatibility(subject: String, mode: String): String =
+      call("PUT", s"/config/${seg(subject)}",
+        Some(s"""{"compatibility": ${quote(mode)}}"""))
+        .get("compatibility").asText
+
     /** The bounded id -> writer-schema-JSON snapshot across the given
       * subjects (all subjects when empty) — the exact input
       * [[ConfluentAvro.fromConfluentAvroRegistry]] consumes. Registry
@@ -147,6 +153,77 @@ object SchemaRegistry {
         }
       }.toMap
     }
+  }
+
+  /** Real-wire transport on `java.net.http.HttpClient` — the production
+    * face of [[RegistryTransport]] (reference: consumer.rs:47-48 wires
+    * the registry URL into the decoder; registry_handler.rs:50-58 POSTs
+    * registrations over HTTP). Protocol-level failures (4xx/5xx) travel
+    * back as (status, body) per the transport contract — only
+    * connection-level failures (refused, timeout) throw. `path` arrives
+    * already percent-encoded by [[Client]]'s seg() discipline, so it is
+    * appended to the base URI verbatim; bodies go out under Confluent's
+    * `application/vnd.schemaregistry.v1+json` content type.
+    */
+  final class HttpRegistryTransport(
+      baseUri: String,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+      extends RegistryTransport {
+    private val base = baseUri.stripSuffix("/")
+    private val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+
+    override def send(method: String, path: String,
+        body: Option[String]): (Int, String) = {
+      val publisher = body
+        .map(b => java.net.http.HttpRequest.BodyPublishers.ofString(b, java.nio.charset.StandardCharsets.UTF_8))
+        .getOrElse(java.net.http.HttpRequest.BodyPublishers.noBody())
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .timeout(timeout)
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .method(method, publisher)
+        .build()
+      val resp = http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString(java.nio.charset.StandardCharsets.UTF_8))
+      (resp.statusCode(), resp.body())
+    }
+  }
+
+  /** Loopback HTTP face for any [[RegistryTransport]]: binds a
+    * `com.sun.net.httpserver.HttpServer` on an ephemeral 127.0.0.1 port
+    * and routes each request's (method, RAW path, body) into the backend
+    * — percent-encoding must SURVIVE the wire to the protocol layer
+    * (`getRawPath`, not the decoded path), because the registry's own
+    * unseg() is the single decode point; a proxy that pre-decoded would
+    * corrupt subjects containing '/'. Pairs with [[HttpRegistryTransport]]
+    * to execute the real wire path (URL encoding, content types, status
+    * propagation) with zero egress — the test harness for R3/R6
+    * fidelity, and a serviceable local dev registry.
+    */
+  final class RegistryHttpServer(backend: RegistryTransport) {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        val bytes = exchange.getRequestBody.readAllBytes()
+        val body = if (bytes.isEmpty) None
+          else Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        val (status, resp) =
+          try backend.send(exchange.getRequestMethod, exchange.getRequestURI.getRawPath, body)
+          catch { case e: Exception =>
+            (500, s"""{"error_code": 50001, "message": ${quote(String.valueOf(e.getMessage))}}""")
+          }
+        val out = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.set("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        exchange.sendResponseHeaders(status, if (out.isEmpty) -1 else out.length.toLong)
+        if (out.nonEmpty) { val os = exchange.getResponseBody; os.write(out); os.close() }
+      } finally exchange.close())
+    server.start()
+
+    /** http://127.0.0.1:{boundPort} — feed to [[HttpRegistryTransport]]. */
+    def baseUri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
   }
 
   /** In-memory registry server speaking the same REST protocol — the

@@ -234,6 +234,38 @@ object EwmaPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
 
+  /** Registry-driven produce framing (the reference producer's exact
+    * sequence, producer.rs:43-56): register the frame's schema under the
+    * topic's TopicNameStrategy value subject at PLAN time, take the
+    * registry-ASSIGNED global id, and project into kafka's (key, value)
+    * wire shape — value Confluent-framed under that id, key the
+    * reference's wall-clock epoch-millis string (lib.rs:29-36).
+    * Registration happens once, driver-side; the encode itself is a
+    * stateless projection, so the same framing runs on batch and
+    * streaming frames alike. RegistryPipelineFidelitySpec round-trips it
+    * through the snapshot-resolving decode.
+    */
+  def frameForTopic(df: DataFrame, topic: String, recordName: String,
+      client: graft.sources.SchemaRegistry.Client): DataFrame = {
+    val (_, enc) = graft.sources.ConfluentAvro.registerAndEncoder(
+      client, topic, df.schema, recordName)
+    df.select(Support.wallClockKey().as("key"),
+      enc(struct(df.columns.map(col): _*)).as("value"))
+  }
+
+  /** [[kafkaSink]] with the produce-side registry protocol wired in:
+    * register-then-frame via [[frameForTopic]], write the framed stream.
+    * Mirrors [[kafkaSourceWithRegistry]] on the consume side — kafka
+    * transport aside (absent from this container), the framing itself is
+    * fidelity-spec'd end-to-end.
+    */
+  def kafkaSinkWithRegistry(
+      df: DataFrame, bootstrap: String, topic: String, recordName: String,
+      client: graft.sources.SchemaRegistry.Client,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    kafkaSink(frameForTopic(df, topic, recordName, client),
+      bootstrap, topic, checkpoint)
+
   /** Kafka source wiring (entry point B's input), Confluent-framed Avro
     * payloads decoded via [[graft.sources.ConfluentAvro]]. Pass
     * `writerSchemas` (a registry snapshot: schema id -> Avro schema JSON)

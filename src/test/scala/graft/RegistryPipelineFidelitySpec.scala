@@ -116,4 +116,45 @@ class RegistryPipelineFidelitySpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("kafkaSinkWithRegistry's framing: frameForTopic registers under the " +
+      "topic's value subject and decode-by-resolved-id recovers the rows") {
+    val trades = (1 to 40).map { i =>
+      Trade(1.0 + i * 0.5, if (i % 2 == 0) "buy" else "sell", 100.0 + i,
+        "BTC-PERP", if (i % 3 == 0) None else Some(0.4 + i * 0.01), None,
+        200.0 + i, (i % 3).toLong, 1700000000000L + i * 1000L, s"t-$i",
+        i.toLong)
+    }
+    val df = spark.createDataset(trades).toDF()
+    val client = new Client(new InMemoryRegistryServer)
+
+    // produce side: the kafka-sink framing — register then frame. The
+    // registry must have exactly one version under the topic's value
+    // subject afterwards, and its id must be the one inside the frames.
+    val framed = EwmaPipeline.frameForTopic(df, "raw-trades", "TradesDataAvro", client)
+    assert(framed.columns.toSeq === Seq("key", "value"))
+    val subject = SchemaRegistry.valueSubject("raw-trades")
+    assert(client.subjects() === Seq(subject))
+    val assigned = client.version(subject).id
+    val rows = framed.collect()
+    // frame bytes carry magic 0x00 + the ASSIGNED id big-endian
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("value")
+      assert(bytes(0) === 0x00.toByte)
+      assert(java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt === assigned)
+      assert(r.getString(0).toLong > 0L) // wall-clock key, epoch millis
+    }
+    // re-framing is idempotent at the registry (same schema → same id,
+    // still one version) — the restart-safety a daily producer needs
+    EwmaPipeline.frameForTopic(df, "raw-trades", "TradesDataAvro", client)
+    assert(client.versions(subject) === Seq(1))
+
+    // consume side: resolve by snapshot (kafkaSourceWithRegistry's
+    // decode expression) and recover the original rows bit-for-bit
+    val decoded = framed.select(ConfluentAvro.decodeColRegistry(
+        col("value"), Trade.schema, "TradesDataAvro",
+        client.snapshot(Seq(subject))).as("t"))
+      .select("t.*").as[Trade].collect().toSeq
+    assert(decoded.sortBy(_.trade_seq) === trades)
+  }
 }
