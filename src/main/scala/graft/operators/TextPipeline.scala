@@ -1095,21 +1095,42 @@ object TextPipeline {
     * [[UnigramAbsent]] floor), so the lambda references only attributes
     * and constants (the wordShinglesFromTokens HOF contract).
     */
+  private def dpStep(w: Column, acc: Column, i: Column, scores: Column,
+      maxLen: Int, ban: Option[Column]): Column = {
+    val cands = (1 to maxLen).map { j =>
+      val prev = element_at(acc, i - lit(j) + lit(1))
+      val prevS = shiftright(prev - pmod(prev, lit(8)), 3)
+      val piece = w.substr(i - lit(j) + lit(1), lit(j))
+      val raw = coalesce(try_element_at(scores, piece), lit(UnigramAbsent))
+      val pieceScore = ban
+        .map(b => when(piece === b, lit(UnigramAbsent)).otherwise(raw))
+        .getOrElse(raw)
+      when(lit(j) <= i, (prevS + pieceScore) * lit(8) + lit(j))
+        .otherwise(lit(UnigramUnreach))
+    }
+    greatest(cands: _*)
+  }
+
   private def viterbiDp(w: Column, scores: Column, maxLen: Int): Column =
     aggregate(
       sequence(lit(1), length(w)),
       array(lit(0L)),
-      (acc, i) => {
-        val cands = (1 to maxLen).map { j =>
-          val prev = element_at(acc, i - lit(j) + lit(1))
-          val prevS = shiftright(prev - pmod(prev, lit(8)), 3)
-          val pieceScore = coalesce(
-            try_element_at(scores, w.substr(i - lit(j) + lit(1), lit(j))),
-            lit(UnigramAbsent))
-          when(lit(j) <= i, (prevS + pieceScore) * lit(8) + lit(j))
-            .otherwise(lit(UnigramUnreach))
-        }
-        concat(acc, array(greatest(cands: _*)))
+      (acc, i) => concat(acc, array(dpStep(w, acc, i, scores, maxLen, None))))
+
+  /** Best segmentation score of `w` with piece `ban` priced at the
+    * [[UnigramAbsent]] floor — "the vocabulary without this piece", the
+    * per-piece likelihood-loss probe of SentencePiece's pruning step.
+    * One forward pass emitting only the final unpacked score (no dp
+    * array leaves the lambda, so nothing is materialized per row). */
+  private def viterbiBanScore(
+      w: Column, scores: Column, maxLen: Int, ban: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(dpStep(w, acc, i, scores, maxLen, Some(ban)))),
+      acc => {
+        val pk = element_at(acc, size(acc))
+        shiftright(pk - pmod(pk, lit(8)), 3)
       })
 
   /** Backward walk of a [[viterbiDp]] array: hop `pos -> pos - j` reading
@@ -1355,6 +1376,132 @@ object TextPipeline {
       (p, p.length.toLong, c, scores(p), c > 0 || p.length == 1)
     }.toSeq.toDF("piece", "plen", "cnt", "logp_micro", "kept")
   }
+
+  /** The shared pruned-train core: survivors with their final-round
+    * segmentation counts and Laplace scores. See [[unigramTrainPruned]]. */
+  private def unigramPrunedCore(
+      docs: DataFrame, textCol: String, targetVocab: Int, pruneFrac: Double,
+      maxPieceLen: Int, nSeed: Int, emRounds: Int, pruneRounds: Int)
+      : Array[(String, Long, Long)] = {
+    require(targetVocab >= 1, "targetVocab must be >= 1")
+    require(pruneFrac > 0.0 && pruneFrac < 1.0, "pruneFrac in (0, 1)")
+    require(pruneRounds >= 1, "need pruneRounds >= 1")
+    // UTF-8 byte order for the loss tie-break — the collation Spark's
+    // ORDER BY and DuckDB's binary VARCHAR comparison both use, so the
+    // dropped set is engine-portable even off ASCII
+    val utf8 = Ordering.comparatorToOrdering(
+      java.util.Comparator.comparing[(Long, String), Array[Byte]](
+        (t: (Long, String)) => t._2.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.util.Arrays.compareUnsigned(_, _)))
+    implicit val dropOrder: Ordering[(Long, String)] =
+      Ordering.by[(Long, String), Long](_._1).orElse(utf8)
+    val (words, seed, _, scores0) =
+      unigramCore(docs, textCol, maxPieceLen, nSeed, emRounds)
+    var cands: Array[String] = seed.map(_._1)
+    var scores: Map[String, Long] = scores0
+    var counts: Map[String, Long] = Map.empty
+    for (_ <- 1 to pruneRounds) {
+      val m = typedLit(scores)
+      // E-step under the current scores (same staging discipline as the
+      // EM loop: materialize before exploding)
+      val seg = words
+        .withColumn("w", guardedWordLen(col("w")))
+        .withColumn("dp", viterbiDp(col("w"), m, maxPieceLen))
+        .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+        .materialize
+      val segCounts = seg.select(col("f"), explode(col("ps")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val multi = cands.filter(_.length >= 2)
+      // the schedule: drop the pruneFrac lowest-loss multi-char pieces,
+      // clamped so the total never goes below targetVocab (single chars
+      // are never candidates — coverage guarantee). floor() on the same
+      // IEEE product both engines compute.
+      val nDrop = math.min(
+        math.floor(multi.length * pruneFrac).toLong,
+        math.max(cands.length.toLong - targetVocab, 0L)).toInt
+      if (nDrop > 0) {
+        // per-piece likelihood loss: for every (word, used multi piece),
+        // the exact DP score with that piece floored; pieces outside any
+        // best segmentation lose nothing (banning them leaves the best
+        // path intact), so only used pieces need a probe — the collect
+        // is candidate-bounded like the EM counts
+        val losses = seg
+          .withColumn("sfull", viterbiScore(col("w"), col("dp")))
+          .select(col("w"), col("f"), col("sfull"),
+            explode(array_distinct(
+              filter(col("ps"), p => length(p) >= 2))).as("ban"))
+          .withColumn("sban",
+            viterbiBanScore(col("w"), m, maxPieceLen, col("ban")))
+          .groupBy(col("ban"))
+          .agg(sum(col("f") * (col("sfull") - col("sban"))).as("loss"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        val dropped = multi.map(p => (losses.getOrElse(p, 0L), p))
+          .sorted.take(nDrop).map(_._2).toSet
+        cands = cands.filterNot(dropped)
+      }
+      // M-step over the survivors, from THIS round's segmentation counts
+      counts = cands.map(p => p -> segCounts.getOrElse(p, 0L)).toMap
+      val t = counts.valuesIterator.sum
+      val v = cands.length
+      scores = cands.map(p =>
+        p -> math.round(1e6 * math.log((counts(p) + 1.0) / (t + v).toDouble))).toMap
+    }
+    cands.map(p => (p, counts(p), scores(p)))
+  }
+
+  /** SentencePiece-style vocabulary PRUNING schedule on top of the hard-EM
+    * unigram trainer: after [[unigramTrain]]'s seed + `emRounds` warm-up,
+    * run `pruneRounds` rounds of (E-step segment → per-piece likelihood
+    * loss → drop the `pruneFrac` lowest-loss multi-char pieces, never
+    * below `targetVocab` total → M-step over the survivors). The loss of
+    * piece p is the exact corpus-likelihood drop if p left the
+    * vocabulary: Σ_w f·(S(w) − S_minus_p(w)), both scores from the same
+    * packed-integer DP (S_minus_p prices p at the absent floor, so only
+    * pieces on some best path can have positive loss). This is what makes
+    * the kept vocabulary QUALITY-shaped (pieces the model would miss)
+    * rather than frequency-shaped (pieces that merely occur) — junk tails
+    * prune away first. Single chars are never pruned: every word stays
+    * segmentable in every round.
+    *
+    * Scale shape: identical to [[unigramTrain]] — per round one map-only
+    * Viterbi over the corpus-independent (word, freq) table, plus one
+    * map-only ban-probe pass over (word, used-piece) rows (≤ |words| ×
+    * pieces-per-word, no shuffle beyond the candidate-bounded count
+    * aggregations), and two candidate-bounded driver collects. Ties in
+    * loss break on UTF-8 byte order of the piece — the collation both
+    * engines' ORDER BY uses.
+    *
+    * Portability: losses are exact integer micro-nat sums; the DuckDB
+    * oracle replays every prune round (segmentation and ban probes via
+    * recursive-CTE Viterbi, the drop via the same floor/least/greatest
+    * arithmetic and (loss, piece) ranking).
+    */
+  def unigramTrainPruned(
+      docs: DataFrame, textCol: String,
+      targetVocab: Int, pruneFrac: Double = 0.25,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 1,
+      pruneRounds: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramPrunedCore(docs, textCol, targetVocab, pruneFrac,
+        maxPieceLen, nSeed, emRounds, pruneRounds)
+      .map { case (p, c, s) => (p, p.length.toLong, c, s, c > 0 || p.length == 1) }
+      .toSeq.toDF("piece", "plen", "cnt", "logp_micro", "kept")
+  }
+
+  /** [[unigramTrainPruned]] returning the geometry-carrying
+    * [[UnigramModel]] over the pruned vocabulary — the serving form. */
+  def unigramTrainPrunedModel(
+      docs: DataFrame, textCol: String,
+      targetVocab: Int, pruneFrac: Double = 0.25,
+      maxPieceLen: Int = 3, nSeed: Int = 32, emRounds: Int = 1,
+      pruneRounds: Int = 2): UnigramModel =
+    UnigramModel(
+      unigramPrunedCore(docs, textCol, targetVocab, pruneFrac,
+        maxPieceLen, nSeed, emRounds, pruneRounds)
+        .map { case (p, _, s) => p -> s }.toMap,
+      maxPieceLen)
 
   /** CCNet-style LM QUALITY GATE from the unigram model: per document,
     * the mean negative log-likelihood per piece of the Viterbi

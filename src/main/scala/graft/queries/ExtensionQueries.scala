@@ -50,7 +50,7 @@ object ExtensionQueries {
     s"""WITH tok AS (
        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
        |  FROM documents),
-       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+       |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
        |w0 AS (SELECT array_to_string(list_transform(regexp_split_to_array(w, ''),
        |         ch -> chr(1) || ch || chr(2)), '') AS ws, f FROM wf),
        |$stages
@@ -89,7 +89,7 @@ object ExtensionQueries {
        |  SELECT w, f, pos + 1, list_append(dps, $best)
        |  FROM ${prefix}fw CROSS JOIN $mapCte
        |  WHERE pos < len(w)),
-       |${prefix}fd AS (SELECT w, f, dps FROM ${prefix}fw WHERE pos = len(w)),
+       |${prefix}fd AS MATERIALIZED (SELECT w, f, dps FROM ${prefix}fw WHERE pos = len(w)),
        |${prefix}bk AS (
        |  SELECT w, f, len(w) AS pos, CAST([] AS VARCHAR[]) AS ps, dps FROM ${prefix}fd
        |  UNION ALL
@@ -97,21 +97,21 @@ object ExtensionQueries {
        |  FROM (SELECT w, f, pos, ps, dps,
        |          CAST(((dps[pos + 1] % 8) + 8) % 8 AS INTEGER) AS j
        |        FROM ${prefix}bk WHERE pos > 0) t),
-       |${prefix}seg AS (SELECT w, f, ps, dps FROM ${prefix}bk WHERE pos = 0)""".stripMargin
+       |${prefix}seg AS MATERIALIZED (SELECT w, f, ps, dps FROM ${prefix}bk WHERE pos = 0)""".stripMargin
   }
 
   /** One EM M-step in SQL: frequency-weighted piece counts from a
     * segmentation, zero-filled over the fixed candidate set, then the
     * Laplace-smoothed micro-nat scores + score map. */
   private def uniMstep(prefix: String, segCte: String): String =
-    s"""${prefix}cnt AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+    s"""${prefix}cnt AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
        |  FROM (SELECT f, unnest(ps) AS piece FROM $segCte) GROUP BY piece),
-       |${prefix}full AS (SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+       |${prefix}full AS MATERIALIZED (SELECT c.piece, coalesce(n.cnt, 0) AS cnt
        |  FROM cands c LEFT JOIN ${prefix}cnt n USING (piece)),
-       |${prefix}tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM ${prefix}full),
-       |${prefix}sc AS (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+       |${prefix}tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM ${prefix}full),
+       |${prefix}sc AS MATERIALIZED (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
        |  FROM ${prefix}full CROSS JOIN ${prefix}tot),
-       |${prefix}mp AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m
+       |${prefix}mp AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m
        |  FROM ${prefix}sc)""".stripMargin
 
   /** Shared WITH prefix: tokenization, (word, freq) vocab, seed
@@ -128,21 +128,99 @@ object ExtensionQueries {
     s"""WITH RECURSIVE tok AS (
        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
        |  FROM documents),
-       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+       |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
        |sub0 AS (SELECT f, w, unnest(generate_series(1, len(w))) AS p FROM wf),
        |sub1 AS (SELECT f, w, p, unnest(generate_series(1, $maxLen)) AS l FROM sub0),
        |subp AS (SELECT substring(w, p, l) AS piece, CAST(sum(f) AS BIGINT) AS cnt
        |  FROM sub1 WHERE p + l - 1 <= len(w) GROUP BY piece),
-       |cands AS (SELECT piece, cnt FROM subp WHERE len(piece) = 1
+       |cands AS MATERIALIZED (SELECT piece, cnt FROM subp WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subp WHERE len(piece) >= 2
        |    ORDER BY cnt DESC, piece LIMIT $nSeed)),
-       |r0tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM cands),
-       |r0sc AS (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+       |r0tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM cands),
+       |r0sc AS MATERIALIZED (SELECT piece, CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
        |  FROM cands CROSS JOIN r0tot),
-       |r0mp AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM r0sc),
+       |r0mp AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM r0sc),
        |$rounds""".stripMargin
   }
+
+  /** Ban-probe forward DP in SQL: the same packed Viterbi as
+    * [[uniViterbi]] but carrying a `ban` piece per row whose score reads
+    * the absent floor — "the vocabulary without this piece", the
+    * likelihood-loss probe of the SentencePiece pruning step. Consumes
+    * `${pairsCte}(w, f, ban, sfull)`, emits `${prefix}bj(w, f, ban,
+    * sfull, sban)`.
+    */
+  private def uniViterbiBan(
+      prefix: String, pairsCte: String, mapCte: String, maxLen: Int): String = {
+    val cands = (1 to maxLen).map { j =>
+      val prev = s"dps[pos + 2 - $j]"
+      val sPrev = s"($prev - (($prev % 8) + 8) % 8) // 8"
+      val piece = s"substring(w, pos + 2 - $j, $j)"
+      val sc = s"CASE WHEN $piece = ban THEN -1000000000000 ELSE " +
+        s"coalesce(list_extract(map_extract(m, $piece), 1), -1000000000000) END"
+      s"CASE WHEN $j <= pos + 1 THEN ($sPrev + $sc) * 8 + $j ELSE -2305843009213693952 END"
+    }
+    val best = cands.mkString("greatest(", ",\n      ", ")")
+    s"""${prefix}bw AS (
+       |  SELECT w, f, ban, sfull, 0 AS pos, [CAST(0 AS BIGINT)] AS dps FROM $pairsCte
+       |  UNION ALL
+       |  SELECT w, f, ban, sfull, pos + 1, list_append(dps, $best)
+       |  FROM ${prefix}bw CROSS JOIN $mapCte
+       |  WHERE pos < len(w)),
+       |${prefix}bj AS MATERIALIZED (SELECT w, f, ban, sfull,
+       |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS sban
+       |  FROM ${prefix}bw WHERE pos = len(w))""".stripMargin
+  }
+
+  /** The pruning schedule unrolled in SQL (the bpeOracle convention):
+    * after [[uniTrainWith]] leaves `cands` + `r{emRounds}mp` in scope,
+    * each round r segments under the previous map, probes the per-piece
+    * likelihood loss via [[uniViterbiBan]], drops the `pruneFrac`
+    * lowest-(loss, piece) multi pieces (floor/least/greatest arithmetic
+    * identical to the Spark driver's), and re-estimates scores over the
+    * survivors from the SAME segmentation's counts. Leaves
+    * `p{pruneRounds}full` / `p{pruneRounds}sc` in scope.
+    */
+  private def uniPruneRounds(maxLen: Int, emRounds: Int, pruneRounds: Int,
+      pruneFrac: Double, targetVocab: Int): String =
+    (1 to pruneRounds).map { r =>
+      val prevMp = if (r == 1) s"r${emRounds}mp" else s"p${r - 1}mp"
+      val prevCd = if (r == 1) "cands" else s"p${r - 1}cd"
+      s"""${uniViterbi(s"p$r", "wf", prevMp, maxLen)},
+         |p${r}cnt AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, unnest(ps) AS piece FROM p${r}seg) GROUP BY piece),
+         |p${r}pair AS MATERIALIZED (SELECT w, f,
+         |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS sfull,
+         |    unnest(list_distinct(list_filter(ps, x -> len(x) >= 2))) AS ban
+         |  FROM p${r}seg),
+         |${uniViterbiBan(s"p$r", s"p${r}pair", prevMp, maxLen)},
+         |p${r}lw AS MATERIALIZED (SELECT ban AS piece,
+         |    CAST(sum(f * (sfull - sban)) AS BIGINT) AS loss
+         |  FROM p${r}bj GROUP BY 1),
+         |p${r}ml AS MATERIALIZED (SELECT c.piece, coalesce(l.loss, 0) AS loss
+         |  FROM (SELECT piece FROM $prevCd WHERE len(piece) >= 2) c
+         |  LEFT JOIN p${r}lw l USING (piece)),
+         |p${r}nd AS MATERIALIZED (SELECT CAST(least(
+         |    floor((SELECT count(*) FROM p${r}ml) * $pruneFrac),
+         |    greatest((SELECT count(*) FROM $prevCd) - $targetVocab, 0))
+         |  AS BIGINT) AS nd),
+         |p${r}dr AS MATERIALIZED (SELECT piece FROM
+         |  (SELECT piece, row_number() OVER (ORDER BY loss, piece) AS rn
+         |   FROM p${r}ml)
+         |  CROSS JOIN p${r}nd WHERE rn <= nd),
+         |p${r}cd AS MATERIALIZED (SELECT piece FROM $prevCd
+         |  WHERE piece NOT IN (SELECT piece FROM p${r}dr)),
+         |p${r}full AS MATERIALIZED (SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+         |  FROM p${r}cd c LEFT JOIN p${r}cnt n USING (piece)),
+         |p${r}tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v
+         |  FROM p${r}full),
+         |p${r}sc AS MATERIALIZED (SELECT piece,
+         |    CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+         |  FROM p${r}full CROSS JOIN p${r}tot),
+         |p${r}mp AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
+         |    list(s ORDER BY piece)) AS m FROM p${r}sc)""".stripMargin
+    }.mkString(",\n")
 
   val queries: Seq[(String, Q)] = Seq(
 
@@ -773,6 +851,25 @@ object ExtensionQueries {
       "CCNet-style LM quality gate: mean negative log-likelihood per piece of the " +
         "unigram Viterbi segmentation (perplexity filter in exact micro-nats), keep " +
         "flag at the threshold — the pre-training screen run after dedup"),
+
+    "q283_unigram_train_pruned" -> Q(
+      (s, dir) =>
+        graft.operators.TextPipeline.unigramTrainPruned(
+            Tables.table(s, dir, "documents"), "text",
+            targetVocab = 40, pruneFrac = 0.25,
+            maxPieceLen = 3, nSeed = 32, emRounds = 1, pruneRounds = 2)
+          .orderBy(col("cnt").desc, col("piece")),
+      Some(s"""${uniTrainWith(3, 32, 1)},
+              |${uniPruneRounds(3, 1, 2, 0.25, 40)}
+              |SELECT f.piece, CAST(len(f.piece) AS BIGINT) AS plen, f.cnt,
+              |  s.s AS logp_micro,
+              |  (f.cnt > 0 OR len(f.piece) = 1) AS kept
+              |FROM p2full f JOIN p2sc s USING (piece)
+              |ORDER BY f.cnt DESC, f.piece""".stripMargin),
+      "SentencePiece-style vocabulary pruning on the unigram trainer: 2 rounds of " +
+        "(segment, exact per-piece likelihood-loss via ban-probe DP, drop the 25% " +
+        "lowest-loss multi pieces clamped at 40 total, re-estimate over survivors) — " +
+        "quality-shaped vocabulary, oracle replays every round incl. the ban probes"),
 
     "q65_decontaminate" -> Q(
       (s, dir) => {

@@ -204,6 +204,164 @@ class UnigramTokenizerSpec extends SparkSpec {
     }
   }
 
+  /** First-principles replica of the PRUNING schedule (round-15 directive
+    * #1): seed + emRounds hard EM exactly as [[replica]], then pruneRounds
+    * of (segment → per-piece ban-DP likelihood loss → drop the pruneFrac
+    * lowest-loss multi pieces, clamped at targetVocab → M-step over the
+    * survivors from the same segmentation's counts). */
+  private def replicaPruned(docs: Seq[String], maxLen: Int, nSeed: Int,
+      emRounds: Int, pruneRounds: Int, pruneFrac: Double,
+      targetVocab: Int): Seq[(String, Long, Long, Long, Boolean)] = {
+    val toks = docs.flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val wf = toks.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val subCnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      for (p <- 0 until w.length; l <- 1 to maxLen if p + l <= w.length)
+        subCnt(w.substring(p, p + l)) += f
+    }
+    val chars = subCnt.filter(_._1.length == 1).toSeq
+    val multi0 = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(nSeed)
+    var cands: Seq[String] = (chars ++ multi0).map(_._1)
+    def mstep(counts: Map[String, Long]): Map[String, Long] = {
+      val full = cands.map(p => p -> counts.getOrElse(p, 0L))
+      val t = full.map(_._2).sum
+      val v = cands.size
+      full.map { case (p, c) =>
+        p -> math.round(1e6 * math.log((c + 1.0) / (t + v).toDouble))
+      }.toMap
+    }
+    def viterbi(w: String, scores: Map[String, Long],
+        ban: Option[String]): (Long, Seq[String]) = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(0L)
+      for (i <- 1 to n) {
+        var best = Long.MinValue
+        for (j <- 1 to math.min(maxLen, i)) {
+          val piece = w.substring(i - j, i)
+          val prev = dp(i - j)
+          val prevS = (prev - Math.floorMod(prev, 8L)) / 8L
+          val sc = if (ban.contains(piece)) Absent
+            else scores.getOrElse(piece, Absent)
+          val cand = (prevS + sc) * 8L + j
+          if (cand > best) best = cand
+        }
+        dp(i) = best
+      }
+      var pos = n
+      val ps = mutable.Buffer.empty[String]
+      while (pos > 0) {
+        val j = Math.floorMod(dp(pos), 8L).toInt
+        ps += w.substring(pos - j, pos)
+        pos -= j
+      }
+      ((dp(n) - Math.floorMod(dp(n), 8L)) / 8L, ps.toSeq)
+    }
+    var counts: Map[String, Long] = cands.map(p => p -> subCnt(p)).toMap
+    var scores = mstep(counts)
+    for (_ <- 1 to emRounds) {
+      val c = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) =>
+        viterbi(w, scores, None)._2.foreach(p => c(p) += f)
+      }
+      counts = c.toMap
+      scores = mstep(counts)
+    }
+    for (_ <- 1 to pruneRounds) {
+      val segs = wf.keys.map(w => w -> viterbi(w, scores, None)).toMap
+      val segCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) => segs(w)._2.foreach(p => segCounts(p) += f) }
+      val multi = cands.filter(_.length >= 2)
+      val nDrop = math.min(
+        math.floor(multi.size * pruneFrac).toLong,
+        math.max(cands.size.toLong - targetVocab, 0L)).toInt
+      if (nDrop > 0) {
+        val loss = mutable.Map.empty[String, Long].withDefaultValue(0L)
+        wf.foreach { case (w, f) =>
+          val (sFull, ps) = segs(w)
+          ps.filter(_.length >= 2).distinct.foreach { p =>
+            loss(p) += f * (sFull - viterbi(w, scores, Some(p))._1)
+          }
+        }
+        val dropped = multi.map(p => (loss(p), p)).sorted.take(nDrop)
+          .map(_._2).toSet
+        cands = cands.filterNot(dropped)
+      }
+      counts = cands.map(p => p -> segCounts(p)).toMap
+      scores = mstep(counts)
+    }
+    cands.map { p =>
+      val c = counts(p)
+      (p, p.length.toLong, c, scores(p), c > 0 || p.length == 1)
+    }
+  }
+
+  test("unigramTrainPruned matches the first-principles pruning replica " +
+      "on 8 random tie-dense corpora") {
+    val rnd = new Random(467)
+    (1 to 8).foreach { trial =>
+      val docs = randomCorpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val maxLen = 2 + rnd.nextInt(2)
+      val nSeed = 6 + rnd.nextInt(10)
+      val emRounds = 1 + rnd.nextInt(2)
+      val pruneRounds = 1 + rnd.nextInt(3)
+      val pruneFrac = Seq(0.2, 0.25, 0.5)(rnd.nextInt(3))
+      val targetVocab = 4 + rnd.nextInt(12)
+      val got = TextPipeline.unigramTrainPruned(df, "text", targetVocab,
+          pruneFrac, maxLen, nSeed, emRounds, pruneRounds)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).sortBy(_._1)
+      val want = replicaPruned(docs, maxLen, nSeed, emRounds, pruneRounds,
+        pruneFrac, targetVocab).sortBy(_._1)
+      assert(got.toSeq === want,
+        s"trial $trial (maxLen=$maxLen nSeed=$nSeed em=$emRounds " +
+          s"prune=$pruneRounds frac=$pruneFrac target=$targetVocab)")
+    }
+  }
+
+  test("pruned training drops an obvious junk-piece tail, keeps every " +
+      "single char, hits the target size, and every word stays servable") {
+    // 200 copies of the real corpus word + ONE junk word: the junk word's
+    // multi-char pieces make the frequency-shaped seed (nSeed is big
+    // enough) but carry near-zero likelihood loss, so pruning must shed
+    // them first while the dominant word's pieces survive
+    val docs = Seq.fill(200)("tokfoo tokfoo") :+ "zqv"
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val nChars = docs.flatMap(_.split("\\s+")).flatten.distinct.size
+    val targetVocab = nChars + 2
+    val out = TextPipeline.unigramTrainPruned(df, "text", targetVocab,
+        pruneFrac = 0.5, maxPieceLen = 3, nSeed = 16, emRounds = 1,
+        pruneRounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the junk tail is gone — "zqv" carries real per-occurrence loss (its
+    // char fallback is floor-priced) but only ONE occurrence weights it,
+    // ~500x below the dominant word's pieces; coverage intact; size on target
+    Seq("zq", "qv", "zqv").foreach(p =>
+      assert(!out.contains(p), s"junk piece $p survived pruning"))
+    "tokfzqv".foreach(ch =>
+      assert(out.contains(ch.toString), s"char $ch pruned"))
+    assert(out.size === targetVocab)
+    // survivors are quality-shaped: the kept multi pieces all come from
+    // the dominant word and carry its mass
+    val multis = out.keys.filter(_.length >= 2)
+    assert(multis.nonEmpty &&
+      multis.forall(p => "tokfoo".contains(p) && out(p) > 0L))
+    // every word (junk included) still segments under the pruned model
+    val model = TextPipeline.unigramTrainPrunedModel(df, "text", targetVocab,
+      pruneFrac = 0.5, maxPieceLen = 3, nSeed = 16, emRounds = 1,
+      pruneRounds = 5)
+    val served = TextPipeline
+      .unigramServe(df, "text", "doc_id", model, maxNllMicro = 100000000L)
+      .collect()
+    assert(served.length === docs.size)
+    served.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      "every token must yield at least one piece"))
+  }
+
   test("a single token longer than the DP bound raises the named error " +
       "instead of mis-scoring (train and serve paths)") {
     val blob = "x" * 70000 // > MaxWordChars = 65536
