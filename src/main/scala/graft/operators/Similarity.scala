@@ -786,6 +786,82 @@ object Similarity {
     IvfPqModel(coarse, books)
   }
 
+  /** The 4-hex-digit md5 gate threshold putting ~`(10000 - deltaBps)`
+    * basis points of ids into the BASE split (q277's 'cccc' = 8000 bps
+    * base). Exact integer arithmetic, so both engines derive the same
+    * literal. */
+  private[graft] def baseGateHex(deltaBps: Int): String =
+    f"${(10000L - deltaBps) * 65536L / 10000L}%04x"
+
+  /** RECALL-DECAY AUDIT for the incremental IVF-PQ index ([[ivfPqEncode]]
+    * maintenance): the operational question a daily ingest pipeline must
+    * answer is WHEN to retrain — every appended delta was encoded under
+    * codebooks that never saw it, so union-index recall decays as the
+    * delta share grows. This operator measures the decay curve: for each
+    * `deltaBps` (delta share in basis points), split the corpus on the
+    * deterministic md5 gate (base keeps ids whose md5 prefix is below
+    * [[baseGateHex]] — the q277/q193 split, so every fraction's split is
+    * reproducible), train + encode the base, encode the delta under the
+    * FROZEN model, probe the union index, and report micro-averaged
+    * recall@k against ONE shared brute-force ground truth over the full
+    * corpus. Output: `(delta_bps, n_base, n_delta, mean_recall_ppm)`,
+    * one row per fraction — read it as "retrain before the delta share
+    * where this curve crosses your recall floor".
+    *
+    * Scale shape: ground truth is computed ONCE on the (sampled) query
+    * set; each fraction costs one bounded-sample training (md5-smallest
+    * [[TrainSampleSize]] base rows), one map-only encode, and one
+    * nProbe-bounded probe — the same plan as q277 per point. The only
+    * driver state is one (hits, true) pair per fraction.
+    */
+  def ivfPqRecallDecay(
+      corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      deltaBps: Seq[Int] = Seq(2000, 5000, 8000), k: Int = 10,
+      nClusters: Int = 8, coarseIters: Int = 3,
+      m: Int = 4, nCentroids: Int = 16, pqIters: Int = 3,
+      nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(deltaBps.nonEmpty && deltaBps.forall(b => b >= 1 && b <= 9999),
+      "deltaBps must be non-empty with each fraction in [1, 9999]")
+    require(k >= 1 && rerank >= k, "need k >= 1, rerank >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val exact = bruteForceTopK(queries, corpus, vecCol, idCol, k)
+      .materialize // ONE ground truth shared by every fraction
+    // the fractions are independent train+encode+probe pipelines over
+    // the same inputs — run them as concurrent driver threads (Spark
+    // schedules jobs from multiple threads freely); each fraction's
+    // result is a single (hits, true, sizes) row, so the only shared
+    // driver state is the bounded output list
+    def point(bps: Int): (Int, Long, Long, Long) = {
+      val gate =
+        substring(md5(col(idCol).cast("string")), 1, 4) < lit(baseGateHex(bps))
+      val base = corpus.filter(gate)
+      val delta = corpus.filter(!gate)
+      val (model, baseIndex) = ivfPqTrainEncode(base, vecCol, idCol,
+        nClusters, coarseIters, m, nCentroids, pqIters)
+      val index = baseIndex.union(ivfPqEncode(model, delta, vecCol, idCol))
+      val approx =
+        ivfPqProbeIndex(model, index, queries, vecCol, idCol, k, nProbe, rerank)
+      val tot = ModelEval.annRecallAtK(approx, exact, k)
+        .agg(sum(col("n_true")), sum(col("n_hit"))).head()
+      val sizes = corpus
+        .agg(sum(when(gate, 1L).otherwise(0L)), count(lit(1))).head()
+      val (nTrue, nHit) = (tot.getLong(0), tot.getLong(1))
+      val (nBase, nAll) = (sizes.getLong(0), sizes.getLong(1))
+      (bps, nBase, nAll - nBase, 1000000L * nHit / nTrue)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(deltaBps.size)
+    val rows = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          deltaBps.map(bps => scala.concurrent.Future(point(bps)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    rows.toDF("delta_bps", "n_base", "n_delta", "mean_recall_ppm")
+  }
+
   private def probeCoded(
       model: IvfPqModel, coded: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String,

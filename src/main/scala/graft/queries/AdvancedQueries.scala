@@ -140,6 +140,96 @@ object AdvancedQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** [[lloydIter]] with every fraction-dependent CTE name prefixed, so
+    * several trainings stack in ONE WITH (the q284 recall-decay sweep).
+    * Chain CTEs are MATERIALIZED — DuckDB 1.0 inlines multi-referenced
+    * CTEs, and three stacked trainings would re-execute each Lloyd round
+    * exponentially otherwise (the q283 oracle lesson). `e` stays shared.
+    */
+  private def lloydIterP(x: String, i: Int): String =
+    s"""${x}asg$i AS MATERIALIZED (SELECT vec_id, vq, cid FROM (
+       |  SELECT e.vec_id, e.vq, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM ${x}tr e CROSS JOIN ${x}c${i - 1} c) WHERE rn = 1),
+       |${x}s$i AS MATERIALIZED (SELECT cid, dd.d AS d, sum(vq[dd.d]) AS s, count(*) AS cnt
+       |  FROM ${x}asg$i CROSS JOIN generate_series(1, 64) AS dd(d) GROUP BY cid, dd.d),
+       |${x}m$i AS MATERIALIZED (SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM ${x}s$i GROUP BY cid),
+       |${x}c$i AS MATERIALIZED (SELECT p.cid, COALESCE(${x}m$i.c, p.c) AS c FROM ${x}c${i - 1} p LEFT JOIN ${x}m$i USING (cid))""".stripMargin
+
+  /** [[pqIter]], fraction-prefixed + MATERIALIZED like [[lloydIterP]]. */
+  private def pqIterP(x: String, i: Int): String =
+    s"""${x}pasg$i AS MATERIALIZED (SELECT vec_id, j, sq, cid FROM (
+       |  SELECT s.vec_id, s.j, s.sq, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM ${x}ptr s JOIN ${x}pc${i - 1} c ON c.j = s.j) WHERE rn = 1),
+       |${x}ps$i AS MATERIALIZED (SELECT j, cid, dd.d AS d, sum(sq[dd.d]) AS s, count(*) AS cnt
+       |  FROM ${x}pasg$i CROSS JOIN generate_series(1, 16) AS dd(d) GROUP BY j, cid, dd.d),
+       |${x}pm$i AS MATERIALIZED (SELECT j, cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY d) AS c FROM ${x}ps$i GROUP BY j, cid),
+       |${x}pc$i AS MATERIALIZED (SELECT p.j, p.cid, COALESCE(${x}pm$i.c, p.c) AS c FROM ${x}pc${i - 1} p
+       |  LEFT JOIN ${x}pm$i ON ${x}pm$i.j = p.j AND ${x}pm$i.cid = p.cid)""".stripMargin
+
+  /** One recall-decay point in SQL: the FULL q277 replay (base-gated
+    * training, frozen-codebook full-corpus encode, nProbe=3 probe, ADC
+    * top-`rerank`, exact-cosine top-10) under fraction prefix `x` with
+    * gate threshold `hex`, reduced against the shared `gt` ground truth
+    * to one `(delta_bps, n_base, n_delta, mean_recall_ppm)` row
+    * (micro-averaged: 1e6·Σhits DIV Σtrue, exactly the Spark side's
+    * integer convention).
+    */
+  private def sweepFracSql(x: String, bps: Int, hex: String, rerank: Int): String =
+    s"""${x}bs AS MATERIALIZED (SELECT vec_id, vq FROM e
+       |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '$hex'),
+       |${x}tr AS MATERIALIZED (SELECT vec_id, vq FROM ${x}bs
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+       |${x}ini AS MATERIALIZED (SELECT vq, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM ${x}bs),
+       |${x}c0 AS MATERIALIZED (SELECT rk - 1 AS cid, vq AS c FROM ${x}ini WHERE rk <= 8),
+       |${lloydIterP(x, 1)},
+       |${lloydIterP(x, 2)},
+       |${lloydIterP(x, 3)},
+       |${x}af AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (e.vq[d] - c.c[d]) * (e.vq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM e CROSS JOIN ${x}c3 c) WHERE rn = 1),
+       |${x}ptr AS MATERIALIZED (SELECT s.vec_id, s.j, s.sq FROM psub s JOIN ${x}tr tr ON tr.vec_id = s.vec_id),
+       |${x}pc0 AS MATERIALIZED (SELECT js.j, rk - 1 AS cid, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS c
+       |  FROM ${x}ini CROSS JOIN generate_series(0, 3) AS js(j) WHERE rk <= 16),
+       |${pqIterP(x, 1)},
+       |${pqIterP(x, 2)},
+       |${pqIterP(x, 3)},
+       |${x}enc AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+       |  SELECT s.vec_id, s.j, c.cid, row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))), c.cid) AS rn
+       |  FROM psub s JOIN ${x}pc3 c ON c.j = s.j) WHERE rn = 1),
+       |${x}pr AS MATERIALIZED (SELECT query_id, c.cid AS bucket, row_number() OVER (PARTITION BY query_id ORDER BY
+       |    list_sum(list_transform(generate_series(1, 64), d -> (q.qvq[d] - c.c[d]) * (q.qvq[d] - c.c[d]))), c.cid) AS crank
+       |  FROM q CROSS JOIN ${x}c3 c),
+       |${x}sel AS MATERIALIZED (SELECT query_id, bucket FROM ${x}pr WHERE crank <= 3),
+       |${x}tbl AS MATERIALIZED (SELECT s.query_id, c.j, c.cid,
+       |    list_sum(list_transform(generate_series(1, 16), d -> (s.sq[d] - c.c[d]) * (s.sq[d] - c.c[d]))) AS dist
+       |  FROM qsub s JOIN ${x}pc3 c ON c.j = s.j),
+       |${x}ad AS MATERIALIZED (SELECT t.query_id, enc.vec_id AS neighbor_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM ${x}enc enc JOIN ${x}tbl t ON t.j = enc.j AND t.cid = enc.cid
+       |  JOIN ${x}af a ON a.vec_id = enc.vec_id
+       |  JOIN ${x}sel s ON s.query_id = t.query_id AND s.bucket = a.cid
+       |  WHERE enc.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |${x}cand AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arank
+       |  FROM ${x}ad) WHERE arank <= $rerank),
+       |${x}scored AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
+       |    list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       |  FROM ${x}cand c JOIN e qe ON qe.vec_id = c.query_id JOIN e ce ON ce.vec_id = c.neighbor_id),
+       |${x}ap AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM ${x}scored) WHERE rank <= 10),
+       |${x}row AS MATERIALIZED (SELECT CAST($bps AS INTEGER) AS delta_bps,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ${x}bs) AS n_base,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) -
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${x}bs) AS n_delta,
+       |  CAST((1000000 * (SELECT count(*) FROM gt JOIN ${x}ap USING (query_id, neighbor_id)))
+       |    // (SELECT count(*) FROM gt) AS BIGINT) AS mean_recall_ppm)""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------- statistical aggregates
@@ -470,6 +560,53 @@ object AdvancedQueries {
         "delta without retraining or re-reading the base (map-only, delta-sized cost), " +
         "probe runs against the stored base ∪ delta index — the daily-ingest shape of a " +
         "100 TB embedding store"),
+
+    "q284_sim_recall_decay" -> Q(
+      (s, dir) => {
+        // WHEN to retrain the incremental index (q277's operational
+        // question): sweep the delta share, train on each md5-gated base,
+        // encode the delta under the frozen model, probe the union, and
+        // report micro-averaged recall@10 against ONE shared brute-force
+        // ground truth — read the curve against your recall floor. The
+        // three points run as concurrent driver threads (independent
+        // pipelines over the same inputs).
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqRecallDecay(
+            emb, emb.filter(col("vec_id") < 40), "embedding", "vec_id",
+            deltaBps = Seq(2000, 5000, 8000), k = 10,
+            nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16,
+            pqIters = 3, nProbe = 3, rerank = 40)
+          .orderBy(col("delta_bps"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+              |  FROM embeddings),
+              |psub AS MATERIALIZED (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+              |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+              |q AS MATERIALIZED (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 40),
+              |qsub AS MATERIALIZED (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+              |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
+              |gs AS (SELECT q.query_id, ce.vec_id AS neighbor_id,
+              |    list_dot_product(qe.v, ce.v) /
+              |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+              |  FROM q JOIN e qe ON qe.vec_id = q.query_id CROSS JOIN e ce
+              |  WHERE ce.vec_id <> q.query_id),
+              |gt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              |  FROM gs) WHERE rnk <= 10),
+              |${sweepFracSql("fa", 2000, Similarity.baseGateHex(2000), 40)},
+              |${sweepFracSql("fb", 5000, Similarity.baseGateHex(5000), 40)},
+              |${sweepFracSql("fc", 8000, Similarity.baseGateHex(8000), 40)}
+              |SELECT * FROM (
+              |  SELECT * FROM farow UNION ALL
+              |  SELECT * FROM fbrow UNION ALL
+              |  SELECT * FROM fcrow)
+              |ORDER BY delta_bps""".stripMargin),
+      "recall-decay audit for the incremental IVF-PQ index: per delta share " +
+        "(20/50/80%), base-trained frozen codebooks encode the union and the probe's " +
+        "micro-averaged recall@10 vs shared brute-force ground truth is the retrain " +
+        "trigger curve — oracle replays all three trainings + probes in one WITH"),
 
     // ----------------------------------------------- embedding-space curation
     "q83_semdedup" -> Q(

@@ -93,6 +93,12 @@ object ScaleSmoke {
       // q279; the time ratio watches the once-per-corpus scan + the
       // corpus-independent EM rounds
       "q278_unigram_train", "q279_unigram_encode",
+      // q283 pruned training: same vocab-bounded row argument as q278
+      // (rows <= |alphabet| + nSeed, corpus-independent; the salted
+      // alphabet adds digit chars so the clamped survivor count shifts
+      // from base by design); the time ratio additionally watches the
+      // per-round ban-probe pass (words x used-piece rows, map-only)
+      "q283_unigram_train_pruned",
       // q282 on the salted documents: the _rN suffix preserves TOKEN
       // COUNTS, so each source's length histogram scales its frequencies
       // exactly 10x, the percentile cuts are BIT-IDENTICAL to base, and
@@ -225,7 +231,12 @@ object ScaleSmoke {
       // by design (the q142 argument) — the fixed query set keeps rows
       // at 50 and the time ratio watches train (constant, sampled) +
       // the two map-only encodes + the bucket-bounded probe
-      "q277_sim_ivf_pq_incremental")
+      "q277_sim_ivf_pq_incremental",
+      // round-15 recall-decay sweep: rows stay 3 (one per delta fraction);
+      // the time ratio watches 3 concurrent (sampled train + map-only
+      // encode + bucket-bounded probe) pipelines plus the shared 40-query
+      // brute-force ground truth (the only corpus-linear stage)
+      "q284_sim_recall_decay")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")

@@ -635,4 +635,34 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.exists { case (_, n) => deltaIds.contains(n) },
       "no delta row ever surfaced — union index not actually probed")
   }
+
+  test("recall-decay sweep: md5 splits deterministic and exhaustive, " +
+      "recall monotone non-increasing in delta fraction, rerun-identical") {
+    // q277's gate IS the 2000-bps point of the sweep's gate family
+    assert(Similarity.baseGateHex(2000) === "cccc")
+    assert(Similarity.baseGateHex(5000) === "8000")
+    val qs = emb.filter(col("vec_id") < 40)
+    def run() = Similarity.ivfPqRecallDecay(
+        emb, qs, "embedding", "vec_id",
+        deltaBps = Seq(2000, 5000, 8000), k = 10, nProbe = 3, rerank = 40)
+      .orderBy(col("delta_bps")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run()
+    assert(a.map(_._1) === Seq(2000, 5000, 8000))
+    val n = emb.count()
+    a.foreach { case (bps, nb, nd, _) =>
+      assert(nb + nd === n, s"split at $bps bps not exhaustive")
+      assert(nb > 0 && nd > 0, s"split at $bps bps degenerate")
+    }
+    // base shrinks as the delta share grows
+    assert(a.map(_._2) === a.map(_._2).sorted.reverse)
+    // the operational claim: union-index recall decays (non-strictly) as
+    // the frozen codebooks see less of the corpus
+    val rec = a.map(_._4)
+    assert(rec === rec.sorted.reverse,
+      s"recall not monotone non-increasing in delta fraction: $rec")
+    assert(rec.last > 0L, "recall collapsed to zero — probe broken")
+    // deterministic end to end (md5 splits + bounded-sample training)
+    assert(run() === a)
+  }
 }
