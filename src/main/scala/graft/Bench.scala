@@ -159,6 +159,12 @@ object Bench {
       val n = graft.Pipelines.fullCuration(spark, sfDir)
       System.err.println(s"[bench] pipeline_full sharded=$n")
     }
+    val sfunnelSecs = timedEntry("pipeline_stream_funnel") {
+      // the streaming daily-ingest front door (StreamingCurationFunnelSpec):
+      // foreachBatch gopher -> stored-index dedup -> bloom -> LM replay
+      val (nDec, nKeep) = graft.Pipelines.streamFunnel(spark, sfDir)
+      System.err.println(s"[bench] pipeline_stream_funnel decided=$nDec kept=$nKeep")
+    }
     val eventsSecs = timedEntry("pipeline_events") {
       {
         // the event-analytics family the way a feature pipeline runs it:
@@ -280,6 +286,7 @@ object Bench {
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
+      "pipeline_stream_funnel" -> sfunnelSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
       "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,
       "pipeline_profile" -> profileSecs)

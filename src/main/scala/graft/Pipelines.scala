@@ -69,6 +69,43 @@ object Pipelines {
     }
   }
 
+  /** The streaming daily-ingest front door end-to-end (benched as
+    * pipeline_stream_funnel): seed the stored fingerprint index from the
+    * accepted base (doc_id < 250), freeze the bloom + unigram-LM
+    * artifacts, then replay the delta (doc_id >= 250) through the
+    * foreachBatch funnel — gopher → stored-index dedup → bloom → LM —
+    * with volume-bounded micro-batches. Returns (decisions, kept).
+    */
+  def streamFunnel(spark: SparkSession, sfDir: String): (Long, Long) = {
+    import java.nio.file.Files
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val model = operators.CurationFunnel.FunnelModel(
+      bloom = operators.TextPipeline.bloomModel(
+        docs.filter(col("doc_id") < 10), "text", "doc_id",
+        shingleK = 5, mBits = 1 << 16, kHashes = 4),
+      lm = operators.TextPipeline.unigramTrainModel(
+        docs, "text", maxPieceLen = 3, nSeed = 32, emRounds = 2),
+      maxNllMicro = 3520000L)
+    val tmp = Files.createTempDirectory("graft-sfunnel-").toString
+    try {
+      graft.streaming.StreamingCurationFunnel.seedIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id", 5, s"$tmp/idx")
+      docs.filter(col("doc_id") >= 250).write.parquet(s"$tmp/in")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxBytesPerTrigger", (64L * 1024 * 1024).toString)
+        .parquet(s"$tmp/in")
+      val q = graft.streaming.StreamingCurationFunnel.run(
+        stream, "text", "doc_id", model, s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val dec = spark.read.parquet(s"$tmp/out")
+      (dec.count(), dec.filter(col("keep")).count())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   /** The metric-monitoring suite (benched as pipeline_monitor): the
     * per-(type, day) daily stats computed ONCE (persisted) feed ELEVEN
     * monitors — offline changepoint, online CUSUM alarms, STL, Mann-

@@ -485,6 +485,25 @@ object Dedup {
     jaccardVerifyFromSets(candidates, baseIndex.unionByName(deltaIndex), threshold)
   }
 
+  /** DUP-BLAME ATTRIBUTION for incremental dedup — the "why was my
+    * document dropped" report a front door owes its producers: for each
+    * delta document flagged by [[minhashNearDupsAgainstBase]], the
+    * EARLIEST fingerprint it collides with (`dup_of` = min colliding id,
+    * the first-arrival keeper under id order), that pair's exact
+    * Jaccard, and the total collision count. One bounded aggregation
+    * over the verified pair frame — the pair enumeration (delta-sized,
+    * never base×base) dominates, exactly as in the flag-only path.
+    */
+  def nearDupBlame(
+      baseIndex: DataFrame, deltaIndex: DataFrame,
+      threshold: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashNearDupsAgainstBase(baseIndex, deltaIndex, threshold, bands, rowsPerBand)
+      .groupBy(col("id_b").as("doc"))
+      .agg(
+        min(col("id_a")).as("dup_of"),
+        min_by(col("jaccard"), col("id_a")).as("jaccard"),
+        count(lit(1)).as("n_matches"))
+
   /** All candidate near-dup pairs from MinHash-LSH banding (id_a < id_b),
     * deduplicated across bands. `sigLen = bands * rowsPerBand` hashes.
     */

@@ -1554,4 +1554,82 @@ object TextPipeline {
         sum(col("c") * col("n_p")).as("n_pieces"),
         sum(col("c") * col("lp")).as("logp_micro"))
   }
+
+  /** Frequency-weighted piece counts of a corpus segmented under a
+    * FROZEN [[UnigramModel]], zero-filled over the model's CLOSED piece
+    * vocabulary — the additive statistic behind [[unigramRefresh]].
+    * Out-of-vocabulary pieces (characters the training corpus never
+    * saw) are dropped: refresh re-weights the frozen piece set, it does
+    * not grow it (growing the vocabulary is a retrain — exactly the
+    * IVF-PQ codebook discipline of q277).
+    *
+    * Scale shape: ONE corpus scan into the (word, freq) vocabulary
+    * table, one map-only Viterbi over it (scores broadcast as a map
+    * literal), one vocabulary-bounded aggregation. Because segmentation
+    * under frozen scores is a pure per-word function and word
+    * frequencies are additive across corpus shards, these counts are
+    * ADDITIVE: counts(A) + counts(B) = counts(A ∪ B) bit-for-bit for
+    * id-disjoint corpora (UnigramTokenizerSpec pins it) — so a stored
+    * counts table absorbs a delta corpus without re-reading the base.
+    */
+  def unigramCounts(
+      docs: DataFrame, textCol: String, model: UnigramModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = typedLit(model.scores)
+    val seg = docs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("w", guardedWordLen(col("w")))
+      .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
+      .materialize // vocab-sized cut; see unigramCore on Generate-over-DP
+      .select(col("f"), explode(viterbiPieces(col("w"), col("dp"))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    model.scores.keysIterator.toSeq.sorted.toDF("piece")
+      .join(seg, Seq("piece"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
+
+  /** INCREMENTAL UNIGRAM-LM REFRESH: merge a stored base counts table
+    * with a delta corpus's counts (both from [[unigramCounts]] under the
+    * SAME frozen model) and re-derive the Laplace micro-nat scores —
+    * `(piece, plen, cnt_base, cnt_delta, cnt, logp_micro)`. Because
+    * counts are additive, the refreshed scores are BIT-IDENTICAL to an
+    * M-step over the union corpus: the tokenizer's score table tracks a
+    * growing corpus at delta cost, never re-reading yesterday's data —
+    * the LM analog of the incremental fingerprint index (q149), merged
+    * bloom (q281), and frozen-codebook delta encode (q277).
+    *
+    * The score expression replicates the trainer's M-step exactly
+    * (`floor(1e6·ln((c+1)/(T+V)) + 0.5)` — math.round semantics), so a
+    * refreshed model serves byte-identically to one trained with these
+    * counts.
+    */
+  def unigramRefresh(cntBase: DataFrame, cntDelta: DataFrame): DataFrame = {
+    val merged = cntBase.select(col("piece"), col("cnt").as("cnt_base"))
+      .join(cntDelta.select(col("piece"), col("cnt").as("cnt_delta")),
+        Seq("piece"))
+      .withColumn("cnt", col("cnt_base") + col("cnt_delta"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // the piece universe is the closed model vocabulary (<= |alphabet| +
+    // nSeed rows), so the single-partition window is bounded by design
+    merged
+      .withColumn("__t", sum(col("cnt")).over(all))
+      .withColumn("__v", count(lit(1)).over(all))
+      .select(col("piece"), length(col("piece")).cast("bigint").as("plen"),
+        col("cnt_base"), col("cnt_delta"), col("cnt"),
+        floor(lit(1e6) * log((col("cnt") + lit(1.0)) /
+          (col("__t") + col("__v")).cast("double")) + lit(0.5))
+          .cast("bigint").as("logp_micro"))
+  }
+
+  /** [[unigramRefresh]] folded back into a servable [[UnigramModel]]
+    * (bounded collect — the vocabulary is the broadcastable artifact). */
+  def unigramRefreshModel(
+      cntBase: DataFrame, cntDelta: DataFrame, model: UnigramModel): UnigramModel =
+    UnigramModel(
+      unigramRefresh(cntBase, cntDelta)
+        .select(col("piece"), col("logp_micro"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.maxPieceLen)
 }

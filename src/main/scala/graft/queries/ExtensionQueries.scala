@@ -120,14 +120,15 @@ object ExtensionQueries {
     * unrolling convention). Leaves r{emRounds}full / r{emRounds}sc /
     * r{emRounds}mp in scope.
     */
-  private def uniTrainWith(maxLen: Int, nSeed: Int, emRounds: Int): String = {
+  private def uniTrainWith(
+      maxLen: Int, nSeed: Int, emRounds: Int, where: String = ""): String = {
     val rounds = (1 to emRounds).map { r =>
       uniViterbi(s"r$r", "wf", s"r${r - 1}mp", maxLen) + ",\n" +
         uniMstep(s"r$r", s"r${r}seg")
     }.mkString(",\n")
     s"""WITH RECURSIVE tok AS (
        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
-       |  FROM documents),
+       |  FROM documents$where),
        |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
        |sub0 AS (SELECT f, w, unnest(generate_series(1, len(w))) AS p FROM wf),
        |sub1 AS (SELECT f, w, p, unnest(generate_series(1, $maxLen)) AS l FROM sub0),
@@ -870,6 +871,207 @@ object ExtensionQueries {
         "(segment, exact per-piece likelihood-loss via ban-probe DP, drop the 25% " +
         "lowest-loss multi pieces clamped at 40 total, re-estimate over survivors) — " +
         "quality-shaped vocabulary, oracle replays every round incl. the ban probes"),
+
+    "q285_curation_funnel" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        // the frozen artifacts a daily front door serves: a merged bloom
+        // over the benchmark probes (doc_id < 10, the q281 suite), a
+        // unigram LM trained on the reference corpus, and the stored
+        // fingerprint index of the already-accepted base (doc_id < 250,
+        // the q149 split); today's batch is doc_id >= 250
+        val model = graft.operators.CurationFunnel.FunnelModel(
+          bloom = graft.operators.TextPipeline.bloomModel(
+            docs.filter(col("doc_id") < 10), "text", "doc_id",
+            shingleK = 5, mBits = 1 << 16, kHashes = 4),
+          lm = graft.operators.TextPipeline.unigramTrainModel(
+            docs, "text", maxPieceLen = 3, nSeed = 32, emRounds = 2),
+          maxNllMicro = 3520000L,
+          minWords = 20, maxWords = 100000,
+          shingleK = 5, threshold = 0.8, bands = 16, rowsPerBand = 4,
+          minShared = 1)
+        val base = Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+        val (decisions, _) = graft.operators.CurationFunnel.decide(
+          docs.filter(col("doc_id") >= 250), "text", "doc_id", base, model)
+        decisions.orderBy(col("doc"))
+      },
+      // The four stages' oracles composed in funnel order, each fragment
+      // verbatim from its component query: q71's gopher flags, q149's
+      // exact-Jaccard pair set over base ∪ gated delta (same LSH-prunes/
+      // exact-verify contract — collision probability ~0.9998 at t=0.8,
+      // corpus-validated per SF), q281's bloom filter bits, and q280's
+      // trained-LM pricing. Stage columns are NULL past the first failing
+      // stage in BOTH engines.
+      Some(s"""${uniTrainWith(3, 32, 2)},
+              |${uniViterbi("en", "wf", "r2mp", 3)},
+              |env AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM enseg),
+              |gd AS (SELECT doc_id AS doc,
+              |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |  FROM documents WHERE doc_id >= 250),
+              |gf AS MATERIALIZED (SELECT doc,
+              |    (CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
+              |         END BETWEEN 300 AND 1000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
+              |         END >= 8000) AS gpass
+              |  FROM gd),
+              |fsets AS MATERIALIZED (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+              |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+              |    END) AS sh
+              |  FROM (SELECT doc_id,
+              |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |    FROM documents)),
+              |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM fsets
+              |  WHERE doc_id < 250 OR doc_id IN (SELECT doc FROM gf WHERE gpass)),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+              |    CAST(count(*) AS DOUBLE) AS i
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3, 4),
+              |dup AS MATERIALIZED (SELECT DISTINCT id_b AS doc FROM inter
+              |  WHERE i / (sz_a + sz_b - i) >= 0.8 AND id_b >= 250),
+              |s1 AS MATERIALIZED (SELECT doc FROM gf
+              |  WHERE gpass AND doc NOT IN (SELECT doc FROM dup)),
+              |psh AS (SELECT DISTINCT unnest(sh) AS s FROM fsets WHERE doc_id < 10),
+              |ppos AS (SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM psh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bwords AS (SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM ppos GROUP BY wd),
+              |dsh AS (SELECT doc_id AS doc, unnest(sh) AS s
+              |  FROM fsets JOIN s1 ON doc_id = s1.doc),
+              |dpos AS (SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM dsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bhits AS (SELECT doc, s
+              |  FROM dpos JOIN bwords ON bwords.wd = dpos.p // 32
+              |  WHERE (bwords.bits & (CAST(1 AS BIGINT) << CAST(dpos.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4),
+              |con AS MATERIALIZED (SELECT doc FROM bhits GROUP BY doc HAVING count(*) >= 1),
+              |s2 AS (SELECT doc FROM s1 WHERE doc NOT IN (SELECT doc FROM con)),
+              |dwc AS (SELECT doc_id AS doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM documents JOIN s2 ON doc_id = s2.doc),
+              |dcx AS (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM dwc GROUP BY 1, 2),
+              |lagg AS (SELECT doc, CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |    CAST(sum(c * lp) AS BIGINT) AS logp
+              |  FROM dcx JOIN env USING (w) GROUP BY doc),
+              |lmr AS MATERIALIZED (SELECT doc,
+              |    CAST((-logp) // n_pieces AS BIGINT) AS nll_micro,
+              |    ((-logp) // n_pieces < 3520000) AS lmk FROM lagg)
+              |SELECT gf.doc,
+              |  gf.gpass AS gopher_pass,
+              |  CASE WHEN gf.gpass THEN (dup.doc IS NOT NULL) END AS near_dup,
+              |  CASE WHEN gf.gpass AND dup.doc IS NULL THEN (con.doc IS NOT NULL) END AS contaminated,
+              |  lmr.lmk AS lm_keep,
+              |  lmr.nll_micro AS nll_micro,
+              |  coalesce(lmr.lmk, false) AS keep,
+              |  CASE WHEN NOT gf.gpass THEN 'gopher'
+              |       WHEN dup.doc IS NOT NULL THEN 'near_dup'
+              |       WHEN con.doc IS NOT NULL THEN 'contaminated'
+              |       WHEN NOT lmr.lmk THEN 'lm_gate'
+              |       ELSE 'kept' END AS verdict
+              |FROM gf
+              |LEFT JOIN dup ON gf.doc = dup.doc
+              |LEFT JOIN con ON gf.doc = con.doc
+              |LEFT JOIN lmr ON gf.doc = lmr.doc
+              |ORDER BY gf.doc""".stripMargin),
+      "the composed daily-ingest front door: gopher gate -> near-dup vs the stored " +
+        "fingerprint index -> frozen-bloom decontamination -> frozen-LM quality gate, " +
+        "one verdict row per arriving document with stage columns NULL past the first " +
+        "failing stage — the batch body the streaming funnel runs per micro-batch"),
+
+    "q286_unigram_refresh" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        // frozen model trained on the accepted base (doc_id < 250, the
+        // q149/q285 split); stored base counts + today's delta counts
+        // merge WITHOUT re-reading the base corpus — the LM analog of the
+        // incremental index / merged bloom / frozen-codebook family
+        val model = graft.operators.TextPipeline.unigramTrainModel(
+          docs.filter(col("doc_id") < 250), "text",
+          maxPieceLen = 3, nSeed = 32, emRounds = 2)
+        graft.operators.TextPipeline.unigramRefresh(
+            graft.operators.TextPipeline.unigramCounts(
+              docs.filter(col("doc_id") < 250), "text", model),
+            graft.operators.TextPipeline.unigramCounts(
+              docs.filter(col("doc_id") >= 250), "text", model))
+          .orderBy(col("piece"))
+      },
+      // the oracle replays the base-only training (uniTrainWith WHERE),
+      // then segments base and delta vocabularies SEPARATELY under the
+      // final frozen map and merges the zero-filled counts — the
+      // count-additivity property (separate ≡ union) is the Spark-side
+      // spec pin; the oracle exercises the same separate-scan shape the
+      // production refresh runs
+      Some(s"""${uniTrainWith(3, 32, 2, " WHERE doc_id < 250")},
+              |${uniViterbi("cb", "wf", "r2mp", 3)},
+              |cbc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+              |  FROM (SELECT f, unnest(ps) AS piece FROM cbseg) GROUP BY piece),
+              |wfd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+              |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |    FROM documents WHERE doc_id >= 250) GROUP BY w),
+              |${uniViterbi("cd", "wfd", "r2mp", 3)},
+              |cdc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+              |  FROM (SELECT f, unnest(ps) AS piece FROM cdseg) GROUP BY piece),
+              |mg AS MATERIALIZED (SELECT c.piece,
+              |    coalesce(a.cnt, 0) AS cnt_base, coalesce(b.cnt, 0) AS cnt_delta,
+              |    coalesce(a.cnt, 0) + coalesce(b.cnt, 0) AS cnt
+              |  FROM cands c LEFT JOIN cbc a USING (piece) LEFT JOIN cdc b USING (piece)),
+              |tv AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM mg)
+              |SELECT piece, CAST(len(piece) AS BIGINT) AS plen,
+              |  cnt_base, cnt_delta, cnt,
+              |  CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS logp_micro
+              |FROM mg CROSS JOIN tv ORDER BY piece""".stripMargin),
+      "incremental unigram-LM refresh: base and delta corpora counted separately under " +
+        "the FROZEN base-trained model (map-only Viterbi over each (word, freq) vocab), " +
+        "zero-filled counts merged additively over the closed piece vocabulary, Laplace " +
+        "micro-nat scores re-derived — tracks a growing corpus at delta cost"),
+
+    "q287_dup_blame" -> Q(
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        Dedup.nearDupBlame(
+            Dedup.buildShingleIndex(
+              docs.filter(col("doc_id") < 250), "text", "doc_id", 5),
+            Dedup.buildShingleIndex(
+              docs.filter(col("doc_id") >= 250), "text", "doc_id", 5),
+            threshold = 0.8)
+          .orderBy(col("doc"))
+      },
+      // q149's exact pair oracle + per-victim argmin: same LSH-prunes/
+      // exact-verify contract (collision probability ~0.9998 at t=0.8,
+      // corpus-validated per SF)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+             |    END AS shingles
+             |  FROM toks),
+             |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+             |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             |    CAST(count(*) AS DOUBLE) AS i
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (
+             |  SELECT id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS j
+             |  FROM inter WHERE i / (sz_a + sz_b - i) >= 0.8 AND id_b >= 250)
+             |SELECT id_b AS doc, min(id_a) AS dup_of,
+             |  arg_min(j, id_a) AS jaccard,
+             |  CAST(count(*) AS BIGINT) AS n_matches
+             |FROM pairs GROUP BY id_b ORDER BY doc""".stripMargin),
+      "dup-blame attribution for incremental dedup: per flagged delta document, the " +
+        "earliest colliding fingerprint (the first-arrival keeper), that pair's exact " +
+        "Jaccard, and the collision count — the producer-facing drop report"),
 
     "q65_decontaminate" -> Q(
       (s, dir) => {

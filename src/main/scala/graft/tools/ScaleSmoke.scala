@@ -103,7 +103,25 @@ object ScaleSmoke {
       // COUNTS, so each source's length histogram scales its frequencies
       // exactly 10x, the percentile cuts are BIT-IDENTICAL to base, and
       // every replica doc's keep flag replicates — rows exactly 10x
-      "q282_length_percentile_gate")
+      "q282_length_percentile_gate",
+      // q285 composed front door: rows = delta size (doc_id >= 250) —
+      // exactly 10x-minus-2250 under the 10M id offsets (replicas 1-9
+      // contribute their full 5000 docs to the delta; the stored base and
+      // bloom probe suite stay replica-0-only, the production shape where
+      // the corpus grows but the frozen artifacts don't). Verdict MIX
+      // shifts by design (the _rN suffix pushes some docs over the
+      // mean-word-len gate and salts the LM vocabulary); the time ratio
+      // watches the delta-sized dedup join + the map-only gates
+      "q285_curation_funnel",
+      // q286 refresh: rows stay vocab-bounded (|alphabet| + nSeed,
+      // corpus-independent — the q278 argument; salted digits widen the
+      // alphabet from base by design); the time ratio watches the two
+      // map-only count passes over the 10x (word, freq) vocabularies
+      "q286_unigram_refresh",
+      // q287 blame: one bounded aggregation over q149's delta-touching
+      // pair frame — rows scale with the flagged-delta count (replica
+      // pair structure is per-replica-identical under token salting)
+      "q287_dup_blame")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -389,7 +407,12 @@ object ScaleSmoke {
       "pipeline_full" ->
         ((dir: String) => graft.Pipelines.fullCuration(spark, dir)),
       "pipeline_monitor" ->
-        ((dir: String) => graft.Pipelines.monitorSuite(spark, dir).map(_._2).sum))
+        ((dir: String) => graft.Pipelines.monitorSuite(spark, dir).map(_._2).sum),
+      // streaming front door: decisions = delta rows (q285's row argument);
+      // the foreachBatch replay adds the per-micro-batch stored-index
+      // read + partition-overwrite on top of the q285 plan
+      "pipeline_stream_funnel" ->
+        ((dir: String) => graft.Pipelines.streamFunnel(spark, dir)._1))
     val pipePairs = pipelines.map { case (name, run) =>
       def timed(dir: String, tag: String): (Double, Long) = {
         val t0 = System.nanoTime()

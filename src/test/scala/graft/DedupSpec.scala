@@ -71,6 +71,28 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "corpus produced no delta-touching near-dup pairs")
   }
 
+  test("nearDupBlame: earliest collider wins with ITS pair's jaccard, " +
+      "counts match the pair frame") {
+    val base = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+    val delta = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+    val pairs = Dedup.minhashNearDupsAgainstBase(base, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val blame = Dedup.nearDupBlame(base, delta)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    Dedup.releaseCaches()
+    assert(pairs.nonEmpty && blame.nonEmpty)
+    val byVictim = pairs.groupBy(_._2)
+    assert(blame.keySet === byVictim.keySet)
+    byVictim.foreach { case (victim, ps) =>
+      val earliest = ps.minBy(_._1)
+      assert(blame(victim) === ((earliest._1, earliest._3, ps.length.toLong)),
+        s"victim $victim")
+    }
+  }
+
   test("SimHash near-dups: banding finds all pairs with hamming <= 3 (vs brute force)") {
     import graft.functions.{TextFunctions => T}
     val sigs = docs.select(col("doc_id"), T.simhash64(col("text")).as("sig"))

@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationFunnel, Dedup, TextPipeline}
+import graft.streaming.StreamingCurationFunnel
+
+/** The composed streaming front door (gopher → stored-index dedup →
+  * frozen bloom → frozen LM): pinned row-for-row to the one-shot batch
+  * composition on the same id-ordered replay, plus the incremental
+  * properties the batch body can't show — cross-batch dedup through the
+  * growing stored index, fingerprints of DROPPED documents still
+  * suppressing later copies (greedy first-arrival associativity), and
+  * retry idempotence of the partition-overwrite sink.
+  */
+class StreamingCurationFunnelSpec extends SparkSpec {
+
+  private def docsTable = Tables.table(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private lazy val model = CurationFunnel.FunnelModel(
+    bloom = TextPipeline.bloomModel(
+      docsTable.filter(col("doc_id") < 10), "text", "doc_id",
+      shingleK = 5, mBits = 1 << 16, kHashes = 4),
+    lm = TextPipeline.unigramTrainModel(
+      docsTable, "text", maxPieceLen = 3, nSeed = 16, emRounds = 1),
+    maxNllMicro = 3520000L)
+
+  private def key(r: Row): (Long, Seq[Any]) =
+    r.getLong(r.fieldIndex("doc")) ->
+      Seq("gopher_pass", "near_dup", "contaminated", "lm_keep", "nll_micro",
+        "keep", "verdict").map(c => r.get(r.fieldIndex(c)))
+
+  private def decisionsIn(dir: String): Map[Long, Seq[Any]] =
+    spark.read.parquet(dir)
+      .drop("batch_id").collect().map(key).toMap
+
+  test("streamed funnel equals the one-shot batch decide row-for-row") {
+    val tmp = Files.createTempDirectory("graft-scf-").toString
+    val base = docsTable.filter(col("doc_id") < 250)
+    val delta = docsTable.filter(col("doc_id") >= 250)
+    StreamingCurationFunnel.seedIndex(base, "text", "doc_id", 5, s"$tmp/idx")
+    // two id-ordered files => two micro-batches (arrival order = id order,
+    // the order under which the batch twin's id_a < id_b tiebreak and the
+    // stream's first-arrival tiebreak coincide)
+    delta.filter(col("doc_id") < 375).coalesce(1).write.parquet(s"$tmp/in")
+    Thread.sleep(20) // distinct mtimes: file source replays oldest-first
+    delta.filter(col("doc_id") >= 375).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = StreamingCurationFunnel.run(stream, "text", "doc_id", model,
+      s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+    val streamed = try { q.processAllAvailable(); decisionsIn(s"$tmp/out") }
+      finally q.stop()
+
+    val (batchDec, _) = CurationFunnel.decide(
+      delta, "text", "doc_id",
+      Dedup.buildShingleIndex(base, "text", "doc_id", 5), model)
+    val batch = batchDec.collect().map(key).toMap
+    Dedup.releaseCaches()
+    assert(streamed.size === 250)
+    assert(streamed === batch)
+    // the stored index grew by exactly the gated (gopher-passing) docs
+    val idxDocs = spark.read.parquet(s"$tmp/idx")
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val gated = batch.collect { case (d, v) if v.head == true => d }.toSet
+    assert(idxDocs === (0L until 250L).toSet ++ gated)
+    // decision coherence: keep == (verdict == kept); stage columns are
+    // null exactly past the first failing stage
+    streamed.foreach { case (d, Seq(gp, nd, con, lmk, nll, keep, v)) =>
+      assert(keep == (v == "kept"), s"doc $d")
+      if (gp == false) assert(Seq(nd, con, lmk, nll).forall(_ == null), s"doc $d")
+      else if (nd == true) assert(Seq(con, lmk, nll).forall(_ == null), s"doc $d")
+      else if (con == true) assert(lmk == null && nll == null, s"doc $d")
+      else assert(lmk != null && nll != null, s"doc $d")
+    }
+  }
+
+  // synthetic corpus with controlled Jaccard structure: 30 distinct words
+  // per doc (26 distinct 5-shingles); swapping 2 edge words moves exactly
+  // 2 shingles, so J(one swap apart) = 24/28 ~ 0.857 >= 0.8 and
+  // J(two swaps apart) = 22/30 ~ 0.733 < 0.8
+  private def words(tag: String): IndexedSeq[String] =
+    (0 until 30).map(i => f"$tag$i%02d") // 7 chars: mean word len in-gate
+  private def text(ws: Seq[String]): String = ws.mkString(" ")
+  private val xs = words("alpha")
+  private val tX = text(xs)
+  private val tDupTail = text(xs.dropRight(2) ++ Seq("zetaqa", "zetaqb"))
+  private val tDupBoth = text(
+    Seq("yotaqa", "yotaqb") ++ xs.slice(2, 28) ++ Seq("zetaqa", "zetaqb"))
+  private val tFresh = text(words("omega"))
+  private val tSeed = text(words("kappa"))
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private lazy val synthModel = CurationFunnel.FunnelModel(
+    bloom = TextPipeline.bloomModel(
+      df(900L -> text(words("probe"))), "text", "doc_id",
+      shingleK = 5, mBits = 1 << 16, kHashes = 4),
+    lm = TextPipeline.unigramTrainModel(
+      df(901L -> tSeed, 902L -> tX), "text", maxPieceLen = 3,
+      nSeed = 8, emRounds = 1),
+    // LM gate wide open (above the -1e12 unseen-piece floor): dedup and
+    // bloom are under test here, not the LM
+    maxNllMicro = 10000000000000L)
+
+  test("cross-batch dedup: dropped docs' fingerprints still suppress later copies") {
+    val tmp = Files.createTempDirectory("graft-scf2-").toString
+    StreamingCurationFunnel.seedIndex(
+      df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+    // batch 0: 10 is fresh, 11 near-dups 10 (same batch, J=0.857)
+    StreamingCurationFunnel.processBatch(
+      df(10L -> tX, 11L -> tDupTail), 0L, "text", "doc_id",
+      synthModel, s"$tmp/idx", s"$tmp/out")
+    // batch 1: 20 near-dups ONLY 11 (J=0.857; J(20,10)=0.733) — and 11
+    // was itself DROPPED as a dup in batch 0; 21 is fresh
+    StreamingCurationFunnel.processBatch(
+      df(20L -> tDupBoth, 21L -> tFresh), 1L, "text", "doc_id",
+      synthModel, s"$tmp/idx", s"$tmp/out")
+    val got = decisionsIn(s"$tmp/out")
+    assert(got.keySet === Set(10L, 11L, 20L, 21L))
+    assert(got(10L)(6) === "kept")
+    assert(got(11L)(6) === "near_dup") // vs 10, same batch, id order
+    assert(got(20L)(6) === "near_dup") // vs 11: previous batch AND dropped
+    assert(got(21L)(6) === "kept")
+    // greedy associativity: the one-shot batch over the union decides
+    // identically (id order == arrival order)
+    val (batchDec, _) = CurationFunnel.decide(
+      df(10L -> tX, 11L -> tDupTail, 20L -> tDupBoth, 21L -> tFresh),
+      "text", "doc_id",
+      Dedup.buildShingleIndex(df(1L -> tSeed), "text", "doc_id", 5),
+      synthModel)
+    val batch = batchDec.collect().map(key).toMap
+    Dedup.releaseCaches()
+    assert(got === batch)
+  }
+
+  test("retried micro-batch is idempotent and never self-dups") {
+    val tmp = Files.createTempDirectory("graft-scf3-").toString
+    StreamingCurationFunnel.seedIndex(
+      df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+    val batch = df(10L -> tX, 11L -> tDupTail)
+    StreamingCurationFunnel.processBatch(
+      batch, 0L, "text", "doc_id", synthModel, s"$tmp/idx", s"$tmp/out")
+    val first = decisionsIn(s"$tmp/out")
+    // redelivery of the SAME batch id (sink failure after the index
+    // write): readIndex must not see batch 0's own fingerprints as base,
+    // or doc 10 would near-dup itself
+    StreamingCurationFunnel.processBatch(
+      batch, 0L, "text", "doc_id", synthModel, s"$tmp/idx", s"$tmp/out")
+    val second = decisionsIn(s"$tmp/out")
+    assert(second === first)
+    assert(second(10L)(6) === "kept")
+    val idxDocs = spark.read.parquet(s"$tmp/idx")
+      .select("doc").collect().map(_.getLong(0)).toSeq
+    assert(idxDocs.sorted === Seq(1L, 10L, 11L)) // no duplicate partitions
+  }
+
+  test("restart from checkpoint: a second run continues batch ids past " +
+      "the stored partitions and decides only the new arrivals") {
+    val tmp = Files.createTempDirectory("graft-scf5-").toString
+    StreamingCurationFunnel.seedIndex(
+      df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+    val schema = df(0L -> "x").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val q = StreamingCurationFunnel.run(stream, "text", "doc_id",
+        synthModel, s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    df(10L -> tX, 11L -> tDupTail).coalesce(1).write.parquet(s"$tmp/in")
+    runOnce()
+    val afterFirst = decisionsIn(s"$tmp/out")
+    assert(afterFirst.keySet === Set(10L, 11L))
+    // new arrivals land while the query is DOWN; the restarted query must
+    // resume from the checkpointed offset (not re-decide 10/11) and dedup
+    // the new docs against the index grown by the first run
+    Thread.sleep(20)
+    df(20L -> tDupBoth, 21L -> tFresh).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    runOnce()
+    val afterSecond = decisionsIn(s"$tmp/out")
+    assert(afterSecond.keySet === Set(10L, 11L, 20L, 21L))
+    afterFirst.foreach { case (d, v) => assert(afterSecond(d) === v) }
+    assert(afterSecond(20L)(6) === "near_dup") // vs 11, across the restart
+    assert(afterSecond(21L)(6) === "kept")
+    // batch ids continued: exactly seed + one partition per micro-batch
+    val idxParts = spark.read.parquet(s"$tmp/idx")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(idxParts === Seq(-1L, 0L, 1L))
+  }
+
+  test("funnel stages: bloom contamination and lm gate surface in verdicts") {
+    val tmp = Files.createTempDirectory("graft-scf4-").toString
+    // bloom trained ON tX's own shingles => doc 30 (a copy of tX's text
+    // under a fresh id against an EMPTY base) is contaminated
+    val m = synthModel.copy(
+      bloom = TextPipeline.bloomModel(
+        df(900L -> tX), "text", "doc_id",
+        shingleK = 5, mBits = 1 << 16, kHashes = 4))
+    StreamingCurationFunnel.seedIndex(
+      df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+    StreamingCurationFunnel.processBatch(
+      df(30L -> tX, 31L -> "tiny", 32L -> tFresh), 0L, "text", "doc_id",
+      m, s"$tmp/idx", s"$tmp/out")
+    val got = decisionsIn(s"$tmp/out")
+    assert(got(30L)(6) === "contaminated")
+    assert(got(31L)(6) === "gopher") // 1 word < minWords=20
+    assert(got(32L)(6) === "kept")
+  }
+}

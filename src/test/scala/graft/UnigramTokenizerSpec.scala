@@ -383,4 +383,52 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(TextPipeline.unigramServe(df.filter(col("doc_id") === 1L),
       "text", "doc_id", scores, 1000000L, 3).count() === 1L)
   }
+
+  test("unigramCounts are additive across disjoint corpora and refresh " +
+      "equals the union M-step bit-for-bit (8 random splits)") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(7000 + seed)
+      val docs = randomCorpus(rnd) ++ randomCorpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cut = docs.length / 2
+      val base = df.filter(col("doc_id") < cut)
+      val delta = df.filter(col("doc_id") >= cut)
+      val model = TextPipeline.unigramTrainModel(base, "text", 3, 6, 1)
+      val ca = TextPipeline.unigramCounts(base, "text", model)
+      val cb = TextPipeline.unigramCounts(delta, "text", model)
+      val union = TextPipeline.unigramCounts(df, "text", model)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = TextPipeline.unigramRefresh(ca, cb).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      // additivity: cnt_base + cnt_delta == counts over the union corpus
+      assert(merged.view.mapValues(_._3).toMap === union, s"seed $seed")
+      merged.foreach { case (p, (a, b, c, _)) =>
+        assert(a + b === c, s"seed $seed piece $p")
+      }
+      // refreshed scores == the trainer's own M-step over union counts
+      val v = merged.size
+      val t = union.values.sum
+      merged.foreach { case (p, (_, _, c, s)) =>
+        assert(s === math.round(1e6 * math.log((c + 1.0) / (t + v).toDouble)),
+          s"seed $seed piece $p")
+      }
+      // the refreshed MODEL serves: same geometry, scores from refresh
+      val m2 = TextPipeline.unigramRefreshModel(ca, cb, model)
+      assert(m2.maxPieceLen === model.maxPieceLen)
+      assert(m2.scores === merged.view.mapValues(_._4).toMap)
+    }
+  }
+
+  test("unigramCounts drops out-of-vocabulary pieces (closed-vocabulary " +
+      "refresh) and zero-fills unseen ones") {
+    val base = Seq((0L, "abab abab baba")).toDF("doc_id", "text")
+    val delta = Seq((1L, "zzzz qq")).toDF("doc_id", "text") // z,q not in base
+    val model = TextPipeline.unigramTrainModel(base, "text", 3, 4, 1)
+    val cd = TextPipeline.unigramCounts(delta, "text", model).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd.keySet === model.scores.keySet) // exactly the closed vocab
+    assert(cd.values.forall(_ === 0L)) // nothing in-vocab occurred
+  }
 }
