@@ -99,10 +99,15 @@ object CurationFunnel {
     // these two tracked persists the gopher pass (regex-heavy HOF work)
     // re-runs up to 6x — once per stage input plus the decision join
     // (registered for the ambient Dedup cache scope, like the indexes)
+    // coalesce: a NULL text yields NULL rule flags (size(NULL) is NULL),
+    // and a NULL gopher_pass would fall through every verdict arm to
+    // "kept" with keep=false — an un-evaluated document logged as kept.
+    // NULL text is a gopher drop, not a pass-through.
     val flags = Dedup.persistTracked(Curation
       .gopherRules(batch, textCol, idCol, model.minWords, model.maxWords)
       .select(col("doc"),
-        (col("f_words") && col("f_mean_len") && col("f_alpha")).as("gopher_pass")))
+        coalesce(col("f_words") && col("f_mean_len") && col("f_alpha"),
+          lit(false)).as("gopher_pass")))
     val gated = Dedup.persistTracked(batch.join(
       flags.filter(col("gopher_pass")).select(col("doc").as(idCol)),
       Seq(idCol), "left_semi"))
@@ -113,18 +118,22 @@ object CurationFunnel {
     // ambient Dedup cache scope)
     val deltaIndex =
       Dedup.buildShingleIndex(gated, textCol, idCol, model.shingleK)
-    val dupIds = Dedup
+    // dupIds feeds surv1's anti-join, the decision join, AND (through
+    // surv1/surv2) the bloom and LM subtrees — persist the tiny id frame
+    // so the banding + verify join subtree runs once, not wherever plan
+    // canonicalization fails to reuse it (conIds likewise, 2 uses)
+    val dupIds = Dedup.persistTracked(Dedup
       .minhashNearDupsAgainstBase(baseIndex, deltaIndex,
         model.threshold, model.bands, model.rowsPerBand)
       .select(col("id_b").as("doc")).distinct()
-      .withColumn("__dup", lit(true))
+      .withColumn("__dup", lit(true)))
     val surv1 = gated.join(
       dupIds.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
 
     // stage 3: broadcast bloom probe, map-only over dedup survivors
-    val conIds = TextPipeline
+    val conIds = Dedup.persistTracked(TextPipeline
       .bloomProbe(surv1, model.bloom, textCol, idCol, model.minShared)
-      .select(col("doc")).withColumn("__con", lit(true))
+      .select(col("doc")).withColumn("__con", lit(true)))
     val surv2 = surv1.join(
       conIds.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
 

@@ -835,6 +835,15 @@ object Similarity {
     def point(bps: Int): (Int, Long, Long, Long) = {
       val gate =
         substring(md5(col(idCol).cast("string")), 1, 4) < lit(baseGateHex(bps))
+      // split sizes FIRST: a fraction whose md5 gate matches no ids (tiny
+      // corpus, extreme bps) must fail with a named error here, not with
+      // the trainer's unrelated nClusters message deep inside
+      val sizes = corpus
+        .agg(sum(when(gate, 1L).otherwise(0L)), count(lit(1))).head()
+      val (nBase, nAll) =
+        (if (sizes.isNullAt(0)) 0L else sizes.getLong(0), sizes.getLong(1))
+      require(nBase >= 1, s"ivfPqRecallDecay: delta_bps=$bps leaves an " +
+        s"empty base split on this corpus ($nAll rows) — lower the fraction")
       val base = corpus.filter(gate)
       val delta = corpus.filter(!gate)
       val (model, baseIndex) = ivfPqTrainEncode(base, vecCol, idCol,
@@ -844,10 +853,10 @@ object Similarity {
         ivfPqProbeIndex(model, index, queries, vecCol, idCol, k, nProbe, rerank)
       val tot = ModelEval.annRecallAtK(approx, exact, k)
         .agg(sum(col("n_true")), sum(col("n_hit"))).head()
-      val sizes = corpus
-        .agg(sum(when(gate, 1L).otherwise(0L)), count(lit(1))).head()
+      require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+        s"ivfPqRecallDecay: no ground-truth rows at delta_bps=$bps — " +
+          "the query set is empty or matches no corpus vectors")
       val (nTrue, nHit) = (tot.getLong(0), tot.getLong(1))
-      val (nBase, nAll) = (sizes.getLong(0), sizes.getLong(1))
       (bps, nBase, nAll - nBase, 1000000L * nHit / nTrue)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(deltaBps.size)

@@ -1639,9 +1639,15 @@ object TextPipeline {
     * counts.
     */
   def unigramRefresh(cntBase: DataFrame, cntDelta: DataFrame): DataFrame = {
+    // full outer + zero fill: bit-identical to an inner join when both
+    // inputs are zero-filled over the same closed vocabulary (the
+    // unigramCounts contract), and correct — never silently
+    // vocabulary-shrinking — when a caller passes a SPARSE counts table
+    // (e.g. a stored table that drops zero rows)
     val merged = cntBase.select(col("piece"), col("cnt").as("cnt_base"))
       .join(cntDelta.select(col("piece"), col("cnt").as("cnt_delta")),
-        Seq("piece"))
+        Seq("piece"), "full_outer")
+      .na.fill(0L, Seq("cnt_base", "cnt_delta"))
       .withColumn("cnt", col("cnt_base") + col("cnt_delta"))
     val all = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

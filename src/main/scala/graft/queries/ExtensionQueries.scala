@@ -875,21 +875,14 @@ object ExtensionQueries {
     "q285_curation_funnel" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-        // the frozen artifacts a daily front door serves: a merged bloom
-        // over the benchmark probes (doc_id < 10, the q281 suite), a
-        // unigram LM trained on the reference corpus, and the stored
-        // fingerprint index of the already-accepted base (doc_id < 250,
-        // the q149 split); today's batch is doc_id >= 250
-        val model = graft.operators.CurationFunnel.FunnelModel(
-          bloom = graft.operators.TextPipeline.bloomModel(
-            docs.filter(col("doc_id") < 10), "text", "doc_id",
-            shingleK = 5, mBits = 1 << 16, kHashes = 4),
-          lm = graft.operators.TextPipeline.unigramTrainModel(
-            docs, "text", maxPieceLen = 3, nSeed = 32, emRounds = 2),
-          maxNllMicro = 3520000L,
-          minWords = 20, maxWords = 100000,
-          shingleK = 5, threshold = 0.8, bands = 16, rowsPerBand = 4,
-          minShared = 1)
+        // the frozen artifacts a daily front door serves — ONE definition
+        // (graft.Pipelines.funnelModel: bloom over the doc_id < 10 probe
+        // suite, unigram LM over the reference corpus, 3520000 micro-nat
+        // gate) shared with the benched/smoked pipeline_stream_funnel, so
+        // the oracle-verified query and the timed pipeline cannot drift;
+        // the stored fingerprint index is the already-accepted base
+        // (doc_id < 250, the q149 split), today's batch is doc_id >= 250
+        val model = graft.Pipelines.funnelModel(s, dir)
         val base = Dedup.buildShingleIndex(
           docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
         val (decisions, _) = graft.operators.CurationFunnel.decide(
@@ -912,13 +905,13 @@ object ExtensionQueries {
               |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
               |  FROM documents WHERE doc_id >= 250),
               |gf AS MATERIALIZED (SELECT doc,
-              |    (CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
+              |    coalesce((CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
               |    AND (CASE WHEN len(w) = 0 THEN 0
               |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
               |         END BETWEEN 300 AND 1000)
               |    AND (CASE WHEN len(w) = 0 THEN 0
               |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
-              |         END >= 8000) AS gpass
+              |         END >= 8000), false) AS gpass
               |  FROM gd),
               |fsets AS MATERIALIZED (SELECT doc_id, list_distinct(
               |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]

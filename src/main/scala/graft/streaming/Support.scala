@@ -27,8 +27,19 @@ object Support {
   /** R12 — wall-clock epoch-millis string key for every output record
     * (reference lib.rs:29-36 get_current_ts). Non-deterministic by nature;
     * used only on sink paths, never in tested aggregates.
+    *
+    * PER-ROW, like the reference's per-message now(): Spark's
+    * `current_timestamp()` is constant across a query execution, which
+    * would give every record of a micro-batch ONE key — and kafka's
+    * default key-hash partitioner would then funnel the whole batch into
+    * a single partition (a produce hotspot at exactly the ingest volumes
+    * the sink targets). The non-deterministic UDF stamps each row as it
+    * is produced; rows within the same millisecond share a key, exactly
+    * the reference's resolution.
     */
-  def wallClockKey(): Column = unix_millis(current_timestamp()).cast("string")
+  private val nowMillis =
+    udf(() => System.currentTimeMillis()).asNondeterministic()
+  def wallClockKey(): Column = nowMillis().cast("string")
 
   /** R14 — the reference's Zipkin spans map to StreamingQueryListener
     * progress events in Spark: per-trigger rows/sec, batch duration and

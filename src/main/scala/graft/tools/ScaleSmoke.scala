@@ -410,9 +410,16 @@ object ScaleSmoke {
         ((dir: String) => graft.Pipelines.monitorSuite(spark, dir).map(_._2).sum),
       // streaming front door: decisions = delta rows (q285's row argument);
       // the foreachBatch replay adds the per-micro-batch stored-index
-      // read + partition-overwrite on top of the q285 plan
-      "pipeline_stream_funnel" ->
-        ((dir: String) => graft.Pipelines.streamFunnel(spark, dir)._1))
+      // read + partition-overwrite on top of the q285 plan. Frozen
+      // artifacts are built per-dir OUTSIDE the timed closure (Bench's
+      // untimed-model discipline): the smoke's ratio must watch the
+      // REPLAY's growth, not the LM training q278/q286 already measure
+      "pipeline_stream_funnel" -> {
+        val models = Map(
+          srcDir -> graft.Pipelines.funnelModel(spark, srcDir),
+          scaledDir -> graft.Pipelines.funnelModel(spark, scaledDir))
+        (dir: String) => graft.Pipelines.streamFunnel(spark, dir, models(dir))._1
+      })
     val pipePairs = pipelines.map { case (name, run) =>
       def timed(dir: String, tag: String): (Double, Long) = {
         val t0 = System.nanoTime()

@@ -210,11 +210,15 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     StreamingCurationFunnel.seedIndex(
       df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
     StreamingCurationFunnel.processBatch(
-      df(30L -> tX, 31L -> "tiny", 32L -> tFresh), 0L, "text", "doc_id",
+      df(30L -> tX, 31L -> "tiny", 32L -> tFresh,
+        33L -> null.asInstanceOf[String]), 0L, "text", "doc_id",
       m, s"$tmp/idx", s"$tmp/out")
     val got = decisionsIn(s"$tmp/out")
     assert(got(30L)(6) === "contaminated")
     assert(got(31L)(6) === "gopher") // 1 word < minWords=20
     assert(got(32L)(6) === "kept")
+    // NULL text is a gopher drop — not a null-flag fall-through to "kept"
+    assert(got(33L)(0) === false && got(33L)(6) === "gopher")
+    assert(got(33L)(5) === false) // keep
   }
 }
