@@ -44,11 +44,20 @@ object MemFloor {
     val sharded = graft.Pipelines.fullCuration(spark, sfDir)
     graft.operators.Dedup.releaseAllCaches()
     val t2 = System.nanoTime()
+    // round-15: the streaming front door under the same heap bound —
+    // foreachBatch decide + stored-index writes must spill, not balloon
+    // (model training included: the trainer's driver collects are
+    // vocabulary-bounded by design and must fit the floor too)
+    val (nDec, nKept) = graft.Pipelines.streamFunnel(spark, sfDir)
+    graft.operators.Dedup.releaseAllCaches()
+    val t3 = System.nanoTime()
     val line =
       s"""{"heap_mb":$heapMb,"cpus":$cpus,"sf":"$sfDir","jac":$nJac,""" +
         s""""mh":$nMh,"keep":$nKeep,"sharded":$sharded,""" +
+        s""""decided":$nDec,"funnel_kept":$nKept,""" +
         s""""dedup_shared_sec":${(t1 - t0) / 1e9},""" +
-        s""""full_sec":${(t2 - t1) / 1e9}}"""
+        s""""full_sec":${(t2 - t1) / 1e9},""" +
+        s""""stream_funnel_sec":${(t3 - t2) / 1e9}}"""
     spark.stop()
     println(s"MEMFLOOR_JSON $line")
     System.err.println(s"MEMFLOOR_JSON $line")

@@ -199,6 +199,40 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     assert(idxParts === Seq(-1L, 0L, 1L))
   }
 
+  test("batching associativity fuzz: ANY id-ordered micro-batch split " +
+      "decides identically to the one-shot batch (6 random splits)") {
+    val rnd = new scala.util.Random(4242)
+    // synthetic corpus with a dense dup structure: clusters of texts one
+    // or two edge-swaps apart (J 0.857 / 0.733 around the 0.8 threshold)
+    // plus fresh docs, shuffled across ids so splits cut through clusters
+    val variants = Seq(tX, tDupTail, tDupBoth, tFresh) ++
+      (0 until 6).map(i => text(words(s"w$i")))
+    val corpus = (0 until 24).map { i =>
+      (100L + i, variants(rnd.nextInt(variants.length)))
+    }
+    val (batchDec, _) = CurationFunnel.decide(
+      df(corpus: _*), "text", "doc_id",
+      Dedup.buildShingleIndex(df(1L -> tSeed), "text", "doc_id", 5),
+      synthModel)
+    val oneShot = batchDec.collect().map(key).toMap
+    Dedup.releaseCaches()
+    for (trial <- 1 to 6) {
+      val tmp = Files.createTempDirectory(s"graft-scf6-$trial-").toString
+      StreamingCurationFunnel.seedIndex(
+        df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+      // random id-ordered split into 1..5 batches
+      val cuts = (0 until rnd.nextInt(5)).map(_ => rnd.nextInt(corpus.size))
+      val bounds = (Seq(0, corpus.size) ++ cuts).distinct.sorted
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), bid) =>
+        if (b > a) StreamingCurationFunnel.processBatch(
+          df(corpus.slice(a, b): _*), bid.toLong, "text", "doc_id",
+          synthModel, s"$tmp/idx", s"$tmp/out")
+      }
+      assert(decisionsIn(s"$tmp/out") === oneShot,
+        s"trial $trial bounds $bounds")
+    }
+  }
+
   test("funnel stages: bloom contamination and lm gate surface in verdicts") {
     val tmp = Files.createTempDirectory("graft-scf4-").toString
     // bloom trained ON tX's own shingles => doc 30 (a copy of tX's text
