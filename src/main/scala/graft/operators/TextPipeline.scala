@@ -1649,13 +1649,12 @@ object TextPipeline {
         Seq("piece"), "full_outer")
       .na.fill(0L, Seq("cnt_base", "cnt_delta"))
       .withColumn("cnt", col("cnt_base") + col("cnt_delta"))
-    val all = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    // the piece universe is the closed model vocabulary (<= |alphabet| +
-    // nSeed rows), so the single-partition window is bounded by design
-    merged
-      .withColumn("__t", sum(col("cnt")).over(all))
-      .withColumn("__v", count(lit(1)).over(all))
+    // Laplace totals via a one-row aggregate broadcast back (never an
+    // unpartitioned window — PlanInvariantSpec forbids those even on
+    // this vocabulary-bounded frame)
+    val tv = merged.agg(
+      sum(col("cnt")).as("__t"), count(lit(1)).as("__v"))
+    merged.crossJoin(broadcast(tv))
       .select(col("piece"), length(col("piece")).cast("bigint").as("plen"),
         col("cnt_base"), col("cnt_delta"), col("cnt"),
         floor(lit(1e6) * log((col("cnt") + lit(1.0)) /

@@ -77,6 +77,69 @@ object StreamingCurationFunnel {
     } finally Dedup.releaseScope(scope)
   }
 
+  /** COMPACT the stored fingerprint index: fold every partition with
+    * `batch_id <= upToBatch` into ONE consolidated partition at
+    * `batch_id=upToBatch`, then delete the older partitions — the
+    * maintenance job that keeps a long-running front door from
+    * accumulating one small partition per micro-batch (thousands of
+    * files after a quarter of daily batches). Visibility is preserved:
+    * every future batch filters `batch_id < current > upToBatch`, so it
+    * sees exactly the same fingerprints before and after
+    * (StreamingCurationFunnelSpec pins decisions bit-for-bit).
+    *
+    * Call it only for COMPLETED batches (upToBatch strictly below the
+    * stream's next batch id — e.g. while the query is stopped, or
+    * against the last committed checkpoint batch).
+    *
+    * Crash contract (plain parquet directories are not transactional —
+    * production would put the index behind a table format with an
+    * atomic swap): the consolidated rows are staged under a dot-prefixed
+    * temp dir (invisible to the reader), then swapped into the
+    * `batch_id=upToBatch` slot, then the older partitions are deleted.
+    * A crash between the swap and the deletes leaves DUPLICATE doc rows
+    * — which would inflate the verify join's intersections — so
+    * [[duplicateDocs]] is the health probe and RERUNNING compactIndex
+    * with the same `upToBatch` is the recovery: the re-read
+    * deduplicates by doc and completes the deletes (idempotent,
+    * spec-pinned). Check health before resuming the stream after a
+    * compaction crash.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, upToBatch: Long): Unit = {
+    val staging = new java.io.File(indexDir, s".compact-$upToBatch")
+    spark.read.parquet(indexDir)
+      .filter(col("batch_id") <= upToBatch)
+      .select(col("doc"), col("sh"))
+      .dropDuplicates("doc") // collapse a prior crash's duplicate slots
+      .write.mode("overwrite").parquet(staging.getPath)
+    // second job: the slot being overwritten is part of the first job's
+    // input, so the swap must read from the staging copy
+    spark.read.parquet(staging.getPath).write.mode("overwrite")
+      .parquet(s"$indexDir/batch_id=$upToBatch")
+    batchPartitions(indexDir).filter(_._1 < upToBatch)
+      .foreach(p => deleteRecursively(p._2))
+    deleteRecursively(staging)
+  }
+
+  /** Index health probe: the number of doc ids present in MORE than one
+    * partition/row — nonzero only in the crash window documented on
+    * [[compactIndex]] (recovery = rerun the compaction). */
+  def duplicateDocs(spark: SparkSession, indexDir: String): Long =
+    spark.read.parquet(indexDir)
+      .groupBy(col("doc")).count().filter(col("count") > 1).count()
+
+  private def batchPartitions(indexDir: String): Seq[(Long, java.io.File)] = {
+    val kids = Option(new java.io.File(indexDir).listFiles()).getOrElse(Array.empty)
+    kids.toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("batch_id=") =>
+        (f.getName.stripPrefix("batch_id=").toLong, f)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Wire the funnel over a streaming documents frame. `indexDir` should
     * be seeded first ([[seedIndex]]) — or hold any (doc, sh) partitions
     * from a previous run of this stream, which the checkpoint's batch

@@ -233,6 +233,54 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: folds completed partitions into one slot, preserves " +
+      "later decisions bit-for-bit, detects and recovers a crashed swap") {
+    val tmp = Files.createTempDirectory("graft-scf7-").toString
+    StreamingCurationFunnel.seedIndex(
+      df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
+    StreamingCurationFunnel.processBatch(
+      df(10L -> tX, 11L -> tDupTail), 0L, "text", "doc_id",
+      synthModel, s"$tmp/idx", s"$tmp/out")
+    // uncompacted control: batch 1 against the per-batch partitions
+    val controlDir = Files.createTempDirectory("graft-scf7c-").toString
+    def cp(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) t.toFile.mkdirs()
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    cp(s"$tmp/idx", s"$controlDir/idx"); cp(s"$tmp/out", s"$controlDir/out")
+    StreamingCurationFunnel.processBatch(
+      df(20L -> tDupBoth, 21L -> tFresh), 1L, "text", "doc_id",
+      synthModel, s"$controlDir/idx", s"$controlDir/out")
+    val control = decisionsIn(s"$controlDir/out")
+
+    // compact batches [-1, 0] into one slot, then run batch 1
+    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 0L)
+    val parts = spark.read.parquet(s"$tmp/idx")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts === Seq(0L)) // seed + batch 0 folded into the one slot
+    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L)
+    StreamingCurationFunnel.processBatch(
+      df(20L -> tDupBoth, 21L -> tFresh), 1L, "text", "doc_id",
+      synthModel, s"$tmp/idx", s"$tmp/out")
+    assert(decisionsIn(s"$tmp/out") === control)
+
+    // crashed swap: an old partition survives next to the consolidated
+    // slot -> duplicate docs; the probe detects it and a RERUN recovers
+    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 1L)
+    cp(s"$controlDir/idx/batch_id=0", s"$tmp/idx/batch_id=0")
+    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") > 0L)
+    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 1L)
+    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L)
+    val idxDocs = spark.read.parquet(s"$tmp/idx")
+      .select("doc").collect().map(_.getLong(0)).sorted
+    assert(idxDocs === Seq(1L, 10L, 11L, 20L, 21L)) // gated set intact
+  }
+
   test("funnel stages: bloom contamination and lm gate surface in verdicts") {
     val tmp = Files.createTempDirectory("graft-scf4-").toString
     // bloom trained ON tX's own shingles => doc 30 (a copy of tX's text
