@@ -142,4 +142,120 @@ object Multimodal {
         transform(sequence(lit(0), lit(7)),
           i => (conv(substr(col("__fh"), i * 3 + 1, lit(3)), 16, 10).cast("long") % 1000) / 1000.0))
       .drop("__fh")
+
+  // ------------------------------------------------------------------ WAV
+
+  import org.apache.spark.sql.Column
+
+  /** One unsigned byte of a binary column as a long (1-based position). */
+  private def byteAt(payload: Column, pos: Column): Column =
+    conv(hex(payload.substr(pos, lit(1))), 16, 10).cast("long")
+
+  /** Little-endian unsigned integer read: `nBytes` bytes at 1-based `pos`. */
+  private def leUint(payload: Column, pos: Column, nBytes: Int): Column =
+    (0 until nBytes).map(b => shiftleft(byteAt(payload, pos + lit(b)), 8 * b))
+      .reduce(_ + _)
+
+  /** Little-endian hex rendering of the low `nBytes` bytes of a long —
+    * the synthesis-side inverse of [[leUint]]. */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(b =>
+      lpad(lower(hex(shiftright(v, 8 * b).bitwiseAND(lit(255L)))), 2, "0")): _*)
+
+  /** Synthesize a VALID 16-bit mono PCM RIFF/WAV payload per row,
+    * deterministic in `id` — a 44-byte canonical header plus
+    * `50 + id % 50` little-endian samples `((id·6151 + i·2917) mod
+    * 65536)` (two's-complement int16 — the multipliers sweep the full
+    * range, so every payload carries both signs and real zero crossings)
+    * at `8000 + (id % 3)·4000` Hz. Real WAV bytes (any audio tool reads
+    * them), built entirely from expressions, so the [[wavFeatures]]
+    * decoder can be exercised — and oracle-checked — without any media
+    * library in the environment.
+    */
+  def wavBytes(id: Column): Column = {
+    val rate = lit(8000L) + (id.cast("long") % 3) * 4000L
+    val n = lit(50L) + id.cast("long") % 50
+    val dataSize = n * 2
+    val headerHex = concat(
+      lit("52494646"), leHex(dataSize + 36L, 4), // "RIFF" + chunk size
+      lit("57415645"), // "WAVE"
+      lit("666d7420"), leHex(lit(16L), 4), // "fmt " + subchunk size
+      leHex(lit(1L), 2), leHex(lit(1L), 2), // PCM, mono
+      leHex(rate, 4), leHex(rate * 2, 4), // sample rate, byte rate
+      leHex(lit(2L), 2), leHex(lit(16L), 2), // block align, bits/sample
+      lit("64617461"), leHex(dataSize, 4)) // "data" + data size
+    val dataHex = array_join(
+      transform(sequence(lit(0L), n - 1),
+        i => leHex((id.cast("long") * 6151 + i * 2917) % 65536, 2)), "")
+    unhex(concat(headerHex, dataHex))
+  }
+
+  /** REAL WAV/PCM DECODE — not a stub: parse the RIFF header and the
+    * 16-bit little-endian samples of a canonical-layout mono PCM WAV
+    * payload with plain byte arithmetic (substr + hex + shifts — no
+    * codec library), and emit the audio features an ingest pipeline
+    * gates on: `(doc, valid, sample_rate, n_samples, duration_micros,
+    * peak_abs, energy_mean, zero_crossings)`. Exact integers throughout
+    * (energy_mean = Σ s² DIV n, duration in integer microseconds), so
+    * the result is engine-portable.
+    *
+    * `valid` checks the RIFF/WAVE/fmt/data magics, PCM format 1, mono,
+    * 16-bit, and that the declared data size fits the payload; feature
+    * columns are NULL on invalid rows (the decode-gate convention — a
+    * malformed blob is a drop reason, never a crash). Canonical 44-byte
+    * layout only: WAVs with extra chunks before `data` read as invalid
+    * rather than mis-parsed.
+    *
+    * Scale shape: map-only over the payload column — one narrow pass, no
+    * shuffle; the per-row sample loop is array work on a staged column.
+    * Compressed codecs (MP3/JPEG/H.264) remain environment-stubbed; this
+    * is the uncompressed-container path a real ingest runs first.
+    */
+  def wavFeatures(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val staged = df
+      .withColumn("__len", octet_length(p).cast("long"))
+      .withColumn("__valid",
+        col("__len") >= 46 &&
+          hex(p.substr(lit(1), lit(4))) === "52494646" && // RIFF
+          hex(p.substr(lit(9), lit(8))) === "57415645666D7420" && // WAVEfmt_
+          leUint(p, lit(17), 4) === 16 && // fmt subchunk size
+          leUint(p, lit(21), 2) === 1 && // PCM
+          leUint(p, lit(23), 2) === 1 && // mono
+          leUint(p, lit(35), 2) === 16 && // bits per sample
+          hex(p.substr(lit(37), lit(4))) === "64617461" && // data
+          leUint(p, lit(41), 4) % 2 === 0 &&
+          leUint(p, lit(41), 4) <= col("__len") - 44 &&
+          leUint(p, lit(41), 4) >= 2 &&
+          leUint(p, lit(25), 4) >= 1)
+      .withColumn("__rate", when(col("__valid"), leUint(p, lit(25), 4)))
+      .withColumn("__n", when(col("__valid"), shiftright(leUint(p, lit(41), 4), 1)))
+      .withColumn("__s", when(col("__valid"),
+        transform(sequence(lit(0L), col("__n") - 1), i => {
+          val u = leUint(p, lit(45L) + i * 2, 2)
+          u - when(u >= 32768L, lit(65536L)).otherwise(lit(0L))
+        })))
+    staged.select(
+      col(idCol).as("doc"),
+      col("__valid").as("valid"),
+      col("__rate").as("sample_rate"),
+      col("__n").as("n_samples"),
+      when(col("__valid"), expr("__n * 1000000 DIV __rate"))
+        .as("duration_micros"),
+      when(col("__valid"),
+        aggregate(col("__s"), lit(0L), (a, x) => greatest(a, abs(x))))
+        .as("peak_abs"),
+      when(col("__valid"), expr(
+        "aggregate(__s, 0L, (a, x) -> a + x * x) DIV __n")).as("energy_mean"),
+      when(col("__valid") && col("__n") > 1,
+        aggregate(
+          zip_with(
+            slice(col("__s"), lit(1), (col("__n") - 1).cast("int")),
+            slice(col("__s"), lit(2), (col("__n") - 1).cast("int")),
+            (prev, cur) => when(prev * cur < 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x))
+        .when(col("__valid"), lit(0L))
+        .as("zero_crossings"))
+  }
 }

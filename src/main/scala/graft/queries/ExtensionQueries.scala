@@ -1066,6 +1066,46 @@ object ExtensionQueries {
         "earliest colliding fingerprint (the first-arrival keeper), that pair's exact " +
         "Jaccard, and the collision count — the producer-facing drop report"),
 
+    "q288_wav_decode" -> Q(
+      (s, dir) => {
+        // REAL decode, not a stub: wavBytes synthesizes a valid 16-bit
+        // mono PCM RIFF/WAV per doc (deterministic in doc_id — any audio
+        // tool reads it), and wavFeatures parses it back with plain byte
+        // arithmetic. The oracle replays the GENERATOR directly, so a
+        // hash match proves parse(synthesize(id)) == the ground-truth
+        // samples — an end-to-end round-trip of the decoder.
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        Multimodal.wavFeatures(
+            docs.withColumn("payload", Multimodal.wavBytes(col("doc_id"))),
+            "doc_id")
+          .orderBy(col("doc"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS doc, 8000 + (doc_id % 3) * 4000 AS rate,
+             |    50 + doc_id % 50 AS n FROM documents),
+             |ix AS (SELECT doc, rate, n,
+             |    unnest(generate_series(0, CAST(n - 1 AS INT))) AS i FROM d),
+             |v AS (SELECT doc, rate, n, i,
+             |    ((doc * 6151 + i * 2917) % 65536) -
+             |      CASE WHEN (doc * 6151 + i * 2917) % 65536 >= 32768
+             |           THEN 65536 ELSE 0 END AS s
+             |  FROM ix),
+             |w AS (SELECT doc, rate, n, i, s,
+             |    lag(s) OVER (PARTITION BY doc ORDER BY i) AS prev FROM v),
+             |f AS (SELECT doc, any_value(rate) AS rate, any_value(n) AS n,
+             |    max(abs(s)) AS peak_abs,
+             |    CAST(sum(s * s) AS BIGINT) // any_value(n) AS energy_mean,
+             |    CAST(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |  FROM w GROUP BY doc)
+             |SELECT doc, true AS valid, CAST(rate AS BIGINT) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000000 // rate AS BIGINT) AS duration_micros,
+             |  CAST(peak_abs AS BIGINT) AS peak_abs, energy_mean, zero_crossings
+             |FROM f ORDER BY doc""".stripMargin),
+      "real WAV/PCM decode as relational byte arithmetic (RIFF header + LE int16 " +
+        "samples via substr/hex/shifts — no codec library): per-payload validity, " +
+        "sample rate, duration, peak, integer mean energy, zero crossings; oracle " +
+        "replays the deterministic generator, so the hash match round-trips the parser"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

@@ -121,7 +121,11 @@ object ScaleSmoke {
       // q287 blame: one bounded aggregation over q149's delta-touching
       // pair frame — rows scale with the flagged-delta count (replica
       // pair structure is per-replica-identical under token salting)
-      "q287_dup_blame")
+      "q287_dup_blame",
+      // q288 WAV decode: synthesize + parse are one map-only pass keyed
+      // on doc_id alone — rows exactly 10x, zero shuffle growth; the
+      // offset replica ids sweep different sample patterns by design
+      "q288_wav_decode")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -74,4 +74,84 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.dhashNearDups(docs, "doc_id", maxHamming = 4, bands = 4)
     }
   }
+
+  /** Hand-build a canonical 16-bit mono PCM WAV with java.nio —
+    * INDEPENDENT of the expression-side synthesizer, so the parser is
+    * checked against a second implementation of the format. */
+  private def wav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.size * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.size * 2)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("wavFeatures parses a hand-built java.nio WAV to hand-computed " +
+      "features, and rejects malformed payloads with NULL features") {
+    import spark.implicits._
+    val good = wav(8000, Seq(100, -200, 300, -32768, 32767, 0, -1, 2))
+    val stereo = { // channels=2 -> invalid under the mono contract
+      val b = wav(8000, Seq(1, 2, 3, 4)); b(22) = 2; b
+    }
+    val rows = Seq(
+      (1L, good),
+      (2L, good.take(30)), // truncated header
+      (3L, "RIFX".getBytes("US-ASCII") ++ good.drop(4)), // wrong magic
+      (4L, stereo),
+      (5L, { val b = good.clone(); b(40) = 99; b })) // odd/oversized data size
+      .toDF("doc_id", "payload")
+    val got = Multimodal.wavFeatures(rows, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = got(1L)
+    assert(g.getBoolean(1) === true)
+    assert(g.getLong(2) === 8000L) // sample_rate
+    assert(g.getLong(3) === 8L) // n_samples
+    assert(g.getLong(4) === 1000L) // 8 samples / 8000 Hz = 1000 us
+    assert(g.getLong(5) === 32768L) // peak_abs
+    // energy: (100^2+200^2+300^2+32768^2+32767^2+0+1+4) / 8
+    val energy = (100L * 100 + 200L * 200 + 300L * 300 + 32768L * 32768 +
+      32767L * 32767 + 0 + 1 + 4) / 8
+    assert(g.getLong(6) === energy)
+    // sign chain: +,-,+,-,+,0,-,+ -> crossings at 5 strict sign flips
+    assert(g.getLong(7) === 5L)
+    Seq(2L, 3L, 4L, 5L).foreach { d =>
+      assert(got(d).getBoolean(1) === false, s"doc $d must be invalid")
+      (2 to 7).foreach(i => assert(got(d).isNullAt(i), s"doc $d col $i"))
+    }
+  }
+
+  test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
+      "and the payloads are well-formed RIFF files") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val feats = Multimodal.wavFeatures(
+        docs.withColumn("payload", Multimodal.wavBytes(col("doc_id"))),
+        "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    (0L until 40L).foreach { id =>
+      val rate = 8000 + (id % 3) * 4000
+      val s = (0 until (50 + id % 50).toInt).map { i =>
+        val u = (id * 6151 + i * 2917) % 65536
+        (u - (if (u >= 32768) 65536 else 0)).toInt
+      }
+      val zc = s.zip(s.tail).count { case (a, b) => a.toLong * b < 0 }
+      val exp = (true, rate, s.size.toLong, s.map(x => math.abs(x).toLong).max,
+        s.map(x => x.toLong * x).sum / s.size, zc.toLong)
+      assert(feats(id) === exp, s"id $id")
+    }
+    // the synthesized payload also parses with the independent replica's
+    // layout assumptions (magics + length bookkeeping)
+    val one = docs.withColumn("payload", Multimodal.wavBytes(col("doc_id")))
+      .filter(col("doc_id") === 7L).collect()(0).getAs[Array[Byte]]("payload")
+    assert(new String(one.take(4), "US-ASCII") === "RIFF")
+    assert(new String(one.slice(8, 16), "US-ASCII") === "WAVEfmt ")
+    assert(one.length === 44 + 2 * (50 + 7 % 50))
+  }
 }
