@@ -54,13 +54,22 @@ object Curation {
       .select(col(idCol).as("doc"), col(textCol).as("txt"))
       .withColumn("w", T.tokens(col("txt")))
       .withColumn("lines", split(col("txt"), "\n", -1))
-      .withColumn("n_words", size(col("w")).cast("bigint"))
+      // ONE compiled pass over the raw text for the three token counters
+      // — tokenization fused in, so the word-rule columns never build the
+      // token array (bit-identical to the HOF aggregate + filter/rlike
+      // formulation over tokens(); TextExprs scaladoc + CurationSpec pin
+      // equality). The per-token interpreted lambda + regex dispatch was
+      // the dominant map-side cost of the curation front door's stage-1
+      // gate; `w` survives only for the stopword rule, and plans that
+      // read just the word flags (the front door) prune it entirely.
+      .withColumn("__gs",
+        org.apache.spark.sql.graftvec.TextExprs.gopherTextStatsCol(col("txt")))
+      .withColumn("n_words", col("__gs").getItem(0))
       .withColumn("n_lines", size(col("lines")).cast("bigint"))
       .withColumn("mean_word_len_centi",
         when(col("n_words") === 0, 0L)
-          .otherwise(expr("aggregate(w, 0L, (a, t) -> a + length(t)) * 100 DIV n_words")))
-      .withColumn("n_alpha_words",
-        size(filter(col("w"), t => t.rlike("[a-z]"))).cast("bigint"))
+          .otherwise(expr("__gs[1] * 100 DIV n_words")))
+      .withColumn("n_alpha_words", col("__gs").getItem(2))
       .withColumn("n_bullet_lines",
         size(filter(col("lines"), l => l.rlike("^\\s*[-*•]"))).cast("bigint"))
       .withColumn("n_ellipsis_lines",
@@ -83,7 +92,34 @@ object Curation {
       .withColumn("keep",
         col("f_words") && col("f_mean_len") && col("f_alpha") &&
           col("f_bullet") && col("f_ellipsis") && col("f_stopwords"))
-      .drop("txt", "w", "lines", "n_alpha_words", "n_bullet_lines", "n_ellipsis_lines")
+      .drop("txt", "w", "lines", "__gs", "n_alpha_words", "n_bullet_lines", "n_ellipsis_lines")
+  }
+
+  /** The WORD-RULE conjunction of [[gopherRules]] (f_words ∧ f_mean_len
+    * ∧ f_alpha, with NULL text reading FALSE) as one map expression over
+    * the raw text — the exact rule arithmetic of the flag columns above,
+    * shared so the curation front door's stage-1 gate
+    * ([[CurationFunnel.decide]]) cannot drift from the reported flags
+    * (the q285 oracle and CurationFunnelReplicaSpec both replay this
+    * arithmetic). One [[org.apache.spark.sql.graftvec.TextExprs]]
+    * GopherTextStats pass per document, no token array, no join.
+    */
+  def gopherWordGate(text: Column, minWords: Int, maxWords: Int): Column = {
+    require(minWords >= 1, "gopherWordGate: minWords >= 1 (the division-" +
+      "free rewrite relies on n >= 1 whenever the word-count flag holds)")
+    val gs = org.apache.spark.sql.graftvec.TextExprs.gopherTextStatsCol(text)
+    val n = gs.getItem(0)
+    val s = gs.getItem(1)
+    val a = gs.getItem(2)
+    // division-free exact rewrites of the flag arithmetic (conjunction-
+    // equivalent because f_words pins n >= minWords >= 1):
+    //   floor(100·s DIV n) ∈ [300, 1000] ⟺ 100s ≥ 300n ∧ 100s < 1001n
+    //   floor(10000·a DIV n) ≥ 8000     ⟺ 10000a ≥ 8000n ⟺ 5a ≥ 4n
+    coalesce(
+      n.between(minWords.toLong, maxWords.toLong) &&
+        s * 100L >= n * 300L && s * 100L < n * 1001L &&
+        a * 5L >= n * 4L,
+      lit(false))
   }
 
   /** RELATIVE length gate: keep documents whose token count lies inside

@@ -95,47 +95,58 @@ object CurationFunnel {
   def decide(
       batch: DataFrame, textCol: String, idCol: String,
       baseIndex: DataFrame, model: FunnelModel): (DataFrame, DataFrame) = {
-    // every stage and the final assembly re-derive from the batch; without
-    // these two tracked persists the gopher pass (regex-heavy HOF work)
-    // re-runs up to 6x — once per stage input plus the decision join
-    // (registered for the ambient Dedup cache scope, like the indexes)
-    // coalesce: a NULL text yields NULL rule flags (size(NULL) is NULL),
-    // and a NULL gopher_pass would fall through every verdict arm to
-    // "kept" with keep=false — an un-evaluated document logged as kept.
-    // NULL text is a gopher drop, not a pass-through.
-    val flags = Dedup.persistTracked(Curation
-      .gopherRules(batch, textCol, idCol, model.minWords, model.maxWords)
-      .select(col("doc"),
-        coalesce(col("f_words") && col("f_mean_len") && col("f_alpha"),
-          lit(false)).as("gopher_pass")))
-    val gated = Dedup.persistTracked(batch.join(
-      flags.filter(col("gopher_pass")).select(col("doc").as(idCol)),
-      Seq(idCol), "left_semi"))
+    // ONE cached frame carries the batch plus its stage-1 verdict
+    // ([[Curation.gopherWordGate]] — the f_words ∧ f_mean_len ∧ f_alpha
+    // arithmetic as a single compiled pass, NULL text reading false: a
+    // NULL gopher_pass would fall through every verdict arm to "kept"
+    // with keep=false, logging an un-evaluated document as kept). Every
+    // later stage and the final assembly re-derive from it, so the gate
+    // runs once — and `gated` is a FILTER of the cache, not a join back
+    // to the batch (the r15 shape paid a semi-join plus a second
+    // persist here).
+    val evaluated = Dedup.persistTracked(batch
+      .select(col(idCol), col(textCol))
+      .withColumn("gopher_pass",
+        Curation.gopherWordGate(col(textCol), model.minWords, model.maxWords)))
+    val flags = evaluated.select(col(idCol).as("doc"), col("gopher_pass"))
+    val gated = evaluated.filter(col("gopher_pass")).drop("gopher_pass")
 
     // stage 2: fingerprint the gated delta once; the SAME frame feeds the
-    // banding, the exact verify, and the caller's index append (it is
-    // persisted inside minhashNearDupsAgainstBase, registered for the
-    // ambient Dedup cache scope)
-    val deltaIndex =
-      Dedup.buildShingleIndex(gated, textCol, idCol, model.shingleK)
+    // banding, the exact verify, and the caller's index append (persisted
+    // HERE — minhashNearDupsAgainstBase no longer caches its inputs,
+    // because its base side is a stored corpus-scale table in the
+    // production shape; registered for the ambient Dedup cache scope).
+    // PRE-BANDED under the model's geometry:
+    // the delta's band keys are computed once here, the dedup stage
+    // posexplodes them, and the caller's index append stores them — so
+    // when these rows are tomorrow's BASE, no batch ever re-runs their
+    // MinHash signatures (Dedup.buildBandedIndex schema contract)
+    val deltaIndex = Dedup.persistTracked(Dedup.buildBandedIndex(
+      Dedup.buildShingleIndex(gated, textCol, idCol, model.shingleK),
+      model.bands, model.rowsPerBand))
     // dupIds feeds surv1's anti-join, the decision join, AND (through
     // surv1/surv2) the bloom and LM subtrees — persist the tiny id frame
     // so the banding + verify join subtree runs once, not wherever plan
     // canonicalization fails to reuse it (conIds likewise, 2 uses)
+    // dupIds/conIds are batch-bounded id lists (subsets of one
+    // micro-batch — the streaming contract caps batch volume), so every
+    // join against them carries an explicit broadcast hint: inside
+    // foreachBatch AQE's runtime broadcast conversion is not guaranteed,
+    // and a sort-merge exchange per membership join is pure overhead
     val dupIds = Dedup.persistTracked(Dedup
       .minhashNearDupsAgainstBase(baseIndex, deltaIndex,
         model.threshold, model.bands, model.rowsPerBand)
       .select(col("id_b").as("doc")).distinct()
       .withColumn("__dup", lit(true)))
     val surv1 = gated.join(
-      dupIds.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+      broadcast(dupIds.select(col("doc").as(idCol))), Seq(idCol), "left_anti")
 
     // stage 3: broadcast bloom probe, map-only over dedup survivors
     val conIds = Dedup.persistTracked(TextPipeline
       .bloomProbe(surv1, model.bloom, textCol, idCol, model.minShared)
       .select(col("doc")).withColumn("__con", lit(true)))
     val surv2 = surv1.join(
-      conIds.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+      broadcast(conIds.select(col("doc").as(idCol))), Seq(idCol), "left_anti")
 
     // stage 4: unigram serve via the vocabulary join — the DP runs per
     // DISTINCT surviving word, not per token instance (every surv2 doc
@@ -146,8 +157,8 @@ object CurationFunnel {
       .select(col("doc"), col("nll_micro"), col("keep").as("__lmk"))
 
     val decisions = flags
-      .join(dupIds, Seq("doc"), "left")
-      .join(conIds, Seq("doc"), "left")
+      .join(broadcast(dupIds), Seq("doc"), "left")
+      .join(broadcast(conIds), Seq("doc"), "left")
       .join(lm, Seq("doc"), "left")
       .select(
         col("doc"),

@@ -177,8 +177,8 @@ object Dedup {
   private def lshCandidatesFromSets(
       sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sets
-      .withColumn("sig", T.minhashSignatureFromHashes(col("sh"), bands * rowsPerBand))
-      .select(col("doc"), posexplode(T.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+      .select(col("doc"),
+        posexplode(bandKeysOf(col("sh"), bands, rowsPerBand)).as(Seq("band", "bkey")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -214,6 +214,43 @@ object Dedup {
   def buildShingleIndex(
       docs: DataFrame, textCol: String, idCol: String, shingleK: Int = 5): DataFrame =
     shingleSets(docs, textCol, idCol, shingleK)
+
+  /** LSH band keys of a shingle-set column: key i hashes rows
+    * [i·rowsPerBand, (i+1)·rowsPerBand) of the MinHash signature — a pure
+    * function of `sh`, so storing the keys next to the fingerprints is a
+    * cache, never a semantic change. One codegen pass (signature + band
+    * hashing fused — [[org.apache.spark.sql.graftvec.TextExprs]]
+    * MinHashBandKeys, bit-identical to the staged sig→lshBandKeys HOF
+    * formulation, which re-evaluates the signature per band when the
+    * optimizer inlines it into the interpreted lambda).
+    */
+  private def bandKeysOf(sh: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.graftvec.TextExprs
+      .minhashBandKeysCol(sh, bands, rowsPerBand)
+
+  /** PRE-BANDED index: [[buildShingleIndex]]'s (doc, sh) plus the stored
+    * LSH band keys (`bands` — array of `bands` longs). The MinHash
+    * signature (bands·rowsPerBand hash-min reductions over the shingle
+    * array — the dominant per-document banding cost) is computed ONCE at
+    * index-build/compaction time instead of by every consumer:
+    * [[minhashNearDupsAgainstBase]] detects the column and turns the
+    * stored side's banding into a plain posexplode scan, which is what
+    * makes a per-micro-batch front door ([[CurationFunnel]]) pay
+    * delta-sized banding only. Because band keys are a pure function of
+    * `sh`, results are bit-identical to the unbanded path (DedupSpec
+    * pins it).
+    *
+    * SCHEMA CONTRACT (index format v2): the stored `bands` column is
+    * only valid for the (bands, rowsPerBand) geometry it was built with
+    * — geometry is not recoverable from the data (any rowsPerBand yields
+    * `bands` longs), so a store and its consumers must agree on one
+    * geometry, exactly as they already must agree on `shingleK` for
+    * `sh`. v1 (doc, sh) indexes remain readable everywhere: consumers
+    * fall back to computing keys on the fly.
+    */
+  def buildBandedIndex(
+      index: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    index.withColumn("bands", bandKeysOf(col("sh"), bands, rowsPerBand))
 
   /** [[minhashNearDups]] against a prebuilt [[buildShingleIndex]] frame
     * (persist it first — both the banding and the verify join read it).
@@ -458,31 +495,58 @@ object Dedup {
     * ordering below delta ids if the caller wants (id_a < id_b) output
     * like the batch operators. Pairs are exact-Jaccard verified against
     * the union index, so reported values are exact (LSH only prunes).
+    *
+    * Either side may arrive PRE-BANDED ([[buildBandedIndex]] — a stored
+    * `bands` column, which MUST have been built with this call's
+    * (bands, rowsPerBand) geometry): its banding stage becomes a plain
+    * posexplode of stored keys instead of re-running the MinHash
+    * signature per document — the stored-base front-door win.
     */
   def minhashNearDupsAgainstBase(
-      baseIndexIn: DataFrame, deltaIndexIn: DataFrame,
+      baseIndex: DataFrame, deltaIndex: DataFrame,
       threshold: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // each index feeds banding AND the verify join — persist like
-    // minhashNearDups (registered for releaseCaches); a production caller
-    // passes an already-materialized table and the persist is a cheap
-    // second cache of bounded postings
-    val baseIndex = persistTracked(baseIndexIn)
-    val deltaIndex = persistTracked(deltaIndexIn)
-    def banded(sets: DataFrame) = sets
-      .withColumn("sig", T.minhashSignatureFromHashes(col("sh"), bands * rowsPerBand))
-      .select(col("doc"),
-        posexplode(T.lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
-    val db = banded(baseIndex)
-    val dd = banded(deltaIndex)
-    val baseHits = db.as("a").join(dd.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-    val deltaHits = dd.as("a").join(dd.as("b"),
+    // NO input persist here (changed round 16): each side feeds banding
+    // AND the verify join, i.e. exactly two scans — and the base side is
+    // a STORED corpus-scale table in the production shape, which must
+    // never be pulled into executor cache per batch (a 100 TB
+    // MEMORY_AND_DISK persist is strictly worse than two table scans,
+    // and pre-banded v2 indexes make the second scan's banding free).
+    // Callers that pass COMPUTED frames persist them themselves, like
+    // every other *FromIndex consumer ([[CurationFunnel.decide]] does —
+    // its delta fingerprints also feed the stored-index append).
+    def banded(sets: DataFrame) = {
+      // per-row coalesce, not a schema-level switch: a store whose seed
+      // predates the banded format can hold v1 partitions (bands reads
+      // as NULL) next to v2 ones, and a NULL handed to posexplode would
+      // silently drop that document from candidate generation
+      val keys =
+        if (sets.columns.contains("bands"))
+          coalesce(col("bands"), bandKeysOf(col("sh"), bands, rowsPerBand))
+        else bandKeysOf(col("sh"), bands, rowsPerBand)
+      sets.select(col("doc"), posexplode(keys).as(Seq("band", "bkey")))
+    }
+    // ONE candidate join instead of two (base×delta ∪ delta×delta): the
+    // left side is the tagged union of both banded frames, the RIGHT side
+    // is delta-only — so base×base collisions remain structurally
+    // impossible (a base row can never appear on the probe side), while
+    // the join, its shuffle, and the cross-frame distinct consolidate
+    // into one exchange. Base rows pair unordered (the flag short-circuits
+    // the id comparison, matching the old baseHits), delta×delta keeps
+    // id_a < id_b — the emitted pair set is identical (DedupSpec pins
+    // incremental == batch-restricted).
+    val db = banded(baseIndex).withColumn("is_base", lit(true))
+    val dd = banded(deltaIndex).withColumn("is_base", lit(false))
+    val candidates = db.unionByName(dd).as("a")
+      .join(dd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc") < col("b.doc"))
+          (col("a.is_base") || col("a.doc") < col("b.doc")))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-    val candidates = baseHits.unionByName(deltaHits).distinct()
-    jaccardVerifyFromSets(candidates, baseIndex.unionByName(deltaIndex), threshold)
+      .distinct()
+    // (doc, sh) projection before the union: either side may carry the
+    // stored bands column, which the verify join does not read
+    jaccardVerifyFromSets(candidates,
+      baseIndex.select(col("doc"), col("sh"))
+        .unionByName(deltaIndex.select(col("doc"), col("sh"))), threshold)
   }
 
   /** DUP-BLAME ATTRIBUTION for incremental dedup — the "why was my
@@ -493,6 +557,18 @@ object Dedup {
     * Jaccard, and the total collision count. One bounded aggregation
     * over the verified pair frame — the pair enumeration (delta-sized,
     * never base×base) dominates, exactly as in the flag-only path.
+    *
+    * RECALL CONTRACT — strictly tighter than the flag-only operator's:
+    * `n_matches` counts LSH-SURVIVING pairs (and `dup_of`/`jaccard`
+    * follow from that surviving set), so a single banding miss on ONE
+    * pair changes this report even when the victim stays flagged
+    * through another pair — the flag-only path only needs ANY pair per
+    * victim to survive. At the default 16×4 banding the per-pair miss
+    * probability is ~1e-4 at J ≥ 0.857 (corpus-validated per SF), but
+    * a caller whose report must be exact per-pair should compute blame
+    * from the exact inverted-index path instead
+    * ([[ngramJaccardPairsFromIndex]] over the union index, then the
+    * same per-victim argmin) and pay its df-cap contract.
     */
   def nearDupBlame(
       baseIndex: DataFrame, deltaIndex: DataFrame,

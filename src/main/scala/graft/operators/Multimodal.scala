@@ -216,8 +216,13 @@ object Multimodal {
     val p = col(payloadCol)
     val staged = df
       .withColumn("__len", octet_length(p).cast("long"))
+      // p.isNotNull FIRST: a NULL payload must read as valid = FALSE, not
+      // NULL — NULL would escape both filter(valid) and filter(!valid),
+      // defeating the "malformed blob is a drop reason" gate (false AND
+      // NULL = false, so the one non-null conjunct pins the whole chain)
       .withColumn("__valid",
-        col("__len") >= 46 &&
+        p.isNotNull &&
+          col("__len") >= 46 &&
           hex(p.substr(lit(1), lit(4))) === "52494646" && // RIFF
           hex(p.substr(lit(9), lit(8))) === "57415645666D7420" && // WAVEfmt_
           leUint(p, lit(17), 4) === 16 && // fmt subchunk size

@@ -883,8 +883,11 @@ object ExtensionQueries {
         // the stored fingerprint index is the already-accepted base
         // (doc_id < 250, the q149 split), today's batch is doc_id >= 250
         val model = graft.Pipelines.funnelModel(s, dir)
-        val base = Dedup.buildShingleIndex(
-          docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+        // pre-banded base — the stored-index v2 format the streaming twin
+        // reads back per batch (band keys are a pure function of sh, so
+        // the result is bit-identical to the unbanded path)
+        val base = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", 5))
         val (decisions, _) = graft.operators.CurationFunnel.decide(
           docs.filter(col("doc_id") >= 250), "text", "doc_id", base, model)
         decisions.orderBy(col("doc"))

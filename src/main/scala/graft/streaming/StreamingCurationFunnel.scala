@@ -40,22 +40,33 @@ object StreamingCurationFunnel {
 
   /** Write the already-accepted corpus's fingerprints as the stored
     * index's seed partition (`batch_id=-1`) — deploy the funnel against
-    * an existing corpus without replaying it through the stream.
+    * an existing corpus without replaying it through the stream. The
+    * seed is PRE-BANDED ([[Dedup.buildBandedIndex]] format v2, geometry
+    * = (bands, rowsPerBand), which must match the funnel model's): band
+    * keys are stored next to the fingerprints so no future batch ever
+    * re-runs the base side's MinHash signatures.
     */
   def seedIndex(
       corpus: DataFrame, textCol: String, idCol: String,
-      shingleK: Int, indexDir: String): Unit =
-    Dedup.buildShingleIndex(corpus, textCol, idCol, shingleK)
+      shingleK: Int, indexDir: String,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+    Dedup.buildBandedIndex(
+        Dedup.buildShingleIndex(corpus, textCol, idCol, shingleK),
+        bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
 
   /** The stored fingerprint index as seen by batch `batchId`: every
     * partition written BEFORE it (partition-pruned scan), in the
-    * [[Dedup.buildShingleIndex]] (doc, sh) schema.
+    * [[Dedup.buildBandedIndex]] (doc, sh, bands) v2 schema — or the v1
+    * (doc, sh) schema for an index seeded before the banded format, in
+    * which case consumers recompute band keys on the fly.
     */
-  def readIndex(spark: SparkSession, indexDir: String, batchId: Long): DataFrame =
-    spark.read.parquet(indexDir)
-      .filter(col("batch_id") < batchId)
-      .select(col("doc"), col("sh"))
+  def readIndex(spark: SparkSession, indexDir: String, batchId: Long): DataFrame = {
+    val raw = spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
+    val cols =
+      if (raw.columns.contains("bands")) Seq("doc", "sh", "bands") else Seq("doc", "sh")
+    raw.select(cols.map(col): _*)
+  }
 
   /** One micro-batch: decide against the index-so-far, overwrite this
     * batch's decision partition, overwrite this batch's index partition.
@@ -106,9 +117,12 @@ object StreamingCurationFunnel {
     */
   def compactIndex(spark: SparkSession, indexDir: String, upToBatch: Long): Unit = {
     val staging = new java.io.File(indexDir, s".compact-$upToBatch")
-    spark.read.parquet(indexDir)
-      .filter(col("batch_id") <= upToBatch)
-      .select(col("doc"), col("sh"))
+    val raw = spark.read.parquet(indexDir).filter(col("batch_id") <= upToBatch)
+    // stored band keys (v2 format) survive compaction — they are a pure
+    // function of sh, so carrying them is a copy, not a recompute
+    val cols =
+      if (raw.columns.contains("bands")) Seq("doc", "sh", "bands") else Seq("doc", "sh")
+    raw.select(cols.map(col): _*)
       .dropDuplicates("doc") // collapse a prior crash's duplicate slots
       .write.mode("overwrite").parquet(staging.getPath)
     // second job: the slot being overwritten is part of the first job's

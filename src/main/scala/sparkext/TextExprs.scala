@@ -130,6 +130,94 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** MinHash-LSH band keys straight from hashed shingles, ONE compiled
+    * pass: the bands·rowsPerBand MinHash signature ([[MinHashFromHashes]]
+    * semantics, element j = min over shingles of XXH64(h, seed=j)), then
+    * band key b = Spark's `xxhash64(b, slice(sig, b·r+1, r))` — seed 42,
+    * the int b hashed first, then the slice's longs folded in order.
+    * BIT-IDENTICAL to the HOF formulation
+    * `transform(sequence(0, bands-1), b => xxhash64(b, slice(sig, …)))`
+    * (TextFunctions.lshBandKeys; ExtensionsSpec pins equality), which is
+    * load-bearing: stored band keys (Dedup.buildBandedIndex v2 indexes)
+    * and freshly computed ones MIX inside one candidate join, so a
+    * divergence would silently split buckets. The HOF formulation also
+    * re-evaluates its free `sig` subexpression once PER BAND when the
+    * optimizer inlines the signature into the lambda (interpreted HOFs
+    * do no common-subexpression elimination) — a 16× signature blowup
+    * this expression is immune to.
+    */
+  case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 1024,
+      "need bands, rowsPerBand >= 1 with signature length <= 1024")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      val n = bands * rowsPerBand
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < m) {
+        val h = in.getLong(i)
+        var j = 0
+        while (j < n) {
+          val g = XXH64.hashLong(h, j.toLong)
+          if (g < sig(j)) sig(j) = g
+          j += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = XXH64.hashInt(b, 42L)
+        var r = 0
+        while (r < rowsPerBand) { acc = XXH64.hashLong(sig(b * rowsPerBand + r), acc); r += 1 }
+        out(b) = acc
+        b += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = bands * rowsPerBand
+        val m = ctx.freshName("m")
+        val sig = ctx.freshName("sig")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val b = ctx.freshName("b")
+        val r = ctx.freshName("r")
+        val h = ctx.freshName("h")
+        val g = ctx.freshName("g")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $a.numElements();
+           |long[] $sig = new long[$n];
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $m; $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    long $g = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $j);
+           |    if ($g < $sig[$j]) $sig[$j] = $g;
+           |  }
+           |}
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($b, 42L);
+           |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+           |    $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($sig[$b * $rowsPerBand + $r], $acc);
+           |  }
+           |  $out[$b] = $acc;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** SimHash-64: bit b set iff sum over elements of +-1 (bit b of h) > 0. */
   case class SimHash64FromHashes(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
@@ -303,6 +391,137 @@ object TextExprs {
       })
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** The gopher-gate token counters in ONE compiled pass over the token
+    * array: out = [n_words, sum_word_len, n_alpha_words] with
+    * sum_word_len in CODEPOINTS (= Spark `length`) and n_alpha_words the
+    * count of tokens containing at least one ASCII `a-z` byte —
+    * bit-identical to the HOF formulation
+    * `aggregate(w, 0L, (a, t) -> a + length(t))` +
+    * `size(filter(w, t => t.rlike("[a-z]")))` over already-lowercased
+    * tokens (a-z only ever appears in UTF-8 as the ASCII byte itself,
+    * never inside a continuation sequence, so the byte scan IS the regex
+    * match). The HOF chain is interpreted and dispatches a boxed lambda
+    * plus a regex engine call per token — the dominant map-side cost of
+    * the curation front door's stage-1 gate; this is one loop.
+    * Null tokens count toward n_words with length 0, like the HOF path
+    * (T.tokens never yields nulls, so the branch is defensive).
+    */
+  case class GopherTokenStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val in = a.asInstanceOf[ArrayData]
+      val m = in.numElements()
+      var sumLen = 0L
+      var nAlpha = 0L
+      var i = 0
+      while (i < m) {
+        if (!in.isNullAt(i)) {
+          val t = in.getUTF8String(i)
+          sumLen += t.numChars()
+          if (hasAsciiLower(t)) nAlpha += 1
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(Array(m.toLong, sumLen, nAlpha))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.freshName("m")
+        val sumLen = ctx.freshName("sumLen")
+        val nAlpha = ctx.freshName("nAlpha")
+        val i = ctx.freshName("i")
+        val t = ctx.freshName("t")
+        s"""
+           |int $m = $a.numElements();
+           |long $sumLen = 0L;
+           |long $nAlpha = 0L;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($i);
+           |    $sumLen += $t.numChars();
+           |    if (org.apache.spark.sql.graftvec.TextExprs.hasAsciiLower($t)) $nAlpha++;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+           |  new long[] { (long) $m, $sumLen, $nAlpha });
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** [[GopherTokenStats]] straight from the RAW text — the tokenization
+    * is fused in, so the token ARRAY is never materialized: lowercase
+    * once (the same `UTF8String.toLowerCase` Spark's `lower()` calls, so
+    * Unicode case edges agree bit-for-bit with the staged formulation),
+    * then one byte walk over maximal non-whitespace runs. Equivalent to
+    * `GopherTokenStats(tokens(text))` with
+    * `tokens = filter(split(lower(trim(text)), "\\s+"), len > 0)`:
+    * Java-regex `\s` is exactly {0x09..0x0D, 0x20} (no
+    * UNICODE_CHARACTER_CLASS), all ASCII bytes that never occur inside a
+    * multi-byte UTF-8 sequence, and the len>0 filter makes regex-split
+    * semantics equal maximal-run semantics (CurationSpec pins equality
+    * on the corpus + unicode edges). Codepoint count per token = count
+    * of non-continuation bytes. This is the front door's stage-1 gate
+    * as ONE pass over the document bytes.
+    */
+  def gopherTextStats(text: UTF8String): UnsafeArrayData = {
+    val b = text.toLowerCase.getBytes
+    var nWords = 0L
+    var sumLen = 0L
+    var nAlpha = 0L
+    var i = 0
+    var inTok = false
+    var tokAlpha = false
+    while (i < b.length) {
+      val c = b(i)
+      val ws = c == 0x20 || (c >= 0x09 && c <= 0x0D)
+      if (ws) {
+        if (inTok) { nWords += 1; if (tokAlpha) nAlpha += 1 }
+        inTok = false
+        tokAlpha = false
+      } else {
+        inTok = true
+        if (c >= 0x61 && c <= 0x7a) tokAlpha = true
+        // codepoint count: continuation bytes are 10xxxxxx (signed < -64)
+        if ((c & 0xC0) != 0x80) sumLen += 1
+      }
+      i += 1
+    }
+    if (inTok) { nWords += 1; if (tokAlpha) nAlpha += 1 }
+    UnsafeArrayData.fromPrimitiveArray(Array(nWords, sumLen, nAlpha))
+  }
+
+  case class GopherTextStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      gopherTextStats(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = org.apache.spark.sql.graftvec.TextExprs.gopherTextStats($a);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** True iff the UTF-8 string contains a byte in [0x61, 0x7a] — exactly
+    * `rlike("[a-z]")`, because those byte values never occur inside a
+    * multi-byte UTF-8 sequence. Static so codegen calls it per element.
+    */
+  def hasAsciiLower(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length) {
+      if (b(i) >= 0x61 && b(i) <= 0x7a) return true
+      i += 1
+    }
+    false
   }
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -522,8 +741,18 @@ object TextExprs {
   def minhashCol(hashedShingles: Column, n: Int): Column =
     ExpressionUtils.column(MinHashFromHashes(ExpressionUtils.expression(hashedShingles), n))
 
+  def minhashBandKeysCol(hashedShingles: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandKeys(ExpressionUtils.expression(hashedShingles), bands, rowsPerBand))
+
   def simhashCol(hashedTokens: Column): Column =
     ExpressionUtils.column(SimHash64FromHashes(ExpressionUtils.expression(hashedTokens)))
+
+  def gopherTokenStatsCol(tokens: Column): Column =
+    ExpressionUtils.column(GopherTokenStats(ExpressionUtils.expression(tokens)))
+
+  def gopherTextStatsCol(text: Column): Column =
+    ExpressionUtils.column(GopherTextStats(ExpressionUtils.expression(text)))
 
   def stopwordHitsCol(tokens: Column, sets: Seq[Seq[String]]): Column =
     ExpressionUtils.column(StopwordHits(ExpressionUtils.expression(tokens), sets))

@@ -36,6 +36,64 @@ class CurationSpec extends SparkSpec {
     assert(r.count() === docs.count())
   }
 
+  test("gopherRules codegen counters equal the HOF formulation on the " +
+      "real corpus plus unicode edges") {
+    import graft.functions.{TextFunctions => T}
+    // the interpreted chain the GopherTokenStats expression replaced —
+    // recomputed here verbatim as the ground truth
+    val edge = Seq(
+      (100001L, "héllo wörld ... naïve café ΑΒΓ δεζ 123 ---"),
+      (100002L, "あいう ÉTÉ x"),
+      (100003L, "   "),
+      (100004L, "MiXeD CaSe TOKENS with_underscores and.dots")
+    ).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val hof = d
+      .withColumn("w", T.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("w")).cast("bigint").as("e_words"),
+        expr("aggregate(w, 0L, (a, t) -> a + length(t))").as("e_sum"),
+        size(filter(col("w"), t => t.rlike("[a-z]"))).cast("bigint").as("e_alpha"))
+    for (stats <- Seq[org.apache.spark.sql.Column](
+        // array-level fusion (counters only) and full text-level fusion
+        // (tokenization folded in) must BOTH equal the HOF ground truth
+        org.apache.spark.sql.graftvec.TextExprs
+          .gopherTokenStatsCol(T.tokens(col("text"))),
+        org.apache.spark.sql.graftvec.TextExprs
+          .gopherTextStatsCol(col("text")))) {
+      val cg = d
+        .withColumn("__gs", stats)
+        .select(col("doc_id"), col("__gs").getItem(0).as("g_words"),
+          col("__gs").getItem(1).as("g_sum"), col("__gs").getItem(2).as("g_alpha"))
+      val diff = hof.join(cg, Seq("doc_id"))
+        .filter(col("e_words") =!= col("g_words") ||
+          col("e_sum") =!= col("g_sum") || col("e_alpha") =!= col("g_alpha"))
+      assert(diff.count() === 0L, diff.collect().mkString("; "))
+    }
+  }
+
+  test("gopherWordGate (the front door's stage-1 gate) equals the " +
+      "gopherRules flag conjunction row-for-row") {
+    val edge = Seq(
+      (200001L, null.asInstanceOf[String]), // NULL text -> false, not NULL
+      (200002L, ""),
+      (200003L, "the be to of and that have with " * 5),
+      (200004L, "ab " * 25) // mean len 2 -> fails f_mean_len
+    ).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for ((lo, hi) <- Seq((20, 100000), (1, 30), (5, 49))) {
+      val viaRules = Curation.gopherRules(d, "text", "doc_id", lo, hi)
+        .select(col("doc").as("doc_id"),
+          coalesce(col("f_words") && col("f_mean_len") && col("f_alpha"),
+            lit(false)).as("e"))
+      val viaGate = d.select(col("doc_id"),
+        Curation.gopherWordGate(col("text"), lo, hi).as("g"))
+      val diff = viaRules.join(viaGate, Seq("doc_id"))
+        .filter(col("e") =!= col("g") || col("g").isNull)
+      assert(diff.count() === 0L, s"[$lo,$hi] " + diff.collect().mkString("; "))
+    }
+  }
+
   test("corpusShards: every doc gets a shard in range and contiguous positions per shard") {
     val s = Curation.corpusShards(docs, "doc_id", nShards = 8).cache()
     assert(s.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)

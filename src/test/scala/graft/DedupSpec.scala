@@ -71,6 +71,35 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "corpus produced no delta-touching near-dup pairs")
   }
 
+  test("pre-banded index (v2): stored band keys reproduce the unbanded " +
+      "pair frame bit-for-bit, incl. mixed v1/v2 null-bands fallback") {
+    val base = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+    val delta = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+    def pairSet(b: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) = {
+      val s = Dedup.minhashNearDupsAgainstBase(b, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.releaseCaches()
+      s
+    }
+    val plain = pairSet(base, delta)
+    // both sides pre-banded (the stored-index front-door shape)
+    val banded = pairSet(
+      Dedup.buildBandedIndex(base), Dedup.buildBandedIndex(delta))
+    assert(banded === plain,
+      s"only-banded: ${banded -- plain}; only-plain: ${plain -- banded}")
+    // mixed v1/v2 store: rows whose bands column reads NULL (a v1
+    // partition under a v2 schema) must fall back to computed keys, not
+    // silently vanish from candidate generation
+    val mixed = Dedup.buildBandedIndex(base)
+      .withColumn("bands",
+        when(col("doc") % 2 === 0, col("bands"))) // odd docs: bands = NULL
+    assert(pairSet(mixed, delta) === plain)
+    assert(plain.nonEmpty, "corpus produced no delta-touching pairs")
+  }
+
   test("nearDupBlame: earliest collider wins with ITS pair's jaccard, " +
       "counts match the pair frame") {
     val base = Dedup.buildShingleIndex(

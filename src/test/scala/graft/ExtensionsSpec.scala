@@ -41,6 +41,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("non-empty set"))
   }
 
+  test("MinHashBandKeys (fused codegen) is bit-identical to the staged " +
+      "sig -> lshBandKeys HOF formulation") {
+    // LOAD-BEARING equality: stored band keys (buildBandedIndex v2
+    // indexes) and freshly computed ones mix inside one candidate join
+    // via coalesce — a divergence would silently split LSH buckets
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(120))(rnd.nextLong()).distinct)
+    } :+ (999L, Seq(7L)) // single-element set
+    val df = rows.toDF("doc", "sh")
+    Seq((16, 4), (8, 2), (1, 1), (4, 7)).foreach { case (b, r) =>
+      val hof = df.select(col("doc"),
+        T.lshBandKeys(
+          T.minhashSignatureFromHashes(col("sh"), b * r), b, r).as("k"))
+      val fused = df.select(col("doc"),
+        org.apache.spark.sql.graftvec.TextExprs
+          .minhashBandKeysCol(col("sh"), b, r).as("k"))
+      val diff = hof.as("a").join(fused.as("b"), "doc")
+        .filter(col("a.k") =!= col("b.k")).count()
+      assert(diff === 0L, s"bands=$b rowsPerBand=$r")
+    }
+  }
+
   test("SQL minhash matches the Column-API expression") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

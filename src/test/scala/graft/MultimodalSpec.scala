@@ -123,6 +123,17 @@ class MultimodalSpec extends SparkSpec {
       assert(got(d).getBoolean(1) === false, s"doc $d must be invalid")
       (2 to 7).foreach(i => assert(got(d).isNullAt(i), s"doc $d col $i"))
     }
+    // a NULL payload must read valid = FALSE (not NULL): NULL would
+    // escape both filter(valid) and filter(!valid), so the drop-reason
+    // gate would silently pass the blob through neither branch
+    val withNull = rows.unionByName(
+      rows.filter(col("doc_id") === 1L)
+        .select(lit(6L).as("doc_id"),
+          lit(null).cast("binary").as("payload")))
+    val n = Multimodal.wavFeatures(withNull, "doc_id")
+      .filter(col("doc_id") === 6L).collect()(0)
+    assert(!n.isNullAt(1) && n.getBoolean(1) === false)
+    (2 to 7).foreach(i => assert(n.isNullAt(i), s"null payload col $i"))
   }
 
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
