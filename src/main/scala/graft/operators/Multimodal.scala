@@ -106,12 +106,20 @@ object Multimodal {
     */
   def dhashNearDups(
       df: DataFrame, idCol: String, payloadCol: String = "payload",
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    dhashNearDupsFromBits(dhashBits(df, idCol, payloadCol), maxHamming, bands)
+
+  /** [[dhashNearDups]]' banding + verify over an ALREADY-COMPUTED
+    * (doc, dhash) frame — the seam that lets the same pairing run over
+    * stub-derived hashes ([[dhashBits]]) or REAL decoded pixels
+    * ([[bmpDhash]]); the pigeonhole/banding contract is identical.
+    */
+  def dhashNearDupsFromBits(
+      hashes: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(bands >= 1 && 56 % bands == 0, "bands must divide 56")
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       "dhashNearDups: maxHamming <= bands - 1 (the pigeonhole guarantee)")
     val width = 56 / bands
-    val hashes = dhashBits(df, idCol, payloadCol)
     val banded = hashes.select(col("doc"), col("dhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey",
@@ -263,4 +271,147 @@ object Multimodal {
         .when(col("__valid"), lit(0L))
         .as("zero_crossings"))
   }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Synthesize a VALID 24-bpp bottom-up BMP payload per row,
+    * deterministic in `id`: a canonical 54-byte header (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER) over a `(8 + id % 9) × (8 + id % 5)` image whose
+    * pixel at (x, y from top) is
+    * `B = (id·7 + x·13 + y·31) % 256, G = (id·11 + x·17 + y·23) % 256,
+    * R = (id·3 + x·29 + y·19) % 256`, rows stored bottom-up in BGR order
+    * with each row zero-padded to a 4-byte boundary (the width sweep
+    * 8..16 exercises every padding residue). Real BMP bytes — any image
+    * viewer opens them — built entirely from expressions, so the
+    * [[bmpFeatures]] decoder is oracle-round-trippable with zero image
+    * libraries (the [[wavBytes]] discipline applied to pixels).
+    */
+  def bmpBytes(id: Column): Column = {
+    val idL = id.cast("long")
+    val w = lit(8L) + idL % 9
+    val h = lit(8L) + idL % 5
+    val stride = (w * 3 + 3) - (w * 3 + 3) % 4 // row size padded to 4 bytes
+    val dataSize = stride * h
+    val headerHex = concat(
+      lit("424d"), leHex(dataSize + 54L, 4), // "BM" + file size
+      lit("00000000"), leHex(lit(54L), 4), // reserved + pixel-array offset
+      leHex(lit(40L), 4), // BITMAPINFOHEADER size
+      leHex(w, 4), leHex(h, 4), // width, height (positive = bottom-up)
+      leHex(lit(1L), 2), leHex(lit(24L), 2), // planes, bits per pixel
+      leHex(lit(0L), 4), leHex(dataSize, 4), // BI_RGB, image size
+      leHex(lit(2835L), 4), leHex(lit(2835L), 4), // 72 dpi x/y
+      leHex(lit(0L), 4), leHex(lit(0L), 4)) // palette counts
+    // bottom-up rows: file row rf holds image row y = h-1-rf
+    val dataHex = array_join(
+      transform(sequence(lit(0L), h - 1), rf =>
+        concat(
+          array_join(transform(sequence(lit(0L), w - 1), x => {
+            val y = h - 1 - rf
+            concat(
+              leHex((idL * 7 + x * 13 + y * 31) % 256, 1),
+              leHex((idL * 11 + x * 17 + y * 23) % 256, 1),
+              leHex((idL * 3 + x * 29 + y * 19) % 256, 1))
+          }), ""),
+          // row padding: 0..3 zero bytes (substr of a fixed "000000" —
+          // functions.repeat takes only a literal count)
+          lit("000000").substr(lit(1), ((stride - w * 3) * 2).cast("int")))), "")
+    unhex(concat(headerHex, dataHex))
+  }
+
+  /** REAL BMP DECODE — not a stub: parse the BITMAPFILEHEADER /
+    * BITMAPINFOHEADER and the bottom-up, 4-byte-padded BGR pixel rows of
+    * a canonical 24-bpp uncompressed BMP with plain byte arithmetic
+    * (substr + hex + shifts, no image library), and emit the image
+    * features an ingest pipeline gates on plus the REAL-pixel dHash:
+    * `(doc, valid, width, height, n_pixels, mean_luma_milli,
+    * min_luma_milli, max_luma_milli, dhash)`. Luma is exact integer
+    * BT.601 milli-luma (299·R + 587·G + 114·B ∈ [0, 255000]); the mean
+    * is an integer DIV; `dhash` is the standard difference hash over an
+    * 8×8 nearest-neighbor grid of the DECODED lumas (grid cell (r, c) =
+    * pixel at row (r·h) DIV 8, col (c·w) DIV 8; bit 7r+c set iff
+    * cell > right neighbor — 56 bits, non-negative), so the image-dedup
+    * family operates on actual image content, not payload-hash stubs.
+    *
+    * `valid` checks the BM magic, a 40-byte BITMAPINFOHEADER, planes 1,
+    * 24 bpp, BI_RGB compression, sane bottom-up dimensions (1..2^20 —
+    * a top-down BMP's negative height reads as an enormous unsigned and
+    * fails here, documented as out of the canonical contract), and that
+    * the declared pixel array fits the payload; feature columns are NULL
+    * on invalid rows and a NULL payload reads valid = FALSE (the
+    * [[wavFeatures]] decode-gate convention).
+    *
+    * Scale shape: map-only over the payload column, one narrow pass; the
+    * per-pixel loop is array work on staged columns (every lambda free
+    * variable is a bound attribute, never a recomputed subexpression).
+    */
+  def bmpFeatures(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val p = col(payloadCol)
+    val staged = df
+      .withColumn("__len", octet_length(p).cast("long"))
+      .withColumn("__valid",
+        p.isNotNull &&
+          col("__len") >= 58 && // 54-byte header + at least one padded row
+          hex(p.substr(lit(1), lit(2))) === "424D" && // "BM"
+          leUint(p, lit(15), 4) === 40 && // BITMAPINFOHEADER
+          leUint(p, lit(27), 2) === 1 && // planes
+          leUint(p, lit(29), 2) === 24 && // bits per pixel
+          leUint(p, lit(31), 4) === 0 && // BI_RGB (uncompressed)
+          leUint(p, lit(19), 4).between(1L, 1L << 20) && // width
+          leUint(p, lit(23), 4).between(1L, 1L << 20) && // height (bottom-up)
+          leUint(p, lit(11), 4) >= 54 && // pixel-array offset
+          leUint(p, lit(11), 4) +
+            ((leUint(p, lit(19), 4) * 3 + 3) -
+              (leUint(p, lit(19), 4) * 3 + 3) % 4) * leUint(p, lit(23), 4)
+            <= col("__len"))
+      .withColumn("__w", when(col("__valid"), leUint(p, lit(19), 4)))
+      .withColumn("__h", when(col("__valid"), leUint(p, lit(23), 4)))
+      .withColumn("__off", when(col("__valid"), leUint(p, lit(11), 4)))
+      .withColumn("__stride", (col("__w") * 3 + 3) - (col("__w") * 3 + 3) % 4)
+      // top-down row-major milli-lumas: element p = pixel (x = p % w,
+      // y = p DIV w), read from file row h-1-y (bottom-up storage), BGR
+      .withColumn("__lum", when(col("__valid"),
+        transform(sequence(lit(0L), col("__w") * col("__h") - 1), px => {
+          val x = px % col("__w")
+          // exact integer y: (px - x) is divisible by w and far below
+          // 2^53, so the double division is exact before the cast
+          val y = ((px - x) / col("__w")).cast("long")
+          val base = col("__off") + (col("__h") - 1 - y) * col("__stride") +
+            x * 3 + 1
+          byteAt(p, base) * 114 + byteAt(p, base + 1) * 587 +
+            byteAt(p, base + 2) * 299
+        })))
+    val n = col("__w") * col("__h")
+    // 8x8 nearest-neighbor grid over the staged luma array; named-column
+    // expr strings give exact integer DIV
+    def cell(r: Int, c: Int): Column =
+      expr(s"element_at(__lum, CAST((($r * __h) DIV 8) * __w + (($c * __w) DIV 8) AS INT) + 1)")
+    val bits = (for (r <- 0 until 8; c <- 0 until 7) yield {
+      val k = 7 * r + c
+      when(cell(r, c) > cell(r, c + 1), lit(1L << k)).otherwise(lit(0L))
+    }).reduce(_ + _)
+    staged.select(
+      col(idCol).as("doc"),
+      col("__valid").as("valid"),
+      col("__w").as("width"),
+      col("__h").as("height"),
+      when(col("__valid"), n).as("n_pixels"),
+      when(col("__valid"), expr(
+        "aggregate(__lum, 0L, (a, x) -> a + x) DIV (__w * __h)"))
+        .as("mean_luma_milli"),
+      when(col("__valid"), array_min(col("__lum"))).as("min_luma_milli"),
+      when(col("__valid"), array_max(col("__lum"))).as("max_luma_milli"),
+      when(col("__valid"), bits).as("dhash"))
+  }
+
+  /** (doc, dhash) over REAL decoded BMP pixels — the [[dhashBits]]
+    * drop-in whose hash actually reflects image content: feed it to
+    * [[dhashNearDupsFromBits]] and near-identical IMAGES (not just
+    * byte-identical payloads) pair at small Hamming distance. Invalid
+    * payloads are dropped (no hash, exactly like a failed decode). */
+  def bmpDhash(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    bmpFeatures(df, idCol, payloadCol)
+      .filter(col("valid"))
+      .select(col("doc").cast("bigint").as("doc"), col("dhash"))
 }

@@ -871,6 +871,81 @@ object Similarity {
     rows.toDF("delta_bps", "n_base", "n_delta", "mean_recall_ppm")
   }
 
+  /** RETRAIN TRIGGER — the operational decision on top of the
+    * [[ivfPqRecallDecay]] curve: given the measured (delta_bps,
+    * mean_recall_ppm) curve, a recall floor, and the CURRENT stored
+    * index's base/delta composition, emit the maximum safe delta share
+    * (piecewise-LINEAR interpolation of the curve, exact integer
+    * arithmetic) and the retrain verdict a daily scheduler polls
+    * alongside the isotropy/centroid-drift monitors.
+    *
+    * Semantics (first-crossing, endpoint-clamped):
+    *  - let (b_i, r_i) be the curve sorted by delta share and i* the
+    *    FIRST point with r < floorPpm;
+    *  - no such point → `max_safe_delta_bps` = the largest measured
+    *    share, `at_curve_edge` = true (the curve never crosses the
+    *    floor INSIDE its measured range — extrapolating beyond it would
+    *    be a claim the audit never tested, so the trigger clamps and
+    *    says so);
+    *  - i* is the first point → max_safe = 0 (the floor is violated
+    *    from the smallest measured share on);
+    *  - otherwise max_safe = b_{i*-1} +
+    *    (b_{i*} − b_{i*-1})·(r_{i*-1} − floor) DIV (r_{i*-1} − r_{i*})
+    *    — the integer-floor of the linear crossing, so the verdict
+    *    flips EXACTLY at the interpolated boundary (SimilaritySpec pins
+    *    the flip at max_safe vs max_safe + 1).
+    *  - retrain ⟺ current_delta_bps > max_safe_delta_bps, with
+    *    current_delta_bps = (10000·n_delta) DIV n_total.
+    *
+    * `composition` is the stored coded index with a boolean `is_base`
+    * column (the caller knows which rows came from the base encode —
+    * partition provenance in the production store). Scale shape: one
+    * count aggregation over the index, then pure scalar arithmetic on
+    * the ≤ |curve| rows via one-row broadcast crossJoins — no
+    * unpartitioned windows, no collects.
+    */
+  def ivfPqRetrainTrigger(
+      curve: DataFrame, composition: DataFrame, floorPpm: Long): DataFrame = {
+    require(floorPpm >= 0L && floorPpm <= 1000000L, "floorPpm in [0, 1e6]")
+    val c = curve.select(col("delta_bps").cast("bigint").as("b"),
+      col("mean_recall_ppm").cast("bigint").as("r"))
+    val comp = composition.agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_base"), (col("n_total") - col("n_base")).as("n_delta"),
+        col("n_total"))
+      .withColumn("current_delta_bps", expr("(10000 * n_delta) DIV n_total"))
+    // first curve point below the floor (NULL when the curve never dips)
+    val firstFail = c.filter(col("r") < floorPpm)
+      .agg(min(col("b")).as("fail_b"))
+    // its predecessor: the measured point with the largest share below
+    // fail_b (every earlier point has r >= floor by minimality of fail_b)
+    val prev = c.crossJoin(broadcast(firstFail))
+      .filter(col("fail_b").isNotNull && col("b") < col("fail_b"))
+      .agg(max_by(struct(col("b"), col("r")), col("b")).as("p"))
+      .select(col("p.b").as("prev_b"), col("p.r").as("prev_r"))
+    val failR = c.crossJoin(broadcast(firstFail))
+      .filter(col("b") === col("fail_b"))
+      .agg(min(col("r")).as("fail_r"))
+    val edge = c.agg(max(col("b")).as("edge_b"))
+    comp
+      .crossJoin(broadcast(firstFail))
+      .crossJoin(broadcast(prev))
+      .crossJoin(broadcast(failR))
+      .crossJoin(broadcast(edge))
+      .withColumn("floor_ppm", lit(floorPpm))
+      .withColumn("max_safe_delta_bps",
+        when(col("fail_b").isNull, col("edge_b"))
+          .when(col("prev_b").isNull, lit(0L))
+          .otherwise(col("prev_b") +
+            expr("((fail_b - prev_b) * (prev_r - floor_ppm)) DIV (prev_r - fail_r)")))
+      .withColumn("at_curve_edge", col("fail_b").isNull)
+      .withColumn("retrain", col("current_delta_bps") > col("max_safe_delta_bps"))
+      .select(col("n_base"), col("n_delta"), col("current_delta_bps"),
+        col("floor_ppm"), col("max_safe_delta_bps"), col("at_curve_edge"),
+        col("retrain"))
+  }
+
   private def probeCoded(
       model: IvfPqModel, coded: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String,

@@ -73,4 +73,106 @@ object WebCuration {
         broadcast(blocklist.select(col("domain"), lit(1L).as("blocked"))),
         Seq("domain"), "left")
       .withColumn("blocked", coalesce(col("blocked"), lit(0L)))
+
+  // --------------------------------------------- main-content extraction
+
+  /** HTML entity decode for the five core entities + nbsp — `&amp;`
+    * LAST, so `&amp;lt;` decodes once to `&lt;` (the standard single-pass
+    * order). Chained `replace`, identical in any engine. */
+  private def entityDecode(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Visible text of an HTML fragment: strip tags, decode entities,
+    * collapse whitespace runs, trim. */
+  private def visibleText(c: Column): Column =
+    trim(regexp_replace(entityDecode(regexp_replace(c, "<[^>]*>", "")),
+      "\\s+", " "))
+
+  /** MAIN-CONTENT EXTRACTION — markup-level boilerplate removal, the
+    * first transform a web-crawl pipeline runs before ANY text operator
+    * (the trafilatura/jusText-class heuristic at line granularity):
+    *
+    *  1. drop `<script>`/`<style>` blocks (alternation, no
+    *     backreferences — the pattern must also run under RE2 engines);
+    *  2. break the markup into CANDIDATE LINES at block-level tag
+    *     boundaries (`p div br li tr h1-6 ul ol table section article
+    *     header footer nav blockquote`);
+    *  3. per line, compute the visible text (tags stripped, entities
+    *     decoded, whitespace collapsed) and the LINK text (the visible
+    *     text inside `<a>…</a>` anchors);
+    *  4. keep lines that are long enough AND whose link share is low:
+    *     `text_len >= minTextLen` and
+    *     `10000·link_len <= maxLinkBps·text_len` (exact integer bps —
+    *     a nav bar is all links, a paragraph is mostly prose).
+    *
+    * Emits one row per NON-EMPTY candidate line:
+    * `(doc, line_no, text, text_len, link_len, link_bps, keep)` —
+    * compose `filter(keep).groupBy(doc)` + `concat_ws` for the cleaned
+    * document, or feed the kept lines straight into the text operators.
+    *
+    * Scale shape: map-only regex work + one generate per document — no
+    * shuffle, runs at scan speed like the other gopher-class gates; the
+    * per-line signals are exact integers, so the whole stage replays in
+    * a SQL oracle (q292 synthesizes real HTML pages from expressions and
+    * round-trips this extractor over them).
+    */
+  def extractMainContent(
+      docs: DataFrame, htmlCol: String, idCol: String,
+      minTextLen: Int = 25, maxLinkBps: Int = 3300): DataFrame = {
+    require(minTextLen >= 1 && maxLinkBps >= 0 && maxLinkBps <= 10000,
+      "need minTextLen >= 1 and maxLinkBps in [0, 10000]")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script\\s*>|<style[^>]*>.*?</style\\s*>", " ")
+    val blocked = regexp_replace(noScript,
+      "(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|nav|blockquote)\\b[^>]*/?>",
+      "\n")
+    docs
+      .select(col(idCol).as("doc"), posexplode(split(blocked, "\n", -1))
+        .as(Seq("line_no", "raw")))
+      .withColumn("text", visibleText(col("raw")))
+      .withColumn("text_len", length(col("text")).cast("bigint"))
+      .filter(col("text_len") >= 1)
+      .withColumn("link_len", coalesce(aggregate(
+        transform(
+          regexp_extract_all(col("raw"), lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
+          a => length(visibleText(a)).cast("bigint")),
+        lit(0L), (acc, x) => acc + x), lit(0L)))
+      .withColumn("link_bps", expr("(10000 * link_len) DIV text_len"))
+      .withColumn("keep",
+        col("text_len") >= minTextLen.toLong &&
+          col("link_len") * 10000L <= col("text_len") * maxLinkBps.toLong)
+      .select(col("doc"), col("line_no").cast("bigint").as("line_no"),
+        col("text"), col("text_len"), col("link_len"), col("link_bps"),
+        col("keep"))
+  }
+
+  /** Synthesize a REAL HTML page per row from a text column — the
+    * [[graft.operators.Multimodal.wavBytes]] discipline applied to
+    * markup, so [[extractMainContent]] is oracle-round-trippable: a
+    * head with title/style/script noise, a nav bar of links, an h1, the
+    * document text split across a `<div>` and a `<p>` (the main
+    * content), a related-links list, and an entity-bearing footer —
+    * every boilerplate class the extractor must drop and the one it
+    * must keep, deterministic in `(id, text)`.
+    */
+  def htmlWrap(id: Column, text: Column): Column = {
+    val half = (length(text) / 2).cast("int")
+    concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><style>body { color: #222; }</style>" +
+        "<script>var page = "), id.cast("string"),
+      lit("; if (page > 0) { track(page); }</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+        "<a href=\"/tag\">Tag "), (id % 7).cast("string"),
+      lit("</a></nav><h1>Title "), id.cast("string"),
+      lit("</h1><div>"), text.substr(lit(1), half),
+      lit("</div><p>"), text.substr(half + 1, length(text) - half),
+      lit("</p><ul><li><a href=\"/r1\">Related one</a></li>" +
+        "<li><a href=\"/r2\">Related two</a></li></ul>" +
+        "<footer>&copy; Site &amp; friends <a href=\"/tos\">Terms &amp; " +
+        "conditions</a></footer></body></html>"))
+  }
 }

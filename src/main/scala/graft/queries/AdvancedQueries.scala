@@ -176,6 +176,32 @@ object AdvancedQueries {
     * (micro-averaged: 1e6·Σhits DIV Σtrue, exactly the Spark side's
     * integer convention).
     */
+  /** The full q284 recall-decay WITH (shared verbatim by q291's trigger
+    * oracle): ONE brute-force ground truth + the three per-fraction
+    * train/encode/probe sweeps, ending after the `fcrow` CTE so callers
+    * append their own final CTEs/SELECT. */
+  private lazy val recallDecayWithSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |psub AS MATERIALIZED (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+       |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 40),
+       |qsub AS MATERIALIZED (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
+       |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
+       |gs AS (SELECT q.query_id, ce.vec_id AS neighbor_id,
+       |    list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       |  FROM q JOIN e qe ON qe.vec_id = q.query_id CROSS JOIN e ce
+       |  WHERE ce.vec_id <> q.query_id),
+       |gt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM gs) WHERE rnk <= 10),
+       |${sweepFracSql("fa", 2000, Similarity.baseGateHex(2000), 40)},
+       |${sweepFracSql("fb", 5000, Similarity.baseGateHex(5000), 40)},
+       |${sweepFracSql("fc", 8000, Similarity.baseGateHex(8000), 40)}""".stripMargin
+
   private def sweepFracSql(x: String, bps: Int, hex: String, rerank: Int): String =
     s"""${x}bs AS MATERIALIZED (SELECT vec_id, vq FROM e
        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '$hex'),
@@ -578,26 +604,7 @@ object AdvancedQueries {
             pqIters = 3, nProbe = 3, rerank = 40)
           .orderBy(col("delta_bps"))
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-              |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
-              |  FROM embeddings),
-              |psub AS MATERIALIZED (SELECT vec_id, js.j, list_slice(vq, js.j * 16 + 1, js.j * 16 + 16) AS sq
-              |  FROM e CROSS JOIN generate_series(0, 3) AS js(j)),
-              |q AS MATERIALIZED (SELECT vec_id AS query_id, vq AS qvq FROM e WHERE vec_id < 40),
-              |qsub AS MATERIALIZED (SELECT query_id, js.j, list_slice(qvq, js.j * 16 + 1, js.j * 16 + 16) AS sq
-              |  FROM q CROSS JOIN generate_series(0, 3) AS js(j)),
-              |gs AS (SELECT q.query_id, ce.vec_id AS neighbor_id,
-              |    list_dot_product(qe.v, ce.v) /
-              |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
-              |  FROM q JOIN e qe ON qe.vec_id = q.query_id CROSS JOIN e ce
-              |  WHERE ce.vec_id <> q.query_id),
-              |gt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              |  FROM gs) WHERE rnk <= 10),
-              |${sweepFracSql("fa", 2000, Similarity.baseGateHex(2000), 40)},
-              |${sweepFracSql("fb", 5000, Similarity.baseGateHex(5000), 40)},
-              |${sweepFracSql("fc", 8000, Similarity.baseGateHex(8000), 40)}
+      Some(s"""$recallDecayWithSql
               |SELECT * FROM (
               |  SELECT * FROM farow UNION ALL
               |  SELECT * FROM fbrow UNION ALL
@@ -607,6 +614,56 @@ object AdvancedQueries {
         "(20/50/80%), base-trained frozen codebooks encode the union and the probe's " +
         "micro-averaged recall@10 vs shared brute-force ground truth is the retrain " +
         "trigger curve — oracle replays all three trainings + probes in one WITH"),
+
+    "q291_sim_retrain_trigger" -> Q(
+      (s, dir) => {
+        // The operational DECISION on top of q284's curve: interpolate
+        // the measured decay against a recall floor, compare the CURRENT
+        // stored index's delta share (q277's md5-'cccc' composition —
+        // one coded row per corpus vector, is_base = partition
+        // provenance), and emit the retrain/no-retrain verdict a daily
+        // scheduler polls. The curve arrives as a FROZEN artifact
+        // (Pipelines.decayCurve, memoized — a scheduler polls a stored
+        // curve; recomputation cost is q284's own entry), so this entry
+        // measures the trigger itself.
+        val emb = t(s, dir, "embeddings")
+        val composition = emb.select(col("vec_id"))
+          .withColumn("is_base",
+            substring(md5(col("vec_id").cast("string")), 1, 4) < lit("cccc"))
+        Similarity.ivfPqRetrainTrigger(
+          graft.Pipelines.decayCurve(s, dir), composition, floorPpm = 350000L)
+      },
+      Some(s"""$recallDecayWithSql,
+              |curve AS (SELECT delta_bps AS b, mean_recall_ppm AS r FROM (
+              |  SELECT * FROM farow UNION ALL SELECT * FROM fbrow
+              |  UNION ALL SELECT * FROM fcrow)),
+              |compx AS (SELECT CAST(sum(CASE WHEN
+              |      substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'cccc'
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+              |    CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
+              |ff AS (SELECT min(b) AS fail_b FROM curve WHERE r < 350000),
+              |pv AS (SELECT arg_max(b, b) AS prev_b, arg_max(r, b) AS prev_r
+              |  FROM curve, ff WHERE ff.fail_b IS NOT NULL AND b < ff.fail_b),
+              |fr AS (SELECT min(r) AS fail_r FROM curve, ff WHERE b = ff.fail_b),
+              |ed AS (SELECT max(b) AS edge_b FROM curve),
+              |base AS (SELECT n_base, n_total - n_base AS n_delta,
+              |    (10000 * (n_total - n_base)) // n_total AS current_delta_bps,
+              |    CAST(350000 AS BIGINT) AS floor_ppm,
+              |    CASE WHEN fail_b IS NULL THEN edge_b
+              |         WHEN prev_b IS NULL THEN 0
+              |         ELSE prev_b + ((fail_b - prev_b) * (prev_r - 350000))
+              |           // (prev_r - fail_r) END AS max_safe_delta_bps,
+              |    (fail_b IS NULL) AS at_curve_edge
+              |  FROM compx, ff, pv, fr, ed)
+              |SELECT n_base, n_delta, current_delta_bps, floor_ppm,
+              |  max_safe_delta_bps, at_curve_edge,
+              |  current_delta_bps > max_safe_delta_bps AS retrain
+              |FROM base""".stripMargin),
+      "retrain trigger for the incremental IVF-PQ index: piecewise-linear interpolation " +
+        "of the q284 decay curve against a recall floor (exact integer crossing), joined " +
+        "with the stored index's base/delta composition — emits max safe delta share and " +
+        "the retrain verdict a daily scheduler polls; first-crossing semantics, endpoint " +
+        "clamps flagged as at_curve_edge"),
 
     // ----------------------------------------------- embedding-space curation
     "q83_semdedup" -> Q(

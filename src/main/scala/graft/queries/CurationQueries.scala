@@ -706,7 +706,73 @@ object CurationQueries {
       "per-domain curation ledger: docs, whitespace tokens, mean chars in " +
         "exact micro per registered domain (ONE domain-keyed aggregation — " +
         "domain-cardinality-bounded), plus a broadcast blocklist flag join " +
-        "(md5-gated deterministic stand-in for the curated list)")
+        "(md5-gated deterministic stand-in for the curated list)"),
+
+    "q292_html_extract" -> Q(
+      (s, dir) => {
+        // REAL markup in, per-line extraction signals out: htmlWrap
+        // synthesizes a full HTML page per document (head noise, nav
+        // links, title, the document text split across div+p, a
+        // related-links list, an entity-bearing footer — the wavBytes
+        // discipline applied to markup), and extractMainContent strips
+        // script/style, breaks at block tags, and scores each candidate
+        // line by visible-text length and link density. The oracle
+        // replays BOTH the generator and the extractor, so the hash
+        // match round-trips the whole boilerplate-removal stage.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        WebCuration.extractMainContent(
+            docs.withColumn("page",
+              WebCuration.htmlWrap(col("doc_id"), col("text"))),
+            "page", "doc_id")
+          .orderBy(col("doc"), col("line_no"))
+      },
+      Some("""WITH pg AS (SELECT doc_id AS doc,
+             |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style>body { color: #222; }</style><script>var page = ' ||
+             |    CAST(doc_id AS VARCHAR) ||
+             |    '; if (page > 0) { track(page); }</script></head><body>' ||
+             |    '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+             |    '<a href="/tag">Tag ' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '</a></nav><h1>Title ' || CAST(doc_id AS VARCHAR) ||
+             |    '</h1><div>' || substring(text, 1, len(text) // 2) ||
+             |    '</div><p>' || substring(text, len(text) // 2 + 1) ||
+             |    '</p><ul><li><a href="/r1">Related one</a></li>' ||
+             |    '<li><a href="/r2">Related two</a></li></ul>' ||
+             |    '<footer>&copy; Site &amp; friends <a href="/tos">Terms &amp; ' ||
+             |    'conditions</a></footer></body></html>' AS page
+             |  FROM documents),
+             |ln AS (SELECT doc, string_split(regexp_replace(regexp_replace(page,
+             |    '(?is)<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>',
+             |    ' ', 'g'),
+             |    '(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|nav|blockquote)\b[^>]*/?>',
+             |    chr(10), 'g'), chr(10)) AS ls FROM pg),
+             |lx0 AS (SELECT doc, ls,
+             |    unnest(generate_series(1, CAST(len(ls) AS BIGINT))) AS i FROM ln),
+             |lx AS (SELECT doc, i - 1 AS line_no, ls[i] AS raw FROM lx0),
+             |tx AS (SELECT doc, line_no, raw,
+             |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(raw, '<[^>]*>', '', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS text,
+             |    coalesce(list_sum(list_transform(
+             |      regexp_extract_all(raw, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+             |      a -> len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(a, '<[^>]*>', '', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |        '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))))), 0) AS link_len
+             |  FROM lx)
+             |SELECT doc, CAST(line_no AS BIGINT) AS line_no, text,
+             |  CAST(len(text) AS BIGINT) AS text_len,
+             |  CAST(link_len AS BIGINT) AS link_len,
+             |  CAST((10000 * link_len) // len(text) AS BIGINT) AS link_bps,
+             |  (len(text) >= 25 AND link_len * 10000 <= len(text) * 3300) AS keep
+             |FROM tx WHERE len(text) >= 1 ORDER BY doc, line_no""".stripMargin),
+      "HTML main-content extraction (markup-level boilerplate removal, the " +
+        "trafilatura-class first transform of a web-crawl pipeline): script/style " +
+        "dropped, lines split at block tags, per-line visible-text length + anchor-text " +
+        "link density in exact integer bps, keep = long-enough AND low-link-share; " +
+        "oracle replays generator + extractor (RE2-safe patterns, no backreferences)")
   )
 
   // messy URL A: source-keyed host (q262/q264) — exercises every

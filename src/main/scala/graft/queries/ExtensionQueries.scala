@@ -1109,6 +1109,50 @@ object ExtensionQueries {
         "sample rate, duration, peak, integer mean energy, zero crossings; oracle " +
         "replays the deterministic generator, so the hash match round-trips the parser"),
 
+    "q290_bmp_decode" -> Q(
+      (s, dir) => {
+        // REAL image decode, not a stub: bmpBytes synthesizes a valid
+        // 24-bpp bottom-up BMP per doc (deterministic in doc_id — any
+        // image viewer opens it; the 8..16 width sweep exercises every
+        // row-padding residue), and bmpFeatures parses header + padded
+        // BGR rows back with plain byte arithmetic, emitting exact
+        // integer BT.601 milli-lumas AND the dHash computed from the
+        // DECODED pixels. The oracle replays the pixel GENERATOR, so a
+        // hash match proves parse(synthesize(id)) recovers the
+        // ground-truth image — the q288 WAV discipline applied to pixels.
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        Multimodal.bmpFeatures(
+            docs.withColumn("payload", Multimodal.bmpBytes(col("doc_id"))),
+            "doc_id")
+          .orderBy(col("doc"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS doc, 8 + doc_id % 9 AS w,
+             |    8 + doc_id % 5 AS h FROM documents),
+             |lums AS MATERIALIZED (SELECT doc, w, h,
+             |    list_transform(generate_series(0, CAST(w * h - 1 AS INT)), p ->
+             |      299 * ((doc * 3 + (p % w) * 29 + (p // w) * 19) % 256) +
+             |      587 * ((doc * 11 + (p % w) * 17 + (p // w) * 23) % 256) +
+             |      114 * ((doc * 7 + (p % w) * 13 + (p // w) * 31) % 256)) AS lum
+             |  FROM d),
+             |bits AS (SELECT doc,
+             |    CAST(sum(CASE WHEN
+             |        lum[CAST(((k // 7) * h) // 8 * w + ((k % 7) * w) // 8 AS INT) + 1] >
+             |        lum[CAST(((k // 7) * h) // 8 * w + (((k % 7) + 1) * w) // 8 AS INT) + 1]
+             |      THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM lums CROSS JOIN (SELECT unnest(generate_series(0, 55)) AS k)
+             |  GROUP BY doc)
+             |SELECT doc, true AS valid, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+             |  CAST(list_sum(lum) // (w * h) AS BIGINT) AS mean_luma_milli,
+             |  CAST(list_min(lum) AS BIGINT) AS min_luma_milli,
+             |  CAST(list_max(lum) AS BIGINT) AS max_luma_milli, b.dhash
+             |FROM lums JOIN bits b USING (doc) ORDER BY doc""".stripMargin),
+      "real 24-bpp BMP decode as relational byte arithmetic (BITMAPFILE/INFOHEADER + " +
+        "bottom-up 4-byte-padded BGR rows via substr/hex/shifts — no image library): " +
+        "validity, dimensions, exact integer BT.601 luma stats, and the dHash over the " +
+        "DECODED pixels; oracle replays the deterministic pixel generator, so the hash " +
+        "match round-trips the parser end to end"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

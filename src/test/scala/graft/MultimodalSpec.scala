@@ -136,6 +136,104 @@ class MultimodalSpec extends SparkSpec {
     (2 to 7).foreach(i => assert(n.isNullAt(i), s"null payload col $i"))
   }
 
+  /** Hand-build a canonical 24-bpp bottom-up BMP with java.nio —
+    * INDEPENDENT of the expression-side synthesizer. `px(x, y)` gives
+    * (r, g, b) for the pixel at column x, row y FROM THE TOP. */
+  private def bmp(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (rf <- 0 until h; x <- 0 until w) {
+      val y = h - 1 - rf // bottom-up storage
+      val (r, g, b) = px(x, y)
+      bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      if (x == w - 1) (0 until stride - 3 * w).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("bmpFeatures parses a hand-built java.nio BMP to hand-computed " +
+      "features + dHash, and rejects malformed payloads") {
+    import spark.implicits._
+    val w = 11; val h = 9
+    def pxf(x: Int, y: Int) = ((x * 20) % 256, (y * 25) % 256, (x + y) % 256)
+    val good = bmp(w, h)(pxf)
+    val badMagic = { val b = good.clone(); b(0) = 'X'.toByte; b }
+    val bpp32 = { val b = good.clone(); b(28) = 32; b }
+    val compressed = { val b = good.clone(); b(30) = 1; b }
+    val topDown = { // negative height -> out of the canonical contract
+      val b = good.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(22, -h); b
+    }
+    val truncated = good.take(54 + 10)
+    val rows = Seq(1L -> good, 2L -> badMagic, 3L -> bpp32, 4L -> compressed,
+      5L -> topDown, 6L -> truncated).toDF("doc_id", "payload")
+      .unionByName(Seq(7L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    val got = graft.operators.Multimodal.bmpFeatures(rows, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = got(1L)
+    assert(g.getBoolean(1) === true)
+    assert(g.getLong(2) === w.toLong && g.getLong(3) === h.toLong)
+    assert(g.getLong(4) === (w * h).toLong)
+    // hand-computed lumas, top-down row-major
+    val lum = for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, gg, b) = pxf(x, y); 299L * r + 587L * gg + 114L * b
+    }
+    assert(g.getLong(5) === lum.sum / (w * h))
+    assert(g.getLong(6) === lum.min && g.getLong(7) === lum.max)
+    val expDhash = (for (r <- 0 until 8; c <- 0 until 7) yield {
+      def cell(cc: Int) = lum((r * h / 8) * w + (cc * w / 8))
+      if (cell(c) > cell(c + 1)) 1L << (7 * r + c) else 0L
+    }).sum
+    assert(g.getLong(8) === expDhash)
+    Seq(2L, 3L, 4L, 5L, 6L).foreach { d =>
+      assert(got(d).getBoolean(1) === false, s"doc $d must be invalid")
+      (2 to 8).foreach(i => assert(got(d).isNullAt(i), s"doc $d col $i"))
+    }
+    assert(!got(7L).isNullAt(1) && got(7L).getBoolean(1) === false,
+      "NULL payload must read valid=false, not NULL")
+  }
+
+  test("bmpBytes -> bmpFeatures round-trips the generator, and bmpDhash " +
+      "over REAL pixels pairs near-identical images at small hamming") {
+    import spark.implicits._
+    val feats = graft.operators.Multimodal.bmpFeatures(
+        (0L until 30L).toDF("doc_id")
+          .withColumn("payload", graft.operators.Multimodal.bmpBytes(col("doc_id"))),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 30L).foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + id % 5).toInt
+      val lum = for (y <- 0 until h; x <- 0 until w) yield
+        299L * ((id * 3 + x * 29 + y * 19) % 256) +
+          587L * ((id * 11 + x * 17 + y * 23) % 256) +
+          114L * ((id * 7 + x * 13 + y * 31) % 256)
+      val f = feats(id)
+      assert(f.getBoolean(1) && f.getLong(2) === w.toLong &&
+        f.getLong(3) === h.toLong, s"id $id")
+      assert(f.getLong(5) === lum.sum / (w * h), s"id $id mean")
+    }
+    // near-dup over REAL pixel content: a flat image vs the same image
+    // with one corner pixel changed (tiny dHash perturbation) vs an
+    // unrelated gradient — only the first pair lands at small hamming
+    val a = bmp(16, 16)((x, y) => (10 + x, 20 + y, 30))
+    val b = bmp(16, 16)((x, y) => if (x == 0 && y == 0) (255, 255, 255) else (10 + x, 20 + y, 30))
+    val c = bmp(16, 16)((x, y) => ((x * y * 7) % 256, (x * 31 + y) % 256, (y * 53) % 256))
+    val hashes = graft.operators.Multimodal.bmpDhash(
+      Seq(1L -> a, 2L -> b, 3L -> c).toDF("doc_id", "payload"), "doc_id")
+    val pairs = graft.operators.Multimodal.dhashNearDupsFromBits(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"near-identical images must pair: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated image must not pair: $pairs")
+  }
+
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
       "and the payloads are well-formed RIFF files") {
     import spark.implicits._

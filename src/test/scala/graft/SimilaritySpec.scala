@@ -665,4 +665,39 @@ class SimilaritySpec extends SparkSpec {
     // deterministic end to end (md5 splits + bounded-sample training)
     assert(run() === a)
   }
+
+  test("ivfPqRetrainTrigger: verdict flips exactly at the interpolated " +
+      "crossing; endpoint clamps and first-point failure handled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val curve = Seq((2000L, 990000L), (5000L, 950000L), (8000L, 890000L))
+      .toDF("delta_bps", "mean_recall_ppm")
+    def comp(nDelta: Long, nTotal: Long = 10000L) =
+      spark.range(nTotal).withColumn("is_base", col("id") >= nDelta)
+    def row(c: org.apache.spark.sql.DataFrame, floor: Long) =
+      Similarity.ivfPqRetrainTrigger(curve, c, floor).collect()(0)
+    // floor 930000 crosses segment (5000, 950000) -> (8000, 890000):
+    // max_safe = 5000 + 3000 * 20000 DIV 60000 = 6000 exactly
+    val atEdgeOfSafe = row(comp(6000), 930000L)
+    assert(atEdgeOfSafe.getAs[Long]("max_safe_delta_bps") === 6000L)
+    assert(atEdgeOfSafe.getAs[Boolean]("retrain") === false, "cur == max_safe keeps")
+    assert(atEdgeOfSafe.getAs[Boolean]("at_curve_edge") === false)
+    val justOver = row(comp(6001), 930000L)
+    assert(justOver.getAs[Long]("current_delta_bps") === 6001L)
+    assert(justOver.getAs[Boolean]("retrain") === true, "one bps past the crossing retrains")
+    // floor equal to a measured recall: that point still satisfies the
+    // floor, so the crossing starts at its share
+    assert(row(comp(1000), 950000L).getAs[Long]("max_safe_delta_bps") === 5000L)
+    // floor above the first measured point: retrain from share zero on
+    val hard = row(comp(1), 995000L)
+    assert(hard.getAs[Long]("max_safe_delta_bps") === 0L &&
+      hard.getAs[Boolean]("retrain") === true)
+    // floor below the whole curve: clamp to the measured edge, flag it
+    val easy = row(comp(9999), 880000L)
+    assert(easy.getAs[Long]("max_safe_delta_bps") === 8000L &&
+      easy.getAs[Boolean]("at_curve_edge") === true &&
+      easy.getAs[Boolean]("retrain") === true, // 9999 > 8000: beyond audit range
+      easy.toString)
+    assert(row(comp(8000), 880000L).getAs[Boolean]("retrain") === false)
+  }
 }

@@ -124,4 +124,70 @@ class WebCurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(flagged === Map("a.com" -> 1L, "b.com" -> 0L))
   }
+
+  test("extractMainContent: hand-built page — script/style dropped, nav " +
+      "and link-lists dropped by link density, prose kept, entities decoded") {
+    val prose = "This is a long enough paragraph of real prose content " +
+      "that any sane extractor must keep around for training."
+    val html =
+      "<html><head><title>T</title><style>p { color: red }</style>" +
+        "<script>if (1 < 2) { alert('</p> fake'); }</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About the site</a></nav>" +
+        "<h1>Short title</h1>" +
+        s"<div>$prose</div>" +
+        "<p>Mixed line with a tiny <a href=\"/x\">link</a> inside a long " +
+        "stretch of otherwise plain prose text that clears the gate.</p>" +
+        "<ul><li><a href=\"/r1\">Related article one</a></li>" +
+        "<li><a href=\"/r2\">Related article two</a></li></ul>" +
+        "<footer>&copy; 2026 Site &amp; friends &mdash; " +
+        "<a href=\"/tos\">Terms &amp; conditions</a></footer></body></html>"
+    val out = WebCuration.extractMainContent(
+        Seq((1L, html)).toDF("doc_id", "page"), "page", "doc_id")
+      .collect()
+    val texts = out.map(r => r.getString(2) -> r).toMap
+    // script/style content never surfaces, even with a fake close tag
+    assert(!texts.keys.exists(t => t.contains("alert") || t.contains("color")),
+      texts.keys.mkString("|"))
+    assert(texts.contains(prose) && texts(prose).getBoolean(6), "prose kept")
+    // the mixed prose line keeps despite containing one small link
+    val mixed = texts.keys.find(_.startsWith("Mixed line")).get
+    assert(texts(mixed).getBoolean(6))
+    assert(texts(mixed).getLong(4) === 4L, "link_len counts only anchor text")
+    // nav: all links -> link_bps ~ 10000 -> dropped
+    val nav = texts.keys.find(_.contains("Home")).get
+    assert(!texts(nav).getBoolean(6) && texts(nav).getLong(5) > 9000L)
+    // related-list items are pure links -> dropped
+    Seq("Related article one", "Related article two").foreach { t =>
+      assert(texts.contains(t) && !texts(t).getBoolean(6), t)
+    }
+    // short title dropped by length, footer entities decoded
+    assert(!texts("Short title").getBoolean(6))
+    val footer = texts.keys.find(_.contains("friends")).get
+    assert(footer.contains("&copy;") && footer.contains("Site & friends"),
+      footer) // &amp; decoded once; unknown entity left verbatim
+  }
+
+  test("htmlWrap -> extractMainContent round-trip on the corpus: the two " +
+      "content halves are kept, every boilerplate class dropped") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val pages = docs.withColumn("page",
+      WebCuration.htmlWrap(col("doc_id"), col("text")))
+    val out = WebCuration.extractMainContent(pages, "page", "doc_id")
+    val kept = out.filter(col("keep"))
+      .groupBy(col("doc")).agg(concat_ws(" ", collect_list(col("text"))).as("main"))
+    // the reassembled main content is exactly the whitespace-normalized
+    // document text (html split it into div+p halves mid-token at times,
+    // so compare token-free: strip all whitespace)
+    val diff = kept.join(docs.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+      .filter(regexp_replace(col("main"), "\\s+", "") =!=
+        regexp_replace(col("text"), "\\s+", ""))
+      .count()
+    assert(diff === 0L)
+    // boilerplate classes never keep: titles, nav, related, footer
+    val badKeeps = out.filter(col("keep") &&
+      (col("text").rlike("^Title |Home About") ||
+        col("text").contains("Related") || col("text").contains("Terms"))).count()
+    assert(badKeeps === 0L)
+  }
 }
