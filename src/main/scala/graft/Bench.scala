@@ -92,6 +92,11 @@ object Bench {
     // curve computation cost is timed by q284's own entry)
     try { graft.Pipelines.decayCurve(spark, sfDir); () }
     catch { case _: Throwable => () }
+    // and the refresh-cadence deploy-time state (base-trained LM, blooms,
+    // seed counts) serving q289 + pipeline_stream_refresh
+    try { graft.Pipelines.refreshArtifacts(spark, sfDir)
+      graft.Pipelines.refreshBaseCounts(spark, sfDir); () }
+    catch { case _: Throwable => () }
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gn0, gm0) = gcNow()
@@ -198,6 +203,19 @@ object Bench {
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(funnelTmp)).deleteRecursively(); ()
+    } catch { case _: Throwable => () }
+    // the refresh-cadence twin: two micro-batches with a hot-swapped model
+    // epoch between them (counts fold + LM re-price + bloom merge) — the
+    // incremental-MODEL loop, artifacts + staging untimed as above
+    val refreshTmp = graft.Pipelines.prepareStreamRefresh(spark, sfDir)
+    val srefreshSecs = timedEntry("pipeline_stream_refresh") {
+      val (nDec, nKeep) =
+        graft.Pipelines.replayStreamRefresh(spark, sfDir, refreshTmp)
+      System.err.println(s"[bench] pipeline_stream_refresh decided=$nDec kept=$nKeep")
+    }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(refreshTmp)).deleteRecursively(); ()
     } catch { case _: Throwable => () }
     val eventsSecs = timedEntry("pipeline_events") {
       {
@@ -321,6 +339,7 @@ object Bench {
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
       "pipeline_stream_funnel" -> sfunnelSecs,
+      "pipeline_stream_refresh" -> srefreshSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
       "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,
       "pipeline_profile" -> profileSecs)

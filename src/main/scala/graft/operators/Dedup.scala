@@ -76,7 +76,7 @@ object Dedup {
   private val trackedCaches =
     scala.collection.mutable.ArrayBuffer.empty[(CacheScope, DataFrame)]
 
-  private[operators] def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = trackedCaches.synchronized {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedCaches += ((currentScope.value, df))
     df

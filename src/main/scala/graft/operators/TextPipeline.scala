@@ -1671,4 +1671,54 @@ object TextPipeline {
         .select(col("piece"), col("logp_micro"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       model.maxPieceLen)
+
+  /** Per-word Viterbi SEGMENTATION TABLE under a frozen model:
+    * `(w, ps)` for every distinct word of the input's `w` column.
+    * Segmentation under frozen scores is a pure per-word function, so
+    * these rows are storable FOREVER alongside the model — the
+    * incremental vocabulary artifact: a growing corpus segments only
+    * its NEW words per batch (anti-join against the stored table) while
+    * counts/pricing resolve through the table, exactly the
+    * fingerprint-index discipline applied to the tokenizer
+    * ([[unigramCountsFromSegments]] consumes it; the streaming funnel's
+    * refresh cadence stores it as `segDir/batch_id=N` partitions).
+    */
+  def unigramSegments(words: DataFrame, model: UnigramModel): DataFrame = {
+    val m = typedLit(model.scores)
+    words.select(col("w")).filter(col("w").isNotNull).distinct()
+      .withColumn("w", guardedWordLen(col("w")))
+      .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
+      .materialize // vocab-sized cut; see unigramCore on Generate-over-DP
+      .select(col("w"), viterbiPieces(col("w"), col("dp")).as("ps"))
+  }
+
+  /** [[unigramCounts]] resolved through a stored [[unigramSegments]]
+    * table instead of re-running the DP: frequency-weighted piece
+    * counts of `wordCounts` (w, f), zero-filled over the model's closed
+    * vocabulary, OOV pieces dropped — BIT-IDENTICAL to
+    * [[unigramCounts]] on the same corpus when `segments` was built
+    * under the same frozen model (UnigramTokenizerSpec pins it). Words
+    * MISSING from the table self-heal: the DP runs inline for exactly
+    * those rows (a coalesce fallback — correctness never depends on the
+    * caller's anti-join being exhaustive; the table only decides how
+    * much DP work is saved).
+    */
+  def unigramCountsFromSegments(
+      wordCounts: DataFrame, segments: DataFrame,
+      model: UnigramModel): DataFrame = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val m = typedLit(model.scores)
+    val seg = wordCounts.select(col("w"), col("f"))
+      .join(segments.select(col("w"), col("ps")), Seq("w"), "left")
+      .withColumn("w", guardedWordLen(col("w")))
+      .withColumn("ps", coalesce(col("ps"),
+        viterbiPieces(col("w"), viterbiDp(col("w"), m, model.maxPieceLen))))
+      .materialize // attribute-ize ps before the explode (Generate trap)
+      .select(col("f"), explode(col("ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    model.scores.keysIterator.toSeq.sorted.toDF("piece")
+      .join(seg, Seq("piece"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
 }

@@ -1109,6 +1109,205 @@ object ExtensionQueries {
         "sample rate, duration, peak, integer mean energy, zero crossings; oracle " +
         "replays the deterministic generator, so the hash match round-trips the parser"),
 
+    "q289_funnel_refresh" -> Q(
+      (s, dir) => {
+        // The EPOCH-SPLIT front door — the batch composition the
+        // streaming refresh cadence must equal row-for-row
+        // (StreamingCurationFunnelSpec pins stream ≡ this): epoch 0
+        // decides under the base-trained model; its KEPT documents'
+        // piece counts (segmented under the FROZEN epoch-0 counter —
+        // count additivity holds only within one segmenter) fold into
+        // the base counts and re-price the LM (q286), the bloom
+        // OR-merges a new probe delta (merged ≡ union-built, q281),
+        // and epoch 1 decides under the refreshed model against
+        // base ∪ epoch-0 fingerprints. This closes the 100 TB ingest
+        // loop: incremental INDEX (q193/q285), incremental DECISIONS
+        // (q287), incremental MODEL (here).
+        // frozen deploy-time artifacts via the memoized builders (the
+        // scheduler serves a stored model + stored seed counts; their
+        // build cost is owned by the q278/q286-family entries) — this
+        // entry times the REFRESH LOOP itself: decide epoch 0, fold the
+        // kept counts, re-price, decide epoch 1
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val baseDocs = docs.filter(col("doc_id") < 250)
+        val (model0, bloomFor) = graft.Pipelines.refreshArtifacts(s, dir)
+        val baseIdx = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
+          baseDocs, "text", "doc_id", 5))
+        val d0 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        val (dec0, idx0) = graft.operators.CurationFunnel.decide(
+          d0, "text", "doc_id", baseIdx, model0)
+        val kept0 = d0.join(
+          dec0.filter(col("keep")).select(col("doc").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val lm1 = graft.operators.TextPipeline.unigramRefreshModel(
+          graft.Pipelines.refreshBaseCounts(s, dir),
+          graft.operators.TextPipeline.unigramCounts(kept0, "text", model0.lm),
+          model0.lm)
+        val (dec1, _) = graft.operators.CurationFunnel.decide(
+          docs.filter(col("doc_id") >= 400), "text", "doc_id",
+          baseIdx.unionByName(idx0), model0.copy(bloom = bloomFor(1L), lm = lm1))
+        dec0.withColumn("epoch", lit(0L))
+          .unionByName(dec1.withColumn("epoch", lit(1L)))
+          .orderBy(col("doc"))
+      },
+      // q285's four-stage oracle split at the epoch boundary + q286's
+      // refresh re-pricing + a second serve under the refreshed map +
+      // the widened (union-built ≡ merged) bloom for epoch 1. The dedup
+      // pair algebra is epoch-independent (ids arrive in order, so every
+      // pair's earlier side is already fingerprinted), hence ONE `dup`
+      // CTE serves both epochs — exactly q285's.
+      Some(s"""${uniTrainWith(3, 32, 2, " WHERE doc_id < 250")},
+              |gd AS (SELECT doc_id AS doc,
+              |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |  FROM documents WHERE doc_id >= 250),
+              |gf AS MATERIALIZED (SELECT doc,
+              |    coalesce((CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
+              |         END BETWEEN 300 AND 1000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
+              |         END >= 8000), false) AS gpass
+              |  FROM gd),
+              |fsets AS MATERIALIZED (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+              |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+              |    END) AS sh
+              |  FROM (SELECT doc_id,
+              |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |    FROM documents)),
+              |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM fsets
+              |  WHERE doc_id < 250 OR doc_id IN (SELECT doc FROM gf WHERE gpass)),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+              |    CAST(count(*) AS DOUBLE) AS i
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3, 4),
+              |dup AS MATERIALIZED (SELECT DISTINCT id_b AS doc FROM inter
+              |  WHERE i / (sz_a + sz_b - i) >= 0.8 AND id_b >= 250),
+              |s10 AS MATERIALIZED (SELECT doc FROM gf
+              |  WHERE gpass AND doc < 400 AND doc NOT IN (SELECT doc FROM dup)),
+              |s11 AS MATERIALIZED (SELECT doc FROM gf
+              |  WHERE gpass AND doc >= 400 AND doc NOT IN (SELECT doc FROM dup)),
+              |psh0 AS (SELECT DISTINCT unnest(sh) AS s FROM fsets WHERE doc_id < 10),
+              |pp0 AS (SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM psh0 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bw0 AS (SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM pp0 GROUP BY wd),
+              |psh1 AS (SELECT DISTINCT unnest(sh) AS s FROM fsets WHERE doc_id < 20),
+              |pp1 AS (SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM psh1 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bw1 AS (SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM pp1 GROUP BY wd),
+              |dsh0 AS (SELECT doc_id AS doc, unnest(sh) AS s
+              |  FROM fsets JOIN s10 ON doc_id = s10.doc),
+              |dp0 AS (SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM dsh0 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bh0 AS (SELECT doc, s
+              |  FROM dp0 JOIN bw0 ON bw0.wd = dp0.p // 32
+              |  WHERE (bw0.bits & (CAST(1 AS BIGINT) << CAST(dp0.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4),
+              |con0 AS MATERIALIZED (SELECT doc FROM bh0 GROUP BY doc HAVING count(*) >= 1),
+              |dsh1 AS (SELECT doc_id AS doc, unnest(sh) AS s
+              |  FROM fsets JOIN s11 ON doc_id = s11.doc),
+              |dp1 AS (SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM dsh1 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bh1 AS (SELECT doc, s
+              |  FROM dp1 JOIN bw1 ON bw1.wd = dp1.p // 32
+              |  WHERE (bw1.bits & (CAST(1 AS BIGINT) << CAST(dp1.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4),
+              |con1 AS MATERIALIZED (SELECT doc FROM bh1 GROUP BY doc HAVING count(*) >= 1),
+              |s20 AS (SELECT doc FROM s10 WHERE doc NOT IN (SELECT doc FROM con0)),
+              |s21 AS (SELECT doc FROM s11 WHERE doc NOT IN (SELECT doc FROM con1)),
+              |wc0 AS (SELECT doc_id AS doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM documents JOIN s20 ON doc_id = s20.doc),
+              |dc0 AS MATERIALIZED (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM wc0 GROUP BY 1, 2),
+              |wsv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wc0 GROUP BY w),
+              |${uniViterbi("e0", "wsv0", "r2mp", 3)},
+              |env0 AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM e0seg),
+              |lagg0 AS (SELECT doc, CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |    CAST(sum(c * lp) AS BIGINT) AS logp
+              |  FROM dc0 JOIN env0 USING (w) GROUP BY doc),
+              |lmr0 AS MATERIALIZED (SELECT doc,
+              |    CAST((-logp) // n_pieces AS BIGINT) AS nll_micro,
+              |    ((-logp) // n_pieces < 3520000) AS lmk FROM lagg0),
+              |${uniViterbi("cb", "wf", "r2mp", 3)},
+              |cbc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+              |  FROM (SELECT f, unnest(ps) AS piece FROM cbseg) GROUP BY piece),
+              |wk AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+              |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |    FROM documents JOIN lmr0 ON doc_id = lmr0.doc WHERE lmr0.lmk) GROUP BY w),
+              |${uniViterbi("ck", "wk", "r2mp", 3)},
+              |ckc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+              |  FROM (SELECT f, unnest(ps) AS piece FROM ckseg) GROUP BY piece),
+              |mg AS MATERIALIZED (SELECT c.piece,
+              |    coalesce(a.cnt, 0) + coalesce(b.cnt, 0) AS cnt
+              |  FROM cands c LEFT JOIN cbc a USING (piece) LEFT JOIN ckc b USING (piece)),
+              |rtv AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS v FROM mg),
+              |rsc AS MATERIALIZED (SELECT piece,
+              |    CAST(round(1e6 * ln((cnt + 1.0) / (t + v))) AS BIGINT) AS s
+              |  FROM mg CROSS JOIN rtv),
+              |rmp AS MATERIALIZED (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM rsc),
+              |wc1 AS (SELECT doc_id AS doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM documents JOIN s21 ON doc_id = s21.doc),
+              |dc1 AS MATERIALIZED (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM wc1 GROUP BY 1, 2),
+              |wsv1 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wc1 GROUP BY w),
+              |${uniViterbi("e1", "wsv1", "rmp", 3)},
+              |env1 AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM e1seg),
+              |lagg1 AS (SELECT doc, CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |    CAST(sum(c * lp) AS BIGINT) AS logp
+              |  FROM dc1 JOIN env1 USING (w) GROUP BY doc),
+              |lmr1 AS MATERIALIZED (SELECT doc,
+              |    CAST((-logp) // n_pieces AS BIGINT) AS nll_micro,
+              |    ((-logp) // n_pieces < 3520000) AS lmk FROM lagg1)
+              |SELECT gf.doc, gf.gpass AS gopher_pass,
+              |  CASE WHEN gf.gpass THEN (dup.doc IS NOT NULL) END AS near_dup,
+              |  CASE WHEN gf.gpass AND dup.doc IS NULL THEN (con0.doc IS NOT NULL) END AS contaminated,
+              |  lmr0.lmk AS lm_keep, lmr0.nll_micro AS nll_micro,
+              |  coalesce(lmr0.lmk, false) AS keep,
+              |  CASE WHEN NOT gf.gpass THEN 'gopher'
+              |       WHEN dup.doc IS NOT NULL THEN 'near_dup'
+              |       WHEN con0.doc IS NOT NULL THEN 'contaminated'
+              |       WHEN NOT lmr0.lmk THEN 'lm_gate'
+              |       ELSE 'kept' END AS verdict,
+              |  CAST(0 AS BIGINT) AS epoch
+              |FROM gf
+              |LEFT JOIN dup ON gf.doc = dup.doc
+              |LEFT JOIN con0 ON gf.doc = con0.doc
+              |LEFT JOIN lmr0 ON gf.doc = lmr0.doc
+              |WHERE gf.doc < 400
+              |UNION ALL
+              |SELECT gf.doc, gf.gpass AS gopher_pass,
+              |  CASE WHEN gf.gpass THEN (dup.doc IS NOT NULL) END AS near_dup,
+              |  CASE WHEN gf.gpass AND dup.doc IS NULL THEN (con1.doc IS NOT NULL) END AS contaminated,
+              |  lmr1.lmk AS lm_keep, lmr1.nll_micro AS nll_micro,
+              |  coalesce(lmr1.lmk, false) AS keep,
+              |  CASE WHEN NOT gf.gpass THEN 'gopher'
+              |       WHEN dup.doc IS NOT NULL THEN 'near_dup'
+              |       WHEN con1.doc IS NOT NULL THEN 'contaminated'
+              |       WHEN NOT lmr1.lmk THEN 'lm_gate'
+              |       ELSE 'kept' END AS verdict,
+              |  CAST(1 AS BIGINT) AS epoch
+              |FROM gf
+              |LEFT JOIN dup ON gf.doc = dup.doc
+              |LEFT JOIN con1 ON gf.doc = con1.doc
+              |LEFT JOIN lmr1 ON gf.doc = lmr1.doc
+              |WHERE gf.doc >= 400
+              |ORDER BY doc""".stripMargin),
+      "the epoch-split front door (the streaming refresh cadence's batch twin): epoch 0 " +
+        "decides under the base-trained model, its kept documents' counts (frozen " +
+        "epoch-0 segmenter) re-price the LM and the bloom OR-merges a probe delta, " +
+        "epoch 1 decides under the refreshed model against base + epoch-0 fingerprints " +
+        "— the incremental-MODEL leg of the 100 TB ingest loop, fully oracled"),
+
     "q290_bmp_decode" -> Q(
       (s, dir) => {
         // REAL image decode, not a stub: bmpBytes synthesizes a valid

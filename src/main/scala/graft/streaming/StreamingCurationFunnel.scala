@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{CurationFunnel, Dedup}
+import graft.operators.{CurationFunnel, Dedup, TextPipeline}
 
 /** The STREAMING daily-ingest front door: one foreachBatch pipeline that
   * runs [[graft.operators.CurationFunnel.decide]] — gopher gate →
@@ -166,6 +166,163 @@ object StreamingCurationFunnel {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, textCol, idCol, model, indexDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  // ------------------------------------------------- model-refresh cadence
+
+  /** Seed the stored COUNTS table (`batch_id=-1`) with the accepted
+    * corpus's piece counts under the frozen counting segmenter — the
+    * third piece of stored front-door state next to the fingerprint
+    * index and the decision log. Counts are vocabulary-bounded rows
+    * ([[TextPipeline.unigramCounts]]), additive across id-disjoint
+    * corpora, so the running table absorbs per-batch deltas without
+    * ever re-reading yesterday's text.
+    */
+  def seedCounts(
+      corpus: DataFrame, textCol: String,
+      countingLm: TextPipeline.UnigramModel, countsDir: String): Unit =
+    TextPipeline.unigramCounts(corpus, textCol, countingLm)
+      .write.mode("overwrite").parquet(s"$countsDir/batch_id=-1")
+
+  /** Seed the stored WORD-SEGMENTATION table (`batch_id=-1`) with the
+    * accepted corpus's vocabulary segmented under the frozen counting
+    * model — the incremental vocabulary artifact: with `segDir` wired
+    * into [[processBatchWithRefresh]], each batch runs the Viterbi DP
+    * only over words the corpus has NEVER seen (anti-join against the
+    * stored table; under Zipfian arrival the new-word set per batch is
+    * a sliver of the batch vocabulary, which is the difference between
+    * vocabulary-sized and delta-sized count folds at 100 TB).
+    */
+  def seedSegments(
+      corpus: DataFrame, textCol: String,
+      countingLm: TextPipeline.UnigramModel, segDir: String): Unit =
+    TextPipeline.unigramSegments(
+        corpus.select(explode(
+          graft.functions.TextFunctions.tokens(col(textCol))).as("w")),
+        countingLm)
+      .write.mode("overwrite").parquet(s"$segDir/batch_id=-1")
+
+  /** The LM epoch in force at batch `boundary·refreshEvery`: fold the
+    * seed counts with every kept-batch delta below `upToBatch` and
+    * re-price ([[TextPipeline.unigramRefresh]] — bit-identical to an
+    * M-step over the union corpus). Vocabulary-bounded collect. */
+  def refreshedLm(
+      spark: SparkSession, countsDir: String, upToBatch: Long,
+      countingLm: TextPipeline.UnigramModel): TextPipeline.UnigramModel = {
+    val all = spark.read.parquet(countsDir)
+    TextPipeline.unigramRefreshModel(
+      all.filter(col("batch_id") === -1L).select(col("piece"), col("cnt")),
+      all.filter(col("batch_id") >= 0L && col("batch_id") < upToBatch)
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt")),
+      countingLm)
+  }
+
+  // epoch models are pure functions of (countsDir, epoch) over FINALIZED
+  // partitions, so the memo is retry/restart-safe: a restarted stream
+  // rebuilds each epoch from storage on first use. Keyed by dir — tests
+  // and concurrent funnels with distinct dirs never collide; reusing one
+  // dir for a NEW seed requires clearRefreshMemo().
+  private val lmMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), TextPipeline.UnigramModel]
+
+  def clearRefreshMemo(): Unit = lmMemo.clear()
+
+  /** One micro-batch under the REFRESH CADENCE: batches are decided
+    * under model epoch `batchId / refreshEvery` — epoch 0 serves
+    * `model0` as-is; epoch e ≥ 1 serves the LM re-priced from the seed
+    * counts plus every kept-batch count below `e·refreshEvery`
+    * ([[refreshedLm]]) and the caller's per-epoch bloom (OR-merge new
+    * benchmark deltas via [[TextPipeline.bloomMerge]] — merged ≡
+    * union-built, q281). After deciding, the batch's KEPT documents'
+    * piece counts land at `countsDir/batch_id=N` (idempotent partition
+    * overwrite, like the index), so the refresh state is STORED —
+    * retries and checkpoint restarts rebuild every epoch bit-identically
+    * from finalized partitions, never from driver memory.
+    *
+    * COUNTING MODEL CONTRACT: deltas are always segmented under
+    * `model0.lm` — the frozen epoch-0 segmenter — because count
+    * additivity (the whole refresh algebra) holds only within one
+    * segmenter; refresh RE-PRICES the scores the LM gate serves, it
+    * never re-segments or grows the piece vocabulary (that is a
+    * retrain, exactly the IVF-PQ codebook discipline of q277/q284).
+    *
+    * Pinned: (stream with refresh at batch k) ≡ (batch composition run
+    * with the same two model epochs split at k) row-for-row
+    * (StreamingCurationFunnelSpec; q289 oracles the batch composition).
+    */
+  def processBatchWithRefresh(
+      batch: DataFrame, batchId: Long, textCol: String, idCol: String,
+      model0: CurationFunnel.FunnelModel, refreshEvery: Long,
+      bloomForEpoch: Long => TextPipeline.BloomModel,
+      indexDir: String, outDir: String, countsDir: String,
+      segDir: Option[String] = None): Unit = {
+    require(refreshEvery >= 1, "refreshEvery >= 1")
+    val spark = batch.sparkSession
+    val epoch = batchId / refreshEvery
+    val lm =
+      if (epoch == 0L) model0.lm
+      else lmMemo.getOrElseUpdate((countsDir, epoch),
+        refreshedLm(spark, countsDir, epoch * refreshEvery, model0.lm))
+    val model = model0.copy(lm = lm, bloom = bloomForEpoch(epoch))
+    val scope = Dedup.newScope()
+    try Dedup.inScope(scope) {
+      val base = readIndex(spark, indexDir, batchId)
+      val (decisions, deltaIndex) =
+        CurationFunnel.decide(batch, textCol, idCol, base, model)
+      decisions.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      deltaIndex.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      // the batch's kept documents feed the NEXT epoch's counts — read
+      // back from the just-written partition (cheap, and exactly the
+      // rows a retry would see), segmented under the frozen counter
+      val kept = batch.join(
+        spark.read.parquet(s"$outDir/batch_id=$batchId")
+          .filter(col("keep")).select(col("doc").as(idCol)),
+        Seq(idCol), "left_semi")
+      val counts = segDir match {
+        case None => TextPipeline.unigramCounts(kept, textCol, model0.lm)
+        case Some(sd) =>
+          // incremental vocabulary path ([[seedSegments]]): DP only the
+          // words the stored table has never seen, append them as this
+          // batch's partition (idempotent overwrite, `< batchId` read —
+          // the index discipline), resolve counts through the table.
+          // Bit-identical to the direct path (spec-pinned): the coalesce
+          // fallback in unigramCountsFromSegments self-heals any gap.
+          val wordCounts = Dedup.persistTracked(kept
+            .select(explode(
+              graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("f")))
+          val stored = spark.read.parquet(sd)
+            .filter(col("batch_id") < batchId).select(col("w"), col("ps"))
+          TextPipeline.unigramSegments(
+              wordCounts.join(stored.select(col("w")), Seq("w"), "left_anti"),
+              model0.lm)
+            .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
+          TextPipeline.unigramCountsFromSegments(
+            wordCounts,
+            spark.read.parquet(sd).filter(col("batch_id") <= batchId)
+              .select(col("w"), col("ps")),
+            model0.lm)
+      }
+      counts.write.mode("overwrite").parquet(s"$countsDir/batch_id=$batchId")
+    } finally Dedup.releaseScope(scope)
+  }
+
+  /** [[run]] under the refresh cadence: seed `indexDir` ([[seedIndex]])
+    * and `countsDir` ([[seedCounts]], under `model0.lm`) first; pass
+    * `segDir` (seeded via [[seedSegments]]) to fold counts through the
+    * stored segmentation table — new-words-only DP per batch. */
+  def runWithRefresh(
+      docs: DataFrame, textCol: String, idCol: String,
+      model0: CurationFunnel.FunnelModel, refreshEvery: Long,
+      bloomForEpoch: Long => TextPipeline.BloomModel,
+      indexDir: String, outDir: String, countsDir: String,
+      checkpointDir: String, segDir: Option[String] = None): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchWithRefresh(batch, batchId, textCol, idCol, model0,
+          refreshEvery, bloomForEpoch, indexDir, outDir, countsDir, segDir)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -51,13 +51,26 @@ object MemFloor {
     val (nDec, nKept) = graft.Pipelines.streamFunnel(spark, sfDir)
     graft.operators.Dedup.releaseAllCaches()
     val t3 = System.nanoTime()
+    // round-16: the refresh cadence under the same heap bound — the
+    // epoch fold's collects are vocabulary-bounded and must fit too
+    val refreshTmp = graft.Pipelines.prepareStreamRefresh(spark, sfDir)
+    val (nRDec, nRKept) = try
+      graft.Pipelines.replayStreamRefresh(spark, sfDir, refreshTmp)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(refreshTmp)).deleteRecursively(); ()
+    }
+    graft.operators.Dedup.releaseAllCaches()
+    val t4 = System.nanoTime()
     val line =
       s"""{"heap_mb":$heapMb,"cpus":$cpus,"sf":"$sfDir","jac":$nJac,""" +
         s""""mh":$nMh,"keep":$nKeep,"sharded":$sharded,""" +
         s""""decided":$nDec,"funnel_kept":$nKept,""" +
+        s""""refresh_decided":$nRDec,"refresh_kept":$nRKept,""" +
         s""""dedup_shared_sec":${(t1 - t0) / 1e9},""" +
         s""""full_sec":${(t2 - t1) / 1e9},""" +
-        s""""stream_funnel_sec":${(t3 - t2) / 1e9}}"""
+        s""""stream_funnel_sec":${(t3 - t2) / 1e9},""" +
+        s""""stream_refresh_sec":${(t4 - t3) / 1e9}}"""
     spark.stop()
     println(s"MEMFLOOR_JSON $line")
     System.err.println(s"MEMFLOOR_JSON $line")

@@ -46,6 +46,18 @@ object PTime {
             new Directory(new java.io.File(tmp)).deleteRecursively(); ()
           }
         case "dedup_shared" => graft.Pipelines.dedupShared(spark, sfDir).toString
+        case "stream_refresh" =>
+          val tmp = graft.Pipelines.prepareStreamRefresh(spark, sfDir)
+          try {
+            graft.operators.Dedup.releaseAllCaches()
+            spark.catalog.clearCache(); System.gc()
+            val t = System.nanoTime()
+            val r = graft.Pipelines.replayStreamRefresh(spark, sfDir, tmp)
+            f"${(System.nanoTime() - t) / 1e9}%.2fs-inner $r"
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(tmp)).deleteRecursively(); ()
+          }
         case "full" => graft.Pipelines.fullCuration(spark, sfDir).toString
         case "monitor" => graft.Pipelines.monitorSuite(spark, sfDir).toString
         case other => s"unknown entry $other"

@@ -80,6 +80,158 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     }
   }
 
+  // the q289 constants: base-trained LM, doc<10 bloom, probe delta 10..20
+  private lazy val rLm0 = TextPipeline.unigramTrainModel(
+    docsTable.filter(col("doc_id") < 250), "text",
+    maxPieceLen = 3, nSeed = 32, emRounds = 2)
+  private lazy val rBloom0 = TextPipeline.bloomModel(
+    docsTable.filter(col("doc_id") < 10), "text", "doc_id",
+    shingleK = 5, mBits = 1 << 16, kHashes = 4)
+  private lazy val rBloomDelta = TextPipeline.bloomModel(
+    docsTable.filter(col("doc_id") >= 10 && col("doc_id") < 20),
+    "text", "doc_id", shingleK = 5, mBits = 1 << 16, kHashes = 4)
+  private lazy val rModel0 =
+    CurationFunnel.FunnelModel(rBloom0, rLm0, maxNllMicro = 3520000L)
+  private def rBloomFor: Long => TextPipeline.BloomModel =
+    e => if (e == 0L) rBloom0 else TextPipeline.bloomMerge(rBloom0, rBloomDelta)
+
+  test("refresh cadence: streamed hot-swapped model epochs equal the q289 " +
+      "batch composition row-for-row (counts/bloom folded between batches)") {
+    StreamingCurationFunnel.clearRefreshMemo()
+    val tmp = Files.createTempDirectory("graft-scfr-").toString
+    val base = docsTable.filter(col("doc_id") < 250)
+    val lm0 = rLm0
+    val model0 = rModel0
+    val bloomFor = rBloomFor
+    StreamingCurationFunnel.seedIndex(base, "text", "doc_id", 5, s"$tmp/idx")
+    StreamingCurationFunnel.seedCounts(base, "text", lm0, s"$tmp/cnt")
+    // refreshEvery = 1: batch 0 = epoch 0, batch 1 = epoch 1 — exactly
+    // the q289 split at doc_id 400
+    Seq(col("doc_id") >= 250 && col("doc_id") < 400, col("doc_id") >= 400)
+      .zipWithIndex.foreach { case (pred, b) =>
+        StreamingCurationFunnel.processBatchWithRefresh(
+          docsTable.filter(pred), b.toLong, "text", "doc_id", model0,
+          refreshEvery = 1L, bloomFor, s"$tmp/idx", s"$tmp/out", s"$tmp/cnt")
+      }
+    val streamed = decisionsIn(s"$tmp/out")
+    val batch = SparkEntry.queries("q289_funnel_refresh")(spark, sfDir)
+      .collect().map(key).toMap
+    Dedup.releaseCaches()
+    assert(streamed.size === 250 && streamed === batch)
+    // the refresh actually changed behavior: at least one epoch-1 doc's
+    // nll differs from what the FROZEN model would have given it
+    val frozen = {
+      val (d, _) = CurationFunnel.decide(
+        docsTable.filter(col("doc_id") >= 400), "text", "doc_id",
+        spark.read.parquet(s"$tmp/idx").filter(col("batch_id") < 1)
+          .select(col("doc"), col("sh"), col("bands")), model0)
+      val m = d.collect().map(key).toMap
+      Dedup.releaseCaches()
+      m
+    }
+    val epoch1Docs = streamed.keySet.filter(_ >= 400L)
+    assert(epoch1Docs.exists(d => streamed(d) != frozen(d)),
+      "refresh was a no-op — the parity pin would be vacuous")
+    // retry idempotence extends to the counts partition: re-running
+    // batch 1 reproduces identical decisions AND counts
+    val cntBefore = spark.read.parquet(s"$tmp/cnt").filter(col("batch_id") === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    StreamingCurationFunnel.processBatchWithRefresh(
+      docsTable.filter(col("doc_id") >= 400), 1L, "text", "doc_id", model0,
+      refreshEvery = 1L, bloomFor, s"$tmp/idx", s"$tmp/out", s"$tmp/cnt")
+    Dedup.releaseCaches()
+    assert(decisionsIn(s"$tmp/out") === streamed)
+    val cntAfter = spark.read.parquet(s"$tmp/cnt").filter(col("batch_id") === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cntAfter === cntBefore)
+  }
+
+  test("segDir-backed refresh (incremental vocabulary): decisions and " +
+      "counts bit-identical to the direct path; per-batch DP covers only " +
+      "words the store has never seen") {
+    StreamingCurationFunnel.clearRefreshMemo()
+    val base = docsTable.filter(col("doc_id") < 250)
+    val preds = Seq(
+      col("doc_id") >= 250 && col("doc_id") < 400, col("doc_id") >= 400)
+    def runOne(seg: Boolean): (Map[Long, Seq[Any]], Map[(Long, String), Long]) = {
+      val tmp = Files.createTempDirectory(s"graft-scfs$seg-").toString
+      StreamingCurationFunnel.seedIndex(base, "text", "doc_id", 5, s"$tmp/idx")
+      StreamingCurationFunnel.seedCounts(base, "text", rLm0, s"$tmp/cnt")
+      if (seg)
+        StreamingCurationFunnel.seedSegments(base, "text", rLm0, s"$tmp/seg")
+      preds.zipWithIndex.foreach { case (pred, b) =>
+        StreamingCurationFunnel.processBatchWithRefresh(
+          docsTable.filter(pred), b.toLong, "text", "doc_id", rModel0,
+          refreshEvery = 1L, rBloomFor, s"$tmp/idx", s"$tmp/out", s"$tmp/cnt",
+          segDir = if (seg) Some(s"$tmp/seg") else None)
+      }
+      val counts = spark.read.parquet(s"$tmp/cnt")
+        .filter(col("batch_id") >= 0)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getString(0)) ->
+          r.getLong(1)).toMap
+      if (seg) {
+        // the incremental claim: a word segmented in batch b never
+        // appears in any partition below b (DP work is new-words-only)
+        val segRows = spark.read.parquet(s"$tmp/seg")
+          .select(col("w"), col("batch_id").cast("long").as("b"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val firstSeen = segRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        firstSeen.foreach { case (w, bs) =>
+          assert(bs.distinct.size === bs.size, s"word $w segmented twice: $bs")
+        }
+      }
+      (decisionsIn(s"$tmp/out"), counts)
+    }
+    val (dDirect, cDirect) = runOne(seg = false)
+    StreamingCurationFunnel.clearRefreshMemo()
+    val (dSeg, cSeg) = runOne(seg = true)
+    assert(dSeg === dDirect)
+    assert(cSeg === cDirect)
+  }
+
+  test("runWithRefresh: the foreachBatch wiring replays the same epochs " +
+      "from a real stream with checkpointed batch ids") {
+    StreamingCurationFunnel.clearRefreshMemo()
+    val tmp = Files.createTempDirectory("graft-scfw-").toString
+    val base = docsTable.filter(col("doc_id") < 250)
+    val lm0 = rLm0
+    val model0 = rModel0
+    StreamingCurationFunnel.seedIndex(base, "text", "doc_id", 5, s"$tmp/idx")
+    StreamingCurationFunnel.seedCounts(base, "text", lm0, s"$tmp/cnt")
+    val delta = docsTable.filter(col("doc_id") >= 250)
+    delta.filter(col("doc_id") < 400).coalesce(1).write.parquet(s"$tmp/in")
+    Thread.sleep(20)
+    delta.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = StreamingCurationFunnel.runWithRefresh(stream, "text", "doc_id",
+      model0, refreshEvery = 1L, _ => rBloom0,
+      s"$tmp/idx", s"$tmp/out", s"$tmp/cnt", s"$tmp/ckpt")
+    val streamed = try { q.processAllAvailable(); decisionsIn(s"$tmp/out") }
+      finally q.stop()
+    // same-epoch batch twin (bloom held constant here; the merge path is
+    // covered by the parity test above)
+    val (dec0, idx0) = CurationFunnel.decide(
+      delta.filter(col("doc_id") < 400), "text", "doc_id",
+      Dedup.buildBandedIndex(
+        Dedup.buildShingleIndex(base, "text", "doc_id", 5)), model0)
+    val kept0 = delta.filter(col("doc_id") < 400).join(
+      dec0.filter(col("keep")).select(col("doc").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val lm1 = TextPipeline.unigramRefreshModel(
+      TextPipeline.unigramCounts(base, "text", lm0),
+      TextPipeline.unigramCounts(kept0, "text", lm0), lm0)
+    val (dec1, _) = CurationFunnel.decide(
+      delta.filter(col("doc_id") >= 400), "text", "doc_id",
+      Dedup.buildBandedIndex(
+        Dedup.buildShingleIndex(base, "text", "doc_id", 5)).unionByName(idx0),
+      model0.copy(lm = lm1))
+    val batch = (dec0.collect() ++ dec1.collect()).map(key).toMap
+    Dedup.releaseCaches()
+    assert(streamed === batch)
+  }
+
   // synthetic corpus with controlled Jaccard structure: 30 distinct words
   // per doc (26 distinct 5-shingles); swapping 2 edge words moves exactly
   // 2 shingles, so J(one swap apart) = 24/28 ~ 0.857 >= 0.8 and

@@ -431,4 +431,31 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(cd.keySet === model.scores.keySet) // exactly the closed vocab
     assert(cd.values.forall(_ === 0L)) // nothing in-vocab occurred
   }
+
+  test("unigramCountsFromSegments equals unigramCounts bit-for-bit — full " +
+      "table, partial table (self-heal), and empty table (8 random corpora)") {
+    import graft.functions.{TextFunctions => T}
+    for (seed <- 1 to 8) {
+      val rnd = new Random(9200 + seed)
+      val docs = randomCorpus(rnd).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = TextPipeline.unigramTrainModel(docs, "text", 3, 6, 1)
+      val direct = TextPipeline.unigramCounts(docs, "text", model)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wordCounts = docs
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val segs = TextPipeline.unigramSegments(
+        wordCounts.select(col("w")), model)
+      def via(table: org.apache.spark.sql.DataFrame) =
+        TextPipeline.unigramCountsFromSegments(wordCounts, table, model)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(via(segs) === direct, s"seed $seed full table")
+      // partial table: half the vocabulary missing -> coalesce self-heal
+      assert(via(segs.filter(xxhash64(col("w")) % 2 === 0)) === direct,
+        s"seed $seed partial table")
+      // empty table: pure inline DP
+      assert(via(segs.filter(lit(false))) === direct, s"seed $seed empty")
+    }
+  }
 }
