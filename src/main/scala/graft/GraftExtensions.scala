@@ -46,6 +46,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
+      FunctionIdentifier("minhash_band_keys"),
+      info("minhash_band_keys",
+        "minhash_band_keys(array<long>, bands, rowsPerBand) - fused MinHash " +
+          "signature + LSH band keys (bit-identical to the staged HOF chain)"),
+      (args: Seq[Expression]) => TextExprs.MinHashBandKeys(args(0),
+        intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_text_stats"),
+      info("gopher_text_stats",
+        "gopher_text_stats(string) - [n_words, sum_word_len, n_alpha_words] " +
+          "in one pass over the lowercased text"),
+      (args: Seq[Expression]) => TextExprs.GopherTextStats(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("png_decode"),
+      info("png_decode",
+        "png_decode(binary) - [1, w, h, n_px, mean/min/max milli-luma, dhash] " +
+          "of an 8-bit truecolor PNG (JDK zlib; null on malformed)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftvec.MediaExprs.PngDecodeExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gzip_text"),
+      info("gzip_text", "gzip_text(string) - gzip member of the UTF-8 bytes"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftvec.MediaExprs.GzipExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("gunzip_text"),
+      info("gunzip_text",
+        "gunzip_text(binary) - decompressed UTF-8 text (null on malformed)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftvec.MediaExprs.GunzipExpr(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(array<double>, array<double>) - dot product"),
       (args: Seq[Expression]) => VectorExprs.DotProduct(args(0), args(1))))

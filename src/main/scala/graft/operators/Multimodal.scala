@@ -414,4 +414,71 @@ object Multimodal {
     bmpFeatures(df, idCol, payloadCol)
       .filter(col("valid"))
       .select(col("doc").cast("bigint").as("doc"), col("dhash"))
+
+  // ------------------------------------------------------------------ PNG
+
+  /** Synthesize a VALID 8-bit truecolor PNG per row, deterministic in
+    * `id`: real zlib-compressed IDAT (JDK Deflater), real CRC32 chunk
+    * checksums — any image viewer opens it — with scanline r carrying
+    * filter type `(id + r) % 5`, so decoding exercises ALL FIVE PNG
+    * filters. Pixels follow a closed formula over an
+    * `(8 + id % 7) × (8 + id % 6)` canvas (see
+    * [[org.apache.spark.sql.graftvec.MediaExprs.pngSynth]]), which is
+    * what the oracle replays: compressed BYTES may legitimately vary by
+    * zlib version, decoded CONTENT cannot. */
+  def pngBytes(id: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.pngSynthCol(id.cast("long"))
+
+  /** REAL PNG DECODE — a compressed container, decoded for real with
+    * the JDK's own zlib (`java.util.zip.Inflater` — in every JVM, so
+    * the "no codec libraries" environment constraint does not bind the
+    * DEFLATE family): signature + chunk walk with CRC32 verification,
+    * IHDR validation (8-bit truecolor, no interlace), in-order IDAT
+    * concatenation, inflate, and full scanline unfiltering
+    * (None/Sub/Up/Average/Paeth). Emits the [[bmpFeatures]] contract —
+    * `(doc, valid, width, height, n_pixels, mean_luma_milli,
+    * min_luma_milli, max_luma_milli, dhash)` with exact integer BT.601
+    * milli-lumas and the real-pixel dHash — NULL features and
+    * valid = false on anything malformed (bad magic/IHDR, CRC mismatch,
+    * truncated or corrupt deflate stream, size disagreement). Map-only;
+    * the per-row work is one compiled decode call. JPEG/H.264/MP3 stay
+    * environment-stubbed: their entropy coders do not ship in the JDK.
+    */
+  def pngFeatures(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val staged = df.withColumn("__f",
+      org.apache.spark.sql.graftvec.MediaExprs.pngDecodeCol(col(payloadCol)))
+    def fld(i: Int): Column = col("__f").getItem(i)
+    staged.select(
+      col(idCol).as("doc"),
+      col("__f").isNotNull.as("valid"),
+      fld(1).as("width"), fld(2).as("height"), fld(3).as("n_pixels"),
+      fld(4).as("mean_luma_milli"), fld(5).as("min_luma_milli"),
+      fld(6).as("max_luma_milli"), fld(7).as("dhash"))
+  }
+
+  /** (doc, dhash) over REAL decoded PNG pixels — [[bmpDhash]]'s twin;
+    * BMP and PNG renders of the SAME image land at Hamming 0 (the
+    * cross-container dedup property a real ingest needs). */
+  def pngDhash(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    pngFeatures(df, idCol, payloadCol)
+      .filter(col("valid"))
+      .select(col("doc").cast("bigint").as("doc"), col("dhash"))
+
+  // ----------------------------------------------------------------- gzip
+
+  /** Gzip-compress a text column (real GZIPOutputStream — valid .gz
+    * members) — the generator side of the web-crawl ingest shape where
+    * documents arrive as compressed blobs. */
+  def gzipText(text: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.gzipCol(text)
+
+  /** Decompress a gzip member to text; NULL on malformed input (bad
+    * magic, truncated stream, CRC mismatch — the decode-gate
+    * convention), output capped at 64 MiB per row against
+    * decompression bombs. Map-only, runs at scan speed — the first
+    * transform over a compressed crawl dump. */
+  def gunzipText(payload: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.gunzipCol(payload)
 }

@@ -1352,6 +1352,79 @@ object ExtensionQueries {
         "DECODED pixels; oracle replays the deterministic pixel generator, so the hash " +
         "match round-trips the parser end to end"),
 
+    "q293_png_decode" -> Q(
+      (s, dir) => {
+        // REAL decode of a COMPRESSED container: pngBytes writes a valid
+        // truecolor PNG per doc (real Deflater IDAT, real CRC32 chunk
+        // checksums, scanline r filtered with type (id+r)%5) and
+        // pngFeatures decodes it with the JDK's own zlib — chunk walk +
+        // CRC verify + inflate + ALL FIVE scanline unfilters. The oracle
+        // replays the PIXEL formula (compressed bytes may vary by zlib
+        // version; decoded content cannot), so the hash match proves the
+        // full inflate+unfilter path recovers the ground-truth image.
+        // MultimodalSpec additionally round-trips against javax.imageio
+        // in both directions.
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        Multimodal.pngFeatures(
+            docs.withColumn("payload", Multimodal.pngBytes(col("doc_id"))),
+            "doc_id")
+          .orderBy(col("doc"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS doc, 8 + doc_id % 7 AS w,
+             |    8 + doc_id % 6 AS h FROM documents),
+             |lums AS MATERIALIZED (SELECT doc, w, h,
+             |    list_transform(generate_series(0, CAST(w * h - 1 AS INT)), p ->
+             |      299 * ((doc * 5 + (p % w) * 11 + (p // w) * 3) % 256) +
+             |      587 * ((doc * 13 + (p % w) * 7 + (p // w) * 17) % 256) +
+             |      114 * ((doc * 19 + (p % w) * 23 + (p // w) * 29) % 256)) AS lum
+             |  FROM d),
+             |bits AS (SELECT doc,
+             |    CAST(sum(CASE WHEN
+             |        lum[CAST(((k // 7) * h) // 8 * w + ((k % 7) * w) // 8 AS INT) + 1] >
+             |        lum[CAST(((k // 7) * h) // 8 * w + (((k % 7) + 1) * w) // 8 AS INT) + 1]
+             |      THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM lums CROSS JOIN (SELECT unnest(generate_series(0, 55)) AS k)
+             |  GROUP BY doc)
+             |SELECT doc, true AS valid, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+             |  CAST(list_sum(lum) // (w * h) AS BIGINT) AS mean_luma_milli,
+             |  CAST(list_min(lum) AS BIGINT) AS min_luma_milli,
+             |  CAST(list_max(lum) AS BIGINT) AS max_luma_milli, b.dhash
+             |FROM lums JOIN bits b USING (doc) ORDER BY doc""".stripMargin),
+      "real PNG decode — a COMPRESSED container decoded with the JDK's own zlib " +
+        "(Inflater ships in every JVM): chunk walk with CRC32 verification, IHDR " +
+        "validation, inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth " +
+        "— the generator cycles them per row); exact integer luma stats + real-pixel " +
+        "dHash; oracle replays the pixel formula, so the hash match round-trips " +
+        "inflate+unfilter end to end"),
+
+    "q294_gzip_roundtrip" -> Q(
+      (s, dir) => {
+        // the web-crawl ingest shape: documents arrive as gzip members;
+        // gunzipText (real GZIPInputStream, NULL-on-malformed, 64 MiB
+        // bomb cap) recovers them map-only at scan speed. The oracle
+        // asserts CONTENT equality via md5 of the round-tripped text —
+        // compressed bytes are not compared (zlib-version-dependent),
+        // decompressed content must be exact.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        docs
+          .withColumn("__back", Multimodal.gunzipText(
+            Multimodal.gzipText(col("text"))))
+          .select(col("doc_id").as("doc"),
+            (col("__back") === col("text")).as("roundtrip"),
+            length(col("__back")).cast("bigint").as("n_chars"),
+            md5(col("__back")).as("text_md5"))
+          .orderBy(col("doc"))
+      },
+      Some("""SELECT doc_id AS doc, true AS roundtrip,
+             |  CAST(len(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
+             |FROM documents ORDER BY doc""".stripMargin),
+      "gzip round-trip over the corpus (real JDK GZIPOutputStream/GZIPInputStream — " +
+        "valid .gz members any tool reads): decompression is map-only at scan speed " +
+        "with NULL-on-malformed and a decompression-bomb cap; oracle pins md5 of the " +
+        "recovered text, so content equality is byte-exact"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

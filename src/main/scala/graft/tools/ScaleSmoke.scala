@@ -137,7 +137,13 @@ object ScaleSmoke {
       // decay-curve artifact memoizes per dir, so a smoke timing would
       // measure the q284 sweep it deliberately does not own; its output
       // is one verdict row by construction.)
-      "q289_funnel_refresh", "q290_bmp_decode", "q292_html_extract")
+      "q289_funnel_refresh", "q290_bmp_decode", "q292_html_extract",
+      // q293 PNG decode: one compiled synth+decode call per row (real
+      // Deflater/Inflater), keyed on doc_id alone — rows exactly 10x,
+      // map-only, zero shuffle growth. q294 gzip round-trip: per-row
+      // compress+decompress of the replica-salted text — rows exactly
+      // 10x, the compression work scales with total text bytes.
+      "q293_png_decode", "q294_gzip_roundtrip")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

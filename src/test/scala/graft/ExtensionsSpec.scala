@@ -67,6 +67,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("round-16 SQL registrations: minhash_band_keys, gopher_text_stats, " +
+      "png_decode, gzip round-trip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bk = spark.sql("SELECT minhash_band_keys(array(1L, 2L, 3L), 16, 4)")
+      .head().getSeq[Long](0)
+    val bkCol = Seq(Seq(1L, 2L, 3L)).toDF("sh")
+      .select(org.apache.spark.sql.graftvec.TextExprs
+        .minhashBandKeysCol(col("sh"), 16, 4))
+      .head().getSeq[Long](0)
+    assert(bk === bkCol && bk.length === 16)
+    val gs = spark.sql("SELECT gopher_text_stats('The cat  SAT\\n42')")
+      .head().getSeq[Long](0)
+    assert(gs === Seq(4L, 11L, 3L)) // 4 tokens, 3+3+3+2 codepoints, 3 with a-z
+    val png = spark.sql(
+      "SELECT png_decode(x'0000')").head()
+    assert(png.isNullAt(0), "malformed png must be NULL in SQL too")
+    val rt = spark.sql("SELECT gunzip_text(gzip_text('héllo world'))")
+      .head().getString(0)
+    assert(rt === "héllo world")
+  }
+
   test("SQL minhash matches the Column-API expression") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

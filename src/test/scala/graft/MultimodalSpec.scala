@@ -234,6 +234,163 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image must not pair: $pairs")
   }
 
+  private def pngPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    math.floorMod(id * 5 + x * 11 + y * 3, 256L).toInt,
+    math.floorMod(id * 13 + x * 7 + y * 17, 256L).toInt,
+    math.floorMod(id * 19 + x * 23 + y * 29, 256L).toInt)
+
+  test("pngBytes -> pngFeatures round-trips the generator (all five " +
+      "scanline filters), and ImageIO reads the synthesized payloads " +
+      "to the identical pixels") {
+    import spark.implicits._
+    val ids = 0L until 30L // id%5 sweeps every filter phase, id%7/%6 dims
+    val feats = graft.operators.Multimodal.pngFeatures(
+        ids.toDF("doc_id")
+          .withColumn("payload", graft.operators.Multimodal.pngBytes(col("doc_id"))),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = (8 + id % 7).toInt; val h = (8 + id % 6).toInt
+      val lum = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = pngPixel(id, x, y); 299L * r + 587L * g + 114L * b
+      }
+      val f = feats(id)
+      assert(f.getBoolean(1) && f.getLong(2) === w.toLong &&
+        f.getLong(3) === h.toLong, s"id $id")
+      assert(f.getLong(5) === lum.sum / (w * h), s"id $id mean")
+      assert(f.getLong(6) === lum.min && f.getLong(7) === lum.max, s"id $id")
+      val expDhash = (for (r <- 0 until 8; c <- 0 until 7) yield {
+        def cell(cc: Int) = lum((r * h / 8) * w + (cc * w / 8))
+        if (cell(c) > cell(c + 1)) 1L << (7 * r + c) else 0L
+      }).sum
+      assert(f.getLong(8) === expDhash, s"id $id dhash")
+    }
+    // the INDEPENDENT codec: javax.imageio reads our synthesized bytes to
+    // the same pixels (proves the payloads are standard PNGs, not just
+    // self-consistent)
+    val payloads = ids.toDF("doc_id")
+      .withColumn("payload", graft.operators.Multimodal.pngBytes(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    Seq(0L, 7L, 13L, 29L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO rejected id $id")
+      val w = (8 + id % 7).toInt; val h = (8 + id % 6).toInt
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pngPixel(id, x, y)
+        assert((img.getRGB(x, y) & 0xFFFFFF) === ((r << 16) | (g << 8) | b),
+          s"id $id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("pngFeatures decodes REAL-WORLD PNGs (ImageIO-encoded, its own " +
+      "filter/deflate choices), rejects six malformed classes, and the " +
+      "real-pixel dhash matches BMP renders of the same image") {
+    import spark.implicits._
+    // ImageIO encodes a deterministic pseudo-random truecolor image; our
+    // decoder must recover its exact pixels through ImageIO's OWN
+    // dynamic-huffman deflate + filter heuristics
+    val rnd = new scala.util.Random(1616)
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array.tabulate(h, w)((_, _) =>
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val real = bos.toByteArray
+    val lum = for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = px(y)(x); 299L * r + 587L * g + 114L * b
+    }
+    val good = Seq((1L, real)).toDF("doc_id", "payload")
+    val gf = graft.operators.Multimodal.pngFeatures(good, "doc_id").collect()(0)
+    assert(gf.getBoolean(1) === true, "ImageIO-encoded PNG must decode")
+    assert(gf.getLong(2) === w.toLong && gf.getLong(3) === h.toLong)
+    assert(gf.getLong(5) === lum.sum / (w * h))
+    assert(gf.getLong(6) === lum.min && gf.getLong(7) === lum.max)
+    // malformed classes
+    val sigBad = { val b = real.clone(); b(0) = 0x42; b }
+    val crcBad = { val b = real.clone(); b(40) = (b(40) ^ 0xFF).toByte; b }
+    val truncated = real.take(real.length - 20)
+    val synth7 = Seq(7L).toDF("doc_id")
+      .withColumn("payload", graft.operators.Multimodal.pngBytes(col("doc_id")))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // corrupt a byte INSIDE the IDAT payload and refresh nothing: CRC
+    // check must catch it before inflate is even attempted
+    val rows = Seq(2L -> sigBad, 3L -> crcBad, 4L -> truncated)
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(5L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    val bad = graft.operators.Multimodal.pngFeatures(rows, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(2L, 3L, 4L, 5L).foreach { d =>
+      assert(!bad(d).isNullAt(1) && bad(d).getBoolean(1) === false, s"doc $d")
+      (2 to 8).foreach(i => assert(bad(d).isNullAt(i), s"doc $d col $i"))
+    }
+    require(synth7 != null) // keep the synthesized payload exercised above
+    // cross-container dedup: a BMP render of the SAME pixels produces the
+    // SAME real-pixel dhash (Hamming 0 through dhashNearDupsFromBits)
+    val bmpRender = bmp(w, h)((x, y) => px(y)(x))
+    val hashes = graft.operators.Multimodal.bmpDhash(
+        Seq(10L -> bmpRender).toDF("doc_id", "payload"), "doc_id")
+      .unionByName(graft.operators.Multimodal.pngDhash(
+        Seq(11L -> real).toDF("doc_id", "payload"), "doc_id"))
+    val pairs = graft.operators.Multimodal
+      .dhashNearDupsFromBits(hashes, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((10L, 11L) -> 0L),
+      s"BMP and PNG renders of one image must hash identically: $pairs")
+  }
+
+  test("gzipText -> gunzipText round-trips the corpus; interoperates " +
+      "with the JDK replica; malformed members read NULL") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val bad = docs.withColumn("payload",
+        graft.operators.Multimodal.gzipText(col("text")))
+      .withColumn("back", graft.operators.Multimodal.gunzipText(col("payload")))
+      .filter(col("back").isNull || col("back") =!= col("text"))
+      .count()
+    assert(bad === 0L)
+    // interop: a payload produced by a plain JDK GZIPOutputStream (not
+    // our expression) decompresses; our payload decompresses with a
+    // plain GZIPInputStream
+    val txt = "interop check éß中文 12345"
+    val jdkGz = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(txt.getBytes("UTF-8")); g.close(); o.toByteArray
+    }
+    val viaExpr = Seq((1L, jdkGz)).toDF("doc_id", "payload")
+      .select(graft.operators.Multimodal.gunzipText(col("payload")))
+      .collect()(0).getString(0)
+    assert(viaExpr === txt)
+    val ourGz = Seq((1L, txt)).toDF("doc_id", "t")
+      .select(graft.operators.Multimodal.gzipText(col("t")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val back = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(ourGz)).readAllBytes(), "UTF-8")
+    assert(back === txt)
+    // malformed: wrong magic, truncated member, flipped CRC byte
+    val malformed = Seq(
+      2L -> "nonsense".getBytes("UTF-8"),
+      3L -> jdkGz.take(jdkGz.length - 3),
+      4L -> { val b = jdkGz.clone(); b(b.length - 5) = (b(b.length - 5) ^ 0x1).toByte; b })
+      .toDF("doc_id", "payload")
+    val nulls = malformed
+      .select(graft.operators.Multimodal.gunzipText(col("payload")).as("t"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.forall(identity), "all malformed members must read NULL")
+  }
+
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
       "and the payloads are well-formed RIFF files") {
     import spark.implicits._
