@@ -97,6 +97,26 @@ object Bench {
     try { graft.Pipelines.refreshArtifacts(spark, sfDir)
       graft.Pipelines.refreshBaseCounts(spark, sfDir); () }
     catch { case _: Throwable => () }
+    // one tiny untimed front-door decide: the composed funnel entries run
+    // EARLY in the registry's map order, and their first execution
+    // otherwise pays the decide plan family's whole-stage codegen inside
+    // a timed body (observed: q289 at run position 2 reading ~2x its
+    // steady state) — exactly the startup cost this warmup exists to
+    // hoist
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+      val (d, _) = graft.operators.CurationFunnel.decide(
+        docs.filter(col("doc_id") >= 30), "text", "doc_id",
+        graft.operators.Dedup.buildBandedIndex(
+          graft.operators.Dedup.buildShingleIndex(
+            docs.filter(col("doc_id") < 30), "text", "doc_id", 5)),
+        graft.Pipelines.funnelModel(spark, sfDir))
+      d.count()
+      graft.operators.Dedup.releaseAllCaches()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (gn0, gm0) = gcNow()

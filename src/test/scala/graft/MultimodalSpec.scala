@@ -348,6 +348,51 @@ class MultimodalSpec extends SparkSpec {
       s"BMP and PNG renders of one image must hash identically: $pairs")
   }
 
+  test("decoder differential fuzz: 12 random images through BOTH " +
+      "containers (java.nio BMP + ImageIO PNG) recover identical features " +
+      "from ground-truth pixels, incl. 1-pixel-wide/tall edge dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77416)
+    // edge dims first (dhash grid degenerate axes, single-column
+    // unfilter, every BMP padding residue), then random draws
+    val dims = Seq((1, 1), (1, 13), (13, 1), (8, 8)) ++
+      Seq.fill(8)((1 + rnd.nextInt(40), 1 + rnd.nextInt(40)))
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val px = Array.tabulate(h, w)((_, _) =>
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val lum = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = px(y)(x); 299L * r + 587L * g + 114L * b
+      }
+      val expDhash = (for (r <- 0 until 8; c <- 0 until 7) yield {
+        def cell(cc: Int) = lum((r * h / 8) * w + (cc * w / 8))
+        if (cell(c) > cell(c + 1)) 1L << (7 * r + c) else 0L
+      }).sum
+      val exp = (true, w.toLong, h.toLong, (w * h).toLong,
+        lum.sum / (w * h), lum.min, lum.max, expDhash)
+      // container 1: hand-built BMP through the byte-arithmetic decoder
+      val viaBmp = graft.operators.Multimodal.bmpFeatures(
+          Seq((1L, bmp(w, h)((x, y) => px(y)(x)))).toDF("doc_id", "payload"),
+          "doc_id").collect()(0)
+      // container 2: ImageIO-encoded PNG through the zlib decoder
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(y)(x)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val viaPng = graft.operators.Multimodal.pngFeatures(
+          Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"),
+          "doc_id").collect()(0)
+      Seq("bmp" -> viaBmp, "png" -> viaPng).foreach { case (tag, f) =>
+        val got = (f.getBoolean(1), f.getLong(2), f.getLong(3), f.getLong(4),
+          f.getLong(5), f.getLong(6), f.getLong(7), f.getLong(8))
+        assert(got === exp, s"draw $i ($tag) dims ${w}x$h")
+      }
+    }
+  }
+
   test("gzipText -> gunzipText round-trips the corpus; interoperates " +
       "with the JDK replica; malformed members read NULL") {
     import spark.implicits._
