@@ -481,4 +481,30 @@ object Multimodal {
     * transform over a compressed crawl dump. */
   def gunzipText(payload: Column): Column =
     org.apache.spark.sql.graftvec.MediaExprs.gunzipCol(payload)
+
+  // ------------------------------------------------------------------ zip
+
+  /** Synthesize a valid two-member ZIP per row (real ZipOutputStream:
+    * `doc.txt` = the text, `meta.txt` = `id=<id>`) — the multi-member
+    * archive shape of batch document ingest. */
+  def zipBytes(id: Column, text: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.zipSynthCol(id.cast("long"), text)
+
+  /** EXPLODE a ZIP archive into one row per member, in archive order:
+    * `(doc, entry_no, entry_name, n_bytes, data)` — the container
+    * ingest between gzip's single member and a full crawl dump: one
+    * narrow generate per archive, no shuffle; a malformed archive
+    * yields ZERO rows (NULL from the decoder — compose with an
+    * anti-join against the exploded ids to report drops). Per-archive
+    * 64 MiB zip-bomb cap inside the decoder. */
+  def zipEntries(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    df
+      .select(col(idCol).as("doc"),
+        posexplode(org.apache.spark.sql.graftvec.MediaExprs
+          .zipEntriesCol(col(payloadCol))).as(Seq("entry_no", "e")))
+      .select(col("doc"), col("entry_no").cast("bigint").as("entry_no"),
+        col("e.name").as("entry_name"),
+        octet_length(col("e.data")).cast("bigint").as("n_bytes"),
+        col("e.data").as("data"))
 }

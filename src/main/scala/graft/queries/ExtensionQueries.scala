@@ -1425,6 +1425,42 @@ object ExtensionQueries {
         "with NULL-on-malformed and a decompression-bomb cap; oracle pins md5 of the " +
         "recovered text, so content equality is byte-exact"),
 
+    "q295_zip_explode" -> Q(
+      (s, dir) => {
+        // the multi-member ARCHIVE ingest shape (between gzip's single
+        // member and a full crawl dump): zipBytes writes a real
+        // two-member ZIP per doc (doc.txt = the text, meta.txt =
+        // id=<id>), zipEntries explodes it back in archive order. The
+        // oracle replays member CONTENT (name, byte length, md5) — the
+        // archive bytes themselves are zlib-version-dependent.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Multimodal.zipEntries(
+            docs.withColumn("payload",
+              Multimodal.zipBytes(col("doc_id"), col("text"))),
+            "doc_id")
+          .select(col("doc"), col("entry_no"), col("entry_name"),
+            col("n_bytes"), md5(col("data")).as("content_md5"))
+          .orderBy(col("doc"), col("entry_no"))
+      },
+      Some("""SELECT doc_id AS doc, CAST(0 AS BIGINT) AS entry_no,
+             |  'doc.txt' AS entry_name,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id AS doc, CAST(1 AS BIGINT) AS entry_no,
+             |  'meta.txt' AS entry_name,
+             |  CAST(octet_length(encode('id=' || CAST(doc_id AS VARCHAR)))
+             |    AS BIGINT) AS n_bytes,
+             |  md5('id=' || CAST(doc_id AS VARCHAR)) AS content_md5
+             |FROM documents
+             |ORDER BY doc, entry_no""".stripMargin),
+      "ZIP archive explode (real JDK ZipOutputStream/ZipInputStream — valid archives " +
+        "any unzip reads): one row per member in archive order with name, byte length, " +
+        "and content md5; NULL-on-malformed decode gate + 64 MiB zip-bomb cap; oracle " +
+        "replays member content, so the hash match round-trips compress + explode"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

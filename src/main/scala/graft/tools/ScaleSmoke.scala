@@ -143,7 +143,10 @@ object ScaleSmoke {
       // map-only, zero shuffle growth. q294 gzip round-trip: per-row
       // compress+decompress of the replica-salted text — rows exactly
       // 10x, the compression work scales with total text bytes.
-      "q293_png_decode", "q294_gzip_roundtrip")
+      "q293_png_decode", "q294_gzip_roundtrip",
+      // q295 zip explode: rows exactly 2x docs (two members per
+      // archive), one narrow generate per row — 10x rows, map-only
+      "q295_zip_explode")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -327,6 +327,104 @@ object MediaExprs {
       copy(child = newChild)
   }
 
+  // ------------------------------------------------------------------ zip
+
+  /** Build a VALID two-member ZIP archive (real ZipOutputStream —
+    * deflated entries, real CRCs; any unzip reads it): `doc.txt` holds
+    * the text's UTF-8 bytes, `meta.txt` holds `id=<id>`. The multi-
+    * member container shape of batch document ingest (one archive, many
+    * files) — the oracle replays member CONTENT, never archive bytes. */
+  def zipSynth(id: Long, text: UTF8String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
+    z.write(text.getBytes)
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("meta.txt"))
+    z.write(s"id=$id".getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    out.toByteArray
+  }
+
+  /** Explode a ZIP archive into its members, in archive order:
+    * `array<struct<name string, data binary>>`; null on malformed input
+    * (bad magic, truncated member, CRC mismatch — the decode-gate
+    * convention). Per-archive output capped at 64 MiB against zip
+    * bombs; entry names capped at 4096 chars. */
+  def zipEntries(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      if (payload == null) return null
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var total = 0L
+      var e = zin.getNextEntry
+      if (e == null) { zin.close(); return null } // not a zip / empty
+      while (e != null) {
+        if (e.getName == null || e.getName.length > 4096) { zin.close(); return null }
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = zin.read(tmp)
+        while (n >= 0) {
+          total += n
+          if (total > (64L << 20)) { zin.close(); return null }
+          buf.write(tmp, 0, n)
+          n = zin.read(tmp)
+        }
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(e.getName), buf.toByteArray)
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close()
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+    } catch { case _: Exception => null }
+  }
+
+  private val zipEntryType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("data", BinaryType, nullable = false)))
+
+  case class ZipSynthExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      zipSynth(a.asInstanceOf[Long], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.zipSynth($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class ZipEntriesExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(zipEntryType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      zipEntries(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.zipEntries($a);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def zipSynthCol(id: Column, text: Column): Column =
+    ExpressionUtils.column(ZipSynthExpr(
+      ExpressionUtils.expression(id), ExpressionUtils.expression(text)))
+  def zipEntriesCol(payload: Column): Column =
+    ExpressionUtils.column(ZipEntriesExpr(ExpressionUtils.expression(payload)))
+
   def pngSynthCol(seed: Column): Column =
     ExpressionUtils.column(PngSynthExpr(ExpressionUtils.expression(seed)))
   def pngDecodeCol(payload: Column): Column =

@@ -436,6 +436,52 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls.forall(identity), "all malformed members must read NULL")
   }
 
+  test("zipBytes -> zipEntries explodes members in archive order; JDK " +
+      "interop both directions; malformed archives yield zero rows") {
+    import spark.implicits._
+    val got = graft.operators.Multimodal.zipEntries(
+        Seq((7L, "hello zip wörld")).toDF("doc_id", "text")
+          .withColumn("payload",
+            graft.operators.Multimodal.zipBytes(col("doc_id"), col("text"))),
+        "doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        new String(r.getAs[Array[Byte]]("data"), "UTF-8")))
+    assert(got.toSeq === Seq((0L, "doc.txt", "hello zip wörld"),
+      (1L, "meta.txt", "id=7")))
+    // interop 1: plain java.util.zip reads our archive
+    val payload = Seq((7L, "hello zip wörld")).toDF("doc_id", "text")
+      .select(graft.operators.Multimodal.zipBytes(col("doc_id"), col("text")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(zin.getNextEntry.getName === "doc.txt")
+    assert(new String(zin.readAllBytes(), "UTF-8") === "hello zip wörld")
+    assert(zin.getNextEntry.getName === "meta.txt")
+    // interop 2: our exploder reads a THREE-member archive a plain
+    // ZipOutputStream built (incl. an empty member and a nested path)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq("a/x.txt" -> "alpha", "empty.txt" -> "", "b.bin" -> "beta").foreach {
+      case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    val three = graft.operators.Multimodal.zipEntries(
+        Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"), "doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(three.toSeq === Seq(("a/x.txt", 5L), ("empty.txt", 0L), ("b.bin", 4L)))
+    // malformed: not a zip, truncated archive, NULL payload -> zero rows
+    val badRows = Seq(
+      2L -> "PKgarbage".getBytes("UTF-8"),
+      3L -> bos.toByteArray.take(12),
+      4L -> "not a zip at all".getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(5L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    assert(graft.operators.Multimodal.zipEntries(badRows, "doc_id").count() === 0L)
+  }
+
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
       "and the payloads are well-formed RIFF files") {
     import spark.implicits._
