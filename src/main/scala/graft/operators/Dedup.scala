@@ -240,17 +240,30 @@ object Dedup {
     * `sh`, results are bit-identical to the unbanded path (DedupSpec
     * pins it).
     *
-    * SCHEMA CONTRACT (index format v2): the stored `bands` column is
+    * SCHEMA CONTRACT (index format v2/v3): the stored `bands` column is
     * only valid for the (bands, rowsPerBand) geometry it was built with
     * — geometry is not recoverable from the data (any rowsPerBand yields
-    * `bands` longs), so a store and its consumers must agree on one
-    * geometry, exactly as they already must agree on `shingleK` for
-    * `sh`. v1 (doc, sh) indexes remain readable everywhere: consumers
-    * fall back to computing keys on the fly.
+    * `bands` longs). v3 therefore stamps the geometry alongside the keys
+    * (`bands_geom` = [[bandGeomCode]], a constant per partition) and
+    * consumers VALIDATE it per-row, silently falling back to on-the-fly
+    * key computation on mismatch — a stale store degrades to v1-cost
+    * correctness instead of silently missing near-duplicates (LSH only
+    * prunes, so wrong keys would drop real pairs with no error; ADVICE
+    * r16). Legacy v2 stores (no `bands_geom`) get the weaker band-COUNT
+    * check (`size(bands) = bands`); a rowsPerBand mismatch is
+    * undetectable there, which is exactly why v3 stamps the code. v1
+    * (doc, sh) indexes remain readable everywhere: consumers compute
+    * keys on the fly.
     */
   def buildBandedIndex(
       index: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    index.withColumn("bands", bandKeysOf(col("sh"), bands, rowsPerBand))
+    index
+      .withColumn("bands", bandKeysOf(col("sh"), bands, rowsPerBand))
+      .withColumn("bands_geom", lit(bandGeomCode(bands, rowsPerBand)))
+
+  /** Geometry fingerprint stored in v3 indexes: `(bands << 32) | rowsPerBand`. */
+  def bandGeomCode(bands: Int, rowsPerBand: Int): Long =
+    (bands.toLong << 32) | rowsPerBand.toLong
 
   /** [[minhashNearDups]] against a prebuilt [[buildShingleIndex]] frame
     * (persist it first — both the banding and the verify join read it).
@@ -517,12 +530,24 @@ object Dedup {
     def banded(sets: DataFrame) = {
       // per-row coalesce, not a schema-level switch: a store whose seed
       // predates the banded format can hold v1 partitions (bands reads
-      // as NULL) next to v2 ones, and a NULL handed to posexplode would
-      // silently drop that document from candidate generation
+      // as NULL) next to v2/v3 ones, and a NULL handed to posexplode would
+      // silently drop that document from candidate generation.
+      // GEOMETRY GUARD (ADVICE r16): stored keys are trusted only when
+      // their recorded geometry matches this call's (v3 `bands_geom`
+      // stamp; legacy v2 stores get the weaker band-count check) —
+      // otherwise the row falls back to computed keys. `when(...)` yields
+      // NULL on a false/NULL guard, which coalesce resolves to the
+      // computed expression, so a mismatched or mixed store degrades to
+      // v1 cost instead of silently missing near-duplicates.
       val keys =
-        if (sets.columns.contains("bands"))
-          coalesce(col("bands"), bandKeysOf(col("sh"), bands, rowsPerBand))
-        else bandKeysOf(col("sh"), bands, rowsPerBand)
+        if (sets.columns.contains("bands")) {
+          val geomOk =
+            if (sets.columns.contains("bands_geom"))
+              col("bands_geom") === lit(bandGeomCode(bands, rowsPerBand))
+            else size(col("bands")) === lit(bands)
+          coalesce(when(geomOk, col("bands")),
+            bandKeysOf(col("sh"), bands, rowsPerBand))
+        } else bandKeysOf(col("sh"), bands, rowsPerBand)
       sets.select(col("doc"), posexplode(keys).as(Seq("band", "bkey")))
     }
     // ONE candidate join instead of two (base×delta ∪ delta×delta): the

@@ -41,10 +41,12 @@ object StreamingCurationFunnel {
   /** Write the already-accepted corpus's fingerprints as the stored
     * index's seed partition (`batch_id=-1`) — deploy the funnel against
     * an existing corpus without replaying it through the stream. The
-    * seed is PRE-BANDED ([[Dedup.buildBandedIndex]] format v2, geometry
-    * = (bands, rowsPerBand), which must match the funnel model's): band
-    * keys are stored next to the fingerprints so no future batch ever
-    * re-runs the base side's MinHash signatures.
+    * seed is PRE-BANDED ([[Dedup.buildBandedIndex]] format v3, geometry
+    * = (bands, rowsPerBand) stamped as `bands_geom`, which must match
+    * the funnel model's — consumers validate the stamp and fall back to
+    * recomputing keys on mismatch): band keys are stored next to the
+    * fingerprints so no future batch ever re-runs the base side's
+    * MinHash signatures.
     */
   def seedIndex(
       corpus: DataFrame, textCol: String, idCol: String,
@@ -57,14 +59,15 @@ object StreamingCurationFunnel {
 
   /** The stored fingerprint index as seen by batch `batchId`: every
     * partition written BEFORE it (partition-pruned scan), in the
-    * [[Dedup.buildBandedIndex]] (doc, sh, bands) v2 schema — or the v1
-    * (doc, sh) schema for an index seeded before the banded format, in
-    * which case consumers recompute band keys on the fly.
+    * [[Dedup.buildBandedIndex]] (doc, sh, bands, bands_geom) v3 schema —
+    * or the older v2 (no geometry stamp) / v1 (doc, sh) schemas, in
+    * which case consumers validate what they can and recompute band keys
+    * on the fly where trust fails (see the buildBandedIndex contract).
     */
   def readIndex(spark: SparkSession, indexDir: String, batchId: Long): DataFrame = {
     val raw = spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
-    val cols =
-      if (raw.columns.contains("bands")) Seq("doc", "sh", "bands") else Seq("doc", "sh")
+    val cols = Seq("doc", "sh") ++
+      Seq("bands", "bands_geom").filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
   }
 
@@ -118,10 +121,11 @@ object StreamingCurationFunnel {
   def compactIndex(spark: SparkSession, indexDir: String, upToBatch: Long): Unit = {
     val staging = new java.io.File(indexDir, s".compact-$upToBatch")
     val raw = spark.read.parquet(indexDir).filter(col("batch_id") <= upToBatch)
-    // stored band keys (v2 format) survive compaction — they are a pure
-    // function of sh, so carrying them is a copy, not a recompute
-    val cols =
-      if (raw.columns.contains("bands")) Seq("doc", "sh", "bands") else Seq("doc", "sh")
+    // stored band keys (+ the v3 geometry stamp) survive compaction —
+    // they are a pure function of sh, so carrying them is a copy, not a
+    // recompute
+    val cols = Seq("doc", "sh") ++
+      Seq("bands", "bands_geom").filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
       .dropDuplicates("doc") // collapse a prior crash's duplicate slots
       .write.mode("overwrite").parquet(staging.getPath)

@@ -127,8 +127,11 @@ object MediaExprs {
     * decoded lumas — identical contract to the BMP decoder) or `null`
     * for anything malformed: bad signature/IHDR, unsupported
     * bitdepth/colortype/interlace, CRC mismatch on a parsed chunk,
-    * truncated/corrupt deflate stream, or an inflated size that
-    * disagrees with the declared dimensions.
+    * truncated/corrupt deflate stream, an inflated size that
+    * disagrees with the declared dimensions, or declared dimensions
+    * whose raw scanline buffer would exceed the 64 MiB decode budget
+    * (the same bomb cap gzip/zip use — checked in Long arithmetic
+    * BEFORE any allocation).
     */
   def pngDecode(payload: Array[Byte]): UnsafeArrayData = {
     try {
@@ -163,20 +166,34 @@ object MediaExprs {
         pos += 12 + len
       }
       if (w <= 0 || idat.size() == 0) return null
-      val stride = 3 * w
-      val rawLen = h * (1 + stride)
+      // size sanity BEFORE any allocation, in Long arithmetic: with w,h
+      // allowed up to 2^20 each, h*(1+3w) overflows Int (ADVICE r16) and a
+      // tiny crafted header could demand multi-GB buffers (OutOfMemoryError
+      // is an Error, not caught by `case _: Exception`). Reject anything
+      // over the 64 MiB decode budget shared with gzip/zip.
+      val strideL = 3L * w
+      val rawLenL = h.toLong * (1L + strideL)
+      if (rawLenL > (64L << 20)) return null
+      val stride = strideL.toInt
+      val rawLen = rawLenL.toInt
       val raw = new Array[Byte](rawLen)
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      var off = 0
-      while (off < rawLen && !inf.finished()) {
-        val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) { inf.end(); return null } // truncated
-        off += n
-      }
-      val complete = off == rawLen &&
-        (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)
-      inf.end()
+      val complete =
+        try {
+          inf.setInput(idat.toByteArray)
+          var off = 0
+          var malformed = false
+          while (off < rawLen && !inf.finished() && !malformed) {
+            val n = inf.inflate(raw, off, rawLen - off)
+            // n == 0 without finished() covers BOTH truncation (needsInput)
+            // and a preset-dictionary stream (needsDictionary — FDICT set):
+            // the latter would otherwise spin this loop forever (ADVICE r16).
+            if (n == 0 && !inf.finished()) malformed = true
+            off += n
+          }
+          !malformed && off == rawLen &&
+            (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)
+        } finally inf.end() // also releases native zlib memory on throw
       if (!complete) return null
       // unfilter in place into an int pixel buffer
       val px = new Array[Int](w * h * 3)
@@ -282,18 +299,19 @@ object MediaExprs {
       if (payload == null) return null
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      var n = in.read(buf)
-      while (n >= 0) {
-        total += n
-        if (total > (64L << 20)) { in.close(); return null }
-        out.write(buf, 0, n)
-        n = in.read(buf)
-      }
-      in.close()
-      UTF8String.fromBytes(out.toByteArray)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          total += n
+          if (total > (64L << 20)) return null
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        UTF8String.fromBytes(out.toByteArray)
+      } finally in.close() // close on ALL paths incl. malformed-stream throw
     } catch { case _: Exception => null }
   }
 
@@ -357,28 +375,29 @@ object MediaExprs {
       if (payload == null) return null
       val zin = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
-      var total = 0L
-      var e = zin.getNextEntry
-      if (e == null) { zin.close(); return null } // not a zip / empty
-      while (e != null) {
-        if (e.getName == null || e.getName.length > 4096) { zin.close(); return null }
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = zin.read(tmp)
-        while (n >= 0) {
-          total += n
-          if (total > (64L << 20)) { zin.close(); return null }
-          buf.write(tmp, 0, n)
-          n = zin.read(tmp)
+      try {
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var total = 0L
+        var e = zin.getNextEntry
+        if (e == null) return null // not a zip / empty
+        while (e != null) {
+          if (e.getName == null || e.getName.length > 4096) return null
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = zin.read(tmp)
+          while (n >= 0) {
+            total += n
+            if (total > (64L << 20)) return null
+            buf.write(tmp, 0, n)
+            n = zin.read(tmp)
+          }
+          rows += org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(e.getName), buf.toByteArray)
+          zin.closeEntry()
+          e = zin.getNextEntry
         }
-        rows += org.apache.spark.sql.catalyst.InternalRow(
-          UTF8String.fromString(e.getName), buf.toByteArray)
-        zin.closeEntry()
-        e = zin.getNextEntry
-      }
-      zin.close()
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+      } finally zin.close() // close on ALL paths incl. malformed-stream throw
     } catch { case _: Exception => null }
   }
 

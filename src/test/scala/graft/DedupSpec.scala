@@ -100,6 +100,37 @@ class DedupSpec extends SparkSpec {
     assert(plain.nonEmpty, "corpus produced no delta-touching pairs")
   }
 
+  test("banded index geometry guard (v3): a store built under a DIFFERENT " +
+      "(bands, rowsPerBand) is not trusted — consumers fall back to " +
+      "computed keys and reproduce the plain pair frame") {
+    val base = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
+    val delta = Dedup.buildShingleIndex(
+      docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+    def pairSet(b: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) = {
+      val s = Dedup.minhashNearDupsAgainstBase(b, d) // consumer geometry 16x4
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.releaseCaches()
+      s
+    }
+    val plain = pairSet(base, delta)
+    assert(plain.nonEmpty, "corpus produced no delta-touching pairs")
+    // v3 store stamped with 8x8 geometry: same sigLen (64 hashes), same
+    // `bands`-array-of-longs shape BUT wrong key layout — without the
+    // stamp check the consumer would silently use the stale keys and
+    // (LSH only prunes) silently MISS pairs. With it, results are exact.
+    val stale8x8 = Dedup.buildBandedIndex(base, bands = 8, rowsPerBand = 8)
+    assert(pairSet(stale8x8, delta) === plain, "v3 stamp mismatch must fall back")
+    // legacy v2 store (no bands_geom column) with a wrong band COUNT:
+    // the size(bands) check catches this half of the geometry
+    val staleV2 = Dedup.buildBandedIndex(base, bands = 8, rowsPerBand = 8)
+      .drop("bands_geom")
+    assert(pairSet(staleV2, delta) === plain, "v2 band-count mismatch must fall back")
+    // and a MATCHING v3 stamp is still trusted (bit-equal fast path)
+    assert(pairSet(Dedup.buildBandedIndex(base), delta) === plain)
+  }
+
   test("nearDupBlame: earliest collider wins with ITS pair's jaccard, " +
       "counts match the pair frame") {
     val base = Dedup.buildShingleIndex(

@@ -348,6 +348,44 @@ class MultimodalSpec extends SparkSpec {
       s"BMP and PNG renders of one image must hash identically: $pairs")
   }
 
+  test("pngDecode adversarial payloads (ADVICE r16): an FDICT zlib stream " +
+      "returns null instead of spinning forever, and header-declared " +
+      "giant dimensions are rejected BEFORE allocation") {
+    import org.apache.spark.sql.graftvec.MediaExprs
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + data.length + 4)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def ihdr(w: Int, h: Int): Array[Byte] = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    // zlib header with FDICT set: CMF=0x78, FLG=0x20 ((0x7820 % 31) == 0,
+    // bit 5 set), then a 4-byte DICTID + junk. Inflater.inflate() returns 0
+    // with needsDictionary()=true and needsInput()=false on this stream —
+    // the exact shape that used to loop forever.
+    val fdictIdat = Array(0x78, 0x20, 0x01, 0x02, 0x03, 0x04, 0x00).map(_.toByte)
+    val fdictPng = sig ++ chunk("IHDR", ihdr(8, 8)) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.emptyByteArray)
+    val decoded = scala.concurrent.Await.result(
+      scala.concurrent.Future(MediaExprs.pngDecode(fdictPng))(
+        scala.concurrent.ExecutionContext.global),
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(decoded == null, "FDICT stream must read as malformed")
+    // w = h = 2^20 passes the per-dimension bound but h*(1+3w) ~ 3 TiB:
+    // must be rejected in Long arithmetic before any buffer is allocated
+    // (the old Int math wrapped, and a huge allocation OOMs the task)
+    val giant = sig ++ chunk("IHDR", ihdr(1 << 20, 1 << 20)) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.emptyByteArray)
+    assert(MediaExprs.pngDecode(giant) == null,
+      "over-budget declared dimensions must read as malformed")
+  }
+
   test("decoder differential fuzz: 12 random images through BOTH " +
       "containers (java.nio BMP + ImageIO PNG) recover identical features " +
       "from ground-truth pixels, incl. 1-pixel-wide/tall edge dims") {
