@@ -97,25 +97,42 @@ object Bench {
     try { graft.Pipelines.refreshArtifacts(spark, sfDir)
       graft.Pipelines.refreshBaseCounts(spark, sfDir); () }
     catch { case _: Throwable => () }
-    // one tiny untimed front-door decide: the composed funnel entries run
-    // EARLY in the registry's map order, and their first execution
-    // otherwise pays the decide plan family's whole-stage codegen inside
-    // a timed body (observed: q289 at run position 2 reading ~2x its
-    // steady state) — exactly the startup cost this warmup exists to
-    // hoist
+    // one tiny untimed front-door REFRESH LOOP: the composed funnel
+    // entries run EARLY in the registry's map order, and their first
+    // execution otherwise pays the plan family's whole-stage codegen
+    // inside a timed body (observed: q289 at run position 2 reading ~2x
+    // its steady state). Driving processBatchWithRefresh end-to-end over
+    // ~60 docs warms the decide family AND everything the round-16
+    // tiny-decide warmup missed — the decision/index/counts parquet
+    // write paths, the kept-counts fold, and refreshedLm's epoch build —
+    // which the pipeline_stream_refresh entry was paying first-execution
+    // codegen for inside its timed body.
     try {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.table(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
-      val (d, _) = graft.operators.CurationFunnel.decide(
-        docs.filter(col("doc_id") >= 30), "text", "doc_id",
-        graft.operators.Dedup.buildBandedIndex(
-          graft.operators.Dedup.buildShingleIndex(
-            docs.filter(col("doc_id") < 30), "text", "doc_id", 5)),
-        graft.Pipelines.funnelModel(spark, sfDir))
-      d.count()
-      graft.operators.Dedup.releaseAllCaches()
-      spark.catalog.clearCache()
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 90)
+      val (model0, bloomFor) = graft.Pipelines.refreshArtifacts(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warm-").toString
+      try {
+        graft.streaming.StreamingCurationFunnel.seedIndex(
+          docs.filter(col("doc_id") < 30), "text", "doc_id", 5, s"$tmp/idx")
+        graft.streaming.StreamingCurationFunnel.seedCounts(
+          docs.filter(col("doc_id") < 30), "text", model0.lm, s"$tmp/cnt")
+        graft.streaming.StreamingCurationFunnel.processBatchWithRefresh(
+          docs.filter(col("doc_id") >= 30 && col("doc_id") < 60), 0L,
+          "text", "doc_id", model0, 1L, bloomFor,
+          s"$tmp/idx", s"$tmp/out", s"$tmp/cnt")
+        graft.streaming.StreamingCurationFunnel.processBatchWithRefresh(
+          docs.filter(col("doc_id") >= 60), 1L,
+          "text", "doc_id", model0, 1L, bloomFor,
+          s"$tmp/idx", s"$tmp/out", s"$tmp/cnt")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(tmp)).deleteRecursively()
+        graft.streaming.StreamingCurationFunnel.clearRefreshMemo()
+        graft.operators.Dedup.releaseAllCaches()
+        spark.catalog.clearCache()
+      }
     } catch { case _: Throwable => () }
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -236,6 +253,32 @@ object Bench {
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(refreshTmp)).deleteRecursively(); ()
+    } catch { case _: Throwable => () }
+    // the streaming-ANN retrain loop (q298's streaming twin): per-batch
+    // delta encode + trigger poll against the frozen decay curve, with
+    // the retrain + re-encode + hot-swap exercised when the verdict fires
+    val annTmp = graft.Pipelines.prepareAnnRefresh(spark, sfDir)
+    val annSecs = timedEntry("pipeline_ann_refresh") {
+      val (boundary, rows) = graft.Pipelines.replayAnnRefresh(spark, sfDir, annTmp)
+      System.err.println(
+        s"[bench] pipeline_ann_refresh final_boundary=$boundary index_rows=$rows")
+    }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(annTmp)).deleteRecursively(); ()
+    } catch { case _: Throwable => () }
+    // the crawl -> text ladder over a pre-staged stored .warc.gz dump
+    // (the q296 container): record walk -> response blocks -> HTML
+    // main-content extraction -> kept-line reassembly -> gopher gate
+    val crawlTmp = graft.Pipelines.prepareCrawl(spark, sfDir)
+    val crawlSecs = timedEntry("pipeline_crawl") {
+      val (nRec, nKept, nPass) = graft.Pipelines.replayCrawl(spark, sfDir, crawlTmp)
+      System.err.println(
+        s"[bench] pipeline_crawl records=$nRec kept_lines=$nKept gopher_pass=$nPass")
+    }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(crawlTmp)).deleteRecursively(); ()
     } catch { case _: Throwable => () }
     val eventsSecs = timedEntry("pipeline_events") {
       {
@@ -359,7 +402,8 @@ object Bench {
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
       "pipeline_stream_funnel" -> sfunnelSecs,
-      "pipeline_stream_refresh" -> srefreshSecs,
+      "pipeline_stream_refresh" -> srefreshSecs, "pipeline_crawl" -> crawlSecs,
+      "pipeline_ann_refresh" -> annSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
       "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,
       "pipeline_profile" -> profileSecs)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
 import org.apache.spark.storage.StorageLevel
 
 /** The composed end-to-end pipelines Bench times — factored out so
@@ -180,8 +180,18 @@ object Pipelines {
     val q = graft.streaming.StreamingCurationFunnel.run(
       stream, "text", "doc_id", model, s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
     try q.processAllAvailable() finally q.stop()
-    val dec = spark.read.parquet(s"$tmp/out")
-    (dec.count(), dec.filter(col("keep")).count())
+    decidedKept(spark, s"$tmp/out")
+  }
+
+  /** (decisions, kept) off a decision log in ONE job (the two separate
+    * counts were a second scan + a second job in every replay's timed
+    * body). */
+  private def decidedKept(spark: SparkSession, outDir: String): (Long, Long) = {
+    val r = spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("k"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The q289/refresh-cadence frozen artifacts: base-trained LM +
@@ -274,8 +284,112 @@ object Pipelines {
       stream, "text", "doc_id", model0, refreshEvery = 1L, bloomFor,
       s"$tmp/idx", s"$tmp/out", s"$tmp/cnt", s"$tmp/ckpt")
     try q.processAllAvailable() finally q.stop()
-    val dec = spark.read.parquet(s"$tmp/out")
-    (dec.count(), dec.filter(col("keep")).count())
+    decidedKept(spark, s"$tmp/out")
+  }
+
+  /** Untimed setup for the streaming-ANN retrain loop: seed the stored
+    * state (raw seed vectors, epoch-0 model, seed encode — deploy-time
+    * artifacts) and stage the two md5-banded delta files the stream
+    * ingests (the q298 arrival order: the (20%, 50%] band, then the
+    * rest). */
+  def prepareAnnRefresh(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{md5, substring}
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val h = substring(md5(col("vec_id").cast("string")), 1, 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annref-").toString
+    graft.streaming.StreamingAnnIndex.seed(
+      emb.filter(h < lit("3333")), "embedding", "vec_id",
+      graft.streaming.StreamingAnnIndex.AnnParams(),
+      s"$tmp/vec", s"$tmp/model", s"$tmp/coded")
+    emb.filter(h >= lit("3333") && h < lit("8000")).coalesce(1)
+      .write.parquet(s"$tmp/in")
+    Thread.sleep(20) // distinct mtimes: file source replays oldest-first
+    emb.filter(h >= lit("8000")).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    tmp
+  }
+
+  /** The timed ANN retrain-loop replay (benched as pipeline_ann_refresh):
+    * two micro-batches through the trigger-driven foreachBatch loop —
+    * per batch: map-only delta encode + stored append + one trigger poll,
+    * plus the retrain + corpus re-encode + model hot-swap when the
+    * verdict fires. The poll runs against a FIXED operational curve
+    * (max_safe = 5500 bps) rather than the corpus-measured one, so the
+    * entry's retrain count is deterministic at every SF: the first batch
+    * lands at ~(5700..5900) bps and FIRES, the second at ~(5000..5100)
+    * and does not — the entry times exactly one full retrain + both
+    * polls + the post-swap append. (The measured-curve composition is
+    * q298's correctness surface; the curve's own cost is q284's entry.)
+    * Returns (final boundary, served index rows). */
+  def replayAnnRefresh(spark: SparkSession, sfDir: String, tmp: String): (Long, Long) = {
+    import spark.implicits._
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val opCurve = Seq((2000L, 10L, 10L, 400000L), (8000L, 10L, 10L, 300000L))
+      .toDF("delta_bps", "n_base", "n_delta", "mean_recall_ppm")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingAnnIndex.run(
+      stream, "embedding", "vec_id",
+      graft.streaming.StreamingAnnIndex.AnnParams(),
+      opCurve, floorPpm = 341666L, // linear crossing at exactly 5500 bps
+      s"$tmp/vec", s"$tmp/model", s"$tmp/coded", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val (_, index) = graft.streaming.StreamingAnnIndex.current(
+      spark, s"$tmp/model", s"$tmp/coded", upTo = 1L)
+    (graft.streaming.StreamingAnnIndex.boundaryAt(s"$tmp/model", 2L),
+      index.count())
+  }
+
+  /** Untimed setup for the crawl ladder: stage a stored `.warc.gz` dump
+    * (one two-record WARC file per document — the q296 container) as a
+    * few large parquet files of (doc_id, payload). The dump pre-exists
+    * in the deployment this entry models; synthesizing it is staging,
+    * not crawl-processing work. */
+  def prepareCrawl(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+    docs
+      .select(col("doc_id"), operators.Multimodal.warcBytes(col("doc_id"),
+        operators.WebCuration.htmlWrap(col("doc_id"), col("text"))).as("payload"))
+      .coalesce(4).write.parquet(s"$tmp/dump")
+    tmp
+  }
+
+  /** The timed crawl → text ladder (benched as pipeline_crawl): the
+    * stored WARC dump → record walk (multi-member gunzip + header parse)
+    * → response blocks → HTML main-content extraction → kept-line
+    * reassembly in line order → Gopher word gate — the first four
+    * transforms a Common-Crawl-scale pretraining pipeline runs, all
+    * map-only except the one doc-keyed reassembly aggregation. Returns
+    * (records, kept_lines, gopher_pass_docs). */
+  def replayCrawl(spark: SparkSession, sfDir: String, tmp: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{array_join, array_sort, collect_list, struct, transform}
+    val recs = operators.Multimodal.warcRecords(
+        spark.read.parquet(s"$tmp/dump"), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRec = recs.count()
+      val lines = operators.WebCuration.extractMainContent(
+        recs.filter(col("warc_type") === "response")
+          .select(col("doc"), col("content").cast("string").as("page")),
+        "page", "doc")
+      val kept = lines.filter(col("keep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nKept = kept.count()
+        val pass = kept
+          .groupBy(col("doc"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("line_no"), col("text")))),
+            x => x.getField("text")), " ").as("clean"))
+          .filter(operators.Curation.gopherWordGate(col("clean"), 20, 100000))
+          .count()
+        (nRec, nKept, pass)
+      } finally kept.unpersist(blocking = false)
+    } finally recs.unpersist(blocking = false)
   }
 
   /** The metric-monitoring suite (benched as pipeline_monitor): the

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => T}
+
 /** The composed daily-ingest FRONT DOOR: one decide() body that takes a
   * batch of new documents and emits a per-document keep/drop verdict by
   * running the four curation stages a pre-training pipeline gates new
@@ -95,88 +97,141 @@ object CurationFunnel {
   def decide(
       batch: DataFrame, textCol: String, idCol: String,
       baseIndex: DataFrame, model: FunnelModel): (DataFrame, DataFrame) = {
-    // ONE cached frame carries the batch plus its stage-1 verdict
-    // ([[Curation.gopherWordGate]] — the f_words ∧ f_mean_len ∧ f_alpha
-    // arithmetic as a single compiled pass, NULL text reading false: a
-    // NULL gopher_pass would fall through every verdict arm to "kept"
-    // with keep=false, logging an un-evaluated document as kept). Every
-    // later stage and the final assembly re-derive from it, so the gate
-    // runs once — and `gated` is a FILTER of the cache, not a join back
-    // to the batch (the r15 shape paid a semi-join plus a second
-    // persist here).
+    val (decisions, deltaIndex, _) =
+      decideFull(batch, textCol, idCol, baseIndex, model)
+    (decisions, deltaIndex)
+  }
+
+  /** [[decide]] plus the persisted evaluated frame (batch text + every
+    * map-only gate's outcome) — the refresh cadence folds its
+    * kept-document piece counts from this cache instead of re-reading
+    * kept text from the batch source
+    * ([[graft.streaming.StreamingCurationFunnel.processBatchWithRefresh]]).
+    * The frame is registered in the ambient [[Dedup]] cache scope like
+    * decide's other intermediates.
+    */
+  def decideFull(
+      batch: DataFrame, textCol: String, idCol: String,
+      baseIndex: DataFrame, model: FunnelModel)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // ONE cached projection carries the batch plus the row-local gates —
+    // stage 1 (gopher) and stage 3 (bloom probe) are broadcast-model
+    // per-row computations, so evaluating both in a single compiled pass
+    // over the batch scan removes the probe's separate scan + two
+    // membership anti-joins the staged funnel paid per micro-batch
+    // (measured: a 150-doc batch spent 2.3 s sequencing 24 stages whose
+    // summed task compute was 0.2 s — stage BARRIERS, not work, were the
+    // cost). Funnel ORDER is preserved lazily inside the row: the bloom
+    // probe evaluates under `when(gopher_pass, …)` (CASE arms
+    // short-circuit in codegen). The gate values are pure functions of
+    // the text, so computing one earlier than the staged funnel did
+    // never changes it — and the decision log still NULL-masks every
+    // stage a document didn't reach (assembly below), so the reported
+    // rows are bit-identical. NULL text reads gopher_pass=false, never
+    // NULL — a NULL would fall through every verdict arm to "kept".
+    // Stage 2's FINGERPRINTS ride the same pass: `sh`/`bands` are fused
+    // into this projection (the exact shingleSets/buildBandedIndex
+    // kernels — [[Dedup.shingleSetOfHashed]]/[[Dedup.bandKeysCol]]), so
+    // the batch is tokenized once for bloom + shingles and the delta
+    // index below is a pure projection of this cache, not a second scan.
+    val bloom = model.bloom
     val evaluated = Dedup.persistTracked(batch
       .select(col(idCol), col(textCol))
       .withColumn("gopher_pass",
-        Curation.gopherWordGate(col(textCol), model.minWords, model.maxWords)))
-    val flags = evaluated.select(col(idCol).as("doc"), col("gopher_pass"))
-    val gated = evaluated.filter(col("gopher_pass")).drop("gopher_pass")
+        Curation.gopherWordGate(col(textCol), model.minWords, model.maxWords))
+      .withColumn("__toks", when(col("gopher_pass"), T.tokens(col(textCol))))
+      .withColumn("__con",
+        org.apache.spark.sql.graftvec.FilterExprs
+          .bloomShingleHitsMd5Col(col("__toks"), bloom.words,
+            bloom.words.length * 32, bloom.kHashes, bloom.shingleK)
+          .geq(lit(model.minShared)))
+      .withColumn("sh",
+        Dedup.shingleSetOfHashed(T.hashAll(col("__toks")), model.shingleK))
+      .withColumn("bands",
+        Dedup.bandKeysCol(col("sh"), model.bands, model.rowsPerBand))
+      // keep the cache slim: the token array is scratch; the text column
+      // stays (the refresh counts fold reads it)
+      .select(col(idCol), col(textCol), col("gopher_pass"), col("__con"),
+        col("sh"), col("bands")))
 
-    // stage 2: fingerprint the gated delta once; the SAME frame feeds the
-    // banding, the exact verify, and the caller's index append (persisted
-    // HERE — minhashNearDupsAgainstBase no longer caches its inputs,
-    // because its base side is a stored corpus-scale table in the
-    // production shape; registered for the ambient Dedup cache scope).
-    // PRE-BANDED under the model's geometry:
-    // the delta's band keys are computed once here, the dedup stage
-    // posexplodes them, and the caller's index append stores them — so
-    // when these rows are tomorrow's BASE, no batch ever re-runs their
-    // MinHash signatures (Dedup.buildBandedIndex schema contract)
-    val deltaIndex = Dedup.persistTracked(Dedup.buildBandedIndex(
-      Dedup.buildShingleIndex(gated, textCol, idCol, model.shingleK),
-      model.bands, model.rowsPerBand))
-    // dupIds feeds surv1's anti-join, the decision join, AND (through
-    // surv1/surv2) the bloom and LM subtrees — persist the tiny id frame
-    // so the banding + verify join subtree runs once, not wherever plan
-    // canonicalization fails to reuse it (conIds likewise, 2 uses)
-    // dupIds/conIds are batch-bounded id lists (subsets of one
-    // micro-batch — the streaming contract caps batch volume), so every
-    // join against them carries an explicit broadcast hint: inside
-    // foreachBatch AQE's runtime broadcast conversion is not guaranteed,
-    // and a sort-merge exchange per membership join is pure overhead
+    val gated = evaluated.filter(col("gopher_pass"))
+
+    // stage 4's SERVE TABLE, collected: the per-distinct-word DP
+    // ([[TextPipeline.unigramVocabServe]] — vocabulary-bounded, the same
+    // bound that makes the refresh fold collectable and the same
+    // batch-bounded-broadcast contract dupIds rides below) over the
+    // gated batch's vocabulary, handed back as a codegen hash-table
+    // reference so document pricing is a MAP-ONLY fold over the token
+    // array in the final assembly — no (doc, word) exchange, no
+    // doc-level re-aggregation, no lm join. Gated vocabulary ⊇ LM-stage
+    // vocabulary, and the DP is a pure per-word function, so pricing off
+    // this table is bit-identical to the staged serve (long sums are
+    // order-free; ExtensionsSpec pins the fold ≡ the vocabulary-join
+    // serve). Per-instance DP would be wrong here: under Zipfian
+    // repetition the per-DISTINCT-word DP is vocabulary-sized work while
+    // per-token DP is corpus-sized (measured 3× the whole entry on the
+    // bench corpus). A corpus whose per-batch vocabulary exceeds the
+    // broadcast budget should serve via unigramServeByVocab instead.
+    val vocabServe: Map[String, (Long, Long)] = TextPipeline.unigramVocabServe(
+        gated.select(explode(T.tokens(col(textCol))).as("w")), model.lm)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // stage 2 — the ONLY join-bearing stage. The delta index is a pure
+    // PROJECTION of the evaluated cache (sh/bands were fused into its
+    // one scan above, in the exact Dedup.buildBandedIndex v3 schema), so
+    // it needs no persist of its own: the banding posexplode, the exact
+    // verify, and the caller's index append each re-project cached
+    // columns. PRE-BANDED under the model's geometry — when these rows
+    // are tomorrow's BASE, no batch ever re-runs their MinHash
+    // signatures (Dedup.buildBandedIndex schema contract).
+    val deltaIndex = gated.select(col(idCol).as("doc"), col("sh"), col("bands"))
+      .withColumn("bands_geom",
+        lit(Dedup.bandGeomCode(model.bands, model.rowsPerBand)))
+    // dupIds is a batch-bounded id list (a subset of one micro-batch —
+    // the streaming contract caps batch volume), so the decision join
+    // carries an explicit broadcast hint: inside foreachBatch AQE's
+    // runtime broadcast conversion is not guaranteed, and a sort-merge
+    // exchange for a membership join is pure overhead. Persisted so the
+    // banding + verify subtree runs exactly once.
     val dupIds = Dedup.persistTracked(Dedup
       .minhashNearDupsAgainstBase(baseIndex, deltaIndex,
         model.threshold, model.bands, model.rowsPerBand)
       .select(col("id_b").as("doc")).distinct()
       .withColumn("__dup", lit(true)))
-    val surv1 = gated.join(
-      broadcast(dupIds.select(col("doc").as(idCol))), Seq(idCol), "left_anti")
 
-    // stage 3: broadcast bloom probe, map-only over dedup survivors
-    val conIds = Dedup.persistTracked(TextPipeline
-      .bloomProbe(surv1, model.bloom, textCol, idCol, model.minShared)
-      .select(col("doc")).withColumn("__con", lit(true)))
-    val surv2 = surv1.join(
-      broadcast(conIds.select(col("doc").as(idCol))), Seq(idCol), "left_anti")
-
-    // stage 4: unigram serve via the vocabulary join — the DP runs per
-    // DISTINCT surviving word, not per token instance (every surv2 doc
-    // has >= minWords tokens, so the serve emits a row for each —
-    // lm_keep is non-null exactly on LM-evaluated documents)
-    val lm = TextPipeline
-      .unigramServeByVocab(surv2, textCol, idCol, model.lm, model.maxNllMicro)
-      .select(col("doc"), col("nll_micro"), col("keep").as("__lmk"))
-
-    val decisions = flags
+    // final assembly: ONE broadcast join (the dup flags) onto the cached
+    // evaluated frame, LM pricing fused into the same projection
+    // (map-only fold over the token array against the broadcast serve
+    // maps, evaluated lazily only for documents that reach the LM gate —
+    // gopher ∧ ¬dup ∧ ¬contaminated, the exact staged-funnel reach set,
+    // so lm_keep/nll stay non-null exactly on LM-evaluated documents and
+    // every gated doc's n_pieces ≥ minWords ≥ 1 keeps the DIV total).
+    val dupF = coalesce(col("__dup"), lit(false))
+    val decisions = evaluated
+      .select(col(idCol).as("doc"), col("gopher_pass"), col("__con"),
+        col(textCol))
       .join(broadcast(dupIds), Seq("doc"), "left")
-      .join(broadcast(conIds), Seq("doc"), "left")
-      .join(lm, Seq("doc"), "left")
+      .withColumn("__toks", when(
+        col("gopher_pass") && !dupF && !col("__con"), T.tokens(col(textCol))))
+      .withColumn("__pr", org.apache.spark.sql.graftvec.TextExprs
+        .unigramPriceTokensCol(col("__toks"), vocabServe))
+      .withColumn("nll_micro",
+        expr("(-element_at(__pr, 2)) DIV element_at(__pr, 1)"))
+      .withColumn("__lmk", col("nll_micro") < lit(model.maxNllMicro))
       .select(
         col("doc"),
         col("gopher_pass"),
-        when(col("gopher_pass"), coalesce(col("__dup"), lit(false)))
-          .as("near_dup"),
-        when(col("gopher_pass") && !coalesce(col("__dup"), lit(false)),
-            coalesce(col("__con"), lit(false)))
-          .as("contaminated"),
+        when(col("gopher_pass"), dupF).as("near_dup"),
+        when(col("gopher_pass") && !dupF, col("__con")).as("contaminated"),
         col("__lmk").as("lm_keep"),
         col("nll_micro"),
         coalesce(col("__lmk"), lit(false)).as("keep"),
         when(!col("gopher_pass"), lit("gopher"))
-          .when(coalesce(col("__dup"), lit(false)), lit("near_dup"))
+          .when(dupF, lit("near_dup"))
           .when(coalesce(col("__con"), lit(false)), lit("contaminated"))
           .when(!col("__lmk"), lit("lm_gate"))
           .otherwise(lit("kept"))
           .as("verdict"))
-    (decisions, deltaIndex)
+    (decisions, deltaIndex, evaluated)
   }
 }

@@ -169,9 +169,23 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame =
     docs
       .withColumn("__tok", T.hashAll(T.tokens(col(textCol))))
-      .withColumn("__sh", array_distinct(
-        org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(col("__tok"), shingleK)))
+      .withColumn("__sh", shingleSetOfHashed(col("__tok"), shingleK))
       .select(col(idCol).as("doc"), col("__sh").as("sh"))
+
+  /** The fingerprint kernel over an already-hashed token column — the
+    * exact [[shingleSets]] `sh` expression, exposed (with
+    * [[bandKeysCol]]) so a composed operator ([[CurationFunnel.decide]])
+    * can fuse fingerprinting into an existing scan instead of paying a
+    * separate tokenize pass. Callers hash tokens with
+    * `TextFunctions.hashAll(tokens)` first.
+    */
+  def shingleSetOfHashed(hashedToks: Column, shingleK: Int): Column =
+    array_distinct(
+      org.apache.spark.sql.graftvec.TextExprs.shingleHashCol(hashedToks, shingleK))
+
+  /** Public face of the banding kernel (see [[shingleSetOfHashed]]). */
+  def bandKeysCol(sh: Column, bands: Int, rowsPerBand: Int): Column =
+    bandKeysOf(sh, bands, rowsPerBand)
 
   /** LSH banding candidates from an (doc, sh) shingle-set frame. */
   private def lshCandidatesFromSets(

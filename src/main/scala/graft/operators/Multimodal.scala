@@ -441,8 +441,9 @@ object Multimodal {
     * milli-lumas and the real-pixel dHash — NULL features and
     * valid = false on anything malformed (bad magic/IHDR, CRC mismatch,
     * truncated or corrupt deflate stream, size disagreement). Map-only;
-    * the per-row work is one compiled decode call. JPEG/H.264/MP3 stay
-    * environment-stubbed: their entropy coders do not ship in the JDK.
+    * the per-row work is one compiled decode call. JPEG decodes for real
+    * too ([[jpegFeatures]] — ImageIO ships in the JDK); H.264/MP3 stay
+    * environment-stubbed: their codecs do not ship in the JDK.
     */
   def pngFeatures(
       df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
@@ -463,6 +464,50 @@ object Multimodal {
   def pngDhash(
       df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
     pngFeatures(df, idCol, payloadCol)
+      .filter(col("valid"))
+      .select(col("doc").cast("bigint").as("doc"), col("dhash"))
+
+  // ----------------------------------------------------------------- jpeg
+
+  /** Synthesize a REAL JPEG per row via the JDK's own `javax.imageio`
+    * writer (quality 1.0, deterministic smooth gradient over an
+    * `(8 + id % 7) × (8 + id % 6)` canvas — gradients survive lossy DCT
+    * coding; see the MediaExprs scaladoc for the formula and why the
+    * oracle contract is deliberately weaker than PNG's). */
+  def jpegBytes(id: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.jpegSynthCol(id.cast("long"))
+
+  /** REAL JPEG DECODE via the JDK's ImageIO reader (the entropy decoder
+    * SHIPS in every standard JDK — this closes the last "environment-
+    * stubbed" image class): full decode to pixels, then the shared
+    * decoded-image fold — the exact [[bmpFeatures]]/[[pngFeatures]]
+    * output contract, so JPEG renders join the cross-container
+    * image-dedup family. CONTRACT NOTE, stated loudly: JPEG is LOSSY —
+    * decoded pixels are not a closed formula of the input, so q297's
+    * oracle pins only (valid, width, height, n_pixels) exactly;
+    * luma stats and dHash are spec-pinned within a tolerance band
+    * (MultimodalSpec), unlike the byte-exact PNG/BMP contracts. */
+  def jpegFeatures(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val staged = df.withColumn("__f",
+      org.apache.spark.sql.graftvec.MediaExprs.jpegDecodeCol(col(payloadCol)))
+    def fld(i: Int): Column = col("__f").getItem(i)
+    staged.select(
+      col(idCol).as("doc"),
+      col("__f").isNotNull.as("valid"),
+      fld(1).as("width"), fld(2).as("height"), fld(3).as("n_pixels"),
+      fld(4).as("mean_luma_milli"), fld(5).as("min_luma_milli"),
+      fld(6).as("max_luma_milli"), fld(7).as("dhash"))
+  }
+
+  /** (doc, dhash) over REAL decoded JPEG pixels — [[bmpDhash]]'s lossy
+    * sibling: a JPEG render of an image lands within a SMALL Hamming
+    * distance of its BMP/PNG renders (spec-pinned band), which is
+    * exactly what near-dup image matching at `maxHamming > 0` exists
+    * for. */
+  def jpegDhash(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    jpegFeatures(df, idCol, payloadCol)
       .filter(col("valid"))
       .select(col("doc").cast("bigint").as("doc"), col("dhash"))
 
@@ -489,6 +534,38 @@ object Multimodal {
     * archive shape of batch document ingest. */
   def zipBytes(id: Column, text: Column): Column =
     org.apache.spark.sql.graftvec.MediaExprs.zipSynthCol(id.cast("long"), text)
+
+  // ----------------------------------------------------------------- warc
+
+  /** Synthesize a valid two-record `.warc.gz` per row (real ISO-28500
+    * records, individually gzipped and concatenated — the Common Crawl
+    * container layout): a `response` record carrying `content` (pass an
+    * [[graft.operators.WebCuration.htmlWrap]] page for the full
+    * crawl-dump shape) and a `metadata` record carrying `id=<id>`. */
+  def warcBytes(id: Column, content: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.warcSynthCol(id.cast("long"), content)
+
+  /** EXPLODE a WARC file into one row per record, in file order:
+    * `(doc, record_no, warc_type, target_uri, n_bytes, content)` — the
+    * crawl-dump ingest operator: plain `.warc` or `.warc.gz`
+    * (concatenated gzip members decode through the JDK reader), header
+    * names case-insensitive, `target_uri` NULL where the spec allows it
+    * (warcinfo). One narrow generate per file, no shuffle; a malformed
+    * file yields ZERO rows (NULL from the decoder — the decode-gate
+    * convention), and decompression is capped at 64 MiB per file.
+    * Compose with [[graft.operators.WebCuration.extractMainContent]]
+    * over the response records for the crawl → text ladder. */
+  def warcRecords(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    df
+      .select(col(idCol).as("doc"),
+        posexplode(org.apache.spark.sql.graftvec.MediaExprs
+          .warcRecordsCol(col(payloadCol))).as(Seq("record_no", "r")))
+      .select(col("doc"), col("record_no").cast("bigint").as("record_no"),
+        col("r.warc_type").as("warc_type"),
+        col("r.target_uri").as("target_uri"),
+        octet_length(col("r.content")).cast("bigint").as("n_bytes"),
+        col("r.content").as("content"))
 
   /** EXPLODE a ZIP archive into one row per member, in archive order:
     * `(doc, entry_no, entry_name, n_bytes, data)` — the container

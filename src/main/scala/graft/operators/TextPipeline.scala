@@ -1216,6 +1216,19 @@ object TextPipeline {
     * repetitive corpora). Token-free documents emit no row (the batch
     * path's explode semantics).
     */
+  /** The map-only serve KERNEL as a column: per-token packed (np, lp)
+    * serve outcomes of a token-array column under a frozen model — the
+    * exact per-token expression [[unigramServe]] folds, exposed so a
+    * composed operator ([[CurationFunnel.decide]]) can inline the whole
+    * LM gate into one projection instead of paying a separate
+    * (doc, word) exchange per batch. NULL-in → NULL-out.
+    */
+  def unigramServeStats(toks: Column, model: UnigramModel): Column = {
+    val m = typedLit(model.scores)
+    transform(transform(toks, guardedWordLen(_)),
+      w => viterbiServe(w, m, model.maxPieceLen))
+  }
+
   def unigramServe(
       docs: DataFrame, textCol: String, idCol: String,
       scores: Map[String, Long], maxNllMicro: Long,
@@ -1568,18 +1581,32 @@ object TextPipeline {
     */
   def unigramServeByVocab(
       docs: DataFrame, textCol: String, idCol: String,
-      model: UnigramModel, maxNllMicro: Long): DataFrame = {
-    require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
-    val m = typedLit(model.scores)
-    val seg = docs.select(explode(T.tokens(col(textCol))).as("w")).distinct()
-      .withColumn("w", guardedWordLen(col("w")))
-      .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
-      .withColumn("ps", viterbiPieces(col("w"), col("dp")))
-      .select(col("w"), size(col("ps")).cast("bigint").as("n_p"),
-        viterbiScore(col("w"), col("dp")).as("lp"))
+      model: UnigramModel, maxNllMicro: Long): DataFrame =
+    unigramServeFromWordCounts(
+      docWordCounts(docs, textCol, idCol), model, maxNllMicro)
+
+  /** The model-independent per-document word-count frame `(doc, w, c)`
+    * behind the vocabulary-join serving/counting paths — ONE tokenize
+    * scan that [[unigramServeFromWordCounts]] (the LM gate) and
+    * [[unigramCountsFromWordTotals]] (the refresh fold) both resolve
+    * through. Persist it when more than one consumer reads it (the
+    * composed front door does: the LM serve and the kept-counts fold
+    * used to tokenize the same survivors twice each batch).
+    */
+  def docWordCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), explode(T.tokens(col(textCol))).as("w"))
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
-      .join(seg, Seq("w"))
+
+  /** [[unigramServeByVocab]] over a precomputed [[docWordCounts]] frame
+    * — row-for-row equal (it IS the same plan; the public wrapper just
+    * builds the frame inline). The vocabulary DP derives from the
+    * frame's distinct words instead of re-tokenizing the corpus.
+    */
+  def unigramServeFromWordCounts(
+      dwc: DataFrame, model: UnigramModel, maxNllMicro: Long): DataFrame = {
+    require(maxNllMicro > 0, "maxNllMicro must be positive micro-nats")
+    dwc
+      .join(unigramVocabServe(dwc.select(col("w")), model), Seq("w"))
       .groupBy(col("doc"))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("n_p")).as("n_pieces"),
@@ -1587,6 +1614,25 @@ object TextPipeline {
       .withColumn("nll_micro", expr("(-logp) DIV n_pieces"))
       .select(col("doc"), col("n_tokens"), col("n_pieces"),
         col("nll_micro"), (col("nll_micro") < maxNllMicro).as("keep"))
+  }
+
+  /** The vocabulary SERVE TABLE under a frozen model: `(w, n_p, lp)` —
+    * piece count and summed piece log-prob of the best segmentation —
+    * for every distinct word of the input's `w` column. The DP runs per
+    * DISTINCT word (vocabulary-bounded); [[unigramServeFromWordCounts]]
+    * joins it back to (doc, word) counts, and [[CurationFunnel.decide]]
+    * collects it into broadcast map literals to price tokens map-only
+    * (both end at the identical per-document sums, since long addition
+    * is order-free).
+    */
+  def unigramVocabServe(words: DataFrame, model: UnigramModel): DataFrame = {
+    val m = typedLit(model.scores)
+    words.select(col("w")).distinct()
+      .withColumn("w", guardedWordLen(col("w")))
+      .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
+      .withColumn("ps", viterbiPieces(col("w"), col("dp")))
+      .select(col("w"), size(col("ps")).cast("bigint").as("n_p"),
+        viterbiScore(col("w"), col("dp")).as("lp"))
   }
 
   /** Frequency-weighted piece counts of a corpus segmented under a
@@ -1607,12 +1653,24 @@ object TextPipeline {
     * counts table absorbs a delta corpus without re-reading the base.
     */
   def unigramCounts(
-      docs: DataFrame, textCol: String, model: UnigramModel): DataFrame = {
-    val spark = docs.sparkSession
+      docs: DataFrame, textCol: String, model: UnigramModel): DataFrame =
+    unigramCountsFromWordTotals(
+      docs.select(explode(T.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")),
+      model)
+
+  /** [[unigramCounts]] over precomputed word TOTALS `(w, f)` — e.g. a
+    * [[docWordCounts]] frame folded over the kept documents, which is
+    * how the refresh cadence shares the front door's one tokenize scan
+    * instead of re-reading kept text. Bit-identical to [[unigramCounts]]
+    * on the corpus the totals came from (it IS the same plan tail).
+    */
+  def unigramCountsFromWordTotals(
+      wordTotals: DataFrame, model: UnigramModel): DataFrame = {
+    val spark = wordTotals.sparkSession
     import spark.implicits._
     val m = typedLit(model.scores)
-    val seg = docs.select(explode(T.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val seg = wordTotals.select(col("w"), col("f"))
       .withColumn("w", guardedWordLen(col("w")))
       .withColumn("dp", viterbiDp(col("w"), m, model.maxPieceLen))
       .materialize // vocab-sized cut; see unigramCore on Generate-over-DP

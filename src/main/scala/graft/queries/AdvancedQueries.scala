@@ -665,6 +665,138 @@ object AdvancedQueries {
         "the retrain verdict a daily scheduler polls; first-crossing semantics, endpoint " +
         "clamps flagged as at_curve_edge"),
 
+    "q298_ann_retrain_loop" -> Q(
+      (s, dir) => {
+        // The EPOCH-SPLIT retrain LOOP — the batch composition the
+        // streaming ANN index (StreamingAnnIndex, which ACTS on q291's
+        // verdict) must equal row-for-row (StreamingAnnIndexSpec pins
+        // stream ≡ this): vectors arrive in md5-banded batches (seed =
+        // the 20%-base gate, batch 0 = the (20%, 50%] band, batch 1 =
+        // the rest — NESTED gates, so every epoch's training corpus is a
+        // standard gate the q284 oracle already replays); each batch is
+        // encoded under the epoch in force, the retrain trigger is
+        // polled against the FROZEN decay curve, and a firing verdict
+        // retrains on everything ingested and hot-swaps the epoch.
+        // `index_checksum` is an exact integer fold over the coded index
+        // AFTER the batch — a model-epoch-dependent witness that the
+        // retrain actually re-encoded (NULL only when batch 1 itself
+        // fires: that epoch's full-corpus training is the one the curve
+        // oracle does not precompute).
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val curve = graft.Pipelines.decayCurve(s, dir)
+        val floor = 350000L
+        val h = substring(md5(col("vec_id").cast("string")), 1, 4)
+        val g80 = Similarity.baseGateHex(8000) // 20% of ids below → seed
+        val g50 = Similarity.baseGateHex(5000) // 50% below → seed ∪ batch0
+        def trig(comp: org.apache.spark.sql.DataFrame) =
+          Similarity.ivfPqRetrainTrigger(curve, comp, floor).collect()(0)
+        def checksum(model: Similarity.IvfPqModel,
+            rows: org.apache.spark.sql.DataFrame): Long = {
+          val r = Similarity.ivfPqEncode(model, rows, "embedding", "vec_id")
+            .agg((sum(col("bucket").cast("long")) * lit(1000003L) +
+              sum(expr("aggregate(transform(code, (c, j) -> c * (j + 1)), " +
+                "0L, (a, x) -> a + x)"))).as("cs"))
+            .collect()(0).getLong(0)
+          graft.operators.Dedup.releaseCaches()
+          r
+        }
+        // batch 0: encode the (20%, 50%] band under the seed-trained
+        // epoch, poll with is_base = seed
+        val v0 = trig(emb.filter(h < lit(g50)).select(col("vec_id"))
+          .withColumn("is_base",
+            substring(md5(col("vec_id").cast("string")), 1, 4) < lit(g80)))
+        val r0 = v0.getAs[Boolean]("retrain")
+        val ms = v0.getAs[Long]("max_safe_delta_bps")
+        // the epoch in force after batch 0: retrained on everything
+        // ingested (= the 50% gate) when the verdict fired, else the
+        // seed-trained epoch 0 (only the in-force model is trained here;
+        // the streaming twin trains epoch 0 at seed() time)
+        val mAfter0 = Similarity.ivfPqTrain(
+          emb.filter(h < lit(if (r0) g50 else g80)), "embedding", "vec_id")
+        val cs0 = checksum(mAfter0, emb.filter(h < lit(g50)))
+        // batch 1: the rest arrives; base = whatever the epoch in force
+        // was trained on
+        val baseGate1 = if (r0) g50 else g80
+        val v1 = trig(emb.select(col("vec_id"))
+          .withColumn("is_base",
+            substring(md5(col("vec_id").cast("string")), 1, 4) < lit(baseGate1)))
+        val r1 = v1.getAs[Boolean]("retrain")
+        val cs1: Option[Long] = if (r1) None else Some(checksum(mAfter0, emb))
+        val b0After = if (r0) 1L else 0L
+        val b1After = if (r1) 2L else b0After
+        Seq(
+          (0L, v0.getAs[Long]("n_base"), v0.getAs[Long]("n_delta"),
+            v0.getAs[Long]("current_delta_bps"), ms, r0, b0After, Some(cs0)),
+          (1L, v1.getAs[Long]("n_base"), v1.getAs[Long]("n_delta"),
+            v1.getAs[Long]("current_delta_bps"), ms, r1, b1After, cs1))
+          .toDF("batch_id", "n_base", "n_delta", "current_delta_bps",
+            "max_safe_delta_bps", "retrain", "boundary_after", "index_checksum")
+          .orderBy(col("batch_id"))
+      },
+      Some(s"""$recallDecayWithSql,
+              |curve AS (SELECT delta_bps AS b, mean_recall_ppm AS r FROM (
+              |  SELECT * FROM farow UNION ALL SELECT * FROM fbrow
+              |  UNION ALL SELECT * FROM fcrow)),
+              |ff AS (SELECT min(b) AS fail_b FROM curve WHERE r < 350000),
+              |pv AS (SELECT arg_max(b, b) AS prev_b, arg_max(r, b) AS prev_r
+              |  FROM curve, ff WHERE ff.fail_b IS NOT NULL AND b < ff.fail_b),
+              |fr AS (SELECT min(r) AS fail_r FROM curve, ff WHERE b = ff.fail_b),
+              |ed AS (SELECT max(b) AS edge_b FROM curve),
+              |msx AS (SELECT CASE WHEN fail_b IS NULL THEN edge_b
+              |    WHEN prev_b IS NULL THEN 0
+              |    ELSE prev_b + ((fail_b - prev_b) * (prev_r - 350000))
+              |      // (prev_r - fail_r) END AS ms FROM ff, pv, fr, ed),
+              |hx AS (SELECT vec_id,
+              |    substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS h FROM embeddings),
+              |cnt AS (SELECT
+              |    CAST(sum(CASE WHEN h < '3333' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+              |    CAST(sum(CASE WHEN h >= '3333' AND h < '8000' THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+              |    CAST(sum(CASE WHEN h >= '8000' THEN 1 ELSE 0 END) AS BIGINT) AS n_b1
+              |  FROM hx),
+              |g50v AS (SELECT vec_id FROM hx WHERE h < '8000'),
+              |csfbh AS (SELECT (SELECT CAST(sum(cid) AS BIGINT) FROM fbaf JOIN g50v USING (vec_id)) * 1000003
+              |    + (SELECT CAST(sum(cid * (j + 1)) AS BIGINT) FROM fbenc JOIN g50v USING (vec_id)) AS cs),
+              |csfch AS (SELECT (SELECT CAST(sum(cid) AS BIGINT) FROM fcaf JOIN g50v USING (vec_id)) * 1000003
+              |    + (SELECT CAST(sum(cid * (j + 1)) AS BIGINT) FROM fcenc JOIN g50v USING (vec_id)) AS cs),
+              |csfba AS (SELECT (SELECT CAST(sum(cid) AS BIGINT) FROM fbaf) * 1000003
+              |    + (SELECT CAST(sum(cid * (j + 1)) AS BIGINT) FROM fbenc) AS cs),
+              |csfca AS (SELECT (SELECT CAST(sum(cid) AS BIGINT) FROM fcaf) * 1000003
+              |    + (SELECT CAST(sum(cid * (j + 1)) AS BIGINT) FROM fcenc) AS cs),
+              |led0 AS (SELECT n_seed AS n_base, n_b0 AS n_delta,
+              |    (10000 * n_b0) // (n_seed + n_b0) AS bps0,
+              |    (10000 * n_b0) // (n_seed + n_b0) > ms AS r0
+              |  FROM cnt, msx),
+              |led1 AS (SELECT
+              |    CASE WHEN r0 THEN n_seed + n_b0 ELSE n_seed END AS n_base,
+              |    CASE WHEN r0 THEN n_b1 ELSE n_b0 + n_b1 END AS n_delta,
+              |    (10000 * (CASE WHEN r0 THEN n_b1 ELSE n_b0 + n_b1 END))
+              |      // (n_seed + n_b0 + n_b1) AS bps1, r0
+              |  FROM cnt, led0),
+              |led1x AS (SELECT led1.*, msx.ms, bps1 > ms AS r1 FROM led1, msx)
+              |SELECT CAST(0 AS BIGINT) AS batch_id, n_base, n_delta,
+              |  CAST(bps0 AS BIGINT) AS current_delta_bps,
+              |  CAST(ms AS BIGINT) AS max_safe_delta_bps, r0 AS retrain,
+              |  CAST(CASE WHEN r0 THEN 1 ELSE 0 END AS BIGINT) AS boundary_after,
+              |  CASE WHEN r0 THEN (SELECT cs FROM csfbh)
+              |       ELSE (SELECT cs FROM csfch) END AS index_checksum
+              |FROM led0, msx
+              |UNION ALL
+              |SELECT CAST(1 AS BIGINT), n_base, n_delta, CAST(bps1 AS BIGINT),
+              |  CAST(ms AS BIGINT), r1,
+              |  CAST(CASE WHEN r1 THEN 2 WHEN r0 THEN 1 ELSE 0 END AS BIGINT),
+              |  CASE WHEN r1 THEN NULL
+              |       WHEN r0 THEN (SELECT cs FROM csfba)
+              |       ELSE (SELECT cs FROM csfca) END
+              |FROM led1x
+              |ORDER BY batch_id""".stripMargin),
+      "streaming ANN retrain LOOP (the operator that ACTS on q291's verdict): " +
+        "md5-banded micro-batches encode under the epoch in force, poll the trigger " +
+        "against the frozen decay curve, and a firing verdict retrains on everything " +
+        "ingested and hot-swaps the epoch — the ledger pins verdicts, boundaries, and " +
+        "an exact integer checksum of the re-encoded index (model-epoch-dependent, so " +
+        "the hash match proves the swap); oracle replays curve + both epoch trainings"),
+
     // ----------------------------------------------- embedding-space curation
     "q83_semdedup" -> Q(
       (s, dir) =>

@@ -1461,6 +1461,96 @@ object ExtensionQueries {
         "and content md5; NULL-on-malformed decode gate + 64 MiB zip-bomb cap; oracle " +
         "replays member content, so the hash match round-trips compress + explode"),
 
+    "q297_jpeg_invariants" -> Q(
+      (s, dir) => {
+        // REAL JPEG decode via the JDK's own ImageIO (the entropy coder
+        // ships in every standard JDK — the last image class to leave
+        // the environment-stub list). CONTRACT, stated loudly: JPEG is
+        // LOSSY, so decoded pixels are NOT a closed formula of the
+        // input (they depend on the encoder's DCT/quantizer choices) —
+        // this oracle therefore pins only the EXACT relational
+        // invariants (valid, width, height, n_pixels), a deliberately
+        // weaker-than-hash contract than PNG/BMP's; pixel content
+        // (luma band, dHash stability, BMP cross-container pairing) is
+        // pinned in the SPEC tier with documented tolerances
+        // (MultimodalSpec).
+        val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+        Multimodal.jpegFeatures(
+            docs.withColumn("payload", Multimodal.jpegBytes(col("doc_id"))),
+            "doc_id")
+          .select(col("doc"), col("valid"), col("width"), col("height"),
+            col("n_pixels"))
+          .orderBy(col("doc"))
+      },
+      Some("""SELECT doc_id AS doc, true AS valid,
+             |  CAST(8 + doc_id % 7 AS BIGINT) AS width,
+             |  CAST(8 + doc_id % 6 AS BIGINT) AS height,
+             |  CAST((8 + doc_id % 7) * (8 + doc_id % 6) AS BIGINT) AS n_pixels
+             |FROM documents ORDER BY doc""".stripMargin),
+      "REAL JPEG decode via the JDK's ImageIO reader (full entropy decode to pixels, " +
+        "shared luma/dHash fold with BMP/PNG): oracle pins the exact relational " +
+        "invariants only — JPEG is lossy, so pixel content carries a spec-tier " +
+        "tolerance contract instead of a hash (documented loudly at the operator)"),
+
+    "q296_warc_crawl" -> Q(
+      (s, dir) => {
+        // the REAL crawl-dump container (Common Crawl's .warc.gz layout):
+        // warcBytes writes a two-record WARC per doc — a `response`
+        // carrying a full synthesized HTML page (the q292 generator) and
+        // a `metadata` record — each record individually gzipped, members
+        // concatenated; warcRecords walks the members back (multi-member
+        // gunzip + WARC/1.0 header parse + Content-Length block read) in
+        // file order. The oracle replays record CONTENT (type, uri, byte
+        // length, md5) — compressed bytes are zlib-version-dependent.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Multimodal.warcRecords(
+            docs.withColumn("payload",
+              Multimodal.warcBytes(col("doc_id"),
+                graft.operators.WebCuration.htmlWrap(col("doc_id"), col("text")))),
+            "doc_id")
+          .select(col("doc"), col("record_no"), col("warc_type"),
+            col("target_uri"), col("n_bytes"),
+            md5(col("content")).as("content_md5"))
+          .orderBy(col("doc"), col("record_no"))
+      },
+      Some("""WITH pg AS (SELECT doc_id AS doc,
+             |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style>body { color: #222; }</style><script>var page = ' ||
+             |    CAST(doc_id AS VARCHAR) ||
+             |    '; if (page > 0) { track(page); }</script></head><body>' ||
+             |    '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+             |    '<a href="/tag">Tag ' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '</a></nav><h1>Title ' || CAST(doc_id AS VARCHAR) ||
+             |    '</h1><div>' || substring(text, 1, len(text) // 2) ||
+             |    '</div><p>' || substring(text, len(text) // 2 + 1) ||
+             |    '</p><ul><li><a href="/r1">Related one</a></li>' ||
+             |    '<li><a href="/r2">Related two</a></li></ul>' ||
+             |    '<footer>&copy; Site &amp; friends <a href="/tos">Terms &amp; ' ||
+             |    'conditions</a></footer></body></html>' AS page
+             |  FROM documents)
+             |SELECT doc, CAST(0 AS BIGINT) AS record_no,
+             |  'response' AS warc_type,
+             |  'http://crawl.test/' || CAST(doc AS VARCHAR) AS target_uri,
+             |  CAST(octet_length(encode(page)) AS BIGINT) AS n_bytes,
+             |  md5(page) AS content_md5
+             |FROM pg
+             |UNION ALL
+             |SELECT doc_id AS doc, CAST(1 AS BIGINT) AS record_no,
+             |  'metadata' AS warc_type,
+             |  'http://crawl.test/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             |  CAST(octet_length(encode('id=' || CAST(doc_id AS VARCHAR)))
+             |    AS BIGINT) AS n_bytes,
+             |  md5('id=' || CAST(doc_id AS VARCHAR)) AS content_md5
+             |FROM documents
+             |ORDER BY doc, record_no""".stripMargin),
+      "WARC record reader (the Common Crawl .warc.gz container — ISO 28500 records, " +
+        "individually gzipped and concatenated): multi-member gunzip through the JDK " +
+        "reader, WARC/1.0 header parse (case-insensitive names), Content-Length block " +
+        "read, CRLF CRLF separators; one row per record in file order with NULL-on-" +
+        "malformed gate + 64 MiB cap; oracle replays record content incl. the full " +
+        "synthesized HTML response block, so the hash match round-trips the container"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

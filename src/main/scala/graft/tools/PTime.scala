@@ -14,8 +14,9 @@ object PTime {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", // decoupled from core count
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -59,10 +60,35 @@ object PTime {
             new Directory(new java.io.File(tmp)).deleteRecursively(); ()
           }
         case "full" => graft.Pipelines.fullCuration(spark, sfDir).toString
+        case "ann_refresh" =>
+          val tmp = graft.Pipelines.prepareAnnRefresh(spark, sfDir)
+          try {
+            graft.operators.Dedup.releaseAllCaches()
+            spark.catalog.clearCache(); System.gc()
+            val t = System.nanoTime()
+            val r = graft.Pipelines.replayAnnRefresh(spark, sfDir, tmp)
+            f"${(System.nanoTime() - t) / 1e9}%.2fs-inner $r"
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(tmp)).deleteRecursively(); ()
+          }
+        case "crawl" =>
+          val tmp = graft.Pipelines.prepareCrawl(spark, sfDir)
+          try {
+            graft.operators.Dedup.releaseAllCaches()
+            spark.catalog.clearCache(); System.gc()
+            val t = System.nanoTime()
+            val r = graft.Pipelines.replayCrawl(spark, sfDir, tmp)
+            f"${(System.nanoTime() - t) / 1e9}%.2fs-inner $r"
+          } finally {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(tmp)).deleteRecursively(); ()
+          }
         case "monitor" => graft.Pipelines.monitorSuite(spark, sfDir).toString
         case other => s"unknown entry $other"
       }
-      println(f"[ptime] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs  $out")
+      println(f"[ptime] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs  " +
+        f"jobs=${spark.sparkContext.statusTracker.getJobIdsForGroup(null).length}  $out")
     }
     spark.stop()
   }

@@ -220,33 +220,43 @@ object MediaExprs {
         y += 1
       }
       // luma stats + dhash (the BMP decoder's exact contract)
-      val n = w * h
-      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-      val lum = new Array[Long](n)
-      var p = 0
-      while (p < n) {
-        val l = 299L * px(3 * p) + 587L * px(3 * p + 1) + 114L * px(3 * p + 2)
-        lum(p) = l; sum += l
-        if (l < mn) mn = l
-        if (l > mx) mx = l
-        p += 1
-      }
-      var dh = 0L
-      var r = 0
-      while (r < 8) {
-        var c2 = 0
-        while (c2 < 7) {
-          val gy = r * h / 8
-          def gx(cc: Int) = cc * w / 8
-          if (lum(gy * w + gx(c2)) > lum(gy * w + gx(c2 + 1)))
-            dh |= 1L << (7 * r + c2)
-          c2 += 1
-        }
-        r += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(
-        Array(1L, w.toLong, h.toLong, n.toLong, sum / n, mn, mx, dh))
+      statsFromRgb(px, w, h)
     } catch { case _: Exception => null }
+  }
+
+  /** The shared decoded-image tail: exact BT.601 milli-luma stats + the
+    * 56-bit dHash over the 8×8 nearest-neighbor grid, from a flattened
+    * RGB triplet array — `[1, w, h, n_pixels, mean_luma_milli,
+    * min_luma_milli, max_luma_milli, dhash]` (the bmpFeatures contract;
+    * PNG and JPEG decode through this same fold, which is what makes
+    * cross-container image dedup meaningful). */
+  private def statsFromRgb(px: Array[Int], w: Int, h: Int): UnsafeArrayData = {
+    val n = w * h
+    var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    val lum = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val l = 299L * px(3 * p) + 587L * px(3 * p + 1) + 114L * px(3 * p + 2)
+      lum(p) = l; sum += l
+      if (l < mn) mn = l
+      if (l > mx) mx = l
+      p += 1
+    }
+    var dh = 0L
+    var r = 0
+    while (r < 8) {
+      var c2 = 0
+      while (c2 < 7) {
+        val gy = r * h / 8
+        def gx(cc: Int) = cc * w / 8
+        if (lum(gy * w + gx(c2)) > lum(gy * w + gx(c2 + 1)))
+          dh |= 1L << (7 * r + c2)
+        c2 += 1
+      }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(1L, w.toLong, h.toLong, n.toLong, sum / n, mn, mx, dh))
   }
 
   case class PngSynthExpr(child: Expression)
@@ -279,6 +289,132 @@ object MediaExprs {
       copy(child = newChild)
   }
 
+  // ----------------------------------------------------------------- jpeg
+
+  /** Synthesize a REAL JPEG via the JDK's own `javax.imageio` writer
+    * (the entropy-coded decoder ships in every standard JDK — the old
+    * "no codec libraries" stub rationale does not bind it): a SMOOTH
+    * deterministic gradient over a (8 + seed%7) × (8 + seed%6) canvas —
+    * R = 255x/(w−1), G = 255y/(h−1), B = 255(x+y)/(w+h−2) — encoded at
+    * quality 1.0. Gradients survive lossy DCT coding (a per-pixel noise
+    * formula would not), which is what keeps the spec tier's luma band
+    * and dHash stability meaningful.
+    *
+    * JPEG is LOSSY: unlike pngSynth, decoded pixels are NOT a replayable
+    * closed formula (they depend on the encoder's DCT/quantizer), so the
+    * q297 oracle pins only the EXACT relational invariants (valid, w, h,
+    * n_pixels) and pixel content is pinned in the SPEC tier with a
+    * documented tolerance band — a deliberately weaker-than-hash
+    * contract, stated loudly where q296/q293 pin content md5s.
+    */
+  def jpegSynth(seed: Long): Array[Byte] = {
+    val w = (8 + Math.floorMod(seed, 7L)).toInt
+    val h = (8 + Math.floorMod(seed, 6L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = 255 * x / math.max(w - 1, 1)
+        val g = 255 * y / math.max(h - 1, 1)
+        val b = 255 * (x + y) / math.max(w + h - 2, 1)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL JPEG DECODE through the JDK's ImageIO reader: SOI magic gate,
+    * full entropy decode to pixels, then the SHARED decoded-image fold
+    * (exact BT.601 milli-luma stats + real-pixel dHash — the
+    * bmpFeatures/pngFeatures contract, so JPEG renders join the
+    * cross-container image-dedup family). NULL for anything malformed
+    * (bad magic, truncated/corrupt stream, dimensions over the 2^24
+    * pixel budget). Decodes through a memory-cache stream — no ImageIO
+    * temp-file cache on the executor hot path. */
+  def jpegDecode(payload: Array[Byte]): UnsafeArrayData = {
+    try {
+      if (payload == null || payload.length < 4) return null
+      if ((payload(0) & 0xFF) != 0xFF || (payload(1) & 0xFF) != 0xD8) return null
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // completion; the belt-and-braces close covers only the throw path
+      // and must tolerate the double-close (a bare finally close throws
+      // IOException("closed") on SUCCESS and would null every decode)
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+      val px = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val i = (y * w + x) * 3
+          px(i) = (rgb >> 16) & 0xFF
+          px(i + 1) = (rgb >> 8) & 0xFF
+          px(i + 2) = rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      statsFromRgb(px, w, h)
+    } catch { case _: Exception => null }
+  }
+
+  case class JpegSynthExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any): Any = jpegSynth(a.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.jpegSynth($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class JpegDecodeExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      jpegDecode(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.jpegDecode($a);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def jpegSynthCol(seed: Column): Column =
+    ExpressionUtils.column(JpegSynthExpr(ExpressionUtils.expression(seed)))
+  def jpegDecodeCol(payload: Column): Column =
+    ExpressionUtils.column(JpegDecodeExpr(ExpressionUtils.expression(payload)))
+
   // ----------------------------------------------------------------- gzip
 
   /** Gzip-compress a UTF-8 string (REAL GZIPOutputStream — a valid .gz
@@ -290,11 +426,13 @@ object MediaExprs {
     out.toByteArray
   }
 
-  /** Decompress a gzip member to a UTF-8 string; null on anything
-    * malformed (bad magic, truncated stream, CRC mismatch — the
-    * decode-gate convention: a corrupt blob is a drop reason, never a
-    * crash). Output capped at 64 MiB to bound a decompression bomb. */
-  def gunzipText(payload: Array[Byte]): UTF8String = {
+  /** Decompress a gzip stream (one member, or CONCATENATED members — the
+    * JDK reader walks them transparently, which is what a .warc.gz needs)
+    * to raw bytes; null on anything malformed (bad magic, truncated
+    * stream, CRC mismatch — the decode-gate convention: a corrupt blob
+    * is a drop reason, never a crash). Output capped at 64 MiB to bound
+    * a decompression bomb. */
+  def gunzipRaw(payload: Array[Byte]): Array[Byte] = {
     try {
       if (payload == null) return null
       val in = new java.util.zip.GZIPInputStream(
@@ -310,9 +448,15 @@ object MediaExprs {
           out.write(buf, 0, n)
           n = in.read(buf)
         }
-        UTF8String.fromBytes(out.toByteArray)
+        out.toByteArray
       } finally in.close() // close on ALL paths incl. malformed-stream throw
     } catch { case _: Exception => null }
+  }
+
+  /** [[gunzipRaw]] decoded as UTF-8 text. */
+  def gunzipText(payload: Array[Byte]): UTF8String = {
+    val raw = gunzipRaw(payload)
+    if (raw == null) null else UTF8String.fromBytes(raw)
   }
 
   case class GzipExpr(child: Expression)
@@ -400,6 +544,164 @@ object MediaExprs {
       } finally zin.close() // close on ALL paths incl. malformed-stream throw
     } catch { case _: Exception => null }
   }
+
+  // ----------------------------------------------------------------- warc
+
+  /** Build a VALID two-record `.warc.gz` per row — the Common Crawl
+    * container layout (ISO 28500): each record individually
+    * gzip-compressed, members concatenated. Record 0 is a `response`
+    * whose block is the caller's content (a synthesized HTML page in the
+    * q296 shape); record 1 is a `metadata` record with block
+    * `id=<id>`. Headers carry WARC/1.0, WARC-Type, WARC-Record-ID
+    * (deterministic `<urn:graft:<id>:<n>>`), WARC-Date (fixed),
+    * WARC-Target-URI (`http://crawl.test/<id>`), Content-Length; the
+    * block is followed by the spec's CRLF CRLF record separator. Any
+    * WARC tool reads the output; the oracle replays block CONTENT, never
+    * compressed bytes. */
+  def warcSynth(id: Long, content: UTF8String): Array[Byte] = {
+    def member(typ: String, recNo: Int, block: Array[Byte]): Array[Byte] = {
+      val header =
+        s"WARC/1.0\r\n" +
+          s"WARC-Type: $typ\r\n" +
+          s"WARC-Record-ID: <urn:graft:$id:$recNo>\r\n" +
+          s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          s"WARC-Target-URI: http://crawl.test/$id\r\n" +
+          s"Content-Length: ${block.length}\r\n\r\n"
+      val raw = new java.io.ByteArrayOutputStream()
+      raw.write(header.getBytes("UTF-8"))
+      raw.write(block)
+      raw.write("\r\n\r\n".getBytes("UTF-8"))
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(raw.toByteArray); gz.close()
+      out.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(member("response", 0, content.getBytes))
+    out.write(member("metadata", 1, s"id=$id".getBytes("UTF-8")))
+    out.toByteArray
+  }
+
+  private val warcRecordType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("warc_type", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("target_uri", StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("content", BinaryType, nullable = false)))
+
+  /** Walk a WARC file (plain or `.warc.gz` — concatenated gzip members
+    * decode through the JDK reader) into its records, in file order:
+    * `array<struct<warc_type string, target_uri string, content
+    * binary>>`; null on malformed input (not gzip when compressed, a
+    * record not starting `WARC/`, oversized/missing headers, a missing
+    * or non-numeric Content-Length, a truncated block, or a missing
+    * CRLF CRLF record separator — the decode-gate convention).
+    * `WARC-Target-URI` is optional per spec (warcinfo records lack it)
+    * and reads NULL; header names match case-insensitively. Total
+    * decompressed size capped at 64 MiB; per-record header lines capped
+    * at 64 of ≤ 8192 chars.
+    */
+  def warcRecords(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      if (payload == null || payload.length < 2) return null
+      // gzip magic → decompress; otherwise treat as an uncompressed .warc
+      val bytes =
+        if ((payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+          gunzipRaw(payload)
+        else payload
+      if (bytes == null || bytes.length > (64 << 20)) return null
+      val n = bytes.length
+      var pos = 0
+      def readLine(): String = {
+        // CRLF-terminated header line; null = malformed/oversized
+        var i = pos
+        val limit = math.min(n, pos + 8192)
+        while (i + 1 < limit &&
+          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+        if (i + 1 >= limit) return null
+        val s = new String(bytes, pos, i - pos, "UTF-8")
+        pos = i + 2
+        s
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      while (pos < n) {
+        val magic = readLine()
+        if (magic == null || !magic.startsWith("WARC/")) return null
+        var typ: String = null
+        var uri: String = null
+        var len = -1L
+        var headerLines = 0
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          headerLines += 1
+          if (headerLines > 64) return null
+          val c = line.indexOf(':')
+          if (c <= 0) return null
+          val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(c + 1).trim
+          name match {
+            case "warc-type" => typ = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              len = try value.toLong catch { case _: NumberFormatException => -1L }
+            case _ => ()
+          }
+          line = readLine()
+        }
+        if (line == null) return null // unterminated header block
+        if (typ == null || len < 0 || pos + len > n) return null
+        val block = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+        pos += len.toInt
+        // the spec's record separator: exactly CRLF CRLF after the block
+        if (pos + 4 > n || bytes(pos) != '\r' || bytes(pos + 1) != '\n' ||
+          bytes(pos + 2) != '\r' || bytes(pos + 3) != '\n') return null
+        pos += 4
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(typ),
+          if (uri == null) null else UTF8String.fromString(uri),
+          block)
+      }
+      if (rows.isEmpty) return null
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+    } catch { case _: Exception => null }
+  }
+
+  case class WarcSynthExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      warcSynth(a.asInstanceOf[Long], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.warcSynth($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class WarcRecordsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(warcRecordType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      warcRecords(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.warcRecords($a);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def warcSynthCol(id: Column, content: Column): Column =
+    ExpressionUtils.column(WarcSynthExpr(
+      ExpressionUtils.expression(id), ExpressionUtils.expression(content)))
+  def warcRecordsCol(payload: Column): Column =
+    ExpressionUtils.column(WarcRecordsExpr(ExpressionUtils.expression(payload)))
 
   private val zipEntryType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("name", StringType, nullable = false),

@@ -393,6 +393,76 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Document LM pricing in ONE compiled pass over the token array:
+    * out = [n_pieces, logp] = [Σ np(w), Σ lp(w)] folded against a
+    * vocabulary serve table (word → (piece count, summed piece log-prob)
+    * of its best segmentation under a frozen unigram model — the
+    * [[graft.operators.TextPipeline.unigramVocabServe]] rows, collected).
+    * The table rides codegen as a reference-object java HashMap, so each
+    * token is ONE O(1) probe — a `typedLit` map literal would linear-scan
+    * its entries per lookup (O(tokens × vocab)), and the join formulation
+    * pays a (doc, word) exchange per batch. Long sums are order-free, so
+    * the fold is bit-identical to the vocabulary-join serve
+    * (ExtensionsSpec pins it). A token absent from the table is an
+    * invariant violation (the table must be built from a superset of the
+    * priced documents' vocabulary) and throws loudly rather than
+    * mis-pricing. NULL array → NULL out.
+    */
+  case class UnigramPriceTokens(child: Expression, stats: Map[String, (Long, Long)])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val table: java.util.HashMap[UTF8String, Array[Long]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Long]](stats.size * 2)
+      stats.foreach { case (w, (np, lp)) =>
+        m.put(UTF8String.fromString(w), Array(np, lp))
+      }
+      m
+    }
+    override def nullSafeEval(a: Any): Any =
+      unigramPrice(a.asInstanceOf[ArrayData], table)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("unigramServeTable", table,
+          "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, long[]>")
+        s"""
+           |${ev.value} =
+           |  org.apache.spark.sql.graftvec.TextExprs.unigramPrice($a, $ref);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** [[UnigramPriceTokens]]'s kernel (static so codegen can call it). */
+  def unigramPrice(
+      in: ArrayData,
+      table: java.util.HashMap[UTF8String, Array[Long]]): UnsafeArrayData = {
+    val m = in.numElements()
+    var np = 0L
+    var lp = 0L
+    var i = 0
+    while (i < m) {
+      if (!in.isNullAt(i)) {
+        val w = in.getUTF8String(i)
+        val s = table.get(w)
+        if (s == null) throw new IllegalStateException(
+          s"unigram price: token '$w' missing from the serve table — " +
+            "the table must cover the priced documents' vocabulary")
+        np += s(0)
+        lp += s(1)
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(np, lp))
+  }
+
+  /** Fold a token-array column against a collected vocabulary serve
+    * table: `[n_pieces, logp]`. */
+  def unigramPriceTokensCol(toks: Column, stats: Map[String, (Long, Long)]): Column =
+    ExpressionUtils.column(
+      UnigramPriceTokens(ExpressionUtils.expression(toks), stats))
+
   /** The gopher-gate token counters in ONE compiled pass over the token
     * array: out = [n_words, sum_word_len, n_alpha_words] with
     * sum_word_len in CODEPOINTS (= Spark `length`) and n_alpha_words the

@@ -520,6 +520,161 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.operators.Multimodal.zipEntries(badRows, "doc_id").count() === 0L)
   }
 
+  test("jpegBytes -> jpegFeatures: REAL ImageIO decode — exact dims, luma " +
+      "stats within the documented lossy-tolerance band, dHash pairs with " +
+      "the BMP render of the same gradient, malformed payloads read " +
+      "valid=false") {
+    import spark.implicits._
+    def gradient(id: Long): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+      val w = (8 + id % 7).toInt
+      val h = (8 + id % 6).toInt
+      (w, h, (x, y) => (
+        255 * x / math.max(w - 1, 1),
+        255 * y / math.max(h - 1, 1),
+        255 * (x + y) / math.max(w + h - 2, 1)))
+    }
+    val docs = (0L until 24L).toDF("doc_id")
+    val feats = graft.operators.Multimodal.jpegFeatures(
+        docs.withColumn("payload",
+          graft.operators.Multimodal.jpegBytes(col("doc_id"))),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 24L).foreach { id =>
+      val (w, h, px) = gradient(id)
+      val f = feats(id)
+      // EXACT invariants (the q297 oracle's columns)
+      assert(f.getBoolean(1), s"id $id must decode")
+      assert((f.getLong(2), f.getLong(3), f.getLong(4)) ===
+        ((w.toLong, h.toLong, (w * h).toLong)), s"id $id dims")
+      // lossy-tolerance band (the documented weaker-than-hash contract):
+      // quality-1.0 DCT coding of a smooth gradient keeps mean luma
+      // within a few luma units (1 unit = 1000 milli) of the true pixels
+      val lum = for { y <- 0 until h; x <- 0 until w } yield {
+        val (r, g, b) = px(x, y); 299L * r + 587L * g + 114L * b
+      }
+      val trueMean = lum.sum / (w * h)
+      assert(math.abs(f.getLong(5) - trueMean) <= 8000L,
+        s"id $id decoded mean ${f.getLong(5)} vs true $trueMean")
+      assert(math.abs(f.getLong(6) - lum.min) <= 20000L, s"id $id min")
+      assert(math.abs(f.getLong(7) - lum.max) <= 20000L, s"id $id max")
+    }
+    // cross-container near-dup: the JPEG render pairs with a LOSSLESS BMP
+    // render of the same gradient at small Hamming distance
+    val (w7, h7, px7) = gradient(7L)
+    val hashes = graft.operators.Multimodal.bmpDhash(
+        Seq(100L -> bmp(w7, h7)((x, y) => px7(x, y))).toDF("doc_id", "payload"),
+        "doc_id")
+      .unionByName(graft.operators.Multimodal.jpegDhash(
+        Seq(101L).toDF("doc_id")
+          .withColumn("payload", graft.operators.Multimodal.jpegBytes(lit(7L))),
+        "doc_id"))
+    val pairs = graft.operators.Multimodal
+      .dhashNearDupsFromBits(hashes, maxHamming = 10, bands = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((100L, 101L)),
+      s"JPEG and BMP renders of one image must pair at small hamming: $pairs")
+    assert(pairs((100L, 101L)) <= 10L)
+    // malformed classes -> valid=false, NULL features
+    val payload7 = Seq(7L).toDF("doc_id")
+      .withColumn("payload", graft.operators.Multimodal.jpegBytes(col("doc_id")))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val bad = Seq(
+      1L -> payload7.take(payload7.length / 2), // truncated entropy stream
+      2L -> "not a jpeg".getBytes("UTF-8"),
+      3L -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01)) // SOI then junk
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(4L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    val badF = graft.operators.Multimodal.jpegFeatures(bad, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { d =>
+      assert(!badF(d).isNullAt(1) && !badF(d).getBoolean(1), s"doc $d")
+      (2 to 8).foreach(i => assert(badF(d).isNullAt(i), s"doc $d col $i"))
+    }
+  }
+
+  test("warcBytes -> warcRecords walks the .warc.gz container; hand-built " +
+      "multi-record archives (incl. uncompressed) read back; malformed " +
+      "classes yield zero rows") {
+    import spark.implicits._
+    // round-trip the synthesizer
+    val got = graft.operators.Multimodal.warcRecords(
+        Seq((9L, "crawled body wörds")).toDF("doc_id", "content")
+          .withColumn("payload",
+            graft.operators.Multimodal.warcBytes(col("doc_id"), col("content"))),
+        "doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3),
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8")))
+    assert(got.toSeq === Seq(
+      (0L, "response", "http://crawl.test/9", "crawled body wörds"),
+      (1L, "metadata", "http://crawl.test/9", "id=9")))
+    // interop 1: the synthesized payload is REAL concatenated gzip
+    // members — a plain GZIPInputStream decompresses the whole file and
+    // the plaintext starts with the spec's version line
+    val payload = Seq((9L, "x")).toDF("doc_id", "content")
+      .select(graft.operators.Multimodal.warcBytes(col("doc_id"), col("content")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val plain = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(payload)).readAllBytes(), "UTF-8")
+    assert(plain.startsWith("WARC/1.0\r\n"))
+    assert(plain.contains("\r\nContent-Length: 1\r\n"))
+    assert("WARC/1\\.0".r.findAllIn(plain).length === 2, "both members decode")
+    // interop 2: a hand-built THREE-record archive (one per-record gzip
+    // member, an uncompressed-member mix is not legal .warc.gz so build
+    // all three compressed), with case-funky header names, an extra
+    // header to skip, and a warcinfo record WITHOUT a target URI
+    def rec(typ: String, uri: Option[String], body: String, extra: String = ""): Array[Byte] = {
+      val block = body.getBytes("UTF-8")
+      val hdr = new StringBuilder("WARC/1.0\r\n")
+      hdr.append(s"warc-TYPE: $typ\r\n")
+      uri.foreach(u => hdr.append(s"WARC-Target-URI: $u\r\n"))
+      if (extra.nonEmpty) hdr.append(extra)
+      hdr.append(s"content-length: ${block.length}\r\n\r\n")
+      val raw = hdr.toString.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+    val handBuilt = rec("warcinfo", None, "software: graft-test\r\n") ++
+      rec("response", Some("http://h.test/a"), "alpha body",
+        extra = "WARC-Concurrent-To: <urn:x>\r\n") ++
+      rec("request", Some("http://h.test/a"), "")
+    val hb = graft.operators.Multimodal.warcRecords(
+        Seq((1L, handBuilt)).toDF("doc_id", "payload"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4)))
+    assert(hb.toSeq === Seq(
+      (0L, "warcinfo", None, 22L),
+      (1L, "response", Some("http://h.test/a"), 10L),
+      (2L, "request", Some("http://h.test/a"), 0L)))
+    // an UNCOMPRESSED .warc also reads (gzip magic absent -> plain walk)
+    val rawWarc =
+      ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+        .getBytes("UTF-8")
+    assert(graft.operators.Multimodal.warcRecords(
+      Seq((2L, rawWarc)).toDF("doc_id", "payload"), "doc_id").count() === 1L)
+    // malformed classes -> zero rows: truncated gzip, bad version line,
+    // missing Content-Length, Content-Length past the end, a missing
+    // CRLF CRLF separator, NULL payload
+    def gz(raw: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val bad = Seq(
+      3L -> payload.take(20),
+      4L -> gz("HTTP/1.1 200 OK\r\n\r\n"),
+      5L -> gz("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"),
+      6L -> gz("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: 999\r\n\r\nhi\r\n\r\n"),
+      7L -> gz("WARC/1.0\r\nWARC-Type: r\r\nContent-Length: 2\r\n\r\nhixx"))
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(8L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    assert(graft.operators.Multimodal.warcRecords(bad, "doc_id").count() === 0L)
+  }
+
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
       "and the payloads are well-formed RIFF files") {
     import spark.implicits._

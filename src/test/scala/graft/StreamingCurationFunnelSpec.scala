@@ -132,6 +132,20 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     val epoch1Docs = streamed.keySet.filter(_ >= 400L)
     assert(epoch1Docs.exists(d => streamed(d) != frozen(d)),
       "refresh was a no-op — the parity pin would be vacuous")
+    // the driver-fold counts path is bit-identical to the Spark fold:
+    // batch 0's stored partition equals unigramCounts over exactly the
+    // kept batch-0 documents under the frozen counter
+    val storedCnt0 = spark.read.parquet(s"$tmp/cnt").filter(col("batch_id") === 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept0 = docsTable.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+      .join(spark.read.parquet(s"$tmp/out").filter(col("batch_id") === 0)
+        .filter(col("keep")).select(col("doc").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val sparkCnt0 = TextPipeline.unigramCounts(kept0, "text", lm0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(storedCnt0 === sparkCnt0)
+    assert(sparkCnt0.values.sum > 0, "batch 0 kept nothing — pin vacuous")
+
     // retry idempotence extends to the counts partition: re-running
     // batch 1 reproduces identical decisions AND counts
     val cntBefore = spark.read.parquet(s"$tmp/cnt").filter(col("batch_id") === 1)
@@ -144,6 +158,33 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     val cntAfter = spark.read.parquet(s"$tmp/cnt").filter(col("batch_id") === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cntAfter === cntBefore)
+  }
+
+  test("refreshedLm: the one-scan driver-priced fold is bit-identical to " +
+      "unigramRefreshModel over the same stored partitions") {
+    val tmp = Files.createTempDirectory("graft-scflm-").toString
+    val base = docsTable.filter(col("doc_id") < 250)
+    StreamingCurationFunnel.seedCounts(base, "text", rLm0, s"$tmp/cnt")
+    TextPipeline.unigramCounts(
+        docsTable.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "text", rLm0)
+      .write.parquet(s"$tmp/cnt/batch_id=0")
+    TextPipeline.unigramCounts(
+        docsTable.filter(col("doc_id") >= 400), "text", rLm0)
+      .write.parquet(s"$tmp/cnt/batch_id=1")
+    val fast = StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 2L, rLm0)
+    val all = spark.read.parquet(s"$tmp/cnt")
+    val slow = TextPipeline.unigramRefreshModel(
+      all.filter(col("batch_id") === -1L).select(col("piece"), col("cnt")),
+      all.filter(col("batch_id") >= 0L && col("batch_id") < 2L)
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt")),
+      rLm0)
+    assert(fast.maxPieceLen === slow.maxPieceLen)
+    assert(fast.scores === slow.scores)
+    // and the epoch-1 boundary (only batch 0 folded) differs from epoch-2
+    // — the pin is not vacuous
+    val e1 = StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 1L, rLm0)
+    assert(e1.scores !== fast.scores)
   }
 
   test("segDir-backed refresh (incremental vocabulary): decisions and " +
@@ -385,8 +426,10 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     }
   }
 
-  test("compactIndex: folds completed partitions into one slot, preserves " +
-      "later decisions bit-for-bit, detects and recovers a crashed swap") {
+  test("compactIndex: atomic manifest-pointer commit — later decisions " +
+      "bit-for-bit, injected crashes on BOTH sides of the rename leave " +
+      "either the old or the new state (never duplicates), recovery is " +
+      "a plain rerun") {
     val tmp = Files.createTempDirectory("graft-scf7-").toString
     StreamingCurationFunnel.seedIndex(
       df(1L -> tSeed), "text", "doc_id", 5, s"$tmp/idx")
@@ -409,26 +452,54 @@ class StreamingCurationFunnelSpec extends SparkSpec {
       synthModel, s"$controlDir/idx", s"$controlDir/out")
     val control = decisionsIn(s"$controlDir/out")
 
-    // compact batches [-1, 0] into one slot, then run batch 1
-    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 0L)
-    val parts = spark.read.parquet(s"$tmp/idx")
-      .select(col("batch_id").cast("long")).distinct()
+    // CRASH INJECTION 1 — die between the segment write and the manifest
+    // rename: stage a consolidated segment by hand (exactly what a
+    // crashed compactIndex leaves) and do NOT commit. Readers must serve
+    // the OLD state bit-for-bit; the dot-prefixed dir is invisible.
+    val preCrash = StreamingCurationFunnel
+      .readIndex(spark, s"$tmp/idx", 1L)
       .collect().map(_.getLong(0)).sorted
-    assert(parts === Seq(0L)) // seed + batch 0 folded into the one slot
+    StreamingCurationFunnel.readIndex(spark, s"$tmp/idx", 1L)
+      .dropDuplicates("doc")
+      .write.mode("overwrite").parquet(s"$tmp/idx/.segments/compact-g0")
+    assert(graft.streaming.Manifests.read(s"$tmp/idx").isEmpty)
+    assert(StreamingCurationFunnel.readIndex(spark, s"$tmp/idx", 1L)
+      .collect().map(_.getLong(0)).sorted === preCrash,
+      "an uncommitted segment must be invisible")
+    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L)
+
+    // recovery = rerun: the retry overwrites its own staging generation,
+    // commits the manifest atomically, and GCs the folded partitions
+    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 0L)
+    val m0 = graft.streaming.Manifests.read(s"$tmp/idx")
+    assert(m0.exists(m => m.upTo === 0L && m.generation === 0L))
+    assert(!new java.io.File(s"$tmp/idx/batch_id=-1").exists()
+      && !new java.io.File(s"$tmp/idx/batch_id=0").exists(),
+      "folded partitions must be GC'd after the commit")
     assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L)
     StreamingCurationFunnel.processBatch(
       df(20L -> tDupBoth, 21L -> tFresh), 1L, "text", "doc_id",
       synthModel, s"$tmp/idx", s"$tmp/out")
     assert(decisionsIn(s"$tmp/out") === control)
 
-    // crashed swap: an old partition survives next to the consolidated
-    // slot -> duplicate docs; the probe detects it and a RERUN recovers
+    // CRASH INJECTION 2 — die after the commit, before GC finishes: a
+    // superseded partition lingers on disk. With the manifest pointer it
+    // is INVISIBLE (no duplicates, identical reads); the next compaction
+    // GCs it.
     StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 1L)
-    cp(s"$controlDir/idx/batch_id=0", s"$tmp/idx/batch_id=0")
-    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") > 0L)
-    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 1L)
-    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L)
-    val idxDocs = spark.read.parquet(s"$tmp/idx")
+    val visible = StreamingCurationFunnel
+      .readIndex(spark, s"$tmp/idx", 2L)
+      .collect().map(_.getLong(0)).sorted
+    cp(s"$controlDir/idx/batch_id=0", s"$tmp/idx/batch_id=0") // GC-crash relic
+    assert(StreamingCurationFunnel.duplicateDocs(spark, s"$tmp/idx") === 0L,
+      "a superseded partition below the horizon must be invisible")
+    assert(StreamingCurationFunnel.readIndex(spark, s"$tmp/idx", 2L)
+      .collect().map(_.getLong(0)).sorted === visible)
+    StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 1L) // GC rerun
+    assert(!new java.io.File(s"$tmp/idx/batch_id=0").exists())
+    val m1 = graft.streaming.Manifests.read(s"$tmp/idx")
+    assert(m1.exists(m => m.upTo === 1L && m.generation === 2L))
+    val idxDocs = StreamingCurationFunnel.readIndex(spark, s"$tmp/idx", 99L)
       .select("doc").collect().map(_.getLong(0)).sorted
     assert(idxDocs === Seq(1L, 10L, 11L, 20L, 21L)) // gated set intact
   }
