@@ -146,7 +146,13 @@ object ScaleSmoke {
       "q293_png_decode", "q294_gzip_roundtrip",
       // q295 zip explode: rows exactly 2x docs (two members per
       // archive), one narrow generate per row — 10x rows, map-only
-      "q295_zip_explode")
+      "q295_zip_explode",
+      // q296 WARC: per-row two-member synth + container walk over the
+      // replica-salted page text — rows exactly 2x docs, map-only; the
+      // gzip work scales with total text bytes (the q294 argument).
+      // q297 JPEG: per-row ImageIO encode+decode keyed on doc_id alone —
+      // rows exactly 10x, map-only, zero shuffle growth
+      "q296_warc_crawl", "q297_jpeg_invariants")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -279,7 +285,12 @@ object ScaleSmoke {
       // the time ratio watches 3 concurrent (sampled train + map-only
       // encode + bucket-bounded probe) pipelines plus the shared 40-query
       // brute-force ground truth (the only corpus-linear stage)
-      "q284_sim_recall_decay")
+      "q284_sim_recall_decay",
+      // q298 retrain loop: ledger stays 2 rows (md5 bands re-split the
+      // replicated ids at the same proportions); trainings are
+      // sample-bounded (constant), so the ratio watches the trigger
+      // counts + the full-corpus checksum encodes — 10x map work
+      "q298_ann_retrain_loop")
 
   def scaledLineitem(src: DataFrame, replicas: Int): DataFrame = {
     require(replicas >= 1, "replicas >= 1")
@@ -458,6 +469,24 @@ object ScaleSmoke {
           srcDir -> graft.Pipelines.prepareStreamRefresh(spark, srcDir),
           scaledDir -> graft.Pipelines.prepareStreamRefresh(spark, scaledDir))
         (dir: String) => graft.Pipelines.replayStreamRefresh(spark, dir, tmps(dir))._1
+      },
+      // crawl ladder: the staged WARC dump is deploy-time state (per-dir
+      // prepare outside the timer); records/lines scale 10x, the one
+      // doc-keyed reassembly aggregation is the only shuffle
+      "pipeline_crawl" -> {
+        val tmps = Map(
+          srcDir -> graft.Pipelines.prepareCrawl(spark, srcDir),
+          scaledDir -> graft.Pipelines.prepareCrawl(spark, scaledDir))
+        (dir: String) => graft.Pipelines.replayCrawl(spark, dir, tmps(dir))._1
+      },
+      // ANN retrain loop: seeded state + staged batches are deploy-time;
+      // the replay's retrain trains on a CONSTANT bounded sample, so the
+      // watched growth is the delta/corpus encodes (map-only) + counts
+      "pipeline_ann_refresh" -> {
+        val tmps = Map(
+          srcDir -> graft.Pipelines.prepareAnnRefresh(spark, srcDir),
+          scaledDir -> graft.Pipelines.prepareAnnRefresh(spark, scaledDir))
+        (dir: String) => graft.Pipelines.replayAnnRefresh(spark, dir, tmps(dir))._2
       })
     val pipePairs = pipelines.map { case (name, run) =>
       def timed(dir: String, tag: String): (Double, Long) = {
