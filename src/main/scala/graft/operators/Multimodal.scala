@@ -535,6 +535,34 @@ object Multimodal {
   def zipBytes(id: Column, text: Column): Column =
     org.apache.spark.sql.graftvec.MediaExprs.zipSynthCol(id.cast("long"), text)
 
+  // ------------------------------------------------------------------ tar
+
+  /** Synthesize a valid two-member POSIX ustar archive per row
+    * (`doc.txt` = the text, `meta.txt` = `id=<id>` — the [[zipBytes]]
+    * member shape in the other classic batch container; GNU tar lists
+    * and extracts the output). The JDK has no tar codec; ustar is plain
+    * 512-byte-block arithmetic built from the format spec. */
+  def tarBytes(id: Column, text: Column): Column =
+    org.apache.spark.sql.graftvec.MediaExprs.tarSynthCol(id.cast("long"), text)
+
+  /** EXPLODE a tar archive — plain ustar or `.tar.gz` (gzip magic →
+    * the shared capped multi-member reader) — into one row per REGULAR
+    * member, in archive order: `(doc, entry_no, entry_name, n_bytes,
+    * data)` (the [[zipEntries]] schema, so downstream ingest is
+    * container-agnostic). Header checksums are verified; directories /
+    * links / pax blocks are skipped with their data blocks honored; a
+    * malformed archive yields ZERO rows. */
+  def tarMembers(
+      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+    df
+      .select(col(idCol).as("doc"),
+        posexplode(org.apache.spark.sql.graftvec.MediaExprs
+          .tarEntriesCol(col(payloadCol))).as(Seq("entry_no", "e")))
+      .select(col("doc"), col("entry_no").cast("bigint").as("entry_no"),
+        col("e.name").as("entry_name"),
+        octet_length(col("e.data")).cast("bigint").as("n_bytes"),
+        col("e.data").as("data"))
+
   // ----------------------------------------------------------------- warc
 
   /** Synthesize a valid two-record `.warc.gz` per row (real ISO-28500

@@ -1461,6 +1461,44 @@ object ExtensionQueries {
         "and content md5; NULL-on-malformed decode gate + 64 MiB zip-bomb cap; oracle " +
         "replays member content, so the hash match round-trips compress + explode"),
 
+    "q299_tar_explode" -> Q(
+      (s, dir) => {
+        // the OTHER classic batch container next to ZIP (q295) and WARC
+        // (q296): tarBytes writes a real two-member POSIX ustar archive
+        // per doc (512-byte headers, octal fields, verified checksums —
+        // GNU tar reads it; the JDK has no tar codec, so both sides are
+        // built from the format spec), tarMembers walks it back in
+        // archive order. Oracle replays member CONTENT (name, byte
+        // length, md5) — the q295 contract on the tar container.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        Multimodal.tarMembers(
+            docs.withColumn("payload",
+              Multimodal.tarBytes(col("doc_id"), col("text"))),
+            "doc_id")
+          .select(col("doc"), col("entry_no"), col("entry_name"),
+            col("n_bytes"), md5(col("data")).as("content_md5"))
+          .orderBy(col("doc"), col("entry_no"))
+      },
+      Some("""SELECT doc_id AS doc, CAST(0 AS BIGINT) AS entry_no,
+             |  'doc.txt' AS entry_name,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id AS doc, CAST(1 AS BIGINT) AS entry_no,
+             |  'meta.txt' AS entry_name,
+             |  CAST(octet_length(encode('id=' || CAST(doc_id AS VARCHAR)))
+             |    AS BIGINT) AS n_bytes,
+             |  md5('id=' || CAST(doc_id AS VARCHAR)) AS content_md5
+             |FROM documents
+             |ORDER BY doc, entry_no""".stripMargin),
+      "tar archive explode (POSIX ustar built and walked from the format spec — the " +
+        "JDK ships no tar codec; GNU tar interop spec-pinned, .tar.gz decodes through " +
+        "the shared capped gunzip): one row per regular member in archive order with " +
+        "verified header checksums, skipped non-file entries, NULL-on-malformed gate; " +
+        "oracle replays member content, so the hash match round-trips the container"),
+
     "q297_jpeg_invariants" -> Q(
       (s, dir) => {
         // REAL JPEG decode via the JDK's own ImageIO (the entropy coder

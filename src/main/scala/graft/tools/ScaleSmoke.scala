@@ -151,8 +151,10 @@ object ScaleSmoke {
       // replica-salted page text — rows exactly 2x docs, map-only; the
       // gzip work scales with total text bytes (the q294 argument).
       // q297 JPEG: per-row ImageIO encode+decode keyed on doc_id alone —
-      // rows exactly 10x, map-only, zero shuffle growth
-      "q296_warc_crawl", "q297_jpeg_invariants")
+      // rows exactly 10x, map-only, zero shuffle growth. q299 tar:
+      // per-row ustar build + walk — the q295 argument on the tar
+      // container (rows exactly 2x docs)
+      "q296_warc_crawl", "q297_jpeg_invariants", "q299_tar_explode")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -703,6 +703,159 @@ object MediaExprs {
   def warcRecordsCol(payload: Column): Column =
     ExpressionUtils.column(WarcRecordsExpr(ExpressionUtils.expression(payload)))
 
+  // ------------------------------------------------------------------ tar
+
+  /** Build a VALID two-member POSIX ustar archive per row (`doc.txt` =
+    * the text's UTF-8 bytes, `meta.txt` = `id=<id>` — the zipSynth
+    * member shape in the other classic batch container): 512-byte
+    * headers with octal size/mtime fields, the space-seeded header
+    * checksum, `ustar␀00` magic, 512-padded data blocks, and the
+    * spec's two terminating zero blocks — any `tar tf` lists it. The
+    * JDK has no tar codec; ustar is plain byte arithmetic, built here
+    * from the format spec. */
+  def tarSynth(id: Long, text: UTF8String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(name: String, data: Array[Byte]): Unit = {
+      val hdr = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, hdr, off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644\u0000") // mode
+      put(108, "0000000\u0000") // uid
+      put(116, "0000000\u0000") // gid
+      put(124, f"${data.length}%011o" + "\u0000") // size, octal
+      put(136, "00000000000\u0000") // mtime (fixed — determinism)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum seed
+      hdr(156) = '0' // typeflag: regular file
+      put(257, "ustar\u000000") // magic + version
+      var sum = 0
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xFF; i += 1 }
+      put(148, f"$sum%06o" + "\u0000 ")
+      out.write(hdr)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    member("doc.txt", text.getBytes)
+    member("meta.txt", s"id=$id".getBytes("UTF-8"))
+    out.write(new Array[Byte](1024)) // two terminating zero blocks
+    out.toByteArray
+  }
+
+  /** Explode a tar archive — plain ustar OR `.tar.gz` (gzip magic →
+    * decompress through the shared 64 MiB-capped reader) — into its
+    * members, in archive order: `array<struct<name string, data
+    * binary>>`; null on malformed input (short/truncated header or
+    * data, a header CHECKSUM mismatch, a non-octal size — the
+    * decode-gate convention). Non-regular-file entries (directories,
+    * links, pax/gnu extension blocks) are SKIPPED but their data blocks
+    * are honored for advancement, so real-world archives walk
+    * correctly. Ends at the first zero block. */
+  def tarEntries(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    try {
+      // the 512-byte minimum applies to the DECOMPRESSED stream — a
+      // small .tar.gz is far under 512 compressed bytes
+      if (payload == null || payload.length < 2) return null
+      val bytes =
+        if ((payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+          gunzipRaw(payload)
+        else payload
+      if (bytes == null || bytes.length < 512) return null
+      val n = bytes.length
+      var pos = 0
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var done = false
+      while (!done && pos + 512 <= n) {
+        // zero block = end of archive
+        var allZero = true
+        var i = 0
+        while (allZero && i < 512) { allZero = bytes(pos + i) == 0; i += 1 }
+        if (allZero) done = true
+        else {
+          def str(off: Int, len: Int): String = {
+            var e = off
+            val lim = off + len
+            while (e < lim && bytes(pos + e) != 0) e += 1
+            new String(bytes, pos + off, e - off, "US-ASCII")
+          }
+          def octal(off: Int, len: Int): Long = {
+            val s = str(off, len).trim
+            if (s.isEmpty || !s.forall(c => c >= '0' && c <= '7')) -1L
+            else java.lang.Long.parseLong(s, 8)
+          }
+          // verify the header checksum (chksum field reads as spaces)
+          var sum = 0
+          i = 0
+          while (i < 512) {
+            sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xFF)
+            i += 1
+          }
+          if (octal(148, 8) != sum) return null
+          // POSIX magic "ustar" (GNU's "ustar  " shares the prefix)
+          if (str(257, 5) != "ustar") return null
+          val name = str(0, 100)
+          val size = octal(124, 12)
+          if (name.isEmpty || size < 0 || size > (64L << 20)) return null
+          val dataStart = pos + 512
+          if (dataStart + size > n) return null // truncated data
+          val typeflag = bytes(pos + 156)
+          if (typeflag == '0' || typeflag == 0) {
+            rows += org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(name),
+              java.util.Arrays.copyOfRange(
+                bytes, dataStart, dataStart + size.toInt))
+          }
+          pos = dataStart + size.toInt +
+            ((512 - size.toInt % 512) % 512)
+        }
+      }
+      if (rows.isEmpty) return null
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+    } catch { case _: Exception => null }
+  }
+
+  case class TarSynthExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      tarSynth(a.asInstanceOf[Long], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.tarSynth($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class TarEntriesExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(zipEntryType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any): Any =
+      tarEntries(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.tarEntries($a);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def tarSynthCol(id: Column, text: Column): Column =
+    ExpressionUtils.column(TarSynthExpr(
+      ExpressionUtils.expression(id), ExpressionUtils.expression(text)))
+  def tarEntriesCol(payload: Column): Column =
+    ExpressionUtils.column(TarEntriesExpr(ExpressionUtils.expression(payload)))
+
   private val zipEntryType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("name", StringType, nullable = false),
     org.apache.spark.sql.types.StructField("data", BinaryType, nullable = false)))

@@ -675,6 +675,60 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.operators.Multimodal.warcRecords(bad, "doc_id").count() === 0L)
   }
 
+  test("tarBytes -> tarMembers walks POSIX ustar archives; GNU tar interop " +
+      "BOTH directions; .tar.gz decodes; malformed archives yield zero rows") {
+    import spark.implicits._
+    import scala.sys.process._
+    // round-trip the synthesizer
+    val got = graft.operators.Multimodal.tarMembers(
+        Seq((5L, "hello tar wörld")).toDF("doc_id", "text")
+          .withColumn("payload",
+            graft.operators.Multimodal.tarBytes(col("doc_id"), col("text"))),
+        "doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        new String(r.getAs[Array[Byte]]("data"), "UTF-8")))
+    assert(got.toSeq === Seq((0L, "doc.txt", "hello tar wörld"),
+      (1L, "meta.txt", "id=5")))
+    // interop 1: GNU tar lists AND extracts our archive byte-exactly
+    val payload = Seq((5L, "hello tar wörld")).toDF("doc_id", "text")
+      .select(graft.operators.Multimodal.tarBytes(col("doc_id"), col("text")))
+      .collect()(0).getAs[Array[Byte]](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar-")
+    val tf = dir.resolve("a.tar")
+    java.nio.file.Files.write(tf, payload)
+    val listed = Seq("tar", "-tf", tf.toString).!!.trim.split("\n").toSeq
+    assert(listed === Seq("doc.txt", "meta.txt"), s"GNU tar listing: $listed")
+    assert(Seq("tar", "-xf", tf.toString, "-C", dir.toString).! === 0)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("doc.txt")), "UTF-8") === "hello tar wörld")
+    // interop 2: OUR walker reads a GNU-tar-built .tar.gz (different
+    // header dialect: GNU magic, directory entries to skip)
+    java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("sub/x.txt"), "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("empty.bin"), Array.emptyByteArray)
+    assert(Seq("tar", "-czf", dir.resolve("g.tar.gz").toString,
+      "-C", dir.toString, "sub", "empty.bin").! === 0)
+    val gnu = graft.operators.Multimodal.tarMembers(
+        Seq((1L, java.nio.file.Files.readAllBytes(dir.resolve("g.tar.gz"))))
+          .toDF("doc_id", "payload"), "doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(gnu.toSeq === Seq(("sub/x.txt", 5L), ("empty.bin", 0L)),
+      s"GNU .tar.gz walk: ${gnu.toSeq} (directory entry must be skipped)")
+    // malformed classes -> zero rows: corrupted header checksum, bad
+    // magic, truncated data block, not-a-tar, NULL payload
+    val badCk = payload.clone(); badCk(148) = '7'
+    val badMagic = payload.clone(); badMagic(257) = 'X'
+    val bad = Seq(
+      2L -> badCk,
+      3L -> badMagic,
+      4L -> payload.take(520), // header promises more data than present
+      5L -> ("x" * 600).getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(6L).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    assert(graft.operators.Multimodal.tarMembers(bad, "doc_id").count() === 0L)
+  }
+
   test("wavBytes -> wavFeatures round-trips against a driver-side replica " +
       "and the payloads are well-formed RIFF files") {
     import spark.implicits._
