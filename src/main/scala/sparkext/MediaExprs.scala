@@ -81,16 +81,18 @@ object MediaExprs {
       }
       y += 1
     }
-    // zlib-compress the filtered stream (real Deflater)
+    // zlib-compress the filtered stream (real Deflater; end() in a
+    // finally so native zlib state never waits on finalization)
     val defl = new java.util.zip.Deflater()
-    defl.setInput(raw); defl.finish()
     val zBuf = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](4096)
-    while (!defl.finished()) {
-      val n = defl.deflate(tmp)
-      zBuf.write(tmp, 0, n)
-    }
-    defl.end()
+    try {
+      defl.setInput(raw); defl.finish()
+      val tmp = new Array[Byte](4096)
+      while (!defl.finished()) {
+        val n = defl.deflate(tmp)
+        zBuf.write(tmp, 0, n)
+      }
+    } finally defl.end()
     val idat = zBuf.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, PngSig.length)
@@ -422,7 +424,7 @@ object MediaExprs {
   def gzipBytes(s: UTF8String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(out)
-    gz.write(s.getBytes); gz.close()
+    try gz.write(s.getBytes) finally gz.close() // releases the Deflater
     out.toByteArray
   }
 
@@ -499,13 +501,14 @@ object MediaExprs {
   def zipSynth(id: Long, text: UTF8String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(out)
-    z.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
-    z.write(text.getBytes)
-    z.closeEntry()
-    z.putNextEntry(new java.util.zip.ZipEntry("meta.txt"))
-    z.write(s"id=$id".getBytes("UTF-8"))
-    z.closeEntry()
-    z.close()
+    try {
+      z.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
+      z.write(text.getBytes)
+      z.closeEntry()
+      z.putNextEntry(new java.util.zip.ZipEntry("meta.txt"))
+      z.write(s"id=$id".getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close() // releases the Deflater on every path
     out.toByteArray
   }
 
@@ -573,7 +576,7 @@ object MediaExprs {
       raw.write("\r\n\r\n".getBytes("UTF-8"))
       val out = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(raw.toByteArray); gz.close()
+      try gz.write(raw.toByteArray) finally gz.close() // releases the Deflater
       out.toByteArray
     }
     val out = new java.io.ByteArrayOutputStream()
