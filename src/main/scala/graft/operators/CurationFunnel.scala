@@ -172,8 +172,17 @@ object CurationFunnel {
     // per-token DP is corpus-sized (measured 3× the whole entry on the
     // bench corpus). A corpus whose per-batch vocabulary exceeds the
     // broadcast budget should serve via unigramServeByVocab instead.
+    // Over-MaxWordChars tokens are masked OUT of the serve input: the
+    // gated vocabulary is wider than the LM-stage vocabulary (it still
+    // holds docs dedup/bloom will drop), and the DP's raise_error guard
+    // would otherwise fail the WHOLE batch for an oversized token in a
+    // document that never reaches pricing. Semantics are unchanged for
+    // documents that DO reach the LM gate: an oversized token there is
+    // missing from the serve table, and unigramPrice raises — the staged
+    // funnel's failure contract, now scoped to LM-reached docs only.
     val vocabServe: Map[String, (Long, Long)] = TextPipeline.unigramVocabServe(
-        gated.select(explode(T.tokens(col(textCol))).as("w")), model.lm)
+        gated.select(explode(T.tokens(col(textCol))).as("w"))
+          .filter(length(col("w")) <= TextPipeline.MaxWordChars), model.lm)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
 
     // stage 2 — the ONLY join-bearing stage. The delta index is a pure

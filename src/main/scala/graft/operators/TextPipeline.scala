@@ -1074,7 +1074,7 @@ object TextPipeline {
     * it the packed arithmetic would eventually clip, so the operators
     * raise the operator-named error instead of mis-scoring — a single
     * unbroken 64 KB "word" is not text any tokenizer should score. */
-  private val MaxWordChars = 65536
+  private[operators] val MaxWordChars = 65536
 
   private def guardedWordLen(w: Column): Column =
     when(length(w) <= MaxWordChars, w)

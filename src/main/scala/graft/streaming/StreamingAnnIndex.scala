@@ -100,19 +100,75 @@ object StreamingAnnIndex {
         spark.read.parquet(s"$modelDir/boundary=$boundary/centroids"),
         spark.read.parquet(s"$modelDir/boundary=$boundary/codebooks")))
 
+  /** The stored boundary ids under a model/coded root, through Hadoop's
+    * FileSystem ([[Manifests.fsFor]]) — the epoch discipline addresses
+    * file:/HDFS/cloud schemes alike (the round-17 java.io.File walk was
+    * local-only). */
+  private def storedBoundaries(dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = Manifests.fsFor(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("boundary=") =>
+        st.getPath.getName.stripPrefix("boundary=").toLong
+    }
+  }
+
   /** The boundary in force at batch `batchId`: the largest stored
     * boundary ≤ batchId (a retrain written by batch N stores N+1, so it
     * governs only LATER batches — which is what makes a retried batch N
     * deterministic). */
   def boundaryAt(modelDir: String, batchId: Long): Long = {
-    val dirs = Option(new java.io.File(modelDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("boundary="))
-      .map(_.getName.stripPrefix("boundary=").toLong)
+    val dirs = storedBoundaries(modelDir)
     require(dirs.nonEmpty, s"no model boundaries under $modelDir — seed() first")
     val eligible = dirs.filter(_ <= batchId)
     require(eligible.nonEmpty, s"no boundary <= $batchId under $modelDir")
     eligible.max
+  }
+
+  /** RETIRE superseded model/coded epochs — the storage-leak fix for the
+    * retrain loop (each retrain re-encodes the WHOLE corpus under the new
+    * boundary, so R retrains otherwise store R× the corpus in coded
+    * form; the raw `vecDir` is the corpus of record and is never
+    * touched). The maintenance companion to
+    * [[StreamingCurationFunnel.compactIndex]], under the same visibility
+    * discipline: call it only for COMPLETED batches (`upToBatch` strictly
+    * below the stream's next batch id — e.g. while the query is stopped,
+    * or against the last committed checkpoint batch).
+    *
+    * Retires every `boundary=B` partition of `modelDir` and `codedDir`
+    * with B < the boundary in force at batch `upToBatch + 1` — which is
+    * INVISIBLE from that point on: every future batch N > upToBatch
+    * resolves [[boundaryAt]](N) = max stored ≤ N ≥ the serving boundary
+    * (deleting smaller ids never changes a max), and batches ≤ upToBatch
+    * are checkpoint-committed (foreachBatch runs batch ids sequentially),
+    * so no retry can ever need them.
+    *
+    * Crash contract (the [[Manifests]] GC discipline): deleting starts
+    * only once the serving boundary is resolved from finalized storage;
+    * a crash mid-retire leaves some superseded dirs behind — garbage,
+    * never wrong answers (readers take the max eligible boundary) — and
+    * a rerun is idempotent. Returns the retired boundary ids.
+    */
+  def retireEpochs(
+      modelDir: String, codedDir: String, upToBatch: Long): Seq[Long] = {
+    val serving = boundaryAt(modelDir, upToBatch + 1)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Seq(modelDir, codedDir).foreach { dir =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = Manifests.fsFor(root)
+      storedBoundaries(dir).filter(_ < serving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"boundary=$b"), true)
+        retired += b
+      }
+    }
+    // a retired epoch's memoized model is unreachable (no batch resolves
+    // a deleted boundary), but drop it anyway so a long-lived driver
+    // doesn't pin dead model tables
+    modelMemo.keysIterator
+      .filter { case (d, b) => d == modelDir && b < serving }
+      .foreach(modelMemo.remove)
+    retired.distinct.sorted.toSeq
   }
 
   /** One micro-batch of the loop: store raw, encode under the epoch in

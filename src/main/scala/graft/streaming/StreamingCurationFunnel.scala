@@ -167,9 +167,12 @@ object StreamingCurationFunnel {
       .write.mode("overwrite").parquet(s"$indexDir/$segRel")
     Manifests.commit(indexDir, Manifests.Manifest(gen, segRel, upToBatch))
     // GC — everything below is invisible from the commit on
-    prev.foreach(m => deleteRecursively(new java.io.File(indexDir, m.dir)))
+    val fs = Manifests.fsFor(new org.apache.hadoop.fs.Path(indexDir))
+    prev.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, m.dir), true); ()
+    }
     batchPartitions(indexDir).filter(_._1 <= upToBatch)
-      .foreach(p => deleteRecursively(p._2))
+      .foreach { p => fs.delete(p._2, true); () }
   }
 
   /** Index health probe — DEMOTED to a regression assertion by the
@@ -184,17 +187,18 @@ object StreamingCurationFunnel {
     readIndex(spark, indexDir, Long.MaxValue)
       .groupBy(col("doc")).count().filter(col("count") > 1).count()
 
-  private def batchPartitions(indexDir: String): Seq[(Long, java.io.File)] = {
-    val kids = Option(new java.io.File(indexDir).listFiles()).getOrElse(Array.empty)
-    kids.toSeq.collect {
-      case f if f.isDirectory && f.getName.startsWith("batch_id=") =>
-        (f.getName.stripPrefix("batch_id=").toLong, f)
+  // store-dir walking routes through Hadoop's FileSystem (the Manifests
+  // resolution point), so the index store works on file:/HDFS/cloud
+  // schemes alike — the round-17 java.io.File walk was local-only
+  private def batchPartitions(
+      indexDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = Manifests.fsFor(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch_id=") =>
+        (st.getPath.getName.stripPrefix("batch_id=").toLong, st.getPath)
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   /** Wire the funnel over a streaming documents frame. `indexDir` should

@@ -340,30 +340,56 @@ object MediaExprs {
     bos.toByteArray
   }
 
+  /** JPEG pixel budget under the SHARED 64 MiB decode discipline
+    * (gzip/zip/tar/WARC/PNG all bound their decompressed output at
+    * 64 MiB): this decoder's per-row buffers cost ~24 bytes/pixel
+    * (BufferedImage raster ≈ 3–4 B + the 3-int px array 12 B + the
+    * Long luma array 8 B in statsFromRgb), so the cap is
+    * 64 MiB / 24 B ≈ 2.79M pixels — a 1920×1080 frame still fits with
+    * ~25% headroom, and concurrent decodes can no longer out-allocate
+    * every other decoder family by 5× (the old 2^24 budget admitted
+    * ~340 MB of buffers per row). */
+  private val MaxJpegPixels: Long = (64L << 20) / 24
+
   /** REAL JPEG DECODE through the JDK's ImageIO reader: SOI magic gate,
-    * full entropy decode to pixels, then the SHARED decoded-image fold
+    * HEADER-ONLY dimension gate (an `ImageReader.getWidth/getHeight(0)`
+    * parses the SOF marker without entropy-decoding or allocating a
+    * pixel buffer — a crafted stream declaring huge dimensions is
+    * rejected BEFORE ImageIO can allocate a multi-GB BufferedImage,
+    * whose OutOfMemoryError is an Error no Exception gate catches),
+    * then the full entropy decode and the SHARED decoded-image fold
     * (exact BT.601 milli-luma stats + real-pixel dHash — the
     * bmpFeatures/pngFeatures contract, so JPEG renders join the
     * cross-container image-dedup family). NULL for anything malformed
-    * (bad magic, truncated/corrupt stream, dimensions over the 2^24
-    * pixel budget). Decodes through a memory-cache stream — no ImageIO
-    * temp-file cache on the executor hot path. */
+    * (bad magic, truncated/corrupt stream, dimensions over
+    * [[MaxJpegPixels]]). Decodes through a memory-cache stream — no
+    * ImageIO temp-file cache on the executor hot path. */
   def jpegDecode(payload: Array[Byte]): UnsafeArrayData = {
     try {
       if (payload == null || payload.length < 4) return null
       if ((payload(0) & 0xFF) != 0xFF || (payload(1) & 0xFF) != 0xD8) return null
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // ImageIO.read(ImageInputStream) closes the stream itself on
-      // completion; the belt-and-braces close covers only the throw path
-      // and must tolerate the double-close (a bare finally close throws
-      // IOException("closed") on SUCCESS and would null every decode)
       val img =
-        try javax.imageio.ImageIO.read(iis)
-        finally { try iis.close() catch { case _: java.io.IOException => () } }
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only dims: the bomb gate runs before any pixel decode
+            val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+            if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxJpegPixels) return null
+            reader.read(0)
+          } finally reader.dispose()
+        } finally {
+          // reader.read does NOT close the stream (unlike ImageIO.read);
+          // tolerate a double-close anyway — defensive only
+          try iis.close() catch { case _: java.io.IOException => () }
+        }
       if (img == null) return null
       val w = img.getWidth; val h = img.getHeight
-      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxJpegPixels) return null
       val px = new Array[Int](w * h * 3)
       var y = 0
       while (y < h) {

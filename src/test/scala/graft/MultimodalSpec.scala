@@ -593,6 +593,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpegDecode decompression bomb (ADVICE r17): header-declared huge " +
+      "dimensions are rejected from the SOF marker BEFORE any pixel " +
+      "decode or allocation, and the budget matches the shared 64 MiB " +
+      "discipline") {
+    import org.apache.spark.sql.graftvec.MediaExprs
+    // take a real small JPEG and patch the SOF dimensions in place: the
+    // entropy stream stays tiny, but the header now declares a frame that
+    // would allocate multi-GB if decoded (the exact crafted-payload class
+    // the round-16 PNG advisory closed for zlib)
+    def patched(newW: Int, newH: Int): Array[Byte] = {
+      val b = MediaExprs.jpegSynth(7L).clone()
+      var i = 2
+      var sof = -1
+      while (sof < 0 && i + 4 < b.length) {
+        assert((b(i) & 0xFF) == 0xFF, s"marker walk derailed at $i")
+        val m = b(i + 1) & 0xFF
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) sof = i
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+        else i += 2 + (((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF))
+      }
+      assert(sof > 0, "SOF marker not found in the synthesized JPEG")
+      // SOF segment: FF Cx len(2) precision(1) height(2) width(2)
+      b(sof + 5) = ((newH >> 8) & 0xFF).toByte
+      b(sof + 6) = (newH & 0xFF).toByte
+      b(sof + 7) = ((newW >> 8) & 0xFF).toByte
+      b(sof + 8) = (newW & 0xFF).toByte
+      b
+    }
+    // 60000x60000 = 3.6 Gpx: must read null fast — the header-only
+    // ImageReader.getWidth/getHeight gate runs before ImageIO can
+    // allocate the BufferedImage (whose OutOfMemoryError is an Error no
+    // Exception gate catches); bounded-time via a Future
+    val giant = scala.concurrent.Await.result(
+      scala.concurrent.Future(MediaExprs.jpegDecode(patched(60000, 60000)))(
+        scala.concurrent.ExecutionContext.global),
+      scala.concurrent.duration.Duration(30, "s"))
+    assert(giant == null, "bomb header must read as malformed")
+    // 3000x3000 = 9 Mpx: fine under the old 2^24 budget, but over the
+    // 64 MiB-aligned cap (~2.79 Mpx at 24 B/px of decode buffers) —
+    // rejected from the header too
+    assert(MediaExprs.jpegDecode(patched(3000, 3000)) == null,
+      "over-budget dims must read as malformed under the aligned cap")
+    // control: the unpatched payload still decodes
+    assert(MediaExprs.jpegDecode(MediaExprs.jpegSynth(7L)) != null)
+  }
+
   test("warcBytes -> warcRecords walks the .warc.gz container; hand-built " +
       "multi-record archives (incl. uncompressed) read back; malformed " +
       "classes yield zero rows") {

@@ -139,6 +139,51 @@ class StreamingAnnIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("retireEpochs GCs superseded model/coded epochs through the " +
+      "manifest-GC discipline: the serving surface answers identically, " +
+      "a crash mid-retire leaves unread garbage, the rerun is idempotent") {
+    val tmp = Files.createTempDirectory("graft-sann6-").toString
+    runStream(tmp) // batch 0 fires a retrain -> boundary 1 supersedes 0
+    val (servedModel, servedIndex) =
+      StreamingAnnIndex.current(spark, s"$tmp/model", s"$tmp/coded", 1L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def topK(m: Similarity.IvfPqModel, idx: DataFrame) =
+      Similarity.ivfPqProbeIndex(m, idx, queries, "embedding", "vec_id",
+          k = 5, nProbe = 3, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val before = topK(servedModel, servedIndex)
+    // CRASH INJECTION — die mid-retire: only the coded side of epoch 0
+    // got deleted. The leftover model dir is garbage, never read: every
+    // future batch resolves max stored boundary <= N, and batches <= 1
+    // are checkpoint-committed.
+    def fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/coded/boundary=0"), true)
+    val (mAfterCrash, idxAfterCrash) =
+      StreamingAnnIndex.current(spark, s"$tmp/model", s"$tmp/coded", 1L)
+    assert(topK(mAfterCrash, idxAfterCrash) === before,
+      "a half-retired epoch must be invisible to the serving surface")
+    // rerun = recovery: idempotent, retires the remaining model dir
+    val retired = StreamingAnnIndex.retireEpochs(
+      s"$tmp/model", s"$tmp/coded", upToBatch = 1L)
+    assert(retired === Seq(0L))
+    assert(!new java.io.File(s"$tmp/model/boundary=0").exists())
+    assert(!new java.io.File(s"$tmp/coded/boundary=0").exists())
+    assert(new java.io.File(s"$tmp/model/boundary=1").exists()
+      && new java.io.File(s"$tmp/coded/boundary=1").exists(),
+      "the serving epoch must survive")
+    val (mAfter, idxAfter) =
+      StreamingAnnIndex.current(spark, s"$tmp/model", s"$tmp/coded", 1L)
+    assert(topK(mAfter, idxAfter) === before,
+      "retiring superseded epochs must not move a single answer")
+    // rerun on a fully-retired store: nothing left below serving
+    assert(StreamingAnnIndex.retireEpochs(
+      s"$tmp/model", s"$tmp/coded", upToBatch = 1L) === Seq.empty)
+    // and the raw corpus of record is untouched (vecDir is never GC'd)
+    assert(spark.read.parquet(s"$tmp/vec").count() === emb.count())
+    Dedup.releaseCaches()
+  }
+
   test("runWithRetrain wiring: the foreachBatch stream replays the same " +
       "ledger state from real checkpointed batches") {
     val tmp = Files.createTempDirectory("graft-sann4-").toString

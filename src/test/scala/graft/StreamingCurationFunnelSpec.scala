@@ -504,6 +504,37 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     assert(idxDocs === Seq(1L, 10L, 11L, 20L, 21L)) // gated set intact
   }
 
+  test("Manifests versioned log (Hadoop FS port): a legacy unversioned " +
+      "_graft_manifest still reads; a commit lands as a fresh-generation " +
+      "file, wins by max generation, and GCs superseded pointers") {
+    import graft.streaming.Manifests
+    val tmp = Files.createTempDirectory("graft-scf8-").toString
+    // pre-port store: the round-17 layout wrote ONE unversioned file
+    val legacy = new java.io.File(tmp, "_graft_manifest")
+    val w = new java.io.FileWriter(legacy)
+    try w.write("generation=3\ndir=.segments/compact-g3\nupTo=7\n")
+    finally w.close()
+    assert(Manifests.read(tmp) ===
+      Some(Manifests.Manifest(3L, ".segments/compact-g3", 7L)))
+    // a staged tmp file is invisible to readers
+    val staged = new java.io.File(tmp, "_graft_manifest.g9.tmp")
+    val w2 = new java.io.FileWriter(staged)
+    try w2.write("generation=9\ndir=x\nupTo=9\n") finally w2.close()
+    assert(Manifests.read(tmp).map(_.generation) === Some(3L))
+    // commit the next generation: read resolves the max, the legacy
+    // pointer (superseded, invisible) is GC'd
+    val (gen, seg) = Manifests.nextSegment(Manifests.read(tmp))
+    assert((gen, seg) === ((4L, ".segments/compact-g4")))
+    Manifests.commit(tmp, Manifests.Manifest(gen, seg, 8L))
+    assert(Manifests.read(tmp) === Some(Manifests.Manifest(4L, seg, 8L)))
+    assert(new java.io.File(tmp, "_graft_manifest.g4").isFile)
+    assert(!legacy.exists(), "superseded pointers are GC'd post-commit")
+    // same-commit retry (rename already succeeded, caller lost the ack):
+    // idempotent — the pointer file is replaced with identical content
+    Manifests.commit(tmp, Manifests.Manifest(gen, seg, 8L))
+    assert(Manifests.read(tmp) === Some(Manifests.Manifest(4L, seg, 8L)))
+  }
+
   test("funnel stages: bloom contamination and lm gate surface in verdicts") {
     val tmp = Files.createTempDirectory("graft-scf4-").toString
     // bloom trained ON tX's own shingles => doc 30 (a copy of tX's text
@@ -525,5 +556,46 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     // NULL text is a gopher drop — not a null-flag fall-through to "kept"
     assert(got(33L)(0) === false && got(33L)(6) === "gopher")
     assert(got(33L)(5) === false) // keep
+  }
+
+  test("oversized tokens (ADVICE r17): a >MaxWordChars token in a doc the " +
+      "bloom stage DROPS no longer fails the whole batch (the serve table " +
+      "masks it); a doc that REACHES pricing with one still raises — the " +
+      "staged failure contract, scoped to LM-evaluated docs") {
+    // the giant token must ride through the gopher gate, which bounds
+    // MEAN word length to [3, 10]: dilute it with 30k short words
+    val giant = "z" * 70000 // > TextPipeline's 65536-char DP bound
+    def padded(tag: String): String =
+      ((0 until 30000).map(i => f"$tag$i%05d") :+ giant).mkString(" ")
+    val contaminatedText = padded("w")
+    val m = synthModel.copy(
+      bloom = TextPipeline.bloomModel(
+        df(900L -> contaminatedText), "text", "doc_id",
+        // 30k shingles need a wide table — 2^16 bits saturates and
+        // false-positives every doc
+        shingleK = 5, mBits = 1 << 22, kHashes = 4))
+    // doc 40 is gopher-passed but bloom-DROPPED (its shingles are the
+    // benchmark's): before the fix, its giant token entered the serve
+    // DP's vocabulary and raise_error failed the ENTIRE batch
+    val (dec, _) = CurationFunnel.decide(
+      df(40L -> contaminatedText, 41L -> tFresh), "text", "doc_id",
+      Dedup.buildShingleIndex(df(1L -> tSeed), "text", "doc_id", 5), m)
+    val got = dec.collect().map(key).toMap
+    Dedup.releaseCaches()
+    assert(got(40L)(6) === "contaminated")
+    assert(got(41L)(6) === "kept")
+    // doc 50 passes every gate, so pricing DOES evaluate its tokens: the
+    // masked giant token is missing from the serve table and the price
+    // fold raises — same failure the staged funnel had, now scoped
+    val (dec2, _) = CurationFunnel.decide(
+      df(50L -> padded("v")), "text", "doc_id",
+      Dedup.buildShingleIndex(df(1L -> tSeed), "text", "doc_id", 5), m)
+    val ex = intercept[Exception] { dec2.collect() }
+    Dedup.releaseCaches()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("missing from the serve table")),
+      s"expected the serve-table miss raise, got: ${messages(ex)}")
   }
 }
