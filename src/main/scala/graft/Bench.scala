@@ -280,6 +280,17 @@ object Bench {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(crawlTmp)).deleteRecursively(); ()
     } catch { case _: Throwable => () }
+    // the STREAMING crawl front door (q300's streaming twin): the same
+    // ladder per micro-batch + idempotent kept-docs partition overwrites
+    val crawlStrTmp = graft.Pipelines.prepareCrawlStream(spark, sfDir)
+    val crawlStrSecs = timedEntry("pipeline_crawl_stream") {
+      val nKept = graft.Pipelines.replayCrawlStream(spark, sfDir, crawlStrTmp)
+      System.err.println(s"[bench] pipeline_crawl_stream kept_docs=$nKept")
+    }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(crawlStrTmp)).deleteRecursively(); ()
+    } catch { case _: Throwable => () }
     val eventsSecs = timedEntry("pipeline_events") {
       {
         // the event-analytics family the way a feature pipeline runs it:
@@ -403,6 +414,7 @@ object Bench {
       "pipeline_dedup_shared" -> sharedSecs, "pipeline_full" -> fullSecs,
       "pipeline_stream_funnel" -> sfunnelSecs,
       "pipeline_stream_refresh" -> srefreshSecs, "pipeline_crawl" -> crawlSecs,
+      "pipeline_crawl_stream" -> crawlStrSecs,
       "pipeline_ann_refresh" -> annSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
       "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,

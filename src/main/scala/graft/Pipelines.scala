@@ -358,6 +358,41 @@ object Pipelines {
     tmp
   }
 
+  /** Untimed setup for the STREAMING crawl door: the staged `.warc.gz`
+    * dump split into two arrival files — two micro-batches for
+    * [[replayCrawlStream]] (the dump staging cost is the same argument
+    * as [[prepareCrawl]]'s). */
+  def prepareCrawlStream(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dump = docs.select(col("doc_id"),
+      operators.Multimodal.warcBytes(col("doc_id"),
+        operators.WebCuration.htmlWrap(col("doc_id"), col("text"))).as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawlstr-").toString
+    dump.filter(col("doc_id") % 2 === 0).coalesce(2).write.parquet(s"$tmp/in")
+    Thread.sleep(20) // distinct mtimes: file source replays oldest-first
+    dump.filter(col("doc_id") % 2 =!= 0).coalesce(2)
+      .write.mode("append").parquet(s"$tmp/in")
+    tmp
+  }
+
+  /** The timed STREAMING crawl front door (benched as
+    * pipeline_crawl_stream): two micro-batches through
+    * [[graft.streaming.StreamingCrawl.run]] — per batch the full q300
+    * ladder (record walk → extraction → reassembly → gopher) plus one
+    * idempotent kept-docs partition overwrite, checkpoint machinery
+    * included. Returns the stored kept-doc count. */
+  def replayCrawlStream(spark: SparkSession, sfDir: String, tmp: String): Long = {
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingCrawl.run(
+      stream, "doc_id", "payload", s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamingCrawl.readKept(spark, s"$tmp/out", Long.MaxValue)
+      .count()
+  }
+
   /** The timed crawl → text ladder (benched as pipeline_crawl): the
     * stored WARC dump → record walk (multi-member gunzip + header parse)
     * → response blocks → HTML main-content extraction → kept-line

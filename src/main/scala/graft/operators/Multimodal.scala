@@ -582,18 +582,185 @@ object Multimodal {
     * file yields ZERO rows (NULL from the decoder — the decode-gate
     * convention), and decompression is capped at 64 MiB per file.
     * Compose with [[graft.operators.WebCuration.extractMainContent]]
-    * over the response records for the crawl → text ladder. */
+    * over the response records for the crawl → text ladder.
+    *
+    * `capBytes` bounds the DECOMPRESSED archive (default 64 MiB — the
+    * shared decode budget). This walker holds one whole archive per row,
+    * the right shape for per-document payloads; real Common Crawl
+    * members (~1 GB .warc.gz each) should go through
+    * [[warcRecordsFromFiles]], which streams records one at a time. */
   def warcRecords(
-      df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame =
+      df: DataFrame, idCol: String, payloadCol: String = "payload",
+      capBytes: Long = 64L << 20): DataFrame =
     df
       .select(col(idCol).as("doc"),
         posexplode(org.apache.spark.sql.graftvec.MediaExprs
-          .warcRecordsCol(col(payloadCol))).as(Seq("record_no", "r")))
+          .warcRecordsCol(col(payloadCol), capBytes)).as(Seq("record_no", "r")))
       .select(col("doc"), col("record_no").cast("bigint").as("record_no"),
         col("r.warc_type").as("warc_type"),
         col("r.target_uri").as("target_uri"),
         octet_length(col("r.content")).cast("bigint").as("n_bytes"),
         col("r.content").as("content"))
+
+  /** One decoded WARC record from the streaming reader. */
+  final case class WarcRec(
+      warcType: String, targetUri: Option[String], content: Array[Byte])
+
+  /** PER-RECORD streaming WARC reader — the real-Common-Crawl shape
+    * (~1 GB .warc.gz members): decodes the gzip members incrementally
+    * (the JDK reader walks concatenated members transparently) and
+    * yields one record at a time under a PER-RECORD budget, so peak
+    * memory is one record + the 64 KB stream buffers, never the
+    * archive. The caller owns `raw` (close it when the iterator is
+    * exhausted or abandoned).
+    *
+    * Malformed input THROWS (IllegalArgumentException) instead of the
+    * expression walker's all-or-nothing NULL: a streaming reader has
+    * already emitted earlier records when it hits a bad byte, so
+    * null-gating the whole file is impossible without buffering it —
+    * which is exactly what this variant exists to avoid. Use it for
+    * validated corpus-of-record dumps; adversarial payloads belong on
+    * the expression path. */
+  def warcRecordIterator(
+      raw: java.io.InputStream,
+      perRecordCap: Long = 64L << 20): Iterator[WarcRec] = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WARC: $msg")
+    val pb = new java.io.PushbackInputStream(raw, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: java.io.InputStream =
+      if (b0 == 0x1F && b1 == 0x8B)
+        new java.util.zip.GZIPInputStream(pb, 64 << 10)
+      else pb
+    val buf = new java.io.BufferedInputStream(in, 64 << 10)
+    // CRLF-terminated header line (≤ 8192 bytes), or null at clean EOF
+    // when atBoundary — decoded UTF-8 like the expression walker
+    def readLine(atBoundary: Boolean): String = {
+      val acc = new java.io.ByteArrayOutputStream(128)
+      var c = buf.read()
+      if (c < 0) {
+        if (atBoundary) return null else bad("truncated header")
+      }
+      var prev = -1
+      while (c >= 0 && !(prev == '\r' && c == '\n')) {
+        if (acc.size > 8192) bad("oversized header line")
+        acc.write(c); prev = c; c = buf.read()
+      }
+      if (c < 0) bad("unterminated header line")
+      val bytes = acc.toByteArray
+      new String(bytes, 0, bytes.length - 1, "UTF-8") // drop the '\r'
+    }
+    new scala.collection.AbstractIterator[WarcRec] {
+      private var nextRec: WarcRec = _
+      private var finished = false
+      private def advance(): Unit = {
+        val magic = readLine(atBoundary = true)
+        if (magic == null) { finished = true; return }
+        if (!magic.startsWith("WARC/")) bad(s"record magic '$magic'")
+        var typ: String = null
+        var uri: String = null
+        var len = -1L
+        var headerLines = 0
+        var line = readLine(atBoundary = false)
+        while (line != null && line.nonEmpty) {
+          headerLines += 1
+          if (headerLines > 64) bad("too many header lines")
+          val cpos = line.indexOf(':')
+          if (cpos <= 0) bad(s"header line '$line'")
+          val name =
+            line.substring(0, cpos).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(cpos + 1).trim
+          name match {
+            case "warc-type" => typ = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              len = try value.toLong
+                catch { case _: NumberFormatException => -1L }
+            case _ => ()
+          }
+          line = readLine(atBoundary = false)
+        }
+        if (typ == null || len < 0) bad("missing WARC-Type/Content-Length")
+        if (len > perRecordCap) bad(s"record block $len over per-record cap")
+        val block = buf.readNBytes(len.toInt)
+        if (block.length != len) bad("truncated block")
+        val sep = buf.readNBytes(4)
+        if (!java.util.Arrays.equals(sep,
+          Array[Byte]('\r', '\n', '\r', '\n'))) bad("missing CRLFCRLF")
+        nextRec = WarcRec(typ, Option(uri), block)
+      }
+      override def hasNext: Boolean = {
+        if (!finished && nextRec == null) advance()
+        !finished && nextRec != null
+      }
+      override def next(): WarcRec = {
+        if (!hasNext) throw new NoSuchElementException("WARC iterator")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** [[warcRecordIterator]] as a Dataset transform over (doc, path) rows
+    * — the distributed scale path for real crawl dumps: each task opens
+    * its files through Hadoop's FileSystem and streams records straight
+    * off storage (HDFS/S3/file alike), so a 1 GB member costs one
+    * record of memory at a time instead of one array row. Output schema
+    * matches [[warcRecords]]. mapPartitions, deliberately: incremental
+    * container decode over an open stream is genuinely imperative
+    * per-partition work no Catalyst expression can express without
+    * materializing the blob (this is the documented last-resort case).
+    */
+  def warcRecordsFromFiles(
+      files: DataFrame, idCol: String, pathCol: String,
+      perRecordCap: Long = 64L << 20): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    // ship only the serializable (k, v) pairs — Configuration itself is
+    // Writable, not Serializable
+    val confKv = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    val out = files
+      .select(col(idCol).cast("long"), col(pathCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.flatMap { case (doc, path) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = p.getFileSystem(conf).open(p)
+          var recNo = -1L
+          val recs = Multimodal.warcRecordIterator(in, perRecordCap)
+          // close on exhaustion (the task consumes each file's iterator
+          // fully before the next flatMap element)
+          new scala.collection.AbstractIterator[
+              (Long, Long, String, Option[String], Long, Array[Byte])] {
+            override def hasNext: Boolean = {
+              val h = try recs.hasNext
+                catch { case e: Throwable => in.close(); throw e }
+              if (!h) in.close()
+              h
+            }
+            override def next() = {
+              val r = recs.next()
+              recNo += 1
+              (doc, recNo, r.warcType, r.targetUri,
+                r.content.length.toLong, r.content)
+            }
+          }
+        }
+      }
+    out.toDF("doc", "record_no", "warc_type", "target_uri", "n_bytes", "content")
+  }
 
   /** EXPLODE a ZIP archive into one row per member, in archive order:
     * `(doc, entry_no, entry_name, n_bytes, data)` — the container

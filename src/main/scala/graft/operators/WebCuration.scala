@@ -149,6 +149,43 @@ object WebCuration {
         col("keep"))
   }
 
+  /** The CRAWL FRONT DOOR's batch composition — the q296 ladder as one
+    * operator, the literal body [[graft.streaming.StreamingCrawl]] runs
+    * per micro-batch (shared so stream and batch cannot drift, the
+    * CurationFunnel.decide discipline): WARC payloads → record walk
+    * ([[Multimodal.warcRecords]], multi-member gunzip + header parse) →
+    * response blocks → HTML main-content extraction
+    * ([[extractMainContent]]) → kept-line reassembly in line order →
+    * Gopher word gate over the reassembled text. One row per document
+    * that produced at least one kept line:
+    * `(doc, clean, n_kept_lines, gopher_pass)`.
+    *
+    * Scale shape: everything is map-only except the ONE doc-keyed
+    * reassembly aggregation (partial-aggregated, key = the archive id —
+    * no skew: a document's kept lines are bounded by its page size).
+    * The crawl door is STATELESS across documents — no stored index, no
+    * epoch — so any partition of the input processes independently:
+    * exactly why the streaming twin needs no cross-batch state. */
+  def crawlDocs(
+      dumps: DataFrame, idCol: String, payloadCol: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      capBytes: Long = 64L << 20): DataFrame = {
+    val recs = Multimodal.warcRecords(dumps, idCol, payloadCol, capBytes)
+    val lines = extractMainContent(
+      recs.filter(col("warc_type") === "response")
+        .select(col("doc"), col("content").cast("string").as("page")),
+      "page", "doc")
+    lines.filter(col("keep"))
+      .groupBy(col("doc"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("text")))),
+          x => x.getField("text")), " ").as("clean"),
+        count(lit(1)).as("n_kept_lines"))
+      .withColumn("gopher_pass",
+        Curation.gopherWordGate(col("clean"), minWords, maxWords))
+  }
+
   /** Synthesize a REAL HTML page per row from a text column — the
     * [[graft.operators.Multimodal.wavBytes]] discipline applied to
     * markup, so [[extractMainContent]] is oracle-round-trippable: a

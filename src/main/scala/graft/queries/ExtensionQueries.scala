@@ -1589,6 +1589,91 @@ object ExtensionQueries {
         "malformed gate + 64 MiB cap; oracle replays record content incl. the full " +
         "synthesized HTML response block, so the hash match round-trips the container"),
 
+    "q300_crawl_door" -> Q(
+      (s, dir) => {
+        // the CRAWL FRONT DOOR's batch composition (WebCuration.crawlDocs
+        // — the literal per-micro-batch body of StreamingCrawl, shared so
+        // stream and batch cannot drift): the q296 WARC container walk →
+        // response blocks → q292 HTML main-content extraction → kept-line
+        // reassembly in line order → Gopher word gate over the
+        // reassembled text. One row per doc with at least one kept line;
+        // the oracle replays generator + container + extractor + gate.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.operators.WebCuration.crawlDocs(
+            docs.withColumn("payload",
+              Multimodal.warcBytes(col("doc_id"),
+                graft.operators.WebCuration.htmlWrap(col("doc_id"), col("text")))),
+            "doc_id", "payload")
+          .select(col("doc"), col("n_kept_lines"),
+            col("gopher_pass"),
+            length(col("clean")).cast("bigint").as("clean_len"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc"))
+      },
+      Some("""WITH pg AS (SELECT doc_id AS doc,
+             |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style>body { color: #222; }</style><script>var page = ' ||
+             |    CAST(doc_id AS VARCHAR) ||
+             |    '; if (page > 0) { track(page); }</script></head><body>' ||
+             |    '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+             |    '<a href="/tag">Tag ' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '</a></nav><h1>Title ' || CAST(doc_id AS VARCHAR) ||
+             |    '</h1><div>' || substring(text, 1, len(text) // 2) ||
+             |    '</div><p>' || substring(text, len(text) // 2 + 1) ||
+             |    '</p><ul><li><a href="/r1">Related one</a></li>' ||
+             |    '<li><a href="/r2">Related two</a></li></ul>' ||
+             |    '<footer>&copy; Site &amp; friends <a href="/tos">Terms &amp; ' ||
+             |    'conditions</a></footer></body></html>' AS page
+             |  FROM documents),
+             |ln AS (SELECT doc, string_split(regexp_replace(regexp_replace(page,
+             |    '(?is)<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>',
+             |    ' ', 'g'),
+             |    '(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|nav|blockquote)\b[^>]*/?>',
+             |    chr(10), 'g'), chr(10)) AS ls FROM pg),
+             |lx0 AS (SELECT doc, ls,
+             |    unnest(generate_series(1, CAST(len(ls) AS BIGINT))) AS i FROM ln),
+             |lx AS (SELECT doc, i - 1 AS line_no, ls[i] AS raw FROM lx0),
+             |tx AS (SELECT doc, line_no, raw,
+             |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(raw, '<[^>]*>', '', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS text,
+             |    coalesce(list_sum(list_transform(
+             |      regexp_extract_all(raw, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+             |      a -> len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(a, '<[^>]*>', '', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |        '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))))), 0) AS link_len
+             |  FROM lx),
+             |kept AS (SELECT doc, line_no, text FROM tx
+             |  WHERE len(text) >= 25 AND link_len * 10000 <= len(text) * 3300),
+             |agg AS (SELECT doc,
+             |    string_agg(text, ' ' ORDER BY line_no) AS clean,
+             |    CAST(count(*) AS BIGINT) AS n_kept_lines
+             |  FROM kept GROUP BY doc),
+             |g AS (SELECT doc, n_kept_lines, clean,
+             |    list_filter(regexp_split_to_array(trim(lower(clean)), '\s+'),
+             |      t -> len(t) > 0) AS w
+             |  FROM agg)
+             |SELECT doc, n_kept_lines,
+             |  coalesce((CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
+             |    AND (CASE WHEN len(w) = 0 THEN 0
+             |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
+             |         END BETWEEN 300 AND 1000)
+             |    AND (CASE WHEN len(w) = 0 THEN 0
+             |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
+             |         END >= 8000), false) AS gopher_pass,
+             |  CAST(len(clean) AS BIGINT) AS clean_len,
+             |  md5(clean) AS clean_md5
+             |FROM g ORDER BY doc""".stripMargin),
+      "the composed crawl front door (StreamingCrawl's per-micro-batch body): WARC " +
+        "record walk -> response blocks -> HTML main-content extraction -> kept-line " +
+        "reassembly in line order -> Gopher word gate over the reassembled text; " +
+        "stateless across documents (any batch split is trivially associative), " +
+        "map-only except the one doc-keyed reassembly aggregation; oracle replays " +
+        "generator + container + extractor + gate, hash-matching the cleaned text"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

@@ -460,7 +460,12 @@ object MediaExprs {
     * stream, CRC mismatch — the decode-gate convention: a corrupt blob
     * is a drop reason, never a crash). Output capped at 64 MiB to bound
     * a decompression bomb. */
-  def gunzipRaw(payload: Array[Byte]): Array[Byte] = {
+  def gunzipRaw(payload: Array[Byte]): Array[Byte] =
+    gunzipRaw(payload, 64L << 20)
+
+  /** [[gunzipRaw]] under an explicit decompressed-size budget (the WARC
+    * walker threads its archive cap through here). */
+  def gunzipRaw(payload: Array[Byte], capBytes: Long): Array[Byte] = {
     try {
       if (payload == null) return null
       val in = new java.util.zip.GZIPInputStream(
@@ -472,7 +477,7 @@ object MediaExprs {
         var n = in.read(buf)
         while (n >= 0) {
           total += n
-          if (total > (64L << 20)) return null
+          if (total > capBytes) return null
           out.write(buf, 0, n)
           n = in.read(buf)
         }
@@ -625,18 +630,31 @@ object MediaExprs {
     * CRLF CRLF record separator — the decode-gate convention).
     * `WARC-Target-URI` is optional per spec (warcinfo records lack it)
     * and reads NULL; header names match case-insensitively. Total
-    * decompressed size capped at 64 MiB; per-record header lines capped
-    * at 64 of ≤ 8192 chars.
+    * decompressed size capped at `capBytes` (default 64 MiB — the
+    * shared decode budget); per-record header lines capped at 64 of
+    * ≤ 8192 chars.
+    *
+    * 100 TB note: this walker materializes ONE archive as one array row,
+    * which is the right shape for per-document .warc.gz payloads but NOT
+    * for real Common Crawl members (~1 GB each) — those want the
+    * per-record STREAMING reader
+    * ([[graft.operators.Multimodal.warcRecordIterator]]), which decodes
+    * incrementally under a per-RECORD cap and never holds the archive.
     */
-  def warcRecords(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def warcRecords(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    warcRecords(payload, 64L << 20)
+
+  def warcRecords(
+      payload: Array[Byte],
+      capBytes: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     try {
       if (payload == null || payload.length < 2) return null
       // gzip magic → decompress; otherwise treat as an uncompressed .warc
       val bytes =
         if ((payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
-          gunzipRaw(payload)
+          gunzipRaw(payload, capBytes)
         else payload
-      if (bytes == null || bytes.length > (64 << 20)) return null
+      if (bytes == null || bytes.length > capBytes) return null
       val n = bytes.length
       var pos = 0
       def readLine(): String = {
@@ -708,17 +726,17 @@ object MediaExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  case class WarcRecordsExpr(child: Expression)
+  case class WarcRecordsExpr(child: Expression, capBytes: Long = 64L << 20)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
     override def dataType: DataType = ArrayType(warcRecordType, containsNull = false)
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any): Any =
-      warcRecords(a.asInstanceOf[Array[Byte]])
+      warcRecords(a.asInstanceOf[Array[Byte]], capBytes)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
         s"""
-           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.warcRecords($a);
+           |${ev.value} = org.apache.spark.sql.graftvec.MediaExprs.warcRecords($a, ${capBytes}L);
            |${ev.isNull} = (${ev.value} == null);
          """.stripMargin
       })
@@ -731,6 +749,9 @@ object MediaExprs {
       ExpressionUtils.expression(id), ExpressionUtils.expression(content)))
   def warcRecordsCol(payload: Column): Column =
     ExpressionUtils.column(WarcRecordsExpr(ExpressionUtils.expression(payload)))
+  def warcRecordsCol(payload: Column, capBytes: Long): Column =
+    ExpressionUtils.column(
+      WarcRecordsExpr(ExpressionUtils.expression(payload), capBytes))
 
   // ------------------------------------------------------------------ tar
 
