@@ -251,6 +251,74 @@ object StreamingCurationFunnel {
         countingLm)
       .write.mode("overwrite").parquet(s"$segDir/batch_id=-1")
 
+  /** The stored counts rows with `batch_id < belowBatch`, manifest-aware
+    * ([[Manifests]] — the readIndex convention applied to the counts
+    * store): a compacted store resolves rows at or below the horizon
+    * from its committed SUMMED segment (exact, because counts are
+    * additive per piece), later batches from the live `batch_id=N`
+    * partitions. `belowBatch` must be above the horizon — compaction
+    * folds only epochs no resumed stream can re-price
+    * ([[compactCounts]]). */
+  def readCounts(
+      spark: SparkSession, countsDir: String, belowBatch: Long): DataFrame = {
+    Manifests.read(countsDir) match {
+      case Some(m) =>
+        require(belowBatch > m.upTo,
+          s"readCounts(< $belowBatch) is below the compaction horizon " +
+            s"${m.upTo} — compact only epochs no reader re-prices")
+        val seg = spark.read.parquet(s"$countsDir/${m.dir}")
+          .select(col("piece"), col("cnt"))
+        // a fully-folded store has no live partitions left — the root
+        // scan would fail schema inference, so list before reading
+        val later = batchPartitions(countsDir).map(_._1)
+          .filter(b => b > m.upTo && b < belowBatch)
+        if (later.isEmpty) seg
+        else seg.unionByName(spark.read.parquet(countsDir)
+          .filter(col("batch_id") > m.upTo && col("batch_id") < belowBatch)
+          .select(col("piece"), col("cnt")))
+      case None =>
+        spark.read.parquet(countsDir)
+          .filter(col("batch_id") < belowBatch) // seed (-1) included
+          .select(col("piece"), col("cnt"))
+    }
+  }
+
+  /** COMPACT the stored counts table: fold every partition with
+    * `batch_id <= upToBatch` into ONE summed segment (exact — the
+    * refresh algebra is additive long sums per piece, so fold-then-fold
+    * ≡ fold) and commit it through the [[Manifests]] atomic pointer,
+    * then GC the folded partitions — the maintenance job that keeps the
+    * refresh fold from scanning one small partition per micro-batch
+    * forever. The crash contract is [[compactIndex]]'s verbatim
+    * (uncommitted segments invisible, the commit is one atomic pointer
+    * swap, GC touches only post-commit-invisible dirs).
+    *
+    * Call it only for epochs no resumed stream will re-price: the
+    * refresh reads counts `< epoch·refreshEvery` for the CURRENT epoch
+    * onward, so `upToBatch` must sit strictly below the next batch's
+    * epoch boundary (e.g. while the query is stopped,
+    * `upToBatch < (nextBatch / refreshEvery) · refreshEvery`).
+    * [[refreshedLm]] resolves through the manifest and is bit-identical
+    * before/after (spec-pinned). */
+  def compactCounts(
+      spark: SparkSession, countsDir: String, upToBatch: Long): Unit = {
+    val prev = Manifests.read(countsDir)
+    require(prev.forall(_.upTo <= upToBatch),
+      s"compactCounts($upToBatch) below the committed horizon ${prev.map(_.upTo)}")
+    val (gen, segRel) = Manifests.nextSegment(prev)
+    readCounts(spark, countsDir, upToBatch + 1)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$countsDir/$segRel")
+    Manifests.commit(countsDir, Manifests.Manifest(gen, segRel, upToBatch))
+    // GC — everything below is invisible from the commit on
+    val fs = Manifests.fsFor(new org.apache.hadoop.fs.Path(countsDir))
+    prev.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(countsDir, m.dir), true); ()
+    }
+    batchPartitions(countsDir).filter(_._1 <= upToBatch)
+      .foreach { p => fs.delete(p._2, true); () }
+  }
+
   /** The LM epoch in force at batch `boundary·refreshEvery`: fold the
     * seed counts with every kept-batch delta below `upToBatch` and
     * re-price — bit-identical to [[TextPipeline.unigramRefreshModel]]
@@ -261,12 +329,12 @@ object StreamingCurationFunnel {
     * M-step arithmetic (`floor(1e6·ln((c+1)/(T+V)) + 0.5)`) runs
     * driver-side over the collected vocabulary with the exact operators
     * Spark's `log`/`floor` evaluate (`java.lang.Math.log`, floor+0.5
-    * round-half-up). */
+    * round-half-up). Reads through [[readCounts]], so a compacted store
+    * ([[compactCounts]]) re-prices bit-identically. */
   def refreshedLm(
       spark: SparkSession, countsDir: String, upToBatch: Long,
       countingLm: TextPipeline.UnigramModel): TextPipeline.UnigramModel = {
-    val folded = spark.read.parquet(countsDir)
-      .filter(col("batch_id") < upToBatch) // seed partition (-1) included
+    val folded = readCounts(spark, countsDir, upToBatch)
       .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val t = folded.iterator.map(_._2).sum

@@ -62,15 +62,29 @@ object MemFloor {
     }
     graft.operators.Dedup.releaseAllCaches()
     val t4 = System.nanoTime()
+    // round-18: the streaming crawl door under the same heap bound — the
+    // per-archive record walk + extraction must stream through the one
+    // reassembly aggregation, never hold a batch's pages at once
+    val crawlTmp = graft.Pipelines.prepareCrawlStream(spark, sfDir)
+    val nCrawlKept = try
+      graft.Pipelines.replayCrawlStream(spark, sfDir, crawlTmp)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(crawlTmp)).deleteRecursively(); ()
+    }
+    graft.operators.Dedup.releaseAllCaches()
+    val t5 = System.nanoTime()
     val line =
       s"""{"heap_mb":$heapMb,"cpus":$cpus,"sf":"$sfDir","jac":$nJac,""" +
         s""""mh":$nMh,"keep":$nKeep,"sharded":$sharded,""" +
         s""""decided":$nDec,"funnel_kept":$nKept,""" +
         s""""refresh_decided":$nRDec,"refresh_kept":$nRKept,""" +
+        s""""crawl_kept":$nCrawlKept,""" +
         s""""dedup_shared_sec":${(t1 - t0) / 1e9},""" +
         s""""full_sec":${(t2 - t1) / 1e9},""" +
         s""""stream_funnel_sec":${(t3 - t2) / 1e9},""" +
-        s""""stream_refresh_sec":${(t4 - t3) / 1e9}}"""
+        s""""stream_refresh_sec":${(t4 - t3) / 1e9},""" +
+        s""""crawl_stream_sec":${(t5 - t4) / 1e9}}"""
     spark.stop()
     println(s"MEMFLOOR_JSON $line")
     System.err.println(s"MEMFLOOR_JSON $line")

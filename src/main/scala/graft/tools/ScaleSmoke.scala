@@ -154,7 +154,12 @@ object ScaleSmoke {
       // rows exactly 10x, map-only, zero shuffle growth. q299 tar:
       // per-row ustar build + walk — the q295 argument on the tar
       // container (rows exactly 2x docs)
-      "q296_warc_crawl", "q297_jpeg_invariants", "q299_tar_explode")
+      "q296_warc_crawl", "q297_jpeg_invariants", "q299_tar_explode",
+      // q300 crawl door: q296's walk + q292's extraction fused with the
+      // one doc-keyed reassembly aggregation (the only shuffle) — rows
+      // scale with docs that keep >= 1 line (~10x), everything else
+      // map-only over 10x the page bytes
+      "q300_crawl_door")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly
@@ -480,6 +485,16 @@ object ScaleSmoke {
           srcDir -> graft.Pipelines.prepareCrawl(spark, srcDir),
           scaledDir -> graft.Pipelines.prepareCrawl(spark, scaledDir))
         (dir: String) => graft.Pipelines.replayCrawl(spark, dir, tmps(dir))._1
+      },
+      // streaming crawl door: staged two-file dump is deploy-time state;
+      // per batch the q300 ladder + one kept-docs partition overwrite —
+      // the watched growth is the same map-only walk/extract + the one
+      // reassembly aggregation, plus constant checkpoint machinery
+      "pipeline_crawl_stream" -> {
+        val tmps = Map(
+          srcDir -> graft.Pipelines.prepareCrawlStream(spark, srcDir),
+          scaledDir -> graft.Pipelines.prepareCrawlStream(spark, scaledDir))
+        (dir: String) => graft.Pipelines.replayCrawlStream(spark, dir, tmps(dir))
       },
       // ANN retrain loop: seeded state + staged batches are deploy-time;
       // the replay's retrain trains on a CONSTANT bounded sample, so the

@@ -187,6 +187,53 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     assert(e1.scores !== fast.scores)
   }
 
+  test("compactCounts: the summed segment re-prices bit-identically " +
+      "through the manifest, an uncommitted segment is invisible, folded " +
+      "partitions are GC'd, below-horizon reads are refused") {
+    val tmp = Files.createTempDirectory("graft-scfcc-").toString
+    val base = docsTable.filter(col("doc_id") < 250)
+    StreamingCurationFunnel.seedCounts(base, "text", rLm0, s"$tmp/cnt")
+    TextPipeline.unigramCounts(
+        docsTable.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "text", rLm0)
+      .write.parquet(s"$tmp/cnt/batch_id=0")
+    TextPipeline.unigramCounts(
+        docsTable.filter(col("doc_id") >= 400), "text", rLm0)
+      .write.parquet(s"$tmp/cnt/batch_id=1")
+    val e2Before =
+      StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 2L, rLm0)
+    val e1Before =
+      StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 1L, rLm0)
+    // CRASH INJECTION — stage a summed segment by hand, do NOT commit:
+    // readers must re-price off the live partitions exactly
+    StreamingCurationFunnel.readCounts(spark, s"$tmp/cnt", 1L)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$tmp/cnt/.segments/compact-g0")
+    assert(graft.streaming.Manifests.read(s"$tmp/cnt").isEmpty)
+    assert(StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 2L, rLm0)
+      .scores === e2Before.scores)
+    // recovery = rerun: fold seed + batch 0, keep batch 1 live
+    StreamingCurationFunnel.compactCounts(spark, s"$tmp/cnt", 0L)
+    assert(!new java.io.File(s"$tmp/cnt/batch_id=-1").exists()
+      && !new java.io.File(s"$tmp/cnt/batch_id=0").exists(),
+      "folded partitions must be GC'd after the commit")
+    assert(new java.io.File(s"$tmp/cnt/batch_id=1").exists())
+    assert(StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 2L, rLm0)
+      .scores === e2Before.scores,
+      "epoch 2 must re-price bit-identically off segment + live delta")
+    assert(StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 1L, rLm0)
+      .scores === e1Before.scores,
+      "epoch 1 (exactly the horizon) must re-price off the segment alone")
+    // fold everything; epoch 2 still re-prices, epoch 1 is now BELOW the
+    // horizon and must refuse rather than silently over-fold
+    StreamingCurationFunnel.compactCounts(spark, s"$tmp/cnt", 1L)
+    assert(StreamingCurationFunnel.refreshedLm(spark, s"$tmp/cnt", 2L, rLm0)
+      .scores === e2Before.scores)
+    intercept[IllegalArgumentException] {
+      StreamingCurationFunnel.readCounts(spark, s"$tmp/cnt", 1L).count()
+    }
+  }
+
   test("segDir-backed refresh (incremental vocabulary): decisions and " +
       "counts bit-identical to the direct path; per-batch DP covers only " +
       "words the store has never seen") {
