@@ -1674,6 +1674,173 @@ object ExtensionQueries {
         "map-only except the one doc-keyed reassembly aggregation; oracle replays " +
         "generator + container + extractor + gate, hash-matching the cleaned text"),
 
+    "q301_crawl_corpus" -> Q(
+      (s, dir) => {
+        // CRAWL → CORPUS end-to-end: the q300 crawl door feeds the q285
+        // curation funnel — WARC dump walk → HTML extraction → kept-line
+        // reassembly, then the CLEANED text of every crawled doc (≥ 1
+        // kept line) runs the full front door against the STORED
+        // accepted base: gopher → near-dup vs the doc_id < 250
+        // fingerprint index → frozen-bloom decontamination → frozen-LM
+        // pricing. The delta arrives as crawled pages of doc_id >= 250
+        // (the q285 arrival split); the extraction's reassembly inserts
+        // a space at the htmlWrap div/p seam, so the funnel prices REAL
+        // extractor output, not the raw table text — the whole ladder a
+        // pretraining pipeline runs from a crawl dump to corpus verdicts.
+        val docs = Tables.table(s, dir, "documents")
+        val model = graft.Pipelines.funnelModel(s, dir)
+        val base = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", 5))
+        val dumps = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), Multimodal.warcBytes(col("doc_id"),
+            graft.operators.WebCuration.htmlWrap(col("doc_id"), col("text")))
+            .as("payload"))
+        val crawled = graft.operators.WebCuration
+          .crawlDocs(dumps, "doc_id", "payload")
+          .select(col("doc").as("doc_id"), col("clean").as("text"))
+        val (decisions, _) = graft.operators.CurationFunnel.decide(
+          crawled, "text", "doc_id", base, model)
+        decisions.orderBy(col("doc"))
+      },
+      // q300's extraction chain feeds q285's funnel fragments, with two
+      // deliberate differences: the delta's shingles/tokens come from the
+      // CLEANED text (crawlsrc), and the LM serve table (env) is built
+      // over the CRAWLED vocabulary (cwf) — the extractor's div/p-seam
+      // split words are absent from the training corpus's wf, and the
+      // funnel's serve contract covers the priced documents' vocabulary.
+      Some(s"""${uniTrainWith(3, 32, 2)},
+              |pg AS (SELECT doc_id AS doc,
+              |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+              |    '</title><style>body { color: #222; }</style><script>var page = ' ||
+              |    CAST(doc_id AS VARCHAR) ||
+              |    '; if (page > 0) { track(page); }</script></head><body>' ||
+              |    '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+              |    '<a href="/tag">Tag ' || CAST(doc_id % 7 AS VARCHAR) ||
+              |    '</a></nav><h1>Title ' || CAST(doc_id AS VARCHAR) ||
+              |    '</h1><div>' || substring(text, 1, len(text) // 2) ||
+              |    '</div><p>' || substring(text, len(text) // 2 + 1) ||
+              |    '</p><ul><li><a href="/r1">Related one</a></li>' ||
+              |    '<li><a href="/r2">Related two</a></li></ul>' ||
+              |    '<footer>&copy; Site &amp; friends <a href="/tos">Terms &amp; ' ||
+              |    'conditions</a></footer></body></html>' AS page
+              |  FROM documents WHERE doc_id >= 250),
+              |cln AS (SELECT doc, string_split(regexp_replace(regexp_replace(page,
+              |    '(?is)<script[^>]*>.*?</script\\s*>|<style[^>]*>.*?</style\\s*>',
+              |    ' ', 'g'),
+              |    '(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|section|article|header|footer|nav|blockquote)\\b[^>]*/?>',
+              |    chr(10), 'g'), chr(10)) AS ls FROM pg),
+              |clx0 AS (SELECT doc, ls,
+              |    unnest(generate_series(1, CAST(len(ls) AS BIGINT))) AS i FROM cln),
+              |clx AS (SELECT doc, i - 1 AS line_no, ls[i] AS raw FROM clx0),
+              |ctx AS (SELECT doc, line_no,
+              |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+              |      regexp_replace(raw, '<[^>]*>', '', 'g'),
+              |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              |      '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')) AS text,
+              |    coalesce(list_sum(list_transform(
+              |      regexp_extract_all(raw, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+              |      a -> len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+              |        regexp_replace(a, '<[^>]*>', '', 'g'),
+              |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              |        '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))))), 0) AS link_len
+              |  FROM clx),
+              |ckept AS (SELECT doc, line_no, text FROM ctx
+              |  WHERE len(text) >= 1 AND len(text) >= 25
+              |    AND link_len * 10000 <= len(text) * 3300),
+              |crawlsrc AS MATERIALIZED (SELECT doc,
+              |    string_agg(text, ' ' ORDER BY line_no) AS clean
+              |  FROM ckept GROUP BY doc),
+              |cwf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+              |  SELECT unnest(list_filter(
+              |    regexp_split_to_array(trim(lower(clean)), '\\s+'),
+              |    x -> len(x) > 0)) AS w FROM crawlsrc) GROUP BY w),
+              |${uniViterbi("en", "cwf", "r2mp", 3)},
+              |env AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_p,
+              |    (dps[len(w) + 1] - ((dps[len(w) + 1] % 8) + 8) % 8) // 8 AS lp
+              |  FROM enseg),
+              |gd AS (SELECT doc,
+              |    list_filter(regexp_split_to_array(trim(lower(clean)), '\\s+'), t -> len(t) > 0) AS w
+              |  FROM crawlsrc),
+              |gf AS MATERIALIZED (SELECT doc,
+              |    coalesce((CAST(len(w) AS BIGINT) BETWEEN 20 AND 100000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) * 100 // len(w)
+              |         END BETWEEN 300 AND 1000)
+              |    AND (CASE WHEN len(w) = 0 THEN 0
+              |         ELSE CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 10000 // len(w)
+              |         END >= 8000), false) AS gpass
+              |  FROM gd),
+              |fsets AS MATERIALIZED (SELECT doc_id, list_distinct(
+              |    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+              |         ELSE list_transform(generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))
+              |    END) AS sh
+              |  FROM (SELECT doc_id,
+              |      list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS w
+              |    FROM documents WHERE doc_id < 250
+              |    UNION ALL
+              |    SELECT doc AS doc_id,
+              |      list_filter(regexp_split_to_array(trim(lower(clean)), '\\s+'), t -> len(t) > 0) AS w
+              |    FROM crawlsrc)),
+              |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM fsets
+              |  WHERE doc_id < 250 OR doc_id IN (SELECT doc FROM gf WHERE gpass)),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+              |    CAST(count(*) AS DOUBLE) AS i
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3, 4),
+              |dup AS MATERIALIZED (SELECT DISTINCT id_b AS doc FROM inter
+              |  WHERE i / (sz_a + sz_b - i) >= 0.8 AND id_b >= 250),
+              |s1 AS MATERIALIZED (SELECT doc FROM gf
+              |  WHERE gpass AND doc NOT IN (SELECT doc FROM dup)),
+              |psh AS (SELECT DISTINCT unnest(sh) AS s FROM fsets WHERE doc_id < 10),
+              |ppos AS (SELECT ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM psh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bwords AS (SELECT p // 32 AS wd,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM ppos GROUP BY wd),
+              |dsh AS (SELECT doc_id AS doc, unnest(sh) AS s
+              |  FROM fsets JOIN s1 ON doc_id = s1.doc),
+              |dpos AS (SELECT doc, s, ${hex8("substring(md5(s), 1 + 8 * j, 8)")} % 65536 AS p
+              |  FROM dsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |bhits AS (SELECT doc, s
+              |  FROM dpos JOIN bwords ON bwords.wd = dpos.p // 32
+              |  WHERE (bwords.bits & (CAST(1 AS BIGINT) << CAST(dpos.p % 32 AS INT))) <> 0
+              |  GROUP BY doc, s HAVING count(*) = 4),
+              |con AS MATERIALIZED (SELECT doc FROM bhits GROUP BY doc HAVING count(*) >= 1),
+              |s2 AS (SELECT doc FROM s1 WHERE doc NOT IN (SELECT doc FROM con)),
+              |dwc AS (SELECT doc,
+              |    unnest(list_filter(regexp_split_to_array(trim(lower(clean)), '\\s+'), x -> len(x) > 0)) AS w
+              |  FROM crawlsrc JOIN s2 USING (doc)),
+              |dcx AS (SELECT doc, w, CAST(count(*) AS BIGINT) AS c FROM dwc GROUP BY 1, 2),
+              |lagg AS (SELECT doc, CAST(sum(c * n_p) AS BIGINT) AS n_pieces,
+              |    CAST(sum(c * lp) AS BIGINT) AS logp
+              |  FROM dcx JOIN env USING (w) GROUP BY doc),
+              |lmr AS MATERIALIZED (SELECT doc,
+              |    CAST((-logp) // n_pieces AS BIGINT) AS nll_micro,
+              |    ((-logp) // n_pieces < 3520000) AS lmk FROM lagg)
+              |SELECT gf.doc,
+              |  gf.gpass AS gopher_pass,
+              |  CASE WHEN gf.gpass THEN (dup.doc IS NOT NULL) END AS near_dup,
+              |  CASE WHEN gf.gpass AND dup.doc IS NULL THEN (con.doc IS NOT NULL) END AS contaminated,
+              |  lmr.lmk AS lm_keep,
+              |  lmr.nll_micro AS nll_micro,
+              |  coalesce(lmr.lmk, false) AS keep,
+              |  CASE WHEN NOT gf.gpass THEN 'gopher'
+              |       WHEN dup.doc IS NOT NULL THEN 'near_dup'
+              |       WHEN con.doc IS NOT NULL THEN 'contaminated'
+              |       WHEN NOT lmr.lmk THEN 'lm_gate'
+              |       ELSE 'kept' END AS verdict
+              |FROM gf
+              |LEFT JOIN dup ON gf.doc = dup.doc
+              |LEFT JOIN con ON gf.doc = con.doc
+              |LEFT JOIN lmr ON gf.doc = lmr.doc
+              |ORDER BY gf.doc""".stripMargin),
+      "crawl -> corpus end-to-end: the q300 crawl door's CLEANED text feeds the q285 " +
+        "curation funnel against the stored accepted base — WARC walk, extraction, " +
+        "reassembly, then gopher/near-dup/bloom/LM verdicts per crawled doc; the LM " +
+        "serve table covers the CRAWLED vocabulary (extractor seam-split words are not " +
+        "in the training corpus's), exactly the funnel's serve contract; the whole " +
+        "ladder a pretraining pipeline runs from a crawl dump to corpus verdicts"),
+
     "q65_decontaminate" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")

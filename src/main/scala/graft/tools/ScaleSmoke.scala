@@ -159,7 +159,12 @@ object ScaleSmoke {
       // one doc-keyed reassembly aggregation (the only shuffle) — rows
       // scale with docs that keep >= 1 line (~10x), everything else
       // map-only over 10x the page bytes
-      "q300_crawl_door")
+      "q300_crawl_door",
+      // q301 crawl -> corpus: the q300 ladder feeding the q285 funnel —
+      // rows = crawled delta (the q285 10x-minus-base argument), the
+      // watched growth is the delta-sized dedup join + the map-only
+      // walk/extract/gates over 10x the page bytes
+      "q301_crawl_corpus")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -60,6 +60,56 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(retried === twin)
   }
 
+  test("crawl door -> curation funnel composed streams equal the q301 " +
+      "one-shot crawl->corpus ladder on every gopher-passed doc") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingCurationFunnel
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val model = graft.Pipelines.funnelModel(spark, sfDir)
+    val oneShot = SparkEntry.queries("q301_crawl_corpus")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    Dedup.releaseCaches()
+    val gopherPassed = oneShot.filter(_._2.head == true).keySet
+    assert(gopherPassed.nonEmpty && oneShot.size > gopherPassed.size,
+      "fixture needs both gopher-passed and gopher-dropped crawled docs")
+
+    val tmp = Files.createTempDirectory("graft-crawl2corpus-").toString
+    // stage the dump in two id-ordered arrival batches (the funnel's
+    // greedy-dedup associativity contract is id-ordered arrival)
+    val dump = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), Multimodal.warcBytes(col("doc_id"),
+        WebCuration.htmlWrap(col("doc_id"), col("text"))).as("payload"))
+    val splits = Seq(
+      col("doc_id") >= 250 && col("doc_id") < 400, col("doc_id") >= 400)
+    // door 1: the crawl front door stores each batch's gopher-passed
+    // cleaned docs; door 2: the curation funnel decides each stored
+    // crawl batch against the accepted base — two composed foreachBatch
+    // stages, exactly how a deployment chains them
+    StreamingCurationFunnel.seedIndex(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", 5, s"$tmp/idx")
+    splits.zipWithIndex.foreach { case (pred, b) =>
+      graft.streaming.StreamingCrawl.processBatch(
+        dump.filter(pred), b.toLong, "doc_id", "payload", s"$tmp/crawl")
+      val crawled = spark.read
+        .parquet(s"$tmp/crawl/batch_id=$b")
+        .select(col("doc").as("doc_id"), col("clean").as("text"))
+      StreamingCurationFunnel.processBatch(
+        crawled, b.toLong, "text", "doc_id", model, s"$tmp/idx", s"$tmp/out")
+    }
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) ->
+        r.toSeq.slice(1, oneShot.head._2.size + 1)).toMap
+    Dedup.releaseCaches()
+    assert(streamed.keySet === gopherPassed,
+      "the crawl door must hand the funnel exactly the gopher-passed docs")
+    // the funnel re-evaluates gopher on the cleaned text (pass, by
+    // construction) and must reproduce q301's verdicts bit-for-bit
+    streamed.foreach { case (d, row) =>
+      assert(row === oneShot(d), s"doc $d: $row vs ${oneShot(d)}")
+    }
+  }
+
   test("warcRecordIterator: per-record streaming decode equals the " +
       "all-at-once expression walker on well-formed archives (gzip and " +
       "plain), throws on malformed input, enforces the per-record cap") {
