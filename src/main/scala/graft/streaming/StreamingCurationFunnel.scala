@@ -508,23 +508,72 @@ object StreamingCurationFunnel {
           // incremental vocabulary path ([[seedSegments]]): DP only the
           // words the stored table has never seen, append them as this
           // batch's partition (idempotent overwrite, `< batchId` read —
-          // the index discipline), resolve counts through the table.
-          // Bit-identical to the direct path (spec-pinned): the coalesce
-          // fallback in unigramCountsFromSegments self-heals any gap.
+          // the index discipline; manifest-aware via [[readSegments]]),
+          // resolve counts through the table. Bit-identical to the
+          // direct path (spec-pinned): the coalesce fallback in
+          // unigramCountsFromSegments self-heals any gap.
           val wc = Dedup.persistTracked(wordCounts)
-          val stored = spark.read.parquet(sd)
-            .filter(col("batch_id") < batchId).select(col("w"), col("ps"))
+          val stored = readSegments(spark, sd, batchId)
           TextPipeline.unigramSegments(
               wc.join(stored.select(col("w")), Seq("w"), "left_anti"),
               model0.lm)
             .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
           TextPipeline.unigramCountsFromSegments(
-            wc,
-            spark.read.parquet(sd).filter(col("batch_id") <= batchId)
-              .select(col("w"), col("ps")),
-            model0.lm)
+            wc, readSegments(spark, sd, batchId + 1), model0.lm)
             .write.mode("overwrite").parquet(s"$countsDir/batch_id=$batchId")
     }
+  }
+
+  /** The stored word-segmentation rows with `batch_id < belowBatch`,
+    * manifest-aware (the [[readCounts]] convention applied to the segDir
+    * store): a compacted store resolves words at or below the horizon
+    * from its committed deduplicated segment, later batches live. */
+  def readSegments(
+      spark: SparkSession, segDir: String, belowBatch: Long): DataFrame =
+    Manifests.read(segDir) match {
+      case Some(m) =>
+        require(belowBatch > m.upTo,
+          s"readSegments(< $belowBatch) is below the compaction horizon " +
+            s"${m.upTo} — compact only completed batches")
+        val seg = spark.read.parquet(s"$segDir/${m.dir}")
+          .select(col("w"), col("ps"))
+        val later = batchPartitions(segDir).map(_._1)
+          .filter(b => b > m.upTo && b < belowBatch)
+        if (later.isEmpty) seg
+        else seg.unionByName(spark.read.parquet(segDir)
+          .filter(col("batch_id") > m.upTo && col("batch_id") < belowBatch)
+          .select(col("w"), col("ps")))
+      case None =>
+        spark.read.parquet(segDir)
+          .filter(col("batch_id") < belowBatch) // seed (-1) included
+          .select(col("w"), col("ps"))
+    }
+
+  /** COMPACT the stored segmentation table: fold every partition with
+    * `batch_id <= upToBatch` into ONE deduplicated segment committed
+    * through the [[Manifests]] pointer, then GC the folded partitions —
+    * [[compactCounts]]' crash contract verbatim. Exact by construction:
+    * segmentation under the frozen counter is a PURE per-word function
+    * (and the per-batch anti-join already makes words unique across
+    * partitions), so dropDuplicates is a no-op copy, not a merge.
+    * Call it only for completed batches, like [[compactIndex]]. */
+  def compactSegments(
+      spark: SparkSession, segDir: String, upToBatch: Long): Unit = {
+    val prev = Manifests.read(segDir)
+    require(prev.forall(_.upTo <= upToBatch),
+      s"compactSegments($upToBatch) below the committed horizon ${prev.map(_.upTo)}")
+    val (gen, segRel) = Manifests.nextSegment(prev)
+    readSegments(spark, segDir, upToBatch + 1)
+      .dropDuplicates("w")
+      .write.mode("overwrite").parquet(s"$segDir/$segRel")
+    Manifests.commit(segDir, Manifests.Manifest(gen, segRel, upToBatch))
+    // GC — everything below is invisible from the commit on
+    val fs = Manifests.fsFor(new org.apache.hadoop.fs.Path(segDir))
+    prev.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(segDir, m.dir), true); ()
+    }
+    batchPartitions(segDir).filter(_._1 <= upToBatch)
+      .foreach { p => fs.delete(p._2, true); () }
   }
 
   /** [[run]] under the refresh cadence: seed `indexDir` ([[seedIndex]])

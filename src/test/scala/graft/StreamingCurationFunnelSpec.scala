@@ -234,6 +234,53 @@ class StreamingCurationFunnelSpec extends SparkSpec {
     }
   }
 
+  test("compactSegments + mid-stream compaction of all three stores " +
+      "(index, counts, segments): the continued stream decides " +
+      "bit-identically off the compacted state") {
+    val base = docsTable.filter(col("doc_id") < 250)
+    val preds = Seq(
+      col("doc_id") >= 250 && col("doc_id") < 400, col("doc_id") >= 400)
+    def runOne(compactAfterBatch0: Boolean): Map[Long, Seq[Any]] = {
+      StreamingCurationFunnel.clearRefreshMemo()
+      val tmp = Files.createTempDirectory(s"graft-scfsc$compactAfterBatch0-")
+        .toString
+      StreamingCurationFunnel.seedIndex(base, "text", "doc_id", 5, s"$tmp/idx")
+      StreamingCurationFunnel.seedCounts(base, "text", rLm0, s"$tmp/cnt")
+      StreamingCurationFunnel.seedSegments(base, "text", rLm0, s"$tmp/seg")
+      preds.zipWithIndex.foreach { case (pred, b) =>
+        if (compactAfterBatch0 && b == 1) {
+          // the maintenance window between micro-batches: fold every
+          // completed partition of every store through its manifest
+          StreamingCurationFunnel.compactIndex(spark, s"$tmp/idx", 0L)
+          StreamingCurationFunnel.compactCounts(spark, s"$tmp/cnt", 0L)
+          StreamingCurationFunnel.compactSegments(spark, s"$tmp/seg", 0L)
+          // a restarted driver resolves epochs/segments from storage
+          StreamingCurationFunnel.clearRefreshMemo()
+        }
+        StreamingCurationFunnel.processBatchWithRefresh(
+          docsTable.filter(pred), b.toLong, "text", "doc_id", rModel0,
+          refreshEvery = 1L, rBloomFor, s"$tmp/idx", s"$tmp/out", s"$tmp/cnt",
+          segDir = Some(s"$tmp/seg"))
+      }
+      if (compactAfterBatch0) {
+        // folded partitions are gone; the segment store still resolves
+        // every word exactly once (uniqueness survives compaction)
+        assert(!new java.io.File(s"$tmp/seg/batch_id=-1").exists()
+          && !new java.io.File(s"$tmp/seg/batch_id=0").exists())
+        val ws = StreamingCurationFunnel.readSegments(spark, s"$tmp/seg", 2L)
+          .select(col("w")).collect().map(_.getString(0))
+        assert(ws.distinct.length === ws.length,
+          "compacted segment store must keep words unique")
+      }
+      val out = decisionsIn(s"$tmp/out")
+      Dedup.releaseCaches()
+      out
+    }
+    val control = runOne(compactAfterBatch0 = false)
+    val compacted = runOne(compactAfterBatch0 = true)
+    assert(compacted === control)
+  }
+
   test("segDir-backed refresh (incremental vocabulary): decisions and " +
       "counts bit-identical to the direct path; per-batch DP covers only " +
       "words the store has never seen") {
