@@ -683,7 +683,8 @@ object Multimodal {
           line = readLine(atBoundary = false)
         }
         if (typ == null || len < 0) bad("missing WARC-Type/Content-Length")
-        if (len > perRecordCap) bad(s"record block $len over per-record cap")
+        if (len > perRecordCap || len > Int.MaxValue - 8)
+          bad(s"record block $len over per-record cap")
         val block = buf.readNBytes(len.toInt)
         if (block.length != len) bad("truncated block")
         val sep = buf.readNBytes(4)
