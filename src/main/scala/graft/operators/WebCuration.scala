@@ -212,4 +212,134 @@ object WebCuration {
         "<footer>&copy; Site &amp; friends <a href=\"/tos\">Terms &amp; " +
         "conditions</a></footer></body></html>"))
   }
+
+  // ------------------------------------------------ crawl politeness (REP)
+
+  /** Synthesize a deterministic robots.txt per host id — the htmlWrap
+    * discipline applied to the Robots Exclusion Protocol (RFC 9309):
+    * comments, mixed-case field names, a `*` group with path rules and
+    * a crawl-delay, a host-dependent bot-specific group (absent on some
+    * hosts — the `*`-fallback case), consecutive user-agent lines
+    * sharing one group, an EMPTY Disallow (the spec's allow-all
+    * sentinel), and a stray rule before any group (invalid per spec,
+    * must be dropped) — every parse class [[robotsRules]] must handle,
+    * deterministic in `h`. */
+  def robotsSynth(h: Column): Column =
+    concat(
+      lit("# graft robots, host "), h.cast("string"), lit("\n"),
+      // invalid: a rule before any user-agent line (spec: no group, drop)
+      when(h % 11 === 0, lit("Disallow: /orphan\n")).otherwise(lit("")),
+      when(h % 5 === 0, lit("user-agent: *\n")).otherwise(lit("User-agent: *\n")),
+      lit("Disallow: /private\n"),
+      when(h % 3 === 0, lit("Allow: /private/pub\n")).otherwise(lit("")),
+      when(h % 7 === 0, lit("Disallow:\n")).otherwise(lit("")), // allow-all sentinel
+      lit("Crawl-delay: "), (h % 5 + 1).cast("string"), lit("\n"),
+      when(h % 2 === 0,
+        concat(
+          lit("\n# bot group\nUser-agent: graftbot\n"),
+          // consecutive user-agent lines: one group with two names
+          when(h % 4 === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
+          lit("Disallow: /tag\nAllow: /tag/ok\nCrawl-delay: "),
+          (h % 3 + 1).cast("string"), lit("\n")))
+        .otherwise(lit("")))
+
+  /** Parse robots.txt content into its RULE TABLE (RFC 9309 group
+    * semantics): one row per directive with its group id —
+    * `(host, grp, line_no, directive, value)`. Comments stripped, field
+    * names case-insensitive, a group = a maximal run of consecutive
+    * `user-agent` lines plus the rules after it, rules BEFORE any group
+    * dropped (no group to attach to, per spec). Map-only except the one
+    * per-host window for group assignment (robots files are KB-sized —
+    * the window partition is a single host's lines, never the corpus).
+    */
+  def robotsRules(robots: DataFrame, textCol: String, hostCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "raw")))
+      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*", "")))
+      .withColumn("directive",
+        lower(trim(regexp_extract(col("clean"), "^([A-Za-z-]+)\\s*:", 1))))
+      .withColumn("value",
+        trim(regexp_extract(col("clean"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+      .filter(col("directive")
+        .isin("user-agent", "allow", "disallow", "crawl-delay"))
+    val w = Window.partitionBy("host").orderBy("line_no")
+    lines
+      .withColumn("prev", lag(col("directive"), 1).over(w))
+      .withColumn("starts", (col("directive") === "user-agent" &&
+        (col("prev").isNull || col("prev") =!= "user-agent")).cast("long"))
+      .withColumn("grp", sum(col("starts")).over(w))
+      .filter(col("grp") >= 1) // rules before any user-agent line: dropped
+      .select(col("host"), col("grp"),
+        col("line_no").cast("bigint").as("line_no"),
+        col("directive"), col("value"))
+  }
+
+  /** Evaluate the Robots Exclusion Protocol for one crawler identity
+    * over a URL frontier: `(…url cols…, allowed, crawl_delay_s)`.
+    * Group selection per RFC 9309: the `userAgent`'s own group when the
+    * host has one, else the `*` group. Rule matching: longest
+    * path-prefix wins; on a length tie `allow` wins; no matching rule
+    * (or an empty-value rule — the allow-all sentinel) means allowed.
+    * `crawl_delay_s` comes from the chosen group (default 1).
+    *
+    * Scale shape: rules are KB-per-host control-plane data — the rule
+    * side aggregates to host-bounded frames and BROADCASTS into the two
+    * frontier joins; the longest-match pick is ONE `max_by`-style
+    * aggregation keyed by the url (no per-url window over the corpus).
+    */
+  def robotsAllowed(
+      urls: DataFrame, rules: DataFrame, userAgent: String,
+      hostCol: String = "host", pathCol: String = "path"): DataFrame = {
+    val uas = rules.filter(col("directive") === "user-agent")
+      .select(col("host"), col("grp"), col("value").as("ua"))
+    val hostHasExact = uas.filter(col("ua") === userAgent)
+      .select(col("host")).distinct().withColumn("has_exact", lit(true))
+    val chosen = uas.join(hostHasExact, Seq("host"), "left")
+      .filter(when(coalesce(col("has_exact"), lit(false)),
+        col("ua") === userAgent).otherwise(col("ua") === "*"))
+      .select(col("host"), col("grp")).distinct()
+    val pathRules = rules
+      .filter(col("directive").isin("allow", "disallow") &&
+        length(col("value")) > 0)
+      .join(chosen, Seq("host", "grp"))
+      .select(col("host"), col("value").as("rule_path"),
+        (col("directive") === "allow").as("is_allow"))
+    val delays = rules.filter(col("directive") === "crawl-delay")
+      .join(chosen, Seq("host", "grp"))
+      .groupBy(col("host"))
+      .agg(max(col("value").cast("long")).as("crawl_delay_s"))
+    val cand = urls
+      .join(broadcast(pathRules),
+        urls(hostCol) === pathRules("host") &&
+          col(pathCol).startsWith(col("rule_path")), "left")
+      .drop(pathRules("host"))
+    val urlCols = urls.columns.map(col)
+    cand
+      .groupBy(urlCols: _*)
+      .agg(max(when(col("rule_path").isNotNull,
+        struct(length(col("rule_path")).as("l"), col("is_allow").as("a"))))
+        .as("best"))
+      .withColumn("allowed", coalesce(col("best.a"), lit(true)))
+      .drop("best")
+      .join(broadcast(delays), Seq(hostCol), "left")
+      .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(1L)))
+  }
+
+  /** Politeness-scheduled crawl frontier: within each host, allowed
+    * URLs fetch in `(priority desc, tiebreak)` order, one slot every
+    * `crawl_delay_s` seconds — `(…, slot, fetch_offset_s)`. The window
+    * partitions by host (per-host frontiers are the unit a fetcher
+    * shards by; no global ordering exists or is wanted). */
+  def frontierSchedule(
+      gated: DataFrame, hostCol: String, priorityCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(hostCol)
+      .orderBy(col(priorityCol).desc, col(tieCol))
+    gated.filter(col("allowed"))
+      .withColumn("slot", row_number().over(w).cast("bigint"))
+      .withColumn("fetch_offset_s", (col("slot") - 1) * col("crawl_delay_s"))
+  }
 }

@@ -772,8 +772,196 @@ object CurationQueries {
         "trafilatura-class first transform of a web-crawl pipeline): script/style " +
         "dropped, lines split at block tags, per-line visible-text length + anchor-text " +
         "link density in exact integer bps, keep = long-enough AND low-link-share; " +
-        "oracle replays generator + extractor (RE2-safe patterns, no backreferences)")
+        "oracle replays generator + extractor (RE2-safe patterns, no backreferences)"),
+
+    "q302_robots_rules" -> Q(
+      (s, dir) => {
+        // the FETCH side of the crawl story (RFC 9309 — the Robots
+        // Exclusion Protocol): robotsSynth writes a deterministic
+        // robots.txt per host covering every parse class (comments,
+        // mixed-case fields, consecutive user-agent lines sharing a
+        // group, the empty-Disallow allow-all sentinel, a stray rule
+        // before any group), and robotsRules parses it into the rule
+        // table with RFC group semantics. The oracle replays generator
+        // + parser (same windowed group assignment).
+        val hosts = Tables.table(s, dir, "documents")
+          .select((col("doc_id") % 40).as("host")).distinct()
+        WebCuration.robotsRules(
+            hosts.withColumn("robots", WebCuration.robotsSynth(col("host"))),
+            "robots", "host")
+          .orderBy(col("host"), col("line_no"))
+      },
+      Some(s"""$robotsRulesWith
+              |SELECT host, CAST(grp AS BIGINT) AS grp,
+              |  CAST(line_no AS BIGINT) AS line_no, directive, value
+              |FROM gx WHERE grp >= 1 ORDER BY host, line_no""".stripMargin),
+      "robots.txt parser (RFC 9309): comments stripped, case-insensitive fields, " +
+        "group = maximal run of consecutive user-agent lines + following rules, " +
+        "pre-group rules dropped; one per-host window for group assignment (robots " +
+        "files are KB-sized control-plane data); oracle replays generator + parser"),
+
+    "q303_robots_gate" -> Q(
+      (s, dir) => {
+        // REP evaluation for one crawler identity over a URL frontier:
+        // group selection (the bot's own group when the host has one,
+        // else `*` — rule ISOLATION between groups is the subtle part:
+        // an even host's graftbot group does NOT inherit the `*`
+        // group's /private rules), longest path-prefix match, allow
+        // wins length ties, no-match means allowed, crawl-delay from
+        // the chosen group.
+        val docs = Tables.table(s, dir, "documents")
+        val urls = docs.select(col("doc_id"),
+          (col("doc_id") % 40).as("host"),
+          robotsProbePath.as("path"))
+        val rules = WebCuration.robotsRules(
+          urls.select(col("host")).distinct()
+            .withColumn("robots", WebCuration.robotsSynth(col("host"))),
+          "robots", "host")
+        WebCuration.robotsAllowed(urls, rules, "graftbot")
+          .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+            col("crawl_delay_s"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$robotsRulesWith,
+              |$robotsEvalWith
+              |SELECT doc_id, host, path, coalesce(is_allow, true) AS allowed,
+              |  coalesce(d.crawl_delay_s, 1) AS crawl_delay_s
+              |FROM best LEFT JOIN delays d USING (host)
+              |ORDER BY doc_id""".stripMargin),
+      "Robots Exclusion Protocol evaluation: per-host group selection with exact-agent-" +
+        "over-star precedence and RFC group isolation, longest path-prefix match with " +
+        "allow winning ties, unmatched paths allowed, crawl-delay resolved from the " +
+        "chosen group — rules are host-bounded broadcast data, the longest-match pick " +
+        "is one url-keyed aggregation (no corpus-wide window)"),
+
+    "q304_crawl_frontier" -> Q(
+      (s, dir) => {
+        // the politeness-scheduled frontier: allowed URLs fetch in
+        // priority order within their host, one slot per crawl-delay —
+        // the per-host window IS the fetcher's sharding unit (a frontier
+        // is consumed host-by-host; no global order exists or is wanted)
+        val docs = Tables.table(s, dir, "documents")
+        val urls = docs.select(col("doc_id"),
+          (col("doc_id") % 40).as("host"),
+          robotsProbePath.as("path"),
+          col("n_chars").cast("bigint").as("priority"))
+        val rules = WebCuration.robotsRules(
+          urls.select(col("host")).distinct()
+            .withColumn("robots", WebCuration.robotsSynth(col("host"))),
+          "robots", "host")
+        WebCuration.frontierSchedule(
+            WebCuration.robotsAllowed(urls, rules, "graftbot"),
+            "host", "priority", "doc_id")
+          .select(col("doc_id"), col("host"), col("priority"), col("slot"),
+            col("fetch_offset_s"))
+          .orderBy(col("host"), col("slot"))
+      },
+      Some(s"""$robotsRulesWith,
+              |$robotsEvalWith,
+              |gated AS (SELECT b.doc_id, b.host, u2.priority,
+              |    coalesce(d.crawl_delay_s, 1) AS cd
+              |  FROM best b
+              |  JOIN (SELECT doc_id, CAST(n_chars AS BIGINT) AS priority
+              |        FROM documents) u2 USING (doc_id)
+              |  LEFT JOIN delays d USING (host)
+              |  WHERE coalesce(b.is_allow, true)),
+              |sched AS (SELECT doc_id, host, priority,
+              |    CAST(row_number() OVER (PARTITION BY host
+              |      ORDER BY priority DESC, doc_id) AS BIGINT) AS slot, cd
+              |  FROM gated)
+              |SELECT doc_id, host, priority, slot,
+              |  CAST((slot - 1) * cd AS BIGINT) AS fetch_offset_s
+              |FROM sched ORDER BY host, slot""".stripMargin),
+      "politeness-scheduled crawl frontier: REP-allowed URLs ranked by priority within " +
+        "each host, one fetch slot per crawl-delay second — per-host windows only (the " +
+        "fetcher's natural sharding unit), rules broadcast, exact integer offsets")
   )
+
+  // deterministic probe paths exercising every REP rule class: /private
+  // (star-group disallow), /private/pub (star-group allow override),
+  // /tag and /tag/ok (bot-group rules — group ISOLATION on even hosts),
+  // and a plain article path (no rule -> allowed)
+  private def robotsProbePath =
+    when(col("doc_id") % 6 === 0,
+      concat(lit("/private/doc"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("/private/pub/doc"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("/tag/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("/tag/ok/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/Articles/"), expr("doc_id DIV 7").cast("string")))
+
+  // the q302 generator + parser replayed in SQL (shared by q302/q303/q304):
+  // leaves `gx` (parsed rule rows with group ids) in scope
+  private def robotsRulesWith =
+    """WITH h AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+      |rb AS (SELECT host,
+      |  '# graft robots, host ' || CAST(host AS VARCHAR) || chr(10) ||
+      |  CASE WHEN host % 11 = 0 THEN 'Disallow: /orphan' || chr(10) ELSE '' END ||
+      |  CASE WHEN host % 5 = 0 THEN 'user-agent: *' ELSE 'User-agent: *' END || chr(10) ||
+      |  'Disallow: /private' || chr(10) ||
+      |  CASE WHEN host % 3 = 0 THEN 'Allow: /private/pub' || chr(10) ELSE '' END ||
+      |  CASE WHEN host % 7 = 0 THEN 'Disallow:' || chr(10) ELSE '' END ||
+      |  'Crawl-delay: ' || CAST(host % 5 + 1 AS VARCHAR) || chr(10) ||
+      |  CASE WHEN host % 2 = 0 THEN chr(10) || '# bot group' || chr(10) ||
+      |    'User-agent: graftbot' || chr(10) ||
+      |    CASE WHEN host % 4 = 0 THEN 'User-agent: otherbot' || chr(10) ELSE '' END ||
+      |    'Disallow: /tag' || chr(10) || 'Allow: /tag/ok' || chr(10) ||
+      |    'Crawl-delay: ' || CAST(host % 3 + 1 AS VARCHAR) || chr(10)
+      |  ELSE '' END AS robots FROM h),
+      |ln0 AS (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+      |lxr0 AS (SELECT host, ls,
+      |  unnest(generate_series(1, CAST(len(ls) AS BIGINT))) AS i FROM ln0),
+      |lxr AS (SELECT host, i - 1 AS line_no, ls[i] AS raw FROM lxr0),
+      |px AS (SELECT host, line_no,
+      |    lower(trim(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1))) AS directive,
+      |    trim(regexp_extract(clean, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+      |  FROM (SELECT host, line_no, trim(regexp_replace(raw, '#.*', '')) AS clean
+      |        FROM lxr)
+      |  WHERE lower(trim(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1)))
+      |    IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+      |gx AS (SELECT host, line_no, directive, value,
+      |    SUM(CASE WHEN directive = 'user-agent'
+      |        AND (prev IS NULL OR prev <> 'user-agent') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host ORDER BY line_no) AS grp
+      |  FROM (SELECT *, lag(directive)
+      |      OVER (PARTITION BY host ORDER BY line_no) AS prev FROM px))""".stripMargin
+
+  // REP evaluation over the probe urls for user-agent 'graftbot'
+  // (shared by q303/q304): leaves `best` (per-url longest-match rule)
+  // and `delays` (chosen-group crawl-delay per host) in scope
+  private def robotsEvalWith =
+    """urls AS (SELECT doc_id, doc_id % 40 AS host,
+      |    CASE WHEN doc_id % 6 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 1 THEN '/private/pub/doc' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 2 THEN '/tag/' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 3 THEN '/tag/ok/' || CAST(doc_id AS VARCHAR)
+      |         ELSE '/Articles/' || CAST(doc_id // 7 AS VARCHAR) END AS path
+      |  FROM documents),
+      |grx AS (SELECT * FROM gx WHERE grp >= 1),
+      |uas AS (SELECT host, grp, value AS ua FROM grx
+      |  WHERE directive = 'user-agent'),
+      |hx AS (SELECT DISTINCT host FROM uas WHERE ua = 'graftbot'),
+      |chosen AS (SELECT DISTINCT u.host, u.grp FROM uas u
+      |  LEFT JOIN hx ON u.host = hx.host
+      |  WHERE CASE WHEN hx.host IS NOT NULL THEN u.ua = 'graftbot'
+      |        ELSE u.ua = '*' END),
+      |prules AS (SELECT g.host, g.value AS rule_path,
+      |    (g.directive = 'allow') AS is_allow
+      |  FROM grx g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
+      |  WHERE g.directive IN ('allow', 'disallow') AND len(g.value) > 0),
+      |delays AS (SELECT g.host,
+      |    CAST(max(CAST(g.value AS BIGINT)) AS BIGINT) AS crawl_delay_s
+      |  FROM grx g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
+      |  WHERE g.directive = 'crawl-delay' GROUP BY g.host),
+      |cand AS (SELECT u.doc_id, u.host, u.path, r.is_allow,
+      |    len(r.rule_path) AS l
+      |  FROM urls u LEFT JOIN prules r
+      |    ON u.host = r.host AND starts_with(u.path, r.rule_path)),
+      |best AS (SELECT doc_id, host, path, is_allow FROM cand
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY l DESC NULLS LAST, is_allow DESC) = 1)""".stripMargin
 
   // messy URL A: source-keyed host (q262/q264) — exercises every
   // canonicalizer rule; expected canonical derivable from first principles

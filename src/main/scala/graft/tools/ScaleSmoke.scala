@@ -164,7 +164,12 @@ object ScaleSmoke {
       // rows = crawled delta (the q285 10x-minus-base argument), the
       // watched growth is the delta-sized dedup join + the map-only
       // walk/extract/gates over 10x the page bytes
-      "q301_crawl_corpus")
+      "q301_crawl_corpus",
+      // q302/q303/q304 robots family: the rule side is CONSTANT (40
+      // hosts of KB-sized control-plane data, broadcast) while the url
+      // frontier scales 10x — q302 rows constant, q303/q304 rows 10x
+      // through one url-keyed aggregation + per-host windows
+      "q302_robots_rules", "q303_robots_gate", "q304_crawl_frontier")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

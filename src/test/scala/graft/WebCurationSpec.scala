@@ -190,4 +190,86 @@ class WebCurationSpec extends SparkSpec {
         col("text").contains("Related") || col("text").contains("Terms"))).count()
     assert(badKeeps === 0L)
   }
+
+  test("robotsRules: RFC 9309 parse semantics — comments, case-insensitive " +
+      "fields, consecutive user-agent lines share a group, pre-group rules " +
+      "dropped, empty Disallow kept as the allow-all sentinel") {
+    import spark.implicits._
+    val robots =
+      """# top comment
+        |Disallow: /orphan
+        |USER-agent: *   # inline comment
+        |Disallow: /a
+        |
+        |User-agent: botA
+        |user-agent: botB
+        |Allow: /a/b
+        |Disallow:
+        |Crawl-delay: 7
+        |noise line without a colon directive
+        |""".stripMargin
+    val rules = WebCuration.robotsRules(
+        Seq((1L, robots)).toDF("host", "robots"), "robots", "host")
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getString(4)))
+    // the orphan rule (before any group) is dropped; group 1 = the `*`
+    // group; group 2 = botA+botB sharing one group
+    assert(rules.toSeq === Seq(
+      (1L, "user-agent", "*"),
+      (1L, "disallow", "/a"),
+      (2L, "user-agent", "botA"),
+      (2L, "user-agent", "botB"),
+      (2L, "allow", "/a/b"),
+      (2L, "disallow", ""), // allow-all sentinel survives the parse
+      (2L, "crawl-delay", "7")))
+  }
+
+  test("robotsAllowed: group ISOLATION (the bot group does not inherit " +
+      "star rules), exact-agent precedence, longest-match with allow " +
+      "winning ties, unmatched paths allowed, crawl-delay per chosen group") {
+    import spark.implicits._
+    val robots =
+      """User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 9
+        |
+        |User-agent: graftbot
+        |Disallow: /tag
+        |Allow: /tag/ok
+        |Disallow: /tag/ok
+        |Crawl-delay: 2
+        |""".stripMargin
+    val rules = WebCuration.robotsRules(
+      Seq((1L, robots), (2L, "User-agent: *\nDisallow: /x\nCrawl-delay: 4\n"))
+        .toDF("host", "robots"), "robots", "host")
+    val urls = Seq(
+      (10L, 1L, "/private/a"), // star rule, NOT in graftbot's group -> allowed
+      (11L, 1L, "/tag/z"),     // bot group disallow
+      (12L, 1L, "/tag/ok/z"),  // allow vs disallow SAME length -> allow wins
+      (13L, 1L, "/elsewhere"), // no rule -> allowed
+      (14L, 2L, "/x/y"),       // host without a bot group -> star fallback
+      (15L, 2L, "/y"))
+      .toDF("doc_id", "host", "path")
+    val got = WebCuration.robotsAllowed(urls, rules, "graftbot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Long]("crawl_delay_s")))).toMap
+    assert(got === Map(
+      10L -> ((true, 2L)),  // isolation: /private doesn't bind graftbot
+      11L -> ((false, 2L)),
+      12L -> ((true, 2L)),  // tie at length 7: allow wins
+      13L -> ((true, 2L)),
+      14L -> ((false, 4L)), // star fallback on host 2
+      15L -> ((true, 4L))))
+    // frontier: per-host slots follow priority desc, offsets step by the
+    // chosen group's crawl-delay
+    val sched = WebCuration.frontierSchedule(
+        WebCuration.robotsAllowed(
+          urls.withColumn("priority", col("doc_id") % 3), rules, "graftbot"),
+        "host", "priority", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("slot"), r.getAs[Long]("fetch_offset_s")))).toMap
+    // host 1 allowed: 10(p=1), 12(p=0), 13(p=1) -> order 10, 13, 12
+    assert(sched === Map(
+      10L -> ((1L, 0L)), 13L -> ((2L, 2L)), 12L -> ((3L, 4L)),
+      15L -> ((1L, 0L))))
+  }
 }
