@@ -327,6 +327,59 @@ object WebCuration {
       .withColumn("crawl_delay_s", coalesce(col("crawl_delay_s"), lit(1L)))
   }
 
+  /** Synthesize a deterministic sitemap.xml per host (the Sitemaps 0.9
+    * protocol shape): an `<urlset>` with `3 + h%4` `<url>` entries —
+    * `<loc>` always present, `<lastmod>`/`<priority>` each OMITTED on a
+    * host/entry-dependent subset (optional per protocol — the NULL
+    * classes [[sitemapUrls]] must surface), paths rotating through the
+    * same rule classes the robots probe uses so discovery composes with
+    * the REP gate. */
+  def sitemapSynth(h: Column): Column = {
+    val entry = (i: Column) => {
+      val path = when((h + i) % 4 === 0, concat(lit("/private/doc"), i.cast("string")))
+        .when((h + i) % 4 === 1, concat(lit("/tag/ok/"), i.cast("string")))
+        .when((h + i) % 4 === 2, concat(lit("/tag/"), i.cast("string")))
+        .otherwise(concat(lit("/Articles/"), i.cast("string")))
+      concat(
+        lit("  <url><loc>http://host"), h.cast("string"),
+        lit(".example.com"), path, lit("</loc>"),
+        when((h + i) % 3 =!= 0,
+          concat(lit("<lastmod>2026-01-"),
+            lpad(((h + i) % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        when((h + i) % 5 =!= 0,
+          concat(lit("<priority>0."), ((h + i) % 9 + 1).cast("string"),
+            lit("</priority>"))).otherwise(lit("")),
+        lit("</url>"))
+    }
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      array_join(transform(sequence(lit(0), (h % 4 + 2).cast("int")), entry),
+        "\n"),
+      lit("\n</urlset>\n"))
+  }
+
+  /** Parse sitemap.xml content into one row per discovered URL, in
+    * document order — `(host, entry_no, loc, lastmod, priority)` —
+    * through Spark's NATIVE `from_xml` (the Sitemaps protocol is plain
+    * nested XML; the schema binds the root's `url` array, attributes
+    * and the XML declaration ignored, absent optional elements NULL).
+    * Map-only: one parse + one generate per sitemap, no shuffle. */
+  def sitemapUrls(
+      sitemaps: DataFrame, xmlCol: String, hostCol: String): DataFrame =
+    sitemaps
+      .select(col(hostCol).as("host"),
+        from_xml(col(xmlCol),
+          lit("STRUCT<url: ARRAY<STRUCT<loc: STRING, lastmod: STRING, " +
+            "priority: STRING>>>"),
+          new java.util.HashMap[String, String]()).as("s"))
+      .select(col("host"),
+        posexplode(col("s.url")).as(Seq("entry_no", "u")))
+      .select(col("host"), col("entry_no").cast("bigint").as("entry_no"),
+        col("u.loc").as("loc"), col("u.lastmod").as("lastmod"),
+        col("u.priority").as("priority"))
+
   /** Politeness-scheduled crawl frontier: within each host, allowed
     * URLs fetch in `(priority desc, tiebreak)` order, one slot every
     * `crawl_delay_s` seconds — `(…, slot, fetch_offset_s)`. The window

@@ -874,7 +874,69 @@ object CurationQueries {
               |FROM sched ORDER BY host, slot""".stripMargin),
       "politeness-scheduled crawl frontier: REP-allowed URLs ranked by priority within " +
         "each host, one fetch slot per crawl-delay second — per-host windows only (the " +
-        "fetcher's natural sharding unit), rules broadcast, exact integer offsets")
+        "fetcher's natural sharding unit), rules broadcast, exact integer offsets"),
+
+    "q305_sitemap_discovery" -> Q(
+      (s, dir) => {
+        // crawl DISCOVERY: per-host sitemap.xml parsed through Spark's
+        // NATIVE from_xml (declaration + xmlns ignored, entries in
+        // document order, optional lastmod/priority NULL where the
+        // protocol omits them), each discovered URL then gated by the
+        // host's robots rules — the discovery → politeness composition
+        // a fetcher runs before anything enters the frontier. Oracle
+        // replays the decoded-content formula (the container-oracle
+        // convention: loc/lastmod/priority are closed functions of
+        // (host, entry)), never the XML bytes.
+        val hosts = Tables.table(s, dir, "documents")
+          .select((col("doc_id") % 40).as("host")).distinct()
+        val discovered = WebCuration.sitemapUrls(
+            hosts.withColumn("xml", WebCuration.sitemapSynth(col("host"))),
+            "xml", "host")
+          .withColumn("path",
+            regexp_replace(col("loc"), "^[a-z]+://[^/]+", ""))
+        val rules = WebCuration.robotsRules(
+          hosts.withColumn("robots", WebCuration.robotsSynth(col("host"))),
+          "robots", "host")
+        WebCuration.robotsAllowed(discovered, rules, "graftbot")
+          .select(col("host"), col("entry_no"), col("loc"), col("lastmod"),
+            col("priority"), col("allowed"), col("crawl_delay_s"))
+          .orderBy(col("host"), col("entry_no"))
+      },
+      Some(s"""$robotsRulesWith,
+              |$robotsChosenWith,
+              |sent AS (SELECT host,
+              |    unnest(generate_series(0, host % 4 + 2)) AS i FROM h),
+              |smu AS (SELECT host, CAST(i AS BIGINT) AS entry_no,
+              |    'http://host' || CAST(host AS VARCHAR) || '.example.com' ||
+              |    CASE WHEN (host + i) % 4 = 0 THEN '/private/doc' || CAST(i AS VARCHAR)
+              |         WHEN (host + i) % 4 = 1 THEN '/tag/ok/' || CAST(i AS VARCHAR)
+              |         WHEN (host + i) % 4 = 2 THEN '/tag/' || CAST(i AS VARCHAR)
+              |         ELSE '/Articles/' || CAST(i AS VARCHAR) END AS loc,
+              |    CASE WHEN (host + i) % 3 <> 0 THEN '2026-01-' ||
+              |      lpad(CAST((host + i) % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+              |    CASE WHEN (host + i) % 5 <> 0
+              |      THEN '0.' || CAST((host + i) % 9 + 1 AS VARCHAR) END AS priority
+              |  FROM sent),
+              |smp AS (SELECT *, regexp_replace(loc, '^[a-z]+://[^/]+', '') AS path
+              |  FROM smu),
+              |cand2 AS (SELECT s.host, s.entry_no, s.loc, s.lastmod, s.priority,
+              |    r.is_allow, len(r.rule_path) AS l
+              |  FROM smp s LEFT JOIN prules r
+              |    ON s.host = r.host AND starts_with(s.path, r.rule_path)),
+              |best2 AS (SELECT host, entry_no, loc, lastmod, priority, is_allow
+              |  FROM cand2
+              |  QUALIFY row_number() OVER (PARTITION BY host, entry_no
+              |    ORDER BY l DESC NULLS LAST, is_allow DESC) = 1)
+              |SELECT host, entry_no, loc, lastmod, priority,
+              |  coalesce(is_allow, true) AS allowed,
+              |  coalesce(d.crawl_delay_s, 1) AS crawl_delay_s
+              |FROM best2 LEFT JOIN delays d USING (host)
+              |ORDER BY host, entry_no""".stripMargin),
+      "sitemap discovery gated by robots: per-host Sitemaps-0.9 XML parsed with Spark's " +
+        "native from_xml (document order, optional elements NULL), discovered URLs " +
+        "evaluated under the host's REP rules with the chosen group's crawl-delay — " +
+        "the discovery -> politeness composition ahead of the frontier; oracle replays " +
+        "the decoded-content formula, never the XML bytes (the container convention)")
   )
 
   // deterministic probe paths exercising every REP rule class: /private
@@ -928,18 +990,10 @@ object CurationQueries {
       |  FROM (SELECT *, lag(directive)
       |      OVER (PARTITION BY host ORDER BY line_no) AS prev FROM px))""".stripMargin
 
-  // REP evaluation over the probe urls for user-agent 'graftbot'
-  // (shared by q303/q304): leaves `best` (per-url longest-match rule)
-  // and `delays` (chosen-group crawl-delay per host) in scope
-  private def robotsEvalWith =
-    """urls AS (SELECT doc_id, doc_id % 40 AS host,
-      |    CASE WHEN doc_id % 6 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
-      |         WHEN doc_id % 6 = 1 THEN '/private/pub/doc' || CAST(doc_id AS VARCHAR)
-      |         WHEN doc_id % 6 = 2 THEN '/tag/' || CAST(doc_id AS VARCHAR)
-      |         WHEN doc_id % 6 = 3 THEN '/tag/ok/' || CAST(doc_id AS VARCHAR)
-      |         ELSE '/Articles/' || CAST(doc_id // 7 AS VARCHAR) END AS path
-      |  FROM documents),
-      |grx AS (SELECT * FROM gx WHERE grp >= 1),
+  // graftbot's chosen groups, path rules, and crawl-delays (shared by
+  // q303/q304/q305): leaves `prules` and `delays` in scope
+  private def robotsChosenWith =
+    """grx AS (SELECT * FROM gx WHERE grp >= 1),
       |uas AS (SELECT host, grp, value AS ua FROM grx
       |  WHERE directive = 'user-agent'),
       |hx AS (SELECT DISTINCT host FROM uas WHERE ua = 'graftbot'),
@@ -954,7 +1008,19 @@ object CurationQueries {
       |delays AS (SELECT g.host,
       |    CAST(max(CAST(g.value AS BIGINT)) AS BIGINT) AS crawl_delay_s
       |  FROM grx g JOIN chosen c ON g.host = c.host AND g.grp = c.grp
-      |  WHERE g.directive = 'crawl-delay' GROUP BY g.host),
+      |  WHERE g.directive = 'crawl-delay' GROUP BY g.host)""".stripMargin
+
+  // REP evaluation over the probe urls (q303/q304): leaves `best`
+  // (per-url longest-match rule) in scope
+  private def robotsEvalWith =
+    s"""$robotsChosenWith,
+      |urls AS (SELECT doc_id, doc_id % 40 AS host,
+      |    CASE WHEN doc_id % 6 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 1 THEN '/private/pub/doc' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 2 THEN '/tag/' || CAST(doc_id AS VARCHAR)
+      |         WHEN doc_id % 6 = 3 THEN '/tag/ok/' || CAST(doc_id AS VARCHAR)
+      |         ELSE '/Articles/' || CAST(doc_id // 7 AS VARCHAR) END AS path
+      |  FROM documents),
       |cand AS (SELECT u.doc_id, u.host, u.path, r.is_allow,
       |    len(r.rule_path) AS l
       |  FROM urls u LEFT JOIN prules r

@@ -169,7 +169,11 @@ object ScaleSmoke {
       // hosts of KB-sized control-plane data, broadcast) while the url
       // frontier scales 10x — q302 rows constant, q303/q304 rows 10x
       // through one url-keyed aggregation + per-host windows
-      "q302_robots_rules", "q303_robots_gate", "q304_crawl_frontier")
+      "q302_robots_rules", "q303_robots_gate", "q304_crawl_frontier",
+      // q305 sitemap discovery: both sides constant (40 hosts' sitemaps
+      // + rules are control-plane data) — the ratio watches the parse +
+      // gate plumbing staying flat as the corpus grows
+      "q305_sitemap_discovery")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

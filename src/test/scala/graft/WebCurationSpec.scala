@@ -223,6 +223,30 @@ class WebCurationSpec extends SparkSpec {
       (2L, "crawl-delay", "7")))
   }
 
+  test("sitemapSynth -> sitemapUrls: native from_xml parse — entries in " +
+      "document order, optional lastmod/priority NULL where omitted, " +
+      "declaration and xmlns ignored") {
+    import spark.implicits._
+    val parsed = WebCuration.sitemapUrls(
+        Seq(3L, 4L).toDF("host")
+          .withColumn("xml", WebCuration.sitemapSynth(col("host"))),
+        "xml", "host")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    // host 3: 3 + 3%4 = 6 entries (i = 0..5); host 4: 3 entries
+    assert(parsed.keySet === ((0 to 5).map(i => 3L -> i.toLong) ++
+      (0 to 2).map(i => 4L -> i.toLong)).toSet)
+    // host 3, i 0: (3+0)%4=3 -> /Articles/0; %3=0 -> lastmod NULL; %5!=0 -> priority 0.4
+    assert(parsed((3L, 0L)) ===
+      (("http://host3.example.com/Articles/0", null, "0.4")))
+    // host 3, i 2: (5)%4=1 -> /tag/ok/2; lastmod 2026-01-06; %5=0 -> priority NULL
+    assert(parsed((3L, 2L)) ===
+      (("http://host3.example.com/tag/ok/2", "2026-01-06", null)))
+    // host 4, i 0: (4)%4=0 -> /private/doc0
+    assert(parsed((4L, 0L))._1 === "http://host4.example.com/private/doc0")
+  }
+
   test("robotsAllowed: group ISOLATION (the bot group does not inherit " +
       "star rules), exact-agent precedence, longest-match with allow " +
       "winning ties, unmatched paths allowed, crawl-delay per chosen group") {
