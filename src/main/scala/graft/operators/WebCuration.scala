@@ -169,8 +169,31 @@ object WebCuration {
   def crawlDocs(
       dumps: DataFrame, idCol: String, payloadCol: String,
       minWords: Int = 20, maxWords: Int = 100000,
-      capBytes: Long = 64L << 20): DataFrame = {
-    val recs = Multimodal.warcRecords(dumps, idCol, payloadCol, capBytes)
+      capBytes: Long = 64L << 20): DataFrame =
+    crawlDocsFromRecords(
+      Multimodal.warcRecords(dumps, idCol, payloadCol, capBytes),
+      minWords, maxWords)
+
+  /** [[crawlDocs]] with the archives STREAMED per record off storage
+    * ([[Multimodal.warcRecordsFromFiles]] — (doc, path) rows opened
+    * through Hadoop FS, peak memory one record): the real-Common-Crawl
+    * front half (~1 GB members) wired to the same extraction ladder.
+    * Downstream of the record walk the two variants share one body
+    * ([[crawlDocsFromRecords]]), so they cannot drift (spec-pinned
+    * equal on the same archives). */
+  def crawlDocsFromFiles(
+      files: DataFrame, idCol: String, pathCol: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      perRecordCap: Long = 64L << 20): DataFrame =
+    crawlDocsFromRecords(
+      Multimodal.warcRecordsFromFiles(files, idCol, pathCol, perRecordCap),
+      minWords, maxWords)
+
+  /** The ladder's shared tail from an exploded record frame (the
+    * [[Multimodal.warcRecords]] schema) down: response blocks →
+    * extraction → kept-line reassembly → gopher gate. */
+  def crawlDocsFromRecords(
+      recs: DataFrame, minWords: Int, maxWords: Int): DataFrame = {
     val lines = extractMainContent(
       recs.filter(col("warc_type") === "response")
         .select(col("doc"), col("content").cast("string").as("page")),

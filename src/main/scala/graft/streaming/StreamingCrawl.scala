@@ -48,6 +48,40 @@ object StreamingCrawl {
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
   }
 
+  /** [[processBatch]] with the archives STREAMED per record off storage
+    * — batches carry `(doc, path)` rows (e.g. a file-listing source over
+    * the crawl drop directory) and
+    * [[graft.operators.WebCuration.crawlDocsFromFiles]] opens each
+    * archive through Hadoop FS, one record in memory at a time: the
+    * real-Common-Crawl door (~1 GB members never materialize). Same
+    * output contract and idempotent partition overwrite. */
+  def processBatchFromFiles(
+      batch: DataFrame, batchId: Long, idCol: String, pathCol: String,
+      outDir: String, minWords: Int = 20, maxWords: Int = 100000,
+      perRecordCap: Long = 64L << 20): Unit = {
+    WebCuration
+      .crawlDocsFromFiles(batch, idCol, pathCol, minWords, maxWords,
+        perRecordCap)
+      .filter(col("gopher_pass"))
+      .select(col("doc"), col("clean"), col("n_kept_lines"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** [[run]] over a streaming (doc, path) listing — the
+    * [[processBatchFromFiles]] door. */
+  def runFromFiles(
+      listings: DataFrame, idCol: String, pathCol: String,
+      outDir: String, checkpointDir: String,
+      minWords: Int = 20, maxWords: Int = 100000,
+      perRecordCap: Long = 64L << 20): StreamingQuery =
+    listings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchFromFiles(batch, batchId, idCol, pathCol, outDir,
+          minWords, maxWords, perRecordCap)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The stored kept-docs table as seen after batch `upTo` (partition-
     * pruned scan — the readIndex convention). */
   def readKept(spark: SparkSession, outDir: String, upTo: Long): DataFrame =

@@ -164,6 +164,34 @@ class StreamingCrawlSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
   }
 
+  test("file-streamed crawl door: processBatchFromFiles over (doc, path) " +
+      "listings stores exactly what the payload door stores for the same " +
+      "archives (the crawlDocsFromRecords shared-tail pin)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-scrawlfd-").toString
+    val payloads = dumps.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload"))
+    val listings = payloads.map { case (doc, payload) =>
+      val p = java.nio.file.Paths.get(tmp, s"dump-$doc.warc.gz")
+      java.nio.file.Files.write(p, payload)
+      (doc, p.toString)
+    }.toSeq.toDF("doc_id", "path")
+    // payload door (control) and file door over the same two batches
+    Seq(0, 1).foreach { b =>
+      StreamingCrawl.processBatch(
+        dumps.filter(col("doc_id") % 2 === b), b.toLong,
+        "doc_id", "payload", s"$tmp/outP")
+      StreamingCrawl.processBatchFromFiles(
+        listings.filter(col("doc_id") % 2 === b), b.toLong,
+        "doc_id", "path", s"$tmp/outF")
+    }
+    def kept(dir: String) = spark.read.parquet(dir)
+      .select(col("doc"), col("clean"), col("n_kept_lines"))
+      .collect().map(keyOf).toMap
+    val p = kept(s"$tmp/outP")
+    assert(p.nonEmpty && kept(s"$tmp/outF") === p)
+  }
+
   test("warcRecordsFromFiles: (doc, path) rows stream records off " +
       "storage through Hadoop FS with the warcRecords schema and rows") {
     import spark.implicits._
