@@ -1029,4 +1029,154 @@ object Dedup {
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("bigint"))
       .filter(col("dist") <= 1)
   }
+
+  /** CONTENT-DEFINED CHUNKING (the LBFS/rsync/FastCDC construction):
+    * chunk boundaries are placed where the rolling hash of the `window`
+    * chars ENDING at a position clears a rarity threshold, so boundaries
+    * move WITH the content — inserting a prefix shifts every byte offset
+    * but leaves the boundary CONTENT positions (and therefore every
+    * interior chunk hash) intact, which fixed-size blocking destroys.
+    * This is the storage-layer dedup primitive; the position-based
+    * splitter ([[Curation.chunkDocuments]]) answers retrieval, this one
+    * answers "which char ranges are literally shared across documents".
+    *
+    * Mechanics: position `i` (1-based, `window <= i < len`) is a
+    * boundary iff the first two hex chars of `md5` of the window ending
+    * at `i` compare below `boundaryHex` — expected boundary rate
+    * `parseInt(boundaryHex, 16) / 256` (default 8/256 ≈ one per 32
+    * chars). md5 instead of a Gear/Rabin table keeps the predicate
+    * PORTABLE (the DuckDB oracle computes the identical hex — the q44
+    * fingerprint convention). Chunks tile the document exactly:
+    * segments between consecutive boundaries, the last chunk closed at
+    * the end of the doc; empty docs contribute no rows. Deliberately NO
+    * min/max-chunk clamps: a clamp makes boundary k depend on boundary
+    * k−1 (a sequential fold over the doc), killing both the map-only
+    * array shape and SQL replayability — the rarity threshold plays the
+    * min-size role statistically, and the no-boundary tail case closes
+    * at doc end.
+    *
+    * Scale: ONE map-only pass — per-doc arrays (position filter, zip to
+    * segments, posexplode), no shuffle, no window function; per-doc work
+    * is O(len · window) hashed bytes. Output:
+    * `(doc, chunk_no, c_start, chunk_len, chunk_hash)`.
+    */
+  def cdcChunks(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, boundaryHex: String = "08"): DataFrame = {
+    require(window >= 2, "cdcChunks: window >= 2")
+    require(boundaryHex.length == 2 && boundaryHex.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      "cdcChunks: boundaryHex is two lowercase hex chars")
+    val t = col("__text")
+    docs
+      .select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .withColumn("__len", length(t))
+      // boundary END positions; i = len excluded (an empty final chunk),
+      // and the when() guard keeps sequence() ascending on short docs
+      .withColumn("__bnds",
+        when(col("__len") <= window, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(window), col("__len") - 1), i =>
+            substring(md5(substring(t, i - window + 1, lit(window))), 1, 2)
+              < lit(boundaryHex))))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bnds"), b => b + 1)))
+      .withColumn("__ends", concat(col("__bnds"), array(col("__len"))))
+      .select(col("doc"), t,
+        posexplode(zip_with(col("__starts"), col("__ends"),
+          (s, e) => struct(s.as("s"), (e - s + 1).as("n"))))
+          .as(Seq("chunk_no", "__c")))
+      .filter(col("__c.n") >= 1) // the empty-doc degenerate segment
+      .select(col("doc"), col("chunk_no").cast("bigint").as("chunk_no"),
+        col("__c.s").cast("bigint").as("c_start"),
+        col("__c.n").cast("bigint").as("chunk_len"),
+        md5(substring(t, col("__c.s"), col("__c.n"))).as("chunk_hash"))
+  }
+
+  /** Cross-document duplicate-chunk coverage over [[cdcChunks]] — the
+    * SHIFT-RESISTANT analogue of [[Curation.dupSpans]]: a chunk is
+    * duplicated when its `(chunk_hash, chunk_len)` occurs in ≥ 2
+    * distinct docs, and each doc reports how much of its text lives in
+    * shared chunks. A copy with an inserted prefix still scores ~full
+    * coverage (interior boundaries are content-positioned), the case
+    * fixed-offset L-gram sampling degrades on. Within-doc repeats do
+    * NOT count as duplication (cross-doc df only).
+    *
+    * Output: `(doc, n_chunks, n_dup_chunks, total_chars, dup_chars,
+    * dup_bps)` — exact integers, `dup_bps = (10⁴·dup)DIV total`.
+    *
+    * Scale: the chunk-frequency table is ONE hash-keyed aggregation
+    * with map-side partial combine (boilerplate chunks skew-absorbed
+    * exactly like q73's grams), then one equi-join back and one
+    * doc-keyed aggregation — never any pairwise comparison.
+    */
+  /** Incremental [[cdcDedup]]: score a DELTA batch's chunks against a
+    * STORED base chunk table plus the delta itself — `delta×base` and
+    * `delta×delta`, NEVER `base×base` (the [[minhashNearDupsAgainstBase]]
+    * shape applied to content-defined chunks). A delta chunk is
+    * `dup_base` when its `(chunk_hash, chunk_len)` exists anywhere in
+    * the base table, `dup_delta` when it doesn't but ≥ 2 distinct delta
+    * docs share it; `dup_bps` counts both classes. This is the crawl
+    * front door's storage-dedup question — "how much of this fetch is
+    * already in the corpus, byte-for-byte, regardless of alignment".
+    *
+    * Output: `(doc, n_chunks, n_dup_chunks, dup_base_chunks,
+    * dup_delta_chunks, total_chars, dup_chars, dup_bps)`.
+    *
+    * Scale: the base side is read ONCE through a key-distinct
+    * aggregation (the stored table is corpus-scale and is never
+    * persisted here — the r16 against-base caching contract); the
+    * delta side is chunked map-only and meets base and its own
+    * frequency table through two hash equi-joins keyed by
+    * `(chunk_hash, chunk_len)` — join cost tracks the DELTA size.
+    * The delta chunk frame is recomputed for its two consumers rather
+    * than cached: chunking is one md5 pass over delta text, cheaper
+    * than an executor-cache round trip at batch scale.
+    */
+  def cdcDedupAgainstBase(
+      baseChunks: DataFrame, deltaDocs: DataFrame,
+      textCol: String, idCol: String,
+      window: Int = 8, boundaryHex: String = "08"): DataFrame = {
+    val dch = cdcChunks(deltaDocs, textCol, idCol, window, boundaryHex)
+    val baseKeys = baseChunks
+      .select(col("chunk_hash"), col("chunk_len")).distinct()
+      .withColumn("__in_base", lit(true))
+    val deltaShared = dch
+      .groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(countDistinct(col("doc")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("chunk_hash"), col("chunk_len"), lit(true).as("__in_delta"))
+    val inBase = coalesce(col("__in_base"), lit(false))
+    val inDelta = coalesce(col("__in_delta"), lit(false))
+    val isDup = inBase || inDelta
+    dch
+      .join(baseKeys, Seq("chunk_hash", "chunk_len"), "left")
+      .join(deltaShared, Seq("chunk_hash", "chunk_len"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(inBase, 1L).otherwise(0L)).as("dup_base_chunks"),
+        sum(when(!inBase && inDelta, 1L).otherwise(0L))
+          .as("dup_delta_chunks"),
+        sum(col("chunk_len")).as("total_chars"),
+        sum(when(isDup, col("chunk_len")).otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_bps", expr("(10000 * dup_chars) DIV total_chars"))
+  }
+
+  def cdcDedup(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, boundaryHex: String = "08"): DataFrame = {
+    val ch = cdcChunks(docs, textCol, idCol, window, boundaryHex)
+    val dup = ch.groupBy(col("chunk_hash"), col("chunk_len"))
+      .agg(countDistinct(col("doc")).as("__ndocs"))
+      .filter(col("__ndocs") >= 2)
+      .select(col("chunk_hash"), col("chunk_len"), lit(true).as("__dup"))
+    ch.join(dup, Seq("chunk_hash", "chunk_len"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_len")).as("total_chars"),
+        sum(when(col("__dup"), col("chunk_len")).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("dup_bps", expr("(10000 * dup_chars) DIV total_chars"))
+  }
 }

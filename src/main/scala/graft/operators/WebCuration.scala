@@ -418,4 +418,97 @@ object WebCuration {
       .withColumn("slot", row_number().over(w).cast("bigint"))
       .withColumn("fetch_offset_s", (col("slot") - 1) * col("crawl_delay_s"))
   }
+
+  /** Deterministic redirect-map synthesizer over a numeric URL id — the
+    * htmlWrap discipline applied to HTTP 3xx aliasing. Classes (CASE
+    * precedence order): a 2-cycle pair (`id%50∈{0,1}` point at each
+    * other), plain hops (`id%3=0` → `id+3`, chaining until `id%9=0`
+    * exits to `id+1` — natural chains up to 3 hops), and terminals
+    * (NULL). `id%9=0` exits can land ON the cycle class (99→100→101→100…
+    * — a chain INTO a cycle, the class a bounded resolver must flag
+    * unresolved). */
+  def redirectSynth(id: Column): Column =
+    when(id % 50 === 0, id + 1)
+      .when(id % 50 === 1, id - 1)
+      .when(id % 3 === 0, when(id % 9 === 0, id + 1).otherwise(id + 3))
+      .otherwise(lit(null).cast("long"))
+
+  /** Resolve each URL through a redirect map to its final destination,
+    * bounded at `maxHops` — the canonical-alias stage a crawler runs
+    * before URL dedup (two pages 301-ing to one target ARE one page).
+    * Output: `(url, final_url, hops, resolved)`; `resolved = false`
+    * means the walk still sat on a redirecting URL after `maxHops`
+    * (a longer chain or a cycle — HTTP clients cap redirects the same
+    * way rather than detect cycles exactly).
+    *
+    * The map is defensively collapsed to ONE target per source
+    * (min dst) so a malformed multi-target map stays deterministic.
+    *
+    * Scale: `maxHops` hash equi-joins on the current-location key. The
+    * hop count is a CONSTANT (real HTTP chains are client-capped at
+    * ~5–20), so this is k linear shuffles, not an iterate-to-fixpoint;
+    * Spark reuses the map side's exchange across hops. For functional
+    * graphs with genuinely long chains the pointer-doubling construction
+    * ([[Graph.ancestorClosure]]'s family) replaces k hops with log k
+    * doublings — not the web-redirect shape, so not used here.
+    */
+  def resolveRedirects(
+      urls: DataFrame, redirects: DataFrame, urlCol: String,
+      srcCol: String, dstCol: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "resolveRedirects: maxHops >= 1")
+    val r = redirects
+      .select(col(srcCol).as("__jk"), col(dstCol).as("__dst"))
+      .filter(col("__jk").isNotNull && col("__dst").isNotNull)
+      .groupBy(col("__jk")).agg(min(col("__dst")).as("__dst"))
+    var cur = urls.select(col(urlCol).as("url"))
+      .withColumn("final_url", col("url"))
+      .withColumn("hops", lit(0L))
+    for (_ <- 1 to maxHops) {
+      cur = cur.withColumnRenamed("final_url", "__jk")
+        .join(r, Seq("__jk"), "left")
+        .select(col("url"),
+          coalesce(col("__dst"), col("__jk")).as("final_url"),
+          (col("hops") +
+            when(col("__dst").isNotNull, 1L).otherwise(0L)).as("hops"))
+    }
+    cur.withColumnRenamed("final_url", "__jk")
+      .join(r.select(col("__jk"), lit(true).as("__more")), Seq("__jk"), "left")
+      .select(col("url"), col("__jk").as("final_url"), col("hops"),
+        not(coalesce(col("__more"), lit(false))).as("resolved"))
+  }
+
+  /** Change-rate-driven recrawl scheduling (the Cho–Garcia-Molina
+    * freshness problem, on the exact-rational estimator): from a fetch
+    * HISTORY of `(url, obs_no, changed)` observations taken
+    * `obsIntervalS` apart, estimate each URL's change interval as
+    * `observed window DIV changes` and clamp it to
+    * `[minIntervalS, maxIntervalS]` — a page that changed every probe
+    * recrawls at the floor, a never-changed page (estimated rate 0)
+    * backs off straight to the cap.
+    * Output: `(url, n_obs, n_changed, change_ppm, recrawl_interval_s)`
+    * — exact integers only (the float-MLE −n·ln(1−X/n) refinement buys
+    * nothing at the clamp granularity and would cost the 1-ulp libm
+    * caveat).
+    *
+    * Scale: ONE url-keyed aggregation over the fetch log with map-side
+    * partial combine — the log is the big side, the output is
+    * URL-bounded. */
+  def recrawlSchedule(
+      history: DataFrame, urlCol: String, changedCol: String,
+      obsIntervalS: Long, minIntervalS: Long, maxIntervalS: Long)
+      : DataFrame = {
+    require(obsIntervalS >= 1 && minIntervalS >= 1 &&
+      maxIntervalS >= minIntervalS,
+      "recrawlSchedule: 1 <= obsIntervalS, 1 <= minIntervalS <= maxIntervalS")
+    history
+      .groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col(changedCol), 1L).otherwise(0L)).as("n_changed"))
+      .withColumn("change_ppm", expr("(1000000 * n_changed) DIV n_obs"))
+      .withColumn("recrawl_interval_s",
+        when(col("n_changed") === 0L, lit(maxIntervalS))
+          .otherwise(least(greatest(
+            expr(s"(n_obs * ${obsIntervalS}L) DIV n_changed"),
+            lit(minIntervalS)), lit(maxIntervalS))))
+  }
 }

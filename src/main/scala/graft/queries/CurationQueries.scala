@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, WebCuration}
+import graft.operators.{Curation, Dedup, WebCuration}
 
 /** Corpus-curation queries (q71-q76): rule-based quality filtering,
   * deterministic sharding, duplicated-span detection, importance
@@ -936,8 +936,262 @@ object CurationQueries {
         "native from_xml (document order, optional elements NULL), discovered URLs " +
         "evaluated under the host's REP rules with the chosen group's crawl-delay — " +
         "the discovery -> politeness composition ahead of the frontier; oracle replays " +
-        "the decoded-content formula, never the XML bytes (the container convention)")
+        "the decoded-content formula, never the XML bytes (the container convention)"),
+
+    "q306_cdc_chunks" -> Q(
+      (s, dir) => {
+        // CONTENT-DEFINED chunking (the LBFS/rsync/FastCDC idea):
+        // boundaries come from a rolling md5 window over the text, so a
+        // copy with an inserted prefix keeps every interior chunk hash.
+        // The union plants exactly that case — each doc_id%10==0 doc
+        // reappears with an 8-char prefix under id+1000000 — making the
+        // shift resistance part of the oracled surface, not a spec-only
+        // claim: the shifted copy's chunks re-align after the first
+        // content boundary and hash-match the original's.
+        Dedup.cdcChunks(cdcCorpus(s, dir), "text", "doc_id")
+          .orderBy(col("doc"), col("chunk_no"))
+      },
+      Some(s"""${cdcChunksWith()}
+              |SELECT doc, CAST(chunk_no AS BIGINT) AS chunk_no,
+              |  CAST(c_start AS BIGINT) AS c_start,
+              |  CAST(clen AS BIGINT) AS chunk_len,
+              |  md5(substring(text, CAST(c_start AS INT), CAST(clen AS INT)))
+              |    AS chunk_hash
+              |FROM ch WHERE clen >= 1 ORDER BY doc, chunk_no""".stripMargin),
+      "content-defined chunking (rolling-md5 boundary predicate, 8-char window, " +
+        "8/256 rate): chunks tile each doc between content-positioned boundaries, " +
+        "so interior chunk hashes survive prefix insertion (planted shifted copies " +
+        "in the corpus demonstrate it under the oracle); ONE map-only pass — " +
+        "per-doc arrays, no shuffle, no window function"),
+
+    "q307_cdc_dedup" -> Q(
+      (s, dir) => {
+        // the shift-resistant dupSpans: duplicated = same (hash, len)
+        // chunk in >= 2 distinct docs; each planted shifted copy scores
+        // near-full coverage against its original even though every
+        // byte offset moved — the case fixed-offset L-gram sampling
+        // (q73's stride) structurally misses.
+        Dedup.cdcDedup(cdcCorpus(s, dir), "text", "doc_id")
+          .orderBy(col("doc"))
+      },
+      Some(s"""${cdcChunksWith()},
+              |ch2 AS (SELECT doc,
+              |    md5(substring(text, CAST(c_start AS INT), CAST(clen AS INT)))
+              |      AS h, clen
+              |  FROM ch WHERE clen >= 1),
+              |dup AS (SELECT h, clen FROM ch2 GROUP BY h, clen
+              |  HAVING count(DISTINCT doc) >= 2)
+              |SELECT c.doc, CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_dup_chunks,
+              |  CAST(sum(c.clen) AS BIGINT) AS total_chars,
+              |  CAST(sum(CASE WHEN d.h IS NOT NULL THEN c.clen ELSE 0 END)
+              |    AS BIGINT) AS dup_chars,
+              |  CAST((10000 * sum(CASE WHEN d.h IS NOT NULL THEN c.clen
+              |    ELSE 0 END)) // sum(c.clen) AS BIGINT) AS dup_bps
+              |FROM ch2 c LEFT JOIN dup d ON c.h = d.h AND c.clen = d.clen
+              |GROUP BY c.doc ORDER BY c.doc""".stripMargin),
+      "cross-document duplicate-chunk coverage over content-defined chunks — the " +
+        "shift-resistant exact-substring dedup signal: chunk df via ONE hash-keyed " +
+        "aggregation (map-side combine absorbs boilerplate-chunk skew), one join " +
+        "back, one doc-keyed rollup; exact integer bps, never a pairwise compare"),
+
+    "q308_redirect_resolve" -> Q(
+      (s, dir) => {
+        // canonical-alias resolution ahead of URL dedup: walk each url
+        // through the redirect map at most 4 hops. The synthesized map
+        // covers plain chains (3->6->9->10), a 2-cycle (0<->1 mod 50),
+        // and a chain INTO a cycle (99->100<->101) — the classes a
+        // bounded resolver must terminate on and flag unresolved.
+        val docs = Tables.table(s, dir, "documents")
+        val redirects = docs.select(col("doc_id").as("src"),
+            WebCuration.redirectSynth(col("doc_id")).as("dst"))
+          .filter(col("dst").isNotNull)
+        WebCuration.resolveRedirects(
+            docs.select(col("doc_id").as("url")), redirects,
+            "url", "src", "dst", maxHops = 4)
+          .orderBy(col("url"))
+      },
+      Some("""WITH r0 AS (SELECT doc_id AS src,
+             |    CASE WHEN doc_id % 50 = 0 THEN doc_id + 1
+             |         WHEN doc_id % 50 = 1 THEN doc_id - 1
+             |         WHEN doc_id % 3 = 0 THEN
+             |           CASE WHEN doc_id % 9 = 0 THEN doc_id + 1
+             |                ELSE doc_id + 3 END
+             |    END AS dst FROM documents),
+             |r AS (SELECT src, min(dst) AS dst FROM r0
+             |  WHERE dst IS NOT NULL GROUP BY src),
+             |h0 AS (SELECT doc_id AS url, doc_id AS f, 0 AS hops
+             |  FROM documents),
+             |h1 AS (SELECT url, coalesce(r.dst, f) AS f,
+             |    hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+             |  FROM h0 LEFT JOIN r ON h0.f = r.src),
+             |h2 AS (SELECT url, coalesce(r.dst, f) AS f,
+             |    hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+             |  FROM h1 LEFT JOIN r ON h1.f = r.src),
+             |h3 AS (SELECT url, coalesce(r.dst, f) AS f,
+             |    hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+             |  FROM h2 LEFT JOIN r ON h2.f = r.src),
+             |h4 AS (SELECT url, coalesce(r.dst, f) AS f,
+             |    hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops
+             |  FROM h3 LEFT JOIN r ON h3.f = r.src)
+             |SELECT h4.url, h4.f AS final_url, CAST(h4.hops AS BIGINT) AS hops,
+             |  (r.src IS NULL) AS resolved
+             |FROM h4 LEFT JOIN r ON h4.f = r.src
+             |ORDER BY h4.url""".stripMargin),
+      "bounded redirect-chain resolution (HTTP 3xx aliasing -> canonical URL): 4 " +
+        "hash equi-joins on the current-location key (constant hop count, the " +
+        "client-cap shape; Spark reuses the map side's exchange), terminal/chain/" +
+        "cycle/chain-into-cycle classes all exercised, unresolved walks flagged " +
+        "rather than iterated to fixpoint"),
+
+    "q309_recrawl_schedule" -> Q(
+      (s, dir) => {
+        // freshness loop: per-url fetch history (4 + doc%5 daily probes;
+        // probe j changed iff the first md5 hex of 'doc#j' < '4' — a
+        // deterministic ~25% change rate, portable to the oracle), then
+        // the exact-rational Cho-Garcia-Molina schedule: recrawl every
+        // observed-window DIV changes seconds, clamped to [1h, 30d].
+        val docs = Tables.table(s, dir, "documents")
+        val hist = docs.select(col("doc_id"))
+          .withColumn("obs_no",
+            explode(sequence(lit(1), (col("doc_id") % 5 + 4).cast("int"))))
+          .withColumn("changed",
+            substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+              col("obs_no").cast("string"))), 1, 1) < lit("4"))
+        WebCuration.recrawlSchedule(hist, "doc_id", "changed",
+            obsIntervalS = 86400L, minIntervalS = 3600L,
+            maxIntervalS = 2592000L)
+          .orderBy(col("url"))
+      },
+      Some("""WITH h0 AS (SELECT doc_id,
+             |    unnest(generate_series(1, doc_id % 5 + 4)) AS obs_no
+             |  FROM documents),
+             |h AS (SELECT doc_id AS url,
+             |    substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+             |      CAST(obs_no AS VARCHAR)), 1, 1) < '4' AS changed
+             |  FROM h0),
+             |a AS (SELECT url, count(*) AS n_obs,
+             |    sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed
+             |  FROM h GROUP BY url)
+             |SELECT url, CAST(n_obs AS BIGINT) AS n_obs,
+             |  CAST(n_changed AS BIGINT) AS n_changed,
+             |  CAST((1000000 * n_changed) // n_obs AS BIGINT) AS change_ppm,
+             |  CAST(CASE WHEN n_changed = 0 THEN 2592000
+             |    ELSE least(greatest((n_obs * 86400) // n_changed, 3600),
+             |      2592000) END AS BIGINT) AS recrawl_interval_s
+             |FROM a ORDER BY url""".stripMargin),
+      "change-rate-driven recrawl scheduling (the Cho-Garcia-Molina freshness " +
+        "problem on the exact-rational estimator): ONE url-keyed aggregation over " +
+        "the fetch log with map-side combine, interval = window DIV changes " +
+        "clamped to [1h, 30d] — exact integers, no float MLE"),
+
+    "q310_cdc_delta_dedup" -> Q(
+      (s, dir) => {
+        // the incremental crawl-vs-corpus question: how much of a fetch
+        // batch is already stored, byte-for-byte, at any alignment.
+        // Base = docs < 250's stored chunk table; delta = the rest PLUS
+        // two planted classes — shifted copies of base docs (%10==0,
+        // id+1000000: must score as dup_base through content-positioned
+        // chunks) and shifted copies of delta docs (%10==5, id+2000000:
+        // dup_delta pairs). delta x base + delta x delta only — the
+        // stored base is never self-joined.
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val base = docs.filter(col("doc_id") < 250)
+        val delta = docs.filter(col("doc_id") >= 250)
+          .unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("SHIFT>> "), col("text")).as("text")))
+          .unionByName(docs
+            .filter(col("doc_id") >= 250 && col("doc_id") % 10 === 5)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("SHIFT>> "), col("text")).as("text")))
+        Dedup.cdcDedupAgainstBase(
+            Dedup.cdcChunks(base, "text", "doc_id"), delta,
+            "text", "doc_id")
+          .orderBy(col("doc"))
+      },
+      Some(s"""${cdcChunksWith(
+               """SELECT doc_id AS doc, text FROM documents
+                 |  UNION ALL
+                 |  SELECT doc_id + 1000000, 'SHIFT>> ' || text FROM documents
+                 |  WHERE doc_id < 250 AND doc_id % 10 = 0
+                 |  UNION ALL
+                 |  SELECT doc_id + 2000000, 'SHIFT>> ' || text FROM documents
+                 |  WHERE doc_id >= 250 AND doc_id % 10 = 5""".stripMargin)},
+              |chh AS (SELECT doc,
+              |    md5(substring(text, CAST(c_start AS INT), CAST(clen AS INT)))
+              |      AS h, clen
+              |  FROM ch WHERE clen >= 1),
+              |basek AS (SELECT DISTINCT h, clen FROM chh WHERE doc < 250),
+              |dch AS (SELECT * FROM chh WHERE doc >= 250),
+              |dsh AS (SELECT h, clen FROM dch GROUP BY h, clen
+              |  HAVING count(DISTINCT doc) >= 2)
+              |SELECT d.doc, CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN b.h IS NOT NULL OR s.h IS NOT NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS dup_base_chunks,
+              |  CAST(sum(CASE WHEN b.h IS NULL AND s.h IS NOT NULL
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS dup_delta_chunks,
+              |  CAST(sum(d.clen) AS BIGINT) AS total_chars,
+              |  CAST(sum(CASE WHEN b.h IS NOT NULL OR s.h IS NOT NULL
+              |    THEN d.clen ELSE 0 END) AS BIGINT) AS dup_chars,
+              |  CAST((10000 * sum(CASE WHEN b.h IS NOT NULL OR s.h IS NOT NULL
+              |    THEN d.clen ELSE 0 END)) // sum(d.clen) AS BIGINT) AS dup_bps
+              |FROM dch d
+              |LEFT JOIN basek b ON d.h = b.h AND d.clen = b.clen
+              |LEFT JOIN dsh s ON d.h = s.h AND d.clen = s.clen
+              |GROUP BY d.doc ORDER BY d.doc""".stripMargin),
+      "incremental content-defined dedup: delta batch scored against the STORED " +
+        "base chunk table (delta x base + delta x delta, never base x base — the " +
+        "against-base discipline on CDC chunks); base read once through a " +
+        "key-distinct aggregation, delta chunked map-only into two hash joins; " +
+        "planted shifted copies prove both dup classes under the oracle")
   )
+
+  /** q306/q307's corpus: documents plus a prefix-shifted copy of every
+    * tenth doc under id+1000000 — the planted shift-duplication case. */
+  private def cdcCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("SHIFT>> "), col("text")).as("text")))
+  }
+
+  // the q306/q307 corpus in SQL (documents + prefix-shifted tenth docs)
+  private def cdcCorpusSql =
+    """SELECT doc_id AS doc, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'SHIFT>> ' || text FROM documents
+      |  WHERE doc_id % 10 = 0""".stripMargin
+
+  // the content-defined chunk table replayed in SQL over `corpusSql`
+  // (shared by q306/q307/q310): leaves `ch` (doc, chunk_no, c_start,
+  // clen, text) in scope — the clen >= 1 filter is NOT yet applied
+  private def cdcChunksWith(corpusSql: String = cdcCorpusSql) =
+    s"""WITH corpus AS (
+      |  $corpusSql),
+      |d AS (SELECT doc, text, len(text) AS l FROM corpus),
+      |b AS (SELECT doc, text, l,
+      |    CASE WHEN l <= 8 THEN [] ELSE list_filter(
+      |      generate_series(8, CAST(l - 1 AS BIGINT)),
+      |      i -> substring(md5(substring(text, CAST(i - 7 AS INT), 8)),
+      |        1, 2) < '08') END AS bnds
+      |  FROM d),
+      |st AS (SELECT doc, text, l,
+      |    list_concat([CAST(1 AS BIGINT)],
+      |      list_transform(bnds, x -> x + 1)) AS ss,
+      |    list_concat(bnds, [CAST(l AS BIGINT)]) AS es FROM b),
+      |ex AS (SELECT doc, text, ss, es,
+      |    unnest(generate_series(1, CAST(len(ss) AS BIGINT))) AS k
+      |  FROM st),
+      |ch AS (SELECT doc, k - 1 AS chunk_no, ss[k] AS c_start,
+      |    es[k] - ss[k] + 1 AS clen, text FROM ex)""".stripMargin
 
   // deterministic probe paths exercising every REP rule class: /private
   // (star-group disallow), /private/pub (star-group allow override),

@@ -173,7 +173,31 @@ object ScaleSmoke {
       // q305 sitemap discovery: both sides constant (40 hosts' sitemaps
       // + rules are control-plane data) — the ratio watches the parse +
       // gate plumbing staying flat as the corpus grows
-      "q305_sitemap_discovery")
+      "q305_sitemap_discovery",
+      // q306/q307 content-defined chunking: boundary detection is
+      // per-doc map-only array work, so chunk rows track total text
+      // bytes (~10x; the _rN token salt shifts boundary POSITIONS by
+      // design — row growth is the invariant, not positions). The
+      // planted shifted copies are id-keyed (doc_id%10==0) and the 10M
+      // replica offsets are divisible by 10, so each replica plants its
+      // own copies — q307's dup structure is per-replica-identical up
+      // to the salt. q307 adds the one hash-keyed df aggregation
+      // (map-side combine) + the doc rollup over those chunks
+      "q306_cdc_chunks", "q307_cdc_dedup",
+      // q310 against-base CDC dedup: the id-pinned base (< 250, replica
+      // 0 only) stays CONSTANT while the delta grows ~10x (the q289
+      // epoch-split argument) — the watched growth is the delta-sized
+      // chunk joins, the incremental-dedup claim
+      "q310_cdc_delta_dedup",
+      // q308 redirect resolution: 4 constant hash joins over a 10x url
+      // set — the 10M offsets rotate the %3/%9 class residues (fine:
+      // rows exactly 10x, the map stays same-replica because targets
+      // move ids by <= 3 and blocks are 10M apart)
+      "q308_redirect_resolve",
+      // q309 recrawl scheduling: the fetch log explodes 4-8 rows per
+      // doc (10M offsets preserve the %5 residues -> log rows exactly
+      // 10x) through ONE url-keyed aggregation with map-side combine
+      "q309_recrawl_schedule")
   // the join-heavy graph/basket operators, scaled on lineitem: replicas
   // offset BOTH l_orderkey and l_partkey, so baskets and items are
   // disjoint across replicas — edges, rules, and triangles scale exactly

@@ -296,4 +296,56 @@ class WebCurationSpec extends SparkSpec {
       10L -> ((1L, 0L)), 13L -> ((2L, 2L)), 12L -> ((3L, 4L)),
       15L -> ((1L, 0L))))
   }
+
+  test("resolveRedirects: chain, cycle, chain-into-cycle, terminal, and " +
+      "multi-target determinism under the bounded walk") {
+    val urls = Seq(1L, 2L, 4L, 5L, 10L, 20L, 30L, 40L).toDF("url")
+    val redirects = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1 -> 2 -> 3 -> 4
+      (10L, 11L), (11L, 10L),         // 2-cycle
+      (20L, 21L),                     // single hop to a non-url target
+      (30L, 31L), (30L, 35L),         // malformed multi-target: min wins
+      (40L, 10L))                     // chain INTO the cycle
+      .toDF("src", "dst")
+    val got = WebCuration.resolveRedirects(
+        urls, redirects, "url", "src", "dst", maxHops = 4)
+      .collect().map(r => r.getAs[Long]("url") ->
+        ((r.getAs[Long]("final_url"), r.getAs[Long]("hops"),
+          r.getAs[Boolean]("resolved")))).toMap
+    assert(got === Map(
+      1L -> ((4L, 3L, true)),
+      2L -> ((4L, 2L, true)),
+      4L -> ((4L, 0L, true)),   // terminal that IS a redirect target
+      5L -> ((5L, 0L, true)),   // never redirected
+      10L -> ((10L, 4L, false)), // 10->11->10->11->10, still redirecting
+      20L -> ((21L, 1L, true)),
+      30L -> ((31L, 1L, true)), // min(31, 35): deterministic
+      40L -> ((11L, 4L, false))))
+  }
+
+  test("recrawlSchedule: floor clamp, exact interval, cap, and the " +
+      "zero-change backoff-to-cap rule") {
+    val hist = Seq(
+      // url 1: changed every probe -> 40 DIV 4 = 10, clamped UP to 15
+      (1L, true), (1L, true), (1L, true), (1L, true),
+      // url 2: one change in four -> 40 s exactly
+      (2L, false), (2L, true), (2L, false), (2L, false),
+      // url 3: never changed -> straight to the cap
+      (3L, false), (3L, false), (3L, false), (3L, false),
+      // url 4: 2 of 10 -> 100 DIV 2 = 50
+      (4L, true), (4L, true), (4L, false), (4L, false), (4L, false),
+      (4L, false), (4L, false), (4L, false), (4L, false), (4L, false))
+      .toDF("url", "changed")
+    val got = WebCuration.recrawlSchedule(hist, "url", "changed",
+        obsIntervalS = 10L, minIntervalS = 15L, maxIntervalS = 1000L)
+      .collect().map(r => r.getAs[Long]("url") ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("n_changed"),
+          r.getAs[Long]("change_ppm"),
+          r.getAs[Long]("recrawl_interval_s")))).toMap
+    assert(got === Map(
+      1L -> ((4L, 4L, 1000000L, 15L)),
+      2L -> ((4L, 1L, 250000L, 40L)),
+      3L -> ((4L, 0L, 0L, 1000L)),
+      4L -> ((10L, 2L, 200000L, 50L))))
+  }
 }
