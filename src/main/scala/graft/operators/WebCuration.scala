@@ -446,20 +446,24 @@ object WebCuration {
     *
     * Scale: `maxHops` hash equi-joins on the current-location key. The
     * hop count is a CONSTANT (real HTTP chains are client-capped at
-    * ~5–20), so this is k linear shuffles, not an iterate-to-fixpoint;
-    * Spark reuses the map side's exchange across hops. For functional
-    * graphs with genuinely long chains the pointer-doubling construction
-    * ([[Graph.ancestorClosure]]'s family) replaces k hops with log k
-    * doublings — not the web-redirect shape, so not used here.
+    * ~5–20), so this is k linear shuffles, not an iterate-to-fixpoint.
+    * The collapsed map is MATERIALIZED once ([[Materialize.checkpoint]],
+    * the iterative-operator discipline) and consumed by all k+1 joins —
+    * without the cut, each hop re-scans and re-aggregates the redirect
+    * table (AQE's exchange reuse recovered only some of the five builds
+    * in the measured plan). For functional graphs with genuinely long
+    * chains the pointer-doubling construction ([[Graph.ancestorClosure]]'s
+    * family) replaces k hops with log k doublings — not the web-redirect
+    * shape, so not used here.
     */
   def resolveRedirects(
       urls: DataFrame, redirects: DataFrame, urlCol: String,
       srcCol: String, dstCol: String, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "resolveRedirects: maxHops >= 1")
-    val r = redirects
+    val r = Materialize.checkpoint(redirects
       .select(col(srcCol).as("__jk"), col(dstCol).as("__dst"))
       .filter(col("__jk").isNotNull && col("__dst").isNotNull)
-      .groupBy(col("__jk")).agg(min(col("__dst")).as("__dst"))
+      .groupBy(col("__jk")).agg(min(col("__dst")).as("__dst")))
     var cur = urls.select(col(urlCol).as("url"))
       .withColumn("final_url", col("url"))
       .withColumn("hops", lit(0L))
