@@ -291,6 +291,20 @@ object Bench {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(crawlStrTmp)).deleteRecursively(); ()
     } catch { case _: Throwable => () }
+    // the STREAMING CDC dedup door (q310's streaming twin): per batch a
+    // map-only chunking pass + the against-base score off the stored
+    // chunk index + idempotent partition overwrites
+    val cdcStrTmp = graft.Pipelines.prepareCdcStream(spark, sfDir)
+    val cdcStrSecs = timedEntry("pipeline_cdc_stream") {
+      val (nScored, nBaseDup) =
+        graft.Pipelines.replayCdcStream(spark, sfDir, cdcStrTmp)
+      System.err.println(
+        s"[bench] pipeline_cdc_stream scored=$nScored base_dup=$nBaseDup")
+    }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(cdcStrTmp)).deleteRecursively(); ()
+    } catch { case _: Throwable => () }
     val eventsSecs = timedEntry("pipeline_events") {
       {
         // the event-analytics family the way a feature pipeline runs it:
@@ -415,6 +429,7 @@ object Bench {
       "pipeline_stream_funnel" -> sfunnelSecs,
       "pipeline_stream_refresh" -> srefreshSecs, "pipeline_crawl" -> crawlSecs,
       "pipeline_crawl_stream" -> crawlStrSecs,
+      "pipeline_cdc_stream" -> cdcStrSecs,
       "pipeline_ann_refresh" -> annSecs,
       "pipeline_events" -> eventsSecs, "pipeline_insight" -> insightSecs,
       "pipeline_routing" -> routingSecs, "pipeline_monitor" -> monitorSecs,

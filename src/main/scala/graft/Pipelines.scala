@@ -393,6 +393,44 @@ object Pipelines {
       .count()
   }
 
+  /** Untimed setup for the STREAMING CDC dedup door: seed the chunk
+    * store from the accepted base (doc_id < 250) and stage the delta
+    * (>= 250) as two arrival files — the q310 epoch split, streamed. */
+  def prepareCdcStream(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdcstr-").toString
+    graft.streaming.StreamingCdcDedup.seedChunks(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", s"$tmp/chunks")
+    val delta = docs.filter(col("doc_id") >= 250)
+    delta.filter(col("doc_id") % 2 === 0).coalesce(2).write.parquet(s"$tmp/in")
+    Thread.sleep(20) // distinct mtimes: file source replays oldest-first
+    delta.filter(col("doc_id") % 2 =!= 0).coalesce(2)
+      .write.mode("append").parquet(s"$tmp/in")
+    tmp
+  }
+
+  /** The timed STREAMING CDC dedup door (benched as
+    * pipeline_cdc_stream): two micro-batches through
+    * [[graft.streaming.StreamingCdcDedup.run]] — per batch one map-only
+    * chunking pass over the delta, the against-base score (two
+    * delta-probed hash joins), and two idempotent partition overwrites,
+    * checkpoint machinery included. Returns (scored docs, docs with any
+    * base-duplicated chunk). */
+  def replayCdcStream(
+      spark: SparkSession, sfDir: String, tmp: String): (Long, Long) = {
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingCdcDedup.run(
+      stream, "text", "doc_id", s"$tmp/chunks", s"$tmp/scores", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val scores = graft.streaming.StreamingCdcDedup.readScores(
+      spark, s"$tmp/scores", Long.MaxValue)
+    (scores.count(),
+      scores.filter(col("dup_base_chunks") > 0).count())
+  }
+
   /** The timed crawl → text ladder (benched as pipeline_crawl): the
     * stored WARC dump → record walk (multi-member gunzip + header parse)
     * → response blocks → HTML main-content extraction → kept-line

@@ -1135,8 +1135,16 @@ object Dedup {
   def cdcDedupAgainstBase(
       baseChunks: DataFrame, deltaDocs: DataFrame,
       textCol: String, idCol: String,
-      window: Int = 8, boundaryHex: String = "08"): DataFrame = {
-    val dch = cdcChunks(deltaDocs, textCol, idCol, window, boundaryHex)
+      window: Int = 8, boundaryHex: String = "08"): DataFrame =
+    cdcScoreAgainstBase(baseChunks,
+      cdcChunks(deltaDocs, textCol, idCol, window, boundaryHex))
+
+  /** [[cdcDedupAgainstBase]] over an ALREADY-CHUNKED delta frame — the
+    * seam the streaming door uses so one chunking pass feeds both the
+    * score and the store append. Same output and scale shape. */
+  def cdcScoreAgainstBase(
+      baseChunks: DataFrame, deltaChunks: DataFrame): DataFrame = {
+    val dch = deltaChunks
     val baseKeys = baseChunks
       .select(col("chunk_hash"), col("chunk_len")).distinct()
       .withColumn("__in_base", lit(true))

@@ -74,17 +74,31 @@ object MemFloor {
     }
     graft.operators.Dedup.releaseAllCaches()
     val t5 = System.nanoTime()
+    // round-18 continuation: the streaming CDC dedup door under the
+    // same heap bound — the chunk pass is map-only arrays and the score
+    // joins are delta-probed; nothing may balloon with the stored index
+    val cdcTmp = graft.Pipelines.prepareCdcStream(spark, sfDir)
+    val (nCdcScored, nCdcBaseDup) = try
+      graft.Pipelines.replayCdcStream(spark, sfDir, cdcTmp)
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(cdcTmp)).deleteRecursively(); ()
+    }
+    graft.operators.Dedup.releaseAllCaches()
+    val t6 = System.nanoTime()
     val line =
       s"""{"heap_mb":$heapMb,"cpus":$cpus,"sf":"$sfDir","jac":$nJac,""" +
         s""""mh":$nMh,"keep":$nKeep,"sharded":$sharded,""" +
         s""""decided":$nDec,"funnel_kept":$nKept,""" +
         s""""refresh_decided":$nRDec,"refresh_kept":$nRKept,""" +
         s""""crawl_kept":$nCrawlKept,""" +
+        s""""cdc_scored":$nCdcScored,"cdc_base_dup":$nCdcBaseDup,""" +
         s""""dedup_shared_sec":${(t1 - t0) / 1e9},""" +
         s""""full_sec":${(t2 - t1) / 1e9},""" +
         s""""stream_funnel_sec":${(t3 - t2) / 1e9},""" +
         s""""stream_refresh_sec":${(t4 - t3) / 1e9},""" +
-        s""""crawl_stream_sec":${(t5 - t4) / 1e9}}"""
+        s""""crawl_stream_sec":${(t5 - t4) / 1e9},""" +
+        s""""cdc_stream_sec":${(t6 - t5) / 1e9}}"""
     spark.stop()
     println(s"MEMFLOOR_JSON $line")
     System.err.println(s"MEMFLOOR_JSON $line")
