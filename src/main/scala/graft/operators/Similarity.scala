@@ -312,66 +312,102 @@ object Similarity {
     * keep their previous centroid). Centroids are bounded driver state
     * (nClusters * dim longs) — the broadcast-table pattern.
     */
-  /** Smallest-md5 `n` quantized vectors — the deterministic seed set
-    * every Lloyd trainer starts from (a prefix of the same total order,
-    * so trainers needing different seed counts can share one collect).
-    */
-  private def seedVectors(e: DataFrame, n: Int): Array[Array[Double]] = e
-    .select(col("vid"), col("vq"), md5(col("vid").cast("string")).as("h"))
-    .orderBy(col("h"), col("vid")).limit(n)
-    .collect().map(_.getSeq[Double](1).toArray)
-
   /** Codebook-training sample bound: every Lloyd trainer learns its
     * centroids/codebooks from the `TrainSampleSize` md5-smallest vectors
     * instead of scanning the full corpus once per round. KMeans codebook
     * quality saturates far below this sample size for the cluster counts
-    * the API allows (≤ 256), so at 100 TB the training loop costs a
-    * bounded top-n select + `iters` scans of a ≤1024-row cached frame —
-    * CONSTANT, not corpus-linear — while the assignment/encode/scan
-    * passes stay full-corpus and exact. The sample is a PREFIX of the
-    * same md5 total order [[seedVectors]] uses, so seeds are unchanged
-    * and a corpus with ≤ `TrainSampleSize` vectors trains bit-identically
-    * to the former full-corpus loop; larger corpora learn (equally valid,
-    * SQL-replayed) sampled codebooks.
+    * the API allows (≤ 256), so at 100 TB the training loop costs ONE
+    * bounded top-n collect — CONSTANT, not corpus-linear — while the
+    * assignment/encode/scan passes stay full-corpus and exact. Seeds are
+    * the sample prefix (same md5 total order), so a corpus with ≤
+    * `TrainSampleSize` vectors trains bit-identically to the former
+    * full-corpus loop; larger corpora learn (equally valid, SQL-replayed)
+    * sampled codebooks.
     */
   private[operators] val TrainSampleSize = 1024
 
   /** The md5-smallest [[TrainSampleSize]] rows of a [[quantized]] frame,
-    * persisted via the shared tracked cache (each Lloyd round rescans it;
-    * the top-n is a per-partition limit + merge, never a global sort).
+    * collected once (≤ 1024 × dim integer-valued doubles — bounded driver
+    * state, the same contract as the centroid table itself). Every Lloyd
+    * round then runs DRIVER-SIDE over this array instead of launching a
+    * Spark job per round: the arithmetic is exact-integer-valued f64
+    * (sums of integers < 2^53 are exact in any association), so the
+    * driver loop is bit-identical to the former distributed rounds while
+    * removing `iters` job launches + shuffles per trainer — a fixed
+    * per-query stage-barrier cost at ANY corpus size (the top-n select is
+    * a per-partition limit + merge, never a global sort).
     */
-  private[operators] def trainingSample(e: DataFrame): DataFrame =
-    Dedup.persistTracked(
-      e.select(col("vid"), col("vq"), col("vv"),
-          md5(col("vid").cast("string")).as("__h"))
-        .orderBy(col("__h"), col("vid")).limit(TrainSampleSize)
-        .drop("__h"))
+  private def collectTrainingSample(
+      e: DataFrame): Array[(Array[Double], Double)] = e
+    .select(col("vid"), col("vq"), col("vv"),
+      md5(col("vid").cast("string")).as("__h"))
+    .orderBy(col("__h"), col("vid")).limit(TrainSampleSize)
+    .collect()
+    .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
 
-  /** One exact-integer Lloyd round: assignment + floorDiv means (empty
-    * clusters keep their previous centroid). One corpus scan.
+  /** Driver twin of [[nearestCid]]: same packed (dist * 256 + cid) argmin
+    * over the same exact-integer f64 expansion, so assignments match the
+    * codegen expression bit-for-bit.
     */
-  private def coarseRound(
-      e: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
-    val sums = e.select(nearestCid(col("vq"), col("vv"), centroids).as("cid"),
-        posexplode(col("vq")).as(Seq("d", "x")))
-      .groupBy(col("cid"), col("d"))
-      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
-      .collect()
+  private def nearestCidLocal(
+      vq: Array[Double], vv: Double, cs: Array[Array[Double]]): Int = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var dot = 0.0
+      var cc = 0.0
+      var d = 0
+      while (d < c.length) { dot += vq(d) * c(d); cc += c(d) * c(d); d += 1 }
+      val packed = (vv - 2.0 * dot + cc).toLong * 256 + i
+      if (packed < best) best = packed
+      i += 1
+    }
+    (best % 256).toInt
+  }
+
+  /** One exact-integer Lloyd round over the collected sample: assignment
+    * + floorDiv means (empty clusters keep their previous centroid).
+    */
+  private def coarseRoundLocal(
+      sample: Array[(Array[Double], Double)],
+      centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = centroids.length
+    val dim = if (k > 0) centroids(0).length else 0
+    val sums = Array.ofDim[Long](k, dim)
+    val cnt = new Array[Long](k)
+    sample.foreach { case (vq, vv) =>
+      val cid = nearestCidLocal(vq, vv, centroids)
+      cnt(cid) += 1
+      var d = 0
+      while (d < dim) { sums(cid)(d) += vq(d).toLong; d += 1 }
+    }
     val next = centroids.map(_.clone())
-    sums.foreach { r =>
-      next(r.getInt(0))(r.getInt(1)) =
-        Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble
+    var i = 0
+    while (i < k) {
+      if (cnt(i) > 0) {
+        var d = 0
+        while (d < dim) {
+          next(i)(d) = Math.floorDiv(sums(i)(d), cnt(i)).toDouble
+          d += 1
+        }
+      }
+      i += 1
     }
     next
   }
 
-  private[operators] def trainIntCentroids(
-      e: DataFrame, nClusters: Int, iters: Int): Array[Array[Double]] = {
-    val tr = trainingSample(e)
-    var centroids = seedVectors(tr, nClusters)
-    for (_ <- 1 to iters) centroids = coarseRound(tr, centroids)
+  private def coarseLoopLocal(
+      sample: Array[(Array[Double], Double)], nClusters: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = sample.take(nClusters).map(_._1.clone())
+    for (_ <- 1 to iters) centroids = coarseRoundLocal(sample, centroids)
     centroids
   }
+
+  private[operators] def trainIntCentroids(
+      e: DataFrame, nClusters: Int, iters: Int): Array[Array[Double]] =
+    coarseLoopLocal(collectTrainingSample(e), nClusters, iters)
 
   def kmeansIntTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -420,40 +456,53 @@ object Similarity {
     * never corpus-linear. Codebooks are bounded driver state
     * (nCentroids · dim longs total), broadcast back as literals.
     */
-  /** One exact-integer PQ round over all m subspaces — ONE corpus scan
-    * (per-row assignment columns, then a single exploded (subspace, cid,
-    * dim) aggregation). Same empty-cell keep-previous semantics.
+  /** One exact-integer PQ round over all m subspaces of the collected
+    * sample. Same empty-cell keep-previous semantics; subspace slices and
+    * their |sl|² are exact integers, so the driver loop reproduces the
+    * former distributed round bit-for-bit.
     */
-  private def pqRound(
-      e: DataFrame, books: Array[Array[Array[Double]]],
+  private def pqRoundLocal(
+      sample: Array[(Array[Double], Double)],
+      books: Array[Array[Array[Double]]],
       sub: Int): Array[Array[Array[Double]]] = {
     val m = books.length
-    // stage each subspace slice ONCE per row: nearestCid fans the slice
-    // into nCentroids distance expressions, and an inline slice() would
-    // re-materialize the sub-array per centroid (CollapseProject keeps
-    // the staging project because slice is non-cheap and multiply-used)
-    val staged = e.select(
-      (0 until m).map(j =>
-        slice(col("vq"), j * sub + 1, sub).as(s"sq$j")): _*)
-    val assigned = staged.select(
-      (0 until m).flatMap { j =>
-        val sl = col(s"sq$j")
-        Seq(sl, nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j"))
-      }: _*)
-    val sums = assigned
-      .select(explode(array((0 until m).map { j =>
-        struct(lit(j).as("j"), col(s"cid$j").as("cid"),
-          col(s"sq$j").as("sq"))
-      }: _*)).as("s"))
-      .select(col("s.j").as("j"), col("s.cid").as("cid"),
-        posexplode(col("s.sq")).as(Seq("d", "x")))
-      .groupBy(col("j"), col("cid"), col("d"))
-      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
-      .collect()
+    val nc = books(0).length
+    val sums = Array.ofDim[Long](m, nc, sub)
+    val cnt = Array.ofDim[Long](m, nc)
+    val sl = new Array[Double](sub)
+    sample.foreach { case (vq, _) =>
+      var j = 0
+      while (j < m) {
+        var d = 0
+        var slvv = 0.0
+        while (d < sub) {
+          val x = vq(j * sub + d)
+          sl(d) = x
+          slvv += x * x
+          d += 1
+        }
+        val cid = nearestCidLocal(sl, slvv, books(j))
+        cnt(j)(cid) += 1
+        d = 0
+        while (d < sub) { sums(j)(cid)(d) += sl(d).toLong; d += 1 }
+        j += 1
+      }
+    }
     val next = books.map(_.map(_.clone()))
-    sums.foreach { r =>
-      next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-        Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < nc) {
+        if (cnt(j)(c) > 0) {
+          var d = 0
+          while (d < sub) {
+            next(j)(c)(d) = Math.floorDiv(sums(j)(c)(d), cnt(j)(c)).toDouble
+            d += 1
+          }
+        }
+        c += 1
+      }
+      j += 1
     }
     next
   }
@@ -469,15 +518,20 @@ object Similarity {
       seeds.take(nCentroids).map(_.slice(j * sub, (j + 1) * sub))), sub)
   }
 
-  private[operators] def trainPqCodebooks(
-      e: DataFrame, m: Int, nCentroids: Int,
+  private def pqLoopLocal(
+      sample: Array[(Array[Double], Double)], m: Int, nCentroids: Int,
       iters: Int): Array[Array[Array[Double]]] = {
-    val tr = trainingSample(e)
-    val (books0, sub) = pqSeedBooks(seedVectors(tr, nCentroids), m, nCentroids)
+    val (books0, sub) =
+      pqSeedBooks(sample.take(nCentroids).map(_._1), m, nCentroids)
     var books = books0
-    for (_ <- 1 to iters) books = pqRound(tr, books, sub)
+    for (_ <- 1 to iters) books = pqRoundLocal(sample, books, sub)
     books
   }
+
+  private[operators] def trainPqCodebooks(
+      e: DataFrame, m: Int, nCentroids: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    pqLoopLocal(collectTrainingSample(e), m, nCentroids, iters)
 
   /** Trains the coarse centroids AND the PQ codebooks together, fusing
     * each pair of Lloyd rounds into ONE corpus scan (coarse assignment +
@@ -492,44 +546,13 @@ object Similarity {
       e: DataFrame, nClusters: Int, coarseIters: Int, m: Int,
       nCentroids: Int, pqIters: Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val tr = trainingSample(e)
-    val seeds = seedVectors(tr, math.max(nClusters, nCentroids))
-    var centroids = seeds.take(nClusters)
-    val (books0, sub) = pqSeedBooks(seeds, m, nCentroids)
-    var books = books0
-    for (_ <- 1 to math.min(coarseIters, pqIters)) {
-      val assigned = tr.select(
-        col("vq") +:
-          nearestCid(col("vq"), col("vv"), centroids).as("cidc") +:
-          (0 until m).map { j =>
-            val sl = slice(col("vq"), j * sub + 1, sub)
-            nearestCid(sl, V.dot(sl, sl), books(j)).as(s"cid$j")
-          }: _*)
-      val sums = assigned
-        .select(explode(array(
-          struct(lit(-1).as("j"), col("cidc").as("cid"), col("vq").as("sq")) +:
-            (0 until m).map { j =>
-              struct(lit(j).as("j"), col(s"cid$j").as("cid"),
-                slice(col("vq"), j * sub + 1, sub).as("sq"))
-            }: _*)).as("s"))
-        .select(col("s.j").as("j"), col("s.cid").as("cid"),
-          posexplode(col("s.sq")).as(Seq("d", "x")))
-        .groupBy(col("j"), col("cid"), col("d"))
-        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-      val nextC = centroids.map(_.clone())
-      val nextB = books.map(_.map(_.clone()))
-      sums.foreach { r =>
-        val v = Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble
-        if (r.getInt(0) < 0) nextC(r.getInt(1))(r.getInt(2)) = v
-        else nextB(r.getInt(0))(r.getInt(1))(r.getInt(2)) = v
-      }
-      centroids = nextC
-      books = nextB
-    }
-    for (_ <- 1 to (coarseIters - pqIters)) centroids = coarseRound(tr, centroids)
-    for (_ <- 1 to (pqIters - coarseIters)) books = pqRound(tr, books, sub)
-    (centroids, books)
+    // the coarse and PQ state never interact (the former fused rounds
+    // only shared the per-round corpus scan, which the driver loop no
+    // longer pays), so the two loops run independently off ONE collected
+    // sample — bit-identical to the fused formulation by construction
+    val sample = collectTrainingSample(e)
+    (coarseLoopLocal(sample, nClusters, coarseIters),
+      pqLoopLocal(sample, m, nCentroids, pqIters))
   }
 
   /** PQ-ADC approximate top-k (asymmetric distance computation): the
