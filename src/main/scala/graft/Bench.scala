@@ -317,17 +317,20 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           ev.count()
-          val nF = graft.operators.EventAnalytics.funnel(ev, "user_id", "event_type",
-            "tsu", Seq("view", "click", "purchase"), 86400L * 1000000L).count()
-          val nA = graft.operators.EventAnalytics.attributeConversions(ev, "user_id",
-            "event_type", "tsu", "event_id", "value",
-            Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()
-          val nR = graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "tsu").count()
-          val nT = graft.operators.EventAnalytics.transitionMatrix(ev, "user_id",
-            "event_type", "tsu", "event_id").count()
+          // five independent aggregation families off the one cached
+          // scan: overlap the jobs (guide §2.6)
           val holt = graft.functions.HoltFunctions.holtUdaf(300000L, 100000L)
-          val nH = ev.groupBy(col("event_type"))
-            .agg(holt(col("tsu"), col("event_id"), col("value")).as("h")).count()
+          val Seq(nF, nA, nR, nT, nH) = graft.Pipelines.concurrently(Seq(
+            () => graft.operators.EventAnalytics.funnel(ev, "user_id", "event_type",
+              "tsu", Seq("view", "click", "purchase"), 86400L * 1000000L).count(),
+            () => graft.operators.EventAnalytics.attributeConversions(ev, "user_id",
+              "event_type", "tsu", "event_id", "value",
+              Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count(),
+            () => graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "tsu").count(),
+            () => graft.operators.EventAnalytics.transitionMatrix(ev, "user_id",
+              "event_type", "tsu", "event_id").count(),
+            () => ev.groupBy(col("event_type"))
+              .agg(holt(col("tsu"), col("event_id"), col("value")).as("h")).count()))
           System.err.println(
             s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
         } finally ev.unpersist(blocking = false)
@@ -353,12 +356,13 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           tagged.count()
-          val nF = graft.operators.EventAnalytics.funnel(tagged, "skey",
-            "event_type", "tsu", Seq("view", "click", "purchase"),
-            86400L * 1000000L).count()
-          val nA = graft.operators.EventAnalytics.attributeConversions(tagged,
-            "skey", "event_type", "tsu", "id", "value",
-            Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()
+          val Seq(nF, nA) = graft.Pipelines.concurrently(Seq(
+            () => graft.operators.EventAnalytics.funnel(tagged, "skey",
+              "event_type", "tsu", Seq("view", "click", "purchase"),
+              86400L * 1000000L).count(),
+            () => graft.operators.EventAnalytics.attributeConversions(tagged,
+              "skey", "event_type", "tsu", "id", "value",
+              Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()))
           System.err.println(s"[bench] pipeline_insight funnel=$nF attr=$nA")
         } finally tagged.unpersist(blocking = false)
       }
@@ -379,10 +383,11 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           scored.count()
-          val nRep = graft.operators.ModelEval.classificationReport(
-            scored.join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did")),
-            "lang", "predicted").count()
-          val nEsc = scored.filter(col("margin_micro") < 5000000L).count()
+          val Seq(nRep, nEsc) = graft.Pipelines.concurrently(Seq(
+            () => graft.operators.ModelEval.classificationReport(
+              scored.join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did")),
+              "lang", "predicted").count(),
+            () => scored.filter(col("margin_micro") < 5000000L).count()))
           System.err.println(s"[bench] pipeline_routing report=$nRep escalate=$nEsc")
         } finally {
           scored.unpersist(blocking = false)
@@ -414,10 +419,11 @@ object Bench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           hist.count()
-          val nLz = graft.operators.DataPrep.lorenzFromHistogram(hist).count()
-          val nTm = graft.operators.DataPrep
-            .trimmedMeanBpsFromHistogram(hist).count()
-          val nHl = graft.operators.DataPrep.hillFromHistogram(hist).count()
+          val Seq(nLz, nTm, nHl) = graft.Pipelines.concurrently(Seq(
+            () => graft.operators.DataPrep.lorenzFromHistogram(hist).count(),
+            () => graft.operators.DataPrep
+              .trimmedMeanBpsFromHistogram(hist).count(),
+            () => graft.operators.DataPrep.hillFromHistogram(hist).count()))
           System.err.println(
             s"[bench] pipeline_profile lorenz=$nLz trimmed=$nTm hill=$nHl")
         } finally hist.unpersist(blocking = false)

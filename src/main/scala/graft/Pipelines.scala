@@ -12,6 +12,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pipelines {
 
+  /** Run independent Spark actions concurrently (optimization guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially — submitting independent jobs from a small thread pool
+    * lets the next job's tasks back-fill executors freed by the current
+    * job's tail). FIFO scheduling gives exactly that back-fill behavior;
+    * results keep input order, so compositions are unchanged. The pool
+    * is capped small: enough to fill stage-barrier/tail gaps, not so
+    * many that concurrent jobs fight for cores (or heap at the
+    * tools.MemFloor 512 MB floor).
+    */
+  private[graft] def concurrently[A](tasks: Seq[() => A],
+      parallelism: Int = 4): Seq[A] = {
+    if (tasks.size <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, tasks.size))
+      try {
+        tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = t() }))
+          .map(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
   /** The end-to-end curation funnel (PipelineEndToEndSpec, benched as
     * pipeline_full): gopher gate → exact dedup → near-dup keep-one (ONE
     * materialized shingle index) → bloom decontaminate → shard compose.
@@ -58,10 +82,15 @@ object Pipelines {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       index.count()
-      val nJac = operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count()
-      val nMh = mh.count()
-      val nKeep = operators.Dedup.keepRepresentatives(docs, "doc_id", mh)
-        .filter(col("keep")).count()
+      // the jaccard pass and the (minhash count -> keep) chain are
+      // independent consumers of the materialized index: overlap them
+      val Seq((nJac, _), (nMh, nKeep)) = concurrently(Seq(
+        () => (operators.Dedup.ngramJaccardPairsFromIndex(index, 0.8).count(), 0L),
+        () => {
+          val m = mh.count()
+          (m, operators.Dedup.keepRepresentatives(docs, "doc_id", mh)
+            .filter(col("keep")).count())
+        }))
       (nJac, nMh, nKeep)
     } finally {
       mh.unpersist(blocking = false)
@@ -478,7 +507,12 @@ object Pipelines {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       daily.count()
-      monitorFrames(daily).map { case (name, df) => name -> df.count() }
+      // eleven independent monitors off one cached frame: overlap the
+      // eleven count jobs (§2.6) — each is a short window/agg chain
+      // whose stage barriers otherwise serialize
+      val frames = monitorFrames(daily)
+      frames.map(_._1).zip(
+        concurrently(frames.map { case (_, df) => () => df.count() }))
     } finally daily.unpersist(blocking = false)
   }
 
