@@ -484,10 +484,13 @@ object FeatureQueries {
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"),
+        // q129 rewrite for the pair build only — the vocabulary argument
+        // below keeps the raw frame, so negativeSamples' input is unchanged
+        val liD = li.distinct()
+        val pairs = liD.as("x").join(liD.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         FeatureEng.negativeSamples(pairs, "pa", "pb",
             li.select(col("pk")), "pk", k = 4)

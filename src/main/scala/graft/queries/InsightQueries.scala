@@ -105,13 +105,14 @@ object InsightQueries {
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct() // q129 rewrite: unique join rows ⇒ plain count below
         // co-purchase graph: parts sharing >= 2 distinct orders (the
         // support threshold keeps edge density at the association level,
         // not the random-co-occurrence level)
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.triangleCounts(edges, "pa", "pb").orderBy(col("node"))
       },
@@ -311,12 +312,17 @@ object InsightQueries {
     // ------------------------------------------------------------ k-core
     "q115_kcore" -> Q(
       (s, dir) => {
+        // distinct (ok, pk) FIRST (the q129 rewrite): each (pa, pb, ok)
+        // join row is then unique by construction, so the support count
+        // is a plain count — the count_distinct expansion over the pair
+        // fan-out drops away, and the self-join input shrinks
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.kCore(edges, "pa", "pb", k = 2, maxRounds = 6).orderBy(col("node"))
       },
@@ -1514,11 +1520,12 @@ object InsightQueries {
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct() // q129 rewrite: unique join rows ⇒ plain count below
         // the q108 co-purchase graph: parts sharing >= 2 distinct orders
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.adamicAdar(edges, "pa", "pb", maxDeg = 1000)
           .orderBy(col("id_a"), col("id_b"))
@@ -1586,12 +1593,17 @@ object InsightQueries {
     // ---------------- graph: local clustering coefficient per node
     "q253_clustering_coeff" -> Q(
       (s, dir) => {
+        // distinct (ok, pk) FIRST (the q129 rewrite): each (pa, pb, ok)
+        // join row is then unique by construction, so the support count
+        // is a plain count — the count_distinct expansion over the pair
+        // fan-out drops away, and the self-join input shrinks
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.clusteringCoefficient(edges, "pa", "pb").orderBy(col("node"))
       },
@@ -1623,12 +1635,17 @@ object InsightQueries {
     // ---------------- graph: degree assortativity (Newman r)
     "q254_assortativity" -> Q(
       (s, dir) => {
+        // distinct (ok, pk) FIRST (the q129 rewrite): each (pa, pb, ok)
+        // join row is then unique by construction, so the support count
+        // is a plain count — the count_distinct expansion over the pair
+        // fan-out drops away, and the self-join input shrinks
         val li = Tables.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("pa"), col("y.pk").as("pb"))
-          .agg(count_distinct(col("x.ok")).as("supp"))
+          .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
         Graph.degreeAssortativity(edges, "pa", "pb")
       },
