@@ -570,10 +570,18 @@ object DataPrep {
         Window.partitionBy(col("grp")).orderBy(col("vm"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+    // min(vm) over {cw·10⁴ ≥ q·tw} is exactly the FIRST crossing row
+    // (cw is strictly increasing in vm within a group), so instead of
+    // fanning the whole histogram × |qBps| into a grouped min (the old
+    // crossJoin + filter shuffled ~half the histogram per quantile), keep
+    // only rows whose [cw−w, cw) span crosses a threshold — ≤ |qBps| rows
+    // per group survive and the final aggregation is control-plane-sized
     cum.crossJoin(broadcast(qBps.sorted.toDF("q_bps")))
       .filter(expr(
         """CAST(cw AS DECIMAL(38,0)) * 10000
-          | >= CAST(q_bps AS DECIMAL(38,0)) * tw""".stripMargin))
+          | >= CAST(q_bps AS DECIMAL(38,0)) * tw""".stripMargin) &&
+        expr("""CAST(cw - w AS DECIMAL(38,0)) * 10000
+               | < CAST(q_bps AS DECIMAL(38,0)) * tw""".stripMargin))
       .groupBy(col("grp"), col("q_bps"))
       .agg(min(col("vm")).as("wq_value_micro"),
         max(col("tw")).as("total_weight_micro"))
@@ -675,7 +683,14 @@ object DataPrep {
       .withColumn("tv", sum(col("bs")).over(Window.partitionBy(col("grp"))))
     cum.crossJoin(broadcast((1 to buckets).toDF("decile")))
       .withColumn("kd", expr(s"(decile * n) DIV $buckets"))
-      .filter(col("cc") >= col("kd"))
+      // the grouped min(struct(cc, …)) below picks the FIRST block with
+      // cc ≥ kd; cc is strictly increasing within a group, so keeping
+      // only the crossing block (previous cumulative cc−c below the cut;
+      // greatest(kd,1) makes kd=0 read the first block) is equivalent —
+      // and the aggregation shuffles ≤ buckets rows per group instead of
+      // ~half the histogram per decile
+      .filter(col("cc") >= col("kd") &&
+        col("cc") - col("c") < greatest(col("kd"), lit(1L)))
       .groupBy(col("grp"), col("decile"))
       .agg(min(struct(col("cc"), col("vm"), col("cs"), col("kd"),
         col("n"), col("tv"))).as("pk"))
@@ -724,7 +739,11 @@ object DataPrep {
         Window.partitionBy(col("grp")).orderBy(col("vm").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
-    val thr = cum.filter(col("cc") >= lit(k.toLong + 1L))
+    // first-crossing-block filter (see lorenzFromHistogram): the min
+    // picks the first block with cc ≥ k+1, and n is group-constant, so
+    // restricting to the crossing block changes nothing
+    val thr = cum.filter(col("cc") >= lit(k.toLong + 1L) &&
+        col("cc") - col("c") < lit(k.toLong + 1L))
       .groupBy(col("grp"))
       .agg(min(struct(col("cc"), col("vm"))).as("pk"),
         max(col("n")).as("n_pos"))
@@ -798,7 +817,11 @@ object DataPrep {
       .crossJoin(broadcast(Seq(("lo", loBps), ("hi", hiBps))
         .toDF("cut", "bps")))
       .withColumn("kd", expr("(bps * n) DIV 10000"))
-      .filter(col("cc") >= col("kd"))
+      // first-crossing-block filter (see lorenzFromHistogram): equivalent
+      // to the grouped min over all cc ≥ kd blocks, shuffling 2 rows per
+      // group instead of the upper half of the histogram per cut
+      .filter(col("cc") >= col("kd") &&
+        col("cc") - col("c") < greatest(col("kd"), lit(1L)))
       .groupBy(col("grp"), col("cut"))
       .agg(min(struct(col("cc"), col("vm"), col("cs"), col("kd"),
         col("n"))).as("pk"))
