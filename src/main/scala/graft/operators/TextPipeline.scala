@@ -672,8 +672,25 @@ object TextPipeline {
     * documents still emit their sentinel rows.
     */
   def unigramCrossEntropyFromCounts(
-      dt: DataFrame, docIds: DataFrame): DataFrame = {
-    val cnt = dt.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
+      dt: DataFrame, docIds: DataFrame): DataFrame =
+    unigramCrossEntropyFromCounts(dt, docIds, restrictToDocIds = false)
+
+  /** `restrictToDocIds = true`: the per-doc scoring join + sum runs only
+    * over `docIds` (broadcast semi-join on the (doc, token) frame) while
+    * the unigram LM still trains on the FULL `dt` — the reranker shape
+    * (q215): score a handful of retrieved candidates under the corpus
+    * LM without paying the corpus-sized scoring pass. Scores for the
+    * restricted docs are bit-identical to the unrestricted variant (the
+    * LM is the same; per-doc sums are per-doc). Leave false when docIds
+    * IS the corpus — a corpus-sized semi-join would only add a shuffle.
+    */
+  def unigramCrossEntropyFromCounts(
+      dt0: DataFrame, docIds: DataFrame,
+      restrictToDocIds: Boolean): DataFrame = {
+    val dt = if (restrictToDocIds)
+      dt0.join(broadcast(docIds.select(col("doc"))), Seq("doc"), "left_semi")
+    else dt0
+    val cnt = dt0.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
     val tot = cnt.agg(sum(col("cf")).as("n"), count(lit(1)).as("v"))
     val sc = cnt.crossJoin(broadcast(tot))
       .select(col("t"),

@@ -2896,10 +2896,16 @@ object ExtensionQueries {
         // BOTH rankers ride one persisted (doc, token) count frame — the
         // corpus tokenizes exactly once (docTokenCounts materialize-once)
         val dt = TextPipeline.docTokenCountsPersisted(docs, "text", "doc_id")
-        val lex = TextPipeline.bm25TopKFromCounts(
-          dt, docs.agg(count(lit(1)).as("n")), qs, k = 20)
+        // persisted: the lex ranking feeds THREE consumers below (the CE
+        // candidate list, the qual reranker, and the fusion union)
+        val lex = graft.operators.Dedup.persistTracked(
+          TextPipeline.bm25TopKFromCounts(
+            dt, docs.agg(count(lit(1)).as("n")), qs, k = 20))
+        // the CE reranker only ever scores lex's top-k candidates (the
+        // join below) — restrict the per-doc scoring pass to them while
+        // the LM still trains on the full counts frame (identical scores)
         val ce = TextPipeline.unigramCrossEntropyFromCounts(
-          dt, docs.select(col("doc_id").as("doc")))
+          dt, lex.select(col("doc")).distinct(), restrictToDocIds = true)
         val qual = lex.select(col("query_id"), col("doc"))
           .join(ce, Seq("doc"))
           .withColumn("rank", row_number().over(
