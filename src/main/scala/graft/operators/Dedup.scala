@@ -360,13 +360,15 @@ object Dedup {
     val hot = posting.join(
       dfs.filter(col("df") > maxDf).select(col("s")), Seq("s"), "left_semi")
     val hotPerDoc = hot.groupBy(col("doc")).agg(count(lit(1)).as("hot_cnt"))
+    // one (doc, sz, hot_cnt) side table instead of four separate doc-keyed
+    // joins: same values (hot_cnt null ⇒ 0 via the left join), half the
+    // join/barrier count on the pair frame
+    val docStats = sizes.join(hotPerDoc, Seq("doc"), "left")
     val withSizes = cntRare
-      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .join(hotPerDoc.select(col("doc").as("id_a"), col("hot_cnt").as("hot_a")),
-        Seq("id_a"), "left")
-      .join(hotPerDoc.select(col("doc").as("id_b"), col("hot_cnt").as("hot_b")),
-        Seq("id_b"), "left")
+      .join(docStats.select(col("doc").as("id_a"), col("sz").as("sz_a"),
+        col("hot_cnt").as("hot_a")), Seq("id_a"))
+      .join(docStats.select(col("doc").as("id_b"), col("sz").as("sz_b"),
+        col("hot_cnt").as("hot_b")), Seq("id_b"))
       .withColumn("__ub", col("cnt_rare") +
         least(coalesce(col("hot_a"), lit(0L)), coalesce(col("hot_b"), lit(0L))))
     val survivors = pruneKeep match {
