@@ -789,6 +789,19 @@ object Dedup {
       .join(edges.select(col("src").as("n")), Seq("n"), "left_semi")
       .isEmpty
 
+  /** Edge-count gate below which [[connectedComponents]] runs a driver
+    * union-find off one bounded collect instead of the distributed star
+    * rounds. Near-dup pair graphs are pair-THRESHOLDED (only candidates
+    * passing a similarity gate become edges), so the common case is
+    * orders of magnitude below this; 10⁶ distinct edges collect as
+    * ~16 MB of longs (+ a ≤2·10⁶-entry LongMap), bounded driver state.
+    * Labels are the component minimum either way — identical output —
+    * but the driver path replaces ~4 jobs + 2 checkpoints PER STAR ROUND
+    * with one collect. Graphs over the gate (or with non-long ids) take
+    * the distributed loop unchanged — the 100 TB path is untouched.
+    */
+  private[operators] val DriverCcMaxEdges = 1000000L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // nodes whose only edges are self-loops still deserve a label
     val selfOnly = pairs.filter(col("id_a") === col("id_b"))
@@ -798,6 +811,45 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .materialize
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= DriverCcMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val collected = edges.select(col("src"), col("dst")).as[(Long, Long)]
+        .collect()
+      // union-find with path halving; roots resolve to the component MIN
+      // id afterwards, matching the star fixpoint's min-rooted labels
+      val idx = scala.collection.mutable.LongMap.empty[Int]
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def ix(v: Long): Int = idx.getOrElseUpdate(v, {
+        ids += v; parent += ids.length - 1; ids.length - 1
+      })
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)); x = parent(x)
+        }
+        x
+      }
+      collected.foreach { case (s, d) =>
+        val rs = find(ix(s)); val rd = find(ix(d))
+        if (rs != rd) parent(rs) = rd
+      }
+      val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < ids.length) {
+        val r = find(i).toLong
+        val cur = minOfRoot.getOrElse(r, Long.MaxValue)
+        if (ids(i) < cur) minOfRoot(r) = ids(i)
+        i += 1
+      }
+      val labels = Array.tabulate(ids.length)(j => (ids(j), minOfRoot(find(j).toLong)))
+      val stars = spark.createDataset(labels.toIndexedSeq).toDF("id", "comp")
+      return stars.union(
+        selfOnly.join(stars.select(col("id")), Seq("id"), "left_anti"))
+    }
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = null
