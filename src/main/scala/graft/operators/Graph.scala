@@ -509,6 +509,27 @@ object Graph {
     * loop pattern); the convergence probe reads the checkpointed count,
     * a bounded driver action.
     */
+  /** Gate below which the iterative peel/vote loops run driver-side off
+    * one bounded collect (the [[Dedup.connectedComponents]] union-find
+    * pattern): 10⁶ canonical edges collect as ~16 MB of longs. The loops
+    * are exact integer computations (degree counts, plurality votes), so
+    * driver and distributed rounds produce identical results; larger
+    * graphs keep the distributed per-round jobs unchanged.
+    */
+  private[operators] val DriverGraphMaxEdges = 1000000L
+
+  /** The canonical distinct (a < b) undirected edge list, collected when
+    * it fits the driver gate — None above the gate.
+    */
+  private def collectIfSmall(e: DataFrame): Option[Array[(Long, Long)]] = {
+    if (e.count() > DriverGraphMaxEdges) None
+    else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      Some(e.as[(Long, Long)].collect())
+    }
+  }
+
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 6): DataFrame = {
@@ -520,6 +541,35 @@ object Graph {
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
       .materialize
+    collectIfSmall(e) match {
+      case Some(arr0) =>
+        // driver twin of the loop below: same degree-peel rounds, same
+        // early-stop-on-stable-count, same final (node, deg) output
+        var cur = arr0
+        var stable = false
+        var round = 0
+        while (!stable && round < maxRounds && cur.nonEmpty) {
+          val deg = scala.collection.mutable.LongMap.empty[Long]
+          cur.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0L) + 1L
+            deg(b) = deg.getOrElse(b, 0L) + 1L
+          }
+          val next = cur.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          stable = next.length == cur.length
+          cur = next
+          round += 1
+        }
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        cur.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return spark.createDataset(deg.toSeq.map(t => (t._1, t._2)))
+          .toDF("node", "deg")
+      case None => ()
+    }
     var n = e.count()
     var stable = false
     var round = 0
@@ -618,8 +668,45 @@ object Graph {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-    val adj = adj0.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(adj0.select(col("b").as("node"), col("a").as("nbr")))
+    val adjC = adj0.materialize
+    collectIfSmall(adjC) match {
+      case Some(arr) =>
+        // driver twin of the loop below: same synchronous plurality vote
+        // with (votes desc, label asc) ties, same round count
+        val nbrs = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        def add(x: Long, y: Long): Unit =
+          nbrs.getOrElseUpdate(x,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += y
+        arr.foreach { case (a, b) => add(a, b); add(b, a) }
+        var labels = scala.collection.mutable.LongMap.empty[Long]
+        nbrs.foreachKey(nd => labels(nd) = nd)
+        for (_ <- 1 to rounds) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          nbrs.foreach { case (nd, ns) =>
+            val votes = scala.collection.mutable.LongMap.empty[Long]
+            ns.foreach { nb =>
+              val l = labels(nb); votes(l) = votes.getOrElse(l, 0L) + 1L
+            }
+            var bestLabel = Long.MaxValue
+            var bestVotes = -1L
+            votes.foreach { case (l, v) =>
+              if (v > bestVotes || (v == bestVotes && l < bestLabel)) {
+                bestLabel = l; bestVotes = v
+              }
+            }
+            next(nd) = bestLabel
+          }
+          labels = next
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return spark.createDataset(labels.toSeq.map(t => (t._1, t._2)))
+          .toDF("node", "label")
+      case None => ()
+    }
+    val adj = adjC.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(adjC.select(col("b").as("node"), col("a").as("nbr")))
       .materialize
     val nodes = adj.select(col("node")).distinct().materialize
     var labels = nodes.withColumn("label", col("node")).materialize
