@@ -1125,13 +1125,16 @@ object Dedup {
     docs
       .select(col(idCol).as("doc"), col(textCol).as("__text"))
       .withColumn("__len", length(t))
-      // boundary END positions; i = len excluded (an empty final chunk),
-      // and the when() guard keeps sequence() ascending on short docs
+      // boundary END positions; i = len excluded (an empty final chunk).
+      // One compiled pass (TextExprs.CdcBoundaries) — bit-identical to
+      // the HOF formulation
+      //   filter(sequence(window, len-1), i =>
+      //     substring(md5(substring(t, i-window+1, window)), 1, 2) < hex)
+      // which interpreted its lambda and built a substring + hex string
+      // per character position (ExtensionsSpec pins the equality)
       .withColumn("__bnds",
-        when(col("__len") <= window, array().cast("array<int>"))
-          .otherwise(filter(sequence(lit(window), col("__len") - 1), i =>
-            substring(md5(substring(t, i - window + 1, lit(window))), 1, 2)
-              < lit(boundaryHex))))
+        org.apache.spark.sql.graftvec.TextExprs
+          .cdcBoundariesCol(t, window, boundaryHex))
       .withColumn("__starts",
         concat(array(lit(1)), transform(col("__bnds"), b => b + 1)))
       .withColumn("__ends", concat(col("__bnds"), array(col("__len"))))

@@ -641,6 +641,66 @@ object TextExprs {
     new GenericArrayData(out)
   }
 
+  /** Content-defined-chunking boundary positions (the
+    * `Dedup.cdcChunks` predicate as ONE compiled pass): position `i`
+    * (1-based, `window <= i < numChars`) is a boundary iff the FIRST
+    * BYTE of md5 over the UTF-8 bytes of codepoints [i−window+1 .. i]
+    * is below `threshold` — exactly `substring(md5hex, 1, 2) <
+    * boundaryHex` (two lowercase hex chars compare like the byte they
+    * encode). The HOF formulation interpreted its lambda and built a
+    * substring + 32-char hex string per character position; this walks
+    * the codepoint byte offsets once and reuses one MessageDigest.
+    * Returns array<int> of boundary END positions; `numChars <= window`
+    * reads the empty array (the caller's degenerate-doc convention).
+    */
+  def cdcBoundaries(s: UTF8String, window: Int, threshold: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n <= window) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (b < bytes.length) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(n) = bytes.length
+    val md = md5Digest.get()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var i = window // 1-based end position; window chars are [i-window, i)
+    while (i < n) {
+      val st = offs(i - window)
+      val en = offs(i)
+      md.reset()
+      md.update(bytes, st, en - st)
+      if ((md.digest()(0) & 0xFF) < threshold) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class CdcBoundaries(child: Expression, window: Int, threshold: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(window >= 2 && threshold >= 0 && threshold <= 255,
+      "need window >= 2 and threshold in [0, 255]")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      cdcBoundaries(a.asInstanceOf[UTF8String], window, threshold)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = org.apache.spark.sql.graftvec.TextExprs.cdcBoundaries($a, $window, $threshold);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cdcBoundariesCol(text: Column, window: Int, boundaryHex: String): Column =
+    ExpressionUtils.column(CdcBoundaries(
+      ExpressionUtils.expression(text), window,
+      Integer.parseInt(boundaryHex, 16)))
+
   /** Codegen'd [[charGramMd5]]: array of per-window md5 hex strings.
     * Window index w (0-based) covers codepoints [w*stride, w*stride+L).
     */

@@ -242,6 +242,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("alpha must be constant")))
   }
 
+  test("CdcBoundaries (compiled pass) is bit-identical to the HOF " +
+      "md5-window formulation, including multibyte + degenerate docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab xyz.,\nés日"
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(200)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq((900L, ""), (901L, "short"), (902L, "exactly8"))
+    val df = docs.toDF("doc_id", "text")
+    for ((window, hex) <- Seq((8, "08"), (4, "20"), (2, "01"))) {
+      val t = col("text")
+      val hof = df.select(col("doc_id"),
+        when(length(t) <= window, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(window), length(t) - 1), i =>
+            substring(md5(substring(t, i - window + 1, lit(window))), 1, 2)
+              < lit(hex))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val fused = df.select(col("doc_id"),
+        org.apache.spark.sql.graftvec.TextExprs
+          .cdcBoundariesCol(t, window, hex).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(fused === hof, s"window=$window hex=$hex")
+    }
+  }
+
   test("registered vec_sum_agg / vec_outer_product_sum: pure SQL equals " +
       "the Column API (centroid maintenance from SQL)") {
     import org.apache.spark.sql.functions._
