@@ -24,15 +24,19 @@ object Associations {
     * Both rule directions are emitted (confidence is asymmetric; lift is
     * symmetric and simply repeats).
     *
-    * Plan shape for 100 TB: baskets dedup to distinct (basket, item)
-    * first (one hash shuffle — basket size bounds nothing downstream);
-    * pair counts come from a self-equi-join ON BASKET with a < b, so
-    * fan-out is Σ C(|basket|, 2) — bounded by basket size, never by item
-    * popularity, and a huge basket is the data's own quadratic, not the
-    * algorithm's. The `minPairSupport` filter lands in the pair
-    * aggregation (partial aggs map-side). Item counts are a separate
-    * small aggregate broadcast back onto the (filtered, much smaller)
-    * rule set. The lift numerator 10⁶·n_baskets·n_ab runs through
+    * Plan shape for 100 TB: ONE hash shuffle by basket builds the
+    * per-basket sorted distinct item set (`collect_set` dedups map-side,
+    * so the exchange carries partial sets, not raw rows); pairs are then
+    * generated MAP-SIDE from each sorted set — each unordered (a < b)
+    * pair appears exactly once per basket by construction, so the
+    * support count is a plain `count(1)` with map-side partial
+    * aggregation. This replaces the previous distinct + self-equi-join
+    * on basket (two more exchanges plus the join barrier) with identical
+    * output: fan-out is still Σ C(|basket|, 2) — bounded by basket size,
+    * never by item popularity, and a huge basket is the data's own
+    * quadratic, not the algorithm's. Item counts are a separate small
+    * aggregate broadcast back onto the (filtered, much smaller) rule
+    * set. The lift numerator 10⁶·n_baskets·n_ab runs through
     * decimal(38,0) (the q93 pattern) — exact at any corpus size, where a
     * Long would overflow past ~9e12 basket-pair products; the division
     * is the exact-multiple form (A − A mod B)/B, so the decimal quotient
@@ -42,20 +46,32 @@ object Associations {
       baskets: DataFrame, basketCol: String, itemCol: String,
       minPairSupport: Long = 2L): DataFrame = {
     require(minPairSupport >= 1, "minPairSupport must be >= 1")
-    // the distinct basket-item set feeds FOUR consumers (basket count,
-    // item counts, both self-join sides) and the supported pair set two
-    // (each rule direction) — materialize each once instead of re-running
-    // the dedup shuffle per consumer (the connectedComponents/pageRank
-    // loop-invariant pattern)
-    val bi = baskets
+    // the per-basket item-set frame feeds THREE consumers (basket count,
+    // item counts, pair generation) and the supported pair set two (each
+    // rule direction) — materialize each once instead of re-running the
+    // grouping shuffle per consumer (the connectedComponents/pageRank
+    // loop-invariant pattern). The basket key itself is dropped before
+    // materialization: only the item sets matter downstream.
+    val grouped = baskets
       .select(col(basketCol).as("bk"), col(itemCol).cast("bigint").as("it"))
-      .distinct()
+      .groupBy(col("bk"))
+      .agg(array_sort(collect_set(col("it"))).as("items"))
+      .select(col("items"))
       .materialize
-    val nBaskets = bi.select(col("bk")).distinct().count()
-    val itemCounts = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-    val pairCounts = bi.as("x").join(bi.as("y"),
-        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
-      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+    // one row per distinct basket by construction — a count of the
+    // materialized blocks, not another distinct shuffle
+    val nBaskets = grouped.count()
+    val itemCounts = grouped.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    // sorted distinct items ⇒ slice(i+2..) enumerates exactly the a < b
+    // pairs of the old self-join, once per basket
+    val pairCounts = grouped
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS ia, y AS ib))))""".stripMargin)).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairSupport)
       .materialize
