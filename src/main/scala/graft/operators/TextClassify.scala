@@ -29,8 +29,22 @@ object TextClassify {
     * `(class, prior_micro)`. The grid is an ordinary DataFrame — persist
     * it (or write it to storage) for repeated serving; the priors are
     * driver-held literals (the IVF-centroid bounded-state pattern).
+    * `gridCells` is the driver-known vocab×classes row count (the train
+    * scalars collect already pays for it) — the serve join broadcasts
+    * the grid when it is under [[BroadcastGridMaxCells]], so the token
+    * side is never shuffled for a small model; an unknown size
+    * (Long.MaxValue default) keeps the shuffle join.
     */
-  final case class NbModel(grid: DataFrame, priors: Seq[(String, Long)])
+  final case class NbModel(grid: DataFrame, priors: Seq[(String, Long)],
+      gridCells: Long = Long.MaxValue)
+
+  /** Grid-size gate for broadcasting the serve join (the
+    * [[Graph.DriverGraphMaxEdges]] bounded-state pattern): 10⁶
+    * (term, class, weight) rows is tens of MB framed — comfortably
+    * inside executor broadcast budgets; larger vocabularies keep the
+    * term-keyed shuffle join, so the 100 TB path is untouched.
+    */
+  private[operators] val BroadcastGridMaxCells = 1000000L
 
   /** Train a multinomial Naive Bayes model with add-1 (Laplace)
     * smoothing over whitespace tokens on the GIVEN rows (no split — pair
@@ -87,7 +101,7 @@ object TextClassify {
         round(log((coalesce(element_at(col("m"), col("y")), lit(0L)) + lit(1.0))
           / (element_at(nyLit, col("y")) + lit(vocV))) * lit(1e6))
           .cast("bigint").as("w"))
-    NbModel(grid, priors)
+    NbModel(grid, priors, gridCells = vocV * classes.length)
   }
 
   /** Score documents with a trained model: one `(did, predicted)` row
@@ -96,35 +110,80 @@ object TextClassify {
     * convention; a doc with zero in-vocabulary tokens falls back to the
     * prior argmax (ties → smallest class label).
     *
-    * Scale shape: exploded tokens join the grid ON TERM (shuffle hash
-    * join keyed by term; per-occurrence fan-out = |classes|, never
-    * |vocab|), (doc, class) partial sums with map-side combine, a
-    * literal-prior explode (every doc gets every class row — no join),
-    * and a per-doc argmax as `min(struct(-score, cand))` — an aggregate,
-    * not a window sort. Stop-word skew is absorbed by partial
-    * aggregation exactly like any hot-key count. Pure batch dataflow —
-    * serve a STREAM by folding micro-batches through this in
-    * foreachBatch (the streaming-SCD2 pattern; each doc is one row, so
-    * batch semantics are exact).
+    * Scale shape: exploded tokens join the grid ON TERM (broadcast when
+    * the model is under the [[BroadcastGridMaxCells]] gate — the token
+    * side is then never shuffled; shuffle hash join keyed by term
+    * otherwise; per-occurrence fan-out = |classes|, never |vocab|),
+    * (doc, class) partial sums with map-side combine, then the per-doc
+    * argmax as `min(struct(-score, cand))` — an aggregate, not a window
+    * sort. The grid is DENSE over the literal class list, so every doc
+    * with ≥ 1 in-vocabulary token already carries ALL class candidates
+    * after the aggregate; the prior enters as a literal map lookup
+    * (no prior-explode scan, no (doc, class) join). Docs with zero
+    * in-vocabulary tokens fall back to the DRIVER-computed prior argmax
+    * through one skinny left join on the doc ids. Stop-word skew is
+    * absorbed by partial aggregation exactly like any hot-key count.
+    * Pure batch dataflow — serve a STREAM by folding micro-batches
+    * through this in foreachBatch (the streaming-SCD2 pattern; each doc
+    * is one row, so batch semantics are exact).
     */
   def naiveBayesApply(
       model: NbModel, docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("bigint").as("did"),
       T.tokens(col(textCol)).as("toks"))
-    val ts = base.select(col("did"), explode(col("toks")).as("t"))
-      .join(model.grid, Seq("t"))
-      .groupBy(col("did"), col("y"))
-      .agg(sum(col("w")).as("s"))
-      .select(col("did"), col("y").as("cand"), col("s"))
-    base.select(col("did"), explode(typedLit(model.priors)).as("pp"))
-      .select(col("did"), col("pp._1").as("cand"), col("pp._2").as("pw"))
-      .join(ts, Seq("did", "cand"), "left")
-      .select(col("did"), col("cand"),
-        (col("pw") + coalesce(col("s"), lit(0L))).as("score"))
+    val best = candScores(model, base)
       .groupBy(col("did"))
       .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
-      .select(col("did"), col("best.cand").as("predicted"))
+    val d0 = priorOnlyRanked(model).head
+    base.select(col("did")).distinct()
+      .join(best, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("best.cand"), lit(d0._2)).as("predicted"))
+  }
+
+  /** Serve-side grid: broadcast under the cell gate, plain frame above. */
+  private def maybeBroadcastGrid(model: NbModel): DataFrame =
+    if (model.gridCells <= BroadcastGridMaxCells) broadcast(model.grid)
+    else model.grid
+
+  /** `(did, cand, score)` for every document with ≥ 1 in-vocabulary
+    * token. The grid is dense over the literal class list, so the token
+    * join fans every in-vocab occurrence out to ALL classes and the
+    * (did, y) aggregate already carries every candidate; the prior is a
+    * literal map lookup on the aggregated rows.
+    */
+  private def candScores(model: NbModel, base: DataFrame): DataFrame = {
+    val priLit = typedLit(model.priors.toMap)
+    base.select(col("did"), explode(col("toks")).as("t"))
+      .join(maybeBroadcastGrid(model), Seq("t"))
+      .groupBy(col("did"), col("y"))
+      .agg(sum(col("w")).as("s"))
+      .select(col("did"), col("y").as("cand"),
+        (element_at(priLit, col("y")) + col("s")).as("score"))
+  }
+
+  /** The prior-only candidate ranking `(-prior, class)` sorted exactly
+    * like the Spark-side `struct(ns, cand)` aggregate: longs ascending,
+    * then labels by UNSIGNED UTF-8 BYTE order (UTF8String's comparison —
+    * Java String order differs for supplementary-plane labels).
+    */
+  private def priorOnlyRanked(model: NbModel): Seq[(Long, String)] = {
+    val utf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      }
+    }
+    model.priors.map { case (y, pw) => (-pw, y) }
+      .sorted(Ordering.Tuple2(Ordering.Long, utf8))
   }
 
   /** [[naiveBayesApply]] with the CONFIDENCE MARGIN: per document, the
@@ -146,21 +205,19 @@ object TextClassify {
       idCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("bigint").as("did"),
       T.tokens(col(textCol)).as("toks"))
-    val ts = base.select(col("did"), explode(col("toks")).as("t"))
-      .join(model.grid, Seq("t"))
-      .groupBy(col("did"), col("y"))
-      .agg(sum(col("w")).as("s"))
-      .select(col("did"), col("y").as("cand"), col("s"))
-    base.select(col("did"), explode(typedLit(model.priors)).as("pp"))
-      .select(col("did"), col("pp._1").as("cand"), col("pp._2").as("pw"))
-      .join(ts, Seq("did", "cand"), "left")
-      .select(col("did"), col("cand"),
-        (col("pw") + coalesce(col("s"), lit(0L))).as("score"))
+    val top2 = candScores(model, base)
       .groupBy(col("did"))
       .agg(slice(sort_array(collect_list(
         struct((-col("score")).as("ns"), col("cand")))), 1, 2).as("top2"))
-      .select(col("did"), col("top2").getItem(0).getField("cand").as("predicted"),
-        when(size(col("top2")) < 2, lit(1L << 62))
+    val pri = priorOnlyRanked(model)
+    val d0margin = if (pri.size < 2) 1L << 62 else pri(1)._1 - pri(0)._1
+    base.select(col("did")).distinct()
+      .join(top2, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("top2").getItem(0).getField("cand"), lit(pri.head._2))
+          .as("predicted"),
+        when(col("top2").isNull, lit(d0margin))
+          .when(size(col("top2")) < 2, lit(1L << 62))
           .otherwise(col("top2").getItem(1).getField("ns")
             - col("top2").getItem(0).getField("ns"))
           .as("margin_micro"))
