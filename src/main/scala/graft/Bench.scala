@@ -305,98 +305,21 @@ object Bench {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(cdcStrTmp)).deleteRecursively(); ()
     } catch { case _: Throwable => () }
+    // the four suite bodies live in graft.Pipelines (with the other
+    // composed pipelines) so the harness stays a thin timer around a
+    // product-code composition — the measured workloads are unchanged
     val eventsSecs = timedEntry("pipeline_events") {
-      {
-        // the event-analytics family the way a feature pipeline runs it:
-        // ONE normalized events scan persisted, five independent
-        // aggregation families consume it (funnel, attribution, retention,
-        // transitions, Holt trend) without re-reading the table
-        import org.apache.spark.sql.functions._
-        val ev = graft.Tables.events(spark, sfDir)
-          .withColumn("tsu", unix_micros(col("ts")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          ev.count()
-          // five independent aggregation families off the one cached
-          // scan: overlap the jobs (guide §2.6)
-          val holt = graft.functions.HoltFunctions.holtUdaf(300000L, 100000L)
-          val Seq(nF, nA, nR, nT, nH) = graft.Pipelines.concurrently(Seq(
-            () => graft.operators.EventAnalytics.funnel(ev, "user_id", "event_type",
-              "tsu", Seq("view", "click", "purchase"), 86400L * 1000000L).count(),
-            () => graft.operators.EventAnalytics.attributeConversions(ev, "user_id",
-              "event_type", "tsu", "event_id", "value",
-              Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count(),
-            () => graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "tsu").count(),
-            () => graft.operators.EventAnalytics.transitionMatrix(ev, "user_id",
-              "event_type", "tsu", "event_id").count(),
-            () => ev.groupBy(col("event_type"))
-              .agg(holt(col("tsu"), col("event_id"), col("value")).as("h")).count()))
-          System.err.println(
-            s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
-        } finally ev.unpersist(blocking = false)
-      }
+      val (nF, nA, nR, nT, nH) = graft.Pipelines.eventsSuite(spark, sfDir)
+      System.err.println(
+        s"[bench] pipeline_events funnel=$nF attr=$nA ret=$nR trans=$nT holt=$nH")
     }
     val insightSecs = timedEntry("pipeline_insight") {
-      {
-        // the q122 + q107 composition the way a product-analytics pipeline
-        // runs it: sessionize ONCE, persist the session-tagged frame, and
-        // feed BOTH the within-session funnel and the within-session
-        // U-shaped/position-based attribution from it — the
-        // materialize-once pattern pipeline_dedup_shared uses for the
-        // shingle index (each consumer's plan reads InMemoryTableScan of
-        // the shared frame instead of re-running the sessionize shuffle)
-        import org.apache.spark.sql.functions._
-        val ev = graft.Tables.events(spark, sfDir)
-          .withColumn("tsu", unix_micros(col("ts")))
-        val sess = graft.operators.EventAnalytics.sessionize(
-          ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
-        val tagged = ev.select(col("event_id").as("id"), col("event_type"), col("value"))
-          .join(sess, Seq("id"))
-          .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          tagged.count()
-          val Seq(nF, nA) = graft.Pipelines.concurrently(Seq(
-            () => graft.operators.EventAnalytics.funnel(tagged, "skey",
-              "event_type", "tsu", Seq("view", "click", "purchase"),
-              86400L * 1000000L).count(),
-            () => graft.operators.EventAnalytics.attributeConversions(tagged,
-              "skey", "event_type", "tsu", "id", "value",
-              Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()))
-          System.err.println(s"[bench] pipeline_insight funnel=$nF attr=$nA")
-        } finally tagged.unpersist(blocking = false)
-      }
+      val (nF, nA) = graft.Pipelines.insightSuite(spark, sfDir)
+      System.err.println(s"[bench] pipeline_insight funnel=$nF attr=$nA")
     }
     val routingSecs = timedEntry("pipeline_routing") {
-      {
-        // the model-cascade composition the way a router ships: train the
-        // NB language model ONCE on the corpus, serve it back with
-        // confidence margins, and feed BOTH the per-class report and the
-        // escalation audit from the one scored frame (persisted — the
-        // materialize-once pattern again)
-        import org.apache.spark.sql.functions._
-        val docs = graft.Tables.table(spark, sfDir, "documents")
-        val model = graft.operators.TextClassify.naiveBayesTrain(
-          docs, "text", "doc_id", "lang")
-        val scored = graft.operators.TextClassify.naiveBayesApplyWithMargin(
-            model, docs, "text", "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          scored.count()
-          val Seq(nRep, nEsc) = graft.Pipelines.concurrently(Seq(
-            () => graft.operators.ModelEval.classificationReport(
-              scored.join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did")),
-              "lang", "predicted").count(),
-            () => scored.filter(col("margin_micro") < 5000000L).count()))
-          System.err.println(s"[bench] pipeline_routing report=$nRep escalate=$nEsc")
-        } finally {
-          scored.unpersist(blocking = false)
-          // naiveBayesTrain persistTracks its (class, term) count frame;
-          // the per-query release at the registry loop ran before this
-          // block, so free it here or it pins memory for the whole run
-          graft.operators.Dedup.releaseAllCaches()
-        }
-      }
+      val (nRep, nEsc) = graft.Pipelines.routingSuite(spark, sfDir)
+      System.err.println(s"[bench] pipeline_routing report=$nRep escalate=$nEsc")
     }
     val monitorSecs = timedEntry("pipeline_monitor") {
       // the metric-monitoring suite the way a dashboard job ships: the
@@ -408,26 +331,9 @@ object Bench {
         counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     val profileSecs = timedEntry("pipeline_profile") {
-      {
-        // the value-profiling suite the way a dashboard ships: the
-        // (group, value) histogram of lineitem prices is computed ONCE
-        // (persisted) and feeds the Lorenz curve, the trimmed mean, and
-        // the Hill tail index — three profilers, one fact-table scan
-        val hist = graft.operators.DataPrep.valueHistogram(
-            graft.Tables.table(spark, sfDir, "lineitem"),
-            "l_returnflag", "l_extendedprice")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          hist.count()
-          val Seq(nLz, nTm, nHl) = graft.Pipelines.concurrently(Seq(
-            () => graft.operators.DataPrep.lorenzFromHistogram(hist).count(),
-            () => graft.operators.DataPrep
-              .trimmedMeanBpsFromHistogram(hist).count(),
-            () => graft.operators.DataPrep.hillFromHistogram(hist).count()))
-          System.err.println(
-            s"[bench] pipeline_profile lorenz=$nLz trimmed=$nTm hill=$nHl")
-        } finally hist.unpersist(blocking = false)
-      }
+      val (nLz, nTm, nHl) = graft.Pipelines.profileSuite(spark, sfDir)
+      System.err.println(
+        s"[bench] pipeline_profile lorenz=$nLz trimmed=$nTm hill=$nHl")
     }
     val all = results ++ Map(
       "ewma_stream_replay" -> streamSecs, "slsh_stream_replay" -> slshSecs,

@@ -494,6 +494,119 @@ object Pipelines {
     } finally recs.unpersist(blocking = false)
   }
 
+  /** The event-analytics family the way a feature pipeline runs it
+    * (benched as pipeline_events): ONE normalized events scan persisted,
+    * five independent aggregation families consume it (funnel,
+    * attribution, retention, transitions, Holt trend) without re-reading
+    * the table; the five count jobs overlap (§2.6). Returns
+    * (funnel, attribution, retention, transitions, holt) counts.
+    */
+  def eventsSuite(spark: SparkSession, sfDir: String)
+      : (Long, Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      ev.count()
+      val holt = functions.HoltFunctions.holtUdaf(300000L, 100000L)
+      val Seq(nF, nA, nR, nT, nH) = concurrently(Seq(
+        () => operators.EventAnalytics.funnel(ev, "user_id", "event_type",
+          "tsu", Seq("view", "click", "purchase"), 86400L * 1000000L).count(),
+        () => operators.EventAnalytics.attributeConversions(ev, "user_id",
+          "event_type", "tsu", "event_id", "value",
+          Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count(),
+        () => operators.EventAnalytics.retentionCohorts(ev, "user_id", "tsu").count(),
+        () => operators.EventAnalytics.transitionMatrix(ev, "user_id",
+          "event_type", "tsu", "event_id").count(),
+        () => ev.groupBy(col("event_type"))
+          .agg(holt(col("tsu"), col("event_id"), col("value")).as("h")).count()))
+      (nF, nA, nR, nT, nH)
+    } finally ev.unpersist(blocking = false)
+  }
+
+  /** The q122 + q107 composition the way a product-analytics pipeline
+    * runs it (benched as pipeline_insight): sessionize ONCE, persist the
+    * session-tagged frame, and feed BOTH the within-session funnel and
+    * the within-session attribution from it — the materialize-once
+    * pattern [[dedupShared]] uses for the shingle index. Returns
+    * (funnel, attribution) counts.
+    */
+  def insightSuite(spark: SparkSession, sfDir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{concat, unix_micros}
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts")))
+    val sess = operators.EventAnalytics.sessionize(
+      ev, "user_id", "tsu", "event_id", gapMicros = 6L * 3600L * 1000000L)
+    val tagged = ev.select(col("event_id").as("id"), col("event_type"), col("value"))
+      .join(sess, Seq("id"))
+      .withColumn("skey", concat(col("user"), lit("#"), col("session_idx")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      tagged.count()
+      val Seq(nF, nA) = concurrently(Seq(
+        () => operators.EventAnalytics.funnel(tagged, "skey",
+          "event_type", "tsu", Seq("view", "click", "purchase"),
+          86400L * 1000000L).count(),
+        () => operators.EventAnalytics.attributeConversions(tagged,
+          "skey", "event_type", "tsu", "id", "value",
+          Seq("view", "click", "signup"), "purchase", 86400L * 1000000L).count()))
+      (nF, nA)
+    } finally tagged.unpersist(blocking = false)
+  }
+
+  /** The model-cascade composition the way a router ships (benched as
+    * pipeline_routing): train the NB language model ONCE on the corpus,
+    * serve it back with confidence margins, and feed BOTH the per-class
+    * report and the escalation audit from the one scored frame
+    * (persisted — the materialize-once pattern again). Returns
+    * (report, escalations) counts.
+    */
+  def routingSuite(spark: SparkSession, sfDir: String): (Long, Long) = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val model = operators.TextClassify.naiveBayesTrain(
+      docs, "text", "doc_id", "lang")
+    val scored = operators.TextClassify.naiveBayesApplyWithMargin(
+        model, docs, "text", "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      scored.count()
+      val Seq(nRep, nEsc) = concurrently(Seq(
+        () => operators.ModelEval.classificationReport(
+          scored.join(docs.select(col("doc_id").as("did"), col("lang")), Seq("did")),
+          "lang", "predicted").count(),
+        () => scored.filter(col("margin_micro") < 5000000L).count()))
+      (nRep, nEsc)
+    } finally {
+      scored.unpersist(blocking = false)
+      // naiveBayesTrain persistTracks its (class, term) count frame;
+      // free it here or it pins memory for the caller's whole run
+      operators.Dedup.releaseAllCaches()
+    }
+  }
+
+  /** The value-profiling suite the way a dashboard ships (benched as
+    * pipeline_profile): the (group, value) histogram of lineitem prices
+    * is computed ONCE (persisted) and feeds the Lorenz curve, the
+    * trimmed mean, and the Hill tail index — three profilers, one
+    * fact-table scan, overlapped (§2.6). Returns
+    * (lorenz, trimmed, hill) counts.
+    */
+  def profileSuite(spark: SparkSession, sfDir: String): (Long, Long, Long) = {
+    val hist = operators.DataPrep.valueHistogram(
+        Tables.table(spark, sfDir, "lineitem"),
+        "l_returnflag", "l_extendedprice")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      hist.count()
+      val Seq(nLz, nTm, nHl) = concurrently(Seq(
+        () => operators.DataPrep.lorenzFromHistogram(hist).count(),
+        () => operators.DataPrep.trimmedMeanBpsFromHistogram(hist).count(),
+        () => operators.DataPrep.hillFromHistogram(hist).count()))
+      (nLz, nTm, nHl)
+    } finally hist.unpersist(blocking = false)
+  }
+
   /** The metric-monitoring suite (benched as pipeline_monitor): the
     * per-(type, day) daily stats computed ONCE (persisted) feed ELEVEN
     * monitors — offline changepoint, online CUSUM alarms, STL, Mann-
