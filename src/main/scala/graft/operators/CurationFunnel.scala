@@ -155,6 +155,10 @@ object CurationFunnel {
         col("sh"), col("bands")))
 
     val gated = evaluated.filter(col("gopher_pass"))
+    // materialize the shared cache with its one scan BEFORE the two
+    // independent actions below — both read it, and racing threads would
+    // otherwise each compute the uncached partitions
+    evaluated.count()
 
     // stage 4's SERVE TABLE, collected: the per-distinct-word DP
     // ([[TextPipeline.unigramVocabServe]] — vocabulary-bounded, the same
@@ -180,11 +184,6 @@ object CurationFunnel {
     // documents that DO reach the LM gate: an oversized token there is
     // missing from the serve table, and unigramPrice raises — the staged
     // funnel's failure contract, now scoped to LM-reached docs only.
-    val vocabServe: Map[String, (Long, Long)] = TextPipeline.unigramVocabServe(
-        gated.select(explode(T.tokens(col(textCol))).as("w"))
-          .filter(length(col("w")) <= TextPipeline.MaxWordChars), model.lm)
-      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-
     // stage 2 — the ONLY join-bearing stage. The delta index is a pure
     // PROJECTION of the evaluated cache (sh/bands were fused into its
     // one scan above, in the exact Dedup.buildBandedIndex v3 schema), so
@@ -207,6 +206,23 @@ object CurationFunnel {
         model.threshold, model.bands, model.rowsPerBand)
       .select(col("id_b").as("doc")).distinct()
       .withColumn("__dup", lit(true)))
+
+    // the serve-table collect (stage 4) and the dedup join (stage 2) are
+    // INDEPENDENT consumers of the materialized evaluated cache — run
+    // them concurrently (guide §2.6): the wall clock pays
+    // max(vocab DP, banding join), not their sum, and both were
+    // stage-barrier-bound, not compute-bound. Values are unchanged: the
+    // count only forces dupIds' persist, and the collect is the same
+    // collect.
+    val vocabServeRef =
+      new java.util.concurrent.atomic.AtomicReference[Map[String, (Long, Long)]]()
+    graft.Pipelines.concurrently(Seq(
+      () => vocabServeRef.set(TextPipeline.unigramVocabServe(
+          gated.select(explode(T.tokens(col(textCol))).as("w"))
+            .filter(length(col("w")) <= TextPipeline.MaxWordChars), model.lm)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap),
+      () => { dupIds.count(); () }))
+    val vocabServe: Map[String, (Long, Long)] = vocabServeRef.get()
 
     // final assembly: ONE broadcast join (the dup flags) onto the cached
     // evaluated frame, LM pricing fused into the same projection
