@@ -66,6 +66,18 @@ object Graph {
       col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst"),
       col(weightCol).cast("bigint").as("w"))
+    // driver gate (the kCore/labelPropagation pattern): pageRank keeps
+    // multi-edges, so the probe is a limit(gate+1) collect of the raw
+    // weighted edge list — one bounded job that IS the routing table
+    // when it fits, replacing 2 materializations + `iterations` join
+    // rounds of pure scheduling; larger graphs (or null-bearing rows)
+    // run the distributed loop below unchanged.
+    collectWeightedIfSmall(e) match {
+      case Some(arr) =>
+        return pageRankLocal(edges.sparkSession, arr, iterations, dampPpm,
+          seeds = None)
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .materialize
@@ -182,6 +194,14 @@ object Graph {
       col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst"),
       col(weightCol).cast("bigint").as("w"))
+    // driver gate — see [[pageRank]]; the twin only changes the teleport
+    // base, exactly like the distributed loop below
+    collectWeightedIfSmall(e) match {
+      case Some(arr) =>
+        return pageRankLocal(edges.sparkSession, arr, iterations, dampPpm,
+          seeds = Some(seeds))
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .materialize
@@ -251,6 +271,14 @@ object Graph {
         col(srcCol).cast("bigint").as("src"),
         col(dstCol).cast("bigint").as("dst"))
       .distinct().materialize
+    // driver gate (the kCore pattern — the distinct edge set is already
+    // materialized, so the probe count is a bounded cached action): the
+    // twin replays the identical BigInt recurrence; larger graphs keep
+    // the per-round join+aggregate loop below.
+    collectIfSmall(e) match {
+      case Some(arr) => return hitsLocal(edges.sparkSession, arr, iterations)
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .materialize
@@ -516,7 +544,10 @@ object Graph {
     * driver and distributed rounds produce identical results; larger
     * graphs keep the distributed per-round jobs unchanged.
     */
-  private[operators] val DriverGraphMaxEdges = 1000000L
+  // a var only so specs can force the distributed loops on small graphs
+  // (plan-shape pins + driver/distributed parity tests); production code
+  // never writes it
+  private[graft] var DriverGraphMaxEdges = 1000000L
 
   /** The canonical distinct (a < b) undirected edge list, collected when
     * it fits the driver gate — None above the gate.
@@ -528,6 +559,119 @@ object Graph {
       import spark.implicits._
       Some(e.as[(Long, Long)].collect())
     }
+  }
+
+  /** The weighted directed edge list `(src, dst, w)`, collected through a
+    * `limit(gate + 1)` probe: one bounded job that both decides the gate
+    * AND returns the complete edge set when it fits (≤ gate + 1 rows
+    * collected means limit returned everything). None above the gate, or
+    * when any field is null (the driver twin has no null semantics — the
+    * distributed loop keeps them).
+    */
+  private def collectWeightedIfSmall(
+      e: DataFrame): Option[Array[(Long, Long, Long)]] = {
+    val rows = e.limit(DriverGraphMaxEdges.toInt + 1).collect()
+    if (rows.length > DriverGraphMaxEdges) None
+    else if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+      None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Driver twin of the [[pageRank]] / [[personalizedPageRank]] loop:
+    * the identical integer recurrence over the collected edge list, with
+    * `Math.multiplyExact`/`addExact` standing in for ANSI overflow
+    * errors and Java `/` for `DIV` (all quantities are non-negative, so
+    * truncation and floor coincide exactly as in the distributed
+    * expressions). `seeds = None` is the uniform teleport; `Some(s)` the
+    * personalized base.
+    */
+  private def pageRankLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      arr: Array[(Long, Long, Long)], iterations: Int, dampPpm: Long,
+      seeds: Option[Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    val outw = scala.collection.mutable.LongMap.empty[Long]
+    arr.foreach { case (s, d, w) =>
+      nodes += s; nodes += d
+      outw(s) = Math.addExact(outw.getOrElse(s, 0L), w)
+    }
+    val n = nodes.size.toLong
+    require(n > 0, "graph has no nodes")
+    val minW = if (arr.isEmpty) 0L else arr.iterator.map(_._3).min
+    require(minW > 0,
+      s"pageRank requires strictly positive edge weights; found min(w)=$minW")
+    // divide by seeds.size (with duplicates, as the distributed literal
+    // does), membership via the deduplicated set
+    val seedCount = seeds.map(_.size.toLong)
+    val seedSet = seeds.map(_.toSet)
+    def base(v: Long): Long = seedSet match {
+      case None => (1000000L - dampPpm) / n
+      case Some(ss) =>
+        if (ss.contains(v)) (1000000L - dampPpm) / seedCount.get else 0L
+    }
+    def init(v: Long): Long = seedSet match {
+      case None => 1000000L / n
+      case Some(ss) => if (ss.contains(v)) 1000000L / seedCount.get else 0L
+    }
+    var pr = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach(v => pr(v) = init(v))
+    for (_ <- 1 to iterations) {
+      val inflow = scala.collection.mutable.LongMap.empty[Long]
+      arr.foreach { case (s, d, w) =>
+        val c = Math.multiplyExact(pr(s), w) / outw(s)
+        inflow(d) = Math.addExact(inflow.getOrElse(d, 0L), c)
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { v =>
+        next(v) = base(v) +
+          Math.multiplyExact(dampPpm, inflow.getOrElse(v, 0L)) / 1000000L
+      }
+      pr = next
+    }
+    spark.createDataset(nodes.toSeq.map(v => (v, pr(v))))
+      .toDF("node", "pr_micro")
+  }
+
+  /** Driver twin of the [[hits]] loop: the identical L1-normalized
+    * integer recurrence with BigInt standing in for decimal(38,0) (both
+    * exact; `/` truncates toward zero — floor for the non-negative
+    * quantities here, same as the distributed `DIV`).
+    */
+  private def hitsLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      arr: Array[(Long, Long)], iterations: Int): DataFrame = {
+    import spark.implicits._
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    arr.foreach { case (s, d) => nodes += s; nodes += d }
+    val n = BigInt(nodes.size)
+    require(nodes.nonEmpty, "hits: graph has no nodes")
+    def normalized(raw: scala.collection.mutable.LongMap[BigInt])
+        : scala.collection.mutable.LongMap[Long] = {
+      val tot = raw.values.foldLeft(BigInt(0))(_ + _)
+      val out = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { v =>
+        out(v) = ((raw.getOrElse(v, BigInt(0)) * 1000000 * n) / tot).toLong
+      }
+      out
+    }
+    var hub = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach(v => hub(v) = 1000000L)
+    var auth: scala.collection.mutable.LongMap[Long] = null
+    for (_ <- 1 to iterations) {
+      val araw = scala.collection.mutable.LongMap.empty[BigInt]
+      arr.foreach { case (s, d) =>
+        araw(d) = araw.getOrElse(d, BigInt(0)) + BigInt(hub(s))
+      }
+      auth = normalized(araw)
+      val hraw = scala.collection.mutable.LongMap.empty[BigInt]
+      arr.foreach { case (s, d) =>
+        hraw(s) = hraw.getOrElse(s, BigInt(0)) + BigInt(auth(d))
+      }
+      hub = normalized(hraw)
+    }
+    spark.createDataset(nodes.toSeq.map(v => (v, hub(v), auth(v))))
+      .toDF("node", "hub_micro", "auth_micro")
   }
 
   def kCore(

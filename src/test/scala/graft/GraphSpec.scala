@@ -74,7 +74,43 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with the driver-twin gate disabled, forcing the
+    * distributed loops regardless of graph size. */
+  private def distributedOnly[A](body: => A): A = {
+    val saved = Graph.DriverGraphMaxEdges
+    Graph.DriverGraphMaxEdges = -1L
+    try body finally Graph.DriverGraphMaxEdges = saved
+  }
+
+  test("pageRank/personalizedPageRank/hits: driver twin == distributed loop") {
+    // the gated driver rounds must replay the distributed integer
+    // recurrences bit-for-bit on an irregular pseudo-random graph
+    // (multi-edges for pageRank, dangling nodes, uneven degrees)
+    val e = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 60, i % 5 + 1), (i % 30, (i * 13 + 2) % 60, 3L)))
+      .toDF("src", "dst", "w")
+    val prD = Graph.pageRank(e, "src", "dst", "w", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val prX = distributedOnly(
+      Graph.pageRank(e, "src", "dst", "w", iterations = 4)
+        .as[(Long, Long)].collect().toMap)
+    assert(prD === prX)
+    val pprD = Graph.personalizedPageRank(
+        e, "src", "dst", "w", seeds = Seq(1L, 5L, 9L), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val pprX = distributedOnly(Graph.personalizedPageRank(
+        e, "src", "dst", "w", seeds = Seq(1L, 5L, 9L), iterations = 4)
+      .as[(Long, Long)].collect().toMap)
+    assert(pprD === pprX)
+    val hD = Graph.hits(e, "src", "dst", iterations = 3)
+      .as[(Long, Long, Long)].collect().sorted
+    val hX = distributedOnly(Graph.hits(e, "src", "dst", iterations = 3)
+      .as[(Long, Long, Long)].collect().sorted)
+    assert(hD === hX)
+  }
+
   test("pageRank derives an expensive edge join ONCE, not once per iteration") {
+    distributedOnly {
     // Build the edge table from a join (the q97 shape: edges are themselves
     // a fact join). After pageRank's localCheckpoint the returned plan must
     // read materialized blocks — the edge-derivation join and its source
@@ -94,6 +130,7 @@ class GraphSpec extends SparkSpec {
     assert(joins == 2 * 3, s"expected 6 joins in 3-iteration plan, got $joins:\n$plan")
     // and the values still match the closed recurrence on the same graph
     assert(pr.as[(Long, Long)].collect().toMap.values.sum > 0)
+    }
   }
 
   test("pageRank is deterministic under repartitioning") {
