@@ -338,10 +338,14 @@ object ExtensionQueries {
         // base = historical corpus (ids < 250), delta = today's batch:
         // only delta×base and delta×delta collisions are enumerated —
         // the base×base pair space is never touched (the incremental win)
-        val base = Dedup.buildShingleIndex(
-          docs.filter(col("doc_id") < 250), "text", "doc_id", 5)
-        val delta = Dedup.buildShingleIndex(
-          docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)
+        // each side feeds banding AND the verify join inside
+        // minhashNearDupsAgainstBase — persist the COMPUTED frames so the
+        // tokenize+shingle pass runs once per side, not twice (the stored
+        // production base never persists; see that operator's scaladoc)
+        val base = Dedup.persistTracked(Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", 5))
+        val delta = Dedup.persistTracked(Dedup.buildShingleIndex(
+          docs.filter(col("doc_id") >= 250), "text", "doc_id", 5))
         Dedup.minhashNearDupsAgainstBase(base, delta, threshold = 0.8)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -886,8 +890,11 @@ object ExtensionQueries {
         // pre-banded base — the stored-index v2 format the streaming twin
         // reads back per batch (band keys are a pure function of sh, so
         // the result is bit-identical to the unbanded path)
-        val base = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
-          docs.filter(col("doc_id") < 250), "text", "doc_id", 5))
+        // computed base: persist so banding + verify read one tokenize
+        // pass (the minhashNearDupsAgainstBase computed-frame contract)
+        val base = Dedup.persistTracked(Dedup.buildBandedIndex(
+          Dedup.buildShingleIndex(
+            docs.filter(col("doc_id") < 250), "text", "doc_id", 5)))
         val (decisions, _) = graft.operators.CurationFunnel.decide(
           docs.filter(col("doc_id") >= 250), "text", "doc_id", base, model)
         decisions.orderBy(col("doc"))
@@ -1031,11 +1038,12 @@ object ExtensionQueries {
     "q287_dup_blame" -> Q(
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+        // persist both computed sides — see q149
         Dedup.nearDupBlame(
-            Dedup.buildShingleIndex(
-              docs.filter(col("doc_id") < 250), "text", "doc_id", 5),
-            Dedup.buildShingleIndex(
-              docs.filter(col("doc_id") >= 250), "text", "doc_id", 5),
+            Dedup.persistTracked(Dedup.buildShingleIndex(
+              docs.filter(col("doc_id") < 250), "text", "doc_id", 5)),
+            Dedup.persistTracked(Dedup.buildShingleIndex(
+              docs.filter(col("doc_id") >= 250), "text", "doc_id", 5)),
             threshold = 0.8)
           .orderBy(col("doc"))
       },
@@ -1132,8 +1140,10 @@ object ExtensionQueries {
           .select(col("doc_id"), col("text"))
         val baseDocs = docs.filter(col("doc_id") < 250)
         val (model0, bloomFor) = graft.Pipelines.refreshArtifacts(s, dir)
-        val baseIdx = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
-          baseDocs, "text", "doc_id", 5))
+        // computed base, read by BOTH epochs' decides (banding + verify
+        // each): persist so the base tokenize pass runs once, not four times
+        val baseIdx = Dedup.persistTracked(Dedup.buildBandedIndex(
+          Dedup.buildShingleIndex(baseDocs, "text", "doc_id", 5)))
         val d0 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
         val (dec0, idx0) = graft.operators.CurationFunnel.decide(
           d0, "text", "doc_id", baseIdx, model0)
@@ -1689,8 +1699,11 @@ object ExtensionQueries {
         // pretraining pipeline runs from a crawl dump to corpus verdicts.
         val docs = Tables.table(s, dir, "documents")
         val model = graft.Pipelines.funnelModel(s, dir)
-        val base = Dedup.buildBandedIndex(Dedup.buildShingleIndex(
-          docs.filter(col("doc_id") < 250), "text", "doc_id", 5))
+        // computed base: persist so banding + verify read one tokenize
+        // pass (the minhashNearDupsAgainstBase computed-frame contract)
+        val base = Dedup.persistTracked(Dedup.buildBandedIndex(
+          Dedup.buildShingleIndex(
+            docs.filter(col("doc_id") < 250), "text", "doc_id", 5)))
         val dumps = docs.filter(col("doc_id") >= 250)
           .select(col("doc_id"), Multimodal.warcBytes(col("doc_id"),
             graft.operators.WebCuration.htmlWrap(col("doc_id"), col("text")))
