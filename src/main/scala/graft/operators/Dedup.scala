@@ -708,14 +708,18 @@ object Dedup {
       nHashes: Int = 16): DataFrame = {
     require(nHashes >= 1 && nHashes <= 256, "nHashes in [1, 256]")
     val pairs = ngramJaccardPairs(docs, textCol, idCol, shingleK, threshold)
+    // ONE compiled pass per document for all nHashes permutations
+    // (TextExprs.MinHashSigMd5 — bit-identical to the staged
+    // transform/array_min HOF formulation, which pays nHashes×|shingles|
+    // interpreted lambda dispatches and allocates a 32-char hex string
+    // per (shingle, permutation); ExtensionsSpec pins equality)
     val sigs = docs
       .withColumn("__w", T.tokens(col(textCol)))
       .withColumn("__sh",
         array_distinct(T.wordShinglesFromTokens(col("__w"), shingleK)))
       .select(col(idCol).as("doc"),
-        transform(sequence(lit(0), lit(nHashes - 1)),
-          j => array_min(transform(col("__sh"),
-            s => md5(concat(s, lit("_"), j.cast("string")))))).as("sig"))
+        org.apache.spark.sql.graftvec.TextExprs
+          .minhashSigMd5Col(col("__sh"), nHashes).as("sig"))
     pairs
       .join(sigs.select(col("doc").as("id_a"), col("sig").as("sa")), Seq("id_a"))
       .join(sigs.select(col("doc").as("id_b"), col("sig").as("sb")), Seq("id_b"))

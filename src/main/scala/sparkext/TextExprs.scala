@@ -701,6 +701,93 @@ object TextExprs {
       ExpressionUtils.expression(text), window,
       Integer.parseInt(boundaryHex, 16)))
 
+  /** Portable n-permutation MinHash signature over STRING shingles in ONE
+    * compiled pass: sig[j] = min over shingles s of md5hex(s || "_" || j)
+    * — exactly the HOF formulation `transform(sequence(0, n-1), j ->
+    * array_min(transform(sh, s -> md5(concat(s, '_', j)))))`, which pays
+    * n×|sh| interpreted lambda dispatches and allocates a 32-char hex
+    * string per (shingle, permutation). Fixed-width lowercase hex
+    * compares exactly like the digest bytes, so the unsigned byte-wise
+    * min IS the hex-string min and only the n winners are hex-encoded.
+    * NULL shingles are skipped (array_min's null handling); an empty or
+    * all-null input yields n NULL slots (array_min of nothing).
+    */
+  def minhashSigMd5(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Any](n)
+    val mins = new Array[Array[Byte]](n)
+    val md = md5Digest.get()
+    val suffixes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) {
+      suffixes(j) = ("_" + j)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      j += 1
+    }
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val sb = arr.getUTF8String(i).getBytes
+        j = 0
+        while (j < n) {
+          md.reset()
+          md.update(sb)
+          md.update(suffixes(j))
+          val d = md.digest()
+          val cur = mins(j)
+          if (cur == null) mins(j) = d
+          else {
+            var k = 0
+            var done = false
+            while (!done && k < 16) {
+              val c = (d(k) & 0xFF) - (cur(k) & 0xFF)
+              if (c < 0) { mins(j) = d; done = true }
+              else if (c > 0) done = true
+              else k += 1
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    j = 0
+    while (j < n) {
+      val d = mins(j)
+      if (d != null) {
+        val hex = new Array[Byte](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = hexChars((d(k) >> 4) & 0xF).toByte
+          hex(2 * k + 1) = hexChars(d(k) & 0xF).toByte
+          k += 1
+        }
+        out(j) = UTF8String.fromBytes(hex)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class MinHashSigMd5(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1 && n <= 256, "n in [1, 256]")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullSafeEval(a: Any): Any =
+      minhashSigMd5(a.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = org.apache.spark.sql.graftvec.TextExprs.minhashSigMd5($a, $n);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def minhashSigMd5Col(shingles: Column, n: Int): Column =
+    ExpressionUtils.column(MinHashSigMd5(
+      ExpressionUtils.expression(shingles), n))
+
   /** Codegen'd [[charGramMd5]]: array of per-window md5 hex strings.
     * Window index w (0-based) covers codepoints [w*stride, w*stride+L).
     */

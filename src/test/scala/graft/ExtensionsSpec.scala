@@ -269,6 +269,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSigMd5 (compiled pass) is bit-identical to the HOF " +
+      "transform/array_min formulation, including multibyte + empty docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc defg hi é日 "
+    val docs = (0 until 50).map { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq((900L, ""), (901L, "one"), (902L, "two words here now five six"))
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("__w", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("__sh", array_distinct(
+        graft.functions.TextFunctions.wordShinglesFromTokens(col("__w"), 3)))
+    for (n <- Seq(1, 16)) {
+      val hof = df.select(col("doc_id"),
+        transform(sequence(lit(0), lit(n - 1)),
+          j => array_min(transform(col("__sh"),
+            s => md5(concat(s, lit("_"), j.cast("string")))))).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val fused = df.select(col("doc_id"),
+        org.apache.spark.sql.graftvec.TextExprs
+          .minhashSigMd5Col(col("__sh"), n).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fused === hof, s"n=$n")
+    }
+  }
+
   test("registered vec_sum_agg / vec_outer_product_sum: pure SQL equals " +
       "the Column API (centroid maintenance from SQL)") {
     import org.apache.spark.sql.functions._
