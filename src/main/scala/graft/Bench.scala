@@ -162,7 +162,9 @@ object Bench {
     // sf0.1): full file-source micro-batch replay through the windowed
     // event-time EWMA into a memory sink
     val streamSecs = timedEntry("ewma_stream_replay") {
-      {
+      graft.streaming.Streams.withStatePartitions(spark,
+        graft.streaming.Streams.statePartitions(
+          graft.streaming.Streams.pathBytes(spark, s"$sfDir/events.parquet"))) {
         import org.apache.spark.sql.functions._
         val batchSchema = graft.Tables.events(spark, sfDir).schema
         // Trigger.AvailableNow + a byte budget per micro-batch: batch count
@@ -194,7 +196,9 @@ object Bench {
     // streaming LSH near-dup replay over documents.parquet: the stateful
     // per-bucket candidate stream (StreamingLshDedup) end-to-end
     val slshSecs = timedEntry("slsh_stream_replay") {
-      {
+      graft.streaming.Streams.withStatePartitions(spark,
+        graft.streaming.Streams.statePartitions(
+          graft.streaming.Streams.pathBytes(spark, s"$sfDir/documents.parquet"))) {
         val docs = spark.readStream.schema(
             spark.read.parquet(s"$sfDir/documents.parquet").schema)
           .option("maxBytesPerTrigger", (512L * 1024 * 1024).toString)
